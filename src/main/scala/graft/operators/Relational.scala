@@ -1,0 +1,317 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational core: the general-SQL surface ella exposes through
+  * DataFusion (ella/src/ella.rs:89 `query(sql)`). Each entry is a
+  * Spark-first DataFrame program; the matching DuckDB oracle SQL lives
+  * in [[oracle]].
+  *
+  * Determinism rules (see SURVEY.md §5): every query has a total-order
+  * ORDER BY; double aggregates are rounded identically on both sides;
+  * integer widths are cast to match Spark's output types.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style multi-agg. Partial (map-side) aggregation is free;
+    // shuffles once on (returnflag, linestatus).
+    "q01_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Filter + projection pushdown: both the predicate and the 4-column
+    // ReadSchema reach the parquet scan (verified via .explain).
+    "q02_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(
+          col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // TPC-H Q3-style 3-way join + agg + top-k. customer filter prunes
+    // before the shuffle join; top-10 via TakeOrderedAndProject.
+    "q03_join_agg" -> ((s, d) => {
+      val cutoff = to_timestamp(lit("1997-03-15 00:00:00"))
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders").filter(col("o_orderdate") < cutoff), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem").filter(col("l_shipdate") > cutoff), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Star join: nation+region are tiny dims -> explicit broadcast();
+    // at 100 TB the fact side never shuffles for this join.
+    "q04_broadcast_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Global sort + limit -> TakeOrderedAndProject (no full sort).
+    "q05_sort_limit" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    }),
+
+    "q06_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Window rank: top-3 customers by balance per nation.
+    "q07_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_nationkey"), col("rn"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_nationkey"), col("rn"))
+    }),
+
+    // Running/frame windows over a time order per customer.
+    "q08_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+        .withColumn("prev_price", col("o_totalprice") - coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("running_total"), round(col("prev_price"), 2).as("delta_prev"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Left-semi (EXISTS) / left-anti (NOT EXISTS).
+    "q09_semi_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("tag"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("tag"))
+      semi.union(anti).orderBy(col("c_custkey"))
+    }),
+
+    // CTE + UNION ALL.
+    "q10_union_cte" -> ((s, d) => {
+      val byCust = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"))
+      val hi = byCust.filter(col("total") > 300000.0).agg(count(lit(1)).as("n")).select(lit("high").as("bucket"), col("n"))
+      val lo = byCust.filter(col("total") <= 300000.0).agg(count(lit(1)).as("n")).select(lit("low").as("bucket"), col("n"))
+      hi.union(lo).orderBy(col("bucket"))
+    }),
+
+    "q11_having" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .filter(col("n_orders") > 5)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Scalar expression zoo: CASE/WHEN, string fns, date fns.
+    "q12_expr" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mon"),
+          when(col("o_totalprice") > 200000.0, lit("large"))
+            .when(col("o_totalprice") > 50000.0, lit("medium"))
+            .otherwise(lit("small")).as("size_class"),
+          upper(substring(col("o_orderpriority"), 1, 8)).as("prio"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_prio"),
+          // floor, not round: floor of an identical IEEE double is engine
+          // independent; decimal round at half-cent boundaries is not.
+          floor(col("o_totalprice") * 1.1 + 5.0).as("adj_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Scalar subquery: parts priced above the global average.
+    "q13_scalar_subquery" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val avgPrice = p.agg(avg(col("p_retailprice")).as("ap"))
+      p.crossJoin(broadcast(avgPrice))
+        .filter(col("p_retailprice") > col("ap"))
+        .select(col("p_partkey"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ROLLUP multi-level aggregation.
+    "q14_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Left outer join keeping customers with zero orders.
+    "q15_outer_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Per-group top-k via ranking window.
+    "q16_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
+    // Pivot-style conditional aggregation.
+    "q17_pivot" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(sum(when(col("l_returnflag") === "A", col("l_quantity")).otherwise(lit(0.0))), 2).as("qty_a"),
+          round(sum(when(col("l_returnflag") === "N", col("l_quantity")).otherwise(lit(0.0))), 2).as("qty_n"),
+          round(sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(lit(0.0))), 2).as("qty_r"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // LIMIT/OFFSET = ella Lazy::limit/skip (ella-engine/src/lazy.rs:46-61).
+    "q18_limit_skip" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .offset(50)
+        .limit(100)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),2) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        |GROUP BY 1,2,3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_broadcast_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        | round(sum(c_acctbal),2) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q05_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q06_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY 1,2""".stripMargin,
+    "q07_window_rank" ->
+      """SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (
+        | SELECT c_nationkey, c_custkey, c_acctbal,
+        |  CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+        | FROM customer) WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    "q08_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total,
+        | round(o_totalprice - coalesce(lag(o_totalprice,1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0),2) AS delta_prev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q09_semi_anti" ->
+      """SELECT c_custkey,
+        | CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  THEN 'has_orders' ELSE 'no_orders' END AS tag
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q10_union_cte" ->
+      """WITH by_cust AS (
+        | SELECT o_custkey, round(sum(o_totalprice),2) AS total FROM orders GROUP BY 1)
+        |SELECT 'high' AS bucket, count(*) AS n FROM by_cust WHERE total > 300000.0
+        |UNION ALL
+        |SELECT 'low' AS bucket, count(*) AS n FROM by_cust WHERE total <= 300000.0
+        |ORDER BY bucket""".stripMargin,
+    "q11_having" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY 1 HAVING count(*) > 5 ORDER BY o_custkey""".stripMargin,
+    "q12_expr" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INT) AS yr,
+        | CAST(month(o_orderdate) AS INT) AS mon,
+        | CASE WHEN o_totalprice > 200000.0 THEN 'large'
+        |      WHEN o_totalprice > 50000.0 THEN 'medium' ELSE 'small' END AS size_class,
+        | upper(substr(o_orderpriority, 1, 8)) AS prio,
+        | o_orderstatus || '-' || o_orderpriority AS status_prio,
+        | CAST(floor(o_totalprice * 1.1 + 5.0) AS BIGINT) AS adj_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q13_scalar_subquery" ->
+      """SELECT p_partkey, p_retailprice FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q14_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q15_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0.0),2) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY c_custkey""".stripMargin,
+    "q16_topk_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        | FROM orders) WHERE rn <= 2 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q17_pivot" ->
+      """SELECT l_linestatus,
+        | round(sum(CASE WHEN l_returnflag='A' THEN l_quantity ELSE 0.0 END),2) AS qty_a,
+        | round(sum(CASE WHEN l_returnflag='N' THEN l_quantity ELSE 0.0 END),2) AS qty_n,
+        | round(sum(CASE WHEN l_returnflag='R' THEN l_quantity ELSE 0.0 END),2) AS qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_limit_skip" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 50""".stripMargin
+  )
+}
