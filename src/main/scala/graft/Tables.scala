@@ -17,4 +17,19 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with its parquet TIMESTAMP(NANOS) `ts` column exposed as a
+    * standard Spark TimestampType (microseconds).
+    *
+    * Spark has no native nanosecond timestamp; we read the raw int64
+    * nanos (legacy conf) and floor-divide to micros — the same
+    * truncation DuckDB applies when it reads TIMESTAMP_NS, so oracle
+    * comparisons line up exactly. Ella stores times as i64 nanos too
+    * (ella-common time types), so this is the reference's own model.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
 }

@@ -23,13 +23,18 @@ object Relational {
     "q01_agg" -> ((s, d) => {
       t(s, d, "lineitem")
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        // Money/discount are cent-quantized doubles: aggregate exact
+        // integer cents (order-free) so results are engine- and
+        // partition-order independent (SURVEY.md §5).
+        .withColumn("price_c", round(col("l_extendedprice") * 100).cast("long"))
+        .withColumn("disc_c", round(col("l_discount") * 100).cast("long"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 2).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("price_c")).as("sum_base_cents"),
+          sum(col("price_c") * (lit(100L) - col("disc_c"))).as("sum_disc_bp"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("disc_c")).as("avg_disc_cents"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -54,8 +59,9 @@ object Relational {
         .join(t(s, d, "orders").filter(col("o_orderdate") < cutoff), col("c_custkey") === col("o_custkey"))
         .join(t(s, d, "lineitem").filter(col("l_shipdate") > cutoff), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .agg(sum((round(col("l_extendedprice") * 100).cast("long")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_bp"))
+        .orderBy(col("revenue_bp").desc, col("l_orderkey"))
         .limit(10)
     }),
 
@@ -66,7 +72,8 @@ object Relational {
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("total_acctbal_cents"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
@@ -99,10 +106,11 @@ object Relational {
     "q08_window_running" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
       t(s, d, "orders")
-        .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
-        .withColumn("prev_price", col("o_totalprice") - coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)))
+        .withColumn("price_c", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("running_cents", sum(col("price_c")).over(w))
+        .withColumn("delta_cents", col("price_c") - coalesce(lag(col("price_c"), 1).over(w), lit(0L)))
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          col("running_total"), round(col("prev_price"), 2).as("delta_prev"))
+          col("running_cents"), col("delta_cents"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
@@ -120,16 +128,17 @@ object Relational {
     // CTE + UNION ALL.
     "q10_union_cte" -> ((s, d) => {
       val byCust = t(s, d, "orders").groupBy(col("o_custkey"))
-        .agg(round(sum(col("o_totalprice")), 2).as("total"))
-      val hi = byCust.filter(col("total") > 300000.0).agg(count(lit(1)).as("n")).select(lit("high").as("bucket"), col("n"))
-      val lo = byCust.filter(col("total") <= 300000.0).agg(count(lit(1)).as("n")).select(lit("low").as("bucket"), col("n"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))
+      val hi = byCust.filter(col("total_c") > 30000000L).agg(count(lit(1)).as("n")).select(lit("high").as("bucket"), col("n"))
+      val lo = byCust.filter(col("total_c") <= 30000000L).agg(count(lit(1)).as("n")).select(lit("low").as("bucket"), col("n"))
       hi.union(lo).orderBy(col("bucket"))
     }),
 
     "q11_having" -> ((s, d) => {
       t(s, d, "orders")
         .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
         .filter(col("n_orders") > 5)
         .orderBy(col("o_custkey"))
     }),
@@ -176,7 +185,7 @@ object Relational {
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total"))
+          coalesce(sum(round(col("o_totalprice") * 100).cast("long")), lit(0L)).as("total_cents"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -214,11 +223,11 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
-        | round(avg(l_quantity),2) AS avg_qty,
-        | round(avg(l_discount),4) AS avg_disc,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_bp,
+        | avg(l_quantity) AS avg_qty,
+        | avg(CAST(round(l_discount*100) AS BIGINT)) AS avg_disc_cents,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
@@ -231,16 +240,16 @@ object Relational {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q03_join_agg" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_bp
         |FROM customer JOIN orders ON c_custkey = o_custkey
         | JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_mktsegment = 'BUILDING'
         |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
-        |GROUP BY 1,2,3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+        |GROUP BY 1,2,3 ORDER BY revenue_bp DESC, l_orderkey LIMIT 10""".stripMargin,
     "q04_broadcast_join" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
-        | round(sum(c_acctbal),2) AS total_acctbal
+        | CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS total_acctbal_cents
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
@@ -256,11 +265,12 @@ object Relational {
         |  CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
         | FROM customer) WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
     "q08_window_running" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice,
-        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total,
-        | round(o_totalprice - coalesce(lag(o_totalprice,1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0),2) AS delta_prev
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+      """WITH o AS (SELECT *, CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        | CAST(sum(price_c) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+        | price_c - coalesce(lag(price_c,1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0) AS delta_cents
+        |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q09_semi_anti" ->
       """SELECT c_custkey,
         | CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -268,13 +278,14 @@ object Relational {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q10_union_cte" ->
       """WITH by_cust AS (
-        | SELECT o_custkey, round(sum(o_totalprice),2) AS total FROM orders GROUP BY 1)
-        |SELECT 'high' AS bucket, count(*) AS n FROM by_cust WHERE total > 300000.0
+        | SELECT o_custkey, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_c FROM orders GROUP BY 1)
+        |SELECT 'high' AS bucket, count(*) AS n FROM by_cust WHERE total_c > 30000000
         |UNION ALL
-        |SELECT 'low' AS bucket, count(*) AS n FROM by_cust WHERE total <= 300000.0
+        |SELECT 'low' AS bucket, count(*) AS n FROM by_cust WHERE total_c <= 30000000
         |ORDER BY bucket""".stripMargin,
     "q11_having" ->
-      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+      """SELECT o_custkey, count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 HAVING count(*) > 5 ORDER BY o_custkey""".stripMargin,
     "q12_expr" ->
       """SELECT o_orderkey,
@@ -296,7 +307,7 @@ object Relational {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q15_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        | round(coalesce(sum(o_totalprice), 0.0),2) AS total
+        | CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS total_cents
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY c_custkey""".stripMargin,
     "q16_topk_per_group" ->

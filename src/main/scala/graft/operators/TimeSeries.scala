@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series operators: the capabilities ella's topic/time model
+  * exposes (time-indexed topics, `time < now()` range scans, latest
+  * value reads, streaming windows — README.md:100-126,
+  * ella-engine/src/table/topic.rs).
+  *
+  * All windows order by (ts, event_id) so ties are totally ordered;
+  * epoch-second arithmetic is integer (exact, engine-independent).
+  * At scale: every op here shuffles at most once on the series key
+  * (user_id / event_type); window functions then run within the
+  * partition. Time-bucketed topic storage (graft.sources.TopicStore)
+  * makes the ts06-style range scans partition-pruned.
+  */
+object TimeSeries {
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("epoch_s", col("ts").cast("long"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling-window resample to 1h buckets.
+    "ts01_resample" -> ((s, d) => {
+      ev(s, d)
+        // value is cent-quantized: integer-cents aggregation is exact
+        // and order-free (SURVEY.md §5).
+        .withColumn("value_c", round(col("value") * 100).cast("long"))
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          avg(col("value_c")).as("avg_value_cents"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          sum(col("value_c")).as("sum_value_cents"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Latest row per key = ella's "current value" topic read.
+    "ts02_latest_by_key" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // As-of join: each event picks the most recent order (inclusive) of
+    // the same key. Spark-first: union both sides, one shuffle on the
+    // key, last-non-null over the time-ordered frame — O(n log n) per
+    // key, no per-row range probe; scales to arbitrary key cardinality.
+    "ts03_asof_join" -> ((s, d) => {
+      // One row per (custkey, orderdate): max orderkey, so the as-of
+      // match is deterministic on both engines.
+      val ord = Tables(s, d, "orders")
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+        .agg(max(col("o_orderkey")).as("ord_key"))
+      // Order timestamps are 1995-2001, event ts 2024 — shift orders
+      // into the event era so matches actually occur (synthetic data).
+      val ordShifted = ord.withColumn("t", col("t") + expr("INTERVAL 29 YEARS"))
+      val e = ev(s, d).select(col("user_id").as("k"), col("ts").as("t"),
+        col("event_id"), lit(null).cast("long").as("ord_key"), lit(1).as("is_event"))
+      val o = ordShifted.select(col("k").cast("long"), col("t"),
+        lit(null).cast("long").as("event_id"), col("ord_key"), lit(0).as("is_event"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("is_event"), col("event_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.union(o)
+        .withColumn("matched", last(col("ord_key"), ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1)
+        .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"), col("matched").as("ord_key"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Sliding 1h range window per key.
+    "ts04_sliding" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s")).rangeBetween(-3600, 0)
+      ev(s, d)
+        .withColumn("value_c", round(col("value") * 100).cast("long"))
+        .withColumn("w_avg_cents", avg(col("value_c")).over(w))
+        .withColumn("w_cnt", count(lit(1)).over(w))
+        .select(col("user_id"), col("event_id"), col("epoch_s"), col("w_avg_cents"), col("w_cnt"))
+        .orderBy(col("user_id"), col("epoch_s"), col("event_id"))
+    }),
+
+    // Sessionization: gap > 30 min starts a new session.
+    "ts05_session" -> ((s, d) => {
+      val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ws = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d)
+        .withColumn("gap", col("epoch_s") - lag(col("epoch_s"), 1).over(wo))
+        .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(ws))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("epoch_s")).as("start_s"),
+          max(col("epoch_s")).as("end_s"))
+        .withColumn("duration_s", col("end_s") - col("start_s"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Time-range scan = ella's `time < now()` batch semantics
+    // (README.md:100-105) with a fixed bound for reproducibility. On
+    // TopicStore-backed topics this prunes time buckets at the source.
+    "ts06_time_range" -> ((s, d) => {
+      ev(s, d)
+        .filter(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-12 00:00:00")))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Dense hourly spine per event_type; missing buckets zero-filled.
+    "ts07_gap_fill" -> ((s, d) => {
+      val e = ev(s, d)
+      val agg = e.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(round(col("value") * 100).cast("long")).as("sum_raw"))
+      val bounds = e.agg(min(date_trunc("hour", col("ts"))).as("mn"), max(date_trunc("hour", col("ts"))).as("mx"))
+      val spine = bounds.select(explode(expr("sequence(mn, mx, INTERVAL 1 HOUR)")).as("h"))
+      val types = e.select(col("event_type")).distinct()
+      types.crossJoin(spine)
+        .join(agg, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n_raw"), lit(0L)).as("n"),
+          coalesce(col("sum_raw"), lit(0L)).as("sum_value_cents"))
+        .orderBy(col("event_type"), col("h"))
+    }),
+
+    // Per-key derivative: value delta + seconds between samples.
+    "ts08_delta" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .withColumn("dt_s", col("epoch_s") - lag(col("epoch_s"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("epoch_s"), col("value"), col("delta"), col("dt_s"))
+        .orderBy(col("user_id"), col("epoch_s"), col("event_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ts01_resample" ->
+      """SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
+        | avg(CAST(round(value*100) AS BIGINT)) AS avg_value_cents,
+        | min(value) AS min_value, max(value) AS max_value,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts02_latest_by_key" ->
+      """SELECT user_id, ts, event_type, value FROM (
+        | SELECT user_id, ts, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "ts03_asof_join" ->
+      """WITH ord AS (
+        | SELECT o_custkey AS k, o_orderdate + INTERVAL 29 YEARS AS t,
+        |  max(o_orderkey) AS ord_key
+        | FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, ord.ord_key
+        |FROM events e ASOF LEFT JOIN ord
+        | ON e.user_id = ord.k AND e.ts >= ord.t
+        |ORDER BY e.event_id""".stripMargin,
+    "ts04_sliding" ->
+      """SELECT user_id, event_id, epoch_s,
+        | avg(CAST(round(value*100) AS BIGINT)) OVER w AS w_avg_cents,
+        | count(*) OVER w AS w_cnt
+        |FROM (SELECT *, epoch_us(ts) // 1000000 AS epoch_s FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, epoch_s, event_id""".stripMargin,
+    "ts05_session" ->
+      """WITH e AS (SELECT *, epoch_us(ts) // 1000000 AS epoch_s FROM events),
+        |flagged AS (
+        | SELECT *, epoch_s - lag(epoch_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        | FROM e),
+        |sess AS (
+        | SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | count(*) AS n_events, min(epoch_s) AS start_s, max(epoch_s) AS end_s,
+        | max(epoch_s) - min(epoch_s) AS duration_s
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "ts06_time_range" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "ts07_gap_fill" ->
+      """WITH agg AS (
+        | SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_raw,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_raw
+        | FROM events GROUP BY 1,2),
+        |spine AS (
+        | SELECT unnest(generate_series(
+        |   (SELECT min(date_trunc('hour', ts)) FROM events),
+        |   (SELECT max(date_trunc('hour', ts)) FROM events),
+        |   INTERVAL 1 HOUR)) AS h),
+        |types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT t.event_type, s.h,
+        | coalesce(a.n_raw, 0) AS n, CAST(coalesce(a.sum_raw, 0) AS BIGINT) AS sum_value_cents
+        |FROM types t CROSS JOIN spine s
+        |LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = s.h
+        |ORDER BY t.event_type, s.h""".stripMargin,
+    "ts08_delta" ->
+      """SELECT event_id, user_id, epoch_s, value,
+        | value - lag(value) OVER w AS delta,
+        | epoch_s - lag(epoch_s) OVER w AS dt_s
+        |FROM (SELECT *, epoch_us(ts) // 1000000 AS epoch_s FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, epoch_s, event_id""".stripMargin
+  )
+}
