@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders: tokenization, shingling, ratio
+  * metrics, fingerprints. All codegen-friendly built-in expressions —
+  * no UDFs — so they inline into whole-stage codegen and push work to
+  * the scan at any scale.
+  *
+  * Integer-unit outputs (milli-ratios via integer division) keep
+  * results exact and engine-independent (SURVEY.md §5).
+  */
+object TextFunctions {
+  /** Whitespace tokens (testdata is single-space separated ASCII). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles joined by single spaces; empty array when the doc
+    * has fewer than k words. 1-based indexing matches DuckDB lists.
+    */
+  def shingles(words: Column, k: Int): Column =
+    when(size(words) >= k,
+      transform(sequence(lit(1), size(words) - lit(k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(words, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Count of tokens that appear in a fixed lexicon. */
+  def lexiconHits(toks: Column, lexicon: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(lexicon.map(lit): _*), t)))
+
+  /** Count of chars matching a regex char-class, via the length-diff
+    * trick (identical semantics in Spark and DuckDB). */
+  def charClassCount(text: Column, charClass: String): Column =
+    length(text) - length(regexp_replace(text, charClass, ""))
+
+  /** MinHash signature value for permutation `p`: the minimum md5 of
+    * salted shingles — md5 is bit-identical across engines and min on
+    * hex strings is plain ASCII ordering, so signatures are exact.
+    * (Stand-in for ella-style hashed sketches with zero FP content.)
+    */
+  def minhash(shingleCol: Column, p: Int): Column =
+    array_min(transform(shingleCol, sh => md5(concat(lit(s"$p:"), sh))))
+
+  /** LSH band key for rows r..r+width-1 of a minhash signature array. */
+  def bandKey(sig: Column, start: Int, width: Int): Column =
+    md5(concat_ws("|", (start until start + width).map(i => element_at(sig, lit(i + 1))): _*))
+}

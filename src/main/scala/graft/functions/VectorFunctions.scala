@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` embedding columns — the
+  * Spark-first counterpart of ella's tensor ops (ella-tensor/src/ops/
+  * binary_arith.rs, reduce.rs, slice.rs).
+  *
+  * All built on codegen'd higher-order functions (zip_with/transform/
+  * aggregate) — no UDFs, so whole-stage codegen keeps the hot loop
+  * tight. Every float is widened to double BEFORE arithmetic and all
+  * reductions are sequential left folds: both choices are what DuckDB's
+  * list_sum/list_reduce do, so results are bit-identical across
+  * engines (verified empirically, SURVEY.md §5).
+  */
+object VectorFunctions {
+  private val D = "double"
+
+  /** Left-fold sum of a numeric array in double precision. */
+  def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two float vectors in double precision. */
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x.cast(D) * y.cast(D)))
+
+  /** Dot product against a constant double-array column. */
+  def dotConst(a: Column, q: Seq[Double]): Column =
+    foldSum(zip_with(a, array(q.map(lit): _*), (x, w) => x.cast(D) * w))
+
+  def l2normSq(a: Column): Column = foldSum(transform(a, x => x.cast(D) * x.cast(D)))
+
+  def l2norm(a: Column): Column = sqrt(l2normSq(a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Squared L2 distance between a float vector and a double-array column. */
+  def l2distSq(a: Column, c: Column): Column =
+    foldSum(zip_with(a, c, (x, y) => (x.cast(D) - y) * (x.cast(D) - y)))
+}

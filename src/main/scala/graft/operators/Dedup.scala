@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents` / `embeddings` — the
+  * LLM-pipeline dedup family (SURVEY.md §2): MinHash+LSH, SimHash,
+  * n-gram Jaccard verification, embedding-cosine near-dup. Exact dedup
+  * (dd01) lives in [[TextOps]].
+  *
+  * Determinism: all signatures are md5-derived (bit-identical across
+  * engines); similarity scores are integer milli-units or raw doubles
+  * from exact inputs — never rounded floats.
+  *
+  * Scale: every candidate generator is a bucket join (band key, hash
+  * band, prefix bucket, label) — never an all-pairs product. Shuffles
+  * are O(docs x bands) with tiny groups; verification only touches
+  * bucket-mates.
+  */
+object Dedup {
+  private val NumPerms = 8
+  private val BandWidth = 2 // 4 bands of 2 rows
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
+
+  /** doc_id + minhash signature array (NumPerms md5-min values). */
+  private def signatures(df: DataFrame): DataFrame = {
+    val words = tokens(col("text"))
+    val sh = shingles(words, 3)
+    df.select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(p => minhash(col("sh"), p)): _*).as("sig"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MinHash + LSH banding: docs sharing any band bucket are candidate
+    // near-dups; n_sig_match/NumPerms estimates Jaccard.
+    "dd02_minhash_lsh" -> ((s, d) => {
+      val sig = signatures(docs(s, d))
+      val bands = sig.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until NumPerms / BandWidth).map(b =>
+          bandKey(col("sig"), b * BandWidth, BandWidth)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val a = bands.select(col("doc_id").as("a"), col("sig").as("sig_a"), col("band"), col("bkey"))
+      val b = bands.select(col("doc_id").as("b"), col("sig").as("sig_b"), col("band"), col("bkey"))
+      a.join(b, Seq("band", "bkey")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          foldSumInt(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L))).as("n_sig_match"))
+        .distinct()
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // SimHash (16-bit, md5-nibble bit votes) + high-byte blocking +
+    // hamming <= 3 verification.
+    "dd03_simhash" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val h4 = toks.withColumn("h4", substring(md5(col("tok")), 1, 4))
+        .withColumn("val16",
+          (hexNibble(col("h4"), 1) * 4096 + hexNibble(col("h4"), 2) * 256 +
+           hexNibble(col("h4"), 3) * 16 + hexNibble(col("h4"), 4)).cast("int"))
+      val voteCols = (0 until 16).map(bit =>
+        sum(shiftright(col("val16"), bit).bitwiseAND(1) * 2 - 1).as(s"s$bit"))
+      val votes = h4.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      val simhash = votes.select(col("doc_id"),
+        (0 until 16).map(bit => when(col(s"s$bit") > 0, lit(1 << bit)).otherwise(lit(0)))
+          .reduce(_ + _).cast("int").as("simhash"))
+        .withColumn("block", shiftright(col("simhash"), 8))
+      val a = simhash.select(col("doc_id").as("a"), col("simhash").as("sh_a"), col("block"))
+      val b = simhash.select(col("doc_id").as("b"), col("simhash").as("sh_b"), col("block"))
+      a.join(b, "block").filter(col("a") < col("b"))
+        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select(col("a"), col("b"), col("sh_a"), col("sh_b"), col("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Exact n-gram Jaccard verify join within (source, length-bucket)
+    // blocks; integer milli-Jaccard; threshold keeps planted near-dups.
+    "dd04_ngram_jaccard" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val a = base.select(col("doc_id").as("a"), col("source"), col("sh").as("sh_a"))
+      val b = base.select(col("doc_id").as("b"), col("source"), col("sh").as("sh_b"))
+      a.join(b, Seq("source")).filter(col("a") < col("b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("uni", size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
+        .withColumn("jaccard_milli", expr("(inter * 1000) DIV uni"))
+        .filter(col("jaccard_milli") >= 200)
+        .select(col("a"), col("b"), col("jaccard_milli"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Embedding-cosine near-dup pairs within label blocks.
+    "dd05_embed_neardup" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("eb"))
+      a.join(b, "label").filter(col("a") < col("b"))
+        .withColumn("cos_sim", cosine(col("ea"), col("eb")))
+        .filter(col("cos_sim") > 0.35)
+        .select(col("label"), col("a"), col("b"), col("cos_sim"))
+        .orderBy(col("a"), col("b"))
+    })
+  )
+
+  /** Integer left-fold sum (exact). */
+  private def foldSumInt(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => acc + x)
+
+  /** Value 0-15 of the j-th (1-based) hex char of a lowercase hex string. */
+  private def hexNibble(h: Column, j: Int): Column =
+    expr(s"instr('0123456789abcdef', substr(${h.toString}, $j, 1)) - 1")
+
+  // ---- oracle SQL ----
+
+  private val shingleSql =
+    """CASE WHEN len(words) >= 3 THEN
+      |   list_transform(generate_series(1, len(words) - 2),
+      |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+      |  ELSE [] END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dd02_minhash_lsh" -> {
+      val minhashes = (0 until NumPerms).map(p =>
+        s"list_aggregate(list_transform(sh, s -> md5('$p:' || s)), 'min')").mkString(",\n        |  ")
+      val bandkeys = (0 until NumPerms / BandWidth).map(b =>
+        s"md5(sig[${b * BandWidth + 1}] || '|' || sig[${b * BandWidth + 2}])").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |shs AS (SELECT doc_id, $shingleSql AS sh FROM w),
+         |sigs AS (SELECT doc_id, [
+         |  $minhashes] AS sig
+         | FROM shs WHERE len(sh) > 0),
+         |bands AS (SELECT doc_id, sig, unnest(generate_series(0, ${NumPerms / BandWidth - 1})) AS band,
+         |  unnest([$bandkeys]) AS bkey FROM sigs)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         | CAST(len(list_filter(generate_series(1, $NumPerms), i -> x.sig[i] = y.sig[i])) AS BIGINT) AS n_sig_match
+         |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin
+    },
+    "dd03_simhash" -> {
+      val sums = (0 until 16).map(bit =>
+        s"sum(((val16 >> $bit) & 1) * 2 - 1) AS s$bit").mkString(",\n        | ")
+      val combine = (0 until 16).map(bit =>
+        s"(CASE WHEN s$bit > 0 THEN ${1 << bit} ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (
+         | SELECT doc_id, substr(md5(tok), 1, 4) AS h4 FROM toks),
+         |vals AS (
+         | SELECT doc_id,
+         |  (instr('0123456789abcdef', substr(h4,1,1)) - 1) * 4096 +
+         |  (instr('0123456789abcdef', substr(h4,2,1)) - 1) * 256 +
+         |  (instr('0123456789abcdef', substr(h4,3,1)) - 1) * 16 +
+         |  (instr('0123456789abcdef', substr(h4,4,1)) - 1) AS val16
+         | FROM h),
+         |votes AS (
+         | SELECT doc_id, $sums FROM vals GROUP BY doc_id),
+         |sh AS (
+         | SELECT doc_id, CAST($combine AS INT) AS simhash FROM votes),
+         |blocked AS (SELECT doc_id, simhash, simhash >> 8 AS block FROM sh)
+         |SELECT x.doc_id AS a, y.doc_id AS b, x.simhash AS sh_a, y.simhash AS sh_b,
+         | CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |FROM blocked x JOIN blocked y ON x.block = y.block AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin
+    },
+    "dd04_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, source,
+         |  string_split(text, ' ') AS words FROM documents),
+         |shs AS (SELECT doc_id, source, list_distinct($shingleSql) AS sh FROM w),
+         |base AS (SELECT * FROM shs WHERE len(sh) > 0),
+         |pairs AS (
+         | SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+         |  CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS BIGINT) AS uni
+         | FROM base x JOIN base y ON x.source = y.source AND x.doc_id < y.doc_id)
+         |SELECT a, b, (inter * 1000) // uni AS jaccard_milli
+         |FROM pairs WHERE (inter * 1000) // uni >= 200
+         |ORDER BY a, b""".stripMargin,
+    "dd05_embed_neardup" ->
+      """WITH n AS (
+        | SELECT vec_id, label, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        | FROM embeddings)
+        |SELECT x.label, x.vec_id AS a, y.vec_id AS b,
+        | list_sum(list_transform(generate_series(1, len(x.embedding)),
+        |   i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) / (x.nrm * y.nrm) AS cos_sim
+        |FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
+        |WHERE list_sum(list_transform(generate_series(1, len(x.embedding)),
+        |   i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) / (x.nrm * y.nrm) > 0.35
+        |ORDER BY a, b""".stripMargin
+  )
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline text analysis over `documents`: language ID, quality
+  * scoring, token counting, fingerprinting, exact dedup. These extend
+  * the reference's surface toward training-data curation (SURVEY.md §2).
+  *
+  * Everything is narrow projections + per-row expressions: fully
+  * parallel, no shuffle except the final aggregations; at 100 TB these
+  * run at scan speed with column pruning (only `doc_id`,`text` read).
+  */
+object TextOps {
+  private val langLex: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "los", "las", "y", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("zh1", "zh2", "zh3", "zh4", "zh5"))
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language ID: stopword-lexicon hit counts, max score wins with
+    // alphabetical tiebreak (implemented as ordered >= cascade).
+    "tx01_langid" -> ((s, d) => {
+      val base = docs(s, d).withColumn("toks", tokens(col("text")))
+      val scored = langLex.foldLeft(base) { case (df, (lang, lex)) =>
+        df.withColumn(s"s_$lang", lexiconHits(col("toks"), lex))
+      }
+      scored.withColumn("predicted",
+          when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+               col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+                col("s_en") >= col("s_zh"), "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+        .withColumn("is_correct", col("predicted") === col("lang"))
+        .select(col("doc_id"), col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh"),
+          col("predicted"), col("lang"), col("is_correct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: integer milli-ratios (exact) of stopword rate,
+    // word length, punctuation, plus a composite score.
+    "tx02_quality" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("len_chars", length(col("text")))
+        .withColumn("n_words", size(col("toks")))
+        .withColumn("n_stop", lexiconHits(col("toks"), langLex("en")))
+        .withColumn("n_punct", charClassCount(col("text"), "[.!?,;:]"))
+        .withColumn("awl_milli", expr("(CAST(len_chars - n_words + 1 AS BIGINT) * 1000) DIV n_words"))
+        .withColumn("stop_milli", expr("(CAST(n_stop AS BIGINT) * 1000) DIV n_words"))
+        .withColumn("punct_milli", expr("(CAST(n_punct AS BIGINT) * 1000) DIV len_chars"))
+        .withColumn("quality_milli", expr(
+          "(stop_milli * 2 + (CASE WHEN n_words BETWEEN 50 AND 200 THEN 1000 ELSE 0 END) + " +
+          "(CASE WHEN awl_milli BETWEEN 3000 AND 8000 THEN 1000 ELSE 0 END)) DIV 4"))
+        .select(col("doc_id"), col("len_chars"), col("n_words"), col("n_stop"),
+          col("n_punct"), col("awl_milli"), col("stop_milli"), col("punct_milli"), col("quality_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish regex token count.
+    "tx03_tokens" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_ws_tokens", size(col("toks")))
+        .withColumn("n_unique_tokens", size(array_distinct(col("toks"))))
+        .withColumn("n_bpe_tokens", regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
+        .withColumn("chars_per_token_milli", expr("(CAST(length(text) AS BIGINT) * 1000) DIV n_ws_tokens"))
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_unique_tokens"),
+          col("n_bpe_tokens"), col("chars_per_token_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Content fingerprinting: md5 of normalized text + shingle stats.
+    "tx04_fingerprint" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("norm", lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+        .withColumn("fp", md5(col("norm")))
+        .withColumn("words", tokens(col("norm")))
+        .withColumn("sh", shingles(col("words"), 3))
+        .select(col("doc_id"), substring(col("fp"), 1, 8).as("fp8"),
+          size(col("sh")).as("n_shingles"),
+          size(array_distinct(col("sh"))).as("n_unique_shingles"),
+          when(size(col("sh")) > 0, element_at(col("sh"), 1)).otherwise(lit(null)).as("first_shingle"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact dedup: md5 content hash, keep-first (min doc_id) per group.
+    // At scale: one hash-partitioned shuffle on the digest.
+    "dd01_exact" -> ((s, d) => {
+      docs(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .orderBy(col("h"))
+    })
+  )
+
+  private val lexSql: Map[String, String] = langLex.map { case (l, words) =>
+    l -> words.map(w => s"'$w'").mkString("[", ", ", "]")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "tx01_langid" -> {
+      val scores = langLex.keys.toSeq.sorted.map(l =>
+        s" CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${lexSql(l)}, t))) AS INT) AS s_$l").mkString(",\n        |")
+      s"""WITH scored AS (
+        | SELECT doc_id, lang,
+        |$scores
+        | FROM documents)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        | CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |      WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted,
+        | lang,
+        | (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |      WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END) = lang AS is_correct
+        |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "tx02_quality" ->
+      s"""WITH base AS (
+        | SELECT doc_id,
+        |  CAST(length(text) AS INT) AS len_chars,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${lexSql("en")}, t))) AS INT) AS n_stop,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INT) AS n_punct
+        | FROM documents),
+        |m AS (
+        | SELECT *,
+        |  (CAST(len_chars - n_words + 1 AS BIGINT) * 1000) // n_words AS awl_milli,
+        |  (CAST(n_stop AS BIGINT) * 1000) // n_words AS stop_milli,
+        |  (CAST(n_punct AS BIGINT) * 1000) // len_chars AS punct_milli
+        | FROM base)
+        |SELECT doc_id, len_chars, n_words, n_stop, n_punct, awl_milli, stop_milli, punct_milli,
+        | (stop_milli * 2 + (CASE WHEN n_words BETWEEN 50 AND 200 THEN 1000 ELSE 0 END) +
+        |  (CASE WHEN awl_milli BETWEEN 3000 AND 8000 THEN 1000 ELSE 0 END)) // 4 AS quality_milli
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "tx03_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+        | (CAST(length(text) AS BIGINT) * 1000) // len(string_split(text, ' ')) AS chars_per_token_milli
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx04_fingerprint" ->
+      """WITH n AS (
+        | SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+        |w AS (
+        | SELECT doc_id, md5(norm) AS fp, string_split(norm, ' ') AS words FROM n),
+        |sh AS (
+        | SELECT doc_id, fp,
+        |  CASE WHEN len(words) >= 3 THEN
+        |   list_transform(generate_series(1, len(words) - 2),
+        |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |  ELSE [] END AS sh
+        | FROM w)
+        |SELECT doc_id, substr(fp, 1, 8) AS fp8,
+        | CAST(len(sh) AS INT) AS n_shingles,
+        | CAST(len(list_distinct(sh)) AS INT) AS n_unique_shingles,
+        | CASE WHEN len(sh) > 0 THEN sh[1] ELSE NULL END AS first_shingle
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "dd01_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
+  )
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tensor/vector column operators over `embeddings` — the Spark
+  * re-expression of ella's tensor column support (ella-tensor/src/
+  * ops/{binary_arith,reduce,slice,shape,cmp,masked}.rs). Vectors are
+  * `array<float>` columns; ops are per-row higher-order functions with
+  * no shuffle at all — they run at scan speed at any scale.
+  */
+object VectorOps {
+  private def emb(s: SparkSession, d: String): DataFrame = Tables(s, d, "embeddings")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Elementwise arithmetic (ops/binary_arith.rs): y = 2x + 1 on the
+    // first 4 components. Raw doubles — bit-identical across engines.
+    "v01_elementwise" -> ((s, d) => {
+      emb(s, d)
+        .select(col("vec_id"),
+          transform(slice(col("embedding"), 1, 4), x => x.cast("double") * 2.0 + 1.0).as("scaled4"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Per-vector reductions (ops/reduce.rs): sum, mean, min, max, L2.
+    "v02_reduce" -> ((s, d) => {
+      emb(s, d)
+        .select(col("vec_id"),
+          foldSum(transform(col("embedding"), _.cast("double"))).as("vsum"),
+          (foldSum(transform(col("embedding"), _.cast("double"))) / size(col("embedding"))).as("vmean"),
+          array_min(col("embedding")).as("vmin"),
+          array_max(col("embedding")).as("vmax"),
+          l2norm(col("embedding")).as("l2"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Slice + concat (ops/slice.rs, ops/shape.rs): head(8) ++ tail(4).
+    "v03_slice_reshape" -> ((s, d) => {
+      emb(s, d)
+        .select(col("vec_id"),
+          concat(slice(col("embedding"), 1, 8), slice(col("embedding"), -4, 4)).as("clipped"),
+          size(col("embedding")).as("dim"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Batched mat-vec (ops/builtin_arith.rs): dot with an alternating
+    // +1/-1 pattern vector; exact sign flips keep elements bit-exact.
+    "v04_matvec" -> ((s, d) => {
+      emb(s, d)
+        .select(col("vec_id"),
+          foldSum(transform(sequence(lit(1), size(col("embedding"))),
+            i => when(pmod(i, lit(2)) === 1, element_at(col("embedding"), i).cast("double"))
+              .otherwise(-element_at(col("embedding"), i).cast("double")))).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(50)
+    }),
+
+    // Compare + masked select (ops/cmp.rs, ops/masked.rs).
+    "v05_cmp_mask" -> ((s, d) => {
+      val pos = filter(col("embedding"), x => x > 0.0f)
+      emb(s, d)
+        .select(col("vec_id"),
+          size(pos).as("n_pos"),
+          foldSum(transform(pos, _.cast("double"))).as("pos_sum"),
+          element_at(pos, 1).as("first_pos"))
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "v01_elementwise" ->
+      """SELECT vec_id,
+        | list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2.0 + 1.0) AS scaled4
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "v02_reduce" ->
+      """SELECT vec_id,
+        | list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vsum,
+        | list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding) AS vmean,
+        | list_aggregate(embedding, 'min') AS vmin,
+        | list_aggregate(embedding, 'max') AS vmax,
+        | sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "v03_slice_reshape" ->
+      """SELECT vec_id,
+        | embedding[1:8] || embedding[-4:] AS clipped,
+        | CAST(len(embedding) AS INT) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "v04_matvec" ->
+      """SELECT vec_id,
+        | list_sum(list_transform(generate_series(1, len(embedding)),
+        |   i -> CASE WHEN i % 2 = 1 THEN CAST(embedding[i] AS DOUBLE)
+        |        ELSE -CAST(embedding[i] AS DOUBLE) END)) AS score
+        |FROM embeddings ORDER BY score DESC, vec_id LIMIT 50""".stripMargin,
+    "v05_cmp_mask" ->
+      """SELECT vec_id,
+        | CAST(len(list_filter(embedding, x -> x > 0.0)) AS INT) AS n_pos,
+        | list_sum(list_transform(list_filter(embedding, x -> x > 0.0), x -> CAST(x AS DOUBLE))) AS pos_sum,
+        | list_filter(embedding, x -> x > 0.0)[1] AS first_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}
