@@ -1,0 +1,44 @@
+package graft
+
+import graft.sources.{TopicCatalog, TopicStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session facade mirroring ella's top-level API
+  * (ella/src/ella.rs:89-162: `query`, `execute`, `table`, default
+  * catalog/schema) on a SparkSession + [[TopicCatalog]].
+  *
+  * Spark DataFrames ARE the reference's `Lazy` plans
+  * (ella-engine/src/lazy.rs): nothing executes until an action, and
+  * `limit`/`skip`/`col` map to the DataFrame combinators directly.
+  */
+class GraftSession(val spark: SparkSession, root: String) {
+  val store = new TopicStore(spark, s"$root/topics")
+  val catalog = new TopicCatalog(spark, root)
+
+  /** Lazy SQL query (ella.rs:89). Registered catalog tables are exposed
+    * as temp views on demand. */
+  def query(sql: String): DataFrame = {
+    registerTempViews()
+    spark.sql(sql)
+  }
+
+  /** Execute a statement for effect (ella.rs:100). */
+  def execute(sql: String): Unit = query(sql).collect()
+
+  /** Scan a table by (possibly qualified) name (ella.rs:105). */
+  def table(ref: String): DataFrame = catalog.table(ref)
+
+  def createTopic(name: String): Unit = catalog.createTopic(name, store)
+
+  def publish(name: String, df: DataFrame, tsCol: String = "time"): Unit = {
+    if (!catalog.contains(name)) createTopic(name)
+    store.append(catalog.resolve(name), df, tsCol)
+  }
+
+  private def registerTempViews(): Unit =
+    catalog.list().foreach { case (fqn, _) =>
+      val short = fqn.split('.').last
+      try catalog.table(fqn).createOrReplaceTempView(short)
+      catch { case _: Throwable => () }
+    }
+}

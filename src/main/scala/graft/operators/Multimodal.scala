@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` payloads plus
+  * typed metadata, processed in distributed batches.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked DETERMINISTIC STUB (dimensions derived from the
+  * payload digest); everything around it — binary column synthesis,
+  * schema, per-partition batch iteration, partition-parallel execution
+  * — is real Spark plumbing, the exact shape a Pandas-UDF/`mapInPandas`
+  * batch decoder takes at 100 TB (payload column pruned unless needed,
+  * decode fanned out per partition, no driver-side collection).
+  */
+object Multimodal {
+  /** Input row for the batch decoder. */
+  case class MediaIn(doc_id: Long, payload: Array[Byte])
+  /** Decoded metadata row. */
+  case class MediaMeta(doc_id: Long, n_bytes: Int, format: String,
+                       width: Int, height: Int, phash8: String)
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+
+  private def nib(c: Char): Int = "0123456789abcdef".indexOf(c)
+
+  /** STUB decode: a real deployment would parse image headers /
+    * decode frames here (e.g. via a JNI codec or mapInPandas+PIL).
+    * Deterministic fake: dims + format derived from the md5 digest.
+    */
+  private[operators] def decodeStub(in: MediaIn): MediaMeta = {
+    val h = md5hex(in.payload)
+    MediaMeta(
+      doc_id = in.doc_id,
+      n_bytes = in.payload.length,
+      format = if (nib(h(0)) % 2 == 0) "png" else "jpeg",
+      width = 64 + 16 * nib(h(1)),
+      height = 64 + 16 * nib(h(2)),
+      phash8 = h.substring(0, 8))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary payload column + batched per-partition decode.
+    "mm01_binary_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaIn]
+      media.mapPartitions(_.map(decodeStub))
+        .toDF()
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // The stub's md5-derived metadata is reproducible in SQL: DuckDB
+    // md5 over the same UTF-8 bytes yields the same digest.
+    "mm01_binary_meta" ->
+      """WITH h AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS hx FROM documents)
+        |SELECT doc_id, n_bytes,
+        | CASE WHEN (instr('0123456789abcdef', substr(hx,1,1)) - 1) % 2 = 0
+        |      THEN 'png' ELSE 'jpeg' END AS format,
+        | CAST(64 + 16 * (instr('0123456789abcdef', substr(hx,2,1)) - 1) AS INT) AS width,
+        | CAST(64 + 16 * (instr('0123456789abcdef', substr(hx,3,1)) - 1) AS INT) AS height,
+        | substr(hx, 1, 8) AS phash8
+        |FROM h ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row for streaming topics (mirrors the `events` table). */
+case class TopicEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+
+/** Latest-value state per key — ella's subscriber "current value" view. */
+case class KeyLatest(user_id: Long, ts: java.sql.Timestamp, value: Double, n_seen: Long)
+
+/** Structured Streaming transforms — the Spark counterpart of ella's
+  * pub/sub topic surface (ella-engine/src/table/topic/channel.rs,
+  * ella-server flight pub/sub, README "Unified Workflow").
+  *
+  * `time > now()` streaming-tail queries (README.md:100-105) become
+  * `readStream` on the same topic path the batch side reads; the same
+  * DataFrame transforms run in both modes (Spark's unified batch/
+  * stream contract ≙ ella's unified API).
+  *
+  * Scale notes: watermarks bound state; windowed aggs shuffle once on
+  * (window, key); latest-per-key state is O(distinct keys) spread
+  * across executors via hash partitioning on the group key.
+  */
+object TopicStream {
+  /** Tumbling-window counts/sums per event_type with a watermark
+    * bounding late data and state size. */
+  def windowedStats(events: DataFrame, windowLen: String = "1 hour",
+                    watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("value_c", round(col("value") * 100).cast("long"))
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_value_cents"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value_cents"))
+
+  /** Stateful latest-value-per-key via flatMapGroupsWithState
+    * (ella's per-key current-value cache, updated as rows arrive). */
+  def latestPerKey(events: Dataset[TopicEvent]): Dataset[KeyLatest] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[KeyLatest, KeyLatest](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        case (key: Long, rows: Iterator[TopicEvent], state: GroupState[KeyLatest]) =>
+          val prev = state.getOption
+          val newest = rows.foldLeft(prev) { (acc, e) =>
+            acc match {
+              case Some(cur) if !e.ts.after(cur.ts) => Some(cur.copy(n_seen = cur.n_seen + 1))
+              case Some(cur) => Some(KeyLatest(key, e.ts, e.value, cur.n_seen + 1))
+              case None => Some(KeyLatest(key, e.ts, e.value, 1L))
+            }
+          }
+          newest.foreach(state.update)
+          newest.iterator
+      }
+  }
+
+  /** Stream-static enrichment join: the dim side is broadcast, so the
+    * stream never shuffles. */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+}

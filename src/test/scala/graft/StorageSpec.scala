@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.{TopicCatalog, TopicStore}
+import org.apache.spark.sql.functions._
+
+/** TopicStore (time-bucketed shards + compaction) and TopicCatalog
+  * (catalog/schema/table + views) behavior. */
+class StorageSpec extends SparkSpec {
+  private def tmp(): String = Files.createTempDirectory("graft_store").toString
+
+  private def sampleEvents(n: Int, startS: Long = 1700000000L) = {
+    import spark.implicits._
+    (0 until n).map(i =>
+      (i.toLong, new java.sql.Timestamp((startS + i * 600) * 1000L), s"k${i % 3}", i * 1.5))
+      .toDF("id", "time", "key", "value")
+  }
+
+  test("append/read round-trips rows through bucketed parquet") {
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    store.append("t1", sampleEvents(50))
+    assert(store.read("t1").count() == 50)
+    assert(store.read("t1").columns.contains("bucket"))
+  }
+
+  test("readRange prunes buckets and filters rows exactly") {
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    val start = 1700000000L
+    store.append("t2", sampleEvents(100, start))
+    val from = start + 3600
+    val to = start + 7200
+    val got = store.readRange("t2", from, to)
+    assert(got.count() ==
+      sampleEvents(100, start).filter(col("time").cast("long") >= from && col("time").cast("long") < to).count())
+    // partition pruning visible in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "bucket predicate should prune partitions")
+  }
+
+  test("compact merges small-file buckets without changing data") {
+    val root = tmp()
+    val store = new TopicStore(spark, root, bucketMinutes = 60)
+    (0 until 6).foreach(_ => store.append("t3", sampleEvents(12)))
+    val before = store.read("t3").count()
+    val compacted = store.compact("t3", maxFilesPerBucket = 2)
+    assert(compacted.nonEmpty, "expected at least one bucket to compact")
+    assert(store.read("t3").count() == before)
+    compacted.foreach { b =>
+      val dir = new java.io.File(s"$root/t3/bucket=$b")
+      assert(dir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    }
+  }
+
+  test("catalog registers topics and views and persists the manifest") {
+    val root = tmp()
+    val store = new TopicStore(spark, s"$root/topics")
+    val cat = new TopicCatalog(spark, root)
+    cat.createTopic("sensor", store)
+    assert(cat.contains("sensor"))
+    assert(cat.resolve("sensor") == "ella.public.sensor")
+    store.append(cat.resolve("sensor"), sampleEvents(10))
+    assert(cat.table("sensor").count() == 10)
+
+    sampleEvents(10).createOrReplaceTempView("ev_src")
+    cat.createView("v_all", "SELECT key, count(*) AS n FROM ev_src GROUP BY key")
+    assert(cat.table("v_all").count() == 3)
+    cat.materializeView("v_mat", "SELECT key, count(*) AS n FROM ev_src GROUP BY key")
+    assert(cat.table("v_mat").count() == 3)
+    assert(cat.list().map(_._2).toSet == Set("topic", "view", "materialized_view"))
+
+    // a fresh catalog instance reloads the manifest
+    val cat2 = new TopicCatalog(spark, root)
+    assert(cat2.contains("sensor") && cat2.contains("v_all") && cat2.contains("v_mat"))
+    assert(cat2.table("v_mat").count() == 3)
+    assert(cat2.dropTable("v_all") && !cat2.contains("v_all"))
+  }
+
+  test("GraftSession facade: publish + query by name") {
+    val gs = new GraftSession(spark, tmp())
+    gs.publish("readings", sampleEvents(20))
+    assert(gs.table("readings").count() == 20)
+    val n = gs.query("SELECT count(*) AS n FROM readings").collect().head.getLong(0)
+    assert(n == 20)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.{TopicEvent, TopicStream}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming behavior driven through MemoryStream: windowed
+  * stats with watermark, stateful latest-per-key, stream-static join. */
+class StreamingSpec extends SparkSpec {
+  import TestEvents._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def events(): Seq[TopicEvent] = Seq(
+    TopicEvent(1, ts("2024-01-01 00:05:00"), 1, "click", 1.00),
+    TopicEvent(2, ts("2024-01-01 00:15:00"), 1, "click", 2.00),
+    TopicEvent(3, ts("2024-01-01 00:45:00"), 2, "view", 3.00),
+    TopicEvent(4, ts("2024-01-01 01:05:00"), 1, "click", 4.00),
+    TopicEvent(5, ts("2024-01-01 01:10:00"), 2, "view", 5.00))
+
+  test("windowed stats aggregate per (window, event_type)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.windowedStats(input.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("win_stats").outputMode("complete").start()
+    try {
+      input.addData(events(): _*)
+      q.processAllAvailable()
+      val rows = spark.table("win_stats").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("w_start").toString, r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Long]("sum_value_cents"))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", "click", 2L, 300L),
+        ("2024-01-01 00:00:00.0", "view", 1L, 300L),
+        ("2024-01-01 01:00:00.0", "click", 1L, 400L),
+        ("2024-01-01 01:00:00.0", "view", 1L, 500L)))
+    } finally q.stop()
+  }
+
+  test("latestPerKey keeps newest value and counts rows seen") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.latestPerKey(input.toDS())
+      .writeStream.format("memory").queryName("latest").outputMode("update").start()
+    try {
+      input.addData(events(): _*)
+      q.processAllAvailable()
+      // out-of-order late row for user 1: older ts must not win
+      input.addData(TopicEvent(6, ts("2024-01-01 00:30:00"), 1, "click", 99.0))
+      q.processAllAvailable()
+      val byUser = spark.table("latest").orderBy(col("n_seen").desc)
+        .collect().groupBy(_.getAs[Long]("user_id")).map { case (k, rows) => k -> rows.head }
+      assert(byUser(1L).getAs[java.sql.Timestamp]("ts") == ts("2024-01-01 01:05:00"))
+      assert(byUser(1L).getAs[Double]("value") == 4.0)
+      assert(byUser(1L).getAs[Long]("n_seen") == 4L)
+      assert(byUser(2L).getAs[Double]("value") == 5.0)
+    } finally q.stop()
+  }
+
+  test("stream-static broadcast join enriches events") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.enrich(input.toDF(), dim, "user_id", "cust_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData(events(): _*)
+      q.processAllAvailable()
+      val tiers = spark.table("enriched").select("user_id", "tier").distinct().collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(tiers == Set((1L, "gold"), (2L, "silver")))
+    } finally q.stop()
+  }
+}
+
+private object TestEvents
