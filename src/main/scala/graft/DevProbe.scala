@@ -1,13 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** Dev-only scratch main for probing Spark behaviors locally. */
 object DevProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions","16")
       .config("spark.sql.session.timeZone","UTC").config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    df.printSchema()
-    df.orderBy("event_id").show(3, false)
+    val name = args(0); val d = args(1)
+    val df = SparkEntry.queries(name)(spark, d)
+    if (args.length > 2) df.explain("formatted")
+    val t0 = System.nanoTime()
+    println("COUNT=" + df.count() + " in " + (System.nanoTime()-t0)/1e9 + "s")
   }
 }

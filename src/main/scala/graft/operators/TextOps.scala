@@ -80,7 +80,7 @@ object TextOps {
 
     // Content fingerprinting: md5 of normalized text + shingle stats.
     "tx04_fingerprint" -> ((s, d) => {
-      docs(s, d)
+      docs(s, d).repartition()
         .withColumn("norm", lower(trim(regexp_replace(col("text"), "\\s+", " "))))
         .withColumn("fp", md5(col("norm")))
         .withColumn("words", tokens(col("norm")))
@@ -161,7 +161,7 @@ object TextOps {
         |  CASE WHEN len(words) >= 3 THEN
         |   list_transform(generate_series(1, len(words) - 2),
         |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-        |  ELSE [] END AS sh
+        |  ELSE [array_to_string(words, ' ')] END AS sh
         | FROM w)
         |SELECT doc_id, substr(fp, 1, 8) AS fp8,
         | CAST(len(sh) AS INT) AS n_shingles,

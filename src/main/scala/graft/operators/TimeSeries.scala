@@ -38,12 +38,16 @@ object TimeSeries {
     }),
 
     // Latest row per key = ella's "current value" topic read.
+    // max(struct(ts, event_id, ...)) instead of a ranking window: it is
+    // map-side combinable (partial agg before the shuffle), so at 100 TB
+    // each executor reduces its partitions to one row per key locally —
+    // no per-key sort, shuffle carries only distinct keys.
     "ts02_latest_by_key" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
       ev(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("latest"))
+        .select(col("user_id"), col("latest.ts").as("ts"),
+          col("latest.event_type").as("event_type"), col("latest.value").as("value"))
         .orderBy(col("user_id"))
     }),
 

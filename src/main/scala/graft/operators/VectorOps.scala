@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * no shuffle at all — they run at scan speed at any scale.
   */
 object VectorOps {
-  private def emb(s: SparkSession, d: String): DataFrame = Tables(s, d, "embeddings")
+  // repartition(): embeddings ship as one parquet file locally; the
+  // HOF vector math is interpreted (no codegen), so spread it.
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings").repartition()
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Elementwise arithmetic (ops/binary_arith.rs): y = 2x + 1 on the
@@ -48,11 +51,13 @@ object VectorOps {
     // Batched mat-vec (ops/builtin_arith.rs): dot with an alternating
     // +1/-1 pattern vector; exact sign flips keep elements bit-exact.
     "v04_matvec" -> ((s, d) => {
+      // zip_with against a literal +-1 pattern: one pass, no per-index
+      // element_at probing (x * -1.0 is an exact sign flip, so products
+      // are bit-identical to the CASE form the oracle uses).
+      val pattern = array((0 until 64).map(i => lit(if (i % 2 == 0) 1.0 else -1.0)): _*)
       emb(s, d)
         .select(col("vec_id"),
-          foldSum(transform(sequence(lit(1), size(col("embedding"))),
-            i => when(pmod(i, lit(2)) === 1, element_at(col("embedding"), i).cast("double"))
-              .otherwise(-element_at(col("embedding"), i).cast("double")))).as("score"))
+          foldSum(zip_with(col("embedding"), pattern, (x, w) => x.cast("double") * w)).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(50)
     }),
