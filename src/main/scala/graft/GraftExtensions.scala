@@ -1,0 +1,32 @@
+package graft
+
+import graft.plans.DotProductExpr
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension installing graft's native expressions as SQL
+  * functions, so `spark.sql("SELECT graft_dot(a, b)")` works next to
+  * the Column API. Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or call
+  * [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotFunction)
+  }
+}
+
+object GraftExtensions {
+  private val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+    (args: Seq[Expression]) => DotProductExpr(args(0), args(1)))
+
+  /** Register graft functions on an already-built session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = dotFunction
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

@@ -21,10 +21,13 @@ object VectorOps {
     // Elementwise arithmetic (ops/binary_arith.rs): y = 2x + 1 on the
     // first 4 components. Raw doubles — bit-identical across engines.
     "v01_elementwise" -> ((s, d) => {
+      // Output scalarized (vec_id, pos, scaled): array-typed result
+      // columns would be reader-dependent in the driver's comparator.
       emb(s, d)
         .select(col("vec_id"),
-          transform(slice(col("embedding"), 1, 4), x => x.cast("double") * 2.0 + 1.0).as("scaled4"))
-        .orderBy(col("vec_id"))
+          posexplode(transform(slice(col("embedding"), 1, 4), x => x.cast("double") * 2.0 + 1.0)))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"), col("col").as("scaled"))
+        .orderBy(col("vec_id"), col("pos"))
     }),
 
     // Per-vector reductions (ops/reduce.rs): sum, mean, min, max, L2.
@@ -42,10 +45,10 @@ object VectorOps {
     // Slice + concat (ops/slice.rs, ops/shape.rs): head(8) ++ tail(4).
     "v03_slice_reshape" -> ((s, d) => {
       emb(s, d)
-        .select(col("vec_id"),
-          concat(slice(col("embedding"), 1, 8), slice(col("embedding"), -4, 4)).as("clipped"),
-          size(col("embedding")).as("dim"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          posexplode(concat(slice(col("embedding"), 1, 8), slice(col("embedding"), -4, 4))))
+        .select(col("vec_id"), col("dim"), (col("pos") + 1).as("pos"), col("col").as("v"))
+        .orderBy(col("vec_id"), col("pos"))
     }),
 
     // Batched mat-vec (ops/builtin_arith.rs): dot with an alternating
@@ -77,8 +80,9 @@ object VectorOps {
   val oracle: Map[String, String] = Map(
     "v01_elementwise" ->
       """SELECT vec_id,
-        | list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2.0 + 1.0) AS scaled4
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+        | CAST(unnest(generate_series(1, 4)) AS INT) AS pos,
+        | unnest(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2.0 + 1.0)) AS scaled
+        |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
     "v02_reduce" ->
       """SELECT vec_id,
         | list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vsum,
@@ -88,10 +92,10 @@ object VectorOps {
         | sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "v03_slice_reshape" ->
-      """SELECT vec_id,
-        | embedding[1:8] || embedding[-4:] AS clipped,
-        | CAST(len(embedding) AS INT) AS dim
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        | CAST(unnest(generate_series(1, 12)) AS INT) AS pos,
+        | unnest(embedding[1:8] || embedding[-4:]) AS v
+        |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
     "v04_matvec" ->
       """SELECT vec_id,
         | list_sum(list_transform(generate_series(1, len(embedding)),

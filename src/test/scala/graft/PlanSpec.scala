@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the optimizations SURVEY.md §4 promises must
+  * actually appear in the physical plan, not just in comments. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02 pushes filters and prunes columns at the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), "expected parquet PushedFilters")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate filter should reach the scan:\n$p")
+    // only the needed columns are read (6 of 11: projection + filter cols)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice"),
+      s"projection should prune the scan schema:\n$p")
+  }
+
+  test("q04 dimension joins are broadcast, not shuffled") {
+    val p = plan("q04_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join expected for dims")
+  }
+
+  test("q05 top-k is TakeOrderedAndProject, not a global sort") {
+    assert(plan("q05_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q01 aggregation is partial (map-side) before the shuffle") {
+    val p = plan("q01_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected partial aggregation:\n$p")
+  }
+
+  test("native graft_dot expression participates in codegen") {
+    GraftExtensions.register(spark)
+    val df = spark.sql(
+      s"SELECT graft_dot(embedding, embedding) AS d FROM parquet.`$sfDir/embeddings.parquet`")
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(p.contains("*(1) Project [graft_dot"), s"graft_dot should not break codegen:\n$p")
+    val viaSql = df.agg(sum(col("d"))).collect().head.getDouble(0)
+    import graft.functions.VectorFunctions
+    val viaApi = Tables(spark, sfDir, "embeddings")
+      .select(VectorFunctions.l2normSq(col("embedding")).as("d"))
+      .agg(sum(col("d"))).collect().head.getDouble(0)
+    assert(viaSql == viaApi, "SQL function and Column API must agree bitwise")
+  }
+}
