@@ -217,6 +217,29 @@ object Relational {
         .orderBy(col("o_orderkey"))
         .offset(50)
         .limit(100)
+    }),
+
+    // Set operations: INTERSECT / EXCEPT over distinct key sets.
+    "q19_set_ops" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct()
+      val c97 = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey")).distinct()
+      c96.intersect(c97).select(lit("both").as("tag"), col("o_custkey"))
+        .union(c96.except(c97).select(lit("only_1996").as("tag"), col("o_custkey")))
+        .orderBy(col("tag"), col("o_custkey"))
+    }),
+
+    // Exact percentiles with linear interpolation (verified identical
+    // to DuckDB quantile_cont on integer-cents input).
+    "q20_percentile" -> ((s, d) => {
+      t(s, d, "orders")
+        .withColumn("price_c", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(price_c, 0.25)").as("p25"),
+          expr("percentile(price_c, 0.5)").as("p50"),
+          expr("percentile(price_c, 0.75)").as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -323,6 +346,20 @@ object Relational {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_limit_skip" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_orderkey LIMIT 100 OFFSET 50""".stripMargin
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 50""".stripMargin,
+    "q19_set_ops" ->
+      """WITH c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |c97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM c96 INTERSECT SELECT o_custkey FROM c97)
+        |UNION ALL
+        |SELECT 'only_1996' AS tag, o_custkey FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97)
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "q20_percentile" ->
+      """SELECT o_orderpriority,
+        | quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25) AS p25,
+        | quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS p50,
+        | quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75) AS p75,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

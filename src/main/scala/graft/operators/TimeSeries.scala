@@ -133,6 +133,24 @@ object TimeSeries {
         .orderBy(col("event_type"), col("h"))
     }),
 
+    // Time-weighted average per key: each sample weighted by its
+    // holding time until the next sample (the canonical TSDB rollup
+    // for irregularly-sampled series). Integer cents x integer seconds
+    // keeps sums exact; the final division is one IEEE op.
+    "ts09_time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("value_c", round(col("value") * 100).cast("long"))
+        .withColumn("dt", lead(col("epoch_s"), 1).over(w) - col("epoch_s"))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(col("value_c") * col("dt")).as("weighted_sum"),
+          sum(col("dt")).as("total_dt"),
+          count(lit(1)).as("n_intervals"))
+        .withColumn("twa_cents", col("weighted_sum").cast("double") / col("total_dt"))
+        .orderBy(col("user_id"))
+    }),
+
     // Per-key derivative: value delta + seconds between samples.
     "ts08_delta" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -208,6 +226,19 @@ object TimeSeries {
         |FROM types t CROSS JOIN spine s
         |LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = s.h
         |ORDER BY t.event_type, s.h""".stripMargin,
+    "ts09_time_weighted_avg" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(round(value*100) AS BIGINT) AS value_c,
+        |  epoch_us(ts) // 1000000 AS epoch_s,
+        |  lead(epoch_us(ts) // 1000000, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) // 1000000 AS dt
+        | FROM events)
+        |SELECT user_id,
+        | CAST(sum(value_c * dt) AS BIGINT) AS weighted_sum,
+        | CAST(sum(dt) AS BIGINT) AS total_dt,
+        | count(*) AS n_intervals,
+        | CAST(sum(value_c * dt) AS DOUBLE) / CAST(sum(dt) AS BIGINT) AS twa_cents
+        |FROM e WHERE dt IS NOT NULL
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
     "ts08_delta" ->
       """SELECT event_id, user_id, epoch_s, value,
         | value - lag(value) OVER w AS delta,

@@ -62,4 +62,23 @@ object TopicStream {
     * stream never shuffles. */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
+  /** Continuous ingest into a [[graft.sources.TopicStore]]-compatible
+    * topic: streaming rows land in the same time-bucketed parquet
+    * layout batch readers scan (ella's publisher path,
+    * ella-engine/src/table/topic/rw.rs — micro-batch appends become
+    * shard files, compaction merges them later). Caller starts the
+    * returned writer. */
+  def ingestToTopic(events: DataFrame, topicPath: String, checkpoint: String,
+                    tsCol: String = "ts", bucketMinutes: Int = 60): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val bucketSeconds = bucketMinutes * 60L
+    events
+      .withColumn("bucket", (col(tsCol).cast("long") / bucketSeconds).cast("long") * bucketSeconds)
+      .writeStream
+      .format("parquet")
+      .option("path", topicPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("bucket")
+      .outputMode("append")
+  }
 }

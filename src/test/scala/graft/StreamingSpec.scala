@@ -59,6 +59,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest lands in TopicStore's bucketed parquet layout") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.ingestToTopic(input.toDF(), s"$root/topic", s"$root/ckpt").start()
+    try {
+      input.addData(events(): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch side reads the same layout back, bucket-pruned
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    val got = store.read("topic")
+    assert(got.count() == events().size)
+    assert(got.columns.contains("bucket"))
+    val buckets = new java.io.File(s"$root/topic").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map(_.getName).sorted
+    assert(buckets.length == 2, s"expected 2 hourly buckets, got ${buckets.mkString(",")}")
+  }
+
   test("stream-static broadcast join enriches events") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
