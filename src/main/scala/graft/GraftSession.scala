@@ -35,6 +35,19 @@ class GraftSession(val spark: SparkSession, root: String) {
     store.append(catalog.resolve(name), df, tsCol)
   }
 
+  /** Streaming tail of a topic — ella's `time > now()` query mode
+    * (README.md:100-105): the SAME topic path batch queries scan,
+    * opened as a Structured Streaming source. New files published
+    * after the stream starts flow to subscribers; combined with
+    * [[table]] this is the reference's unified batch/stream API.
+    */
+  def subscribe(name: String): DataFrame = {
+    val path = store.topicPath(catalog.resolve(name))
+    spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .parquet(path)
+  }
+
   private def registerTempViews(): Unit =
     catalog.list().foreach { case (fqn, _) =>
       val short = fqn.split('.').last

@@ -82,4 +82,20 @@ class StorageSpec extends SparkSpec {
     val n = gs.query("SELECT count(*) AS n FROM readings").collect().head.getLong(0)
     assert(n == 20)
   }
+
+  test("subscribe streams rows published after the stream starts (time > now())") {
+    val gs = new GraftSession(spark, tmp())
+    gs.publish("live", sampleEvents(5))
+    val q = gs.subscribe("live")
+      .writeStream.format("memory").queryName("live_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val before = spark.table("live_tail").count()
+      assert(before == 5)
+      // rows published while subscribed flow to the same stream
+      gs.publish("live", sampleEvents(7, startS = 1700100000L))
+      q.processAllAvailable()
+      assert(spark.table("live_tail").count() == 12)
+    } finally q.stop()
+  }
 }
