@@ -22,8 +22,22 @@ class GraftSession(val spark: SparkSession, root: String) {
     spark.sql(sql)
   }
 
-  /** Execute a statement for effect (ella.rs:100). */
-  def execute(sql: String): Unit = query(sql).collect()
+  /** Execute a statement for effect (ella.rs:100). Catalog DDL —
+    * ella's `CREATE VIEW ... AS`, `CREATE MATERIALIZED VIEW ... AS`,
+    * `DROP TABLE/VIEW` (lazy/view.rs, table/view.rs) — routes to the
+    * durable TopicCatalog; anything else runs as a query. */
+  def execute(sql: String): Unit = {
+    val ViewRe = """(?is)\s*CREATE\s+(MATERIALIZED\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+)""".r
+    val DropRe = """(?is)\s*DROP\s+(?:TABLE|VIEW)\s+([\w.]+)\s*""".r
+    sql match {
+      case ViewRe(mat, name, body) =>
+        registerTempViews()
+        if (mat != null) catalog.materializeView(name, body.trim)
+        else catalog.createView(name, body.trim)
+      case DropRe(name) => catalog.dropTable(name)
+      case _ => query(sql).collect()
+    }
+  }
 
   /** Scan a table by (possibly qualified) name (ella.rs:105). */
   def table(ref: String): DataFrame = catalog.table(ref)

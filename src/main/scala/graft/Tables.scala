@@ -32,4 +32,14 @@ object Tables {
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
   }
+
+  /** Typed event rows — ella's typed row streams (`Lazy::rows[R]`,
+    * ella-engine/src/lazy.rs:42-44) map to `Dataset[T]` with a
+    * case-class Encoder: compile-time column safety, same plan. */
+  def eventsDs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.streaming.TopicEvent] = {
+    import spark.implicits._
+    events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[graft.streaming.TopicEvent]
+  }
 }

@@ -83,6 +83,24 @@ class StorageSpec extends SparkSpec {
     assert(n == 20)
   }
 
+  test("execute() routes DDL to the catalog like the reference") {
+    val gs = new GraftSession(spark, tmp())
+    gs.publish("meter", sampleEvents(30))
+    gs.execute("CREATE VIEW meter_by_key AS SELECT key, count(*) AS n FROM meter GROUP BY key")
+    assert(gs.table("meter_by_key").count() == 3)
+    gs.execute("CREATE MATERIALIZED VIEW meter_mat AS SELECT key, count(*) AS n FROM meter GROUP BY key")
+    assert(gs.catalog.list().exists { case (n, k) => n.endsWith("meter_mat") && k == "materialized_view" })
+    gs.execute("DROP VIEW meter_by_key")
+    assert(!gs.catalog.contains("meter_by_key"))
+  }
+
+  test("typed Dataset API: events as Dataset[TopicEvent]") {
+    val ds = Tables.eventsDs(spark, sfDir)
+    val first = ds.filter((e: graft.streaming.TopicEvent) => e.value > 0).head()
+    assert(first.event_id >= 0)
+    assert(ds.count() == Tables.events(spark, sfDir).count())
+  }
+
   test("subscribe streams rows published after the stream starts (time > now())") {
     val gs = new GraftSession(spark, tmp())
     gs.publish("live", sampleEvents(5))
