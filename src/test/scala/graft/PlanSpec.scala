@@ -35,6 +35,14 @@ class PlanSpec extends SparkSpec {
       s"expected partial aggregation:\n$p")
   }
 
+  test("no query ever degenerates into a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product — broadcast or re-key it:\n$p")
+    }
+  }
+
   test("native graft_dot expression participates in codegen") {
     GraftExtensions.register(spark)
     val df = spark.sql(

@@ -59,6 +59,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops rows later than the delay in append mode") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.windowedStats(input.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("wm_stats").outputMode("append").start()
+    try {
+      input.addData(events(): _*)
+      q.processAllAvailable()
+      // advance the watermark far past hour 0, then send a too-late row
+      input.addData(TopicEvent(99, ts("2024-01-01 05:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(TopicEvent(100, ts("2024-01-01 00:20:00"), 1, "click", 500.0))
+      q.processAllAvailable()
+      val hour0 = spark.table("wm_stats")
+        .filter(col("w_start") === ts("2024-01-01 00:00:00") && col("event_type") === "click")
+        .collect()
+      // the late 500-cent row must not appear in the finalized hour-0 window
+      assert(hour0.forall(_.getAs[Long]("sum_value_cents") == 300L),
+        s"late row leaked into finalized window: ${hour0.mkString}")
+    } finally q.stop()
+  }
+
   test("streaming ingest lands in TopicStore's bucketed parquet layout") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
