@@ -151,6 +151,23 @@ object TimeSeries {
         .orderBy(col("user_id"))
     }),
 
+    // OHLC downsampling: open/high/low/close per hourly bucket — the
+    // canonical TSDB rollup. open/close via min/max over
+    // (ts,event_id,value) structs: partial-aggregatable, no per-bucket
+    // sort, shuffle carries one struct per (bucket) group.
+    "ts10_ohlc" -> ((s, d) => {
+      ev(s, d)
+        .withColumn("value_c", round(col("value") * 100).cast("long"))
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value_c"))).getField("value_c").as("open_c"),
+          max(col("value_c")).as("high_c"),
+          min(col("value_c")).as("low_c"),
+          max(struct(col("ts"), col("event_id"), col("value_c"))).getField("value_c").as("close_c"),
+          count(lit(1)).as("volume"))
+        .orderBy(col("bucket"))
+    }),
+
     // Per-key derivative: value delta + seconds between samples.
     "ts08_delta" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -239,6 +256,19 @@ object TimeSeries {
         | CAST(sum(value_c * dt) AS DOUBLE) / CAST(sum(dt) AS BIGINT) AS twa_cents
         |FROM e WHERE dt IS NOT NULL
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "ts10_ohlc" ->
+      """WITH e AS (
+        | SELECT date_trunc('hour', ts) AS bucket, ts, event_id,
+        |  CAST(round(value*100) AS BIGINT) AS value_c,
+        |  row_number() OVER (PARTITION BY date_trunc('hour', ts) ORDER BY ts, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rn_d
+        | FROM events)
+        |SELECT bucket,
+        | max(CASE WHEN rn_a = 1 THEN value_c END) AS open_c,
+        | max(value_c) AS high_c, min(value_c) AS low_c,
+        | max(CASE WHEN rn_d = 1 THEN value_c END) AS close_c,
+        | count(*) AS volume
+        |FROM e GROUP BY 1 ORDER BY bucket""".stripMargin,
     "ts08_delta" ->
       """SELECT event_id, user_id, epoch_s, value,
         | value - lag(value) OVER w AS delta,
