@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** User-facing operator syntax: `import graft.api._` gives DataFrames
+  * the time-series / dedup / similarity verbs an ella user expects,
+  * each expanding to the same Spark-first plans the `SparkEntry`
+  * operators use (one shuffle on the series key; partial aggregation
+  * wherever the op allows).
+  */
+object api {
+
+  implicit class TimeSeriesOps(private val df: DataFrame) extends AnyVal {
+
+    /** Tumbling-window resample: `aggs` applied per (keys, bucket). */
+    def resample(tsCol: String, every: String, keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+      val groups = date_trunc(every, col(tsCol)).as("bucket") +: keys.map(col)
+      df.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
+    }
+
+    /** Latest row per key — partial-aggregatable max(struct) form.
+      * `tieBreak` must make (tsCol, tieBreak*) a total order. */
+    def latestByKey(keyCol: String, tsCol: String, tieBreak: String*): DataFrame = {
+      val ordered = (tsCol +: tieBreak).map(col)
+      val payload = df.columns.filterNot(c => c == keyCol).map(col)
+      df.groupBy(col(keyCol))
+        .agg(max(struct(ordered ++ payload.filterNot(c => ordered.exists(_ == c)): _*)).as("_latest"))
+        .select(col(keyCol) +: df.columns.filterNot(_ == keyCol).map(c => col(s"_latest.$c").as(c)): _*)
+    }
+
+    /** As-of join: for each left row, the most recent right row (right
+      * time <= left time) per key. Union + last-non-null over one
+      * key-shuffle — no per-row range probe, skew-safe at scale.
+      * Right rows must be unique per (key, time). */
+    def asofJoin(right: DataFrame, leftKey: String, leftTime: String,
+                 rightKey: String, rightTime: String, payload: String): DataFrame = {
+      val l = df.withColumn("_is_l", lit(1))
+        .select(col(leftKey).as("_k"), col(leftTime).as("_t"), col("_is_l"),
+          struct(df.columns.map(col): _*).as("_row"), lit(null).cast(right.schema(payload).dataType).as("_p"))
+      val r = right.select(col(rightKey).cast(df.schema(leftKey).dataType).as("_k"),
+        col(rightTime).as("_t"), lit(0).as("_is_l"),
+        lit(null).cast(l.schema("_row").dataType).as("_row"), col(payload).as("_p"))
+      val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_is_l"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      l.union(r)
+        .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
+        .filter(col("_is_l") === 1)
+        .select(col("_row.*"), col("_m").as(payload))
+    }
+
+    /** Sessionize: new session when the gap exceeds `gapSeconds`. */
+    def sessionize(keyCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
+      val wo = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      val ws = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val es = col(tsCol).cast("long")
+      df.withColumn("_gap", es - lag(es, 1).over(wo))
+        .withColumn("session_id",
+          sum(when(col("_gap").isNull || col("_gap") > gapSeconds, 1L).otherwise(0L)).over(ws))
+        .drop("_gap")
+    }
+  }
+
+  implicit class DedupOps(private val df: DataFrame) extends AnyVal {
+
+    /** Exact dedup keep-first: one row per distinct `contentCol`. */
+    def dedupExact(idCol: String, contentCol: String): DataFrame =
+      df.groupBy(md5(col(contentCol)).as("_h"))
+        .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
+        .drop("_h")
+  }
+
+  implicit class VectorOpsSyntax(private val df: DataFrame) extends AnyVal {
+
+    /** Brute-force cosine top-k against a query vector column-set
+      * (single-row DataFrame, broadcast). */
+    def cosineTopK(vecCol: String, query: DataFrame, queryVecCol: String,
+                   k: Int, idCol: String): DataFrame =
+      df.crossJoin(broadcast(query.select(col(queryVecCol).as("_q"))))
+        .select(col(idCol), VectorFunctions.cosine(col(vecCol), col("_q")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col(idCol))
+        .limit(k)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.api._
+import org.apache.spark.sql.functions._
+
+/** The public syntax must produce the same results as the verified
+  * SparkEntry operators (which hash-match the DuckDB oracle). */
+class ApiSpec extends SparkSpec {
+
+  test("latestByKey matches ts02") {
+    val viaApi = Tables.events(spark, sfDir)
+      .latestByKey("user_id", "ts", "event_id")
+      .select("user_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+    val viaOp = SparkEntry.queries("ts02_latest_by_key")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+  }
+
+  test("resample matches ts01 counts") {
+    val viaApi = Tables.events(spark, sfDir)
+      .resample("ts", "hour", Seq.empty, Seq(count(lit(1)).as("n")))
+      .orderBy("bucket")
+    val viaOp = SparkEntry.queries("ts01_resample")(spark, sfDir).select("bucket", "n")
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+  }
+
+  test("sessionize matches ts05 session counts") {
+    val api = Tables.events(spark, sfDir)
+      .withColumn("_tb", concat(col("ts").cast("string"), lit("#"), col("event_id")))
+      .sessionize("user_id", "ts", 1800)
+      .groupBy("user_id", "session_id").count()
+    val op = SparkEntry.queries("ts05_session")(spark, sfDir)
+    assert(api.count() == op.count())
+    assert(api.agg(sum("count")).collect().head.getLong(0) ==
+      op.agg(sum("n_events")).collect().head.getLong(0))
+  }
+
+  test("dedupExact matches dd01 group count") {
+    val api = Tables(spark, sfDir, "documents").dedupExact("doc_id", "text")
+    val op = SparkEntry.queries("dd01_exact")(spark, sfDir)
+    assert(api.count() == op.count())
+  }
+
+  test("cosineTopK matches ss01") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val viaApi = e.cosineTopK("embedding",
+      e.filter(col("vec_id") === 7), "embedding", 50, "vec_id")
+    val viaOp = SparkEntry.queries("ss01_brute_topk")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+  }
+
+  test("asofJoin picks most recent right row per key") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDF("k", "t")
+      .select(col("k"), timestamp_seconds(col("t")).as("t"))
+    val right = Seq((1L, 90L, "a"), (1L, 150L, "b"), (2L, 60L, "c")).toDF("k", "t", "v")
+      .select(col("k"), timestamp_seconds(col("t")).as("t"), col("v"))
+    val got = left.asofJoin(right, "k", "t", "k", "t", "v")
+      .orderBy("k", "t").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got.toSeq == Seq((1L, "a"), (1L, "b"), (2L, null)))
+  }
+}
