@@ -44,13 +44,9 @@ object Dedup {
       .select(col("doc_id"), tokens(col("text")).as("words"))
       .select(col("doc_id"), shingles(col("words"), 3).as("sh"))
       .select(col("doc_id"),
-        transform(col("sh"), s => md5(s)).as("h0"),
-        transform(col("sh"), s => md5(concat(lit("x"), s))).as("h1"))
-      .select(col("doc_id"),
-        array((0 until NumPerms).map { p =>
-          val src = if (p < 4) col("h0") else col("h1")
-          array_min(transform(src, h => substring(h, 1 + 8 * (p % 4), 8)))
-        }: _*).as("sig"))
+        org.apache.spark.sql.graft.bridge.column(
+          graft.plans.MinHashSigExpr(
+            org.apache.spark.sql.graft.bridge.expression(col("sh")))).as("sig"))
   }
 
   /** Distinct LSH candidate pairs (a < b) with signature agreement. */
