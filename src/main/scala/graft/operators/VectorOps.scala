@@ -65,6 +65,21 @@ object VectorOps {
         .limit(50)
     }),
 
+    // Shape ops (ops/shape.rs: reshape:19, invert_axis:138, roll:154):
+    // the 64-vector viewed as an 8x8 row-major matrix, plus reversed
+    // and rolled views — all index arithmetic on exact float copies.
+    "v06_shape_ops" -> ((s, d) => {
+      emb(s, d)
+        .select(col("vec_id"), col("embedding"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"), col("col").as("v"),
+          (col("pos") / 8 + 1).cast("int").as("mat_row"),
+          (col("pos") % 8 + 1).cast("int").as("mat_col"),
+          element_at(col("embedding"), size(col("embedding")) - col("pos")).as("reversed"),
+          element_at(col("embedding"),
+            ((col("pos") + lit(3)) % size(col("embedding"))) + 1).as("rolled"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
     // Compare + masked select (ops/cmp.rs, ops/masked.rs).
     "v05_cmp_mask" -> ((s, d) => {
       val pos = filter(col("embedding"), x => x > 0.0f)
@@ -102,6 +117,15 @@ object VectorOps {
         |   i -> CASE WHEN i % 2 = 1 THEN CAST(embedding[i] AS DOUBLE)
         |        ELSE -CAST(embedding[i] AS DOUBLE) END)) AS score
         |FROM embeddings ORDER BY score DESC, vec_id LIMIT 50""".stripMargin,
+    "v06_shape_ops" ->
+      """SELECT vec_id,
+        | CAST(unnest(generate_series(1, len(embedding))) AS INT) AS pos,
+        | unnest(embedding) AS v,
+        | CAST(unnest(list_transform(generate_series(1, len(embedding)), i -> (i-1) // 8 + 1)) AS INT) AS mat_row,
+        | CAST(unnest(list_transform(generate_series(1, len(embedding)), i -> (i-1) % 8 + 1)) AS INT) AS mat_col,
+        | unnest(list_transform(generate_series(1, len(embedding)), i -> embedding[len(embedding) - i + 1])) AS reversed,
+        | unnest(list_transform(generate_series(1, len(embedding)), i -> embedding[((i - 1 + 3) % len(embedding)) + 1])) AS rolled
+        |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
     "v05_cmp_mask" ->
       """SELECT vec_id,
         | CAST(len(list_filter(embedding, x -> x > 0.0)) AS INT) AS n_pos,
