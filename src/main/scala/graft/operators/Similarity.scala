@@ -36,6 +36,23 @@ object Similarity {
     }.reduce(_ + _).cast("int")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Centroids via the custom typed Aggregator (VectorSumAgg): one
+    // dense buffer per (label x partition) shuffles instead of dim
+    // exploded rows per vector — the 100 TB centroid path. Output
+    // scalarized + rounded at 1e-2 (cross-row FP order error ~1e-13
+    // is far inside the grid, SURVEY.md §5).
+    "ss04_centroid_agg" -> ((s, d) => {
+      val vecsum = org.apache.spark.sql.functions.udaf(graft.functions.VectorSumAgg)
+      emb(s, d)
+        .groupBy(col("label"))
+        .agg(vecsum(col("embedding")).as("vsum"), count(lit(1)).as("n"))
+        .select(col("label"), col("n"), posexplode(col("vsum")))
+        .select(col("label"), col("n"), (col("pos") + 1).as("pos"),
+          round(col("col"), 2).as("sum_r"),
+          round(col("col") / col("n"), 2).as("centroid_r"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // Brute-force cosine top-k vs the query vector (broadcast).
     "ss01_brute_topk" -> ((s, d) => {
       val e = emb(s, d)
@@ -91,6 +108,18 @@ object Similarity {
     s"sqrt(list_sum(list_transform($x, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
 
   val oracle: Map[String, String] = Map(
+    "ss04_centroid_agg" ->
+      """WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        | FROM embeddings),
+        |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+        |SELECT ex.label, n.n, CAST(ex.pos AS INT) AS pos,
+        | round(sum(v), 2) AS sum_r, round(sum(v) / n.n, 2) AS centroid_r
+        |FROM ex JOIN n ON ex.label = n.label
+        |GROUP BY ex.label, n.n, ex.pos
+        |ORDER BY ex.label, pos""".stripMargin,
+
     "ss01_brute_topk" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $QueryId)
          |SELECT e.vec_id,
