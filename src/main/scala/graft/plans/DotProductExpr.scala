@@ -51,13 +51,19 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: several dot products can share one codegen stage
+      // (cosine emits three) — fixed locals would collide and trip a
+      // silent interpreted fallback.
+      val n = ctx.freshName("dotN")
+      val acc = ctx.freshName("dotAcc")
+      val i = ctx.freshName("dotI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
