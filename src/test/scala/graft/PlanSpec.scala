@@ -35,6 +35,22 @@ class PlanSpec extends SparkSpec {
       s"expected partial aggregation:\n$p")
   }
 
+  test("native expressions compile under strict codegen (no silent fallback)") {
+    // With fallback disabled a codegen compile error throws instead of
+    // silently degrading to interpreted eval (caught a real collision
+    // where three dot products shared one stage).
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import graft.functions.VectorFunctions
+      val e = Tables(spark, sfDir, "embeddings")
+      val q = e.limit(1).select(org.apache.spark.sql.functions.col("embedding").as("q_emb"))
+      val n = e.crossJoin(org.apache.spark.sql.functions.broadcast(q))
+        .select(VectorFunctions.cosine(col("embedding"), col("q_emb")).as("c"))
+        .filter(col("c") > -2).count()
+      assert(n > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("no query ever degenerates into a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
