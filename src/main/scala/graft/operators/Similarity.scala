@@ -53,6 +53,33 @@ object Similarity {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // IVF probe: the query lands in its nearest rounded-centroid cell
+    // (nprobe=1) and only that cell's members are scored — at 100 TB
+    // the fact side is pre-partitioned by cell, so a probe reads one
+    // partition instead of the corpus.
+    "ss05_ivf_probe" -> ((s, d) => {
+      val e = emb(s, d)
+      val ex = e.select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+      val cen = ex.groupBy(col("label").as("c_label"), col("pos"))
+        .agg(round(avg(col("v")), 2).as("c"))
+        .groupBy(col("c_label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          st => st.getField("c")).as("cvec"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("c_label"))
+      val assigned = e.crossJoin(broadcast(cen))
+        .withColumn("dist2", l2distSq(col("embedding"), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_label").as("cell"))
+      val q = assigned.filter(col("vec_id") === QueryId)
+        .select(col("embedding").as("q_emb"), col("cell").as("q_cell"))
+      assigned.join(broadcast(q), col("cell") === col("q_cell"))
+        .select(col("vec_id"), col("cell"), cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Brute-force cosine top-k vs the query vector (broadcast).
     "ss01_brute_topk" -> ((s, d) => {
       val e = emb(s, d)
@@ -98,6 +125,7 @@ object Similarity {
     })
   )
 
+  // ---- (defs continued in map above) ----
   // ---- oracle SQL (plane constants embedded as literals) ----
 
   private def sqlList(v: Seq[Double]): String = v.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
@@ -139,6 +167,29 @@ object Similarity {
          |FROM b e, q WHERE e.bucket = q.q_bucket
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     },
+    "ss05_ivf_probe" ->
+      s"""WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos, round(avg(v), 2) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |assigned AS (
+        | SELECT e.vec_id, e.embedding, c.c_label,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |cells AS (SELECT vec_id, embedding, c_label AS cell FROM assigned WHERE rn = 1),
+        |q AS (SELECT embedding AS q_emb, cell AS q_cell FROM cells WHERE vec_id = $QueryId)
+        |SELECT e.vec_id, e.cell,
+        | list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
+        |FROM cells e, q WHERE e.cell = q.q_cell
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "ss03_pairwise_label" ->
       """WITH ex AS (
         | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,

@@ -102,6 +102,48 @@ class StreamingSpec extends SparkSpec {
     assert(buckets.length == 2, s"expected 2 hourly buckets, got ${buckets.mkString(",")}")
   }
 
+  test("streaming dedup drops replayed event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[TopicEvent]
+    val q = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      input.addData(events(): _*)
+      q.processAllAvailable()
+      input.addData(events().take(3): _*) // replay: at-least-once source
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == events().size)
+    } finally q.stop()
+  }
+
+  test("stream-stream join matches clicks to views per user within an hour") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[TopicEvent]
+    val views = MemoryStream[TopicEvent]
+    val c = clicks.toDF().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "30 minutes")
+    val v = views.toDF().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+      .withWatermark("v_ts", "30 minutes")
+    val joined = c.join(v,
+      col("c_user") === col("v_user") &&
+      col("v_ts") >= col("c_ts") && col("v_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+    try {
+      clicks.addData(TopicEvent(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0))
+      views.addData(TopicEvent(2, ts("2024-01-01 00:25:00"), 1, "view", 2.0),
+        TopicEvent(3, ts("2024-01-01 03:00:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").select("c_id", "v_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSet == Set((1L, 2L)), s"only the in-window view joins: ${rows.mkString}")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches events") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
