@@ -240,6 +240,28 @@ object Relational {
           expr("percentile(price_c, 0.75)").as("p75"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Raw-SQL surface (ella's query(sql), ella/src/ella.rs:89): CUBE
+    // grouping via spark.sql over registered views.
+    "q21_cube_sql" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          | sum(l_quantity) AS sum_qty
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Correlated scalar subquery (RewriteCorrelatedScalarSubquery):
+    // orders 50% above their own customer's average.
+    "q22_correlated" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+          |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+          |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
     })
   )
 
@@ -360,6 +382,16 @@ object Relational {
         | quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS p50,
         | quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75) AS p75,
         | count(*) AS n
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_cube_sql" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q22_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+        |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
