@@ -168,6 +168,28 @@ object TimeSeries {
         .orderBy(col("bucket"))
     }),
 
+    // Forward fill (last observation carried forward) on the dense
+    // hourly spine: buckets with no samples inherit the last bucket's
+    // closing value — the classic TSDB LOCF interpolation.
+    "ts11_locf" -> ((s, d) => {
+      val e = ev(s, d)
+      // per (event_type, hour): closing value (max ts,event_id) in cents
+      val agg = e.withColumn("value_c", round(col("value") * 100).cast("long"))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value_c"))).getField("value_c").as("close_c"))
+      val bounds = e.agg(min(date_trunc("hour", col("ts"))).as("mn"), max(date_trunc("hour", col("ts"))).as("mx"))
+      val spine = bounds.select(explode(expr("sequence(mn, mx, INTERVAL 1 HOUR)")).as("h"))
+      val types = e.select(col("event_type")).distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      types.crossJoin(spine)
+        .join(agg, Seq("event_type", "h"), "left")
+        .withColumn("filled_c", last(col("close_c"), ignoreNulls = true).over(w))
+        .withColumn("is_gap", col("close_c").isNull)
+        .select(col("event_type"), col("h"), col("filled_c"), col("is_gap"))
+        .orderBy(col("event_type"), col("h"))
+    }),
+
     // Per-key derivative: value delta + seconds between samples.
     "ts08_delta" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -269,6 +291,30 @@ object TimeSeries {
         | max(CASE WHEN rn_d = 1 THEN value_c END) AS close_c,
         | count(*) AS volume
         |FROM e GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "ts11_locf" ->
+      """WITH e AS (
+        | SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id,
+        |  CAST(round(value*100) AS BIGINT) AS value_c,
+        |  row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events),
+        |agg AS (SELECT event_type, h, max(CASE WHEN rn = 1 THEN value_c END) AS close_c
+        |        FROM e GROUP BY 1, 2),
+        |spine AS (
+        | SELECT unnest(generate_series(
+        |   (SELECT min(date_trunc('hour', ts)) FROM events),
+        |   (SELECT max(date_trunc('hour', ts)) FROM events),
+        |   INTERVAL 1 HOUR)) AS h),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |joined AS (
+        | SELECT t.event_type, s.h, a.close_c
+        | FROM types t CROSS JOIN spine s
+        | LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = s.h)
+        |SELECT event_type, h,
+        | CAST(last_value(close_c IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_c,
+        | close_c IS NULL AS is_gap
+        |FROM joined ORDER BY event_type, h""".stripMargin,
     "ts08_delta" ->
       """SELECT event_id, user_id, epoch_s, value,
         | value - lag(value) OVER w AS delta,
