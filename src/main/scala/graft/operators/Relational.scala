@@ -262,6 +262,20 @@ object Relational {
           |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
           |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Distribution window functions: ntile / percent_rank / cume_dist
+    // over a totally-ordered partition (exact given the total order;
+    // percent_rank's single division is engine-identical).
+    "q23_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("quartile"), col("pr"), col("cd"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
     })
   )
 
@@ -392,6 +406,14 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
         |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
         |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q23_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin
   )
 }

@@ -80,6 +80,18 @@ object VectorOps {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // Scalar (int8) quantization: the 4x-memory ANN storage path.
+    // floor(x*127/maxabs + 0.5) — floor of an identical double is
+    // engine-exact (round() is not, SURVEY.md §5).
+    "v07_quantize" -> ((s, d) => {
+      emb(s, d)
+        .withColumn("maxabs", array_max(transform(col("embedding"), x => abs(x))).cast("double"))
+        .select(col("vec_id"), col("maxabs"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"),
+          floor(col("col").cast("double") * 127.0 / col("maxabs") + 0.5).cast("int").as("q8"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
     // Compare + masked select (ops/cmp.rs, ops/masked.rs).
     "v05_cmp_mask" -> ((s, d) => {
       val pos = filter(col("embedding"), x => x > 0.0f)
@@ -126,6 +138,16 @@ object VectorOps {
         | unnest(list_transform(generate_series(1, len(embedding)), i -> embedding[len(embedding) - i + 1])) AS reversed,
         | unnest(list_transform(generate_series(1, len(embedding)), i -> embedding[((i - 1 + 3) % len(embedding)) + 1])) AS rolled
         |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
+    "v07_quantize" ->
+      """WITH m AS (
+        | SELECT vec_id, embedding,
+        |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS maxabs
+        | FROM embeddings)
+        |SELECT vec_id,
+        | CAST(unnest(generate_series(1, len(embedding))) AS INT) AS pos,
+        | CAST(unnest(list_transform(embedding,
+        |   x -> floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5))) AS INT) AS q8
+        |FROM m ORDER BY vec_id, pos""".stripMargin,
     "v05_cmp_mask" ->
       """SELECT vec_id,
         | CAST(len(list_filter(embedding, x -> x > 0.0)) AS INT) AS n_pos,
