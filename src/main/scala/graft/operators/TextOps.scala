@@ -92,6 +92,26 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Character-bigram profile: the n-gram language-model heuristic —
+    // per doc: distinct bigram count + modal bigram (ties break
+    // lexicographically). Explode + count + rank: all integer/string.
+    "tx05_char_ngrams" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bg = docs(s, d).repartition()
+        .withColumn("norm", lower(col("text")))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), length(col("norm")) - 1),
+            i => col("norm").substr(i, lit(2)))).as("bg"))
+      val counts = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("bg"))
+      counts.withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_bigrams"),
+          max(when(col("rn") === 1, col("bg"))).as("top_bigram"),
+          max(when(col("rn") === 1, col("cnt"))).as("top_count"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact dedup: md5 content hash, keep-first (min doc_id) per group.
     // At scale: one hash-partitioned shuffle on the digest.
     "dd01_exact" -> ((s, d) => {
@@ -168,6 +188,17 @@ object TextOps {
         | CAST(len(list_distinct(sh)) AS INT) AS n_unique_shingles,
         | CASE WHEN len(sh) > 0 THEN sh[1] ELSE NULL END AS first_shingle
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "tx05_char_ngrams" ->
+      """WITH n AS (SELECT doc_id, lower(text) AS norm FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(norm) - 1),
+        |  i -> substr(norm, i, 2))) AS bg FROM n),
+        |counts AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rn
+        |           FROM counts)
+        |SELECT doc_id, count(*) AS n_distinct_bigrams,
+        | max(CASE WHEN rn = 1 THEN bg END) AS top_bigram,
+        | CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_count
+        |FROM ranked GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dd01_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
