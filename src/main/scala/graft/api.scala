@@ -17,6 +17,7 @@ object api {
 
     /** Tumbling-window resample: `aggs` applied per (keys, bucket). */
     def resample(tsCol: String, every: String, keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+      require(aggs.nonEmpty, "resample requires at least one aggregate column, e.g. count(lit(1))")
       val groups = date_trunc(every, col(tsCol)).as("bucket") +: keys.map(col)
       df.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
     }

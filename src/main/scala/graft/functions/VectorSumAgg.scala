@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Typed aggregator: elementwise sum of float vectors in double
-  * precision — the scalable centroid/IVF building block.
+/** Typed aggregator: elementwise sum of float vectors — the scalable
+  * centroid/IVF building block.
   *
   * Versus explode-then-groupBy (ss03's oracle-mirrorable form), this
   * shuffles ONE buffer per (group x partition) instead of `dim` rows
@@ -12,24 +12,38 @@ import org.apache.spark.sql.expressions.Aggregator
   * shuffled records, with map-side partial merging for free
   * (ella keeps the same dense-buffer shape in its tensor reducers,
   * ella-tensor/src/ops/reduce.rs).
+  *
+  * Determinism: each element is quantized to an exact integer grid
+  * (centi-units, `floor(x*100 + 0.5)` — floor of an identical IEEE
+  * double is engine-exact, unlike round()) BEFORE accumulation, so the
+  * sum is a long integer sum — associative, commutative, and therefore
+  * independent of partition/merge order. Double accumulation + final
+  * rounding (the round-1 form) flipped values at the rounding boundary
+  * because partial-agg merge order is nondeterministic.
   */
-object VectorSumAgg extends Aggregator[Array[Float], Array[Double], Array[Double]] {
-  override def zero: Array[Double] = Array.empty
+object VectorSumAgg extends Aggregator[Array[Float], Array[Long], Array[Long]] {
+  /** Quantization scale: centi-units (1e-2 grid). */
+  val Scale = 100.0
 
-  override def reduce(buf: Array[Double], v: Array[Float]): Array[Double] = {
+  @inline private def quant(x: Float): Long =
+    math.floor(x.toDouble * Scale + 0.5).toLong
+
+  override def zero: Array[Long] = Array.empty
+
+  override def reduce(buf: Array[Long], v: Array[Float]): Array[Long] = {
     if (buf.isEmpty) {
-      val out = new Array[Double](v.length)
+      val out = new Array[Long](v.length)
       var i = 0
-      while (i < v.length) { out(i) = v(i).toDouble; i += 1 }
+      while (i < v.length) { out(i) = quant(v(i)); i += 1 }
       out
     } else {
       var i = 0
-      while (i < buf.length && i < v.length) { buf(i) += v(i).toDouble; i += 1 }
+      while (i < buf.length && i < v.length) { buf(i) += quant(v(i)); i += 1 }
       buf
     }
   }
 
-  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     if (a.isEmpty) b
     else if (b.isEmpty) a
     else {
@@ -39,13 +53,13 @@ object VectorSumAgg extends Aggregator[Array[Float], Array[Double], Array[Double
     }
   }
 
-  override def finish(buf: Array[Double]): Array[Double] = buf
+  override def finish(buf: Array[Long]): Array[Long] = buf
 
-  // ExpressionEncoder keeps the buffer/output as a real array<double>
+  // ExpressionEncoder keeps the buffer/output as a real array<bigint>
   // column (kryo would make it opaque binary).
-  override def bufferEncoder: Encoder[Array[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 
-  override def outputEncoder: Encoder[Array[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

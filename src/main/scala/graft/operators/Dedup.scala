@@ -5,6 +5,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate detection over `documents` / `embeddings` — the
   * LLM-pipeline dedup family (SURVEY.md §2): MinHash+LSH, SimHash,
@@ -55,7 +56,13 @@ object Dedup {
   def signaturesPublic(docDf: DataFrame): DataFrame = signatures(docDf)
 
   private def candidatePairs(docDf: DataFrame): DataFrame = {
-    val sig = signatures(docDf)
+    // persist(): both sides of the band self-join below consume `sig`;
+    // without it the whole tokenize→shingle→MinHash pipeline (the
+    // dominant dedup cost — 158 s of the round-1 sf0.1 bench) executes
+    // TWICE. MEMORY_AND_DISK so big corpora spill instead of OOM; the
+    // cache is also plan-matched, so dd04's identical signature plan
+    // reuses it within a session instead of hashing a third time.
+    val sig = signatures(docDf).persist(StorageLevel.MEMORY_AND_DISK)
     val bands = sig.select(col("doc_id"), col("sig"),
       posexplode(array((0 until NumPerms / BandWidth).map(b =>
         bandKey(col("sig"), b * BandWidth, BandWidth)): _*)))
@@ -105,10 +112,6 @@ object Dedup {
     // pairs (the classic two-stage dedup: cheap candidates, exact
     // verify). Only bucket-mates are ever compared — the verify cost is
     // O(candidates), not O(n^2), which is what survives a 100x scale-up.
-    // Exact n-gram Jaccard verification of the MinHash-LSH candidate
-    // pairs (the classic two-stage dedup: cheap candidates, exact
-    // verify). Only bucket-mates are ever compared — the verify cost is
-    // O(candidates), not O(n^2), which is what survives a 100x scale-up.
     "dd04_ngram_jaccard" -> ((s, d) => {
       // LSH candidates are tiny by construction — broadcast them so the
       // shingle-set side streams once and the planner can never pair
@@ -128,14 +131,39 @@ object Dedup {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Embedding-cosine near-dup, bucket-bounded: candidates come from a
+    // 32-hyperplane signature banded 4x8 (same md5-derived planes the
+    // ss02 ANN path uses), joined on (band, bandkey) — exactly the
+    // two-stage pattern dd02/dd04 apply to text. The round-1 form was
+    // label-blocked all-pairs (O(n²/L)) which dies at 100 TB; here the
+    // pair count is bounded by bucket occupancy and the cosine verify
+    // only ever touches bucket-mates.
     "dd05_embed_neardup" -> ((s, d) => {
+      val planes32 = Similarity.planesN(32)
       val e = Tables(s, d, "embeddings").repartition()
-      val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
-      val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("eb"))
-      a.join(b, "label").filter(col("a") < col("b"))
+      val bandCols = (0 until 4).map { band =>
+        (0 until 8).map { j =>
+          when(dotConst(col("embedding"), planes32(band * 8 + j)) > 0.0,
+            lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _).cast("int").as(s"bk$band")
+      }
+      // persist: tiny (vec_id, band, bkey) table; both sides of the
+      // self-join reuse it so the 32 hyperplane dots run once per row.
+      val bands = e.select(col("vec_id") +: bandCols: _*)
+        .select(col("vec_id"), posexplode(array((0 until 4).map(b => col(s"bk$b")): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val x = bands.select(col("vec_id").as("a"), col("band"), col("bkey"))
+      val y = bands.select(col("vec_id").as("b"), col("band"), col("bkey"))
+      val cand = broadcast(
+        x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct())
+      e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+        .join(cand, "a")
+        .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
         .withColumn("cos_sim", cosine(col("ea"), col("eb")))
         .filter(col("cos_sim") > 0.35)
-        .select(col("label"), col("a"), col("b"), col("cos_sim"))
+        .select(col("a"), col("b"), col("cos_sim"))
         .orderBy(col("a"), col("b"))
     })
   )
@@ -235,14 +263,31 @@ object Dedup {
          |ORDER BY a, b""".stripMargin
     },
     "dd05_embed_neardup" ->
-      """WITH n AS (
-        | SELECT vec_id, label, embedding,
-        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      """WITH p AS (
+        | SELECT h, list_transform(generate_series(0, 63),
+        |   i -> CASE WHEN substr(md5(CAST(h AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) <= '7'
+        |        THEN 1.0 ELSE -1.0 END) AS plane
+        | FROM (SELECT unnest(generate_series(0, 31)) AS h)),
+        |bits AS (
+        | SELECT e.vec_id, p.h,
+        |  CASE WHEN list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) > 0 THEN 1 ELSE 0 END AS bit
+        | FROM embeddings e CROSS JOIN p),
+        |bk AS (
+        | SELECT vec_id, CAST(h // 8 AS INT) AS band,
+        |  CAST(sum(bit * (1 << CAST(h % 8 AS INT))) AS INT) AS bkey
+        | FROM bits GROUP BY 1, 2),
+        |cand AS (
+        | SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        | FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+        |n AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
         | FROM embeddings)
-        |SELECT x.label, x.vec_id AS a, y.vec_id AS b,
+        |SELECT c.a, c.b,
         | list_sum(list_transform(generate_series(1, len(x.embedding)),
         |   i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) / (x.nrm * y.nrm) AS cos_sim
-        |FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
+        |FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b
         |WHERE list_sum(list_transform(generate_series(1, len(x.embedding)),
         |   i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) / (x.nrm * y.nrm) > 0.35
         |ORDER BY a, b""".stripMargin

@@ -4,7 +4,6 @@ import graft.Tables
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over the `embeddings` table: brute-force cosine
   * top-k (correctness baseline), random-hyperplane LSH ANN (the scale
@@ -22,10 +21,13 @@ object Similarity {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  /** 8 deterministic ±1 hyperplanes, dim 64, derived from md5 so both
-    * engines see literally identical plane constants. */
-  private[operators] val planes: Seq[Seq[Double]] =
-    (0 until 8).map(h => (0 until 64).map(i => if (md5hex(s"$h:$i").head <= '7') 1.0 else -1.0))
+  /** n deterministic ±1 hyperplanes, dim 64, derived from md5 so both
+    * engines can construct literally identical plane constants (the
+    * oracle re-derives them with DuckDB's md5). */
+  private[operators] def planesN(n: Int): Seq[Seq[Double]] =
+    (0 until n).map(h => (0 until 64).map(i => if (md5hex(s"$h:$i").head <= '7') 1.0 else -1.0))
+
+  private[operators] val planes: Seq[Seq[Double]] = planesN(8)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings").repartition()
@@ -38,9 +40,10 @@ object Similarity {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Centroids via the custom typed Aggregator (VectorSumAgg): one
     // dense buffer per (label x partition) shuffles instead of dim
-    // exploded rows per vector — the 100 TB centroid path. Output
-    // scalarized + rounded at 1e-2 (cross-row FP order error ~1e-13
-    // is far inside the grid, SURVEY.md §5).
+    // exploded rows per vector — the 100 TB centroid path. Elements are
+    // quantized to exact centi-unit longs INSIDE the aggregator, so the
+    // sum is order-free (integer adds commute); the centroid is one
+    // IEEE long/long division at the end — engine-exact, no round().
     "ss04_centroid_agg" -> ((s, d) => {
       val vecsum = org.apache.spark.sql.functions.udaf(graft.functions.VectorSumAgg)
       emb(s, d)
@@ -48,30 +51,24 @@ object Similarity {
         .agg(vecsum(col("embedding")).as("vsum"), count(lit(1)).as("n"))
         .select(col("label"), col("n"), posexplode(col("vsum")))
         .select(col("label"), col("n"), (col("pos") + 1).as("pos"),
-          round(col("col"), 2).as("sum_r"),
-          round(col("col") / col("n"), 2).as("centroid_r"))
+          col("col").as("sum_c"),
+          (col("col").cast("double") / col("n")).as("centroid_c"))
         .orderBy(col("label"), col("pos"))
     }),
 
-    // IVF probe: the query lands in its nearest rounded-centroid cell
+    // IVF probe: the query lands in its nearest-centroid cell
     // (nprobe=1) and only that cell's members are scored — at 100 TB
     // the fact side is pre-partitioned by cell, so a probe reads one
-    // partition instead of the corpus.
+    // partition instead of the corpus. Cell assignment is the
+    // zero-shuffle argmin fold (see ss03).
     "ss05_ivf_probe" -> ((s, d) => {
       val e = emb(s, d)
-      val ex = e.select(col("label"), posexplode(col("embedding")))
-        .select(col("label"), col("pos"), col("col").cast("double").as("v"))
-      val cen = ex.groupBy(col("label").as("c_label"), col("pos"))
-        .agg(round(avg(col("v")), 2).as("c"))
-        .groupBy(col("c_label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          st => st.getField("c")).as("cvec"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("c_label"))
-      val assigned = e.crossJoin(broadcast(cen))
-        .withColumn("dist2", l2distSq(col("embedding"), col("cvec")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_label").as("cell"))
+      val cents = centroidArray(e)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("best", array_min(transform(col("cents"),
+          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                      c.getField("c_label").as("cell")))))
+        .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
       val q = assigned.filter(col("vec_id") === QueryId)
         .select(col("embedding").as("q_emb"), col("cell").as("q_cell"))
       assigned.join(broadcast(q), col("cell") === col("q_cell"))
@@ -103,27 +100,45 @@ object Similarity {
         .limit(10)
     }),
 
-    // Nearest-centroid: per-label centroids (rounded to an exact 1e-2
-    // grid so both engines see identical constants), then each vector
-    // assigned to its closest centroid — the IVF coarse quantizer.
+    // Nearest-centroid assignment — the IVF coarse quantizer. The
+    // round-1 form (crossJoin x L centroids + row_number() window)
+    // forced a full shuffle+sort of the L-times-expanded corpus on
+    // vec_id just to take an argmin — a scale-killer at 100 TB. Now:
+    // centroids fold into ONE row (label-sorted array of structs),
+    // broadcast, and each vector takes array_min over
+    // struct(dist2, label) — same (dist2, label) tie-break as the
+    // window, with ZERO exchange/sort on the fact side.
     "ss03_pairwise_label" -> ((s, d) => {
       val e = emb(s, d)
-      val ex = e.select(col("label"), posexplode(col("embedding")))
-        .select(col("label"), col("pos"), col("col").cast("double").as("v"))
-      val cen = ex.groupBy(col("label").as("c_label"), col("pos"))
-        .agg(round(avg(col("v")), 2).as("c"))
-        .groupBy(col("c_label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          s => s.getField("c")).as("cvec"))
-      val assigned = e.crossJoin(broadcast(cen))
-        .withColumn("dist2", l2distSq(col("embedding"), col("cvec")))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("c_label"))
-      assigned.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("c_label").as("nearest_label"), col("dist2"))
+      val cents = centroidArray(e)
+      e.crossJoin(broadcast(cents))
+        .withColumn("best", array_min(transform(col("cents"),
+          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                      c.getField("c_label").as("nearest_label")))))
+        .select(col("vec_id"), col("label"),
+          col("best.nearest_label").as("nearest_label"), col("best.dist2").as("dist2"))
         .orderBy(col("vec_id"))
     })
   )
+
+  /** Per-label centroids folded into a single-row DataFrame: column
+    * `cents` = label-sorted array of struct(c_label, cvec). Centroid
+    * elements are exact: each input element is quantized to centi-unit
+    * longs (floor(x*100+0.5), engine-exact), summed as integers
+    * (order-free), then divided once — so both engines see
+    * bit-identical centroid constants with no round() hazards.
+    */
+  private def centroidArray(e: DataFrame): DataFrame = {
+    val ex = e.select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        floor(col("col").cast("double") * 100 + 0.5).cast("long").as("vq"))
+    val cen = ex.groupBy(col("label").as("c_label"), col("pos"))
+      .agg((sum(col("vq")).cast("double") / (count(lit(1)) * 100)).as("c"))
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        st => st.getField("c")).as("cvec"))
+    cen.agg(array_sort(collect_list(struct(col("c_label"), col("cvec")))).as("cents"))
+  }
 
   // ---- (defs continued in map above) ----
   // ---- oracle SQL (plane constants embedded as literals) ----
@@ -139,11 +154,13 @@ object Similarity {
     "ss04_centroid_agg" ->
       """WITH ex AS (
         | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
-        |  unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
         | FROM embeddings),
         |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
         |SELECT ex.label, n.n, CAST(ex.pos AS INT) AS pos,
-        | round(sum(v), 2) AS sum_r, round(sum(v) / n.n, 2) AS centroid_r
+        | CAST(sum(vq) AS BIGINT) AS sum_c,
+        | CAST(sum(vq) AS DOUBLE) / n.n AS centroid_c
         |FROM ex JOIN n ON ex.label = n.label
         |GROUP BY ex.label, n.n, ex.pos
         |ORDER BY ex.label, pos""".stripMargin,
@@ -170,10 +187,12 @@ object Similarity {
     "ss05_ivf_probe" ->
       s"""WITH ex AS (
         | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
-        |  unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
         | FROM embeddings),
         |cen AS (
-        | SELECT label AS c_label, pos, round(avg(v), 2) AS c FROM ex GROUP BY 1, 2),
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
         |cvecs AS (
         | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
         |assigned AS (
@@ -193,10 +212,12 @@ object Similarity {
     "ss03_pairwise_label" ->
       """WITH ex AS (
         | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
-        |  unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
         | FROM embeddings),
         |cen AS (
-        | SELECT label AS c_label, pos, round(avg(v), 2) AS c FROM ex GROUP BY 1, 2),
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
         |cvecs AS (
         | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
         |assigned AS (

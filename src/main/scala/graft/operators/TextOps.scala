@@ -97,11 +97,18 @@ object TextOps {
     // lexicographically). Explode + count + rank: all integer/string.
     "tx05_char_ngrams" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // Guard for docs shorter than 2 chars: Spark's sequence(1, 0)
+      // yields a DESCENDING [1, 0] (spurious bigrams) while DuckDB's
+      // generate_series(1, 0) is empty — so emit no bigrams explicitly
+      // on both engines (explode of an empty array drops the row, just
+      // like unnest of an empty list).
       val bg = docs(s, d).repartition()
         .withColumn("norm", lower(col("text")))
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), length(col("norm")) - 1),
-            i => col("norm").substr(i, lit(2)))).as("bg"))
+          explode(when(length(col("norm")) >= 2,
+            transform(sequence(lit(1), length(col("norm")) - 1),
+              i => col("norm").substr(i, lit(2))))
+            .otherwise(typedLit(Seq.empty[String]))).as("bg"))
       val counts = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("bg"))
       counts.withColumn("rn", row_number().over(w))

@@ -51,6 +51,26 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("ss03/ss05 centroid assignment is a zero-shuffle per-row argmin") {
+    // The round-1 crossJoin+row_number form shuffled and sorted the
+    // L-times-expanded corpus on vec_id just to take an argmin. The
+    // fold form must plan NO window and NO exchange keyed on vec_id —
+    // assignment happens per-row against the broadcast centroid array.
+    Seq("ss03_pairwise_label", "ss05_ivf_probe").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name must not plan a Window:\n$p")
+      assert(!p.contains("hashpartitioning(vec_id"),
+        s"$name must not shuffle on vec_id for the argmin:\n$p")
+    }
+  }
+
+  test("dd05 candidates come from an equi-join on LSH band buckets") {
+    val p = plan("dd05_embed_neardup")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"dd05 candidate generation must be an equi-join on (band, bkey):\n$p")
+    assert(!p.contains("CartesianProduct"), s"dd05 must never be all-pairs:\n$p")
+  }
+
   test("no query ever degenerates into a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
