@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every `SparkEntry.queries`
+  * entry against `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Methodology (round-2 hardening):
+  *   - each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and
+  *     reports the per-query MEDIAN — a single run on a shared VM is
+  *     scheduler-noise-bound and unfalsifiable;
+  *   - queries execute in stable (sorted-by-name) order so runs are
+  *     comparable across rounds;
+  *   - a failing query is NOT swallowed into a plausible timing: its
+  *     error lands in an "errors" object and the process exits 1 after
+  *     printing, so a broken build can never masquerade as a fast one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,15 +31,37 @@ object Bench {
     // one-time JVM initialization.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val medians = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+            None
+        }
+      }
+      // persist()ed intermediates (dd02/dd05 signatures) must not leak
+      // cached state into the next query's timing or the next round.
+      spark.sharedState.cacheManager.clearCache()
+      val med =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply(times.size / 2)
+      name -> med
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = medians.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = medians.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

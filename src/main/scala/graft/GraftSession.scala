@@ -24,25 +24,48 @@ class GraftSession(val spark: SparkSession, root: String) {
 
   /** Execute a statement for effect (ella.rs:100). Catalog DDL —
     * ella's `CREATE VIEW ... AS`, `CREATE MATERIALIZED VIEW ... AS`,
-    * `DROP TABLE/VIEW` (lazy/view.rs, table/view.rs) — routes to the
-    * durable TopicCatalog; anything else runs as a query. */
+    * `DROP TABLE/VIEW`, `USE CATALOG` / `USE SCHEMA`
+    * (lazy/view.rs, table/view.rs, ella.rs:118-137) — routes to the
+    * durable TopicCatalog; anything else runs distributed for effect
+    * via the `noop` sink — result rows are NEVER collected to the
+    * driver (a full-table `collect()` on a 100 TB table is a driver
+    * OOM, not an execution strategy). */
   def execute(sql: String): Unit = {
     val ViewRe = """(?is)\s*CREATE\s+(MATERIALIZED\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+)""".r
     val DropRe = """(?is)\s*DROP\s+(?:TABLE|VIEW)\s+([\w.]+)\s*""".r
+    val UseCatRe = """(?is)\s*USE\s+CATALOG\s+([\w]+)\s*""".r
+    val UseSchemaRe = """(?is)\s*USE\s+(?:SCHEMA\s+)?([\w]+)\s*""".r
     sql match {
       case ViewRe(mat, name, body) =>
         registerTempViews()
         if (mat != null) catalog.materializeView(name, body.trim)
         else catalog.createView(name, body.trim)
       case DropRe(name) => catalog.dropTable(name)
-      case _ => query(sql).collect()
+      case UseCatRe(c) => catalog.useCatalog(c)
+      case UseSchemaRe(s) => catalog.useSchema(s)
+      case _ => query(sql).write.format("noop").mode("overwrite").save()
     }
   }
+
+  /** Switch default catalog/schema context (ella.rs:118-137). */
+  def useCatalog(c: String): Unit = catalog.useCatalog(c)
+  def useSchema(s: String): Unit = catalog.useSchema(s)
 
   /** Scan a table by (possibly qualified) name (ella.rs:105). */
   def table(ref: String): DataFrame = catalog.table(ref)
 
   def createTopic(name: String): Unit = catalog.createTopic(name, store)
+
+  /** Explicit creation with declared schema and conflict policy
+    * (ella.rs:176-199 `create_table(schema, if_not_exists, or_replace)`). */
+  def createTopic(name: String, schema: org.apache.spark.sql.types.StructType,
+                  ifNotExists: Boolean = false, orReplace: Boolean = false): Unit =
+    catalog.createTopic(name, store, Some(schema), ifNotExists, orReplace)
+
+  /** Session-scoped topic: queryable like any table, never persisted
+    * (README "Concepts": temporary topics are not stored). */
+  def createTempTopic(name: String, df: DataFrame): Unit =
+    catalog.createTempTopic(name, df)
 
   def publish(name: String, df: DataFrame, tsCol: String = "time"): Unit = {
     if (!catalog.contains(name)) createTopic(name)

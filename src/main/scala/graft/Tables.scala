@@ -18,6 +18,27 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Widen a scan ONLY when it arrives under-parallelized.
+    *
+    * The local testdata is one small parquet file per table → a 1-ish
+    * partition scan that would serialize every downstream stage on
+    * local[32]. But an unconditional `repartition()` baked into an
+    * operator is an extra full shuffle of the corpus at cluster scale,
+    * where the scan already has thousands of splits. So: shuffle only
+    * if the planned scan has fewer partitions than the session's
+    * default parallelism (at 100 TB this is never true → no-op), and
+    * allow opting out entirely with `graft.autoSpread=false`.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val auto = spark.conf.getOption("graft.autoSpread").forall(_.toBoolean)
+    if (!auto) df
+    else {
+      val target = spark.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+  }
+
   /** `events` with its parquet TIMESTAMP(NANOS) `ts` column exposed as a
     * standard Spark TimestampType (microseconds).
     *

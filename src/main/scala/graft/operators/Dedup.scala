@@ -39,9 +39,9 @@ object Dedup {
     // Two-step projection: `words` materialized once per row (the split
     // would otherwise be re-inlined into every element_at of the
     // shingle lambda = O(words^2) per doc in interpreted HOF eval);
-    // repartition() spreads the CPU-heavy hashing across all cores even
-    // when the source is a single parquet file.
-    df.repartition()
+    // spread() widens under-parallelized scans so the CPU-heavy hashing
+    // uses all cores; it is a no-op at cluster scale (Tables.spread).
+    Tables.spread(df)
       .select(col("doc_id"), tokens(col("text")).as("words"))
       .select(col("doc_id"), shingles(col("words"), 3).as("sh"))
       .select(col("doc_id"),
@@ -86,7 +86,7 @@ object Dedup {
     // SimHash (16-bit, md5-nibble bit votes) + high-byte blocking +
     // hamming <= 3 verification.
     "dd03_simhash" -> ((s, d) => {
-      val toks = docs(s, d).repartition()
+      val toks = Tables.spread(docs(s, d))
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       val h4 = toks.withColumn("h4", substring(md5(col("tok")), 1, 4))
         .withColumn("val16",
@@ -117,7 +117,7 @@ object Dedup {
       // shingle-set side streams once and the planner can never pair
       // sets_a x sets_b into a de-facto cartesian product.
       val cand = broadcast(candidatePairs(docs(s, d)).select(col("a"), col("b")))
-      val sets = docs(s, d).repartition()
+      val sets = Tables.spread(docs(s, d))
         .select(col("doc_id"), tokens(col("text")).as("words"))
         .select(col("doc_id"), array_distinct(shingles(col("words"), 3)).as("sh"))
       sets.select(col("doc_id").as("a"), col("sh").as("sh_a"))
@@ -140,7 +140,7 @@ object Dedup {
     // only ever touches bucket-mates.
     "dd05_embed_neardup" -> ((s, d) => {
       val planes32 = Similarity.planesN(32)
-      val e = Tables(s, d, "embeddings").repartition()
+      val e = Tables.spread(Tables(s, d, "embeddings"))
       val bandCols = (0 until 4).map { band =>
         (0 until 8).map { j =>
           when(dotConst(col("embedding"), planes32(band * 8 + j)) > 0.0,

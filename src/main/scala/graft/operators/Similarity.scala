@@ -30,7 +30,7 @@ object Similarity {
   private[operators] val planes: Seq[Seq[Double]] = planesN(8)
 
   private def emb(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "embeddings").repartition()
+    Tables.spread(Tables(s, d, "embeddings"))
 
   private def bucketCol(e: Column): Column =
     planes.zipWithIndex.map { case (w, h) =>

@@ -80,7 +80,7 @@ object TextOps {
 
     // Content fingerprinting: md5 of normalized text + shingle stats.
     "tx04_fingerprint" -> ((s, d) => {
-      docs(s, d).repartition()
+      Tables.spread(docs(s, d))
         .withColumn("norm", lower(trim(regexp_replace(col("text"), "\\s+", " "))))
         .withColumn("fp", md5(col("norm")))
         .withColumn("words", tokens(col("norm")))
@@ -102,7 +102,7 @@ object TextOps {
       // generate_series(1, 0) is empty — so emit no bigrams explicitly
       // on both engines (explode of an empty array drops the row, just
       // like unnest of an empty list).
-      val bg = docs(s, d).repartition()
+      val bg = Tables.spread(docs(s, d))
         .withColumn("norm", lower(col("text")))
         .select(col("doc_id"),
           explode(when(length(col("norm")) >= 2,

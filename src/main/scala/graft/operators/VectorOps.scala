@@ -15,7 +15,7 @@ object VectorOps {
   // repartition(): embeddings ship as one parquet file locally; the
   // HOF vector math is interpreted (no codegen), so spread it.
   private def emb(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "embeddings").repartition()
+    Tables.spread(Tables(s, d, "embeddings"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Elementwise arithmetic (ops/binary_arith.rs): y = 2x + 1 on the
@@ -101,6 +101,95 @@ object VectorOps {
           foldSum(transform(pos, _.cast("double"))).as("pos_sum"),
           element_at(pos, 1).as("first_pos"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Unary arithmetic (ops/unary_arith.rs:10,44): neg/abs/sqrt/sign/
+    // exp over the first 8 components. sqrt is IEEE-correctly-rounded
+    // in both engines; exp is libm-dependent, so it is emitted on a
+    // 1e-4 floor grid (validated empirically against the oracle).
+    "v08_unary_arith" -> ((s, d) => {
+      emb(s, d)
+        .select(col("vec_id"), posexplode(transform(slice(col("embedding"), 1, 8), x => x.cast("double"))))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"),
+          (-col("col")).as("neg"),
+          abs(col("col")).as("absv"),
+          sqrt(abs(col("col"))).as("sqrtv"),
+          signum(col("col")).cast("int").as("sgn"),
+          floor(exp(col("col")) * 10000).cast("long").as("exp_q"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
+    // Boolean reductions (ops/boolean.rs:8,12 `all`/`any`): per-vector
+    // any/all/count over a comparison mask — exists/forall short-
+    // circuit per row, zero shuffle.
+    "v09_bool_reduce" -> ((s, d) => {
+      emb(s, d)
+        .select(col("vec_id"),
+          exists(col("embedding"), x => x.cast("double") > 0.5).as("any_hi"),
+          forall(col("embedding"), x => x.cast("double") > -1.0).as("all_gt"),
+          size(filter(col("embedding"), x => x.cast("double") > 0.5)).as("n_hi"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // concat + stack (ops/combine.rs:32,68): consecutive vectors
+    // (i, i+1) concatenated along the axis and stacked on a new axis
+    // (stack_row identifies the source). The pairing is an equi-join
+    // on vec_id — shuffle-partitionable at any scale.
+    "v10_concat_stack" -> ((s, d) => {
+      val e = emb(s, d)
+      val a = e.select(col("vec_id").as("vec_id"), col("embedding").as("ea"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb"))
+      a.join(b, "vec_id")
+        .select(col("vec_id"), posexplode(concat(slice(col("ea"), 1, 8), slice(col("eb"), 1, 8))))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"), col("col").cast("double").as("v"),
+          (col("pos") / 8).cast("int").as("stack_row"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
+    // scatter + index/gather (ops/scatter.rs, ops/index.rs): write
+    // zeros at a literal index set; `taken` carries the gathered
+    // values (null elsewhere). Pure per-row index arithmetic.
+    "v11_scatter_index" -> ((s, d) => {
+      val idxArr = array(Seq(5, 17, 33, 60).map(lit): _*)
+      emb(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"),
+          when(array_contains(idxArr, col("pos") + 1), lit(0.0))
+            .otherwise(col("col").cast("double")).as("scattered"),
+          when(array_contains(idxArr, col("pos") + 1), col("col").cast("double")).as("taken"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
+    // dtype conversion (ops/convert.rs): exact f32→f64 widening, and
+    // integer conversions via floor (Spark CAST truncates toward zero
+    // while DuckDB CAST rounds — floor is the portable semantics).
+    "v12_convert" -> ((s, d) => {
+      emb(s, d)
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 8)))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"),
+          col("col").cast("double").as("as_f64"),
+          floor(col("col").cast("double")).cast("long").as("as_i64_floor"),
+          floor(col("col").cast("double") * 1000 + 0.5).cast("long").as("as_milli"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
+    // 2-D tensor columns (ella's Const<2> columns, ella-engine/src/
+    // lazy.rs:80-93 `col2`; ella-tensor shaped tensors): the 64-vector
+    // reshaped to an 8x8 array<array<double>> matrix column, then
+    // per-axis reductions (row/col sums) and matrix x vector — all
+    // per-row HOF folds, no shuffle, scan speed at any scale.
+    "v13_tensor2d" -> ((s, d) => {
+      val pattern8 = array((0 until 8).map(i => lit(if (i % 2 == 0) 1.0 else -1.0)): _*)
+      emb(s, d)
+        .withColumn("mat", transform(sequence(lit(0), lit(7)), r =>
+          transform(slice(col("embedding"), r * 8 + 1, lit(8)), x => x.cast("double"))))
+        .select(col("vec_id"), posexplode(transform(sequence(lit(1), lit(8)), i => struct(
+          foldSum(element_at(col("mat"), i)).as("row_sum"),
+          foldSum(transform(col("mat"), row => element_at(row, i))).as("col_sum"),
+          foldSum(zip_with(element_at(col("mat"), i), pattern8, (x, w) => x * w)).as("mv")))))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"),
+          col("col.row_sum").as("row_sum"), col("col.col_sum").as("col_sum"), col("col.mv").as("mv"))
+        .orderBy(col("vec_id"), col("pos"))
     })
   )
 
@@ -153,6 +242,55 @@ object VectorOps {
         | CAST(len(list_filter(embedding, x -> x > 0.0)) AS INT) AS n_pos,
         | list_sum(list_transform(list_filter(embedding, x -> x > 0.0), x -> CAST(x AS DOUBLE))) AS pos_sum,
         | list_filter(embedding, x -> x > 0.0)[1] AS first_pos
-        |FROM embeddings ORDER BY vec_id""".stripMargin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "v08_unary_arith" ->
+      """SELECT vec_id,
+        | CAST(unnest(generate_series(1, 8)) AS INT) AS pos,
+        | unnest(list_transform(embedding[1:8], x -> -CAST(x AS DOUBLE))) AS neg,
+        | unnest(list_transform(embedding[1:8], x -> abs(CAST(x AS DOUBLE)))) AS absv,
+        | unnest(list_transform(embedding[1:8], x -> sqrt(abs(CAST(x AS DOUBLE))))) AS sqrtv,
+        | CAST(unnest(list_transform(embedding[1:8], x -> sign(CAST(x AS DOUBLE)))) AS INT) AS sgn,
+        | CAST(unnest(list_transform(embedding[1:8], x -> floor(exp(CAST(x AS DOUBLE)) * 10000))) AS BIGINT) AS exp_q
+        |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
+    "v09_bool_reduce" ->
+      """SELECT vec_id,
+        | len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.5)) > 0 AS any_hi,
+        | len(list_filter(embedding, x -> NOT (CAST(x AS DOUBLE) > -1.0))) = 0 AS all_gt,
+        | CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.5)) AS INT) AS n_hi
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "v10_concat_stack" ->
+      """SELECT a.vec_id,
+        | CAST(unnest(generate_series(1, 16)) AS INT) AS pos,
+        | unnest(list_transform(a.embedding[1:8] || b.embedding[1:8], x -> CAST(x AS DOUBLE))) AS v,
+        | CAST(unnest(list_transform(generate_series(1, 16), i -> (i - 1) // 8)) AS INT) AS stack_row
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY a.vec_id, pos""".stripMargin,
+    "v11_scatter_index" ->
+      """SELECT vec_id,
+        | CAST(unnest(generate_series(1, len(embedding))) AS INT) AS pos,
+        | unnest(list_transform(generate_series(1, len(embedding)),
+        |   i -> CASE WHEN i IN (5, 17, 33, 60) THEN 0.0 ELSE CAST(embedding[i] AS DOUBLE) END)) AS scattered,
+        | unnest(list_transform(generate_series(1, len(embedding)),
+        |   i -> CASE WHEN i IN (5, 17, 33, 60) THEN CAST(embedding[i] AS DOUBLE) ELSE NULL END)) AS taken
+        |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
+    "v12_convert" ->
+      """SELECT vec_id,
+        | CAST(unnest(generate_series(1, 8)) AS INT) AS pos,
+        | unnest(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS as_f64,
+        | CAST(unnest(list_transform(embedding[1:8], x -> floor(CAST(x AS DOUBLE)))) AS BIGINT) AS as_i64_floor,
+        | CAST(unnest(list_transform(embedding[1:8], x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5))) AS BIGINT) AS as_milli
+        |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
+    "v13_tensor2d" ->
+      """WITH m AS (
+        | SELECT vec_id, list_transform(generate_series(0, 7),
+        |   r -> list_transform(embedding[r*8+1 : r*8+8], x -> CAST(x AS DOUBLE))) AS mat
+        | FROM embeddings)
+        |SELECT vec_id,
+        | CAST(unnest(generate_series(1, 8)) AS INT) AS pos,
+        | unnest(list_transform(generate_series(1, 8), i -> list_sum(mat[i]))) AS row_sum,
+        | unnest(list_transform(generate_series(1, 8), i -> list_sum(list_transform(mat, row -> row[i])))) AS col_sum,
+        | unnest(list_transform(generate_series(1, 8), i -> list_sum(list_transform(generate_series(1, 8),
+        |   j -> mat[i][j] * CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END)))) AS mv
+        |FROM m ORDER BY vec_id, pos""".stripMargin
   )
 }

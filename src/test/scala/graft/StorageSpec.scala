@@ -94,6 +94,72 @@ class StorageSpec extends SparkSpec {
     assert(!gs.catalog.contains("meter_by_key"))
   }
 
+  test("view SQL with quotes/newlines survives a manifest reload byte-for-byte") {
+    val root = tmp()
+    val cat = new TopicCatalog(spark, root)
+    sampleEvents(10).createOrReplaceTempView("esc_src")
+    val sql = "SELECT key, count(*) AS n FROM esc_src\nWHERE key <> \"k9\" AND key != 'a\\\"b'\tGROUP BY key"
+    cat.createView("v_esc", sql)
+    val cat2 = new TopicCatalog(spark, root)
+    assert(cat2.contains("v_esc"), "view lost on reload")
+    assert(cat2.table("v_esc").count() == 3, "reloaded view SQL no longer runs")
+  }
+
+  test("useCatalog/useSchema switch the resolution context") {
+    val root = tmp()
+    val store = new TopicStore(spark, s"$root/topics")
+    val cat = new TopicCatalog(spark, root)
+    cat.createTopic("a", store)
+    assert(cat.resolve("a") == "ella.public.a")
+    cat.useSchema("metrics")
+    assert(cat.resolve("a") == "ella.metrics.a")
+    cat.useCatalog("prod")
+    assert(cat.resolve("a") == "prod.metrics.a")
+    cat.createTopic("a", store) // distinct fqn — no conflict with ella.public.a
+    assert(cat.contains("a") && cat.list().map(_._1).contains("prod.metrics.a"))
+    // SQL route too (ella's use_catalog/use_schema as statements)
+    val gs = new GraftSession(spark, tmp())
+    gs.execute("USE CATALOG warehouse")
+    gs.execute("USE SCHEMA raw")
+    assert(gs.catalog.resolve("t") == "warehouse.raw.t")
+  }
+
+  test("temporary topics are queryable but never persisted") {
+    val root = tmp()
+    val gs = new GraftSession(spark, root)
+    gs.createTempTopic("scratch", sampleEvents(15))
+    assert(gs.table("scratch").count() == 15)
+    assert(gs.query("SELECT count(*) AS n FROM scratch").collect().head.getLong(0) == 15)
+    // not in the durable manifest: a fresh catalog over the same root
+    // has never heard of it
+    val cat2 = new TopicCatalog(spark, root)
+    assert(!cat2.contains("scratch"), "temporary topic leaked into the manifest")
+  }
+
+  test("explicit createTopic: declared schema, ifNotExists, orReplace") {
+    import org.apache.spark.sql.types._
+    val gs = new GraftSession(spark, tmp())
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("time", TimestampType),
+      StructField("key", StringType), StructField("value", DoubleType)))
+    gs.createTopic("typed", schema)
+    // declared schema visible before any publish
+    assert(gs.table("typed").schema.fieldNames.toSeq == Seq("id", "time", "key", "value"))
+    assert(gs.table("typed").count() == 0)
+    intercept[IllegalStateException] { gs.createTopic("typed", schema) }
+    gs.createTopic("typed", schema, ifNotExists = true) // no-op, no throw
+    gs.createTopic("typed", schema, orReplace = true)
+    assert(gs.table("typed").count() == 0)
+  }
+
+  test("execute() runs non-DDL statements without collecting to the driver") {
+    val gs = new GraftSession(spark, tmp())
+    gs.publish("wide", sampleEvents(1000))
+    // would be a driver OOM at scale if this collected; noop sink keeps
+    // execution fully distributed
+    gs.execute("SELECT * FROM wide")
+  }
+
   test("typed Dataset API: events as Dataset[TopicEvent]") {
     val ds = Tables.eventsDs(spark, sfDir)
     val first = ds.filter((e: graft.streaming.TopicEvent) => e.value > 0).head()
