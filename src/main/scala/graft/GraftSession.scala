@@ -67,6 +67,28 @@ class GraftSession(val spark: SparkSession, root: String) {
   def createTempTopic(name: String, df: DataFrame): Unit =
     catalog.createTempTopic(name, df)
 
+  /** Batch-ingest CSV/JSON (or any Spark source format) into a topic —
+    * the reference accepts arbitrary Arrow record batches on publish
+    * (ella/src/ella.rs `publish`, ella-engine row sinks); here any
+    * `spark.read` format lands in the same bucketed parquet layout,
+    * so downstream queries/pruning/compaction are format-agnostic.
+    * The read itself is distributed (one task per input split) — the
+    * driver never touches row data. `tsCol` is cast to timestamp when
+    * the source format (e.g. CSV without inferSchema) read it as
+    * string/long. */
+  def ingest(name: String, path: String, format: String = "csv",
+             options: Map[String, String] = Map("header" -> "true", "inferSchema" -> "true"),
+             schema: Option[org.apache.spark.sql.types.StructType] = None,
+             tsCol: String = "time"): Unit = {
+    val reader = spark.read.format(format).options(options)
+    val raw = schema.map(reader.schema).getOrElse(reader).load(path)
+    require(raw.columns.contains(tsCol), s"ingest needs a '$tsCol' column; found ${raw.columns.mkString(", ")}")
+    val df =
+      if (raw.schema(tsCol).dataType == org.apache.spark.sql.types.TimestampType) raw
+      else raw.withColumn(tsCol, org.apache.spark.sql.functions.col(tsCol).cast("timestamp"))
+    publish(name, df, tsCol)
+  }
+
   def publish(name: String, df: DataFrame, tsCol: String = "time"): Unit = {
     if (!catalog.contains(name)) createTopic(name)
     store.append(catalog.resolve(name), df, tsCol)

@@ -160,6 +160,24 @@ class StorageSpec extends SparkSpec {
     gs.execute("SELECT * FROM wide")
   }
 
+  test("ingest lands CSV and JSON rows in the bucketed topic layout") {
+    val gs = new GraftSession(spark, tmp())
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/rows.csv"),
+      "id,time,key,value\n1,2023-11-14 22:13:20,k0,1.5\n2,2023-11-14 23:13:20,k1,2.5\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/rows.json"),
+      """{"id":3,"time":"2023-11-15 00:13:20","key":"k2","value":3.5}""" + "\n" +
+      """{"id":4,"time":"2023-11-15 01:13:20","key":"k0","value":4.5}""" + "\n")
+    gs.ingest("mixed", s"$dir/rows.csv", "csv")
+    gs.ingest("mixed", s"$dir/rows.json", "json")
+    assert(gs.table("mixed").count() == 4)
+    // both formats land in the SAME time-bucketed parquet topic:
+    // bucket pruning works across them
+    assert(gs.table("mixed").columns.contains("bucket"))
+    assert(gs.query("SELECT count(*) AS n FROM mixed WHERE key = 'k0'")
+      .collect().head.getLong(0) == 2)
+  }
+
   test("typed Dataset API: events as Dataset[TopicEvent]") {
     val ds = Tables.eventsDs(spark, sfDir)
     val first = ds.filter((e: graft.streaming.TopicEvent) => e.value > 0).head()
