@@ -31,14 +31,19 @@ object VectorOps {
     }),
 
     // Per-vector reductions (ops/reduce.rs): sum, mean, min, max, L2.
+    // The fold is computed ONCE and mean derived from it in a second
+    // projection — the interpreted HOF is the dominant cost and
+    // Catalyst does not CSE subexpressions across aggregate aliases.
     "v02_reduce" -> ((s, d) => {
       emb(s, d)
         .select(col("vec_id"),
           foldSum(transform(col("embedding"), _.cast("double"))).as("vsum"),
-          (foldSum(transform(col("embedding"), _.cast("double"))) / size(col("embedding"))).as("vmean"),
+          size(col("embedding")).as("dim"),
           array_min(col("embedding")).as("vmin"),
           array_max(col("embedding")).as("vmax"),
           l2norm(col("embedding")).as("l2"))
+        .select(col("vec_id"), col("vsum"), (col("vsum") / col("dim")).as("vmean"),
+          col("vmin"), col("vmax"), col("l2"))
         .orderBy(col("vec_id"))
     }),
 
