@@ -58,6 +58,20 @@ object TopicStream {
       }
   }
 
+  /** Per-user activity sessions that close after `gap` of inactivity —
+    * the streaming form of the batch ts05_session operator, via
+    * Spark's native session_window. The watermark bounds open-session
+    * state, so state size is O(active users), not O(history). */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+                   watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("value_c", round(col("value") * 100).cast("long"))
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_c")).as("sum_value_cents"))
+      .select(col("session_window.start").as("s_start"), col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("sum_value_cents"))
+
   /** Stream-static enrichment join: the dim side is broadcast, so the
     * stream never shuffles. */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =

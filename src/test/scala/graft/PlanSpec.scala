@@ -71,6 +71,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"dd05 must never be all-pairs:\n$p")
   }
 
+  test("v13 2-D tensor ops plan zero exchanges before the output sort") {
+    // per-row reshape + axis reduces + matvec must all fuse into
+    // projections over the scan; the only exchange allowed is the
+    // final orderBy (oracle determinism, not part of the operator)
+    val p = plan("v13_tensor2d")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Window"),
+      s"v13 must not shuffle for the tensor math:\n$p")
+  }
+
+  test("sp01 sampling is a pure filter at the scan (no shuffle, no window)") {
+    val p = plan("sp01_stratified_sample")
+    assert(!p.contains("Window"), s"sampling must not rank:\n$p")
+    assert(!p.contains("hashpartitioning"), s"sampling must not shuffle:\n$p")
+  }
+
   test("no query ever degenerates into a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)

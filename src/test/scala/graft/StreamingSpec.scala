@@ -38,6 +38,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows close after the inactivity gap and emit on watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.sessionStats(input.toDF(), "30 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      input.addData(events(): _*)
+      q.processAllAvailable()
+      // push the watermark past every open session's end (sessions
+      // emit in the batch AFTER the watermark advances)
+      input.addData(TopicEvent(90, ts("2024-01-01 03:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(TopicEvent(91, ts("2024-01-01 04:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("s_start").toString, r.getAs[Long]("user_id"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("sum_value_cents")))
+        .filter(_._2 != 9L).toSet // drop the watermark-nudge user's own session
+      // user 1: 00:05+00:15 merge (gap<30m), 01:05 is a new session;
+      // user 2: 00:45+01:10 merge
+      assert(rows == Set(
+        ("2024-01-01 00:05:00.0", 1L, 2L, 300L),
+        ("2024-01-01 01:05:00.0", 1L, 1L, 400L),
+        ("2024-01-01 00:45:00.0", 2L, 2L, 800L)))
+    } finally q.stop()
+  }
+
   test("latestPerKey keeps newest value and counts rows seen") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
