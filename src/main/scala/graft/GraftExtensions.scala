@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.DotProductExpr
+import graft.plans.{CosineSimExpr, DotProductExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -13,20 +13,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotFunction)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_dot"),
-    new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
-    (args: Seq[Expression]) => DotProductExpr(args(0), args(1)))
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
 
   /** Register graft functions on an already-built session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = dotFunction
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

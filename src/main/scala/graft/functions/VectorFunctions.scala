@@ -38,7 +38,14 @@ object VectorFunctions {
 
   def l2norm(a: Column): Column = sqrt(l2normSq(a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity — fused one-pass native kernel
+    * ([[graft.plans.CosineSimExpr]]): dot + both norms in a single
+    * loop, bit-identical to `dot(a,b)/(l2norm(a)*l2norm(b))`. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.CosineSimExpr(
+        org.apache.spark.sql.graft.bridge.expression(a),
+        org.apache.spark.sql.graft.bridge.expression(b)))
 
   /** Squared L2 distance between a float vector and a double-array column. */
   def l2distSq(a: Column, c: Column): Column =

@@ -94,6 +94,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("fused graft_cosine kernel is codegen'd and bitwise-equal to the unfused form") {
+    GraftExtensions.register(spark)
+    import graft.functions.VectorFunctions
+    val e = Tables(spark, sfDir, "embeddings")
+    val q = e.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").as("q_emb"))
+    val fusedDf = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorFunctions.cosine(col("embedding"), col("q_emb")).as("c"))
+    val p = fusedDf.queryExecution.executedPlan.toString
+    assert(p.contains("graft_cosine"), s"fused kernel should appear in the plan:\n$p")
+    val fused = fusedDf.orderBy(col("vec_id")).collect().map(_.getDouble(1))
+    val unfused = e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (VectorFunctions.dot(col("embedding"), col("q_emb")) /
+          (sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))) *
+           sqrt(VectorFunctions.dot(col("q_emb"), col("q_emb"))))).as("c"))
+      .orderBy(col("vec_id")).collect().map(_.getDouble(1))
+    assert(fused.sameElements(unfused), "one-pass fold must be bit-identical to three passes")
+  }
+
   test("native graft_dot expression participates in codegen") {
     GraftExtensions.register(spark)
     val df = spark.sql(
