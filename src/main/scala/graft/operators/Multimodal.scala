@@ -42,6 +42,26 @@ object Multimodal {
       phash8 = h.substring(0, 8))
   }
 
+  /** One sampled "frame" of a media payload. */
+  case class MediaFrame(doc_id: Long, frame_idx: Int, frame_ts_ms: Int,
+                        fhash8: String, brightness: Int)
+
+  /** STUB frame sampler: a real deployment would demux the container
+    * and decode every k-th frame here. Deterministic fake: frame count
+    * and per-frame features derived from the payload digest. The 1→N
+    * row expansion inside mapPartitions is the real shape of a frame
+    * sampler at 100 TB — expansion happens executor-side per batch,
+    * never on the driver, and downstream operators see ordinary rows.
+    */
+  private[operators] def sampleFramesStub(in: MediaIn): Iterator[MediaFrame] = {
+    val h = md5hex(in.payload)
+    val n = 2 + nib(h(3)) % 4
+    Iterator.range(0, n).map { i =>
+      val fh = md5hex((h + ":" + i).getBytes("UTF-8"))
+      MediaFrame(in.doc_id, i, i * 40, fh.substring(0, 8), nib(fh(0)) * 16 + nib(fh(1)))
+    }
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary payload column + batched per-partition decode.
     "mm01_binary_meta" -> ((s, d) => {
@@ -52,6 +72,18 @@ object Multimodal {
       media.mapPartitions(_.map(decodeStub))
         .toDF()
         .orderBy(col("doc_id"))
+    }),
+
+    // Frame sampling: binary payload → N frame rows with per-frame
+    // features, expanded per partition batch (video pipeline shape).
+    "mm02_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaIn]
+      media.mapPartitions(_.flatMap(sampleFramesStub))
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
     })
   )
 
@@ -67,6 +99,18 @@ object Multimodal {
         | CAST(64 + 16 * (instr('0123456789abcdef', substr(hx,2,1)) - 1) AS INT) AS width,
         | CAST(64 + 16 * (instr('0123456789abcdef', substr(hx,3,1)) - 1) AS INT) AS height,
         | substr(hx, 1, 8) AS phash8
-        |FROM h ORDER BY doc_id""".stripMargin
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "mm02_frame_sample" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |f AS (
+        | SELECT doc_id, hx,
+        |  unnest(generate_series(0, 1 + (instr('0123456789abcdef', substr(hx,4,1)) - 1) % 4)) AS fi
+        | FROM h),
+        |ff AS (SELECT doc_id, fi, md5(hx || ':' || CAST(fi AS VARCHAR)) AS fh FROM f)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(fi * 40 AS INT) AS frame_ts_ms,
+        | substr(fh, 1, 8) AS fhash8,
+        | CAST((instr('0123456789abcdef', substr(fh,1,1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(fh,2,1)) - 1) AS INT) AS brightness
+        |FROM ff ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
