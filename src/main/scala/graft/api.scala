@@ -73,6 +73,33 @@ object api {
         .drop("_h")
   }
 
+  implicit class SamplingOps(private val df: DataFrame) extends AnyVal {
+
+    /** Deterministic hash sample: keep ~`fraction` of rows, keyed on
+      * `idCol` and `seed`. A pure filter (zero shuffle), reproducible
+      * across reruns, and each row's fate is independent of every
+      * other row — so the sample is stable under corpus growth. */
+    def hashSample(idCol: String, fraction: Double, seed: String = "graft"): DataFrame = {
+      require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+      if (fraction >= 1.0) df
+      else {
+        // first 4 hex chars = 16 bits of the digest → resolution 1/65536
+        val bound = f"${math.round(fraction * 65536).min(65535L)}%04x"
+        df.filter(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 4) < bound)
+      }
+    }
+
+    /** Deterministic per-group reservoir: exactly `k` rows per value
+      * of `groupCol`, chosen by hash order (a seeded shuffle both
+      * reruns and engines reproduce). */
+    def reservoirPerGroup(groupCol: String, idCol: String, k: Int,
+                          seed: String = "graft"): DataFrame = {
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))), col(idCol))
+      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+    }
+  }
+
   implicit class VectorOpsSyntax(private val df: DataFrame) extends AnyVal {
 
     /** Brute-force cosine top-k against a query vector column-set

@@ -49,6 +49,33 @@ class ApiSpec extends SparkSpec {
     assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
   }
 
+  test("hashSample is reproducible, growth-stable, and near the target fraction") {
+    val docs = Tables(spark, sfDir, "documents")
+    val s1 = docs.hashSample("doc_id", 0.25)
+    val s2 = docs.hashSample("doc_id", 0.25)
+    assert(s1.collect().toSeq == s2.collect().toSeq, "same seed must reproduce the sample")
+    val n = docs.count().toDouble
+    val frac = s1.count() / n
+    assert(frac > 0.15 && frac < 0.35, s"expected ~0.25, got $frac")
+    // growth stability: a row kept in the full corpus is kept in any subset
+    val subsetKept = docs.filter(col("doc_id") < 100).hashSample("doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fullKept = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(subsetKept == fullKept.filter(_ < 100))
+  }
+
+  test("reservoirPerGroup keeps exactly k rows per group, matching sp02") {
+    val viaApi = Tables(spark, sfDir, "documents")
+      .reservoirPerGroup("source", "doc_id", 5, seed = "sp02-alt")
+    val sizes = viaApi.groupBy("source").count().select("count").distinct().collect()
+    assert(sizes.map(_.getLong(0)).toSeq == Seq(5L))
+    // deterministic: same call, same rows
+    val again = Tables(spark, sfDir, "documents")
+      .reservoirPerGroup("source", "doc_id", 5, seed = "sp02-alt")
+    assert(viaApi.orderBy("source", "doc_id").collect().toSeq ==
+      again.orderBy("source", "doc_id").collect().toSeq)
+  }
+
   test("asofJoin picks most recent right row per key") {
     import spark.implicits._
     val left = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDF("k", "t")
