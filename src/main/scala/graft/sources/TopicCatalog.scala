@@ -19,13 +19,19 @@ import scala.collection.mutable
   *  - views: named queries, recomputed per scan, or materialized to
   *    parquet (ella-engine/src/table/view.rs, lazy/view.rs)
   *
-  * Durability: every mutation rewrites the full snapshot through a
-  * temp file + atomic rename, so a crash mid-commit leaves either the
-  * old or the new manifest — never a torn one (the reference gets the
-  * same guarantee from its transaction log + snapshot pair). The
-  * manifest is real JSON written AND parsed with jackson (already on
-  * the Spark classpath), so view SQL containing quotes, newlines, or
-  * any other escape survives a reload byte-for-byte.
+  * Durability — the reference's transaction log + snapshot pair
+  * (ella-engine/src/registry/transactions.rs, snapshot.rs), re-done on
+  * plain files:
+  *  - every mutation APPENDS one JSON op line to `_graft_catalog.log`
+  *    (O(1) per commit, not O(catalog));
+  *  - every `snapshotEvery` ops (or on [[checkpoint]]) the full state
+  *    is written through a temp file + atomic rename and the log is
+  *    truncated — a crash at any point leaves either the old or the
+  *    new snapshot plus a replayable tail, never a torn manifest;
+  *  - [[load]] reads the snapshot then replays the log tail.
+  * Both files are real JSON written AND parsed with jackson (already
+  * on the Spark classpath), so view SQL containing quotes, newlines,
+  * or any other escape survives a reload byte-for-byte.
   */
 class TopicCatalog(spark: SparkSession, root: String,
                    defaultCatalog: String = "ella", defaultSchema: String = "public") {
@@ -40,6 +46,10 @@ class TopicCatalog(spark: SparkSession, root: String,
   }
 
   private val manifestPath = Paths.get(s"$root/_graft_catalog.json")
+  private val logPath = Paths.get(s"$root/_graft_catalog.log")
+  /** Ops between automatic snapshot compactions of the log. */
+  private val snapshotEvery = 64
+  private var opsSinceSnapshot = 0
   private val entries = mutable.LinkedHashMap[String, Entry]()
   load()
 
@@ -86,7 +96,7 @@ class TopicCatalog(spark: SparkSession, root: String,
         .write.mode(SaveMode.Overwrite).parquet(path)
     }
     entries(fqn) = Topic(path)
-    save()
+    commit("put", fqn, Some(entries(fqn)))
   }
 
   /** Temporary topic: registered for query resolution, never persisted
@@ -97,7 +107,7 @@ class TopicCatalog(spark: SparkSession, root: String,
 
   def createView(ref: String, sql: String): Unit = {
     entries(resolve(ref)) = View(sql, None)
-    save()
+    commit("put", resolve(ref), Some(entries(resolve(ref))))
   }
 
   /** Materialize a view's current result to parquet (LazyToView /
@@ -106,12 +116,12 @@ class TopicCatalog(spark: SparkSession, root: String,
     val path = s"$root/_materialized/${resolve(ref)}"
     spark.sql(sql).write.mode(SaveMode.Overwrite).parquet(path)
     entries(resolve(ref)) = View(sql, Some(path))
-    save()
+    commit("put", resolve(ref), Some(entries(resolve(ref))))
   }
 
   def dropTable(ref: String): Boolean = {
     val removed = entries.remove(resolve(ref))
-    if (removed.exists(_.kind != "temp_topic")) save()
+    if (removed.exists(_.kind != "temp_topic")) commit("drop", resolve(ref), None)
     removed.isDefined
   }
 
@@ -128,21 +138,49 @@ class TopicCatalog(spark: SparkSession, root: String,
 
   def contains(ref: String): Boolean = entries.contains(resolve(ref))
 
-  // -- manifest persistence: real JSON via jackson, atomic snapshot --
+  // -- persistence: jackson JSON, append-only op log + atomic snapshot --
 
   // lazy: load() runs from the constructor, before plain vals declared
   // below the `load()` call would be initialized
   private lazy val mapper = new ObjectMapper()
 
-  private def save(): Unit = {
+  private def entryFields(o: ObjectNode, e: Entry): Unit = e match {
+    case Topic(p) => o.put("kind", "topic"); o.put("path", p)
+    case View(sql, mp) =>
+      o.put("kind", "view"); o.put("sql", sql); mp.foreach(o.put("path", _))
+    case TempTopic(_) =>
+      throw new IllegalStateException("temporary topics are never persisted")
+  }
+
+  private def applyNode(name: String, node: JsonNode): Unit =
+    node.path("kind").asText() match {
+      case "topic" => entries(name) = Topic(node.path("path").asText())
+      case "view" =>
+        val mp = Option(node.get("path")).map(_.asText())
+        entries(name) = View(node.path("sql").asText(), mp)
+      case _ => ()
+    }
+
+  /** Commit one mutation: O(1) append to the transaction log, with a
+    * snapshot compaction every `snapshotEvery` ops. */
+  private def commit(op: String, name: String, entry: Option[Entry]): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("op", op); o.put("name", name)
+    entry.foreach(e => entryFields(o.putObject("entry"), e))
+    Files.createDirectories(logPath.getParent)
+    Files.writeString(logPath, mapper.writeValueAsString(o) + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    opsSinceSnapshot += 1
+    if (opsSinceSnapshot >= snapshotEvery) checkpoint()
+  }
+
+  /** Write the full-state snapshot (temp file + atomic rename) and
+    * truncate the log — the reference registry's snapshot compaction. */
+  def checkpoint(): Unit = {
     val doc = mapper.createObjectNode()
     entries.foreach {
       case (_, TempTopic(_)) => () // session-only, never durable
-      case (n, Topic(p)) =>
-        val o = doc.putObject(n); o.put("kind", "topic"); o.put("path", p)
-      case (n, View(sql, mp)) =>
-        val o = doc.putObject(n); o.put("kind", "view"); o.put("sql", sql)
-        mp.foreach(o.put("path", _))
+      case (n, e) => entryFields(doc.putObject(n), e)
     }
     Files.createDirectories(manifestPath.getParent)
     val tmp = manifestPath.resolveSibling(manifestPath.getFileName.toString + ".tmp")
@@ -150,20 +188,28 @@ class TopicCatalog(spark: SparkSession, root: String,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, manifestPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Files.deleteIfExists(logPath)
+    opsSinceSnapshot = 0
   }
 
+  /** Snapshot first, then replay the log tail (ops committed after the
+    * last checkpoint; survives a crash between append and snapshot). */
   private def load(): Unit = {
-    if (!Files.exists(manifestPath)) return
-    val doc = mapper.readTree(Files.readString(manifestPath))
-    doc.properties().forEach { e =>
-      val name = e.getKey
-      val node: JsonNode = e.getValue
-      node.path("kind").asText() match {
-        case "topic" => entries(name) = Topic(node.path("path").asText())
-        case "view" =>
-          val mp = Option(node.get("path")).map(_.asText())
-          entries(name) = View(node.path("sql").asText(), mp)
-        case _ => ()
+    if (Files.exists(manifestPath)) {
+      val doc = mapper.readTree(Files.readString(manifestPath))
+      doc.properties().forEach(e => applyNode(e.getKey, e.getValue))
+    }
+    if (Files.exists(logPath)) {
+      Files.readAllLines(logPath).forEach { line =>
+        if (line.nonEmpty) {
+          val o = mapper.readTree(line)
+          o.path("op").asText() match {
+            case "put" => applyNode(o.path("name").asText(), o.path("entry"))
+            case "drop" => entries.remove(o.path("name").asText())
+            case _ => ()
+          }
+          opsSinceSnapshot += 1
+        }
       }
     }
   }

@@ -105,6 +105,30 @@ class StorageSpec extends SparkSpec {
     assert(cat2.table("v_esc").count() == 3, "reloaded view SQL no longer runs")
   }
 
+  test("transaction log replays after a 'crash' and checkpoint compacts it") {
+    val root = tmp()
+    val store = new TopicStore(spark, s"$root/topics")
+    val cat = new TopicCatalog(spark, root)
+    cat.createTopic("t_a", store)
+    sampleEvents(5).createOrReplaceTempView("log_src")
+    cat.createView("v_a", "SELECT key FROM log_src")
+    cat.dropTable("t_a")
+    // no checkpoint yet: state lives ONLY in the log (simulated crash
+    // = a fresh instance that must recover from log replay)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/_graft_catalog.log")))
+    val cat2 = new TopicCatalog(spark, root)
+    assert(cat2.contains("v_a") && !cat2.contains("t_a"), "log replay must restore state")
+    // checkpoint: snapshot written atomically, log truncated
+    cat2.checkpoint()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/_graft_catalog.log")))
+    val cat3 = new TopicCatalog(spark, root)
+    assert(cat3.contains("v_a") && !cat3.contains("t_a"), "snapshot must carry full state")
+    // post-checkpoint mutations land in a fresh log tail
+    cat3.createTopic("t_b", store)
+    val cat4 = new TopicCatalog(spark, root)
+    assert(cat4.contains("t_b") && cat4.contains("v_a"))
+  }
+
   test("useCatalog/useSchema switch the resolution context") {
     val root = tmp()
     val store = new TopicStore(spark, s"$root/topics")
