@@ -276,6 +276,34 @@ object Relational {
         .withColumn("cd", cume_dist().over(w))
         .select(col("o_orderpriority"), col("o_orderkey"), col("quartile"), col("pr"), col("cd"))
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
+    // Range/banded join — the non-equi interval family. A naive
+    // BETWEEN join plans BroadcastNestedLoopJoin: every fact row
+    // probes every band = O(n*bands) compares and a nested loop that
+    // dies on a big band table. The 100 TB-shaped form: explode each
+    // band into the fixed-width integer buckets it covers, equi-join
+    // facts on floor(value/width) (hashable, partitionable, AQE-
+    // optimizable), then verify the exact [lo, hi) bounds. PlanSpec
+    // asserts the BroadcastHashJoin.
+    "q24_range_join" -> ((s, d) => {
+      import s.implicits._
+      val w = 5000.0
+      val bands = Seq(
+        ("b0_low", 0.0, 9999.5), ("b1_mid", 9999.5, 29999.25),
+        ("b2_high", 29999.25, 59999.0), ("b3_top", 59999.0, 120000.0))
+      val bandBuckets = bands.flatMap { case (b, lo, hi) =>
+        (math.floor(lo / w).toLong to math.floor((hi - 1e-9) / w).toLong)
+          .map(k => (b, lo, hi, k))
+      }.toDF("band", "lo", "hi", "bucket")
+      t(s, d, "lineitem")
+        .withColumn("bucket", floor(col("l_extendedprice") / w).cast("long"))
+        .join(broadcast(bandBuckets), "bucket")
+        .filter(col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"))
+        .orderBy(col("band"))
     })
   )
 
@@ -414,6 +442,16 @@ object Relational {
         | cume_dist() OVER w AS cd
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q24_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('b0_low', 0.0, 9999.5), ('b1_mid', 9999.5, 29999.25),
+        |  ('b2_high', 29999.25, 59999.0), ('b3_top', 59999.0, 120000.0))
+        |SELECT b.band, count(*) AS n,
+        | CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem l JOIN bands b
+        |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+        |GROUP BY b.band
+        |ORDER BY b.band""".stripMargin
   )
 }

@@ -86,6 +86,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), s"sampling must not shuffle:\n$p")
   }
 
+  test("q24 range join is a hash equi-join on buckets, not a nested loop") {
+    val p = plan("q24_range_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucketized range join must hash-join on the bucket key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join must not fall back to a nested loop:\n$p")
+  }
+
   test("no query ever degenerates into a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
