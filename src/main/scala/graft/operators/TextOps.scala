@@ -119,6 +119,30 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Distinctive-term extraction per source — tf-idf shape with a
+    // LOG-FREE idf: score = tf * n_sources * 1000 / df via integer
+    // division, so both engines produce identical longs (ln() is
+    // libm-dependent and hash-unsafe, SURVEY.md §5). Two shuffles
+    // (tf agg + df agg), top-k window bounded at k=3 per source.
+    "tx06_rare_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.spread(docs(s, d))
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 2)
+      val tf = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nsrc = toks.agg(countDistinct(col("source")).as("n_src"))
+      val w = Window.partitionBy(col("source")).orderBy(col("score_milli").desc, col("tok"))
+      tf.join(dfreq, "tok")
+        .crossJoin(broadcast(nsrc))
+        .withColumn("score_milli",
+          floor((col("tf") * col("n_src") * 1000) / col("df")).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("rn"), col("tok"), col("score_milli"))
+        .orderBy(col("source"), col("rn"))
+    }),
+
     // Exact dedup: md5 content hash, keep-first (min doc_id) per group.
     // At scale: one hash-partitioned shuffle on the digest.
     "dd01_exact" -> ((s, d) => {
@@ -206,6 +230,24 @@ object TextOps {
         | max(CASE WHEN rn = 1 THEN bg END) AS top_bigram,
         | CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_count
         |FROM ranked GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "tx06_rare_terms" ->
+      """WITH toks AS (
+        | SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        | FROM documents),
+        |ft AS (SELECT source, tok FROM toks WHERE length(tok) > 2),
+        |tf AS (SELECT source, tok, count(*) AS tf FROM ft GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |nsrc AS (SELECT count(DISTINCT source) AS n_src FROM ft),
+        |scored AS (
+        | SELECT tf.source, tf.tok,
+        |  CAST(floor((tf.tf * nsrc.n_src * 1000) / dfreq.df) AS BIGINT) AS score_milli
+        | FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN nsrc),
+        |ranked AS (
+        | SELECT *, CAST(row_number() OVER
+        |   (PARTITION BY source ORDER BY score_milli DESC, tok) AS INT) AS rn
+        | FROM scored)
+        |SELECT source, rn, tok, score_milli FROM ranked WHERE rn <= 3
+        |ORDER BY source, rn""".stripMargin,
     "dd01_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
