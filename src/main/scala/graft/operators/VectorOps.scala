@@ -178,6 +178,25 @@ object VectorOps {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // Tensor constructors (ops/constructors.rs: linspace:53, ones:30,
+    // range:63, eye:84) used as load-bearing operands: a linspace ramp
+    // projection, a ones-vector dot (= sum), a range() integer fold,
+    // and an eye-diagonal extraction (trace of the v13 8x8 view). All
+    // constructed arrays are literals — codegen folds them, zero I/O.
+    "v14_constructors" -> ((s, d) => {
+      val lin = array((0 until 8).map(i => lit(i / 7.0)): _*) // linspace(0,1,8)
+      val ones8 = array((0 until 8).map(_ => lit(1.0)): _*)   // ones(8)
+      val head8 = transform(slice(col("embedding"), 1, 8), x => x.cast("double"))
+      emb(s, d).select(col("vec_id"),
+        foldSum(zip_with(head8, lin, (x, w) => x * w)).as("ramp_proj"),
+        foldSum(zip_with(head8, ones8, (x, w) => x * w)).as("ones_dot"),
+        aggregate(transform(sequence(lit(2), lit(20), lit(3)), x => x.cast("long")),
+          lit(0L), (a, x) => a + x).as("range_sum"),
+        foldSum(transform(sequence(lit(1), lit(8)),
+          i => element_at(col("embedding"), (i - lit(1)) * 8 + i).cast("double"))).as("trace"))
+        .orderBy(col("vec_id"))
+    }),
+
     // 2-D tensor columns (ella's Const<2> columns, ella-engine/src/
     // lazy.rs:80-93 `col2`; ella-tensor shaped tensors): the 64-vector
     // reshaped to an 8x8 array<array<double>> matrix column, then
@@ -285,6 +304,16 @@ object VectorOps {
         | CAST(unnest(list_transform(embedding[1:8], x -> floor(CAST(x AS DOUBLE)))) AS BIGINT) AS as_i64_floor,
         | CAST(unnest(list_transform(embedding[1:8], x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5))) AS BIGINT) AS as_milli
         |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
+    "v14_constructors" ->
+      """SELECT vec_id,
+        | list_sum(list_transform(generate_series(1, 8),
+        |   i -> CAST(embedding[i] AS DOUBLE) * ((i - 1) / 7.0))) AS ramp_proj,
+        | list_sum(list_transform(generate_series(1, 8),
+        |   i -> CAST(embedding[i] AS DOUBLE) * 1.0)) AS ones_dot,
+        | CAST(list_sum(generate_series(2, 20, 3)) AS BIGINT) AS range_sum,
+        | list_sum(list_transform(generate_series(1, 8),
+        |   i -> CAST(embedding[(i - 1) * 8 + i] AS DOUBLE))) AS trace
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "v13_tensor2d" ->
       """WITH m AS (
         | SELECT vec_id, list_transform(generate_series(0, 7),
