@@ -13,8 +13,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -26,9 +28,14 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
 
-  /** Register graft functions on an already-built session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register graft functions + planner strategies on an
+    * already-built session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+  }
 }

@@ -52,6 +52,20 @@ object api {
         .select(col("_row.*"), col("_m").as(payload))
     }
 
+    /** As-of join via graft's native operator (custom LogicalPlan +
+      * Strategy + SparkPlan, [[graft.plans.AsofJoin]]): one exchange +
+      * sort per side, then a streaming O(1)-state merge — no window
+      * buffer, no row expansion. Requires non-null key/time. Call
+      * `GraftExtensions.register(spark)` once per session (or install
+      * via spark.sql.extensions). */
+    def asofJoinNative(right: DataFrame, leftKey: String, leftTime: String,
+                       rightKey: String, rightTime: String, payload: String*): DataFrame = {
+      import org.apache.spark.sql.graft.bridge
+      bridge.ofRows(df.sparkSession,
+        graft.plans.AsofJoin.resolve(bridge.analyzed(df), bridge.analyzed(right),
+          leftKey, leftTime, rightKey, rightTime, payload))
+    }
+
     /** Sessionize: new session when the gap exceeds `gapSeconds`. */
     def sessionize(keyCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
       val wo = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))

@@ -198,6 +198,25 @@ object TimeSeries {
         .withColumn("dt_s", col("epoch_s") - lag(col("epoch_s"), 1).over(w))
         .select(col("event_id"), col("user_id"), col("epoch_s"), col("value"), col("delta"), col("dt_s"))
         .orderBy(col("user_id"), col("epoch_s"), col("event_id"))
+    }),
+
+    // As-of join through graft's NATIVE operator (custom LogicalPlan +
+    // Strategy + AsofJoinExec, plans/AsofJoinPlan.scala): one exchange
+    // + sort per side, then a streaming O(1)-state per-partition merge
+    // — versus ts03's composed union+window form (same semantics, same
+    // oracle). The exec requires co-partitioning like a sort-merge
+    // join, so at 100 TB it is exactly one shuffle per side.
+    "ts12_asof_native" -> ((s, d) => {
+      graft.GraftExtensions.register(s)
+      import graft.api._
+      val ord = Tables(s, d, "orders")
+        .groupBy(col("o_custkey").cast("long").as("k"), col("o_orderdate").as("t"))
+        .agg(max(col("o_orderkey")).as("ord_key"))
+        .withColumn("t", (col("t") + expr("INTERVAL 29 YEARS")).cast("timestamp"))
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        .asofJoinNative(ord, "user_id", "ts", "k", "t", "ord_key")
+        .select(col("event_id"), col("user_id"), col("ts"), col("ord_key"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -216,6 +235,16 @@ object TimeSeries {
     "ts03_asof_join" ->
       """WITH ord AS (
         | SELECT o_custkey AS k, o_orderdate + INTERVAL 29 YEARS AS t,
+        |  max(o_orderkey) AS ord_key
+        | FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, ord.ord_key
+        |FROM events e ASOF LEFT JOIN ord
+        | ON e.user_id = ord.k AND e.ts >= ord.t
+        |ORDER BY e.event_id""".stripMargin,
+    "ts12_asof_native" ->
+      """WITH ord AS (
+        | SELECT CAST(o_custkey AS BIGINT) AS k,
+        |  CAST(o_orderdate + INTERVAL 29 YEARS AS TIMESTAMP) AS t,
         |  max(o_orderkey) AS ord_key
         | FROM orders GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, e.ts, ord.ord_key

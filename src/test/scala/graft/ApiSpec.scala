@@ -76,6 +76,25 @@ class ApiSpec extends SparkSpec {
       again.orderBy("source", "doc_id").collect().toSeq)
   }
 
+  test("native as-of operator matches the composed form; one exchange per side") {
+    GraftExtensions.register(spark)
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val orders = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_ts"), col("o_orderkey"))
+    val native = events.asofJoinNative(orders, "user_id", "ts", "o_custkey", "o_ts", "o_orderkey")
+    val composed = events.asofJoin(orders, "user_id", "ts", "o_custkey", "o_ts", "o_orderkey")
+    val n = native.orderBy("event_id").collect()
+    val c = composed.orderBy("event_id").collect()
+    assert(n.length == c.length && n.sameElements(c),
+      "custom AsofJoinExec must reproduce the composed union+window semantics")
+    // plan shape: the custom exec with exactly one exchange + sort per side
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), s"expected the custom exec in the plan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"as-of must shuffle each side exactly once:\n$p")
+  }
+
   test("asofJoin picks most recent right row per key") {
     import spark.implicits._
     val left = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDF("k", "t")
