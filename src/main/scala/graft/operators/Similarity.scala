@@ -100,6 +100,31 @@ object Similarity {
         .limit(10)
     }),
 
+    // Multi-probe IVF (nprobe=2): the recall knob. The query probes
+    // its TWO nearest centroid cells instead of one — array_sort the
+    // per-cell distance structs and slice, still zero-shuffle for the
+    // assignment; the probe is an equi-join on cell against the tiny
+    // broadcast (q_emb, q_cell) pair set. At 100 TB with the corpus
+    // pre-partitioned by cell, nprobe=k reads exactly k partitions.
+    "ss06_ivf_multiprobe" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = centroidArray(e)
+      val cellStructs = transform(col("cents"),
+        c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                    c.getField("c_label").as("cell")))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("best", array_min(cellStructs))
+        .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+      val q = e.filter(col("vec_id") === QueryId).crossJoin(broadcast(cents))
+        .select(col("embedding").as("q_emb"),
+          slice(array_sort(cellStructs), 1, 2).as("probes"))
+        .select(col("q_emb"), explode(col("probes.cell")).as("q_cell"))
+      assigned.join(broadcast(q), col("cell") === col("q_cell"))
+        .select(col("vec_id"), col("cell"), cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Nearest-centroid assignment — the IVF coarse quantizer. The
     // round-1 form (crossJoin x L centroids + row_number() window)
     // forced a full shuffle+sort of the L-times-expanded corpus on
@@ -208,6 +233,32 @@ object Similarity {
         |  / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
         |FROM cells e, q WHERE e.cell = q.q_cell
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "ss06_ivf_multiprobe" ->
+      s"""WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |assigned AS (
+        | SELECT e.vec_id, e.embedding, c.c_label,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |cells AS (SELECT vec_id, embedding, c_label AS cell FROM assigned WHERE rn = 1),
+        |qp AS (SELECT c_label AS q_cell FROM assigned WHERE vec_id = $QueryId AND rn <= 2),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $QueryId)
+        |SELECT e.vec_id, e.cell,
+        | list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
+        |FROM cells e JOIN qp ON e.cell = qp.q_cell CROSS JOIN q
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "ss03_pairwise_label" ->
       """WITH ex AS (
