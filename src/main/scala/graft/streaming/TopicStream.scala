@@ -72,6 +72,23 @@ object TopicStream {
       .select(col("session_window.start").as("s_start"), col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("sum_value_cents"))
 
+  /** Streaming training-data prep — the px01 batch pipeline in
+    * streaming form: language gate → token-band quality gate → exact
+    * dedup within the watermark horizon (state bounded by the
+    * watermark, so dedup memory is O(docs per window), not O(corpus)).
+    * Each micro-batch flows through the same narrow projections the
+    * batch pipeline plans; dedup state hash-partitions across
+    * executors on the content hash. */
+  def prepStream(docs: DataFrame, watermarkDelay: String = "10 minutes",
+                 minTokens: Int = 3, maxTokens: Int = 1000): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .filter(col("lang") === "en")
+      .withColumn("tok_cnt", size(split(col("text"), " ")))
+      .filter(col("tok_cnt") >= minTokens && col("tok_cnt") <= maxTokens)
+      .withColumn("chash", md5(col("text")))
+      .dropDuplicatesWithinWatermark("chash")
+
   /** Stream-static enrichment join: the dim side is broadcast, so the
     * stream never shuffles. */
   def enrich(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =

@@ -66,6 +66,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming prep pipeline gates language/quality and dedups within the watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = TopicStream.prepStream(input.toDF(), "10 minutes", minTokens = 3, maxTokens = 10)
+      .writeStream.format("memory").queryName("prep").outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(1, ts("2024-01-01 00:00:00"), "the quick brown fox", "en"),
+        StreamDoc(2, ts("2024-01-01 00:01:00"), "the quick brown fox", "en"), // dup of 1
+        StreamDoc(3, ts("2024-01-01 00:02:00"), "le renard brun rapide", "fr"), // lang gate
+        StreamDoc(4, ts("2024-01-01 00:03:00"), "too short", "en"), // quality gate
+        StreamDoc(5, ts("2024-01-01 00:04:00"), "a different english document", "en"))
+      q.processAllAvailable()
+      val kept = spark.table("prep").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 5L),
+        s"expected dup/lang/quality-gated stream to keep only 1 and 5, got $kept")
+    } finally q.stop()
+  }
+
   test("latestPerKey keeps newest value and counts rows seen") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
@@ -189,4 +209,6 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
-private object TestEvents
+private object TestEvents {
+  case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String, lang: String)
+}
