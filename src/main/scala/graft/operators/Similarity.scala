@@ -100,6 +100,34 @@ object Similarity {
         .limit(10)
     }),
 
+    // Multi-table LSH ANN: 4 independent hyperplane tables (8 planes
+    // each from the shared md5-derived set of 32); a vector is a
+    // candidate if it shares the query's bucket in ANY table — the
+    // classic recall amplifier (miss probability decays exponentially
+    // in the table count). For a single query the check is a per-row
+    // OR against ONE broadcast row: zero shuffle, scan speed; a query
+    // BATCH would union 4 bucket equi-joins instead.
+    "ss07_lsh_multitable" -> ((s, d) => {
+      val planes32 = planesN(32)
+      val e = emb(s, d)
+      val bCols = (0 until 4).map { t =>
+        (0 until 8).map { j =>
+          when(dotConst(col("embedding"), planes32(t * 8 + j)) > 0.0,
+            lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _).cast("int").as(s"b$t")
+      }
+      val bt = e.select(col("vec_id") +: col("embedding") +: bCols: _*)
+      val q = bt.filter(col("vec_id") === QueryId)
+        .select(col("embedding").as("q_emb"),
+          col("b0").as("qb0"), col("b1").as("qb1"), col("b2").as("qb2"), col("b3").as("qb3"))
+      bt.crossJoin(broadcast(q))
+        .filter(col("b0") === col("qb0") || col("b1") === col("qb1") ||
+                col("b2") === col("qb2") || col("b3") === col("qb3"))
+        .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Multi-probe IVF (nprobe=2): the recall knob. The query probes
     // its TWO nearest centroid cells instead of one — array_sort the
     // per-cell distance structs and slice, still zero-shuffle for the
@@ -207,6 +235,26 @@ object Similarity {
          |SELECT e.vec_id, e.bucket,
          | $dotQ / (${norm("e.embedding")} * ${norm("q.q_emb")}) AS cos_sim
          |FROM b e, q WHERE e.bucket = q.q_bucket
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    },
+    "ss07_lsh_multitable" -> {
+      val p32 = planesN(32)
+      val planeCols = p32.indices.map(h => s"${sqlList(p32(h))} AS p$h").mkString(", ")
+      val tableExprs = (0 until 4).map { t =>
+        val bits = (0 until 8).map { j =>
+          val h = t * 8 + j
+          s"(CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * p$h[i])) > 0 THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"CAST($bits AS INT) AS b$t"
+      }.mkString(", ")
+      s"""WITH p AS (SELECT $planeCols),
+         |b AS (SELECT vec_id, embedding, $tableExprs FROM embeddings, p),
+         |q AS (SELECT embedding AS q_emb, b0 AS qb0, b1 AS qb1, b2 AS qb2, b3 AS qb3
+         |      FROM b WHERE vec_id = $QueryId)
+         |SELECT e.vec_id,
+         | $dotQ / (${norm("e.embedding")} * ${norm("q.q_emb")}) AS cos_sim
+         |FROM b e, q
+         |WHERE e.b0 = q.qb0 OR e.b1 = q.qb1 OR e.b2 = q.qb2 OR e.b3 = q.qb3
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     },
     "ss05_ivf_probe" ->
