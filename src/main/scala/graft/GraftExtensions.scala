@@ -26,7 +26,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),
-      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[graft.plans.SimHashSigExpr].getName, "graft_simhash"),
+      (args: Seq[Expression]) => graft.plans.SimHashSigExpr(args(0))))
 
   /** Register graft functions + planner strategies on an
     * already-built session. */

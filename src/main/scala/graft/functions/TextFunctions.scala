@@ -15,6 +15,14 @@ object TextFunctions {
   /** Whitespace tokens (testdata is single-space separated ASCII). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** 16-bit SimHash of a document — native single-pass kernel
+    * ([[graft.plans.SimHashSigExpr]]): per-token md5 bit votes with
+    * zero explode/shuffle, bit-identical to the composed vote
+    * aggregation. */
+  def simhashSig(text: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.SimHashSigExpr(org.apache.spark.sql.graft.bridge.expression(text)))
+
   /** Word k-shingles joined by single spaces; documents shorter than k
     * words degenerate to one whole-document shingle (keeps the result
     * total, so no emptiness filter — and no filter means Catalyst never

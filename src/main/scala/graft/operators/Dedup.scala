@@ -86,18 +86,13 @@ object Dedup {
     // SimHash (16-bit, md5-nibble bit votes) + high-byte blocking +
     // hamming <= 3 verification.
     "dd03_simhash" -> ((s, d) => {
-      val toks = Tables.spread(docs(s, d))
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      val h4 = toks.withColumn("h4", substring(md5(col("tok")), 1, 4))
-        .withColumn("val16",
-          (hexNibble(col("h4"), 1) * 4096 + hexNibble(col("h4"), 2) * 256 +
-           hexNibble(col("h4"), 3) * 16 + hexNibble(col("h4"), 4)).cast("int"))
-      val voteCols = (0 until 16).map(bit =>
-        sum(shiftright(col("val16"), bit).bitwiseAND(1) * 2 - 1).as(s"s$bit"))
-      val votes = h4.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-      val simhash = votes.select(col("doc_id"),
-        (0 until 16).map(bit => when(col(s"s$bit") > 0, lit(1 << bit)).otherwise(lit(0)))
-          .reduce(_ + _).cast("int").as("simhash"))
+      // Native single-pass kernel (SimHashSigExpr): the round-1 form
+      // exploded every token and ran a 16-column vote aggregation — a
+      // full O(tokens) shuffle per corpus just to compute a per-doc
+      // value. The kernel computes the identical signature at scan
+      // speed; the only shuffle left is the tiny block-bucketed join.
+      val simhash = Tables.spread(docs(s, d))
+        .select(col("doc_id"), simhashSig(col("text")).as("simhash"))
         .withColumn("block", shiftright(col("simhash"), 8))
       val a = simhash.select(col("doc_id").as("a"), col("simhash").as("sh_a"), col("block"))
       val b = simhash.select(col("doc_id").as("b"), col("simhash").as("sh_b"), col("block"))
@@ -171,10 +166,6 @@ object Dedup {
   /** Integer left-fold sum (exact). */
   private def foldSumInt(arr: Column): Column =
     aggregate(arr, lit(0L), (acc, x) => acc + x)
-
-  /** Value 0-15 of the j-th (1-based) hex char of a lowercase hex string. */
-  private def hexNibble(h: Column, j: Int): Column =
-    expr(s"instr('0123456789abcdef', substr(${h.toString}, $j, 1)) - 1")
 
   // ---- oracle SQL ----
 

@@ -86,6 +86,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), s"sampling must not shuffle:\n$p")
   }
 
+  test("dd03 simhash signatures compute at scan speed (native kernel, no vote shuffle)") {
+    val p = plan("dd03_simhash")
+    assert(p.contains("graft_simhash"), s"expected the native kernel in the plan:\n$p")
+    assert(!p.contains("partial_sum"),
+      s"signature must not be a 16-column vote aggregation anymore:\n$p")
+  }
+
   test("q24 range join is a hash equi-join on buckets, not a nested loop") {
     val p = plan("q24_range_join")
     assert(p.contains("BroadcastHashJoin"),
