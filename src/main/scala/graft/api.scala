@@ -29,7 +29,7 @@ object api {
       val payload = df.columns.filterNot(c => c == keyCol).map(col)
       df.groupBy(col(keyCol))
         .agg(max(struct(ordered ++ payload.filterNot(c => ordered.exists(_ == c)): _*)).as("_latest"))
-        .select(col(keyCol) +: df.columns.filterNot(_ == keyCol).map(c => col(s"_latest.$c").as(c)): _*)
+        .select(col(keyCol) +: df.columns.filterNot(_ == keyCol).toIndexedSeq.map(c => col(s"_latest.$c").as(c)): _*)
     }
 
     /** As-of join: for each left row, the most recent right row (right
@@ -40,7 +40,7 @@ object api {
                  rightKey: String, rightTime: String, payload: String): DataFrame = {
       val l = df.withColumn("_is_l", lit(1))
         .select(col(leftKey).as("_k"), col(leftTime).as("_t"), col("_is_l"),
-          struct(df.columns.map(col): _*).as("_row"), lit(null).cast(right.schema(payload).dataType).as("_p"))
+          struct(df.columns.toIndexedSeq.map(col): _*).as("_row"), lit(null).cast(right.schema(payload).dataType).as("_p"))
       val r = right.select(col(rightKey).cast(df.schema(leftKey).dataType).as("_k"),
         col(rightTime).as("_t"), lit(0).as("_is_l"),
         lit(null).cast(l.schema("_row").dataType).as("_row"), col(payload).as("_p"))

@@ -126,6 +126,42 @@ object Dedup {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Dedup CLUSTERING — the actual "keep one per duplicate group"
+    // step: connected components over the LSH candidate-pair graph via
+    // min-label propagation to a fixpoint. Each iteration is one
+    // hash-partitioned join+agg (no driver data); the driver loop only
+    // checks a scalar convergence count — the standard Spark iterative
+    // pattern (GraphX/Pregel does the same). Converges in O(graph
+    // diameter) rounds; near-dup clusters are tiny, so diameter is
+    // small at any scale (large-star/small-star is the documented
+    // upgrade path for adversarial chains).
+    "dd06_dup_clusters" -> ((s, d) => {
+      val pairs = candidatePairs(docs(s, d)).select(col("a"), col("b"))
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = docs(s, d).select(col("doc_id").as("node"), col("doc_id").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val nbrMin = edges
+          .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
+          .groupBy(col("a").as("node")).agg(min(col("nl")).as("nbr_label"))
+        val next = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        changed = next.join(labels.select(col("node"), col("label").as("old")), "node")
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      edges.unpersist()
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup, bucket-bounded: candidates come from a
     // 32-hyperplane signature banded 4x8 (same md5-derived planes the
     // ss02 ANN path uses), joined on (band, bandkey) — exactly the
@@ -175,28 +211,45 @@ object Dedup {
       |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
       |  ELSE [array_to_string(words, ' ')] END""".stripMargin
 
+  /** Shared oracle prelude: documents → shingles → 2 salted digests →
+    * 8-perm minhash signatures → (band, bandkey) rows. */
+  private lazy val candPreludeSql: String = {
+    val minhashes = (0 until NumPerms).map { p =>
+      val src = if (p < 4) "h0" else "h1"
+      s"list_aggregate(list_transform($src, h -> substr(h, ${1 + 8 * (p % 4)}, 8)), 'min')"
+    }.mkString(",\n        |  ".stripMargin)
+    val bandkeys = (0 until NumPerms / BandWidth).map(b =>
+      s"md5(sig[${b * BandWidth + 1}] || '|' || sig[${b * BandWidth + 2}])").mkString(", ")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |shs AS (SELECT doc_id, $shingleSql AS sh FROM w),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS h0,
+       |  list_transform(sh, s -> md5('x' || s)) AS h1 FROM shs),
+       |sigs AS (SELECT doc_id, [
+       |  $minhashes] AS sig
+       | FROM hs),
+       |bands AS (SELECT doc_id, sig, unnest(generate_series(0, ${NumPerms / BandWidth - 1})) AS band,
+       |  unnest([$bandkeys]) AS bkey FROM sigs)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "dd02_minhash_lsh" -> {
-      val minhashes = (0 until NumPerms).map { p =>
-        val src = if (p < 4) "h0" else "h1"
-        s"list_aggregate(list_transform($src, h -> substr(h, ${1 + 8 * (p % 4)}, 8)), 'min')"
-      }.mkString(",\n        |  ")
-      val bandkeys = (0 until NumPerms / BandWidth).map(b =>
-        s"md5(sig[${b * BandWidth + 1}] || '|' || sig[${b * BandWidth + 2}])").mkString(", ")
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-         |shs AS (SELECT doc_id, $shingleSql AS sh FROM w),
-         |hs AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS h0,
-         |  list_transform(sh, s -> md5('x' || s)) AS h1 FROM shs),
-         |sigs AS (SELECT doc_id, [
-         |  $minhashes] AS sig
-         | FROM hs),
-         |bands AS (SELECT doc_id, sig, unnest(generate_series(0, ${NumPerms / BandWidth - 1})) AS band,
-         |  unnest([$bandkeys]) AS bkey FROM sigs)
+    "dd02_minhash_lsh" ->
+      s"""WITH $candPreludeSql
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
          | CAST(len(list_filter(generate_series(1, $NumPerms), i -> x.sig[i] = y.sig[i])) AS BIGINT) AS n_sig_match
          |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-         |ORDER BY a, b""".stripMargin
-    },
+         |ORDER BY a, b""".stripMargin,
+    "dd06_dup_clusters" ->
+      s"""WITH RECURSIVE $candPreludeSql,
+         |cand AS (
+         | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         | FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a, b FROM cand UNION ALL SELECT b AS a, a AS b FROM cand),
+         |walk(node, label) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT e.a AS node, w.label FROM walk w JOIN edges e ON e.b = w.node)
+         |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
     "dd03_simhash" -> {
       val sums = (0 until 16).map(bit =>
         s"sum(((val16 >> $bit) & 1) * 2 - 1) AS s$bit").mkString(",\n        | ")
