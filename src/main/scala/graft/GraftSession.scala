@@ -51,6 +51,11 @@ class GraftSession(val spark: SparkSession, root: String) {
   def useCatalog(c: String): Unit = catalog.useCatalog(c)
   def useSchema(s: String): Unit = catalog.useSchema(s)
 
+  /** Graceful shutdown (ella.rs:71 `shutdown`): compact the catalog's
+    * transaction log into a snapshot so the next open replays nothing.
+    * The SparkSession itself is caller-owned and left running. */
+  def shutdown(): Unit = catalog.checkpoint()
+
   /** Scan a table by (possibly qualified) name (ella.rs:105). */
   def table(ref: String): DataFrame = catalog.table(ref)
 

@@ -129,6 +129,17 @@ class StorageSpec extends SparkSpec {
     assert(cat4.contains("t_b") && cat4.contains("v_a"))
   }
 
+  test("shutdown compacts the tx log so a fresh session replays nothing") {
+    val root = tmp()
+    val gs = new GraftSession(spark, root)
+    gs.publish("s_topic", sampleEvents(5))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/_graft_catalog.log")))
+    gs.shutdown()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/_graft_catalog.log")))
+    val gs2 = new GraftSession(spark, root)
+    assert(gs2.table("s_topic").count() == 5)
+  }
+
   test("useCatalog/useSchema switch the resolution context") {
     val root = tmp()
     val store = new TopicStore(spark, s"$root/topics")
