@@ -30,9 +30,16 @@ object VectorFunctions {
         org.apache.spark.sql.graft.bridge.expression(a),
         org.apache.spark.sql.graft.bridge.expression(b)))
 
-  /** Dot product against a constant double-array column. */
-  def dotConst(a: Column, q: Seq[Double]): Column =
-    foldSum(zip_with(a, array(q.map(lit): _*), (x, w) => x.cast(D) * w))
+  /** Dot product against a constant vector — routed through the
+    * native codegen kernel. Constants must be float-exact (the ±1
+    * hyperplanes always are), so `(double)(float)w == w` and the
+    * kernel's double-widened fold is bit-identical to the interpreted
+    * `zip_with` + cast form it replaces. */
+  def dotConst(a: Column, q: Seq[Double]): Column = {
+    require(q.forall(v => v.toFloat.toDouble == v),
+      "dotConst constants must be exactly float-representable")
+    dot(a, array(q.map(v => lit(v.toFloat)): _*))
+  }
 
   def l2normSq(a: Column): Column = dot(a, a)
 
