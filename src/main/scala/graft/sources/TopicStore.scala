@@ -32,9 +32,18 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
       .parquet(topicPath(name))
   }
 
-  /** Full scan of a topic (bucket column retained for pruning). */
-  def read(name: String): DataFrame =
-    spark.read.parquet(topicPath(name))
+  /** Full scan of a topic (bucket column retained for pruning).
+    *
+    * `mergeSchema=true` reconciles shards written under different
+    * schemas (publishers add columns over a topic's lifetime; old
+    * shards surface nulls for new columns). Off by default: schema
+    * merging reads every file's footer at planning time, which is a
+    * real cost on a 100 TB topic — ask for it only on topics that
+    * actually evolved. */
+  def read(name: String, mergeSchema: Boolean = false): DataFrame = {
+    val r = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    r.parquet(topicPath(name))
+  }
 
   /** Time-range scan; the bucket predicate prunes partitions so only
     * overlapping shards are listed/read (verify via .explain:

@@ -129,6 +129,19 @@ class StorageSpec extends SparkSpec {
     assert(cat4.contains("t_b") && cat4.contains("v_a"))
   }
 
+  test("schema evolution: shards with added columns merge on read") {
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    store.append("evo", sampleEvents(10))
+    store.append("evo", sampleEvents(10, startS = 1700100000L)
+      .withColumn("quality", col("value") * 2))
+    val merged = store.read("evo", mergeSchema = true)
+    assert(merged.columns.contains("quality"))
+    assert(merged.count() == 20)
+    // old shards surface null for the new column; new shards carry it
+    assert(merged.filter(col("quality").isNull).count() == 10)
+    assert(merged.filter(col("quality").isNotNull).count() == 10)
+  }
+
   test("shutdown compacts the tx log so a fresh session replays nothing") {
     val root = tmp()
     val gs = new GraftSession(spark, root)
