@@ -85,6 +85,26 @@ object api {
       df.groupBy(md5(col(contentCol)).as("_h"))
         .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
         .drop("_h")
+
+    /** MinHash+LSH near-duplicate candidate pairs (a < b) with
+      * signature agreement count — bucket-bounded, never all-pairs
+      * (the dd02 operator over arbitrary id/text columns). */
+    def nearDupPairs(idCol: String, textCol: String): DataFrame =
+      graft.operators.Dedup.candidatePairsPublic(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+    /** Duplicate clusters: connected components over the LSH pair
+      * graph — returns (`idCol`, cluster_id) where cluster_id is the
+      * minimum id in the component; keep one row per cluster_id
+      * downstream to dedup the corpus. */
+    def dupClusters(idCol: String, textCol: String): DataFrame = {
+      val renamed = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      val pairs = graft.operators.Dedup.candidatePairsPublic(renamed)
+        .select(col("a"), col("b"))
+      graft.operators.Dedup
+        .connectedComponents(renamed.select(col("doc_id").as("node")), pairs)
+        .select(col("node").as(idCol), col("label").as("cluster_id"))
+    }
   }
 
   implicit class SamplingOps(private val df: DataFrame) extends AnyVal {

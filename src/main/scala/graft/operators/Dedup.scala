@@ -137,28 +137,9 @@ object Dedup {
     // upgrade path for adversarial chains).
     "dd06_dup_clusters" -> ((s, d) => {
       val pairs = candidatePairs(docs(s, d)).select(col("a"), col("b"))
-      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var labels = docs(s, d).select(col("doc_id").as("node"), col("doc_id").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val nbrMin = edges
-          .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
-          .groupBy(col("a").as("node")).agg(min(col("nl")).as("nbr_label"))
-        val next = labels.join(nbrMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        changed = next.join(labels.select(col("node"), col("label").as("old")), "node")
-          .filter(col("label") =!= col("old")).count()
-        labels.unpersist()
-        labels = next
-        iter += 1
-      }
-      edges.unpersist()
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val nodes = docs(s, d).select(col("doc_id").as("node"))
+      connectedComponents(nodes, pairs)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
     }),
 
@@ -202,6 +183,42 @@ object Dedup {
   /** Integer left-fold sum (exact). */
   private def foldSumInt(arr: Column): Column =
     aggregate(arr, lit(0L), (acc, x) => acc + x)
+
+  /** Connected components over an undirected pair graph via min-label
+    * propagation to a fixpoint: `nodes` = one `node` column, `pairs` =
+    * (a, b) edges (direction irrelevant). Returns (node, label) where
+    * label = the component's minimum node id. Each round is one
+    * hash-partitioned join+agg (no row data on the driver — the loop
+    * checks only a scalar convergence count, the standard Spark
+    * iterative pattern); rounds = O(component diameter), and near-dup
+    * clusters are shallow at any scale. Large-star/small-star is the
+    * documented upgrade for adversarially long chains. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a").as("node")).agg(min(col("nl")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.select(col("node"), col("label").as("old")), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 
   // ---- oracle SQL ----
 

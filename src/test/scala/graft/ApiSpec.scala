@@ -49,6 +49,19 @@ class ApiSpec extends SparkSpec {
     assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
   }
 
+  test("nearDupPairs/dupClusters match dd02/dd06 over documents") {
+    val docsDf = Tables(spark, sfDir, "documents")
+    val pairs = docsDf.nearDupPairs("doc_id", "text").orderBy("a", "b")
+    val viaOp = SparkEntry.queries("dd02_minhash_lsh")(spark, sfDir)
+    assert(pairs.collect().toSeq == viaOp.collect().toSeq)
+    val clusters = docsDf.dupClusters("doc_id", "text").orderBy("doc_id")
+    val viaOp6 = SparkEntry.queries("dd06_dup_clusters")(spark, sfDir)
+    assert(clusters.collect().toSeq == viaOp6.collect().toSeq)
+    // the dedup KEEP step: one doc per cluster
+    val kept = clusters.groupBy("cluster_id").agg(min(col("doc_id")).as("keep"))
+    assert(kept.count() <= docsDf.count())
+  }
+
   test("hashSample is reproducible, growth-stable, and near the target fraction") {
     val docs = Tables(spark, sfDir, "documents")
     val s1 = docs.hashSample("doc_id", 0.25)
