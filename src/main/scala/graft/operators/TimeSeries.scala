@@ -200,6 +200,37 @@ object TimeSeries {
         .orderBy(col("user_id"), col("epoch_s"), col("event_id"))
     }),
 
+    // Interval join — events x time windows (maintenance windows,
+    // experiment spans), the time-axis twin of q24: a naive
+    // ts-BETWEEN join is a nested loop, so each window explodes into
+    // the whole days it covers, facts equi-join on their day bucket
+    // (hashable, broadcastable), and exact [start, end) bounds verify
+    // afterwards. Overlapping windows multi-match by design.
+    "ts13_interval_join" -> ((s, d) => {
+      import java.time.{LocalDateTime, ZoneOffset}
+      def es(t: String): Long =
+        LocalDateTime.parse(t.replace(' ', 'T')).toEpochSecond(ZoneOffset.UTC)
+      val day = 86400L
+      val windows = Seq(
+        ("w1", "2024-01-03 06:30:00", "2024-01-04 12:00:00"),
+        ("w2", "2024-01-10 00:00:00", "2024-01-10 08:45:00"),
+        ("w3", "2024-01-15 20:00:00", "2024-01-17 03:30:00"),
+        ("w4", "2024-01-16 12:00:00", "2024-01-22 00:00:00"))
+      import s.implicits._
+      val wb = windows.flatMap { case (w, a, b) =>
+        (es(a) / day to (es(b) - 1) / day).map(k => (w, a, b, k))
+      }.toDF("w_name", "w_start", "w_end", "bucket")
+      ev(s, d)
+        .withColumn("bucket", expr(s"epoch_s DIV $day"))
+        .join(broadcast(wb), "bucket")
+        .filter(col("ts") >= col("w_start").cast("timestamp") &&
+                col("ts") < col("w_end").cast("timestamp"))
+        .groupBy(col("w_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("w_name"))
+    }),
+
     // As-of join through graft's NATIVE operator (custom LogicalPlan +
     // Strategy + AsofJoinExec, plans/AsofJoinPlan.scala): one exchange
     // + sort per side, then a streaming O(1)-state per-partition merge
@@ -241,6 +272,16 @@ object TimeSeries {
         |FROM events e ASOF LEFT JOIN ord
         | ON e.user_id = ord.k AND e.ts >= ord.t
         |ORDER BY e.event_id""".stripMargin,
+    "ts13_interval_join" ->
+      """WITH w(w_name, w_start, w_end) AS (VALUES
+        | ('w1', TIMESTAMP '2024-01-03 06:30:00', TIMESTAMP '2024-01-04 12:00:00'),
+        | ('w2', TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '2024-01-10 08:45:00'),
+        | ('w3', TIMESTAMP '2024-01-15 20:00:00', TIMESTAMP '2024-01-17 03:30:00'),
+        | ('w4', TIMESTAMP '2024-01-16 12:00:00', TIMESTAMP '2024-01-22 00:00:00'))
+        |SELECT w.w_name, count(*) AS n,
+        | CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts12_asof_native" ->
       """WITH ord AS (
         | SELECT CAST(o_custkey AS BIGINT) AS k,
