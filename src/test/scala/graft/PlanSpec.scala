@@ -101,6 +101,14 @@ class PlanSpec extends SparkSpec {
       s"range join must not fall back to a nested loop:\n$p")
   }
 
+  test("ts13 interval join hash-joins on the day bucket, not a nested loop") {
+    val p = plan("ts13_interval_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"interval join must equi-join on the bucket:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval join must not fall back to a nested loop:\n$p")
+  }
+
   test("no query ever degenerates into a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
