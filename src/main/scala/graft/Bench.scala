@@ -50,9 +50,14 @@ object Bench {
       // persist()ed intermediates (dd02/dd05 signatures) must not leak
       // cached state into the next query's timing or the next round.
       spark.sharedState.cacheManager.clearCache()
+      // LOWER median: on a shared VM, scheduler noise is one-sided (it
+      // only ever ADDS time), so for even n the lower middle value is
+      // the unbiased pick — size/2 would let a single noisy run out of
+      // two masquerade as the query's cost (ss05 read 101 s in a
+      // driver n=2 run whose quiet median is 1.2 s).
       val med =
         if (times.isEmpty) -1.0
-        else times.sorted.apply(times.size / 2)
+        else times.sorted.apply((times.size - 1) / 2)
       name -> med
     }
 

@@ -64,11 +64,18 @@ object Similarity {
     "ss05_ivf_probe" -> ((s, d) => {
       val e = emb(s, d)
       val cents = centroidArray(e)
+      // persist(): `assigned` feeds BOTH the probe side and the q-side
+      // filter below — without it the centroid pipeline + full-corpus
+      // cell assignment executes twice (same class of defect as the
+      // round-1 dd02 signature recompute). MEMORY_AND_DISK spills
+      // instead of OOMing on big corpora; at 100 TB the assignment
+      // would instead be a materialized cell-partitioned table.
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("best", array_min(transform(col("cents"),
           c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
                       c.getField("c_label").as("cell")))))
         .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = assigned.filter(col("vec_id") === QueryId)
         .select(col("embedding").as("q_emb"), col("cell").as("q_cell"))
       assigned.join(broadcast(q), col("cell") === col("q_cell"))
@@ -140,9 +147,14 @@ object Similarity {
       val cellStructs = transform(col("cents"),
         c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
                     c.getField("c_label").as("cell")))
+      // persist(): same double-compute hazard as ss05 — the corpus-wide
+      // assignment is consumed by the probe join, and the q side
+      // re-reads `cents` for its probe list; caching `assigned` keeps
+      // the heavy subtree single-execution.
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("best", array_min(cellStructs))
         .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = e.filter(col("vec_id") === QueryId).crossJoin(broadcast(cents))
         .select(col("embedding").as("q_emb"),
           slice(array_sort(cellStructs), 1, 2).as("probes"))
