@@ -73,6 +73,52 @@ object Pipeline {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("total_tokens"))
         .orderBy(col("source"))
+    }),
+
+    // Sequence packing: assign docs to fixed-token-budget training
+    // sequences (the pre-tokenizer packing step that turns a corpus
+    // into equal-budget chunks). Docs are ordered deterministically
+    // (md5 hash, a seeded shuffle both engines reproduce), a running
+    // token sum per source places each doc at its exclusive prefix
+    // offset, and pack_id = offset DIV budget — pure integer math.
+    // One shuffle (the per-source window), agg is map-side combinable;
+    // at 100 TB packs per source stream out of a single sort.
+    "sp03_pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":sp03"))))
+        .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum", sum(col("tok_cnt")).over(w))
+        .withColumn("pack_id", expr("CAST((cum - tok_cnt) DIV 2000 AS INT)"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("pack_tokens"))
+        .orderBy(col("source"), col("pack_id"))
+    }),
+
+    // Token-budget mixture: hit a target corpus composition (src0
+    // upweighted 5x) under a global token budget. Each source gets
+    // budget = weight*TOTAL/sum(weights) (integer division, exact);
+    // docs are taken in deterministic hash order until the source's
+    // exclusive prefix sum crosses its budget. The "sample to a target
+    // token mixture" step of every training-data pipeline; same
+    // single-window shuffle shape as sp03.
+    "px02_mixture_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":px02"))))
+        .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+        .withColumn("wgt", when(col("source") === "src0", lit(5L)).otherwise(lit(1L)))
+        .withColumn("budget", expr("CAST((wgt * 20000) DIV 24 AS BIGINT)"))
+        .withColumn("cum", sum(col("tok_cnt")).over(w))
+        .filter(col("cum") - col("tok_cnt") < col("budget"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("sel_tokens"),
+          max(col("budget")).as("budget_tokens"))
+        .orderBy(col("source"))
     })
   )
 
@@ -106,6 +152,35 @@ object Pipeline {
         |SELECT d2.source, count(*) AS n_docs, CAST(sum(dd.tok_cnt) AS BIGINT) AS total_tokens
         |FROM dedup dd JOIN documents d2 ON d2.doc_id = dd.doc_id
         |GROUP BY d2.source
-        |ORDER BY d2.source""".stripMargin
+        |ORDER BY d2.source""".stripMargin,
+    "sp03_pack_sequences" ->
+      """WITH t AS (
+        | SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR) || ':sp03') AS h,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt
+        | FROM documents),
+        |c AS (
+        | SELECT source, tok_cnt,
+        |  sum(tok_cnt) OVER (PARTITION BY source ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM t)
+        |SELECT source, CAST((cum - tok_cnt) // 2000 AS INT) AS pack_id,
+        | count(*) AS n_docs, CAST(sum(tok_cnt) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+    "px02_mixture_budget" ->
+      """WITH t AS (
+        | SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR) || ':px02') AS h,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt,
+        |  CASE WHEN source = 'src0' THEN 5 ELSE 1 END AS wgt
+        | FROM documents),
+        |c AS (
+        | SELECT source, tok_cnt,
+        |  CAST((wgt * 20000) // 24 AS BIGINT) AS budget,
+        |  sum(tok_cnt) OVER (PARTITION BY source ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM t)
+        |SELECT source, count(*) AS n_docs, CAST(sum(tok_cnt) AS BIGINT) AS sel_tokens,
+        | CAST(max(budget) AS BIGINT) AS budget_tokens
+        |FROM c WHERE cum - tok_cnt < budget
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -304,6 +304,21 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"))
         .orderBy(col("band"))
+    }),
+
+    // Ordered string aggregation (LISTAGG / string_agg): the roll-up-
+    // to-a-delimited-list op every SQL surface ships. collect_set's
+    // arrival order is partition-dependent, so the list is array_sort'd
+    // BEFORE joining — deterministic at any parallelism. Distinct sets
+    // per group are tiny (bounded domain), so the agg stays partial/
+    // map-side combinable; never collect_list over unbounded rows.
+    "q25_string_agg" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -452,6 +467,13 @@ object Relational {
         |FROM lineitem l JOIN bands b
         |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
         |GROUP BY b.band
-        |ORDER BY b.band""".stripMargin
+        |ORDER BY b.band""".stripMargin,
+    "q25_string_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        | string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        | count(DISTINCT o_custkey) AS n_custs
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -143,6 +143,31 @@ object TextOps {
         .orderBy(col("source"), col("rn"))
     }),
 
+    // PII / pattern scrub: count + redact emails, long digit runs and
+    // a dictionary of sensitive terms, emitting the scrubbed-text
+    // digest and the length delta — the redaction pass of a
+    // training-data pipeline. Pure per-row regexp (scan speed, no
+    // shuffle); the patterns stay in the RE2-compatible subset so
+    // Spark (Java regex) and DuckDB (RE2) match identically. The
+    // synthetic corpus contains no emails/digit runs (counted 0, still
+    // exercised end-to-end); the dictionary terms fire on every doc.
+    "tx07_pii_scrub" -> ((s, d) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val numPat = "[0-9]{4,}"
+      val dictPat = "\\b(customer|value)\\b"
+      Tables.spread(docs(s, d))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            emailPat, "<EMAIL>"), numPat, "<NUM>"), dictPat, "<PII>"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(numPat), lit(0))).as("n_longnums"),
+          size(regexp_extract_all(col("text"), lit(dictPat), lit(0))).as("n_dict"),
+          md5(col("scrubbed")).as("scrub_md5"),
+          (length(col("text")) - length(col("scrubbed"))).as("len_delta"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact dedup: md5 content hash, keep-first (min doc_id) per group.
     // At scale: one hash-partitioned shuffle on the digest.
     "dd01_exact" -> ((s, d) => {
@@ -250,6 +275,21 @@ object TextOps {
         |ORDER BY source, rn""".stripMargin,
     "dd01_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
-        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "tx07_pii_scrub" ->
+      """WITH s AS (
+        | SELECT doc_id, text,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g'),
+        |    '\b(customer|value)\b', '<PII>', 'g') AS scrubbed
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS INT) AS n_longnums,
+        | CAST(len(regexp_extract_all(text, '\b(customer|value)\b')) AS INT) AS n_dict,
+        | md5(scrubbed) AS scrub_md5,
+        | CAST(length(text) AS INT) - CAST(length(scrubbed) AS INT) AS len_delta
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

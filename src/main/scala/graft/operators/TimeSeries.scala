@@ -231,6 +231,43 @@ object TimeSeries {
         .orderBy(col("w_name"))
     }),
 
+    // Linear interpolation over the dense hourly spine — the smooth
+    // twin of ts11's LOCF: a gap bucket gets
+    // prev + (next-prev) * steps/span. FP-determinism: values are
+    // integer cents and hour positions are integer epoch-hours, so the
+    // numerator (next-prev)*(pos-prev_pos) is an EXACT long; the lerp
+    // is then one long->double cast, one IEEE division and one add —
+    // identical instruction order on both engines (SURVEY.md §5).
+    // Leading/trailing gaps (no prev or next observation) stay null.
+    // Same shuffle shape as ts11: one window partitioned by series key.
+    "ts14_interpolate" -> ((s, d) => {
+      val e = ev(s, d)
+      val agg = e.withColumn("value_c", round(col("value") * 100).cast("long"))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value_c"))).getField("value_c").as("close_c"))
+      val bounds = e.agg(min(date_trunc("hour", col("ts"))).as("mn"), max(date_trunc("hour", col("ts"))).as("mx"))
+      val spine = bounds.select(explode(expr("sequence(mn, mx, INTERVAL 1 HOUR)")).as("h"))
+      val types = e.select(col("event_type")).distinct()
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      types.crossJoin(spine)
+        .join(agg, Seq("event_type", "h"), "left")
+        .withColumn("hp", expr("CAST(h AS LONG) DIV 3600"))
+        .withColumn("obs", when(col("close_c").isNotNull, struct(col("hp"), col("close_c"))))
+        .withColumn("prev", last(col("obs"), ignoreNulls = true).over(wPrev))
+        .withColumn("nxt", first(col("obs"), ignoreNulls = true).over(wNext))
+        .withColumn("lerp_c",
+          when(col("close_c").isNotNull, col("close_c").cast("double"))
+            .otherwise(when(col("prev").isNotNull && col("nxt").isNotNull,
+              col("prev.close_c").cast("double") +
+                ((col("nxt.close_c") - col("prev.close_c")) * (col("hp") - col("prev.hp")))
+                  .cast("double") / (col("nxt.hp") - col("prev.hp")).cast("double"))))
+        .select(col("event_type"), col("h"), col("lerp_c"), col("close_c").isNull.as("is_gap"))
+        .orderBy(col("event_type"), col("h"))
+    }),
+
     // As-of join through graft's NATIVE operator (custom LogicalPlan +
     // Strategy + AsofJoinExec, plans/AsofJoinPlan.scala): one exchange
     // + sort per side, then a streaming O(1)-state per-partition merge
@@ -385,6 +422,50 @@ object TimeSeries {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_c,
         | close_c IS NULL AS is_gap
         |FROM joined ORDER BY event_type, h""".stripMargin,
+    "ts14_interpolate" ->
+      """WITH e AS (
+        | SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id,
+        |  CAST(round(value*100) AS BIGINT) AS value_c,
+        |  row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events),
+        |agg AS (SELECT event_type, h, max(CASE WHEN rn = 1 THEN value_c END) AS close_c
+        |        FROM e GROUP BY 1, 2),
+        |spine AS (
+        | SELECT unnest(generate_series(
+        |   (SELECT min(date_trunc('hour', ts)) FROM events),
+        |   (SELECT max(date_trunc('hour', ts)) FROM events),
+        |   INTERVAL 1 HOUR)) AS h),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |joined AS (
+        | SELECT t.event_type, s.h, a.close_c,
+        |  CAST(epoch(s.h) AS BIGINT) // 3600 AS hp
+        | FROM types t CROSS JOIN spine s
+        | LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = s.h),
+        |filled AS (
+        | SELECT event_type, h, close_c, hp,
+        |  last_value(CASE WHEN close_c IS NOT NULL THEN hp END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_hp,
+        |  last_value(close_c IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+        |  first_value(CASE WHEN close_c IS NOT NULL THEN hp END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_hp,
+        |  first_value(close_c IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c
+        | FROM joined)
+        |SELECT event_type, h,
+        | CASE WHEN close_c IS NOT NULL THEN CAST(close_c AS DOUBLE)
+        |      WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN
+        |        CAST(prev_c AS DOUBLE) +
+        |        CAST((next_c - prev_c) * (hp - prev_hp) AS DOUBLE) /
+        |        CAST(next_hp - prev_hp AS DOUBLE)
+        | END AS lerp_c,
+        | close_c IS NULL AS is_gap
+        |FROM filled ORDER BY event_type, h""".stripMargin,
     "ts08_delta" ->
       """SELECT event_id, user_id, epoch_s, value,
         | value - lag(value) OVER w AS delta,

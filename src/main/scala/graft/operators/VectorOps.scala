@@ -214,6 +214,32 @@ object VectorOps {
         .select(col("vec_id"), (col("pos") + 1).as("pos"),
           col("col.row_sum").as("row_sum"), col("col.col_sum").as("col_sum"), col("col.mv").as("mv"))
         .orderBy(col("vec_id"), col("pos"))
+    }),
+
+    // Full 8x8 matrix x matrix product between PAIRS of 2-D tensor
+    // columns (ella matmul over Const<2> tensors, ella-tensor
+    // builtin arithmetic): A = even vec_id, B = the following odd
+    // vec_id, C[i,j] = sum_k A[i,k]*B[k,j]. Index arithmetic reads
+    // straight off the flat 64-float column (A[i,k] = a[(i-1)*8+k]),
+    // the k-fold is a sequential double left fold (bit-identical to
+    // DuckDB list_sum), and the A-B pairing is a self equi-join on
+    // vec_id — hashable and broadcastable; the matmul itself is
+    // per-row compute, no shuffle beyond the pair join.
+    "v15_matmul" -> ((s, d) => {
+      val e = emb(s, d)
+      val a = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding").as("ea"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb"))
+      a.join(b, "vec_id")
+        .select(col("vec_id"), posexplode(flatten(
+          transform(sequence(lit(1), lit(8)), i =>
+            transform(sequence(lit(1), lit(8)), j =>
+              foldSum(transform(sequence(lit(1), lit(8)), k =>
+                element_at(col("ea"), ((i - 1) * 8 + k).cast("int")).cast("double") *
+                  element_at(col("eb"), ((k - 1) * 8 + j).cast("int")).cast("double"))))))))
+        .select(col("vec_id"), expr("CAST(pos DIV 8 + 1 AS INT)").as("i"),
+          expr("CAST(pos % 8 + 1 AS INT)").as("j"), col("col").as("c_ij"))
+        .orderBy(col("vec_id"), col("i"), col("j"))
     })
   )
 
@@ -325,6 +351,20 @@ object VectorOps {
         | unnest(list_transform(generate_series(1, 8), i -> list_sum(list_transform(mat, row -> row[i])))) AS col_sum,
         | unnest(list_transform(generate_series(1, 8), i -> list_sum(list_transform(generate_series(1, 8),
         |   j -> mat[i][j] * CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END)))) AS mv
-        |FROM m ORDER BY vec_id, pos""".stripMargin
+        |FROM m ORDER BY vec_id, pos""".stripMargin,
+    "v15_matmul" ->
+      """WITH a AS (
+        | SELECT vec_id, embedding AS ea FROM embeddings
+        | WHERE vec_id % 2 = 0 AND vec_id < 100),
+        |b AS (SELECT vec_id - 1 AS vec_id, embedding AS eb FROM embeddings),
+        |p AS (SELECT a.vec_id, ea, eb FROM a JOIN b USING (vec_id))
+        |SELECT vec_id,
+        | CAST(unnest(generate_series(0, 63)) // 8 + 1 AS INT) AS i,
+        | CAST(unnest(generate_series(0, 63)) % 8 + 1 AS INT) AS j,
+        | unnest(list_transform(generate_series(0, 63), q ->
+        |   list_sum(list_transform(generate_series(1, 8), k ->
+        |     CAST(ea[(q // 8) * 8 + k] AS DOUBLE) *
+        |     CAST(eb[(k - 1) * 8 + (q % 8) + 1] AS DOUBLE))))) AS c_ij
+        |FROM p ORDER BY vec_id, i, j""".stripMargin
   )
 }

@@ -71,6 +71,68 @@ class QueriesSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("q25 statuses list is sorted and non-empty") {
+    SparkEntry.queries("q25_string_agg")(spark, sfDir).collect().foreach { r =>
+      val st = r.getAs[String]("statuses").split(",").toSeq
+      assert(st.nonEmpty && st == st.sorted && st == st.distinct)
+    }
+  }
+
+  test("ts14 interpolation: observed buckets keep their close value, interior gaps are filled") {
+    val df = SparkEntry.queries("ts14_interpolate")(spark, sfDir).cache()
+    assert(df.filter(!col("is_gap") && col("lerp_c").isNull).count() == 0)
+    // a gap bucket between two observations must be interpolated
+    val interior = df.filter(col("is_gap") && col("lerp_c").isNotNull)
+    assert(interior.count() > 0, "expected at least one interpolated interior gap")
+    df.unpersist()
+  }
+
+  test("v15 matmul: 64 cells per pair and spot-checked against manual dot") {
+    val df = SparkEntry.queries("v15_matmul")(spark, sfDir).cache()
+    val perPair = df.groupBy("vec_id").count().select("count").distinct().collect()
+    assert(perPair.map(_.getLong(0)).toSeq == Seq(64L))
+    val pair = df.filter(col("vec_id") === 0 && col("i") === 1 && col("j") === 1).collect().head
+    val rows = Tables(spark, sfDir, "embeddings").filter(col("vec_id").isin(0, 1))
+      .orderBy("vec_id").collect()
+    val ea = rows(0).getAs[scala.collection.Seq[Float]]("embedding")
+    val eb = rows(1).getAs[scala.collection.Seq[Float]]("embedding")
+    val expected = (1 to 8).foldLeft(0.0)((acc, k) =>
+      acc + ea(k - 1).toDouble * eb((k - 1) * 8).toDouble)
+    assert(pair.getAs[Double]("c_ij") == expected)
+    df.unpersist()
+  }
+
+  test("sp03 packing conserves tokens and pack ids start at 0") {
+    val df = SparkEntry.queries("sp03_pack_sequences")(spark, sfDir).cache()
+    assert(df.filter(col("pack_id") < 0).count() == 0)
+    assert(df.groupBy("source").agg(min(col("pack_id")).as("m"))
+      .filter(col("m") =!= 0).count() == 0)
+    val packed = df.agg(sum(col("pack_tokens"))).collect().head.getLong(0)
+    val total = Tables(spark, sfDir, "documents")
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).collect().head.getLong(0)
+    assert(packed == total, "packing must conserve every token")
+    df.unpersist()
+  }
+
+  test("px02 selected tokens stay within budget plus one overshoot doc") {
+    SparkEntry.queries("px02_mixture_budget")(spark, sfDir).collect().foreach { r =>
+      val sel = r.getAs[Long]("sel_tokens")
+      val budget = r.getAs[Long]("budget_tokens")
+      assert(r.getAs[Long]("n_docs") > 0)
+      // greedy-by-prefix: only the final doc may cross the budget line
+      assert(sel - budget < 1000, s"selection overshot: $sel vs $budget")
+    }
+  }
+
+  test("tx07 scrub changes the digest exactly when something was redacted") {
+    val df = SparkEntry.queries("tx07_pii_scrub")(spark, sfDir)
+      .join(Tables(spark, sfDir, "documents").select(col("doc_id"), md5(col("text")).as("orig_md5")), "doc_id")
+    assert(df.filter(col("n_dict") > 0 && col("scrub_md5") === col("orig_md5")).count() == 0)
+    assert(df.filter(col("n_dict") === 0 && col("n_emails") === 0 && col("n_longnums") === 0 &&
+      col("scrub_md5") =!= col("orig_md5")).count() == 0)
+    assert(df.filter(col("len_delta") < 0).count() == 0)
+  }
+
   test("mm01 metadata is deterministic and complete") {
     val df = SparkEntry.queries("mm01_binary_meta")(spark, sfDir)
     assert(df.count() == Tables(spark, sfDir, "documents").count())
