@@ -143,18 +143,18 @@ object Similarity {
     // pre-partitioned by cell, nprobe=k reads exactly k partitions.
     "ss06_ivf_multiprobe" -> ((s, d) => {
       val e = emb(s, d)
+      // persist(): `cents` is broadcast into TWO crossJoins (corpus
+      // assignment + query probe list); without the cache its two
+      // groupBy stages execute once per consumer. `assigned` itself is
+      // consumed exactly once here, so it is NOT cached (unlike ss05).
       val cents = centroidArray(e)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cellStructs = transform(col("cents"),
         c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
                     c.getField("c_label").as("cell")))
-      // persist(): same double-compute hazard as ss05 — the corpus-wide
-      // assignment is consumed by the probe join, and the q side
-      // re-reads `cents` for its probe list; caching `assigned` keeps
-      // the heavy subtree single-execution.
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("best", array_min(cellStructs))
         .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = e.filter(col("vec_id") === QueryId).crossJoin(broadcast(cents))
         .select(col("embedding").as("q_emb"),
           slice(array_sort(cellStructs), 1, 2).as("probes"))

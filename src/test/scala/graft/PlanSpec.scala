@@ -109,6 +109,47 @@ class PlanSpec extends SparkSpec {
       s"interval join must not fall back to a nested loop:\n$p")
   }
 
+  test("ss05/ss06 read the cell assignment from cache on both sides of the probe") {
+    // The assignment subtree feeds the probe join AND the query-side
+    // filter; without the persist it executes twice (the dd02-class
+    // recompute defect). Both consumers must scan the InMemoryRelation.
+    Seq("ss05_ivf_probe", "ss06_ivf_multiprobe").foreach { name =>
+      val p = plan(name)
+      val hits = "InMemoryTableScan".r.findAllIn(p).size
+      assert(hits >= 2, s"$name must read the persisted assignment on both sides (saw $hits):\n$p")
+    }
+  }
+
+  test("tx07 scrub is pure per-row compute — no shuffle, no window before the output sort") {
+    val p = plan("tx07_pii_scrub")
+    assert(!p.contains("Window") && !p.contains("Exchange hashpartitioning"),
+      s"redaction must run at scan speed:\n$p")
+  }
+
+  test("sp03/px02 plan exactly one hash shuffle: the per-source window") {
+    Seq("sp03_pack_sequences", "px02_mixture_budget").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("Window"), s"$name needs the running-sum window:\n$p")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(shuffles <= 1,
+        s"$name must reuse the window's source-partitioning for the final agg (saw $shuffles):\n$p")
+    }
+  }
+
+  test("v15 matmul is per-row compute over a single pair equi-join") {
+    val p = plan("v15_matmul")
+    assert(!p.contains("Window"), s"matmul must not rank:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"pair matching must be an equi-join on vec_id:\n$p")
+  }
+
+  test("q25 string_agg aggregates partially (map-side) before the shuffle") {
+    val p = plan("q25_string_agg")
+    assert(!p.contains("Window"), s"listagg must be an aggregate, not a window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"expected partial aggregation:\n$p")
+  }
+
   test("no query ever degenerates into a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
