@@ -13,7 +13,8 @@ object DevProbe {
       Seq("q01_agg","q02_filter_project","q03_join_agg","q04_broadcast_join","q05_sort_limit",
         "ts02_latest_by_key","ts03_asof_join","dd02_minhash_lsh","ss01_brute_topk","ss05_ivf_probe",
         "ss03_pairwise_label","dd05_embed_neardup","v13_tensor2d","sp01_stratified_sample","px01_prep_pipeline",
-        "ts12_asof_native","q24_range_join","ss06_ivf_multiprobe","dd03_simhash","ts13_interval_join")
+        "ts12_asof_native","q24_range_join","ss06_ivf_multiprobe","dd03_simhash","ts13_interval_join",
+        "sp03_pack_sequences","px02_mixture_budget","tx07_pii_scrub","v15_matmul","ts14_interpolate","q25_string_agg")
         .foreach { n =>
           println(s"\n## $n\n")
           println("```")
