@@ -165,6 +165,27 @@ object Similarity {
         .limit(10)
     }),
 
+    // Batch ANN — the query-BATCH form of ss02 (SURVEY §7 R4 #4): a
+    // whole set of query vectors resolves in ONE pass as a bucket
+    // equi-join instead of Q per-row probes. The batch is broadcast
+    // here (small query sets); a huge batch would flip to a plain
+    // shuffle equi-join on bucket — same plan shape, still never
+    // all-pairs. Per-query top-k via a window over CANDIDATES only
+    // (bucket-mates, ~1/2^8 of the corpus), not the corpus.
+    "ss08_batch_ann" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val withB = emb(s, d).withColumn("bucket", bucketCol(col("embedding")))
+      val qs = withB.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      withB.join(broadcast(qs), "bucket")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Nearest-centroid assignment — the IVF coarse quantizer. The
     // round-1 form (crossJoin x L centroids + row_number() window)
     // forced a full shuffle+sort of the L-times-expanded corpus on
@@ -248,6 +269,23 @@ object Similarity {
          | $dotQ / (${norm("e.embedding")} * ${norm("q.q_emb")}) AS cos_sim
          |FROM b e, q WHERE e.bucket = q.q_bucket
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    },
+    "ss08_batch_ann" -> {
+      val planeCols = planes.indices.map(h => s"${sqlList(planes(h))} AS p$h").mkString(", ")
+      val bucketExpr = planes.indices.map(h =>
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * p$h[i])) > 0 THEN ${1 << h} ELSE 0 END)"
+      ).mkString(" + ")
+      s"""WITH p AS (SELECT $planeCols),
+         |b AS (SELECT vec_id, embedding, CAST($bucketExpr AS INT) AS bucket FROM embeddings, p),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id % 50 = 7),
+         |cand AS (
+         | SELECT q.q_id, e.vec_id,
+         |  $dotQ / (${norm("e.embedding")} * ${norm("q.q_emb")}) AS cos_sim
+         | FROM b e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+         |      FROM cand)
+         |SELECT q_id, vec_id, cos_sim, rank FROM r WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin
     },
     "ss07_lsh_multitable" -> {
       val p32 = planesN(32)

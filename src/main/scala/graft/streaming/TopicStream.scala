@@ -11,6 +11,17 @@ case class TopicEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Latest-value state per key — ella's subscriber "current value" view. */
 case class KeyLatest(user_id: Long, ts: java.sql.Timestamp, value: Double, n_seen: Long)
 
+/** Incoming doc row for the streaming prep/packing operators. */
+case class DocArrival(doc_id: Long, source: String, tok_cnt: Int)
+
+/** A doc admitted by the streaming packer: `offset` is its exclusive
+  * token prefix within its source, `pack_id` the training sequence it
+  * lands in. */
+case class PackedDoc(doc_id: Long, source: String, offset: Long, pack_id: Long)
+
+/** Per-source packer state: tokens admitted so far. */
+case class PackState(admitted_tokens: Long, n_admitted: Long)
+
 /** Structured Streaming transforms — the Spark counterpart of ella's
   * pub/sub topic surface (ella-engine/src/table/topic/channel.rs,
   * ella-server flight pub/sub, README "Unified Workflow").
@@ -88,6 +99,38 @@ object TopicStream {
       .filter(col("tok_cnt") >= minTokens && col("tok_cnt") <= maxTokens)
       .withColumn("chash", md5(col("text")))
       .dropDuplicatesWithinWatermark("chash")
+
+  /** Streaming token-budget packer — sp03/px02 in streaming form: docs
+    * arrive continuously, each source admits docs until its token
+    * budget is exhausted, and every admitted doc is assigned its
+    * training-sequence pack on the spot (pack_id = exclusive token
+    * prefix DIV packTokens, exactly the batch sp03 rule).
+    *
+    * State is ONE counter pair per source (O(sources), no watermark
+    * needed), hash-partitioned across executors on the group key.
+    * Rows within a micro-batch are folded in doc_id order so replays
+    * and shuffled arrival produce identical assignments — the same
+    * determinism contract as the batch operators. */
+  def packStream(docs: Dataset[DocArrival], budgetPerSource: Long,
+                 packTokens: Long): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        case (source: String, rows: Iterator[DocArrival], state: GroupState[PackState]) =>
+          val st = state.getOption.getOrElse(PackState(0L, 0L))
+          val (finalSt, out) = rows.toSeq.sortBy(_.doc_id)
+            .foldLeft((st, Vector.empty[PackedDoc])) { case ((s, acc), d) =>
+              if (s.admitted_tokens < budgetPerSource) {
+                val doc = PackedDoc(d.doc_id, source,
+                  s.admitted_tokens, s.admitted_tokens / packTokens)
+                (PackState(s.admitted_tokens + d.tok_cnt, s.n_admitted + 1), acc :+ doc)
+              } else (s, acc)
+            }
+          state.update(finalSt)
+          out.iterator
+      }
+  }
 
   /** Stream-static enrichment join: the dim side is broadcast, so the
     * stream never shuffles. */

@@ -158,6 +158,46 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("golden plan shapes: the shuffle/join topology of EVERY query is pinned") {
+    // Counts of the plan nodes that cost money at 100 TB, per query.
+    // A new Exchange, Window sort, or a broadcast silently flipping to
+    // SortMergeJoin is a scale regression even when results stay
+    // correct — this pins the topology. Regenerate after an
+    // INTENTIONAL plan change with: sbt -Dgraft.regenGolden=true test
+    val goldenPath = "/root/repo/src/test/resources/plan_golden.txt"
+    val markers = Seq(
+      "exch" -> "Exchange hashpartitioning",
+      "range" -> "Exchange rangepartitioning",
+      "win" -> "Window [",
+      "smj" -> "SortMergeJoin",
+      "bhj" -> "BroadcastHashJoin",
+      "bnlj" -> "BroadcastNestedLoopJoin",
+      "cache" -> "InMemoryTableScan")
+    def count(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    // Start from a clean cache: earlier tests persist subtrees (ss05/
+    // ss06 centroids) that would otherwise leak InMemoryTableScans
+    // into OTHER queries' plans and make the signature order-dependent.
+    spark.sharedState.cacheManager.clearCache()
+    val live = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val p = plan(name)
+      name + " " + markers.map { case (k, m) => s"$k=${count(p, m)}" }.mkString(" ")
+    }
+    val f = new java.io.File(goldenPath)
+    if (sys.props.get("graft.regenGolden").contains("true") || !f.exists) {
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      live.foreach(w.println); w.close()
+    }
+    val golden = {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().toList finally src.close()
+    }
+    val drift = live.zipAll(golden, "<missing>", "<missing>").filter { case (a, b) => a != b }
+    assert(drift.isEmpty,
+      "plan topology drifted (live vs golden):\n" +
+        drift.map { case (a, b) => s"  live:   $a\n  golden: $b" }.mkString("\n"))
+  }
+
   test("fused graft_cosine kernel is codegen'd and bitwise-equal to the unfused form") {
     GraftExtensions.register(spark)
     import graft.functions.VectorFunctions

@@ -66,6 +66,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming packer admits per-source budgets and assigns packs across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.DocArrival
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[DocArrival]
+    // budget 100 tokens per source, 40-token packs
+    val q = TopicStream.packStream(input.toDS(), budgetPerSource = 100L, packTokens = 40L)
+      .writeStream.format("memory").queryName("packed").outputMode("append").start()
+    try {
+      // batch 1: srcA takes 70 of its 100; srcB takes 30
+      input.addData(
+        DocArrival(1, "srcA", 30), DocArrival(2, "srcA", 40), DocArrival(3, "srcB", 30))
+      q.processAllAvailable()
+      // batch 2: srcA's first doc still fits (exclusive prefix 70 < 100),
+      // the next one is rejected (prefix 95 >= 100 after admit? no —
+      // 70+25=95 < 100, so doc 5 admits too; doc 6 hits 120 and is cut)
+      input.addData(
+        DocArrival(4, "srcA", 25), DocArrival(5, "srcA", 25), DocArrival(6, "srcA", 25),
+        DocArrival(7, "srcB", 50))
+      q.processAllAvailable()
+      val rows = spark.table("packed").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+          r.getAs[Long]("offset"), r.getAs[Long]("pack_id"))).toSet
+      assert(rows == Set(
+        (1L, "srcA", 0L, 0L),    // pack 0
+        (2L, "srcA", 30L, 0L),   // straddles into pack 0 (offset 30)
+        (4L, "srcA", 70L, 1L),   // state carried: prefix 70 -> pack 1
+        (5L, "srcA", 95L, 2L),   // prefix 95 < budget 100: admitted
+        (3L, "srcB", 0L, 0L),
+        (7L, "srcB", 30L, 0L)))  // doc 6 (prefix 120) rejected
+    } finally q.stop()
+  }
+
   test("streaming prep pipeline gates language/quality and dedups within the watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
