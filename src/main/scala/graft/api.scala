@@ -76,6 +76,24 @@ object api {
           sum(when(col("_gap").isNull || col("_gap") > gapSeconds, 1L).otherwise(0L)).over(ws))
         .drop("_gap")
     }
+
+    /** Per-key z-score outliers over an integer-valued column (exact
+      * moments commute -> deterministic at any parallelism; the ts15
+      * operator generalized). Keeps rows with |z| >= `zMin`, adding a
+      * `z` column. One shuffle (the stats agg); stats broadcast back. */
+    def anomalies(keyCol: String, valueCol: String, zMin: Double): DataFrame = {
+      val v = col(valueCol).cast("long")
+      val stats = df.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("_n"), sum(v).as("_s"), sum(v * v).as("_ss"))
+      df.join(broadcast(stats), keyCol)
+        .withColumn("_mean", col("_s").cast("double") / col("_n"))
+        .withColumn("_var",
+          (col("_ss").cast("double") - col("_s").cast("double") * col("_mean")) / col("_n"))
+        .filter(col("_var") > 0)
+        .withColumn("z", (v.cast("double") - col("_mean")) / sqrt(col("_var")))
+        .filter(abs(col("z")) >= zMin)
+        .drop("_n", "_s", "_ss", "_mean", "_var")
+    }
   }
 
   implicit class DedupOps(private val df: DataFrame) extends AnyVal {
@@ -92,6 +110,13 @@ object api {
     def nearDupPairs(idCol: String, textCol: String): DataFrame =
       graft.operators.Dedup.candidatePairsPublic(
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+    /** Shingle-containment near-dup pairs (the dd07 operator):
+      * catches superset duplicates (quotes, boilerplate wrappers)
+      * that Jaccard structurally misses. LSH-candidate-bounded. */
+    def containmentPairs(idCol: String, textCol: String, minMilli: Long = 500L): DataFrame =
+      graft.operators.Dedup.containmentPairs(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")), minMilli)
 
     /** Duplicate clusters: connected components over the LSH pair
       * graph — returns (`idCol`, cluster_id) where cluster_id is the
@@ -131,6 +156,54 @@ object api {
       val w = Window.partitionBy(col(groupCol))
         .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))), col(idCol))
       df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+    }
+
+    /** Token-budget sequence packing (the sp03 operator as a verb):
+      * adds `pack_offset` (exclusive token prefix within the group, in
+      * deterministic hash order) and `pack_id` = offset DIV
+      * `packTokens`. One shuffle: the per-group running-sum window. */
+    def packSequences(groupCol: String, idCol: String, tokCol: String,
+                      packTokens: Long, seed: String = "graft"): DataFrame = {
+      require(packTokens > 0, s"packTokens must be positive, got $packTokens")
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("_cum", sum(col(tokCol).cast("long")).over(w))
+        .withColumn("pack_offset", col("_cum") - col(tokCol).cast("long"))
+        .withColumn("pack_id", expr(s"pack_offset DIV $packTokens"))
+        .drop("_cum")
+    }
+
+    /** Token-budget mixture (the px02 operator as a verb): keep rows
+      * of each group, in deterministic hash order, until the group's
+      * exclusive token prefix crosses `budgetPerGroup` (a per-row
+      * Column, e.g. a CASE over the group). */
+    def mixtureBudget(groupCol: String, idCol: String, tokCol: String,
+                      budgetPerGroup: Column, seed: String = "graft"): DataFrame = {
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("_cum", sum(col(tokCol).cast("long")).over(w))
+        .filter(col("_cum") - col(tokCol).cast("long") < budgetPerGroup)
+        .drop("_cum")
+    }
+  }
+
+  implicit class TextCurationOps(private val df: DataFrame) extends AnyVal {
+
+    /** Pattern scrub (the tx07 operator as a verb): replaces every
+      * (regex -> replacement) in order, adding `n_redactions` (total
+      * matches across patterns). Pure per-row compute — scan speed. */
+    def scrubPatterns(textCol: String, patterns: Seq[(String, String)],
+                      outCol: String = "scrubbed"): DataFrame = {
+      require(patterns.nonEmpty, "scrubPatterns requires at least one (regex, replacement)")
+      val scrubbed = patterns.foldLeft(col(textCol)) { case (c, (pat, rep)) =>
+        regexp_replace(c, pat, rep)
+      }
+      val counts = patterns.map { case (pat, _) =>
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+      }.reduce(_ + _)
+      df.withColumn(outCol, scrubbed).withColumn("n_redactions", counts)
     }
   }
 

@@ -126,6 +126,15 @@ object Dedup {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Shingle CONTAINMENT verify — catches the superset duplicates
+    // Jaccard structurally misses: a doc quoted whole inside a longer
+    // one has |A∩B|/|A| ≈ 1 but tiny |A∩B|/|A∪B| (quotes, boilerplate
+    // wrappers, concatenated crawls). Same two-stage shape as dd04:
+    // LSH candidates only, containment both directions, keep pairs
+    // where EITHER side is >= 50% contained. O(candidates) verify.
+    "dd07_containment" -> ((s, d) =>
+      containmentPairs(docs(s, d), 500L).orderBy(col("a"), col("b"))),
+
     // Dedup CLUSTERING — the actual "keep one per duplicate group"
     // step: connected components over the LSH candidate-pair graph via
     // min-label propagation to a fixpoint. Each iteration is one
@@ -179,6 +188,25 @@ object Dedup {
         .orderBy(col("a"), col("b"))
     })
   )
+
+  /** Directional shingle-containment pairs over LSH candidates (the
+    * dd07 operator, reusable over any (doc_id, text) frame): keeps
+    * pairs where either side is at least `minMilli`/1000 contained in
+    * the other. */
+  def containmentPairs(docDf: DataFrame, minMilli: Long): DataFrame = {
+    val cand = broadcast(candidatePairs(docDf).select(col("a"), col("b")))
+    val sets = Tables.spread(docDf)
+      .select(col("doc_id"), tokens(col("text")).as("words"))
+      .select(col("doc_id"), array_distinct(shingles(col("words"), 3)).as("sh"))
+    sets.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+      .join(cand, "a")
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("cont_a_milli", expr("(inter * 1000) DIV CAST(size(sh_a) AS BIGINT)"))
+      .withColumn("cont_b_milli", expr("(inter * 1000) DIV CAST(size(sh_b) AS BIGINT)"))
+      .filter(greatest(col("cont_a_milli"), col("cont_b_milli")) >= minMilli)
+      .select(col("a"), col("b"), col("cont_a_milli"), col("cont_b_milli"))
+  }
 
   /** Integer left-fold sum (exact). */
   private def foldSumInt(arr: Column): Column =
@@ -321,6 +349,37 @@ object Dedup {
          | FROM cand c JOIN nonempty sa ON sa.doc_id = c.a JOIN nonempty sb ON sb.doc_id = c.b)
          |SELECT a, b, (inter * 1000) // uni AS jaccard_milli
          |FROM verified WHERE (inter * 1000) // uni >= 200
+         |ORDER BY a, b""".stripMargin
+    },
+    "dd07_containment" -> {
+      val minhashes = (0 until NumPerms).map { p =>
+        val src = if (p < 4) "h0" else "h1"
+        s"list_aggregate(list_transform($src, h -> substr(h, ${1 + 8 * (p % 4)}, 8)), 'min')"
+      }.mkString(",\n        |  ")
+      val bandkeys = (0 until NumPerms / BandWidth).map(b =>
+        s"md5(sig[${b * BandWidth + 1}] || '|' || sig[${b * BandWidth + 2}])").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |shs AS (SELECT doc_id, $shingleSql AS sh FROM w),
+         |nonempty AS (SELECT doc_id, list_distinct(sh) AS dsh, sh FROM shs),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS h0,
+         |  list_transform(sh, s -> md5('x' || s)) AS h1 FROM nonempty),
+         |sigs AS (SELECT doc_id, [
+         |  $minhashes] AS sig
+         | FROM hs),
+         |bands AS (SELECT doc_id, sig, unnest(generate_series(0, ${NumPerms / BandWidth - 1})) AS band,
+         |  unnest([$bandkeys]) AS bkey FROM sigs),
+         |cand AS (
+         | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         | FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |verified AS (
+         | SELECT c.a, c.b,
+         |  CAST(len(list_intersect(sa.dsh, sb.dsh)) AS BIGINT) AS inter,
+         |  CAST(len(sa.dsh) AS BIGINT) AS na, CAST(len(sb.dsh) AS BIGINT) AS nb
+         | FROM cand c JOIN nonempty sa ON sa.doc_id = c.a JOIN nonempty sb ON sb.doc_id = c.b)
+         |SELECT a, b, (inter * 1000) // na AS cont_a_milli,
+         | (inter * 1000) // nb AS cont_b_milli
+         |FROM verified
+         |WHERE greatest((inter * 1000) // na, (inter * 1000) // nb) >= 500
          |ORDER BY a, b""".stripMargin
     },
     "dd05_embed_neardup" ->

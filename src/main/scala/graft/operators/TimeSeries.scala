@@ -268,6 +268,30 @@ object TimeSeries {
         .orderBy(col("event_type"), col("h"))
     }),
 
+    // Per-key z-score anomaly detection — the TSDB outlier rollup.
+    // FP-determinism: both moments are EXACT integer sums (cents and
+    // squared cents commute), so mean/variance/z are a fixed chain of
+    // IEEE ops over identical inputs on both engines — no stddev()
+    // aggregate, whose partial-merge order is engine-dependent. The
+    // per-key stats table is tiny -> broadcast back; one shuffle total.
+    // (At extreme scale the squared-cents sum upgrades to decimal(38)
+    // to dodge long overflow; longs are exact at any realistic key
+    // cardinality here.)
+    "ts15_anomaly" -> ((s, d) => {
+      val e = ev(s, d).withColumn("value_c", round(col("value") * 100).cast("long"))
+      val stats = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"),
+          sum(col("value_c") * col("value_c")).as("sumsq_c"))
+      e.join(broadcast(stats), "user_id")
+        .withColumn("mean_c", expr("CAST(sum_c AS DOUBLE) / n"))
+        .withColumn("var_c", expr("(CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * mean_c) / n"))
+        .filter(col("var_c") > 0)
+        .withColumn("z", expr("(CAST(value_c AS DOUBLE) - mean_c) / sqrt(var_c)"))
+        .filter(abs(col("z")) >= lit(3.0))
+        .select(col("event_id"), col("user_id"), col("value_c"), col("z"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // As-of join through graft's NATIVE operator (custom LogicalPlan +
     // Strategy + AsofJoinExec, plans/AsofJoinPlan.scala): one exchange
     // + sort per side, then a streaming O(1)-state per-partition merge
@@ -466,6 +490,24 @@ object TimeSeries {
         | END AS lerp_c,
         | close_c IS NULL AS is_gap
         |FROM filled ORDER BY event_type, h""".stripMargin,
+    "ts15_anomaly" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS value_c
+        | FROM events),
+        |st AS (
+        | SELECT user_id, count(*) AS n, CAST(sum(value_c) AS BIGINT) AS sum_c,
+        |  CAST(sum(value_c * value_c) AS BIGINT) AS sumsq_c
+        | FROM e GROUP BY 1),
+        |j AS (
+        | SELECT e.event_id, e.user_id, e.value_c,
+        |  CAST(sum_c AS DOUBLE) / n AS mean_c,
+        |  (CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * (CAST(sum_c AS DOUBLE) / n)) / n AS var_c
+        | FROM e JOIN st USING (user_id))
+        |SELECT event_id, user_id, value_c,
+        | (CAST(value_c AS DOUBLE) - mean_c) / sqrt(var_c) AS z
+        |FROM j
+        |WHERE var_c > 0 AND abs((CAST(value_c AS DOUBLE) - mean_c) / sqrt(var_c)) >= 3.0
+        |ORDER BY user_id, event_id""".stripMargin,
     "ts08_delta" ->
       """SELECT event_id, user_id, epoch_s, value,
         | value - lag(value) OVER w AS delta,

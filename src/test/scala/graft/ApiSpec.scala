@@ -108,6 +108,60 @@ class ApiSpec extends SparkSpec {
       s"as-of must shuffle each side exactly once:\n$p")
   }
 
+  test("anomalies matches ts15 rows") {
+    val viaApi = Tables.events(spark, sfDir)
+      .withColumn("value_c", round(col("value") * 100).cast("long"))
+      .anomalies("user_id", "value_c", 3.0)
+      .select("event_id", "user_id", "value_c", "z")
+      .orderBy("user_id", "event_id")
+    val viaOp = SparkEntry.queries("ts15_anomaly")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+  }
+
+  test("containmentPairs matches dd07") {
+    val viaApi = Tables(spark, sfDir, "documents")
+      .containmentPairs("doc_id", "text").orderBy("a", "b")
+    val viaOp = SparkEntry.queries("dd07_containment")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+  }
+
+  test("packSequences conserves tokens and starts every group at pack 0") {
+    val df = Tables(spark, sfDir, "documents")
+      .withColumn("tok_cnt", size(split(col("text"), " ")))
+      .packSequences("source", "doc_id", "tok_cnt", 2000L, seed = "sp03x")
+    assert(df.count() == Tables(spark, sfDir, "documents").count())
+    assert(df.filter(col("pack_offset") < 0).count() == 0)
+    assert(df.groupBy("source").agg(min(col("pack_id")).as("m"))
+      .filter(col("m") =!= 0).count() == 0)
+  }
+
+  test("mixtureBudget keeps prefixes under per-group budgets") {
+    val budget = when(col("source") === "src0", lit(4000L)).otherwise(lit(800L))
+    val df = Tables(spark, sfDir, "documents")
+      .withColumn("tok_cnt", size(split(col("text"), " ")))
+      .mixtureBudget("source", "doc_id", "tok_cnt", budget)
+    val per = df.groupBy("source")
+      .agg(sum(col("tok_cnt").cast("long")).as("sel"), count(lit(1)).as("n")).collect()
+    assert(per.nonEmpty && per.forall(_.getAs[Long]("n") > 0))
+    // greedy prefix: selection can overshoot by at most one doc
+    per.foreach { r =>
+      val cap = if (r.getAs[String]("source") == "src0") 4000L else 800L
+      assert(r.getAs[Long]("sel") < cap + 1000, s"overshoot for ${r}")
+    }
+  }
+
+  test("scrubPatterns redacts and counts") {
+    import spark.implicits._
+    val df = Seq((1L, "call 12345 or mail a@b.co now"), (2L, "clean text"))
+      .toDF("id", "t")
+      .scrubPatterns("t", Seq("[0-9]{4,}" -> "<NUM>", "[A-Za-z]+@[A-Za-z.]+" -> "<EMAIL>"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[String]("scrubbed") == "call <NUM> or mail <EMAIL> now")
+    assert(rows(0).getAs[Int]("n_redactions") == 2)
+    assert(rows(1).getAs[String]("scrubbed") == "clean text")
+    assert(rows(1).getAs[Int]("n_redactions") == 0)
+  }
+
   test("asofJoin picks most recent right row per key") {
     import spark.implicits._
     val left = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDF("k", "t")

@@ -163,7 +163,8 @@ class PlanSpec extends SparkSpec {
     // A new Exchange, Window sort, or a broadcast silently flipping to
     // SortMergeJoin is a scale regression even when results stay
     // correct — this pins the topology. Regenerate after an
-    // INTENTIONAL plan change with: sbt -Dgraft.regenGolden=true test
+    // INTENTIONAL plan change with: GRAFT_REGEN_GOLDEN=1 sbt test
+    // (tests fork, so an env var reaches them; -D does not)
     val goldenPath = "/root/repo/src/test/resources/plan_golden.txt"
     val markers = Seq(
       "exch" -> "Exchange hashpartitioning",
@@ -184,7 +185,7 @@ class PlanSpec extends SparkSpec {
       name + " " + markers.map { case (k, m) => s"$k=${count(p, m)}" }.mkString(" ")
     }
     val f = new java.io.File(goldenPath)
-    if (sys.props.get("graft.regenGolden").contains("true") || !f.exists) {
+    if (sys.env.get("GRAFT_REGEN_GOLDEN").contains("1") || !f.exists) {
       val w = new java.io.PrintWriter(f, "UTF-8")
       live.foreach(w.println); w.close()
     }
