@@ -37,6 +37,12 @@ object Bench {
     val medians = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).flatMap { _ =>
+        // Clear BEFORE each run, not once per query: the operators'
+        // internal persist()s (dd02 signatures, ss05 assignment) are
+        // plan-matched, so run 2 would otherwise read run 1's cache
+        // and report an optimistic median that a fresh query never
+        // sees. Every measured run pays the query's full cost.
+        spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -47,8 +53,6 @@ object Bench {
             None
         }
       }
-      // persist()ed intermediates (dd02/dd05 signatures) must not leak
-      // cached state into the next query's timing or the next round.
       spark.sharedState.cacheManager.clearCache()
       // LOWER median: on a shared VM, scheduler noise is one-sided (it
       // only ever ADDS time), so for even n the lower middle value is

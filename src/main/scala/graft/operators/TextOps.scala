@@ -143,6 +143,32 @@ object TextOps {
         .orderBy(col("source"), col("rn"))
     }),
 
+    // Char-bigram LM quality score — the CCNet-style "how typical is
+    // this text of the corpus" filter, LOG-FREE so it stays
+    // engine-exact: corpus bigram frequencies in integer ppm, per-doc
+    // score = mean ppm of its bigrams via integer division (a
+    // monotone stand-in for mean log-prob; ln() is libm-dependent and
+    // hash-unsafe, SURVEY.md §5). Low score = atypical text. Two
+    // aggs + one broadcast join of the tiny bigram vocabulary.
+    "tx08_bigram_lm" -> ((s, d) => {
+      val bg = Tables.spread(docs(s, d))
+        .withColumn("norm", lower(col("text")))
+        .select(col("doc_id"), explode(when(length(col("norm")) >= 2,
+          transform(sequence(lit(1), length(col("norm")) - 1),
+            i => col("norm").substr(i, lit(2))))
+          .otherwise(typedLit(Seq.empty[String]))).as("bg"))
+      val corpus = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      val total = corpus.agg(sum(col("cnt")).as("tot"))
+      val freq = corpus.crossJoin(broadcast(total))
+        .select(col("bg"), expr("(cnt * 1000000) DIV tot").as("freq_ppm"))
+      bg.join(broadcast(freq), "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("freq_ppm")).as("sum_ppm"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sum_ppm DIV n_bigrams").as("lm_score_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII / pattern scrub: count + redact emails, long digit runs and
     // a dictionary of sensitive terms, emitting the scrubbed-text
     // digest and the length delta — the redaction pass of a
@@ -276,6 +302,18 @@ object TextOps {
     "dd01_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "tx08_bigram_lm" ->
+      """WITH bg AS (
+        | SELECT doc_id, unnest(list_transform(generate_series(1, len(lower(text)) - 1),
+        |   i -> substr(lower(text), i, 2))) AS bg
+        | FROM documents WHERE len(text) >= 2),
+        |corpus AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM corpus),
+        |freq AS (SELECT bg, (cnt * 1000000) // tot AS freq_ppm FROM corpus, tot)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        | CAST(sum(f.freq_ppm) // count(*) AS BIGINT) AS lm_score_ppm
+        |FROM bg b JOIN freq f USING (bg)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "tx07_pii_scrub" ->
       """WITH s AS (
         | SELECT doc_id, text,

@@ -22,6 +22,13 @@ case class PackedDoc(doc_id: Long, source: String, offset: Long, pack_id: Long)
 /** Per-source packer state: tokens admitted so far. */
 case class PackState(admitted_tokens: Long, n_admitted: Long)
 
+/** Running per-key moments for streaming anomaly detection (exact
+  * integer sums — commute, replay-safe). */
+case class KeyMoments(n: Long, sum_c: Long, sumsq_c: Long)
+
+/** An event flagged as anomalous against its key's PRIOR baseline. */
+case class AnomalousEvent(event_id: Long, user_id: Long, value_c: Long, z: Double)
+
 /** Structured Streaming transforms — the Spark counterpart of ella's
   * pub/sub topic surface (ella-engine/src/table/topic/channel.rs,
   * ella-server flight pub/sub, README "Unified Workflow").
@@ -126,6 +133,41 @@ object TopicStream {
                   s.admitted_tokens, s.admitted_tokens / packTokens)
                 (PackState(s.admitted_tokens + d.tok_cnt, s.n_admitted + 1), acc :+ doc)
               } else (s, acc)
+            }
+          state.update(finalSt)
+          out.iterator
+      }
+  }
+
+  /** Streaming z-score anomaly detector — ts15 in streaming form:
+    * per-key running moments (exact integer sums) live in state; each
+    * arriving event is scored against the baseline BEFORE it is
+    * folded in (prequential — a spike can't dilute its own baseline),
+    * flagged when the key has >= `minN` history and |z| >= `zMin`.
+    * State is three longs per key; rows fold in event_id order for
+    * replay determinism. */
+  def anomalyStream(events: Dataset[TopicEvent], zMin: Double,
+                    minN: Long = 30L): Dataset[AnomalousEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[KeyMoments, AnomalousEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        case (key: Long, rows: Iterator[TopicEvent], state: GroupState[KeyMoments]) =>
+          val st0 = state.getOption.getOrElse(KeyMoments(0L, 0L, 0L))
+          val (finalSt, out) = rows.toSeq.sortBy(_.event_id)
+            .foldLeft((st0, Vector.empty[AnomalousEvent])) { case ((st, acc), e) =>
+              val vc = math.round(e.value * 100)
+              val flagged =
+                if (st.n >= minN) {
+                  val mean = st.sum_c.toDouble / st.n
+                  val varc = (st.sumsq_c.toDouble - st.sum_c.toDouble * mean) / st.n
+                  if (varc > 0) {
+                    val z = (vc.toDouble - mean) / math.sqrt(varc)
+                    if (math.abs(z) >= zMin) Some(AnomalousEvent(e.event_id, key, vc, z)) else None
+                  } else None
+                } else None
+              (KeyMoments(st.n + 1, st.sum_c + vc, st.sumsq_c + vc * vc),
+                flagged.fold(acc)(acc :+ _))
             }
           state.update(finalSt)
           out.iterator

@@ -99,6 +99,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly detector flags spikes against the prior baseline only") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.anomalyStream(input.toDS(), zMin = 3.0, minN = 10L)
+      .writeStream.format("memory").queryName("anomalies").outputMode("append").start()
+    try {
+      // batch 1: user 1 builds a baseline alternating 1.00/3.00 (mean
+      // 200c, std 100c) — nothing flagged (and nothing CAN flag before
+      // minN history exists)
+      input.addData((1 to 12).map(i =>
+        TopicEvent(i, ts(f"2024-01-01 00:${i}%02d:00"), 1, "m", if (i % 2 == 0) 1.00 else 3.00)): _*)
+      q.processAllAvailable()
+      assert(spark.table("anomalies").count() == 0)
+      // batch 2: a 10.00 spike (z = (1000-200)/100 = 8) and a normal row
+      input.addData(
+        TopicEvent(20, ts("2024-01-01 00:20:00"), 1, "m", 10.00),
+        TopicEvent(21, ts("2024-01-01 00:21:00"), 1, "m", 2.00))
+      q.processAllAvailable()
+      val rows = spark.table("anomalies").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("value_c"))).toSet
+      assert(rows == Set((20L, 1000L)), s"only the spike flags: $rows")
+    } finally q.stop()
+  }
+
   test("streaming prep pipeline gates language/quality and dedups within the watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
