@@ -13,10 +13,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ TimeSeries.defs ++ TextOps.defs ++ VectorOps.defs ++ Similarity.defs ++ Dedup.defs ++ Multimodal.defs ++ Pipeline.defs
+    Relational.defs ++ TimeSeries.defs ++ TextOps.defs ++ VectorOps.defs ++ Similarity.defs ++ Dedup.defs ++ Multimodal.defs ++ Pipeline.defs ++ Curation.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TimeSeries.oracle ++ TextOps.oracle ++ VectorOps.oracle ++ Similarity.oracle ++ Dedup.oracle ++ Multimodal.oracle ++ Pipeline.oracle
+    Relational.oracle ++ TimeSeries.oracle ++ TextOps.oracle ++ VectorOps.oracle ++ Similarity.oracle ++ Dedup.oracle ++ Multimodal.oracle ++ Pipeline.oracle ++ Curation.oracle
 }

@@ -1,0 +1,270 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators over `documents` — the quality-filter /
+  * decontamination / vocabulary layer of an LLM training-data pipeline
+  * (RefinedWeb / Gopher / CCNet-style rules), complementing the
+  * dedup (dd) and sampling (sp/px) families.
+  *
+  * Everything stays engine-exact (SURVEY.md §5): ratios are integer
+  * milli-fractions via DIV, the only floating op is IEEE `sqrt` of an
+  * integer (correctly rounded by both engines, unlike ln/exp), and
+  * word 5-grams are plain string joins both engines reproduce.
+  */
+object Curation {
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables(s, d, "documents"))
+
+  /** Word 5-gram instances of a lowercase word array: position-ordered
+    * `array_join(words[i..i+4])`. Spark's `sequence(1, 0)` is a
+    * DESCENDING [1,0] while DuckDB's generate_series(1,0) is empty, so
+    * short docs are guarded to an explicit empty array (same fix as
+    * tx05/tx08). */
+  private def grams5(words: Column): Column =
+    when(size(words) >= 5,
+      transform(sequence(lit(1), size(words) - 4),
+        i => array_join(slice(words, i, lit(5)), " ")))
+      .otherwise(typedLit(Seq.empty[String]))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cross-corpus duplicated-span analysis (RefinedWeb-style exact
+    // substring dedup at word-5-gram granularity): a span is
+    // "duplicated" if its gram occurs in >= 2 DISTINCT docs. Per doc:
+    // span count, duplicated-span count, dup fraction in exact milli.
+    // Plan: one gram->doc-frequency agg (map-side combinable), one
+    // join back on gram, one per-doc agg — three hash shuffles, no
+    // window, no all-pairs; at 100 TB the gram df table is the only
+    // wide intermediate and it shrinks with distinct-gram count.
+    "tx09_dup_ngrams" -> ((s, d) => {
+      val g = docs(s, d)
+        .select(col("doc_id"), explode(grams5(split(lower(col("text")), " "))).as("gram"))
+      val dfreq = g.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      g.join(dfreq, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .withColumn("dup_milli", expr("(n_dup_spans * 1000) DIV n_spans"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher repetition rules, within-doc: modal-word fraction and
+    // duplicate-bigram fraction in exact milli, plus the keep flag.
+    // One explode + per-(doc,word) agg + per-doc window — a single
+    // hash shuffle on doc_id at scale (the window reuses the agg's
+    // partitioning), fully parallel per doc.
+    "tx10_repetition" -> ((s, d) => {
+      val words = split(lower(col("text")), " ")
+      val base = docs(s, d).select(col("doc_id"), words.as("words"))
+        .select(col("doc_id"), col("words"), explode(col("words")).as("word"))
+      val wc = base.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("word"))
+      val top = wc.withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_words"),
+          max(when(col("rn") === 1, col("word"))).as("top_word"),
+          max(when(col("rn") === 1, col("cnt"))).as("top_cnt"))
+      val bg = docs(s, d)
+        .select(col("doc_id"),
+          when(size(words) >= 2,
+            transform(sequence(lit(1), size(words) - 1),
+              i => array_join(slice(words, i, lit(2)), " ")))
+            .otherwise(typedLit(Seq.empty[String])).as("bgs"))
+        .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bgs"))).cast("long").as("n_dist_bigrams"))
+      top.join(bg, "doc_id")
+        .withColumn("top_word_milli", expr("(top_cnt * 1000) DIV n_words"))
+        .withColumn("dup_bigram_milli",
+          expr("CASE WHEN n_bigrams = 0 THEN 0 ELSE ((n_bigrams - n_dist_bigrams) * 1000) DIV n_bigrams END"))
+        .withColumn("keep",
+          col("top_word_milli") <= 100 && col("dup_bigram_milli") <= 250)
+        .select(col("doc_id"), col("n_words"), col("top_word"), col("top_cnt"),
+          col("top_word_milli"), col("n_bigrams"), col("n_dist_bigrams"),
+          col("dup_bigram_milli"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: flag training docs sharing any word
+    // 5-gram with the held-out benchmark (here: the src0 slice — a
+    // deterministic stand-in for an eval set). The benchmark gram set
+    // is TINY by construction (eval sets are), so it broadcasts and
+    // the scan side never shuffles on gram: per-doc distinct-gram agg
+    // is the only exchange. The standard n-gram-overlap decontam pass
+    // (GPT-3 appendix / PaLM style).
+    "tx11_decontam" -> ((s, d) => {
+      val g = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(grams5(split(lower(col("text")), " "))).as("gram"))
+      val bench = g.filter(col("source") === "src0")
+        .select(col("gram")).distinct()
+        .withColumn("hit", lit(1L))
+      g.filter(col("source") =!= "src0")
+        .dropDuplicates("doc_id", "gram")
+        .join(broadcast(bench), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .withColumn("contaminated", col("n_overlap") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer vocabulary build: corpus word counts -> top-64 vocab
+    // by (count desc, word) with exact cumulative-coverage milli.
+    // One map-side-combinable word agg; the top-64 + running sum run
+    // on the driver-scale result of that agg (vocab candidates, not
+    // the corpus), and `total` folds from the same agg — the corpus
+    // is scanned once at 100 TB.
+    "tx12_vocab" -> ((s, d) => {
+      val wc = docs(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = wc.agg(sum(col("cnt")).as("total"))
+      val w = Window.orderBy(col("cnt").desc, col("word"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rw = Window.orderBy(col("cnt").desc, col("word"))
+      wc.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(rw))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .filter(col("rank") <= 64)
+        .withColumn("coverage_milli", expr("(cum * 1000) DIV total"))
+        .select(col("rank"), col("word"), col("cnt"), col("cum"), col("coverage_milli"))
+        .orderBy(col("rank"))
+    }),
+
+    // Temperature-weighted mixture sampling (the multilingual-corpus
+    // alpha-sampling rule, alpha = 0.5): per-source doc budgets
+    // proportional to sqrt(token share). sqrt of an integer is
+    // CORRECTLY ROUNDED IEEE in both engines (unlike ln/exp/pow), and
+    // everything after the one sqrt is integer math, so the selection
+    // is engine-exact AND rerun-stable (md5-hash order, like sp02).
+    // Plan: per-source token agg (tiny, broadcast back) + one
+    // per-source window — one shuffle on the corpus at 100 TB.
+    "sp04_temperature" -> ((s, d) => {
+      val toks = size(split(col("text"), " ")).cast("long")
+      val base = docs(s, d).select(col("doc_id"), col("source"), toks.as("tok_cnt"))
+      val srcW = base.groupBy(col("source"))
+        .agg(sum(col("tok_cnt")).as("n_toks"))
+        .withColumn("wgt", floor(sqrt(col("n_toks").cast("double") * 1000000d)).cast("long"))
+      val tot = srcW.agg(sum(col("wgt")).as("tot_w"))
+      val budgets = srcW.crossJoin(broadcast(tot))
+        .withColumn("budget_docs", expr("(wgt * 200) DIV tot_w"))
+        .select(col("source"), col("n_toks"), col("wgt"), col("budget_docs"))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      base
+        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":sp04"))))
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(budgets), "source")
+        .filter(col("rn") <= col("budget_docs"))
+        .select(col("source"), col("rn"), col("doc_id"), col("tok_cnt"), col("budget_docs"))
+        .orderBy(col("source"), col("rn"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tx09_dup_ngrams" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+        |g AS (
+        | SELECT doc_id, array_to_string(list_slice(words, i, i + 4), ' ') AS gram
+        | FROM w, unnest(generate_series(1, len(words) - 4)) AS t(i)
+        | WHERE len(words) >= 5),
+        |dfreq AS (
+        | SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS n_spans,
+        | CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        | (CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000) // count(*) AS dup_milli
+        |FROM g JOIN dfreq USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "tx10_repetition" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+        |wc AS (
+        | SELECT doc_id, unnest(words) AS word FROM w),
+        |cnts AS (
+        | SELECT doc_id, word, count(*) AS cnt FROM wc GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, word) AS rn
+        | FROM cnts),
+        |top AS (
+        | SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |  max(CASE WHEN rn = 1 THEN word END) AS top_word,
+        |  CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_cnt
+        | FROM ranked GROUP BY doc_id),
+        |bg AS (
+        | SELECT doc_id,
+        |  CAST(len(bgs) AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct(bgs)) AS BIGINT) AS n_dist_bigrams
+        | FROM (SELECT doc_id,
+        |        CASE WHEN len(words) >= 2
+        |          THEN list_transform(generate_series(1, len(words) - 1),
+        |                 i -> array_to_string(list_slice(words, i, i + 1), ' '))
+        |          ELSE [] END AS bgs
+        |       FROM w)),
+        |m AS (
+        | SELECT top.doc_id, n_words, top_word, top_cnt,
+        |  (top_cnt * 1000) // n_words AS top_word_milli,
+        |  n_bigrams, n_dist_bigrams,
+        |  CASE WHEN n_bigrams = 0 THEN 0
+        |       ELSE ((n_bigrams - n_dist_bigrams) * 1000) // n_bigrams END AS dup_bigram_milli
+        | FROM top JOIN bg USING (doc_id))
+        |SELECT doc_id, n_words, top_word, top_cnt, top_word_milli,
+        | n_bigrams, n_dist_bigrams, dup_bigram_milli,
+        | (top_word_milli <= 100 AND dup_bigram_milli <= 250) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "tx11_decontam" ->
+      """WITH w AS (
+        | SELECT doc_id, source, string_split(lower(text), ' ') AS words FROM documents),
+        |g AS (
+        | SELECT doc_id, source, array_to_string(list_slice(words, i, i + 4), ' ') AS gram
+        | FROM w, unnest(generate_series(1, len(words) - 4)) AS t(i)
+        | WHERE len(words) >= 5),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |cand AS (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0')
+        |SELECT cand.doc_id, count(*) AS n_grams,
+        | CAST(sum(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        | sum(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+        |FROM cand LEFT JOIN bench ON cand.gram = bench.gram
+        |GROUP BY cand.doc_id ORDER BY cand.doc_id""".stripMargin,
+    "tx12_vocab" ->
+      """WITH wc AS (
+        | SELECT word, count(*) AS cnt
+        | FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        | GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM wc),
+        |r AS (
+        | SELECT word, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INT) AS rank,
+        |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        | FROM wc)
+        |SELECT rank, word, cnt, cum, (cum * 1000) // t.total AS coverage_milli
+        |FROM r, t WHERE rank <= 64 ORDER BY rank""".stripMargin,
+    "sp04_temperature" ->
+      """WITH base AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt
+        | FROM documents),
+        |srcw AS (
+        | SELECT source, CAST(sum(tok_cnt) AS BIGINT) AS n_toks,
+        |  CAST(floor(sqrt(CAST(sum(tok_cnt) AS DOUBLE) * 1000000)) AS BIGINT) AS wgt
+        | FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(sum(wgt) AS BIGINT) AS tot_w FROM srcw),
+        |budgets AS (
+        | SELECT source, n_toks, wgt, (wgt * 200) // tot.tot_w AS budget_docs
+        | FROM srcw, tot),
+        |r AS (
+        | SELECT source, doc_id, tok_cnt,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':sp04'), doc_id) AS INT) AS rn
+        | FROM base)
+        |SELECT r.source, r.rn, r.doc_id, r.tok_cnt, b.budget_docs
+        |FROM r JOIN budgets b ON r.source = b.source
+        |WHERE r.rn <= b.budget_docs
+        |ORDER BY r.source, r.rn""".stripMargin
+  )
+}

@@ -319,6 +319,24 @@ object Relational {
           array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
           countDistinct(col("o_custkey")).as("n_custs"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Approximate sketches — the single-pass cardinality / quantile
+    // estimators a 100 TB engine lives on: HyperLogLog++ distinct
+    // counts and t-digest-style percentiles, both partial-mergeable
+    // (one map-side-combinable shuffle, no sort, no exact-distinct
+    // re-shuffle). Sketch internals are engine-specific, so this is
+    // deliberately a rows-only check (no DuckDB oracle, SURVEY §5);
+    // the exact twins (q06/q20) carry the value correctness.
+    "q26_approx_sketch" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+            .as("price_quartiles"))
+        .orderBy(col("l_returnflag"))
     })
   )
 

@@ -186,6 +186,66 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // One k-means Lloyd iteration (the refine loop of IVF/SemDeDup
+    // clustering): seed centroids = per-label centroids (exact,
+    // quantized-long sums), assign every vector to its nearest seed
+    // with the zero-shuffle broadcast argmin fold (ss03), then
+    // recompute per-cell centroids from the SAME quantized longs —
+    // order-free integer sums, one hash shuffle on (cell, pos). The
+    // per-dim shift vs the seed shows convergence. At 100 TB each
+    // iteration is: broadcast k centroids + one scan + one agg.
+    "ss09_kmeans_iter" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = centroidArray(e)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("best", array_min(transform(col("cents"),
+          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                      c.getField("c_label").as("cell")))))
+        .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+      val newCents = assigned
+        .select(col("cell"), posexplode(col("embedding")))
+        .select(col("cell"), col("pos"),
+          floor(col("col").cast("double") * 100 + 0.5).cast("long").as("vq"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("vq")).cast("double") / (count(lit(1)) * 100)).as("new_c"))
+      val old = cents.select(explode(col("cents")).as("c"))
+        .select(col("c.c_label").as("cell"), posexplode(col("c.cvec")))
+        .select(col("cell"), col("pos"), col("col").as("old_c"))
+      newCents.join(broadcast(old), Seq("cell", "pos"))
+        .select(col("cell"), (col("pos") + 1).as("pos"), col("n"),
+          col("new_c"), (col("new_c") - col("old_c")).as("shift"))
+        .orderBy(col("cell"), col("pos"))
+    }),
+
+    // SemDeDup: semantic dedup via cluster-scoped pruning — assign
+    // every vector to its nearest centroid cell, then flag any vector
+    // with a SMALLER-id cluster-mate above the cosine threshold. The
+    // quadratic is bounded PER CLUSTER by design (that is the whole
+    // SemDeDup trick: at 100 TB you raise k so cells stay ~constant
+    // size, and the self-join shuffles once on cell). `assigned`
+    // persists because it feeds both sides of the self-join.
+    "ss10_semdedup" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = centroidArray(e)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("best", array_min(transform(col("cents"),
+          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                      c.getField("c_label").as("cell")))))
+        .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = assigned.select(col("cell"), col("vec_id").as("vec_id"), col("embedding").as("b_emb"))
+      a.join(b, "cell")
+        .filter(col("a_id") < col("vec_id"))
+        .withColumn("cos_sim", cosine(col("a_emb"), col("b_emb")))
+        .filter(col("cos_sim") > 0.3)
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(count(lit(1)).as("n_close_smaller"), max(col("cos_sim")).as("max_cos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Nearest-centroid assignment — the IVF coarse quantizer. The
     // round-1 form (crossJoin x L centroids + row_number() window)
     // forced a full shuffle+sort of the L-times-expanded corpus on
@@ -358,6 +418,66 @@ object Similarity {
         |     * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
         |FROM cells e JOIN qp ON e.cell = qp.q_cell CROSS JOIN q
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "ss09_kmeans_iter" ->
+      """WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |assigned AS (
+        | SELECT e.vec_id, e.embedding, c.c_label,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |cells AS (SELECT vec_id, embedding, c_label AS cell FROM assigned WHERE rn = 1),
+        |ex2 AS (
+        | SELECT cell, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM cells),
+        |nc AS (
+        | SELECT cell, pos, count(*) AS n,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS new_c FROM ex2 GROUP BY 1, 2)
+        |SELECT nc.cell, CAST(nc.pos AS INT) AS pos, nc.n, nc.new_c,
+        | nc.new_c - cen.c AS shift
+        |FROM nc JOIN cen ON nc.cell = cen.c_label AND nc.pos = cen.pos
+        |ORDER BY nc.cell, nc.pos""".stripMargin,
+
+    "ss10_semdedup" ->
+      """WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |assigned AS (
+        | SELECT e.vec_id, e.embedding, c.c_label,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |cells AS (SELECT vec_id, embedding, c_label AS cell FROM assigned WHERE rn = 1),
+        |pairs AS (
+        | SELECT b.vec_id, b.cell,
+        |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
+        | FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT vec_id, cell, count(*) AS n_close_smaller, max(cos_sim) AS max_cos
+        |FROM pairs WHERE cos_sim > 0.3
+        |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+
     "ss03_pairwise_label" ->
       """WITH ex AS (
         | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
