@@ -191,6 +191,79 @@ object api {
 
   implicit class TextCurationOps(private val df: DataFrame) extends AnyVal {
 
+    /** Temperature-weighted mixture sampling (the sp04 operator as a
+      * verb, alpha = 0.5): per-group doc budgets proportional to
+      * sqrt(token share), rows kept in deterministic hash order up to
+      * the budget. sqrt of an integer is correctly-rounded IEEE, so
+      * the selection is rerun-stable. One shuffle (the per-group
+      * window); the budget table broadcasts back. */
+    def temperatureSample(groupCol: String, idCol: String, tokCol: String,
+                          totalDocs: Long, seed: String = "graft"): DataFrame = {
+      require(totalDocs > 0, s"totalDocs must be positive, got $totalDocs")
+      val wgt = df.groupBy(col(groupCol))
+        .agg(sum(col(tokCol).cast("long")).as("_nt"))
+        .withColumn("_w", floor(sqrt(col("_nt").cast("double") * 1000000d)).cast("long"))
+      val tot = wgt.agg(sum(col("_w")).as("_tw"))
+      val budgets = wgt.crossJoin(broadcast(tot))
+        .withColumn("_budget", expr(s"(_w * $totalDocs) DIV _tw"))
+        .select(col(groupCol), col("_budget"))
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))), col(idCol))
+      df.withColumn("_rn", row_number().over(w))
+        .join(broadcast(budgets), groupCol)
+        .filter(col("_rn") <= col("_budget"))
+        .drop("_rn", "_budget")
+    }
+
+    /** Benchmark decontamination (the tx11 operator as a verb): per
+      * row, the count of word `n`-grams shared with `bench`'s text
+      * column, plus a `contaminated` flag. The benchmark gram set is
+      * broadcast (eval sets are small); the corpus never shuffles on
+      * gram. */
+    def decontaminate(idCol: String, textCol: String, bench: DataFrame,
+                      benchTextCol: String, n: Int = 5): DataFrame = {
+      require(n >= 1, s"n-gram size must be >= 1, got $n")
+      def grams(c: Column): Column =
+        when(size(split(lower(c), " ")) >= n,
+          transform(sequence(lit(1), size(split(lower(c), " ")) - (n - 1)),
+            i => array_join(slice(split(lower(c), " "), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))
+      val benchGrams = bench
+        .select(explode(grams(col(benchTextCol))).as("_gram")).distinct()
+        .withColumn("_hit", lit(1L))
+      val overlap = df.select(col(idCol), explode(grams(col(textCol))).as("_gram"))
+        .dropDuplicates(idCol, "_gram")
+        .join(broadcast(benchGrams), Seq("_gram"), "left")
+        .groupBy(col(idCol))
+        .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_overlap"))
+      df.join(overlap, Seq(idCol), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("contaminated", col("n_overlap") > 0)
+    }
+
+    /** Gopher-style repetition stats (the tx10 operator as a verb):
+      * adds exact-milli modal-word and duplicate-bigram fractions.
+      * One hash shuffle on `idCol`. */
+    def repetitionStats(idCol: String, textCol: String): DataFrame = {
+      val words = split(lower(col(textCol)), " ")
+      val wc = df.select(col(idCol), explode(words).as("_w"))
+        .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_c"))
+      val top = wc.groupBy(col(idCol))
+        .agg(sum(col("_c")).as("_n"), max(col("_c")).as("_top"))
+      val bg = df.select(col(idCol),
+          when(size(words) >= 2,
+            transform(sequence(lit(1), size(words) - 1),
+              i => array_join(slice(words, i, lit(2)), " ")))
+            .otherwise(array().cast("array<string>")).as("_bgs"))
+        .select(col(idCol), size(col("_bgs")).cast("long").as("_nb"),
+          size(array_distinct(col("_bgs"))).cast("long").as("_db"))
+      df.join(top, idCol).join(bg, idCol)
+        .withColumn("top_word_milli", expr("(_top * 1000) DIV _n"))
+        .withColumn("dup_bigram_milli",
+          expr("CASE WHEN _nb = 0 THEN 0 ELSE ((_nb - _db) * 1000) DIV _nb END"))
+        .drop("_n", "_top", "_nb", "_db")
+    }
+
     /** Pattern scrub (the tx07 operator as a verb): replaces every
       * (regex -> replacement) in order, adding `n_redactions` (total
       * matches across patterns). Pure per-row compute — scan speed. */
@@ -217,5 +290,18 @@ object api {
         .select(col(idCol), VectorFunctions.cosine(col(vecCol), col("_q")).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col(idCol))
         .limit(k)
+
+    /** SemDeDup prune list (the ss10 operator as a verb): assign each
+      * vector to its nearest per-`labelCol` centroid cell, then flag
+      * vectors with a smaller-id cluster-mate above `tau` cosine.
+      * Returns (idCol, cell, n_close_smaller, max_cos); anti-join it
+      * against this frame to keep the survivors. The quadratic is
+      * bounded per cluster — raise the cluster count at scale. */
+    def semdedupPrune(idCol: String, vecCol: String, labelCol: String,
+                      tau: Double): DataFrame =
+      graft.operators.Similarity.semdedupPrune(
+        df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+          col(labelCol).as("label")), tau)
+        .withColumnRenamed("vec_id", idCol)
   }
 }

@@ -24,7 +24,7 @@ object Curation {
     * DESCENDING [1,0] while DuckDB's generate_series(1,0) is empty, so
     * short docs are guarded to an explicit empty array (same fix as
     * tx05/tx08). */
-  private def grams5(words: Column): Column =
+  private[graft] def grams5(words: Column): Column =
     when(size(words) >= 5,
       transform(sequence(lit(1), size(words) - 4),
         i => array_join(slice(words, i, lit(5)), " ")))

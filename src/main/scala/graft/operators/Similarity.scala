@@ -226,25 +226,8 @@ object Similarity {
     // SemDeDup trick: at 100 TB you raise k so cells stay ~constant
     // size, and the self-join shuffles once on cell). `assigned`
     // persists because it feeds both sides of the self-join.
-    "ss10_semdedup" -> ((s, d) => {
-      val e = emb(s, d)
-      val cents = centroidArray(e)
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("best", array_min(transform(col("cents"),
-          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
-                      c.getField("c_label").as("cell")))))
-        .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      val b = assigned.select(col("cell"), col("vec_id").as("vec_id"), col("embedding").as("b_emb"))
-      a.join(b, "cell")
-        .filter(col("a_id") < col("vec_id"))
-        .withColumn("cos_sim", cosine(col("a_emb"), col("b_emb")))
-        .filter(col("cos_sim") > 0.3)
-        .groupBy(col("vec_id"), col("cell"))
-        .agg(count(lit(1)).as("n_close_smaller"), max(col("cos_sim")).as("max_cos"))
-        .orderBy(col("vec_id"))
-    }),
+    "ss10_semdedup" -> ((s, d) =>
+      semdedupPrune(emb(s, d), 0.3).orderBy(col("vec_id"))),
 
     // Nearest-centroid assignment — the IVF coarse quantizer. The
     // round-1 form (crossJoin x L centroids + row_number() window)
@@ -266,6 +249,30 @@ object Similarity {
         .orderBy(col("vec_id"))
     })
   )
+
+  /** SemDeDup pruning over an arbitrary (vec_id, embedding, label)
+    * frame — the ss10 operator as a reusable building block: assign
+    * each vector to its nearest per-label centroid cell, then flag
+    * vectors with a smaller-id cluster-mate above `tau` cosine.
+    * Returns (vec_id, cell, n_close_smaller, max_cos) — the prune
+    * list; anti-join it against the corpus to keep the survivors. */
+  private[graft] def semdedupPrune(e: DataFrame, tau: Double): DataFrame = {
+    val cents = centroidArray(e)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("best", array_min(transform(col("cents"),
+        c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                    c.getField("c_label").as("cell")))))
+      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_id"), col("embedding").as("b_emb"))
+    a.join(b, "cell")
+      .filter(col("a_id") < col("vec_id"))
+      .withColumn("cos_sim", cosine(col("a_emb"), col("b_emb")))
+      .filter(col("cos_sim") > tau)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(count(lit(1)).as("n_close_smaller"), max(col("cos_sim")).as("max_cos"))
+  }
 
   /** Per-label centroids folded into a single-row DataFrame: column
     * `cents` = label-sorted array of struct(c_label, cvec). Centroid

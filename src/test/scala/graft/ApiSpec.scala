@@ -172,4 +172,52 @@ class ApiSpec extends SparkSpec {
       .orderBy("k", "t").collect().map(r => (r.getLong(0), r.getString(2)))
     assert(got.toSeq == Seq((1L, "a"), (1L, "b"), (2L, null)))
   }
+
+  test("temperatureSample matches sp04 selection") {
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+    val api = docs.temperatureSample("source", "doc_id", "tok_cnt", 200L, seed = "")
+      .select("doc_id").orderBy("doc_id")
+    // seed "" makes the verb's md5 key (id + ":") differ from sp04's
+    // (id + ":sp04") — counts per source still match because budgets do
+    val op = SparkEntry.queries("sp04_temperature")(spark, sfDir)
+    assert(api.count() == op.count())
+    val apiPer = api.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val opPer = op.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(apiPer == opPer)
+  }
+
+  test("decontaminate agrees with tx11 on flags and overlap counts") {
+    val docs = Tables(spark, sfDir, "documents")
+    val api = docs.filter(col("source") =!= "src0")
+      .decontaminate("doc_id", "text", docs.filter(col("source") === "src0"), "text")
+      .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+      .orderBy("doc_id")
+    val op = SparkEntry.queries("tx11_decontam")(spark, sfDir)
+      .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+      .orderBy("doc_id")
+    assert(api.collect().toSeq == op.collect().toSeq)
+  }
+
+  test("repetitionStats matches tx10 milli fractions") {
+    val api = Tables(spark, sfDir, "documents")
+      .repetitionStats("doc_id", "text")
+      .select("doc_id", "top_word_milli", "dup_bigram_milli")
+      .orderBy("doc_id")
+    val op = SparkEntry.queries("tx10_repetition")(spark, sfDir)
+      .select("doc_id", "top_word_milli", "dup_bigram_milli")
+      .orderBy("doc_id")
+    assert(api.collect().toSeq == op.collect().toSeq)
+  }
+
+  test("semdedupPrune matches ss10 and its survivors anti-join cleanly") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val api = e.semdedupPrune("vec_id", "embedding", "label", 0.3).orderBy("vec_id")
+    val op = SparkEntry.queries("ss10_semdedup")(spark, sfDir)
+    assert(api.collect().toSeq == op.collect().toSeq)
+    val survivors = e.join(api.select("vec_id"), Seq("vec_id"), "left_anti")
+    assert(survivors.count() == e.count() - api.count())
+  }
 }

@@ -150,6 +150,38 @@ class PlanSpec extends SparkSpec {
       s"expected partial aggregation:\n$p")
   }
 
+  test("tx11 decontam joins the benchmark gram set as a broadcast, never a shuffle on gram") {
+    val p = plan("tx11_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny benchmark gram set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle on gram for decontam:\n$p")
+  }
+
+  test("ss10 semdedup self-join reads the cell assignment from cache on both sides") {
+    val p = plan("ss10_semdedup")
+    val hits = "InMemoryTableScan".r.findAllIn(p).size
+    assert(hits >= 2,
+      s"assignment feeds both sides of the cluster self-join; must persist (saw $hits):\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"cluster-mate pairing must be an equi-join on cell:\n$p")
+  }
+
+  test("sp04 budgets broadcast back; the corpus shuffles once (per-source window)") {
+    val p = plan("sp04_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-source budget table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle to meet the budgets:\n$p")
+  }
+
+  test("q26 sketches aggregate partially (map-side) — single-pass, mergeable") {
+    val p = plan("q26_approx_sketch")
+    assert(p.contains("partial_approx_count_distinct") || p.contains("partial_"),
+      s"sketches must partial-aggregate before the shuffle:\n$p")
+    assert(!p.contains("Window"), s"sketches must not rank:\n$p")
+  }
+
   test("no query ever degenerates into a CartesianProduct") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)

@@ -17,7 +17,9 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle or is explicitly rows-only") {
-    val rowsOnly = Set.empty[String]
+    // q26: sketch internals (HLL++/approx-percentile) are engine-
+    // specific, so there is no DuckDB-exact oracle by design
+    val rowsOnly = Set("q26_approx_sketch")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
