@@ -33,6 +33,10 @@ class GraftSession(val spark: SparkSession, root: String) {
   def execute(sql: String): Unit = {
     val ViewRe = """(?is)\s*CREATE\s+(MATERIALIZED\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+)""".r
     val DropRe = """(?is)\s*DROP\s+(?:TABLE|VIEW)\s+([\w.]+)\s*""".r
+    val CreateCatRe = """(?is)\s*CREATE\s+CATALOG\s+(IF\s+NOT\s+EXISTS\s+)?([\w]+)\s*""".r
+    val CreateSchemaRe = """(?is)\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*""".r
+    val DropCatRe = """(?is)\s*DROP\s+CATALOG\s+(IF\s+EXISTS\s+)?([\w]+)\s*(CASCADE)?\s*""".r
+    val DropSchemaRe = """(?is)\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w.]+)\s*(CASCADE)?\s*""".r
     val UseCatRe = """(?is)\s*USE\s+CATALOG\s+([\w]+)\s*""".r
     val UseSchemaRe = """(?is)\s*USE\s+(?:SCHEMA\s+)?([\w]+)\s*""".r
     sql match {
@@ -40,12 +44,30 @@ class GraftSession(val spark: SparkSession, root: String) {
         registerTempViews()
         if (mat != null) catalog.materializeView(name, body.trim)
         else catalog.createView(name, body.trim)
+      case CreateCatRe(ine, name) => catalog.createCatalog(name, ifNotExists = ine != null)
+      case CreateSchemaRe(ine, name) => catalog.createSchema(name, ifNotExists = ine != null)
+      case DropCatRe(ie, name, casc) =>
+        catalog.dropCatalog(name, ifExists = ie != null, cascade = casc != null)
+      case DropSchemaRe(ie, name, casc) =>
+        catalog.dropSchema(name, ifExists = ie != null, cascade = casc != null)
       case DropRe(name) => catalog.dropTable(name)
       case UseCatRe(c) => catalog.useCatalog(c)
       case UseSchemaRe(s) => catalog.useSchema(s)
       case _ => query(sql).write.format("noop").mode("overwrite").save()
     }
   }
+
+  /** Catalog lifecycle (ella-engine/src/cluster.rs:42-90). */
+  def createCatalog(name: String, ifNotExists: Boolean = false): Unit =
+    catalog.createCatalog(name, ifNotExists)
+  def dropCatalog(name: String, ifExists: Boolean = false, cascade: Boolean = false): Boolean =
+    catalog.dropCatalog(name, ifExists, cascade)
+
+  /** Schema lifecycle (ella-engine/src/catalog.rs:48-113). */
+  def createSchema(name: String, ifNotExists: Boolean = false): Unit =
+    catalog.createSchema(name, ifNotExists)
+  def dropSchema(name: String, ifExists: Boolean = false, cascade: Boolean = false): Boolean =
+    catalog.dropSchema(name, ifExists, cascade)
 
   /** Switch default catalog/schema context (ella.rs:118-137). */
   def useCatalog(c: String): Unit = catalog.useCatalog(c)

@@ -44,6 +44,11 @@ class TopicCatalog(spark: SparkSession, root: String,
   case class View(sql: String, materializedPath: Option[String]) extends Entry {
     val kind = if (materializedPath.isDefined) "materialized_view" else "view"
   }
+  /** Explicit catalog ("cat") or schema ("cat.sch") registration —
+    * the reference's cluster/catalog levels (`cluster.rs:42-90`,
+    * `catalog.rs:48-113`), where namespaces are first-class tx-logged
+    * objects, not just name prefixes. */
+  case object Namespace extends Entry { val kind = "namespace" }
 
   private val manifestPath = Paths.get(s"$root/_graft_catalog.json")
   private val logPath = Paths.get(s"$root/_graft_catalog.log")
@@ -70,6 +75,76 @@ class TopicCatalog(spark: SparkSession, root: String,
     case Array(s, t) => s"$curCatalog.$s.$t"
     case _ => ref
   }
+
+  // -- catalog / schema lifecycle (ella cluster.rs:42-90 create_catalog/
+  //    deregister, catalog.rs:48-113 create_schema/deregister) --
+
+  private def resolveSchema(ref: String): String = ref.split('.') match {
+    case Array(s) => s"$curCatalog.$s"
+    case _ => ref
+  }
+
+  /** Register a catalog. Exists + `ifNotExists` → no-op; exists
+    * otherwise → error (the reference's CatalogExists). */
+  def createCatalog(name: String, ifNotExists: Boolean = false): Unit = {
+    require(!name.contains('.'), s"catalog name must be unqualified: $name")
+    if (entries.contains(name)) {
+      if (ifNotExists) return
+      throw new IllegalStateException(s"catalog already exists: $name")
+    }
+    entries(name) = Namespace
+    commit("put", name, Some(Namespace))
+  }
+
+  /** Register a schema ("sch" in the current catalog, or "cat.sch"). */
+  def createSchema(ref: String, ifNotExists: Boolean = false): Unit = {
+    val fqn = resolveSchema(ref)
+    require(fqn.count(_ == '.') == 1, s"schema id must be catalog.schema: $fqn")
+    if (entries.contains(fqn)) {
+      if (ifNotExists) return
+      throw new IllegalStateException(s"schema already exists: $fqn")
+    }
+    entries(fqn) = Namespace
+    commit("put", fqn, Some(Namespace))
+  }
+
+  private def dropNamespace(fqn: String, ifExists: Boolean, cascade: Boolean,
+                            what: String): Boolean = {
+    if (!entries.contains(fqn)) {
+      if (ifExists) return false
+      throw new NoSuchElementException(s"$what not found: $fqn")
+    }
+    val children = entries.keys.filter(_.startsWith(fqn + ".")).toSeq
+    if (children.nonEmpty && !cascade)
+      throw new IllegalStateException(s"cannot remove non-empty $what $fqn")
+    children.foreach { k =>
+      val wasDurable = entries.remove(k).exists(_.kind != "temp_topic")
+      if (wasDurable) commit("drop", k, None)
+    }
+    entries.remove(fqn)
+    commit("drop", fqn, None)
+    true
+  }
+
+  /** Drop a catalog; `cascade` removes its schemas and tables, without
+    * it a non-empty catalog is an error (reference `deregister`). */
+  def dropCatalog(name: String, ifExists: Boolean = false,
+                  cascade: Boolean = false): Boolean =
+    dropNamespace(name, ifExists, cascade, "catalog")
+
+  def dropSchema(ref: String, ifExists: Boolean = false,
+                 cascade: Boolean = false): Boolean =
+    dropNamespace(resolveSchema(ref), ifExists, cascade, "schema")
+
+  /** Registered catalog names (explicit `createCatalog` only). */
+  def catalogs(): Seq[String] =
+    entries.collect { case (n, Namespace) if !n.contains('.') => n }.toSeq
+
+  /** Registered schema names under `cat`. */
+  def schemas(cat: String): Seq[String] =
+    entries.collect {
+      case (n, Namespace) if n.startsWith(cat + ".") && n.count(_ == '.') == 1 => n
+    }.toSeq
 
   /** Explicit topic creation (ella/src/ella.rs:176-199 `create_table`
     * with if_not_exists / or_replace):
@@ -148,6 +223,7 @@ class TopicCatalog(spark: SparkSession, root: String,
     case Topic(p) => o.put("kind", "topic"); o.put("path", p)
     case View(sql, mp) =>
       o.put("kind", "view"); o.put("sql", sql); mp.foreach(o.put("path", _))
+    case Namespace => o.put("kind", "namespace"); ()
     case TempTopic(_) =>
       throw new IllegalStateException("temporary topics are never persisted")
   }
@@ -158,6 +234,7 @@ class TopicCatalog(spark: SparkSession, root: String,
       case "view" =>
         val mp = Option(node.get("path")).map(_.asText())
         entries(name) = View(node.path("sql").asText(), mp)
+      case "namespace" => entries(name) = Namespace
       case _ => ()
     }
 

@@ -248,4 +248,63 @@ class StorageSpec extends SparkSpec {
       assert(spark.table("live_tail").count() == 12)
     } finally q.stop()
   }
+
+  test("catalog/schema lifecycle: ifNotExists, non-empty guard, cascade, durability") {
+    val root = tmp()
+    val store = new TopicStore(spark, s"$root/topics")
+    val cat = new TopicCatalog(spark, root)
+
+    cat.createCatalog("lake")
+    intercept[IllegalStateException](cat.createCatalog("lake"))
+    cat.createCatalog("lake", ifNotExists = true) // no-op, like the reference
+    cat.createSchema("lake.raw")
+    intercept[IllegalStateException](cat.createSchema("lake.raw"))
+    assert(cat.catalogs() == Seq("lake"))
+    assert(cat.schemas("lake") == Seq("lake.raw"))
+
+    // bare schema name resolves in the current catalog
+    cat.useCatalog("lake")
+    cat.createSchema("curated", ifNotExists = true)
+    assert(cat.schemas("lake").toSet == Set("lake.raw", "lake.curated"))
+
+    // a non-empty schema refuses to drop without cascade
+    cat.useSchema("raw")
+    cat.createTopic("t1", store)
+    assert(cat.contains("lake.raw.t1"))
+    intercept[IllegalStateException](cat.dropSchema("lake.raw"))
+    assert(cat.dropSchema("lake.raw", cascade = true))
+    assert(!cat.contains("lake.raw.t1"))
+
+    // catalog-level cascade sweeps schemas AND their tables
+    cat.createSchema("lake.again")
+    intercept[IllegalStateException](cat.dropCatalog("lake"))
+    assert(cat.dropCatalog("lake", cascade = true))
+    assert(cat.catalogs().isEmpty)
+
+    // missing + ifExists → false; missing otherwise → error
+    assert(!cat.dropCatalog("ghost", ifExists = true))
+    intercept[NoSuchElementException](cat.dropCatalog("ghost"))
+
+    // namespaces survive a reload through the tx log
+    cat.createCatalog("persisted")
+    cat.createSchema("persisted.s1")
+    val cat2 = new TopicCatalog(spark, root)
+    assert(cat2.catalogs() == Seq("persisted"))
+    assert(cat2.schemas("persisted") == Seq("persisted.s1"))
+  }
+
+  test("execute() routes catalog/schema DDL incl. CASCADE to the registry") {
+    val gs = new GraftSession(spark, tmp())
+    gs.execute("CREATE CATALOG lake")
+    gs.execute("CREATE CATALOG IF NOT EXISTS lake")
+    gs.execute("CREATE SCHEMA lake.raw")
+    gs.execute("USE CATALOG lake")
+    gs.execute("USE SCHEMA raw")
+    gs.createTopic("t1")
+    intercept[IllegalStateException](gs.execute("DROP SCHEMA lake.raw"))
+    gs.execute("DROP SCHEMA lake.raw CASCADE")
+    gs.execute("DROP CATALOG lake")
+    gs.execute("DROP CATALOG IF EXISTS lake")
+    intercept[NoSuchElementException](gs.execute("DROP CATALOG lake"))
+  }
 }
