@@ -107,6 +107,23 @@ object TopicStream {
       .withColumn("chash", md5(col("text")))
       .dropDuplicatesWithinWatermark("chash")
 
+  /** Streaming benchmark decontamination — tx11 in streaming form:
+    * each arriving doc's word 5-grams semi-join the STATIC benchmark
+    * gram set (tiny, broadcast — an eval set), and contaminated docs
+    * emit exactly once via dedup within the watermark. Every stage is
+    * stateless except the bounded doc-id dedup, so state is O(docs
+    * per watermark window) regardless of corpus size. `bench` must
+    * have a `gram` column (e.g. built by the batch tx11 pass). */
+  def decontamStream(docs: DataFrame, bench: DataFrame,
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.operators.Curation.grams5(split(lower(col("text")), " "))).as("gram"))
+      .join(broadcast(bench.select(col("gram"))), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("ts"))
+      .dropDuplicatesWithinWatermark("doc_id")
+
   /** Streaming token-budget packer — sp03/px02 in streaming form: docs
     * arrive continuously, each source admits docs until its token
     * budget is exhausted, and every admitted doc is assigned its

@@ -144,6 +144,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags benchmark-overlapping docs exactly once") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // the "eval set": one doc whose 5-grams are the contamination probes
+    val bench = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+      .select(explode(graft.operators.Curation.grams5(
+        split(lower(col("text")), " "))).as("gram"))
+    val input = MemoryStream[StreamDoc]
+    val q = TopicStream.decontamStream(input.toDF(), bench, "10 minutes")
+      .writeStream.format("memory").queryName("decontam").outputMode("append").start()
+    try {
+      input.addData(
+        // contains the benchmark 5-gram "beta gamma delta epsilon zeta"
+        StreamDoc(1, ts("2024-01-01 00:00:00"), "intro beta gamma delta epsilon zeta outro", "en"),
+        // clean doc: no shared 5-gram
+        StreamDoc(2, ts("2024-01-01 00:01:00"), "totally unrelated clean document text here", "en"),
+        // too short for any 5-gram
+        StreamDoc(3, ts("2024-01-01 00:02:00"), "tiny doc", "en"))
+      q.processAllAvailable()
+      // replay of doc 1 within the watermark must not re-emit
+      input.addData(
+        StreamDoc(1, ts("2024-01-01 00:03:00"), "intro beta gamma delta epsilon zeta outro", "en"))
+      q.processAllAvailable()
+      val flagged = spark.table("decontam").select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(flagged == Seq(1L),
+        s"expected exactly doc 1 flagged once, got $flagged")
+    } finally q.stop()
+  }
+
   test("latestPerKey keeps newest value and counts rows seen") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
