@@ -32,7 +32,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=dd04,dd06 restricts the run to a
+    // comma-separated subset (driver contract unchanged: default = all).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(o => o.exists(n.startsWith)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val medians = names.map { name =>
       val fn = SparkEntry.queries(name)

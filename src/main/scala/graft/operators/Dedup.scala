@@ -215,10 +215,17 @@ object Dedup {
   /** Connected components over an undirected pair graph via min-label
     * propagation to a fixpoint: `nodes` = one `node` column, `pairs` =
     * (a, b) edges (direction irrelevant). Returns (node, label) where
-    * label = the component's minimum node id. Each round is one
-    * hash-partitioned join+agg (no row data on the driver — the loop
-    * checks only a scalar convergence count, the standard Spark
-    * iterative pattern); rounds = O(component diameter), and near-dup
+    * label = the component's minimum node id.
+    *
+    * The fixpoint loop runs ONLY over edge-touched nodes: in a dedup
+    * graph almost every node is isolated (it keeps its own label
+    * forever), so dragging the full corpus through every round would
+    * re-join 100 TB ~diameter times for nothing. Touched nodes are
+    * bounded by 2x the pair count — the iterative joins stay tiny at
+    * any corpus scale — and the isolated majority is labeled by ONE
+    * final left join. Each round is one hash-partitioned join+agg (no
+    * row data on the driver — the loop checks only a scalar
+    * convergence count); rounds = O(component diameter), and near-dup
     * clusters are shallow at any scale. Large-star/small-star is the
     * documented upgrade for adversarially long chains. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
@@ -226,7 +233,8 @@ object Dedup {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var iter = 0
@@ -245,7 +253,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    // isolated nodes (the vast majority of a dedup corpus) label
+    // themselves in one pass — they never enter the fixpoint loop
+    nodes.join(labels.withColumnRenamed("node", "_t"),
+        nodes("node") === col("_t"), "left")
+      .select(nodes("node"), coalesce(col("label"), nodes("node")).as("label"))
   }
 
   // ---- oracle SQL ----

@@ -321,6 +321,24 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Correlated LATERAL subquery (SQL:2016 lateral derived table /
+    // cross apply, the DataFusion SQL surface ella exposes): top-2
+    // orders PER customer row, declared as a lateral ORDER BY..LIMIT.
+    // Catalyst rewrites the correlation into a ranked join (no
+    // per-row re-execution); the q16 window form is the explicit
+    // twin — this pins the SQL-surface spelling.
+    "q27_lateral" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    }),
+
     // Approximate sketches — the single-pass cardinality / quantile
     // estimators a 100 TB engine lives on: HyperLogLog++ distinct
     // counts and t-digest-style percentiles, both partial-mergeable
@@ -492,6 +510,13 @@ object Relational {
         | count(DISTINCT o_custkey) AS n_custs
         |FROM orders
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q27_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
   )
 }
