@@ -24,4 +24,10 @@ object bridge {
   /** Analyzed logical plan of a DataFrame. */
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Block until the listener bus has delivered all queued events —
+    * `private[spark]`, needed so metric collection sees every TaskEnd
+    * of the measured action before reading its counters. */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession, timeoutMillis: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis)
 }
