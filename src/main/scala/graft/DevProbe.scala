@@ -15,7 +15,8 @@ object DevProbe {
         "ss03_pairwise_label","dd05_embed_neardup","v13_tensor2d","sp01_stratified_sample","px01_prep_pipeline",
         "ts12_asof_native","q24_range_join","ss06_ivf_multiprobe","dd03_simhash","ts13_interval_join",
         "sp03_pack_sequences","px02_mixture_budget","tx07_pii_scrub","v15_matmul","ts14_interpolate","q25_string_agg",
-        "tx11_decontam","ss09_kmeans_iter","ss10_semdedup","sp04_temperature","q26_approx_sketch")
+        "tx11_decontam","ss09_kmeans_iter","ss10_semdedup","sp04_temperature","q26_approx_sketch",
+        "dd06_dup_clusters","q27_lateral")
         .foreach { n =>
           println(s"\n## $n\n")
           println("```")

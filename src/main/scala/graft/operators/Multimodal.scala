@@ -84,6 +84,36 @@ object Multimodal {
       media.mapPartitions(_.flatMap(sampleFramesStub))
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Multimodal training-sample assembly: one manifest row per
+    // sample joining ALL modalities — text stats, the embedding
+    // (dim + order-free quantized checksum), and the decoded media
+    // metadata (mm01's batch decode). The "build the actual training
+    // record" step of a multimodal pipeline; at 100 TB each modality
+    // table is bucketed on the sample id so the two equi-joins are
+    // co-partitioned zero-shuffle joins (BucketedSpec shows the
+    // mechanism) and the payload column itself is never read.
+    "mm03_sample_assembly" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables(s, d, "documents"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(split(col("text"), " ")).as("tok_cnt"),
+          encode(col("text"), "UTF-8").as("payload"))
+      val meta = docs.select(col("doc_id"), col("payload")).as[MediaIn]
+        .mapPartitions(_.map(decodeStub)).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"), col("phash8"))
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          size(col("embedding")).as("emb_dim"),
+          aggregate(
+            transform(col("embedding"),
+              x => floor(x.cast("double") * 100 + 0.5).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("emb_qsum"))
+      docs.drop("payload")
+        .join(emb, "doc_id")
+        .join(meta, "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -111,6 +141,30 @@ object Multimodal {
         | substr(fh, 1, 8) AS fhash8,
         | CAST((instr('0123456789abcdef', substr(fh,1,1)) - 1) * 16
         |    + (instr('0123456789abcdef', substr(fh,2,1)) - 1) AS INT) AS brightness
-        |FROM ff ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM ff ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm03_sample_assembly" ->
+      """WITH meta AS (
+        | SELECT doc_id, md5(text) AS hx FROM documents),
+        |m AS (
+        | SELECT doc_id,
+        |  CASE WHEN (instr('0123456789abcdef', substr(hx,1,1)) - 1) % 2 = 0
+        |       THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(64 + 16 * (instr('0123456789abcdef', substr(hx,2,1)) - 1) AS INT) AS width,
+        |  CAST(64 + 16 * (instr('0123456789abcdef', substr(hx,3,1)) - 1) AS INT) AS height,
+        |  substr(hx, 1, 8) AS phash8
+        | FROM meta),
+        |e AS (
+        | SELECT vec_id AS doc_id, CAST(len(embedding) AS INT) AS emb_dim,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS BIGINT) AS emb_qsum
+        | FROM embeddings),
+        |t AS (
+        | SELECT doc_id, source, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS tok_cnt
+        | FROM documents)
+        |SELECT t.doc_id, t.source, t.n_chars, t.tok_cnt,
+        | e.emb_dim, e.emb_qsum, m.format, m.width, m.height, m.phash8
+        |FROM t JOIN e USING (doc_id) JOIN m USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin
   )
 }
