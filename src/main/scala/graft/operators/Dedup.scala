@@ -230,12 +230,20 @@ object Dedup {
     * documented upgrade for adversarially long chains. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager), NOT persist: each round's frame embeds
+    // the previous round's logical plan, so lineage DOUBLES per round
+    // and the driver's analysis/optimization time — not execution —
+    // comes to dominate the fixpoint (measured: per-round wall grew
+    // 1.3 s → 5.3 s while `changed` shrank 493 → 1). Checkpointing
+    // truncates the plan to a materialized leaf each round; on a
+    // cluster the same call (or checkpoint() with a reliable dir) is
+    // the standard iterative-algorithm pattern.
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -245,14 +253,12 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.join(labels.select(col("node"), col("label").as("old")), "node")
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
     // isolated nodes (the vast majority of a dedup corpus) label
     // themselves in one pass — they never enter the fixpoint loop
     nodes.join(labels.withColumnRenamed("node", "_t"),
