@@ -136,6 +136,35 @@ object Curation {
         .orderBy(col("rank"))
     }),
 
+    // Text normalization pass (the tokenizer-prep normalize step):
+    // lowercase, strip punctuation, collapse whitespace, drop
+    // stopwords, crude suffix stem (ing/ed/es/s on words >= 5 chars —
+    // a deterministic Porter-lite both engines express identically).
+    // Pure per-row array compute — scan speed, zero shuffle; emits the
+    // normalized digest so downstream exact-dedup runs on normalized
+    // text. The regexes stay in the RE2-compatible subset (tx07 rule).
+    "tx13_normalize" -> ((s, d) => {
+      val stop = Seq("the", "a", "of", "and", "to", "is")
+      val cleaned = regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " ")
+      val toks = filter(split(trim(cleaned), " "),
+        t => !stop.foldLeft(lit(false))((acc, w) => acc || (t === w)) && length(t) > 0)
+      val stemmed = transform(toks, t =>
+        when(length(t) >= 6 && t.endsWith("ing"), t.substr(lit(1), length(t) - 3))
+          .when(length(t) >= 5 && t.endsWith("ed"), t.substr(lit(1), length(t) - 2))
+          .when(length(t) >= 5 && t.endsWith("es"), t.substr(lit(1), length(t) - 2))
+          .when(length(t) >= 5 && t.endsWith("s"), t.substr(lit(1), length(t) - 1))
+          .otherwise(t))
+      Tables.spread(docs(s, d))
+        .withColumn("norm_toks", stemmed)
+        .select(col("doc_id"),
+          size(col("norm_toks")).as("n_norm_tokens"),
+          md5(array_join(col("norm_toks"), " ")).as("norm_md5"),
+          array_join(slice(col("norm_toks"), 1, 5), " ").as("head5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature-weighted mixture sampling (the multilingual-corpus
     // alpha-sampling rule, alpha = 0.5): per-source doc budgets
     // proportional to sqrt(token share). sqrt of an integer is
@@ -244,6 +273,27 @@ object Curation {
         | FROM wc)
         |SELECT rank, word, cnt, cum, (cum * 1000) // t.total AS coverage_milli
         |FROM r, t WHERE rank <= 64 ORDER BY rank""".stripMargin,
+    "tx13_normalize" ->
+      """WITH c AS (
+        | SELECT doc_id,
+        |  regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g') AS cl
+        | FROM documents),
+        |t AS (
+        | SELECT doc_id, list_filter(string_split(trim(cl), ' '),
+        |   x -> NOT list_contains(['the','a','of','and','to','is'], x) AND length(x) > 0) AS toks
+        | FROM c),
+        |st AS (
+        | SELECT doc_id, list_transform(toks, x ->
+        |   CASE WHEN length(x) >= 6 AND right(x, 3) = 'ing' THEN substr(x, 1, length(x)-3)
+        |        WHEN length(x) >= 5 AND right(x, 2) = 'ed' THEN substr(x, 1, length(x)-2)
+        |        WHEN length(x) >= 5 AND right(x, 2) = 'es' THEN substr(x, 1, length(x)-2)
+        |        WHEN length(x) >= 5 AND right(x, 1) = 's' THEN substr(x, 1, length(x)-1)
+        |        ELSE x END) AS nt
+        | FROM t)
+        |SELECT doc_id, CAST(len(nt) AS INT) AS n_norm_tokens,
+        | md5(array_to_string(nt, ' ')) AS norm_md5,
+        | array_to_string(list_slice(nt, 1, 5), ' ') AS head5
+        |FROM st ORDER BY doc_id""".stripMargin,
     "sp04_temperature" ->
       """WITH base AS (
         | SELECT doc_id, source,

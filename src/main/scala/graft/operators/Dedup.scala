@@ -135,6 +135,30 @@ object Dedup {
     "dd07_containment" -> ((s, d) =>
       containmentPairs(docs(s, d), 500L).orderBy(col("a"), col("b"))),
 
+    // Sketch-accuracy AUDIT: MinHash-estimated Jaccard (signature
+    // agreement / 8) vs the exact shingle Jaccard, per candidate pair
+    // — the calibration report that justifies trusting dd02's
+    // estimates at 100 TB where the exact verify is only run on
+    // candidates. Integer milli math end-to-end; same bucket-bounded
+    // join shape as dd04 (never all-pairs).
+    "dd08_estimate_audit" -> ((s, d) => {
+      val cand = broadcast(candidatePairs(docs(s, d)))
+      val sets = Tables.spread(docs(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("words"))
+        .select(col("doc_id"), array_distinct(shingles(col("words"), 3)).as("sh"))
+      sets.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+        .join(cand, "a")
+        .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("uni", size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
+        .withColumn("exact_milli", expr("(inter * 1000) DIV uni"))
+        .withColumn("est_milli", expr("(n_sig_match * 1000) DIV 8"))
+        .withColumn("err_milli", abs(col("est_milli") - col("exact_milli")))
+        .select(col("a"), col("b"), col("n_sig_match"), col("est_milli"),
+          col("exact_milli"), col("err_milli"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Dedup CLUSTERING — the actual "keep one per duplicate group"
     // step: connected components over the LSH candidate-pair graph via
     // min-label propagation to a fixpoint. Each iteration is one
@@ -340,6 +364,39 @@ object Dedup {
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin
     },
+    "dd08_estimate_audit" -> {
+      val minhashes = (0 until NumPerms).map { p =>
+        val src = if (p < 4) "h0" else "h1"
+        s"list_aggregate(list_transform($src, h -> substr(h, ${1 + 8 * (p % 4)}, 8)), 'min')"
+      }.mkString(",\n        |  ")
+      val bandkeys = (0 until NumPerms / BandWidth).map(b =>
+        s"md5(sig[${b * BandWidth + 1}] || '|' || sig[${b * BandWidth + 2}])").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |shs AS (SELECT doc_id, $shingleSql AS sh FROM w),
+         |nonempty AS (SELECT doc_id, list_distinct(sh) AS dsh, sh FROM shs),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS h0,
+         |  list_transform(sh, s -> md5('x' || s)) AS h1 FROM nonempty),
+         |sigs AS (SELECT doc_id, [
+         |  $minhashes] AS sig
+         | FROM hs),
+         |bands AS (SELECT doc_id, sig, unnest(generate_series(0, ${NumPerms / BandWidth - 1})) AS band,
+         |  unnest([$bandkeys]) AS bkey FROM sigs),
+         |cand AS (
+         | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(len(list_filter(generate_series(1, $NumPerms), i -> x.sig[i] = y.sig[i])) AS BIGINT) AS n_sig_match
+         | FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |verified AS (
+         | SELECT c.a, c.b, c.n_sig_match,
+         |  CAST(len(list_intersect(sa.dsh, sb.dsh)) AS BIGINT) AS inter,
+         |  CAST(len(sa.dsh) + len(sb.dsh) - len(list_intersect(sa.dsh, sb.dsh)) AS BIGINT) AS uni
+         | FROM cand c JOIN nonempty sa ON sa.doc_id = c.a JOIN nonempty sb ON sb.doc_id = c.b)
+         |SELECT a, b, n_sig_match,
+         | (n_sig_match * 1000) // 8 AS est_milli,
+         | (inter * 1000) // uni AS exact_milli,
+         | abs((n_sig_match * 1000) // 8 - (inter * 1000) // uni) AS err_milli
+         |FROM verified ORDER BY a, b""".stripMargin
+    },
+
     "dd04_ngram_jaccard" -> {
       val minhashes = (0 until NumPerms).map { p =>
         val src = if (p < 4) "h0" else "h1"

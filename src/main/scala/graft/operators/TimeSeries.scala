@@ -277,6 +277,24 @@ object TimeSeries {
     // (At extreme scale the squared-cents sum upgrades to decimal(38)
     // to dodge long overflow; longs are exact at any realistic key
     // cardinality here.)
+    // Rolling median (robust smoother — the de-noising twin of ts04's
+    // rolling mean): exact per-key median of the last 5 samples via a
+    // window aggregate over integer cents. Interpolated middles are
+    // exact halves (x.5), so both engines agree bit-for-bit. One
+    // shuffle (the per-key window sort), same shape as ts04/ts08.
+    "ts16_rolling_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      ev(s, d)
+        .withColumn("value_c", round(col("value") * 100).cast("long"))
+        .withColumn("n_window", count(lit(1)).over(w))
+        .withColumn("roll_med_c", expr("percentile(value_c, 0.5)").over(w))
+        .select(col("user_id"), col("event_id"), col("value_c"),
+          col("n_window"), col("roll_med_c"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "ts15_anomaly" -> ((s, d) => {
       val e = ev(s, d).withColumn("value_c", round(col("value") * 100).cast("long"))
       val stats = e.groupBy(col("user_id"))
@@ -490,6 +508,17 @@ object TimeSeries {
         | END AS lerp_c,
         | close_c IS NULL AS is_gap
         |FROM filled ORDER BY event_type, h""".stripMargin,
+    "ts16_rolling_median" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, ts, CAST(round(value*100) AS BIGINT) AS value_c
+        | FROM events)
+        |SELECT user_id, event_id, value_c,
+        | count(*) OVER w AS n_window,
+        | median(value_c) OVER w AS roll_med_c
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "ts15_anomaly" ->
       """WITH e AS (
         | SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS value_c
