@@ -229,6 +229,33 @@ object Similarity {
     "ss10_semdedup" -> ((s, d) =>
       semdedupPrune(emb(s, d), 0.3).orderBy(col("vec_id"))),
 
+    // Quantized ANN — the memory-compressed scale path (v07's int8
+    // quantization feeding search): candidates score with an EXACT
+    // integer dot product over per-vector int8 codes (4x less memory
+    // traffic than floats — at 100 TB the codes fit where the floats
+    // don't), then only the top-20 compressed candidates rerank with
+    // the exact float cosine. Integer scores are order-free and
+    // engine-exact; the rerank touches 20 rows.
+    "ss11_quantized_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      val qv = e
+        .withColumn("maxabs", array_max(transform(col("embedding"), x => abs(x))).cast("double"))
+        .withColumn("q8", transform(col("embedding"),
+          x => floor(x.cast("double") * 127.0 / col("maxabs") + 0.5).cast("long")))
+      val q = qv.filter(col("vec_id") === QueryId)
+        .select(col("q8").as("qq"), col("embedding").as("q_emb"))
+      qv.crossJoin(broadcast(q))
+        .withColumn("int_score",
+          aggregate(zip_with(col("q8"), col("qq"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
+        .orderBy(col("int_score").desc, col("vec_id"))
+        .limit(20)
+        .withColumn("cos_exact", cosine(col("embedding"), col("q_emb")))
+        .select(col("vec_id"), col("int_score"), col("cos_exact"))
+        .orderBy(col("cos_exact").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Nearest-centroid assignment — the IVF coarse quantizer. The
     // round-1 form (crossJoin x L centroids + row_number() window)
     // forced a full shuffle+sort of the L-times-expanded corpus on
@@ -484,6 +511,29 @@ object Similarity {
         |SELECT vec_id, cell, count(*) AS n_close_smaller, max(cos_sim) AS max_cos
         |FROM pairs WHERE cos_sim > 0.3
         |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+
+    "ss11_quantized_ann" ->
+      s"""WITH m AS (
+        | SELECT vec_id, embedding,
+        |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS maxabs
+        | FROM embeddings),
+        |qv AS (
+        | SELECT vec_id, embedding,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT)) AS q8
+        | FROM m),
+        |q AS (SELECT q8 AS qq, embedding AS q_emb FROM qv WHERE vec_id = $QueryId),
+        |scored AS (
+        | SELECT e.vec_id, e.embedding, q.q_emb,
+        |  CAST(list_sum(list_transform(generate_series(1, len(e.q8)),
+        |    i -> e.q8[i] * q.qq[i])) AS BIGINT) AS int_score
+        | FROM qv e, q),
+        |cand AS (SELECT * FROM scored ORDER BY int_score DESC, vec_id LIMIT 20)
+        |SELECT vec_id, int_score,
+        | list_sum(list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_exact
+        |FROM cand ORDER BY cos_exact DESC, vec_id LIMIT 10""".stripMargin,
 
     "ss03_pairwise_label" ->
       """WITH ex AS (

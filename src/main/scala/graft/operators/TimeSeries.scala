@@ -277,6 +277,23 @@ object TimeSeries {
     // (At extreme scale the squared-cents sum upgrades to decimal(38)
     // to dodge long overflow; longs are exact at any realistic key
     // cardinality here.)
+    // Seasonality profile: the calendar-bucket view of a time series —
+    // per (event_type, day-of-week, hour-of-day) volume and exact
+    // integer-cent means. One map-side-combinable agg over the corpus;
+    // dow normalized to 0=Sunday on both engines (Spark dayofweek is
+    // 1-based, DuckDB dow is 0-based).
+    "ts17_seasonality" -> ((s, d) => {
+      ev(s, d)
+        .withColumn("value_c", round(col("value") * 100).cast("long"))
+        .groupBy(col("event_type"),
+          (dayofweek(col("ts")) - 1).as("dow"),
+          hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value_c")).as("sum_c"),
+          expr("sum(value_c) DIV count(1)").as("mean_c"))
+        .orderBy(col("event_type"), col("dow"), col("hod"))
+    }),
+
     // Rolling median (robust smoother — the de-noising twin of ts04's
     // rolling mean): exact per-key median of the last 5 samples via a
     // window aggregate over integer cents. Interpolated middles are
@@ -508,6 +525,17 @@ object TimeSeries {
         | END AS lerp_c,
         | close_c IS NULL AS is_gap
         |FROM filled ORDER BY event_type, h""".stripMargin,
+    "ts17_seasonality" ->
+      """WITH e AS (
+        | SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow,
+        |  CAST(date_part('hour', ts) AS INT) AS hod,
+        |  CAST(round(value*100) AS BIGINT) AS value_c
+        | FROM events)
+        |SELECT event_type, dow, hod, count(*) AS n,
+        | CAST(sum(value_c) AS BIGINT) AS sum_c,
+        | CAST(sum(value_c) AS BIGINT) // count(*) AS mean_c
+        |FROM e GROUP BY 1, 2, 3
+        |ORDER BY event_type, dow, hod""".stripMargin,
     "ts16_rolling_median" ->
       """WITH e AS (
         | SELECT user_id, event_id, ts, CAST(round(value*100) AS BIGINT) AS value_c
