@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators over `documents` — the sampling /
@@ -119,8 +119,80 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("sel_tokens"),
           max(col("budget")).as("budget_tokens"))
         .orderBy(col("source"))
-    })
+    }),
+
+    "px03_funnel" -> ((s, d) => funnel(s, d))
   )
+
+  // Full curation FUNNEL — the end-to-end training-data run as one
+  // query, reporting corpus survival per stage: raw → language gate →
+  // token band → repetition gate (tx10 rules) → normalized exact
+  // dedup keep-first (tx13 digest) → benchmark decontamination (tx11,
+  // src0 = the eval set, excluded from training entirely). ONE scan
+  // computes every per-doc flag (the repetition stats and the contam
+  // semi-join are the only shuffles); the funnel itself is a single
+  // conditional aggregation unpivoted to (stage, n_docs, n_tokens).
+  // The report every pipeline owner actually looks at before training.
+  private def funnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d)
+    val words = split(lower(col("text")), " ")
+    // repetition stats (tx10 shape: modal word + distinct bigrams)
+    val wc = base.select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), max(col("c")).as("top_cnt"))
+    val bg = base.select(col("doc_id"),
+        when(size(words) >= 2,
+          transform(sequence(lit(1), size(words) - 1),
+            i => array_join(slice(words, i, lit(2)), " ")))
+          .otherwise(array().cast("array<string>")).as("bgs"))
+      .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bg"),
+        size(array_distinct(col("bgs"))).cast("long").as("n_dbg"))
+    // benchmark gram set (tx11: src0 is the eval slice)
+    val g = base.select(col("doc_id"), col("source"),
+      explode(Curation.grams5(words)).as("gram"))
+    val bench = g.filter(col("source") === "src0").select(col("gram")).distinct()
+    val contam = g.filter(col("source") =!= "src0")
+      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("contam", lit(true))
+    // normalized digest (tx13 normalize, digest only)
+    val cleaned = regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")
+    val flags = base
+      .withColumn("tok_cnt", size(words).cast("long"))
+      .withColumn("lang_ok", col("lang") === "en")
+      .withColumn("norm_md5", md5(trim(cleaned)))
+      .join(wc, "doc_id").join(bg, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("contam", coalesce(col("contam"), lit(false)))
+      .withColumn("band_ok", col("tok_cnt") >= 20 && col("tok_cnt") <= 60)
+      .withColumn("rep_ok",
+        expr("(top_cnt * 1000) DIV n_words") <= 100 &&
+        expr("CASE WHEN n_bg = 0 THEN 0 ELSE ((n_bg - n_dbg) * 1000) DIV n_bg END") <= 250)
+      .withColumn("s3", col("lang_ok") && col("band_ok") && col("rep_ok"))
+    val w = Window.partitionBy(col("norm_md5"))
+    val staged = flags
+      .withColumn("s4", col("s3") &&
+        col("doc_id") === min(when(col("s3"), col("doc_id"))).over(w))
+      .withColumn("s5", col("s4") && col("source") =!= "src0" && !col("contam"))
+    def st(flag: Column) = struct(
+      sum(when(flag, 1L).otherwise(0L)).as("n_docs"),
+      sum(when(flag, col("tok_cnt")).otherwise(0L)).as("n_tokens"))
+    val one = staged.agg(
+      st(lit(true)).as("s0_raw"),
+      st(col("lang_ok")).as("s1_lang"),
+      st(col("lang_ok") && col("band_ok")).as("s2_band"),
+      st(col("s3")).as("s3_repetition"),
+      st(col("s4")).as("s4_dedup"),
+      st(col("s5")).as("s5_decontam"))
+    one.select(explode(array(
+        Seq("s0_raw", "s1_lang", "s2_band", "s3_repetition", "s4_dedup", "s5_decontam")
+          .map(n => struct(lit(n).as("stage"),
+            col(s"$n.n_docs").as("n_docs"), col(s"$n.n_tokens").as("n_tokens"))): _*)).as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_docs").as("n_docs"),
+        col("r.n_tokens").as("n_tokens"))
+      .orderBy(col("stage"))
+  }
 
   val oracle: Map[String, String] = Map(
     "sp01_stratified_sample" ->
@@ -166,6 +238,74 @@ object Pipeline {
         |SELECT source, CAST((cum - tok_cnt) // 2000 AS INT) AS pack_id,
         | count(*) AS n_docs, CAST(sum(tok_cnt) AS BIGINT) AS pack_tokens
         |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+    "px03_funnel" ->
+      """WITH base AS (
+        | SELECT doc_id, source, lang, text,
+        |  string_split(lower(text), ' ') AS words,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok_cnt,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5
+        | FROM documents),
+        |wc AS (
+        | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, CAST(max(c) AS BIGINT) AS top_cnt
+        | FROM (SELECT doc_id, w, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(words) AS w FROM base) GROUP BY 1, 2)
+        | GROUP BY doc_id),
+        |bg AS (
+        | SELECT doc_id, CAST(len(bgs) AS BIGINT) AS n_bg,
+        |  CAST(len(list_distinct(bgs)) AS BIGINT) AS n_dbg
+        | FROM (SELECT doc_id,
+        |        CASE WHEN len(words) >= 2
+        |          THEN list_transform(generate_series(1, len(words) - 1),
+        |                 i -> array_to_string(list_slice(words, i, i + 1), ' '))
+        |          ELSE [] END AS bgs
+        |       FROM base)),
+        |g AS (
+        | SELECT doc_id, source, array_to_string(list_slice(words, i, i + 4), ' ') AS gram
+        | FROM base, unnest(generate_series(1, len(words) - 4)) AS t(i)
+        | WHERE len(words) >= 5),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |contam AS (
+        | SELECT DISTINCT g.doc_id, TRUE AS contam
+        | FROM g JOIN bench USING (gram) WHERE g.source <> 'src0'),
+        |flags AS (
+        | SELECT b.doc_id, b.source, b.tok_cnt, b.norm_md5,
+        |  b.lang = 'en' AS lang_ok,
+        |  b.tok_cnt BETWEEN 20 AND 60 AS band_ok,
+        |  ((wc.top_cnt * 1000) // wc.n_words <= 100 AND
+        |   (CASE WHEN bg.n_bg = 0 THEN 0 ELSE ((bg.n_bg - bg.n_dbg) * 1000) // bg.n_bg END) <= 250) AS rep_ok,
+        |  coalesce(contam.contam, FALSE) AS contam
+        | FROM base b JOIN wc USING (doc_id) JOIN bg USING (doc_id)
+        | LEFT JOIN contam ON contam.doc_id = b.doc_id),
+        |staged AS (
+        | SELECT *,
+        |  (lang_ok AND band_ok AND rep_ok) AS s3,
+        |  (lang_ok AND band_ok AND rep_ok AND
+        |   doc_id = min(CASE WHEN lang_ok AND band_ok AND rep_ok THEN doc_id END)
+        |     OVER (PARTITION BY norm_md5)) AS s4
+        | FROM flags),
+        |staged2 AS (
+        | SELECT *, (s4 AND source <> 'src0' AND NOT contam) AS s5 FROM staged),
+        |agg AS (
+        | SELECT
+        |  CAST(count(*) AS BIGINT) AS d0, CAST(sum(tok_cnt) AS BIGINT) AS t0,
+        |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |  CAST(sum(CASE WHEN lang_ok THEN tok_cnt ELSE 0 END) AS BIGINT) AS t1,
+        |  CAST(sum(CASE WHEN lang_ok AND band_ok THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |  CAST(sum(CASE WHEN lang_ok AND band_ok THEN tok_cnt ELSE 0 END) AS BIGINT) AS t2,
+        |  CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |  CAST(sum(CASE WHEN s3 THEN tok_cnt ELSE 0 END) AS BIGINT) AS t3,
+        |  CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+        |  CAST(sum(CASE WHEN s4 THEN tok_cnt ELSE 0 END) AS BIGINT) AS t4,
+        |  CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+        |  CAST(sum(CASE WHEN s5 THEN tok_cnt ELSE 0 END) AS BIGINT) AS t5
+        | FROM staged2)
+        |SELECT 's0_raw' AS stage, d0 AS n_docs, t0 AS n_tokens FROM agg
+        |UNION ALL SELECT 's1_lang', d1, t1 FROM agg
+        |UNION ALL SELECT 's2_band', d2, t2 FROM agg
+        |UNION ALL SELECT 's3_repetition', d3, t3 FROM agg
+        |UNION ALL SELECT 's4_dedup', d4, t4 FROM agg
+        |UNION ALL SELECT 's5_decontam', d5, t5 FROM agg
+        |ORDER BY stage""".stripMargin,
     "px02_mixture_budget" ->
       """WITH t AS (
         | SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR) || ':px02') AS h,
