@@ -124,6 +124,21 @@ object TopicStream {
       .select(col("doc_id"), col("ts"))
       .dropDuplicatesWithinWatermark("doc_id")
 
+  /** Streaming windowed vocabulary — tx12 in streaming form: per
+    * (window, word) counts over arriving docs, watermark-bounded
+    * state, update mode (each micro-batch emits revised counts for
+    * the words it touched). The stream side of corpus-vocab drift
+    * monitoring: at 100 TB the word-count state hash-partitions
+    * across executors and the watermark expires closed windows. */
+  def vocabStream(docs: DataFrame, windowLen: String = "1 hour",
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(window(col("ts"), windowLen), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("word"), col("n"))
+
   /** Streaming token-budget packer — sp03/px02 in streaming form: docs
     * arrive continuously, each source admits docs until its token
     * budget is exhausted, and every admitted doc is assigned its

@@ -173,6 +173,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming vocab revises per-window word counts across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = TopicStream.vocabStream(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("vocab").outputMode("update").start()
+    try {
+      input.addData(StreamDoc(1, ts("2024-01-01 00:05:00"), "spark spark scan", "en"))
+      q.processAllAvailable()
+      input.addData(StreamDoc(2, ts("2024-01-01 00:20:00"), "spark merge", "en"))
+      q.processAllAvailable()
+      // update mode: the LAST emitted row per (window, word) is current
+      val cur = spark.table("vocab").collect()
+        .groupBy(r => (r.getTimestamp(0), r.getString(1)))
+        .map { case (k, rows) => (k._2, rows.last.getLong(2)) }
+      assert(cur("spark") == 3L, s"spark count should revise 2 -> 3, got $cur")
+      assert(cur("scan") == 1L && cur("merge") == 1L)
+    } finally q.stop()
+  }
+
   test("latestPerKey keeps newest value and counts rows seen") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
