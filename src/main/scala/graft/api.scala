@@ -130,6 +130,26 @@ object api {
         .connectedComponents(renamed.select(col("doc_id").as("node")), pairs)
         .select(col("node").as(idCol), col("label").as("cluster_id"))
     }
+
+    /** Duplicate clusters via large-star/small-star contraction (the
+      * dd09 fixpoint): same result as [[dupClusters]], O(log^2 n)
+      * rounds on ANY graph topology — use when components may chain
+      * arbitrarily deep (boilerplate wrappers-of-wrappers). */
+    def dupClustersStar(idCol: String, textCol: String): DataFrame = {
+      val renamed = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      val pairs = graft.operators.Dedup.candidatePairsPublic(renamed)
+        .select(col("a"), col("b"))
+      graft.operators.Dedup
+        .connectedComponentsStar(renamed.select(col("doc_id").as("node")), pairs)
+        .select(col("node").as(idCol), col("label").as("cluster_id"))
+    }
+
+    /** Cross-source shingle-overlap matrix (the dd10 operator): per
+      * source pair, shared distinct shingles + Jaccard/containment
+      * milli — the corpus-overlap audit run before mixing sources. */
+    def sourceOverlap(sourceCol: String, textCol: String): DataFrame =
+      graft.operators.Dedup.sourceOverlap(
+        df.select(col(sourceCol).as("source"), col(textCol).as("text")))
   }
 
   implicit class SamplingOps(private val df: DataFrame) extends AnyVal {

@@ -176,6 +176,66 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Connected components again, but via alternating LARGE-STAR /
+    // SMALL-STAR (Kiveris et al., "Connected Components in MapReduce
+    // and Beyond") — the adversarial-chain-proof variant: min-label
+    // propagation (dd06) needs O(component diameter) rounds, which is
+    // fine for shallow near-dup clusters but degenerates on long
+    // chains (quote-of-a-quote-of-a-quote corpora); star contraction
+    // converges in O(log^2 n) rounds REGARDLESS of diameter. Each
+    // round is two hash-partitioned groupBy+join passes over the edge
+    // set only (never the corpus); same oracle as dd06 — the
+    // components are the same, only the fixpoint differs.
+    "dd09_cc_star" -> ((s, d) => {
+      val pairs = candidatePairs(docs(s, d)).select(col("a"), col("b"))
+      val nodes = docs(s, d).select(col("doc_id").as("node"))
+      connectedComponentsStar(nodes, pairs)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-source duplicate OVERLAP matrix: how much of each source
+    // pair is shared content (the "is CommonCrawl-v2 just v1 again?"
+    // audit run before mixing corpora). Exact form: distinct
+    // (source, shingle-md5) -> self-join on the shingle -> per-pair
+    // intersection counts + containment/Jaccard milli. Plan: one
+    // map-side-combinable distinct, one equi-join on the 16-byte hash
+    // whose groups are per-shingle source lists (tiny), one
+    // partial-agg'd pair rollup — no all-pairs over docs, ever. At
+    // 100 TB the same pass drops in HLL/theta sketches per source
+    // (approx_count_distinct + sketch intersection) when exact counts
+    // stop being worth the shuffle; the exact form stays the oracle.
+    "dd10_source_overlap" -> ((s, d) =>
+      sourceOverlap(docs(s, d)).orderBy(col("source_a"), col("source_b"))),
+
+    // The SKETCH form of dd10 — the 100 TB path: one scan builds a
+    // DataSketches HLL sketch per source over the shingle hashes
+    // (partial-mergeable, so the only exchange carries S sketches of
+    // a few KB each — the corpus never shuffles on the shingle);
+    // pairwise overlap is estimated by inclusion-exclusion over
+    // merged sketches (|A∩B| ≈ |A| + |B| - |A∪B|) on the S-row
+    // sketch table. Sketch estimates are engine-specific → rows-only
+    // check (q26 precedent, SURVEY §5); the spec calibrates the
+    // estimates against dd10's exact counts.
+    "dd11_hll_overlap" -> ((s, d) => {
+      val sk = Tables.spread(docs(s, d))
+        .select(col("source"), tokens(col("text")).as("words"))
+        .select(col("source"), explode(shingles(col("words"), 3)).as("shingle"))
+        .select(col("source"), md5(col("shingle")).as("h"))
+        .groupBy(col("source"))
+        .agg(hll_sketch_agg(col("h"), 14).as("sk"))
+      val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          hll_sketch_estimate(col("sk_a")).as("est_a"),
+          hll_sketch_estimate(col("sk_b")).as("est_b"),
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("est_union"))
+        .withColumn("est_shared",
+          greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Embedding-cosine near-dup, bucket-bounded: candidates come from a
     // 32-hyperplane signature banded 4x8 (same md5-derived planes the
     // ss02 ANN path uses), joined on (band, bandkey) — exactly the
@@ -290,6 +350,93 @@ object Dedup {
       .select(nodes("node"), coalesce(col("label"), nodes("node")).as("label"))
   }
 
+  /** Cross-source shingle-overlap matrix (the dd10 operator body,
+    * reusable over any (source, text) frame): per source pair, the
+    * count of shared distinct shingles + Jaccard/containment milli. */
+  def sourceOverlap(docDf: DataFrame): DataFrame = {
+    val sh = Tables.spread(docDf)
+      .select(col("source"), tokens(col("text")).as("words"))
+      .select(col("source"), explode(shingles(col("words"), 3)).as("shingle"))
+      .select(col("source"), md5(col("shingle")).as("h"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val x = sh.select(col("source").as("source_a"), col("h"))
+    val y = sh.select(col("source").as("source_b"), col("h"))
+    x.join(y, "h").filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .withColumn("jaccard_milli", expr("(n_shared * 1000) DIV (n_a + n_b - n_shared)"))
+      .withColumn("cont_a_milli", expr("(n_shared * 1000) DIV n_a"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"), col("jaccard_milli"), col("cont_a_milli"))
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al. 2014). Same contract as
+    * [[connectedComponents]]: `nodes` one `node` column, `pairs` =
+    * undirected (a, b) edges, returns (node, label) with label = the
+    * component's minimum node id.
+    *
+    * Why a second fixpoint: min-label propagation converges in
+    * O(diameter) rounds — perfect for shallow near-dup clusters,
+    * pathological for long chains. Star contraction halves tree
+    * heights every alternation (O(log^2 n) rounds on ANY topology):
+    *  - large-star: every node links its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node links its smaller neighbors AND itself
+    *    to that minimum.
+    * Both steps are one groupBy(min) + one equi-join over the EDGE
+    * set (the corpus never enters the loop), both preserve
+    * connectivity, and the fixpoint is reached when the edge set is
+    * stable — at that point edges are exactly (member -> root) stars.
+    * localCheckpoint truncates per-round lineage exactly like dd06. */
+  def connectedComponentsStar(nodes: DataFrame, pairs: DataFrame,
+                              maxIter: Int = 20): DataFrame = {
+    var edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: over the symmetric neighbor view, m(u) = min of the
+      // closed neighborhood; larger neighbors re-attach to m(u).
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: orient every edge max->min; each node links its
+      // smaller neighbors and itself to the minimum one.
+      val oriented = large
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+      val mins2 = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = oriented.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      // fixpoint = edge set unchanged — ONE symmetric-difference
+      // action per round (a row appearing in only one of the two
+      // distinct edge sets has count 1); no row data on the driver
+      converged = small.union(edges)
+        .groupBy(col("u"), col("v")).count()
+        .filter(col("count") === 1).isEmpty
+      edges = small
+      iter += 1
+    }
+    // at the fixpoint every edge is (member -> component root)
+    val labels = edges.select(col("u").as("node"), col("v").as("label"))
+      .union(edges.select(col("v").as("node"), col("v").as("label")).distinct())
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
+    nodes.join(labels.withColumnRenamed("node", "_t"),
+        nodes("node") === col("_t"), "left")
+      .select(nodes("node"), coalesce(col("label"), nodes("node")).as("label"))
+  }
+
   // ---- oracle SQL ----
 
   private val shingleSql =
@@ -318,7 +465,27 @@ object Dedup {
        |  unnest([$bandkeys]) AS bkey FROM sigs)""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = baseOracle +
+    // same components as dd06, different fixpoint — one ground truth
+    ("dd09_cc_star" -> baseOracle("dd06_dup_clusters")) +
+    ("dd10_source_overlap" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+         |shs AS (SELECT source, $shingleSql AS sh FROM w),
+         |e AS (SELECT DISTINCT source, md5(s) AS h FROM shs, unnest(sh) AS t(s)),
+         |sizes AS (SELECT source, count(*) AS n FROM e GROUP BY 1),
+         |pairs AS (
+         | SELECT x.source AS source_a, y.source AS source_b, count(*) AS n_shared
+         | FROM e x JOIN e y ON x.h = y.h AND x.source < y.source
+         | GROUP BY 1, 2)
+         |SELECT p.source_a, p.source_b, sa.n AS n_a, sb.n AS n_b, p.n_shared,
+         | (p.n_shared * 1000) // (sa.n + sb.n - p.n_shared) AS jaccard_milli,
+         | (p.n_shared * 1000) // sa.n AS cont_a_milli
+         |FROM pairs p
+         |JOIN sizes sa ON sa.source = p.source_a
+         |JOIN sizes sb ON sb.source = p.source_b
+         |ORDER BY source_a, source_b""".stripMargin)
+
+  private lazy val baseOracle: Map[String, String] = Map(
     "dd02_minhash_lsh" ->
       s"""WITH $candPreludeSql
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,

@@ -339,6 +339,30 @@ object Relational {
           |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
     }),
 
+    // Ratio-to-report: each nation's share of its region's revenue —
+    // the classic reporting shape (share-of-total via a window OVER
+    // the aggregate). The window runs on the AGG OUTPUT (25 nations),
+    // never the fact table, so its sort is free at any corpus scale;
+    // the fact side is one partial-agg'd shuffle + broadcast dims.
+    // Integer cents end-to-end, share as exact milli DIV.
+    "q28_ratio_report" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val nat = t(s, d, "nation")
+      val reg = t(s, d, "region")
+      val rev = t(s, d, "orders")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(expr("CAST(round(o_totalprice*100) AS BIGINT)")).as("rev_cents"))
+      val w = Window.partitionBy(col("r_name"))
+      rev.withColumn("region_cents", sum(col("rev_cents")).over(w))
+        .withColumn("share_milli", expr("(rev_cents * 1000) DIV region_cents"))
+        .select(col("r_name"), col("n_name"), col("rev_cents"),
+          col("region_cents"), col("share_milli"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     // Approximate sketches — the single-pass cardinality / quantile
     // estimators a 100 TB engine lives on: HyperLogLog++ distinct
     // counts and t-digest-style percentiles, both partial-mergeable
@@ -517,6 +541,19 @@ object Relational {
         |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
         |         WHERE o.o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
+    "q28_ratio_report" ->
+      """WITH rev AS (
+        | SELECT r_name, n_name,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY 1, 2)
+        |SELECT r_name, n_name, rev_cents,
+        | CAST(sum(rev_cents) OVER (PARTITION BY r_name) AS BIGINT) AS region_cents,
+        | (rev_cents * 1000) // CAST(sum(rev_cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_milli
+        |FROM rev ORDER BY r_name, n_name""".stripMargin
   )
 }

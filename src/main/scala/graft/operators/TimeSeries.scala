@@ -42,6 +42,23 @@ object TimeSeries {
     // map-side combinable (partial agg before the shuffle), so at 100 TB
     // each executor reduces its partitions to one row per key locally —
     // no per-key sort, shuffle carries only distinct keys.
+    // Point-in-time SNAPSHOT read (time-travel): the latest value per
+    // key AS OF a cutoff — ella's "current value" semantics evaluated
+    // at any past instant (`time < T` batch read over an append-only
+    // topic). Same map-side-combinable max(struct) shape as ts02 (no
+    // ranking window); the cutoff filter reaches the scan, and on a
+    // bucketed topic it prunes every shard newer than T before any
+    // row is read.
+    "ts18_snapshot" -> ((s, d) => {
+      ev(s, d)
+        .filter(col("ts") <= to_timestamp(lit("2024-01-15 00:00:00")))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("latest"))
+        .select(col("user_id"), col("latest.ts").as("ts"),
+          col("latest.event_type").as("event_type"), col("latest.value").as("value"))
+        .orderBy(col("user_id"))
+    }),
+
     "ts02_latest_by_key" -> ((s, d) => {
       ev(s, d)
         .groupBy(col("user_id"))
@@ -359,6 +376,12 @@ object TimeSeries {
         | SELECT user_id, ts, event_type, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "ts18_snapshot" ->
+      """SELECT user_id, ts, event_type, value FROM (
+        | SELECT user_id, ts, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "ts03_asof_join" ->
       """WITH ord AS (
         | SELECT o_custkey AS k, o_orderdate + INTERVAL 29 YEARS AS t,

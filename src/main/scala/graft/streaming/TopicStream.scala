@@ -76,6 +76,29 @@ object TopicStream {
       }
   }
 
+  /** Streaming OHLC downsampling — the ts10 batch operator in
+    * streaming form: per (tumbling window, event_type) candle with
+    * open/high/low/close/volume. Open/close are `min/max(struct(ts,
+    * event_id, value))` so they stay map-side-combinable (no ranking
+    * window, no per-key sort — the same trick as batch ts10/ts02);
+    * the watermark bounds candle state to the open windows. Values in
+    * integer cents end-to-end. */
+  def ohlcStream(events: DataFrame, windowLen: String = "1 hour",
+                 watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("value_c", round(col("value") * 100).cast("long"))
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value_c"))).as("_first"),
+        max(struct(col("ts"), col("event_id"), col("value_c"))).as("_last"),
+        max(col("value_c")).as("high_c"),
+        min(col("value_c")).as("low_c"),
+        count(lit(1)).as("volume"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("_first.value_c").as("open_c"), col("high_c"), col("low_c"),
+        col("_last.value_c").as("close_c"), col("volume"))
+
   /** Per-user activity sessions that close after `gap` of inactivity —
     * the streaming form of the batch ts05_session operator, via
     * Spark's native session_window. The watermark bounds open-session
@@ -229,4 +252,19 @@ object TopicStream {
       .partitionBy("bucket")
       .outputMode("append")
   }
+
+  /** Streaming UPSERT sink: each micro-batch lands as a keyed
+    * merge-on-read delta in a [[graft.sources.TopicStore]] upsert
+    * topic, stamped `_seq = batchId`. Because the version comes from
+    * the (replay-stable) batch id, a recovered/replayed micro-batch
+    * rewrites byte-identical rows under the SAME version and
+    * `readMerged` resolves to the same winners — idempotent sink
+    * semantics on plain parquet, no transactional storage needed.
+    * Caller starts the returned writer with a checkpointLocation. */
+  def upsertToTopic(rows: DataFrame, store: graft.sources.TopicStore,
+                    topic: String, tsCol: String = "ts"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.upsert(topic, batch, tsCol, seq = batchId)
+      }
 }

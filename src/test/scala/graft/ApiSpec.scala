@@ -62,6 +62,37 @@ class ApiSpec extends SparkSpec {
     assert(kept.count() <= docsDf.count())
   }
 
+  test("star-contraction CC matches min-label CC on the real pair graph") {
+    val docsDf = Tables(spark, sfDir, "documents")
+    val viaStar = docsDf.dupClustersStar("doc_id", "text").orderBy("doc_id")
+    val viaProp = SparkEntry.queries("dd06_dup_clusters")(spark, sfDir)
+    assert(viaStar.collect().toSeq == viaProp.collect().toSeq)
+  }
+
+  test("star-contraction CC resolves a 64-deep chain in few rounds") {
+    // A path graph 0-1-2-...-63 has diameter 63: min-label propagation
+    // needs ~63 rounds (it would silently mislabel under a small
+    // maxIter), while star contraction halves heights every round —
+    // maxIter=10 must fully converge with every node labeled 0.
+    import spark.implicits._
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (0L to 63L).toDF("node")
+    val labels = graft.operators.Dedup
+      .connectedComponentsStar(nodes, pairs, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 64 && labels.values.forall(_ == 0L),
+      s"chain must collapse to component 0: $labels")
+  }
+
+  test("sourceOverlap matches dd10 and self-pairs never appear") {
+    val docsDf = Tables(spark, sfDir, "documents")
+    val viaApi = docsDf.sourceOverlap("source", "text")
+      .orderBy("source_a", "source_b")
+    val viaOp = SparkEntry.queries("dd10_source_overlap")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    assert(viaApi.filter(col("source_a") === col("source_b")).isEmpty)
+  }
+
   test("hashSample is reproducible, growth-stable, and near the target fraction") {
     val docs = Tables(spark, sfDir, "documents")
     val s1 = docs.hashSample("doc_id", 0.25)

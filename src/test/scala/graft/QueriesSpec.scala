@@ -17,11 +17,35 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle or is explicitly rows-only") {
-    // q26: sketch internals (HLL++/approx-percentile) are engine-
-    // specific, so there is no DuckDB-exact oracle by design
-    val rowsOnly = Set("q26_approx_sketch")
+    // q26/dd11: sketch internals (HLL++/DataSketches/approx-
+    // percentile) are engine-specific, so no DuckDB-exact oracle by
+    // design; dd11's estimates are calibrated against exact dd10 in
+    // the "hll overlap estimates" test below
+    val rowsOnly = Set("q26_approx_sketch", "dd11_hll_overlap")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("hll overlap estimates calibrate against the exact overlap matrix") {
+    // dd11's inclusion-exclusion estimates must track dd10's exact
+    // shared-shingle counts (lgK=14 keeps small-set error ~0): every
+    // source pair within max(10%, 5) absolute of exact.
+    val exact = SparkEntry.queries("dd10_source_overlap")(spark, sfDir)
+      .select("source_a", "source_b", "n_shared").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val est = SparkEntry.queries("dd11_hll_overlap")(spark, sfDir)
+      .select("source_a", "source_b", "est_shared", "est_a", "est_b").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3) + r.getLong(4)))
+      .toMap
+    assert(est.keySet == exact.keySet, "pair sets must agree")
+    est.foreach { case (pair, (e, sumAB)) =>
+      val x = exact(pair)
+      // inclusion-exclusion differences large estimates, so the error
+      // scales with the SET sizes (sketch RSE ~0.8% at lgK=14, two
+      // sketches + a union), not with the intersection itself
+      val tol = math.max(x * 0.10, math.max(sumAB * 0.02, 5.0))
+      assert(math.abs(e - x) <= tol, s"$pair: est $e vs exact $x (tol $tol)")
+    }
   }
 
   test("entry() flagship returns rows") {

@@ -51,6 +51,66 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("clustering compaction sorts rows within the rewritten shard") {
+    val root = tmp()
+    val store = new TopicStore(spark, root, bucketMinutes = 60)
+    (0 until 3).foreach(_ => store.append("tc", sampleEvents(12)))
+    val before = store.read("tc").orderBy("id").collect()
+    val compacted = store.compact("tc", maxFilesPerBucket = 1, clusterBy = Seq("key", "time"))
+    assert(compacted.nonEmpty)
+    assert(store.read("tc").orderBy("id").collect().sameElements(before),
+      "clustering must not change the data")
+    // rows inside each rewritten file really are sorted by (key, time)
+    compacted.foreach { b =>
+      val rows = spark.read.parquet(s"$root/tc/bucket=$b")
+        .select("key", "time").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime))
+      assert(rows.sameElements(rows.sortBy(identity)), s"bucket $b not clustered")
+    }
+  }
+
+  test("upsert topics: latest version per key wins on read (merge-on-read)") {
+    import spark.implicits._
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    store.upsert("kv", Seq((1L, t0, "a"), (2L, t0, "b")).toDF("key", "time", "v"), seq = 1L)
+    store.upsert("kv", Seq((2L, t0, "b2"), (3L, t0, "c")).toDF("key", "time", "v"), seq = 2L)
+    val got = store.readMerged("kv", "key")
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // the raw delta history is still there (append-only writes)
+    assert(store.read("kv").count() == 4)
+  }
+
+  test("upsert tombstones delete keys; mergeCompact folds the history away") {
+    import spark.implicits._
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    store.upsert("kv2",
+      Seq((1L, t0, "a", false), (2L, t0, "b", false))
+        .toDF("key", "time", "v", "_tombstone"), seq = 1L)
+    store.upsert("kv2",
+      Seq((1L, t0, "a", true), (2L, t0, "b9", false))
+        .toDF("key", "time", "v", "_tombstone"), seq = 2L)
+    val live = store.readMerged("kv2", "key")
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(live == Map(2L -> "b9"), "tombstoned key 1 must disappear")
+    store.mergeCompact("kv2", "key")
+    // after compaction: one physical row per live key, merged view unchanged
+    assert(store.read("kv2").count() == 1)
+    val after = store.readMerged("kv2", "key")
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(after == live)
+  }
+
+  test("readMerged collapses deltas map-side (partial agg before the shuffle)") {
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    store.upsert("kv3", sampleEvents(20), seq = 1L)
+    val plan = store.readMerged("kv3", "id").queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("partial"),
+      s"merge must partial-aggregate before shuffling:\n$plan")
+  }
+
   test("catalog registers topics and views and persists the manifest") {
     val root = tmp()
     val store = new TopicStore(spark, s"$root/topics")

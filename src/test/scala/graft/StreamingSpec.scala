@@ -38,6 +38,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC candles track open/high/low/close per window") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.ohlcStream(input.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("ohlc").outputMode("complete").start()
+    try {
+      input.addData(
+        TopicEvent(1, ts("2024-01-01 00:05:00"), 1, "trade", 10.00),
+        TopicEvent(2, ts("2024-01-01 00:20:00"), 1, "trade", 14.00),
+        TopicEvent(3, ts("2024-01-01 00:40:00"), 2, "trade", 6.00),
+        TopicEvent(4, ts("2024-01-01 00:55:00"), 1, "trade", 12.00))
+      q.processAllAvailable()
+      val r = spark.table("ohlc").collect().map(x =>
+        (x.getAs[java.sql.Timestamp]("w_start").toString,
+          x.getAs[Long]("open_c"), x.getAs[Long]("high_c"),
+          x.getAs[Long]("low_c"), x.getAs[Long]("close_c"),
+          x.getAs[Long]("volume"))).toSet
+      assert(r == Set(("2024-01-01 00:00:00.0", 1000L, 1400L, 600L, 1200L, 4L)))
+      // a later event revises the candle's close and high
+      input.addData(TopicEvent(5, ts("2024-01-01 00:58:00"), 1, "trade", 15.00))
+      q.processAllAvailable()
+      val r2 = spark.table("ohlc").collect().map(x =>
+        (x.getAs[Long]("open_c"), x.getAs[Long]("high_c"), x.getAs[Long]("close_c"),
+          x.getAs[Long]("volume"))).toSet
+      assert(r2 == Set((1000L, 1500L, 1500L, 5L)))
+    } finally q.stop()
+  }
+
+  test("streaming upsert sink: merged view tracks latest per key across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_supsert").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.upsertToTopic(input.toDF(), store, "state")
+      .option("checkpointLocation", s"$root/_chk").start()
+    try {
+      input.addData(
+        TopicEvent(1, ts("2024-01-01 00:05:00"), 1, "s", 1.00),
+        TopicEvent(2, ts("2024-01-01 00:06:00"), 2, "s", 2.00))
+      q.processAllAvailable()
+      input.addData(TopicEvent(3, ts("2024-01-01 00:07:00"), 1, "s", 9.00))
+      q.processAllAvailable()
+      val merged = store.readMerged("state", "user_id")
+        .select("user_id", "value").as[(Long, Double)].collect().toMap
+      assert(merged == Map(1L -> 9.00, 2L -> 2.00),
+        "second batch must supersede user 1's value")
+      // raw history keeps every delta (append-only writes)
+      assert(store.read("state").count() == 3)
+    } finally q.stop()
+  }
+
   test("session windows close after the inactivity gap and emit on watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
