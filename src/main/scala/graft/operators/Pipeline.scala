@@ -121,7 +121,58 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
-    "px03_funnel" -> ((s, d) => funnel(s, d))
+    "px03_funnel" -> ((s, d) => funnel(s, d)),
+
+    // Deterministic train/val/test split — the held-out-set assignment
+    // every training run needs: a doc's split is a pure function of
+    // its id hash (first byte bands: ~5% val, ~5% test, rest train),
+    // so the split is rerun-stable, growth-stable (new docs never
+    // reshuffle old ones across splits), and leak-proof by
+    // construction. Zero-shuffle flag at scan speed; the per-
+    // (source, split) census is one map-side-combinable agg.
+    "sp05_split" -> ((s, d) => {
+      val h = substring(md5(concat(col("doc_id").cast("string"), lit(":sp05"))), 1, 2)
+      docs(s, d)
+        .withColumn("split",
+          when(h < "0d", lit("val")).when(h < "1a", lit("test")).otherwise(lit("train")))
+        .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("n_tokens"))
+        .orderBy(col("source"), col("split"))
+    }),
+
+    // Per-source corpus REPORT CARD — the health dashboard a pipeline
+    // owner reads per ingest: volume (docs/tokens/mean length), label
+    // purity (en share), exact-dup rate, Gopher repetition pass rate,
+    // short-doc rate — all exact integer milli. One scan + one per-doc
+    // word agg + one per-source rollup (the modal-word stat is the
+    // only reason the corpus shuffles at all).
+    "px04_source_report" -> ((s, d) => {
+      val words = split(lower(col("text")), " ")
+      val base = docs(s, d).select(col("doc_id"), col("source"), col("lang"),
+        md5(col("text")).as("chash"), size(words).cast("long").as("tok_cnt"))
+      val wc = docs(s, d).select(col("doc_id"), explode(words).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_words"), max(col("c")).as("top_cnt"))
+      base.join(wc, "doc_id")
+        .withColumn("rep_ok", expr("(top_cnt * 1000) DIV n_words") <= 100)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok_cnt")).as("n_tokens"),
+          countDistinct(col("chash")).as("n_uniq"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("rep_ok"), 1L).otherwise(0L)).as("n_rep_ok"),
+          sum(when(col("tok_cnt") < 20, 1L).otherwise(0L)).as("n_short"))
+        .withColumn("mean_tok", expr("n_tokens DIV n_docs"))
+        .withColumn("en_milli", expr("(n_en * 1000) DIV n_docs"))
+        .withColumn("dup_milli", expr("((n_docs - n_uniq) * 1000) DIV n_docs"))
+        .withColumn("rep_ok_milli", expr("(n_rep_ok * 1000) DIV n_docs"))
+        .withColumn("short_milli", expr("(n_short * 1000) DIV n_docs"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("mean_tok"),
+          col("en_milli"), col("dup_milli"), col("rep_ok_milli"), col("short_milli"))
+        .orderBy(col("source"))
+    })
   )
 
   // Full curation FUNNEL — the end-to-end training-data run as one
@@ -306,6 +357,44 @@ object Pipeline {
         |UNION ALL SELECT 's4_dedup', d4, t4 FROM agg
         |UNION ALL SELECT 's5_decontam', d5, t5 FROM agg
         |ORDER BY stage""".stripMargin,
+    "sp05_split" ->
+      """WITH t AS (
+        | SELECT source, doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':sp05'), 1, 2) < '0d' THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':sp05'), 1, 2) < '1a' THEN 'test'
+        |       ELSE 'train' END AS split,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt
+        | FROM documents)
+        |SELECT source, split, count(*) AS n_docs, CAST(sum(tok_cnt) AS BIGINT) AS n_tokens
+        |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "px04_source_report" ->
+      """WITH base AS (
+        | SELECT doc_id, source, lang, md5(text) AS chash,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok_cnt
+        | FROM documents),
+        |wc AS (
+        | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, CAST(max(c) AS BIGINT) AS top_cnt
+        | FROM (SELECT doc_id, w, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |             FROM documents) GROUP BY 1, 2)
+        | GROUP BY doc_id),
+        |j AS (
+        | SELECT b.*, (wc.top_cnt * 1000) // wc.n_words <= 100 AS rep_ok
+        | FROM base b JOIN wc USING (doc_id)),
+        |agg AS (
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(tok_cnt) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT chash) AS BIGINT) AS n_uniq,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  CAST(sum(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
+        |  CAST(sum(CASE WHEN tok_cnt < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        | FROM j GROUP BY source)
+        |SELECT source, n_docs, n_tokens, n_tokens // n_docs AS mean_tok,
+        | (n_en * 1000) // n_docs AS en_milli,
+        | ((n_docs - n_uniq) * 1000) // n_docs AS dup_milli,
+        | (n_rep_ok * 1000) // n_docs AS rep_ok_milli,
+        | (n_short * 1000) // n_docs AS short_milli
+        |FROM agg ORDER BY source""".stripMargin,
     "px02_mixture_budget" ->
       """WITH t AS (
         | SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR) || ':px02') AS h,

@@ -55,6 +55,23 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
       .filter(col(tsCol).cast("long") >= fromEpochS && col(tsCol).cast("long") < toEpochS)
   }
 
+  /** Point-in-time SNAPSHOT scan: every row at or before the cutoff
+    * (time-travel over an append-only topic). The bucket predicate
+    * prunes every shard newer than the cutoff at planning time —
+    * a snapshot read touches only the history it asks for. */
+  def readAsOf(name: String, asOfEpochS: Long, tsCol: String = "time"): DataFrame =
+    read(name)
+      .filter(col("bucket") <= asOfEpochS)
+      .filter(col(tsCol).cast("long") <= asOfEpochS)
+
+  /** Merge-on-read view AS OF a past instant: latest version per key
+    * among rows written at or before the cutoff — what did this
+    * upsert topic look like last Tuesday? Same single map-side-
+    * combinable merge as [[readMerged]] over the pruned snapshot. */
+  def readMergedAsOf(name: String, keyCol: String, asOfEpochS: Long,
+                     tsCol: String = "time"): DataFrame =
+    mergeLatest(readAsOf(name, asOfEpochS, tsCol), keyCol)
+
   /** Keyed UPSERT append — merge-on-read deltas (the Hudi/Delta MOR
     * pattern re-expressed on plain bucketed parquet): rows land as a
     * normal append stamped with a monotonically increasing `_seq`
@@ -75,8 +92,10 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
     * ts02 latest-by-key shape) — partials collapse each shard's
     * duplicates before the shuffle, so the exchange carries ~one row
     * per key per partition, not the raw delta history. */
-  def readMerged(name: String, keyCol: String): DataFrame = {
-    val df = read(name)
+  def readMerged(name: String, keyCol: String): DataFrame =
+    mergeLatest(read(name), keyCol)
+
+  private def mergeLatest(df: DataFrame, keyCol: String): DataFrame = {
     val hasTomb = df.columns.contains("_tombstone")
     val others = df.columns.filterNot(c => c == keyCol || c == "_seq").toSeq
     val merged = df.groupBy(col(keyCol))

@@ -103,6 +103,29 @@ class StorageSpec extends SparkSpec {
     assert(after == live)
   }
 
+  test("readAsOf/readMergedAsOf time-travel: snapshot at a past cutoff") {
+    import spark.implicits._
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    val t1 = new java.sql.Timestamp(1700000000L * 1000)          // bucket A
+    val t2 = new java.sql.Timestamp((1700000000L + 7200) * 1000) // bucket B (2 h later)
+    store.upsert("tt", Seq((1L, t1, "a"), (2L, t1, "b")).toDF("key", "time", "v"), seq = 1L)
+    store.upsert("tt", Seq((1L, t2, "a2")).toDF("key", "time", "v"), seq = 2L)
+    val cutoff = 1700000000L + 3600
+    // plain snapshot sees only the first write
+    assert(store.readAsOf("tt", cutoff).count() == 2)
+    // bucket pruning visible in the plan
+    val plan = store.readAsOf("tt", cutoff).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"cutoff must prune buckets:\n$plan")
+    // merged snapshot: key 1 resolves to its OLD value at the cutoff
+    val asOf = store.readMergedAsOf("tt", "key", cutoff)
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(asOf == Map(1L -> "a", 2L -> "b"))
+    // and to the new value now
+    val now = store.readMerged("tt", "key")
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(now == Map(1L -> "a2", 2L -> "b"))
+  }
+
   test("readMerged collapses deltas map-side (partial agg before the shuffle)") {
     val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
     store.upsert("kv3", sampleEvents(20), seq = 1L)
