@@ -55,6 +55,77 @@ object Metrics {
     }
   }
 
+  /** Per-batch streaming progress — the counterpart of the reference's
+    * channel load monitor (ella-engine/src/metrics/load_monitor.rs:70-120:
+    * per-channel input vs drain gauges behind a metrics server,
+    * metrics/server.rs:16). On Structured Streaming the equivalent
+    * signals arrive on every micro-batch: rows in, arrival rate vs
+    * drain rate, trigger wall time, and watermark lag. A batch whose
+    * arrival rate exceeds its drain rate is the backpressure signal —
+    * sustained, it means the query is falling behind its source.
+    */
+  final case class BatchProgress(
+      queryName: String,
+      batchId: Long,
+      numInputRows: Long,
+      inputRowsPerSecond: Double,
+      processedRowsPerSecond: Double,
+      triggerExecMs: Long,
+      batchTimestamp: String,
+      watermark: Option[String]) {
+    /** Arrival rate exceeded drain rate for this batch (NaN rates —
+      * first batch, empty batch — never flag). */
+    def overloaded: Boolean =
+      numInputRows > 0 && inputRowsPerSecond > processedRowsPerSecond
+    /** How far event-time progress trails the batch wall clock, when
+      * the query has a watermark. */
+    def watermarkLagMs: Option[Long] =
+      watermark.filter(_.nonEmpty).flatMap { w =>
+        try Some(java.time.Instant.parse(batchTimestamp).toEpochMilli -
+          java.time.Instant.parse(w).toEpochMilli)
+        catch { case _: java.time.format.DateTimeParseException => None }
+      }
+  }
+
+  /** Accumulating [[org.apache.spark.sql.streaming.StreamingQueryListener]]:
+    * attach with [[monitorStreams]], read `progress` / `overloaded`
+    * any time, detach with [[stopMonitoring]]. */
+  final class StreamMonitor extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[BatchProgress]()
+    def progress: Seq[BatchProgress] = {
+      val it = buf.iterator(); val b = Seq.newBuilder[BatchProgress]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    def overloaded: Seq[BatchProgress] = progress.filter(_.overloaded)
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      buf.add(BatchProgress(
+        Option(p.name).getOrElse(""),
+        p.batchId,
+        p.numInputRows,
+        p.inputRowsPerSecond,
+        p.processedRowsPerSecond,
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
+        p.timestamp,
+        Option(p.eventTime).flatMap(m => Option(m.get("watermark")))))
+    }
+  }
+
+  /** Start recording per-batch progress for every streaming query on
+    * the session. */
+  def monitorStreams(spark: SparkSession): StreamMonitor = {
+    val m = new StreamMonitor
+    spark.streams.addListener(m)
+    m
+  }
+
+  def stopMonitoring(spark: SparkSession, m: StreamMonitor): Unit =
+    spark.streams.removeListener(m)
+
   /** Run `action` and report the task metrics it generated. */
   def measure[T](spark: SparkSession)(action: => T): (T, QueryMetrics) = {
     val c = new Collector

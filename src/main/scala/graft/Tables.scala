@@ -28,6 +28,11 @@ object Tables {
     * if the planned scan has fewer partitions than the session's
     * default parallelism (at 100 TB this is never true → no-op), and
     * allow opting out entirely with `graft.autoSpread=false`.
+    *
+    * The `df.rdd.getNumPartitions` probe forces an extra physical
+    * planning of the frame, so its verdict is memoized per (session,
+    * canonicalized scan): each table pays the probe once per session,
+    * and every later `spread` on the same scan is plan-free.
     */
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -35,9 +40,17 @@ object Tables {
     if (!auto) df
     else {
       val target = spark.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+      // semanticHash normalizes expression ids, so every fresh read of
+      // the same parquet path keys to the same decision.
+      val key = (spark, df.queryExecution.analyzed.semanticHash())
+      val needs = spreadDecision.computeIfAbsent(key,
+        _ => java.lang.Boolean.valueOf(df.rdd.getNumPartitions < target))
+      if (needs) df.repartition(target) else df
     }
   }
+
+  private val spreadDecision =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), java.lang.Boolean]()
 
   /** `events` with its parquet TIMESTAMP(NANOS) `ts` column exposed as a
     * standard Spark TimestampType (microseconds).

@@ -170,43 +170,46 @@ object api {
 
     /** Deterministic per-group reservoir: exactly `k` rows per value
       * of `groupCol`, chosen by hash order (a seeded shuffle both
-      * reruns and engines reproduce). */
+      * reruns and engines reproduce). Two-level top-k
+      * ([[graft.functions.GroupPrefix.topKPerGroup]]) — no task ever
+      * sorts a whole group. */
     def reservoirPerGroup(groupCol: String, idCol: String, k: Int,
-                          seed: String = "graft"): DataFrame = {
-      val w = Window.partitionBy(col(groupCol))
-        .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))), col(idCol))
-      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
-    }
+                          seed: String = "graft"): DataFrame =
+      graft.functions.GroupPrefix.topKPerGroup(
+          df.withColumn("_h", md5(concat(col(idCol).cast("string"), lit(":" + seed)))),
+          groupCol, Seq("_h", idCol), k, rnName = "_rn")
+        .drop("_rn", "_h")
 
     /** Token-budget sequence packing (the sp03 operator as a verb):
       * adds `pack_offset` (exclusive token prefix within the group, in
       * deterministic hash order) and `pack_id` = offset DIV
-      * `packTokens`. One shuffle: the per-group running-sum window. */
+      * `packTokens`. Prefix sums come from the two-phase partition-
+      * parallel [[graft.functions.GroupPrefix]], so each task's input
+      * is bounded by partition size, never group size. */
     def packSequences(groupCol: String, idCol: String, tokCol: String,
                       packTokens: Long, seed: String = "graft"): DataFrame = {
       require(packTokens > 0, s"packTokens must be positive, got $packTokens")
-      val w = Window.partitionBy(col(groupCol))
-        .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))), col(idCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      df.withColumn("_cum", sum(col(tokCol).cast("long")).over(w))
-        .withColumn("pack_offset", col("_cum") - col(tokCol).cast("long"))
+      graft.functions.GroupPrefix.groupPrefix(
+          df.withColumn("_h", md5(concat(col(idCol).cast("string"), lit(":" + seed)))),
+          groupCol, Seq("_h", idCol), Some(tokCol),
+          rnName = "_rn", cumName = "pack_offset")
         .withColumn("pack_id", expr(s"pack_offset DIV $packTokens"))
-        .drop("_cum")
+        .drop("_rn", "_h")
     }
 
     /** Token-budget mixture (the px02 operator as a verb): keep rows
       * of each group, in deterministic hash order, until the group's
       * exclusive token prefix crosses `budgetPerGroup` (a per-row
-      * Column, e.g. a CASE over the group). */
+      * Column, e.g. a CASE over the group). Same two-phase
+      * partition-parallel prefix machinery as `packSequences`. */
     def mixtureBudget(groupCol: String, idCol: String, tokCol: String,
-                      budgetPerGroup: Column, seed: String = "graft"): DataFrame = {
-      val w = Window.partitionBy(col(groupCol))
-        .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))), col(idCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      df.withColumn("_cum", sum(col(tokCol).cast("long")).over(w))
-        .filter(col("_cum") - col(tokCol).cast("long") < budgetPerGroup)
-        .drop("_cum")
-    }
+                      budgetPerGroup: Column, seed: String = "graft"): DataFrame =
+      graft.functions.GroupPrefix.groupPrefix(
+          df.withColumn("_h", md5(concat(col(idCol).cast("string"), lit(":" + seed)))),
+          groupCol, Seq("_h", idCol), Some(tokCol),
+          rnName = "_rn", cumName = "_cum0")
+        .filter(col("_cum0") < budgetPerGroup)
+        .drop("_rn", "_h", "_cum0")
   }
 
   implicit class TextCurationOps(private val df: DataFrame) extends AnyVal {
@@ -215,8 +218,10 @@ object api {
       * verb, alpha = 0.5): per-group doc budgets proportional to
       * sqrt(token share), rows kept in deterministic hash order up to
       * the budget. sqrt of an integer is correctly-rounded IEEE, so
-      * the selection is rerun-stable. One shuffle (the per-group
-      * window); the budget table broadcasts back. */
+      * the selection is rerun-stable. Per-group positions come from
+      * the two-phase partition-parallel
+      * [[graft.functions.GroupPrefix]]; the budget table broadcasts
+      * back. */
     def temperatureSample(groupCol: String, idCol: String, tokCol: String,
                           totalDocs: Long, seed: String = "graft"): DataFrame = {
       require(totalDocs > 0, s"totalDocs must be positive, got $totalDocs")
@@ -227,12 +232,12 @@ object api {
       val budgets = wgt.crossJoin(broadcast(tot))
         .withColumn("_budget", expr(s"(_w * $totalDocs) DIV _tw"))
         .select(col(groupCol), col("_budget"))
-      val w = Window.partitionBy(col(groupCol))
-        .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))), col(idCol))
-      df.withColumn("_rn", row_number().over(w))
+      graft.functions.GroupPrefix.groupPrefix(
+          df.withColumn("_h", md5(concat(col(idCol).cast("string"), lit(":" + seed)))),
+          groupCol, Seq("_h", idCol), rnName = "_rn")
         .join(broadcast(budgets), groupCol)
         .filter(col("_rn") <= col("_budget"))
-        .drop("_rn", "_budget")
+        .drop("_rn", "_h", "_budget")
     }
 
     /** Benchmark decontamination (the tx11 operator as a verb): per

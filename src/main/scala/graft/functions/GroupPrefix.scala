@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase, partition-parallel per-group prefix sums / positions.
+  *
+  * `Window.partitionBy(group)` over a corpus with a handful of groups
+  * (sources, languages, shards) funnels each group's FULL row set
+  * through ONE task — multi-TB per task at 100 TB, the definitional
+  * skew bottleneck. This is the scalable replacement:
+  *
+  *  1. range-partition on (group, order...) so each group's global
+  *     order is sliced across many partitions, each slice contiguous;
+  *  2. aggregate per-(group, partition) subtotals — a tiny table of
+  *     #partitions x #groups rows;
+  *  3. running-sum THOSE into exclusive per-partition offsets (the
+  *     only unbounded window runs over the tiny subtotal table) and
+  *     broadcast them back;
+  *  4. window within (group, partition) only, so every task's input
+  *     is bounded by PARTITION size, never group size.
+  *
+  * The reference reaches the same per-source bookkeeping through its
+  * single-node sort pipeline (ella-engine/src/lazy.rs); on a cluster
+  * the two-phase form is the only shape that survives group skew.
+  */
+object GroupPrefix {
+
+  /** Adds `rnName` (1-based position of the row within its group, in
+    * `order` order) and — when `value` is set — `cumName` (the
+    * group's EXCLUSIVE running sum of `value`, cast to long, at this
+    * row). `order` must be a deterministic total order within each
+    * group (include a unique id as the last key).
+    *
+    * The ranged frame is persisted so the subtotal pass and the final
+    * join see identical partition ids (spark_partition_id is only
+    * meaningful within one materialization).
+    */
+  def groupPrefix(df: DataFrame, group: String, order: Seq[String],
+                  value: Option[String] = None,
+                  rnName: String = "rn", cumName: String = "cum0"): DataFrame = {
+    val parts = math.max(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1)
+    val keys: Seq[Column] = col(group) +: order.map(col)
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offW = Window.partitionBy(col(group)).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aggs = count(lit(1)).as("_n") +:
+      value.toSeq.map(v => sum(col(v).cast("long")).as("_t"))
+    val offsets0 = ranged.groupBy(col(group), col("_pid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("_off_n", coalesce(sum(col("_n")).over(offW), lit(0L)))
+    val offsets = value.fold(offsets0)(_ => offsets0
+        .withColumn("_off_t", coalesce(sum(col("_t")).over(offW), lit(0L))))
+      .select(col(group) +: col("_pid") +: col("_off_n") +:
+        value.toSeq.map(_ => col("_off_t")): _*)
+    val intra = Window.partitionBy(col(group), col("_pid"))
+      .orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = ranged.join(broadcast(offsets), Seq(group, "_pid"))
+      .withColumn(rnName, (col("_off_n") + row_number().over(intra)).cast("int"))
+    value.fold(joined)(v => joined.withColumn(cumName,
+        col("_off_t") + sum(col(v).cast("long")).over(intra) - col(v).cast("long")))
+      .drop("_pid", "_off_n", "_off_t")
+  }
+
+  /** Exact top-k rows per group in `order` order, without ever
+    * sorting a whole group in one task: rank within (group,
+    * input-partition) first — each task sees at most one partition —
+    * keep the <= k local winners, and only those ~k * partitions *
+    * groups candidate rows reach the final per-group window. Adds
+    * `rnName` (1..k within the group) and keeps only rows with
+    * `rnName` <= k.
+    */
+  def topKPerGroup(df: DataFrame, group: String, order: Seq[String], k: Int,
+                   rnName: String = "rn"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val local = Window.partitionBy(col(group), col("_pid"))
+      .orderBy(order.map(col): _*)
+    val global = Window.partitionBy(col(group)).orderBy(order.map(col): _*)
+    df.withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", row_number().over(local))
+      .filter(col("_lrn") <= k)
+      .withColumn(rnName, row_number().over(global))
+      .filter(col(rnName) <= k)
+      .drop("_pid", "_lrn")
+  }
+}

@@ -114,23 +114,25 @@ object Curation {
 
     // Tokenizer vocabulary build: corpus word counts -> top-64 vocab
     // by (count desc, word) with exact cumulative-coverage milli.
-    // One map-side-combinable word agg; the top-64 + running sum run
-    // on the driver-scale result of that agg (vocab candidates, not
-    // the corpus), and `total` folds from the same agg — the corpus
-    // is scanned once at 100 TB.
+    // One map-side-combinable word agg; the top-64 is a
+    // TakeOrderedAndProject (per-partition top-64, merged on the
+    // driver — NEVER a global sort of the distinct-word table, which
+    // is 10^7-10^9 rows at 100 TB), and only the 64 surviving rows
+    // flow through the rank/cumsum window. `total` folds from the
+    // same persisted agg — the corpus is scanned once.
     "tx12_vocab" -> ((s, d) => {
       val wc = docs(s, d)
         .select(explode(split(lower(col("text")), " ")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val total = wc.agg(sum(col("cnt")).as("total"))
+      val top = wc.orderBy(col("cnt").desc, col("word")).limit(64)
       val w = Window.orderBy(col("cnt").desc, col("word"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val rw = Window.orderBy(col("cnt").desc, col("word"))
-      wc.crossJoin(broadcast(total))
+      top.crossJoin(broadcast(total))
         .withColumn("rank", row_number().over(rw))
         .withColumn("cum", sum(col("cnt")).over(w))
-        .filter(col("rank") <= 64)
         .withColumn("coverage_milli", expr("(cum * 1000) DIV total"))
         .select(col("rank"), col("word"), col("cnt"), col("cum"), col("coverage_milli"))
         .orderBy(col("rank"))
@@ -171,8 +173,9 @@ object Curation {
     // CORRECTLY ROUNDED IEEE in both engines (unlike ln/exp/pow), and
     // everything after the one sqrt is integer math, so the selection
     // is engine-exact AND rerun-stable (md5-hash order, like sp02).
-    // Plan: per-source token agg (tiny, broadcast back) + one
-    // per-source window — one shuffle on the corpus at 100 TB.
+    // Plan: per-source token agg (tiny, broadcast back) + the
+    // two-phase partition-parallel `Pipeline.sourcePrefix` for the
+    // per-source position — no task ever sorts a whole source.
     "sp04_temperature" -> ((s, d) => {
       val toks = size(split(col("text"), " ")).cast("long")
       val base = docs(s, d).select(col("doc_id"), col("source"), toks.as("tok_cnt"))
@@ -183,10 +186,8 @@ object Curation {
       val budgets = srcW.crossJoin(broadcast(tot))
         .withColumn("budget_docs", expr("(wgt * 200) DIV tot_w"))
         .select(col("source"), col("n_toks"), col("wgt"), col("budget_docs"))
-      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-      base
-        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":sp04"))))
-        .withColumn("rn", row_number().over(w))
+      Pipeline.sourcePrefix(
+          base.withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":sp04")))))
         .join(broadcast(budgets), "source")
         .filter(col("rn") <= col("budget_docs"))
         .select(col("source"), col("rn"), col("doc_id"), col("tok_cnt"), col("budget_docs"))

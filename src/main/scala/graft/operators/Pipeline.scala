@@ -18,6 +18,15 @@ object Pipeline {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.spread(Tables(s, d, "documents"))
 
+  /** Per-source positions (`rn`) and exclusive token prefix sums
+    * (`cum0`) in (h, doc_id) order, via the two-phase partition-
+    * parallel [[graft.functions.GroupPrefix]] — never a one-task-per-
+    * source window. Requires columns: source, h, doc_id, tok_cnt.
+    */
+  private[operators] def sourcePrefix(df: DataFrame): DataFrame =
+    graft.functions.GroupPrefix.groupPrefix(
+      df, "source", Seq("h", "doc_id"), Some("tok_cnt"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Stratified sampling with per-stratum rates (corpus mixing:
     // upweight one source, downsample the rest). A pure filter on a
@@ -34,17 +43,14 @@ object Pipeline {
 
     // Deterministic per-stratum reservoir: exactly k docs per source,
     // chosen by hash order (a seeded shuffle both engines reproduce).
-    // Scale note: k is small and fixed, so at 100 TB this is a
-    // partial TakeOrdered per group — the window spills nothing like
-    // a global sort would.
+    // Two-level top-k (GroupPrefix.topKPerGroup): rank within
+    // (source, input-partition) first, so only ~k * partitions *
+    // sources candidates reach the final per-source window — no task
+    // ever sorts a whole source.
     "sp02_reservoir_per_source" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val h = md5(concat(col("doc_id").cast("string"), lit(":sp02")))
-      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-      docs(s, d)
-        .withColumn("h", h)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
+      graft.functions.GroupPrefix.topKPerGroup(
+          docs(s, d).withColumn("h", h), "source", Seq("h", "doc_id"), 5)
         .select(col("source"), col("rn"), col("doc_id"))
         .orderBy(col("source"), col("rn"))
     }),
@@ -78,20 +84,18 @@ object Pipeline {
     // Sequence packing: assign docs to fixed-token-budget training
     // sequences (the pre-tokenizer packing step that turns a corpus
     // into equal-budget chunks). Docs are ordered deterministically
-    // (md5 hash, a seeded shuffle both engines reproduce), a running
-    // token sum per source places each doc at its exclusive prefix
-    // offset, and pack_id = offset DIV budget — pure integer math.
-    // One shuffle (the per-source window), agg is map-side combinable;
-    // at 100 TB packs per source stream out of a single sort.
+    // (md5 hash, a seeded shuffle both engines reproduce), the
+    // two-phase `sourcePrefix` places each doc at its exclusive
+    // per-source prefix offset WITHOUT a one-task-per-source window,
+    // and pack_id = offset DIV budget — pure integer math. Every
+    // shuffle stays partition-parallel; agg is map-side combinable.
     "sp03_pack_sequences" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, d)
+      val base = docs(s, d)
         .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":sp03"))))
         .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
-        .withColumn("cum", sum(col("tok_cnt")).over(w))
-        .withColumn("pack_id", expr("CAST((cum - tok_cnt) DIV 2000 AS INT)"))
+        .select(col("source"), col("h"), col("doc_id"), col("tok_cnt"))
+      sourcePrefix(base)
+        .withColumn("pack_id", expr("CAST(cum0 DIV 2000 AS INT)"))
         .groupBy(col("source"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("pack_tokens"))
         .orderBy(col("source"), col("pack_id"))
@@ -102,19 +106,18 @@ object Pipeline {
     // budget = weight*TOTAL/sum(weights) (integer division, exact);
     // docs are taken in deterministic hash order until the source's
     // exclusive prefix sum crosses its budget. The "sample to a target
-    // token mixture" step of every training-data pipeline; same
-    // single-window shuffle shape as sp03.
+    // token mixture" step of every training-data pipeline; the prefix
+    // sum is the two-phase partition-parallel `sourcePrefix`, so no
+    // task ever scans a whole source.
     "px02_mixture_budget" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, d)
+      val base = docs(s, d)
         .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":px02"))))
         .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+        .select(col("source"), col("h"), col("doc_id"), col("tok_cnt"))
+      sourcePrefix(base)
         .withColumn("wgt", when(col("source") === "src0", lit(5L)).otherwise(lit(1L)))
         .withColumn("budget", expr("CAST((wgt * 20000) DIV 24 AS BIGINT)"))
-        .withColumn("cum", sum(col("tok_cnt")).over(w))
-        .filter(col("cum") - col("tok_cnt") < col("budget"))
+        .filter(col("cum0") < col("budget"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("sel_tokens"),
           max(col("budget")).as("budget_tokens"))

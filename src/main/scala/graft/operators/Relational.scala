@@ -369,7 +369,10 @@ object Relational {
     // (one map-side-combinable shuffle, no sort, no exact-distinct
     // re-shuffle). Sketch internals are engine-specific, so this is
     // deliberately a rows-only check (no DuckDB oracle, SURVEY §5);
-    // the exact twins (q06/q20) carry the value correctness.
+    // the exact twins (q06/q20) carry the value correctness. The
+    // quartiles come back scalarized (p25/p50/p75 doubles, not one
+    // array column) so downstream tabular consumers can sort/compare
+    // on them directly.
     "q26_approx_sketch" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -377,7 +380,11 @@ object Relational {
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
-            .as("price_quartiles"))
+            .as("pq"))
+        .withColumn("p25", element_at(col("pq"), 1))
+        .withColumn("p50", element_at(col("pq"), 2))
+        .withColumn("p75", element_at(col("pq"), 3))
+        .drop("pq")
         .orderBy(col("l_returnflag"))
     })
   )

@@ -216,6 +216,36 @@ object VectorOps {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // 3-D tensor columns (ella's Const<3> columns, ella-engine/src/
+    // lazy.rs:86 `col3`; rank-3 shaped tensors in ella-tensor): the
+    // 64-vector reshaped to a 4x4x4 array<array<array<double>>> cube
+    // column — the video-frames / multi-head-embedding shape — then
+    // per-axis plane reductions (one sum per index along each of the
+    // three axes), the space diagonal, and an axis-0+axis-1 slice
+    // reduce. All per-row HOF folds over the materialized rank-3
+    // column: no shuffle, scan speed at any scale; scalarized output
+    // like v13 so the result stays oracle-comparable.
+    "v16_tensor3d" -> ((s, d) => {
+      emb(s, d)
+        .withColumn("cube", transform(sequence(lit(0), lit(3)), a =>
+          transform(sequence(lit(0), lit(3)), b =>
+            transform(slice(col("embedding"), a * 16 + b * 4 + 1, lit(4)),
+              x => x.cast("double")))))
+        .select(col("vec_id"), posexplode(transform(sequence(lit(1), lit(4)), i => struct(
+          foldSum(flatten(element_at(col("cube"), i))).as("a0_sum"),
+          foldSum(flatten(transform(col("cube"),
+            pl => element_at(pl, i)))).as("a1_sum"),
+          foldSum(flatten(transform(col("cube"),
+            pl => transform(pl, r => element_at(r, i))))).as("a2_sum"),
+          element_at(element_at(element_at(col("cube"), i), i), i).as("diag"),
+          foldSum(element_at(element_at(col("cube"), i), 2)).as("slice_12")))))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"),
+          col("col.a0_sum").as("a0_sum"), col("col.a1_sum").as("a1_sum"),
+          col("col.a2_sum").as("a2_sum"), col("col.diag").as("diag"),
+          col("col.slice_12").as("slice_12"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
     // Full 8x8 matrix x matrix product between PAIRS of 2-D tensor
     // columns (ella matmul over Const<2> tensors, ella-tensor
     // builtin arithmetic): A = even vec_id, B = the following odd
@@ -352,6 +382,20 @@ object VectorOps {
         | unnest(list_transform(generate_series(1, 8), i -> list_sum(list_transform(generate_series(1, 8),
         |   j -> mat[i][j] * CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END)))) AS mv
         |FROM m ORDER BY vec_id, pos""".stripMargin,
+    "v16_tensor3d" ->
+      """WITH c AS (
+        | SELECT vec_id, list_transform(generate_series(0, 3),
+        |   a -> list_transform(generate_series(0, 3),
+        |     b -> list_transform(embedding[a*16+b*4+1 : a*16+b*4+4], x -> CAST(x AS DOUBLE)))) AS cube
+        | FROM embeddings)
+        |SELECT vec_id,
+        | CAST(unnest(generate_series(1, 4)) AS INT) AS pos,
+        | unnest(list_transform(generate_series(1, 4), i -> list_sum(flatten(cube[i])))) AS a0_sum,
+        | unnest(list_transform(generate_series(1, 4), i -> list_sum(flatten(list_transform(cube, pl -> pl[i]))))) AS a1_sum,
+        | unnest(list_transform(generate_series(1, 4), i -> list_sum(flatten(list_transform(cube, pl -> list_transform(pl, r -> r[i])))))) AS a2_sum,
+        | unnest(list_transform(generate_series(1, 4), i -> cube[i][i][i])) AS diag,
+        | unnest(list_transform(generate_series(1, 4), i -> list_sum(cube[i][2]))) AS slice_12
+        |FROM c ORDER BY vec_id, pos""".stripMargin,
     "v15_matmul" ->
       """WITH a AS (
         | SELECT vec_id, embedding AS ea FROM embeddings

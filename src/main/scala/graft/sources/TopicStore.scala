@@ -78,13 +78,31 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
     * writer version; nothing is rewritten at write time, so upserts
     * stay append-only and partition-parallel at any scale. Readers
     * resolve the latest version per key via [[readMerged]]; an
-    * optional boolean `_tombstone` column marks deletes.
+    * optional boolean `_tombstone` column marks deletes. `_tombstone`
+    * is ALWAYS materialized (false when the caller didn't pass one)
+    * so the column is schema-stable across shards — without it, a
+    * mergeSchema=false read of a mixed-schema topic could silently
+    * drop the delete flags and resurface tombstoned keys.
+    *
+    * The default `seq` is strictly increasing per store instance
+    * (wall-clock millis, bumped past any prior value), so two rapid
+    * upserts never tie and last-write-wins is deterministic. Multiple
+    * CONCURRENT writer processes must supply their own coordinated
+    * `seq` values — wall clocks across writers are not an ordering.
     * (reference analog: ella's append-only shard writers +
     * compaction, ella-engine/src/table/topic/shard/writer.rs —
     * extended here with key-versioned semantics.) */
   def upsert(name: String, df: DataFrame, tsCol: String = "time",
-             seq: Long = System.currentTimeMillis()): Unit =
-    append(name, df.withColumn("_seq", lit(seq)), tsCol)
+             seq: Long = -1L): Unit = {
+    val s = if (seq >= 0) seq else nextSeq()
+    val tomb = if (df.columns.contains("_tombstone"))
+      coalesce(col("_tombstone").cast("boolean"), lit(false)) else lit(false)
+    append(name, df.withColumn("_seq", lit(s)).withColumn("_tombstone", tomb), tsCol)
+  }
+
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextSeq(): Long =
+    seqGen.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
 
   /** Merge-on-read view of an upsert topic: latest `_seq` wins per
     * `keyCol`, tombstoned keys disappear. The merge is ONE
@@ -106,26 +124,44 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
   }
 
   /** Fold the delta history away: rewrite the topic as the merged
-    * view (winners only, tombstones dropped, `_seq` reset to 0) so
-    * subsequent [[readMerged]] calls aggregate nothing. Runs as one
-    * partition-parallel write + atomic directory swap. Global rather
-    * than per-bucket because a key's latest version may live in a
-    * different time bucket than its older ones; when an upsert
-    * workload keys buckets (key-local writes), per-bucket merge
-    * compaction is exact and this same fold runs bucket-parallel
-    * without the swap. */
+    * view (winners only, tombstones dropped, `_seq` reset to 0,
+    * `_tombstone` re-materialized as false so the column stays
+    * schema-stable for future upserts) so subsequent [[readMerged]]
+    * calls aggregate nothing. Runs as one partition-parallel write +
+    * a two-rename directory swap: the live dir is renamed ASIDE
+    * first, the rewrite renamed into place, and only then is the
+    * aside copy deleted — a crash at any point leaves the full topic
+    * recoverable on disk (under its own name, the `.old_` aside, or
+    * the `.merge_` temp; single-rename windows are NOT atomic on
+    * object stores, so readers can observe a brief missing-dir gap).
+    * Global rather than per-bucket because a key's latest version may
+    * live in a different time bucket than its older ones; when an
+    * upsert workload keys buckets (key-local writes), per-bucket
+    * merge compaction is exact and this same fold runs
+    * bucket-parallel without the swap. */
   def mergeCompact(name: String, keyCol: String, tsCol: String = "time"): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(topicPath(name))
     if (!fs.exists(dir)) return
     val winners = readMerged(name, keyCol).drop("bucket")
       .withColumn("_seq", lit(0L))
+      .withColumn("_tombstone", lit(false))
     val tmp = new Path(dir.getParent, s".merge_${dir.getName}")
     winners
       .withColumn("bucket", (col(tsCol).cast("long") / bucketSeconds).cast("long") * bucketSeconds)
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp.toString)
-    fs.delete(dir, true)
+    swapDir(fs, tmp, dir)
+  }
+
+  /** Crash-recoverable directory swap: `dir` -> `.old_` aside, `tmp`
+    * -> `dir`, delete aside. Every intermediate state keeps one full
+    * copy of the data on disk. */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dir: Path): Unit = {
+    val aside = new Path(dir.getParent, s".old_${dir.getName}")
+    if (fs.exists(aside)) fs.delete(aside, true)
+    fs.rename(dir, aside)
     fs.rename(tmp, dir)
+    fs.delete(aside, true)
   }
 
   /** Rewrite buckets holding more than `maxFilesPerBucket` parquet
@@ -157,8 +193,7 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
         if (clusterBy.isEmpty) rows
         else rows.sortWithinPartitions(clusterBy.map(col): _*)
       clustered.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      fs.delete(dir, true)
-      fs.rename(tmp, dir)
+      swapDir(fs, tmp, dir)
     }
     compacted.map(_.getPath.getName.stripPrefix("bucket=").toLong).toSeq
   }

@@ -57,4 +57,50 @@ class MetricsSpec extends SparkSpec {
     assert(m1.inputRecords > 0)
     assert(m2.inputBytes == 0L, "range() reads no files; counters must not leak")
   }
+
+  test("stream monitor records per-batch rows, rates, and watermark lag") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.TopicEvent
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def ev(id: Long, t: String) =
+      TopicEvent(id, java.sql.Timestamp.valueOf(t), 1, "click", 1.0)
+    val mon = Metrics.monitorStreams(spark)
+    val input = MemoryStream[TopicEvent]
+    // watermarked windowed count, plus a per-row stall so the drain
+    // rate is measurably low (the load the reference's channel
+    // monitor watches for)
+    val slow = udf { (v: Double) => Thread.sleep(5); v }
+    val q = input.toDF()
+      .withColumn("v", slow(col("value")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).count()
+      .writeStream.format("memory").queryName("mon_stats")
+      .outputMode("update").start()
+    try {
+      input.addData(ev(1, "2024-01-01 00:05:00"), ev(2, "2024-01-01 00:10:00"))
+      q.processAllAvailable()
+      // second batch arrives immediately after the first finishes but
+      // takes ~2s to drain (400 rows x 5ms) — arrival rate exceeds
+      // drain rate: the monitor must flag it
+      input.addData((3L to 402L).map(i => ev(i, "2024-01-01 00:20:00")): _*)
+      q.processAllAvailable()
+      val prog = mon.progress.filter(p => p.queryName == "mon_stats" && p.numInputRows > 0)
+      assert(prog.size >= 2, s"expected >=2 data batches, saw ${mon.progress}")
+      assert(prog.map(_.numInputRows).sum == 402L,
+        s"input rows must total 402: $prog")
+      assert(prog.forall(_.triggerExecMs > 0))
+      val big = prog.maxBy(_.numInputRows)
+      assert(big.overloaded && mon.overloaded.contains(big),
+        s"the 400-row slow batch must be flagged (arrival > drain): $big")
+      // after the big batch the watermark trails its wall-clock
+      // timestamp by years (2024 event time) — lag must be present
+      // and positive once the watermark is set
+      val lagged = prog.flatMap(_.watermarkLagMs)
+      assert(lagged.nonEmpty && lagged.forall(_ > 0), s"watermark lag: $prog")
+    } finally {
+      q.stop()
+      Metrics.stopMonitoring(spark, mon)
+    }
+  }
 }

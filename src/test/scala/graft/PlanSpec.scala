@@ -71,13 +71,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"dd05 must never be all-pairs:\n$p")
   }
 
-  test("v13 2-D tensor ops plan zero exchanges before the output sort") {
-    // per-row reshape + axis reduces + matvec must all fuse into
-    // projections over the scan; the only exchange allowed is the
-    // final orderBy (oracle determinism, not part of the operator)
-    val p = plan("v13_tensor2d")
-    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Window"),
-      s"v13 must not shuffle for the tensor math:\n$p")
+  test("v13/v16 tensor ops plan zero exchanges before the output sort") {
+    // per-row reshape (rank 2 and rank 3) + axis reduces must all
+    // fuse into projections over the scan; the only exchange allowed
+    // is the final orderBy (oracle determinism, not part of the
+    // operator)
+    Seq("v13_tensor2d", "v16_tensor3d").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning") && !p.contains("Window"),
+        s"$name must not shuffle for the tensor math:\n$p")
+    }
   }
 
   test("sp01 sampling is a pure filter at the scan (no shuffle, no window)") {
@@ -126,13 +129,23 @@ class PlanSpec extends SparkSpec {
       s"redaction must run at scan speed:\n$p")
   }
 
-  test("sp03/px02 plan exactly one hash shuffle: the per-source window") {
+  test("sp03/px02 prefix sums are two-phase: ranged corpus, broadcast offsets, no SMJ") {
+    // The r3 form was one hash shuffle — a Window.partitionBy(source)
+    // that funneled each source through ONE task. The two-phase
+    // GroupPrefix trades that for bounded-task-size shuffles: the
+    // corpus is range-partitioned on (source, h, doc_id) once, the
+    // tiny per-(source, pid) offset table comes BACK via broadcast
+    // (never a sort-merge join against the corpus), and every
+    // corpus-side window is keyed by (source, _pid).
     Seq("sp03_pack_sequences", "px02_mixture_budget").foreach { name =>
       val p = plan(name)
       assert(p.contains("Window"), s"$name needs the running-sum window:\n$p")
-      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
-      assert(shuffles <= 1,
-        s"$name must reuse the window's source-partitioning for the final agg (saw $shuffles):\n$p")
+      assert(p.contains("Exchange rangepartitioning"),
+        s"$name must range-partition the corpus for the two-phase prefix sum:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name must broadcast the per-(source, pid) offsets back:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name must never shuffle the corpus to meet the offset table:\n$p")
     }
   }
 
@@ -173,6 +186,35 @@ class PlanSpec extends SparkSpec {
       s"the per-source budget table must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"the corpus must not shuffle to meet the budgets:\n$p")
+  }
+
+  test("per-group prefix/rank ops never funnel a whole corpus group through one task") {
+    // The one-task-per-source trap: Window.partitionBy(source) (or an
+    // unpartitioned Window) directly over the corpus sorts each
+    // source's FULL row set in a single task — multi-TB per task at
+    // 100 TB. After the two-phase GroupPrefix rewrite, every Window in
+    // these plans must either (a) be partitioned by >= 2 expressions
+    // (the (group, partition-id) intra-partition window), or (b) run
+    // over a provably small input: an Aggregate (the per-(group, pid)
+    // subtotal table), a Limit (tx12's top-64), or a local-rank
+    // Filter (_lrn <= k candidates in topKPerGroup).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate, GlobalLimit, Filter, LogicalPlan}
+    Seq("sp02_reservoir_per_source", "sp03_pack_sequences", "px02_mixture_budget",
+        "sp04_temperature", "tx12_vocab").foreach { name =>
+      val lp: LogicalPlan =
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      val offenders = lp.collect {
+        case w: LWindow if w.partitionSpec.size < 2 =>
+          val smallInput = w.child.collectFirst {
+            case _: Aggregate => true
+            case _: GlobalLimit => true
+            case f: Filter if f.condition.references.exists(_.name.contains("lrn")) => true
+          }.isDefined
+          if (smallInput) None else Some(w.simpleString(120))
+      }.flatten
+      assert(offenders.isEmpty,
+        s"$name has a Window that sorts a whole group in one task:\n${offenders.mkString("\n")}")
+    }
   }
 
   test("q26 sketches aggregate partially (map-side) — single-pass, mergeable") {
@@ -225,6 +267,9 @@ class PlanSpec extends SparkSpec {
       val src = scala.io.Source.fromFile(f, "UTF-8")
       try src.getLines().toList finally src.close()
     }
+    assert(golden.size == SparkEntry.queries.size,
+      s"plan_golden.txt has ${golden.size} lines for ${SparkEntry.queries.size} queries — " +
+        "a query landed without its topology pin; regenerate with GRAFT_REGEN_GOLDEN=1 sbt test")
     val drift = live.zipAll(golden, "<missing>", "<missing>").filter { case (a, b) => a != b }
     assert(drift.isEmpty,
       "plan topology drifted (live vs golden):\n" +

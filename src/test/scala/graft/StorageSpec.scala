@@ -103,6 +103,44 @@ class StorageSpec extends SparkSpec {
     assert(after == live)
   }
 
+  test("tombstones survive mixed-schema shards and compaction boundaries") {
+    import spark.implicits._
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    // shard 1 written with NO _tombstone column, shard 2 deletes key 1:
+    // upsert materializes _tombstone on every shard, so the merged
+    // read can't infer a footer that lacks the delete flags and
+    // silently resurrect key 1
+    store.upsert("kv3", Seq((1L, t0, "a"), (2L, t0, "b")).toDF("key", "time", "v"), seq = 1L)
+    store.upsert("kv3",
+      Seq((1L, t0, "a", true)).toDF("key", "time", "v", "_tombstone"), seq = 2L)
+    val live = store.readMerged("kv3", "key")
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(live == Map(2L -> "b"), s"tombstoned key 1 resurfaced: $live")
+    // after compaction the rewritten shard keeps a (false) _tombstone
+    // column, so a LATER tombstone shard still merges schema-stably
+    store.mergeCompact("kv3", "key")
+    store.upsert("kv3",
+      Seq((2L, t0, "b", true)).toDF("key", "time", "v", "_tombstone"), seq = 10L)
+    assert(store.readMerged("kv3", "key").count() == 0,
+      "post-compaction tombstone must still delete")
+  }
+
+  test("default upsert seqs are strictly increasing (rapid writes stay deterministic)") {
+    import spark.implicits._
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    // two default-seq upserts in the same millisecond must not tie on
+    // _seq (a tie decays to arbitrary lexicographic last-write-wins)
+    store.upsert("kv4", Seq((1L, t0, "first")).toDF("key", "time", "v"))
+    store.upsert("kv4", Seq((1L, t0, "second")).toDF("key", "time", "v"))
+    val seqs = store.read("kv4").select("_seq").as[Long].collect().sorted
+    assert(seqs.distinct.length == 2, s"default seqs tied: ${seqs.toSeq}")
+    val got = store.readMerged("kv4", "key")
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "second"), s"later write must win: $got")
+  }
+
   test("readAsOf/readMergedAsOf time-travel: snapshot at a past cutoff") {
     import spark.implicits._
     val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
