@@ -246,6 +246,35 @@ object VectorOps {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // DYN-shaped tensor columns (ella's `col_dyn`, ella-engine/src/
+    // lazy.rs:90: tensors whose rank/shape is per-row DATA, not
+    // schema): a dyn tensor is struct(shape: array<int>, data:
+    // array<double>) with row-major layout, and every op reads the
+    // shape at eval time. Rows carry rank-1 [64], rank-2 [8,8], or
+    // rank-3 [4,4,4] views of the same 64-float buffer (vec_id mod
+    // 3); rank, numel (shape product), shape-independent total, and
+    // the first axis-0 slice sum (a contiguous numel/shape[0] chunk —
+    // the same expression handles scalar/row/plane slices) are all
+    // computed from the shape column. Pure per-row compute, zero
+    // exchanges before the output sort.
+    "v17_tensor_dyn" -> ((s, d) => {
+      val numel = aggregate(col("t.shape"), lit(1), (a, x) => a * x)
+      emb(s, d)
+        .withColumn("t", struct(
+          when(col("vec_id") % 3 === 0, array(lit(64)))
+            .when(col("vec_id") % 3 === 1, array(lit(8), lit(8)))
+            .otherwise(array(lit(4), lit(4), lit(4))).as("shape"),
+          transform(col("embedding"), x => x.cast("double")).as("data")))
+        .select(col("vec_id"),
+          size(col("t.shape")).as("t_rank"),
+          numel.as("numel"),
+          foldSum(col("t.data")).as("total"),
+          element_at(col("t.shape"), 1).as("axis0"),
+          foldSum(slice(col("t.data"), lit(1),
+            numel / element_at(col("t.shape"), 1))).as("slice0_sum"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Full 8x8 matrix x matrix product between PAIRS of 2-D tensor
     // columns (ella matmul over Const<2> tensors, ella-tensor
     // builtin arithmetic): A = even vec_id, B = the following odd
@@ -396,6 +425,21 @@ object VectorOps {
         | unnest(list_transform(generate_series(1, 4), i -> cube[i][i][i])) AS diag,
         | unnest(list_transform(generate_series(1, 4), i -> list_sum(cube[i][2]))) AS slice_12
         |FROM c ORDER BY vec_id, pos""".stripMargin,
+    "v17_tensor_dyn" ->
+      """WITH t AS (
+        | SELECT vec_id,
+        |  CASE WHEN vec_id % 3 = 0 THEN [64]
+        |       WHEN vec_id % 3 = 1 THEN [8, 8]
+        |       ELSE [4, 4, 4] END AS shape,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS data
+        | FROM embeddings)
+        |SELECT vec_id,
+        | CAST(len(shape) AS INT) AS t_rank,
+        | CAST(list_aggregate(shape, 'product') AS INT) AS numel,
+        | list_sum(data) AS total,
+        | CAST(shape[1] AS INT) AS axis0,
+        | list_sum(data[1 : CAST(list_aggregate(shape, 'product') // shape[1] AS INT)]) AS slice0_sum
+        |FROM t ORDER BY vec_id""".stripMargin,
     "v15_matmul" ->
       """WITH a AS (
         | SELECT vec_id, embedding AS ea FROM embeddings

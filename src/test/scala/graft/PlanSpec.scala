@@ -71,12 +71,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"dd05 must never be all-pairs:\n$p")
   }
 
-  test("v13/v16 tensor ops plan zero exchanges before the output sort") {
-    // per-row reshape (rank 2 and rank 3) + axis reduces must all
-    // fuse into projections over the scan; the only exchange allowed
-    // is the final orderBy (oracle determinism, not part of the
-    // operator)
-    Seq("v13_tensor2d", "v16_tensor3d").foreach { name =>
+  test("v13/v16/v17 tensor ops plan zero exchanges before the output sort") {
+    // per-row reshape (rank 2, rank 3, and per-row dyn shape) + axis
+    // reduces must all fuse into projections over the scan; the only
+    // exchange allowed is the final orderBy (oracle determinism, not
+    // part of the operator)
+    Seq("v13_tensor2d", "v16_tensor3d", "v17_tensor_dyn").foreach { name =>
       val p = plan(name)
       assert(!p.contains("Exchange hashpartitioning") && !p.contains("Window"),
         s"$name must not shuffle for the tensor math:\n$p")
