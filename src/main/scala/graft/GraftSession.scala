@@ -15,6 +15,22 @@ class GraftSession(val spark: SparkSession, root: String) {
   val store = new TopicStore(spark, s"$root/topics")
   val catalog = new TopicCatalog(spark, root)
 
+  // Session-scoped streaming load monitor — the reference engine
+  // starts its metrics server with the session
+  // (ella-engine/src/metrics/server.rs:16) and watches channel load
+  // (metrics/load_monitor.rs:70-120); here every streaming query on
+  // this session reports per-batch load into the same accumulator.
+  private val streamMonitor = Metrics.monitorStreams(spark)
+
+  /** Per-batch load of every streaming query on this session:
+    * rows in, arrival vs drain rate, trigger wall time, watermark
+    * lag. */
+  def streamingLoad: Seq[Metrics.BatchProgress] = streamMonitor.progress
+
+  /** Batches whose arrival rate exceeded their drain rate — the
+    * falling-behind signal the reference's load monitor alarms on. */
+  def streamingOverloaded: Seq[Metrics.BatchProgress] = streamMonitor.overloaded
+
   /** Lazy SQL query (ella.rs:89). Registered catalog tables are exposed
     * as temp views on demand. */
   def query(sql: String): DataFrame = {
@@ -74,9 +90,13 @@ class GraftSession(val spark: SparkSession, root: String) {
   def useSchema(s: String): Unit = catalog.useSchema(s)
 
   /** Graceful shutdown (ella.rs:71 `shutdown`): compact the catalog's
-    * transaction log into a snapshot so the next open replays nothing.
-    * The SparkSession itself is caller-owned and left running. */
-  def shutdown(): Unit = catalog.checkpoint()
+    * transaction log into a snapshot so the next open replays nothing,
+    * and detach the session's streaming monitor. The SparkSession
+    * itself is caller-owned and left running. */
+  def shutdown(): Unit = {
+    catalog.checkpoint()
+    Metrics.stopMonitoring(spark, streamMonitor)
+  }
 
   /** Scan a table by (possibly qualified) name (ella.rs:105). */
   def table(ref: String): DataFrame = catalog.table(ref)

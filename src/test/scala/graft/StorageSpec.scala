@@ -196,6 +196,27 @@ class StorageSpec extends SparkSpec {
     assert(cat2.dropTable("v_all") && !cat2.contains("v_all"))
   }
 
+  test("GraftSession exposes per-batch streaming load for its queries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.TopicEvent
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val gs = new GraftSession(spark, tmp())
+    val input = MemoryStream[TopicEvent]
+    val q = input.toDF().groupBy("event_type").count()
+      .writeStream.format("memory").queryName("gs_load")
+      .outputMode("complete").start()
+    try {
+      input.addData(TopicEvent(1, new java.sql.Timestamp(0L), 1, "click", 1.0))
+      q.processAllAvailable()
+      val load = gs.streamingLoad.filter(_.queryName == "gs_load")
+      assert(load.exists(_.numInputRows == 1), s"session must see its stream's batches: $load")
+    } finally {
+      q.stop()
+      gs.shutdown()
+    }
+  }
+
   test("GraftSession facade: publish + query by name") {
     val gs = new GraftSession(spark, tmp())
     gs.publish("readings", sampleEvents(20))
