@@ -24,8 +24,13 @@ class GraftSession(val spark: SparkSession, root: String) {
 
   /** Per-batch load of every streaming query on this session:
     * rows in, arrival vs drain rate, trigger wall time, watermark
-    * lag. */
-  def streamingLoad: Seq[Metrics.BatchProgress] = streamMonitor.progress
+    * lag. Progress events ride the async listener bus, so drain it
+    * first — a caller reading load right after processAllAvailable
+    * must see that batch. */
+  def streamingLoad: Seq[Metrics.BatchProgress] = {
+    org.apache.spark.sql.graft.bridge.drainListenerBus(spark, 30000L)
+    streamMonitor.progress
+  }
 
   /** Batches whose arrival rate exceeded their drain rate — the
     * falling-behind signal the reference's load monitor alarms on. */

@@ -170,15 +170,16 @@ object api {
 
     /** Deterministic per-group reservoir: exactly `k` rows per value
       * of `groupCol`, chosen by hash order (a seeded shuffle both
-      * reruns and engines reproduce). Two-level top-k
-      * ([[graft.functions.GroupPrefix.topKPerGroup]]) — no task ever
-      * sorts a whole group. */
+      * reruns and engines reproduce). Scale-safe as written:
+      * Catalyst's InferWindowGroupLimit plans a partial
+      * WindowGroupLimit before the shuffle, so each input partition
+      * ships only its local top-k per group. */
     def reservoirPerGroup(groupCol: String, idCol: String, k: Int,
-                          seed: String = "graft"): DataFrame =
-      graft.functions.GroupPrefix.topKPerGroup(
-          df.withColumn("_h", md5(concat(col(idCol).cast("string"), lit(":" + seed)))),
-          groupCol, Seq("_h", idCol), k, rnName = "_rn")
-        .drop("_rn", "_h")
+                          seed: String = "graft"): DataFrame = {
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))), col(idCol))
+      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+    }
 
     /** Token-budget sequence packing (the sp03 operator as a verb):
       * adds `pack_offset` (exclusive token prefix within the group, in

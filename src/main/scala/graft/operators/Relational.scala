@@ -92,7 +92,14 @@ object Relational {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // Window rank: top-3 customers by balance per nation.
+    // Window rank: top-3 customers by balance per nation. ~25 nations
+    // over the full customer table LOOKS like the one-task-per-group
+    // trap, but Catalyst's InferWindowGroupLimit (SPARK-37099) turns
+    // the row_number() <= k filter into a PARTIAL WindowGroupLimit
+    // BEFORE the shuffle: each input partition forwards only its
+    // local top-3 per nation, so the per-nation task merges
+    // ~3 * partitions candidate rows, never the whole nation.
+    // PlanSpec pins the "WindowGroupLimit ... Partial" node.
     "q07_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
       t(s, d, "customer")
@@ -189,7 +196,12 @@ object Relational {
         .orderBy(col("c_custkey"))
     }),
 
-    // Per-group top-k via ranking window.
+    // Per-group top-k via ranking window. Five priority values over
+    // the whole orders table is scale-safe for the same reason as
+    // q07: the rank-limit filter plans a partial WindowGroupLimit
+    // before the shuffle (PlanSpec-pinned), so only per-partition
+    // winners cross the wire and the final per-priority merge is
+    // bounded by k * partitions.
     "q16_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, d, "orders")
@@ -265,15 +277,29 @@ object Relational {
     }),
 
     // Distribution window functions: ntile / percent_rank / cume_dist
-    // over a totally-ordered partition (exact given the total order;
-    // percent_rank's single division is engine-identical).
+    // over a totally-ordered partition. Five priority classes over
+    // the whole orders table would put each class through one task,
+    // so rank positions come from the two-phase GroupPrefix and the
+    // distribution stats are their closed forms over a tie-free total
+    // order: pr = (rn-1)/(n-1), cd = rn/n, ntile = the
+    // big-buckets-first fill (all IEEE-exact: one integer division
+    // each, identical in every engine).
     "q23_window_dist" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, d, "orders")
-        .withColumn("quartile", ntile(4).over(w))
-        .withColumn("pr", percent_rank().over(w))
-        .withColumn("cd", cume_dist().over(w))
+      val ranked = graft.functions.GroupPrefix.groupPrefixC(
+        t(s, d, "orders").select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+        "o_orderpriority", Seq(col("o_totalprice"), col("o_orderkey")))
+      val counts = ranked.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(counts), "o_orderpriority")
+        .withColumn("q_sz", expr("CAST(n DIV 4 AS INT)"))
+        .withColumn("q_rem", expr("CAST(n % 4 AS INT)"))
+        .withColumn("quartile", expr(
+          """CAST(CASE WHEN rn <= q_rem * (q_sz + 1)
+            |     THEN (rn - 1) DIV (q_sz + 1) + 1
+            |     ELSE q_rem + (rn - q_rem * (q_sz + 1) - 1) DIV q_sz + 1
+            |     END AS INT)""".stripMargin))
+        .withColumn("pr", when(col("n") === 1, lit(0.0))
+          .otherwise((col("rn") - 1).cast("double") / (col("n") - 1).cast("double")))
+        .withColumn("cd", col("rn").cast("double") / col("n").cast("double"))
         .select(col("o_orderpriority"), col("o_orderkey"), col("quartile"), col("pr"), col("cd"))
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),

@@ -85,6 +85,8 @@ class MetricsSpec extends SparkSpec {
       // drain rate: the monitor must flag it
       input.addData((3L to 402L).map(i => ev(i, "2024-01-01 00:20:00")): _*)
       q.processAllAvailable()
+      // progress events ride the async listener bus — drain before reading
+      org.apache.spark.sql.graft.bridge.drainListenerBus(spark, 30000L)
       val prog = mon.progress.filter(p => p.queryName == "mon_stats" && p.numInputRows > 0)
       assert(prog.size >= 2, s"expected >=2 data batches, saw ${mon.progress}")
       assert(prog.map(_.numInputRows).sum == 402L,

@@ -199,8 +199,8 @@ class PlanSpec extends SparkSpec {
     // subtotal table), a Limit (tx12's top-64), or a local-rank
     // Filter (_lrn <= k candidates in topKPerGroup).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate, GlobalLimit, Filter, LogicalPlan}
-    Seq("sp02_reservoir_per_source", "sp03_pack_sequences", "px02_mixture_budget",
-        "sp04_temperature", "tx12_vocab").foreach { name =>
+    Seq("sp03_pack_sequences", "px02_mixture_budget",
+        "sp04_temperature", "tx12_vocab", "q23_window_dist").foreach { name =>
       val lp: LogicalPlan =
         SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
       val offenders = lp.collect {
@@ -214,6 +214,22 @@ class PlanSpec extends SparkSpec {
       }.flatten
       assert(offenders.isEmpty,
         s"$name has a Window that sorts a whole group in one task:\n${offenders.mkString("\n")}")
+    }
+  }
+
+  test("rank-limit top-k per group plans a PARTIAL WindowGroupLimit before the shuffle") {
+    // The complement of the GroupPrefix test above: for
+    // row_number() <= k filters, Catalyst's InferWindowGroupLimit
+    // (SPARK-37099) inserts a Partial WindowGroupLimit on the map
+    // side — each input partition ships only its local top-k per
+    // group, so a low-cardinality group column never funnels a whole
+    // group's rows through one task. If an orderBy change or a
+    // non-literal limit ever silently disables the rewrite, this
+    // pins it.
+    Seq("sp02_reservoir_per_source", "q07_window_rank", "q16_topk_per_group").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+        s"$name must plan a map-side partial group limit:\n$p")
     }
   }
 
