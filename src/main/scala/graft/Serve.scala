@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Remote serve mode — the counterpart of the reference's server
+  * process (`ella-cli/src/serve.rs`, `ella-server/src/server/
+  * flight.rs`: a gRPC + Arrow Flight endpoint over the engine).
+  *
+  * Spark's native remote protocol IS gRPC + Arrow: Spark Connect.
+  * Serving the engine means starting the bundled
+  * `SparkConnectService` inside the session JVM; any Spark Connect
+  * client (JVM, Python, Go, Rust) can then open `sc://host:port`,
+  * build logical plans remotely, and stream Arrow batches back —
+  * functionally what ella's Flight server does for its clients
+  * (`pyella`'s connect mode, `ella-cli connect`).
+  *
+  * Usage: `graft.Serve <root> [port]` — opens the topic catalog at
+  * `root` (same layout `graft.Shell` uses), registers its tables,
+  * starts the gRPC endpoint, and blocks until killed. At scale this
+  * process is the long-lived driver of a cluster app; executors do
+  * the work, the gRPC plane only carries plans and results.
+  */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse(
+      sys.env.getOrElse("GRAFT_ROOT", "/tmp/graft"))
+    val port = args.drop(1).headOption.map(_.toInt).getOrElse(15002)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .appName("graft-serve")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.connect.grpc.binding.port", port)
+      .getOrCreate()
+    val session = start(spark, root, port)
+    println(s"graft serve: sc://localhost:$port (root=$root)")
+    try Thread.currentThread.join()
+    finally shutdown(session)
+  }
+
+  /** Start serving `spark` on `port`; returns the catalog-backed
+    * session whose topics are visible to remote clients (registered
+    * as global temp views, which Connect sessions resolve). */
+  def start(spark: SparkSession, root: String, port: Int): GraftSession = {
+    // the service reads the port from the context's SparkConf (via
+    // SparkEnv), not the SQL runtime conf — set it where it looks
+    org.apache.spark.SparkEnv.get.conf.set("spark.connect.grpc.binding.port", port.toString)
+    val gs = new GraftSession(spark, root)
+    // Connect clients get ISOLATED SparkSessions over the same
+    // SparkContext; plain temp views would be invisible to them.
+    // Global temp views are the cross-session publication surface.
+    gs.catalog.list().foreach { case (name, kind) =>
+      if (kind == "topic") {
+        val simple = name.split('.').last
+        gs.table(name).createOrReplaceGlobalTempView(simple)
+      }
+    }
+    org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
+    gs
+  }
+
+  def shutdown(session: GraftSession): Unit = {
+    org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
+    session.shutdown()
+  }
+}

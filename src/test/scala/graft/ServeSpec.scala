@@ -1,0 +1,100 @@
+package graft
+
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.file.Files
+
+/** Serve mode: the Spark Connect gRPC endpoint boots over a topic
+  * catalog, listens, publishes topics as global temp views, and
+  * stops cleanly. (Full remote-client round-trips need the separate
+  * connect-client jar, which conflicts with the server classpath in
+  * one JVM — transport liveness + publication surface are asserted
+  * here.) */
+class ServeSpec extends SparkSpec {
+
+  private def freePort(): Int = {
+    val s = new ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  test("serve boots a gRPC endpoint over the catalog and stops cleanly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_serve").toString
+    val seed = new GraftSession(spark, root)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    seed.publish("served_topic", Seq((1L, t0, 1.0), (2L, t0, 2.0)).toDF("key", "time", "v"))
+
+    val port = freePort()
+    val gs = Serve.start(spark, root, port)
+    try {
+      // the gRPC server is really listening on the configured port
+      val sock = new Socket()
+      try {
+        sock.connect(new InetSocketAddress("127.0.0.1", port), 5000)
+        assert(sock.isConnected)
+      } finally sock.close()
+      // topics are published where isolated Connect sessions can see
+      // them: the global temp view database
+      val published = spark.sql(
+        "SHOW TABLES IN global_temp").collect().map(_.getString(1))
+      assert(published.contains("served_topic"),
+        s"topic must be a global temp view, saw: ${published.mkString(",")}")
+      assert(spark.sql("SELECT count(*) AS n FROM global_temp.served_topic")
+        .collect().head.getLong(0) == 2L)
+    } finally {
+      Serve.shutdown(gs)
+      spark.catalog.dropGlobalTempView("served_topic")
+    }
+    // after shutdown the port is released
+    val after = new Socket()
+    val refused =
+      try { after.connect(new InetSocketAddress("127.0.0.1", port), 2000); false }
+      catch { case _: java.io.IOException => true }
+      finally after.close()
+    assert(refused, "port must be released after shutdown")
+  }
+
+  test("a remote Connect client runs SQL end-to-end against a served topic") {
+    // The real client round-trip: the bundled Spark Connect JDBC
+    // driver (gRPC + Arrow transport) loaded in an ISOLATED
+    // classloader — client and server both define org.apache.spark
+    // classes, so they must never share a loader. This is the
+    // ella-cli connect / pyella flow: remote plan in, Arrow rows out.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_serve2").toString
+    val seed = new GraftSession(spark, root)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    seed.publish("kv_remote", Seq((1L, t0, 10.0), (2L, t0, 32.0)).toDF("key", "time", "v"))
+
+    val port = freePort()
+    val gs = Serve.start(spark, root, port)
+    try {
+      val conn = Connect.jdbc(s"sc://localhost:$port")
+      try {
+        val st = conn.createStatement()
+        val rs = st.executeQuery(
+          "SELECT count(*) AS n, sum(v) AS s FROM global_temp.kv_remote")
+        try {
+          assert(rs.next())
+          assert(rs.getLong("n") == 2L, "remote count over the served topic")
+          assert(rs.getDouble("s") == 42.0, "remote aggregate over Arrow transport")
+        } finally { rs.close(); st.close() }
+      } finally conn.close()
+
+      // the remote REPL drives the same wire: bounded preview out
+      val out = Seq.newBuilder[String]
+      val conn2 = Connect.jdbc(s"sc://localhost:$port")
+      try Connect.repl(conn2,
+        Iterator("SELECT key, v FROM global_temp.kv_remote ORDER BY key;",
+          "SELECT broken FROM nowhere;", "\\q"),
+        out += _)
+      finally conn2.close()
+      val printed = out.result()
+      assert(printed.head.startsWith("key | v"), s"header row: $printed")
+      assert(printed.head.contains("1 | 10.0"), s"data rows: $printed")
+      assert(printed.exists(_.startsWith("error:")), "remote errors print, not throw")
+    } finally {
+      Serve.shutdown(gs)
+      spark.catalog.dropGlobalTempView("kv_remote")
+    }
+  }
+}
