@@ -58,9 +58,19 @@ object Shell {
 
   /** `graft.Shell <root> [--create]` — open (or create) a datastore
     * at `root` and read SQL from stdin (`open.rs` semantics: without
-    * --create a missing datastore is an error, not a silent mkdir). */
+    * --create a missing datastore is an error, not a silent mkdir).
+    * `graft.Shell --remote sc://host:port` dials a running
+    * `graft.Serve` endpoint instead (`connect.rs` semantics) and runs
+    * the same REPL over the Spark Connect wire. */
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.Shell <root> [--create]")
+    require(args.nonEmpty, "usage: graft.Shell <root> [--create] | graft.Shell --remote sc://host:port")
+    if (args(0) == "--remote") {
+      require(args.length >= 2, "usage: graft.Shell --remote sc://host:port")
+      val conn = Connect.jdbc(args(1))
+      try Connect.repl(conn, scala.io.Source.stdin.getLines(), println(_))
+      finally conn.close()
+      return
+    }
     val root = args(0)
     val create = args.contains("--create")
     val manifest = java.nio.file.Paths.get(s"$root/_graft_catalog.json")
