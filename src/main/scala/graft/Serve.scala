@@ -33,8 +33,12 @@ object Serve {
       .getOrCreate()
     val session = start(spark, root, port)
     println(s"graft serve: sc://localhost:$port (root=$root)")
-    try Thread.currentThread.join()
-    finally shutdown(session)
+    // SIGTERM (or any JVM exit): stop the endpoint and checkpoint the
+    // catalog — the reference's ctrl-c -> rt.shutdown() path
+    // (serve.rs:32-37). Note Spark claims SIGINT for job cancellation,
+    // so `kill <pid>` (TERM), not ctrl-c, is the graceful stop.
+    sys.addShutdownHook(shutdown(session))
+    Thread.currentThread.join()
   }
 
   /** Start serving `spark` on `port`; returns the catalog-backed
