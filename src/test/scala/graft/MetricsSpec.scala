@@ -78,19 +78,24 @@ class MetricsSpec extends SparkSpec {
       .writeStream.format("memory").queryName("mon_stats")
       .outputMode("update").start()
     try {
-      input.addData(ev(1, "2024-01-01 00:05:00"), ev(2, "2024-01-01 00:10:00"))
+      // warmup batch absorbs first-trigger planning cost so the
+      // arrival-rate denominator below is the SHORT gap after a fast
+      // small batch, not a slow cold one
+      input.addData(ev(1, "2024-01-01 00:01:00"))
       q.processAllAvailable()
-      // second batch arrives immediately after the first finishes but
-      // takes ~2s to drain (400 rows x 5ms) — arrival rate exceeds
+      input.addData(ev(2, "2024-01-01 00:05:00"), ev(3, "2024-01-01 00:10:00"))
+      q.processAllAvailable()
+      // the big batch arrives right after the fast one finishes but
+      // takes >= 2s to drain (400 rows x 5ms) — arrival rate exceeds
       // drain rate: the monitor must flag it
-      input.addData((3L to 402L).map(i => ev(i, "2024-01-01 00:20:00")): _*)
+      input.addData((4L to 403L).map(i => ev(i, "2024-01-01 00:20:00")): _*)
       q.processAllAvailable()
       // progress events ride the async listener bus — drain before reading
       org.apache.spark.sql.graft.bridge.drainListenerBus(spark, 30000L)
       val prog = mon.progress.filter(p => p.queryName == "mon_stats" && p.numInputRows > 0)
-      assert(prog.size >= 2, s"expected >=2 data batches, saw ${mon.progress}")
-      assert(prog.map(_.numInputRows).sum == 402L,
-        s"input rows must total 402: $prog")
+      assert(prog.size >= 3, s"expected >=3 data batches, saw ${mon.progress}")
+      assert(prog.map(_.numInputRows).sum == 403L,
+        s"input rows must total 403: $prog")
       assert(prog.forall(_.triggerExecMs > 0))
       val big = prog.maxBy(_.numInputRows)
       assert(big.overloaded && mon.overloaded.contains(big),

@@ -44,13 +44,17 @@ class ServeSpec extends SparkSpec {
       Serve.shutdown(gs)
       spark.catalog.dropGlobalTempView("served_topic")
     }
-    // after shutdown the port is released
-    val after = new Socket()
-    val refused =
-      try { after.connect(new InetSocketAddress("127.0.0.1", port), 2000); false }
+    // after shutdown the port is released (gRPC stop is async-ish:
+    // poll up to 10 s rather than flake on a slow teardown)
+    def portClosed(): Boolean = {
+      val s = new Socket()
+      try { s.connect(new InetSocketAddress("127.0.0.1", port), 1000); false }
       catch { case _: java.io.IOException => true }
-      finally after.close()
-    assert(refused, "port must be released after shutdown")
+      finally s.close()
+    }
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (!portClosed() && System.nanoTime() < deadline) Thread.sleep(200)
+    assert(portClosed(), "port must be released after shutdown")
   }
 
   test("a remote Connect client runs SQL end-to-end against a served topic") {
