@@ -290,6 +290,67 @@ object api {
         .drop("_n", "_top", "_nb", "_db")
     }
 
+    /** Language ID (the tx01 operator as a verb): stopword-lexicon
+      * hit scores per language (default = the built-in 5-language
+      * lexicons), max score wins with alphabetical tiebreak. Adds
+      * `predicted` plus one `s_<lang>` score column per language.
+      * Pure per-row compute — scan speed at any scale. */
+    def langId(textCol: String,
+               lexicons: Map[String, Seq[String]] = graft.operators.TextOps.langLex): DataFrame = {
+      import graft.functions.TextFunctions.{tokens, lexiconHits}
+      require(lexicons.nonEmpty, "langId requires at least one lexicon")
+      val langs = lexicons.keys.toSeq.sorted
+      val scored = lexicons.foldLeft(df.withColumn("_toks", tokens(col(textCol)))) {
+        case (d, (lang, lex)) => d.withColumn(s"s_$lang", lexiconHits(col("_toks"), lex))
+      }
+      // alphabetical-first >= cascade == argmax with alphabetical ties
+      val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+        case ((lang, i), rest) =>
+          val beats = langs.drop(i + 1)
+            .map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+          when(beats, lit(lang)).otherwise(rest)
+      }
+      scored.withColumn("predicted", pred).drop("_toks")
+    }
+
+    /** Quality stats (the tx02 operator as a verb): exact integer
+      * milli-ratios — average word length, stopword rate, punctuation
+      * rate, and the composite quality score. Scan speed. */
+    def qualityStats(textCol: String,
+                     stopwords: Seq[String] = graft.operators.TextOps.langLex("en")): DataFrame = {
+      import graft.functions.TextFunctions.{tokens, lexiconHits, charClassCount}
+      df.withColumn("_toks", tokens(col(textCol)))
+        .withColumn("len_chars", length(col(textCol)))
+        .withColumn("n_words", size(col("_toks")))
+        .withColumn("n_stop", lexiconHits(col("_toks"), stopwords))
+        .withColumn("n_punct", charClassCount(col(textCol), "[.!?,;:]"))
+        .withColumn("awl_milli", expr("(CAST(len_chars - n_words + 1 AS BIGINT) * 1000) DIV n_words"))
+        .withColumn("stop_milli", expr("(CAST(n_stop AS BIGINT) * 1000) DIV n_words"))
+        .withColumn("punct_milli", expr("(CAST(n_punct AS BIGINT) * 1000) DIV len_chars"))
+        .withColumn("quality_milli", expr(
+          "(stop_milli * 2 + (CASE WHEN n_words BETWEEN 50 AND 200 THEN 1000 ELSE 0 END) + " +
+          "(CASE WHEN awl_milli BETWEEN 3000 AND 8000 THEN 1000 ELSE 0 END)) DIV 4"))
+        .drop("_toks")
+    }
+
+    /** Deterministic train/val/test split (the sp05 operator as a
+      * verb): a row's split is a pure function of its id hash, so
+      * assignment is rerun-stable, growth-stable (new rows never
+      * reshuffle old ones), and leak-proof by construction. Bands use
+      * 16 hash bits -> resolution 1/65536. Zero-shuffle scan-speed
+      * flag. */
+    def splitAssign(idCol: String, valFrac: Double = 0.05, testFrac: Double = 0.05,
+                    seed: String = "graft", outCol: String = "split"): DataFrame = {
+      require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+        s"invalid fractions: val=$valFrac test=$testFrac")
+      val h = substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 4)
+      val valBound = f"${math.round(valFrac * 65536).min(65535L)}%04x"
+      val testBound = f"${math.round((valFrac + testFrac) * 65536).min(65535L)}%04x"
+      df.withColumn(outCol,
+        when(h < valBound, lit("val")).when(h < testBound, lit("test"))
+          .otherwise(lit("train")))
+    }
+
     /** Pattern scrub (the tx07 operator as a verb): replaces every
       * (regex -> replacement) in order, adding `n_redactions` (total
       * matches across patterns). Pure per-row compute — scan speed. */

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * run at scan speed with column pruning (only `doc_id`,`text` read).
   */
 object TextOps {
-  private val langLex: Map[String, Seq[String]] = Map(
+  private[graft] val langLex: Map[String, Seq[String]] = Map(
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "en" -> Seq("the", "a", "of", "and", "to"),
     "es" -> Seq("el", "los", "las", "y", "por"),

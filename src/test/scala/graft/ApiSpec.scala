@@ -251,4 +251,42 @@ class ApiSpec extends SparkSpec {
     val survivors = e.join(api.select("vec_id"), Seq("vec_id"), "left_anti")
     assert(survivors.count() == e.count() - api.count())
   }
+
+  test("langId verb matches tx01 predictions") {
+    val api = Tables(spark, sfDir, "documents").langId("text")
+      .select("doc_id", "predicted").orderBy("doc_id")
+    val op = SparkEntry.queries("tx01_langid")(spark, sfDir)
+      .select("doc_id", "predicted").orderBy("doc_id")
+    assert(api.collect().toSeq == op.collect().toSeq)
+  }
+
+  test("qualityStats verb matches tx02 milli-ratios") {
+    val api = Tables(spark, sfDir, "documents").qualityStats("text")
+      .select("doc_id", "awl_milli", "stop_milli", "punct_milli", "quality_milli")
+      .orderBy("doc_id")
+    val op = SparkEntry.queries("tx02_quality")(spark, sfDir)
+      .select("doc_id", "awl_milli", "stop_milli", "punct_milli", "quality_milli")
+      .orderBy("doc_id")
+    assert(api.collect().toSeq == op.collect().toSeq)
+  }
+
+  test("splitAssign is deterministic, disjoint, growth-stable, and roughly proportioned") {
+    val docs = Tables(spark, sfDir, "documents")
+    val s1 = docs.splitAssign("doc_id", 0.10, 0.10, seed = "splitX")
+    val s2 = docs.splitAssign("doc_id", 0.10, 0.10, seed = "splitX")
+    assert(s1.select("doc_id", "split").orderBy("doc_id").collect().toSeq ==
+      s2.select("doc_id", "split").orderBy("doc_id").collect().toSeq)
+    val byKind = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(byKind.keySet == Set("train", "val", "test"), s"splits: $byKind")
+    assert(byKind("val") / n > 0.03 && byKind("val") / n < 0.20, s"val share: $byKind")
+    assert(byKind("test") / n > 0.03 && byKind("test") / n < 0.20, s"test share: $byKind")
+    // growth stability: a row's split never depends on other rows
+    val sub = docs.filter(col("doc_id") < 100).splitAssign("doc_id", 0.10, 0.10, seed = "splitX")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = s1.filter(col("doc_id") < 100)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub == full)
+  }
 }
