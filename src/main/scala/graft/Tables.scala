@@ -52,6 +52,8 @@ object Tables {
   private val spreadDecision =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), java.lang.Boolean]()
 
+  private[graft] def spreadProbeCount: Int = spreadDecision.size()
+
   /** `events` with its parquet TIMESTAMP(NANOS) `ts` column exposed as a
     * standard Spark TimestampType (microseconds).
     *

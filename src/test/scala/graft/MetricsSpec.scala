@@ -58,6 +58,19 @@ class MetricsSpec extends SparkSpec {
     assert(m2.inputBytes == 0L, "range() reads no files; counters must not leak")
   }
 
+  test("Tables.spread pays its partition probe once per scan, not per call") {
+    // the probe (df.rdd.getNumPartitions) forces an extra physical
+    // planning — it must be memoized per (session, canonical scan)
+    Tables.spread(Tables(spark, sfDir, "region"))
+    val after1 = Tables.spreadProbeCount
+    (1 to 5).foreach(_ => Tables.spread(Tables(spark, sfDir, "region")))
+    assert(Tables.spreadProbeCount == after1,
+      "repeat spreads of the same scan must reuse the memoized probe")
+    Tables.spread(Tables(spark, sfDir, "nation"))
+    assert(Tables.spreadProbeCount == after1 + 1,
+      "a different scan gets its own probe entry")
+  }
+
   test("stream monitor records per-batch rows, rates, and watermark lag") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.TopicEvent
