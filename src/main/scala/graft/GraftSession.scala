@@ -94,6 +94,24 @@ class GraftSession(val spark: SparkSession, root: String) {
   def useCatalog(c: String): Unit = catalog.useCatalog(c)
   def useSchema(s: String): Unit = catalog.useSchema(s)
 
+  /** Datastore maintenance pass — the counterpart of the reference's
+    * background shard maintenance (ella-engine/src/table/topic/shard/
+    * compact.rs runs per shard as topics seal): small-file compaction
+    * over every registered topic (buckets holding more than
+    * `maxFilesPerBucket` parquet files are rewritten, optionally
+    * clustered on `clusterBy` for row-group skipping), then a catalog
+    * checkpoint. Returns (topic, compacted buckets) for the topics
+    * that changed. Sealed compact buckets are never touched, so
+    * repeated maintenance is cheap and idempotent. */
+  def maintain(maxFilesPerBucket: Int = 4,
+               clusterBy: Seq[String] = Seq.empty): Seq[(String, Seq[Long])] = {
+    val done = catalog.list().collect {
+      case (name, "topic") => name -> store.compact(name, maxFilesPerBucket, clusterBy)
+    }.filter(_._2.nonEmpty)
+    catalog.checkpoint()
+    done
+  }
+
   /** Graceful shutdown (ella.rs:71 `shutdown`): compact the catalog's
     * transaction log into a snapshot so the next open replays nothing,
     * and detach the session's streaming monitor. The SparkSession

@@ -217,6 +217,23 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("maintain() compacts every registered topic's small-file buckets") {
+    import spark.implicits._
+    val gs = new GraftSession(spark, tmp())
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    // 6 appends into one bucket -> 6 files, above the threshold
+    (1 to 6).foreach { i =>
+      gs.publish("chatty", Seq((i.toLong, t0, i.toDouble)).toDF("key", "time", "v"))
+    }
+    val before = gs.table("chatty").orderBy("key").collect()
+    val done = gs.maintain(maxFilesPerBucket = 4)
+    assert(done.exists(_._1.endsWith("chatty")), s"chatty must compact: $done")
+    assert(gs.table("chatty").orderBy("key").collect().sameElements(before),
+      "compaction must not change the data")
+    // idempotent: a second pass finds nothing to do
+    assert(gs.maintain(maxFilesPerBucket = 4).isEmpty)
+  }
+
   test("GraftSession facade: publish + query by name") {
     val gs = new GraftSession(spark, tmp())
     gs.publish("readings", sampleEvents(20))
