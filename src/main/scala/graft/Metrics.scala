@@ -27,6 +27,8 @@ object Metrics {
       shuffleRecordsWritten: Long,
       shuffleBytesWritten: Long,
       shuffleBytesRead: Long,
+      shuffleRecordsRead: Long,
+      maxTaskShuffleReadRecords: Long,
       diskBytesSpilled: Long,
       memoryBytesSpilled: Long,
       executorRunTimeMs: Long) {
@@ -34,11 +36,18 @@ object Metrics {
       * (0 = zero-shuffle; small = good map-side combine). */
     def shuffleAmplificationMilli: Long =
       if (inputRecords == 0) 0L else shuffleRecordsWritten * 1000L / inputRecords
+    /** Max single-task share of the shuffle-read volume, in
+      * parts-per-1000. 1000/tasks-ish = balanced; near 1000 = ONE
+      * task absorbed the whole shuffle — the skew signal that kills
+      * a stage at 100 TB. */
+    def shuffleSkewMilli: Long =
+      if (shuffleRecordsRead == 0) 0L
+      else maxTaskShuffleReadRecords * 1000L / shuffleRecordsRead
   }
 
   private final class Collector extends SparkListener {
     val tasks = new AtomicInteger
-    val inRec, inBytes, swRec, swBytes, srBytes, diskSpill, memSpill, runMs = new AtomicLong
+    val inRec, inBytes, swRec, swBytes, srBytes, srRec, maxSrRec, diskSpill, memSpill, runMs = new AtomicLong
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -48,6 +57,8 @@ object Metrics {
         swRec.addAndGet(m.shuffleWriteMetrics.recordsWritten)
         swBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         srBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        srRec.addAndGet(m.shuffleReadMetrics.recordsRead)
+        maxSrRec.accumulateAndGet(m.shuffleReadMetrics.recordsRead, Math.max(_, _))
         diskSpill.addAndGet(m.diskBytesSpilled)
         memSpill.addAndGet(m.memoryBytesSpilled)
         runMs.addAndGet(m.executorRunTime)
@@ -137,6 +148,7 @@ object Metrics {
       (result, QueryMetrics(
         c.tasks.get(), c.inRec.get(), c.inBytes.get(),
         c.swRec.get(), c.swBytes.get(), c.srBytes.get(),
+        c.srRec.get(), c.maxSrRec.get(),
         c.diskSpill.get(), c.memSpill.get(), c.runMs.get()))
     } finally spark.sparkContext.removeSparkListener(c)
   }
