@@ -25,6 +25,33 @@ object DevProbe {
             .explainString(org.apache.spark.sql.execution.SimpleMode))
           println("```")
         }
+    } else if (args(0) == "--scale") {
+      // Measured scale profile: shuffle volume, map-side combine
+      // amplification, per-task skew, and spill for the headline
+      // operators at the given SF — evidence for the 100x question,
+      // not claims. Output = markdown table (SCALE.md).
+      val d = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val names = Seq(
+        "q01_agg", "q04_broadcast_join", "q07_window_rank",
+        "q23_window_dist", "ts03_asof_join", "ts12_asof_native",
+        "dd01_exact", "dd02_minhash_lsh", "dd06_dup_clusters",
+        "dd09_cc_star", "dd10_source_overlap", "dd11_hll_overlap",
+        "ss02_lsh_ann", "ss05_ivf_probe", "ss09_kmeans_iter",
+        "tx11_decontam", "tx12_vocab", "sp03_pack_sequences",
+        "px02_mixture_budget", "sp04_temperature", "px04_source_report",
+        "v16_tensor3d", "mm03_sample_assembly")
+      println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
+      println("|---|---|---|---|---|---|")
+      names.foreach { n =>
+        spark.sharedState.cacheManager.clearCache()
+        val (_, m) = Metrics.measure(spark) {
+          SparkEntry.queries(n)(spark, d)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(s"| $n | ${m.inputRecords} | ${m.shuffleRecordsWritten} | " +
+          s"${m.shuffleAmplificationMilli} | ${m.shuffleSkewMilli} | " +
+          s"${(m.diskBytesSpilled + m.memoryBytesSpilled) / (1024 * 1024)} |")
+      }
     } else {
       val df = SparkEntry.queries(args(0))(spark, args(1))
       if (args.length > 2) df.explain("formatted")
