@@ -49,18 +49,23 @@ object Serve {
     // SparkEnv), not the SQL runtime conf — set it where it looks
     org.apache.spark.SparkEnv.get.conf.set("spark.connect.grpc.binding.port", port.toString)
     val gs = new GraftSession(spark, root)
-    // Connect clients get ISOLATED SparkSessions over the same
-    // SparkContext; plain temp views would be invisible to them.
-    // Global temp views are the cross-session publication surface.
+    refresh(gs)
+    org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
+    gs
+  }
+
+  /** (Re-)publish the catalog's topics to remote clients. Connect
+    * clients get ISOLATED SparkSessions over the same SparkContext;
+    * plain temp views would be invisible to them — global temp views
+    * are the cross-session publication surface. Call again after
+    * creating topics on a live server. */
+  def refresh(gs: GraftSession): Unit =
     gs.catalog.list().foreach { case (name, kind) =>
       if (kind == "topic") {
         val simple = name.split('.').last
         gs.table(name).createOrReplaceGlobalTempView(simple)
       }
     }
-    org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
-    gs
-  }
 
   def shutdown(session: GraftSession): Unit = {
     org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
