@@ -236,6 +236,41 @@ object Dedup {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // INCREMENTAL dedup — the production daily-increment shape: an
+    // arriving batch (doc_id % 5 == 0 here) is checked against the
+    // ESTABLISHED corpus without ever touching the old text. The old
+    // corpus is represented purely by its fingerprints — the distinct
+    // content-hash set (exact dups) and the distinct LSH (band, key)
+    // set (near-dups) — both a few bytes per doc, produced once, and
+    // in production persisted as a fingerprint topic. The increment
+    // joins those fingerprint sets on short hash keys (hash-
+    // partitioned, partial-agg'd), so daily cost scales with the
+    // INCREMENT, not the corpus: the full-recompute alternative
+    // re-shingles 100 TB every day.
+    "dd12_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      val old = all.filter(col("doc_id") % 5 =!= 0)
+      val fresh = all.filter(col("doc_id") % 5 === 0)
+      val oldFp = old.select(md5(col("text")).as("chash")).distinct()
+      def bandsOf(df: DataFrame) = signatures(df)
+        .select(col("doc_id"), posexplode(array((0 until NumPerms / BandWidth).map(b =>
+          bandKey(col("sig"), b * BandWidth, BandWidth)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val oldBands = bandsOf(old).select(col("band"), col("bkey")).distinct()
+      val bandHits = bandsOf(fresh)
+        .join(oldBands.withColumn("hit", lit(1L)), Seq("band", "bkey"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_band_hits"))
+      fresh.select(col("doc_id"), md5(col("text")).as("chash"))
+        .join(oldFp.withColumn("exact", lit(true)), Seq("chash"), "left")
+        .join(bandHits, Seq("doc_id"))
+        .select(col("doc_id"),
+          coalesce(col("exact"), lit(false)).as("is_exact_dup"),
+          col("n_band_hits"),
+          (coalesce(col("exact"), lit(false)) || col("n_band_hits") > 0).as("flagged"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup, bucket-bounded: candidates come from a
     // 32-hyperplane signature banded 4x8 (same md5-derived planes the
     // ss02 ANN path uses), joined on (band, bandkey) — exactly the
@@ -483,6 +518,25 @@ object Dedup {
   val oracle: Map[String, String] = baseOracle +
     // same components as dd06, different fixpoint — one ground truth
     ("dd09_cc_star" -> baseOracle("dd06_dup_clusters")) +
+    ("dd12_incremental" ->
+      s"""WITH $candPreludeSql,
+         |old_ch AS (SELECT DISTINCT md5(text) AS chash FROM documents WHERE doc_id % 5 != 0),
+         |old_b AS (SELECT DISTINCT band, bkey FROM bands WHERE doc_id % 5 != 0),
+         |hits AS (
+         | SELECT f.doc_id,
+         |  sum(CASE WHEN ob.band IS NOT NULL THEN 1 ELSE 0 END) AS n_band_hits
+         | FROM (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 5 = 0) f
+         | LEFT JOIN old_b ob ON f.band = ob.band AND f.bkey = ob.bkey
+         | GROUP BY 1),
+         |fr AS (SELECT doc_id, md5(text) AS chash FROM documents WHERE doc_id % 5 = 0)
+         |SELECT fr.doc_id,
+         | (oc.chash IS NOT NULL) AS is_exact_dup,
+         | h.n_band_hits,
+         | (oc.chash IS NOT NULL OR h.n_band_hits > 0) AS flagged
+         |FROM fr
+         |LEFT JOIN old_ch oc ON fr.chash = oc.chash
+         |JOIN hits h ON h.doc_id = fr.doc_id
+         |ORDER BY fr.doc_id""".stripMargin) +
     ("dd10_source_overlap" ->
       s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
          |shs AS (SELECT source, $shingleSql AS sh FROM w),
