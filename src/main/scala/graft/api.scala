@@ -104,6 +104,16 @@ object api {
         .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
         .drop("_h")
 
+    /** Exact dedup keep-first returning the SURVIVING ROWS with all
+      * their columns (the min-id winner per content hash) — the form
+      * a pipeline chains from. Same two shuffles as [[dedupExact]]
+      * plus the id re-join. */
+    def dedupExactRows(idCol: String, contentCol: String): DataFrame =
+      df.groupBy(md5(col(contentCol)).as("_h"))
+        .agg(min(col(idCol)).as(idCol))
+        .drop("_h")
+        .join(df, Seq(idCol))
+
     /** MinHash+LSH near-duplicate candidate pairs (a < b) with
       * signature agreement count — bucket-bounded, never all-pairs
       * (the dd02 operator over arbitrary id/text columns). */

@@ -1,0 +1,76 @@
+package graft
+
+import graft.api._
+import org.apache.spark.sql.functions._
+
+/** The end-to-end user story: a corpus lands in a topic, flows
+  * through the curation verbs exactly as a training-data pipeline
+  * would chain them, and comes out as packed sequences — with the
+  * conservation and leak-proofness properties a production run relies
+  * on asserted at every stage. */
+class PipelineE2ESpec extends SparkSpec {
+
+  test("topic -> gate -> dedup -> split -> pack: conserved, leak-proof, rerun-stable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val gs = new GraftSession(spark, root)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+
+    // 1. ingest: the corpus lands as a topic (bucketed parquet)
+    val corpus = Tables(spark, sfDir, "documents").withColumn("time", lit(t0))
+    gs.publish("raw_docs", corpus)
+    val raw = gs.table("raw_docs")
+    assert(raw.count() == corpus.count())
+
+    // 2. gate: language + quality (scan-speed column verbs)
+    val gated = raw.langId("text").filter(col("predicted") === "en")
+      .qualityStats("text").filter(col("n_words") >= 10)
+    val nGated = gated.count()
+    assert(nGated > 0 && nGated <= raw.count())
+
+    // 3. exact dedup keeps one doc per content hash (the verb emits
+    // surviving ids; re-join recovers the rows)
+    val deduped = gated.dedupExactRows("doc_id", "text")
+    val nDeduped = deduped.count()
+    assert(nDeduped > 0 && nDeduped <= nGated)
+    assert(deduped.select(md5(col("text"))).distinct().count() == nDeduped,
+      "dedup must leave one row per content hash")
+
+    // 4. split: deterministic, leak-proof train/val/test
+    val split = deduped.splitAssign("doc_id", 0.10, 0.10, seed = "e2e")
+    assert(split.count() == nDeduped, "split adds a flag, drops nothing")
+
+    // 5. pack the train split only
+    val train = split.filter(col("split") === "train")
+      .withColumn("tok_cnt", size(split_part_tokens(col("text"))))
+    val packed = train.packSequences("source", "doc_id", "tok_cnt", 2000L, seed = "e2e")
+    assert(packed.count() == train.count(), "packing assigns, never drops")
+    // token conservation: pack offsets partition the per-source token stream
+    val perSource = packed.groupBy("source")
+      .agg(sum(col("tok_cnt")).as("toks"),
+        max(col("pack_offset") + col("tok_cnt")).as("hi"))
+      .filter(col("toks") =!= col("hi"))
+    assert(perSource.count() == 0, "offsets must tile the token stream exactly")
+    // leak-proofness: no packed doc carries a val/test id
+    val leaked = packed.join(
+      split.filter(col("split") =!= "train").select("doc_id"), Seq("doc_id"))
+    assert(leaked.count() == 0, "val/test docs must never reach packing")
+
+    // 6. rerun stability: the same chain reproduces byte-identical packs
+    val packedAgain = gs.table("raw_docs")
+      .langId("text").filter(col("predicted") === "en")
+      .qualityStats("text").filter(col("n_words") >= 10)
+      .dedupExactRows("doc_id", "text")
+      .splitAssign("doc_id", 0.10, 0.10, seed = "e2e")
+      .filter(col("split") === "train")
+      .withColumn("tok_cnt", size(split_part_tokens(col("text"))))
+      .packSequences("source", "doc_id", "tok_cnt", 2000L, seed = "e2e")
+    assert(packed.select("doc_id", "pack_id", "pack_offset").orderBy("doc_id").collect().toSeq ==
+      packedAgain.select("doc_id", "pack_id", "pack_offset").orderBy("doc_id").collect().toSeq,
+      "the pipeline must be rerun-stable end to end")
+
+    gs.shutdown()
+  }
+
+  private def split_part_tokens(c: org.apache.spark.sql.Column) = split(c, " ")
+}
