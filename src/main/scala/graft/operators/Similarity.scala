@@ -84,6 +84,41 @@ object Similarity {
         .limit(10)
     }),
 
+    // INCREMENTAL index append — the production arrival shape for an
+    // ANN index (dd12's twin on the vector side): the ESTABLISHED
+    // corpus (vec_id % 5 != 0) defines the IVF centroids and cell
+    // assignments once; an arriving batch (vec_id % 5 == 0) is
+    // assigned to the EXISTING cells by the zero-shuffle broadcast
+    // argmin and each new vector reports its nearest established
+    // cell-mate (the attach/dedup-on-arrival check). The big old side
+    // NEVER re-shuffles: the increment is the small side, so it
+    // broadcasts against the cell-partitioned index, and only the
+    // per-new-vector argmax (keyed by new vec_id — high cardinality)
+    // crosses the wire. Daily cost scales with the increment; no
+    // centroid recompute, exactly how IVF indexes absorb appends.
+    "ss12_incremental_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      val old = e.filter(col("vec_id") % 5 =!= 0)
+      val fresh = e.filter(col("vec_id") % 5 === 0)
+      val cents = centroidArray(old)
+      def assign(df: DataFrame) = df.crossJoin(broadcast(cents))
+        .withColumn("best", array_min(transform(col("cents"),
+          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                      c.getField("c_label").as("cell")))))
+        .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+      val oldCells = assign(old)
+        .select(col("cell"), col("vec_id").as("old_id"), col("embedding").as("old_emb"))
+      val freshAssigned = assign(fresh)
+        .select(col("cell"), col("vec_id"), col("embedding").as("new_emb"))
+      oldCells.join(broadcast(freshAssigned), "cell")
+        .withColumn("nn_cos", cosine(col("new_emb"), col("old_emb")))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(max(struct(col("nn_cos"), (-col("old_id")).as("neg_id"))).as("m"))
+        .select(col("vec_id"), col("cell"),
+          (-col("m.neg_id")).as("nn_vec_id"), col("m.nn_cos").as("nn_cos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Brute-force cosine top-k vs the query vector (broadcast).
     "ss01_brute_topk" -> ((s, d) => {
       val e = emb(s, d)
@@ -426,6 +461,36 @@ object Similarity {
         |     * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
         |FROM cells e, q WHERE e.cell = q.q_cell
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "ss12_incremental_ann" ->
+      s"""WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings WHERE vec_id % 5 != 0),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |assigned AS (
+        | SELECT e.vec_id, e.embedding, c.c_label,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |cells AS (SELECT vec_id, embedding, c_label AS cell FROM assigned WHERE rn = 1),
+        |old_c AS (SELECT * FROM cells WHERE vec_id % 5 != 0),
+        |fr AS (SELECT * FROM cells WHERE vec_id % 5 = 0),
+        |pairs AS (
+        | SELECT f.vec_id, f.cell, o.vec_id AS old_id,
+        |  list_sum(list_transform(generate_series(1, len(f.embedding)), i -> CAST(f.embedding[i] AS DOUBLE) * CAST(o.embedding[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(f.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(o.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS nn_cos
+        | FROM fr f JOIN old_c o ON f.cell = o.cell)
+        |SELECT vec_id, cell, old_id AS nn_vec_id, nn_cos FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY nn_cos DESC, old_id) AS rnk
+        | FROM pairs) WHERE rnk = 1
+        |ORDER BY vec_id""".stripMargin,
     "ss06_ivf_multiprobe" ->
       s"""WITH ex AS (
         | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
