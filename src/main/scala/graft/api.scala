@@ -114,6 +114,25 @@ object api {
         .drop("_h")
         .join(df, Seq(idCol))
 
+    /** Incremental exact dedup against a FINGERPRINT frame (the dd12
+      * flow as a verb): flags rows whose content hash already exists
+      * in `fingerprints` (a 1-column `chash` frame — typically a
+      * fingerprint topic read back from a TopicStore). The increment
+      * joins 16-byte hashes, never old text; cost scales with the
+      * arrival, not the corpus. Returns the input plus `chash` and
+      * `is_known`. Append the NEW rows' `chash` column back to the
+      * fingerprint topic to absorb the batch. */
+    def dedupAgainst(idCol: String, contentCol: String,
+                     fingerprints: DataFrame): DataFrame = {
+      require(fingerprints.columns.contains("chash"),
+        s"fingerprints needs a 'chash' column; found ${fingerprints.columns.mkString(", ")}")
+      df.withColumn("chash", md5(col(contentCol)))
+        .join(fingerprints.select(col("chash")).distinct()
+          .withColumn("_known", lit(true)), Seq("chash"), "left")
+        .withColumn("is_known", coalesce(col("_known"), lit(false)))
+        .drop("_known")
+    }
+
     /** MinHash+LSH near-duplicate candidate pairs (a < b) with
       * signature agreement count — bucket-bounded, never all-pairs
       * (the dd02 operator over arbitrary id/text columns). */

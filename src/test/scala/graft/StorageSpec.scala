@@ -217,6 +217,30 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint topic absorbs batches: dedupAgainst flags known content across days") {
+    import graft.api._
+    import spark.implicits._
+    val gs = new GraftSession(spark, tmp())
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    // day 1: corpus arrives, its fingerprints land in a topic
+    val day1 = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    gs.publish("fp", day1.select(md5(col("text")).as("chash")).withColumn("time", lit(t0)))
+    // day 2: one dup of day 1, one new doc — checked against the
+    // fingerprint TOPIC, never against day-1 text
+    val day2 = Seq((3L, "alpha beta"), (4L, "epsilon zeta")).toDF("doc_id", "text")
+    val checked = day2.dedupAgainst("doc_id", "text", gs.table("fp"))
+    val flags = checked.select("doc_id", "is_known").as[(Long, Boolean)].collect().toMap
+    assert(flags == Map(3L -> true, 4L -> false), s"day-2 flags: $flags")
+    // absorb day 2: append only the NEW fingerprints
+    gs.publish("fp", checked.filter(!col("is_known"))
+      .select(col("chash")).withColumn("time", lit(t0)))
+    // day 3: the day-2 newcomer is now known too
+    val day3 = Seq((5L, "epsilon zeta")).toDF("doc_id", "text")
+    val f3 = day3.dedupAgainst("doc_id", "text", gs.table("fp"))
+      .select("doc_id", "is_known").as[(Long, Boolean)].collect().toMap
+    assert(f3 == Map(5L -> true), s"day-3 flags: $f3")
+  }
+
   test("maintain() compacts every registered topic's small-file buckets") {
     import spark.implicits._
     val gs = new GraftSession(spark, tmp())
