@@ -37,6 +37,7 @@ object DevProbe {
         "dd01_exact", "dd02_minhash_lsh", "dd06_dup_clusters",
         "dd09_cc_star", "dd10_source_overlap", "dd11_hll_overlap",
         "ss02_lsh_ann", "ss05_ivf_probe", "ss09_kmeans_iter",
+        "dd12_incremental", "ss12_incremental_ann",
         "tx11_decontam", "tx12_vocab", "sp03_pack_sequences",
         "px02_mixture_budget", "sp04_temperature", "px04_source_report",
         "v16_tensor3d", "mm03_sample_assembly")
