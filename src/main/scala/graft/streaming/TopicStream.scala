@@ -130,6 +130,26 @@ object TopicStream {
       .withColumn("chash", md5(col("text")))
       .dropDuplicatesWithinWatermark("chash")
 
+  /** Streaming incremental dedup — dd12's exact-hash check in
+    * streaming form: every arriving doc's content hash stream-static
+    * joins the ESTABLISHED corpus's fingerprint frame (a `chash`
+    * column, typically a TopicStore fingerprint topic read as a
+    * batch frame), flagging known content on arrival. The join is
+    * stateless (static side re-planned per micro-batch, so topic
+    * appends between batches are picked up); the only state is the
+    * watermark-bounded within-stream dedup, so this scales with the
+    * ARRIVAL RATE, never the corpus. */
+  def dedupAgainstStream(docs: DataFrame, fingerprints: DataFrame,
+                         watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("chash", md5(col("text")))
+      .dropDuplicatesWithinWatermark("chash")
+      .join(fingerprints.select(col("chash")).distinct()
+        .withColumn("_known", lit(true)), Seq("chash"), "left")
+      .withColumn("is_known", coalesce(col("_known"), lit(false)))
+      .select(col("doc_id"), col("ts"), col("chash"), col("is_known"))
+
   /** Streaming benchmark decontamination — tx11 in streaming form:
     * each arriving doc's word 5-grams semi-join the STATIC benchmark
     * gram set (tiny, broadcast — an eval set), and contaminated docs

@@ -197,6 +197,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup flags known content against the fingerprint topic") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val fingerprints = Seq("alpha beta gamma").toDF("text")
+      .select(md5(col("text")).as("chash"))
+    val input = MemoryStream[StreamDoc]
+    val q = TopicStream.dedupAgainstStream(input.toDF(), fingerprints, "10 minutes")
+      .writeStream.format("memory").queryName("inc_dedup").outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(1, ts("2024-01-01 00:00:00"), "alpha beta gamma", "en"),   // known
+        StreamDoc(2, ts("2024-01-01 00:01:00"), "delta epsilon zeta", "en"), // new
+        StreamDoc(3, ts("2024-01-01 00:02:00"), "delta epsilon zeta", "en")) // in-stream dup of 2
+      q.processAllAvailable()
+      val rows = spark.table("inc_dedup").select("doc_id", "is_known").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(rows == Map(1L -> true, 2L -> false),
+        s"known flagged, newcomer passed, in-stream dup suppressed: $rows")
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags benchmark-overlapping docs exactly once") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
