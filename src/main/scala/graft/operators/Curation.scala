@@ -192,6 +192,77 @@ object Curation {
         .filter(col("rn") <= col("budget_docs"))
         .select(col("source"), col("rn"), col("doc_id"), col("tok_cnt"), col("budget_docs"))
         .orderBy(col("source"), col("rn"))
+    }),
+
+    // Cross-split contamination AUDIT — the leakage check that runs
+    // after sp05's split assignment and before training: does any
+    // held-out (val/test) doc share a word 5-gram with the train
+    // split? Unlike tx11 (benchmark set: small, broadcast), the train
+    // side here is ~90% of the corpus, so the gram join is a plain
+    // hash equi-join on the gram — both sides shuffle once, keyed by
+    // gram (partitionable, AQE-skew-splittable), and only the
+    // contaminated doc-id set (tiny) flows back onto the held-out
+    // census. Docs with < 5 words carry no grams: counted leak-free.
+    "px05_split_leakage" -> ((s, d) => {
+      val h = substring(md5(concat(col("doc_id").cast("string"), lit(":sp05"))), 1, 2)
+      val base = docs(s, d)
+        .withColumn("split",
+          when(h < "0d", lit("val")).when(h < "1a", lit("test")).otherwise(lit("train")))
+      val g = base.select(col("doc_id"), col("split"),
+        explode(grams5(split(lower(col("text")), " "))).as("gram"))
+      val trainGrams = g.filter(col("split") === "train").select(col("gram")).distinct()
+      val contam = g.filter(col("split") =!= "train")
+        .join(trainGrams, Seq("gram"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("hit", lit(1L))
+      base.filter(col("split") =!= "train")
+        .join(contam, Seq("doc_id"), "left")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_leaky"))
+        .withColumn("leak_milli", expr("(n_leaky * 1000) DIV n_docs"))
+        .orderBy(col("source"), col("split"))
+    }),
+
+    // LM-quality quartile report — the CCNet "score, bucket, filter"
+    // step: per-doc char-bigram LM typicality (tx08's log-free
+    // integer-ppm score) bucketed into per-source quartiles, so the
+    // bottom bucket is the documented drop candidate. The quartile is
+    // NTILE(4) in closed form over GroupPrefix positions (q23's
+    // machinery) — two-phase partition-parallel, never a one-task-
+    // per-source sort of the scored corpus.
+    "tx14_quality_quartiles" -> ((s, d) => {
+      val bg = Tables.spread(docs(s, d))
+        .withColumn("norm", lower(col("text")))
+        .select(col("doc_id"), col("source"),
+          explode(when(length(col("norm")) >= 2,
+            transform(sequence(lit(1), length(col("norm")) - 1),
+              i => col("norm").substr(i, lit(2))))
+            .otherwise(typedLit(Seq.empty[String]))).as("bg"))
+      val corpus = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      val total = corpus.agg(sum(col("cnt")).as("tot"))
+      val freq = corpus.crossJoin(broadcast(total))
+        .select(col("bg"), expr("(cnt * 1000000) DIV tot").as("freq_ppm"))
+      val scored = bg.join(broadcast(freq), "bg")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("freq_ppm")).as("sum_ppm"))
+        .select(col("doc_id"), col("source"),
+          expr("sum_ppm DIV n_bigrams").as("lm_score_ppm"))
+      val ranked = graft.functions.GroupPrefix.groupPrefixC(
+        scored, "source", Seq(col("lm_score_ppm"), col("doc_id")))
+      val counts = ranked.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(counts), "source")
+        .withColumn("q_sz", expr("CAST(n DIV 4 AS INT)"))
+        .withColumn("q_rem", expr("CAST(n % 4 AS INT)"))
+        .withColumn("quartile", expr(
+          """CAST(CASE WHEN rn <= q_rem * (q_sz + 1)
+            |     THEN (rn - 1) DIV (q_sz + 1) + 1
+            |     ELSE q_rem + (rn - q_rem * (q_sz + 1) - 1) DIV q_sz + 1
+            |     END AS INT)""".stripMargin))
+        .groupBy(col("source"), col("quartile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("lm_score_ppm")).as("lo_ppm"),
+          max(col("lm_score_ppm")).as("hi_ppm"))
+        .orderBy(col("source"), col("quartile"))
     })
   )
 
@@ -316,6 +387,49 @@ object Curation {
         |SELECT r.source, r.rn, r.doc_id, r.tok_cnt, b.budget_docs
         |FROM r JOIN budgets b ON r.source = b.source
         |WHERE r.rn <= b.budget_docs
-        |ORDER BY r.source, r.rn""".stripMargin
+        |ORDER BY r.source, r.rn""".stripMargin,
+    "px05_split_leakage" ->
+      """WITH w AS (
+        | SELECT doc_id, source,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':sp05'), 1, 2) < '0d' THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':sp05'), 1, 2) < '1a' THEN 'test'
+        |       ELSE 'train' END AS split,
+        |  string_split(lower(text), ' ') AS words
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, split, array_to_string(list_slice(words, i, i + 4), ' ') AS gram
+        | FROM w, unnest(generate_series(1, len(words) - 4)) AS t(i)
+        | WHERE len(words) >= 5),
+        |train AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+        |contam AS (
+        | SELECT DISTINCT g.doc_id FROM g JOIN train USING (gram) WHERE g.split <> 'train')
+        |SELECT w.source, w.split, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky,
+        | CAST((sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS leak_milli
+        |FROM w LEFT JOIN contam c ON w.doc_id = c.doc_id
+        |WHERE w.split <> 'train'
+        |GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "tx14_quality_quartiles" ->
+      """WITH bg AS (
+        | SELECT doc_id, source,
+        |  unnest(list_transform(generate_series(1, len(lower(text)) - 1),
+        |    i -> substr(lower(text), i, 2))) AS bg
+        | FROM documents WHERE len(text) >= 2),
+        |corpus AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM corpus),
+        |freq AS (SELECT bg, (cnt * 1000000) // tot AS freq_ppm FROM corpus, tot),
+        |scored AS (
+        | SELECT b.doc_id, b.source,
+        |  CAST(sum(f.freq_ppm) // count(*) AS BIGINT) AS lm_score_ppm
+        | FROM bg b JOIN freq f USING (bg) GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT source, lm_score_ppm,
+        |  CAST(ntile(4) OVER (PARTITION BY source
+        |    ORDER BY lm_score_ppm, doc_id) AS INT) AS quartile
+        | FROM scored)
+        |SELECT source, quartile, count(*) AS n_docs,
+        | CAST(min(lm_score_ppm) AS BIGINT) AS lo_ppm,
+        | CAST(max(lm_score_ppm) AS BIGINT) AS hi_ppm
+        |FROM ranked GROUP BY 1, 2 ORDER BY source, quartile""".stripMargin
   )
 }

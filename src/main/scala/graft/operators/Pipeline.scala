@@ -151,6 +151,27 @@ object Pipeline {
         .orderBy(col("source"), col("split"))
     }),
 
+    // Deterministic shuffle-and-shard — the writer layout step of a
+    // training run: every doc lands in one of 8 output shards by id
+    // hash, so shards are (a) size-balanced without a sort or a
+    // repartition-by-count, (b) rerun-stable, and (c) source-mixed
+    // (each shard sees every source — hash mixing IS the global
+    // shuffle trainers want, with zero shuffle in the plan: the
+    // assignment is a scan-speed projection and the census one
+    // map-side-combinable agg). At 100 TB the real writer is
+    // `.repartitionByRange`/partitionBy("shard") on this column; the
+    // census here is the balance audit that ships with it.
+    "sp06_shard" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("shard", expr(
+          "CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING) || ':sp06'), 1, 1)) - 1) % 8 AS INT)"))
+        .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("shard"))
+    }),
+
     // Per-source corpus REPORT CARD — the health dashboard a pipeline
     // owner reads per ingest: volume (docs/tokens/mean length), label
     // purity (en share), exact-dup rate, Gopher repetition pass rate,
@@ -377,6 +398,16 @@ object Pipeline {
         | FROM documents)
         |SELECT source, split, count(*) AS n_docs, CAST(sum(tok_cnt) AS BIGINT) AS n_tokens
         |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "sp06_shard" ->
+      """WITH t AS (
+        | SELECT source, doc_id,
+        |  CAST((strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR) || ':sp06'), 1, 1)) - 1) % 8 AS INT) AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt
+        | FROM documents)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(tok_cnt) AS BIGINT) AS n_tokens,
+        | count(DISTINCT source) AS n_sources
+        |FROM t GROUP BY 1 ORDER BY shard""".stripMargin,
     "px04_source_report" ->
       """WITH base AS (
         | SELECT doc_id, source, lang, md5(text) AS chash,
