@@ -380,6 +380,21 @@ object api {
           .otherwise(lit("train")))
     }
 
+    /** Deterministic shuffle-and-shard (the sp06 operator as a verb):
+      * a row's output shard is a pure function of its id hash, so
+      * shards are size-balanced and source-mixed with no shuffle in
+      * the assignment — the hash mixing IS the global shuffle a
+      * trainer wants. At scale, write with
+      * `.write.partitionBy(outCol)` (or repartition on it first) so
+      * each shard lands as one file set. */
+    def shardAssign(idCol: String, nShards: Int,
+                    seed: String = "graft", outCol: String = "shard"): DataFrame = {
+      require(nShards > 0, s"nShards must be positive: $nShards")
+      df.withColumn(outCol,
+        pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 15),
+          16, 10).cast("long"), lit(nShards.toLong)).cast("int"))
+    }
+
     /** Pattern scrub (the tx07 operator as a verb): replaces every
       * (regex -> replacement) in order, adding `n_redactions` (total
       * matches across patterns). Pure per-row compute — scan speed. */

@@ -289,4 +289,26 @@ class ApiSpec extends SparkSpec {
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(sub == full)
   }
+
+  test("shardAssign is deterministic, complete, balanced, and source-mixed") {
+    val docs = Tables(spark, sfDir, "documents")
+    val s1 = docs.shardAssign("doc_id", 8, seed = "shardX")
+    val s2 = docs.shardAssign("doc_id", 8, seed = "shardX")
+    assert(s1.select("doc_id", "shard").orderBy("doc_id").collect().toSeq ==
+      s2.select("doc_id", "shard").orderBy("doc_id").collect().toSeq)
+    val counts = s1.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 until 8).toSet, s"missing shards: $counts")
+    val (lo, hi) = (counts.values.min, counts.values.max)
+    assert(hi < 2 * lo, s"shard imbalance: min=$lo max=$hi")
+    // source mixing: every shard draws from (most of) the source set —
+    // at this sf a shard holds only ~60 docs over 20 sources, so exact
+    // coverage is a coupon-collector coin flip; 75% is the mixing bound
+    val srcPerShard = s1.groupBy("shard")
+      .agg(countDistinct(col("source")).as("n_src"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nSources = docs.select("source").distinct().count()
+    assert(srcPerShard.values.forall(_ >= (nSources * 3) / 4),
+      s"unmixed shards (nSources=$nSources): $srcPerShard")
+  }
 }
