@@ -17,7 +17,8 @@ object DevProbe {
         "sp03_pack_sequences","px02_mixture_budget","tx07_pii_scrub","v15_matmul","ts14_interpolate","q25_string_agg",
         "tx11_decontam","ss09_kmeans_iter","ss10_semdedup","sp04_temperature","q26_approx_sketch",
         "dd06_dup_clusters","q27_lateral","dd09_cc_star","dd10_source_overlap","q28_ratio_report",
-        "ts18_snapshot","sp02_reservoir_per_source","tx12_vocab","v16_tensor3d","v17_tensor_dyn")
+        "ts18_snapshot","sp02_reservoir_per_source","tx12_vocab","v16_tensor3d","v17_tensor_dyn",
+        "sp06_shard","px05_split_leakage","tx14_quality_quartiles")
         .foreach { n =>
           println(s"\n## $n\n")
           println("```")

@@ -231,6 +231,11 @@ object Curation {
     // machinery) — two-phase partition-parallel, never a one-task-
     // per-source sort of the scored corpus.
     "tx14_quality_quartiles" -> ((s, d) => {
+      // The bigram explosion feeds BOTH the corpus-frequency agg and
+      // the per-doc scoring join; recompute beats materializing it
+      // (measured: persisting the exploded table is ~same-to-worse at
+      // sf0.1, and at scale a 50x-wider cached intermediate is the
+      // wrong trade vs re-running codegen'd explode over the scan).
       val bg = Tables.spread(docs(s, d))
         .withColumn("norm", lower(col("text")))
         .select(col("doc_id"), col("source"),
