@@ -41,7 +41,8 @@ object DevProbe {
         "dd12_incremental", "ss12_incremental_ann",
         "tx11_decontam", "tx12_vocab", "sp03_pack_sequences",
         "px02_mixture_budget", "sp04_temperature", "px04_source_report",
-        "v16_tensor3d", "mm03_sample_assembly")
+        "v16_tensor3d", "mm03_sample_assembly",
+        "sp06_shard", "px05_split_leakage", "tx14_quality_quartiles")
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
       println("|---|---|---|---|---|---|")
       names.foreach { n =>
