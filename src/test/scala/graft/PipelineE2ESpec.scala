@@ -56,6 +56,24 @@ class PipelineE2ESpec extends SparkSpec {
       split.filter(col("split") =!= "train").select("doc_id"), Seq("doc_id"))
     assert(leaked.count() == 0, "val/test docs must never reach packing")
 
+    // 5b. leak audit: because exact dedup ran BEFORE the split, no
+    // text can appear in two splits — the ordering guarantee px05's
+    // audit checks for in the large (n-gram) form, exact case here
+    val crossSplit = split.select(md5(col("text")).as("h"), col("split")).distinct()
+      .groupBy("h").agg(countDistinct(col("split")).as("ns")).filter(col("ns") > 1)
+    assert(crossSplit.count() == 0, "dedup-before-split must kill exact cross-split dupes")
+
+    // 5c. shard the packed train set for the writer: flag-only,
+    // one shard per pack, every shard populated
+    val sharded = packed
+      .withColumn("pack_key", concat_ws("|", col("source"), col("pack_id")))
+      .shardAssign("pack_key", 4, seed = "e2e")
+    assert(sharded.count() == packed.count(), "sharding adds a flag, drops nothing")
+    val splitPacks = sharded.select("pack_key", "shard").distinct()
+      .groupBy("pack_key").count().filter(col("count") > 1)
+    assert(splitPacks.count() == 0, "a pack maps to exactly one shard")
+    assert(sharded.select("shard").distinct().count() == 4, "all shards populated")
+
     // 6. rerun stability: the same chain reproduces byte-identical packs
     val packedAgain = gs.table("raw_docs")
       .langId("text").filter(col("predicted") === "en")
