@@ -214,6 +214,73 @@ object TopicStream {
       }
   }
 
+  /** One micro-batch increment of the SCALE-SAFE streaming packer —
+    * [[packStream]]'s exact admission/assignment semantics with the
+    * per-source work partition-parallel. `flatMapGroupsWithState`
+    * funnels each source's whole batch slice through ONE state task
+    * (the streaming analog of the one-task-per-source window that
+    * [[graft.functions.GroupPrefix]] eliminates in batch); at high
+    * arrival rates a hot source serializes there. Here instead:
+    *
+    *  1. per-source exclusive token prefixes come from the two-phase
+    *     partition-parallel GroupPrefix, in doc_id order (the same
+    *     determinism contract as the state-op form);
+    *  2. the carried per-source offsets are read from a merge-on-read
+    *     state topic AS OF the previous batch (`readMergedAsOf` at
+    *     `batchId - 1`), so a REPLAYED batch never sees its own
+    *     earlier write — recovery-correct by time travel, not locks;
+    *  3. admitted docs (global prefix < budget) upsert into the
+    *     output topic keyed by doc_id with `_seq = batchId`; the
+    *     advanced offsets upsert likewise — both replay-idempotent.
+    *
+    * The only per-source serial point left is the O(sources) offset
+    * table — bytes on the wire, never the corpus. Read the packed
+    * output with `store.readMerged(outTopic, "doc_id")`. */
+  def packBatchIncrement(store: graft.sources.TopicStore, outTopic: String,
+                         stateTopic: String, budgetPerSource: Long, packTokens: Long)
+                        (batch: DataFrame, batchId: Long): Unit = {
+    val sp = batch.sparkSession
+    val statePath = new org.apache.hadoop.fs.Path(store.topicPath(stateTopic))
+    val hasState =
+      statePath.getFileSystem(sp.sparkContext.hadoopConfiguration).exists(statePath)
+    val prefixed = graft.functions.GroupPrefix.groupPrefix(
+      batch, "source", Seq("doc_id"), Some("tok_cnt"))
+    val based =
+      if (hasState) {
+        val offsets = store.readMergedAsOf(stateTopic, "source", batchId - 1)
+          .select(col("source"), col("admitted_tokens"))
+        prefixed.join(broadcast(offsets), Seq("source"), "left")
+          .withColumn("_base", coalesce(col("admitted_tokens"), lit(0L)))
+      } else prefixed.withColumn("_base", lit(0L))
+    val admitted = based
+      .withColumn("offset", col("_base") + col("cum0"))
+      .filter(col("offset") < budgetPerSource)
+      .select(col("doc_id"), col("source"), col("offset"),
+        expr(s"CAST(offset DIV $packTokens AS BIGINT)").as("pack_id"),
+        col("tok_cnt"), col("_base"))
+      .persist()
+    val ts = timestamp_seconds(lit(batchId))
+    store.upsert(outTopic,
+      admitted.select(col("doc_id"), col("source"), col("offset"), col("pack_id"))
+        .withColumn("time", ts), "time", seq = batchId)
+    // advanced offset per source = carried base + tokens admitted now;
+    // sources with nothing admitted this batch keep their old row
+    val newState = admitted.groupBy(col("source"))
+      .agg((first(col("_base")) + sum(col("tok_cnt"))).as("admitted_tokens"))
+    store.upsert(stateTopic, newState.withColumn("time", ts), "time", seq = batchId)
+    admitted.unpersist()
+  }
+
+  /** [[packBatchIncrement]] as a continuous stream: start the returned
+    * writer with a checkpointLocation. */
+  def packStreamScalable(docs: Dataset[DocArrival], store: graft.sources.TopicStore,
+                         outTopic: String, stateTopic: String,
+                         budgetPerSource: Long, packTokens: Long)
+      : org.apache.spark.sql.streaming.DataStreamWriter[DocArrival] =
+    docs.writeStream.foreachBatch { (b: Dataset[DocArrival], id: Long) =>
+      packBatchIncrement(store, outTopic, stateTopic, budgetPerSource, packTokens)(b.toDF(), id)
+    }
+
   /** Streaming z-score anomaly detector — ts15 in streaming form:
     * per-key running moments (exact integer sums) live in state; each
     * arriving event is scored against the baseline BEFORE it is

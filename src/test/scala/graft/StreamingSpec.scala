@@ -152,6 +152,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scalable streaming packer matches packStream semantics and replays idempotently") {
+    import spark.implicits._
+    import graft.streaming.DocArrival
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_spack").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    val input = MemoryStream[DocArrival]
+    // the exact packStream scenario: budget 100/source, 40-token packs
+    val q = TopicStream.packStreamScalable(input.toDS(), store, "packed_out", "packed_state",
+        budgetPerSource = 100L, packTokens = 40L)
+      .option("checkpointLocation", s"$root/_chk").start()
+    val batch2 = Seq(
+      DocArrival(4, "srcA", 25), DocArrival(5, "srcA", 25), DocArrival(6, "srcA", 25),
+      DocArrival(7, "srcB", 50))
+    try {
+      input.addData(
+        DocArrival(1, "srcA", 30), DocArrival(2, "srcA", 40), DocArrival(3, "srcB", 30))
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = Set(
+      (1L, "srcA", 0L, 0L), (2L, "srcA", 30L, 0L),
+      (4L, "srcA", 70L, 1L), (5L, "srcA", 95L, 2L),
+      (3L, "srcB", 0L, 0L), (7L, "srcB", 30L, 0L)) // doc 6 over budget
+    def packed() = store.readMerged("packed_out", "doc_id")
+      .select("doc_id", "source", "offset", "pack_id")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(packed() == expected, "must match the flatMapGroupsWithState packer exactly")
+    // replay: re-running batch 1 against the state topic must not
+    // double-count — the as-of read sees only pre-batch-1 state
+    TopicStream.packBatchIncrement(store, "packed_out", "packed_state", 100L, 40L)(
+      batch2.toDF(), 1L)
+    assert(packed() == expected, "a replayed micro-batch must be a no-op on the merged view")
+    assert(store.readMerged("packed_state", "source")
+      .select("source", "admitted_tokens").as[(String, Long)].collect().toSet ==
+      Set(("srcA", 120L), ("srcB", 80L)), "offsets must not advance on replay")
+  }
+
   test("streaming anomaly detector flags spikes against the prior baseline only") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
