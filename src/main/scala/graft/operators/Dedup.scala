@@ -236,6 +236,35 @@ object Dedup {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // dd11 with THETA sketches — the other sketch family the dd10
+    // comment names, landed natively in Spark 4.1. Theta sketches
+    // (KMV samples, DataSketches ThetaIntersection) support DIRECT
+    // set intersection, so the shared-shingle estimate needs no
+    // inclusion-exclusion: its error is bounded by the intersection
+    // sketch itself, not by three union-sized estimates — dd11's
+    // structural weakness on small overlaps of large sources. Same
+    // 100 TB shape: one partial-mergeable agg per source, S few-KB
+    // sketches cross the wire, the pairwise stage is S² rows.
+    // Rows-only check (sketch internals engine-specific, SURVEY §5);
+    // the spec calibrates against dd10's exact matrix next to dd11's.
+    "dd13_theta_overlap" -> ((s, d) => {
+      val sk = Tables.spread(docs(s, d))
+        .select(col("source"), tokens(col("text")).as("words"))
+        .select(col("source"), explode(shingles(col("words"), 3)).as("shingle"))
+        .select(col("source"), md5(col("shingle")).as("h"))
+        .groupBy(col("source"))
+        .agg(theta_sketch_agg(col("h"), 14).as("sk"))
+      val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          theta_sketch_estimate(col("sk_a")).cast("long").as("est_a"),
+          theta_sketch_estimate(col("sk_b")).cast("long").as("est_b"),
+          theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b")))
+            .cast("long").as("est_shared"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // INCREMENTAL dedup — the production daily-increment shape: an
     // arriving batch (doc_id % 5 == 0 here) is checked against the
     // ESTABLISHED corpus without ever touching the old text. The old

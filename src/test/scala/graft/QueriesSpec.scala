@@ -21,7 +21,7 @@ class QueriesSpec extends SparkSpec {
     // percentile) are engine-specific, so no DuckDB-exact oracle by
     // design; dd11's estimates are calibrated against exact dd10 in
     // the "hll overlap estimates" test below
-    val rowsOnly = Set("q26_approx_sketch", "dd11_hll_overlap")
+    val rowsOnly = Set("q26_approx_sketch", "dd11_hll_overlap", "dd13_theta_overlap")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
@@ -41,6 +41,30 @@ class QueriesSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
     val est = SparkEntry.queries("dd11_hll_overlap")(spark, d)
+      .select("source_a", "source_b", "est_shared", "est_a", "est_b").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(est.keySet == exact.keySet, "pair sets must agree")
+    est.foreach { case (pair, (eShared, eA, eB)) =>
+      val (xShared, xA, xB) = exact(pair)
+      assert(math.abs(eA - xA) <= xA / 10, s"$pair: |A| est $eA vs exact $xA")
+      assert(math.abs(eB - xB) <= xB / 10, s"$pair: |B| est $eB vs exact $xB")
+      val union = xA + xB - xShared
+      val tol = math.max(xShared * 0.10, math.max(union * 0.02, 5.0))
+      assert(math.abs(eShared - xShared) <= tol,
+        s"$pair: est $eShared vs exact $xShared (tol $tol)")
+    }
+  }
+
+  test("theta overlap estimates calibrate against the exact matrix at sf0.01") {
+    // dd13's direct theta intersections should track dd10 at least as
+    // well as dd11's inclusion-exclusion; same tolerance form.
+    val d = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("dd10_source_overlap")(spark, d)
+      .select("source_a", "source_b", "n_shared", "n_a", "n_b").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val est = SparkEntry.queries("dd13_theta_overlap")(spark, d)
       .select("source_a", "source_b", "est_shared", "est_a", "est_b").collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
