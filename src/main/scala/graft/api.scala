@@ -248,10 +248,19 @@ object api {
       * verb, alpha = 0.5): per-group doc budgets proportional to
       * sqrt(token share), rows kept in deterministic hash order up to
       * the budget. sqrt of an integer is correctly-rounded IEEE, so
-      * the selection is rerun-stable. Per-group positions come from
-      * the two-phase partition-parallel
-      * [[graft.functions.GroupPrefix]]; the budget table broadcasts
-      * back. */
+      * the selection is rerun-stable; the budget table broadcasts
+      * back.
+      *
+      * Every per-group budget is bounded by `totalDocs` (they sum to
+      * it), so a literal `rn <= totalDocs` cap subsumes the
+      * rank-vs-column filter. For small budgets that literal lets
+      * Catalyst's InferWindowGroupLimit plan a map-side PARTIAL
+      * WindowGroupLimit — each group's merge task sees at most
+      * `totalDocs` rows per upstream partition, and the heavier
+      * two-phase machinery is skipped. Past ~1000 docs the cap stops
+      * bounding the merge task (k x partitions rows approaches a
+      * whole group), so large budgets keep the partition-parallel
+      * [[graft.functions.GroupPrefix]] positions. */
     def temperatureSample(groupCol: String, idCol: String, tokCol: String,
                           totalDocs: Long, seed: String = "graft"): DataFrame = {
       require(totalDocs > 0, s"totalDocs must be positive, got $totalDocs")
@@ -262,9 +271,17 @@ object api {
       val budgets = wgt.crossJoin(broadcast(tot))
         .withColumn("_budget", expr(s"(_w * $totalDocs) DIV _tw"))
         .select(col(groupCol), col("_budget"))
-      graft.functions.GroupPrefix.groupPrefix(
-          df.withColumn("_h", md5(concat(col(idCol).cast("string"), lit(":" + seed)))),
-          groupCol, Seq("_h", idCol), rnName = "_rn")
+      val hashed = df.withColumn("_h",
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+      val ranked =
+        if (totalDocs <= 1000L) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(groupCol)).orderBy(col("_h"), col(idCol))
+          hashed.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") <= lit(totalDocs))
+        } else graft.functions.GroupPrefix.groupPrefix(
+          hashed, groupCol, Seq("_h", idCol), rnName = "_rn")
+      ranked
         .join(broadcast(budgets), groupCol)
         .filter(col("_rn") <= col("_budget"))
         .drop("_rn", "_h", "_budget")

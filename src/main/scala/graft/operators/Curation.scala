@@ -173,10 +173,17 @@ object Curation {
     // CORRECTLY ROUNDED IEEE in both engines (unlike ln/exp/pow), and
     // everything after the one sqrt is integer math, so the selection
     // is engine-exact AND rerun-stable (md5-hash order, like sp02).
-    // Plan: per-source token agg (tiny, broadcast back) + the
-    // two-phase partition-parallel `Pipeline.sourcePrefix` for the
-    // per-source position — no task ever sorts a whole source.
+    // Plan: per-source token agg (tiny, broadcast back); the rank is
+    // a plain per-source window CAPPED at the literal total budget —
+    // budgets sum to <= 200, so `rn <= 200` subsumes every per-source
+    // `rn <= budget_docs`, and the literal filter lets Catalyst's
+    // InferWindowGroupLimit plan a PARTIAL WindowGroupLimit before
+    // the shuffle (each task forwards <= 200 rows per source; the
+    // merge task sees <= 200 x partitions rows, never a whole
+    // source). Rank-vs-column alone would need GroupPrefix; the
+    // a-priori literal bound is what buys the cheaper shape.
     "sp04_temperature" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val toks = size(split(col("text"), " ")).cast("long")
       val base = docs(s, d).select(col("doc_id"), col("source"), toks.as("tok_cnt"))
       val srcW = base.groupBy(col("source"))
@@ -186,8 +193,10 @@ object Curation {
       val budgets = srcW.crossJoin(broadcast(tot))
         .withColumn("budget_docs", expr("(wgt * 200) DIV tot_w"))
         .select(col("source"), col("n_toks"), col("wgt"), col("budget_docs"))
-      Pipeline.sourcePrefix(
-          base.withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":sp04")))))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      base.withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":sp04"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 200)
         .join(broadcast(budgets), "source")
         .filter(col("rn") <= col("budget_docs"))
         .select(col("source"), col("rn"), col("doc_id"), col("tok_cnt"), col("budget_docs"))

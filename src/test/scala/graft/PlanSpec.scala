@@ -200,7 +200,7 @@ class PlanSpec extends SparkSpec {
     // Filter (_lrn <= k candidates in topKPerGroup).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate, GlobalLimit, Filter, LogicalPlan}
     Seq("sp03_pack_sequences", "px02_mixture_budget",
-        "sp04_temperature", "tx12_vocab", "q23_window_dist").foreach { name =>
+        "tx12_vocab", "q23_window_dist").foreach { name =>
       val lp: LogicalPlan =
         SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
       val offenders = lp.collect {
@@ -226,7 +226,11 @@ class PlanSpec extends SparkSpec {
     // group's rows through one task. If an orderBy change or a
     // non-literal limit ever silently disables the rewrite, this
     // pins it.
-    Seq("sp02_reservoir_per_source", "q07_window_rank", "q16_topk_per_group").foreach { name =>
+    // sp04's rank-vs-column budget filter is subsumed by its literal
+    // total-budget cap (budgets sum to 200), which re-enables the
+    // rewrite — the cap is the load-bearing part, so pin it here.
+    Seq("sp02_reservoir_per_source", "q07_window_rank", "q16_topk_per_group",
+        "sp04_temperature").foreach { name =>
       val p = plan(name)
       assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
         s"$name must plan a map-side partial group limit:\n$p")
