@@ -220,6 +220,33 @@ class ApiSpec extends SparkSpec {
     assert(apiPer == opPer)
   }
 
+  test("temperatureSample GroupPrefix branch agrees with a naive window") {
+    // Budgets > 1000 take the two-phase GroupPrefix path (the literal
+    // window cap stops bounding the per-group merge there), which the
+    // sp04-agreement test above no longer exercises. Same selection
+    // as the one-task-per-group naive form, computed independently.
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+    val got = docs.temperatureSample("source", "doc_id", "tok_cnt", 2000L)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val wgt = docs.groupBy(col("source"))
+      .agg(sum(col("tok_cnt")).as("nt"))
+      .withColumn("w", floor(sqrt(col("nt").cast("double") * 1000000d)).cast("long"))
+    val tot = wgt.agg(sum(col("w")).as("tw"))
+    val budgets = wgt.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("(w * 2000) DIV tw"))
+      .select(col("source"), col("budget"))
+    val naive = docs
+      .withColumn("_h", md5(concat(col("doc_id").cast("string"), lit(":graft"))))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("_h"), col("doc_id"))))
+      .join(budgets, "source")
+      .filter(col("_rn") <= col("budget"))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got.nonEmpty && got == naive)
+  }
+
   test("decontaminate agrees with tx11 on flags and overlap counts") {
     val docs = Tables(spark, sfDir, "documents")
     val api = docs.filter(col("source") =!= "src0")
