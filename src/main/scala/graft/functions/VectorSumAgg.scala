@@ -31,7 +31,10 @@ object VectorSumAgg extends Aggregator[Array[Float], Array[Long], Array[Long]] {
   override def zero: Array[Long] = Array.empty
 
   override def reduce(buf: Array[Long], v: Array[Float]): Array[Long] = {
-    if (buf.isEmpty) {
+    // SQL aggregate semantics: null inputs contribute nothing (typed
+    // Aggregators bypass Catalyst's null filtering, so guard here).
+    if (v == null) buf
+    else if (buf.isEmpty) {
       val out = new Array[Long](v.length)
       var i = 0
       while (i < v.length) { out(i) = quant(v(i)); i += 1 }

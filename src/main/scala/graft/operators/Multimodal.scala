@@ -69,7 +69,10 @@ object Multimodal {
       val media = Tables(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[MediaIn]
-      media.mapPartitions(_.map(decodeStub))
+      // Undecodable (null) payloads route out: decode emits nothing
+      // for them instead of failing the task — a corrupt media file
+      // must never take down the batch.
+      media.mapPartitions(_.withFilter(_.payload != null).map(decodeStub))
         .toDF()
         .orderBy(col("doc_id"))
     }),
@@ -81,7 +84,7 @@ object Multimodal {
       val media = Tables(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[MediaIn]
-      media.mapPartitions(_.flatMap(sampleFramesStub))
+      media.mapPartitions(_.withFilter(_.payload != null).flatMap(sampleFramesStub))
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
@@ -101,7 +104,7 @@ object Multimodal {
           size(split(col("text"), " ")).as("tok_cnt"),
           encode(col("text"), "UTF-8").as("payload"))
       val meta = docs.select(col("doc_id"), col("payload")).as[MediaIn]
-        .mapPartitions(_.map(decodeStub)).toDF()
+        .mapPartitions(_.withFilter(_.payload != null).map(decodeStub)).toDF()
         .select(col("doc_id"), col("format"), col("width"), col("height"), col("phash8"))
       val emb = Tables(s, d, "embeddings")
         .select(col("vec_id").as("doc_id"),
