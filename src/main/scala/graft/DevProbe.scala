@@ -56,6 +56,47 @@ object DevProbe {
           s"${m.shuffleAmplificationMilli} | ${m.shuffleSkewMilli} | " +
           s"${(m.diskBytesSpilled + m.memoryBytesSpilled) / (1024 * 1024)} |")
       }
+    } else if (args(0) == "--scalegen") {
+      // Decorrelated corpus blowup for scaling-exponent measurements
+      // (--scalegen <srcDir> <outDir> <mult>): each of the `mult`
+      // replicas re-keys ids, suffixes every word, and shifts every
+      // embedding element, so replicas are NEW content — dup/near-dup
+      // density stays CONSTANT as the corpus grows (the realistic
+      // growth model). Naive replication would instead grow every dup
+      // cluster by `mult` and quadratically inflate the pair-verify
+      // stages, measuring a data artifact rather than the operator.
+      import org.apache.spark.sql.functions._
+      val (src, out, mult) = (args(1), args(2), args(3).toInt)
+      val rep = explode(sequence(lit(0), lit(mult - 1))).as("rep")
+      spark.read.parquet(s"$src/documents.parquet")
+        .select(col("*"), rep)
+        .select(
+          (col("doc_id") * mult + col("rep")).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(array_join(transform(split(col("text"), " "),
+              w => concat(w, lit("#"), col("rep"))), " ")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .select(col("*"), rep)
+        .select(
+          (col("vec_id") * mult + col("rep")).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            (x + (pmod(col("vec_id") * 31 + j * 17 + col("rep"), lit(101))
+              .cast("float") - 50f) * lit(0.004f)).cast("float")).as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$src/events.parquet")
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      println(s"scalegen done: $out x$mult")
     } else {
       val df = SparkEntry.queries(args(0))(spark, args(1))
       if (args.length > 2) df.explain("formatted")
