@@ -78,13 +78,20 @@ object DevProbe {
           col("lang"), col("source"), col("n_chars"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      // Replica vectors are FRESH hash-derived pseudo-random vectors,
+      // not perturbations: a shifted copy keeps cosine ~0.7+ to its
+      // original — above near-dup thresholds — so every replica set
+      // would form a mult-wide near-dup cluster and the pair stages
+      // would measure that data artifact, quadratic by construction.
       spark.read.parquet(s"$src/embeddings.parquet")
         .select(col("*"), rep)
         .select(
           (col("vec_id") * mult + col("rep")).as("vec_id"),
-          transform(col("embedding"), (x, j) =>
-            (x + (pmod(col("vec_id") * 31 + j * 17 + col("rep"), lit(101))
-              .cast("float") - 50f) * lit(0.004f)).cast("float")).as("embedding"),
+          when(col("rep") === 0, col("embedding"))
+            .otherwise(transform(col("embedding"), (_, j) =>
+              ((pmod(hash(col("vec_id"), col("rep"), j), lit(201))
+                .cast("float") - 100f) * lit(0.00125f)).cast("float")))
+            .as("embedding"),
           col("label"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")

@@ -80,12 +80,14 @@ object api {
     /** Per-key z-score outliers over an integer-valued column (exact
       * moments commute -> deterministic at any parallelism; the ts15
       * operator generalized). Keeps rows with |z| >= `zMin`, adding a
-      * `z` column. One shuffle (the stats agg); stats broadcast back. */
+      * `z` column. One shuffle (the stats agg); the stats table is
+      * deliberately UNHINTED — it grows with key cardinality, so AQE
+      * broadcasts it back only while it is actually small. */
     def anomalies(keyCol: String, valueCol: String, zMin: Double): DataFrame = {
       val v = col(valueCol).cast("long")
       val stats = df.groupBy(col(keyCol))
         .agg(count(lit(1)).as("_n"), sum(v).as("_s"), sum(v * v).as("_ss"))
-      df.join(broadcast(stats), keyCol)
+      df.join(stats, keyCol)
         .withColumn("_mean", col("_s").cast("double") / col("_n"))
         .withColumn("_var",
           (col("_ss").cast("double") - col("_s").cast("double") * col("_mean")) / col("_n"))

@@ -91,6 +91,12 @@ object Dedup {
       // full O(tokens) shuffle per corpus just to compute a per-doc
       // value. The kernel computes the identical signature at scan
       // speed; the only shuffle left is the tiny block-bucketed join.
+      // Scale note: the 16-bit signature bounds the whole key domain
+      // at 65536 values, so high-byte blocking caps at 256 blocks —
+      // unlike dd05's corpus-sized key space this never needs to be
+      // adaptive, but it means dd03's pair output is only meaningful
+      // below ~10^6 docs; past that the production form is a 64-bit
+      // simhash with 4x16 pigeonhole bands (hamming<=3 guarantee).
       val simhash = Tables.spread(docs(s, d))
         .select(col("doc_id"), simhashSig(col("text")).as("simhash"))
         .withColumn("block", shiftright(col("simhash"), 8))
@@ -108,10 +114,14 @@ object Dedup {
     // verify). Only bucket-mates are ever compared — the verify cost is
     // O(candidates), not O(n^2), which is what survives a 100x scale-up.
     "dd04_ngram_jaccard" -> ((s, d) => {
-      // LSH candidates are tiny by construction — broadcast them so the
-      // shingle-set side streams once and the planner can never pair
-      // sets_a x sets_b into a de-facto cartesian product.
-      val cand = broadcast(candidatePairs(docs(s, d)).select(col("a"), col("b")))
+      // NO broadcast hint on the candidate table: it grows O(corpus)
+      // (~constant pairs per doc), and a hint forces a driver collect
+      // that dies at scale (measured: driver maxResultSize failure on
+      // a 64x blowup). The equi-joins key on the high-cardinality
+      // doc ids, so they shuffle partition-parallel; AQE still
+      // promotes to broadcast whenever the materialized side is
+      // actually small.
+      val cand = candidatePairs(docs(s, d)).select(col("a"), col("b"))
       val sets = Tables.spread(docs(s, d))
         .select(col("doc_id"), tokens(col("text")).as("words"))
         .select(col("doc_id"), array_distinct(shingles(col("words"), 3)).as("sh"))
@@ -142,7 +152,8 @@ object Dedup {
     // candidates. Integer milli math end-to-end; same bucket-bounded
     // join shape as dd04 (never all-pairs).
     "dd08_estimate_audit" -> ((s, d) => {
-      val cand = broadcast(candidatePairs(docs(s, d)))
+      // Candidate table unhinted for the same O(corpus) reason as dd04.
+      val cand = candidatePairs(docs(s, d))
       val sets = Tables.spread(docs(s, d))
         .select(col("doc_id"), tokens(col("text")).as("words"))
         .select(col("doc_id"), array_distinct(shingles(col("words"), 3)).as("sh"))
@@ -301,18 +312,29 @@ object Dedup {
     }),
 
     // Embedding-cosine near-dup, bucket-bounded: candidates come from a
-    // 32-hyperplane signature banded 4x8 (same md5-derived planes the
-    // ss02 ANN path uses), joined on (band, bandkey) — exactly the
-    // two-stage pattern dd02/dd04 apply to text. The round-1 form was
-    // label-blocked all-pairs (O(n²/L)) which dies at 100 TB; here the
-    // pair count is bounded by bucket occupancy and the cosine verify
-    // only ever touches bucket-mates.
+    // hyperplane signature banded 4 x `bits`, joined on (band,
+    // bandkey) — exactly the two-stage pattern dd02/dd04 apply to
+    // text. The round-1 form was label-blocked all-pairs (O(n²/L));
+    // the round-4 discovery is that a FIXED band width is the same
+    // trap one scale later: with 8-bit keys the bucket space is 256
+    // per band forever, occupancy grows n/256, and bucket-mate pairs
+    // grow n² (measured: a 64x corpus blowup produced 28 GB of
+    // candidate shuffle from a 33 MB input). Band width therefore
+    // scales as bits = max(8, ceil(log2(n/64))): occupancy pins at
+    // ~64, the pair stage stays O(n). Wider buckets are NEVER the
+    // recall lever — recall at scale comes from more tables (ss07),
+    // each O(n). The count() that sizes the key space is one
+    // metadata-cheap action; a production catalog would serve it from
+    // table stats.
     "dd05_embed_neardup" -> ((s, d) => {
-      val planes32 = Similarity.planesN(32)
       val e = Tables.spread(Tables(s, d, "embeddings"))
+      val n = e.count()
+      val bits = math.min(24, math.max(8,
+        math.ceil(math.log(math.max(1L, n / 64).toDouble) / math.log(2.0)).toInt))
+      val planes = Similarity.planesN(4 * bits)
       val bandCols = (0 until 4).map { band =>
-        (0 until 8).map { j =>
-          when(dotConst(col("embedding"), planes32(band * 8 + j)) > 0.0,
+        (0 until bits).map { j =>
+          when(dotConst(col("embedding"), planes(band * bits + j)) > 0.0,
             lit(1 << j)).otherwise(lit(0))
         }.reduce(_ + _).cast("int").as(s"bk$band")
       }
@@ -324,9 +346,10 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val x = bands.select(col("vec_id").as("a"), col("band"), col("bkey"))
       val y = bands.select(col("vec_id").as("b"), col("band"), col("bkey"))
-      val cand = broadcast(
+      // Unhinted: the pair table is O(corpus) — see dd04's note.
+      val cand =
         x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
-          .select(col("a"), col("b")).distinct())
+          .select(col("a"), col("b")).distinct()
       e.select(col("vec_id").as("a"), col("embedding").as("ea"))
         .join(cand, "a")
         .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
@@ -342,7 +365,8 @@ object Dedup {
     * pairs where either side is at least `minMilli`/1000 contained in
     * the other. */
   def containmentPairs(docDf: DataFrame, minMilli: Long): DataFrame = {
-    val cand = broadcast(candidatePairs(docDf).select(col("a"), col("b")))
+    // Candidate table unhinted for the same O(corpus) reason as dd04.
+    val cand = candidatePairs(docDf).select(col("a"), col("b"))
     val sets = Tables.spread(docDf)
       .select(col("doc_id"), tokens(col("text")).as("words"))
       .select(col("doc_id"), array_distinct(shingles(col("words"), 3)).as("sh"))

@@ -110,7 +110,10 @@ object Similarity {
         .select(col("cell"), col("vec_id").as("old_id"), col("embedding").as("old_emb"))
       val freshAssigned = assign(fresh)
         .select(col("cell"), col("vec_id"), col("embedding").as("new_emb"))
-      oldCells.join(broadcast(freshAssigned), "cell")
+      // Unhinted: the increment is usually the small side, but "a
+      // day's arrivals" is corpus-shaped, not bounded — AQE broadcasts
+      // it when it is actually small and shuffles on cell otherwise.
+      oldCells.join(freshAssigned, "cell")
         .withColumn("nn_cos", cosine(col("new_emb"), col("old_emb")))
         .groupBy(col("vec_id"), col("cell"))
         .agg(max(struct(col("nn_cos"), (-col("old_id")).as("neg_id"))).as("m"))

@@ -334,7 +334,10 @@ object TimeSeries {
       val stats = e.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"),
           sum(col("value_c") * col("value_c")).as("sumsq_c"))
-      e.join(broadcast(stats), "user_id")
+      // Unhinted: per-key stats grow with key cardinality (billions of
+      // keys at 100 TB) — AQE broadcasts the table only while it is
+      // actually small; otherwise both sides hash on user_id.
+      e.join(stats, "user_id")
         .withColumn("mean_c", expr("CAST(sum_c AS DOUBLE) / n"))
         .withColumn("var_c", expr("(CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * mean_c) / n"))
         .filter(col("var_c") > 0)

@@ -71,6 +71,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"dd05 must never be all-pairs:\n$p")
   }
 
+  test("corpus-proportional tables carry no broadcast hint") {
+    // A broadcast() hint forces a driver-side collect of the hinted
+    // side regardless of its runtime size. For tables that grow with
+    // the corpus — LSH candidate pairs (~constant per doc), per-key
+    // stats (one row per key) — that collect dies at scale (measured:
+    // dd05 failed driver maxResultSize on a 64x corpus blowup before
+    // the hint was removed). These plans must stay hint-free so AQE
+    // decides from the MATERIALIZED size instead.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Seq("dd04_ngram_jaccard", "dd05_embed_neardup", "dd07_containment",
+        "dd08_estimate_audit", "ts15_anomaly", "ss12_incremental_ann").foreach { name =>
+      val lp = SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed
+      val hinted = lp.collect {
+        case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty =>
+          j.simpleString(120)
+      }
+      assert(hinted.isEmpty,
+        s"$name must not hint-broadcast a corpus-proportional table:\n${hinted.mkString("\n")}")
+    }
+  }
+
   test("v13/v16/v17 tensor ops plan zero exchanges before the output sort") {
     // per-row reshape (rank 2, rank 3, and per-row dyn shape) + axis
     // reduces must all fuse into projections over the scan; the only
