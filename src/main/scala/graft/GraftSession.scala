@@ -106,10 +106,64 @@ class GraftSession(val spark: SparkSession, root: String) {
   def maintain(maxFilesPerBucket: Int = 4,
                clusterBy: Seq[String] = Seq.empty): Seq[(String, Seq[Long])] = {
     val done = catalog.list().collect {
-      case (name, "topic") => name -> store.compact(name, maxFilesPerBucket, clusterBy)
+      case (name, "topic") =>
+        // a topic's own registered schedule overrides the session-wide
+        // defaults — maintain() is the manual sweep of the same policy
+        // the publish-path scheduler enforces automatically
+        val (mf, cb) = catalog.compaction(name)
+          .map(p => (p.maxFilesPerBucket, p.clusterBy))
+          .getOrElse((maxFilesPerBucket, clusterBy))
+        name -> store.compact(name, mf, cb)
     }.filter(_._2.nonEmpty)
     catalog.checkpoint()
     done
+  }
+
+  // -- per-topic compaction scheduling (reference: per-table
+  //    TableConfig, ella-engine/src/table/config.rs:1-25, drives the
+  //    background compaction in table/topic/shard/compact.rs as
+  //    shards seal — compaction is a property OF the table, not a
+  //    global cron) --
+
+  /** Appends since the last scheduled compaction check, per topic.
+    * Session-local by design: the cadence counter is a rate limiter,
+    * not state worth persisting — after a restart the first due check
+    * simply happens up to `everyAppends` publishes later, and the
+    * compaction pass itself is idempotent (sealed compact buckets are
+    * never rewritten). */
+  private val appendsSinceCheck =
+    scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+
+  /** Register a durable compaction schedule for a topic: after every
+    * `everyAppends` publishes the topic's over-fragmented buckets
+    * (more than `maxFilesPerBucket` files) are rewritten, clustered on
+    * `clusterBy` when given. The policy lives in the catalog manifest,
+    * so it survives restarts and is honored by BOTH the publish path
+    * and [[maintain]]. */
+  def setCompaction(name: String, everyAppends: Int,
+                    maxFilesPerBucket: Int = 4,
+                    clusterBy: Seq[String] = Seq.empty): Unit =
+    catalog.setCompaction(name,
+      graft.sources.CompactionPolicy(everyAppends, maxFilesPerBucket, clusterBy))
+
+  /** Run a topic's scheduled compaction if its cadence says it is due.
+    * Returns the compacted buckets (empty when not due or nothing to
+    * do). Called from [[publish]]; exposed for sinks that append via
+    * the store directly (e.g. a foreachBatch writer). */
+  def compactIfDue(name: String): Seq[Long] = {
+    val fqn = catalog.resolve(name)
+    catalog.compaction(fqn) match {
+      case Some(p) =>
+        val n = appendsSinceCheck(fqn) + 1
+        if (n >= p.everyAppends) {
+          appendsSinceCheck(fqn) = 0
+          store.compact(fqn, p.maxFilesPerBucket, p.clusterBy)
+        } else {
+          appendsSinceCheck(fqn) = n
+          Seq.empty
+        }
+      case None => Seq.empty
+    }
   }
 
   /** Graceful shutdown (ella.rs:71 `shutdown`): compact the catalog's
@@ -162,6 +216,7 @@ class GraftSession(val spark: SparkSession, root: String) {
   def publish(name: String, df: DataFrame, tsCol: String = "time"): Unit = {
     if (!catalog.contains(name)) createTopic(name)
     store.append(catalog.resolve(name), df, tsCol)
+    compactIfDue(name)
   }
 
   /** Streaming tail of a topic — ella's `time > now()` query mode

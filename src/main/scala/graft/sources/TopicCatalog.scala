@@ -33,11 +33,30 @@ import scala.collection.mutable
   * on the Spark classpath), so view SQL containing quotes, newlines,
   * or any other escape survives a reload byte-for-byte.
   */
+/** Per-topic compaction schedule — the counterpart of the reference's
+  * per-table `TableConfig` (ella-engine/src/table/config.rs:1-25:
+  * `min_shard_size` / `target_shard_size` decide when sealing shards
+  * are rewritten by `shard/compact.rs`). Durable in the catalog
+  * manifest, so the schedule survives restarts with the topic.
+  *
+  * `everyAppends`: run a compaction check after this many publishes
+  * (the cadence — checking on every append would re-list every bucket
+  * of a 100 TB topic for each micro-append). `maxFilesPerBucket` /
+  * `clusterBy` parameterize the [[TopicStore.compact]] pass itself. */
+case class CompactionPolicy(everyAppends: Int,
+                            maxFilesPerBucket: Int = 4,
+                            clusterBy: Seq[String] = Seq.empty) {
+  require(everyAppends > 0, "everyAppends must be positive")
+}
+
 class TopicCatalog(spark: SparkSession, root: String,
                    defaultCatalog: String = "ella", defaultSchema: String = "public") {
 
   sealed trait Entry { def kind: String }
-  case class Topic(path: String) extends Entry { val kind = "topic" }
+  case class Topic(path: String,
+                   compaction: Option[CompactionPolicy] = None) extends Entry {
+    val kind = "topic"
+  }
   /** Session-scoped topic: lives only in this catalog instance, never
     * written to the manifest. */
   case class TempTopic(df: DataFrame) extends Entry { val kind = "temp_topic" }
@@ -180,6 +199,26 @@ class TopicCatalog(spark: SparkSession, root: String,
   def createTempTopic(ref: String, df: DataFrame): Unit =
     entries(resolve(ref)) = TempTopic(df)
 
+  /** Attach (or replace) a durable compaction schedule on a topic —
+    * the reference's per-table config mutation (`TableConfig` builder
+    * methods, ella-engine/src/table/config.rs:27-45). Committed
+    * through the same tx log as any other catalog mutation. */
+  def setCompaction(ref: String, policy: CompactionPolicy): Unit = {
+    val fqn = resolve(ref)
+    entries.get(fqn) match {
+      case Some(t: Topic) =>
+        entries(fqn) = t.copy(compaction = Some(policy))
+        commit("put", fqn, Some(entries(fqn)))
+      case Some(e) =>
+        throw new IllegalStateException(s"$fqn is a ${e.kind}, not a topic")
+      case None => throw new NoSuchElementException(s"topic not found: $fqn")
+    }
+  }
+
+  /** The registered compaction schedule, if any. */
+  def compaction(ref: String): Option[CompactionPolicy] =
+    entries.get(resolve(ref)).collect { case Topic(_, Some(p)) => p }
+
   def createView(ref: String, sql: String): Unit = {
     entries(resolve(ref)) = View(sql, None)
     commit("put", resolve(ref), Some(entries(resolve(ref))))
@@ -205,7 +244,7 @@ class TopicCatalog(spark: SparkSession, root: String,
   /** Scan a table: topic => parquet read; temp topic => its plan;
     * view => run the SQL (or read the materialization). */
   def table(ref: String): DataFrame = entries(resolve(ref)) match {
-    case Topic(path) => spark.read.parquet(path)
+    case Topic(path, _) => spark.read.parquet(path)
     case TempTopic(df) => df
     case View(sql, None) => spark.sql(sql)
     case View(_, Some(path)) => spark.read.parquet(path)
@@ -220,7 +259,15 @@ class TopicCatalog(spark: SparkSession, root: String,
   private lazy val mapper = new ObjectMapper()
 
   private def entryFields(o: ObjectNode, e: Entry): Unit = e match {
-    case Topic(p) => o.put("kind", "topic"); o.put("path", p)
+    case Topic(p, pol) =>
+      o.put("kind", "topic"); o.put("path", p)
+      pol.foreach { c =>
+        val cn = o.putObject("compaction")
+        cn.put("everyAppends", c.everyAppends)
+        cn.put("maxFilesPerBucket", c.maxFilesPerBucket)
+        val arr = cn.putArray("clusterBy")
+        c.clusterBy.foreach(arr.add)
+      }
     case View(sql, mp) =>
       o.put("kind", "view"); o.put("sql", sql); mp.foreach(o.put("path", _))
     case Namespace => o.put("kind", "namespace"); ()
@@ -230,7 +277,15 @@ class TopicCatalog(spark: SparkSession, root: String,
 
   private def applyNode(name: String, node: JsonNode): Unit =
     node.path("kind").asText() match {
-      case "topic" => entries(name) = Topic(node.path("path").asText())
+      case "topic" =>
+        val pol = Option(node.get("compaction")).map { c =>
+          val cb = Option(c.get("clusterBy")).map { a =>
+            (0 until a.size()).map(a.get(_).asText())
+          }.getOrElse(Seq.empty)
+          CompactionPolicy(c.path("everyAppends").asInt(),
+            c.path("maxFilesPerBucket").asInt(4), cb)
+        }
+        entries(name) = Topic(node.path("path").asText(), pol)
       case "view" =>
         val mp = Option(node.get("path")).map(_.asText())
         entries(name) = View(node.path("sql").asText(), mp)

@@ -167,6 +167,39 @@ object TopicStream {
       .select(col("doc_id"), col("ts"))
       .dropDuplicatesWithinWatermark("doc_id")
 
+  /** Streaming split-leakage audit — px05 in streaming form: each
+    * arriving HELD-OUT doc (a val/test candidate entering the eval
+    * pool) is checked for any shared word 5-gram with the TRAIN
+    * split's gram fingerprint topic, and contaminated docs emit
+    * exactly once via the watermark-bounded dedup.
+    *
+    * The shape deliberately differs from [[decontamStream]]: tx11's
+    * benchmark set is tiny so it broadcasts, but the train fingerprint
+    * side here is ~90% of the corpus — hinting it broadcast would
+    * force a driver collect of a corpus-sized table (the exact defect
+    * measured and removed from dd04/dd05, see BASELINE.md r4 notes).
+    * Unhinted, the per-batch join shuffles the SMALL side (one
+    * micro-batch of exploded grams) against the gram-keyed static
+    * side; the static side is re-planned each batch, so fingerprints
+    * appended between batches are picked up. At 100 TB the fingerprint
+    * topic is stored gram-hash-clustered (compaction `clusterBy` on
+    * `gram`), so each batch's probe prunes row groups instead of
+    * re-scanning the full set. State is only the doc-id dedup:
+    * O(arrivals per watermark window), never the corpus.
+    *
+    * `trainGrams` must have a `gram` column (built by the batch px05
+    * gram pipeline, e.g. persisted via a TopicStore fingerprint
+    * topic). */
+  def leakageAuditStream(docs: DataFrame, trainGrams: DataFrame,
+                         watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.operators.Curation.grams5(split(lower(col("text")), " "))).as("gram"))
+      .join(trainGrams.select(col("gram")).distinct(), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("ts"))
+      .dropDuplicatesWithinWatermark("doc_id")
+
   /** Streaming windowed vocabulary — tx12 in streaming form: per
     * (window, word) counts over arriving docs, watermark-bounded
     * state, update mode (each micro-batch emits revised counts for

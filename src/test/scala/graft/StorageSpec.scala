@@ -258,6 +258,41 @@ class StorageSpec extends SparkSpec {
     assert(gs.maintain(maxFilesPerBucket = 4).isEmpty)
   }
 
+  test("per-topic compaction schedule triggers from the publish path and survives restart") {
+    import spark.implicits._
+    val root = tmp()
+    val gs = new GraftSession(spark, root)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    def one(i: Int) = Seq((i.toLong, t0, i.toDouble)).toDF("key", "time", "v")
+    def files(): Int = new java.io.File(s"$root/topics/ella.public.hot/bucket=1699999200")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+
+    gs.createTopic("hot")
+    gs.setCompaction("hot", everyAppends = 3, maxFilesPerBucket = 2)
+    gs.publish("hot", one(1)); gs.publish("hot", one(2))
+    assert(files() == 2, "not due yet: appends accumulate as separate files")
+    gs.publish("hot", one(3)) // 3rd publish: cadence due, bucket has 3 > 2 files
+    assert(files() == 1, "scheduled compaction must rewrite the fragmented bucket")
+    assert(gs.table("hot").select("key").as[Long].collect().sorted.sameElements(Array(1L, 2L, 3L)))
+
+    // the policy is durable: a fresh session on the same root enforces it
+    gs.shutdown()
+    val gs2 = new GraftSession(spark, root)
+    assert(gs2.catalog.compaction("hot").exists(_.everyAppends == 3),
+      "compaction policy must survive a catalog reload")
+    (4 to 6).foreach(i => gs2.publish("hot", one(i)))
+    assert(files() == 1, "reloaded schedule must still trigger on the 3rd publish")
+    assert(gs2.table("hot").count() == 6)
+
+    // maintain() honors the topic's own policy over the session default:
+    // threshold 2 from the policy beats the permissive argument
+    gs2.publish("hot", one(7)); gs2.publish("hot", one(8)) // 2 loose files + 1 compact
+    val done = gs2.maintain(maxFilesPerBucket = 100)
+    assert(done.exists(_._1.endsWith("hot")),
+      s"maintain must apply the topic's maxFilesPerBucket=2, got $done")
+    assert(files() == 1)
+  }
+
   test("GraftSession facade: publish + query by name") {
     val gs = new GraftSession(spark, tmp())
     gs.publish("readings", sampleEvents(20))

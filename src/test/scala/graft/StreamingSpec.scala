@@ -286,6 +286,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming leakage audit flags train-overlapping arrivals without broadcasting the train side") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // the train split's gram fingerprints: corpus-sized in production,
+    // so the audit must NOT hint-broadcast it
+    val trainGrams = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "one two three four five six seven").toDF("text")
+      .select(explode(graft.operators.Curation.grams5(
+        split(lower(col("text")), " "))).as("gram"))
+    val input = MemoryStream[StreamDoc]
+    val audited = TopicStream.leakageAuditStream(input.toDF(), trainGrams, "10 minutes")
+    // scale guard: the train-side join carries no broadcast hint (the
+    // same corpus-proportional-table rule PlanSpec pins for dd04/dd05)
+    val hinted = audited.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+    }
+    assert(hinted.isEmpty, "leakage audit must not hint-broadcast the train gram set")
+    val q = audited.writeStream.format("memory").queryName("leakage")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // shares "beta gamma delta epsilon zeta" with train
+        StreamDoc(1, ts("2024-01-01 00:00:00"), "intro beta gamma delta epsilon zeta outro", "en"),
+        // clean: no 5-gram overlap
+        StreamDoc(2, ts("2024-01-01 00:01:00"), "completely fresh held out document body", "en"),
+        // too short for any 5-gram: leak-free by construction
+        StreamDoc(3, ts("2024-01-01 00:02:00"), "tiny doc", "en"))
+      q.processAllAvailable()
+      // a replayed contaminated doc inside the watermark emits only once
+      input.addData(
+        StreamDoc(1, ts("2024-01-01 00:03:00"), "intro beta gamma delta epsilon zeta outro", "en"),
+        // second batch arrival overlapping the OTHER train doc
+        StreamDoc(4, ts("2024-01-01 00:04:00"), "padding three four five six seven close", "en"))
+      q.processAllAvailable()
+      val flagged = spark.table("leakage").select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(flagged == Seq(1L, 4L),
+        s"expected docs 1 and 4 flagged exactly once, got $flagged")
+    } finally q.stop()
+  }
+
   test("streaming vocab revises per-window word counts across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
