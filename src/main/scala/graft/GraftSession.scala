@@ -130,9 +130,12 @@ class GraftSession(val spark: SparkSession, root: String) {
     * not state worth persisting — after a restart the first due check
     * simply happens up to `everyAppends` publishes later, and the
     * compaction pass itself is idempotent (sealed compact buckets are
-    * never rewritten). */
+    * never rewritten). ConcurrentHashMap because publish() is called
+    * from streaming micro-batch threads (foreachBatch sinks) as well
+    * as the interactive session — a plain mutable.Map would lose
+    * increments (cadence drift) or corrupt under concurrent rehash. */
   private val appendsSinceCheck =
-    scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Register a durable compaction schedule for a topic: after every
     * `everyAppends` publishes the topic's over-fragmented buckets
@@ -154,14 +157,14 @@ class GraftSession(val spark: SparkSession, root: String) {
     val fqn = catalog.resolve(name)
     catalog.compaction(fqn) match {
       case Some(p) =>
-        val n = appendsSinceCheck(fqn) + 1
-        if (n >= p.everyAppends) {
-          appendsSinceCheck(fqn) = 0
-          store.compact(fqn, p.maxFilesPerBucket, p.clusterBy)
-        } else {
-          appendsSinceCheck(fqn) = n
-          Seq.empty
-        }
+        // atomic bump-and-wrap: the counter wraps to 0 exactly when the
+        // cadence is due, so concurrent publishers elect one compactor
+        val due = appendsSinceCheck.compute(fqn, (_, v) => {
+          val n = (if (v == null) 0 else v.intValue) + 1
+          if (n >= p.everyAppends) 0 else n
+        }) == 0
+        if (due) store.compact(fqn, p.maxFilesPerBucket, p.clusterBy)
+        else Seq.empty
       case None => Seq.empty
     }
   }

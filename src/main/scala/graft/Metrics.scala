@@ -31,23 +31,28 @@ object Metrics {
       maxTaskShuffleReadRecords: Long,
       diskBytesSpilled: Long,
       memoryBytesSpilled: Long,
-      executorRunTimeMs: Long) {
+      executorRunTimeMs: Long,
+      /** Max single-task share of its OWN STAGE's shuffle-read volume,
+        * in parts-per-1000, maximized over stages. 1000/tasks-ish =
+        * balanced; near 1000 = ONE task absorbed its stage's whole
+        * shuffle — the skew signal that kills a stage at 100 TB.
+        * Per-stage on purpose: a multi-stage query (some plan 10+
+        * exchanges) dividing one stage's max task by the SUM across
+        * all stages would report a fatally skewed stage as balanced
+        * whenever other stages dominate volume. */
+      shuffleSkewMilli: Long) {
     /** Records-crossing-the-wire per input record, in parts-per-1000
       * (0 = zero-shuffle; small = good map-side combine). */
     def shuffleAmplificationMilli: Long =
       if (inputRecords == 0) 0L else shuffleRecordsWritten * 1000L / inputRecords
-    /** Max single-task share of the shuffle-read volume, in
-      * parts-per-1000. 1000/tasks-ish = balanced; near 1000 = ONE
-      * task absorbed the whole shuffle — the skew signal that kills
-      * a stage at 100 TB. */
-    def shuffleSkewMilli: Long =
-      if (shuffleRecordsRead == 0) 0L
-      else maxTaskShuffleReadRecords * 1000L / shuffleRecordsRead
   }
 
   private final class Collector extends SparkListener {
     val tasks = new AtomicInteger
     val inRec, inBytes, swRec, swBytes, srBytes, srRec, maxSrRec, diskSpill, memSpill, runMs = new AtomicLong
+    // per-stage (total, max-task) shuffle-read records — skew must be
+    // judged within a stage, not across the whole action
+    val stageSr = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -59,10 +64,20 @@ object Metrics {
         srBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         srRec.addAndGet(m.shuffleReadMetrics.recordsRead)
         maxSrRec.accumulateAndGet(m.shuffleReadMetrics.recordsRead, Math.max(_, _))
+        val r = m.shuffleReadMetrics.recordsRead
+        if (r > 0) stageSr.merge(t.stageId, (r, r),
+          (a, b) => (a._1 + b._1, Math.max(a._2, b._2)))
         diskSpill.addAndGet(m.diskBytesSpilled)
         memSpill.addAndGet(m.memoryBytesSpilled)
         runMs.addAndGet(m.executorRunTime)
       }
+    }
+    def stageSkewMilli: Long = {
+      var worst = 0L
+      stageSr.values.forEach { case (tot, mx) =>
+        if (tot > 0) worst = Math.max(worst, mx * 1000L / tot)
+      }
+      worst
     }
   }
 
@@ -100,8 +115,15 @@ object Metrics {
 
   /** Accumulating [[org.apache.spark.sql.streaming.StreamingQueryListener]]:
     * attach with [[monitorStreams]], read `progress` / `overloaded`
-    * any time, detach with [[stopMonitoring]]. */
-  final class StreamMonitor extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    * any time, detach with [[stopMonitoring]].
+    *
+    * The buffer is a RING of the most recent `maxBatches` entries —
+    * the reference's load monitor is a gauge, not an ever-growing
+    * log, and a long-lived serve process with a short trigger
+    * interval would otherwise accumulate one entry per batch on the
+    * driver until it OOMs (1 s triggers ≈ 86k entries/day). */
+  final class StreamMonitor(maxBatches: Int = 4096)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     private val buf = new java.util.concurrent.ConcurrentLinkedQueue[BatchProgress]()
     def progress: Seq[BatchProgress] = {
@@ -110,11 +132,15 @@ object Metrics {
       b.result()
     }
     def overloaded: Seq[BatchProgress] = progress.filter(_.overloaded)
+    private[graft] def record(p: BatchProgress): Unit = {
+      buf.add(p)
+      while (buf.size > maxBatches) buf.poll()
+    }
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       val p = e.progress
-      buf.add(BatchProgress(
+      record(BatchProgress(
         Option(p.name).getOrElse(""),
         p.batchId,
         p.numInputRows,
@@ -149,7 +175,8 @@ object Metrics {
         c.tasks.get(), c.inRec.get(), c.inBytes.get(),
         c.swRec.get(), c.swBytes.get(), c.srBytes.get(),
         c.srRec.get(), c.maxSrRec.get(),
-        c.diskSpill.get(), c.memSpill.get(), c.runMs.get()))
+        c.diskSpill.get(), c.memSpill.get(), c.runMs.get(),
+        c.stageSkewMilli))
     } finally spark.sparkContext.removeSparkListener(c)
   }
 }

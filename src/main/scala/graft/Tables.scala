@@ -32,7 +32,11 @@ object Tables {
     * The `df.rdd.getNumPartitions` probe forces an extra physical
     * planning of the frame, so its verdict is memoized per (session,
     * canonicalized scan): each table pays the probe once per session,
-    * and every later `spread` on the same scan is plan-free.
+    * and every later `spread` on the same scan is plan-free. The
+    * verdict is deliberately NOT invalidated when the table grows
+    * mid-session — probe-once-per-session is the point; a session
+    * watching a growing topic re-opens to re-probe (and at cluster
+    * scale the verdict is always "no repartition" anyway).
     */
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -40,9 +44,18 @@ object Tables {
     if (!auto) df
     else {
       val target = spark.sparkContext.defaultParallelism
-      // semanticHash normalizes expression ids, so every fresh read of
-      // the same parquet path keys to the same decision.
-      val key = (spark, df.queryExecution.analyzed.semanticHash())
+      // Key: a session tag (a conf string — never pins the
+      // SparkSession object in this process-wide map) + the FULL
+      // canonicalized plan text
+      // (expression ids normalized, so every fresh read of the same
+      // parquet path keys to the same decision; a 32-bit semanticHash
+      // alone could collide two different scans into one verdict).
+      val tag = spark.conf.getOption("graft.sessionTag").getOrElse {
+        val t = java.util.UUID.randomUUID().toString
+        spark.conf.set("graft.sessionTag", t); t
+      }
+      val key = tag + " " + df.queryExecution.analyzed.canonicalized.toString
+      if (spreadDecision.size() > 4096) spreadDecision.clear()
       val needs = spreadDecision.computeIfAbsent(key,
         _ => java.lang.Boolean.valueOf(df.rdd.getNumPartitions < target))
       if (needs) df.repartition(target) else df
@@ -50,7 +63,7 @@ object Tables {
   }
 
   private val spreadDecision =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   private[graft] def spreadProbeCount: Int = spreadDecision.size()
 

@@ -47,20 +47,31 @@ object GroupPrefix {
     */
   def groupPrefix(df: DataFrame, group: String, order: Seq[String],
                   value: Option[String] = None,
-                  rnName: String = "rn", cumName: String = "cum0"): DataFrame =
-    groupPrefixC(df, group, order.map(col), value, rnName, cumName)
+                  rnName: String = "rn", cumName: String = "cum0",
+                  onCache: DataFrame => Unit = _ => ()): DataFrame =
+    groupPrefixC(df, group, order.map(col), value, rnName, cumName, onCache)
 
   /** [[groupPrefix]] with arbitrary order expressions (e.g. `desc`
-    * keys); the last key must still make the order total. */
+    * keys); the last key must still make the order total.
+    *
+    * `onCache` receives the internal persisted frame so LOOPING
+    * callers (a foreachBatch sink calling this per micro-batch) can
+    * unpersist it once their actions complete — without a release, a
+    * continuous stream pins one cached corpus slice per batch until
+    * the executor storage fills. One-shot query builders can ignore
+    * it: their single cache entry lives for the query like any other
+    * operator cache. */
   def groupPrefixC(df: DataFrame, group: String, order: Seq[Column],
                    value: Option[String] = None,
-                   rnName: String = "rn", cumName: String = "cum0"): DataFrame = {
+                   rnName: String = "rn", cumName: String = "cum0",
+                   onCache: DataFrame => Unit = _ => ()): DataFrame = {
     val parts = math.max(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1)
     val keys: Seq[Column] = col(group) +: order
     val ranged = df.repartitionByRange(parts, keys: _*)
       .withColumn("_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onCache(ranged)
     val offW = Window.partitionBy(col(group)).orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val aggs = count(lit(1)).as("_n") +:
@@ -75,11 +86,31 @@ object GroupPrefix {
     val intra = Window.partitionBy(col(group), col("_pid"))
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // rn stays LONG: _off_n is a running row count, and a single group
+    // beyond ~2.1B rows (a few TB of docs — squarely the target scale)
+    // would wrap an int position negative, silently passing every
+    // rank-vs-budget filter downstream. Callers that expose a
+    // position cast at their own (bounded) output edge.
     val joined = ranged.join(broadcast(offsets), Seq(group, "_pid"))
-      .withColumn(rnName, (col("_off_n") + row_number().over(intra)).cast("int"))
+      .withColumn(rnName, col("_off_n") + row_number().over(intra))
     value.fold(joined)(v => joined.withColumn(cumName,
         col("_off_t") + sum(col(v).cast("long")).over(intra) - col(v).cast("long")))
       .drop("_pid", "_off_n", "_off_t")
   }
+
+  /** NTILE(`buckets`) in closed form over a 1-based per-group position
+    * `rn` with per-group size columns `qSz` = n DIV buckets and
+    * `qRem` = n % buckets: the first `qRem` buckets take `qSz`+1 rows
+    * (big-buckets-first, exactly NTILE's fill). Shared by q23 and
+    * tx14 — the arithmetic is off-by-one-sensitive, so it lives in
+    * ONE place. Integer DIV only; when n < buckets, qSz = 0 and every
+    * row lands in the first branch (rn <= qRem * 1), so the
+    * zero-divisor else branch is unreachable. */
+  def ntileExpr(buckets: Int, rn: String = "rn",
+                qSz: String = "q_sz", qRem: String = "q_rem"): Column = expr(
+    s"""CAST(CASE WHEN $rn <= $qRem * ($qSz + 1)
+       |     THEN ($rn - 1) DIV ($qSz + 1) + 1
+       |     ELSE $qRem + ($rn - $qRem * ($qSz + 1) - 1) DIV $qSz + 1
+       |     END AS INT)""".stripMargin)
 
 }

@@ -267,11 +267,7 @@ object Curation {
       ranked.join(broadcast(counts), "source")
         .withColumn("q_sz", expr("CAST(n DIV 4 AS INT)"))
         .withColumn("q_rem", expr("CAST(n % 4 AS INT)"))
-        .withColumn("quartile", expr(
-          """CAST(CASE WHEN rn <= q_rem * (q_sz + 1)
-            |     THEN (rn - 1) DIV (q_sz + 1) + 1
-            |     ELSE q_rem + (rn - q_rem * (q_sz + 1) - 1) DIV q_sz + 1
-            |     END AS INT)""".stripMargin))
+        .withColumn("quartile", graft.functions.GroupPrefix.ntileExpr(4))
         .groupBy(col("source"), col("quartile"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("lm_score_ppm")).as("lo_ppm"),

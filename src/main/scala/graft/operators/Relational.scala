@@ -292,11 +292,7 @@ object Relational {
       ranked.join(broadcast(counts), "o_orderpriority")
         .withColumn("q_sz", expr("CAST(n DIV 4 AS INT)"))
         .withColumn("q_rem", expr("CAST(n % 4 AS INT)"))
-        .withColumn("quartile", expr(
-          """CAST(CASE WHEN rn <= q_rem * (q_sz + 1)
-            |     THEN (rn - 1) DIV (q_sz + 1) + 1
-            |     ELSE q_rem + (rn - q_rem * (q_sz + 1) - 1) DIV q_sz + 1
-            |     END AS INT)""".stripMargin))
+        .withColumn("quartile", graft.functions.GroupPrefix.ntileExpr(4))
         .withColumn("pr", when(col("n") === 1, lit(0.0))
           .otherwise((col("rn") - 1).cast("double") / (col("n") - 1).cast("double")))
         .withColumn("cd", col("rn").cast("double") / col("n").cast("double"))

@@ -155,12 +155,35 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
 
   /** Crash-recoverable directory swap: `dir` -> `.old_` aside, `tmp`
     * -> `dir`, delete aside. Every intermediate state keeps one full
-    * copy of the data on disk. */
-  private def swapDir(fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dir: Path): Unit = {
+    * copy of the data on disk — and because Hadoop FileSystems report
+    * failure by RETURNING FALSE from rename (not throwing), each step
+    * is checked: an unchecked failed second rename followed by the
+    * aside delete would remove the only surviving copy. On a failed
+    * swap-in the aside copy is renamed back, so a FAILED (not crashed)
+    * swap leaves the topic exactly as it was. */
+  private[graft] def swapDir(fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dir: Path): Unit = {
     val aside = new Path(dir.getParent, s".old_${dir.getName}")
     if (fs.exists(aside)) fs.delete(aside, true)
-    fs.rename(dir, aside)
-    fs.rename(tmp, dir)
+    if (!fs.rename(dir, aside))
+      throw new java.io.IOException(
+        s"directory swap: could not move $dir aside; topic left untouched")
+    // some FileSystems signal a failed rename by returning false,
+    // others (e.g. local) by throwing — restore the aside copy on both
+    val movedIn =
+      try fs.rename(tmp, dir)
+      catch {
+        case e: java.io.IOException =>
+          val restored = fs.rename(aside, dir)
+          throw new java.io.IOException(
+            s"directory swap: could not move $tmp into place; original " +
+              (if (restored) "restored" else s"preserved at $aside"), e)
+      }
+    if (!movedIn) {
+      val restored = fs.rename(aside, dir)
+      throw new java.io.IOException(
+        s"directory swap: could not move $tmp into place; original " +
+          (if (restored) "restored" else s"preserved at $aside"))
+    }
     fs.delete(aside, true)
   }
 

@@ -276,8 +276,13 @@ object TopicStream {
     val statePath = new org.apache.hadoop.fs.Path(store.topicPath(stateTopic))
     val hasState =
       statePath.getFileSystem(sp.sparkContext.hadoopConfiguration).exists(statePath)
+    // capture GroupPrefix's internal cache so this batch's slice can
+    // be released at the end — a continuous stream otherwise pins one
+    // cached batch per trigger until executor storage fills
+    var prefixCache: Option[DataFrame] = None
     val prefixed = graft.functions.GroupPrefix.groupPrefix(
-      batch, "source", Seq("doc_id"), Some("tok_cnt"))
+      batch, "source", Seq("doc_id"), Some("tok_cnt"),
+      onCache = c => prefixCache = Some(c))
     val based =
       if (hasState) {
         val offsets = store.readMergedAsOf(stateTopic, "source", batchId - 1)
@@ -302,6 +307,7 @@ object TopicStream {
       .agg((first(col("_base")) + sum(col("tok_cnt"))).as("admitted_tokens"))
     store.upsert(stateTopic, newState.withColumn("time", ts), "time", seq = batchId)
     admitted.unpersist()
+    prefixCache.foreach(_.unpersist())
   }
 
   /** [[packBatchIncrement]] as a continuous stream: start the returned

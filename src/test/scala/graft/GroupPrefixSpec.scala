@@ -57,6 +57,23 @@ class GroupPrefixSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("positions are LONG and the internal cache is released via onCache") {
+    // int positions wrap negative past ~2.1B rows per group — exactly
+    // the regime the two-phase form exists for — so rn must be long
+    val df = mkDf(50, 2, 3)
+    var cached: Option[org.apache.spark.sql.DataFrame] = None
+    val got = GroupPrefix.groupPrefix(df, "g", Seq("h", "id"), Some("v"),
+      onCache = c => cached = Some(c))
+    assert(got.schema("rn").dataType == org.apache.spark.sql.types.LongType,
+      s"rn must be long, got ${got.schema("rn").dataType}")
+    assert(got.schema("cum0").dataType == org.apache.spark.sql.types.LongType)
+    got.count()
+    assert(cached.isDefined, "onCache must receive the internal persisted frame")
+    assert(cached.get.storageLevel.useMemory, "frame should be persisted after use")
+    cached.get.unpersist(blocking = true)
+    assert(!cached.get.storageLevel.useMemory, "caller can release the cache")
+  }
+
   test("groupPrefix never plans a whole-group window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate}
     val got = GroupPrefix.groupPrefix(mkDf(100, 2, 9), "g", Seq("h", "id"), Some("v"))

@@ -123,4 +123,16 @@ class MetricsSpec extends SparkSpec {
       Metrics.stopMonitoring(spark, mon)
     }
   }
+
+  test("stream monitor is a bounded ring, not an ever-growing log") {
+    // a long-lived serve process with 1s triggers would otherwise hold
+    // ~86k BatchProgress entries per day on the driver
+    val mon = new Metrics.StreamMonitor(maxBatches = 3)
+    def bp(id: Long) = Metrics.BatchProgress(
+      "q", id, 1L, 1.0, 1.0, 1L, "2024-01-01T00:00:00.000Z", None)
+    (1L to 10L).foreach(i => mon.record(bp(i)))
+    val ids = mon.progress.map(_.batchId)
+    assert(ids == Seq(8L, 9L, 10L),
+      s"ring must keep only the newest maxBatches entries, got $ids")
+  }
 }

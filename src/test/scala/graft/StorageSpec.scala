@@ -258,6 +258,25 @@ class StorageSpec extends SparkSpec {
     assert(gs.maintain(maxFilesPerBucket = 4).isEmpty)
   }
 
+  test("a FAILED (not crashed) directory swap restores the original topic") {
+    // Hadoop FileSystem.rename reports failure by returning false, not
+    // throwing; an unchecked second rename + aside delete would remove
+    // the only surviving copy of the topic.
+    val root = tmp()
+    val store = new TopicStore(spark, root, bucketMinutes = 60)
+    store.append("ts", sampleEvents(10))
+    val before = store.read("ts").orderBy("id").collect()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(store.topicPath("ts"))
+    val missingTmp = new org.apache.hadoop.fs.Path(root, ".merge_nonexistent")
+    val ex = intercept[java.io.IOException](store.swapDir(fs, missingTmp, dir))
+    assert(ex.getMessage.contains("could not move"), ex.getMessage)
+    assert(fs.exists(dir), "failed swap must leave the topic directory in place")
+    assert(store.read("ts").orderBy("id").collect().sameElements(before),
+      "failed swap must leave the topic data untouched")
+  }
+
   test("per-topic compaction schedule triggers from the publish path and survives restart") {
     import spark.implicits._
     val root = tmp()

@@ -183,12 +183,17 @@ class StreamingSpec extends SparkSpec {
     assert(packed() == expected, "must match the flatMapGroupsWithState packer exactly")
     // replay: re-running batch 1 against the state topic must not
     // double-count — the as-of read sees only pre-batch-1 state
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     TopicStream.packBatchIncrement(store, "packed_out", "packed_state", 100L, 40L)(
       batch2.toDF(), 1L)
     assert(packed() == expected, "a replayed micro-batch must be a no-op on the merged view")
     assert(store.readMerged("packed_state", "source")
       .select("source", "admitted_tokens").as[(String, Long)].collect().toSet ==
       Set(("srcA", 120L), ("srcB", 80L)), "offsets must not advance on replay")
+    // the per-batch GroupPrefix cache must be RELEASED: a continuous
+    // stream would otherwise pin one cached batch slice per trigger
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore,
+      "packBatchIncrement must not leak a persisted RDD per batch")
   }
 
   test("streaming anomaly detector flags spikes against the prior baseline only") {
