@@ -33,13 +33,16 @@ object Metrics {
       memoryBytesSpilled: Long,
       executorRunTimeMs: Long,
       /** Max single-task share of its OWN STAGE's shuffle-read volume,
-        * in parts-per-1000, maximized over stages. 1000/tasks-ish =
-        * balanced; near 1000 = ONE task absorbed its stage's whole
-        * shuffle — the skew signal that kills a stage at 100 TB.
-        * Per-stage on purpose: a multi-stage query (some plan 10+
-        * exchanges) dividing one stage's max task by the SUM across
-        * all stages would report a fatally skewed stage as balanced
-        * whenever other stages dominate volume. */
+        * in parts-per-1000, maximized over MATERIAL stages (those
+        * carrying >= 5% of the action's shuffle-read records AND >=
+        * 1000 records). 1000/tasks-ish = balanced; near 1000 = ONE
+        * task absorbed its stage's whole shuffle — the skew signal
+        * that kills a stage at 100 TB. Per-stage because dividing one
+        * stage's max task by the SUM across all stages reads a
+        * fatally skewed stage as balanced in multi-exchange queries;
+        * material-only because every query ends in some tiny
+        * single-task stage (a 6-row final sort is 1000 per-mille
+        * "skewed" and means nothing). */
       shuffleSkewMilli: Long) {
     /** Records-crossing-the-wire per input record, in parts-per-1000
       * (0 = zero-shuffle; small = good map-side combine). */
@@ -72,10 +75,18 @@ object Metrics {
         runMs.addAndGet(m.executorRunTime)
       }
     }
+    def stageBreakdown: Seq[(Int, Long, Long)] = {
+      val b = Seq.newBuilder[(Int, Long, Long)]
+      stageSr.forEach((id, v) => b += ((id, v._1, v._2)))
+      b.result().sortBy(_._1)
+    }
     def stageSkewMilli: Long = {
+      var grand = 0L
+      stageSr.values.forEach { case (tot, _) => grand += tot }
+      val floor = Math.max(grand / 20, 1000L)
       var worst = 0L
       stageSr.values.forEach { case (tot, mx) =>
-        if (tot > 0) worst = Math.max(worst, mx * 1000L / tot)
+        if (tot >= floor) worst = Math.max(worst, mx * 1000L / tot)
       }
       worst
     }
