@@ -577,7 +577,7 @@ object Dedup {
          |old_b AS (SELECT DISTINCT band, bkey FROM bands WHERE doc_id % 5 != 0),
          |hits AS (
          | SELECT f.doc_id,
-         |  sum(CASE WHEN ob.band IS NOT NULL THEN 1 ELSE 0 END) AS n_band_hits
+         |  CAST(sum(CASE WHEN ob.band IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_band_hits
          | FROM (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 5 = 0) f
          | LEFT JOIN old_b ob ON f.band = ob.band AND f.bkey = ob.bkey
          | GROUP BY 1),
