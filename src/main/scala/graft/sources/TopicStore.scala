@@ -24,12 +24,26 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
 
   def topicPath(name: String): String = s"$root/$name"
 
-  /** Append rows; `tsCol` must be a TimestampType column. */
+  /** Append rows; `tsCol` must be a TimestampType column.
+    *
+    * Appends take the topic's SHARED lock: any number of appenders
+    * (interactive session + streaming foreachBatch threads) write
+    * concurrently, but never while a compactor holds the exclusive
+    * side mid-directory-swap — without this, a file appended between
+    * the compactor's snapshot listing and its swap would be deleted
+    * with the pre-rewrite directory (silent data loss on exactly the
+    * hot bucket that accumulates small files). Coordination is
+    * JVM-wide (one driver per cluster coordinates all writes, so the
+    * driver JVM is the right scope); writers in SEPARATE driver
+    * processes need external coordination, same as upsert `seq`. */
   def append(name: String, df: DataFrame, tsCol: String = "time"): Unit = {
-    df.withColumn("bucket", (col(tsCol).cast("long") / bucketSeconds).cast("long") * bucketSeconds)
-      .write.mode(SaveMode.Append)
-      .partitionBy("bucket")
-      .parquet(topicPath(name))
+    val l = TopicStore.lockFor(topicPath(name)).readLock(); l.lock()
+    try {
+      df.withColumn("bucket", (col(tsCol).cast("long") / bucketSeconds).cast("long") * bucketSeconds)
+        .write.mode(SaveMode.Append)
+        .partitionBy("bucket")
+        .parquet(topicPath(name))
+    } finally l.unlock()
   }
 
   /** Full scan of a topic (bucket column retained for pruning).
@@ -143,14 +157,37 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(topicPath(name))
     if (!fs.exists(dir)) return
-    val winners = readMerged(name, keyCol).drop("bucket")
-      .withColumn("_seq", lit(0L))
-      .withColumn("_tombstone", lit(false))
-    val tmp = new Path(dir.getParent, s".merge_${dir.getName}")
-    winners
-      .withColumn("bucket", (col(tsCol).cast("long") / bucketSeconds).cast("long") * bucketSeconds)
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp.toString)
-    swapDir(fs, tmp, dir)
+    val wl = TopicStore.lockFor(topicPath(name)).writeLock(); wl.lock()
+    try {
+      // snapshot the EXACT file set feeding the rewrite: the merged
+      // plan reads only these (not whatever the dir holds at action
+      // time), and swapDir salvages any file outside this set
+      val known = listParquetRelative(fs, dir)
+      if (known.isEmpty) return
+      val src = spark.read.option("basePath", dir.toString)
+        .parquet(known.map(r => new Path(dir, r).toString).toSeq: _*)
+      val winners = mergeLatest(src, keyCol).drop("bucket")
+        .withColumn("_seq", lit(0L))
+        .withColumn("_tombstone", lit(false))
+      val tmp = new Path(dir.getParent, s".merge_${dir.getName}")
+      winners
+        .withColumn("bucket", (col(tsCol).cast("long") / bucketSeconds).cast("long") * bucketSeconds)
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp.toString)
+      swapDir(fs, tmp, dir, salvageNotIn = Some(known))
+    } finally wl.unlock()
+  }
+
+  /** Relative paths of every parquet file under `dir` (recursive). */
+  private def listParquetRelative(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: Path): Set[String] = {
+    def walk(p: Path, rel: String): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val r = if (rel.isEmpty) st.getPath.getName else rel + "/" + st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, r)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(r)
+        else Seq.empty
+      }
+    walk(dir, "").toSet
   }
 
   /** Crash-recoverable directory swap: `dir` -> `.old_` aside, `tmp`
@@ -160,8 +197,16 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
     * is checked: an unchecked failed second rename followed by the
     * aside delete would remove the only surviving copy. On a failed
     * swap-in the aside copy is renamed back, so a FAILED (not crashed)
-    * swap leaves the topic exactly as it was. */
-  private[graft] def swapDir(fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dir: Path): Unit = {
+    * swap leaves the topic exactly as it was.
+    *
+    * `salvageNotIn`: relative paths of the parquet files the rewrite
+    * actually consumed. Before the aside copy is discarded, any
+    * parquet file found in it OUTSIDE this set (an append that landed
+    * after the rewrite's snapshot listing) is moved into the new dir
+    * instead of deleted — the last line of defense against losing a
+    * concurrent append, on top of the topic write lock. */
+  private[graft] def swapDir(fs: org.apache.hadoop.fs.FileSystem, tmp: Path, dir: Path,
+                             salvageNotIn: Option[Set[String]] = None): Unit = {
     val aside = new Path(dir.getParent, s".old_${dir.getName}")
     if (fs.exists(aside)) fs.delete(aside, true)
     if (!fs.rename(dir, aside))
@@ -184,6 +229,20 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
         s"directory swap: could not move $tmp into place; original " +
           (if (restored) "restored" else s"preserved at $aside"))
     }
+    salvageNotIn.foreach { known =>
+      def walk(p: Path, rel: String): Unit = fs.listStatus(p).foreach { st =>
+        val r = if (rel.isEmpty) st.getPath.getName else rel + "/" + st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, r)
+        else if (st.getPath.getName.endsWith(".parquet") && !known.contains(r)) {
+          val dst = new Path(dir, r)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(
+              s"directory swap: could not salvage late append ${st.getPath} to $dst")
+        }
+      }
+      walk(aside, "")
+    }
     fs.delete(aside, true)
   }
 
@@ -203,21 +262,42 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = new Path(topicPath(name))
     if (!fs.exists(base)) return Seq.empty
-    val buckets = fs.listStatus(base).filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith("bucket="))
-    val compacted = buckets.filter { b =>
-      fs.listStatus(b.getPath).count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket
-    }
-    compacted.foreach { b =>
-      val dir = b.getPath
-      val tmp = new Path(dir.getParent, s".compact_${dir.getName}")
-      val rows = spark.read.parquet(dir.toString).coalesce(1)
-      val clustered =
-        if (clusterBy.isEmpty) rows
-        else rows.sortWithinPartitions(clusterBy.map(col): _*)
-      clustered.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      swapDir(fs, tmp, dir)
-    }
-    compacted.map(_.getPath.getName.stripPrefix("bucket=").toLong).toSeq
+    // exclusive side of the topic lock: appenders are paused for the
+    // bucket rewrites so no file can land between each bucket's
+    // snapshot listing and its directory swap (see [[append]])
+    val wl = TopicStore.lockFor(topicPath(name)).writeLock(); wl.lock()
+    try {
+      val buckets = fs.listStatus(base).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("bucket="))
+      val compacted = buckets.filter { b =>
+        fs.listStatus(b.getPath).count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket
+      }
+      compacted.foreach { b =>
+        val dir = b.getPath
+        val tmp = new Path(dir.getParent, s".compact_${dir.getName}")
+        // snapshot the exact input files; the rewrite reads only these
+        // and swapDir salvages anything that appears outside the set
+        val known = fs.listStatus(dir)
+          .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+        val rows = spark.read.parquet(known.map(_.toString).toSeq: _*).coalesce(1)
+        val clustered =
+          if (clusterBy.isEmpty) rows
+          else rows.sortWithinPartitions(clusterBy.map(col): _*)
+        clustered.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        swapDir(fs, tmp, dir, salvageNotIn = Some(known.map(_.getName).toSet))
+      }
+      compacted.map(_.getPath.getName.stripPrefix("bucket=").toLong).toSeq
+    } finally wl.unlock()
   }
+}
+
+object TopicStore {
+  /** Per-topic-path writer coordination (JVM-wide): appends hold the
+    * shared side, compaction the exclusive side. Keyed by full topic
+    * path so every TopicStore instance over the same storage root in
+    * this driver coordinates on the same lock. */
+  private val topicLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantReadWriteLock]()
+  private def lockFor(path: String): java.util.concurrent.locks.ReentrantReadWriteLock =
+    topicLocks.computeIfAbsent(path, _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
 }

@@ -51,6 +51,53 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("concurrent appends during repeated compaction lose no rows") {
+    // the ADVICE-flagged race: an append landing between the
+    // compactor's snapshot listing and its directory swap used to be
+    // renamed aside and deleted. The topic lock serializes the two;
+    // this hammers both paths from separate threads and checks
+    // nothing vanishes.
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    store.append("race", sampleEvents(10))
+    val rounds = 8
+    val appender = new Thread(() =>
+      (0 until rounds).foreach { i =>
+        store.append("race", sampleEvents(10, startS = 1700000000L + i))
+      })
+    appender.start()
+    (0 until rounds).foreach(_ => store.compact("race", maxFilesPerBucket = 1))
+    appender.join()
+    store.compact("race", maxFilesPerBucket = 1)
+    assert(store.read("race").count() == (rounds + 1) * 10,
+      "every concurrently appended row must survive compaction")
+  }
+
+  test("swapDir salvages files that appear after the rewrite snapshot") {
+    // belt-and-suspenders path: a file OUTSIDE the compactor's known
+    // set (e.g. a writer in another process) must be moved into the
+    // rewritten dir, not deleted with the aside copy.
+    val root = tmp()
+    val store = new TopicStore(spark, root, bucketMinutes = 60)
+    store.append("s", sampleEvents(12))
+    val bucketDir = new java.io.File(s"$root/s").listFiles()
+      .filter(_.getName.startsWith("bucket=")).head
+    val known = bucketDir.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // simulate a late append: drop an extra parquet file into the bucket
+    val extraSrc = bucketDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val late = new java.io.File(bucketDir, "part-late-append.parquet")
+    Files.copy(extraSrc.toPath, late.toPath)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(bucketDir.toString)
+    val tmpDir = new org.apache.hadoop.fs.Path(bucketDir.getParent, ".compact_test")
+    spark.read.parquet(known.map(f => s"$bucketDir/$f").toSeq: _*)
+      .coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    store.swapDir(fs, tmpDir, dir, salvageNotIn = Some(known))
+    val after = new java.io.File(bucketDir.toString).listFiles().map(_.getName)
+    assert(after.contains("part-late-append.parquet"),
+      s"late file must be salvaged into the rewritten bucket, got ${after.mkString(",")}")
+  }
+
   test("clustering compaction sorts rows within the rewritten shard") {
     val root = tmp()
     val store = new TopicStore(spark, root, bucketMinutes = 60)
