@@ -110,10 +110,10 @@ class GraftSession(val spark: SparkSession, root: String) {
         // a topic's own registered schedule overrides the session-wide
         // defaults — maintain() is the manual sweep of the same policy
         // the publish-path scheduler enforces automatically
-        val (mf, cb) = catalog.compaction(name)
-          .map(p => (p.maxFilesPerBucket, p.clusterBy))
-          .getOrElse((maxFilesPerBucket, clusterBy))
-        name -> store.compact(name, mf, cb)
+        val (mf, cb, mb, tb) = catalog.compaction(name)
+          .map(p => (p.maxFilesPerBucket, p.clusterBy, p.minShardBytes, p.targetShardBytes))
+          .getOrElse((maxFilesPerBucket, clusterBy, 0L, 0L))
+        name -> store.compact(name, mf, cb, mb, tb)
     }.filter(_._2.nonEmpty)
     catalog.checkpoint()
     done
@@ -145,9 +145,12 @@ class GraftSession(val spark: SparkSession, root: String) {
     * and [[maintain]]. */
   def setCompaction(name: String, everyAppends: Int,
                     maxFilesPerBucket: Int = 4,
-                    clusterBy: Seq[String] = Seq.empty): Unit =
+                    clusterBy: Seq[String] = Seq.empty,
+                    minShardBytes: Long = 0L,
+                    targetShardBytes: Long = 0L): Unit =
     catalog.setCompaction(name,
-      graft.sources.CompactionPolicy(everyAppends, maxFilesPerBucket, clusterBy))
+      graft.sources.CompactionPolicy(everyAppends, maxFilesPerBucket, clusterBy,
+        minShardBytes, targetShardBytes))
 
   /** Run a topic's scheduled compaction if its cadence says it is due.
     * Returns the compacted buckets (empty when not due or nothing to
@@ -163,7 +166,8 @@ class GraftSession(val spark: SparkSession, root: String) {
           val n = (if (v == null) 0 else v.intValue) + 1
           if (n >= p.everyAppends) 0 else n
         }) == 0
-        if (due) store.compact(fqn, p.maxFilesPerBucket, p.clusterBy)
+        if (due) store.compact(fqn, p.maxFilesPerBucket, p.clusterBy,
+          p.minShardBytes, p.targetShardBytes)
         else Seq.empty
       case None => Seq.empty
     }

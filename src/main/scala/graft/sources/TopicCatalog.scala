@@ -42,11 +42,26 @@ import scala.collection.mutable
   * `everyAppends`: run a compaction check after this many publishes
   * (the cadence — checking on every append would re-list every bucket
   * of a 100 TB topic for each micro-append). `maxFilesPerBucket` /
-  * `clusterBy` parameterize the [[TopicStore.compact]] pass itself. */
+  * `clusterBy` parameterize the [[TopicStore.compact]] pass itself.
+  *
+  * `minShardBytes` / `targetShardBytes` are the reference's
+  * size-driven shard policy (`config.rs:6-22`): a bucket holding two
+  * or more files below `minShardBytes` is fragmented and gets
+  * rewritten even when its file COUNT is within bounds, and rewrites
+  * aim each output shard at `targetShardBytes` instead of one file
+  * per bucket — at 100 TB, count-only compaction can still leave
+  * multi-GB monoliths or dust. 0 disables the size rules (count-only,
+  * the pre-existing behavior; also what an old manifest deserializes
+  * to). */
 case class CompactionPolicy(everyAppends: Int,
                             maxFilesPerBucket: Int = 4,
-                            clusterBy: Seq[String] = Seq.empty) {
+                            clusterBy: Seq[String] = Seq.empty,
+                            minShardBytes: Long = 0L,
+                            targetShardBytes: Long = 0L) {
   require(everyAppends > 0, "everyAppends must be positive")
+  require(minShardBytes >= 0 && targetShardBytes >= 0, "shard byte bounds must be >= 0")
+  require(targetShardBytes == 0 || minShardBytes <= targetShardBytes,
+    "minShardBytes must not exceed targetShardBytes")
 }
 
 class TopicCatalog(spark: SparkSession, root: String,
@@ -265,6 +280,8 @@ class TopicCatalog(spark: SparkSession, root: String,
         val cn = o.putObject("compaction")
         cn.put("everyAppends", c.everyAppends)
         cn.put("maxFilesPerBucket", c.maxFilesPerBucket)
+        if (c.minShardBytes > 0) cn.put("minShardBytes", c.minShardBytes)
+        if (c.targetShardBytes > 0) cn.put("targetShardBytes", c.targetShardBytes)
         val arr = cn.putArray("clusterBy")
         c.clusterBy.foreach(arr.add)
       }
@@ -283,7 +300,9 @@ class TopicCatalog(spark: SparkSession, root: String,
             (0 until a.size()).map(a.get(_).asText())
           }.getOrElse(Seq.empty)
           CompactionPolicy(c.path("everyAppends").asInt(),
-            c.path("maxFilesPerBucket").asInt(4), cb)
+            c.path("maxFilesPerBucket").asInt(4), cb,
+            c.path("minShardBytes").asLong(0L),
+            c.path("targetShardBytes").asLong(0L))
         }
         entries(name) = Topic(node.path("path").asText(), pol)
       case "view" =>

@@ -246,9 +246,15 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
     fs.delete(aside, true)
   }
 
-  /** Rewrite buckets holding more than `maxFilesPerBucket` parquet
-    * files into a single file each (small-file compaction). Sealed
-    * compact buckets are left untouched. Returns compacted buckets.
+  /** Rewrite over-fragmented buckets (small-file compaction). A
+    * bucket is due when it holds more than `maxFilesPerBucket`
+    * parquet files, or — when `minShardBytes` > 0 — when two or more
+    * of its files are below that size (dust worth folding even at a
+    * low file count, the reference's `min_shard_size`,
+    * ella-engine/src/table/config.rs:6-22). Rewrites aim each output
+    * shard at `targetShardBytes` (`target_shard_size`); with no
+    * target the bucket collapses to a single file. Sealed compact
+    * buckets are left untouched. Returns compacted buckets.
     *
     * `clusterBy`: optionally sort rows within the rewritten file —
     * compaction-time CLUSTERING. Parquet keeps min/max stats per row
@@ -258,7 +264,9 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
     * the rest of the shard's life — the standard data-layout lever
     * at 100 TB (same idea as Z-ordering, exact for 1-D keys). */
   def compact(name: String, maxFilesPerBucket: Int = 4,
-              clusterBy: Seq[String] = Seq.empty): Seq[Long] = {
+              clusterBy: Seq[String] = Seq.empty,
+              minShardBytes: Long = 0L,
+              targetShardBytes: Long = 0L): Seq[Long] = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = new Path(topicPath(name))
     if (!fs.exists(base)) return Seq.empty
@@ -270,7 +278,9 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
       val buckets = fs.listStatus(base).filter(_.isDirectory)
         .filter(_.getPath.getName.startsWith("bucket="))
       val compacted = buckets.filter { b =>
-        fs.listStatus(b.getPath).count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket
+        val files = fs.listStatus(b.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+        files.length > maxFilesPerBucket ||
+          (minShardBytes > 0 && files.count(_.getLen < minShardBytes) >= 2)
       }
       compacted.foreach { b =>
         val dir = b.getPath
@@ -278,13 +288,21 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
         // snapshot the exact input files; the rewrite reads only these
         // and swapDir salvages anything that appears outside the set
         val known = fs.listStatus(dir)
-          .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
-        val rows = spark.read.parquet(known.map(_.toString).toSeq: _*).coalesce(1)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        val knownPaths = known.map(_.getPath)
+        // shard count from the INPUT parquet bytes — input and output
+        // are both parquet, so input size is an honest estimator of
+        // rewritten size; no target => one file per bucket
+        val nShards =
+          if (targetShardBytes > 0)
+            math.max(1L, (known.map(_.getLen).sum + targetShardBytes - 1) / targetShardBytes).toInt
+          else 1
+        val rows = spark.read.parquet(knownPaths.map(_.toString).toSeq: _*).coalesce(nShards)
         val clustered =
           if (clusterBy.isEmpty) rows
           else rows.sortWithinPartitions(clusterBy.map(col): _*)
         clustered.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        swapDir(fs, tmp, dir, salvageNotIn = Some(known.map(_.getName).toSet))
+        swapDir(fs, tmp, dir, salvageNotIn = Some(knownPaths.map(_.getName).toSet))
       }
       compacted.map(_.getPath.getName.stripPrefix("bucket=").toLong).toSeq
     } finally wl.unlock()

@@ -51,6 +51,49 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("size-based compaction: dust triggers rewrite, target sets shard count") {
+    val root = tmp()
+    val store = new TopicStore(spark, root, bucketMinutes = 60)
+    // 3 small appends into one bucket: within the file-COUNT bound
+    // (maxFilesPerBucket=4) but all dust under minShardBytes
+    (0 until 3).foreach(_ => store.append("sz", sampleEvents(6).coalesce(1)))
+    val bucketDir = new java.io.File(s"$root/sz").listFiles()
+      .filter(_.getName.startsWith("bucket=")).head
+    def files() = bucketDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files().length == 3)
+    // count-only policy leaves it fragmented; the size rule folds it
+    assert(store.compact("sz", maxFilesPerBucket = 4).isEmpty,
+      "count-only compaction must not trigger at 3 <= 4 files")
+    val done = store.compact("sz", maxFilesPerBucket = 4, minShardBytes = 1 << 20)
+    assert(done.nonEmpty, "two+ sub-minShardBytes files must trigger compaction")
+    assert(files().length == 1, "no target => one shard per bucket")
+
+    // target-size rewrite: total input bytes / target picks shard count
+    val before = store.read("sz").count()
+    (0 until 5).foreach(_ => store.append("sz", sampleEvents(6).coalesce(1)))
+    val total = files().map(_.length).sum
+    val target = total / 3  // expect ceil(total/target) ≈ 3-4 shards
+    val done2 = store.compact("sz", maxFilesPerBucket = 1, targetShardBytes = target)
+    assert(done2.nonEmpty)
+    val expected = ((total + target - 1) / target).toInt
+    assert(files().length == math.min(expected, 6),
+      s"rewrite should aim ~${expected} shards of ~$target bytes, got ${files().length}")
+    assert(store.read("sz").count() == before + 5 * 6, "rewrite must not change data")
+  }
+
+  test("size policy survives the catalog manifest round-trip") {
+    val root = tmp()
+    val gs = new GraftSession(spark, root)
+    gs.createTopic("t")
+    gs.setCompaction("t", everyAppends = 2, maxFilesPerBucket = 3,
+      minShardBytes = 123L, targetShardBytes = 456L)
+    gs.catalog.checkpoint()
+    val gs2 = new GraftSession(spark, root)
+    val p = gs2.catalog.compaction("t").get
+    assert(p.minShardBytes == 123L && p.targetShardBytes == 456L,
+      s"size bounds must survive reload, got $p")
+  }
+
   test("concurrent appends during repeated compaction lose no rows") {
     // the ADVICE-flagged race: an append landing between the
     // compactor's snapshot listing and its directory swap used to be
