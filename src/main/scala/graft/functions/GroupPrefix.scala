@@ -41,37 +41,52 @@ object GroupPrefix {
     * row). `order` must be a deterministic total order within each
     * group (include a unique id as the last key).
     *
-    * The ranged frame is persisted so the subtotal pass and the final
-    * join see identical partition ids (spark_partition_id is only
-    * meaningful within one materialization).
+    * The ranged frame is materialized ONCE so the subtotal pass and
+    * the final join see identical partition ids (spark_partition_id
+    * is only meaningful within one materialization: the two branches
+    * prune different columns, so without a barrier they'd plan two
+    * separate range exchanges whose sampled boundaries may differ).
     */
   def groupPrefix(df: DataFrame, group: String, order: Seq[String],
                   value: Option[String] = None,
                   rnName: String = "rn", cumName: String = "cum0",
-                  onCache: DataFrame => Unit = _ => ()): DataFrame =
+                  onCache: Option[DataFrame => Unit] = None): DataFrame =
     groupPrefixC(df, group, order.map(col), value, rnName, cumName, onCache)
 
   /** [[groupPrefix]] with arbitrary order expressions (e.g. `desc`
     * keys); the last key must still make the order total.
     *
-    * `onCache` receives the internal persisted frame so LOOPING
-    * callers (a foreachBatch sink calling this per micro-batch) can
-    * unpersist it once their actions complete — without a release, a
-    * continuous stream pins one cached corpus slice per batch until
-    * the executor storage fills. One-shot query builders can ignore
-    * it: their single cache entry lives for the query like any other
-    * operator cache. */
+    * Materialization lifecycle — two modes:
+    *  - `onCache = None` (one-shot query builders): the ranged frame
+    *    is a lazy `localCheckpoint` — RDD-level storage that Spark's
+    *    ContextCleaner unpersists automatically once the returned
+    *    frame is garbage-collected. A long-lived Serve process can
+    *    call prefix verbs forever without pinning one disk-backed
+    *    corpus slice per call (CacheManager `persist` holds a strong
+    *    reference and is never LRU-evicted from disk). Trade-off:
+    *    checkpoint blocks are not lineage-recoverable, so a lost
+    *    executor fails the query instead of recomputing — acceptable
+    *    for interactive verbs, same contract as the dd06/dd09 loops.
+    *  - `onCache = Some(f)`: explicit lifecycle for LOOPING callers
+    *    (a foreachBatch sink calling this per micro-batch): `f`
+    *    receives the persisted frame and the caller unpersists it
+    *    deterministically once its actions complete — a stream must
+    *    not wait for driver GC to release one slice per trigger. */
   def groupPrefixC(df: DataFrame, group: String, order: Seq[Column],
                    value: Option[String] = None,
                    rnName: String = "rn", cumName: String = "cum0",
-                   onCache: DataFrame => Unit = _ => ()): DataFrame = {
+                   onCache: Option[DataFrame => Unit] = None): DataFrame = {
     val parts = math.max(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1)
     val keys: Seq[Column] = col(group) +: order
-    val ranged = df.repartitionByRange(parts, keys: _*)
+    val ranged0 = df.repartitionByRange(parts, keys: _*)
       .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    onCache(ranged)
+    val ranged = onCache match {
+      case Some(f) =>
+        val r = ranged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        f(r); r
+      case None => ranged0.localCheckpoint(false)
+    }
     val offW = Window.partitionBy(col(group)).orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val aggs = count(lit(1)).as("_n") +:

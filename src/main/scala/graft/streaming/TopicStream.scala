@@ -282,7 +282,7 @@ object TopicStream {
     var prefixCache: Option[DataFrame] = None
     val prefixed = graft.functions.GroupPrefix.groupPrefix(
       batch, "source", Seq("doc_id"), Some("tok_cnt"),
-      onCache = c => prefixCache = Some(c))
+      onCache = Some(c => prefixCache = Some(c)))
     val based =
       if (hasState) {
         val offsets = store.readMergedAsOf(stateTopic, "source", batchId - 1)

@@ -63,7 +63,7 @@ class GroupPrefixSpec extends SparkSpec {
     val df = mkDf(50, 2, 3)
     var cached: Option[org.apache.spark.sql.DataFrame] = None
     val got = GroupPrefix.groupPrefix(df, "g", Seq("h", "id"), Some("v"),
-      onCache = c => cached = Some(c))
+      onCache = Some(c => cached = Some(c)))
     assert(got.schema("rn").dataType == org.apache.spark.sql.types.LongType,
       s"rn must be long, got ${got.schema("rn").dataType}")
     assert(got.schema("cum0").dataType == org.apache.spark.sql.types.LongType)
@@ -72,6 +72,26 @@ class GroupPrefixSpec extends SparkSpec {
     assert(cached.get.storageLevel.useMemory, "frame should be persisted after use")
     cached.get.unpersist(blocking = true)
     assert(!cached.get.storageLevel.useMemory, "caller can release the cache")
+  }
+
+  test("one-shot path leaves no CacheManager entry (no session-lifetime leak)") {
+    // the ADVICE-flagged leak: default-path callers (api verbs, q23,
+    // tx14) used CacheManager persist and never unpersisted — each
+    // invocation pinned one disk-backed corpus slice for the session
+    // lifetime. The default path now localCheckpoints (ContextCleaner
+    // reclaims blocks on GC), so the cache registry must stay empty.
+    spark.catalog.clearCache()
+    val df = mkDf(100, 3, 5)
+    val got = GroupPrefix.groupPrefix(df, "g", Seq("h", "id"), Some("v"))
+    assert(got.count() == 100)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "default groupPrefix must not register a session-lifetime cache entry")
+    // and the result is still consistent across a SECOND action on the
+    // same frame (the materialization barrier must hold for re-use)
+    val bad = got.join(refImpl(df).select(col("g"), col("id"), col("ref_rn"), col("ref_cum0")),
+      Seq("g", "id"))
+      .filter(col("rn") =!= col("ref_rn") || col("cum0") =!= col("ref_cum0"))
+    assert(bad.count() == 0)
   }
 
   test("groupPrefix never plans a whole-group window") {
