@@ -52,6 +52,7 @@ class GraftSession(val spark: SparkSession, root: String) {
     * driver (a full-table `collect()` on a 100 TB table is a driver
     * OOM, not an execution strategy). */
   def execute(sql: String): Unit = {
+    val InsertRe = """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s+((?:SELECT|VALUES|WITH|TABLE).+)""".r
     val ViewRe = """(?is)\s*CREATE\s+(MATERIALIZED\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+)""".r
     val DropRe = """(?is)\s*DROP\s+(?:TABLE|VIEW)\s+([\w.]+)\s*""".r
     val CreateCatRe = """(?is)\s*CREATE\s+CATALOG\s+(IF\s+NOT\s+EXISTS\s+)?([\w]+)\s*""".r
@@ -61,6 +62,17 @@ class GraftSession(val spark: SparkSession, root: String) {
     val UseCatRe = """(?is)\s*USE\s+CATALOG\s+([\w]+)\s*""".r
     val UseSchemaRe = """(?is)\s*USE\s+(?:SCHEMA\s+)?([\w]+)\s*""".r
     sql match {
+      // the reference's remote write path: `INSERT INTO topic …` is a
+      // first-class statement that lands in the topic's shard layout
+      // (topic.rs:86 publish(), flight.rs:492 do_put_statement_update).
+      // Routed through publish() so the bucket is derived from the
+      // time column and the topic's compaction schedule fires — a raw
+      // spark.sql INSERT could not hit either.
+      case InsertRe(name, colList, body) if catalog.contains(name) =>
+        registerTempViews()
+        val src = spark.sql(body.trim)
+        insertInto(name, src, Option(colList)
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
       case ViewRe(mat, name, body) =>
         registerTempViews()
         if (mat != null) catalog.materializeView(name, body.trim)
@@ -125,18 +137,6 @@ class GraftSession(val spark: SparkSession, root: String) {
   //    shards seal — compaction is a property OF the table, not a
   //    global cron) --
 
-  /** Appends since the last scheduled compaction check, per topic.
-    * Session-local by design: the cadence counter is a rate limiter,
-    * not state worth persisting — after a restart the first due check
-    * simply happens up to `everyAppends` publishes later, and the
-    * compaction pass itself is idempotent (sealed compact buckets are
-    * never rewritten). ConcurrentHashMap because publish() is called
-    * from streaming micro-batch threads (foreachBatch sinks) as well
-    * as the interactive session — a plain mutable.Map would lose
-    * increments (cadence drift) or corrupt under concurrent rehash. */
-  private val appendsSinceCheck =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-
   /** Register a durable compaction schedule for a topic: after every
     * `everyAppends` publishes the topic's over-fragmented buckets
     * (more than `maxFilesPerBucket` files) are rewritten, clustered on
@@ -155,23 +155,12 @@ class GraftSession(val spark: SparkSession, root: String) {
   /** Run a topic's scheduled compaction if its cadence says it is due.
     * Returns the compacted buckets (empty when not due or nothing to
     * do). Called from [[publish]]; exposed for sinks that append via
-    * the store directly (e.g. a foreachBatch writer). */
-  def compactIfDue(name: String): Seq[Long] = {
-    val fqn = catalog.resolve(name)
-    catalog.compaction(fqn) match {
-      case Some(p) =>
-        // atomic bump-and-wrap: the counter wraps to 0 exactly when the
-        // cadence is due, so concurrent publishers elect one compactor
-        val due = appendsSinceCheck.compute(fqn, (_, v) => {
-          val n = (if (v == null) 0 else v.intValue) + 1
-          if (n >= p.everyAppends) 0 else n
-        }) == 0
-        if (due) store.compact(fqn, p.maxFilesPerBucket, p.clusterBy,
-          p.minShardBytes, p.targetShardBytes)
-        else Seq.empty
-      case None => Seq.empty
-    }
-  }
+    * the store directly (e.g. a foreachBatch writer). Cadence
+    * counters live JVM-wide in [[graft.sources.CompactionScheduler]]
+    * (keyed by topic PATH), so the V2 `INSERT INTO` surface used by
+    * remote Connect sessions shares the same schedule. */
+  def compactIfDue(name: String): Seq[Long] =
+    graft.sources.CompactionScheduler.afterAppend(store, catalog, catalog.resolve(name))
 
   /** Graceful shutdown (ella.rs:71 `shutdown`): compact the catalog's
     * transaction log into a snapshot so the next open replays nothing,
@@ -218,6 +207,54 @@ class GraftSession(val spark: SparkSession, root: String) {
       if (raw.schema(tsCol).dataType == org.apache.spark.sql.types.TimestampType) raw
       else raw.withColumn(tsCol, org.apache.spark.sql.functions.col(tsCol).cast("timestamp"))
     publish(name, df, tsCol)
+  }
+
+  /** SQL-style insert: align `src` to the topic's schema (positional
+    * like `INSERT INTO t SELECT …`, or through an explicit column
+    * list with NULL fill) and publish. A topic that has never been
+    * written takes the incoming schema as-is — first write defines
+    * the topic, same as [[publish]] on a fresh name. */
+  private def insertInto(name: String, src: DataFrame,
+                         colList: Option[Seq[String]]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tgt = scala.util.Try(table(name).schema.fields.filterNot(_.name == "bucket").toSeq)
+      .getOrElse(Seq.empty)
+    if (tgt.isEmpty) { publish(name, src); return }
+    val aligned = colList match {
+      case Some(cols) =>
+        require(src.columns.length == cols.length,
+          s"INSERT INTO $name(${cols.mkString(", ")}): ${src.columns.length} values for ${cols.length} columns")
+        require(cols.contains("time"),
+          s"INSERT INTO $name: the column list must include 'time' (topics are time-bucketed)")
+        val named = src.toDF(cols: _*)
+        named.select(tgt.map(f =>
+          (if (cols.contains(f.name)) col(f.name) else lit(null))
+            .cast(f.dataType).as(f.name)): _*)
+      case None =>
+        require(src.columns.length == tgt.length,
+          s"INSERT INTO $name: ${src.columns.length} values for ${tgt.length} columns (${tgt.map(_.name).mkString(", ")})")
+        src.toDF(tgt.map(_.name): _*)
+          .select(tgt.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    }
+    publish(name, aligned)
+  }
+
+  /** Expose this datastore's topics as a Spark catalog plugin
+    * (`<catalogName>.<topic>` in ANY session over this SparkContext,
+    * isolated Connect sessions included) — the registration half of
+    * the remote publish path; see [[graft.sources.TopicSparkCatalog]].
+    * Listed in the session conf AND the context conf: the former so
+    * THIS session resolves the catalog immediately, the latter so
+    * future isolated sessions inherit it at creation. */
+  def registerSparkCatalog(catalogName: String = "graft"): Unit = {
+    val cls = classOf[graft.sources.TopicSparkCatalog].getName
+    spark.conf.set(s"spark.sql.catalog.$catalogName", cls)
+    spark.conf.set(s"spark.sql.catalog.$catalogName.root", root)
+    // the LIVE context conf (getConf returns a defensive copy):
+    // isolated sessions merge SQL entries from here at creation
+    val scConf = org.apache.spark.SparkEnv.get.conf
+    scConf.set(s"spark.sql.catalog.$catalogName", cls)
+    scConf.set(s"spark.sql.catalog.$catalogName.root", root)
   }
 
   def publish(name: String, df: DataFrame, tsCol: String = "time"): Unit = {

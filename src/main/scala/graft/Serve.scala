@@ -49,6 +49,11 @@ object Serve {
     // SparkEnv), not the SQL runtime conf — set it where it looks
     org.apache.spark.SparkEnv.get.conf.set("spark.connect.grpc.binding.port", port.toString)
     val gs = new GraftSession(spark, root)
+    // writable surface: topics resolve as `graft.<topic>` in every
+    // Connect session, and INSERT INTO lands through the store with
+    // server-derived bucketing — the reference's remote publish path
+    // (flight.rs:492 do_put_statement_update; pyella publisher flow)
+    gs.registerSparkCatalog()
     refresh(gs)
     org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
     gs

@@ -57,6 +57,51 @@ class ServeSpec extends SparkSpec {
     assert(portClosed(), "port must be released after shutdown")
   }
 
+  test("a remote Connect session publishes into a topic (INSERT over the wire)") {
+    // the reference's remote write path (flight.rs:492
+    // do_put_statement_update; pyella/examples/publisher.py): a
+    // client sends INSERT INTO <topic> and the server lands it in the
+    // topic's bucketed layout. Here the V2 catalog surface carries
+    // it: one remote session inserts, a second reads the rows back,
+    // and the server-side session sees them in the topic itself.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_serve3").toString
+    val seed = new GraftSession(spark, root)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    seed.publish("pub_remote", Seq((1L, t0, 1.0)).toDF("key", "time", "v"))
+
+    val port = freePort()
+    val gs = Serve.start(spark, root, port)
+    try {
+      val conn = Connect.jdbc(s"sc://localhost:$port")
+      try {
+        val st = conn.createStatement()
+        try st.execute(
+          "INSERT INTO graft.pub_remote VALUES (2, TIMESTAMP '2023-11-14 22:13:20', 41.0)")
+        finally st.close()
+      } finally conn.close()
+      val conn2 = Connect.jdbc(s"sc://localhost:$port")
+      try {
+        val st2 = conn2.createStatement()
+        val rs = st2.executeQuery(
+          "SELECT count(*) AS n, sum(v) AS s FROM graft.pub_remote")
+        try {
+          assert(rs.next())
+          assert(rs.getLong("n") == 2L, "second remote session must see the insert")
+          assert(rs.getDouble("s") == 42.0)
+        } finally { rs.close(); st2.close() }
+      } finally conn2.close()
+      assert(gs.table("pub_remote").count() == 2,
+        "server-side session must see remotely published rows in the topic")
+      val buckets = new java.io.File(s"$root/topics/ella.public.pub_remote")
+        .listFiles().filter(_.getName.startsWith("bucket="))
+      assert(buckets.nonEmpty, "remote insert must land in the bucketed layout")
+    } finally {
+      Serve.shutdown(gs)
+      spark.catalog.dropGlobalTempView("pub_remote")
+    }
+  }
+
   test("a remote Connect client runs SQL end-to-end against a served topic") {
     // The real client round-trip: the bundled Spark Connect JDBC
     // driver (gRPC + Arrow transport) loaded in an ISOLATED

@@ -51,6 +51,53 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("topics read and write as a Spark V2 catalog (the remote publish surface)") {
+    import spark.implicits._
+    val root = tmp()
+    val gs = new GraftSession(spark, root)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    gs.publish("kv", Seq((1L, t0, 1.0)).toDF("key", "time", "v"))
+    gs.registerSparkCatalog("g2a") // unique name: CatalogManager caches per name
+    assert(spark.sql("SELECT count(*) FROM g2a.kv").collect().head.getLong(0) == 1L)
+    // positional VALUES insert: bucket derived server-side from time
+    spark.sql("INSERT INTO g2a.kv VALUES (2, TIMESTAMP '2023-11-14 22:13:20', 2.0)")
+    assert(gs.table("kv").count() == 2, "insert must land in the topic")
+    val buckets = new java.io.File(s"$root/topics/ella.public.kv").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(buckets.nonEmpty, "inserted rows must land in the bucketed layout")
+    // INSERT INTO ... SELECT (by-position, aliased names)
+    spark.sql("INSERT INTO g2a.kv SELECT key + 10, time, v * 2 FROM g2a.kv")
+    assert(gs.table("kv").count() == 4)
+    // reads prune on the bucket partition column like any parquet scan
+    val plan = spark.sql("SELECT * FROM g2a.kv WHERE bucket >= 0")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("kv"), s"scan must be planned over the topic: $plan")
+    // a SECOND session over the same SparkContext sees the topic and
+    // the writes (the Connect-isolation shape: shared conf, own state)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.g2a", classOf[graft.sources.TopicSparkCatalog].getName)
+    s2.conf.set("spark.sql.catalog.g2a.root", root)
+    assert(s2.sql("SELECT count(*) FROM g2a.kv").collect().head.getLong(0) == 4L)
+  }
+
+  test("execute() routes INSERT INTO <topic> through publish") {
+    import spark.implicits._
+    val root = tmp()
+    val gs = new GraftSession(spark, root)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    gs.publish("ins", Seq((1L, t0, 1.0)).toDF("key", "time", "v"))
+    gs.execute("INSERT INTO ins VALUES (2, TIMESTAMP '2023-11-14 22:13:20', 4.0)")
+    assert(gs.table("ins").count() == 2)
+    gs.execute("INSERT INTO ins SELECT key + 5, time, v FROM ins")
+    assert(gs.table("ins").count() == 4)
+    // explicit column list: unlisted columns NULL-fill
+    gs.execute("INSERT INTO ins (key, time) VALUES (9, TIMESTAMP '2023-11-14 22:13:20')")
+    val r = gs.query("SELECT v FROM ins WHERE key = 9").collect()
+    assert(r.length == 1 && r.head.isNullAt(0), "unlisted columns must be NULL")
+    // values were typed/cast to the topic schema, bucket derived
+    assert(gs.table("ins").schema("v").dataType.typeName == "double")
+  }
+
   test("size-based compaction: dust triggers rewrite, target sets shard count") {
     val root = tmp()
     val store = new TopicStore(spark, root, bucketMinutes = 60)
