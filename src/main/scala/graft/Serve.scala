@@ -63,14 +63,25 @@ object Serve {
     * clients get ISOLATED SparkSessions over the same SparkContext;
     * plain temp views would be invisible to them — global temp views
     * are the cross-session publication surface. Call again after
-    * creating topics on a live server. */
-  def refresh(gs: GraftSession): Unit =
-    gs.catalog.list().foreach { case (name, kind) =>
-      if (kind == "topic") {
-        val simple = name.split('.').last
-        gs.table(name).createOrReplaceGlobalTempView(simple)
+    * creating topics on a live server.
+    *
+    * Topics whose simple name is unique publish under it; same-named
+    * topics in different schemas would silently shadow each other
+    * (last listing wins), so colliding names publish under the
+    * underscore-qualified FQN instead — every topic stays reachable.
+    * (The V2 catalog surface, `graft.<topic>`, is collision-free by
+    * construction and is the writable path.) */
+  def refresh(gs: GraftSession): Unit = {
+    val topics = gs.catalog.list().collect { case (name, "topic") => name }
+    val bySimple = topics.groupBy(_.split('.').last)
+    bySimple.foreach { case (simple, fqns) =>
+      if (fqns.size == 1)
+        gs.table(fqns.head).createOrReplaceGlobalTempView(simple)
+      else fqns.foreach { fqn =>
+        gs.table(fqn).createOrReplaceGlobalTempView(fqn.replace('.', '_'))
       }
     }
+  }
 
   def shutdown(session: GraftSession): Unit = {
     org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)

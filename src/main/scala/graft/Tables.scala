@@ -55,17 +55,29 @@ object Tables {
         spark.conf.set("graft.sessionTag", t); t
       }
       val key = tag + " " + df.queryExecution.analyzed.canonicalized.toString
-      if (spreadDecision.size() > 4096) spreadDecision.clear()
-      val needs = spreadDecision.computeIfAbsent(key,
-        _ => java.lang.Boolean.valueOf(df.rdd.getNumPartitions < target))
+      // LRU-bounded: overflow drops only the least-recently-USED
+      // verdicts (a clear() here would wipe every other session's
+      // entries and re-trigger their probes in a shared driver)
+      val needs = spreadDecision.synchronized {
+        Option(spreadDecision.get(key)).getOrElse {
+          val v = java.lang.Boolean.valueOf(df.rdd.getNumPartitions < target)
+          spreadDecision.put(key, v); v
+        }
+      }
       if (needs) df.repartition(target) else df
     }
   }
 
+  // access-order LinkedHashMap: get() refreshes recency, eldest falls
+  // out past 4096 entries; all access under its own monitor
   private val spreadDecision =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean = size() > 4096
+    }
 
-  private[graft] def spreadProbeCount: Int = spreadDecision.size()
+  private[graft] def spreadProbeCount: Int =
+    spreadDecision.synchronized(spreadDecision.size())
 
   /** `events` with its parquet TIMESTAMP(NANOS) `ts` column exposed as a
     * standard Spark TimestampType (microseconds).

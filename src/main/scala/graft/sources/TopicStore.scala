@@ -98,17 +98,36 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
     * mergeSchema=false read of a mixed-schema topic could silently
     * drop the delete flags and resurface tombstoned keys.
     *
-    * The default `seq` is strictly increasing per store instance
-    * (wall-clock millis, bumped past any prior value), so two rapid
-    * upserts never tie and last-write-wins is deterministic. Multiple
-    * CONCURRENT writer processes must supply their own coordinated
-    * `seq` values — wall clocks across writers are not an ordering.
-    * (reference analog: ella's append-only shard writers +
+    * `seq = None` (the default) draws from a strictly increasing
+    * per-store generator (wall-clock millis, bumped past any prior
+    * value), so two rapid upserts never tie and last-write-wins is
+    * deterministic. `seq = Some(s)` uses the caller's version number
+    * verbatim (any long, negatives included — no sentinel).
+    *
+    * A topic's seq values must come from ONE domain: default clock
+    * seqs sit near 1.7e12 while batch-id seqs count 0,1,2,…, so a
+    * single default-seq upsert into a batch-seq topic would
+    * permanently shadow every batch write under max(_seq). The store
+    * records each topic's scheme (clock vs explicit) on first upsert
+    * and rejects a mixed write loudly (JVM-wide, like the
+    * append/compact lock — writers in separate driver processes must
+    * coordinate seqs themselves, as documented).
+    *
+    * Multiple CONCURRENT writer processes must supply their own
+    * coordinated `seq` values — wall clocks across writers are not an
+    * ordering. (reference analog: ella's append-only shard writers +
     * compaction, ella-engine/src/table/topic/shard/writer.rs —
     * extended here with key-versioned semantics.) */
   def upsert(name: String, df: DataFrame, tsCol: String = "time",
-             seq: Long = -1L): Unit = {
-    val s = if (seq >= 0) seq else nextSeq()
+             seq: Option[Long] = None): Unit = {
+    val scheme = if (seq.isDefined) "explicit" else "clock"
+    val prior = TopicStore.seqSchemes.putIfAbsent(topicPath(name), scheme)
+    if (prior != null && prior != scheme)
+      throw new IllegalStateException(
+        s"upsert($name): topic already written with $prior seqs; a $scheme-seq write " +
+          "would break last-write-wins (clock seqs ~1.7e12 shadow small explicit seqs). " +
+          "Use one seq domain per topic.")
+    val s = seq.getOrElse(nextSeq())
     val tomb = if (df.columns.contains("_tombstone"))
       coalesce(col("_tombstone").cast("boolean"), lit(false)) else lit(false)
     append(name, df.withColumn("_seq", lit(s)).withColumn("_tombstone", tomb), tsCol)
@@ -318,4 +337,9 @@ object TopicStore {
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantReadWriteLock]()
   private def lockFor(path: String): java.util.concurrent.locks.ReentrantReadWriteLock =
     topicLocks.computeIfAbsent(path, _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+
+  /** Per-topic-path upsert seq scheme ("clock" | "explicit"), recorded
+    * on first upsert so mixed-domain writes fail fast (see [[TopicStore.upsert]]). */
+  private[sources] val seqSchemes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

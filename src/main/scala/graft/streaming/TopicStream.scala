@@ -300,12 +300,12 @@ object TopicStream {
     val ts = timestamp_seconds(lit(batchId))
     store.upsert(outTopic,
       admitted.select(col("doc_id"), col("source"), col("offset"), col("pack_id"))
-        .withColumn("time", ts), "time", seq = batchId)
+        .withColumn("time", ts), "time", seq = Some(batchId))
     // advanced offset per source = carried base + tokens admitted now;
     // sources with nothing admitted this batch keep their old row
     val newState = admitted.groupBy(col("source"))
       .agg((first(col("_base")) + sum(col("tok_cnt"))).as("admitted_tokens"))
-    store.upsert(stateTopic, newState.withColumn("time", ts), "time", seq = batchId)
+    store.upsert(stateTopic, newState.withColumn("time", ts), "time", seq = Some(batchId))
     admitted.unpersist()
     prefixCache.foreach(_.unpersist())
   }
@@ -391,6 +391,6 @@ object TopicStream {
                     topic: String, tsCol: String = "ts"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        store.upsert(topic, batch, tsCol, seq = batchId)
+        store.upsert(topic, batch, tsCol, seq = Some(batchId))
       }
 }

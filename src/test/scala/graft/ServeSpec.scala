@@ -102,6 +102,72 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("remote publishes flow to a live subscriber (pub/sub round trip)") {
+    // the reference's remote pub/sub (flight.rs publisher -> engine ->
+    // subscribers): a remote session INSERTs over the wire and a
+    // subscribe() stream on the topic picks the rows up. The
+    // subscriber runs server-side here: a REMOTE readStream is
+    // supported by Spark 4 Connect, but the connect-client jar
+    // cannot load next to the server classpath in one JVM (both
+    // define org.apache.spark classes — same boundary as the batch
+    // client tests above, which use the isolated-classloader JDBC
+    // driver; that driver has no streaming surface). The wire half
+    // proven here is the publish direction; the local subscribe spec
+    // (StorageSpec) covers the tail semantics.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_serve4").toString
+    val seed = new GraftSession(spark, root)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    seed.publish("pubsub_t", Seq((1L, t0, 1.0)).toDF("key", "time", "v"))
+
+    val port = freePort()
+    val gs = Serve.start(spark, root, port)
+    val stream = gs.subscribe("pubsub_t")
+    val q = stream.writeStream.format("memory").queryName("pubsub_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val conn = Connect.jdbc(s"sc://localhost:$port")
+      try {
+        val st = conn.createStatement()
+        try st.execute(
+          "INSERT INTO graft.pubsub_t VALUES (2, TIMESTAMP '2023-11-14 22:13:20', 2.0)")
+        finally st.close()
+      } finally conn.close()
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM pubsub_sink").collect().head.getLong(0)
+      assert(n == 2L, s"subscriber must see the remotely published row, saw $n")
+    } finally {
+      q.stop()
+      Serve.shutdown(gs)
+      spark.catalog.dropGlobalTempView("pubsub_t")
+    }
+  }
+
+  test("same-named topics in different schemas publish under qualified views") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_serve5").toString
+    val gs = new GraftSession(spark, root)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    gs.createSchema("s1", ifNotExists = true)
+    gs.createSchema("s2", ifNotExists = true)
+    gs.publish("s1.dup", Seq((1L, t0, 1.0)).toDF("key", "time", "v"))
+    gs.publish("s2.dup", Seq((2L, t0, 2.0)).toDF("key", "time", "v"))
+    Serve.refresh(gs)
+    try {
+      val views = spark.sql("SHOW TABLES IN global_temp").collect().map(_.getString(1))
+      assert(views.contains("ella_s1_dup") && views.contains("ella_s2_dup"),
+        s"colliding simple names must publish qualified, saw: ${views.mkString(",")}")
+      assert(!views.contains("dup"),
+        "a bare colliding name would silently shadow one of the topics")
+      assert(spark.sql("SELECT key FROM global_temp.ella_s2_dup").collect()
+        .head.getLong(0) == 2L, "each qualified view reads its own topic")
+    } finally {
+      spark.catalog.dropGlobalTempView("ella_s1_dup")
+      spark.catalog.dropGlobalTempView("ella_s2_dup")
+    }
+  }
+
   test("a remote Connect client runs SQL end-to-end against a served topic") {
     // The real client round-trip: the bundled Spark Connect JDBC
     // driver (gRPC + Arrow transport) loaded in an ISOLATED

@@ -51,6 +51,18 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("mixed upsert seq domains are rejected (clock would shadow batch ids)") {
+    val store = new TopicStore(spark, tmp())
+    store.upsert("mix", sampleEvents(5), seq = Some(1L))
+    intercept[IllegalStateException] { store.upsert("mix", sampleEvents(5)) }
+    store.upsert("mix2", sampleEvents(5))
+    intercept[IllegalStateException] { store.upsert("mix2", sampleEvents(5), seq = Some(7L)) }
+    // negative explicit seqs are a legal domain now (no -1 sentinel)
+    store.upsert("mix3", sampleEvents(5), seq = Some(-5L))
+    store.upsert("mix3", sampleEvents(5), seq = Some(-4L))
+    assert(store.readMerged("mix3", "key").count() == 3)
+  }
+
   test("topics read and write as a Spark V2 catalog (the remote publish surface)") {
     import spark.implicits._
     val root = tmp()
@@ -210,8 +222,8 @@ class StorageSpec extends SparkSpec {
     import spark.implicits._
     val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
     val t0 = new java.sql.Timestamp(1700000000L * 1000)
-    store.upsert("kv", Seq((1L, t0, "a"), (2L, t0, "b")).toDF("key", "time", "v"), seq = 1L)
-    store.upsert("kv", Seq((2L, t0, "b2"), (3L, t0, "c")).toDF("key", "time", "v"), seq = 2L)
+    store.upsert("kv", Seq((1L, t0, "a"), (2L, t0, "b")).toDF("key", "time", "v"), seq = Some(1L))
+    store.upsert("kv", Seq((2L, t0, "b2"), (3L, t0, "c")).toDF("key", "time", "v"), seq = Some(2L))
     val got = store.readMerged("kv", "key")
       .select("key", "v").as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
@@ -225,10 +237,10 @@ class StorageSpec extends SparkSpec {
     val t0 = new java.sql.Timestamp(1700000000L * 1000)
     store.upsert("kv2",
       Seq((1L, t0, "a", false), (2L, t0, "b", false))
-        .toDF("key", "time", "v", "_tombstone"), seq = 1L)
+        .toDF("key", "time", "v", "_tombstone"), seq = Some(1L))
     store.upsert("kv2",
       Seq((1L, t0, "a", true), (2L, t0, "b9", false))
-        .toDF("key", "time", "v", "_tombstone"), seq = 2L)
+        .toDF("key", "time", "v", "_tombstone"), seq = Some(2L))
     val live = store.readMerged("kv2", "key")
       .select("key", "v").as[(Long, String)].collect().toMap
     assert(live == Map(2L -> "b9"), "tombstoned key 1 must disappear")
@@ -248,9 +260,9 @@ class StorageSpec extends SparkSpec {
     // upsert materializes _tombstone on every shard, so the merged
     // read can't infer a footer that lacks the delete flags and
     // silently resurrect key 1
-    store.upsert("kv3", Seq((1L, t0, "a"), (2L, t0, "b")).toDF("key", "time", "v"), seq = 1L)
+    store.upsert("kv3", Seq((1L, t0, "a"), (2L, t0, "b")).toDF("key", "time", "v"), seq = Some(1L))
     store.upsert("kv3",
-      Seq((1L, t0, "a", true)).toDF("key", "time", "v", "_tombstone"), seq = 2L)
+      Seq((1L, t0, "a", true)).toDF("key", "time", "v", "_tombstone"), seq = Some(2L))
     val live = store.readMerged("kv3", "key")
       .select("key", "v").as[(Long, String)].collect().toMap
     assert(live == Map(2L -> "b"), s"tombstoned key 1 resurfaced: $live")
@@ -258,7 +270,7 @@ class StorageSpec extends SparkSpec {
     // column, so a LATER tombstone shard still merges schema-stably
     store.mergeCompact("kv3", "key")
     store.upsert("kv3",
-      Seq((2L, t0, "b", true)).toDF("key", "time", "v", "_tombstone"), seq = 10L)
+      Seq((2L, t0, "b", true)).toDF("key", "time", "v", "_tombstone"), seq = Some(10L))
     assert(store.readMerged("kv3", "key").count() == 0,
       "post-compaction tombstone must still delete")
   }
@@ -283,8 +295,8 @@ class StorageSpec extends SparkSpec {
     val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
     val t1 = new java.sql.Timestamp(1700000000L * 1000)          // bucket A
     val t2 = new java.sql.Timestamp((1700000000L + 7200) * 1000) // bucket B (2 h later)
-    store.upsert("tt", Seq((1L, t1, "a"), (2L, t1, "b")).toDF("key", "time", "v"), seq = 1L)
-    store.upsert("tt", Seq((1L, t2, "a2")).toDF("key", "time", "v"), seq = 2L)
+    store.upsert("tt", Seq((1L, t1, "a"), (2L, t1, "b")).toDF("key", "time", "v"), seq = Some(1L))
+    store.upsert("tt", Seq((1L, t2, "a2")).toDF("key", "time", "v"), seq = Some(2L))
     val cutoff = 1700000000L + 3600
     // plain snapshot sees only the first write
     assert(store.readAsOf("tt", cutoff).count() == 2)
@@ -303,7 +315,7 @@ class StorageSpec extends SparkSpec {
 
   test("readMerged collapses deltas map-side (partial agg before the shuffle)") {
     val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
-    store.upsert("kv3", sampleEvents(20), seq = 1L)
+    store.upsert("kv3", sampleEvents(20), seq = Some(1L))
     val plan = store.readMerged("kv3", "id").queryExecution.executedPlan.toString
     assert(plan.contains("partial_max") || plan.contains("partial"),
       s"merge must partial-aggregate before shuffling:\n$plan")
