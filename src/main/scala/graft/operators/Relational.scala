@@ -387,26 +387,44 @@ object Relational {
 
     // Approximate sketches — the single-pass cardinality / quantile
     // estimators a 100 TB engine lives on: HyperLogLog++ distinct
-    // counts and t-digest-style percentiles, both partial-mergeable
-    // (one map-side-combinable shuffle, no sort, no exact-distinct
-    // re-shuffle). Sketch internals are engine-specific, so this is
-    // deliberately a rows-only check (no DuckDB oracle, SURVEY §5);
-    // the exact twins (q06/q20) carry the value correctness. The
-    // quartiles come back scalarized (p25/p50/p75 doubles, not one
-    // array column) so downstream tabular consumers can sort/compare
-    // on them directly.
+    // counts and t-digest-style percentiles, both partial-mergeable.
+    // Sketch INTERNALS are engine-specific (HLL++ here, HLL in
+    // DuckDB), so raw estimates can never hash-match an oracle.
+    // Instead each engine gates ITS OWN estimate against ITS OWN
+    // exact twin in the same query — the output rows are exact counts
+    // plus within-5% booleans, identical across engines whenever both
+    // sketches are calibrated, which makes the sketch path fully
+    // oracle-checkable (rows+schema+hash) without pretending the
+    // estimates themselves are portable. A sketch drifting out of
+    // tolerance in EITHER engine turns the row red. At 100 TB the
+    // exact twins are the expensive half; production callers use the
+    // sketch columns alone — this query's job is to prove them.
     "q26_approx_sketch" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          // rsd 1% against a 5% gate: the gate needs headroom over the
+          // sketch's own standard error or it flips on a bad draw
+          // (default rsd IS 5% — measured one flipped gate at sf0.01)
+          approx_count_distinct(col("l_orderkey"), 0.01).as("_ao"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("_ap"),
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("_pe"),
           expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
-            .as("pq"))
-        .withColumn("p25", element_at(col("pq"), 1))
-        .withColumn("p50", element_at(col("pq"), 2))
-        .withColumn("p75", element_at(col("pq"), 3))
-        .drop("pq")
+            .as("_pa"))
+        .select(col("l_returnflag"), col("n_rows"),
+          col("exact_orders"), col("exact_parts"),
+          (abs(col("_ao") - col("exact_orders")) <= col("exact_orders") * lit(0.05))
+            .as("orders_within_5pct"),
+          (abs(col("_ap") - col("exact_parts")) <= col("exact_parts") * lit(0.05))
+            .as("parts_within_5pct"),
+          (abs(element_at(col("_pa"), 1) - element_at(col("_pe"), 1))
+            <= abs(element_at(col("_pe"), 1)) * lit(0.05)).as("p25_within_5pct"),
+          (abs(element_at(col("_pa"), 2) - element_at(col("_pe"), 2))
+            <= abs(element_at(col("_pe"), 2)) * lit(0.05)).as("p50_within_5pct"),
+          (abs(element_at(col("_pa"), 3) - element_at(col("_pe"), 3))
+            <= abs(element_at(col("_pe"), 3)) * lit(0.05)).as("p75_within_5pct"))
         .orderBy(col("l_returnflag"))
     })
   )
@@ -564,6 +582,26 @@ object Relational {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // q26: the oracle runs DUCKDB's sketches (HLL, approx_quantile)
+    // against DuckDB's exacts under the same 5% gates the Spark side
+    // applies to its own — the gate booleans + exact columns are the
+    // engine-portable surface, the estimates themselves are not
+    "q26_approx_sketch" ->
+      """SELECT l_returnflag,
+        | count(*) AS n_rows,
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+        |   <= count(DISTINCT l_orderkey) * 0.05 AS orders_within_5pct,
+        | abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |   <= count(DISTINCT l_partkey) * 0.05 AS parts_within_5pct,
+        | abs(approx_quantile(l_extendedprice, 0.25) - quantile_cont(l_extendedprice, 0.25))
+        |   <= abs(quantile_cont(l_extendedprice, 0.25)) * 0.05 AS p25_within_5pct,
+        | abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+        |   <= abs(quantile_cont(l_extendedprice, 0.5)) * 0.05 AS p50_within_5pct,
+        | abs(approx_quantile(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.75))
+        |   <= abs(quantile_cont(l_extendedprice, 0.75)) * 0.05 AS p75_within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q27_lateral" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer c,

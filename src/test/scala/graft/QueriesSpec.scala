@@ -17,11 +17,13 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle or is explicitly rows-only") {
-    // q26/dd11: sketch internals (HLL++/DataSketches/approx-
-    // percentile) are engine-specific, so no DuckDB-exact oracle by
-    // design; dd11's estimates are calibrated against exact dd10 in
-    // the "hll overlap estimates" test below
-    val rowsOnly = Set("q26_approx_sketch", "dd11_hll_overlap", "dd13_theta_overlap")
+    // dd11/dd13: sketch internals (HLL++/DataSketches) are
+    // engine-specific, so no DuckDB-exact oracle by design; their
+    // estimates are calibrated against exact dd10 in the "hll overlap
+    // estimates" test below. (q26 graduated to a full oracle: its
+    // output is exact counts + within-tolerance gates, portable
+    // across engines.)
+    val rowsOnly = Set("dd11_hll_overlap", "dd13_theta_overlap")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
@@ -81,35 +83,28 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("approx sketches calibrate against exact distincts and percentiles at sf0.01") {
-    // q26 is rows-only at the oracle gate (HLL++/approx-percentile
-    // internals are engine-specific) — so, like dd11, its accuracy is
-    // an executable check here, not prose. HLL++ default rsd is 5%;
-    // bound cardinalities at 10%. approx_percentile with accuracy
-    // 10000 is rank-exact to n/10000 rows; at sf0.01 group sizes
-    // (~15k) allow a couple of rank slots of drift — compare against
-    // the exact quartiles by value distance within 1% of the spread.
+    // q26's output IS the calibration now: per-group exact counts plus
+    // within-5% gate booleans each engine computes over its own
+    // sketches. At sf0.01 every gate must read true (HLL++ rsd 5% on
+    // multi-thousand cardinalities lands ~1-2%; approx_percentile at
+    // accuracy 10000 is rank-exact to n/10000), and the exact columns
+    // must agree with an independent recompute.
     val d = "/root/testdata/sf0.01"
     val est = SparkEntry.queries("q26_approx_sketch")(spark, d)
       .collect().map(r => r.getString(0) -> r).toMap
     val li = Tables(spark, d, "lineitem")
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("x_orders"),
-        countDistinct(col("l_partkey")).as("x_parts"),
-        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("xq"))
+        countDistinct(col("l_partkey")).as("x_parts"))
       .collect().map(r => r.getString(0) -> r).toMap
     assert(est.keySet == exact.keySet)
     exact.foreach { case (flag, x) =>
       val e = est(flag)
-      val (xo, xp) = (x.getAs[Long]("x_orders"), x.getAs[Long]("x_parts"))
-      assert(math.abs(e.getAs[Long]("approx_orders") - xo) <= xo / 10,
-        s"$flag orders: est ${e.getAs[Long]("approx_orders")} vs exact $xo")
-      assert(math.abs(e.getAs[Long]("approx_parts") - xp) <= xp / 10,
-        s"$flag parts: est ${e.getAs[Long]("approx_parts")} vs exact $xp")
-      val xq = x.getSeq[Double](x.fieldIndex("xq"))
-      val spread = xq(2) - xq(0)
-      Seq("p25", "p50", "p75").zipWithIndex.foreach { case (c, i) =>
-        assert(math.abs(e.getAs[Double](c) - xq(i)) <= math.max(spread * 0.01, 1.0),
-          s"$flag $c: est ${e.getAs[Double](c)} vs exact ${xq(i)}")
+      assert(e.getAs[Long]("exact_orders") == x.getAs[Long]("x_orders"))
+      assert(e.getAs[Long]("exact_parts") == x.getAs[Long]("x_parts"))
+      Seq("orders_within_5pct", "parts_within_5pct",
+        "p25_within_5pct", "p50_within_5pct", "p75_within_5pct").foreach { g =>
+        assert(e.getAs[Boolean](g), s"$flag: sketch gate $g out of tolerance")
       }
     }
   }
