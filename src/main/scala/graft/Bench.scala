@@ -74,7 +74,16 @@ object Bench {
     val qs = medians.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // stdout of a Spark run is log-interleaved and has broken the
+    // driver's parse before (BENCH_r04 "parsed: null") — also land
+    // the same line in a file that round-over-round tooling can read
+    // without scraping log tails
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"bench: could not write $out: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -323,12 +323,14 @@ object Dedup {
     // scales as bits = max(8, ceil(log2(n/64))): occupancy pins at
     // ~64, the pair stage stays O(n). Wider buckets are NEVER the
     // recall lever — recall at scale comes from more tables (ss07),
-    // each O(n). The count() that sizes the key space is one
-    // metadata-cheap action; a production catalog would serve it from
-    // table stats.
+    // each O(n). The n that sizes the key space comes from parquet
+    // FOOTER stats (graft.sources.Stats — a metadata walk, no scan
+    // job; the catalog-stats path a production table serves), with a
+    // real count() only as the fallback for non-parquet sources.
     "dd05_embed_neardup" -> ((s, d) => {
       val e = Tables.spread(Tables(s, d, "embeddings"))
-      val n = e.count()
+      val n = graft.sources.Stats.parquetRowCount(s, s"$d/embeddings.parquet")
+        .getOrElse(e.count())
       val bits = math.min(24, math.max(8,
         math.ceil(math.log(math.max(1L, n / 64).toDouble) / math.log(2.0)).toInt))
       val planes = Similarity.planesN(4 * bits)

@@ -46,6 +46,12 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
     } finally l.unlock()
   }
 
+  /** Catalog-stats row count: parquet footer metadata only, no scan
+    * job (see [[Stats.parquetRowCount]]). None on an empty/missing
+    * topic — callers fall back to read(name).count(). */
+  def rowCount(name: String): Option[Long] =
+    Stats.parquetRowCount(spark, topicPath(name))
+
   /** Full scan of a topic (bucket column retained for pruning).
     *
     * `mergeSchema=true` reconciles shards written under different

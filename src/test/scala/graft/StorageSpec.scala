@@ -51,6 +51,18 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("footer row-count stats match a real count (no scan job)") {
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    (0 until 3).foreach(_ => store.append("st", sampleEvents(40)))
+    assert(store.rowCount("st").contains(120L),
+      s"footer stats must equal the real count, got ${store.rowCount("st")}")
+    assert(store.rowCount("missing_topic").isEmpty)
+    // the driver testdata file the dd05 band-width sizing reads
+    val n = graft.sources.Stats.parquetRowCount(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    assert(n.isDefined && n.get > 0)
+    assert(n.get == spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count())
+  }
+
   test("mixed upsert seq domains are rejected (clock would shadow batch ids)") {
     val store = new TopicStore(spark, tmp())
     store.upsert("mix", sampleEvents(5), seq = Some(1L))
