@@ -51,6 +51,34 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("a declared-schema topic stays readable after its first publish") {
+    // createTopic(schema) materializes an empty parquet for schema
+    // inference; the first publish then adds bucket= dirs. Mixed
+    // directory depths are exactly what Spark's partition discovery
+    // rejects ("Conflicting directory structures") — this pins the
+    // create→publish→read path.
+    import spark.implicits._
+    val root = tmp()
+    val gs = new GraftSession(spark, root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("time", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    gs.createTopic("declared", schema)
+    assert(gs.table("declared").schema.fieldNames.contains("key"),
+      "empty declared topic must be readable with its schema")
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    gs.publish("declared", Seq((1L, t0, 1.0)).toDF("key", "time", "v"))
+    assert(gs.table("declared").count() == 1,
+      "topic must stay readable after the first publish")
+    // the root-level schema file must not suppress partition
+    // discovery: time-range reads prune on the bucket column
+    assert(gs.table("declared").columns.contains("bucket"),
+      s"bucket partition column lost, saw: ${gs.table("declared").columns.mkString(",")}")
+    assert(gs.store.readRange(gs.catalog.resolve("declared"),
+      1700000000L - 10, 1700000000L + 10).count() == 1)
+  }
+
   test("footer row-count stats match a real count (no scan job)") {
     val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
     (0 until 3).foreach(_ => store.append("st", sampleEvents(40)))
