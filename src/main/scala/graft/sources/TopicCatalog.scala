@@ -258,14 +258,33 @@ class TopicCatalog(spark: SparkSession, root: String,
 
   /** Scan a table: topic => parquet read; temp topic => its plan;
     * view => run the SQL (or read the materialization). */
-  def table(ref: String): DataFrame = entries(resolve(ref)) match {
-    case Topic(path, _) => spark.read.parquet(path)
-    case TempTopic(df) => df
-    case View(sql, None) => spark.sql(sql)
-    case View(_, Some(path)) => spark.read.parquet(path)
+  def table(ref: String): DataFrame = {
+    if (!entries.contains(resolve(ref))) reload()
+    entries(resolve(ref)) match {
+      case Topic(path, _) => spark.read.parquet(path)
+      case TempTopic(df) => df
+      case View(sql, None) => spark.sql(sql)
+      case View(_, Some(path)) => spark.read.parquet(path)
+    }
   }
 
-  def contains(ref: String): Boolean = entries.contains(resolve(ref))
+  def contains(ref: String): Boolean =
+    entries.contains(resolve(ref)) || { reload(); entries.contains(resolve(ref)) }
+
+  /** Re-read durable state from disk, folding in mutations committed
+    * by OTHER catalog instances over the same root (the V2 catalog
+    * plugin serving remote Connect sessions writes through its own
+    * instance — without a reload, a topic created remotely is
+    * invisible to this session until restart). Session-only temp
+    * topics survive the reload. Called automatically on lookup miss
+    * and before every checkpoint. */
+  def reload(): Unit = TopicCatalog.lockFor(root).synchronized {
+    val temps = entries.toSeq.collect { case (n, t: TempTopic) => (n, t) }
+    entries.clear()
+    opsSinceSnapshot = 0
+    load()
+    temps.foreach { case (n, t) => if (!entries.contains(n)) entries(n) = t }
+  }
 
   // -- persistence: jackson JSON, append-only op log + atomic snapshot --
 
@@ -314,20 +333,28 @@ class TopicCatalog(spark: SparkSession, root: String,
 
   /** Commit one mutation: O(1) append to the transaction log, with a
     * snapshot compaction every `snapshotEvery` ops. */
-  private def commit(op: String, name: String, entry: Option[Entry]): Unit = {
-    val o = mapper.createObjectNode()
-    o.put("op", op); o.put("name", name)
-    entry.foreach(e => entryFields(o.putObject("entry"), e))
-    Files.createDirectories(logPath.getParent)
-    Files.writeString(logPath, mapper.writeValueAsString(o) + "\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    opsSinceSnapshot += 1
-    if (opsSinceSnapshot >= snapshotEvery) checkpoint()
-  }
+  private def commit(op: String, name: String, entry: Option[Entry]): Unit =
+    TopicCatalog.lockFor(root).synchronized {
+      val o = mapper.createObjectNode()
+      o.put("op", op); o.put("name", name)
+      entry.foreach(e => entryFields(o.putObject("entry"), e))
+      Files.createDirectories(logPath.getParent)
+      Files.writeString(logPath, mapper.writeValueAsString(o) + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      opsSinceSnapshot += 1
+      if (opsSinceSnapshot >= snapshotEvery) checkpoint()
+    }
 
   /** Write the full-state snapshot (temp file + atomic rename) and
-    * truncate the log — the reference registry's snapshot compaction. */
-  def checkpoint(): Unit = {
+    * truncate the log — the reference registry's snapshot compaction.
+    * Replays the on-disk state first (under the per-root JVM lock, so
+    * no same-driver writer can slip an op between replay and the log
+    * truncation): without the replay, a snapshot taken by a stale
+    * instance would ERASE topics other instances committed — e.g. a
+    * remote CREATE TABLE through the V2 plugin followed by this
+    * session's shutdown(). */
+  def checkpoint(): Unit = TopicCatalog.lockFor(root).synchronized {
+    reload()
     val doc = mapper.createObjectNode()
     entries.foreach {
       case (_, TempTopic(_)) => () // session-only, never durable
@@ -364,4 +391,18 @@ class TopicCatalog(spark: SparkSession, root: String,
       }
     }
   }
+}
+
+object TopicCatalog {
+  /** Per-root manifest write coordination (JVM-wide): every catalog
+    * instance over the same root — interactive sessions, the V2
+    * catalog plugin's per-Connect-session instances — serializes its
+    * log appends, snapshots, and replays on one monitor, so a
+    * checkpoint can never truncate a log line another same-driver
+    * writer just committed. Writers in separate driver processes
+    * coordinate externally, same boundary as TopicStore. */
+  private val catalogLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def lockFor(root: String): Object =
+    catalogLocks.computeIfAbsent(root, _ => new Object())
 }

@@ -144,6 +144,35 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("a remote session creates a topic and publishes into it (remote DDL + DML)") {
+    // the full remote lifecycle the reference's create_table + publish
+    // flow covers (ella.rs:176-199, topic.rs:86): CREATE TABLE over
+    // the wire registers a declared-schema topic in the durable
+    // manifest, INSERT lands rows, and the server session reads the
+    // same topic by its short name.
+    val root = Files.createTempDirectory("graft_serve6").toString
+    val port = freePort()
+    val gs = Serve.start(spark, root, port)
+    try {
+      val conn = Connect.jdbc(s"sc://localhost:$port")
+      try {
+        val st = conn.createStatement()
+        try {
+          st.execute("CREATE TABLE graft.born_remote (key BIGINT, time TIMESTAMP, v DOUBLE)")
+          st.execute("INSERT INTO graft.born_remote VALUES (7, TIMESTAMP '2023-11-14 22:13:20', 7.0)")
+          val rs = st.executeQuery("SELECT key, v FROM graft.born_remote")
+          try {
+            assert(rs.next())
+            assert(rs.getLong("key") == 7L && rs.getDouble("v") == 7.0)
+          } finally rs.close()
+        } finally st.close()
+      } finally conn.close()
+      // durable: registered in the manifest, visible server-side
+      assert(gs.catalog.contains("born_remote"), "remote CREATE TABLE must register the topic")
+      assert(gs.table("born_remote").count() == 1)
+    } finally Serve.shutdown(gs)
+  }
+
   test("same-named topics in different schemas publish under qualified views") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_serve5").toString

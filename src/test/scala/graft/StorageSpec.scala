@@ -51,6 +51,21 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint never erases topics committed by another catalog instance") {
+    // two catalog instances over one root (a session + the V2 plugin
+    // serving a remote client): instance B snapshotting from stale
+    // memory used to ERASE what instance A had committed to the log
+    val root = tmp()
+    val a = new GraftSession(spark, root)
+    val b = new GraftSession(spark, root)
+    a.createTopic("from_a")
+    b.catalog.checkpoint() // what shutdown() runs
+    val fresh = new GraftSession(spark, root)
+    assert(fresh.catalog.contains("from_a"),
+      "checkpoint must replay other writers' commits, not erase them")
+    assert(b.catalog.contains("from_a"), "lookup miss must reload from disk")
+  }
+
   test("a declared-schema topic stays readable after its first publish") {
     // createTopic(schema) materializes an empty parquet for schema
     // inference; the first publish then adds bucket= dirs. Mixed
