@@ -45,7 +45,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * distributed benefit (the append itself is already a
   * partition-parallel parquet write).
   */
-class TopicSparkCatalog extends TableCatalog {
+class TopicSparkCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = "graft"
   private var root: String = _
   @volatile private var cached: Option[TopicCatalog] = None
@@ -113,6 +113,69 @@ class TopicSparkCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = {
     val tc = topicCatalog(reload = true)
     tc.dropTable(fqnOf(ident, tc))
+  }
+
+  // -- namespaces: the reference's cluster→catalog→schema levels
+  //    (cluster.rs:42-90, catalog.rs:48-113) surfaced through Spark's
+  //    SHOW/CREATE/DROP NAMESPACE so remote sessions manage them over
+  //    the wire like any other catalog object --
+
+  /** Registered namespace keys plus namespaces implied by topic FQNs
+    * (a topic at ella.public.t implies [ella] and [ella, public]). */
+  private def allNamespaces(tc: TopicCatalog): Seq[Seq[String]] = {
+    val fromEntries = tc.list().flatMap {
+      case (name, "namespace") => Seq(name.split('.').toSeq)
+      case (name, "topic") =>
+        val parts = name.split('.').toSeq.dropRight(1)
+        (1 to parts.length).map(parts.take)
+      case _ => Seq.empty
+    }
+    fromEntries.distinct
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    allNamespaces(topicCatalog(reload = true))
+      .filter(_.length == 1).map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val tc = topicCatalog(reload = true)
+    val all = allNamespaces(tc)
+    if (namespace.nonEmpty && !all.exists(_ == namespace.toSeq))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        name() +: namespace.toSeq)
+    all.filter(ns => ns.length == namespace.length + 1 && ns.startsWith(namespace.toSeq))
+      .map(_.toArray).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!allNamespaces(topicCatalog(reload = true)).exists(_ == namespace.toSeq))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        name() +: namespace.toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val tc = topicCatalog(reload = true)
+    namespace.toSeq match {
+      case Seq(cat) => tc.createCatalog(cat)
+      case Seq(cat, sch) => tc.createSchema(s"$cat.$sch")
+      case other => throw new IllegalArgumentException(
+        s"graft namespaces are catalog or catalog.schema, got ${other.mkString(".")}")
+    }
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported for graft")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val tc = topicCatalog(reload = true)
+    namespace.toSeq match {
+      case Seq(cat) => tc.dropCatalog(cat, ifExists = false, cascade = cascade)
+      case Seq(cat, sch) => tc.dropSchema(s"$cat.$sch", ifExists = false, cascade = cascade)
+      case other => throw new IllegalArgumentException(
+        s"graft namespaces are catalog or catalog.schema, got ${other.mkString(".")}")
+    }
   }
 }
 

@@ -393,4 +393,20 @@ object TopicStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         store.upsert(topic, batch, tsCol, seq = Some(batchId))
       }
+
+  /** Streaming APPEND sink: each micro-batch publishes into a catalog
+    * topic through the session's publish path — the topic is
+    * auto-created on the first batch, the bucket derives from
+    * `tsCol`, and the topic's registered CompactionPolicy fires on
+    * cadence via the JVM-wide scheduler (the same path every other
+    * write surface uses). Plain appends are at-least-once under
+    * replay (a re-run batch re-appends); use [[upsertToTopic]] when
+    * replays must collapse to one version. Caller starts the returned
+    * writer with a checkpointLocation. */
+  def publishToTopic(rows: DataFrame, session: graft.GraftSession,
+                     topic: String, tsCol: String = "ts"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        session.publish(topic, batch, tsCol)
+      }
 }

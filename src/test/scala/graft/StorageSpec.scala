@@ -51,6 +51,29 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("V2 catalog namespaces: SHOW/CREATE/DROP NAMESPACE round-trip") {
+    import spark.implicits._
+    val root = tmp()
+    val gs = new GraftSession(spark, root)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    gs.publish("nst", Seq((1L, t0, 1.0)).toDF("key", "time", "v"))
+    gs.registerSparkCatalog("g2ns")
+    val top = spark.sql("SHOW NAMESPACES IN g2ns").collect().map(_.getString(0))
+    assert(top.contains("ella"), s"implied catalog namespace, saw ${top.mkString(",")}")
+    val sub = spark.sql("SHOW NAMESPACES IN g2ns.ella").collect().map(_.getString(0))
+    assert(sub.contains("ella.public"), s"implied schema namespace, saw ${sub.mkString(",")}")
+    spark.sql("CREATE NAMESPACE g2ns.ella.raw")
+    assert(gs.catalog.contains("raw") || spark.sql("SHOW NAMESPACES IN g2ns.ella")
+      .collect().map(_.getString(0)).contains("ella.raw"),
+      "created schema must be visible")
+    spark.sql("DROP NAMESPACE g2ns.ella.raw")
+    assert(!spark.sql("SHOW NAMESPACES IN g2ns.ella").collect()
+      .map(_.getString(0)).contains("ella.raw"))
+    // topics list under their namespace
+    val tables = spark.sql("SHOW TABLES IN g2ns.ella.public").collect().map(_.getString(1))
+    assert(tables.contains("nst"), s"saw ${tables.mkString(",")}")
+  }
+
   test("checkpoint never erases topics committed by another catalog instance") {
     // two catalog instances over one root (a session + the V2 plugin
     // serving a remote client): instance B snapshotting from stale

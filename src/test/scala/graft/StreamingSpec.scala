@@ -91,6 +91,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming publish sink: batches land in a catalog topic, compaction on cadence") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_spub").toString
+    val gs = new GraftSession(spark, root)
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.publishToTopic(input.toDF(), gs, "live_pub")
+      .option("checkpointLocation", s"$root/_chk").start()
+    try {
+      input.addData(TopicEvent(1, ts("2024-01-01 00:05:00"), 1, "s", 1.00))
+      q.processAllAvailable()
+      // topic auto-created + registered; compaction schedule attaches live
+      assert(gs.catalog.contains("live_pub"))
+      gs.setCompaction("live_pub", everyAppends = 2, maxFilesPerBucket = 1)
+      input.addData(TopicEvent(2, ts("2024-01-01 00:06:00"), 1, "s", 2.00))
+      q.processAllAvailable()
+      input.addData(TopicEvent(3, ts("2024-01-01 00:07:00"), 2, "s", 3.00))
+      q.processAllAvailable()
+      assert(gs.table("live_pub").count() == 3, "every published row must land")
+      // the cadence fired from the streaming path: the bucket is compact
+      val bucketDirs = new java.io.File(s"$root/topics/ella.public.live_pub")
+        .listFiles().filter(_.getName.startsWith("bucket="))
+      assert(bucketDirs.nonEmpty)
+      assert(bucketDirs.head.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        "scheduled compaction must fold the streamed appends")
+    } finally q.stop()
+  }
+
   test("session windows close after the inactivity gap and emit on watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
