@@ -16,8 +16,8 @@ object Shell {
   private val Help =
     """\q            quit the session
       |\h            display help
-      |<sql>;        run SQL (CREATE/DROP/USE route to the catalog,
-      |              queries print up to 50 rows)""".stripMargin
+      |<sql>;        run SQL (CREATE/DROP/USE/INSERT route to the
+      |              catalog, queries print up to 50 rows)""".stripMargin
 
   /** Render a bounded preview of `df` (deterministic, driver-safe). */
   private[graft] def render(df: org.apache.spark.sql.DataFrame, maxRows: Int): String = {
@@ -36,7 +36,7 @@ object Shell {
   /** Drive one shell session: consume `lines` until `\q` or EOF. */
   private[graft] def repl(gs: GraftSession, lines: Iterator[String],
                           out: String => Unit, maxRows: Int = 50): Unit = {
-    val ddl = """(?is)\s*(CREATE|DROP|USE)\b.*""".r
+    val ddl = """(?is)\s*(CREATE|DROP|USE|INSERT)\b.*""".r
     var live = true
     while (live && lines.hasNext) {
       val raw = lines.next().trim.stripSuffix(";").trim

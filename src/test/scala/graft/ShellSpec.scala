@@ -37,6 +37,19 @@ class ShellSpec extends SparkSpec {
     assert(out.length == 5)
   }
 
+  test("shell INSERT INTO a topic publishes through the catalog path") {
+    import spark.implicits._
+    val gs = new GraftSession(spark, tmp())
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    gs.publish("shellpub", Seq((1L, t0, 1.0)).toDF("key", "time", "v"))
+    val out = run(gs,
+      "INSERT INTO shellpub VALUES (2, TIMESTAMP '2023-11-14 22:13:20', 2.0);",
+      "SELECT key FROM shellpub ORDER BY key",
+      "\\q")
+    assert(out(0) == "OK", s"INSERT must route to execute: ${out(0)}")
+    assert(out(1) == "key\n1\n2", s"inserted row must be queryable: ${out(1)}")
+  }
+
   test("main-style open refuses a missing datastore without --create") {
     val root = tmp() + "/nope"
     val manifest = java.nio.file.Paths.get(s"$root/_graft_catalog.json")
