@@ -51,6 +51,29 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("V2 catalog inserts fail loudly on bad shapes, never corrupt the topic") {
+    import spark.implicits._
+    val root = tmp()
+    val gs = new GraftSession(spark, root)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    gs.publish("strict", Seq((1L, t0, 1.0)).toDF("key", "time", "v"))
+    gs.registerSparkCatalog("g2e")
+    // wrong arity: not silently position-matched
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO g2e.strict VALUES (2, TIMESTAMP '2023-11-14 22:13:20')")
+    }
+    assert(e1.getMessage.contains("expected columns") || e1.getMessage.contains("INSERT"),
+      s"arity mismatch must explain itself: ${e1.getMessage}")
+    // overwrite: topics are append-only
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE g2e.strict VALUES (9, TIMESTAMP '2023-11-14 22:13:20', 9.0)")
+    }
+    assert(e2.getMessage.toLowerCase.contains("append-only")
+      || e2.getMessage.toLowerCase.contains("overwrite"),
+      s"overwrite must be rejected: ${e2.getMessage}")
+    assert(gs.table("strict").count() == 1, "failed inserts must leave the topic untouched")
+  }
+
   test("V2 catalog namespaces: SHOW/CREATE/DROP NAMESPACE round-trip") {
     import spark.implicits._
     val root = tmp()
