@@ -79,6 +79,7 @@ object Shell {
       sys.error(s"no graft datastore at $root (pass --create to initialize)")
     val spark = SparkSession.builder().master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val gs = new GraftSession(spark, root)

@@ -79,19 +79,29 @@ object Tables {
   private[graft] def spreadProbeCount: Int =
     spreadDecision.synchronized(spreadDecision.size())
 
-  /** `events` with its parquet TIMESTAMP(NANOS) `ts` column exposed as a
-    * standard Spark TimestampType (microseconds).
+  /** `events` with its parquet `ts` column exposed as a standard Spark
+    * TimestampType (microseconds), whatever physical form the file uses.
     *
-    * Spark has no native nanosecond timestamp; we read the raw int64
-    * nanos (legacy conf) and floor-divide to micros — the same
-    * truncation DuckDB applies when it reads TIMESTAMP_NS, so oracle
-    * comparisons line up exactly. Ella stores times as i64 nanos too
-    * (ella-common time types), so this is the reference's own model.
+    * The testdata generator has shipped `ts` as TIMESTAMP(NANOS)
+    * (readable only as raw int64 via the legacy conf), as TIMESTAMP_NTZ
+    * (micros, no UTC flag), and as plain TIMESTAMP — so this loader
+    * dispatches on the decoded type instead of assuming one. All
+    * sessions run with spark.sql.session.timeZone=UTC, so the NTZ→LTZ
+    * cast is value-preserving and matches DuckDB's naive `epoch_us(ts)`
+    * reading of the same file. Ella stores times as i64 nanos
+    * (ella-common time types); truncation to micros is the same floor
+    * DuckDB applies, so oracle comparisons line up exactly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   /** Typed event rows — ella's typed row streams (`Lazy::rows[R]`,

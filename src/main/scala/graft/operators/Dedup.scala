@@ -225,27 +225,19 @@ object Dedup {
     // a few KB each — the corpus never shuffles on the shingle);
     // pairwise overlap is estimated by inclusion-exclusion over
     // merged sketches (|A∩B| ≈ |A| + |B| - |A∪B|) on the S-row
-    // sketch table. Sketch estimates are engine-specific → rows-only
-    // check (q26 precedent, SURVEY §5); the spec calibrates the
-    // estimates against dd10's exact counts.
-    "dd11_hll_overlap" -> ((s, d) => {
-      val sk = Tables.spread(docs(s, d))
-        .select(col("source"), tokens(col("text")).as("words"))
-        .select(col("source"), explode(shingles(col("words"), 3)).as("shingle"))
-        .select(col("source"), md5(col("shingle")).as("h"))
-        .groupBy(col("source"))
-        .agg(hll_sketch_agg(col("h"), 14).as("sk"))
-      val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
-      val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
-      a.join(b, col("source_a") < col("source_b"))
-        .select(col("source_a"), col("source_b"),
-          hll_sketch_estimate(col("sk_a")).as("est_a"),
-          hll_sketch_estimate(col("sk_b")).as("est_b"),
-          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("est_union"))
-        .withColumn("est_shared",
-          greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
-        .orderBy(col("source_a"), col("source_b"))
-    }),
+    // sketch table. Sketch INTERNALS are engine-specific, so raw
+    // estimates can never hash-match an oracle — instead (q26
+    // precedent) the query also computes the EXACT twin (dd10's
+    // overlap matrix) and gates its own estimates against it: output
+    // rows are exact counts plus within-tolerance booleans, identical
+    // across engines whenever both sketch families are calibrated.
+    // The per-source gate is 5%; the intersection gate scales with
+    // UNION size (inclusion-exclusion error is three union-sized
+    // estimate errors, not an intersection-sized one — the structural
+    // weakness dd13's direct theta intersection fixes). At 100 TB
+    // production callers run the sketch half alone; the exact twin
+    // here is what proves it.
+    "dd11_hll_overlap" -> ((s, d) => gatedSketchOverlap(docs(s, d), theta = false)),
 
     // dd11 with THETA sketches — the other sketch family the dd10
     // comment names, landed natively in Spark 4.1. Theta sketches
@@ -256,25 +248,14 @@ object Dedup {
     // structural weakness on small overlaps of large sources. Same
     // 100 TB shape: one partial-mergeable agg per source, S few-KB
     // sketches cross the wire, the pairwise stage is S² rows.
-    // Rows-only check (sketch internals engine-specific, SURVEY §5);
-    // the spec calibrates against dd10's exact matrix next to dd11's.
-    "dd13_theta_overlap" -> ((s, d) => {
-      val sk = Tables.spread(docs(s, d))
-        .select(col("source"), tokens(col("text")).as("words"))
-        .select(col("source"), explode(shingles(col("words"), 3)).as("shingle"))
-        .select(col("source"), md5(col("shingle")).as("h"))
-        .groupBy(col("source"))
-        .agg(theta_sketch_agg(col("h"), 14).as("sk"))
-      val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
-      val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
-      a.join(b, col("source_a") < col("source_b"))
-        .select(col("source_a"), col("source_b"),
-          theta_sketch_estimate(col("sk_a")).cast("long").as("est_a"),
-          theta_sketch_estimate(col("sk_b")).cast("long").as("est_b"),
-          theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b")))
-            .cast("long").as("est_shared"))
-        .orderBy(col("source_a"), col("source_b"))
-    }),
+    // Oracle-checked like dd11: exact twin in-query, each engine
+    // gates ITS OWN sketch family (DuckDB has no theta sketch, so its
+    // oracle gates its HLL estimates — the booleans agree whenever
+    // both families are calibrated, which is exactly the claim under
+    // test). Theta intersection is direct, but its standard error is
+    // still driven by the sketches' retention thresholds (union-scale
+    // K-th minimums), so the gate stays union-scaled like dd11's.
+    "dd13_theta_overlap" -> ((s, d) => gatedSketchOverlap(docs(s, d), theta = true)),
 
     // INCREMENTAL dedup — the production daily-increment shape: an
     // arriving batch (doc_id % 5 == 0 here) is checked against the
@@ -308,6 +289,44 @@ object Dedup {
           coalesce(col("exact"), lit(false)).as("is_exact_dup"),
           col("n_band_hits"),
           (coalesce(col("exact"), lit(false)) || col("n_band_hits") > 0).as("flagged"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bloom-prefiltered incremental dedup — dd12's exact half at the
+    // shape that survives a corpus too large to shuffle per increment.
+    // dd12 distincts the WHOLE established corpus's fingerprints
+    // before joining (one corpus-wide shuffle per daily batch); here
+    // the increment's fingerprints are folded into a broadcast Bloom
+    // filter (few KB–MB regardless of corpus size, built over the
+    // SMALL side), and the corpus scan is pruned by `might_contain`
+    // BEFORE any exchange — non-matching corpus rows (the vast
+    // majority) die at scan speed, and only the survivors (true
+    // matches + the filter's ~0.05% false positives) are distinct'd
+    // and joined back. False positives cost a few extra joined rows,
+    // never correctness: the final equi-join is exact, so the output
+    // is identical to the unfiltered plan and fully oracle-checkable.
+    // At 100 TB: per-increment cost = one corpus scan (no shuffle) +
+    // a shuffle of ~|increment| survivors, vs dd12's corpus-wide
+    // distinct. Spark's own runtime row-level filters apply the same
+    // trick automatically only for selective broadcast-able cases;
+    // staging it explicitly makes the plan deterministic.
+    "dd14_bloom_incremental" -> ((s, d) => {
+      import graft.functions.BloomFunctions._
+      val all = docs(s, d)
+      val fresh = all.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), md5(col("text")).as("chash"))
+      // Size the filter from catalog/footer stats (metadata walk, no
+      // scan job — the dd05 pattern); increment ≈ rows/5 here. 16
+      // bits/item ≈ 0.05% FP at optimal k.
+      val items = graft.sources.Stats.parquetRowCount(s, s"$d/documents.parquet")
+        .getOrElse(all.count()) / 5 + 64
+      val bloom = fresh.agg(bloomAgg(col("chash"), items, items * 16).as("bf"))
+      val survivors = all.filter(col("doc_id") % 5 =!= 0)
+        .select(md5(col("text")).as("chash"))
+        .filter(mightContain(col("chash"), bloom))
+        .distinct()
+      fresh.join(survivors.withColumn("hit", lit(true)), Seq("chash"), "left")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_exact_dup"))
         .orderBy(col("doc_id"))
     }),
 
@@ -454,6 +473,77 @@ object Dedup {
     * side into a broadcast hash relation rebuilt per task — 65 s
     * for what this single-shuffle form does in ~2 s, and a plan
     * that only gets worse with corpus size. */
+  /** dd11/dd13 body: exact overlap twin + per-engine sketch gates from
+    * ONE shingle pass.
+    *
+    * The distinct (source, shingle-md5) set `e` is materialized once
+    * and feeds BOTH halves — the exact matrix (groupBy shingle →
+    * per-shingle source lists → pair rollup, same math as
+    * [[sourceOverlap]]) and the per-source sketch agg. The r6 rework
+    * of these queries from raw estimates to q26-style gated output
+    * would otherwise have scanned + shingled the corpus twice; at
+    * 100 TB the shingle explosion IS the dominant cost, so sharing it
+    * matters more than anything downstream (everything after `e` is
+    * partial-mergeable aggs and an S²-row pair join).
+    *
+    * Gates: per-source cardinality within 5% (lgK=14 RSE ~0.8% —
+    * wide headroom); the intersection gate scales with UNION size
+    * (inclusion-exclusion error is three union-sized estimate errors;
+    * theta intersection error is likewise driven by union-scale
+    * retention thresholds), floored at 32 for near-disjoint pairs.
+    */
+  private def gatedSketchOverlap(docDf: DataFrame, theta: Boolean): DataFrame = {
+    val e = Tables.spread(docDf)
+      .select(col("source"), tokens(col("text")).as("words"))
+      .select(col("source"), explode(shingles(col("words"), 3)).as("shingle"))
+      .select(col("source"), md5(col("shingle")).as("h"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = e.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairCombos = flatten(transform(col("srcs"), (a, ai) =>
+      transform(slice(col("srcs"), ai + lit(2), size(col("srcs")) - ai - 1),
+        b => struct(a.as("source_a"), b.as("source_b")))))
+    val exact = e.groupBy(col("h"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(pairCombos).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+    val sk = e.groupBy(col("source"))
+      .agg((if (theta) theta_sketch_agg(col("h"), 14) else hll_sketch_agg(col("h"), 14)).as("sk"))
+    val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+    val pairs = a.join(b, col("source_a") < col("source_b"))
+    val est =
+      if (theta)
+        pairs.select(col("source_a"), col("source_b"),
+          theta_sketch_estimate(col("sk_a")).cast("long").as("est_a"),
+          theta_sketch_estimate(col("sk_b")).cast("long").as("est_b"),
+          theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b")))
+            .cast("long").as("est_shared"))
+      else
+        pairs.select(col("source_a"), col("source_b"),
+          hll_sketch_estimate(col("sk_a")).as("est_a"),
+          hll_sketch_estimate(col("sk_b")).as("est_b"),
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("est_union"))
+          .withColumn("est_shared",
+            greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+    exact.join(est, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("n_a"), col("n_b"), col("n_shared"),
+        (abs(col("est_a") - col("n_a")) <= col("n_a") * lit(0.05))
+          .as("a_within_5pct"),
+        (abs(col("est_b") - col("n_b")) <= col("n_b") * lit(0.05))
+          .as("b_within_5pct"),
+        (abs(col("est_shared") - col("n_shared"))
+          <= greatest((col("n_a") + col("n_b") - col("n_shared")) * lit(0.10), lit(32.0)))
+          .as("shared_within_tol"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def sourceOverlap(docDf: DataFrame): DataFrame = {
     val byH = Tables.spread(docDf)
       .select(col("source"), tokens(col("text")).as("words"))
@@ -607,7 +697,50 @@ object Dedup {
          |FROM pairs p
          |JOIN sizes sa ON sa.source = p.source_a
          |JOIN sizes sb ON sb.source = p.source_b
-         |ORDER BY source_a, source_b""".stripMargin)
+         |ORDER BY source_a, source_b""".stripMargin) +
+    // dd11/dd13 oracle: exact twin + within-tolerance booleans over
+    // DuckDB's OWN HLL (approx_count_distinct) with the SAME gate
+    // formulas as the Spark side — q26's sketch-proof pattern. DuckDB
+    // has no theta sketch, so dd13's oracle gates the HLL family too:
+    // the row is green iff BOTH engines' sketches sit inside the
+    // declared error band around the shared exact values.
+    ("dd11_hll_overlap" -> sketchOverlapOracleSql) +
+    ("dd13_theta_overlap" -> sketchOverlapOracleSql) +
+    // dd14's Bloom prefilter is a pure plan optimization — output is
+    // the exact membership answer, so the oracle is the plain join.
+    ("dd14_bloom_incremental" ->
+      """WITH old_ch AS (SELECT DISTINCT md5(text) AS chash FROM documents WHERE doc_id % 5 != 0),
+        |fr AS (SELECT doc_id, md5(text) AS chash FROM documents WHERE doc_id % 5 = 0)
+        |SELECT fr.doc_id, (oc.chash IS NOT NULL) AS is_exact_dup
+        |FROM fr LEFT JOIN old_ch oc ON fr.chash = oc.chash
+        |ORDER BY fr.doc_id""".stripMargin)
+
+  private lazy val sketchOverlapOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+       |shs AS (SELECT source, $shingleSql AS sh FROM w),
+       |e AS (SELECT DISTINCT source, md5(s) AS h FROM shs, unnest(sh) AS t(s)),
+       |sizes AS (SELECT source, count(*) AS n FROM e GROUP BY 1),
+       |ests AS (SELECT source, approx_count_distinct(h) AS est FROM e GROUP BY 1),
+       |pairs AS (
+       | SELECT x.source AS source_a, y.source AS source_b, count(*) AS n_shared
+       | FROM e x JOIN e y ON x.h = y.h AND x.source < y.source
+       | GROUP BY 1, 2),
+       |eu AS (
+       | SELECT p.source_a, p.source_b, approx_count_distinct(x.h) AS est_union
+       | FROM pairs p JOIN e x ON x.source = p.source_a OR x.source = p.source_b
+       | GROUP BY 1, 2)
+       |SELECT p.source_a, p.source_b, sa.n AS n_a, sb.n AS n_b, p.n_shared,
+       | abs(ea.est - sa.n) <= sa.n * 0.05 AS a_within_5pct,
+       | abs(eb.est - sb.n) <= sb.n * 0.05 AS b_within_5pct,
+       | abs(greatest(ea.est + eb.est - eu.est_union, 0) - p.n_shared)
+       |   <= greatest((sa.n + sb.n - p.n_shared) * 0.10, 32.0) AS shared_within_tol
+       |FROM pairs p
+       |JOIN sizes sa ON sa.source = p.source_a
+       |JOIN sizes sb ON sb.source = p.source_b
+       |JOIN ests ea ON ea.source = p.source_a
+       |JOIN ests eb ON eb.source = p.source_b
+       |JOIN eu ON eu.source_a = p.source_a AND eu.source_b = p.source_b
+       |ORDER BY p.source_a, p.source_b""".stripMargin
 
   private lazy val baseOracle: Map[String, String] = Map(
     "dd02_minhash_lsh" ->

@@ -192,6 +192,17 @@ class PlanSpec extends SparkSpec {
       s"the corpus must not shuffle on gram for decontam:\n$p")
   }
 
+  test("dd14 prunes the corpus scan with a Bloom probe before any exchange") {
+    // The point of dd14 over dd12: the established corpus must be
+    // filtered by might_contain AT SCAN (no corpus-wide distinct
+    // before the probe), so only survivors reach an Exchange.
+    val p = plan("dd14_bloom_incremental")
+    assert(p.contains("might_contain"),
+      s"corpus side must be Bloom-prefiltered:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the increment join must stay broadcast-size after pruning:\n$p")
+  }
+
   test("ss10 semdedup self-join reads the cell assignment from cache on both sides") {
     val p = plan("ss10_semdedup")
     val hits = "InMemoryTableScan".r.findAllIn(p).size

@@ -16,69 +16,41 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("every query has an oracle or is explicitly rows-only") {
-    // dd11/dd13: sketch internals (HLL++/DataSketches) are
-    // engine-specific, so no DuckDB-exact oracle by design; their
-    // estimates are calibrated against exact dd10 in the "hll overlap
-    // estimates" test below. (q26 graduated to a full oracle: its
-    // output is exact counts + within-tolerance gates, portable
-    // across engines.)
-    val rowsOnly = Set("dd11_hll_overlap", "dd13_theta_overlap")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has an oracle") {
+    // Round 6: zero rows-only queries left. dd11/dd13 graduated to
+    // full oracles the same way q26 did — output is exact counts plus
+    // within-tolerance gate booleans each engine computes over ITS OWN
+    // sketch family, portable across engines.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
-  test("hll overlap estimates calibrate against the exact overlap matrix at sf0.01") {
-    // dd11's sketch estimates must track dd10's exact counts at a
-    // scale where the sketches actually estimate (sf0.01: ~47k
-    // distinct shingles/source). Per-source cardinalities within 10%
-    // (lgK=14 RSE is ~0.8%, so this is loose); the intersection is an
-    // inclusion-exclusion DIFFERENCE, so its error scales with the
-    // UNION size (three ~0.8%-RSE estimates), not with the
-    // intersection itself — bound it by max(10% of exact, 2% of
-    // union, 5 absolute).
+  test("sketch overlap gates hold and exact columns match dd10 at sf0.01") {
+    // dd11/dd13 now carry their calibration in-query: exact twin
+    // columns (must equal dd10's matrix bit-for-bit) plus gate
+    // booleans that must ALL read true at a scale where the sketches
+    // actually estimate (sf0.01: ~47k distinct shingles/source;
+    // lgK=14 RSE ~0.8% against a 5% per-source gate, and the
+    // intersection gate is union-scaled because inclusion-exclusion
+    // error is three union-sized estimate errors).
     val d = "/root/testdata/sf0.01"
     val exact = SparkEntry.queries("dd10_source_overlap")(spark, d)
       .select("source_a", "source_b", "n_shared", "n_a", "n_b").collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
-    val est = SparkEntry.queries("dd11_hll_overlap")(spark, d)
-      .select("source_a", "source_b", "est_shared", "est_a", "est_b").collect()
-      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
-      .toMap
-    assert(est.keySet == exact.keySet, "pair sets must agree")
-    est.foreach { case (pair, (eShared, eA, eB)) =>
-      val (xShared, xA, xB) = exact(pair)
-      assert(math.abs(eA - xA) <= xA / 10, s"$pair: |A| est $eA vs exact $xA")
-      assert(math.abs(eB - xB) <= xB / 10, s"$pair: |B| est $eB vs exact $xB")
-      val union = xA + xB - xShared
-      val tol = math.max(xShared * 0.10, math.max(union * 0.02, 5.0))
-      assert(math.abs(eShared - xShared) <= tol,
-        s"$pair: est $eShared vs exact $xShared (tol $tol)")
-    }
-  }
-
-  test("theta overlap estimates calibrate against the exact matrix at sf0.01") {
-    // dd13's direct theta intersections should track dd10 at least as
-    // well as dd11's inclusion-exclusion; same tolerance form.
-    val d = "/root/testdata/sf0.01"
-    val exact = SparkEntry.queries("dd10_source_overlap")(spark, d)
-      .select("source_a", "source_b", "n_shared", "n_a", "n_b").collect()
-      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
-      .toMap
-    val est = SparkEntry.queries("dd13_theta_overlap")(spark, d)
-      .select("source_a", "source_b", "est_shared", "est_a", "est_b").collect()
-      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
-      .toMap
-    assert(est.keySet == exact.keySet, "pair sets must agree")
-    est.foreach { case (pair, (eShared, eA, eB)) =>
-      val (xShared, xA, xB) = exact(pair)
-      assert(math.abs(eA - xA) <= xA / 10, s"$pair: |A| est $eA vs exact $xA")
-      assert(math.abs(eB - xB) <= xB / 10, s"$pair: |B| est $eB vs exact $xB")
-      val union = xA + xB - xShared
-      val tol = math.max(xShared * 0.10, math.max(union * 0.02, 5.0))
-      assert(math.abs(eShared - xShared) <= tol,
-        s"$pair: est $eShared vs exact $xShared (tol $tol)")
+    for (q <- Seq("dd11_hll_overlap", "dd13_theta_overlap")) {
+      val rows = SparkEntry.queries(q)(spark, d)
+        .select("source_a", "source_b", "n_shared", "n_a", "n_b",
+          "a_within_5pct", "b_within_5pct", "shared_within_tol").collect()
+      assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == exact.keySet,
+        s"$q: pair sets must agree with dd10")
+      rows.foreach { r =>
+        val pair = (r.getString(0), r.getString(1))
+        assert((r.getLong(2), r.getLong(3), r.getLong(4)) == exact(pair),
+          s"$q $pair: exact twin columns must match dd10")
+        assert(r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7),
+          s"$q $pair: sketch gate flipped")
+      }
     }
   }
 
