@@ -18,7 +18,8 @@ object DevProbe {
         "tx11_decontam","ss09_kmeans_iter","ss10_semdedup","sp04_temperature","q26_approx_sketch",
         "dd06_dup_clusters","q27_lateral","dd09_cc_star","dd10_source_overlap","q28_ratio_report",
         "ts18_snapshot","sp02_reservoir_per_source","tx12_vocab","v16_tensor3d","v17_tensor_dyn",
-        "sp06_shard","px05_split_leakage","tx14_quality_quartiles","dd13_theta_overlap")
+        "sp06_shard","px05_split_leakage","tx14_quality_quartiles","dd13_theta_overlap",
+        "dd14_bloom_incremental","dd11_hll_overlap")
         .foreach { n =>
           println(s"\n## $n\n")
           println("```")
@@ -43,7 +44,7 @@ object DevProbe {
         "px02_mixture_budget", "sp04_temperature", "px04_source_report",
         "v16_tensor3d", "mm03_sample_assembly",
         "sp06_shard", "px05_split_leakage", "tx14_quality_quartiles",
-        "dd13_theta_overlap")
+        "dd13_theta_overlap", "dd14_bloom_incremental")
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
       println("|---|---|---|---|---|---|")
       names.foreach { n =>
