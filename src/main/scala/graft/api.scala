@@ -135,6 +135,33 @@ object api {
         .drop("_known")
     }
 
+    /** [[dedupAgainst]] with the dd14 Bloom prefilter — the form that
+      * survives a fingerprint set too large to shuffle per increment.
+      * The caller's frame (the small arriving batch) folds into a
+      * broadcast Bloom filter, and the FINGERPRINT side — the
+      * corpus-scale side — is pruned by `might_contain` at scan
+      * speed BEFORE its distinct+join, so only survivors (true
+      * matches + ~0.05% false positives, resolved by the exact join)
+      * ever reach an exchange. Output is identical to
+      * [[dedupAgainst]]. `expectedRows` sizes the filter to the
+      * increment (16 bits/item; real callers know it from
+      * catalog/footer stats — the dd05/dd14 pattern). */
+    def dedupAgainstBloom(idCol: String, contentCol: String,
+                          fingerprints: DataFrame, expectedRows: Long): DataFrame = {
+      require(fingerprints.columns.contains("chash"),
+        s"fingerprints needs a 'chash' column; found ${fingerprints.columns.mkString(", ")}")
+      import graft.functions.BloomFunctions._
+      val hashed = df.withColumn("chash", md5(col(contentCol)))
+      val items = expectedRows.max(1L) + 64
+      val bloom = hashed.agg(bloomAgg(col("chash"), items, items * 16).as("bf"))
+      val survivors = fingerprints.select(col("chash"))
+        .filter(mightContain(col("chash"), bloom))
+        .distinct()
+      hashed.join(survivors.withColumn("_known", lit(true)), Seq("chash"), "left")
+        .withColumn("is_known", coalesce(col("_known"), lit(false)))
+        .drop("_known")
+    }
+
     /** MinHash+LSH near-duplicate candidate pairs (a < b) with
       * signature agreement count — bucket-bounded, never all-pairs
       * (the dd02 operator over arbitrary id/text columns). */

@@ -150,6 +150,52 @@ object TopicStream {
       .withColumn("is_known", coalesce(col("_known"), lit(false)))
       .select(col("doc_id"), col("ts"), col("chash"), col("is_known"))
 
+  /** [[dedupAgainstStream]]'s scale path — dd14's Bloom prefilter per
+    * micro-batch. The stream-static join above re-keys the corpus's
+    * distinct fingerprints EVERY batch (the static side re-plans per
+    * trigger); here each batch's content hashes fold into a broadcast
+    * Bloom filter, the fingerprint topic's scan is pruned by
+    * `might_contain` before any exchange, and only survivors join
+    * back — per-batch cost = one fingerprint-topic scan plus a
+    * survivors-sized shuffle, never a corpus-wide one. Flags land in
+    * `outTopic` via seq=batchId upserts (replay-idempotent); newly
+    * seen fingerprints are absorbed into `fpTopic` so the next batch
+    * checks against them (duplicate fp rows from a replayed batch are
+    * harmless — every reader distincts the fingerprint set). */
+  def dedupBatchBloom(store: graft.sources.TopicStore, fpTopic: String,
+                      outTopic: String)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.functions.BloomFunctions._
+    val hashed = batch
+      .select(col("doc_id"), col("ts"), md5(col("text")).as("chash"))
+      .persist()
+    val n = hashed.count() // the arriving batch — small by definition
+    if (n > 0) {
+      val bloom = hashed.agg(bloomAgg(col("chash"), n + 64, (n + 64) * 16).as("bf"))
+      val survivors = store.read(fpTopic).select(col("chash"))
+        .filter(mightContain(col("chash"), bloom))
+        .distinct()
+      val flagged = hashed
+        .join(survivors.withColumn("_known", lit(true)), Seq("chash"), "left")
+        .select(col("doc_id"), col("ts").as("time"), col("chash"),
+          coalesce(col("_known"), lit(false)).as("is_known"))
+        .persist()
+      store.upsert(outTopic, flagged.drop("chash"), "time", seq = Some(batchId))
+      store.append(fpTopic, flagged.filter(!col("is_known"))
+        .select(col("chash"), col("time")))
+      flagged.unpersist()
+    }
+    hashed.unpersist()
+  }
+
+  /** [[dedupBatchBloom]] as a continuous stream: start the returned
+    * writer with a checkpointLocation. */
+  def dedupStreamBloom(docs: DataFrame, store: graft.sources.TopicStore,
+                       fpTopic: String, outTopic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      dedupBatchBloom(store, fpTopic, outTopic)(b.toDF(), id)
+    }
+
   /** Streaming benchmark decontamination — tx11 in streaming form:
     * each arriving doc's word 5-grams semi-join the STATIC benchmark
     * gram set (tiny, broadcast — an eval set), and contaminated docs

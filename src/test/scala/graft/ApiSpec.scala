@@ -41,6 +41,22 @@ class ApiSpec extends SparkSpec {
     assert(api.count() == op.count())
   }
 
+  test("dedupAgainstBloom flags exactly what dedupAgainst flags") {
+    // the Bloom prefilter is a plan optimization, never a semantics
+    // change: identical output on a real corpus split (increment =
+    // doc_id % 5 == 0 vs the rest's fingerprints — the dd12/dd14 cut)
+    import graft.api._
+    val docsDf = Tables(spark, sfDir, "documents")
+    val fps = docsDf.filter(col("doc_id") % 5 =!= 0)
+      .select(md5(col("text")).as("chash"))
+    val inc = docsDf.filter(col("doc_id") % 5 === 0)
+    val plain = inc.dedupAgainst("doc_id", "text", fps)
+      .select("doc_id", "is_known").orderBy("doc_id")
+    val bloomed = inc.dedupAgainstBloom("doc_id", "text", fps, expectedRows = 100)
+      .select("doc_id", "is_known").orderBy("doc_id")
+    assert(bloomed.collect().toSeq == plain.collect().toSeq)
+  }
+
   test("cosineTopK matches ss01") {
     val e = Tables(spark, sfDir, "embeddings")
     val viaApi = e.cosineTopK("embedding",

@@ -290,6 +290,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom-prefiltered streaming dedup flags known content and absorbs new fingerprints") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sbloom").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    val t0 = ts("2024-01-01 00:00:00")
+    // established corpus = its fingerprint topic only
+    store.append("fp", Seq("alpha beta gamma").toDF("text")
+      .select(md5(col("text")).as("chash")).withColumn("time", lit(t0)))
+    val input = MemoryStream[StreamDoc]
+    val q = TopicStream.dedupStreamBloom(input.toDF(), store, "fp", "flags")
+      .option("checkpointLocation", s"$root/_ckpt").start()
+    try {
+      // batch 1: one known doc, one newcomer
+      input.addData(
+        StreamDoc(1, ts("2024-01-01 00:01:00"), "alpha beta gamma", "en"),
+        StreamDoc(2, ts("2024-01-01 00:02:00"), "delta epsilon zeta", "en"))
+      q.processAllAvailable()
+      // batch 2: a dup of batch 1's newcomer — must be known NOW
+      // (its fingerprint was absorbed into the topic by batch 1)
+      input.addData(
+        StreamDoc(3, ts("2024-01-01 00:03:00"), "delta epsilon zeta", "en"))
+      q.processAllAvailable()
+      val flags = store.readMerged("flags", "doc_id")
+        .select("doc_id", "is_known").as[(Long, Boolean)].collect().toMap
+      assert(flags == Map(1L -> true, 2L -> false, 3L -> true),
+        s"known flagged, newcomer passed then absorbed: $flags")
+      val fps = store.read("fp").select("chash").distinct().count()
+      assert(fps == 2L, s"fp topic must hold exactly the two distinct contents, saw $fps")
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags benchmark-overlapping docs exactly once") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
