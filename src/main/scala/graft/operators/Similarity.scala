@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
   private val QueryId = 7
+  // ss13 product quantization: 64-dim embeddings split into NumSub
+  // subspaces of SubDim dims; one codeword (a label-centroid slice)
+  // chosen per subspace.
+  private val SubDim = 8
+  private val NumSub = 8
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -292,6 +297,48 @@ object Similarity {
         .select(col("vec_id"), col("int_score"), col("cos_exact"))
         .orderBy(col("cos_exact").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // Product-quantized ANN — THE memory-bound scale technique the
+    // family was missing (ss11 compresses to int8 per dimension =
+    // 1 byte/dim; PQ compresses to one code per SUBSPACE = here 8
+    // codes for 64 dims, an 8x further cut — at 100 TB the PQ codes
+    // of 10^10 vectors fit in cluster RAM where even int8 doesn't).
+    // Codebooks: the label-centroid subspace slices (deterministic,
+    // the ss03/ss09 quantized-centroid machinery — production swaps
+    // in k-means codebooks via the same shape). Encode = per-row
+    // argmin over the BROADCAST codebook per subspace (zero shuffle,
+    // the ss03 argmin-fold pattern); query scoring = asymmetric
+    // distance (ADC): the query's distance to each vector is the sum
+    // of its per-subspace distances to that vector's CODEWORDS,
+    // folded per-row in subspace order (deterministic fp). Top-20 by
+    // (adc, vec_id) via TakeOrdered, then exact-cosine rerank to 10 —
+    // ss11's rerank discipline: the compressed score prunes, the
+    // exact score decides.
+    "ss13_pq_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = centroidArray(e)
+      val q = e.filter(col("vec_id") === QueryId).select(col("embedding").as("q_emb"))
+      val subIdx = sequence(lit(0), lit(NumSub - 1))
+      def sub(v: Column, m: Column): Column =
+        slice(v, m * lit(SubDim) + lit(1), lit(SubDim))
+      e.crossJoin(broadcast(cents)).crossJoin(broadcast(q))
+        .withColumn("subbest", transform(subIdx, m =>
+          array_min(transform(col("cents"), c =>
+            struct(l2distSq(sub(col("embedding"), m), sub(c.getField("cvec"), m)).as("d2"),
+                   c.getField("c_label").as("code"))))))
+        .withColumn("codes", transform(col("subbest"), b => b.getField("code")))
+        .withColumn("adc", aggregate(
+          zip_with(subIdx, col("subbest"), (m, b) =>
+            l2distSq(sub(col("q_emb"), m),
+              sub(element_at(filter(col("cents"),
+                c => c.getField("c_label") === b.getField("code")), 1)
+                .getField("cvec"), m))),
+          lit(0.0), (acc, x) => acc + x))
+        .orderBy(col("adc").asc, col("vec_id")).limit(20)
+        .withColumn("cos_exact", cosine(col("embedding"), col("q_emb")))
+        .select(col("vec_id"), col("codes"), col("adc"), col("cos_exact"))
+        .orderBy(col("cos_exact").desc, col("vec_id")).limit(10)
     }),
 
     // Nearest-centroid assignment — the IVF coarse quantizer. The
@@ -602,6 +649,52 @@ object Similarity {
         |  / (sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_exact
         |FROM cand ORDER BY cos_exact DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ss13_pq_ann" ->
+      s"""WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $QueryId),
+        |subd AS (
+        | SELECT e.vec_id, s.m, c.c_label,
+        |  list_sum(list_transform(generate_series(1, $SubDim),
+        |    j -> (CAST(e.embedding[s.m*$SubDim + j] AS DOUBLE) - c.cvec[s.m*$SubDim + j])
+        |       * (CAST(e.embedding[s.m*$SubDim + j] AS DOUBLE) - c.cvec[s.m*$SubDim + j]))) AS d2
+        | FROM embeddings e
+        | CROSS JOIN (SELECT unnest(generate_series(0, ${NumSub - 1})) AS m) s
+        | CROSS JOIN cvecs c),
+        |chosen AS (
+        | SELECT vec_id, m, c_label AS code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c_label) AS rn
+        |  FROM subd)
+        | WHERE rn = 1),
+        |qd AS (
+        | SELECT ch.vec_id, ch.m, ch.code,
+        |  list_sum(list_transform(generate_series(1, $SubDim),
+        |    j -> (CAST(q.q_emb[ch.m*$SubDim + j] AS DOUBLE) - c.cvec[ch.m*$SubDim + j])
+        |       * (CAST(q.q_emb[ch.m*$SubDim + j] AS DOUBLE) - c.cvec[ch.m*$SubDim + j]))) AS qd2
+        | FROM chosen ch JOIN cvecs c ON c.c_label = ch.code CROSS JOIN q),
+        |adc AS (
+        | SELECT vec_id, list(code ORDER BY m) AS codes,
+        |  list_sum(list(qd2 ORDER BY m)) AS adc
+        | FROM qd GROUP BY vec_id),
+        |cand AS (
+        | SELECT a.vec_id, a.codes, a.adc, e.embedding
+        | FROM adc a JOIN embeddings e USING (vec_id)
+        | ORDER BY a.adc, a.vec_id LIMIT 20)
+        |SELECT c.vec_id, c.codes, c.adc,
+        | list_sum(list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_exact
+        |FROM cand c CROSS JOIN q
+        |ORDER BY cos_exact DESC, c.vec_id LIMIT 10""".stripMargin,
 
     "ss03_pairwise_label" ->
       """WITH ex AS (
