@@ -273,6 +273,38 @@ object Curation {
           min(col("lm_score_ppm")).as("lo_ppm"),
           max(col("lm_score_ppm")).as("hi_ppm"))
         .orderBy(col("source"), col("quartile"))
+    }),
+
+    // Heavy hitters via the native Misra-Gries aggregate
+    // (functions/MisraGriesAgg.scala) — tx12's vocab question at the
+    // scale where even the distinct-term shuffle is the cost: the MG
+    // summary keeps ≤k counters per partial aggregate and merges
+    // associatively, so the wire carries one ≤k-entry map per
+    // partition instead of the term domain. Summary CONTENT varies
+    // with Spark's nondeterministic merge order, but its GUARANTEES
+    // (every term with freq > n/(k+1) present; undercount ≤ n/(k+1))
+    // hold for every order — so the output is the q26-style gated
+    // form: the exact heavy-hitter twin (deterministic, hash-checked)
+    // plus booleans certifying the engine's own sketch honored both
+    // guarantees. Threshold compares are integer (cnt*(k+1) > n), no
+    // division. At 100 TB the exact twin is the audit; production
+    // reads the summary alone.
+    "tx15_heavy_hitters" -> ((s, d) => {
+      val k = 64
+      val words = Tables.spread(docs(s, d))
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mg = udaf(new graft.functions.MisraGriesAgg(k))
+      val sk = words.agg(mg(col("term")).as("sk"))
+      val tot = words.agg(count(lit(1)).as("n"))
+      words.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(sk))
+        .filter(col("cnt") * (k + 1) > col("n"))
+        .select(col("term"), col("cnt"), col("n"),
+          element_at(col("sk"), col("term")).isNotNull.as("in_sketch"),
+          ((col("cnt") - coalesce(element_at(col("sk"), col("term")), lit(0L)))
+            * (k + 1) <= col("n")).as("count_within_bound"))
+        .orderBy(col("term"))
     })
   )
 
@@ -355,6 +387,21 @@ object Curation {
         | FROM wc)
         |SELECT rank, word, cnt, cum, (cum * 1000) // t.total AS coverage_milli
         |FROM r, t WHERE rank <= 64 ORDER BY rank""".stripMargin,
+
+    // tx15 oracle: the exact heavy-hitter twin. DuckDB has no
+    // Misra-Gries, so the booleans are literal TRUE here — the
+    // engine-side booleans are the sketch's self-certification (they
+    // MUST read true for the guarantees to have held; a violated
+    // bound turns the row red on hash), while term/cnt/n pin the
+    // exact values both engines must agree on.
+    "tx15_heavy_hitters" ->
+      """WITH w AS (
+        | SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tot AS (SELECT count(*) AS n FROM w),
+        |ex AS (SELECT term, count(*) AS cnt FROM w GROUP BY 1)
+        |SELECT term, cnt, n,
+        | TRUE AS in_sketch, TRUE AS count_within_bound
+        |FROM ex, tot WHERE cnt * 65 > n ORDER BY term""".stripMargin,
     "tx13_normalize" ->
       """WITH c AS (
         | SELECT doc_id,
