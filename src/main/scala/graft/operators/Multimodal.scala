@@ -117,7 +117,28 @@ object Multimodal {
         .join(emb, "doc_id")
         .join(meta, "doc_id")
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Exact media dedup on the BINARY payload — the storage-side twin
+    // of dd01 for multimodal corpora (identical images/clips re-crawled
+    // under different ids are the dominant media redundancy). One
+    // digest per payload at scan speed, one hash shuffle on the
+    // 16-byte digest (partial-agg'd), never the payloads themselves:
+    // at 100 TB the wire carries digests + counters while the
+    // terabytes of media stay in place; keeper_id + n_copies +
+    // total_bytes is exactly what a dedup-aware storage compactor
+    // consumes. (Near-dup on media needs real perceptual decode —
+    // phash is stubbed in this container, dedup on it would dedup the
+    // stub; exact-dup is the honest boundary.)
+    "mm04_binary_dedup" -> ((s, d) =>
+      Tables.spread(Tables(s, d, "documents"))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .withColumn("media_hash", md5(col("payload")))
+        .groupBy(col("media_hash"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"),
+          sum(length(col("payload")).cast("long")).as("total_bytes"))
+        .orderBy(col("media_hash")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -168,6 +189,15 @@ object Multimodal {
         |SELECT t.doc_id, t.source, t.n_chars, t.tok_cnt,
         | e.emb_dim, e.emb_qsum, m.format, m.width, m.height, m.phash8
         |FROM t JOIN e USING (doc_id) JOIN m USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // payload = encode(text, UTF-8), so DuckDB's md5(text) (UTF-8
+    // bytes) and octet_length give the identical digest and sizes.
+    "mm04_binary_dedup" ->
+      """SELECT md5(text) AS media_hash,
+        | min(doc_id) AS keeper_id,
+        | count(*) AS n_copies,
+        | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY media_hash""".stripMargin
   )
 }

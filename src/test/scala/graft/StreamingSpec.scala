@@ -290,6 +290,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Misra-Gries heavy hitters aggregate inside streaming windows") {
+    // The MG Aggregator is partial-mergeable, so it drops into a
+    // windowed streaming agg unchanged — per-window term summaries
+    // with O(k) state per window, the production shape for "trending
+    // terms over the last hour" at any corpus rate. The guarantee
+    // (every term with freq > n/(k+1) present) must hold per window.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mg = udaf(new graft.functions.MisraGriesAgg(4))
+    val input = MemoryStream[StreamDoc]
+    val q = input.toDF()
+      .select(col("ts"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(mg(col("term")).as("sk"))
+      .writeStream.format("memory").queryName("mg_win")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        StreamDoc(1, ts("2024-01-01 00:01:00"), "alpha alpha alpha beta", "en"),
+        StreamDoc(2, ts("2024-01-01 00:02:00"), "alpha gamma delta epsilon", "en"),
+        StreamDoc(3, ts("2024-01-01 01:01:00"), "zeta zeta eta", "en"))
+      q.processAllAvailable()
+      val wins = spark.table("mg_win")
+        .select(col("window.start").cast("string"), col("sk")).collect()
+        .map(r => r.getString(0) -> r.getMap[String, Long](1)).toMap
+      val h0 = wins("2024-01-01 00:00:00")
+      // window 0: n=8, k=4 -> bound 1.6; "alpha" (4) must be present
+      assert(h0.contains("alpha"), s"hour-0 heavy hitter missing: $h0")
+      assert(h0("alpha") <= 4L, s"MG must never overcount: $h0")
+      val h1 = wins("2024-01-01 01:00:00")
+      assert(h1.contains("zeta"), s"hour-1 heavy hitter missing: $h1")
+    } finally q.stop()
+  }
+
   test("bloom-prefiltered streaming dedup flags known content and absorbs new fingerprints") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
