@@ -122,10 +122,11 @@ class GraftSession(val spark: SparkSession, root: String) {
         // a topic's own registered schedule overrides the session-wide
         // defaults — maintain() is the manual sweep of the same policy
         // the publish-path scheduler enforces automatically
-        val (mf, cb, mb, tb) = catalog.compaction(name)
-          .map(p => (p.maxFilesPerBucket, p.clusterBy, p.minShardBytes, p.targetShardBytes))
-          .getOrElse((maxFilesPerBucket, clusterBy, 0L, 0L))
-        name -> store.compact(name, mf, cb, mb, tb)
+        val (mf, cb, mb, tb, zo) = catalog.compaction(name)
+          .map(p => (p.maxFilesPerBucket, p.clusterBy, p.minShardBytes,
+            p.targetShardBytes, p.zorder))
+          .getOrElse((maxFilesPerBucket, clusterBy, 0L, 0L, false))
+        name -> store.compact(name, mf, cb, mb, tb, zo)
     }.filter(_._2.nonEmpty)
     catalog.checkpoint()
     done
@@ -147,10 +148,11 @@ class GraftSession(val spark: SparkSession, root: String) {
                     maxFilesPerBucket: Int = 4,
                     clusterBy: Seq[String] = Seq.empty,
                     minShardBytes: Long = 0L,
-                    targetShardBytes: Long = 0L): Unit =
+                    targetShardBytes: Long = 0L,
+                    zorder: Boolean = false): Unit =
     catalog.setCompaction(name,
       graft.sources.CompactionPolicy(everyAppends, maxFilesPerBucket, clusterBy,
-        minShardBytes, targetShardBytes))
+        minShardBytes, targetShardBytes, zorder))
 
   /** Run a topic's scheduled compaction if its cadence says it is due.
     * Returns the compacted buckets (empty when not due or nothing to

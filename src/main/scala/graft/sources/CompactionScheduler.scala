@@ -35,7 +35,7 @@ object CompactionScheduler {
           if (n >= p.everyAppends) 0 else n
         }) == 0
         if (due) store.compact(fqn, p.maxFilesPerBucket, p.clusterBy,
-          p.minShardBytes, p.targetShardBytes)
+          p.minShardBytes, p.targetShardBytes, p.zorder)
         else Seq.empty
       case None => Seq.empty
     }

@@ -57,7 +57,8 @@ case class CompactionPolicy(everyAppends: Int,
                             maxFilesPerBucket: Int = 4,
                             clusterBy: Seq[String] = Seq.empty,
                             minShardBytes: Long = 0L,
-                            targetShardBytes: Long = 0L) {
+                            targetShardBytes: Long = 0L,
+                            zorder: Boolean = false) {
   require(everyAppends > 0, "everyAppends must be positive")
   require(minShardBytes >= 0 && targetShardBytes >= 0, "shard byte bounds must be >= 0")
   require(targetShardBytes == 0 || minShardBytes <= targetShardBytes,
@@ -301,6 +302,7 @@ class TopicCatalog(spark: SparkSession, root: String,
         cn.put("maxFilesPerBucket", c.maxFilesPerBucket)
         if (c.minShardBytes > 0) cn.put("minShardBytes", c.minShardBytes)
         if (c.targetShardBytes > 0) cn.put("targetShardBytes", c.targetShardBytes)
+        if (c.zorder) cn.put("zorder", true)
         val arr = cn.putArray("clusterBy")
         c.clusterBy.foreach(arr.add)
       }
@@ -321,7 +323,8 @@ class TopicCatalog(spark: SparkSession, root: String,
           CompactionPolicy(c.path("everyAppends").asInt(),
             c.path("maxFilesPerBucket").asInt(4), cb,
             c.path("minShardBytes").asLong(0L),
-            c.path("targetShardBytes").asLong(0L))
+            c.path("targetShardBytes").asLong(0L),
+            c.path("zorder").asBoolean(false))
         }
         entries(name) = Topic(node.path("path").asText(), pol)
       case "view" =>

@@ -291,7 +291,8 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
   def compact(name: String, maxFilesPerBucket: Int = 4,
               clusterBy: Seq[String] = Seq.empty,
               minShardBytes: Long = 0L,
-              targetShardBytes: Long = 0L): Seq[Long] = {
+              targetShardBytes: Long = 0L,
+              zorder: Boolean = false): Seq[Long] = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = new Path(topicPath(name))
     if (!fs.exists(base)) return Seq.empty
@@ -322,10 +323,40 @@ class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
           if (targetShardBytes > 0)
             math.max(1L, (known.map(_.getLen).sum + targetShardBytes - 1) / targetShardBytes).toInt
           else 1
-        val rows = spark.read.parquet(knownPaths.map(_.toString).toSeq: _*).coalesce(nShards)
+        val raw = spark.read.parquet(knownPaths.map(_.toString).toSeq: _*)
+        // Z-order: interleave the clusterBy columns' bits into one
+        // Morton key, range-partition shards on it, sort within —
+        // every clustered column gets tight footer [min,max] boxes
+        // instead of only the first sort column (multi-dim pruning;
+        // StorageSpec measures the win). Normalization bounds come
+        // from one bucket-local min/max agg — a tiny maintenance-pass
+        // job over the bucket being rewritten, not a table scan.
+        // Clustering: with a multi-shard target, range-partition on
+        // the cluster key so the clustering is GLOBAL across shards
+        // (sortWithinPartitions over arbitrary coalesced partitions
+        // gives every shard the full value range — footer stats prune
+        // nothing); single-shard or unclustered buckets keep the
+        // cheap coalesce. The maintenance pass owns this shuffle.
         val clustered =
-          if (clusterBy.isEmpty) rows
-          else rows.sortWithinPartitions(clusterBy.map(col): _*)
+          if (zorder && clusterBy.size >= 2) {
+            val aggCols = clusterBy.flatMap(c => Seq(
+              min(col(c).cast("double")).as(s"_mn_$c"),
+              max(col(c).cast("double")).as(s"_mx_$c")))
+            val stats = raw.agg(aggCols.head, aggCols.tail: _*).head()
+            val norms = clusterBy.zipWithIndex.map { case (c, i) =>
+              val (mn, mx) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+              if (mx > mn) (col(c).cast("double") - mn) / (mx - mn) else lit(0.5)
+            }
+            val keyed = raw.withColumn("_z", graft.functions.ZOrder.zvalue(norms))
+            (if (nShards > 1) keyed.repartitionByRange(nShards, col("_z"))
+             else keyed.coalesce(1))
+              .sortWithinPartitions(col("_z")).drop("_z")
+          } else if (clusterBy.nonEmpty) {
+            val keyCols = clusterBy.map(col)
+            (if (nShards > 1) raw.repartitionByRange(nShards, keyCols: _*)
+             else raw.coalesce(1))
+              .sortWithinPartitions(keyCols: _*)
+          } else raw.coalesce(nShards)
         clustered.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         swapDir(fs, tmp, dir, salvageNotIn = Some(knownPaths.map(_.getName).toSet))
       }

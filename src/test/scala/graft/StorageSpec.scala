@@ -16,6 +16,76 @@ class StorageSpec extends SparkSpec {
       .toDF("id", "time", "key", "value")
   }
 
+  test("z-order compaction gives the second clustered column measurable pruning") {
+    // Lexicographic clusterBy(x, y) sorts shards on x; every shard
+    // then spans y's FULL range, so a probe on y alone can prune
+    // nothing. Z-order interleaves both columns' bits, so each
+    // shard's footer [min,max] box is tight in y too. This test
+    // MEASURES that: same data, same shard count, count the output
+    // files whose parquet footer y-range intersects a narrow y probe.
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t0 = 1700000000L
+    def data = (0 until 4096).map { i =>
+      (i.toLong, new java.sql.Timestamp(t0 * 1000L),
+        ((i * 2654435761L) % 10000L) / 10000.0,  // x: pseudo-uniform
+        ((i * 40503L + 7) % 10000L) / 10000.0)   // y: independent pseudo-uniform
+    }.toDF("id", "time", "x", "y")
+    def yRanges(root: String, topic: String): Seq[(Double, Double)] = {
+      val dir = new java.io.File(s"$root/$topic")
+      val files = dir.listFiles.filter(_.isDirectory).flatMap(_.listFiles)
+        .filter(_.getName.endsWith(".parquet")).toSeq
+      files.map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+            spark.sparkContext.hadoopConfiguration))
+        try {
+          val st = rd.getFooter.getBlocks.asScala.flatMap(
+            _.getColumns.asScala.filter(_.getPath.toDotString == "y").map(_.getStatistics))
+          (st.map(_.genericGetMin.asInstanceOf[java.lang.Double].doubleValue).min,
+           st.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue).max)
+        } finally rd.close()
+      }
+    }
+    def touched(rs: Seq[(Double, Double)], lo: Double, hi: Double): Int =
+      rs.count { case (mn, mx) => mx >= lo && mn <= hi }
+    // aim for 8 output shards via the size target (~1/8 of input)
+    def shardTarget(root: String, topic: String): Long = {
+      val dir = new java.io.File(s"$root/$topic")
+      val bytes = dir.listFiles.filter(_.isDirectory)
+        .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      math.max(1L, bytes / 8)
+    }
+    val rootLex = tmp(); val rootZ = tmp()
+    val lexStore = new TopicStore(spark, rootLex, bucketMinutes = 60)
+    val zStore = new TopicStore(spark, rootZ, bucketMinutes = 60)
+    // 16 input files per store: the lexicographic path coalesces (it
+    // can only merge), so the input must carry enough partitions for
+    // both layouts to land ~8 output shards
+    lexStore.append("boxes", data.repartition(16))
+    zStore.append("boxes", data.repartition(16))
+    lexStore.compact("boxes", maxFilesPerBucket = 0,
+      clusterBy = Seq("x", "y"), targetShardBytes = shardTarget(rootLex, "boxes"))
+    zStore.compact("boxes", maxFilesPerBucket = 0,
+      clusterBy = Seq("x", "y"), targetShardBytes = shardTarget(rootZ, "boxes"),
+      zorder = true)
+    // identical content either way
+    assert(zStore.read("boxes").select("id").orderBy("id").collect()
+      .sameElements(lexStore.read("boxes").select("id").orderBy("id").collect()),
+      "z-order must not change the data")
+    val lexR = yRanges(rootLex, "boxes"); val zR = yRanges(rootZ, "boxes")
+    assert(lexR.size >= 4 && zR.size >= 4,
+      s"need multiple shards to measure pruning (lex=${lexR.size}, z=${zR.size})")
+    val (lo, hi) = (0.40, 0.45)
+    val (lexHit, zHit) = (touched(lexR, lo, hi), touched(zR, lo, hi))
+    // lexicographic: y spans everything in every shard -> all touched
+    assert(lexHit == lexR.size,
+      s"lexicographic shards should all span the y probe ($lexHit/${lexR.size})")
+    assert(zHit < lexHit,
+      s"z-order must prune on the second clustered column: z $zHit vs lex $lexHit of ${zR.size}")
+  }
+
   test("append/read round-trips rows through bucketed parquet") {
     val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
     store.append("t1", sampleEvents(50))
