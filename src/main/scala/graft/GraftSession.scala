@@ -173,6 +173,17 @@ class GraftSession(val spark: SparkSession, root: String) {
     Metrics.stopMonitoring(spark, streamMonitor)
   }
 
+  /** Effective datastore configuration (pyella `Ella.config()` /
+    * ella-engine config.rs): the root, active namespace, and the
+    * engine knobs a client would introspect. */
+  def config: Map[String, String] = Map(
+    "root" -> root,
+    "catalog" -> catalog.currentCatalog,
+    "schema" -> catalog.currentSchema,
+    "bucketMinutes" -> store.bucketMinutes.toString,
+    "shufflePartitions" -> spark.conf.get("spark.sql.shuffle.partitions"),
+    "timeZone" -> spark.conf.get("spark.sql.session.timeZone", "UTC"))
+
   /** Scan a table by (possibly qualified) name (ella.rs:105). */
   def table(ref: String): DataFrame = catalog.table(ref)
 

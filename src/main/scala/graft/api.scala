@@ -162,6 +162,17 @@ object api {
         .drop("_known")
     }
 
+    /** Bounded-memory frequent values of a column via the Misra-Gries
+      * summary (the tx15 machinery over any column): returns the
+      * ≤k-entry (value, residual count) map as a one-row frame. Wire
+      * cost is O(k) per partition — never the value domain. Residuals
+      * undercount by at most n/(k+1); values with frequency above
+      * that threshold are guaranteed present. */
+    def heavyHitters(valueCol: String, k: Int = 64): DataFrame = {
+      val mg = graft.functions.MisraGriesAgg.udafFor(k)
+      df.agg(mg(col(valueCol).cast("string")).as("hitters"))
+    }
+
     /** MinHash+LSH near-duplicate candidate pairs (a < b) with
       * signature agreement count — bucket-bounded, never all-pairs
       * (the dd02 operator over arbitrary id/text columns). */

@@ -28,6 +28,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * is the exact heavy-hitter twin plus per-term booleans certifying
   * the guarantee held, never the raw residuals.
   */
+object MisraGriesAgg {
+  /** The aggregator as a DataFrame-usable function (hoisted here
+    * because value classes — graft.api's ops wrapper — cannot
+    * instantiate nested classes). */
+  def udafFor(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new MisraGriesAgg(k))
+}
+
 class MisraGriesAgg(k: Int)
     extends Aggregator[String, Map[String, Long], Map[String, Long]] {
   require(k > 0, "MisraGries needs a positive capacity")

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * per-bucket so it parallelizes across the cluster and never touches
   * sealed, already-compact buckets.
   */
-class TopicStore(spark: SparkSession, root: String, bucketMinutes: Int = 60) {
+class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60) {
   private val bucketSeconds = bucketMinutes * 60L
 
   def topicPath(name: String): String = s"$root/$name"

@@ -41,6 +41,16 @@ class ApiSpec extends SparkSpec {
     assert(api.count() == op.count())
   }
 
+  test("heavyHitters returns a bounded summary honoring the MG guarantee") {
+    import graft.api._
+    val docsDf = Tables(spark, sfDir, "documents")
+    val sk = docsDf.heavyHitters("lang", 4).collect().head
+      .getMap[String, Long](0)
+    assert(sk.size <= 4, s"summary must stay within capacity: $sk")
+    // 'en' dominates the synthetic corpus -> must be present
+    assert(sk.contains("en"), s"dominant value missing from summary: $sk")
+  }
+
   test("dedupAgainstBloom flags exactly what dedupAgainst flags") {
     // the Bloom prefilter is a plan optimization, never a semantics
     // change: identical output on a real corpus split (increment =

@@ -86,6 +86,16 @@ class StorageSpec extends SparkSpec {
       s"z-order must prune on the second clustered column: z $zHit vs lex $lexHit of ${zR.size}")
   }
 
+  test("session config exposes the datastore's effective settings") {
+    // pyella Ella.config() parity: a client introspects root,
+    // namespace, and engine knobs without private state.
+    val root = tmp()
+    val gs = new GraftSession(spark, root)
+    val c = gs.config
+    assert(c("root") == root && c("catalog") == "ella" && c("schema") == "public")
+    assert(c("timeZone") == "UTC" && c.contains("bucketMinutes"))
+  }
+
   test("append/read round-trips rows through bucketed parquet") {
     val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
     store.append("t1", sampleEvents(50))
