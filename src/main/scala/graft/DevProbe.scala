@@ -19,7 +19,7 @@ object DevProbe {
         "dd06_dup_clusters","q27_lateral","dd09_cc_star","dd10_source_overlap","q28_ratio_report",
         "ts18_snapshot","sp02_reservoir_per_source","tx12_vocab","v16_tensor3d","v17_tensor_dyn",
         "sp06_shard","px05_split_leakage","tx14_quality_quartiles","dd13_theta_overlap",
-        "dd14_bloom_incremental","dd11_hll_overlap")
+        "dd14_bloom_incremental","dd11_hll_overlap","ss13_pq_ann","tx15_heavy_hitters","mm04_binary_dedup")
         .foreach { n =>
           println(s"\n## $n\n")
           println("```")
@@ -44,7 +44,8 @@ object DevProbe {
         "px02_mixture_budget", "sp04_temperature", "px04_source_report",
         "v16_tensor3d", "mm03_sample_assembly",
         "sp06_shard", "px05_split_leakage", "tx14_quality_quartiles",
-        "dd13_theta_overlap", "dd14_bloom_incremental")
+        "dd13_theta_overlap", "dd14_bloom_incremental",
+        "ss13_pq_ann", "tx15_heavy_hitters", "mm04_binary_dedup")
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
       println("|---|---|---|---|---|---|")
       names.foreach { n =>
