@@ -545,10 +545,17 @@ object Dedup {
   }
 
   def sourceOverlap(docDf: DataFrame): DataFrame = {
+    // distinct (source, h) BEFORE the per-shingle rollup: the hash
+    // dedup's partial aggregation is cheaper than feeding the raw
+    // shingle explosion straight into collect_set's object buffers —
+    // measured 18.4 s direct vs ~9 s through the deduped set on the
+    // 64x blowup corpus (the shape gatedSketchOverlap landed with).
     val byH = Tables.spread(docDf)
       .select(col("source"), tokens(col("text")).as("words"))
       .select(col("source"), explode(shingles(col("words"), 3)).as("shingle"))
-      .groupBy(md5(col("shingle")).as("h"))
+      .select(col("source"), md5(col("shingle")).as("h"))
+      .distinct()
+      .groupBy(col("h"))
       .agg(array_sort(collect_set(col("source"))).as("srcs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = byH.select(explode(col("srcs")).as("source"))
