@@ -463,9 +463,9 @@ object Dedup {
     * reusable over any (source, text) frame): per source pair, the
     * count of shared distinct shingles + Jaccard/containment milli.
     *
-    * Shape: ONE groupBy on the shingle hash builds each shingle's
-    * (deduped, sorted) source set — collect_set partials collapse
-    * per-partition duplicates before the exchange — and the pair
+    * Shape: a hash distinct collapses (source, shingle) duplicates
+    * first (cheap partial agg), then ONE groupBy on the shingle hash
+    * builds each shingle's (deduped, sorted) source set, and the pair
     * counts come from exploding the per-shingle source COMBINATIONS
     * (c(h) choose 2, and c is bounded by the source count, dozens
     * not millions). The first cut self-joined the (source, h)
