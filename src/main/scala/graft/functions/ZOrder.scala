@@ -18,23 +18,32 @@ import org.apache.spark.sql.functions._
   * `zvalue` expects each column already normalized to [0,1] doubles
   * (bucket-local min/max normalization — the caller knows the range;
   * compact() computes it per bucket in its maintenance pass). Each
-  * column quantizes to 16 bits and the bits interleave column-major
-  * into one long: bit b of column c lands at position b*ncols + c.
-  * Up to 4 columns fit the 64-bit budget. Pure closed-form column
-  * arithmetic — codegen'd, no UDF.
+  * column quantizes to up to 16 bits and the bits interleave
+  * column-major into one long: bit b of column c lands at position
+  * b*ncols + c. The top interleaved bit is capped below position 63 —
+  * with 4 columns at 16 bits, bit 15 of column 3 would land ON the
+  * long's sign bit and signed ordering on _z would invert there — so
+  * per-column width shrinks to 15 bits when ncols=4 (resolution 32768
+  * cells/dim instead of 65536; locality is unaffected). Pure
+  * closed-form column arithmetic — codegen'd, no UDF.
   */
 object ZOrder {
   val BitsPerCol = 16
+
+  /** Per-column bit width for `n` interleaved columns: highest used
+    * bit position (bits-1)*n + (n-1) must stay <= 62. */
+  def bitsFor(n: Int): Int = math.min(BitsPerCol, 63 / n)
 
   def zvalue(normalized: Seq[Column]): Column = {
     require(normalized.nonEmpty && normalized.size <= 4,
       s"zvalue interleaves 1-4 columns, got ${normalized.size}")
     val n = normalized.size
+    val bits = bitsFor(n)
     val quant = normalized.map { x =>
-      least(greatest(floor(x * lit(1 << BitsPerCol)), lit(0.0)), lit((1 << BitsPerCol) - 1.0))
+      least(greatest(floor(x * lit(1 << bits)), lit(0.0)), lit((1 << bits) - 1.0))
         .cast("long")
     }
-    (0 until BitsPerCol).flatMap { b =>
+    (0 until bits).flatMap { b =>
       quant.zipWithIndex.map { case (q, c) =>
         shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * n + c)
       }

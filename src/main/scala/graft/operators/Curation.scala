@@ -300,9 +300,13 @@ object Curation {
       words.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
         .crossJoin(broadcast(tot)).crossJoin(broadcast(sk))
         .filter(col("cnt") * (k + 1) > col("n"))
+        // try_element_at, not element_at: under ANSI mode a missing map
+        // key throws MAP_KEY_DOES_NOT_EXIST, so a violated MG guarantee
+        // would crash the query instead of reading in_sketch=false —
+        // the self-certification booleans could never actually go red.
         .select(col("term"), col("cnt"), col("n"),
-          element_at(col("sk"), col("term")).isNotNull.as("in_sketch"),
-          ((col("cnt") - coalesce(element_at(col("sk"), col("term")), lit(0L)))
+          try_element_at(col("sk"), col("term")).isNotNull.as("in_sketch"),
+          ((col("cnt") - coalesce(try_element_at(col("sk"), col("term")), lit(0L)))
             * (k + 1) <= col("n")).as("count_within_bound"))
         .orderBy(col("term"))
     })

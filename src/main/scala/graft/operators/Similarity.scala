@@ -315,30 +315,55 @@ object Similarity {
     // (adc, vec_id) via TakeOrdered, then exact-cosine rerank to 10 —
     // ss11's rerank discipline: the compressed score prunes, the
     // exact score decides.
+    //
+    // ADC is LUT-based, as real PQ scoring is: the query's distance to
+    // every codeword of every subspace (NumSub x K doubles) is computed
+    // ONCE in the single-row codebook frame and broadcast; each fact
+    // row then does NumSub array lookups + adds instead of re-scanning
+    // the codebook and re-deriving query->codeword distances per row —
+    // at 10^10 rows that scan was a 10-100x constant on the scoring
+    // loop. Same zero-fact-shuffle topology; identical fp results
+    // (same l2distSq expression over the same operands, folded in the
+    // same subspace order). `codes` ships as a '-'-joined string so
+    // the output stays hashable scalars.
     "ss13_pq_ann" -> ((s, d) => {
       val e = emb(s, d)
-      val cents = centroidArray(e)
-      val q = e.filter(col("vec_id") === QueryId).select(col("embedding").as("q_emb"))
-      val subIdx = sequence(lit(0), lit(NumSub - 1))
-      def sub(v: Column, m: Column): Column =
-        slice(v, m * lit(SubDim) + lit(1), lit(SubDim))
-      e.crossJoin(broadcast(cents)).crossJoin(broadcast(q))
-        .withColumn("subbest", transform(subIdx, m =>
-          array_min(transform(col("cents"), c =>
-            struct(l2distSq(sub(col("embedding"), m), sub(c.getField("cvec"), m)).as("d2"),
-                   c.getField("c_label").as("code"))))))
-        .withColumn("codes", transform(col("subbest"), b => b.getField("code")))
-        .withColumn("adc", aggregate(
-          zip_with(subIdx, col("subbest"), (m, b) =>
-            l2distSq(sub(col("q_emb"), m),
-              sub(element_at(filter(col("cents"),
-                c => c.getField("c_label") === b.getField("code")), 1)
-                .getField("cvec"), m))),
-          lit(0.0), (acc, x) => acc + x))
-        .orderBy(col("adc").asc, col("vec_id")).limit(20)
-        .withColumn("cos_exact", cosine(col("embedding"), col("q_emb")))
-        .select(col("vec_id"), col("codes"), col("adc"), col("cos_exact"))
-        .orderBy(col("cos_exact").desc, col("vec_id")).limit(10)
+      pqSearch(e, pqSeed(e))
+    }),
+
+    // PQ with TRAINED codebooks — ss13's label-centroid codebook is
+    // the seed, then two deterministic Lloyd iterations PER SUBSPACE
+    // (the ss09 k-means machinery applied to subspace slices) refine
+    // it: assign every vector's m-th slice to its nearest codeword
+    // (broadcast argmin, zero fact shuffle), recompute codewords as
+    // exact quantized-long means (order-free integer sums, one
+    // partial-agg'd shuffle of NumSub*K*SubDim groups per iteration).
+    // Search is the identical LUT-ADC shape as ss13 — training only
+    // swaps the codebook frame. At 100 TB training runs on a sample
+    // and the codebook freezes (see ss15); here it trains on the
+    // corpus so the oracle can replay it exactly.
+    "ss14_pq_train" -> ((s, d) => {
+      val e = emb(s, d)
+      val cb = pqIterate(e, pqIterate(e, pqSeed(e)))
+      pqSearch(e, cb)
+    }),
+
+    // INCREMENTAL PQ encode — dd12/ss12's twin for the compressed
+    // index: the ESTABLISHED corpus (vec_id % 5 != 0) owns the FROZEN
+    // codebook; an arriving batch (vec_id % 5 == 0) encodes against
+    // it as a broadcast argmin — 8 codes + a reconstruction error per
+    // new vector, ZERO shuffle of anything, and the old corpus is
+    // never re-encoded (its codes are already in the index topic; see
+    // TopicStream.pqEncodeStream for the continuous form). recon_d2
+    // is the per-vector quantization-quality audit: rising recon
+    // error on arrivals is the signal to retrain the codebook.
+    "ss15_pq_incremental" -> ((s, d) => {
+      val e = emb(s, d)
+      val old = e.filter(col("vec_id") % 5 =!= 0)
+      val fresh = e.filter(col("vec_id") % 5 === 0)
+      pqEncode(fresh, pqSeed(old))
+        .select(col("vec_id"), col("codes"), col("recon_d2"))
+        .orderBy(col("vec_id"))
     }),
 
     // Nearest-centroid assignment — the IVF coarse quantizer. The
@@ -403,6 +428,102 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         st => st.getField("c")).as("cvec"))
     cen.agg(array_sort(collect_list(struct(col("c_label"), col("cvec")))).as("cents"))
+  }
+
+  private def subIdxCol: Column = sequence(lit(0), lit(NumSub - 1))
+  private def subSlice(v: Column, m: Column): Column =
+    slice(v, m * lit(SubDim) + lit(1), lit(SubDim))
+
+  /** Seed per-subspace PQ codebooks from the label centroids: a
+    * single-row frame with `cb` = array over subspace m of the
+    * code-sorted array of struct(code, svec) — svec the m-th SubDim
+    * slice of each label centroid. Deterministic and engine-exact
+    * (inherits [[centroidArray]]'s quantized-long arithmetic). */
+  private[graft] def pqSeed(e: DataFrame): DataFrame =
+    centroidArray(e).select(
+      transform(subIdxCol, m =>
+        transform(col("cents"), c =>
+          struct(c.getField("c_label").as("code"),
+                 subSlice(c.getField("cvec"), m).as("svec")))).as("cb"))
+
+  /** One Lloyd iteration over every subspace at once: assign each
+    * vector's m-th slice to its nearest codeword (struct-min tie-broken
+    * on (d2, code) — the ss03/ss09 argmin), then recompute each
+    * codeword as the exact quantized-long mean of its assigned slices.
+    * The only exchange is the partial-agg'd (m, code, pos) sum —
+    * NumSub*K*SubDim groups regardless of corpus size. Codewords that
+    * attract no vectors drop out (both engines agree: empty groups
+    * don't exist). */
+  private[graft] def pqIterate(e: DataFrame, cb: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cb))
+      .select(col("embedding"),
+        transform(subIdxCol, m =>
+          array_min(transform(element_at(col("cb"), m + 1), cw =>
+            struct(l2distSq(subSlice(col("embedding"), m), cw.getField("svec")).as("d2"),
+                   cw.getField("code").as("code"))))
+            .getField("code")).as("codes"))
+      .select(col("embedding"), posexplode(col("codes")))
+      .select(col("pos").as("m"), col("col").as("code"), col("embedding"))
+      .select(col("m"), col("code"),
+        posexplode(subSlice(col("embedding"), col("m"))))
+      .select(col("m"), col("code"), col("pos"),
+        floor(col("col").cast("double") * 100 + 0.5).cast("long").as("vq"))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg((sum(col("vq")).cast("double") / (count(lit(1)) * 100)).as("v"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        st => st.getField("v")).as("svec"))
+      .groupBy(col("m"))
+      .agg(array_sort(collect_list(struct(col("code"), col("svec")))).as("cbm"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("cbm")))),
+        st => st.getField("cbm")).as("cb"))
+
+  /** Encode rows against a FROZEN broadcast codebook: adds `codes`
+    * (the '-'-joined per-subspace codeword labels) and `recon_d2`
+    * (the summed per-subspace quantization error — the PQ
+    * reconstruction-quality audit). Keeps all input columns; zero
+    * shuffle. */
+  private[graft] def pqEncode(df: DataFrame, cb: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cb))
+      .withColumn("subbest", transform(subIdxCol, m =>
+        array_min(transform(element_at(col("cb"), m + 1), cw =>
+          struct(l2distSq(subSlice(col("embedding"), m), cw.getField("svec")).as("d2"),
+                 cw.getField("code").as("code"))))))
+      .withColumn("codes", concat_ws("-",
+        transform(col("subbest"), b => b.getField("code").cast("string"))))
+      .withColumn("recon_d2", aggregate(
+        transform(col("subbest"), b => b.getField("d2")),
+        lit(0.0), (acc, x) => acc + x))
+      .drop("subbest", "cb")
+
+  /** PQ LUT-ADC search against codebook frame `cb` (see ss13 notes):
+    * the query's distance to every codeword (NumSub x K doubles)
+    * computes ONCE in the single-row broadcast frame; each fact row
+    * does an argmin encode plus NumSub LUT lookups — no per-row
+    * query-side recompute, zero fact shuffle. Top-20 by (adc, vec_id)
+    * via TakeOrdered, exact-cosine rerank to 10. */
+  private[graft] def pqSearch(e: DataFrame, cb: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") === QueryId).select(col("embedding").as("q_emb"))
+    val qlut = cb.crossJoin(q)
+      .withColumn("lut", transform(subIdxCol, m =>
+        transform(element_at(col("cb"), m + 1), cw =>
+          l2distSq(subSlice(col("q_emb"), m), cw.getField("svec")))))
+    e.crossJoin(broadcast(qlut))
+      .withColumn("subbest", transform(subIdxCol, m =>
+        array_min(transform(element_at(col("cb"), m + 1), (cw, i) =>
+          struct(l2distSq(subSlice(col("embedding"), m), cw.getField("svec")).as("d2"),
+                 cw.getField("code").as("code"),
+                 i.as("idx"))))))
+      .withColumn("codes", concat_ws("-",
+        transform(col("subbest"), b => b.getField("code").cast("string"))))
+      .withColumn("adc", aggregate(
+        zip_with(subIdxCol, col("subbest"), (m, b) =>
+          element_at(element_at(col("lut"), m + 1), b.getField("idx") + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .orderBy(col("adc").asc, col("vec_id")).limit(20)
+      .withColumn("cos_exact", cosine(col("embedding"), col("q_emb")))
+      .select(col("vec_id"), col("codes"), col("adc"), col("cos_exact"))
+      .orderBy(col("cos_exact").desc, col("vec_id")).limit(10)
   }
 
   // ---- (defs continued in map above) ----
@@ -689,12 +810,129 @@ object Similarity {
         | SELECT a.vec_id, a.codes, a.adc, e.embedding
         | FROM adc a JOIN embeddings e USING (vec_id)
         | ORDER BY a.adc, a.vec_id LIMIT 20)
+        |SELECT c.vec_id,
+        | array_to_string(list_transform(c.codes, x -> CAST(x AS VARCHAR)), '-') AS codes,
+        | c.adc,
+        | list_sum(list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_exact
+        |FROM cand c CROSS JOIN q
+        |ORDER BY cos_exact DESC, c.vec_id LIMIT 10""".stripMargin,
+
+    "ss14_pq_train" ->
+      s"""WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $QueryId),
+        |subs AS (SELECT unnest(generate_series(0, ${NumSub - 1})) AS m),
+        |js AS (SELECT unnest(generate_series(1, $SubDim)) AS j),
+        |sb0 AS (
+        | SELECT s.m, c.c_label AS code,
+        |  list_transform(generate_series(1, $SubDim), j -> c.cvec[s.m*$SubDim + j]) AS svec
+        | FROM cvecs c CROSS JOIN subs s),
+        |dA AS (
+        | SELECT e.vec_id, sb.m, sb.code,
+        |  list_sum(list_transform(generate_series(1, $SubDim),
+        |    j -> (CAST(e.embedding[sb.m*$SubDim + j] AS DOUBLE) - sb.svec[j])
+        |       * (CAST(e.embedding[sb.m*$SubDim + j] AS DOUBLE) - sb.svec[j]))) AS d2
+        | FROM embeddings e CROSS JOIN sb0 sb),
+        |aA AS (
+        | SELECT vec_id, m, code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM dA)
+        | WHERE rn = 1),
+        |nA AS (
+        | SELECT a.m, a.code, jj.j,
+        |  CAST(sum(CAST(floor(CAST(e.embedding[a.m*$SubDim + jj.j] AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / (count(*) * 100) AS v
+        | FROM aA a JOIN embeddings e USING (vec_id) CROSS JOIN js jj
+        | GROUP BY 1, 2, 3),
+        |sb1 AS (SELECT m, code, list(v ORDER BY j) AS svec FROM nA GROUP BY 1, 2),
+        |dB AS (
+        | SELECT e.vec_id, sb.m, sb.code,
+        |  list_sum(list_transform(generate_series(1, $SubDim),
+        |    j -> (CAST(e.embedding[sb.m*$SubDim + j] AS DOUBLE) - sb.svec[j])
+        |       * (CAST(e.embedding[sb.m*$SubDim + j] AS DOUBLE) - sb.svec[j]))) AS d2
+        | FROM embeddings e CROSS JOIN sb1 sb),
+        |aB AS (
+        | SELECT vec_id, m, code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM dB)
+        | WHERE rn = 1),
+        |nB AS (
+        | SELECT a.m, a.code, jj.j,
+        |  CAST(sum(CAST(floor(CAST(e.embedding[a.m*$SubDim + jj.j] AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / (count(*) * 100) AS v
+        | FROM aB a JOIN embeddings e USING (vec_id) CROSS JOIN js jj
+        | GROUP BY 1, 2, 3),
+        |sb2 AS (SELECT m, code, list(v ORDER BY j) AS svec FROM nB GROUP BY 1, 2),
+        |dE AS (
+        | SELECT e.vec_id, sb.m, sb.code,
+        |  list_sum(list_transform(generate_series(1, $SubDim),
+        |    j -> (CAST(e.embedding[sb.m*$SubDim + j] AS DOUBLE) - sb.svec[j])
+        |       * (CAST(e.embedding[sb.m*$SubDim + j] AS DOUBLE) - sb.svec[j]))) AS d2
+        | FROM embeddings e CROSS JOIN sb2 sb),
+        |enc AS (
+        | SELECT vec_id, m, code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM dE)
+        | WHERE rn = 1),
+        |qd AS (
+        | SELECT en.vec_id, en.m, en.code,
+        |  list_sum(list_transform(generate_series(1, $SubDim),
+        |    j -> (CAST(q.q_emb[en.m*$SubDim + j] AS DOUBLE) - sb.svec[j])
+        |       * (CAST(q.q_emb[en.m*$SubDim + j] AS DOUBLE) - sb.svec[j]))) AS qd2
+        | FROM enc en JOIN sb2 sb ON sb.m = en.m AND sb.code = en.code CROSS JOIN q),
+        |adc AS (
+        | SELECT vec_id,
+        |  array_to_string(list_transform(list(code ORDER BY m), x -> CAST(x AS VARCHAR)), '-') AS codes,
+        |  list_sum(list(qd2 ORDER BY m)) AS adc
+        | FROM qd GROUP BY vec_id),
+        |cand AS (
+        | SELECT a.vec_id, a.codes, a.adc, e.embedding
+        | FROM adc a JOIN embeddings e USING (vec_id)
+        | ORDER BY a.adc, a.vec_id LIMIT 20)
         |SELECT c.vec_id, c.codes, c.adc,
         | list_sum(list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
         |  / (sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_exact
         |FROM cand c CROSS JOIN q
         |ORDER BY cos_exact DESC, c.vec_id LIMIT 10""".stripMargin,
+
+    "ss15_pq_incremental" ->
+      s"""WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings WHERE vec_id % 5 != 0),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |subs AS (SELECT unnest(generate_series(0, ${NumSub - 1})) AS m),
+        |sb0 AS (
+        | SELECT s.m, c.c_label AS code,
+        |  list_transform(generate_series(1, $SubDim), j -> c.cvec[s.m*$SubDim + j]) AS svec
+        | FROM cvecs c CROSS JOIN subs s),
+        |d AS (
+        | SELECT e.vec_id, sb.m, sb.code,
+        |  list_sum(list_transform(generate_series(1, $SubDim),
+        |    j -> (CAST(e.embedding[sb.m*$SubDim + j] AS DOUBLE) - sb.svec[j])
+        |       * (CAST(e.embedding[sb.m*$SubDim + j] AS DOUBLE) - sb.svec[j]))) AS d2
+        | FROM embeddings e CROSS JOIN sb0 sb WHERE e.vec_id % 5 = 0),
+        |enc AS (
+        | SELECT vec_id, m, code, d2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM d)
+        | WHERE rn = 1)
+        |SELECT vec_id,
+        | array_to_string(list_transform(list(code ORDER BY m), x -> CAST(x AS VARCHAR)), '-') AS codes,
+        | list_sum(list(d2 ORDER BY m)) AS recon_d2
+        |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "ss03_pairwise_label" ->
       """WITH ex AS (

@@ -24,6 +24,13 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
 
   def topicPath(name: String): String = s"$root/$name"
 
+  /** Whether the topic directory exists yet (a fresh pipeline's
+    * fingerprint/output topics don't until the first append). */
+  def exists(name: String): Boolean = {
+    val p = new Path(topicPath(name))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Append rows; `tsCol` must be a TimestampType column.
     *
     * Appends take the topic's SHARED lock: any number of appenders
@@ -337,26 +344,40 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
         // gives every shard the full value range — footer stats prune
         // nothing); single-shard or unclustered buckets keep the
         // cheap coalesce. The maintenance pass owns this shuffle.
+        def lexClustered = {
+          val keyCols = clusterBy.map(col)
+          (if (nShards > 1) raw.repartitionByRange(nShards, keyCols: _*)
+           else raw.coalesce(1))
+            .sortWithinPartitions(keyCols: _*)
+        }
         val clustered =
           if (zorder && clusterBy.size >= 2) {
+            // try_cast: under ANSI mode a plain cast THROWS on a
+            // non-numeric string cluster column mid-task; try_cast
+            // yields null stats, which select the fallback below.
             val aggCols = clusterBy.flatMap(c => Seq(
-              min(col(c).cast("double")).as(s"_mn_$c"),
-              max(col(c).cast("double")).as(s"_mx_$c")))
+              min(col(c).try_cast("double")).as(s"_mn_$c"),
+              max(col(c).try_cast("double")).as(s"_mx_$c")))
             val stats = raw.agg(aggCols.head, aggCols.tail: _*).head()
-            val norms = clusterBy.zipWithIndex.map { case (c, i) =>
-              val (mn, mx) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
-              if (mx > mn) (col(c).cast("double") - mn) / (mx - mn) else lit(0.5)
+            if ((0 until 2 * clusterBy.size).exists(stats.isNullAt)) {
+              // A non-numeric clusterBy column (cast('double') => null)
+              // or an all-null one yields null min/max — z-normalization
+              // is undefined, and the policy runs on the publish path,
+              // so fall back to lexicographic clustering instead of
+              // NPE-ing every append/maintain() of the topic.
+              lexClustered
+            } else {
+              val norms = clusterBy.zipWithIndex.map { case (c, i) =>
+                val (mn, mx) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+                if (mx > mn) (col(c).cast("double") - mn) / (mx - mn) else lit(0.5)
+              }
+              val keyed = raw.withColumn("_z", graft.functions.ZOrder.zvalue(norms))
+              (if (nShards > 1) keyed.repartitionByRange(nShards, col("_z"))
+               else keyed.coalesce(1))
+                .sortWithinPartitions(col("_z")).drop("_z")
             }
-            val keyed = raw.withColumn("_z", graft.functions.ZOrder.zvalue(norms))
-            (if (nShards > 1) keyed.repartitionByRange(nShards, col("_z"))
-             else keyed.coalesce(1))
-              .sortWithinPartitions(col("_z")).drop("_z")
-          } else if (clusterBy.nonEmpty) {
-            val keyCols = clusterBy.map(col)
-            (if (nShards > 1) raw.repartitionByRange(nShards, keyCols: _*)
-             else raw.coalesce(1))
-              .sortWithinPartitions(keyCols: _*)
-          } else raw.coalesce(nShards)
+          } else if (clusterBy.nonEmpty) lexClustered
+          else raw.coalesce(nShards)
         clustered.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         swapDir(fs, tmp, dir, salvageNotIn = Some(knownPaths.map(_.getName).toSet))
       }

@@ -171,9 +171,16 @@ object TopicStream {
     val n = hashed.count() // the arriving batch — small by definition
     if (n > 0) {
       val bloom = hashed.agg(bloomAgg(col("chash"), n + 64, (n + 64) * 16).as("bf"))
-      val survivors = store.read(fpTopic).select(col("chash"))
-        .filter(mightContain(col("chash"), bloom))
-        .distinct()
+      // First batch of a fresh pipeline: the fingerprint topic doesn't
+      // exist yet — reading it would throw "Path does not exist" and
+      // kill the streaming query. Nothing is known; the append below
+      // seeds the topic from this batch.
+      val survivors =
+        if (store.exists(fpTopic))
+          store.read(fpTopic).select(col("chash"))
+            .filter(mightContain(col("chash"), bloom))
+            .distinct()
+        else hashed.select(col("chash")).limit(0)
       val flagged = hashed
         .join(survivors.withColumn("_known", lit(true)), Seq("chash"), "left")
         .select(col("doc_id"), col("ts").as("time"), col("chash"),
@@ -195,6 +202,27 @@ object TopicStream {
     docs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
       dedupBatchBloom(store, fpTopic, outTopic)(b.toDF(), id)
     }
+
+  /** Incremental PQ encode as a continuous stream — ss15's arrival
+    * loop: each micro-batch of vectors encodes against the FROZEN
+    * codebook (broadcast argmin — zero shuffle, cost scales with the
+    * arrival rate) and appends (vec_id, codes, recon_d2) to the
+    * compressed-index topic. The corpus is NEVER re-encoded and the
+    * codebook never re-derives: it persists on first use, so later
+    * batches reuse the cached single row instead of re-running its
+    * training lineage (the static-side replan trap dedupBatchBloom
+    * documents). Start the returned writer with a checkpointLocation;
+    * rising recon_d2 on arrivals is the retrain signal. */
+  def pqEncodeStream(vecs: DataFrame, store: graft.sources.TopicStore,
+                     codebook: DataFrame, topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozen = codebook.persist()
+    vecs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      store.append(topic,
+        graft.operators.Similarity.pqEncode(b.toDF(), frozen)
+          .select(col("vec_id"), col("ts").as("time"), col("codes"), col("recon_d2")))
+    }
+  }
 
   /** Streaming benchmark decontamination — tx11 in streaming form:
     * each arriving doc's word 5-grams semi-join the STATIC benchmark

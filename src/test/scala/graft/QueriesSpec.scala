@@ -16,6 +16,47 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("no query emits array/map/struct output columns (oracle hashability guard)") {
+    // The driver's comparer hashes rows via pandas; an array-typed
+    // output column crashes it (r6: ss13's `codes` — "unhashable type:
+    // numpy.ndarray") BEFORE comparing, so the query merges unverified.
+    // Serialize nested outputs to scalars (concat_ws / array_to_string)
+    // so new array-emitting queries fail here, in-repo, instead.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"${f.name}:${f.dataType.simpleString}"
+      }
+      assert(bad.isEmpty,
+        s"$name emits non-scalar columns [${bad.mkString(", ")}] — the oracle " +
+          "harness cannot hash these; serialize them (concat_ws / array_to_string)")
+    }
+  }
+
+  test("ss14's trained codebooks cut PQ quantization error and hold recall vs the ss13 seed") {
+    import graft.operators.Similarity
+    val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
+    val seed = Similarity.pqSeed(e)
+    val trained = Similarity.pqIterate(e, Similarity.pqIterate(e, seed))
+    def meanErr(cb: org.apache.spark.sql.DataFrame): Double =
+      Similarity.pqEncode(e, cb).agg(avg(col("recon_d2"))).head().getDouble(0)
+    val (se, te) = (meanErr(seed), meanErr(trained))
+    // Lloyd's algorithm is non-increasing in total quantization error
+    // (assignment can only improve per-row argmin; the mean minimizes
+    // SSE — centi-unit quantization of the mean perturbs below the
+    // assignment gains at this scale).
+    assert(te <= se, s"training must not increase quantization error: seed=$se trained=$te")
+    // recall@10 against the exact cosine top-10 (ss01's head)
+    val exact = SparkEntry.queries("ss01_brute_topk")(spark, sfDir)
+      .limit(10).select("vec_id").collect().map(_.getLong(0)).toSet
+    def recall(q: String): Int = SparkEntry.queries(q)(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).count(exact)
+    val (r13, r14) = (recall("ss13_pq_ann"), recall("ss14_pq_train"))
+    assert(r14 >= r13, s"training must not lose recall: ss13=$r13/10 ss14=$r14/10")
+  }
+
   test("every query has an oracle") {
     // Round 6: zero rows-only queries left. dd11/dd13 graduated to
     // full oracles the same way q26 did — output is exact counts plus

@@ -86,6 +86,27 @@ class StorageSpec extends SparkSpec {
       s"z-order must prune on the second clustered column: z $zHit vs lex $lexHit of ${zR.size}")
   }
 
+  test("zorder compaction with a non-numeric cluster column falls back to lexicographic") {
+    // cast('double') of a string key yields null min/max stats; the
+    // persisted zorder policy runs on the publish path, so this must
+    // degrade to lexicographic clustering, not NPE every append.
+    import spark.implicits._
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    val df = (0 until 200).map(i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), s"k${i % 7}", i * 0.5))
+      .toDF("id", "time", "k", "x")
+    store.append("zstr", df.repartition(4))
+    store.compact("zstr", maxFilesPerBucket = 0,
+      clusterBy = Seq("k", "x"), zorder = true)
+    assert(store.read("zstr").count() == 200, "fallback must preserve the data")
+    // and an all-null numeric column degrades the same way
+    val store2 = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    store2.append("znull", df.withColumn("x", lit(null).cast("double")).repartition(4))
+    store2.compact("znull", maxFilesPerBucket = 0,
+      clusterBy = Seq("id", "x"), zorder = true)
+    assert(store2.read("znull").count() == 200, "all-null cluster column must not fail")
+  }
+
   test("session config exposes the datastore's effective settings") {
     // pyella Ella.config() parity: a client introspects root,
     // namespace, and engine knobs without private state.

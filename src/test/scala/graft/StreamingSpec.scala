@@ -356,6 +356,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom streaming dedup bootstraps a fresh fingerprint topic from its first batch") {
+    // First batch of a brand-new pipeline: the fingerprint topic does
+    // not exist yet. Reading it unconditionally would throw "Path does
+    // not exist" and kill the query; instead nothing is known and the
+    // batch seeds the topic.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sbloom_fresh").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    val input = MemoryStream[StreamDoc]
+    val q = TopicStream.dedupStreamBloom(input.toDF(), store, "fp", "flags")
+      .option("checkpointLocation", s"$root/_ckpt").start()
+    try {
+      input.addData(StreamDoc(1, ts("2024-01-01 00:01:00"), "alpha beta", "en"))
+      q.processAllAvailable()
+      input.addData(StreamDoc(2, ts("2024-01-01 00:02:00"), "alpha beta", "en"))
+      q.processAllAvailable()
+      val flags = store.readMerged("flags", "doc_id")
+        .select("doc_id", "is_known").as[(Long, Boolean)].collect().toMap
+      assert(flags == Map(1L -> false, 2L -> true),
+        s"first batch must seed the topic, second must hit it: $flags")
+    } finally q.stop()
+  }
+
+  test("streaming PQ encode appends frozen-codebook codes that match the batch encoder") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_pqstream").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
+    // codebook frozen from the established corpus; arrivals = ss15's increment
+    val cb = graft.operators.Similarity.pqSeed(e.filter(col("vec_id") % 5 =!= 0))
+    val arrivals = e.filter(col("vec_id") % 5 === 0).limit(4)
+      .select("vec_id", "embedding").collect()
+      .map(r => StreamVec(r.getLong(0), ts("2024-01-01 00:01:00"), r.getSeq[Float](1)))
+    val input = MemoryStream[StreamVec]
+    val q = TopicStream.pqEncodeStream(input.toDF(), store, cb, "pq_idx")
+      .option("checkpointLocation", s"$root/_ckpt").start()
+    try {
+      input.addData(arrivals(0), arrivals(1))
+      q.processAllAvailable()
+      input.addData(arrivals(2), arrivals(3))
+      q.processAllAvailable()
+      val got = store.read("pq_idx").select("vec_id", "codes")
+        .as[(Long, String)].collect().toMap
+      val want = graft.operators.Similarity.pqEncode(
+          e.filter(col("vec_id").isin(arrivals.map(_.vec_id): _*)), cb)
+        .select("vec_id", "codes").as[(Long, String)].collect().toMap
+      assert(got == want && got.size == 4,
+        s"streamed codes must match the batch encoder: got=$got want=$want")
+      val recon = store.read("pq_idx").select("recon_d2").as[Double].collect()
+      assert(recon.forall(_ >= 0.0), "reconstruction error is a sum of squares")
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags benchmark-overlapping docs exactly once") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
@@ -572,4 +627,5 @@ class StreamingSpec extends SparkSpec {
 
 private object TestEvents {
   case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String, lang: String)
+  case class StreamVec(vec_id: Long, ts: java.sql.Timestamp, embedding: Seq[Float])
 }
