@@ -154,6 +154,15 @@ class GraftSession(val spark: SparkSession, root: String) {
       graft.sources.CompactionPolicy(everyAppends, maxFilesPerBucket, clusterBy,
         minShardBytes, targetShardBytes, zorder))
 
+  /** Durable write-path batching for a topic (the reference
+    * TableConfig's write_batch_size / rw_buffer_capacity half,
+    * config.rs:3-11) — shapes every publish and paces streaming
+    * sinks; see [[graft.sources.WriteConfig]]. */
+  def setWriteConfig(name: String, maxRowsPerFile: Long = 0L,
+                     coalesce: Int = 0, triggerMs: Long = 0L): Unit =
+    catalog.setWriteConfig(name,
+      graft.sources.WriteConfig(maxRowsPerFile, coalesce, triggerMs))
+
   /** Run a topic's scheduled compaction if its cadence says it is due.
     * Returns the compacted buckets (empty when not due or nothing to
     * do). Called from [[publish]]; exposed for sinks that append via
@@ -272,7 +281,9 @@ class GraftSession(val spark: SparkSession, root: String) {
 
   def publish(name: String, df: DataFrame, tsCol: String = "time"): Unit = {
     if (!catalog.contains(name)) createTopic(name)
-    store.append(catalog.resolve(name), df, tsCol)
+    // the topic's registered write batching (WriteConfig) shapes every
+    // publish — same durable-per-topic-config path as compaction
+    store.append(catalog.resolve(name), df, tsCol, catalog.writeConfig(name))
     compactIfDue(name)
   }
 

@@ -31,7 +31,7 @@ object Serve {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.connect.grpc.binding.port", port)
       .getOrCreate()
-    val session = start(spark, root, port)
+    val session = start(spark, root, port, sys.env.get("GRAFT_SERVE_TOKEN"))
     println(s"graft serve: sc://localhost:$port (root=$root)")
     // SIGTERM (or any JVM exit): stop the endpoint and checkpoint the
     // catalog — the reference's ctrl-c -> rt.shutdown() path
@@ -43,10 +43,29 @@ object Serve {
 
   /** Start serving `spark` on `port`; returns the catalog-backed
     * session whose topics are visible to remote clients (registered
-    * as global temp views, which Connect sessions resolve). */
-  def start(spark: SparkSession, root: String, port: Int): GraftSession = {
+    * as global temp views, which Connect sessions resolve).
+    *
+    * `token`: optional pre-shared auth token — the counterpart of the
+    * reference's bearer-token gate on its Flight endpoint
+    * (ella-server/src/server/auth.rs: every request must carry
+    * `Authorization: Bearer <token>` or is rejected UNAUTHENTICATED).
+    * Spark Connect ships the same scheme natively
+    * (PreSharedKeyAuthenticationInterceptor); setting the conf before
+    * the service boots installs it on the gRPC server, and clients
+    * authenticate via `sc://host:port/;token=<t>` (or the raw
+    * Authorization header). None = open endpoint (trusted-network
+    * dev mode, and the conf is explicitly cleared so a previously
+    * served token does not leak into this server's lifetime). */
+  def start(spark: SparkSession, root: String, port: Int,
+            token: Option[String] = None): GraftSession = {
     // the service reads the port from the context's SparkConf (via
     // SparkEnv), not the SQL runtime conf — set it where it looks
+    token match {
+      case Some(t) => org.apache.spark.SparkEnv.get.conf
+        .set("spark.connect.authenticate.token", t)
+      case None => org.apache.spark.SparkEnv.get.conf
+        .remove("spark.connect.authenticate.token")
+    }
     org.apache.spark.SparkEnv.get.conf.set("spark.connect.grpc.binding.port", port.toString)
     val gs = new GraftSession(spark, root)
     // writable surface: topics resolve as `graft.<topic>` in every

@@ -65,12 +65,36 @@ case class CompactionPolicy(everyAppends: Int,
     "minShardBytes must not exceed targetShardBytes")
 }
 
+/** Write-path batching for a topic — the ingest half of the
+  * reference's `TableConfig` (ella-engine/src/table/config.rs:3-11:
+  * write_batch_size / rw_buffer_capacity / queue cadences), persisted
+  * in the manifest so every write surface honors it. Spark mapping:
+  *
+  *  - `maxRowsPerFile` (write_batch_size): caps rows per written
+  *    shard file via parquet's maxRecordsPerFile — enforced inside
+  *    the writer, no pre-count scan.
+  *  - `coalesce` (rw_buffer_capacity): concentrates an append's
+  *    partitions before writing, so a 32-task micro-append lands as
+  *    this many files instead of 32 dust files — the write buffer
+  *    that stood between the reference's row stream and its shards.
+  *  - `triggerMs` (queue cadence): micro-batch trigger interval for
+  *    streaming sinks into the topic.
+  *
+  * 0 disables each knob (Spark's own defaults apply). */
+case class WriteConfig(maxRowsPerFile: Long = 0L,
+                       coalesce: Int = 0,
+                       triggerMs: Long = 0L) {
+  require(maxRowsPerFile >= 0 && coalesce >= 0 && triggerMs >= 0,
+    "write config knobs must be >= 0")
+}
+
 class TopicCatalog(spark: SparkSession, root: String,
                    defaultCatalog: String = "ella", defaultSchema: String = "public") {
 
   sealed trait Entry { def kind: String }
   case class Topic(path: String,
-                   compaction: Option[CompactionPolicy] = None) extends Entry {
+                   compaction: Option[CompactionPolicy] = None,
+                   write: Option[WriteConfig] = None) extends Entry {
     val kind = "topic"
   }
   /** Session-scoped topic: lives only in this catalog instance, never
@@ -233,7 +257,27 @@ class TopicCatalog(spark: SparkSession, root: String,
 
   /** The registered compaction schedule, if any. */
   def compaction(ref: String): Option[CompactionPolicy] =
-    entries.get(resolve(ref)).collect { case Topic(_, Some(p)) => p }
+    entries.get(resolve(ref)).collect { case Topic(_, Some(p), _) => p }
+
+  /** Attach (or replace) durable write-path batching on a topic —
+    * the write_batch_size / rw_buffer_capacity half of the
+    * reference's per-table config (config.rs:27-45 builder methods,
+    * the half [[setCompaction]]'s shard policy doesn't cover). */
+  def setWriteConfig(ref: String, cfg: WriteConfig): Unit = {
+    val fqn = resolve(ref)
+    entries.get(fqn) match {
+      case Some(t: Topic) =>
+        entries(fqn) = t.copy(write = Some(cfg))
+        commit("put", fqn, Some(entries(fqn)))
+      case Some(e) =>
+        throw new IllegalStateException(s"$fqn is a ${e.kind}, not a topic")
+      case None => throw new NoSuchElementException(s"topic not found: $fqn")
+    }
+  }
+
+  /** The registered write-path batching config, if any. */
+  def writeConfig(ref: String): Option[WriteConfig] =
+    entries.get(resolve(ref)).collect { case Topic(_, _, Some(w)) => w }
 
   def createView(ref: String, sql: String): Unit = {
     entries(resolve(ref)) = View(sql, None)
@@ -262,7 +306,7 @@ class TopicCatalog(spark: SparkSession, root: String,
   def table(ref: String): DataFrame = {
     if (!entries.contains(resolve(ref))) reload()
     entries(resolve(ref)) match {
-      case Topic(path, _) => spark.read.parquet(path)
+      case Topic(path, _, _) => spark.read.parquet(path)
       case TempTopic(df) => df
       case View(sql, None) => spark.sql(sql)
       case View(_, Some(path)) => spark.read.parquet(path)
@@ -294,7 +338,7 @@ class TopicCatalog(spark: SparkSession, root: String,
   private lazy val mapper = new ObjectMapper()
 
   private def entryFields(o: ObjectNode, e: Entry): Unit = e match {
-    case Topic(p, pol) =>
+    case Topic(p, pol, wcfg) =>
       o.put("kind", "topic"); o.put("path", p)
       pol.foreach { c =>
         val cn = o.putObject("compaction")
@@ -305,6 +349,12 @@ class TopicCatalog(spark: SparkSession, root: String,
         if (c.zorder) cn.put("zorder", true)
         val arr = cn.putArray("clusterBy")
         c.clusterBy.foreach(arr.add)
+      }
+      wcfg.foreach { w =>
+        val wn = o.putObject("write")
+        if (w.maxRowsPerFile > 0) wn.put("maxRowsPerFile", w.maxRowsPerFile)
+        if (w.coalesce > 0) wn.put("coalesce", w.coalesce)
+        if (w.triggerMs > 0) wn.put("triggerMs", w.triggerMs)
       }
     case View(sql, mp) =>
       o.put("kind", "view"); o.put("sql", sql); mp.foreach(o.put("path", _))
@@ -326,7 +376,12 @@ class TopicCatalog(spark: SparkSession, root: String,
             c.path("targetShardBytes").asLong(0L),
             c.path("zorder").asBoolean(false))
         }
-        entries(name) = Topic(node.path("path").asText(), pol)
+        val wcfg = Option(node.get("write")).map { w =>
+          WriteConfig(w.path("maxRowsPerFile").asLong(0L),
+            w.path("coalesce").asInt(0),
+            w.path("triggerMs").asLong(0L))
+        }
+        entries(name) = Topic(node.path("path").asText(), pol, wcfg)
       case "view" =>
         val mp = Option(node.get("path")).map(_.asText())
         entries(name) = View(node.path("sql").asText(), mp)

@@ -43,13 +43,26 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
     * JVM-wide (one driver per cluster coordinates all writes, so the
     * driver JVM is the right scope); writers in SEPARATE driver
     * processes need external coordination, same as upsert `seq`. */
-  def append(name: String, df: DataFrame, tsCol: String = "time"): Unit = {
+  def append(name: String, df: DataFrame, tsCol: String = "time"): Unit =
+    append(name, df, tsCol, None)
+
+  /** Append honoring a topic's [[WriteConfig]]: `coalesce` bounds the
+    * file count of this append (the reference's rw-buffer
+    * concentration — without it every micro-append task writes its
+    * own dust file), `maxRowsPerFile` caps rows per written file
+    * (write_batch_size; enforced by the writer, no pre-count). */
+  def append(name: String, df: DataFrame, tsCol: String,
+             cfg: Option[WriteConfig]): Unit = {
     val l = TopicStore.lockFor(topicPath(name)).readLock(); l.lock()
     try {
-      df.withColumn("bucket", (col(tsCol).cast("long") / bucketSeconds).cast("long") * bucketSeconds)
+      val shaped = cfg.filter(_.coalesce > 0)
+        .map(w => df.coalesce(w.coalesce)).getOrElse(df)
+      val w = shaped
+        .withColumn("bucket", (col(tsCol).cast("long") / bucketSeconds).cast("long") * bucketSeconds)
         .write.mode(SaveMode.Append)
-        .partitionBy("bucket")
-        .parquet(topicPath(name))
+      cfg.filter(_.maxRowsPerFile > 0)
+        .foreach(c => w.option("maxRecordsPerFile", c.maxRowsPerFile))
+      w.partitionBy("bucket").parquet(topicPath(name))
     } finally l.unlock()
   }
 

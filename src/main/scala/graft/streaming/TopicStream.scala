@@ -478,9 +478,16 @@ object TopicStream {
     * replays must collapse to one version. Caller starts the returned
     * writer with a checkpointLocation. */
   def publishToTopic(rows: DataFrame, session: graft.GraftSession,
-                     topic: String, tsCol: String = "ts"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    rows.writeStream
+                     topic: String, tsCol: String = "ts"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = rows.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         session.publish(topic, batch, tsCol)
       }
+    // the topic's WriteConfig cadence (triggerMs — the reference's
+    // queue-size pacing) sets the micro-batch trigger; publish()
+    // itself applies the coalesce/maxRowsPerFile halves per batch
+    session.catalog.writeConfig(topic).filter(_.triggerMs > 0)
+      .map(c => w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(c.triggerMs)))
+      .getOrElse(w)
+  }
 }

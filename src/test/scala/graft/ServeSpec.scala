@@ -57,6 +57,50 @@ class ServeSpec extends SparkSpec {
     assert(portClosed(), "port must be released after shutdown")
   }
 
+  test("a token-gated server rejects unauthenticated requests and serves bearer-authenticated ones") {
+    // the reference gates its Flight endpoint with bearer-token auth
+    // (ella-server/src/server/auth.rs:52-63: Authorization: Bearer
+    // <token> or UNAUTHENTICATED); Spark Connect's pre-shared-key
+    // interceptor is the native counterpart. Drive the gRPC surface
+    // directly (the server classpath ships the shaded grpc + proto
+    // stubs) so the reject/accept pair is asserted at the transport.
+    import org.sparkproject.connect.grpc.{ManagedChannelBuilder, Metadata, Status, StatusRuntimeException}
+    import org.sparkproject.connect.grpc.stub.MetadataUtils
+    import org.apache.spark.connect.proto
+    val root = Files.createTempDirectory("graft_serve_auth").toString
+    val port = freePort()
+    val gs = Serve.start(spark, root, port, token = Some("graft-test-secret"))
+    try {
+      val channel = ManagedChannelBuilder.forAddress("localhost", port)
+        .usePlaintext().build()
+      try {
+        val stub = proto.SparkConnectServiceGrpc.newBlockingStub(channel)
+        val req = proto.ConfigRequest.newBuilder()
+          .setSessionId(java.util.UUID.randomUUID().toString)
+          .setUserContext(proto.UserContext.newBuilder().setUserId("probe"))
+          .setOperation(proto.ConfigRequest.Operation.newBuilder()
+            .setGet(proto.ConfigRequest.Get.newBuilder()
+              .addKeys("spark.sql.session.timeZone")))
+          .build()
+        def bearer(t: String) = {
+          val md = new Metadata()
+          md.put(Metadata.Key.of("Authorization", Metadata.ASCII_STRING_MARSHALLER),
+            s"Bearer $t")
+          stub.withInterceptors(MetadataUtils.newAttachHeadersInterceptor(md))
+        }
+        val denied = intercept[StatusRuntimeException] { stub.config(req) }
+        assert(denied.getStatus.getCode == Status.Code.UNAUTHENTICATED,
+          s"no token must be UNAUTHENTICATED, got ${denied.getStatus}")
+        val wrong = intercept[StatusRuntimeException] { bearer("not-the-secret").config(req) }
+        assert(wrong.getStatus.getCode == Status.Code.UNAUTHENTICATED,
+          s"a wrong token must be UNAUTHENTICATED, got ${wrong.getStatus}")
+        val resp = bearer("graft-test-secret").config(req)
+        assert(resp.getPairsCount == 1 && resp.getPairs(0).getValue == "UTC",
+          "an authenticated request completes the round-trip")
+      } finally channel.shutdownNow()
+    } finally Serve.shutdown(gs)
+  }
+
   test("a remote Connect session publishes into a topic (INSERT over the wire)") {
     // the reference's remote write path (flight.rs:492
     // do_put_statement_update; pyella/examples/publisher.py): a

@@ -107,6 +107,41 @@ class StorageSpec extends SparkSpec {
     assert(store2.read("znull").count() == 200, "all-null cluster column must not fail")
   }
 
+  test("write config round-trips durably and shapes append batching") {
+    // the reference TableConfig's ingest half (config.rs:3-11):
+    // write_batch_size caps rows per written file, rw_buffer_capacity
+    // concentrates the append. Both must survive a catalog reload and
+    // actually shape the files a publish lands.
+    import spark.implicits._
+    val root = tmp()
+    val gs = new GraftSession(spark, root)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    gs.createTopic("wcfg")
+    gs.catalog.setWriteConfig("wcfg",
+      graft.sources.WriteConfig(maxRowsPerFile = 25, coalesce = 1, triggerMs = 500))
+    val again = new TopicCatalog(spark, root)
+    assert(again.writeConfig("wcfg")
+      .contains(graft.sources.WriteConfig(25, 1, 500)),
+      "write config must survive a manifest reload")
+    // 100 same-bucket rows arriving 16-partitioned: coalesce=1 merges
+    // the dust, maxRowsPerFile=25 splits the one task at 25-row
+    // boundaries -> exactly 4 shard files
+    val df = (0 until 100).map(i => (i.toLong, t0, i * 1.0)).toDF("id", "time", "v")
+    gs.publish("wcfg", df.repartition(16))
+    val files = new java.io.File(s"$root/topics/ella.public.wcfg").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4,
+      s"coalesce=1 + maxRowsPerFile=25 over 100 rows must land 4 files, saw ${files.length}")
+    // an unconfigured topic keeps Spark's native behavior (one file
+    // per non-empty task)
+    gs.publish("wplain", df.repartition(8))
+    val plain = new java.io.File(s"$root/topics/ella.public.wplain").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(plain.length == 8, s"no config -> task-count files, saw ${plain.length}")
+  }
+
   test("session config exposes the datastore's effective settings") {
     // pyella Ella.config() parity: a client introspects root,
     // namespace, and engine knobs without private state.
