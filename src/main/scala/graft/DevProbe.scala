@@ -45,7 +45,9 @@ object DevProbe {
         "v16_tensor3d", "mm03_sample_assembly",
         "sp06_shard", "px05_split_leakage", "tx14_quality_quartiles",
         "dd13_theta_overlap", "dd14_bloom_incremental",
-        "ss13_pq_ann", "tx15_heavy_hitters", "mm04_binary_dedup")
+        "ss13_pq_ann", "tx15_heavy_hitters", "mm04_binary_dedup",
+        "ss14_pq_train", "ss15_pq_incremental",
+        "v18_masked_fill", "v19_string_tensor", "v20_time_tensor")
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
       println("|---|---|---|---|---|---|")
       names.foreach { n =>

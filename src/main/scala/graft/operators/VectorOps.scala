@@ -178,6 +178,56 @@ object VectorOps {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // Masked FILL (ella-tensor/src/mask.rs — the write half of the
+    // masked-tensor wrapper; v05 covers masked SELECT): replace every
+    // masked (negative) element with a fill value, report the mask
+    // cardinality, the filled vector's ordered sum, and its head.
+    // Pure per-row HOFs — scan speed, zero shuffle.
+    "v18_masked_fill" -> ((s, d) => {
+      val filled = transform(col("embedding"),
+        x => when(x.cast("double") < 0.0, lit(0.0)).otherwise(x.cast("double")))
+      emb(s, d)
+        .select(col("vec_id"),
+          size(filter(col("embedding"), x => x.cast("double") < 0.0)).as("n_masked"),
+          foldSum(filled).as("filled_sum"),
+          element_at(filled, 1).as("first_filled"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // STRING tensor columns (ella-tensor dtype genericity: tensors
+    // are not only numeric — mask.rs/ops work over any dtype): the
+    // word list of a document as an array<string> tensor — slice,
+    // reverse, join, elementwise length fold, elementwise upper. Same
+    // zero-shuffle per-row HOF discipline as the numeric family.
+    "v19_string_tensor" -> ((s, d) => {
+      val words = split(lower(col("text")), " ")
+      Tables.spread(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          size(words).as("n_words"),
+          array_join(slice(words, 1, 3), "-").as("head3"),
+          array_join(reverse(slice(words, 1, 5)), " ").as("rev5"),
+          aggregate(transform(words, w => length(w).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("len_sum"),
+          upper(element_at(words, 1)).as("first_up"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TEMPORAL tensor columns (same dtype-genericity gap): a per-row
+    // hourly timestamp ramp built with sequence() — the temporal
+    // linspace — then reduced (last element, ordered epoch fold).
+    // Epochs ship as longs so the cross-engine compare is exact.
+    "v20_time_tensor" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("steps",
+          sequence(col("ts"), col("ts") + expr("INTERVAL 3 HOURS"), expr("INTERVAL 1 HOUR")))
+        .select(col("event_id"),
+          size(col("steps")).as("n_steps"),
+          element_at(col("steps"), -1).cast("long").as("last_epoch"),
+          aggregate(transform(col("steps"), t => t.cast("long")),
+            lit(0L), (acc, x) => acc + x).as("epoch_sum"))
+        .orderBy(col("event_id"))
+    }),
+
     // Tensor constructors (ops/constructors.rs: linspace:53, ones:30,
     // range:63, eye:84) used as load-bearing operands: a linspace ramp
     // projection, a ones-vector dot (= sum), a range() integer fold,
@@ -389,6 +439,32 @@ object VectorOps {
         | CAST(unnest(list_transform(embedding[1:8], x -> floor(CAST(x AS DOUBLE)))) AS BIGINT) AS as_i64_floor,
         | CAST(unnest(list_transform(embedding[1:8], x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5))) AS BIGINT) AS as_milli
         |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
+    "v18_masked_fill" ->
+      """SELECT vec_id,
+        | CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) < 0.0)) AS INT) AS n_masked,
+        | list_sum(list_transform(embedding,
+        |   x -> CASE WHEN CAST(x AS DOUBLE) < 0.0 THEN 0.0 ELSE CAST(x AS DOUBLE) END)) AS filled_sum,
+        | CASE WHEN CAST(embedding[1] AS DOUBLE) < 0.0 THEN 0.0 ELSE CAST(embedding[1] AS DOUBLE) END AS first_filled
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "v19_string_tensor" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+        |SELECT doc_id,
+        | CAST(len(words) AS INT) AS n_words,
+        | array_to_string(list_slice(words, 1, 3), '-') AS head3,
+        | array_to_string(list_reverse(list_slice(words, 1, 5)), ' ') AS rev5,
+        | CAST(list_sum(list_transform(words, x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS len_sum,
+        | upper(words[1]) AS first_up
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "v20_time_tensor" ->
+      """WITH s AS (
+        | SELECT event_id, generate_series(ts, ts + INTERVAL 3 HOUR, INTERVAL 1 HOUR) AS steps
+        | FROM events)
+        |SELECT event_id,
+        | CAST(len(steps) AS INT) AS n_steps,
+        | CAST(floor(epoch(steps[len(steps)])) AS BIGINT) AS last_epoch,
+        | CAST(list_sum(list_transform(steps, t -> CAST(floor(epoch(t)) AS BIGINT))) AS BIGINT) AS epoch_sum
+        |FROM s ORDER BY event_id""".stripMargin,
     "v14_constructors" ->
       """SELECT vec_id,
         | list_sum(list_transform(generate_series(1, 8),
