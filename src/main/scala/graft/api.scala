@@ -491,5 +491,30 @@ object api {
         df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
           col(labelCol).as("label")), tau)
         .withColumnRenamed("vec_id", idCol)
+
+    /** Train per-subspace PQ codebooks on this frame (the ss13/ss14
+      * machinery as a verb): seed = per-`labelCol` centroid subspace
+      * slices, then `iterations` deterministic Lloyd refinements.
+      * Returns the single-row codebook frame to pass to [[pqEncode]];
+      * train once (on the corpus or a sample), FREEZE, and encode
+      * arrivals against it forever — retrain only when their
+      * recon_d2 drifts up. */
+    def pqCodebook(vecCol: String, labelCol: String,
+                   iterations: Int = 2): DataFrame = {
+      val e = df.select(col(vecCol).as("embedding"), col(labelCol).as("label"))
+      (1 to iterations).foldLeft(graft.operators.Similarity.pqSeed(e))(
+        (cb, _) => graft.operators.Similarity.pqIterate(e, cb))
+    }
+
+    /** Encode vectors against a FROZEN broadcast `codebook` (from
+      * [[pqCodebook]]): adds `codes` (the '-'-joined subspace
+      * codeword labels — 8 bytes-ish per vector instead of the float
+      * vector) and `recon_d2` (quantization error, the retrain
+      * signal). Zero shuffle; cost tracks this frame's size only —
+      * the ss15 incremental-index arrival shape. */
+    def pqEncode(vecCol: String, codebook: DataFrame): DataFrame =
+      graft.operators.Similarity.pqEncode(
+        df.withColumnRenamed(vecCol, "embedding"), codebook)
+        .withColumnRenamed("embedding", vecCol)
   }
 }

@@ -305,6 +305,30 @@ class ApiSpec extends SparkSpec {
     assert(survivors.count() == e.count() - api.count())
   }
 
+  test("pqCodebook/pqEncode verbs agree with the ss14/ss15 operators") {
+    val e = Tables(spark, sfDir, "embeddings")
+    // trained codebook: verb (2 iterations) == ss14's training
+    val cb = e.pqCodebook("embedding", "label", iterations = 2)
+    val viaHelpers = graft.operators.Similarity.pqIterate(
+      e.select(col("embedding"), col("label")),
+      graft.operators.Similarity.pqIterate(
+        e.select(col("embedding"), col("label")),
+        graft.operators.Similarity.pqSeed(e.select(col("embedding"), col("label")))))
+    assert(cb.collect().toSeq == viaHelpers.collect().toSeq)
+    // frozen-codebook encode: verb == ss15 on the same arrivals
+    val oldCb = e.filter(col("vec_id") % 5 =!= 0).pqCodebook("embedding", "label", iterations = 0)
+    val viaApi = e.filter(col("vec_id") % 5 === 0)
+      .pqEncode("embedding", oldCb)
+      .select(col("vec_id"), col("codes"), col("recon_d2")).orderBy("vec_id")
+    val viaOp = SparkEntry.queries("ss15_pq_incremental")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // encode keeps the caller's columns and the vector column name
+    assert(viaApi.columns.contains("vec_id"))
+    val enc = e.limit(10).pqEncode("embedding", oldCb)
+    assert(enc.columns.contains("embedding") && enc.columns.contains("codes")
+      && enc.columns.contains("recon_d2"))
+  }
+
   test("langId verb matches tx01 predictions") {
     val api = Tables(spark, sfDir, "documents").langId("text")
       .select("doc_id", "predicted").orderBy("doc_id")
