@@ -61,8 +61,10 @@ object Serve {
     // the service reads the port from the context's SparkConf (via
     // SparkEnv), not the SQL runtime conf — set it where it looks
     token match {
-      case Some(t) => org.apache.spark.SparkEnv.get.conf
-        .set("spark.connect.authenticate.token", t)
+      case Some(t) =>
+        require(t.nonEmpty, "serve auth token must be non-empty (use None for an open endpoint)")
+        org.apache.spark.SparkEnv.get.conf
+          .set("spark.connect.authenticate.token", t)
       case None => org.apache.spark.SparkEnv.get.conf
         .remove("spark.connect.authenticate.token")
     }
