@@ -382,7 +382,13 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
             } else {
               val norms = clusterBy.zipWithIndex.map { case (c, i) =>
                 val (mn, mx) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
-                if (mx > mn) (col(c).cast("double") - mn) / (mx - mn) else lit(0.5)
+                // try_cast + coalesce: a MIXED column (some rows parse,
+                // some don't) passes the null-stats check above but a
+                // plain cast would still throw mid-task under ANSI on
+                // the malformed rows — park those at mid-range instead.
+                if (mx > mn)
+                  coalesce((col(c).try_cast("double") - mn) / (mx - mn), lit(0.5))
+                else lit(0.5)
               }
               val keyed = raw.withColumn("_z", graft.functions.ZOrder.zvalue(norms))
               (if (nShards > 1) keyed.repartitionByRange(nShards, col("_z"))

@@ -224,6 +224,29 @@ object TopicStream {
     }
   }
 
+  /** Codebook-drift monitor — the operational loop [[pqEncodeStream]]
+    * leaves open: its (time, recon_d2) output stream, windowed,
+    * against the FROZEN baseline error measured at train time (mean
+    * recon_d2 of the training corpus — a scalar the caller computes
+    * once). Emits one row per window with the window's mean
+    * reconstruction error and a `retrain` flag when it exceeds
+    * `tolerance` x baseline — the signal that arrivals drifted away
+    * from the codebook's training distribution and the ss14 trainer
+    * should run again. State is O(open windows); the comparison is a
+    * scalar broadcast, nothing shuffles but the windowed partials. */
+  def pqDriftMonitor(encoded: DataFrame, baselineErr: Double,
+                     tolerance: Double = 1.5,
+                     windowLen: String = "1 hour",
+                     watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(baselineErr >= 0 && tolerance > 0, "baseline/tolerance must be positive")
+    encoded
+      .withWatermark("time", watermarkDelay)
+      .groupBy(window(col("time"), windowLen))
+      .agg(count(lit(1)).as("n"), avg(col("recon_d2")).as("mean_recon_d2"))
+      .select(col("window.start").as("w_start"), col("n"), col("mean_recon_d2"),
+        (col("mean_recon_d2") > baselineErr * tolerance).as("retrain"))
+  }
+
   /** Streaming benchmark decontamination — tx11 in streaming form:
     * each arriving doc's word 5-grams semi-join the STATIC benchmark
     * gram set (tiny, broadcast — an eval set), and contaminated docs

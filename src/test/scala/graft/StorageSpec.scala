@@ -105,6 +105,15 @@ class StorageSpec extends SparkSpec {
     store2.compact("znull", maxFilesPerBucket = 0,
       clusterBy = Seq("id", "x"), zorder = true)
     assert(store2.read("znull").count() == 200, "all-null cluster column must not fail")
+    // a MIXED column (some rows parse as numbers, some don't) gets
+    // non-null stats — the z path runs and must not throw on the
+    // malformed rows (they park at mid-range)
+    val store3 = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    store3.append("zmix", df.withColumn("k",
+      when(col("id") % 3 === 0, col("id").cast("string")).otherwise(lit("nan?"))).repartition(4))
+    store3.compact("zmix", maxFilesPerBucket = 0,
+      clusterBy = Seq("k", "x"), zorder = true)
+    assert(store3.read("zmix").count() == 200, "mixed cluster column must not fail")
   }
 
   test("write config round-trips durably and shapes append batching") {

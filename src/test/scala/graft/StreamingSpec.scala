@@ -411,6 +411,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PQ drift monitor flags windows whose reconstruction error exceeds the baseline") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[EncodedVec]
+    val q = TopicStream.pqDriftMonitor(input.toDF(), baselineErr = 1.0, tolerance = 1.5)
+      .writeStream.format("memory").queryName("pq_drift")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        // hour 0: healthy (mean 1.0 <= 1.5 baseline-tolerance)
+        EncodedVec(1, ts("2024-01-01 00:05:00"), 0.8),
+        EncodedVec(2, ts("2024-01-01 00:15:00"), 1.2),
+        // hour 1: drifted (mean 2.5 > 1.5)
+        EncodedVec(3, ts("2024-01-01 01:05:00"), 2.0),
+        EncodedVec(4, ts("2024-01-01 01:10:00"), 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("pq_drift").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("w_start").toString ->
+          (r.getAs[Long]("n"), r.getAs[Boolean]("retrain"))).toMap
+      assert(rows == Map(
+        "2024-01-01 00:00:00.0" -> (2L, false),
+        "2024-01-01 01:00:00.0" -> (2L, true)),
+        s"drifted window must flag retrain: $rows")
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags benchmark-overlapping docs exactly once") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
@@ -628,4 +654,5 @@ class StreamingSpec extends SparkSpec {
 private object TestEvents {
   case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String, lang: String)
   case class StreamVec(vec_id: Long, ts: java.sql.Timestamp, embedding: Seq[Float])
+  case class EncodedVec(vec_id: Long, time: java.sql.Timestamp, recon_d2: Double)
 }
