@@ -366,6 +366,49 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // IVF-PQ — the composition the 100 TB serving index actually uses
+    // (coarse quantizer prunes the corpus to one cell, PQ-ADC scores
+    // only the cell's members from compressed codes): ss05's
+    // zero-shuffle cell assignment restricts the candidates, ss13's
+    // LUT-ADC ranks them, exact cosine reranks the top-20. At scale
+    // the corpus is stored cell-partitioned with codes precomputed,
+    // so a probe reads ONE partition's codes — RAM-resident where
+    // even int8 vectors aren't — and touches float vectors only for
+    // the rerank handful. Everything here is broadcast-side except
+    // the cell-restricted scoring scan.
+    "ss16_ivfpq" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = centroidArray(e)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cell", array_min(transform(col("cents"),
+          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                      c.getField("c_label").as("cell")))).getField("cell"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = assigned.filter(col("vec_id") === QueryId)
+        .select(col("embedding").as("q_emb"), col("cell").as("q_cell"))
+      val qlut = pqSeed(e).crossJoin(q)
+        .withColumn("lut", transform(subIdxCol, m =>
+          transform(element_at(col("cb"), m + 1), cw =>
+            l2distSq(subSlice(col("q_emb"), m), cw.getField("svec")))))
+      assigned.join(broadcast(qlut), col("cell") === col("q_cell"))
+        .withColumn("subbest", transform(subIdxCol, m =>
+          array_min(transform(element_at(col("cb"), m + 1), (cw, i) =>
+            struct(l2distSq(subSlice(col("embedding"), m), cw.getField("svec")).as("d2"),
+                   cw.getField("code").as("code"),
+                   i.as("idx"))))))
+        .withColumn("codes", concat_ws("-",
+          transform(col("subbest"), b => b.getField("code").cast("string"))))
+        .withColumn("adc", aggregate(
+          zip_with(subIdxCol, col("subbest"), (m, b) =>
+            element_at(element_at(col("lut"), m + 1), b.getField("idx") + 1)),
+          lit(0.0), (acc, x) => acc + x))
+        .orderBy(col("adc").asc, col("vec_id")).limit(20)
+        .withColumn("cos_exact", cosine(col("embedding"), col("q_emb")))
+        .select(col("vec_id"), col("cell"), col("codes"), col("adc"), col("cos_exact"))
+        .orderBy(col("cos_exact").desc, col("vec_id")).limit(10)
+    }),
+
     // Nearest-centroid assignment — the IVF coarse quantizer. The
     // round-1 form (crossJoin x L centroids + row_number() window)
     // forced a full shuffle+sort of the L-times-expanded corpus on
@@ -933,6 +976,64 @@ object Similarity {
         | array_to_string(list_transform(list(code ORDER BY m), x -> CAST(x AS VARCHAR)), '-') AS codes,
         | list_sum(list(d2 ORDER BY m)) AS recon_d2
         |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "ss16_ivfpq" ->
+      s"""WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |assigned AS (
+        | SELECT e.vec_id, e.embedding, c.c_label,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |cells AS (SELECT vec_id, embedding, c_label AS cell FROM assigned WHERE rn = 1),
+        |q AS (SELECT embedding AS q_emb, cell AS q_cell FROM cells WHERE vec_id = $QueryId),
+        |subs AS (SELECT unnest(generate_series(0, ${NumSub - 1})) AS m),
+        |sb0 AS (
+        | SELECT s.m, c.c_label AS code,
+        |  list_transform(generate_series(1, $SubDim), j -> c.cvec[s.m*$SubDim + j]) AS svec
+        | FROM cvecs c CROSS JOIN subs s),
+        |cand0 AS (
+        | SELECT c.vec_id, c.embedding, c.cell FROM cells c, q WHERE c.cell = q.q_cell),
+        |d AS (
+        | SELECT e.vec_id, sb.m, sb.code,
+        |  list_sum(list_transform(generate_series(1, $SubDim),
+        |    j -> (CAST(e.embedding[sb.m*$SubDim + j] AS DOUBLE) - sb.svec[j])
+        |       * (CAST(e.embedding[sb.m*$SubDim + j] AS DOUBLE) - sb.svec[j]))) AS d2
+        | FROM cand0 e CROSS JOIN sb0 sb),
+        |enc AS (
+        | SELECT vec_id, m, code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM d)
+        | WHERE rn = 1),
+        |qd AS (
+        | SELECT en.vec_id, en.m, en.code,
+        |  list_sum(list_transform(generate_series(1, $SubDim),
+        |    j -> (CAST(q.q_emb[en.m*$SubDim + j] AS DOUBLE) - sb.svec[j])
+        |       * (CAST(q.q_emb[en.m*$SubDim + j] AS DOUBLE) - sb.svec[j]))) AS qd2
+        | FROM enc en JOIN sb0 sb ON sb.m = en.m AND sb.code = en.code CROSS JOIN q),
+        |adc AS (
+        | SELECT vec_id,
+        |  array_to_string(list_transform(list(code ORDER BY m), x -> CAST(x AS VARCHAR)), '-') AS codes,
+        |  list_sum(list(qd2 ORDER BY m)) AS adc
+        | FROM qd GROUP BY vec_id),
+        |cand AS (
+        | SELECT a.vec_id, c0.cell, a.codes, a.adc, c0.embedding
+        | FROM adc a JOIN cand0 c0 USING (vec_id)
+        | ORDER BY a.adc, a.vec_id LIMIT 20)
+        |SELECT c.vec_id, c.cell, c.codes, c.adc,
+        | list_sum(list_transform(generate_series(1, len(c.embedding)), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_exact
+        |FROM cand c CROSS JOIN q
+        |ORDER BY cos_exact DESC, c.vec_id LIMIT 10""".stripMargin,
 
     "ss03_pairwise_label" ->
       """WITH ex AS (
