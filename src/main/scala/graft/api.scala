@@ -32,6 +32,28 @@ object api {
         .select(col(keyCol) +: df.columns.filterNot(_ == keyCol).toIndexedSeq.map(c => col(s"_latest.$c").as(c)): _*)
     }
 
+    /** EWMA smoother per series key (the ts19 operator as a verb):
+      * dyadic decay (alpha = 1/2) truncated at `depth` samples makes
+      * the smoothed value an exact integer weighted sum of the last
+      * `depth` cent-quantized values — engine-exact, no pow(), and
+      * O(1) per-row state in a streaming form. Appends
+      * `ewma_millicents`; one window shuffle on `keyCol`. */
+    def ewma(keyCol: String, tsCol: String, valCol: String,
+             depth: Int, tieBreak: String*): DataFrame = {
+      require(depth >= 1 && depth <= 62, s"depth must be in [1,62], got $depth")
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy((tsCol +: tieBreak).map(col): _*)
+      val cents = round(col(valCol) * 100).cast("long")
+      val lags = (0 until depth).map(j => lag(cents, j).over(w))
+      val num = lags.zipWithIndex.map { case (x, j) =>
+        coalesce(x * lit(1L << (depth - 1 - j)), lit(0L)) }.reduce(_ + _)
+      val den = lags.zipWithIndex.map { case (x, j) =>
+        when(x.isNotNull, lit(1L << (depth - 1 - j))).otherwise(lit(0L)) }.reduce(_ + _)
+      df.withColumn("_n", num).withColumn("_d", den)
+        .withColumn("ewma_millicents", expr("(_n * 1000) DIV _d"))
+        .drop("_n", "_d")
+    }
+
     /** As-of join: for each left row, the most recent right row (right
       * time <= left time) per key. Union + last-non-null over one
       * key-shuffle — no per-row range probe, skew-safe at scale.
@@ -417,6 +439,57 @@ object api {
           "(stop_milli * 2 + (CASE WHEN n_words BETWEEN 50 AND 200 THEN 1000 ELSE 0 END) + " +
           "(CASE WHEN awl_milli BETWEEN 3000 AND 8000 THEN 1000 ELSE 0 END)) DIV 4"))
         .drop("_toks")
+    }
+
+    /** Model-based quality gate (the tx17 operator as a verb): scores
+      * `textCol` with the frozen linear model over exact integer
+      * features and appends score/label/keep. Per-row codegen'd
+      * expression — scan speed, zero shuffle at any corpus size. */
+    def qualityGate(textCol: String,
+                    stopwords: Seq[String] = graft.operators.TextOps.langLex("en")): DataFrame = {
+      import graft.functions.TextFunctions.lexiconHits
+      import graft.operators.Curation.QualityWeights
+      df.withColumn("_toks", split(col(textCol), " "))
+        .withColumn("n_words", size(col("_toks")))
+        .withColumn("_n_stop", lexiconHits(col("_toks"), stopwords))
+        .withColumn("_n_uniq", size(array_distinct(col("_toks"))))
+        .withColumn("_len", length(col(textCol)))
+        .withColumn("stop_milli", expr("(CAST(_n_stop AS BIGINT) * 1000) DIV n_words"))
+        .withColumn("distinct_milli", expr("(CAST(_n_uniq AS BIGINT) * 1000) DIV n_words"))
+        .withColumn("awl_milli", expr("(CAST(_len - n_words + 1 AS BIGINT) * 1000) DIV n_words"))
+        .withColumn("score", expr(QualityWeights.scoreSql))
+        .withColumn("label", expr(QualityWeights.labelSql))
+        .withColumn("keep", col("score") >= QualityWeights.thMid)
+        .drop("_toks", "_n_stop", "_n_uniq", "_len")
+    }
+
+    /** Cross-corpus line dedup (the tx16 operator as a verb, C4's
+      * duplicated-line removal): chunks `textCol` into consecutive
+      * `lineWords`-word lines, keeps a corpus-duplicated line only at
+      * its FIRST occurrence (min (id, position) — keep-first), and
+      * returns one row per doc with counts, kept fraction, and the
+      * REWRITTEN text. One line-domain agg + one join back — the
+      * corpus never self-joins; ids must fit doc_id*1e6+pos in a
+      * bigint (pos < 1e6 per doc). */
+    def lineDedup(idCol: String, textCol: String, lineWords: Int = 10): DataFrame = {
+      val words = split(col(textCol), " ")
+      val lines = df.select(col(idCol),
+          transform(sequence(lit(0), floor((size(words) - 1) / lineWords).cast("int")),
+            c => array_join(slice(words, c * lineWords + 1, lit(lineWords)), " ")).as("_ls"))
+        .select(col(idCol), posexplode(col("_ls")))
+        .select(col(idCol), col("pos"), col("col").as("_line"),
+          (col(idCol).cast("long") * 1000000L + col("pos")).as("_inst"))
+      val keeper = lines.groupBy(col("_line")).agg(min(col("_inst")).as("_keep"))
+      lines.join(keeper, "_line")
+        .withColumn("_kept", col("_inst") === col("_keep"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("_kept"), 0L).otherwise(1L)).as("n_dropped"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(when(col("_kept"),
+              struct(col("pos"), col("_line"))))),
+            st => st.getField("_line"))).as("deduped_text"))
+        .withColumn("kept_milli", expr("((n_lines - n_dropped) * 1000) DIV n_lines"))
     }
 
     /** Deterministic train/val/test split (the sp05 operator as a

@@ -309,8 +309,95 @@ object Curation {
           ((col("cnt") - coalesce(try_element_at(col("sk"), col("term")), lit(0L)))
             * (k + 1) <= col("n")).as("count_within_bound"))
         .orderBy(col("term"))
+    }),
+
+    // Cross-corpus LINE dedup (C4's duplicated-line REMOVAL rule —
+    // tx09 only flags; this is the edit step that rewrites documents):
+    // docs chunk into consecutive 10-word "lines", a line occurring in
+    // more than one place corpus-wide survives only at its FIRST
+    // occurrence (min doc_id, then min position — keep-first, the dd01
+    // discipline at sub-document granularity). Per doc: line counts,
+    // kept fraction in exact milli, and the fingerprint of the
+    // rewritten doc (kept lines joined in position order).
+    // Plan: one line-domain agg (map-side-combinable min of the
+    // bigint-encoded (doc,pos) instance key), one join back on line,
+    // one per-doc agg — tx09's exact topology, so the 100 TB story is
+    // the same: the distinct-line table is the only wide intermediate
+    // and the corpus never self-joins. The rewrite digest makes the
+    // edit itself oracle-checkable, not just the counts.
+    "tx16_line_dedup" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val lines = docs(s, d).select(col("doc_id"),
+          transform(sequence(lit(0), floor((size(words) - 1) / 10).cast("int")),
+            c => array_join(slice(words, c * 10 + 1, lit(10)), " ")).as("ls"))
+        .select(col("doc_id"), posexplode(col("ls")))
+        .select(col("doc_id"), col("pos"), col("col").as("line"),
+          // instance key: one bigint both engines can min() exactly
+          (col("doc_id") * 1000000 + col("pos")).as("inst"))
+      val keeper = lines.groupBy(col("line")).agg(min(col("inst")).as("keep_inst"))
+      lines.join(keeper, "line")
+        .withColumn("kept", col("inst") === col("keep_inst"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+          // collect_list skips nulls => only kept lines enter the
+          // digest; array_sort on (pos, line) restores doc order.
+          md5(concat_ws("|", transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("pos"), col("line"))))),
+            st => st.getField("line")))).as("kept_fp"))
+        .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+          expr("((n_lines - n_dropped) * 1000) DIV n_lines").as("kept_milli"),
+          substring(col("kept_fp"), 1, 8).as("kept_fp8"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Model-based quality GATE (the fasttext/logreg classifier step of
+    // CCNet/LLaMA-style curation, downstream of tx02's raw features):
+    // a frozen linear model scores each doc over exact integer
+    // features and the score thresholds into hi/mid/lo + the keep
+    // flag. The weights here are fixed constants standing in for a
+    // trained model — what the operator represents is the INFERENCE
+    // shape: a linear scorer is a per-row codegen'd expression, so the
+    // gate runs at scan speed with zero shuffle at any corpus size
+    // (swap the literals for a broadcast one-row weights frame read
+    // from a model topic and the plan is unchanged). Integer
+    // weights/features keep both engines bit-identical — no sigmoid;
+    // thresholding the logit is order-equivalent.
+    "tx17_quality_classifier" -> ((s, d) => {
+      import graft.functions.TextFunctions.lexiconHits
+      docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).as("n_words"),
+          lexiconHits(col("toks"), TextOps.langLex("en")).as("n_stop"),
+          size(array_distinct(col("toks"))).as("n_uniq"),
+          length(col("text")).as("len_chars"))
+        .withColumn("stop_milli", expr("(CAST(n_stop AS BIGINT) * 1000) DIV n_words"))
+        .withColumn("distinct_milli", expr("(CAST(n_uniq AS BIGINT) * 1000) DIV n_words"))
+        .withColumn("awl_milli", expr("(CAST(len_chars - n_words + 1 AS BIGINT) * 1000) DIV n_words"))
+        .withColumn("score", expr(QualityWeights.scoreSql))
+        .withColumn("label", expr(QualityWeights.labelSql))
+        .withColumn("keep", col("score") >= QualityWeights.thMid)
+        .select(col("doc_id"), col("source"), col("n_words"), col("stop_milli"),
+          col("distinct_milli"), col("awl_milli"), col("score"), col("label"), col("keep"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** tx17's frozen linear model — single source of truth for BOTH
+    * engines (the oracle interpolates the same constants). */
+  private[graft] object QualityWeights {
+    val (bias, wStop, wDistinct, awlBonus, lenBonus) = (-1200L, 3L, 1L, 500L, 800L)
+    val thHi = 700L
+    val thMid = 300L
+    val scoreSql: String =
+      s"$bias + $wStop * stop_milli + $wDistinct * distinct_milli + " +
+      s"(CASE WHEN awl_milli BETWEEN 3000 AND 8000 THEN $awlBonus ELSE 0 END) + " +
+      s"(CASE WHEN n_words BETWEEN 50 AND 300 THEN $lenBonus ELSE 0 END)"
+    val labelSql: String =
+      s"CASE WHEN score >= $thHi THEN 'hi' WHEN score >= $thMid THEN 'mid' ELSE 'lo' END"
+  }
 
   val oracle: Map[String, String] = Map(
     "tx09_dup_ngrams" ->
@@ -406,6 +493,47 @@ object Curation {
         |SELECT term, cnt, n,
         | TRUE AS in_sketch, TRUE AS count_within_bound
         |FROM ex, tot WHERE cnt * 65 > n ORDER BY term""".stripMargin,
+    "tx16_line_dedup" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |lines AS (
+        | SELECT doc_id, i AS pos,
+        |  array_to_string(list_slice(words, i * 10 + 1, i * 10 + 10), ' ') AS line,
+        |  doc_id * 1000000 + i AS inst
+        | FROM w, unnest(generate_series(0, (len(words) - 1) // 10)) AS t(i)),
+        |keeper AS (SELECT line, min(inst) AS keep_inst FROM lines GROUP BY 1),
+        |f AS (
+        | SELECT l.doc_id, l.pos, l.line, l.inst = k.keep_inst AS kept
+        | FROM lines l JOIN keeper k USING (line))
+        |SELECT doc_id, count(*) AS n_lines,
+        | CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        | ((count(*) - sum(CASE WHEN kept THEN 0 ELSE 1 END)) * 1000) // count(*) AS kept_milli,
+        | substr(md5(coalesce(string_agg(line, '|' ORDER BY pos) FILTER (WHERE kept), '')), 1, 8) AS kept_fp8
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tx17_quality_classifier" -> {
+      val en = TextOps.langLex("en").map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+        | SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |  CAST(length(text) AS INT) AS len_chars FROM documents),
+        |feat AS (
+        | SELECT doc_id, source,
+        |  CAST(len(toks) AS INT) AS n_words,
+        |  CAST(len(list_filter(toks, t -> list_contains($en, t))) AS INT) AS n_stop,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_uniq, len_chars
+        | FROM base),
+        |m AS (
+        | SELECT doc_id, source, n_words,
+        |  (CAST(n_stop AS BIGINT) * 1000) // n_words AS stop_milli,
+        |  (CAST(n_uniq AS BIGINT) * 1000) // n_words AS distinct_milli,
+        |  (CAST(len_chars - n_words + 1 AS BIGINT) * 1000) // n_words AS awl_milli
+        | FROM feat),
+        |sc AS (
+        | SELECT *, ${QualityWeights.scoreSql} AS score FROM m)
+        |SELECT doc_id, source, n_words, stop_milli, distinct_milli, awl_milli, score,
+        | ${QualityWeights.labelSql} AS label,
+        | score >= ${QualityWeights.thMid} AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin
+    },
     "tx13_normalize" ->
       """WITH c AS (
         | SELECT doc_id,

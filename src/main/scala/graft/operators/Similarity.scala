@@ -409,6 +409,70 @@ object Similarity {
         .orderBy(col("cos_exact").desc, col("vec_id")).limit(10)
     }),
 
+    // ANN RECALL AUDIT — dd08's vector twin: measure recall@10 of TWO
+    // LSH configs (ss02's single 8-plane table vs ss07's 4-table
+    // any-match amplifier) against the exact cosine top-10 ground
+    // truth, per query, on the ss08 query batch. This is the
+    // calibration report that picks an ANN config BEFORE it serves:
+    // the same audit shape reports recall AND candidate cost side by
+    // side, so the recall/cost knob is a measured trade, not a guess.
+    // Ground truth costs one corpus scan against the broadcast query
+    // batch (Q bounded — audits run on a sampled query set, never all
+    // queries); each ANN side reuses its index's own candidate
+    // generation; every top-10 window runs over per-query candidates
+    // only. Output is all-integer (counts + recall milli).
+    "ss17_recall_report" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val planes32 = planesN(32)
+      def tableCol(t: Int): Column = (0 until 8).map { j =>
+        when(dotConst(col("embedding"), planes32(t * 8 + j)) > 0.0,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _).cast("int")
+      val withB = emb(s, d).withColumn("bucket", bucketCol(col("embedding")))
+        .withColumn("b0", tableCol(0)).withColumn("b1", tableCol(1))
+        .withColumn("b2", tableCol(2)).withColumn("b3", tableCol(3))
+      val qs = withB.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket").as("qb"),
+          col("b0").as("qb0"), col("b1").as("qb1"), col("b2").as("qb2"), col("b3").as("qb3"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      // all: the Q x N audit frame — feeds ground truth AND both
+      // candidate filters (persist: one corpus scan, the ss05
+      // discipline). At 100 TB each config's candidates would come
+      // from its own bucket equi-join instead; the any-table OR is
+      // not an equi-join key, so the audit frame is the honest form.
+      val all = withB.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cos_sim"),
+          (col("bucket") === col("qb")).as("m1"),
+          (col("b0") === col("qb0") || col("b1") === col("qb1") ||
+           col("b2") === col("qb2") || col("b3") === col("qb3")).as("m4"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truth = all.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      def annSide(flag: String, suffix: String) = {
+        val c = all.filter(col(flag))
+        val top = c.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+          .select(col("q_id"), col("vec_id"), lit(1L).as(s"hit$suffix"))
+        val n = c.groupBy(col("q_id")).agg(count(lit(1)).as(s"n_cand$suffix"))
+        (top, n)
+      }
+      val (ann1, nc1) = annSide("m1", "1")
+      val (ann4, nc4) = annSide("m4", "4")
+      truth.select(col("q_id"), col("vec_id"))
+        .join(ann1, Seq("q_id", "vec_id"), "left")
+        .join(ann4, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit1"), lit(0L))).as("n_hit1"),
+          sum(coalesce(col("hit4"), lit(0L))).as("n_hit4"))
+        .join(nc1, Seq("q_id"), "left").join(nc4, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_true"),
+          coalesce(col("n_cand1"), lit(0L)).as("n_cand1"),
+          col("n_hit1"), expr("(n_hit1 * 1000) DIV n_true").as("recall1_milli"),
+          coalesce(col("n_cand4"), lit(0L)).as("n_cand4"),
+          col("n_hit4"), expr("(n_hit4 * 1000) DIV n_true").as("recall4_milli"))
+        .orderBy(col("q_id"))
+    }),
+
     // Nearest-centroid assignment — the IVF coarse quantizer. The
     // round-1 form (crossJoin x L centroids + row_number() window)
     // forced a full shuffle+sort of the L-times-expanded corpus on
@@ -977,6 +1041,60 @@ object Similarity {
         | list_sum(list(d2 ORDER BY m)) AS recon_d2
         |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
+    "ss17_recall_report" -> {
+      val p32 = planesN(32)
+      val planeCols = (planes.indices.map(h => s"${sqlList(planes(h))} AS p$h") ++
+        p32.indices.map(h => s"${sqlList(p32(h))} AS t$h")).mkString(", ")
+      val bucketExpr = planes.indices.map(h =>
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * p$h[i])) > 0 THEN ${1 << h} ELSE 0 END)"
+      ).mkString(" + ")
+      val tableExprs = (0 until 4).map { t =>
+        val bits = (0 until 8).map { j =>
+          val h = t * 8 + j
+          s"(CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i -> CAST(embedding[i] AS DOUBLE) * t$h[i])) > 0 THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"CAST($bits AS INT) AS b$t"
+      }.mkString(", ")
+      s"""WITH p AS (SELECT $planeCols),
+         |b AS (SELECT vec_id, embedding, CAST($bucketExpr AS INT) AS bucket, $tableExprs
+         |      FROM embeddings, p),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS qb,
+         |       b0 AS qb0, b1 AS qb1, b2 AS qb2, b3 AS qb3 FROM b WHERE vec_id % 50 = 7),
+         |alljoin AS (
+         | SELECT q.q_id, e.vec_id,
+         |  $dotQ / (${norm("e.embedding")} * ${norm("q.q_emb")}) AS cos_sim,
+         |  e.bucket = q.qb AS m1,
+         |  (e.b0 = q.qb0 OR e.b1 = q.qb1 OR e.b2 = q.qb2 OR e.b3 = q.qb3) AS m4
+         | FROM b e, q WHERE e.vec_id <> q.q_id),
+         |truth AS (
+         | SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM alljoin) WHERE rk <= 10),
+         |ann1 AS (
+         | SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM alljoin WHERE m1) WHERE rk <= 10),
+         |ann4 AS (
+         | SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM alljoin WHERE m4) WHERE rk <= 10),
+         |nc1 AS (SELECT q_id, count(*) AS n_cand1 FROM alljoin WHERE m1 GROUP BY 1),
+         |nc4 AS (SELECT q_id, count(*) AS n_cand4 FROM alljoin WHERE m4 GROUP BY 1),
+         |hits AS (
+         | SELECT t.q_id, count(*) AS n_true,
+         |  CAST(sum(CASE WHEN a1.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
+         |  CAST(sum(CASE WHEN a4.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit4
+         | FROM truth t
+         | LEFT JOIN ann1 a1 ON t.q_id = a1.q_id AND t.vec_id = a1.vec_id
+         | LEFT JOIN ann4 a4 ON t.q_id = a4.q_id AND t.vec_id = a4.vec_id
+         | GROUP BY 1)
+         |SELECT h.q_id, n_true,
+         | coalesce(n_cand1, 0) AS n_cand1, n_hit1, (n_hit1 * 1000) // n_true AS recall1_milli,
+         | coalesce(n_cand4, 0) AS n_cand4, n_hit4, (n_hit4 * 1000) // n_true AS recall4_milli
+         |FROM hits h
+         |LEFT JOIN nc1 ON h.q_id = nc1.q_id
+         |LEFT JOIN nc4 ON h.q_id = nc4.q_id ORDER BY h.q_id""".stripMargin
+    },
     "ss16_ivfpq" ->
       s"""WITH ex AS (
         | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,

@@ -364,6 +364,34 @@ object TimeSeries {
         .asofJoinNative(ord, "user_id", "ts", "k", "t", "ord_key")
         .select(col("event_id"), col("user_id"), col("ts"), col("ord_key"))
         .orderBy(col("event_id"))
+    }),
+
+    // EWMA smoother per series key — the classic streaming-TSDB
+    // exponential moving average (ella's per-topic rolling reads,
+    // `table/topic.rs`), made ENGINE-EXACT by using a dyadic decay
+    // (alpha = 1/2) truncated at depth 8: the smoothed value is a pure
+    // integer weighted sum of the last 8 cent-quantized samples with
+    // weights 128,64,...,1 — no pow(), no float accumulation, so both
+    // engines produce bit-identical output. One window shuffle on
+    // user_id (high-cardinality series key — partition-parallel at
+    // scale, unlike an event_type partitioning which would hotspot);
+    // depth-8 truncation is what bounds per-row state to O(1) in the
+    // streaming form.
+    "ts19_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val lags = (0 until 8).map(j =>
+        lag(col("cents"), j).over(w).as(s"x$j"))
+      val num = (0 until 8).map(j =>
+        coalesce(col(s"x$j") * lit(1L << (7 - j)), lit(0L))).reduce(_ + _)
+      val den = (0 until 8).map(j =>
+        when(col(s"x$j").isNotNull, lit(1L << (7 - j))).otherwise(lit(0L))).reduce(_ + _)
+      ev(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select(Seq(col("event_id"), col("user_id"), col("epoch_s"), col("cents")) ++ lags: _*)
+        .withColumn("num", num).withColumn("den", den)
+        .withColumn("ewma_millicents", expr("(num * 1000) DIV den"))
+        .select(col("event_id"), col("user_id"), col("epoch_s"), col("cents"), col("ewma_millicents"))
+        .orderBy(col("user_id"), col("epoch_s"), col("event_id"))
     })
   )
 
@@ -597,6 +625,22 @@ object TimeSeries {
         | epoch_s - lag(epoch_s) OVER w AS dt_s
         |FROM (SELECT *, epoch_us(ts) // 1000000 AS epoch_s FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, epoch_s, event_id""".stripMargin
+        |ORDER BY user_id, epoch_s, event_id""".stripMargin,
+    "ts19_ewma" -> {
+      val lagCols = (0 until 8).map(j => s"lag(cents, $j) OVER w AS x$j").mkString(",\n        |  ")
+      val num = (0 until 8).map(j => s"coalesce(x$j * ${1L << (7 - j)}, 0)").mkString(" + ")
+      val den = (0 until 8).map(j =>
+        s"(CASE WHEN x$j IS NOT NULL THEN ${1L << (7 - j)} ELSE 0 END)").mkString(" + ")
+      s"""WITH base AS (
+        | SELECT event_id, user_id, ts, epoch_us(ts) // 1000000 AS epoch_s,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |l AS (
+        | SELECT event_id, user_id, epoch_s, cents,
+        |  $lagCols
+        | FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, epoch_s, cents,
+        | (($num) * 1000) // ($den) AS ewma_millicents
+        |FROM l ORDER BY user_id, epoch_s, event_id""".stripMargin
+    }
   )
 }

