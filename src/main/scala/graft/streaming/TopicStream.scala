@@ -26,6 +26,14 @@ case class PackState(admitted_tokens: Long, n_admitted: Long)
   * integer sums — commute, replay-safe). */
 case class KeyMoments(n: Long, sum_c: Long, sumsq_c: Long)
 
+/** Per-key EWMA state: the last up-to-8 cent samples, newest first —
+  * the depth-8 dyadic truncation is exactly what bounds this to O(1). */
+case class EwmaState(recent_c: Seq[Long])
+
+/** An event with its engine-exact EWMA (ts19's integer form). */
+case class SmoothedEvent(event_id: Long, user_id: Long, cents: Long,
+                         ewma_millicents: Long)
+
 /** An event flagged as anomalous against its key's PRIOR baseline. */
 case class AnomalousEvent(event_id: Long, user_id: Long, value_c: Long, z: Double)
 
@@ -446,6 +454,37 @@ object TopicStream {
                 } else None
               (KeyMoments(st.n + 1, st.sum_c + vc, st.sumsq_c + vc * vc),
                 flagged.fold(acc)(acc :+ _))
+            }
+          state.update(finalSt)
+          out.iterator
+      }
+  }
+
+  /** Streaming EWMA smoother — ts19 in streaming form: each arriving
+    * event is smoothed against its key's last up-to-8 cent samples
+    * (dyadic alpha=1/2 weights 128..1 — the exact integer math of the
+    * batch operator, so stream == batch bit-for-bit). State per key is
+    * the 8-sample window the batch form reads via lag(): the depth
+    * truncation IS the O(1)-state bound, which is why a dyadic
+    * truncated EWMA streams where a true infinite-tail EWMA would
+    * need unbounded replay determinism care. Rows fold in event_id
+    * order for replay determinism. */
+  def ewmaStream(events: Dataset[TopicEvent], depth: Int = 8): Dataset[SmoothedEvent] = {
+    import events.sparkSession.implicits._
+    require(depth >= 1 && depth <= 62, s"depth must be in [1,62], got $depth")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, SmoothedEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        case (key: Long, rows: Iterator[TopicEvent], state: GroupState[EwmaState]) =>
+          val st0 = state.getOption.getOrElse(EwmaState(Vector.empty))
+          val (finalSt, out) = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .foldLeft((st0, Vector.empty[SmoothedEvent])) { case ((st, acc), e) =>
+              val vc = math.round(e.value * 100)
+              val window = (vc +: st.recent_c).take(depth) // newest first
+              val num = window.zipWithIndex.map { case (x, j) => x * (1L << (depth - 1 - j)) }.sum
+              val den = window.indices.map(j => 1L << (depth - 1 - j)).sum
+              (EwmaState(window),
+                acc :+ SmoothedEvent(e.event_id, key, vc, num * 1000 / den))
             }
           state.update(finalSt)
           out.iterator

@@ -249,6 +249,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA equals the batch operator across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val all = (1 to 20).map(i =>
+      TopicEvent(i, ts(f"2024-01-01 00:${i}%02d:00"), i % 3, "m", 1.0 + i * 0.37))
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma_s").outputMode("append").start()
+    try {
+      // split mid-key-history: state must carry samples across batches
+      input.addData(all.take(12): _*); q.processAllAvailable()
+      input.addData(all.drop(12): _*); q.processAllAvailable()
+      val streamed = spark.table("ewma_s")
+        .select("event_id", "ewma_millicents").as[(Long, Long)].collect().toMap
+      import graft.api._
+      val batch = all.toDF()
+        .ewma("user_id", "ts", "value", 8, "event_id")
+        .select("event_id", "ewma_millicents").as[(Long, Long)].collect().toMap
+      assert(streamed == batch,
+        s"stream and batch EWMA must agree: ${streamed.toSeq.sorted} vs ${batch.toSeq.sorted}")
+      // O(1) state: depth bounds the kept window regardless of history
+      assert(streamed.size == 20)
+    } finally q.stop()
+  }
+
   test("streaming prep pipeline gates language/quality and dedups within the watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
