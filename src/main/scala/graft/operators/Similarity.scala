@@ -431,7 +431,11 @@ object Similarity {
       val withB = emb(s, d).withColumn("bucket", bucketCol(col("embedding")))
         .withColumn("b0", tableCol(0)).withColumn("b1", tableCol(1))
         .withColumn("b2", tableCol(2)).withColumn("b3", tableCol(3))
-      val qs = withB.filter(col("vec_id") % 50 === 7)
+      // BOUNDED query sample: % 50 alone would grow the audit batch
+      // with the corpus (and the Q x N truth frame quadratically) —
+      // an audit's query set is a fixed sample, so cap the id range
+      // (a no-op at the pinned SFs, the bound at any blowup).
+      val qs = withB.filter(col("vec_id") % 50 === 7 && col("vec_id") < 5000)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket").as("qb"),
           col("b0").as("qb0"), col("b1").as("qb1"), col("b2").as("qb2"), col("b3").as("qb3"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
@@ -1059,7 +1063,8 @@ object Similarity {
          |b AS (SELECT vec_id, embedding, CAST($bucketExpr AS INT) AS bucket, $tableExprs
          |      FROM embeddings, p),
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS qb,
-         |       b0 AS qb0, b1 AS qb1, b2 AS qb2, b3 AS qb3 FROM b WHERE vec_id % 50 = 7),
+         |       b0 AS qb0, b1 AS qb1, b2 AS qb2, b3 AS qb3
+         |      FROM b WHERE vec_id % 50 = 7 AND vec_id < 5000),
          |alljoin AS (
          | SELECT q.q_id, e.vec_id,
          |  $dotQ / (${norm("e.embedding")} * ${norm("q.q_emb")}) AS cos_sim,

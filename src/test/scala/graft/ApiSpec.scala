@@ -369,6 +369,24 @@ class ApiSpec extends SparkSpec {
     assert(rebuilt > 0)
   }
 
+  test("lineDedup keep-first semantics: earliest instance survives, within and across docs") {
+    import spark.implicits._
+    // doc 1 repeats a line internally; doc 2 repeats doc 1's line; doc 3 is clean
+    val l = (1 to 10).map(i => s"w$i").mkString(" ") // one full 10-word line
+    val m = (11 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$l $l"),      // 2 chunks, both = l -> second drops
+      (2L, s"$l $m"),      // chunk l drops (doc 1 owns it), m kept
+      (3L, "short text")   // single sub-width chunk, unique -> kept
+    ).toDF("doc_id", "text")
+    val out = docs.lineDedup("doc_id", "text")
+      .select("doc_id", "n_lines", "n_dropped", "deduped_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2L, 1L, l)), s"in-doc dup must keep first: ${out(0)}")
+    assert(out(1) == ((2L, 2L, 1L, m)), s"cross-doc dup must defer to doc 1: ${out(1)}")
+    assert(out(2) == ((3L, 1L, 0L, "short text")), s"unique short doc unchanged: ${out(2)}")
+  }
+
   test("ewma verb matches ts19 and a constant series smooths to itself") {
     val api = Tables.events(spark, sfDir)
       .withColumn("epoch_s", col("ts").cast("long"))
