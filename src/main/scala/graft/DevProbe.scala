@@ -21,7 +21,8 @@ object DevProbe {
         "sp06_shard","px05_split_leakage","tx14_quality_quartiles","dd13_theta_overlap",
         "dd14_bloom_incremental","dd11_hll_overlap","ss13_pq_ann","tx15_heavy_hitters","mm04_binary_dedup",
         "ss14_pq_train","ss15_pq_incremental","ss16_ivfpq","v18_masked_fill","v19_string_tensor","v20_time_tensor",
-        "ts19_ewma","tx16_line_dedup","tx17_quality_classifier","ss17_recall_report")
+        "ts19_ewma","tx16_line_dedup","tx17_quality_classifier","ss17_recall_report",
+        "dd15_keep_best","ss18_filtered_ann")
         .foreach { n =>
           println(s"\n## $n\n")
           println("```")
@@ -51,7 +52,7 @@ object DevProbe {
         "ss14_pq_train", "ss15_pq_incremental", "ss16_ivfpq",
         "v18_masked_fill", "v19_string_tensor", "v20_time_tensor",
         "ts19_ewma", "tx16_line_dedup", "tx17_quality_classifier",
-        "ss17_recall_report")
+        "ss17_recall_report", "dd15_keep_best", "ss18_filtered_ann")
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
       println("|---|---|---|---|---|---|")
       names.foreach { n =>

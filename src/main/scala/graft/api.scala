@@ -222,6 +222,34 @@ object api {
         .select(col("node").as(idCol), col("label").as("cluster_id"))
     }
 
+    /** Canonical selection (the dd15 operator as a verb): cluster
+      * near-dups via the LSH pair graph, then keep the highest-
+      * QUALITY member of each cluster (tx17's frozen linear model;
+      * ties break to the lowest id). Returns one row per doc with
+      * cluster_id / score / keeper_id / keep / n_members — filter on
+      * `keep` for the canonical corpus. Keeper argmax is a map-side-
+      * combinable max(struct), never a window over the corpus. */
+    def dedupKeepBest(idCol: String, textCol: String): DataFrame = {
+      val renamed = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        lit("").as("source"))
+      val pairs = graft.operators.Dedup.candidatePairsPublic(renamed)
+        .select(col("a"), col("b"))
+      val clusters = graft.operators.Dedup
+        .connectedComponents(renamed.select(col("doc_id").as("node")), pairs)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val scored = graft.operators.Curation.qualityScored(renamed)
+        .select(col("doc_id"), col("score"))
+      val j = clusters.join(scored, "doc_id")
+      val k = j.groupBy(col("cluster_id"))
+        .agg(max(struct(col("score"), (-col("doc_id")).as("neg_id"))).as("m"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster_id"), (-col("m.neg_id")).as("keeper_id"), col("n_members"))
+      j.join(k, "cluster_id")
+        .select(col("doc_id").as(idCol), col("cluster_id"), col("score"),
+          col("keeper_id"), (col("doc_id") === col("keeper_id")).as("keep"),
+          col("n_members"))
+    }
+
     /** Duplicate clusters via large-star/small-star contraction (the
       * dd09 fixpoint): same result as [[dupClusters]], O(log^2 n)
       * rounds on ANY graph topology — use when components may chain

@@ -364,26 +364,32 @@ object Curation {
     // from a model topic and the plan is unchanged). Integer
     // weights/features keep both engines bit-identical — no sigmoid;
     // thresholding the logit is order-equivalent.
-    "tx17_quality_classifier" -> ((s, d) => {
-      import graft.functions.TextFunctions.lexiconHits
-      docs(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"), col("source"),
-          size(col("toks")).as("n_words"),
-          lexiconHits(col("toks"), TextOps.langLex("en")).as("n_stop"),
-          size(array_distinct(col("toks"))).as("n_uniq"),
-          length(col("text")).as("len_chars"))
-        .withColumn("stop_milli", expr("(CAST(n_stop AS BIGINT) * 1000) DIV n_words"))
-        .withColumn("distinct_milli", expr("(CAST(n_uniq AS BIGINT) * 1000) DIV n_words"))
-        .withColumn("awl_milli", expr("(CAST(len_chars - n_words + 1 AS BIGINT) * 1000) DIV n_words"))
-        .withColumn("score", expr(QualityWeights.scoreSql))
+    "tx17_quality_classifier" -> ((s, d) =>
+      qualityScored(docs(s, d))
         .withColumn("label", expr(QualityWeights.labelSql))
         .withColumn("keep", col("score") >= QualityWeights.thMid)
         .select(col("doc_id"), col("source"), col("n_words"), col("stop_milli"),
           col("distinct_milli"), col("awl_milli"), col("score"), col("label"), col("keep"))
-        .orderBy(col("doc_id"))
-    })
+        .orderBy(col("doc_id")))
   )
+
+  /** tx17's frozen-model feature+score projection over a `documents`
+    * frame — shared with dd15's keep-best canonical selection so both
+    * operators score identically. Zero-shuffle per-row expressions. */
+  private[graft] def qualityScored(docDf: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.lexiconHits
+    docDf
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).as("n_words"),
+        lexiconHits(col("toks"), TextOps.langLex("en")).as("n_stop"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        length(col("text")).as("len_chars"))
+      .withColumn("stop_milli", expr("(CAST(n_stop AS BIGINT) * 1000) DIV n_words"))
+      .withColumn("distinct_milli", expr("(CAST(n_uniq AS BIGINT) * 1000) DIV n_words"))
+      .withColumn("awl_milli", expr("(CAST(len_chars - n_words + 1 AS BIGINT) * 1000) DIV n_words"))
+      .withColumn("score", expr(QualityWeights.scoreSql))
+  }
 
   /** tx17's frozen linear model — single source of truth for BOTH
     * engines (the oracle interpolates the same constants). */
@@ -397,6 +403,29 @@ object Curation {
       s"(CASE WHEN n_words BETWEEN 50 AND 300 THEN $lenBonus ELSE 0 END)"
     val labelSql: String =
       s"CASE WHEN score >= $thHi THEN 'hi' WHEN score >= $thMid THEN 'mid' ELSE 'lo' END"
+    /** DuckDB CTE chain ending in `qsc(doc_id, source, n_words,
+      * stop_milli, distinct_milli, awl_milli, score)` — the oracle
+      * twin of [[Curation.qualityScored]], shared by tx17 and dd15. */
+    lazy val scoredCteSql: String = {
+      val en = TextOps.langLex("en").map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""qbase AS (
+        | SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |  CAST(length(text) AS INT) AS len_chars FROM documents),
+        |qfeat AS (
+        | SELECT doc_id, source,
+        |  CAST(len(toks) AS INT) AS n_words,
+        |  CAST(len(list_filter(toks, t -> list_contains($en, t))) AS INT) AS n_stop,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_uniq, len_chars
+        | FROM qbase),
+        |qm AS (
+        | SELECT doc_id, source, n_words,
+        |  (CAST(n_stop AS BIGINT) * 1000) // n_words AS stop_milli,
+        |  (CAST(n_uniq AS BIGINT) * 1000) // n_words AS distinct_milli,
+        |  (CAST(len_chars - n_words + 1 AS BIGINT) * 1000) // n_words AS awl_milli
+        | FROM qfeat),
+        |qsc AS (
+        | SELECT *, $scoreSql AS score FROM qm)""".stripMargin
+    }
   }
 
   val oracle: Map[String, String] = Map(
@@ -510,30 +539,12 @@ object Curation {
         | ((count(*) - sum(CASE WHEN kept THEN 0 ELSE 1 END)) * 1000) // count(*) AS kept_milli,
         | substr(md5(coalesce(string_agg(line, '|' ORDER BY pos) FILTER (WHERE kept), '')), 1, 8) AS kept_fp8
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "tx17_quality_classifier" -> {
-      val en = TextOps.langLex("en").map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH base AS (
-        | SELECT doc_id, source, string_split(text, ' ') AS toks,
-        |  CAST(length(text) AS INT) AS len_chars FROM documents),
-        |feat AS (
-        | SELECT doc_id, source,
-        |  CAST(len(toks) AS INT) AS n_words,
-        |  CAST(len(list_filter(toks, t -> list_contains($en, t))) AS INT) AS n_stop,
-        |  CAST(len(list_distinct(toks)) AS INT) AS n_uniq, len_chars
-        | FROM base),
-        |m AS (
-        | SELECT doc_id, source, n_words,
-        |  (CAST(n_stop AS BIGINT) * 1000) // n_words AS stop_milli,
-        |  (CAST(n_uniq AS BIGINT) * 1000) // n_words AS distinct_milli,
-        |  (CAST(len_chars - n_words + 1 AS BIGINT) * 1000) // n_words AS awl_milli
-        | FROM feat),
-        |sc AS (
-        | SELECT *, ${QualityWeights.scoreSql} AS score FROM m)
+    "tx17_quality_classifier" ->
+      s"""WITH ${QualityWeights.scoredCteSql}
         |SELECT doc_id, source, n_words, stop_milli, distinct_milli, awl_milli, score,
         | ${QualityWeights.labelSql} AS label,
         | score >= ${QualityWeights.thMid} AS keep
-        |FROM sc ORDER BY doc_id""".stripMargin
-    },
+        |FROM qsc ORDER BY doc_id""".stripMargin,
     "tx13_normalize" ->
       """WITH c AS (
         | SELECT doc_id,

@@ -205,6 +205,34 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Canonical selection: keep-BEST per duplicate cluster — the
+    // curation upgrade over keep-first (dd01/tx16 keep the lowest id;
+    // production pipelines keep the highest-QUALITY copy of each
+    // near-dup cluster: the variant without the boilerplate wrapper,
+    // the cleaner extraction). Clusters come from the LSH pair graph
+    // (dd06's components), quality from tx17's frozen linear model
+    // (shared code+constants, so the decision is reproducible across
+    // engines). The keeper argmax is a map-side-combinable
+    // max(struct(score, -doc_id)) — no window over the corpus, one
+    // hash shuffle on cluster_id after the CC fixpoint.
+    "dd15_keep_best" -> ((s, d) => {
+      val pairs = candidatePairs(docs(s, d)).select(col("a"), col("b"))
+      val nodes = docs(s, d).select(col("doc_id").as("node"))
+      val clusters = connectedComponents(nodes, pairs)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val scored = Curation.qualityScored(Tables.spread(docs(s, d)))
+        .select(col("doc_id"), col("score"))
+      val j = clusters.join(scored, "doc_id")
+      val k = j.groupBy(col("cluster_id"))
+        .agg(max(struct(col("score"), (-col("doc_id")).as("neg_id"))).as("m"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster_id"), (-col("m.neg_id")).as("keeper_id"), col("n_members"))
+      j.join(k, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("score"), col("keeper_id"),
+          (col("doc_id") === col("keeper_id")).as("keep"), col("n_members"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-source duplicate OVERLAP matrix: how much of each source
     // pair is shared content (the "is CommonCrawl-v2 just v1 again?"
     // audit run before mixing corpora). Exact form: distinct
@@ -768,6 +796,32 @@ object Dedup {
          | SELECT e.a AS node, w.label FROM walk w JOIN edges e ON e.b = w.node)
          |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
          |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+    "dd15_keep_best" ->
+      s"""WITH RECURSIVE $candPreludeSql,
+         |cand AS (
+         | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         | FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a, b FROM cand UNION ALL SELECT b AS a, a AS b FROM cand),
+         |walk(node, label) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT e.a AS node, w.label FROM walk w JOIN edges e ON e.b = w.node),
+         |clusters AS (
+         | SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         | FROM walk GROUP BY node),
+         |${graft.operators.Curation.QualityWeights.scoredCteSql},
+         |j AS (
+         | SELECT c.doc_id, c.cluster_id, q.score
+         | FROM clusters c JOIN qsc q ON c.doc_id = q.doc_id),
+         |r AS (
+         | SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rk
+         | FROM j),
+         |k AS (SELECT cluster_id, doc_id AS keeper_id FROM r WHERE rk = 1),
+         |n AS (SELECT cluster_id, count(*) AS n_members FROM j GROUP BY 1)
+         |SELECT j.doc_id, j.cluster_id, j.score, k.keeper_id,
+         | j.doc_id = k.keeper_id AS keep, n.n_members
+         |FROM j JOIN k USING (cluster_id) JOIN n USING (cluster_id)
+         |ORDER BY j.doc_id""".stripMargin,
     "dd03_simhash" -> {
       val sums = (0 until 16).map(bit =>
         s"sum(((val16 >> $bit) & 1) * 2 - 1) AS s$bit").mkString(",\n        | ")

@@ -208,6 +208,39 @@ object Similarity {
         .limit(10)
     }),
 
+    // FILTERED ANN — metadata-constrained search (a vector DB's
+    // "filtered search" / FAISS IDSelector): top-k among vectors
+    // satisfying a predicate, here label != the query's label
+    // (cross-class neighbors — e.g. "nearest docs NOT from my own
+    // source"). The filter applies BEFORE scoring inside the probed
+    // cells, so selectivity cuts compute rather than post-hoc
+    // trimming recall; nprobe=2 (ss06's knob) compensates the
+    // candidates the predicate removes. At 100 TB the predicate is an
+    // ordinary column filter on the cell-partitioned scan — pushdown
+    // applies like any other scan filter, and the probe still reads
+    // exactly nprobe partitions.
+    "ss18_filtered_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = centroidArray(e)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cellStructs = transform(col("cents"),
+        c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                    c.getField("c_label").as("cell")))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("best", array_min(cellStructs))
+        .select(col("vec_id"), col("label"), col("embedding"), col("best.cell").as("cell"))
+      val q = e.filter(col("vec_id") === QueryId).crossJoin(broadcast(cents))
+        .select(col("embedding").as("q_emb"), col("label").as("q_label"),
+          slice(array_sort(cellStructs), 1, 2).as("probes"))
+        .select(col("q_emb"), col("q_label"), explode(col("probes.cell")).as("q_cell"))
+      assigned.join(broadcast(q), col("cell") === col("q_cell"))
+        .filter(col("label") =!= col("q_label"))
+        .select(col("vec_id"), col("label"), col("cell"),
+          cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Batch ANN — the query-BATCH form of ss02 (SURVEY §7 R4 #4): a
     // whole set of query vectors resolves in ONE pass as a bucket
     // equi-join instead of Q per-row probes. The batch is broadcast
@@ -798,6 +831,33 @@ object Similarity {
         |  / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
         |FROM cells e JOIN qp ON e.cell = qp.q_cell CROSS JOIN q
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "ss18_filtered_ann" ->
+      s"""WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |assigned AS (
+        | SELECT e.vec_id, e.label, e.embedding, c.c_label,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |cells AS (SELECT vec_id, label, embedding, c_label AS cell FROM assigned WHERE rn = 1),
+        |qp AS (SELECT c_label AS q_cell FROM assigned WHERE vec_id = $QueryId AND rn <= 2),
+        |q AS (SELECT embedding AS q_emb, label AS q_label FROM embeddings WHERE vec_id = $QueryId)
+        |SELECT e.vec_id, e.label, e.cell,
+        | list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
+        |FROM cells e JOIN qp ON e.cell = qp.q_cell CROSS JOIN q
+        |WHERE e.label <> q.q_label
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "ss09_kmeans_iter" ->
       """WITH ex AS (

@@ -347,6 +347,22 @@ class ApiSpec extends SparkSpec {
     assert(api.collect().toSeq == op.collect().toSeq)
   }
 
+  test("dedupKeepBest verb matches dd15 and keeps exactly one doc per cluster") {
+    val api = Tables(spark, sfDir, "documents")
+      .dedupKeepBest("doc_id", "text")
+      .select("doc_id", "cluster_id", "score", "keeper_id", "keep", "n_members")
+      .orderBy("doc_id")
+    val op = SparkEntry.queries("dd15_keep_best")(spark, sfDir)
+    assert(api.collect().toSeq == op.collect().toSeq)
+    // exactly one keeper per cluster, and it carries the max score
+    val bad = api.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("n_keep"),
+        max(col("score")).as("mx"),
+        max(when(col("keep"), col("score"))).as("kscore"))
+      .filter(col("n_keep") =!= 1 || col("kscore") =!= col("mx"))
+    assert(bad.count() == 0)
+  }
+
   test("qualityGate verb matches tx17 scores/labels/keep") {
     val api = Tables(spark, sfDir, "documents").qualityGate("text")
       .select("doc_id", "score", "label", "keep").orderBy("doc_id")
