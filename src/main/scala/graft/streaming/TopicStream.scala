@@ -202,6 +202,75 @@ object TopicStream {
     hashed.unpersist()
   }
 
+  /** Incremental LINE dedup — tx16's duplicated-line REMOVAL as a
+    * continuous pipeline: each arriving doc chunks into 10-word
+    * lines; a line already in the corpus-wide fingerprint topic (or
+    * seen earlier in this batch — keep-first by (doc_id, pos)
+    * instance) is dropped, and the REWRITTEN doc upserts to
+    * `outTopic` with `_seq = batchId`. New line hashes absorb into
+    * `lineTopic` tagged with their source batch, and the probe reads
+    * only hashes from EARLIER batches — so a replayed batch never
+    * sees its own write and rewrites the identical version
+    * (replay-idempotent, the packBatchIncrement discipline). The
+    * topic scan is pruned by a Bloom filter over the batch's line
+    * hashes BEFORE any exchange (dd14's shape): per-batch cost is a
+    * pruned scan + survivors-sized join, never a corpus re-key. */
+  def lineDedupBatch(store: graft.sources.TopicStore, lineTopic: String,
+                     outTopic: String)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.functions.BloomFunctions._
+    val words = split(col("text"), " ")
+    val lines = batch
+      .select(col("doc_id"), col("ts"),
+        transform(sequence(lit(0), floor((size(words) - 1) / 10).cast("int")),
+          c => array_join(slice(words, c * 10 + 1, lit(10)), " ")).as("ls"))
+      .select(col("doc_id"), col("ts"), posexplode(col("ls")))
+      .select(col("doc_id"), col("ts"), col("pos"), col("col").as("line"),
+        md5(col("col")).as("lhash"),
+        (col("doc_id") * 1000000 + col("pos")).as("inst"))
+      .persist()
+    val n = lines.count() // the arriving batch — small by definition
+    if (n > 0) {
+      val bloom = lines.agg(bloomAgg(col("lhash"), n + 64, (n + 64) * 16).as("bf"))
+      val known =
+        if (store.exists(lineTopic))
+          store.read(lineTopic)
+            .filter(col("src_batch") < batchId) // replay never sees its own write
+            .select(col("lhash"))
+            .filter(mightContain(col("lhash"), bloom))
+            .distinct().withColumn("_known", lit(true))
+        else lines.select(col("lhash")).limit(0).withColumn("_known", lit(true))
+      val keeper = lines.groupBy(col("lhash")).agg(min(col("inst")).as("keep_inst"))
+      val flagged = lines
+        .join(known, Seq("lhash"), "left")
+        .join(keeper, "lhash")
+        .withColumn("kept",
+          coalesce(col("_known"), lit(false)) === false && col("inst") === col("keep_inst"))
+        .persist()
+      val rewritten = flagged.groupBy(col("doc_id"))
+        .agg(max(col("ts")).as("time"),
+          count(lit(1)).as("n_lines"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("pos"), col("line"))))),
+            st => st.getField("line"))).as("deduped_text"))
+      store.upsert(outTopic, rewritten, "time", seq = Some(batchId))
+      store.append(lineTopic, flagged.filter(col("kept"))
+        .select(col("lhash"), col("ts").as("time"), lit(batchId).as("src_batch")))
+      flagged.unpersist()
+    }
+    lines.unpersist()
+  }
+
+  /** [[lineDedupBatch]] as a continuous stream: start the returned
+    * writer with a checkpointLocation. */
+  def lineDedupStream(docs: DataFrame, store: graft.sources.TopicStore,
+                      lineTopic: String, outTopic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      lineDedupBatch(store, lineTopic, outTopic)(b.toDF(), id)
+    }
+
   /** [[dedupBatchBloom]] as a continuous stream: start the returned
     * writer with a checkpointLocation. */
   def dedupStreamBloom(docs: DataFrame, store: graft.sources.TopicStore,

@@ -381,6 +381,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental line dedup rewrites docs, absorbs lines, and replays as a no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sline").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    val L = (1 to 10).map(i => s"w$i").mkString(" ")
+    val M = (1 to 10).map(i => s"m$i").mkString(" ")
+    val N = (1 to 10).map(i => s"n$i").mkString(" ")
+    val b1 = Seq((1L, ts("2024-01-01 00:01:00"), s"$L $M")).toDF("doc_id", "ts", "text")
+    TopicStream.lineDedupBatch(store, "lines", "out")(b1, 0L)
+    // batch 2: doc 2 repeats L (known from batch 1) + new N;
+    // doc 3 is exactly N — the IN-BATCH keep-first gives N to doc 2
+    val b2 = Seq(
+      (2L, ts("2024-01-01 00:02:00"), s"$L $N"),
+      (3L, ts("2024-01-01 00:03:00"), N)).toDF("doc_id", "ts", "text")
+    TopicStream.lineDedupBatch(store, "lines", "out")(b2, 1L)
+    def state() = store.readMerged("out", "doc_id")
+      .select("doc_id", "n_lines", "n_dropped", "deduped_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val expected = Seq(
+      (1L, 2L, 0L, s"$L $M"),
+      (2L, 2L, 1L, N),
+      (3L, 1L, 1L, ""))
+    assert(state() == expected, s"got ${state()}")
+    assert(store.read("lines").select("lhash").distinct().count() == 3L)
+    // replay batch 2: probe excludes its own absorbed lines (src_batch
+    // marker), so the rewrite is identical and the merged view a no-op
+    TopicStream.lineDedupBatch(store, "lines", "out")(b2, 1L)
+    assert(state() == expected, "a replayed micro-batch must rewrite the same version")
+  }
+
   test("bloom streaming dedup bootstraps a fresh fingerprint topic from its first batch") {
     // First batch of a brand-new pipeline: the fingerprint topic does
     // not exist yet. Reading it unconditionally would throw "Path does
