@@ -47,6 +47,39 @@ class MetricsSpec extends SparkSpec {
         s"${m.shuffleRecordsWritten} shuffled vs $fact fact rows")
   }
 
+  test("quality gate (tx17 verb) runs at scan speed: zero shuffle traffic") {
+    // the "gate at scan speed" claim, measured: the frozen linear
+    // classifier is per-row expressions only — nothing may re-key.
+    import graft.api._
+    val (_, m) = Metrics.measure(spark) {
+      Tables(spark, sfDir, "documents").qualityGate("text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(m.inputRecords > 0)
+    assert(m.shuffleBytesWritten == 0L,
+      s"the classifier gate must not shuffle, saw ${m.shuffleBytesWritten} bytes")
+  }
+
+  test("line dedup shuffles the line domain, never a doc self-join blowup") {
+    // tx16's wire budget: the two line-domain exchanges + per-doc
+    // rollup stay within a small constant of the line-instance count
+    // (lines ~= words/10 per doc); a doc-pair self-join would square it.
+    import graft.api._
+    val docs = Tables(spark, sfDir, "documents")
+    val lineCount = docs
+      .select((((org.apache.spark.sql.functions.size(split(col("text"), " ")) - 1) / 10 + 1)
+        .cast("long")).as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    val (_, m) = Metrics.measure(spark) {
+      docs.lineDedup("doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(m.shuffleRecordsWritten > 0)
+    assert(m.shuffleRecordsWritten < lineCount * 4,
+      s"line dedup should shuffle O(line instances): " +
+        s"${m.shuffleRecordsWritten} shuffled vs $lineCount lines")
+  }
+
   test("measure() isolates actions: a second measurement starts from zero") {
     val (_, m1) = Metrics.measure(spark) {
       Tables(spark, sfDir, "region").count()
