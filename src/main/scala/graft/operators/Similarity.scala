@@ -208,6 +208,60 @@ object Similarity {
         .limit(10)
     }),
 
+    // SEMANTIC decontamination — tx11's embedding-space twin (the
+    // FineWeb/LLM-decontam check n-grams miss: a benchmark item
+    // paraphrased into training data shares no 5-gram but sits close
+    // in embedding space). Asymmetric by design: the BENCHMARK side
+    // is small (eval sets are), so its LSH band keys broadcast —
+    // tx11's broadcast discipline applied to vectors — and the corpus
+    // is scanned once, never self-joined (dd05 is the symmetric
+    // corpus x corpus form). 4 bands x 12-bit keys bound candidates;
+    // exact cosine >= 0.35 verifies; per corpus vector: candidate /
+    // hit counts, the flag, and the nearest flagged benchmark item
+    // (max(struct(cos, -id)) — map-side combinable, no window).
+    "ss19_semantic_decontam" -> ((s, d) => {
+      // 8-bit keys: the band key space is sized to the BENCHMARK side
+      // (eval sets are small — 256 buckets/band bounds its occupancy);
+      // the corpus side only probes. dd05's adaptive sizing tracks the
+      // corpus because BOTH its sides grow; here one side is fixed.
+      val bits = 8
+      val planes48 = planesN(4 * bits)
+      def bandCols = (0 until 4).map { band =>
+        (0 until bits).map { j =>
+          when(dotConst(col("embedding"), planes48(band * bits + j)) > 0.0,
+            lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _).cast("int").as(s"bk$band")
+      }
+      val e = emb(s, d)
+      def bands(df: DataFrame) = df.select(col("vec_id") +: bandCols: _*)
+        .select(col("vec_id"), posexplode(array((0 until 4).map(b => col(s"bk$b")): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val bench = e.filter(col("vec_id") % 10 === 3)
+      val corp = e.filter(col("vec_id") % 10 =!= 3)
+      val cand = bands(corp)
+        .join(broadcast(bands(bench).withColumnRenamed("vec_id", "bench_id")),
+          Seq("band", "bkey"))
+        .select(col("vec_id"), col("bench_id")).distinct()
+      val scored = cand
+        .join(corp.select(col("vec_id"), col("embedding").as("ce")), "vec_id")
+        .join(broadcast(bench.select(col("vec_id").as("bench_id"), col("embedding").as("be"))),
+          "bench_id")
+        .withColumn("cos_sim", cosine(col("ce"), col("be")))
+      val agg = scored.groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("cos_sim") >= 0.35, 1L).otherwise(0L)).as("n_hits"),
+          max(when(col("cos_sim") >= 0.35,
+            struct(col("cos_sim"), (-col("bench_id")).as("neg_id")))).as("m"))
+      corp.select(col("vec_id"))
+        .join(agg, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"),
+          (-col("m.neg_id")).as("best_bench"), col("m.cos_sim").as("best_cos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // FILTERED ANN — metadata-constrained search (a vector DB's
     // "filtered search" / FAISS IDSelector): top-k among vectors
     // satisfying a predicate, here label != the query's label
@@ -832,6 +886,52 @@ object Similarity {
         |     * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
         |FROM cells e JOIN qp ON e.cell = qp.q_cell CROSS JOIN q
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "ss19_semantic_decontam" ->
+      """WITH p AS (
+        | SELECT h, list_transform(generate_series(0, 63),
+        |   i -> CASE WHEN substr(md5(CAST(h AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) <= '7'
+        |        THEN 1.0 ELSE -1.0 END) AS plane
+        | FROM (SELECT unnest(generate_series(0, 31)) AS h)),
+        |bits AS (
+        | SELECT e.vec_id, p.h,
+        |  CASE WHEN list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) > 0 THEN 1 ELSE 0 END AS bit
+        | FROM embeddings e CROSS JOIN p),
+        |bk AS (
+        | SELECT vec_id, CAST(h // 8 AS INT) AS band,
+        |  CAST(sum(bit * (1 << CAST(h % 8 AS INT))) AS INT) AS bkey
+        | FROM bits GROUP BY 1, 2),
+        |cand AS (
+        | SELECT DISTINCT x.vec_id, y.vec_id AS bench_id
+        | FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+        | WHERE x.vec_id % 10 <> 3 AND y.vec_id % 10 = 3),
+        |n AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+        | FROM embeddings),
+        |scored AS (
+        | SELECT c.vec_id, c.bench_id,
+        |  list_sum(list_transform(generate_series(1, len(x.embedding)),
+        |    i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) / (x.nrm * y.nrm) AS cos_sim
+        | FROM cand c JOIN n x ON x.vec_id = c.vec_id JOIN n y ON y.vec_id = c.bench_id),
+        |agg AS (
+        | SELECT vec_id, count(*) AS n_cand,
+        |  CAST(sum(CASE WHEN cos_sim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        | FROM scored GROUP BY 1),
+        |best AS (
+        | SELECT vec_id, bench_id AS best_bench, cos_sim AS best_cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, bench_id) AS rk
+        |  FROM scored WHERE cos_sim >= 0.35) WHERE rk = 1)
+        |SELECT e.vec_id,
+        | coalesce(a.n_cand, 0) AS n_cand,
+        | coalesce(a.n_hits, 0) AS n_hits,
+        | coalesce(a.n_hits, 0) > 0 AS contaminated,
+        | b.best_bench, b.best_cos
+        |FROM embeddings e
+        |LEFT JOIN agg a ON e.vec_id = a.vec_id
+        |LEFT JOIN best b ON e.vec_id = b.vec_id
+        |WHERE e.vec_id % 10 <> 3
+        |ORDER BY e.vec_id""".stripMargin,
     "ss18_filtered_ann" ->
       s"""WITH ex AS (
         | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
