@@ -119,6 +119,9 @@ class GraftSession(val spark: SparkSession, root: String) {
                clusterBy: Seq[String] = Seq.empty): Seq[(String, Seq[Long])] = {
     val done = catalog.list().collect {
       case (name, "topic") =>
+        // data lifecycle first: expired buckets downsample+drop before
+        // the compactor would waste a rewrite on them
+        catalog.retention(name).foreach(sweepWith(name, _))
         // a topic's own registered schedule overrides the session-wide
         // defaults — maintain() is the manual sweep of the same policy
         // the publish-path scheduler enforces automatically
@@ -162,6 +165,38 @@ class GraftSession(val spark: SparkSession, root: String) {
                      coalesce: Int = 0, triggerMs: Long = 0L): Unit =
     catalog.setWriteConfig(name,
       graft.sources.WriteConfig(maxRowsPerFile, coalesce, triggerMs))
+
+  /** Register a durable retention rule for a topic: raw shards older
+    * than `maxAgeMinutes` (data-relative horizon) are swept by
+    * [[maintain]] — dropped outright, or first downsampled into a
+    * coarse rollup tier when `downsampleTo` is set (the TSDB
+    * tiered-lifecycle rule: raw recent, aggregated old). */
+  def setRetention(name: String, maxAgeMinutes: Long,
+                   downsampleTo: String = "", everyMinutes: Int = 60,
+                   valueCol: String = "", keyCols: Seq[String] = Seq.empty,
+                   tsCol: String = "time"): Unit =
+    catalog.setRetention(name, graft.sources.RetentionPolicy(
+      maxAgeMinutes, downsampleTo, everyMinutes, valueCol, keyCols, tsCol))
+
+  /** Apply a topic's registered retention rule now. Returns dropped
+    * bucket ids (empty = nothing expired / no rule). */
+  def retentionSweep(name: String): Seq[Long] =
+    catalog.retention(name)
+      .map(sweepWith(catalog.resolve(name), _))
+      .getOrElse(Seq.empty)
+
+  /** Resolve the tier topic ref and register it (first sweep of a
+    * fresh tier creates it), then run the store-level sweep. */
+  private def sweepWith(fqn: String,
+                        pol: graft.sources.RetentionPolicy): Seq[Long] = {
+    val resolved =
+      if (pol.downsampleTo.isEmpty) pol
+      else {
+        catalog.createTopic(pol.downsampleTo, store, ifNotExists = true)
+        pol.copy(downsampleTo = catalog.resolve(pol.downsampleTo))
+      }
+    store.retentionSweep(fqn, resolved)
+  }
 
   /** Run a topic's scheduled compaction if its cadence says it is due.
     * Returns the compacted buckets (empty when not due or nothing to

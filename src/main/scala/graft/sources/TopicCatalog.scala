@@ -88,13 +88,42 @@ case class WriteConfig(maxRowsPerFile: Long = 0L,
     "write config knobs must be >= 0")
 }
 
+/** Data-lifecycle retention for a topic — the TSDB tiering rule every
+  * production time-series store grows into (raw shards are kept for a
+  * horizon, then downsampled into a coarse rollup tier and dropped).
+  * The horizon is DATA-relative — `newest bucket start −
+  * maxAgeMinutes` — so sweeps are deterministic and replay-safe
+  * (a wall-clock sweep is the same rule with "now" as the newest
+  * point; data-relative is what keeps tests and backfills exact).
+  *
+  * Drop-only when `downsampleTo` is empty. With a downsample target,
+  * expired rows first aggregate per (`everyMinutes` window, keyCols):
+  * n / min / max / exact cent-sum of `valueCol` — the
+  * continuous-aggregate tier — and append to `downsampleTo` before
+  * the raw buckets are removed. Only WHOLE expired buckets are ever
+  * touched: the sweep is O(expired shards) directory work plus one
+  * bucket-pruned scan of exactly the expiring data, never a read of
+  * the live topic. */
+case class RetentionPolicy(maxAgeMinutes: Long,
+                           downsampleTo: String = "",
+                           everyMinutes: Int = 60,
+                           valueCol: String = "",
+                           keyCols: Seq[String] = Seq.empty,
+                           tsCol: String = "time") {
+  require(maxAgeMinutes > 0, "maxAgeMinutes must be positive")
+  require(everyMinutes > 0, "everyMinutes must be positive")
+  require(downsampleTo.isEmpty || valueCol.nonEmpty,
+    "a downsample tier needs the value column to aggregate")
+}
+
 class TopicCatalog(spark: SparkSession, root: String,
                    defaultCatalog: String = "ella", defaultSchema: String = "public") {
 
   sealed trait Entry { def kind: String }
   case class Topic(path: String,
                    compaction: Option[CompactionPolicy] = None,
-                   write: Option[WriteConfig] = None) extends Entry {
+                   write: Option[WriteConfig] = None,
+                   retention: Option[RetentionPolicy] = None) extends Entry {
     val kind = "topic"
   }
   /** Session-scoped topic: lives only in this catalog instance, never
@@ -257,7 +286,7 @@ class TopicCatalog(spark: SparkSession, root: String,
 
   /** The registered compaction schedule, if any. */
   def compaction(ref: String): Option[CompactionPolicy] =
-    entries.get(resolve(ref)).collect { case Topic(_, Some(p), _) => p }
+    entries.get(resolve(ref)).collect { case Topic(_, Some(p), _, _) => p }
 
   /** Attach (or replace) durable write-path batching on a topic —
     * the write_batch_size / rw_buffer_capacity half of the
@@ -277,7 +306,27 @@ class TopicCatalog(spark: SparkSession, root: String,
 
   /** The registered write-path batching config, if any. */
   def writeConfig(ref: String): Option[WriteConfig] =
-    entries.get(resolve(ref)).collect { case Topic(_, _, Some(w)) => w }
+    entries.get(resolve(ref)).collect { case Topic(_, _, Some(w), _) => w }
+
+  /** Attach (or replace) a durable retention rule on a topic — the
+    * data-lifecycle third of the per-topic config, next to
+    * [[setCompaction]] (shard shape) and [[setWriteConfig]] (ingest
+    * batching). Committed through the same tx log. */
+  def setRetention(ref: String, policy: RetentionPolicy): Unit = {
+    val fqn = resolve(ref)
+    entries.get(fqn) match {
+      case Some(t: Topic) =>
+        entries(fqn) = t.copy(retention = Some(policy))
+        commit("put", fqn, Some(entries(fqn)))
+      case Some(e) =>
+        throw new IllegalStateException(s"$fqn is a ${e.kind}, not a topic")
+      case None => throw new NoSuchElementException(s"topic not found: $fqn")
+    }
+  }
+
+  /** The registered retention rule, if any. */
+  def retention(ref: String): Option[RetentionPolicy] =
+    entries.get(resolve(ref)).collect { case Topic(_, _, _, Some(r)) => r }
 
   def createView(ref: String, sql: String): Unit = {
     entries(resolve(ref)) = View(sql, None)
@@ -306,7 +355,7 @@ class TopicCatalog(spark: SparkSession, root: String,
   def table(ref: String): DataFrame = {
     if (!entries.contains(resolve(ref))) reload()
     entries(resolve(ref)) match {
-      case Topic(path, _, _) => spark.read.parquet(path)
+      case Topic(path, _, _, _) => spark.read.parquet(path)
       case TempTopic(df) => df
       case View(sql, None) => spark.sql(sql)
       case View(_, Some(path)) => spark.read.parquet(path)
@@ -338,7 +387,7 @@ class TopicCatalog(spark: SparkSession, root: String,
   private lazy val mapper = new ObjectMapper()
 
   private def entryFields(o: ObjectNode, e: Entry): Unit = e match {
-    case Topic(p, pol, wcfg) =>
+    case Topic(p, pol, wcfg, ret) =>
       o.put("kind", "topic"); o.put("path", p)
       pol.foreach { c =>
         val cn = o.putObject("compaction")
@@ -355,6 +404,18 @@ class TopicCatalog(spark: SparkSession, root: String,
         if (w.maxRowsPerFile > 0) wn.put("maxRowsPerFile", w.maxRowsPerFile)
         if (w.coalesce > 0) wn.put("coalesce", w.coalesce)
         if (w.triggerMs > 0) wn.put("triggerMs", w.triggerMs)
+      }
+      ret.foreach { r =>
+        val rn = o.putObject("retention")
+        rn.put("maxAgeMinutes", r.maxAgeMinutes)
+        if (r.downsampleTo.nonEmpty) {
+          rn.put("downsampleTo", r.downsampleTo)
+          rn.put("everyMinutes", r.everyMinutes)
+          rn.put("valueCol", r.valueCol)
+          rn.put("tsCol", r.tsCol)
+          val arr = rn.putArray("keyCols")
+          r.keyCols.foreach(arr.add)
+        }
       }
     case View(sql, mp) =>
       o.put("kind", "view"); o.put("sql", sql); mp.foreach(o.put("path", _))
@@ -381,7 +442,17 @@ class TopicCatalog(spark: SparkSession, root: String,
             w.path("coalesce").asInt(0),
             w.path("triggerMs").asLong(0L))
         }
-        entries(name) = Topic(node.path("path").asText(), pol, wcfg)
+        val ret = Option(node.get("retention")).map { r =>
+          val kc = Option(r.get("keyCols")).map { a =>
+            (0 until a.size()).map(a.get(_).asText())
+          }.getOrElse(Seq.empty)
+          RetentionPolicy(r.path("maxAgeMinutes").asLong(),
+            r.path("downsampleTo").asText(""),
+            r.path("everyMinutes").asInt(60),
+            r.path("valueCol").asText(""), kc,
+            r.path("tsCol").asText("time"))
+        }
+        entries(name) = Topic(node.path("path").asText(), pol, wcfg, ret)
       case "view" =>
         val mp = Option(node.get("path")).map(_.asText())
         entries(name) = View(node.path("sql").asText(), mp)

@@ -308,6 +308,53 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
     * future read: the one-time compaction sort buys scan pruning for
     * the rest of the shard's life — the standard data-layout lever
     * at 100 TB (same idea as Z-ordering, exact for 1-D keys). */
+  /** Retention sweep — apply a topic's [[RetentionPolicy]]: whole
+    * buckets whose END falls before the data-relative horizon
+    * (`newest bucket start − maxAge`) are removed; with a downsample
+    * tier configured, their rows first aggregate per
+    * (`everyMinutes` window, keyCols) into n / min / max / exact
+    * cent-sum rows appended to the tier topic. Returns the dropped
+    * bucket ids (empty = nothing expired — idempotent).
+    *
+    * The whole sweep holds the topic's EXCLUSIVE lock: an append
+    * landing in an expiring bucket between the tier aggregation and
+    * the directory removal would otherwise be dropped unsampled.
+    * Scale shape: the sweep lists bucket DIRS (no data read) to find
+    * expired ones, scans only the expiring buckets (partition-pruned
+    * `bucket IN (...)`) for the tier, and deletes O(expired) dirs —
+    * the live topic is never read. */
+  def retentionSweep(name: String, pol: RetentionPolicy): Seq[Long] = {
+    require(pol.downsampleTo != name, "downsample tier must be a different topic")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(topicPath(name))
+    if (!fs.exists(base)) return Seq.empty
+    val wl = TopicStore.lockFor(topicPath(name)).writeLock(); wl.lock()
+    try {
+      val buckets = fs.listStatus(base).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toLong).sorted
+      if (buckets.isEmpty) return Seq.empty
+      val horizon = buckets.last - pol.maxAgeMinutes * 60L
+      val expired = buckets.filter(_ + bucketSeconds <= horizon)
+      if (expired.isEmpty) return Seq.empty
+      if (pol.downsampleTo.nonEmpty) {
+        val every = pol.everyMinutes * 60L
+        val win = (col(pol.tsCol).cast("long") / every).cast("long") * every
+        val cents = round(col(pol.valueCol) * 100).cast("long")
+        val tier = read(name)
+          .filter(col("bucket").isin(expired: _*))
+          .groupBy((win.cast("timestamp").as("time") +: pol.keyCols.map(col)): _*)
+          .agg(count(lit(1)).as("n"),
+            min(col(pol.valueCol)).as("vmin"),
+            max(col(pol.valueCol)).as("vmax"),
+            sum(cents).as("sum_c"))
+        append(pol.downsampleTo, tier, "time")
+      }
+      expired.foreach(b => fs.delete(new Path(base, s"bucket=$b"), true))
+      expired.toSeq
+    } finally wl.unlock()
+  }
+
   def compact(name: String, maxFilesPerBucket: Int = 4,
               clusterBy: Seq[String] = Seq.empty,
               minShardBytes: Long = 0L,

@@ -151,6 +151,46 @@ class StorageSpec extends SparkSpec {
     assert(plain.length == 8, s"no config -> task-count files, saw ${plain.length}")
   }
 
+  test("retention policy downsamples then drops expired buckets, durably and idempotently") {
+    import spark.implicits._
+    val root = tmp()
+    val gs = new GraftSession(spark, root)
+    def t(h: Int) = new java.sql.Timestamp((1700000000L + h * 3600L) * 1000)
+    gs.createTopic("ret")
+    // three hour-buckets: 0h (2 rows), 2h, 4h — horizon with
+    // maxAge=90min lands at 4h-1.5h=2.5h, so ONLY bucket 0 (ends 1h)
+    // is whole-expired; bucket 2h (ends 3h) straddles and must stay
+    gs.publish("ret", Seq(
+      (1L, t(0), 2.0), (2L, t(0), 4.0),
+      (3L, t(2), 6.0),
+      (4L, t(4), 8.0)).toDF("id", "time", "v"))
+    gs.setRetention("ret", maxAgeMinutes = 90,
+      downsampleTo = "ret_1h", everyMinutes = 60, valueCol = "v")
+    // durable: a fresh catalog instance sees the policy
+    assert(new TopicCatalog(spark, root).retention("ret")
+      .exists(p => p.maxAgeMinutes == 90 && p.downsampleTo == "ret_1h"),
+      "retention policy must survive a manifest reload")
+    val dropped = gs.retentionSweep("ret")
+    assert(dropped == Seq(1700000000L / 3600 * 3600),
+      s"exactly the whole-expired bucket drops: $dropped")
+    // raw topic keeps only the live rows
+    assert(gs.table("ret").select("id").as[Long].collect().toSet == Set(3L, 4L))
+    // the tier holds the expired rows' exact aggregate
+    val tier = gs.table("ret_1h")
+      .select("n", "vmin", "vmax", "sum_c").as[(Long, Double, Double, Long)].collect().toSeq
+    assert(tier == Seq((2L, 2.0, 4.0, 600L)), s"tier aggregate wrong: $tier")
+    // idempotent: nothing left to expire
+    assert(gs.retentionSweep("ret").isEmpty)
+    assert(gs.table("ret_1h").count() == 1, "a re-sweep must not re-append the tier")
+    // maintain() applies the registered rule: add a newer bucket that
+    // pushes the horizon past bucket 2h
+    gs.publish("ret", Seq((5L, t(6), 10.0)).toDF("id", "time", "v"))
+    gs.maintain()
+    assert(gs.table("ret").select("id").as[Long].collect().toSet == Set(4L, 5L),
+      "maintain() must sweep by the registered policy")
+    assert(gs.table("ret_1h").count() == 2, "second tier row from the 2h bucket")
+  }
+
   test("session config exposes the datastore's effective settings") {
     // pyella Ella.config() parity: a client introspects root,
     // namespace, and engine knobs without private state.
