@@ -22,7 +22,9 @@ object DevProbe {
         "dd14_bloom_incremental","dd11_hll_overlap","ss13_pq_ann","tx15_heavy_hitters","mm04_binary_dedup",
         "ss14_pq_train","ss15_pq_incremental","ss16_ivfpq","v18_masked_fill","v19_string_tensor","v20_time_tensor",
         "ts19_ewma","tx16_line_dedup","tx17_quality_classifier","ss17_recall_report",
-        "dd15_keep_best","ss18_filtered_ann","ss19_semantic_decontam")
+        "dd15_keep_best","ss18_filtered_ann","ss19_semantic_decontam",
+        "q29_recursive","sp07_epoch_order","tx18_substring_spans","tx19_bpe_merge",
+        "ss20_pca_power")
         .foreach { n =>
           println(s"\n## $n\n")
           println("```")
@@ -53,7 +55,9 @@ object DevProbe {
         "v18_masked_fill", "v19_string_tensor", "v20_time_tensor",
         "ts19_ewma", "tx16_line_dedup", "tx17_quality_classifier",
         "ss17_recall_report", "dd15_keep_best", "ss18_filtered_ann",
-        "ss19_semantic_decontam")
+        "ss19_semantic_decontam",
+        "q29_recursive", "sp07_epoch_order", "tx18_substring_spans",
+        "tx19_bpe_merge", "ss20_pca_power")
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
       println("|---|---|---|---|---|---|")
       names.foreach { n =>

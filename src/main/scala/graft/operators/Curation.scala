@@ -371,6 +371,89 @@ object Curation {
         .select(col("doc_id"), col("source"), col("n_words"), col("stop_milli"),
           col("distinct_milli"), col("awl_milli"), col("score"), col("label"), col("keep"))
         .orderBy(col("doc_id")))
+  ,
+
+    // MAXIMAL duplicated-span extraction — the ExactSubstr dedup of
+    // Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    // Models Better"), the step tx09's gram census stops short of:
+    // every char-20-gram occurring >= 2 times corpus-wide marks its
+    // window, and per doc the marked windows COALESCE into maximal
+    // spans (gaps-and-islands interval merge) — the spans are what the
+    // paper's suffix array emits and what the rewrite removes. Plan:
+    // grams explode INSIDE the row (array-of-structs, so the parent
+    // text never rides the explode), one partial-agg'd shuffle of the
+    // gram domain (the paper's suffix-array work, re-expressed as one
+    // hash agg; at 100 TB the grams shuffle as 8-byte xxhash64 keys —
+    // md5-free — and the window is per-doc-bounded). The dup-gram join
+    // is candidate-restricted (only grams with n_occ >= 2 come back),
+    // the island merge is a per-doc lag + running sum — task input
+    // bounded by doc length, never the corpus.
+    "tx18_substring_spans" -> ((s, d) => {
+      val K = 20
+      val base = docs(s, d).withColumn("norm", lower(col("text")))
+      val g = base
+        .select(col("doc_id"),
+          explode(when(length(col("norm")) >= K,
+            transform(sequence(lit(1), length(col("norm")) - (K - 1)),
+              i => struct(i.as("pos"), col("norm").substr(i, lit(K)).as("gram"))))
+            .otherwise(typedLit(Seq.empty[(Int, String)])
+              .cast("array<struct<pos:int,gram:string>>"))).as("pg"))
+        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+      val dup = g.groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") >= 2)
+      val marked = g.join(dup, "gram").select(col("doc_id"), col("pos"))
+      val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val spans = marked
+        .withColumn("prev", lag(col("pos"), 1).over(wl))
+        // intervals [pos, pos+K-1] merge when they overlap or touch
+        .withColumn("brk", when(col("prev").isNull || col("pos") > col("prev") + K, 1L)
+          .otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(wl))
+        .groupBy(col("doc_id"), col("island"))
+        .agg((max(col("pos")) - min(col("pos")) + K).as("span_chars"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("span_chars")).as("dup_chars"),
+          max(col("span_chars")).as("max_span"))
+      base.select(col("doc_id"), length(col("norm")).cast("long").as("len"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("len"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+          coalesce(col("max_span"), lit(0L)).as("max_span"))
+        .withColumn("dup_milli", expr("(dup_chars * 1000) DIV len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE merge step — the first iteration of byte-pair-encoding
+    // vocabulary training (Sennrich et al. 2016), the tokenizer-side
+    // twin of tx12's word vocab: count adjacent CHARACTER pairs
+    // weighted by word frequency and rank the merge candidates. The
+    // 100 TB shape is the reason this is cheap: pairs explode over the
+    // DISTINCT-WORD frequency table (exactly how real BPE trainers
+    // count — corpus size only enters through the word-freq agg that
+    // tx12 already prices), so the pair census costs O(vocab x word
+    // length), not O(corpus). Iterating = apply the top merge to the
+    // symbol sequences and re-count; every iteration keeps this plan.
+    "tx19_bpe_merge" -> ((s, d) => {
+      val wf = docs(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+      val pairs = wf
+        .select(col("wcnt"),
+          explode(when(length(col("word")) >= 2,
+            transform(sequence(lit(1), length(col("word")) - 1),
+              i => col("word").substr(i, lit(2))))
+            .otherwise(typedLit(Seq.empty[String]))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wcnt")).as("pair_count"))
+      // top-20 FIRST (TakeOrderedAndProject — no global sort of the
+      // pair domain), then rank the 20 survivors; the unpartitioned
+      // window only ever sees 20 rows.
+      val rw = Window.orderBy(col("pair_count").desc, col("pair"))
+      pairs.orderBy(col("pair_count").desc, col("pair")).limit(20)
+        .withColumn("rank", row_number().over(rw))
+        .select(col("rank"), col("pair"), col("pair_count"))
+        .orderBy(col("rank"))
+    })
   )
 
   /** tx17's frozen-model feature+score projection over a `documents`
@@ -630,6 +713,58 @@ object Curation {
         |SELECT source, quartile, count(*) AS n_docs,
         | CAST(min(lm_score_ppm) AS BIGINT) AS lo_ppm,
         | CAST(max(lm_score_ppm) AS BIGINT) AS hi_ppm
-        |FROM ranked GROUP BY 1, 2 ORDER BY source, quartile""".stripMargin
+        |FROM ranked GROUP BY 1, 2 ORDER BY source, quartile""".stripMargin,
+    "tx18_substring_spans" ->
+      """WITH n AS (SELECT doc_id, lower(text) AS norm FROM documents),
+        |g AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, length(norm) - 19),
+        |    i -> i)) AS pos,
+        |  unnest(list_transform(generate_series(1, length(norm) - 19),
+        |    i -> substr(norm, i, 20))) AS gram
+        | FROM n WHERE length(norm) >= 20),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |marked AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        |isl AS (
+        | SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER w IS NULL
+        |       OR pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+        | FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |grp AS (
+        | SELECT doc_id, pos,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM isl),
+        |spans AS (
+        | SELECT doc_id, island, max(pos) - min(pos) + 20 AS span_chars
+        | FROM grp GROUP BY 1, 2),
+        |per_doc AS (
+        | SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(span_chars) AS BIGINT) AS dup_chars,
+        |  CAST(max(span_chars) AS BIGINT) AS max_span
+        | FROM spans GROUP BY 1)
+        |SELECT n.doc_id, CAST(length(n.norm) AS BIGINT) AS len,
+        | CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+        | CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+        | CAST(coalesce(p.max_span, 0) AS BIGINT) AS max_span,
+        | (CAST(coalesce(p.dup_chars, 0) AS BIGINT) * 1000) // length(n.norm) AS dup_milli
+        |FROM n LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin,
+    "tx19_bpe_merge" ->
+      """WITH wf AS (
+        | SELECT word, count(*) AS wcnt
+        | FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        | GROUP BY 1),
+        |pairs AS (
+        | SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+        |   i -> substr(word, i, 2))) AS pair, wcnt
+        | FROM wf WHERE length(word) >= 2),
+        |pc AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS pair_count
+        |       FROM pairs GROUP BY 1),
+        |r AS (SELECT pair, pair_count,
+        |  CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INT) AS rank
+        |  FROM pc)
+        |SELECT rank, pair, pair_count FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin
   )
 }

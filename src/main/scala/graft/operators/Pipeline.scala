@@ -203,6 +203,33 @@ object Pipeline {
         .select(col("source"), col("n_docs"), col("n_tokens"), col("mean_tok"),
           col("en_milli"), col("dup_milli"), col("rep_ok_milli"), col("short_milli"))
         .orderBy(col("source"))
+    }),
+
+    // Epoch ordering — the training-loader manifest sp06 stops short
+    // of: every epoch re-shuffles the corpus into a DIFFERENT
+    // deterministic pseudo-random order (md5 keyed by epoch), sharded
+    // so no global sort ever happens. Per (epoch, shard): position =
+    // hash-order rank WITHIN the shard — the window partitions by
+    // (epoch, shard), so task input is bounded by shard size, never
+    // the corpus (GroupPrefix discipline; at 100 TB shard count grows
+    // with the corpus and each window partition stays ~file-sized).
+    // Rerun-stable, epoch-distinct, source-mixed — exactly what an
+    // LLM data loader needs from its epoch manifests; the real writer
+    // partitionBy(epoch, shard)s this frame and trainers read shards
+    // sequentially.
+    "sp07_epoch_order" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), explode(array(lit(0), lit(1))).as("epoch"))
+        .withColumn("h", md5(concat(col("doc_id").cast("string"),
+          lit(":ep"), col("epoch").cast("string"))))
+        .withColumn("shard", expr(
+          "CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) % 4 AS INT)"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("epoch"), col("shard"), col("pos"))
     })
   )
 
@@ -451,6 +478,21 @@ object Pipeline {
         |SELECT source, count(*) AS n_docs, CAST(sum(tok_cnt) AS BIGINT) AS sel_tokens,
         | CAST(max(budget) AS BIGINT) AS budget_tokens
         |FROM c WHERE cum - tok_cnt < budget
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "sp07_epoch_order" ->
+      """WITH e AS (
+        | SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+        |h AS (
+        | SELECT doc_id, epoch,
+        |  md5(CAST(doc_id AS VARCHAR) || ':ep' || CAST(epoch AS VARCHAR)) AS h
+        | FROM e),
+        |a AS (
+        | SELECT epoch, doc_id, h,
+        |  CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 4 AS INT) AS shard
+        | FROM h)
+        |SELECT epoch, shard,
+        | CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS INT) AS pos,
+        | doc_id
+        |FROM a ORDER BY epoch, shard, pos""".stripMargin
   )
 }

@@ -426,10 +426,53 @@ object Relational {
           (abs(element_at(col("_pa"), 3) - element_at(col("_pe"), 3))
             <= abs(element_at(col("_pe"), 3)) * lit(0.05)).as("p75_within_5pct"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Recursive CTE (Spark 4.1 UnionLoop ≙ DataFusion's RecursiveQuery,
+    // datafusion/physical-plan recursive_query.rs): a gap-free month
+    // spine generated BY RECURSION from the data's own [min, max]
+    // bounds, left-joined to per-month order revenue — months with no
+    // orders still report a zero row (the recursion is what makes the
+    // report gap-free; ts07 does the same with sequence(), this is the
+    // SQL-dialect surface for it). Scale shape: the recursion produces
+    // O(months) rows driver-cheap (anchor is a 1-row agg), the join is
+    // a broadcast of the spine against one scan of orders, and the agg
+    // is partial — one shuffle of O(months) groups total. The bound
+    // rides IN the recursion state (m, hi) so no step needs a subquery.
+    "q29_recursive" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """WITH RECURSIVE
+          |bounds AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+          |                  date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+          |months(m, hi) AS (
+          |  SELECT lo, hi FROM bounds
+          |  UNION ALL
+          |  SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
+          |)
+          |SELECT date_format(m.m, 'yyyy-MM') AS month,
+          |  count(o.o_orderkey) AS n_orders,
+          |  coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS rev_cents
+          |FROM months m LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.m
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q29_recursive" ->
+      """WITH RECURSIVE
+        |bounds AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |                  date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+        |months(m, hi) AS (
+        |  SELECT lo, hi FROM bounds
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+        |)
+        |SELECT strftime(m.m, '%Y-%m') AS month,
+        |  count(o.o_orderkey) AS n_orders,
+        |  coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS rev_cents
+        |FROM months m LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.m
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

@@ -582,6 +582,61 @@ object Similarity {
         .select(col("vec_id"), col("label"),
           col("best.nearest_label").as("nearest_label"), col("best.dist2").as("dist2"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Embedding-space covariance + top principal direction — the
+    // whitening / drift-QA pass an embedding pipeline runs before
+    // trusting ANN distances (a collapsed or drifting space shows up
+    // as one dominant direction): per-dim sums, the full d x d
+    // covariance, and two UNNORMALIZED power-iteration steps whose
+    // result is scaled by its max |component| — every aggregate is an
+    // exact integer (milli-quantized elements, n*S_ij - S_i*S_j
+    // moments; power steps rescale through an exact long in
+    // [-1000, 1000]), so group-sum order never moves a bit and the
+    // only doubles are two identical long->double divisions at output.
+    // Scale shape: covariance = ONE corpus scan with per-partition
+    // partial aggregation into d^2 cells (the wire carries partitions
+    // x 4096 longs, never rows); both power steps and the rescales run
+    // on the broadcast 4096-row moment frame — tiny joins, no second
+    // corpus pass, no driver-side linear algebra. At 100 TB this is
+    // the standard distributed-covariance plan; more components =
+    // re-run the two tiny power joins, deflating through the same
+    // integer rescale.
+    "ss20_pca_power" -> ((s, d) => {
+      val qv = emb(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + 0.5).cast("long")).as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cells = qv
+        .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+        .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+        .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("s_ij"))
+      val dims = qv.select(posexplode(col("q")).as(Seq("i", "qi")))
+        .groupBy(col("i")).agg(sum(col("qi")).as("s_i"), count(lit(1)).as("n"))
+      val cov = cells
+        .join(broadcast(dims), "i")
+        .join(broadcast(dims.select(col("i").as("j"), col("s_i").as("s_j"))), "j")
+        .select(col("i"), col("j"),
+          (col("n") * col("s_ij") - col("s_i") * col("s_j")).as("cq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val v1 = cov.groupBy(col("j")).agg(sum(col("cq")).as("v1"))
+      val m1 = v1.agg(max(abs(col("v1"))).as("m1"))
+      val v1q = v1.crossJoin(broadcast(m1))
+        .select(col("j").as("i"),
+          floor(col("v1").cast("double") / col("m1").cast("double") * 1000 + 0.5)
+            .cast("long").as("w"))
+      val v2 = cov.join(broadcast(v1q), "i")
+        .groupBy(col("j")).agg(sum(col("cq") * col("w")).as("v2"))
+      val m2 = v2.agg(max(abs(col("v2"))).as("m2"))
+      val diag = cov.filter(col("i") === col("j"))
+        .select(col("j"), col("cq").as("var_q"))
+      v2.crossJoin(broadcast(m2))
+        .join(broadcast(diag), "j")
+        .join(broadcast(dims.select(col("i").as("j"), col("s_i"))), "j")
+        .select((col("j") + 1).cast("int").as("dim"),
+          col("s_i").as("sum_milli"), col("var_q"),
+          (col("v2").cast("double") / col("m2").cast("double")).as("loading"))
+        .orderBy(col("dim"))
     })
   )
 
@@ -1337,6 +1392,42 @@ object Similarity {
         |ranked AS (
         | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn FROM assigned)
         |SELECT vec_id, label, c_label AS nearest_label, dist2
-        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "ss20_pca_power" ->
+      """WITH qv AS (
+        | SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+        | FROM embeddings),
+        |pos AS (
+        | SELECT vec_id,
+        |  CAST(unnest(generate_series(1, len(q))) AS INT) AS i,
+        |  unnest(q) AS qi
+        | FROM qv),
+        |cells AS (
+        | SELECT a.i AS i, b.i AS j, CAST(sum(a.qi * b.qi) AS BIGINT) AS s_ij
+        | FROM pos a JOIN pos b USING (vec_id) GROUP BY 1, 2),
+        |dims AS (
+        | SELECT i, CAST(sum(qi) AS BIGINT) AS s_i, count(*) AS n
+        | FROM pos GROUP BY 1),
+        |cov AS (
+        | SELECT c.i, c.j, (d1.n * c.s_ij - d1.s_i * d2.s_i) AS cq
+        | FROM cells c JOIN dims d1 ON c.i = d1.i JOIN dims d2 ON c.j = d2.i),
+        |v1 AS (SELECT j, CAST(sum(cq) AS BIGINT) AS v1 FROM cov GROUP BY 1),
+        |m1 AS (SELECT max(abs(v1)) AS m1 FROM v1),
+        |v1q AS (
+        | SELECT j AS i,
+        |  CAST(floor(CAST(v1 AS DOUBLE) / CAST(m1 AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS w
+        | FROM v1, m1),
+        |v2 AS (
+        | SELECT c.j, CAST(sum(c.cq * v.w) AS BIGINT) AS v2
+        | FROM cov c JOIN v1q v ON c.i = v.i GROUP BY 1),
+        |m2 AS (SELECT max(abs(v2)) AS m2 FROM v2),
+        |diag AS (SELECT j, cq AS var_q FROM cov WHERE i = j)
+        |SELECT CAST(v2.j AS INT) AS dim, d.s_i AS sum_milli, diag.var_q,
+        | CAST(v2.v2 AS DOUBLE) / CAST(m2.m2 AS DOUBLE) AS loading
+        |FROM v2 CROSS JOIN m2
+        |JOIN diag ON v2.j = diag.j
+        |JOIN dims d ON v2.j = d.i
+        |ORDER BY dim""".stripMargin
   )
 }
