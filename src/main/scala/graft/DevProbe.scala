@@ -121,8 +121,14 @@ object DevProbe {
     } else {
       val df = SparkEntry.queries(args(0))(spark, args(1))
       if (args.length > 2) df.explain("formatted")
+      // noop WRITE, not count(): count() lets Catalyst prune payload
+      // columns and even eliminate whole join sides (a unique-keyed
+      // left join contributes nothing to the row count — tx18's span
+      // side vanished and the probe under-measured 60x). The noop sink
+      // materializes every output column, like Bench.
       val t0 = System.nanoTime()
-      println("COUNT=" + df.count() + " in " + (System.nanoTime()-t0)/1e9 + "s")
+      df.write.format("noop").mode("overwrite").save()
+      println("COUNT=done in " + (System.nanoTime()-t0)/1e9 + "s")
     }
   }
 }

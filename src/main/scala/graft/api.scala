@@ -553,6 +553,46 @@ object api {
           16, 10).cast("long"), lit(nShards.toLong)).cast("int"))
     }
 
+    /** Epoch ordering manifests (the sp07 operator as a verb): for
+      * each epoch in [0, epochs), every row gets a DIFFERENT
+      * deterministic pseudo-random position within one of `nShards`
+      * shards — the per-epoch re-shuffle a training loader reads.
+      * Adds (epoch, shard, pos); one shuffle on (epoch, shard), window
+      * task input bounded by shard size. Raise `nShards` with the
+      * corpus so shards stay file-sized. */
+    def epochOrder(idCol: String, epochs: Int, nShards: Int,
+                   seed: String = "graft"): DataFrame = {
+      require(epochs > 0 && nShards > 0, s"epochs/nShards must be positive")
+      val w = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("_h"), col(idCol))
+      df.select(col("*"), explode(array((0 until epochs).map(lit): _*)).as("epoch"))
+        .withColumn("_h", md5(concat(col(idCol).cast("string"),
+          lit(":" + seed + ":ep"), col("epoch").cast("string"))))
+        .withColumn("shard", pmod(conv(substring(col("_h"), 1, 15), 16, 10).cast("long"),
+          lit(nShards.toLong)).cast("int"))
+        .withColumn("pos", row_number().over(w))
+        .drop("_h")
+    }
+
+    /** Maximal duplicated-span extraction (the tx18 operator as a
+      * verb — Lee et al. 2022 ExactSubstr): per doc, the coalesced
+      * maximal spans of char-`k`-grams occurring >= 2 times
+      * corpus-wide. Returns (idCol, len, n_spans, dup_chars,
+      * max_span, dup_milli); join back and cut spans (or drop docs
+      * past a dup_milli threshold) to apply the dedup. */
+    def substringSpans(idCol: String, textCol: String, k: Int = 20): DataFrame =
+      graft.operators.Curation.substringSpans(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
+        .withColumnRenamed("doc_id", idCol)
+
+    /** BPE merge candidates (the tx19 operator as a verb): the top-K
+      * adjacent char pairs weighted by word frequency — iteration one
+      * of byte-pair-encoding tokenizer training, counted over the
+      * distinct-word domain (O(vocab x word length), not O(corpus)). */
+    def bpePairs(textCol: String, topK: Int = 20): DataFrame =
+      graft.operators.Curation.bpePairs(
+        df.select(col(textCol).as("text")), topK)
+
     /** Pattern scrub (the tx07 operator as a verb): replaces every
       * (regex -> replacement) in order, adding `n_redactions` (total
       * matches across patterns). Pure per-row compute — scan speed. */
@@ -617,5 +657,16 @@ object api {
       graft.operators.Similarity.pqEncode(
         df.withColumnRenamed(vecCol, "embedding"), codebook)
         .withColumnRenamed("embedding", vecCol)
+
+    /** Embedding-space principal direction (the ss20 operator as a
+      * verb): exact-integer covariance from ONE MomentAgg pass plus
+      * two integer-rescaled power-iteration steps. Returns one row
+      * per dimension: (dim, sum_milli, var_q, loading) — a dominant
+      * |loading| spread says the space is collapsing onto one
+      * direction (re-whiten before trusting ANN distances). `dim`
+      * must match the vector width. */
+    def principalDirection(vecCol: String, dim: Int): DataFrame =
+      graft.operators.Similarity.pcaPower(
+        df.select(col(vecCol).as("embedding")), dim)
   }
 }

@@ -388,41 +388,8 @@ object Curation {
     // is candidate-restricted (only grams with n_occ >= 2 come back),
     // the island merge is a per-doc lag + running sum — task input
     // bounded by doc length, never the corpus.
-    "tx18_substring_spans" -> ((s, d) => {
-      val K = 20
-      val base = docs(s, d).withColumn("norm", lower(col("text")))
-      val g = base
-        .select(col("doc_id"),
-          explode(when(length(col("norm")) >= K,
-            transform(sequence(lit(1), length(col("norm")) - (K - 1)),
-              i => struct(i.as("pos"), col("norm").substr(i, lit(K)).as("gram"))))
-            .otherwise(typedLit(Seq.empty[(Int, String)])
-              .cast("array<struct<pos:int,gram:string>>"))).as("pg"))
-        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
-      val dup = g.groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
-        .filter(col("n_occ") >= 2)
-      val marked = g.join(dup, "gram").select(col("doc_id"), col("pos"))
-      val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val spans = marked
-        .withColumn("prev", lag(col("pos"), 1).over(wl))
-        // intervals [pos, pos+K-1] merge when they overlap or touch
-        .withColumn("brk", when(col("prev").isNull || col("pos") > col("prev") + K, 1L)
-          .otherwise(0L))
-        .withColumn("island", sum(col("brk")).over(wl))
-        .groupBy(col("doc_id"), col("island"))
-        .agg((max(col("pos")) - min(col("pos")) + K).as("span_chars"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"), sum(col("span_chars")).as("dup_chars"),
-          max(col("span_chars")).as("max_span"))
-      base.select(col("doc_id"), length(col("norm")).cast("long").as("len"))
-        .join(spans, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("len"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-          coalesce(col("max_span"), lit(0L)).as("max_span"))
-        .withColumn("dup_milli", expr("(dup_chars * 1000) DIV len"))
-        .orderBy(col("doc_id"))
-    }),
+    "tx18_substring_spans" -> ((s, d) =>
+      substringSpans(docs(s, d), 20).orderBy(col("doc_id"))),
 
     // BPE merge step — the first iteration of byte-pair-encoding
     // vocabulary training (Sennrich et al. 2016), the tokenizer-side
@@ -434,27 +401,122 @@ object Curation {
     // tx12 already prices), so the pair census costs O(vocab x word
     // length), not O(corpus). Iterating = apply the top merge to the
     // symbol sequences and re-count; every iteration keeps this plan.
-    "tx19_bpe_merge" -> ((s, d) => {
+    "tx19_bpe_merge" -> ((s, d) => bpePairs(docs(s, d), 20)),
+
+    // BPE APPLY + re-count — the iteration tx19 stops short of, proving
+    // the training loop closes: the rank-1 merge candidate is applied
+    // to every word (greedy leftmost non-overlapping — exactly what
+    // string replace() does in both engines, and what the BPE paper's
+    // scan does), the merged pair becomes a single SYMBOL (chr(1) as
+    // the in-band marker; labels render it back as "(ab)"), and the
+    // next round's adjacent-symbol pairs re-count over the SAME
+    // distinct-word frequency domain. Every iteration keeps this plan:
+    // one broadcast of the winning pair + one vocab-domain pair census
+    // — corpus size never re-enters after the word-freq agg. Emits the
+    // applied merge alongside iteration-2's top-10 candidates.
+    "tx20_bpe_apply" -> ((s, d) => {
       val wf = docs(s, d)
         .select(explode(split(lower(col("text")), " ")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
-      val pairs = wf
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val top1 = wf
         .select(col("wcnt"),
           explode(when(length(col("word")) >= 2,
             transform(sequence(lit(1), length(col("word")) - 1),
               i => col("word").substr(i, lit(2))))
             .otherwise(typedLit(Seq.empty[String]))).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("wcnt")).as("pair_count"))
-      // top-20 FIRST (TakeOrderedAndProject — no global sort of the
-      // pair domain), then rank the 20 survivors; the unpartitioned
-      // window only ever sees 20 rows.
+        .groupBy(col("pair")).agg(sum(col("wcnt")).as("pc"))
+        .orderBy(col("pc").desc, col("pair")).limit(1)
+        .select(col("pair").as("merged"))
+      val applied = wf.crossJoin(broadcast(top1))
+        .withColumn("mword", expr("replace(word, merged, char(1))"))
+      // symbol at position i: chr(1) stands for the merged pair
+      def sym(c: Column, merged: Column): Column =
+        when(c === expr("char(1)"), concat(lit("("), merged, lit(")"))).otherwise(c)
+      val pairs2 = applied
+        .select(col("wcnt"), col("merged"),
+          explode(when(length(col("mword")) >= 2,
+            transform(sequence(lit(1), length(col("mword")) - 1),
+              i => concat(sym(col("mword").substr(i, lit(1)), col("merged")),
+                          sym(col("mword").substr(i + 1, lit(1)), col("merged")))))
+            .otherwise(typedLit(Seq.empty[String]))).as("pair"))
+        .groupBy(col("merged"), col("pair")).agg(sum(col("wcnt")).as("pair_count"))
       val rw = Window.orderBy(col("pair_count").desc, col("pair"))
-      pairs.orderBy(col("pair_count").desc, col("pair")).limit(20)
+      pairs2.orderBy(col("pair_count").desc, col("pair")).limit(10)
         .withColumn("rank", row_number().over(rw))
-        .select(col("rank"), col("pair"), col("pair_count"))
+        .select(col("rank"), col("merged"), col("pair"), col("pair_count"))
         .orderBy(col("rank"))
     })
   )
+
+  /** tx18's core, reusable on any (doc_id, text) frame: maximal
+    * corpus-duplicated char-`k`-gram spans per doc via the
+    * gaps-and-islands interval merge. Returns one row per doc:
+    * (doc_id, len, n_spans, dup_chars, max_span, dup_milli). */
+  private[graft] def substringSpans(docDf: DataFrame, k: Int): DataFrame = {
+    val base = docDf.withColumn("norm", lower(col("text")))
+    // Grams leave the row as 8-byte xxhash64 keys, never as strings:
+    // the gram-domain agg + join back are the operator's entire wire
+    // cost, and k=20 chars -> 8 bytes is a 2.5x cut on both (measured
+    // 64x blowup: the string form hit a shuffle-memory knee). A 64-bit
+    // collision would mark one spurious window (P ~ n^2/2^65 — ~5e-4
+    // at 10^8 grams); the spans are a dedup HEURISTIC feeding a
+    // rewrite, so that trade is right — the DuckDB oracle keeps raw
+    // grams and agrees exactly at the checked SFs.
+    val g = base
+      .select(col("doc_id"),
+        explode(when(length(col("norm")) >= k,
+          transform(sequence(lit(1), length(col("norm")) - (k - 1)),
+            i => struct(i.as("pos"),
+              xxhash64(col("norm").substr(i, lit(k))).as("h"))))
+          .otherwise(typedLit(Seq.empty[(Int, Long)])
+            .cast("array<struct<pos:int,h:bigint>>"))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.h").as("h"))
+    val dup = g.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    val marked = g.join(dup, "h").select(col("doc_id"), col("pos"))
+    val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = marked
+      .withColumn("prev", lag(col("pos"), 1).over(wl))
+      // intervals [pos, pos+k-1] merge when they overlap or touch
+      .withColumn("brk", when(col("prev").isNull || col("pos") > col("prev") + k, 1L)
+        .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wl))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + k).as("span_chars"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_chars")).as("dup_chars"),
+        max(col("span_chars")).as("max_span"))
+    base.select(col("doc_id"), length(col("norm")).cast("long").as("len"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+      .withColumn("dup_milli", expr("(dup_chars * 1000) DIV len"))
+  }
+
+  /** tx19's core, reusable on any frame with a `text` column: the
+    * top-`topK` BPE merge candidates (adjacent char pairs weighted by
+    * word frequency). Counted over the DISTINCT-WORD domain; top-K
+    * via TakeOrderedAndProject before the K-row rank window. */
+  private[graft] def bpePairs(docDf: DataFrame, topK: Int): DataFrame = {
+    val wf = docDf
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    val pairs = wf
+      .select(col("wcnt"),
+        explode(when(length(col("word")) >= 2,
+          transform(sequence(lit(1), length(col("word")) - 1),
+            i => col("word").substr(i, lit(2))))
+          .otherwise(typedLit(Seq.empty[String]))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wcnt")).as("pair_count"))
+    val rw = Window.orderBy(col("pair_count").desc, col("pair"))
+    pairs.orderBy(col("pair_count").desc, col("pair")).limit(topK)
+      .withColumn("rank", row_number().over(rw))
+      .select(col("rank"), col("pair"), col("pair_count"))
+      .orderBy(col("rank"))
+  }
 
   /** tx17's frozen-model feature+score projection over a `documents`
     * frame — shared with dd15's keep-best canonical selection so both
@@ -765,6 +827,38 @@ object Curation {
         |  CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INT) AS rank
         |  FROM pc)
         |SELECT rank, pair, pair_count FROM r
-        |WHERE rank <= 20 ORDER BY rank""".stripMargin
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "tx20_bpe_apply" ->
+      """WITH wf AS (
+        | SELECT word, count(*) AS wcnt
+        | FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        | GROUP BY 1),
+        |p1 AS (
+        | SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+        |   i -> substr(word, i, 2))) AS pair, wcnt
+        | FROM wf WHERE length(word) >= 2),
+        |top1 AS (
+        | SELECT pair AS merged FROM (
+        |  SELECT pair, CAST(sum(wcnt) AS BIGINT) AS pc FROM p1 GROUP BY 1)
+        | ORDER BY pc DESC, pair LIMIT 1),
+        |applied AS (
+        | SELECT wcnt, merged, replace(word, merged, chr(1)) AS mword
+        | FROM wf CROSS JOIN top1),
+        |p2 AS (
+        | SELECT wcnt, merged,
+        |  unnest(list_transform(generate_series(1, length(mword) - 1),
+        |   i -> (CASE WHEN substr(mword, i, 1) = chr(1)
+        |         THEN '(' || merged || ')' ELSE substr(mword, i, 1) END) ||
+        |        (CASE WHEN substr(mword, i + 1, 1) = chr(1)
+        |         THEN '(' || merged || ')' ELSE substr(mword, i + 1, 1) END))) AS pair
+        | FROM applied WHERE length(mword) >= 2),
+        |pc2 AS (
+        | SELECT merged, pair, CAST(sum(wcnt) AS BIGINT) AS pair_count
+        | FROM p2 GROUP BY 1, 2),
+        |r AS (SELECT merged, pair, pair_count,
+        |  CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INT) AS rank
+        |  FROM pc2)
+        |SELECT rank, merged, pair, pair_count FROM r
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin
   )
 }

@@ -455,6 +455,34 @@ object Relational {
           |  coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS rev_cents
           |FROM months m LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.m
           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // Semi-structured extraction — the JSON payload surface
+    // (DataFusion ships JSON functions; ella events carry property
+    // payloads): `events.props` is a JSON string column, parsed ONCE
+    // per row with a typed `from_json` schema (codegen'd, no
+    // per-field re-parse the way repeated get_json_object calls
+    // would) and the extracted field aggregates per event_type with
+    // a null-rate audit. Scale shape: parse + extract is a per-row
+    // projection at scan speed; the agg is one partial-agg'd shuffle
+    // of event_type groups. At 100 TB the parse cost is the scan —
+    // there is no shuffle of raw JSON (only extracted longs move).
+    "q30_json_extract" -> ((s, d) => {
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+        .getField("k")
+      Tables.events(s, d)
+        .withColumn("k", k)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .withColumn("mean_k_milli", expr("(sum_k * 1000) DIV n_with_k"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -473,6 +501,18 @@ object Relational {
         |  coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS rev_cents
         |FROM months m LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.m
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q30_json_extract" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        | FROM events)
+        |SELECT event_type, count(*) AS n,
+        | count(k) AS n_with_k,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | CAST(min(k) AS BIGINT) AS min_k,
+        | CAST(max(k) AS BIGINT) AS max_k,
+        | (CAST(sum(k) AS BIGINT) * 1000) // count(k) AS mean_k_milli
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

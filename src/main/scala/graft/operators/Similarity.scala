@@ -594,51 +594,65 @@ object Similarity {
     // moments; power steps rescale through an exact long in
     // [-1000, 1000]), so group-sum order never moves a bit and the
     // only doubles are two identical long->double divisions at output.
-    // Scale shape: covariance = ONE corpus scan with per-partition
-    // partial aggregation into d^2 cells (the wire carries partitions
-    // x 4096 longs, never rows); both power steps and the rescales run
-    // on the broadcast 4096-row moment frame — tiny joins, no second
-    // corpus pass, no driver-side linear algebra. At 100 TB this is
-    // the standard distributed-covariance plan; more components =
-    // re-run the two tiny power joins, deflating through the same
-    // integer rescale.
-    "ss20_pca_power" -> ((s, d) => {
-      val qv = emb(s, d).select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * 1000 + 0.5).cast("long")).as("q"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cells = qv
-        .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
-        .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
-        .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("s_ij"))
-      val dims = qv.select(posexplode(col("q")).as(Seq("i", "qi")))
-        .groupBy(col("i")).agg(sum(col("qi")).as("s_i"), count(lit(1)).as("n"))
-      val cov = cells
-        .join(broadcast(dims), "i")
-        .join(broadcast(dims.select(col("i").as("j"), col("s_i").as("s_j"))), "j")
-        .select(col("i"), col("j"),
-          (col("n") * col("s_ij") - col("s_i") * col("s_j")).as("cq"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val v1 = cov.groupBy(col("j")).agg(sum(col("cq")).as("v1"))
-      val m1 = v1.agg(max(abs(col("v1"))).as("m1"))
-      val v1q = v1.crossJoin(broadcast(m1))
-        .select(col("j").as("i"),
-          floor(col("v1").cast("double") / col("m1").cast("double") * 1000 + 0.5)
-            .cast("long").as("w"))
-      val v2 = cov.join(broadcast(v1q), "i")
-        .groupBy(col("j")).agg(sum(col("cq") * col("w")).as("v2"))
-      val m2 = v2.agg(max(abs(col("v2"))).as("m2"))
-      val diag = cov.filter(col("i") === col("j"))
-        .select(col("j"), col("cq").as("var_q"))
-      v2.crossJoin(broadcast(m2))
-        .join(broadcast(diag), "j")
-        .join(broadcast(dims.select(col("i").as("j"), col("s_i"))), "j")
-        .select((col("j") + 1).cast("int").as("dim"),
-          col("s_i").as("sum_milli"), col("var_q"),
-          (col("v2").cast("double") / col("m2").cast("double")).as("loading"))
-        .orderBy(col("dim"))
-    })
+    // Scale shape: the moments come from ONE corpus scan folded into a
+    // dense per-partition buffer by the MomentAgg typed Aggregator —
+    // nothing is generated per row and the wire carries partitions x
+    // (d^2+d+2) longs (the double-posexplode form this replaced
+    // expanded every row 4096x before its hash agg — measured 5x
+    // slower at sf0.1); both power steps and the rescales run on the
+    // broadcast 4096-row moment frame — tiny joins, no second corpus
+    // pass, no driver-side linear algebra. At 100 TB this is the
+    // standard distributed-covariance plan; more components = re-run
+    // the two tiny power joins, deflating through the same integer
+    // rescale. Integer quantization makes the Aggregator's merge
+    // order irrelevant, so its moments are bit-identical to the
+    // oracle's explode-then-SUM over the same milli grid.
+    "ss20_pca_power" -> ((s, d) => pcaPower(emb(s, d), 64))
   )
+
+  /** ss20's core, reusable on any frame with an `embedding` column:
+    * one MomentAgg pass -> (n, per-dim sums, d x d second moments),
+    * exact-integer covariance, two integer-rescaled power-iteration
+    * steps. Returns one row per dim: (dim, sum_milli, var_q, loading). */
+  private[graft] def pcaPower(e: DataFrame, dim: Int): DataFrame = {
+    val D = dim
+    val moments = org.apache.spark.sql.functions.udaf(graft.functions.MomentAgg)
+    val flat = e
+      .agg(moments(col("embedding")).as("m"))
+      .select(posexplode(col("m")).as(Seq("p", "v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRow = flat.filter(col("p") === 1).select(col("v").as("n"))
+    val dims = flat.filter(col("p") >= 2 && col("p") < 2 + D)
+      .select((col("p") - 2).as("i"), col("v").as("s_i"))
+      .crossJoin(broadcast(nRow))
+    val cells = flat.filter(col("p") >= 2 + D)
+      .select(((col("p") - (2 + D)) / D).cast("int").as("i"),
+        pmod(col("p") - (2 + D), lit(D)).as("j"), col("v").as("s_ij"))
+    val cov = cells
+      .join(broadcast(dims), "i")
+      .join(broadcast(dims.select(col("i").as("j"), col("s_i").as("s_j"))), "j")
+      .select(col("i"), col("j"),
+        (col("n") * col("s_ij") - col("s_i") * col("s_j")).as("cq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v1 = cov.groupBy(col("j")).agg(sum(col("cq")).as("v1"))
+    val m1 = v1.agg(max(abs(col("v1"))).as("m1"))
+    val v1q = v1.crossJoin(broadcast(m1))
+      .select(col("j").as("i"),
+        floor(col("v1").cast("double") / col("m1").cast("double") * 1000 + 0.5)
+          .cast("long").as("w"))
+    val v2 = cov.join(broadcast(v1q), "i")
+      .groupBy(col("j")).agg(sum(col("cq") * col("w")).as("v2"))
+    val m2 = v2.agg(max(abs(col("v2"))).as("m2"))
+    val diag = cov.filter(col("i") === col("j"))
+      .select(col("j"), col("cq").as("var_q"))
+    v2.crossJoin(broadcast(m2))
+      .join(broadcast(diag), "j")
+      .join(broadcast(dims.select(col("i").as("j"), col("s_i"))), "j")
+      .select((col("j") + 1).cast("int").as("dim"),
+        col("s_i").as("sum_milli"), col("var_q"),
+        (col("v2").cast("double") / col("m2").cast("double")).as("loading"))
+      .orderBy(col("dim"))
+  }
 
   /** SemDeDup pruning over an arbitrary (vec_id, embedding, label)
     * frame — the ss10 operator as a reusable building block: assign

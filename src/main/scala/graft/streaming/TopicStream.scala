@@ -324,6 +324,43 @@ object TopicStream {
         (col("mean_recon_d2") > baselineErr * tolerance).as("retrain"))
   }
 
+  /** Streaming embedding-space drift monitor — ss20's windowed twin
+    * (and [[pqDriftMonitor]]'s upstream cousin: that one watches the
+    * CODEBOOK going stale, this one watches the SPACE itself): the
+    * MomentAgg second-moment buffer is partial-mergeable, so it drops
+    * into a watermarked windowed aggregation unchanged — one dense
+    * (d^2+d+2)-long buffer per open window, merged across partitions
+    * and micro-batches in any order (integer sums commute; stream ==
+    * batch exactly). Per window the buffer collapses in place (array
+    * expressions, no second pass) to the variance diagonal's drift
+    * indicators: total variance, the dominant dimension, and its
+    * share — a healthy embedding stream spreads variance, a
+    * collapsing/drifting encoder concentrates it (the signal to
+    * re-whiten or retrain before ANN quality decays). State is
+    * O(open windows) x one buffer; nothing shuffles but partials. */
+  def embedDriftMonitor(vecs: DataFrame, dim: Int,
+                        windowLen: String = "1 hour",
+                        watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val moments = udaf(graft.functions.MomentAgg)
+    val n = element_at(col("m"), 2)
+    // var_q(j) = n*S_jj - S_j^2 from the buffer layout [d, n, S_*, S_**]
+    val diag = transform(sequence(lit(1), lit(dim)), j =>
+      n * element_at(col("m"), lit(2 + dim) + (j - 1) * dim + j)
+        - element_at(col("m"), j + 2) * element_at(col("m"), j + 2))
+    vecs
+      .withWatermark("time", watermarkDelay)
+      .groupBy(window(col("time"), windowLen))
+      .agg(moments(col("embedding")).as("m"))
+      .withColumn("_diag", diag)
+      .select(col("window.start").as("w_start"), n.as("n"),
+        aggregate(col("_diag"), lit(0L), (acc, x) => acc + x).as("total_var_q"),
+        array_max(col("_diag")).as("max_var_q"),
+        array_position(col("_diag"), array_max(col("_diag"))).cast("int").as("top_dim"))
+      .withColumn("top_share_milli",
+        expr("(max_var_q * 1000) DIV greatest(total_var_q, 1)"))
+  }
+
   /** Streaming benchmark decontamination — tx11 in streaming form:
     * each arriving doc's word 5-grams semi-join the STATIC benchmark
     * gram set (tiny, broadcast — an eval set), and contaminated docs

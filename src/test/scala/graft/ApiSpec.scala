@@ -463,4 +463,69 @@ class ApiSpec extends SparkSpec {
     assert(srcPerShard.values.forall(_ >= (nSources * 3) / 4),
       s"unmixed shards (nSources=$nSources): $srcPerShard")
   }
+
+  test("epochOrder: epochs are complete permutations that differ from each other") {
+    val docs = Tables(spark, sfDir, "documents")
+    val eo = docs.epochOrder("doc_id", 2, 4, seed = "eoX").persist()
+    val n = docs.count()
+    // every epoch carries the whole corpus exactly once
+    val perEpoch = eo.groupBy("epoch").agg(
+      count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd")).collect()
+    assert(perEpoch.length == 2 && perEpoch.forall(r =>
+      r.getLong(1) == n && r.getLong(2) == n), s"incomplete epochs: ${perEpoch.toSeq}")
+    // (shard, pos) is a key within an epoch
+    assert(eo.select("epoch", "shard", "pos").distinct().count() == 2 * n)
+    // the two epochs order the corpus differently (hash keyed by epoch)
+    val o0 = eo.filter(col("epoch") === 0).orderBy("shard", "pos")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val o1 = eo.filter(col("epoch") === 1).orderBy("shard", "pos")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(o0 != o1, "epoch orders must differ")
+    assert(o0.sorted == o1.sorted, "epochs must cover the same ids")
+    eo.unpersist()
+  }
+
+  test("substringSpans verb matches tx18 and spans cover what they claim") {
+    val docs = Tables(spark, sfDir, "documents")
+    val viaApi = docs.substringSpans("doc_id", "text", 20).orderBy("doc_id")
+    val viaOp = SparkEntry.queries("tx18_substring_spans")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // span accounting: dup_chars within [n_spans * k, len]
+    val bad = viaApi.filter(col("n_spans") > 0 &&
+        (col("dup_chars") < col("n_spans") * 20 || col("dup_chars") > col("len") ||
+         col("max_span") > col("dup_chars"))).count()
+    assert(bad == 0, "span accounting must be internally consistent")
+  }
+
+  test("bpePairs verb matches tx19 and a known corpus ranks its dominant pair first") {
+    val viaApi = Tables(spark, sfDir, "documents").bpePairs("text", 20)
+    val viaOp = SparkEntry.queries("tx19_bpe_merge")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    import spark.implicits._
+    val tiny = Seq("aaab aaab", "aaab").toDF("text")
+    // "aaab" x3 -> "aa" appears 2x per word = 6, "ab" 3 -> "aa" must rank 1
+    val top = tiny.bpePairs("text", 3).collect()
+    assert(top.head.getString(1) == "aa" && top.head.getLong(2) == 6L,
+      s"expected ('aa', 6) first, got ${top.toSeq}")
+  }
+
+  test("principalDirection verb matches ss20 and finds a planted dominant axis") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val viaApi = emb.principalDirection("embedding", 64)
+    val viaOp = SparkEntry.queries("ss20_pca_power")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted covariance: dim 1 swings +-10, the rest stay ~0 ->
+    // loading must peak (|1.0|) at dim 1 and the variance diag must
+    // dwarf every other dim
+    import spark.implicits._
+    val planted = (0 until 40).map { r =>
+      val sign = if (r % 2 == 0) 10f else -10f
+      Array.tabulate(8)(j => if (j == 0) sign else 0.01f * ((r + j) % 3))
+    }.toDF("embedding")
+    val pd = planted.principalDirection("embedding", 8).collect()
+    val top = pd.maxBy(r => math.abs(r.getDouble(3)))
+    assert(top.getInt(0) == 1, s"planted axis must dominate: ${pd.toSeq}")
+    assert(pd.filter(_.getInt(0) != 1).forall(r =>
+      math.abs(r.getDouble(3)) < 0.05), s"off-axis loadings must be small: ${pd.toSeq}")
+  }
 }

@@ -492,6 +492,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedding drift monitor: collapsed windows concentrate variance on one dim") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[StreamVec]
+    val q = TopicStream.embedDriftMonitor(
+        input.toDF().withColumnRenamed("ts", "time"), dim = 4)
+      .writeStream.format("memory").queryName("embed_drift")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        // hour 0: healthy — variance spread over dims 2 and 3
+        StreamVec(1, ts("2024-01-01 00:05:00"), Seq(1f, 2f, 0f, 0f)),
+        StreamVec(2, ts("2024-01-01 00:15:00"), Seq(1f, 0f, 2f, 0f)))
+      q.processAllAvailable()
+      input.addData(
+        // hour 1: collapsed — ALL variance on dim 1 (split across a
+        // second micro-batch: buffers must merge across batches)
+        StreamVec(3, ts("2024-01-01 01:05:00"), Seq(10f, 0f, 0f, 0f)))
+      input.addData(
+        StreamVec(4, ts("2024-01-01 01:10:00"), Seq(-10f, 0f, 0f, 0f)))
+      q.processAllAvailable()
+      val rows = spark.table("embed_drift").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("w_start").toString ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("total_var_q"),
+            r.getAs[Int]("top_dim"), r.getAs[Long]("top_share_milli")))).toMap
+      // hand-computed from milli-quantized integer moments:
+      // h0: var_q = [0, 4e6, 4e6, 0] -> total 8e6, top dim 2, share 500
+      // h1: var_q = [4e8, 0, 0, 0]   -> total 4e8, top dim 1, share 1000
+      assert(rows == Map(
+        "2024-01-01 00:00:00.0" -> ((2L, 8000000L, 2, 500L)),
+        "2024-01-01 01:00:00.0" -> ((2L, 400000000L, 1, 1000L))),
+        s"drift indicators must be exact integers: $rows")
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags benchmark-overlapping docs exactly once") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
