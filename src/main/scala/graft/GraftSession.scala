@@ -37,11 +37,78 @@ class GraftSession(val spark: SparkSession, root: String) {
   def streamingOverloaded: Seq[Metrics.BatchProgress] = streamMonitor.overloaded
 
   /** Lazy SQL query (ella.rs:89). Registered catalog tables are exposed
-    * as temp views on demand. */
+    * as temp views on demand; a query mentioning `information_schema_`
+    * also gets the metadata relations (see [[informationSchema]]). */
   def query(sql: String): DataFrame = {
     registerTempViews()
+    if (sql.toLowerCase.contains("information_schema_")) registerInformationSchema()
     spark.sql(sql)
   }
+
+  /** DataFusion-style information schema — the reference enables it on
+    * its session context (ella-engine/src/engine/state.rs:121), so an
+    * ella user introspects the datastore with plain SQL. Spark temp
+    * views cannot carry a namespace dot, so the relations are flat
+    * (`information_schema_tables` etc.), registered automatically for
+    * any [[query]] whose text mentions them. Relations: `catalogs`
+    * (catalog_name), `schemata` (catalog_name, schema_name), `tables`
+    * (table_catalog, table_schema, table_name, table_type with
+    * BASE TABLE / TEMPORARY / VIEW / MATERIALIZED VIEW), `columns`
+    * (…, column_name, ordinal_position, data_type, is_nullable).
+    * Metadata rows are catalog-sized (driver-built), never data-sized. */
+  def informationSchema(rel: String): DataFrame = {
+    import spark.implicits._
+    def split3(fqn: String): (String, String, String) = fqn.split('.') match {
+      case Array(c, s, t) => (c, s, t)
+      case Array(s, t)    => (catalog.currentCatalog, s, t)
+      case Array(t)       => (catalog.currentCatalog, catalog.currentSchema, t)
+    }
+    def tableRows = catalog.list().filter(_._2 != "namespace").map { case (fqn, kind) =>
+      val (c, s, t) = split3(fqn)
+      val typ = kind match {
+        case "topic"             => "BASE TABLE"
+        case "temp_topic"        => "TEMPORARY"
+        case "materialized_view" => "MATERIALIZED VIEW"
+        case _                   => "VIEW"
+      }
+      (c, s, t, typ)
+    }
+    // Implicit namespaces count too: the default ella.public (and any
+    // namespace a table lives in) must list even though only explicit
+    // createCatalog/createSchema calls register Namespace entries —
+    // DataFusion's information_schema shows defaults the same way.
+    def implicitNs = catalog.list().filter(_._2 != "namespace")
+      .map { case (fqn, _) => val (c, s, _) = split3(fqn); (c, s) } :+
+      (catalog.currentCatalog, catalog.currentSchema)
+    def allCatalogs = (catalog.catalogs() ++ implicitNs.map(_._1)).distinct.sorted
+    rel.toLowerCase match {
+      case "catalogs" => allCatalogs.toDF("catalog_name")
+      case "schemata" =>
+        (catalog.catalogs().flatMap(c => catalog.schemas(c).map(s => (c, s))) ++
+          implicitNs.map { case (c, s) => (c, s"$c.$s") })
+          .distinct.sorted.toDF("catalog_name", "schema_name")
+      case "tables" =>
+        tableRows.toDF("table_catalog", "table_schema", "table_name", "table_type")
+      case "columns" =>
+        catalog.list().filter(_._2 != "namespace").flatMap { case (fqn, _) =>
+          val (c, s, t) = split3(fqn)
+          val fields = try catalog.table(fqn).schema.fields
+                       catch { case _: Throwable => Array.empty[org.apache.spark.sql.types.StructField] }
+          fields.zipWithIndex.map { case (f, i) =>
+            (c, s, t, f.name, i + 1, f.dataType.sql, if (f.nullable) "YES" else "NO")
+          }
+        }.toDF("table_catalog", "table_schema", "table_name", "column_name",
+          "ordinal_position", "data_type", "is_nullable")
+      case other => throw new IllegalArgumentException(
+        s"unknown information_schema relation '$other' " +
+          "(expected catalogs, schemata, tables, or columns)")
+    }
+  }
+
+  private def registerInformationSchema(): Unit =
+    Seq("catalogs", "schemata", "tables", "columns").foreach { r =>
+      informationSchema(r).createOrReplaceTempView(s"information_schema_$r")
+    }
 
   /** Execute a statement for effect (ella.rs:100). Catalog DDL —
     * ella's `CREATE VIEW ... AS`, `CREATE MATERIALIZED VIEW ... AS`,

@@ -979,4 +979,43 @@ class StorageSpec extends SparkSpec {
     gs.execute("DROP CATALOG IF EXISTS lake")
     intercept[NoSuchElementException](gs.execute("DROP CATALOG lake"))
   }
+
+  test("information schema relations describe catalogs, tables, views, and columns via SQL") {
+    import spark.implicits._
+    val gs = new GraftSession(spark, tmp())
+    gs.publish("events_t", sampleEvents(3))
+    gs.execute("CREATE VIEW v_all AS SELECT * FROM events_t")
+    gs.execute("CREATE MATERIALIZED VIEW mv_cnt AS SELECT count(*) AS n FROM events_t")
+    gs.createTempTopic("scratch", Seq((1L, "x")).toDF("id", "s"))
+    // table inventory with SQL-standard table_type, queryable as SQL
+    val types = gs.query(
+      "SELECT table_name, table_type FROM information_schema_tables ORDER BY table_name")
+      .as[(String, String)].collect().toMap
+    assert(types == Map(
+      "events_t" -> "BASE TABLE", "v_all" -> "VIEW",
+      "mv_cnt" -> "MATERIALIZED VIEW", "scratch" -> "TEMPORARY"), s"got $types")
+    // columns carry ordinal positions, Spark SQL types, nullability —
+    // and VIEW columns resolve through the view's own SQL
+    val cols = gs.query(
+      """SELECT column_name, ordinal_position, data_type FROM information_schema_columns
+        |WHERE table_name = 'mv_cnt'""".stripMargin).collect()
+    assert(cols.length == 1 && cols.head.getString(0) == "n" &&
+      cols.head.getInt(1) == 1 && cols.head.getString(2) == "BIGINT", s"got ${cols.toSeq}")
+    // namespace relations reflect the registry, joins work across relations
+    gs.execute("CREATE CATALOG lake")
+    gs.execute("CREATE SCHEMA lake.raw")
+    val schemata = gs.query(
+      "SELECT catalog_name, schema_name FROM information_schema_schemata ORDER BY 1, 2")
+      .as[(String, String)].collect().toSeq
+    assert(schemata.contains(("lake", "lake.raw")) &&
+      schemata.exists(_._1 == "ella"), s"got $schemata")
+    val joined = gs.query(
+      """SELECT count(*) FROM information_schema_tables t
+        |JOIN information_schema_columns c ON t.table_name = c.table_name
+        |WHERE t.table_type = 'BASE TABLE'""".stripMargin).head().getLong(0)
+    assert(joined == gs.table("events_t").schema.size,
+      "every base-table column must appear exactly once")
+    // unknown relation is a clear error
+    intercept[IllegalArgumentException](gs.informationSchema("nope"))
+  }
 }
