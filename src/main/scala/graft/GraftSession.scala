@@ -298,6 +298,14 @@ class GraftSession(val spark: SparkSession, root: String) {
   /** Scan a table by (possibly qualified) name (ella.rs:105). */
   def table(ref: String): DataFrame = catalog.table(ref)
 
+  /** Row-level change feed of an upsert topic between two inclusive
+    * epoch-second instants ([[graft.sources.TopicStore.readChanges]]):
+    * insert/update/delete per key, delta-proportional cost. Refs
+    * resolve like [[table]]. */
+  def changes(name: String, keyCol: String, fromEpochS: Long, toEpochS: Long,
+              tsCol: String = "time"): DataFrame =
+    store.readChanges(catalog.resolve(name), keyCol, fromEpochS, toEpochS, tsCol)
+
   def createTopic(name: String): Unit = catalog.createTopic(name, store)
 
   /** Explicit creation with declared schema and conflict policy

@@ -222,6 +222,86 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
     } finally wl.unlock()
   }
 
+  /** CDC — what changed in an upsert topic between two instants: the
+    * row-level diff of [[readMergedAsOf]](toEpochS) against
+    * [[readMergedAsOf]](fromEpochS), classified per key as
+    * `insert` (key live at `to`, absent/tombstoned at `from`),
+    * `update` (live at both but a different winning `_seq` — the same
+    * surviving version is NOT a change, so late-arriving rows that
+    * lose last-write-wins produce no row), or `delete` (live at
+    * `from`, tombstoned at `to`). Inserts/updates carry the post-image
+    * column values, deletes the pre-image (the Delta/Hudi change-feed
+    * convention); `_seq` is the winning version on that side.
+    * (reference analog: the registry transaction log's create/update
+    * /delete records, ella-engine/src/registry/transaction_log.rs —
+    * re-expressed over data rows instead of catalog entries.)
+    *
+    * Scale shape — cost is proportional to the DELTA, not the topic:
+    * the window scan is bucket-pruned to (from, to]; only keys
+    * TOUCHED in the window are considered, so the single historical
+    * scan (bucket-pruned to <= from) collapses under a semi-join on
+    * the touched-key set before its merge agg; the post state reuses
+    * the pre winners + the window rows (merge-latest is associative,
+    * so no second history scan); and the final pre/post comparison is
+    * a key-partitioned join of two touched-key-sized frames that
+    * reuses the merge aggs' hash partitioning (no extra exchange).
+    *
+    * An append-only topic (no `_seq`) degenerates to "every window
+    * row is an insert" — returned directly from the pruned window
+    * scan. Instants are inclusive epoch-second cutoffs, matching
+    * [[readAsOf]]'s truncated-second semantics. */
+  def readChanges(name: String, keyCol: String, fromEpochS: Long, toEpochS: Long,
+                  tsCol: String = "time"): DataFrame = {
+    require(toEpochS >= fromEpochS,
+      s"readChanges($name): toEpochS ($toEpochS) must be >= fromEpochS ($fromEpochS)")
+    // (from, to] in the store's truncated-second space = [from+1, to+1)
+    val window0 = readRange(name, fromEpochS + 1, toEpochS + 1, tsCol)
+    if (!window0.columns.contains("_seq"))
+      return window0.drop("bucket").withColumn("_change_type", lit("insert"))
+    // upsert always materializes _tombstone, but a caller-stamped _seq
+    // append may not have — normalize so the packing below is total
+    val window = if (window0.columns.contains("_tombstone")) window0
+                 else window0.withColumn("_tombstone", lit(false))
+    val dataCols = window.columns
+      .filterNot(c => c == keyCol || c == "_seq" || c == "_tombstone" || c == "bucket").toSeq
+    val touched = window.select(col(keyCol)).distinct()
+    val hist0 = readAsOf(name, fromEpochS, tsCol)
+    val hist = if (hist0.columns.contains("_tombstone")) hist0
+               else hist0.withColumn("_tombstone", lit(false))
+    val pre = mergeWinners(hist.join(touched, Seq(keyCol), "left_semi"), keyCol)
+    // history <= to  ==  history <= from  ∪  window rows, and
+    // merge-latest is associative — fold the window into the pre
+    // winners instead of re-scanning the history
+    val post = mergeWinners(
+      pre.unionByName(window.select(pre.columns.map(col).toSeq: _*)), keyCol)
+    def packed(df: DataFrame, as: String) = df.select(col(keyCol),
+      struct((dataCols :+ "_seq" :+ "_tombstone").map(col): _*).as(as))
+    val j = packed(pre, "_pre").join(packed(post, "_post"), Seq(keyCol), "full_outer")
+    val preLive = col("_pre").isNotNull && !col("_pre._tombstone")
+    val postLive = col("_post").isNotNull && !col("_post._tombstone")
+    val classified = j.withColumn("_change_type",
+        when(postLive && !preLive, "insert")
+          .when(preLive && !postLive, "delete")
+          .when(preLive && postLive && col("_post._seq") =!= col("_pre._seq"), "update"))
+      .filter(col("_change_type").isNotNull)
+    val img = when(col("_change_type") === "delete", col("_pre")).otherwise(col("_post"))
+    classified.select(
+      col(keyCol) +:
+        dataCols.map(c => img.getField(c).as(c)) :+
+        img.getField("_seq").as("_seq") :+
+        col("_change_type"): _*)
+  }
+
+  /** [[mergeLatest]] keeping every column (incl. `_seq`/`_tombstone`
+    * — the winner's identity, which CDC classification needs). Same
+    * single map-side-combinable max(struct) agg. */
+  private def mergeWinners(df: DataFrame, keyCol: String): DataFrame = {
+    val others = df.columns.filterNot(c => c == keyCol || c == "_seq").toSeq
+    df.groupBy(col(keyCol))
+      .agg(max(struct(col("_seq") +: others.map(col): _*)).as("_m"))
+      .select(col(keyCol) +: col("_m._seq").as("_seq") +: others.map(c => col("_m." + c).as(c)): _*)
+  }
+
   /** Relative paths of every parquet file under `dir` (recursive). */
   private def listParquetRelative(fs: org.apache.hadoop.fs.FileSystem,
                                   dir: Path): Set[String] = {

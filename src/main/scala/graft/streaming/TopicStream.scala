@@ -271,6 +271,77 @@ object TopicStream {
       lineDedupBatch(store, lineTopic, outTopic)(b.toDF(), id)
     }
 
+  /** Streaming CDC — [[graft.sources.TopicStore.readChanges]]'s
+    * arrival loop: each micro-batch of keyed upsert rows (data
+    * columns + optional boolean `_tombstone`) is classified against
+    * the materialized `stateTopic` as insert / update / delete, the
+    * change rows land in `changeTopic`, and the batch folds into the
+    * state. Within a batch the LAST version per key wins (max by
+    * `ts`), matching last-write-wins downstream.
+    *
+    * Scale shape: the state topic is corpus-sized, so its scan is
+    * pruned by a Bloom filter over the batch's keys BEFORE any
+    * exchange (dd14's discipline) — per-batch cost is a pruned scan
+    * plus a batch-key-sized merge+join, never a corpus re-key.
+    * Replay-idempotent: state reads see only `_seq < batchId` (a
+    * replayed batch never classifies against its own fold), and both
+    * writes are `seq = batchId` upserts — `changeTopic` keyed by
+    * key#batch, so a replay overwrites its own identical change rows.
+    * Readers get the log via readMerged(changeTopic, "change_key"). */
+  def changesBatch(store: graft.sources.TopicStore, keyCol: String,
+                   stateTopic: String, changeTopic: String)
+                  (batch: DataFrame, batchId: Long): Unit = {
+    import graft.functions.BloomFunctions._
+    val tomb = if (batch.columns.contains("_tombstone"))
+      coalesce(col("_tombstone").cast("boolean"), lit(false)) else lit(false)
+    val dataCols = batch.columns.filterNot(c => c == keyCol || c == "_tombstone").toSeq
+    val latest = batch.withColumn("_tomb", tomb)
+      .groupBy(col(keyCol))
+      .agg(max(struct((col("ts") +: (dataCols.filterNot(_ == "ts") :+ "_tomb").map(col)): _*)).as("_m"))
+      .select(col(keyCol) +: (dataCols :+ "_tomb").map(c => col("_m." + c).as(c)): _*)
+      .persist()
+    val n = latest.count() // the arriving batch — small by definition
+    if (n > 0) {
+      val bloom = latest.agg(bloomAgg(col(keyCol).cast("string"), n + 64, (n + 64) * 16).as("bf"))
+      val pre =
+        if (store.exists(stateTopic))
+          store.read(stateTopic)
+            .filter(col("_seq") < batchId) // replay never sees its own fold
+            .filter(mightContain(col(keyCol).cast("string"), bloom))
+            .groupBy(col(keyCol))
+            .agg(max(struct(col("_seq"), col("_tombstone"))).as("_p"))
+            .select(col(keyCol), col("_p._tombstone").as("_pre_tomb"))
+        else latest.select(col(keyCol)).limit(0).withColumn("_pre_tomb", lit(false))
+      val classified = latest.join(pre, Seq(keyCol), "left")
+        .withColumn("_pre_live", coalesce(!col("_pre_tomb"), lit(false)))
+        .withColumn("_change_type",
+          when(!col("_tomb") && !col("_pre_live"), "insert")
+            .when(!col("_tomb") && col("_pre_live"), "update")
+            .when(col("_tomb") && col("_pre_live"), "delete"))
+        .filter(col("_change_type").isNotNull)
+      val changeCols =
+        concat(col(keyCol).cast("string"), lit("#"), lit(batchId)).as("change_key") +:
+          col(keyCol) +: dataCols.map(col) :+ col("_change_type")
+      store.upsert(changeTopic,
+        classified.select(changeCols: _*).withColumnRenamed("ts", "time"),
+        "time", seq = Some(batchId))
+      store.upsert(stateTopic,
+        latest.withColumnRenamed("ts", "time")
+          .withColumnRenamed("_tomb", "_tombstone"),
+        "time", seq = Some(batchId))
+    }
+    latest.unpersist()
+  }
+
+  /** [[changesBatch]] as a continuous stream: start the returned
+    * writer with a checkpointLocation. */
+  def changesStream(rows: DataFrame, store: graft.sources.TopicStore,
+                    keyCol: String, stateTopic: String, changeTopic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      changesBatch(store, keyCol, stateTopic, changeTopic)(b.toDF(), id)
+    }
+
   /** [[dedupBatchBloom]] as a continuous stream: start the returned
     * writer with a checkpointLocation. */
   def dedupStreamBloom(docs: DataFrame, store: graft.sources.TopicStore,

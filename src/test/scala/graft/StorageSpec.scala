@@ -561,6 +561,125 @@ class StorageSpec extends SparkSpec {
       "post-compaction tombstone must still delete")
   }
 
+  test("readChanges classifies insert/update/delete and ignores lost late arrivals") {
+    import spark.implicits._
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // state at the "from" instant (ts=1000): 1->a, 2->b, 3->c
+    store.upsert("cdc",
+      Seq((1L, t(1000), "a"), (2L, t(1000), "b"), (3L, t(1000), "c"))
+        .toDF("key", "time", "v"), seq = Some(10L))
+    // inside the window (ts=2000): update 2, insert 4, delete 3,
+    // tombstone never-existing 5 (must NOT surface as a change)
+    store.upsert("cdc",
+      Seq((2L, t(2000), "b2", false), (4L, t(2000), "d", false),
+          (3L, t(2000), "c", true), (5L, t(2000), "x", true))
+        .toDF("key", "time", "v", "_tombstone"), seq = Some(20L))
+    // late arrival with a LOWER seq: key 1 is touched but the winning
+    // version at `to` is unchanged — last-write-wins discards it, so
+    // the change feed must stay silent about key 1
+    store.upsert("cdc",
+      Seq((1L, t(2500), "a_late")).toDF("key", "time", "v"), seq = Some(5L))
+    val got = store.readChanges("cdc", "key", 1500L, 3000L)
+      .select("key", "v", "_seq", "_change_type")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (2L, "b2", 20L, "update"),
+      (3L, "c", 10L, "delete"),   // delete carries the PRE-image
+      (4L, "d", 20L, "insert")), s"got $got")
+    // the full span from before any write: everything live is an insert
+    val fromZero = store.readChanges("cdc", "key", 0L, 3000L)
+      .select("key", "_change_type").as[(Long, String)].collect().toMap
+    assert(fromZero == Map(1L -> "insert", 2L -> "insert", 4L -> "insert"),
+      s"got $fromZero")
+    // empty window: no changes
+    assert(store.readChanges("cdc", "key", 3000L, 4000L).count() == 0)
+  }
+
+  test("readChanges: resurrection is an insert; append-only topics degrade to inserts") {
+    import spark.implicits._
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    store.upsert("res", Seq((1L, t(1000), "a")).toDF("key", "time", "v"), seq = Some(1L))
+    store.upsert("res",
+      Seq((1L, t(2000), "a", true)).toDF("key", "time", "v", "_tombstone"), seq = Some(2L))
+    store.upsert("res", Seq((1L, t(3000), "a2")).toDF("key", "time", "v"), seq = Some(3L))
+    // dead at from=2500, live at to=3500 -> insert (not update)
+    val res = store.readChanges("res", "key", 2500L, 3500L)
+      .select("key", "v", "_change_type").as[(Long, String, String)].collect().toSeq
+    assert(res == Seq((1L, "a2", "insert")), s"got $res")
+    // live at 1500, tombstoned by 2500 -> the earlier window is a delete
+    assert(store.readChanges("res", "key", 1500L, 2500L)
+      .select("_change_type").as[String].collect().toSeq == Seq("delete"))
+    // plain appends (no _seq): the window rows ARE the inserts
+    store.append("log", Seq((7L, t(1000), "e1"), (8L, t(5000), "e2")).toDF("key", "time", "v"))
+    val log = store.readChanges("log", "key", 1500L, 6000L)
+      .select("key", "v", "_change_type").as[(Long, String, String)].collect().toSeq
+    assert(log == Seq((8L, "e2", "insert")), s"got $log")
+  }
+
+  test("readChanges plan: every scan is bucket-pruned and the history merge runs once") {
+    import spark.implicits._
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    store.upsert("plan",
+      (0 until 500).map(i => (i.toLong, t(1000 + i * 100), s"v$i")).toDF("key", "time", "v"),
+      seq = Some(1L))
+    store.upsert("plan",
+      (0 until 20).map(i => (i.toLong, t(200000 + i), s"w$i")).toDF("key", "time", "v"),
+      seq = Some(2L))
+    val c = store.readChanges("plan", "key", 150000L, 300000L)
+    c.collect() // materialize so the adaptive plan is final
+    val p = c.queryExecution.executedPlan.toString
+    // time-travel pruning reaches every parquet scan at planning time
+    assert(p.contains("PartitionFilters: [isnotnull(bucket"),
+      s"bucket partition pruning missing:\n$p")
+    assert(!p.contains("PartitionFilters: []"),
+      s"some scan reads all buckets:\n$p")
+    // pre feeds BOTH the full-outer join and the post-state union; at
+    // runtime AQE must reuse the merge agg's shuffle, not rebuild the
+    // history merge twice
+    assert(p.contains("ReusedExchange"),
+      s"history merge shuffle should be reused, not recomputed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"CDC diff must stay keyed:\n$p")
+  }
+
+  test("readChanges equals the brute-force diff of the two as-of merged views") {
+    import spark.implicits._
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // deterministic pseudo-random history: 40 versions over 8 keys,
+    // ~25% tombstones, unique seqs, spread over 10 buckets
+    val rnd = new scala.util.Random(42)
+    val hist = (0 until 40).map { i =>
+      (rnd.nextInt(8).toLong, t(1000L + rnd.nextInt(36000)), s"v$i", rnd.nextInt(4) == 0, i.toLong)
+    }
+    hist.foreach { case (k, ts, v, tomb, seq) =>
+      store.upsert("rand", Seq((k, ts, v, tomb)).toDF("key", "time", "v", "_tombstone"),
+        seq = Some(seq))
+    }
+    def liveAt(cut: Long): Map[Long, (String, Long)] = hist
+      .filter(_._2.getTime / 1000 <= cut)
+      .groupBy(_._1)
+      .flatMap { case (k, vs) =>
+        val w = vs.maxBy(_._5)
+        if (w._4) None else Some(k -> (w._3, w._5))
+      }
+    for ((from, to) <- Seq((0L, 40000L), (5000L, 20000L), (15000L, 16000L), (20000L, 37000L))) {
+      val pre = liveAt(from); val post = liveAt(to)
+      val expected =
+        (post.keySet -- pre.keySet).map(k => (k, post(k)._1, post(k)._2, "insert")) ++
+        (pre.keySet -- post.keySet).map(k => (k, pre(k)._1, pre(k)._2, "delete")) ++
+        (post.keySet & pre.keySet).collect {
+          case k if post(k)._2 != pre(k)._2 => (k, post(k)._1, post(k)._2, "update")
+        }
+      val got = store.readChanges("rand", "key", from, to)
+        .select("key", "v", "_seq", "_change_type")
+        .as[(Long, String, Long, String)].collect().toSet
+      assert(got == expected, s"window ($from,$to]: got $got expected $expected")
+    }
+  }
+
   test("default upsert seqs are strictly increasing (rapid writes stay deterministic)") {
     import spark.implicits._
     val store = new TopicStore(spark, tmp(), bucketMinutes = 60)

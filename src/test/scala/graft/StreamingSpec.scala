@@ -411,6 +411,43 @@ class StreamingSpec extends SparkSpec {
     assert(state() == expected, "a replayed micro-batch must rewrite the same version")
   }
 
+  test("streaming CDC classifies per batch, folds state, and replays idempotently") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_scdc").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    // batch 0 seeds a fresh pipeline: everything is an insert
+    val b0 = Seq(
+      (1L, ts("2024-01-01 00:01:00"), "a"),
+      (2L, ts("2024-01-01 00:01:00"), "b")).toDF("key", "ts", "v")
+    TopicStream.changesBatch(store, "key", "state", "chg")(b0, 0L)
+    // batch 1: update 1, delete 2, insert 3; key 4 arrives twice in
+    // the SAME batch — the later ts wins and classifies once
+    val b1 = Seq(
+      (1L, ts("2024-01-01 00:02:00"), "a2", false),
+      (2L, ts("2024-01-01 00:02:00"), "b", true),
+      (3L, ts("2024-01-01 00:02:00"), "c", false),
+      (4L, ts("2024-01-01 00:02:00"), "d_old", false),
+      (4L, ts("2024-01-01 00:03:00"), "d", false)).toDF("key", "ts", "v", "_tombstone")
+    TopicStream.changesBatch(store, "key", "state", "chg")(b1, 1L)
+    def feed() = store.readMerged("chg", "change_key")
+      .select("key", "v", "_change_type").as[(Long, String, String)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    val expected = Seq(
+      (1L, "a", "insert"), (1L, "a2", "update"),
+      (2L, "b", "delete"), (2L, "b", "insert"),
+      (3L, "c", "insert"), (4L, "d", "insert"))
+    assert(feed() == expected, s"got ${feed()}")
+    // the folded state agrees with the batches' last-write-wins view
+    val live = store.readMerged("state", "key")
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(live == Map(1L -> "a2", 3L -> "c", 4L -> "d"), s"got $live")
+    // replay batch 1: classification reads only _seq < batchId state,
+    // writes are seq=batchId upserts — the feed and state are unchanged
+    TopicStream.changesBatch(store, "key", "state", "chg")(b1, 1L)
+    assert(feed() == expected, "replayed batch must not duplicate or reclassify")
+    assert(store.readMerged("state", "key").count() == 3)
+  }
+
   test("bloom streaming dedup bootstraps a fresh fingerprint topic from its first batch") {
     // First batch of a brand-new pipeline: the fingerprint topic does
     // not exist yet. Reading it unconditionally would throw "Path does
