@@ -24,7 +24,8 @@ object DevProbe {
         "ts19_ewma","tx16_line_dedup","tx17_quality_classifier","ss17_recall_report",
         "dd15_keep_best","ss18_filtered_ann","ss19_semantic_decontam",
         "q29_recursive","sp07_epoch_order","tx18_substring_spans","tx19_bpe_merge",
-        "ss20_pca_power","q30_json_extract","tx20_bpe_apply")
+        "ss20_pca_power","q30_json_extract","tx20_bpe_apply",
+        "tx21_chunk","tx22_tfidf_search","ss21_hybrid_rrf")
         .foreach { n =>
           println(s"\n## $n\n")
           println("```")
@@ -57,7 +58,8 @@ object DevProbe {
         "ss17_recall_report", "dd15_keep_best", "ss18_filtered_ann",
         "ss19_semantic_decontam",
         "q29_recursive", "sp07_epoch_order", "tx18_substring_spans",
-        "tx19_bpe_merge", "ss20_pca_power", "q30_json_extract", "tx20_bpe_apply")
+        "tx19_bpe_merge", "ss20_pca_power", "q30_json_extract", "tx20_bpe_apply",
+        "tx21_chunk", "tx22_tfidf_search", "ss21_hybrid_rrf")
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
       println("|---|---|---|---|---|---|")
       names.foreach { n =>

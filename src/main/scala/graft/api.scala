@@ -593,6 +593,48 @@ object api {
       graft.operators.Curation.bpePairs(
         df.select(col(textCol).as("text")), topK)
 
+    /** RAG chunking (the tx21 operator as a verb, with the chunk TEXT
+      * kept — the embedding pipeline's input): `width`-word windows on
+      * a `stride`-word step (overlap = width − stride), each with a
+      * stable (id, chunk_idx) identity. Pure per-row compute — the
+      * explode happens at the scan, zero shuffle at any corpus size. */
+    def chunkWindows(idCol: String, textCol: String,
+                     width: Int = 32, stride: Int = 24): DataFrame = {
+      require(stride >= 1 && width >= stride,
+        s"need width >= stride >= 1, got width=$width stride=$stride")
+      val words = split(col(textCol), " ")
+      df.select(col(idCol),
+          posexplode(transform(
+            sequence(lit(0), floor((size(words) - 1) / stride).cast("int")),
+            i => array_join(slice(words, i * stride + 1, lit(width)), " "))))
+        .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+          col("col").as("chunk_text"))
+    }
+
+    /** Lexical tf-idf retrieval (the tx22 operator as a verb): top-`k`
+      * docs for `terms`, scored with the rational idf ((1e6·N) DIV df)
+      * so results are exact integers and rerun-stable. The term filter
+      * applies at the explode — the wire carries only the query
+      * terms' postings, never the corpus. */
+    def tfidfTopK(idCol: String, textCol: String, terms: Seq[String],
+                  k: Int = 20): DataFrame = {
+      require(terms.nonEmpty, "tfidfTopK needs at least one query term")
+      val n = df.agg(count(lit(1)).as("n_docs"))
+      val tf = df
+        .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("_w"))
+        .filter(col("_w").isin(terms: _*))
+        .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_tf"))
+      val idf = tf.groupBy(col("_w")).agg(count(lit(1)).as("_df"))
+        .crossJoin(broadcast(n))
+        .select(col("_w"), expr("(1000000 * n_docs) DIV _df").as("_idf"))
+      tf.join(broadcast(idf), "_w")
+        .groupBy(col(idCol))
+        .agg(sum(col("_tf") * col("_idf")).as("score"),
+          count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score").desc, col(idCol))
+        .limit(k)
+    }
+
     /** Pattern scrub (the tx07 operator as a verb): replaces every
       * (regex -> replacement) in order, adding `n_redactions` (total
       * matches across patterns). Pure per-row compute — scan speed. */
@@ -668,5 +710,28 @@ object api {
     def principalDirection(vecCol: String, dim: Int): DataFrame =
       graft.operators.Similarity.pcaPower(
         df.select(col(vecCol).as("embedding")), dim)
+
+    /** Reciprocal-rank fusion (the ss21 operator as a verb): fuse this
+      * ranked shortlist with `other` on `idCol`; each must carry a
+      * 1-based integer `rank` column (missing ids contribute 0). The
+      * fused score is Σ 1e6 DIV (rrfK + rank) — rank-based, so two
+      * retrievers scoring in incomparable units (floats vs integers)
+      * fuse exactly. Shortlists are top-k by construction, so the
+      * fusion join is k × k — driver-small at any corpus size. */
+    def rrfFuse(other: DataFrame, idCol: String,
+                rrfK: Int = 60, topK: Int = 10): DataFrame = {
+      require(df.columns.contains("rank") && other.columns.contains("rank"),
+        "rrfFuse: both shortlists need a 1-based integer 'rank' column")
+      def side(f: DataFrame, as: String) =
+        f.select(col(idCol), col("rank").cast("int").as(as))
+      side(df, "rank_a").join(side(other, "rank_b"), Seq(idCol), "full_outer")
+        .select(col(idCol),
+          coalesce(col("rank_a"), lit(0)).as("rank_a"),
+          coalesce(col("rank_b"), lit(0)).as("rank_b"),
+          (coalesce(expr(s"1000000 DIV ($rrfK + rank_a)"), lit(0L)) +
+            coalesce(expr(s"1000000 DIV ($rrfK + rank_b)"), lit(0L))).as("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col(idCol))
+        .limit(topK)
+    }
   }
 }

@@ -446,6 +446,59 @@ object Curation {
         .withColumn("rank", row_number().over(rw))
         .select(col("rank"), col("merged"), col("pair"), col("pair_count"))
         .orderBy(col("rank"))
+    }),
+
+    // RAG / context-window chunking: every doc splits into 32-word
+    // chunks on a 24-word stride (8-word overlap so no boundary
+    // sentence is lost to retrieval — the standard chunker shape), each
+    // chunk carrying a stable (doc_id, chunk_idx) identity and a
+    // rewrite digest. Purely per-row compute: the explode happens at
+    // the scan with NO shuffle at all (the orderBy is presentation
+    // only), and the wire carries 8-char digests, never chunk text —
+    // amplification is words/stride rows per doc, bounded by design.
+    // At 100 TB this is the map-side feeder of the embedding pipeline;
+    // chunk identity is what lets the ANN index upsert per chunk.
+    "tx21_chunk" -> ((s, d) => {
+      val stride = 24; val width = 32
+      val words = split(lower(col("text")), " ")
+      docs(s, d)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(words) - 1) / stride).cast("int")),
+            i => array_join(slice(words, i * stride + 1, lit(width)), " "))))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          size(split(col("col"), " ")).cast("int").as("chunk_words"),
+          substring(md5(col("col")), 1, 8).as("chunk_fp8"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Lexical retrieval — tf-idf top-k for a fixed query (the BM25
+    // family with a RATIONAL idf, (1e6 * N) DIV df, so scoring is
+    // exact integer math in both engines — ln() is the only thing BM25
+    // adds and the only thing that breaks engine-exactness). The
+    // 100 TB shape is what makes lexical search cheap on Spark: the
+    // term filter applies AT THE EXPLODE, before any exchange, so the
+    // wire carries only the query terms' postings (3 terms here), the
+    // (doc,term) tf agg and per-doc sum shuffle those postings twice,
+    // and the 3-row idf table broadcasts. Corpus size enters only
+    // through the scan and one count.
+    "tx22_tfidf_search" -> ((s, d) => {
+      val terms = Seq("vector", "join", "scan")
+      val base = docs(s, d)
+      val n = base.agg(count(lit(1)).as("n_docs"))
+      val tf = base
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .select(col("w"), expr("(1000000 * n_docs) DIV df").as("idf_sc"))
+      tf.join(broadcast(idf), "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("idf_sc")).as("score"),
+          count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
     })
   )
 
@@ -859,6 +912,30 @@ object Curation {
         |  CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INT) AS rank
         |  FROM pc2)
         |SELECT rank, merged, pair, pair_count FROM r
-        |WHERE rank <= 10 ORDER BY rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "tx21_chunk" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        | CAST(len(list_slice(words, i * 24 + 1, i * 24 + 32)) AS INT) AS chunk_words,
+        | substr(md5(array_to_string(list_slice(words, i * 24 + 1, i * 24 + 32), ' ')), 1, 8) AS chunk_fp8
+        |FROM w, unnest(generate_series(0, (len(words) - 1) // 24)) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "tx22_tfidf_search" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |h AS (
+        | SELECT doc_id, w FROM
+        |  (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        | WHERE w IN ('vector', 'join', 'scan')),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM h GROUP BY 1, 2),
+        |idf AS (
+        | SELECT w, (1000000 * n_docs) // count(*) AS idf_sc
+        | FROM tf, n GROUP BY w, n_docs)
+        |SELECT doc_id, CAST(sum(tf * idf_sc) AS BIGINT) AS score,
+        | count(*) AS n_terms_hit
+        |FROM tf JOIN idf USING (w)
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -607,7 +607,57 @@ object Similarity {
     // rescale. Integer quantization makes the Aggregator's merge
     // order irrelevant, so its moments are bit-identical to the
     // oracle's explode-then-SUM over the same milli grid.
-    "ss20_pca_power" -> ((s, d) => pcaPower(emb(s, d), 64))
+    "ss20_pca_power" -> ((s, d) => pcaPower(emb(s, d), 64)),
+
+    // Hybrid retrieval — reciprocal-rank fusion of a LEXICAL shortlist
+    // (tx22's integer tf-idf over documents) and a VECTOR shortlist
+    // (ss01's brute cosine vs the broadcast query) for the same query
+    // intent; doc_id==vec_id is the corpus join key. Fusion is
+    // rank-based (score = Σ 1e6 DIV (60 + rank), the standard RRF
+    // k=60), so the fused output is exact integer math even though one
+    // retriever scores in floats — ranks are the only thing crossing
+    // the modality boundary, which is WHY RRF is the production fusion
+    // default. Scale shape: each retriever is its own top-50 via
+    // TakeOrdered (no global sort); ranking then happens on the two
+    // 50-row shortlists (driver-small by construction — the window
+    // sort is bounded by k, not the corpus), and the fusion join is
+    // shortlist x shortlist. Corpus cost = one documents scan (term
+    // filter at the explode) + one embeddings scan (broadcast query).
+    "ss21_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("vector", "join", "scan")
+      val dtab = Tables.spread(Tables(s, d, "documents"))
+      val e = emb(s, d)
+      val n = dtab.agg(count(lit(1)).as("n_docs"))
+      val tf = dtab
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .select(col("w"), expr("(1000000 * n_docs) DIV df").as("idf_sc"))
+      val lexTop = tf.join(broadcast(idf), "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("idf_sc")).as("lex_score"))
+        .orderBy(col("lex_score").desc, col("doc_id")).limit(50)
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("lex_score").desc, col("doc_id"))).cast("int"))
+      val q = e.filter(col("vec_id") === QueryId).select(col("embedding").as("q_emb"))
+      val vecTop = e.crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"), cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id")).limit(50)
+        .withColumn("vec_rank",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast("int"))
+      vecTop.select(col("doc_id"), col("vec_rank"))
+        .join(lexTop.select(col("doc_id"), col("lex_rank")), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+          (coalesce(expr("1000000 DIV (60 + vec_rank)"), lit(0L)) +
+            coalesce(expr("1000000 DIV (60 + lex_rank)"), lit(0L))).as("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+        .limit(10)
+    })
   )
 
   /** ss20's core, reusable on any frame with an `embedding` column:
@@ -1442,6 +1492,40 @@ object Similarity {
         |FROM v2 CROSS JOIN m2
         |JOIN diag ON v2.j = diag.j
         |JOIN dims d ON v2.j = d.i
-        |ORDER BY dim""".stripMargin
+        |ORDER BY dim""".stripMargin,
+
+    "ss21_hybrid_rrf" ->
+      s"""WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |h AS (
+        | SELECT doc_id, w FROM
+        |  (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        | WHERE w IN ('vector', 'join', 'scan')),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM h GROUP BY 1, 2),
+        |idf AS (
+        | SELECT w, (1000000 * n_docs) // count(*) AS idf_sc
+        | FROM tf, n GROUP BY w, n_docs),
+        |lexs AS (
+        | SELECT doc_id, CAST(sum(tf * idf_sc) AS BIGINT) AS lex_score
+        | FROM tf JOIN idf USING (w) GROUP BY 1),
+        |lextop AS (
+        | SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY lex_score DESC, doc_id) AS INT) AS lex_rank
+        | FROM (SELECT * FROM lexs ORDER BY lex_score DESC, doc_id LIMIT 50)),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $QueryId),
+        |vecs AS (
+        | SELECT e.vec_id AS doc_id,
+        |  $dotQ / (${norm("e.embedding")} * ${norm("q.q_emb")}) AS cos_sim
+        | FROM embeddings e, q),
+        |vectop AS (
+        | SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS vec_rank
+        | FROM (SELECT * FROM vecs ORDER BY cos_sim DESC, doc_id LIMIT 50))
+        |SELECT COALESCE(v.doc_id, l.doc_id) AS doc_id,
+        | COALESCE(v.vec_rank, 0) AS vec_rank,
+        | COALESCE(l.lex_rank, 0) AS lex_rank,
+        | CAST(COALESCE(1000000 // (60 + v.vec_rank), 0)
+        |    + COALESCE(1000000 // (60 + l.lex_rank), 0) AS BIGINT) AS rrf_micro
+        |FROM vectop v FULL OUTER JOIN lextop l ON v.doc_id = l.doc_id
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
   )
 }

@@ -528,4 +528,67 @@ class ApiSpec extends SparkSpec {
     assert(pd.filter(_.getInt(0) != 1).forall(r =>
       math.abs(r.getDouble(3)) < 0.05), s"off-axis loadings must be small: ${pd.toSeq}")
   }
+
+  test("chunkWindows matches tx21's chunk identities and covers every word") {
+    import spark.implicits._
+    val docsDf = Tables(spark, sfDir, "documents")
+    val viaApi = docsDf.withColumn("text", lower(col("text")))
+      .chunkWindows("doc_id", "text")
+      .select(col("doc_id"), col("chunk_idx"),
+        size(split(col("chunk_text"), " ")).cast("int").as("chunk_words"),
+        substring(md5(col("chunk_text")), 1, 8).as("chunk_fp8"))
+      .orderBy("doc_id", "chunk_idx")
+    val viaOp = SparkEntry.queries("tx21_chunk")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // stride 24 < width 32: consecutive chunks overlap by 8 words, so
+    // every word of a 2-chunk doc appears in some chunk (coverage) and
+    // chunk 1 starts 24 words in (identity), never at word 32
+    val two = Seq((1L, (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text").chunkWindows("doc_id", "text")
+      .orderBy("chunk_idx").collect()
+    assert(two.length == 2)
+    assert(two(1).getString(2).startsWith("w25 "), s"stride must be 24: ${two(1)}")
+    assert(two(0).getString(2).endsWith(" w32"), s"width must be 32: ${two(0)}")
+  }
+
+  test("tfidfTopK matches tx22 and ranks rare-term docs above common-term docs") {
+    val docsDf = Tables(spark, sfDir, "documents")
+    val viaApi = docsDf.withColumn("text", lower(col("text")))
+      .tfidfTopK("doc_id", "text", Seq("vector", "join", "scan"))
+    val viaOp = SparkEntry.queries("tx22_tfidf_search")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // idf discrimination: a doc with the corpus-rare term must outrank
+    // a doc with the corpus-common term at equal tf
+    import spark.implicits._
+    val corpus = (Seq((1L, "rare common"), (2L, "common common common")) ++
+      (10L to 29L).map(i => (i, "common filler"))).toDF("doc_id", "text")
+    val top = corpus.tfidfTopK("doc_id", "text", Seq("rare", "common"), k = 2)
+      .collect()
+    assert(top.head.getLong(0) == 1L,
+      s"the rare-term doc must rank first: ${top.toSeq}")
+  }
+
+  test("rrfFuse matches ss21's fusion and is symmetric in its inputs") {
+    import org.apache.spark.sql.expressions.Window
+    val docsDf = Tables(spark, sfDir, "documents").withColumn("text", lower(col("text")))
+    val emb = Tables(spark, sfDir, "embeddings")
+    val lex = docsDf.tfidfTopK("doc_id", "text", Seq("vector", "join", "scan"), k = 50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+    val q = emb.filter(col("vec_id") === 7).select(col("embedding").as("q_emb"))
+    val vec = emb.cosineTopK("embedding", q, "q_emb", 50, "vec_id")
+      .withColumnRenamed("vec_id", "doc_id")
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+    val fused = vec.rrfFuse(lex, "doc_id")
+      .select("doc_id", "rank_a", "rank_b", "rrf_micro")
+    val viaOp = SparkEntry.queries("ss21_hybrid_rrf")(spark, sfDir)
+      .select("doc_id", "vec_rank", "lex_rank", "rrf_micro")
+    assert(fused.collect().toSeq == viaOp.collect().toSeq)
+    // fusion is rank-based, so swapping the retrievers permutes only
+    // the rank columns, never the fused scores or the selected ids
+    val swapped = lex.rrfFuse(vec, "doc_id")
+      .select("doc_id", "rrf_micro").collect().toSeq
+    assert(swapped == fused.select("doc_id", "rrf_micro").collect().toSeq)
+  }
 }
