@@ -99,14 +99,36 @@ class GraftSession(val spark: SparkSession, root: String) {
           }
         }.toDF("table_catalog", "table_schema", "table_name", "column_name",
           "ordinal_position", "data_type", "is_nullable")
+      // Per-topic lifecycle config as SQL metadata — the reference's
+      // TableConfig made queryable (config.rs:3-25): one row per
+      // REGISTERED topic, null-padded where a policy half is unset.
+      // Operators audit "which topics z-order / retain / batch" with
+      // a WHERE clause instead of an API crawl.
+      case "topic_policies" =>
+        catalog.list().filter(_._2 == "topic").map { case (fqn, _) =>
+          val (c, s, t) = split3(fqn)
+          val cp = catalog.compaction(fqn)
+          val wc = catalog.writeConfig(fqn)
+          val rp = catalog.retention(fqn)
+          (c, s, t,
+            cp.map(_.everyAppends), cp.map(_.maxFilesPerBucket),
+            cp.map(_.clusterBy.mkString(",")), cp.map(_.zorder),
+            cp.map(_.minShardBytes), cp.map(_.targetShardBytes),
+            wc.map(_.maxRowsPerFile), wc.map(_.coalesce), wc.map(_.triggerMs),
+            rp.map(_.maxAgeMinutes), rp.map(_.downsampleTo).filter(_.nonEmpty))
+        }.toDF("table_catalog", "table_schema", "table_name",
+          "compaction_every_appends", "max_files_per_bucket", "cluster_by",
+          "zorder", "min_shard_bytes", "target_shard_bytes",
+          "write_max_rows_per_file", "write_coalesce", "write_trigger_ms",
+          "retention_max_age_minutes", "retention_downsample_to")
       case other => throw new IllegalArgumentException(
         s"unknown information_schema relation '$other' " +
-          "(expected catalogs, schemata, tables, or columns)")
+          "(expected catalogs, schemata, tables, columns, or topic_policies)")
     }
   }
 
   private def registerInformationSchema(): Unit =
-    Seq("catalogs", "schemata", "tables", "columns").foreach { r =>
+    Seq("catalogs", "schemata", "tables", "columns", "topic_policies").foreach { r =>
       informationSchema(r).createOrReplaceTempView(s"information_schema_$r")
     }
 

@@ -1137,4 +1137,35 @@ class StorageSpec extends SparkSpec {
     // unknown relation is a clear error
     intercept[IllegalArgumentException](gs.informationSchema("nope"))
   }
+
+  test("topic_policies relation exposes per-topic lifecycle config via SQL") {
+    import spark.implicits._
+    val gs = new GraftSession(spark, tmp())
+    gs.publish("plain", sampleEvents(3))
+    gs.publish("tuned", sampleEvents(3))
+    gs.setCompaction("tuned", everyAppends = 5, maxFilesPerBucket = 2,
+      clusterBy = Seq("key", "time"), zorder = true)
+    gs.setWriteConfig("tuned", maxRowsPerFile = 1000L, coalesce = 2, triggerMs = 500L)
+    gs.setRetention("tuned", maxAgeMinutes = 120, downsampleTo = "tuned_1h",
+      valueCol = "value", keyCols = Seq("key"))
+    val rows = gs.query(
+      """SELECT table_name, compaction_every_appends, cluster_by, zorder,
+        |       write_max_rows_per_file, retention_max_age_minutes,
+        |       retention_downsample_to
+        |FROM information_schema_topic_policies ORDER BY table_name""".stripMargin)
+      .collect()
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    // unset policies surface as nulls, not absence — the row still lists
+    val plain = byName("plain")
+    assert(plain.isNullAt(1) && plain.isNullAt(5), s"plain must be null-padded: $plain")
+    val tuned = byName("tuned")
+    assert(tuned.getInt(1) == 5 && tuned.getString(2) == "key,time" &&
+      tuned.getBoolean(3) && tuned.getLong(4) == 1000L &&
+      tuned.getLong(5) == 120L && tuned.getString(6) == "tuned_1h", s"got $tuned")
+    // an operator's audit query: which topics z-order?
+    val z = gs.query(
+      "SELECT table_name FROM information_schema_topic_policies WHERE zorder")
+      .as[String].collect().toSeq
+    assert(z == Seq("tuned"), s"got $z")
+  }
 }

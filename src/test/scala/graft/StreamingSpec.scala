@@ -411,6 +411,31 @@ class StreamingSpec extends SparkSpec {
     assert(state() == expected, "a replayed micro-batch must rewrite the same version")
   }
 
+  test("changesStream end-to-end: a live stream feeds the change topic across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scdcs").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    val input = MemoryStream[KvRow]
+    val q = TopicStream.changesStream(input.toDF(), store, "key", "state", "chg")
+      .option("checkpointLocation", s"$root/_ckpt").start()
+    try {
+      input.addData(KvRow(1L, ts("2024-01-01 00:01:00"), "a"))
+      q.processAllAvailable()
+      input.addData(KvRow(1L, ts("2024-01-01 00:02:00"), "a2"),
+        KvRow(2L, ts("2024-01-01 00:02:00"), "b"))
+      q.processAllAvailable()
+      val feed = store.readMerged("chg", "change_key")
+        .select("key", "v", "_change_type").as[(Long, String, String)]
+        .collect().sortBy(r => (r._1, r._3)).toSeq
+      assert(feed == Seq((1L, "a", "insert"), (1L, "a2", "update"), (2L, "b", "insert")),
+        s"got $feed")
+      val live = store.readMerged("state", "key")
+        .select("key", "v").as[(Long, String)].collect().toMap
+      assert(live == Map(1L -> "a2", 2L -> "b"), s"got $live")
+    } finally q.stop()
+  }
+
   test("streaming CDC classifies per batch, folds state, and replays idempotently") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_scdc").toString
@@ -782,4 +807,5 @@ private object TestEvents {
   case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String, lang: String)
   case class StreamVec(vec_id: Long, ts: java.sql.Timestamp, embedding: Seq[Float])
   case class EncodedVec(vec_id: Long, time: java.sql.Timestamp, recon_d2: Double)
+  case class KvRow(key: Long, ts: java.sql.Timestamp, v: String)
 }
