@@ -288,6 +288,49 @@ object TopicStream {
     * writes are `seq = batchId` upserts — `changeTopic` keyed by
     * key#batch, so a replay overwrites its own identical change rows.
     * Readers get the log via readMerged(changeTopic, "change_key"). */
+  /** Streaming RAG chunker — tx21's arrival loop, the text-side twin
+    * of [[pqEncodeStream]]: each micro-batch of docs splits into
+    * `width`-word / `stride`-step chunks (chunkWindows' shape) and
+    * upserts them into `chunkTopic` keyed by doc_id#chunk_idx with
+    * `_seq = batchId` — a revised doc's chunks OVERWRITE its old ones
+    * under last-write-wins (readMerged gives the current chunk set),
+    * and a replayed batch rewrites identical rows. Purely per-row
+    * compute: cost tracks the arrival rate, zero shuffle, the corpus
+    * never re-chunks. Downstream, the embedder consumes chunk rows
+    * and [[pqEncodeStream]] indexes their vectors — chunk identity is
+    * what lets the ANN index upsert per chunk. */
+  def chunkStream(docs: DataFrame, store: graft.sources.TopicStore,
+                  chunkTopic: String, width: Int = 32, stride: Int = 24)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(stride >= 1 && width >= stride,
+      s"need width >= stride >= 1, got width=$width stride=$stride")
+    docs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      val words = split(col("text"), " ")
+      val chunks = b.toDF()
+        .select(col("doc_id"), col("ts").as("time"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(words) - 1) / stride).cast("int")),
+            i => array_join(slice(words, i * stride + 1, lit(width)), " "))))
+        .select(
+          concat(col("doc_id"), lit("#"), col("pos")).as("chunk_key"),
+          col("doc_id"), col("time"), col("pos").cast("int").as("chunk_idx"),
+          col("col").as("chunk_text"), lit(id).as("doc_seq"))
+      store.upsert(chunkTopic, chunks, "time", seq = Some(id))
+    }
+  }
+
+  /** The CURRENT chunk set of every doc in a [[chunkStream]] topic:
+    * latest version per chunk_key, then only chunks carrying the
+    * doc's newest `doc_seq` — a revision that SHRANK a doc would
+    * otherwise leave its old tail chunks alive (their keys are never
+    * overwritten). One merge agg + one per-doc max join, both keyed
+    * and partial-agg'd. */
+  def currentChunks(store: graft.sources.TopicStore, chunkTopic: String): DataFrame = {
+    val merged = store.readMerged(chunkTopic, "chunk_key")
+    val cur = merged.groupBy(col("doc_id")).agg(max(col("doc_seq")).as("_cur"))
+    merged.join(cur, "doc_id").filter(col("doc_seq") === col("_cur")).drop("_cur")
+  }
+
   def changesBatch(store: graft.sources.TopicStore, keyCol: String,
                    stateTopic: String, changeTopic: String)
                   (batch: DataFrame, batchId: Long): Unit = {

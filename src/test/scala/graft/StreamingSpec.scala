@@ -411,6 +411,31 @@ class StreamingSpec extends SparkSpec {
     assert(state() == expected, "a replayed micro-batch must rewrite the same version")
   }
 
+  test("chunkStream chunks arrivals; a shrinking revision drops its stale tail chunks") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_schunk").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    val input = MemoryStream[StreamDoc]
+    // width 4 / stride 3 so a 7-word doc yields 3 chunks (starts 0,3,6)
+    val q = TopicStream.chunkStream(input.toDF(), store, "chunks", width = 4, stride = 3)
+      .option("checkpointLocation", s"$root/_ckpt").start()
+    try {
+      input.addData(StreamDoc(1, ts("2024-01-01 00:01:00"), "a b c d e f g", "en"))
+      q.processAllAvailable()
+      val first = TopicStream.currentChunks(store, "chunks")
+        .select("chunk_idx", "chunk_text").as[(Int, String)].collect().sortBy(_._1).toSeq
+      assert(first == Seq((0, "a b c d"), (1, "d e f g"), (2, "g")), s"got $first")
+      // revision shrinks the doc to ONE chunk: the old idx-1/idx-2
+      // rows keep their keys, so only the doc_seq filter can kill them
+      input.addData(StreamDoc(1, ts("2024-01-01 00:02:00"), "x y", "en"))
+      q.processAllAvailable()
+      val revised = TopicStream.currentChunks(store, "chunks")
+        .select("chunk_idx", "chunk_text").as[(Int, String)].collect().toSeq
+      assert(revised == Seq((0, "x y")), s"stale tail chunks must drop: $revised")
+    } finally q.stop()
+  }
+
   test("changesStream end-to-end: a live stream feeds the change topic across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
