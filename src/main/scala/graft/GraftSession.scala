@@ -208,7 +208,11 @@ class GraftSession(val spark: SparkSession, root: String) {
                clusterBy: Seq[String] = Seq.empty): Seq[(String, Seq[Long])] = {
     val done = catalog.list().collect {
       case (name, "topic") =>
-        // data lifecycle first: expired buckets downsample+drop before
+        // crash recovery first: a maintenance pass that died mid-swap
+        // left an aside/temp dir — restore or clear it before any new
+        // rewrite of the same topic runs
+        store.recover(name)
+        // data lifecycle next: expired buckets downsample+drop before
         // the compactor would waste a rewrite on them
         catalog.retention(name).foreach(sweepWith(name, _))
         // a topic's own registered schedule overrides the session-wide

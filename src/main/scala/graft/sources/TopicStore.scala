@@ -315,6 +315,63 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
     walk(dir, "").toSet
   }
 
+  /** Crash-recovery sweep — finish or roll back an interrupted
+    * directory swap ([[swapDir]]'s crash windows, at both the topic
+    * level of [[mergeCompact]] and the bucket level of [[compact]]):
+    *
+    * - live dir MISSING + `.old_` aside present → the crash hit
+    *   between the two renames; the aside is the only complete copy —
+    *   restore it (roll the rewrite back; the `.merge_`/`.compact_`
+    *   temp is then deleted, it was never promoted).
+    * - live dir present + aside/temp leftovers → the swap completed
+    *   (or the rewrite never got promoted); the leftovers are
+    *   consumed-originals / dead rewrites — delete them. Rewrites run
+    *   under the topic's EXCLUSIVE lock, so no append can have landed
+    *   in an aside after its snapshot listing (swapDir's salvage
+    *   already covered the in-process case at swap time).
+    *
+    * Idempotent; returns the actions taken ("restored:…"/"removed:…").
+    * [[GraftSession.maintain]] runs this first, so a crashed
+    * maintenance pass self-heals on the next one. */
+  def recover(name: String): Seq[String] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(topicPath(name))
+    val wl = TopicStore.lockFor(topicPath(name)).writeLock(); wl.lock()
+    try {
+      val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+      def sweep(dir: Path, asideOf: Path => Path, temps: Path => Seq[Path]): Unit = {
+        val aside = asideOf(dir)
+        if (!fs.exists(dir) && fs.exists(aside)) {
+          if (!fs.rename(aside, dir))
+            throw new java.io.IOException(s"recover: could not restore $aside to $dir")
+          actions += s"restored:${dir.getName}"
+        } else if (fs.exists(aside)) {
+          fs.delete(aside, true); actions += s"removed:${aside.getName}"
+        }
+        temps(dir).filter(fs.exists).foreach { t =>
+          fs.delete(t, true); actions += s"removed:${t.getName}"
+        }
+      }
+      // topic-level (mergeCompact): asides live in the store root
+      sweep(live,
+        d => new Path(d.getParent, s".old_${d.getName}"),
+        d => Seq(new Path(d.getParent, s".merge_${d.getName}")))
+      // bucket-level (compact): asides live inside the topic dir
+      if (fs.exists(live)) {
+        val names = fs.listStatus(live).map(_.getPath.getName)
+        names.filter(_.startsWith(".old_bucket=")).foreach { a =>
+          sweep(new Path(live, a.stripPrefix(".old_")),
+            d => new Path(live, s".old_${d.getName}"),
+            _ => Seq.empty)
+        }
+        names.filter(_.startsWith(".compact_bucket=")).foreach { t =>
+          fs.delete(new Path(live, t), true); actions += s"removed:$t"
+        }
+      }
+      actions.toSeq
+    } finally wl.unlock()
+  }
+
   /** Crash-recoverable directory swap: `dir` -> `.old_` aside, `tmp`
     * -> `dir`, delete aside. Every intermediate state keeps one full
     * copy of the data on disk — and because Hadoop FileSystems report

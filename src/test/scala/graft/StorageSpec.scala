@@ -561,6 +561,46 @@ class StorageSpec extends SparkSpec {
       "post-compaction tombstone must still delete")
   }
 
+  test("recover restores a topic stranded mid-swap and clears completed-swap leftovers") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new TopicStore(spark, root, bucketMinutes = 60)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    store.upsert("kv", Seq((1L, t0, "a"), (2L, t0, "b")).toDF("key", "time", "v"), seq = Some(1L))
+    val before = store.readMerged("kv", "key")
+      .select("key", "v").as[(Long, String)].collect().toMap
+    // crash window 1: live dir renamed aside, rewrite never promoted —
+    // the topic is GONE until recovery rolls the swap back
+    fs.mkdirs(p(".merge_kv"))
+    assert(fs.rename(p("kv"), p(".old_kv")))
+    assert(!store.exists("kv"))
+    val acts1 = store.recover("kv")
+    assert(acts1.contains("restored:kv") && acts1.contains("removed:.merge_kv"), s"got $acts1")
+    assert(store.readMerged("kv", "key")
+      .select("key", "v").as[(Long, String)].collect().toMap == before)
+    // crash window 2: swap completed but the aside/temp cleanup died —
+    // leftovers must be cleared WITHOUT touching the live topic
+    fs.mkdirs(p(".old_kv")); fs.mkdirs(p(".merge_kv"))
+    val acts2 = store.recover("kv")
+    assert(acts2.toSet == Set("removed:.old_kv", "removed:.merge_kv"), s"got $acts2")
+    assert(!fs.exists(p(".old_kv")) && !fs.exists(p(".merge_kv")))
+    // bucket-level: a compact() crash leaves .old_bucket= inside the
+    // topic dir; missing bucket restores, surviving bucket's aside drops
+    val bucket = fs.listStatus(p("kv")).map(_.getPath.getName)
+      .find(_.startsWith("bucket=")).get
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p("kv"), bucket),
+      new org.apache.hadoop.fs.Path(p("kv"), s".old_$bucket")))
+    val acts3 = store.recover("kv")
+    assert(acts3.contains(s"restored:$bucket"), s"got $acts3")
+    assert(store.readMerged("kv", "key")
+      .select("key", "v").as[(Long, String)].collect().toMap == before)
+    // idempotent when clean
+    assert(store.recover("kv").isEmpty)
+  }
+
   test("readChanges classifies insert/update/delete and ignores lost late arrivals") {
     import spark.implicits._
     val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
