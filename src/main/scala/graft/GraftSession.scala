@@ -69,6 +69,7 @@ class GraftSession(val spark: SparkSession, root: String) {
         case "topic"             => "BASE TABLE"
         case "temp_topic"        => "TEMPORARY"
         case "materialized_view" => "MATERIALIZED VIEW"
+        case "tag"               => "SNAPSHOT TAG"
         case _                   => "VIEW"
       }
       (c, s, t, typ)
@@ -323,6 +324,17 @@ class GraftSession(val spark: SparkSession, root: String) {
 
   /** Scan a table by (possibly qualified) name (ella.rs:105). */
   def table(ref: String): DataFrame = catalog.table(ref)
+
+  /** Pin `topic`'s state as of an instant under a named SNAPSHOT TAG
+    * (Iceberg-ref style): `table(tag)` then resolves to the
+    * bucket-pruned as-of scan forever — a training run that records
+    * its tag has a reproducible input regardless of later appends.
+    * `keyCol` set pins the MERGED view of an upsert topic (latest
+    * version per key at the cutoff, tombstones dropped). Metadata
+    * only — no data copies; drop with `execute("DROP TABLE tag")`. */
+  def tagSnapshot(topic: String, tag: String, asOfEpochS: Long,
+                  tsCol: String = "time", keyCol: Option[String] = None): Unit =
+    catalog.createTag(tag, topic, asOfEpochS, tsCol, keyCol)
 
   /** Row-level change feed of an upsert topic between two inclusive
     * epoch-second instants ([[graft.sources.TopicStore.readChanges]]):

@@ -137,6 +137,16 @@ class TopicCatalog(spark: SparkSession, root: String,
     * `catalog.rs:48-113`), where namespaces are first-class tx-logged
     * objects, not just name prefixes. */
   case object Namespace extends Entry { val kind = "namespace" }
+  /** Named SNAPSHOT TAG — an immutable catalog pin of a topic's state
+    * AS OF an instant (the Iceberg tag / Delta version-tag idea over
+    * the store's time travel): a training run reads the TAG, so its
+    * exact input is reproducible forever regardless of later appends
+    * or upserts. `keyCol` set = merged view (latest version per key at
+    * the cutoff, tombstones dropped); unset = raw append-only
+    * snapshot. Metadata-only — no data is copied; the pin costs one
+    * manifest row and resolves to a bucket-pruned as-of scan. */
+  case class Tag(topic: String, asOfEpochS: Long, tsCol: String,
+                 keyCol: Option[String]) extends Entry { val kind = "tag" }
 
   private val manifestPath = Paths.get(s"$root/_graft_catalog.json")
   private val logPath = Paths.get(s"$root/_graft_catalog.log")
@@ -342,6 +352,25 @@ class TopicCatalog(spark: SparkSession, root: String,
     commit("put", resolve(ref), Some(entries(resolve(ref))))
   }
 
+  /** Pin `topicRef`'s state as of `asOfEpochS` under the tag name
+    * `ref`. The target must be a registered (non-temp) topic; tags of
+    * tags or views are rejected — the pin must ground in stored
+    * shards or its meaning would drift with the view. */
+  def createTag(ref: String, topicRef: String, asOfEpochS: Long,
+                tsCol: String = "time", keyCol: Option[String] = None): Unit = {
+    val fqn = resolve(ref); val target = resolve(topicRef)
+    if (!entries.contains(target)) reload()
+    entries.get(target) match {
+      case Some(Topic(_, _, _, _)) => ()
+      case Some(e) => throw new IllegalArgumentException(
+        s"snapshot tags must target a stored topic; $target is a ${e.kind}")
+      case None => throw new NoSuchElementException(s"topic not found: $target")
+    }
+    require(!entries.contains(fqn), s"tag already exists: $fqn")
+    entries(fqn) = Tag(target, asOfEpochS, tsCol, keyCol)
+    commit("put", fqn, Some(entries(fqn)))
+  }
+
   def dropTable(ref: String): Boolean = {
     val removed = entries.remove(resolve(ref))
     if (removed.exists(_.kind != "temp_topic")) commit("drop", resolve(ref), None)
@@ -359,6 +388,25 @@ class TopicCatalog(spark: SparkSession, root: String,
       case TempTopic(df) => df
       case View(sql, None) => spark.sql(sql)
       case View(_, Some(path)) => spark.read.parquet(path)
+      case Tag(topic, asOf, tsCol, keyCol) =>
+        // resolve through the target topic's REGISTERED path (the
+        // session's store root differs from the catalog root); the
+        // as-of read only filters on epoch-second bucket values, so
+        // the throwaway store's bucketMinutes never enters
+        val path = entries.get(topic) match {
+          case Some(Topic(p, _, _, _)) => p
+          case _ => throw new NoSuchElementException(
+            s"snapshot tag $ref targets a missing topic: $topic")
+        }
+        val slash = path.lastIndexOf('/')
+        val ts = new TopicStore(spark, path.substring(0, slash))
+        val nm = path.substring(slash + 1)
+        keyCol match {
+          case Some(k) => ts.readMergedAsOf(nm, k, asOf, tsCol)
+          case None    => ts.readAsOf(nm, asOf, tsCol)
+        }
+      case Namespace =>
+        throw new IllegalArgumentException(s"$ref is a namespace, not a table")
     }
   }
 
@@ -419,6 +467,10 @@ class TopicCatalog(spark: SparkSession, root: String,
       }
     case View(sql, mp) =>
       o.put("kind", "view"); o.put("sql", sql); mp.foreach(o.put("path", _))
+    case Tag(topic, asOf, tsCol, keyCol) =>
+      o.put("kind", "tag"); o.put("topic", topic)
+      o.put("asOfEpochS", asOf); o.put("tsCol", tsCol)
+      keyCol.foreach(o.put("keyCol", _))
     case Namespace => o.put("kind", "namespace"); ()
     case TempTopic(_) =>
       throw new IllegalStateException("temporary topics are never persisted")
@@ -456,6 +508,11 @@ class TopicCatalog(spark: SparkSession, root: String,
       case "view" =>
         val mp = Option(node.get("path")).map(_.asText())
         entries(name) = View(node.path("sql").asText(), mp)
+      case "tag" =>
+        entries(name) = Tag(node.path("topic").asText(),
+          node.path("asOfEpochS").asLong(),
+          node.path("tsCol").asText("time"),
+          Option(node.get("keyCol")).map(_.asText()))
       case "namespace" => entries(name) = Namespace
       case _ => ()
     }

@@ -1178,6 +1178,44 @@ class StorageSpec extends SparkSpec {
     intercept[IllegalArgumentException](gs.informationSchema("nope"))
   }
 
+  test("snapshot tags pin a topic's state; reads stay stable across later writes and reloads") {
+    import spark.implicits._
+    val root = tmp()
+    val gs = new GraftSession(spark, root)
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // raw append-only pin
+    gs.publish("feed", Seq((1L, t(1000), "a"), (2L, t(1500), "b")).toDF("id", "time", "v"))
+    gs.tagSnapshot("feed", "feed_v1", asOfEpochS = 2000L)
+    gs.publish("feed", Seq((3L, t(3000), "c")).toDF("id", "time", "v"))
+    assert(gs.table("feed_v1").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "the tag must not see rows appended after its cutoff")
+    assert(gs.table("feed").count() == 3)
+    // merged pin of an upsert topic: latest-per-key AT the cutoff
+    gs.createTopic("kv")
+    gs.store.upsert("ella.public.kv", Seq((1L, t(1000), "x")).toDF("key", "time", "v"), seq = Some(1L))
+    gs.store.upsert("ella.public.kv", Seq((1L, t(1500), "y")).toDF("key", "time", "v"), seq = Some(2L))
+    gs.tagSnapshot("kv", "kv_tuesday", asOfEpochS = 1200L, keyCol = Some("key"))
+    gs.store.upsert("ella.public.kv", Seq((1L, t(3000), "z")).toDF("key", "time", "v"), seq = Some(3L))
+    val pinned = gs.table("kv_tuesday").select("key", "v").as[(Long, String)].collect().toSeq
+    assert(pinned == Seq((1L, "x")), s"merged pin must resolve the cutoff's winner: $pinned")
+    // tags are durable catalog objects: SQL-visible type, survive reload
+    val typ = gs.query(
+      "SELECT table_type FROM information_schema_tables WHERE table_name = 'kv_tuesday'")
+      .as[String].head()
+    assert(typ == "SNAPSHOT TAG")
+    val gs2 = new GraftSession(spark, root)
+    assert(gs2.table("kv_tuesday").select("v").as[String].collect().toSeq == Seq("x"),
+      "tags must survive a catalog reload")
+    // SQL over the tag via query(); drop via standard DDL
+    assert(gs2.query("SELECT count(*) FROM feed_v1").head().getLong(0) == 2L)
+    gs2.execute("DROP TABLE feed_v1")
+    assert(!gs2.catalog.contains("feed_v1"))
+    // a tag must ground in a stored topic, never a view or another tag
+    gs2.execute("CREATE VIEW v_feed AS SELECT * FROM feed")
+    intercept[IllegalArgumentException](gs2.tagSnapshot("v_feed", "bad", 1000L))
+    intercept[IllegalArgumentException](gs2.tagSnapshot("kv_tuesday", "bad", 1000L))
+  }
+
   test("topic_policies relation exposes per-topic lifecycle config via SQL") {
     import spark.implicits._
     val gs = new GraftSession(spark, tmp())
