@@ -336,6 +336,19 @@ class GraftSession(val spark: SparkSession, root: String) {
                   tsCol: String = "time", keyCol: Option[String] = None): Unit =
     catalog.createTag(tag, topic, asOfEpochS, tsCol, keyCol)
 
+  /** RESTORE a topic to a previously pinned snapshot tag (Delta
+    * RESTORE over [[tagSnapshot]]): buckets past the tag's cutoff
+    * drop, the boundary bucket rewrites filtered — O(after-cutoff
+    * data). The tag itself survives (it still describes the state the
+    * topic now has). Returns the touched bucket ids. */
+  def restoreToTag(tag: String): Seq[Long] = {
+    val fqn = catalog.resolve(tag)
+    catalog.tagInfo(fqn) match {
+      case Some((topic, asOf, tsCol)) => store.restoreAsOf(topic, asOf, tsCol)
+      case None => throw new NoSuchElementException(s"snapshot tag not found: $fqn")
+    }
+  }
+
   /** Row-level change feed of an upsert topic between two inclusive
     * epoch-second instants ([[graft.sources.TopicStore.readChanges]]):
     * insert/update/delete per key, delta-proportional cost. Refs

@@ -371,6 +371,14 @@ class TopicCatalog(spark: SparkSession, root: String,
     commit("put", fqn, Some(entries(fqn)))
   }
 
+  /** (target topic fqn, cutoff, tsCol) of a tag, None if not a tag. */
+  def tagInfo(ref: String): Option[(String, Long, String)] = {
+    if (!entries.contains(resolve(ref))) reload()
+    entries.get(resolve(ref)).collect {
+      case Tag(topic, asOf, tsCol, _) => (topic, asOf, tsCol)
+    }
+  }
+
   def dropTable(ref: String): Boolean = {
     val removed = entries.remove(resolve(ref))
     if (removed.exists(_.kind != "temp_topic")) commit("drop", resolve(ref), None)

@@ -315,6 +315,52 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
     walk(dir, "").toSet
   }
 
+  /** RESTORE — rewrite the topic back to its state AS OF an instant
+    * (the Delta RESTORE / Iceberg rollback analog over bucketed time
+    * travel): whole buckets past the cutoff are DELETED (a directory
+    * drop each — no data read), and the single boundary bucket
+    * straddling the cutoff is rewritten filtered, swapped in with the
+    * same crash-recoverable two-rename [[swapDir]] the compactor
+    * uses. Cost is O(after-cutoff data), never O(topic). Combined
+    * with a [[TopicCatalog.Tag]], this is disaster recovery: pin →
+    * diff ([[readChanges]]) → restore. Returns the touched bucket
+    * ids (empty = nothing after the cutoff — idempotent). */
+  def restoreAsOf(name: String, asOfEpochS: Long, tsCol: String = "time"): Seq[Long] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(topicPath(name))
+    if (!fs.exists(base)) return Seq.empty
+    val wl = TopicStore.lockFor(topicPath(name)).writeLock(); wl.lock()
+    try {
+      val buckets = fs.listStatus(base).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toLong)
+      val dropped = buckets.filter(_ > asOfEpochS).toSeq.sorted
+      dropped.foreach(b => fs.delete(new Path(base, s"bucket=$b"), true))
+      // the one bucket straddling the cutoff keeps only rows at or
+      // before it (same truncated-second semantics as readAsOf)
+      val boundary = buckets
+        .filter(b => b <= asOfEpochS && b + bucketSeconds > asOfEpochS + 1).toSeq
+      val rewritten = boundary.filter { b =>
+        val dir = new Path(base, s"bucket=$b")
+        val files = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+        val raw =
+          if (files.isEmpty) None
+          else Some(spark.read.parquet(files.map(_.getPath.toString).toSeq: _*))
+        // content-gated: rewrite only when the bucket actually holds
+        // rows past the cutoff — a second restore is a no-op
+        raw.exists(_.filter(col(tsCol).cast("long") > asOfEpochS).head(1).nonEmpty) && {
+          val kept = raw.get.filter(col(tsCol).cast("long") <= asOfEpochS)
+          val tmp = new Path(base, s".restore_bucket=$b")
+          kept.coalesce(math.max(1, files.length))
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          swapDir(fs, tmp, dir)
+          true
+        }
+      }
+      dropped ++ rewritten
+    } finally wl.unlock()
+  }
+
   /** Crash-recovery sweep — finish or roll back an interrupted
     * directory swap ([[swapDir]]'s crash windows, at both the topic
     * level of [[mergeCompact]] and the bucket level of [[compact]]):
@@ -364,7 +410,8 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
             d => new Path(live, s".old_${d.getName}"),
             _ => Seq.empty)
         }
-        names.filter(_.startsWith(".compact_bucket=")).foreach { t =>
+        names.filter(n => n.startsWith(".compact_bucket=") ||
+            n.startsWith(".restore_bucket=")).foreach { t =>
           fs.delete(new Path(live, t), true); actions += s"removed:$t"
         }
       }

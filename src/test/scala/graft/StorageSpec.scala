@@ -1216,6 +1216,30 @@ class StorageSpec extends SparkSpec {
     intercept[IllegalArgumentException](gs2.tagSnapshot("kv_tuesday", "bad", 1000L))
   }
 
+  test("restoreToTag rewrites the topic back to the pinned state, O(after-cutoff buckets)") {
+    import spark.implicits._
+    val gs = new GraftSession(spark, tmp())
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // bucketMinutes=60 => bucket size 3600s; craft three buckets with
+    // the cutoff INSIDE the middle one so restore must do a partial
+    // boundary rewrite, not just directory drops
+    gs.publish("feed", Seq(
+      (1L, t(1000), "a"),            // bucket 0 — untouched
+      (2L, t(4000), "b"),            // bucket 3600, before cutoff — kept
+      (3L, t(5000), "c"),            // bucket 3600, after cutoff — cut
+      (4L, t(9000), "d")).toDF("id", "time", "v")) // bucket 7200 — dropped whole
+    gs.tagSnapshot("feed", "good_state", asOfEpochS = 4500L)
+    val touched = gs.restoreToTag("good_state")
+    assert(touched.sorted == Seq(3600L, 7200L), s"got $touched")
+    val after = gs.table("feed").select("id").as[Long].collect().sorted.toSeq
+    assert(after == Seq(1L, 2L), s"restore must keep exactly the pinned rows: $after")
+    // the tag still describes the (now current) state; restore is idempotent
+    assert(gs.table("good_state").count() == 2)
+    assert(gs.restoreToTag("good_state").isEmpty, "nothing after the cutoff remains")
+    // the untouched bucket 0 was never rewritten (its dir survived intact)
+    intercept[NoSuchElementException](gs.restoreToTag("no_such_tag"))
+  }
+
   test("topic_policies relation exposes per-topic lifecycle config via SQL") {
     import spark.implicits._
     val gs = new GraftSession(spark, tmp())
