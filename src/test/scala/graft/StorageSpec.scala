@@ -1240,6 +1240,26 @@ class StorageSpec extends SparkSpec {
     intercept[NoSuchElementException](gs.restoreToTag("no_such_tag"))
   }
 
+  test("restoreAsOf equals the pre-restore as-of view on a randomized history") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map(i =>
+      (i.toLong, t(1000L + rnd.nextInt(20000)), s"v$i"))
+    for (cut <- Seq(1000L, 7321L, 15000L, 25000L)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_restore_eq").toString
+      val store2 = new TopicStore(spark, dir, bucketMinutes = 60)
+      store2.append("h", rows.toDF("id", "time", "v"))
+      val expected = store2.readAsOf("h", cut)
+        .select("id").as[Long].collect().sorted.toSeq
+      store2.restoreAsOf("h", cut)
+      val got =
+        if (store2.read("h").isEmpty) Seq.empty
+        else store2.read("h").select("id").as[Long].collect().sorted.toSeq
+      assert(got == expected, s"cutoff $cut: restore must equal the as-of view")
+    }
+  }
+
   test("topic_policies relation exposes per-topic lifecycle config via SQL") {
     import spark.implicits._
     val gs = new GraftSession(spark, tmp())
