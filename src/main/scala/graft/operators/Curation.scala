@@ -203,6 +203,34 @@ object Curation {
         .orderBy(col("source"), col("rn"))
     }),
 
+    // Quality-ANNEALED training schedule — the data-ordering rule
+    // modern pretraining runs use (a final "annealing" phase fed the
+    // highest-quality slice, per the MiniCPM / Llama-3 recipes): rank
+    // the corpus by tx17's frozen quality logit and mark the docs
+    // whose quality-descending token prefix fits the anneal budget
+    // (top 10% of tokens) as phase='anneal' — the trainer streams
+    // 'main' first and the anneal slice last. The global
+    // token-prefix-in-quality-order is the scale hazard (a naive
+    // unpartitioned window = one task holding the corpus); GroupPrefix
+    // makes it two partition-parallel passes, so task input is
+    // bounded by partition size at any corpus. Integer logit + token
+    // counts keep the schedule engine-exact and rerun-stable.
+    "sp08_anneal_schedule" -> ((s, d) => {
+      val scored = qualityScored(docs(s, d))
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"), col("score"))
+      val tot = scored.agg(sum(col("n_words")).as("tot"))
+      val ranked = graft.functions.GroupPrefix.groupPrefixC(
+        scored.withColumn("g", lit(1)), "g",
+        Seq(col("score").desc, col("doc_id")), Some("n_words"),
+        rnName = "qrank", cumName = "cum_before")
+      ranked.crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_words"), col("score"),
+          col("qrank").cast("int").as("qrank"), col("cum_before"),
+          when(col("cum_before") * 10 < col("tot"), "anneal")
+            .otherwise("main").as("phase"))
+        .orderBy(col("qrank"))
+    }),
+
     // Cross-split contamination AUDIT — the leakage check that runs
     // after sp05's split assignment and before training: does any
     // held-out (val/test) doc share a word 5-gram with the train
@@ -913,6 +941,19 @@ object Curation {
         |  FROM pc2)
         |SELECT rank, merged, pair, pair_count FROM r
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "sp08_anneal_schedule" ->
+      s"""WITH ${QualityWeights.scoredCteSql},
+        |tot AS (SELECT CAST(sum(n_words) AS BIGINT) AS tot FROM qsc),
+        |r AS (
+        | SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS qrank,
+        |  CAST(COALESCE(sum(n_words) OVER (ORDER BY score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        | FROM qsc)
+        |SELECT doc_id, n_words, score, qrank, cum_before,
+        | CASE WHEN cum_before * 10 < tot THEN 'anneal' ELSE 'main' END AS phase
+        |FROM r, tot ORDER BY qrank""".stripMargin,
 
     "tx21_chunk" ->
       """WITH w AS (
