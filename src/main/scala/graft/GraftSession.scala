@@ -349,6 +349,30 @@ class GraftSession(val spark: SparkSession, root: String) {
     }
   }
 
+  /** CDC-tail an EXISTING topic: arriving rows classify as insert /
+    * update / delete against the topic's own observed history and
+    * land in `changeTopic`
+    * ([[graft.streaming.TopicStream.changesStream]] wired to
+    * [[subscribe]]). The first micro-batch replays the topic's
+    * current content as the INITIAL SNAPSHOT — every live key emits
+    * one `insert` (the Delta change-feed convention for a feed
+    * started mid-life) and simultaneously builds the classification
+    * state, so every later revision correctly reads as an update /
+    * delete. `stateTopic`/`changeTopic` are store-level pipeline
+    * topics (the lineDedupBatch convention). Start the returned
+    * writer with a checkpointLocation. Within a batch the newest `ts`
+    * per key wins, so this suits topics where (key, ts) orders
+    * versions (publish/append streams); for upsert-delta topics whose
+    * versions can tie on ts, diff with [[changes]] instead. */
+  def subscribeChanges(name: String, keyCol: String,
+                       stateTopic: String, changeTopic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val arrivals = subscribe(name).drop("bucket", "_seq")
+      .withColumnRenamed("time", "ts")
+    graft.streaming.TopicStream.changesStream(
+      arrivals, store, keyCol, stateTopic, changeTopic)
+  }
+
   /** Row-level change feed of an upsert topic between two inclusive
     * epoch-second instants ([[graft.sources.TopicStore.readChanges]]):
     * insert/update/delete per key, delta-proportional cost. Refs

@@ -411,6 +411,33 @@ class StreamingSpec extends SparkSpec {
     assert(state() == expected, "a replayed micro-batch must rewrite the same version")
   }
 
+  test("subscribeChanges CDC-tails a live topic: snapshot inserts, then updates/deletes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_subchg").toString
+    val gs = new GraftSession(spark, root)
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    gs.publish("kvt", Seq((1L, t(1000), "a", false), (2L, t(1000), "b", false))
+      .toDF("key", "time", "v", "_tombstone"))
+    val q = gs.subscribeChanges("kvt", "key", "kvt_state", "kvt_chg")
+      .option("checkpointLocation", s"$root/_ckpt").start()
+    try {
+      q.processAllAvailable()
+      def feed() = gs.store.readMerged("kvt_chg", "change_key")
+        .select("key", "v", "_change_type").as[(Long, String, String)]
+        .collect().sortBy(r => (r._1, r._3)).toSeq
+      // batch 0 replays the topic's current content as the initial
+      // snapshot: one insert per live key, state built as a side effect
+      assert(feed() == Seq((1L, "a", "insert"), (2L, "b", "insert")), s"got ${feed()}")
+      // a later revision + a tombstone classify against that state
+      gs.publish("kvt", Seq((1L, t(2000), "a2", false), (2L, t(2000), "b", true))
+        .toDF("key", "time", "v", "_tombstone"))
+      q.processAllAvailable()
+      assert(feed() == Seq(
+        (1L, "a", "insert"), (1L, "a2", "update"),
+        (2L, "b", "delete"), (2L, "b", "insert")), s"got ${feed()}")
+    } finally q.stop()
+  }
+
   test("chunkStream chunks arrivals; a shrinking revision drops its stale tail chunks") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
