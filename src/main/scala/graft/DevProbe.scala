@@ -25,7 +25,8 @@ object DevProbe {
         "dd15_keep_best","ss18_filtered_ann","ss19_semantic_decontam",
         "q29_recursive","sp07_epoch_order","tx18_substring_spans","tx19_bpe_merge",
         "ss20_pca_power","q30_json_extract","tx20_bpe_apply",
-        "tx21_chunk","tx22_tfidf_search","ss21_hybrid_rrf","sp08_anneal_schedule")
+        "tx21_chunk","tx22_tfidf_search","ss21_hybrid_rrf","sp08_anneal_schedule",
+        "ts20_asof_tolerance")
         .foreach { n =>
           println(s"\n## $n\n")
           println("```")
@@ -60,7 +61,7 @@ object DevProbe {
         "q29_recursive", "sp07_epoch_order", "tx18_substring_spans",
         "tx19_bpe_merge", "ss20_pca_power", "q30_json_extract", "tx20_bpe_apply",
         "tx21_chunk", "tx22_tfidf_search", "ss21_hybrid_rrf",
-        "sp08_anneal_schedule")
+        "sp08_anneal_schedule", "ts20_asof_tolerance")
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
       println("|---|---|---|---|---|---|")
       names.foreach { n =>

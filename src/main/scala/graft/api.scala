@@ -59,7 +59,8 @@ object api {
       * key-shuffle — no per-row range probe, skew-safe at scale.
       * Right rows must be unique per (key, time). */
     def asofJoin(right: DataFrame, leftKey: String, leftTime: String,
-                 rightKey: String, rightTime: String, payload: String): DataFrame = {
+                 rightKey: String, rightTime: String, payload: String,
+                 toleranceS: Long = 0L): DataFrame = {
       val l = df.withColumn("_is_l", lit(1))
         .select(col(leftKey).as("_k"), col(leftTime).as("_t"), col("_is_l"),
           struct(df.columns.toIndexedSeq.map(col): _*).as("_row"), lit(null).cast(right.schema(payload).dataType).as("_p"))
@@ -68,9 +69,21 @@ object api {
         lit(null).cast(l.schema("_row").dataType).as("_row"), col(payload).as("_p"))
       val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_is_l"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      l.union(r)
+      val joined = l.union(r)
         .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
-        .filter(col("_is_l") === 1)
+      // toleranceS > 0 = the ts20 match-window rule (kdb wj): a right
+      // row older than the window is NO match. A per-row comparison
+      // after the as-of resolution — topology unchanged.
+      val gated =
+        if (toleranceS <= 0) joined
+        else joined
+          .withColumn("_mt", last(when(col("_is_l") === 0, col("_t")),
+            ignoreNulls = true).over(w))
+          .withColumn("_m", when(
+            col("_mt").isNotNull &&
+              col("_t").cast("long") - col("_mt").cast("long") <= toleranceS,
+            col("_m")))
+      gated.filter(col("_is_l") === 1)
         .select(col("_row.*"), col("_m").as(payload))
     }
 

@@ -95,6 +95,42 @@ object TimeSeries {
         .orderBy(col("event_id"))
     }),
 
+    // As-of join with a MATCH TOLERANCE — the kdb `wj`/QuestDB
+    // `ASOF ... TOLERANCE` option ts03 stops short of: the most
+    // recent right row still wins, but only if it is no older than
+    // the window (7 days here); a staler match is reported as NO
+    // match (ord_key null, in_tol false) with the lag surfaced for
+    // the ones that hit. Same single union + per-key last-non-null
+    // plan as ts03 (one shuffle per side, no per-row range probe):
+    // tolerance is a per-row comparison AFTER the as-of resolution,
+    // so the topology — and the 100 TB story — is unchanged.
+    "ts20_asof_tolerance" -> ((s, d) => {
+      val TolS = 7L * 24 * 3600
+      val ord = Tables(s, d, "orders")
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+        .agg(max(col("o_orderkey")).as("ord_key"))
+        .withColumn("t", col("t") + expr("INTERVAL 29 YEARS"))
+      val e = ev(s, d).select(col("user_id").as("k"), col("ts").as("t"),
+        col("event_id"), lit(null).cast("long").as("ord_key"), lit(1).as("is_event"))
+      val o = ord.select(col("k").cast("long"), col("t"),
+        lit(null).cast("long").as("event_id"), col("ord_key"), lit(0).as("is_event"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("is_event"), col("event_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lagS = col("t").cast("long") - col("matched_t").cast("long")
+      val inTol = col("matched_t").isNotNull && lagS <= TolS
+      e.union(o)
+        .withColumn("matched_key", last(col("ord_key"), ignoreNulls = true).over(w))
+        .withColumn("matched_t",
+          last(when(col("is_event") === 0, col("t")), ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1)
+        .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+          when(inTol, col("matched_key")).as("ord_key"),
+          inTol.as("in_tol"),
+          when(inTol, lagS).as("lag_s"))
+        .orderBy(col("event_id"))
+    }),
+
     // Sliding 1h range window per key.
     "ts04_sliding" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s")).rangeBetween(-3600, 0)
@@ -419,6 +455,23 @@ object TimeSeries {
         |  max(o_orderkey) AS ord_key
         | FROM orders GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, e.ts, ord.ord_key
+        |FROM events e ASOF LEFT JOIN ord
+        | ON e.user_id = ord.k AND e.ts >= ord.t
+        |ORDER BY e.event_id""".stripMargin,
+    "ts20_asof_tolerance" ->
+      """WITH ord AS (
+        | SELECT o_custkey AS k, o_orderdate + INTERVAL 29 YEARS AS t,
+        |  max(o_orderkey) AS ord_key
+        | FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts,
+        | CASE WHEN ord.t IS NOT NULL
+        |       AND date_diff('second', ord.t, e.ts) <= 604800
+        |      THEN ord.ord_key END AS ord_key,
+        | (ord.t IS NOT NULL
+        |  AND date_diff('second', ord.t, e.ts) <= 604800) AS in_tol,
+        | CASE WHEN ord.t IS NOT NULL
+        |       AND date_diff('second', ord.t, e.ts) <= 604800
+        |      THEN CAST(date_diff('second', ord.t, e.ts) AS BIGINT) END AS lag_s
         |FROM events e ASOF LEFT JOIN ord
         | ON e.user_id = ord.k AND e.ts >= ord.t
         |ORDER BY e.event_id""".stripMargin,

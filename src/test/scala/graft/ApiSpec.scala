@@ -529,6 +529,23 @@ class ApiSpec extends SparkSpec {
       math.abs(r.getDouble(3)) < 0.05), s"off-axis loadings must be small: ${pd.toSeq}")
   }
 
+  test("asofJoin tolerance gates stale matches like ts20") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, t(1000), "e1"), (1L, t(5000), "e2"), (2L, t(5000), "e3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, t(900), 10L), (2L, t(100), 20L)).toDF("k", "rt", "p")
+    // without tolerance both of key 1's events match p=10, key 2 matches p=20
+    val open = left.asofJoin(right, "k", "ts", "k", "rt", "p")
+      .select("tag", "p").as[(String, Option[Long])].collect().toMap
+    assert(open == Map("e1" -> Some(10L), "e2" -> Some(10L), "e3" -> Some(20L)))
+    // 1000s tolerance: e1 (lag 100s) keeps its match, e2 (lag 4100s)
+    // and e3 (lag 4900s) lose theirs — stale rights are NO match
+    val tol = left.asofJoin(right, "k", "ts", "k", "rt", "p", toleranceS = 1000L)
+      .select("tag", "p").as[(String, Option[Long])].collect().toMap
+    assert(tol == Map("e1" -> Some(10L), "e2" -> None, "e3" -> None), s"got $tol")
+  }
+
   test("chunkWindows matches tx21's chunk identities and covers every word") {
     import spark.implicits._
     val docsDf = Tables(spark, sfDir, "documents")
