@@ -1216,6 +1216,22 @@ class StorageSpec extends SparkSpec {
     intercept[IllegalArgumentException](gs2.tagSnapshot("kv_tuesday", "bad", 1000L))
   }
 
+  test("GraftSession.changes resolves catalog refs to the store-level CDC diff") {
+    import spark.implicits._
+    val gs = new GraftSession(spark, tmp())
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    gs.createTopic("kv")
+    gs.store.upsert("ella.public.kv",
+      Seq((1L, t(1000), "a")).toDF("key", "time", "v"), seq = Some(1L))
+    gs.store.upsert("ella.public.kv",
+      Seq((1L, t(2000), "a2"), (2L, t(2000), "b")).toDF("key", "time", "v"), seq = Some(2L))
+    // bare name resolves through the session's catalog context
+    val got = gs.changes("kv", "key", 1500L, 3000L)
+      .select("key", "v", "_change_type").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a2", "update"), (2L, "b", "insert")), s"got $got")
+  }
+
   test("restoreToTag rewrites the topic back to the pinned state, O(after-cutoff buckets)") {
     import spark.implicits._
     val gs = new GraftSession(spark, tmp())
