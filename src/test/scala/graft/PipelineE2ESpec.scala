@@ -90,5 +90,51 @@ class PipelineE2ESpec extends SparkSpec {
     gs.shutdown()
   }
 
+  test("retrieval e2e: chunk -> lexical + vector shortlists -> RRF finds the planted doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // synthetic corpus, NOT the testdata tables — the verbs must
+    // compose on any (id, text) frame. Doc 7 is the planted target:
+    // it alone is dense in the query terms, and its fake embedding is
+    // built from the same generator as the query vector.
+    val docsDf = (0L until 40L).map { i =>
+      val filler = (1 to 30).map(j => s"w${(i + j) % 17}").mkString(" ")
+      val text = if (i == 7L) s"solar panel efficiency $filler solar panel" else filler
+      (i, text)
+    }.toDF("doc_id", "text")
+    // deterministic hash-derived embeddings; the query vector reuses
+    // doc 7's generator so the vector side also ranks doc 7 first
+    def fakeEmb(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(15)), j =>
+        ((pmod(hash(id, j), lit(201)).cast("float") - 100f) / 100f).cast("float"))
+    val emb = docsDf.select(col("doc_id"), fakeEmb(col("doc_id")).as("embedding"))
+    // 1. chunk: every doc splits cleanly with stable identities
+    val chunks = docsDf.chunkWindows("doc_id", "text", width = 16, stride = 12)
+    assert(chunks.count() >= 40 * 2,
+      "30+ word docs at stride 12 must yield multiple chunks each")
+    // 2. lexical shortlist over the CHUNK corpus (retrieval unit =
+    // chunk), rolled up to docs: the planted doc must rank first
+    val lexDoc = chunks
+      .withColumn("cid", concat(col("doc_id"), lit("#"), col("chunk_idx")))
+      .tfidfTopK("cid", "chunk_text", Seq("solar", "panel"), k = 50)
+      .withColumn("doc_id", split_part(col("cid"), lit("#"), lit(1)).cast("long"))
+      .groupBy("doc_id").agg(max("score").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+    assert(lexDoc.orderBy("rank").select("doc_id").as[Long].head() == 7L,
+      "the planted doc must top the lexical shortlist")
+    // 3. vector shortlist vs the query vector (doc 7's generator)
+    val q = emb.filter(col("doc_id") === 7L).select(col("embedding").as("q_emb"))
+    val vecTop = emb.cosineTopK("embedding", q, "q_emb", 50, "doc_id")
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+    // 4. fuse: rank-based RRF must put the doc both retrievers agree
+    // on at the top
+    val fused = vecTop.rrfFuse(lexDoc, "doc_id")
+    assert(fused.select("doc_id").as[Long].head() == 7L,
+      s"fusion must surface the planted doc: ${fused.collect().toSeq}")
+  }
+
   private def split_part_tokens(c: org.apache.spark.sql.Column) = split(c, " ")
 }
