@@ -31,7 +31,8 @@ object Serve {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.connect.grpc.binding.port", port)
       .getOrCreate()
-    val session = start(spark, root, port, sys.env.get("GRAFT_SERVE_TOKEN"))
+    val session = start(spark, root, port, sys.env.get("GRAFT_SERVE_TOKEN"),
+      metricsPort = sys.env.get("GRAFT_METRICS_PORT").map(_.toInt))
     println(s"graft serve: sc://localhost:$port (root=$root)")
     // SIGTERM (or any JVM exit): stop the endpoint and checkpoint the
     // catalog — the reference's ctrl-c -> rt.shutdown() path
@@ -55,9 +56,16 @@ object Serve {
     * authenticate via `sc://host:port/;token=<t>` (or the raw
     * Authorization header). None = open endpoint (trusted-network
     * dev mode, and the conf is explicitly cleared so a previously
-    * served token does not leak into this server's lifetime). */
+    * served token does not leak into this server's lifetime).
+    *
+    * `metricsPort`: when set, also start a [[MetricsServer]] scrape
+    * endpoint on that port (the reference serves its gauges next to
+    * its Flight endpoint the same way — ella-cli/src/serve.rs boots
+    * `MetricsServer::start` alongside the server; metrics/server.rs:16).
+    * [[shutdown]] stops it with the service. */
   def start(spark: SparkSession, root: String, port: Int,
-            token: Option[String] = None): GraftSession = {
+            token: Option[String] = None,
+            metricsPort: Option[Int] = None): GraftSession = {
     // the service reads the port from the context's SparkConf (via
     // SparkEnv), not the SQL runtime conf — set it where it looks
     token match {
@@ -77,8 +85,16 @@ object Serve {
     gs.registerSparkCatalog()
     refresh(gs)
     org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
+    metrics = metricsPort.map { mp =>
+      val h = MetricsServer.start(spark, mp)
+      println(s"graft metrics: http://localhost:${h.port}/metrics")
+      h
+    }
     gs
   }
+
+  // serve-lifetime scrape endpoint, if requested; stopped in shutdown()
+  @volatile private var metrics: Option[MetricsServer.Handle] = None
 
   /** (Re-)publish the catalog's topics to remote clients. Connect
     * clients get ISOLATED SparkSessions over the same SparkContext;
@@ -105,6 +121,7 @@ object Serve {
   }
 
   def shutdown(session: GraftSession): Unit = {
+    metrics.foreach(_.stop()); metrics = None
     org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
     session.shutdown()
   }

@@ -762,7 +762,7 @@ object Curation {
         | FROM lines l JOIN keeper k USING (line))
         |SELECT doc_id, count(*) AS n_lines,
         | CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
-        | ((count(*) - sum(CASE WHEN kept THEN 0 ELSE 1 END)) * 1000) // count(*) AS kept_milli,
+        | CAST(((count(*) - sum(CASE WHEN kept THEN 0 ELSE 1 END)) * 1000) // count(*) AS BIGINT) AS kept_milli,
         | substr(md5(coalesce(string_agg(line, '|' ORDER BY pos) FILTER (WHERE kept), '')), 1, 8) AS kept_fp8
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx17_quality_classifier" ->

@@ -498,7 +498,7 @@ object Relational {
         |)
         |SELECT strftime(m.m, '%Y-%m') AS month,
         |  count(o.o_orderkey) AS n_orders,
-        |  coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS rev_cents
+        |  CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS rev_cents
         |FROM months m LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.m
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_json_extract" ->

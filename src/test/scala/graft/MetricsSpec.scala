@@ -168,4 +168,45 @@ class MetricsSpec extends SparkSpec {
     assert(ids == Seq(8L, 9L, 10L),
       s"ring must keep only the newest maxBatches entries, got $ids")
   }
+
+  test("OpenMetrics endpoint serves query + stream gauges and releases its port on stop") {
+    def scrape(port: Int): (String, String) = {
+      val conn = new java.net.URL(s"http://localhost:$port/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try {
+        val body = new String(conn.getInputStream.readAllBytes,
+          java.nio.charset.StandardCharsets.UTF_8)
+        (body, conn.getContentType)
+      } finally conn.disconnect()
+    }
+    // share a monitor so we can inject a stream sample without running
+    // a real streaming query (the record path is spec-covered above)
+    val mon = new Metrics.StreamMonitor
+    spark.streams.addListener(mon)
+    val h = MetricsServer.start(spark, port = 0, monitor = Some(mon))
+    try {
+      // generate task metrics, then inject a latest-batch stream sample
+      Tables(spark, sfDir, "documents").count()
+      mon.record(Metrics.BatchProgress(
+        "scrape\"me", 7L, 42L, 50.0, 10.0, 12L, "2026-01-01T00:00:00.000Z", None))
+      val (body, ctype) = scrape(h.port)
+      assert(ctype.startsWith("application/openmetrics-text"), ctype)
+      assert(body.endsWith("# EOF\n"), body.takeRight(80))
+      val inputRec = body.linesIterator
+        .find(_.startsWith("graft_input_records_total "))
+        .map(_.split(' ')(1).toLong)
+      assert(inputRec.exists(_ > 0), s"expected a positive input-records counter:\n$body")
+      assert(body.contains("""graft_stream_input_rows{query="scrape\"me"} 42"""),
+        s"stream gauge with escaped label missing:\n$body")
+      assert(body.contains("""graft_stream_overloaded{query="scrape\"me"} 1"""),
+        s"arrival 50 > drain 10 must gauge overloaded=1:\n$body")
+    } finally {
+      h.stop()
+      spark.streams.removeListener(mon)
+    }
+    h.stop() // idempotent
+    // the port is actually released: a fresh bind on it succeeds
+    val ss = new java.net.ServerSocket(h.port)
+    ss.close()
+  }
 }

@@ -8,6 +8,11 @@ Loads each <out>/<name> parquet written by graft.Verify, runs the
 matching oracle SQL from <out>/oracle_sql.json in DuckDB with views
 over the same testdata parquet, and compares:
   - schema (column names, sorted)
+  - dtypes: DuckDB DESCRIBE of the oracle SQL vs the Spark parquet
+    schema, per column name. This is what the driver's hash sees:
+    a DuckDB sum(BIGINT) is HUGEINT while Spark emits BIGINT, and
+    Python-level value compare is blind to it — so any type drift
+    is a local FAIL even when values match.
   - row count
   - values: exact match on column-name-sorted, row-sorted tuples
 """
@@ -50,6 +55,15 @@ def main():
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}"); n_fail += 1; continue
+        gtypes = dict((r[0], r[1]) for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall())
+        etypes = dict((r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall())
+        dtbad = [(c, gtypes[c], etypes[c]) for c in sorted(gtypes)
+                 if gtypes[c] != etypes[c]]
+        if dtbad:
+            print(f"FAIL {name}: dtype drift (spark vs oracle): " +
+                  ", ".join(f"{c}: {g} != {e}" for c, g, e in dtbad))
+            n_fail += 1; continue
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
         g = sorted(key([r[i] for i in gi]) for r in got)
