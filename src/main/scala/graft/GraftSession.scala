@@ -289,7 +289,9 @@ class GraftSession(val spark: SparkSession, root: String) {
         catalog.createTopic(pol.downsampleTo, store, ifNotExists = true)
         pol.copy(downsampleTo = catalog.resolve(pol.downsampleTo))
       }
-    store.retentionSweep(fqn, resolved)
+    // tag guard: no bucket a live snapshot tag pins may expire
+    val protect = catalog.tagsFor(fqn).map(_._2).maxOption
+    store.retentionSweep(fqn, resolved, protect)
   }
 
   /** Run a topic's scheduled compaction if its cadence says it is due.
@@ -328,10 +330,14 @@ class GraftSession(val spark: SparkSession, root: String) {
   /** Pin `topic`'s state as of an instant under a named SNAPSHOT TAG
     * (Iceberg-ref style): `table(tag)` then resolves to the
     * bucket-pruned as-of scan forever — a training run that records
-    * its tag has a reproducible input regardless of later appends.
+    * its tag has a reproducible input. The pin is two-axis (data-time
+    * cutoff + the topic's write-version at tag time), so later
+    * upserts can't enter the tag even backdated; see
+    * [[graft.sources.TopicCatalog.Tag]] for the append-only caveat.
     * `keyCol` set pins the MERGED view of an upsert topic (latest
     * version per key at the cutoff, tombstones dropped). Metadata
-    * only — no data copies; drop with `execute("DROP TABLE tag")`. */
+    * only — no data copies; drop with `execute("DROP TABLE tag")`.
+    * [[maintain]]'s retention sweep never expires tagged buckets. */
   def tagSnapshot(topic: String, tag: String, asOfEpochS: Long,
                   tsCol: String = "time", keyCol: Option[String] = None): Unit =
     catalog.createTag(tag, topic, asOfEpochS, tsCol, keyCol)
@@ -344,7 +350,24 @@ class GraftSession(val spark: SparkSession, root: String) {
   def restoreToTag(tag: String): Seq[Long] = {
     val fqn = catalog.resolve(tag)
     catalog.tagInfo(fqn) match {
-      case Some((topic, asOf, tsCol)) => store.restoreAsOf(topic, asOf, tsCol)
+      case Some((topic, asOf, tsCol)) =>
+        // resolve through the topic's REGISTERED path (a topic rooted
+        // outside the session store would otherwise silently restore
+        // nothing), and refuse to truncate history a LATER live tag
+        // still pins — disaster recovery must not break another pin
+        val path = catalog.registeredPath(topic).getOrElse(
+          throw new NoSuchElementException(
+            s"snapshot tag $fqn targets a missing topic: $topic"))
+        val later = catalog.tagsFor(topic).filter(_._2 > asOf)
+        if (later.nonEmpty) throw new IllegalStateException(
+          s"restoreToTag($fqn): later live tags pin history past the cutoff: " +
+            later.map(_._1).mkString(", ") + " — drop them first")
+        val slash = path.lastIndexOf('/')
+        val st = new graft.sources.TopicStore(spark, path.substring(0, slash))
+        val nm = path.substring(slash + 1)
+        if (!st.exists(nm)) throw new NoSuchElementException(
+          s"restoreToTag($fqn): topic directory missing for $topic at $path")
+        st.restoreAsOf(nm, asOf, tsCol)
       case None => throw new NoSuchElementException(s"snapshot tag not found: $fqn")
     }
   }

@@ -69,20 +69,24 @@ object api {
         lit(null).cast(l.schema("_row").dataType).as("_row"), col(payload).as("_p"))
       val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_is_l"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // match time and payload ride ONE struct so the tolerance gate
+      // always judges the time of the row that supplied the payload —
+      // a null-payload right row must not refresh the clock for an
+      // older value it did not carry
       val joined = l.union(r)
-        .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
+        .withColumn("_match", last(
+          when(col("_is_l") === 0 && col("_p").isNotNull,
+            struct(col("_t").as("t"), col("_p").as("p"))),
+          ignoreNulls = true).over(w))
       // toleranceS > 0 = the ts20 match-window rule (kdb wj): a right
       // row older than the window is NO match. A per-row comparison
       // after the as-of resolution — topology unchanged.
       val gated =
-        if (toleranceS <= 0) joined
-        else joined
-          .withColumn("_mt", last(when(col("_is_l") === 0, col("_t")),
-            ignoreNulls = true).over(w))
-          .withColumn("_m", when(
-            col("_mt").isNotNull &&
-              col("_t").cast("long") - col("_mt").cast("long") <= toleranceS,
-            col("_m")))
+        if (toleranceS <= 0) joined.withColumn("_m", col("_match.p"))
+        else joined.withColumn("_m", when(
+          col("_match").isNotNull &&
+            col("_t").cast("long") - col("_match.t").cast("long") <= toleranceS,
+          col("_match.p")))
       gated.filter(col("_is_l") === 1)
         .select(col("_row.*"), col("_m").as(payload))
     }

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
 import org.apache.spark.sql.types.StructType
 import scala.collection.mutable
 
@@ -139,14 +140,25 @@ class TopicCatalog(spark: SparkSession, root: String,
   case object Namespace extends Entry { val kind = "namespace" }
   /** Named SNAPSHOT TAG — an immutable catalog pin of a topic's state
     * AS OF an instant (the Iceberg tag / Delta version-tag idea over
-    * the store's time travel): a training run reads the TAG, so its
-    * exact input is reproducible forever regardless of later appends
-    * or upserts. `keyCol` set = merged view (latest version per key at
-    * the cutoff, tombstones dropped); unset = raw append-only
-    * snapshot. Metadata-only — no data is copied; the pin costs one
-    * manifest row and resolves to a bucket-pruned as-of scan. */
+    * the store's time travel). `keyCol` set = merged view (latest
+    * version per key at the cutoff, tombstones dropped); unset = raw
+    * append-only snapshot. Metadata-plus-one-scalar — no data is
+    * copied; the pin costs one manifest row and resolves to a
+    * bucket-pruned as-of scan.
+    *
+    * Reproducibility is pinned on TWO axes: the data-time cutoff
+    * (`asOfEpochS` over `tsCol`) and a WRITE-VERSION cutoff
+    * (`seqCutoff` = the topic's max `_seq` at tag time), so a later
+    * upsert carrying a backdated timestamp — or a backdated higher
+    * version — cannot change what the tag resolves to. Append-only
+    * topics have no version column (`seqCutoff` = None); for them the
+    * pin holds against backdated appends only if writers don't
+    * backdate — the documented caveat. Retention is tag-aware:
+    * [[graft.GraftSession.maintain]] never expires a bucket a live
+    * tag still references. Drop with `execute("DROP TABLE tag")`. */
   case class Tag(topic: String, asOfEpochS: Long, tsCol: String,
-                 keyCol: Option[String]) extends Entry { val kind = "tag" }
+                 keyCol: Option[String],
+                 seqCutoff: Option[Long] = None) extends Entry { val kind = "tag" }
 
   private val manifestPath = Paths.get(s"$root/_graft_catalog.json")
   private val logPath = Paths.get(s"$root/_graft_catalog.log")
@@ -355,27 +367,63 @@ class TopicCatalog(spark: SparkSession, root: String,
   /** Pin `topicRef`'s state as of `asOfEpochS` under the tag name
     * `ref`. The target must be a registered (non-temp) topic; tags of
     * tags or views are rejected — the pin must ground in stored
-    * shards or its meaning would drift with the view. */
+    * shards or its meaning would drift with the view.
+    *
+    * For upsert topics the pin also records the snapshot's max `_seq`
+    * (one bucket-pruned agg scan at tag time), so a later backdated
+    * write can never enter — or win inside — the tagged view. */
   def createTag(ref: String, topicRef: String, asOfEpochS: Long,
                 tsCol: String = "time", keyCol: Option[String] = None): Unit = {
     val fqn = resolve(ref); val target = resolve(topicRef)
     if (!entries.contains(target)) reload()
-    entries.get(target) match {
-      case Some(Topic(_, _, _, _)) => ()
+    val path = entries.get(target) match {
+      case Some(Topic(p, _, _, _)) => p
       case Some(e) => throw new IllegalArgumentException(
         s"snapshot tags must target a stored topic; $target is a ${e.kind}")
       case None => throw new NoSuchElementException(s"topic not found: $target")
     }
     require(!entries.contains(fqn), s"tag already exists: $fqn")
-    entries(fqn) = Tag(target, asOfEpochS, tsCol, keyCol)
+    val (ts, nm) = storeAt(path)
+    val seqCutoff =
+      if (ts.exists(nm) && ts.read(nm).columns.contains("_seq"))
+        Option(ts.readAsOf(nm, asOfEpochS, tsCol)
+          .agg(max(col("_seq"))).head.get(0)).map(_.asInstanceOf[Long])
+      else None
+    entries(fqn) = Tag(target, asOfEpochS, tsCol, keyCol, seqCutoff)
     commit("put", fqn, Some(entries(fqn)))
+  }
+
+  /** A [[TopicStore]] rooted at a registered topic path's parent, plus
+    * the topic's directory name — how tag reads reach a topic whose
+    * registered root differs from the session store's. The as-of read
+    * only filters on epoch-second bucket values, so the throwaway
+    * store's bucketMinutes never enters. */
+  private def storeAt(path: String): (TopicStore, String) = {
+    val slash = path.lastIndexOf('/')
+    (new TopicStore(spark, path.substring(0, slash)), path.substring(slash + 1))
+  }
+
+  /** The registered storage path of a topic entry, if `ref` is one. */
+  def registeredPath(ref: String): Option[String] = {
+    if (!entries.contains(resolve(ref))) reload()
+    entries.get(resolve(ref)).collect { case Topic(p, _, _, _) => p }
+  }
+
+  /** Live snapshot tags pinning `topicRef`: (tag fqn, data-time
+    * cutoff). What retention must not expire and restore must not
+    * truncate past. */
+  def tagsFor(topicRef: String): Seq[(String, Long)] = {
+    val target = resolve(topicRef)
+    entries.toSeq.collect {
+      case (n, Tag(t, asOf, _, _, _)) if t == target => (n, asOf)
+    }
   }
 
   /** (target topic fqn, cutoff, tsCol) of a tag, None if not a tag. */
   def tagInfo(ref: String): Option[(String, Long, String)] = {
     if (!entries.contains(resolve(ref))) reload()
     entries.get(resolve(ref)).collect {
-      case Tag(topic, asOf, tsCol, _) => (topic, asOf, tsCol)
+      case Tag(topic, asOf, tsCol, _, _) => (topic, asOf, tsCol)
     }
   }
 
@@ -396,22 +444,25 @@ class TopicCatalog(spark: SparkSession, root: String,
       case TempTopic(df) => df
       case View(sql, None) => spark.sql(sql)
       case View(_, Some(path)) => spark.read.parquet(path)
-      case Tag(topic, asOf, tsCol, keyCol) =>
+      case Tag(topic, asOf, tsCol, keyCol, seqCutoff) =>
         // resolve through the target topic's REGISTERED path (the
-        // session's store root differs from the catalog root); the
-        // as-of read only filters on epoch-second bucket values, so
-        // the throwaway store's bucketMinutes never enters
+        // session's store root differs from the catalog root)
         val path = entries.get(topic) match {
           case Some(Topic(p, _, _, _)) => p
           case _ => throw new NoSuchElementException(
             s"snapshot tag $ref targets a missing topic: $topic")
         }
-        val slash = path.lastIndexOf('/')
-        val ts = new TopicStore(spark, path.substring(0, slash))
-        val nm = path.substring(slash + 1)
+        val (ts, nm) = storeAt(path)
+        val snap = ts.readAsOf(nm, asOf, tsCol)
+        // the write-version half of the pin: versions stamped after
+        // tag time are invisible even when backdated under the cutoff
+        val pinned = seqCutoff match {
+          case Some(sc) => snap.filter(col("_seq") <= sc)
+          case None => snap
+        }
         keyCol match {
-          case Some(k) => ts.readMergedAsOf(nm, k, asOf, tsCol)
-          case None    => ts.readAsOf(nm, asOf, tsCol)
+          case Some(k) => ts.mergeLatest(pinned, k)
+          case None    => pinned
         }
       case Namespace =>
         throw new IllegalArgumentException(s"$ref is a namespace, not a table")
@@ -475,10 +526,11 @@ class TopicCatalog(spark: SparkSession, root: String,
       }
     case View(sql, mp) =>
       o.put("kind", "view"); o.put("sql", sql); mp.foreach(o.put("path", _))
-    case Tag(topic, asOf, tsCol, keyCol) =>
+    case Tag(topic, asOf, tsCol, keyCol, seqCutoff) =>
       o.put("kind", "tag"); o.put("topic", topic)
       o.put("asOfEpochS", asOf); o.put("tsCol", tsCol)
       keyCol.foreach(o.put("keyCol", _))
+      seqCutoff.foreach(sc => { o.put("seqCutoff", sc); () })
     case Namespace => o.put("kind", "namespace"); ()
     case TempTopic(_) =>
       throw new IllegalStateException("temporary topics are never persisted")
@@ -520,7 +572,8 @@ class TopicCatalog(spark: SparkSession, root: String,
         entries(name) = Tag(node.path("topic").asText(),
           node.path("asOfEpochS").asLong(),
           node.path("tsCol").asText("time"),
-          Option(node.get("keyCol")).map(_.asText()))
+          Option(node.get("keyCol")).map(_.asText()),
+          Option(node.get("seqCutoff")).map(_.asLong()))
       case "namespace" => entries(name) = Namespace
       case _ => ()
     }

@@ -172,7 +172,7 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
   def readMerged(name: String, keyCol: String): DataFrame =
     mergeLatest(read(name), keyCol)
 
-  private def mergeLatest(df: DataFrame, keyCol: String): DataFrame = {
+  private[graft] def mergeLatest(df: DataFrame, keyCol: String): DataFrame = {
     val hasTomb = df.columns.contains("_tombstone")
     val others = df.columns.filterNot(c => c == keyCol || c == "_seq").toSeq
     val merged = df.groupBy(col(keyCol))
@@ -506,8 +506,14 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
     * Scale shape: the sweep lists bucket DIRS (no data read) to find
     * expired ones, scans only the expiring buckets (partition-pruned
     * `bucket IN (...)`) for the tier, and deletes O(expired) dirs —
-    * the live topic is never read. */
-  def retentionSweep(name: String, pol: RetentionPolicy): Seq[Long] = {
+    * the live topic is never read.
+    *
+    * `protectAtOrBelowEpochS`: buckets starting at or below this
+    * instant are NEVER expired, whatever their age — the tag guard
+    * ([[graft.GraftSession.maintain]] passes the newest live snapshot
+    * tag cutoff, so retention cannot delete data a tag still pins). */
+  def retentionSweep(name: String, pol: RetentionPolicy,
+                     protectAtOrBelowEpochS: Option[Long] = None): Seq[Long] = {
     require(pol.downsampleTo != name, "downsample tier must be a different topic")
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = new Path(topicPath(name))
@@ -520,6 +526,7 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
       if (buckets.isEmpty) return Seq.empty
       val horizon = buckets.last - pol.maxAgeMinutes * 60L
       val expired = buckets.filter(_ + bucketSeconds <= horizon)
+        .filter(b => protectAtOrBelowEpochS.forall(b > _))
       if (expired.isEmpty) return Seq.empty
       if (pol.downsampleTo.nonEmpty) {
         val every = pol.everyMinutes * 60L

@@ -271,23 +271,6 @@ object TopicStream {
       lineDedupBatch(store, lineTopic, outTopic)(b.toDF(), id)
     }
 
-  /** Streaming CDC — [[graft.sources.TopicStore.readChanges]]'s
-    * arrival loop: each micro-batch of keyed upsert rows (data
-    * columns + optional boolean `_tombstone`) is classified against
-    * the materialized `stateTopic` as insert / update / delete, the
-    * change rows land in `changeTopic`, and the batch folds into the
-    * state. Within a batch the LAST version per key wins (max by
-    * `ts`), matching last-write-wins downstream.
-    *
-    * Scale shape: the state topic is corpus-sized, so its scan is
-    * pruned by a Bloom filter over the batch's keys BEFORE any
-    * exchange (dd14's discipline) — per-batch cost is a pruned scan
-    * plus a batch-key-sized merge+join, never a corpus re-key.
-    * Replay-idempotent: state reads see only `_seq < batchId` (a
-    * replayed batch never classifies against its own fold), and both
-    * writes are `seq = batchId` upserts — `changeTopic` keyed by
-    * key#batch, so a replay overwrites its own identical change rows.
-    * Readers get the log via readMerged(changeTopic, "change_key"). */
   /** Streaming RAG chunker — tx21's arrival loop, the text-side twin
     * of [[pqEncodeStream]]: each micro-batch of docs splits into
     * `width`-word / `stride`-step chunks (chunkWindows' shape) and
@@ -305,8 +288,16 @@ object TopicStream {
     require(stride >= 1 && width >= stride,
       s"need width >= stride >= 1, got width=$width stride=$stride")
     docs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      // two revisions of one doc in a single micro-batch would chunk
+      // with the SAME _seq=batchId and doc_seq, letting readMerged
+      // interleave both versions — pre-reduce to the latest version
+      // per doc (max by ts, changesBatch's pattern) first
+      val latest = b.toDF()
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("ts"), col("text"))).as("_m"))
+        .select(col("doc_id"), col("_m.ts").as("ts"), col("_m.text").as("text"))
       val words = split(col("text"), " ")
-      val chunks = b.toDF()
+      val chunks = latest
         .select(col("doc_id"), col("ts").as("time"),
           posexplode(transform(
             sequence(lit(0), floor((size(words) - 1) / stride).cast("int")),
@@ -331,6 +322,23 @@ object TopicStream {
     merged.join(cur, "doc_id").filter(col("doc_seq") === col("_cur")).drop("_cur")
   }
 
+  /** Streaming CDC — [[graft.sources.TopicStore.readChanges]]'s
+    * arrival loop: each micro-batch of keyed upsert rows (data
+    * columns + optional boolean `_tombstone`) is classified against
+    * the materialized `stateTopic` as insert / update / delete, the
+    * change rows land in `changeTopic`, and the batch folds into the
+    * state. Within a batch the LAST version per key wins (max by
+    * `ts`), matching last-write-wins downstream.
+    *
+    * Scale shape: the state topic is corpus-sized, so its scan is
+    * pruned by a Bloom filter over the batch's keys BEFORE any
+    * exchange (dd14's discipline) — per-batch cost is a pruned scan
+    * plus a batch-key-sized merge+join, never a corpus re-key.
+    * Replay-idempotent: state reads see only `_seq < batchId` (a
+    * replayed batch never classifies against its own fold), and both
+    * writes are `seq = batchId` upserts — `changeTopic` keyed by
+    * key#batch, so a replay overwrites its own identical change rows.
+    * Readers get the log via readMerged(changeTopic, "change_key"). */
   def changesBatch(store: graft.sources.TopicStore, keyCol: String,
                    stateTopic: String, changeTopic: String)
                   (batch: DataFrame, batchId: Long): Unit = {

@@ -546,6 +546,25 @@ class ApiSpec extends SparkSpec {
     assert(tol == Map("e1" -> Some(10L), "e2" -> None, "e3" -> None), s"got $tol")
   }
 
+  test("asofJoin tolerance judges the time of the row that supplied the payload") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // key 1: a STALE payload at t=100 and a fresh NULL-payload row at
+    // t=4900 — the null row must not refresh the clock for the stale
+    // value; the 1000s gate must reject the t=100 match.
+    val left = Seq((1L, t(5000), "e1")).toDF("k", "ts", "tag")
+    val right = Seq((1L, t(100), Some(10L)), (1L, t(4900), None))
+      .toDF("k", "rt", "p")
+    val tol = left.asofJoin(right, "k", "ts", "k", "rt", "p", toleranceS = 1000L)
+      .select("tag", "p").as[(String, Option[Long])].collect().toMap
+    assert(tol == Map("e1" -> None),
+      s"stale payload must not ride a newer null row's timestamp: $tol")
+    // and without tolerance the stale value still resolves as-of
+    val open = left.asofJoin(right, "k", "ts", "k", "rt", "p")
+      .select("tag", "p").as[(String, Option[Long])].collect().toMap
+    assert(open == Map("e1" -> Some(10L)))
+  }
+
   test("chunkWindows matches tx21's chunk identities and covers every word") {
     import spark.implicits._
     val docsDf = Tables(spark, sfDir, "documents")

@@ -1216,6 +1216,76 @@ class StorageSpec extends SparkSpec {
     intercept[IllegalArgumentException](gs2.tagSnapshot("kv_tuesday", "bad", 1000L))
   }
 
+  test("snapshot tags pin the write version: backdated later upserts cannot change a tag") {
+    import spark.implicits._
+    val gs = new GraftSession(spark, tmp())
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    gs.createTopic("kv")
+    gs.store.upsert("ella.public.kv", Seq((1L, t(1000), "x")).toDF("key", "time", "v"), seq = Some(1L))
+    gs.tagSnapshot("kv", "pin", asOfEpochS = 2000L, keyCol = Some("key"))
+    // a later writer BACKDATES: ts under the cutoff, higher version
+    gs.store.upsert("ella.public.kv", Seq((1L, t(900), "evil")).toDF("key", "time", "v"), seq = Some(9L))
+    val pinned = gs.table("pin").select("key", "v").as[(Long, String)].collect().toSeq
+    assert(pinned == Seq((1L, "x")),
+      s"a backdated higher-_seq write must not win inside the pinned view: $pinned")
+    // same guard on a RAW (un-merged) tag of an upsert topic: the
+    // backdated version row must not appear at all
+    gs.tagSnapshot("kv", "pin_raw", asOfEpochS = 2000L)
+    gs.store.upsert("ella.public.kv", Seq((2L, t(800), "late")).toDF("key", "time", "v"), seq = Some(10L))
+    val raw = gs.table("pin_raw").select("v").as[String].collect().sorted.toSeq
+    assert(!raw.contains("late"), s"backdated row leaked into the raw pin: $raw")
+    // the pin survives a reload (seqCutoff is durable in the manifest)
+    val gs2 = new GraftSession(spark, gs.config("root"))
+    assert(gs2.table("pin").select("v").as[String].collect().toSeq == Seq("x"))
+  }
+
+  test("retention never expires buckets a live snapshot tag pins") {
+    import spark.implicits._
+    val gs = new GraftSession(spark, tmp())
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // buckets at 0, 3600, 90000: a 2h max-age from the newest would
+    // expire both old buckets — but a tag pins the middle one
+    gs.publish("sensor", Seq(
+      (1L, t(1000), 1.0), (2L, t(4000), 2.0), (3L, t(90000), 3.0))
+      .toDF("id", "time", "v"))
+    gs.tagSnapshot("sensor", "keep_old", asOfEpochS = 4500L)
+    gs.setRetention("sensor", maxAgeMinutes = 120L)
+    gs.maintain()
+    val ids = gs.table("sensor").select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"tagged buckets must survive the sweep: $ids")
+    assert(gs.table("keep_old").count() == 2)
+    // drop the tag: the next sweep is free to expire the old buckets
+    gs.execute("DROP TABLE keep_old")
+    gs.maintain()
+    val after = gs.table("sensor").select("id").as[Long].collect().sorted.toSeq
+    assert(after == Seq(3L), s"untagged expired buckets must drop: $after")
+  }
+
+  test("restoreToTag resolves the registered topic path and refuses to break later pins") {
+    import spark.implicits._
+    val gs = new GraftSession(spark, tmp())
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // a topic registered under a DIFFERENT root than the session store
+    val otherStore = new TopicStore(spark, tmp() + "/topics")
+    gs.catalog.createTopic("ext", otherStore)
+    otherStore.append("ella.public.ext",
+      Seq((1L, t(1000), "a"), (2L, t(9000), "b")).toDF("id", "time", "v"))
+    gs.tagSnapshot("ext", "ext_pin", asOfEpochS = 4500L)
+    val touched = gs.restoreToTag("ext_pin")
+    assert(touched.nonEmpty, "restore must find the registered path, not no-op")
+    assert(gs.table("ext").select("id").as[Long].collect().toSeq == Seq(1L),
+      "the externally-rooted topic must actually be restored")
+    // a LATER live tag blocks a destructive restore to an older one
+    gs.publish("feed", Seq((1L, t(1000), "a"), (2L, t(9000), "b")).toDF("id", "time", "v"))
+    gs.tagSnapshot("feed", "old_pin", asOfEpochS = 2000L)
+    gs.tagSnapshot("feed", "new_pin", asOfEpochS = 10000L)
+    val e = intercept[IllegalStateException](gs.restoreToTag("old_pin"))
+    assert(e.getMessage.contains("new_pin"), e.getMessage)
+    gs.execute("DROP TABLE new_pin")
+    assert(gs.restoreToTag("old_pin").nonEmpty, "restore proceeds once the later pin is gone")
+  }
+
   test("GraftSession.changes resolves catalog refs to the store-level CDC diff") {
     import spark.implicits._
     val gs = new GraftSession(spark, tmp())

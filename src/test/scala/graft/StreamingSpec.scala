@@ -460,6 +460,17 @@ class StreamingSpec extends SparkSpec {
       val revised = TopicStream.currentChunks(store, "chunks")
         .select("chunk_idx", "chunk_text").as[(Int, String)].collect().toSeq
       assert(revised == Seq((0, "x y")), s"stale tail chunks must drop: $revised")
+      // TWO revisions of one doc inside a single micro-batch: both
+      // would land with the same _seq=batchId and doc_seq, so only the
+      // pre-reduce (latest ts per doc) keeps versions from interleaving
+      input.addData(
+        StreamDoc(1, ts("2024-01-01 00:03:00"), "m n o p q", "en"),
+        StreamDoc(1, ts("2024-01-01 00:04:00"), "z w", "en"))
+      q.processAllAvailable()
+      val latest = TopicStream.currentChunks(store, "chunks")
+        .select("chunk_idx", "chunk_text").as[(Int, String)].collect().toSeq
+      assert(latest == Seq((0, "z w")),
+        s"within-batch revisions must resolve to the newest version only: $latest")
     } finally q.stop()
   }
 
