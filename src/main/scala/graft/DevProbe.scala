@@ -61,7 +61,8 @@ object DevProbe {
         "q29_recursive", "sp07_epoch_order", "tx18_substring_spans",
         "tx19_bpe_merge", "ss20_pca_power", "q30_json_extract", "tx20_bpe_apply",
         "tx21_chunk", "tx22_tfidf_search", "ss21_hybrid_rrf",
-        "sp08_anneal_schedule", "ts20_asof_tolerance")
+        "sp08_anneal_schedule", "ts20_asof_tolerance",
+        "ss22_ivfpq_batch", "tx23_bm25")
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
       println("|---|---|---|---|---|---|")
       names.foreach { n =>
@@ -74,6 +75,20 @@ object DevProbe {
           s"${m.shuffleAmplificationMilli} | ${m.shuffleSkewMilli} | " +
           s"${(m.diskBytesSpilled + m.memoryBytesSpilled) / (1024 * 1024)} |")
       }
+    } else if (args(0) == "--kmeans") {
+      // Time the full kmeansTrain loop (args: --kmeans <sfDir>
+      // [k] [maxIter]) — the multi-iteration verb has no queries()
+      // entry, so the blowup harness drives it here.
+      import graft.api._
+      val d = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val k = args.lift(2).map(_.toInt).getOrElse(10)
+      val maxIter = args.lift(3).map(_.toInt).getOrElse(5)
+      val e = Tables(spark, d, "embeddings")
+      val t0 = System.nanoTime()
+      val m = e.kmeansTrain("vec_id", "embedding", k, maxIter, epsMilli = 0L)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"kmeansTrain k=$k iter=${m.shiftsMilli.size} " +
+        f"converged=${m.converged} shifts=${m.shiftsMilli.mkString(",")} t=$secs%.2f s")
     } else if (args(0) == "--scalegen") {
       // Decorrelated corpus blowup for scaling-exponent measurements
       // (--scalegen <srcDir> <outDir> <mult>): each of the `mult`

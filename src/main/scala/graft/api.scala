@@ -750,5 +750,81 @@ object api {
         .orderBy(col("rrf_micro").desc, col(idCol))
         .limit(topK)
     }
+
+    /** Iterative Lloyd k-means to convergence — ss09's single
+      * iteration looped (the training loop ss14's seeded codebooks
+      * stop short of; reference analog: the IVF coarse-quantizer
+      * training an `ella-tensor` index build implies). Seeds `k`
+      * cells from a deterministic id-hash partition, then per
+      * iteration: broadcast-argmin assignment (zero fact-side
+      * shuffle), exact quantized-centi-long centroid recompute (one
+      * partial-agg'd (cell, pos) exchange — k x dim groups whatever
+      * the corpus size), and the max per-dim centroid shift in
+      * milli-units. Stops when the shift <= `epsMilli` or after
+      * `maxIter` rounds. Each round's frame is localCheckpoint'd
+      * (dd06's fixpoint discipline): iteration N's plan never embeds
+      * N-1 crossJoins. Driver cost per iteration is one k x dim
+      * scalar agg — the shift test — which is what makes the loop
+      * terminate data-independently; all data-sized work stays
+      * distributed. Empty cells drop (their centroids stop moving
+      * and stop being reported). */
+    def kmeansTrain(idCol: String, vecCol: String, k: Int,
+                    maxIter: Int = 10, epsMilli: Long = 0L): api.KmeansModel = {
+      require(k >= 1, s"k must be >= 1, got $k")
+      require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+      val e = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      def recompute(assigned: DataFrame): DataFrame =
+        assigned.select(col("cell"), posexplode(col("_v")))
+          .select(col("cell"), col("pos"),
+            floor(col("col").cast("double") * 100 + 0.5).cast("long").as("vq"))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(col("vq")).cast("double") / (count(lit(1)) * 100)).as("c"))
+      var cen = recompute(
+        e.withColumn("cell", pmod(xxhash64(col("_id")), lit(k.toLong))))
+        .localCheckpoint(true)
+      val shifts = scala.collection.mutable.ArrayBuffer[Long]()
+      var it = 0
+      var converged = false
+      while (it < maxIter && !converged) {
+        val next = recompute(api.VectorOpsSyntax(e).kmeansAssign("_v", cen))
+          .localCheckpoint(true)
+        val shift = next
+          .join(cen.select(col("cell"), col("pos"), col("c").as("c0")), Seq("cell", "pos"))
+          .agg(coalesce(max(
+            floor(abs(col("c") - col("c0")) * 1000 + 0.5).cast("long")), lit(0L)))
+          .head.getLong(0)
+        shifts += shift
+        cen = next
+        it += 1
+        converged = shift <= epsMilli
+      }
+      api.KmeansModel(cen, shifts.toSeq, converged)
+    }
+
+    /** Assign each row to its nearest centroid cell from a
+      * [[kmeansTrain]] model's (cell, pos, c) frame: the model folds
+      * to one broadcast array row and assignment is the ss03/ss09
+      * zero-shuffle per-row argmin. Adds a `cell` column. */
+    def kmeansAssign(vecCol: String, centroids: DataFrame): DataFrame = {
+      val cents = centroids
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          st => st.getField("c")).as("cvec"))
+        .agg(array_sort(collect_list(struct(col("cell"), col("cvec")))).as("cents"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cell", array_min(transform(col("cents"),
+          cc => struct(VectorFunctions.l2distSq(col(vecCol), cc.getField("cvec")).as("d2"),
+                       cc.getField("cell").as("cell")))).getField("cell"))
+        .drop("cents")
+    }
   }
+
+  /** Result of [[VectorOpsSyntax.kmeansTrain]]: `centroids` = (cell,
+    * pos, c) rows (pass to [[VectorOpsSyntax.kmeansAssign]]),
+    * `shiftsMilli` = max
+    * per-dim centroid movement per iteration, `converged` = the last
+    * shift was <= epsMilli (false = maxIter stopped the loop). */
+  final case class KmeansModel(centroids: DataFrame,
+                               shiftsMilli: Seq[Long],
+                               converged: Boolean)
 }

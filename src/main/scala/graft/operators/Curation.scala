@@ -527,8 +527,99 @@ object Curation {
           count(lit(1)).as("n_terms_hit"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // BM25 — the gated variant of tx22 (the q26/dd11 gate pattern
+    // applied to ranking): tx22 stops at rational idf because ln()
+    // is the one BM25 ingredient with no cross-engine bit guarantee.
+    // Here the full Robertson BM25 (k1=1.2, b=0.75, length
+    // normalization) ranks by a DETERMINISTIC reference score whose
+    // ln is a shared rational approximation — power-of-two range
+    // reduction (exact CASE on exactly-representable thresholds,
+    // exact division by 2^e) + a 4-term atanh series, all IEEE
+    // +,-,*,/ in pinned association order, so both engines compute
+    // bit-identical doubles (|aln - ln| < 2e-5 for z < 1/3). Each
+    // engine ALSO scores with its own native ln and gates it within
+    // 5e-4 of the reference — the boolean that proves the native
+    // BM25 is calibrated, exactly dd11's own-sketch-vs-exact-twin
+    // discipline. Exact integer twins (tf-idf score, dl, hit count)
+    // ride along for the hash. Scale shape = tx22: the term filter
+    // applies AT THE EXPLODE so only query-term postings cross the
+    // wire, the 3-row idf table broadcasts, and the length stats are
+    // one scalar agg — corpus size enters via the scan only.
+    "tx23_bm25" -> ((s, d) => {
+      val terms = Seq("vector", "join", "scan")
+      val wd = docs(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
+      val st = wd.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      val tf = wd.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("w")).agg(count(lit(1)).as("tf"))
+      val x = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+      val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(st))
+        .withColumn("idf_sc", expr("(1000000 * n_docs) DIV df"))
+        .withColumn("x", x)
+        .withColumn("ln_x", log(col("x")))
+        .withColumn("aln_x", approxLn(col("x")))
+        .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs").cast("double"))
+        .select("w", "idf_sc", "ln_x", "aln_x", "avgdl")
+      val sat = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+      tf.join(broadcast(idf), "w")
+        .withColumn("sat", sat)
+        .groupBy(col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("n_terms_hit"),
+          sum(col("tf") * col("idf_sc")).as("tfidf_exact"),
+          array_sort(collect_list(struct(col("w").as("w"),
+            (col("ln_x") * col("sat")).as("v")))).as("lv"),
+          array_sort(collect_list(struct(col("w").as("w"),
+            (col("aln_x") * col("sat")).as("v")))).as("av"))
+        .withColumn("bm25",
+          aggregate(col("lv"), lit(0.0), (acc, s) => acc + s.getField("v")))
+        .withColumn("bm25_ref",
+          aggregate(col("av"), lit(0.0), (acc, s) => acc + s.getField("v")))
+        .withColumn("bm25_micro", floor(col("bm25_ref") * lit(1000000.0)).cast("long"))
+        .withColumn("bm25_within_tol", abs(col("bm25") - col("bm25_ref")) <= lit(5e-4))
+        .select(col("doc_id"), col("dl"), col("n_terms_hit"), col("tfidf_exact"),
+          col("bm25_micro"), col("bm25_within_tol"))
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+        .limit(20)
     })
   )
+
+  /** Shared rational ln: exact power-of-two range reduction + 4-term
+    * atanh series. Every operation is IEEE +,-,*,/ (or an exact CASE
+    * threshold compare), written in the SAME association order as the
+    * oracle SQL — both engines produce bit-identical doubles. Valid
+    * for x in [1, 2^40); |error| < 2e-5. */
+  private def approxLn(x: Column): Column = {
+    var e: Column = lit(0.0)
+    var p: Column = lit(1.0)
+    for (k <- 1 to 40) {
+      val t = lit(math.pow(2.0, k))
+      e = when(x >= t, lit(k.toDouble)).otherwise(e)
+      p = when(x >= t, t).otherwise(p)
+    }
+    val m = x / p
+    val z = (m - lit(1.0)) / (m + lit(1.0))
+    val z2 = z * z
+    val z4 = z2 * z2
+    val z6 = z4 * z2
+    val series = lit(1.0) + z2 / lit(3.0) + z4 / lit(5.0) + z6 / lit(7.0)
+    e * lit(0.6931471805599453) + lit(2.0) * z * series
+  }
+
+  /** The oracle-side twin of [[approxLn]]'s range reduction: CASE
+    * chains over exact power-of-two thresholds. */
+  private def eCaseSql(x: String): String =
+    (40 to 1 by -1).map(k => s"WHEN $x >= ${math.pow(2.0, k).toLong}.0 THEN ${k}.0")
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+  private def pCaseSql(x: String): String =
+    (40 to 1 by -1).map(k => s"WHEN $x >= ${math.pow(2.0, k).toLong}.0 THEN ${math.pow(2.0, k).toLong}.0")
+      .mkString("CASE ", " ", " ELSE 1.0 END")
 
   /** tx18's core, reusable on any (doc_id, text) frame: maximal
     * corpus-duplicated char-`k`-gram spans per doc via the
@@ -977,6 +1068,49 @@ object Curation {
         |SELECT doc_id, CAST(sum(tf * idf_sc) AS BIGINT) AS score,
         | count(*) AS n_terms_hit
         |FROM tf JOIN idf USING (w)
-        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "tx23_bm25" ->
+      s"""WITH wd AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS ws,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+        | FROM documents),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM wd),
+        |h AS (
+        | SELECT doc_id, dl, w FROM
+        |  (SELECT doc_id, dl, unnest(ws) AS w FROM wd)
+        | WHERE w IN ('vector', 'join', 'scan')),
+        |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM h GROUP BY 1, 2, 3),
+        |idf0 AS (
+        | SELECT w, count(*) AS df, (1000000 * n_docs) // count(*) AS idf_sc,
+        |  (n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1.0 AS x,
+        |  CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+        | FROM tf, st GROUP BY w, n_docs, tot_dl),
+        |lr1 AS (SELECT *, ln(x) AS ln_x, ${eCaseSql("x")} AS e, x / ${pCaseSql("x")} AS mm FROM idf0),
+        |lr2 AS (SELECT *, (mm - 1.0) / (mm + 1.0) AS z FROM lr1),
+        |lr3 AS (SELECT *, z * z AS z2 FROM lr2),
+        |lr4 AS (SELECT *, z2 * z2 AS z4 FROM lr3),
+        |lr5 AS (SELECT *, z4 * z2 AS z6 FROM lr4),
+        |idf AS (
+        | SELECT w, idf_sc, ln_x,
+        |  e * 0.6931471805599453 + 2.0 * z * (1.0 + z2 / 3.0 + z4 / 5.0 + z6 / 7.0) AS aln_x,
+        |  avgdl
+        | FROM lr5),
+        |scored AS (
+        | SELECT t.doc_id, t.dl, t.w, t.tf, i.idf_sc,
+        |  (CAST(t.tf AS DOUBLE) * 2.2) /
+        |   (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(t.dl AS DOUBLE) / i.avgdl))) AS sat,
+        |  i.ln_x, i.aln_x
+        | FROM tf t JOIN idf i USING (w)),
+        |agg AS (
+        | SELECT doc_id, dl, count(*) AS n_terms_hit,
+        |  CAST(sum(tf * idf_sc) AS BIGINT) AS tfidf_exact,
+        |  list_sum(list(ln_x * sat ORDER BY w)) AS bm25,
+        |  list_sum(list(aln_x * sat ORDER BY w)) AS bm25_ref
+        | FROM scored GROUP BY 1, 2)
+        |SELECT doc_id, dl, n_terms_hit, tfidf_exact,
+        | CAST(floor(bm25_ref * 1000000.0) AS BIGINT) AS bm25_micro,
+        | abs(bm25 - bm25_ref) <= 0.0005 AS bm25_within_tol
+        |FROM agg ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -496,6 +496,69 @@ object Similarity {
         .orderBy(col("cos_exact").desc, col("vec_id")).limit(10)
     }),
 
+    // BATCH IVF-PQ — the production SERVING query: ss08's query-batch
+    // discipline composed with ss16's LUT-ADC. The index side is what
+    // a serving cluster actually stores: every corpus vector's cell +
+    // its PQ code INDICES, computed once (cell-partitioned + codes
+    // RAM-resident at 100 TB). The query batch (10 queries here)
+    // derives per-query probe cells (nprobe=2, ss06's multiprobe) and
+    // per-query LUTs (NumSub x K codeword distances — a few KB each),
+    // and the WHOLE batch broadcasts: the probe join touches only
+    // probed cells' codes, scoring is a pure LUT gather + fold (no
+    // float vectors until the rerank handful). Cost ∝ batch x nprobe
+    // x cell size — corpus scans appear only in index build, never
+    // per query. Exact-cosine rerank of each query's ADC top-10
+    // yields the final top-3 (ss08's per-query-k).
+    "ss22_ivfpq_batch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val cents = centroidArray(e)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // codebook derived FROM the cached centroid frame (pqSeed's
+      // shape without recomputing the centroid pipeline)
+      val cb = cents.select(
+        transform(subIdxCol, m =>
+          transform(col("cents"), c =>
+            struct(c.getField("c_label").as("code"),
+                   subSlice(c.getField("cvec"), m).as("svec")))).as("cb"))
+      val cellStructs = transform(col("cents"),
+        c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                    c.getField("c_label").as("cell")))
+      // the serving index: cell + precomputed PQ code indices
+      val coded = e.crossJoin(broadcast(cents)).crossJoin(broadcast(cb))
+        .withColumn("cell", array_min(cellStructs).getField("cell"))
+        .withColumn("cidx", transform(subIdxCol, m =>
+          array_min(transform(element_at(col("cb"), m + 1), (cw, i) =>
+            struct(l2distSq(subSlice(col("embedding"), m), cw.getField("svec")).as("d2"),
+                   cw.getField("code").as("code"), i.as("idx")))).getField("idx")))
+        .select(col("vec_id"), col("cell"), col("embedding"), col("cidx"))
+      // query batch: nprobe=2 probe cells + one LUT per query
+      val qlut = e.filter(col("vec_id") % 50 === 7)
+        .crossJoin(broadcast(cents)).crossJoin(broadcast(cb))
+        .withColumn("lut", transform(subIdxCol, m =>
+          transform(element_at(col("cb"), m + 1), cw =>
+            l2distSq(subSlice(col("embedding"), m), cw.getField("svec")))))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          explode(slice(array_sort(cellStructs), 1, 2).getField("cell")).as("q_cell"),
+          col("lut"))
+      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id"))
+      val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos_exact").desc, col("vec_id"))
+      coded.join(broadcast(qlut), col("cell") === col("q_cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adc", aggregate(
+          zip_with(subIdxCol, col("cidx"), (m, ci) =>
+            element_at(element_at(col("lut"), m + 1), ci + 1)),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("short", row_number().over(wAdc))
+        .filter(col("short") <= 10)
+        .withColumn("cos_exact", cosine(col("embedding"), col("q_emb")))
+        .withColumn("rank", row_number().over(wCos).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"), col("cell"), col("adc"),
+          col("cos_exact"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ANN RECALL AUDIT — dd08's vector twin: measure recall@10 of TWO
     // LSH configs (ss02's single 8-plane table vs ss07's 4-table
     // any-match amplifier) against the exact cosine top-10 ground
@@ -1436,6 +1499,80 @@ object Similarity {
         |     * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_exact
         |FROM cand c CROSS JOIN q
         |ORDER BY cos_exact DESC, c.vec_id LIMIT 10""".stripMargin,
+
+    "ss22_ivfpq_batch" ->
+      s"""WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |dist AS (
+        | SELECT e.vec_id, e.embedding, c.c_label,
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) AS dist2
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |cells AS (
+        | SELECT vec_id, embedding, c_label AS cell FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn FROM dist)
+        | WHERE rn = 1),
+        |subs AS (SELECT unnest(generate_series(0, ${NumSub - 1})) AS m),
+        |sb0 AS (
+        | SELECT s.m, c.c_label AS code,
+        |  list_transform(generate_series(1, $SubDim), j -> c.cvec[s.m*$SubDim + j]) AS svec
+        | FROM cvecs c CROSS JOIN subs s),
+        |enc AS (
+        | SELECT vec_id, m, code FROM (
+        |  SELECT d.vec_id, d.m, d.code,
+        |   row_number() OVER (PARTITION BY d.vec_id, d.m ORDER BY d.d2, d.code) AS rn
+        |  FROM (
+        |   SELECT e.vec_id, sb.m, sb.code,
+        |    list_sum(list_transform(generate_series(1, $SubDim),
+        |      j -> (CAST(e.embedding[sb.m*$SubDim + j] AS DOUBLE) - sb.svec[j])
+        |         * (CAST(e.embedding[sb.m*$SubDim + j] AS DOUBLE) - sb.svec[j]))) AS d2
+        |   FROM cells e CROSS JOIN sb0 sb) d)
+        | WHERE rn = 1),
+        |probes AS (
+        | SELECT vec_id AS q_id, embedding AS q_emb, c_label AS q_cell FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+        |  FROM dist WHERE vec_id % 50 = 7)
+        | WHERE rn <= 2),
+        |cand0 AS (
+        | SELECT p.q_id, p.q_emb, c.vec_id, c.cell, c.embedding
+        | FROM probes p JOIN cells c ON c.cell = p.q_cell
+        | WHERE c.vec_id <> p.q_id),
+        |qd AS (
+        | SELECT c0.q_id, en.vec_id, en.m,
+        |  list_sum(list_transform(generate_series(1, $SubDim),
+        |    j -> (CAST(c0.q_emb[en.m*$SubDim + j] AS DOUBLE) - sb.svec[j])
+        |       * (CAST(c0.q_emb[en.m*$SubDim + j] AS DOUBLE) - sb.svec[j]))) AS qd2
+        | FROM cand0 c0
+        | JOIN enc en ON en.vec_id = c0.vec_id
+        | JOIN sb0 sb ON sb.m = en.m AND sb.code = en.code),
+        |adc AS (
+        | SELECT q_id, vec_id, list_sum(list(qd2 ORDER BY m)) AS adc
+        | FROM qd GROUP BY 1, 2),
+        |short AS (
+        | SELECT q_id, vec_id, adc FROM (
+        |  SELECT a.q_id, a.vec_id, a.adc,
+        |   row_number() OVER (PARTITION BY a.q_id ORDER BY a.adc, a.vec_id) AS srn
+        |  FROM adc a)
+        | WHERE srn <= 10),
+        |rer AS (
+        | SELECT s.q_id, s.vec_id, c.cell, s.adc,
+        |  list_sum(list_transform(generate_series(1, len(c.embedding)),
+        |    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.q_emb[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(c.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_exact
+        | FROM short s JOIN cand0 c ON c.q_id = s.q_id AND c.vec_id = s.vec_id)
+        |SELECT q_id, vec_id, cell, adc, cos_exact, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_exact DESC, vec_id) AS INT) AS rank
+        | FROM rer)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     "ss03_pairwise_label" ->
       """WITH ex AS (

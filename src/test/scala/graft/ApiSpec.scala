@@ -627,4 +627,44 @@ class ApiSpec extends SparkSpec {
       .select("doc_id", "rrf_micro").collect().toSeq
     assert(swapped == fused.select("doc_id", "rrf_micro").collect().toSeq)
   }
+
+  test("kmeansTrain converges to a stable fixpoint that batch recompute reproduces") {
+    import spark.implicits._
+    // three planted well-separated clusters in 8 dims, 20 points each
+    val pts = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(8)(j => if (j == c) 10f else 0f)
+      // small deterministic jitter so centroids are non-trivial
+      base(3 + c) = 0.1f * (i / 3 % 5)
+      (i.toLong, base.toSeq.toArray)
+    }.toDF("id", "v")
+    val m = pts.kmeansTrain("id", "v", k = 3, maxIter = 10, epsMilli = 0L)
+    assert(m.converged, s"planted clusters must converge: shifts=${m.shiftsMilli}")
+    assert(m.shiftsMilli.last == 0L, s"converged means zero final shift: ${m.shiftsMilli}")
+    // shift is monotone non-increasing on this data — the Lloyd
+    // descent property the training loop reports per iteration
+    assert(m.shiftsMilli.zip(m.shiftsMilli.tail).forall { case (a, b) => b <= a },
+      s"shifts must not increase: ${m.shiftsMilli}")
+    // fixpoint = batch recompute: re-assigning with the trained
+    // centroids and recomputing centroids reproduces them exactly
+    val assigned = pts.kmeansAssign("v", m.centroids)
+    val recomputed = assigned
+      .select(col("cell"), posexplode(col("v")))
+      .select(col("cell"), col("pos"),
+        floor(col("col").cast("double") * 100 + 0.5).cast("long").as("vq"))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("vq")).cast("double") / (count(lit(1)) * 100)).as("c"))
+    val a = m.centroids.orderBy("cell", "pos")
+      .as[(Long, Int, Double)].collect().toSeq
+    val b = recomputed.orderBy("cell", "pos")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(a == b, s"stable fixpoint must equal batch recompute:\n$a\n$b")
+    // every point lands in the cell of its planted cluster-mates
+    val cellsPerCluster = assigned
+      .select((col("id") % 3).as("planted"), col("cell"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(cellsPerCluster.values.forall(_ == 1),
+      s"each planted cluster must map to exactly one cell: $cellsPerCluster")
+  }
 }

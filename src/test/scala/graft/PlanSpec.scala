@@ -284,6 +284,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ss22 batch IVF-PQ broadcasts the query LUTs and probes cells by equi-join") {
+    val p = plan("ss22_ivfpq_batch")
+    // the query batch (probes + LUTs) must be the broadcast side of a
+    // cell equi-join — the corpus index never re-shuffles per batch
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe join must broadcast the batch LUT side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"batch ANN must never be all-pairs:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the serving query may shuffle-join:\n$p")
+  }
+
   test("golden plan shapes: the shuffle/join topology of EVERY query is pinned") {
     // Counts of the plan nodes that cost money at 100 TB, per query.
     // A new Exchange, Window sort, or a broadcast silently flipping to
