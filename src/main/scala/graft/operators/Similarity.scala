@@ -510,52 +510,12 @@ object Similarity {
     // per query. Exact-cosine rerank of each query's ADC top-10
     // yields the final top-3 (ss08's per-query-k).
     "ss22_ivfpq_batch" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val e = emb(s, d)
-      val cents = centroidArray(e)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // codebook derived FROM the cached centroid frame (pqSeed's
-      // shape without recomputing the centroid pipeline)
-      val cb = cents.select(
-        transform(subIdxCol, m =>
-          transform(col("cents"), c =>
-            struct(c.getField("c_label").as("code"),
-                   subSlice(c.getField("cvec"), m).as("svec")))).as("cb"))
-      val cellStructs = transform(col("cents"),
-        c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
-                    c.getField("c_label").as("cell")))
-      // the serving index: cell + precomputed PQ code indices
-      val coded = e.crossJoin(broadcast(cents)).crossJoin(broadcast(cb))
-        .withColumn("cell", array_min(cellStructs).getField("cell"))
-        .withColumn("cidx", transform(subIdxCol, m =>
-          array_min(transform(element_at(col("cb"), m + 1), (cw, i) =>
-            struct(l2distSq(subSlice(col("embedding"), m), cw.getField("svec")).as("d2"),
-                   cw.getField("code").as("code"), i.as("idx")))).getField("idx")))
-        .select(col("vec_id"), col("cell"), col("embedding"), col("cidx"))
-      // query batch: nprobe=2 probe cells + one LUT per query
-      val qlut = e.filter(col("vec_id") % 50 === 7)
-        .crossJoin(broadcast(cents)).crossJoin(broadcast(cb))
-        .withColumn("lut", transform(subIdxCol, m =>
-          transform(element_at(col("cb"), m + 1), cw =>
-            l2distSq(subSlice(col("embedding"), m), cw.getField("svec")))))
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          explode(slice(array_sort(cellStructs), 1, 2).getField("cell")).as("q_cell"),
-          col("lut"))
-      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id"))
-      val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos_exact").desc, col("vec_id"))
-      coded.join(broadcast(qlut), col("cell") === col("q_cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("adc", aggregate(
-          zip_with(subIdxCol, col("cidx"), (m, ci) =>
-            element_at(element_at(col("lut"), m + 1), ci + 1)),
-          lit(0.0), (acc, x) => acc + x))
-        .withColumn("short", row_number().over(wAdc))
-        .filter(col("short") <= 10)
-        .withColumn("cos_exact", cosine(col("embedding"), col("q_emb")))
-        .withColumn("rank", row_number().over(wCos).cast("int"))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("vec_id"), col("cell"), col("adc"),
-          col("cos_exact"), col("rank"))
+      val (cents, cb, coded) = ivfpqIndex(e)
+      val qs = e.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      ivfpqProbe(coded, cents, cb, qs, nprobe = 2, shortlist = 10, k = 3,
+          excludeSelf = true)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -813,6 +773,79 @@ object Similarity {
   private def subIdxCol: Column = sequence(lit(0), lit(NumSub - 1))
   private def subSlice(v: Column, m: Column): Column =
     slice(v, m * lit(SubDim) + lit(1), lit(SubDim))
+
+  /** (dist2, cell) structs of `v` against every centroid in the
+    * broadcast `cents` array column — array_min of this is the argmin
+    * cell, array_sort.slice(1, n) the nprobe probe list. */
+  private def cellStructsOf(v: Column): Column =
+    transform(col("cents"),
+      c => struct(l2distSq(v, c.getField("cvec")).as("dist2"),
+                  c.getField("c_label").as("cell")))
+
+  /** Build the IVF-PQ serving index over a (vec_id, embedding, label)
+    * frame: returns (cents, cb, coded) — the cached single-row
+    * centroid frame, the codebook derived FROM it (pqSeed's shape
+    * without recomputing the centroid pipeline), and the index rows
+    * (vec_id, cell, embedding, cidx) with each vector's cell and
+    * precomputed PQ code indices. Built ONCE; at 100 TB `coded` is
+    * stored cell-partitioned with codes RAM-resident (see
+    * [[graft.streaming.TopicStream.annIndexBuild]] for the persisted
+    * form). */
+  private[graft] def ivfpqIndex(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val cents = centroidArray(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = cents.select(
+      transform(subIdxCol, m =>
+        transform(col("cents"), c =>
+          struct(c.getField("c_label").as("code"),
+                 subSlice(c.getField("cvec"), m).as("svec")))).as("cb"))
+    val coded = e.crossJoin(broadcast(cents)).crossJoin(broadcast(cb))
+      .withColumn("cell", array_min(cellStructsOf(col("embedding"))).getField("cell"))
+      .withColumn("cidx", transform(subIdxCol, m =>
+        array_min(transform(element_at(col("cb"), m + 1), (cw, i) =>
+          struct(l2distSq(subSlice(col("embedding"), m), cw.getField("svec")).as("d2"),
+                 cw.getField("code").as("code"), i.as("idx")))).getField("idx")))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("cidx"))
+    (cents, cb, coded)
+  }
+
+  /** Probe an IVF-PQ index with a query frame (q_id, q_emb): each
+    * query derives its `nprobe` nearest cells + one ADC LUT, the
+    * WHOLE batch broadcasts, the probe join touches only probed
+    * cells' codes, scoring is a LUT gather + ordered fold, and exact
+    * cosine reranks each query's ADC top-`shortlist` to top-`k`.
+    * Returns (q_id, vec_id, cell, adc, cos_exact, rank). Cost ∝
+    * batch x nprobe x cell size — the corpus enters via cell size
+    * only. `excludeSelf` drops vec_id == q_id candidates (audit runs
+    * that query the corpus against itself). */
+  private[graft] def ivfpqProbe(coded: DataFrame, cents: DataFrame, cb: DataFrame,
+                                queries: DataFrame, nprobe: Int, shortlist: Int,
+                                k: Int, excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qlut = queries.crossJoin(broadcast(cents)).crossJoin(broadcast(cb))
+      .withColumn("lut", transform(subIdxCol, m =>
+        transform(element_at(col("cb"), m + 1), cw =>
+          l2distSq(subSlice(col("q_emb"), m), cw.getField("svec")))))
+      .select(col("q_id"), col("q_emb"),
+        explode(slice(array_sort(cellStructsOf(col("q_emb"))), 1, nprobe)
+          .getField("cell")).as("q_cell"),
+        col("lut"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id"))
+    val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos_exact").desc, col("vec_id"))
+    val cand = coded.join(broadcast(qlut), col("cell") === col("q_cell"))
+    (if (excludeSelf) cand.filter(col("vec_id") =!= col("q_id")) else cand)
+      .withColumn("adc", aggregate(
+        zip_with(subIdxCol, col("cidx"), (m, ci) =>
+          element_at(element_at(col("lut"), m + 1), ci + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("short", row_number().over(wAdc))
+      .filter(col("short") <= shortlist)
+      .withColumn("cos_exact", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(wCos).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cell"), col("adc"),
+        col("cos_exact"), col("rank"))
+  }
 
   /** Seed per-subspace PQ codebooks from the label centroids: a
     * single-row frame with `cb` = array over subspace m of the

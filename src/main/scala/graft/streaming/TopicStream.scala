@@ -26,6 +26,9 @@ case class PackState(admitted_tokens: Long, n_admitted: Long)
   * integer sums — commute, replay-safe). */
 case class KeyMoments(n: Long, sum_c: Long, sumsq_c: Long)
 
+/** An arriving ANN query for [[TopicStream.annServeStream]]. */
+case class AnnQuery(q_id: Long, ts: java.sql.Timestamp, embedding: Array[Float])
+
 /** Per-key EWMA state: the last up-to-8 cent samples, newest first —
   * the depth-8 dyadic truncation is exactly what bounds this to O(1). */
 case class EwmaState(recent_c: Seq[Long])
@@ -412,6 +415,63 @@ object TopicStream {
     * training lineage (the static-side replan trap dedupBatchBloom
     * documents). Start the returned writer with a checkpointLocation;
     * rising recon_d2 on arrivals is the retrain signal. */
+  /** Build a SERVABLE IVF-PQ index from a (vec_id, embedding, label)
+    * frame into store topics — ss22's index side persisted, done
+    * ONCE: `<topic>` holds the coded rows (vec_id, cell, embedding,
+    * cidx), `<topic>_cents` / `<topic>_cb` the frozen centroid and
+    * codebook single-row frames. At 100 TB the coded topic is the
+    * cell-partitioned code index (cluster shards on `cell` via the
+    * compaction policy so a probe reads ~nprobe shard groups);
+    * vectors ride along only for the rerank handful. Arrivals append
+    * through [[pqEncodeStream]]-style encode against the SAME frozen
+    * frames; retrain (and rebuild) when [[pqDriftMonitor]] trips. */
+  def annIndexBuild(store: graft.sources.TopicStore, e: DataFrame,
+                    topic: String): Unit = {
+    val (cents, cb, coded) = graft.operators.Similarity.ivfpqIndex(e)
+    def t0(df: DataFrame) = df.withColumn("time", lit(0L).cast("timestamp"))
+    store.append(topic, t0(coded))
+    store.append(s"${topic}_cents", t0(cents))
+    store.append(s"${topic}_cb", t0(cb))
+  }
+
+  /** Serve an arriving ANN query stream against a FROZEN
+    * [[annIndexBuild]] index — ss22's arrival loop, the query-side
+    * twin of [[pqEncodeStream]]: per micro-batch the query batch
+    * (q_id, ts, embedding) pre-reduces to its latest version per
+    * q_id (chunkStream's rule), derives nprobe probe cells + one ADC
+    * LUT per query, and BROADCASTS — the probe join touches only
+    * probed cells' codes, never re-shuffles or rescans the corpus
+    * (the coded index is read once at writer construction and
+    * cached). Top-`k` per query upserts into `outTopic` keyed
+    * q_id#rank with `_seq = batchId`: a replayed batch rewrites
+    * identical rows, and a RE-SUBMITTED query's results overwrite
+    * its old ones (last-write-wins serving semantics; readMerged
+    * gives the current answer set). Per-batch cost ∝ batch x nprobe
+    * x cell size — arrival-rate-priced, exactly the ss22 claim. */
+  def annServeStream(queries: DataFrame, store: graft.sources.TopicStore,
+                     topic: String, outTopic: String,
+                     nprobe: Int = 2, shortlist: Int = 10, k: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    def bare(name: String) = store.read(name).drop("bucket", "time")
+    val coded = bare(topic).persist()
+    val cents = bare(s"${topic}_cents").persist()
+    val cb = bare(s"${topic}_cb").persist()
+    queries.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      val latest = b.toDF()
+        .groupBy(col("q_id"))
+        .agg(max(struct(col("ts"), col("embedding"))).as("_m"))
+        .select(col("q_id"), col("_m.ts").as("ts"), col("_m.embedding").as("q_emb"))
+      val res = graft.operators.Similarity.ivfpqProbe(coded, cents, cb,
+        latest.select(col("q_id"), col("q_emb")),
+        nprobe, shortlist, k, excludeSelf = false)
+      val out = res.join(latest.select(col("q_id"), col("ts").as("time")), "q_id")
+        .select(concat(col("q_id"), lit("#"), col("rank")).as("ann_key"),
+          col("q_id"), col("time"), col("vec_id"), col("cell"),
+          col("adc"), col("cos_exact"), col("rank"))
+      store.upsert(outTopic, out, "time", seq = Some(id))
+    }
+  }
+
   def pqEncodeStream(vecs: DataFrame, store: graft.sources.TopicStore,
                      codebook: DataFrame, topic: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {

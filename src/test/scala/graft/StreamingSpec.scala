@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{TopicEvent, TopicStream}
+import graft.streaming.{AnnQuery, TopicEvent, TopicStream}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -862,6 +862,56 @@ class StreamingSpec extends SparkSpec {
       val tiers = spark.table("enriched").select("user_id", "tier").distinct().collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
       assert(tiers == Set((1L, "gold"), (2L, "silver")))
+    } finally q.stop()
+  }
+
+  test("annServeStream answers query batches from the frozen IVF-PQ index topics") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_annserve").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    val e = Tables(spark, sfDir, "embeddings")
+    TopicStream.annIndexBuild(store, e, "annidx")
+    // two corpus vectors reused as query payloads
+    val vecs = e.filter(col("vec_id").isin(3L, 17L))
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val input = MemoryStream[AnnQuery]
+    val q = TopicStream.annServeStream(input.toDF(), store, "annidx", "annres", k = 3)
+      .option("checkpointLocation", s"$root/_ckpt").start()
+    try {
+      input.addData(
+        AnnQuery(1001L, ts("2026-01-01 00:01:00"), vecs(3L)),
+        AnnQuery(1002L, ts("2026-01-01 00:01:00"), vecs(17L)))
+      q.processAllAvailable()
+      val res = store.readMerged("annres", "ann_key")
+      val byQ = res.select("q_id", "rank", "vec_id", "cos_exact")
+        .as[(Long, Int, Long, Double)].collect().groupBy(_._1)
+      assert(byQ.keySet == Set(1001L, 1002L) && byQ.values.forall(_.length == 3),
+        s"each query must get exactly k=3 results: ${res.collect().toSeq}")
+      // a query that IS a corpus vector must retrieve itself at rank 1
+      // (excludeSelf=false in serving; cos(self)=1 wins the rerank)
+      val top1001 = byQ(1001L).minBy(_._2)
+      assert(top1001._3 == 3L && top1001._4 > 0.999999,
+        s"query 1001 (vector 3's embedding) must retrieve vector 3 first: $top1001")
+      // the serve result equals the batch probe kernel run directly
+      // against the same persisted frames
+      def bare(n: String) = store.read(n).drop("bucket", "time")
+      val expected = graft.operators.Similarity.ivfpqProbe(
+        bare("annidx"), bare("annidx_cents"), bare("annidx_cb"),
+        Seq((1001L, vecs(3L)), (1002L, vecs(17L))).toDF("q_id", "q_emb"),
+        nprobe = 2, shortlist = 10, k = 3, excludeSelf = false)
+        .select("q_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+      val got = res.select("q_id", "rank", "vec_id")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got == expected, s"serve loop must equal the batch kernel:\n$got\n$expected")
+      // re-submitting a query overwrites its results (last-write-wins)
+      input.addData(AnnQuery(1001L, ts("2026-01-01 00:02:00"), vecs(17L)))
+      q.processAllAvailable()
+      val re = store.readMerged("annres", "ann_key")
+        .filter(col("q_id") === 1001L && col("rank") === 1)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(re == Seq(17L),
+        s"re-submitted query 1001 must now retrieve vector 17 first: $re")
     } finally q.stop()
   }
 }
