@@ -344,13 +344,17 @@ class GraftSession(val spark: SparkSession, root: String) {
 
   /** RESTORE a topic to a previously pinned snapshot tag (Delta
     * RESTORE over [[tagSnapshot]]): buckets past the tag's cutoff
-    * drop, the boundary bucket rewrites filtered — O(after-cutoff
-    * data). The tag itself survives (it still describes the state the
-    * topic now has). Returns the touched bucket ids. */
+    * drop and the boundary bucket rewrites filtered — O(after-cutoff
+    * data); when the tag carries a write-version pin, kept buckets
+    * are also probed for backdated over-version rows (one pruned
+    * scan) and rewritten only if any exist, so the restored topic
+    * equals the tag's pinned VIEW. The tag itself survives (it still
+    * describes the state the topic now has). Returns the touched
+    * bucket ids. */
   def restoreToTag(tag: String): Seq[Long] = {
     val fqn = catalog.resolve(tag)
     catalog.tagInfo(fqn) match {
-      case Some((topic, asOf, tsCol)) =>
+      case Some((topic, asOf, tsCol, seqCutoff)) =>
         // resolve through the topic's REGISTERED path (a topic rooted
         // outside the session store would otherwise silently restore
         // nothing), and refuse to truncate history a LATER live tag
@@ -362,12 +366,13 @@ class GraftSession(val spark: SparkSession, root: String) {
         if (later.nonEmpty) throw new IllegalStateException(
           s"restoreToTag($fqn): later live tags pin history past the cutoff: " +
             later.map(_._1).mkString(", ") + " — drop them first")
-        val slash = path.lastIndexOf('/')
-        val st = new graft.sources.TopicStore(spark, path.substring(0, slash))
-        val nm = path.substring(slash + 1)
+        val (st, nm) = catalog.storeAt(path)
         if (!st.exists(nm)) throw new NoSuchElementException(
           s"restoreToTag($fqn): topic directory missing for $topic at $path")
-        st.restoreAsOf(nm, asOf, tsCol)
+        // the seq pin rides into the restore: backdated over-version
+        // rows are dropped too, so the restored topic equals the
+        // tag's pinned view, not just its time slice
+        st.restoreAsOf(nm, asOf, tsCol, seqCutoff)
       case None => throw new NoSuchElementException(s"snapshot tag not found: $fqn")
     }
   }

@@ -89,9 +89,11 @@ object MetricsServer {
   def start(spark: SparkSession, port: Int = 9090,
             monitor: Option[Metrics.StreamMonitor] = None): Handle = {
     val cum = new Cumulative
+    // bind FIRST: a BindException must not leave a listener or stream
+    // monitor permanently attached to the live session
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
     spark.sparkContext.addSparkListener(cum)
     val mon = monitor.getOrElse(Metrics.monitorStreams(spark))
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/metrics", new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
         val body = render(cum, mon).getBytes(StandardCharsets.UTF_8)

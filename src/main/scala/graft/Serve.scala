@@ -85,6 +85,8 @@ object Serve {
     gs.registerSparkCatalog()
     refresh(gs)
     org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
+    // a re-start must not leak the previous endpoint's port/listeners
+    metrics.foreach(_.stop())
     metrics = metricsPort.map { mp =>
       val h = MetricsServer.start(spark, mp)
       println(s"graft metrics: http://localhost:${h.port}/metrics")

@@ -384,11 +384,20 @@ class TopicCatalog(spark: SparkSession, root: String,
     }
     require(!entries.contains(fqn), s"tag already exists: $fqn")
     val (ts, nm) = storeAt(path)
+    // an EMPTY as-of snapshot still needs a version pin, or the pin
+    // would silently degrade and a later backdated write could enter:
+    // fall back to the topic's overall max _seq at tag time, and to
+    // Long.MinValue when the whole topic is empty — an empty snapshot
+    // stays empty forever. Only topics with no _seq column (plain
+    // append-only) carry no pin (the documented caveat).
     val seqCutoff =
-      if (ts.exists(nm) && ts.read(nm).columns.contains("_seq"))
-        Option(ts.readAsOf(nm, asOfEpochS, tsCol)
-          .agg(max(col("_seq"))).head.get(0)).map(_.asInstanceOf[Long])
-      else None
+      if (ts.exists(nm) && ts.read(nm).columns.contains("_seq")) {
+        def maxSeq(df: DataFrame): Option[Long] =
+          Option(df.agg(max(col("_seq"))).head.get(0)).map(_.asInstanceOf[Long])
+        Some(maxSeq(ts.readAsOf(nm, asOfEpochS, tsCol))
+          .orElse(maxSeq(ts.read(nm)))
+          .getOrElse(Long.MinValue))
+      } else None
     entries(fqn) = Tag(target, asOfEpochS, tsCol, keyCol, seqCutoff)
     commit("put", fqn, Some(entries(fqn)))
   }
@@ -398,7 +407,7 @@ class TopicCatalog(spark: SparkSession, root: String,
     * registered root differs from the session store's. The as-of read
     * only filters on epoch-second bucket values, so the throwaway
     * store's bucketMinutes never enters. */
-  private def storeAt(path: String): (TopicStore, String) = {
+  private[graft] def storeAt(path: String): (TopicStore, String) = {
     val slash = path.lastIndexOf('/')
     (new TopicStore(spark, path.substring(0, slash)), path.substring(slash + 1))
   }
@@ -411,19 +420,24 @@ class TopicCatalog(spark: SparkSession, root: String,
 
   /** Live snapshot tags pinning `topicRef`: (tag fqn, data-time
     * cutoff). What retention must not expire and restore must not
-    * truncate past. */
+    * truncate past. Always reloads first — a tag created by ANOTHER
+    * catalog instance over the same root must protect data here too
+    * (this lookup has no "miss" to trigger the usual lazy reload,
+    * and a stale empty answer deletes pinned buckets for good). */
   def tagsFor(topicRef: String): Seq[(String, Long)] = {
+    reload()
     val target = resolve(topicRef)
     entries.toSeq.collect {
       case (n, Tag(t, asOf, _, _, _)) if t == target => (n, asOf)
     }
   }
 
-  /** (target topic fqn, cutoff, tsCol) of a tag, None if not a tag. */
-  def tagInfo(ref: String): Option[(String, Long, String)] = {
+  /** (target topic fqn, cutoff, tsCol, seqCutoff) of a tag, None if
+    * not a tag. */
+  def tagInfo(ref: String): Option[(String, Long, String, Option[Long])] = {
     if (!entries.contains(resolve(ref))) reload()
     entries.get(resolve(ref)).collect {
-      case Tag(topic, asOf, tsCol, _, _) => (topic, asOf, tsCol)
+      case Tag(topic, asOf, tsCol, _, seqCutoff) => (topic, asOf, tsCol, seqCutoff)
     }
   }
 

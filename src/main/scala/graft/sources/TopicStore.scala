@@ -324,8 +324,16 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
     * uses. Cost is O(after-cutoff data), never O(topic). Combined
     * with a [[TopicCatalog.Tag]], this is disaster recovery: pin →
     * diff ([[readChanges]]) → restore. Returns the touched bucket
-    * ids (empty = nothing after the cutoff — idempotent). */
-  def restoreAsOf(name: String, asOfEpochS: Long, tsCol: String = "time"): Seq[Long] = {
+    * ids (empty = nothing after the cutoff — idempotent).
+    *
+    * `seqCutoff`: also drop rows whose `_seq` writer version exceeds
+    * it — the write-version half of a [[TopicCatalog.Tag]] pin. A
+    * backdated upsert lands in an OLD bucket (its ts is under the
+    * time cutoff), so honoring the pin means checking every kept
+    * bucket for over-cutoff versions, not just the boundary; buckets
+    * with none are detected by one pruned scan and left untouched. */
+  def restoreAsOf(name: String, asOfEpochS: Long, tsCol: String = "time",
+                  seqCutoff: Option[Long] = None): Seq[Long] = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = new Path(topicPath(name))
     if (!fs.exists(base)) return Seq.empty
@@ -336,22 +344,34 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
         .map(_.stripPrefix("bucket=").toLong)
       val dropped = buckets.filter(_ > asOfEpochS).toSeq.sorted
       dropped.foreach(b => fs.delete(new Path(base, s"bucket=$b"), true))
-      // the one bucket straddling the cutoff keeps only rows at or
-      // before it (same truncated-second semantics as readAsOf)
-      val boundary = buckets
-        .filter(b => b <= asOfEpochS && b + bucketSeconds > asOfEpochS + 1).toSeq
-      val rewritten = boundary.filter { b =>
+      val kept = buckets.filterNot(dropped.contains).toSeq.sorted
+      // a bucket needs a rewrite when it straddles the time cutoff OR
+      // (under a seq pin) holds any over-cutoff writer version
+      def overCutoff(df: org.apache.spark.sql.DataFrame) = {
+        val time = col(tsCol).cast("long") > asOfEpochS
+        seqCutoff match {
+          case Some(sc) if df.columns.contains("_seq") => time || col("_seq") > sc
+          case _ => time
+        }
+      }
+      // no seq pin → only the bucket straddling the time cutoff can
+      // hold over-cutoff rows, so the probe stays O(after-cutoff data)
+      val candidates = seqCutoff match {
+        case Some(_) => kept
+        case None => kept.filter(b => b <= asOfEpochS && b + bucketSeconds > asOfEpochS + 1)
+      }
+      val rewritten = candidates.filter { b =>
         val dir = new Path(base, s"bucket=$b")
         val files = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
         val raw =
           if (files.isEmpty) None
           else Some(spark.read.parquet(files.map(_.getPath.toString).toSeq: _*))
         // content-gated: rewrite only when the bucket actually holds
-        // rows past the cutoff — a second restore is a no-op
-        raw.exists(_.filter(col(tsCol).cast("long") > asOfEpochS).head(1).nonEmpty) && {
-          val kept = raw.get.filter(col(tsCol).cast("long") <= asOfEpochS)
+        // over-cutoff rows — a second restore is a no-op
+        raw.exists(df => df.filter(overCutoff(df)).head(1).nonEmpty) && {
+          val keep = raw.get.filter(!overCutoff(raw.get))
           val tmp = new Path(base, s".restore_bucket=$b")
-          kept.coalesce(math.max(1, files.length))
+          keep.coalesce(math.max(1, files.length))
             .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
           swapDir(fs, tmp, dir)
           true

@@ -1237,6 +1237,36 @@ class StorageSpec extends SparkSpec {
     // the pin survives a reload (seqCutoff is durable in the manifest)
     val gs2 = new GraftSession(spark, gs.config("root"))
     assert(gs2.table("pin").select("v").as[String].collect().toSeq == Seq("x"))
+    // an EMPTY as-of snapshot pins too: rows backdated under its
+    // cutoff AFTER tag time must not appear (the pin falls back to
+    // the topic's overall max _seq, or MinValue on an empty topic)
+    gs.createTopic("kv2")
+    gs.store.upsert("ella.public.kv2", Seq((1L, t(5000), "late")).toDF("key", "time", "v"), seq = Some(1L))
+    gs.tagSnapshot("kv2", "empty_pin", asOfEpochS = 2000L, keyCol = Some("key"))
+    assert(gs.table("empty_pin").count() == 0)
+    gs.store.upsert("ella.public.kv2", Seq((2L, t(1500), "sneak")).toDF("key", "time", "v"), seq = Some(2L))
+    assert(gs.table("empty_pin").count() == 0,
+      "an empty snapshot must stay empty under backdated writes")
+  }
+
+  test("restoreToTag honors the write-version pin: backdated rows drop with the restore") {
+    import spark.implicits._
+    val gs = new GraftSession(spark, tmp())
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    gs.createTopic("kv")
+    gs.store.upsert("ella.public.kv", Seq((1L, t(1000), "x")).toDF("key", "time", "v"), seq = Some(1L))
+    gs.tagSnapshot("kv", "pin", asOfEpochS = 2000L, keyCol = Some("key"))
+    // backdated under the cutoff with a higher version: invisible to
+    // the tag — and restore must ALSO remove it, or the restored
+    // topic diverges from the view the tag describes
+    gs.store.upsert("ella.public.kv", Seq((1L, t(900), "evil")).toDF("key", "time", "v"), seq = Some(9L))
+    val touched = gs.restoreToTag("pin")
+    assert(touched.nonEmpty, "the backdated row's bucket must be rewritten")
+    val merged = gs.store.readMerged("ella.public.kv", "key")
+      .select("key", "v").as[(Long, String)].collect().toSeq
+    assert(merged == Seq((1L, "x")),
+      s"restore must reproduce the pinned view, got $merged")
+    assert(gs.restoreToTag("pin").isEmpty, "second restore is a no-op")
   }
 
   test("retention never expires buckets a live snapshot tag pins") {

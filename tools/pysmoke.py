@@ -19,13 +19,13 @@ import sys
 
 try:
     import grpc  # noqa: F401  - pyspark-connect's transitive need
-except ModuleNotFoundError:
-    print("SKIP: grpcio is not installed in this environment; "
+    import pyarrow  # noqa: F401  - the Arrow wire decoder
+    from pyspark.sql import SparkSession
+except ModuleNotFoundError as e:
+    print(f"SKIP: {e.name} is not installed in this environment; "
           "the Spark Connect python client cannot run. "
           "JVM wire evidence: ServeSpec (sbt 'testOnly graft.ServeSpec').")
     sys.exit(0)
-
-from pyspark.sql import SparkSession
 
 def main():
     url = sys.argv[1] if len(sys.argv) > 1 else "sc://localhost:15002"
