@@ -595,7 +595,7 @@ object Curation {
     * threshold compare), written in the SAME association order as the
     * oracle SQL — both engines produce bit-identical doubles. Valid
     * for x in [1, 2^40); |error| < 2e-5. */
-  private def approxLn(x: Column): Column = {
+  private[graft] def approxLn(x: Column): Column = {
     var e: Column = lit(0.0)
     var p: Column = lit(1.0)
     for (k <- 1 to 40) {

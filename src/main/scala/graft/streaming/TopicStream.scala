@@ -313,6 +313,89 @@ object TopicStream {
     }
   }
 
+  /** Streaming LEXICAL index maintenance — tx22's arrival loop and
+    * [[annServeStream]]'s lexical twin (together they are the hybrid
+    * retrieval serving stack; fuse their shortlists with
+    * `api.rrfFuse`): each micro-batch of (doc_id, ts, text) docs
+    * pre-reduces to latest-per-doc, then upserts
+    *   - `<topic>`: postings keyed `w#doc_id` — (w, doc_id, tf, dl,
+    *     doc_seq), one row per distinct term of the doc;
+    *   - `<topic>_docs`: doc registry keyed doc_id — (dl, doc_seq),
+    *     the version authority and the corpus length stats.
+    * A revised doc's postings overwrite under last-write-wins; terms
+    * the revision DROPPED keep their keys, so [[currentPostings]]
+    * filters each posting to its doc's newest `doc_seq` (the
+    * [[currentChunks]] shrink rule — pure key-overwrite can never
+    * retire them). Replays rewrite identical rows (`_seq = batchId`).
+    * Per-batch cost is the arriving docs' term explode + two
+    * batch-sized upserts — the corpus never re-indexes. At 100 TB
+    * the postings topic clusters on `w` (compaction policy) so a
+    * query's term filter reads ~query-term shard groups. */
+  def lexIndexStream(docs: DataFrame, store: graft.sources.TopicStore,
+                     topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      val latest = b.toDF()
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("ts"), col("text"))).as("_m"))
+        .select(col("doc_id"), col("_m.ts").as("time"), col("_m.text").as("text"))
+        .withColumn("ws", split(lower(col("text")), " "))
+        .withColumn("dl", size(col("ws")).cast("long"))
+      val postings = latest
+        .select(col("doc_id"), col("time"), col("dl"), explode(col("ws")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(max(col("time")).as("time"), max(col("dl")).as("dl"),
+          count(lit(1)).as("tf"))
+        .select(concat(col("w"), lit("#"), col("doc_id")).as("post_key"),
+          col("w"), col("doc_id"), col("time"), col("tf"), col("dl"),
+          lit(id).as("doc_seq"))
+      store.upsert(topic, postings, "time", seq = Some(id))
+      store.upsert(s"${topic}_docs",
+        latest.select(col("doc_id"), col("time"), col("dl"), lit(id).as("doc_seq")),
+        "time", seq = Some(id))
+    }
+
+  /** The CURRENT postings of a [[lexIndexStream]] topic: latest
+    * version per post_key, restricted to each doc's newest version —
+    * a revision that dropped a term retires its stale posting. One
+    * merge agg per topic + a doc-keyed join. */
+  def currentPostings(store: graft.sources.TopicStore, topic: String): DataFrame = {
+    val merged = store.readMerged(topic, "post_key")
+    val cur = store.readMerged(s"${topic}_docs", "doc_id")
+      .select(col("doc_id"), col("doc_seq").as("_cur"))
+    merged.join(cur, "doc_id").filter(col("doc_seq") === col("_cur")).drop("_cur")
+  }
+
+  /** Query a [[lexIndexStream]] index: tx22's rational-idf tf-idf
+    * top-`k` over the CURRENT postings — (doc_id, score,
+    * n_terms_hit, rank), rank 1-based for `api.rrfFuse` against an
+    * [[annServeStream]] shortlist. Cost: the postings scan filters
+    * to the query terms FIRST (clustered on `w` at scale, ~term
+    * shard groups), df/idf is a per-term count over those postings,
+    * and n_docs is one registry agg — the corpus text is never
+    * touched at query time. */
+  def lexSearch(store: graft.sources.TopicStore, topic: String,
+                terms: Seq[String], k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "lexSearch needs at least one query term")
+    val posts = currentPostings(store, topic)
+      .filter(col("w").isin(terms: _*))
+      .select(col("doc_id"), col("w"), col("tf"))
+    val nDocs = store.readMerged(s"${topic}_docs", "doc_id")
+      .agg(count(lit(1)).as("n_docs"))
+    val idf = posts.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"), expr("(1000000 * n_docs) DIV df").as("idf_sc"))
+    posts.join(broadcast(idf), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("idf_sc")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+  }
+
   /** The CURRENT chunk set of every doc in a [[chunkStream]] topic:
     * latest version per chunk_key, then only chunks carrying the
     * doc's newest `doc_seq` — a revision that SHRANK a doc would

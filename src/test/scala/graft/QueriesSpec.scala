@@ -239,4 +239,50 @@ class QueriesSpec extends SparkSpec {
     assert(df.filter(col("width") < 64 || col("width") > 304).count() == 0)
     assert(df.filter(!col("format").isin("png", "jpeg")).count() == 0)
   }
+
+  test("tx23's shared rational ln is within 2e-5 of libm ln over its whole domain") {
+    import spark.implicits._
+    // dense sweep of the documented domain [1, 2^40): uniform in log
+    // space plus the awkward spots (just above 1, power-of-two
+    // boundaries from both sides, the BM25 idf arg shape)
+    val xs = (0 until 4000).map(i => math.pow(2.0, 40.0 * i / 4000.0)) ++
+      Seq(1.0, 1.0 + 1e-9, 1.5, 2.0 - 1e-12, 2.0, 2.0 + 1e-12) ++
+      (1 to 39).flatMap(k => Seq(math.pow(2.0, k) - 1e-6, math.pow(2.0, k) + 1e-6)) ++
+      (1 to 200).map(df => (5000.0 - df + 0.5) / (df + 0.5) + 1.0)
+    val worst = xs.toDF("x")
+      .select(abs(graft.operators.Curation.approxLn(col("x")) - log(col("x"))).as("err"))
+      .agg(max(col("err"))).head.getDouble(0)
+    assert(worst < 2e-5, s"approxLn worst-case error $worst exceeds the documented 2e-5")
+  }
+
+  test("ss22 batch IVF-PQ holds recall@3 against exact brute force on its query batch") {
+    import spark.implicits._
+    val ann = SparkEntry.queries("ss22_ivfpq_batch")(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    // exact ground truth: per query, the cosine top-3 over the corpus
+    // (excluding self — ss22's audit convention)
+    val e = Tables(spark, sfDir, "embeddings")
+    val qs = e.filter(col("vec_id") % 50 === 7)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recallMilli = ann.intersect(exact).size * 1000 / exact.size
+    // The sf0.001 embeddings are NEAR-RANDOM 64-dim vectors, so label
+    // cells barely correlate with cosine neighborhoods and absolute
+    // IVF-PQ recall is data-limited (measured 166‰ here — ss17 is the
+    // calibration audit that quantifies such trades). The floor is a
+    // BROKEN-PROBE detector, not a quality bar: a wrong LUT index or
+    // cell join sends the overlap to ~chance (3/499 ≈ 6‰); real probe
+    // structure keeps it well above. Deterministic data => this is a
+    // stable regression pin, not a flaky threshold.
+    assert(recallMilli >= 100,
+      s"recall@3 collapsed toward chance — probe broken? $recallMilli milli " +
+        s"(ann=$ann vs exact=$exact)")
+  }
 }

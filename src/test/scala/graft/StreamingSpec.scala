@@ -865,6 +865,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lexIndexStream maintains a searchable postings index; revisions retire dropped terms") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_lexidx").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    val input = MemoryStream[StreamDoc]
+    val q = TopicStream.lexIndexStream(input.toDF(), store, "lex")
+      .option("checkpointLocation", s"$root/_ckpt").start()
+    try {
+      input.addData(
+        StreamDoc(1, ts("2024-01-01 00:01:00"), "vector scan join vector", "en"),
+        StreamDoc(2, ts("2024-01-01 00:01:00"), "scan scan filter", "en"))
+      q.processAllAvailable()
+      val hits = TopicStream.lexSearch(store, "lex", Seq("vector", "scan"))
+        .select("doc_id", "n_terms_hit", "rank").as[(Long, Long, Int)]
+        .collect().sortBy(_._3).toSeq
+      // doc 1 hits both terms (vector is rarer -> bigger idf), doc 2 one
+      assert(hits.map(h => (h._1, h._2)) == Seq((1L, 2L), (2L, 1L)), s"got $hits")
+      assert(hits.map(_._3) == Seq(1, 2), "ranks must be 1-based and dense")
+      // a revision DROPS 'vector' from doc 1: its stale posting keeps
+      // its key, so only the doc_seq filter can retire it
+      input.addData(StreamDoc(1, ts("2024-01-01 00:02:00"), "scan only now", "en"))
+      q.processAllAvailable()
+      val after = TopicStream.lexSearch(store, "lex", Seq("vector"))
+        .select("doc_id").as[Long].collect().toSeq
+      assert(after.isEmpty,
+        s"the revised-away term must stop matching doc 1: $after")
+      val scanHits = TopicStream.lexSearch(store, "lex", Seq("scan"))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(scanHits == Seq(1L, 2L), s"both docs still carry 'scan': $scanHits")
+      // two same-doc versions INSIDE one batch: newest wins (the
+      // pre-reduce), so 'interim' never enters the index
+      input.addData(
+        StreamDoc(3, ts("2024-01-01 00:03:00"), "interim words", "en"),
+        StreamDoc(3, ts("2024-01-01 00:04:00"), "final words", "en"))
+      q.processAllAvailable()
+      assert(TopicStream.lexSearch(store, "lex", Seq("interim")).count() == 0)
+      assert(TopicStream.lexSearch(store, "lex", Seq("final"))
+        .select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    } finally q.stop()
+  }
+
   test("annServeStream answers query batches from the frozen IVF-PQ index topics") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
