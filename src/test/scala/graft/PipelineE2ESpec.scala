@@ -137,4 +137,53 @@ class PipelineE2ESpec extends SparkSpec {
   }
 
   private def split_part_tokens(c: org.apache.spark.sql.Column) = split(c, " ")
+
+  test("serving e2e: streamed lexical index + ANN serve fuse to the planted doc") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{AnnQuery, TopicStream}
+    val root = java.nio.file.Files.createTempDirectory("graft_serve_e2e").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // same planted corpus as the batch e2e: doc 7 is term-dense AND
+    // its fake embedding generator supplies the query vector
+    val docs = (0L until 40L).map { i =>
+      val filler = (1 to 30).map(j => s"w${(i + j) % 17}").mkString(" ")
+      val text = if (i == 7L) s"solar panel efficiency $filler solar panel" else filler
+      (i, ts("2026-01-01 00:01:00"), text)
+    }
+    def fakeEmb(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(15)), j =>
+        ((pmod(hash(id, j), lit(201)).cast("float") - 100f) / 100f).cast("float"))
+    // 1. the lexical half STREAMS in
+    val docIn = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val lexQ = TopicStream.lexIndexStream(
+      docIn.toDF().toDF("doc_id", "ts", "text"), store, "lex")
+      .option("checkpointLocation", s"$root/_lckpt").start()
+    // 2. the vector half: index built once, queries stream against it
+    val emb = docs.map(_._1).toDF("vec_id")
+      .select(col("vec_id"), fakeEmb(col("vec_id")).as("embedding"),
+        (col("vec_id") % 4).cast("int").as("label"))
+    TopicStream.annIndexBuild(store, emb, "annidx")
+    val qVec = emb.filter(col("vec_id") === 7L)
+      .select("embedding").as[Array[Float]].head()
+    val annIn = MemoryStream[AnnQuery]
+    val annQ = TopicStream.annServeStream(annIn.toDF(), store, "annidx", "annres", k = 10)
+      .option("checkpointLocation", s"$root/_ackpt").start()
+    try {
+      docIn.addData(docs: _*)
+      annIn.addData(AnnQuery(9001L, ts("2026-01-01 00:02:00"), qVec))
+      lexQ.processAllAvailable(); annQ.processAllAvailable()
+      // 3. both serving surfaces answer; fuse their rank shortlists
+      val lex = TopicStream.lexSearch(store, "lex", Seq("solar", "panel"), k = 10)
+      val ann = store.readMerged("annres", "ann_key")
+        .filter(col("q_id") === 9001L)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      val fused = ann.rrfFuse(lex, "doc_id")
+      assert(fused.select("doc_id").as[Long].head() == 7L,
+        s"fusion over the SERVED indexes must surface the planted doc: " +
+          s"${fused.collect().toSeq}")
+    } finally { lexQ.stop(); annQ.stop() }
+  }
 }
