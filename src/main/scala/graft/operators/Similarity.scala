@@ -799,15 +799,27 @@ object Similarity {
         transform(col("cents"), c =>
           struct(c.getField("c_label").as("code"),
                  subSlice(c.getField("cvec"), m).as("svec")))).as("cb"))
-    val coded = e.crossJoin(broadcast(cents)).crossJoin(broadcast(cb))
+    val coded = ivfpqEncode(e, cents, cb)
+      .select(col("vec_id"), col("cell"), col("embedding"), col("cidx"))
+    (cents, cb, coded)
+  }
+
+  /** Assign cells + PQ-encode a vector frame against FROZEN (cents,
+    * cb) frames: adds `cell` and `cidx` (keeps every input column).
+    * Broadcast argmin over one-row frames — zero shuffle; cost tracks
+    * the frame, never the corpus. The index-build AND the arrival
+    * paths ([[graft.streaming.TopicStream.annIndexStream]]) share
+    * this kernel, so an appended vector encodes exactly as a built
+    * one would. */
+  private[graft] def ivfpqEncode(vecs: DataFrame, cents: DataFrame,
+                                 cb: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents)).crossJoin(broadcast(cb))
       .withColumn("cell", array_min(cellStructsOf(col("embedding"))).getField("cell"))
       .withColumn("cidx", transform(subIdxCol, m =>
         array_min(transform(element_at(col("cb"), m + 1), (cw, i) =>
           struct(l2distSq(subSlice(col("embedding"), m), cw.getField("svec")).as("d2"),
                  cw.getField("code").as("code"), i.as("idx")))).getField("idx")))
-      .select(col("vec_id"), col("cell"), col("embedding"), col("cidx"))
-    (cents, cb, coded)
-  }
+      .drop("cents", "cb")
 
   /** Probe an IVF-PQ index with a query frame (q_id, q_emb): each
     * query derives its `nprobe` nearest cells + one ADC LUT, the

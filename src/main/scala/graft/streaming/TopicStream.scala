@@ -512,9 +512,44 @@ object TopicStream {
                     topic: String): Unit = {
     val (cents, cb, coded) = graft.operators.Similarity.ivfpqIndex(e)
     def t0(df: DataFrame) = df.withColumn("time", lit(0L).cast("timestamp"))
-    store.append(topic, t0(coded))
+    // the coded topic is an UPSERT topic keyed vec_id (seq 0 = the
+    // build generation) so [[annIndexStream]] arrivals and
+    // re-publishes overwrite cleanly; the frozen frames are plain
+    // appends (a rebuild replaces the whole index under a new topic)
+    store.upsert(topic, t0(coded), "time", seq = Some(0L))
     store.append(s"${topic}_cents", t0(cents))
     store.append(s"${topic}_cb", t0(cb))
+  }
+
+  /** Grow an [[annIndexBuild]] index from arriving vectors —
+    * ss12/ss15's arrival discipline applied to the SERVE index
+    * itself: each micro-batch of (vec_id, ts, embedding) rows is
+    * assigned to its nearest EXISTING cell and PQ-encoded against
+    * the FROZEN centroid/codebook topics (both read once at writer
+    * construction — broadcast argmin, zero shuffle of anything),
+    * then upserted into the coded topic keyed by vec_id — a
+    * re-published vector's index entry overwrites, a replayed batch
+    * rewrites identical rows. The established index never re-encodes
+    * and no centroids move (retrain + rebuild when
+    * [[pqDriftMonitor]] trips). A NEW [[annServeStream]] writer
+    * picks the grown index up at construction (its cache is a
+    * point-in-time snapshot by design — serving indexes roll by
+    * generation, they don't mutate under queries). */
+  def annIndexStream(vecs: DataFrame, store: graft.sources.TopicStore,
+                     topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    def bare(name: String) = store.read(name).drop("bucket", "time")
+    val cents = bare(s"${topic}_cents").persist()
+    val cb = bare(s"${topic}_cb").persist()
+    vecs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      val latest = b.toDF()
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("ts"), col("embedding"))).as("_m"))
+        .select(col("vec_id"), col("_m.ts").as("time"), col("_m.embedding").as("embedding"))
+      val coded = graft.operators.Similarity.ivfpqEncode(latest, cents, cb)
+        .select(col("vec_id"), col("time"), col("cell"), col("embedding"), col("cidx"))
+      store.upsert(topic, coded, "time", seq = Some(id))
+    }
   }
 
   /** Serve an arriving ANN query stream against a FROZEN
@@ -536,7 +571,8 @@ object TopicStream {
                      nprobe: Int = 2, shortlist: Int = 10, k: Int = 3)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     def bare(name: String) = store.read(name).drop("bucket", "time")
-    val coded = bare(topic).persist()
+    // merged read: latest index entry per vector (build + arrivals)
+    val coded = store.readMerged(topic, "vec_id").drop("bucket", "time").persist()
     val cents = bare(s"${topic}_cents").persist()
     val cb = bare(s"${topic}_cb").persist()
     queries.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>

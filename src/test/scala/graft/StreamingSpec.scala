@@ -939,7 +939,8 @@ class StreamingSpec extends SparkSpec {
       // against the same persisted frames
       def bare(n: String) = store.read(n).drop("bucket", "time")
       val expected = graft.operators.Similarity.ivfpqProbe(
-        bare("annidx"), bare("annidx_cents"), bare("annidx_cb"),
+        store.readMerged("annidx", "vec_id").drop("bucket", "time"),
+        bare("annidx_cents"), bare("annidx_cb"),
         Seq((1001L, vecs(3L)), (1002L, vecs(17L))).toDF("q_id", "q_emb"),
         nprobe = 2, shortlist = 10, k = 3, excludeSelf = false)
         .select("q_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
@@ -955,6 +956,52 @@ class StreamingSpec extends SparkSpec {
       assert(re == Seq(17L),
         s"re-submitted query 1001 must now retrieve vector 17 first: $re")
     } finally q.stop()
+  }
+
+  test("annIndexStream grows the serve index; a new serve writer retrieves arrivals") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_anngrow").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    val e = Tables(spark, sfDir, "embeddings")
+    // build on the ESTABLISHED corpus only; vec 17 arrives later
+    TopicStream.annIndexBuild(store, e.filter(col("vec_id") =!= 17L), "annidx")
+    val v17 = e.filter(col("vec_id") === 17L)
+      .select("embedding").as[Array[Float]].head()
+    val vecIn = MemoryStream[StreamVec]
+    val growQ = TopicStream.annIndexStream(vecIn.toDF(), store, "annidx")
+      .option("checkpointLocation", s"$root/_gckpt").start()
+    try {
+      vecIn.addData(StreamVec(17L, ts("2026-01-01 00:01:00"), v17.toSeq))
+      growQ.processAllAvailable()
+      // the arrival encodes exactly as a built vector would: its
+      // index row equals the batch kernel's for the same frames
+      def bare(n: String) = store.read(n).drop("bucket", "time")
+      val grown = store.readMerged("annidx", "vec_id")
+      assert(grown.filter(col("vec_id") === 17L).count() == 1)
+      val viaKernel = graft.operators.Similarity.ivfpqEncode(
+        Seq((17L, v17)).toDF("vec_id", "embedding"),
+        bare("annidx_cents"), bare("annidx_cb"))
+        .select(col("vec_id"), col("cell"), col("cidx"))
+        .as[(Long, Int, Array[Int])].head()
+      val viaStream = grown.filter(col("vec_id") === 17L)
+        .select(col("vec_id"), col("cell"), col("cidx"))
+        .as[(Long, Int, Array[Int])].head()
+      assert(viaStream._2 == viaKernel._2 && viaStream._3.toSeq == viaKernel._3.toSeq,
+        s"arrival must encode like the build kernel: $viaStream vs $viaKernel")
+      // a NEW serve writer (fresh index snapshot) retrieves the arrival
+      val annIn = MemoryStream[AnnQuery]
+      val serveQ = TopicStream.annServeStream(annIn.toDF(), store, "annidx", "annres", k = 1)
+        .option("checkpointLocation", s"$root/_sckpt").start()
+      try {
+        annIn.addData(AnnQuery(2001L, ts("2026-01-01 00:02:00"), v17))
+        serveQ.processAllAvailable()
+        val top = store.readMerged("annres", "ann_key")
+          .select("vec_id").as[Long].collect().toSeq
+        assert(top == Seq(17L),
+          s"the grown index must serve the arrived vector: $top")
+      } finally serveQ.stop()
+    } finally growQ.stop()
   }
 }
 
