@@ -290,15 +290,15 @@ object TopicStream {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(stride >= 1 && width >= stride,
       s"need width >= stride >= 1, got width=$width stride=$stride")
+    // fresh-checkpoint relaunches must keep overwriting (see seqBase)
+    val base = seqBase(store, chunkTopic)
     docs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      val seq = base + 1 + id
       // two revisions of one doc in a single micro-batch would chunk
-      // with the SAME _seq=batchId and doc_seq, letting readMerged
-      // interleave both versions — pre-reduce to the latest version
-      // per doc (max by ts, changesBatch's pattern) first
-      val latest = b.toDF()
-        .groupBy(col("doc_id"))
-        .agg(max(struct(col("ts"), col("text"))).as("_m"))
-        .select(col("doc_id"), col("_m.ts").as("ts"), col("_m.text").as("text"))
+      // with the SAME _seq and doc_seq, letting readMerged interleave
+      // both versions — pre-reduce to the latest version per doc
+      // (max by ts, changesBatch's pattern) first
+      val latest = latestPerKey(b.toDF(), "doc_id", "ts", "text")
       val words = split(col("text"), " ")
       val chunks = latest
         .select(col("doc_id"), col("ts").as("time"),
@@ -308,8 +308,8 @@ object TopicStream {
         .select(
           concat(col("doc_id"), lit("#"), col("pos")).as("chunk_key"),
           col("doc_id"), col("time"), col("pos").cast("int").as("chunk_idx"),
-          col("col").as("chunk_text"), lit(id).as("doc_seq"))
-      store.upsert(chunkTopic, chunks, "time", seq = Some(id))
+          col("col").as("chunk_text"), lit(seq).as("doc_seq"))
+      store.upsert(chunkTopic, chunks, "time", seq = Some(seq))
     }
   }
 
@@ -326,19 +326,27 @@ object TopicStream {
     * the revision DROPPED keep their keys, so [[currentPostings]]
     * filters each posting to its doc's newest `doc_seq` (the
     * [[currentChunks]] shrink rule — pure key-overwrite can never
-    * retire them). Replays rewrite identical rows (`_seq = batchId`).
-    * Per-batch cost is the arriving docs' term explode + two
-    * batch-sized upserts — the corpus never re-indexes. At 100 TB
-    * the postings topic clusters on `w` (compaction policy) so a
-    * query's term filter reads ~query-term shard groups. */
+    * retire them). Replays rewrite identical rows; the per-batch
+    * `_seq` is offset past the topics' existing max at writer
+    * construction, so a relaunch under a FRESH checkpoint still
+    * overwrites (batch ids restarting at 0 would otherwise silently
+    * lose to the earlier run's higher versions). Postings commit
+    * BEFORE the registry; readers take the registry's max `_seq` as
+    * their consistent cutoff ([[currentPostings]]), so the
+    * between-writes window serves the doc's PREVIOUS version instead
+    * of dropping it. Per-batch cost is the arriving docs' term
+    * explode + two batch-sized upserts — the corpus never
+    * re-indexes. At 100 TB the postings topic clusters on `w`
+    * (compaction policy) so a query's term filter reads ~query-term
+    * shard groups. */
   def lexIndexStream(docs: DataFrame, store: graft.sources.TopicStore,
                      topic: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic, s"${topic}_docs")
     docs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-      val latest = b.toDF()
-        .groupBy(col("doc_id"))
-        .agg(max(struct(col("ts"), col("text"))).as("_m"))
-        .select(col("doc_id"), col("_m.ts").as("time"), col("_m.text").as("text"))
+      val seq = base + 1 + id
+      val latest = latestPerKey(b.toDF(), "doc_id", "ts", "text")
+        .withColumnRenamed("ts", "time")
         .withColumn("ws", split(lower(col("text")), " "))
         .withColumn("dl", size(col("ws")).cast("long"))
       val postings = latest
@@ -348,21 +356,37 @@ object TopicStream {
           count(lit(1)).as("tf"))
         .select(concat(col("w"), lit("#"), col("doc_id")).as("post_key"),
           col("w"), col("doc_id"), col("time"), col("tf"), col("dl"),
-          lit(id).as("doc_seq"))
-      store.upsert(topic, postings, "time", seq = Some(id))
+          lit(seq).as("doc_seq"))
+      store.upsert(topic, postings, "time", seq = Some(seq))
       store.upsert(s"${topic}_docs",
-        latest.select(col("doc_id"), col("time"), col("dl"), lit(id).as("doc_seq")),
-        "time", seq = Some(id))
+        latest.select(col("doc_id"), col("time"), col("dl"), lit(seq).as("doc_seq")),
+        "time", seq = Some(seq))
     }
+  }
 
   /** The CURRENT postings of a [[lexIndexStream]] topic: latest
     * version per post_key, restricted to each doc's newest version —
-    * a revision that dropped a term retires its stale posting. One
-    * merge agg per topic + a doc-keyed join. */
-  def currentPostings(store: graft.sources.TopicStore, topic: String): DataFrame = {
-    val merged = store.readMerged(topic, "post_key")
-    val cur = store.readMerged(s"${topic}_docs", "doc_id")
-      .select(col("doc_id"), col("doc_seq").as("_cur"))
+    * a revision that dropped a term retires its stale posting.
+    *
+    * Consistency: the registry's max `_seq` is the read cutoff —
+    * postings commit first, so versions past the registry's high
+    * water (a writer mid-batch) are EXCLUDED and the in-between
+    * window serves each doc's previous version rather than nothing.
+    * `terms` non-empty pre-filters the RAW postings scan on `w`
+    * BEFORE the merge agg (safe: every version of a post_key shares
+    * its w — post_key = w#doc_id), which is what lets a query read
+    * ~term shard groups instead of merging the whole topic. */
+  def currentPostings(store: graft.sources.TopicStore, topic: String,
+                      terms: Seq[String] = Seq.empty): DataFrame = {
+    val reg = store.readMerged(s"${topic}_docs", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cut = reg.agg(max(col("doc_seq")).as("_cut"))
+    val raw0 = store.read(topic)
+    val raw = if (terms.isEmpty) raw0 else raw0.filter(col("w").isin(terms: _*))
+    val merged = store.mergeLatest(
+      raw.crossJoin(broadcast(cut)).filter(col("_seq") <= col("_cut")).drop("_cut"),
+      "post_key")
+    val cur = reg.select(col("doc_id"), col("doc_seq").as("_cur"))
     merged.join(cur, "doc_id").filter(col("doc_seq") === col("_cur")).drop("_cur")
   }
 
@@ -370,16 +394,18 @@ object TopicStream {
     * top-`k` over the CURRENT postings — (doc_id, score,
     * n_terms_hit, rank), rank 1-based for `api.rrfFuse` against an
     * [[annServeStream]] shortlist. Cost: the postings scan filters
-    * to the query terms FIRST (clustered on `w` at scale, ~term
-    * shard groups), df/idf is a per-term count over those postings,
-    * and n_docs is one registry agg — the corpus text is never
-    * touched at query time. */
+    * to the query terms at the SCAN, before the merge agg (plan-
+    * pinned; clustered on `w` at scale → ~term shard groups), df/idf
+    * is a per-term count over those postings, and n_docs is one
+    * registry agg — the corpus text is never touched at query time. */
   def lexSearch(store: graft.sources.TopicStore, topic: String,
                 terms: Seq[String], k: Int = 10): DataFrame = {
     require(terms.nonEmpty, "lexSearch needs at least one query term")
-    val posts = currentPostings(store, topic)
-      .filter(col("w").isin(terms: _*))
+    // persisted: `posts` feeds both the idf agg and the score join —
+    // without the cache the term-pruned merge would execute twice
+    val posts = currentPostings(store, topic, terms)
       .select(col("doc_id"), col("w"), col("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = store.readMerged(s"${topic}_docs", "doc_id")
       .agg(count(lit(1)).as("n_docs"))
     val idf = posts.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -395,6 +421,32 @@ object TopicStream {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("doc_id"))).cast("int"))
   }
+
+  /** Latest version per key within one micro-batch — the in-batch
+    * newest-wins rule every indexing arrival loop applies before
+    * writing (two versions of one key in one batch would otherwise
+    * land with the same `_seq` and resolve arbitrarily downstream).
+    * Ties on `ts` break on the payload — deterministic either way. */
+  private def latestPerKey(b: DataFrame, key: String, ts: String,
+                           payload: String): DataFrame =
+    b.groupBy(col(key))
+      .agg(max(struct(col(ts), col(payload))).as("_m"))
+      .select(col(key), col("_m")(ts).as(ts), col("_m")(payload).as(payload))
+
+  /** Max existing `_seq` across `topics` (−1 when none): the offset
+    * that keeps a writer relaunched under a fresh checkpoint (batch
+    * ids restarting at 0) writing ABOVE every version already in the
+    * store, so last-write-wins stays truthful across stream
+    * generations. */
+  private def seqBase(store: graft.sources.TopicStore, topics: String*): Long =
+    topics.flatMap { t =>
+      if (store.exists(t)) {
+        val df = store.read(t)
+        if (df.columns.contains("_seq"))
+          Option(df.agg(max(col("_seq"))).head.get(0)).map(_.asInstanceOf[Long])
+        else None
+      } else None
+    }.foldLeft(-1L)(math.max)
 
   /** The CURRENT chunk set of every doc in a [[chunkStream]] topic:
     * latest version per chunk_key, then only chunks carrying the
@@ -512,11 +564,13 @@ object TopicStream {
                     topic: String): Unit = {
     val (cents, cb, coded) = graft.operators.Similarity.ivfpqIndex(e)
     def t0(df: DataFrame) = df.withColumn("time", lit(0L).cast("timestamp"))
-    // the coded topic is an UPSERT topic keyed vec_id (seq 0 = the
-    // build generation) so [[annIndexStream]] arrivals and
+    // the coded topic is an UPSERT topic keyed vec_id (seq -1 = the
+    // build generation — strictly BELOW any stream batch's seq, so a
+    // vector re-published in the very first micro-batch deterministically
+    // overwrites its build row) and [[annIndexStream]] arrivals and
     // re-publishes overwrite cleanly; the frozen frames are plain
     // appends (a rebuild replaces the whole index under a new topic)
-    store.upsert(topic, t0(coded), "time", seq = Some(0L))
+    store.upsert(topic, t0(coded), "time", seq = Some(-1L))
     store.append(s"${topic}_cents", t0(cents))
     store.append(s"${topic}_cb", t0(cb))
   }
@@ -541,14 +595,15 @@ object TopicStream {
     def bare(name: String) = store.read(name).drop("bucket", "time")
     val cents = bare(s"${topic}_cents").persist()
     val cb = bare(s"${topic}_cb").persist()
+    // offset batch seqs past the store's high water: a relaunch under
+    // a fresh checkpoint (batch ids back at 0) must keep overwriting
+    val base = seqBase(store, topic)
     vecs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-      val latest = b.toDF()
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("ts"), col("embedding"))).as("_m"))
-        .select(col("vec_id"), col("_m.ts").as("time"), col("_m.embedding").as("embedding"))
+      val latest = latestPerKey(b.toDF(), "vec_id", "ts", "embedding")
+        .withColumnRenamed("ts", "time")
       val coded = graft.operators.Similarity.ivfpqEncode(latest, cents, cb)
         .select(col("vec_id"), col("time"), col("cell"), col("embedding"), col("cidx"))
-      store.upsert(topic, coded, "time", seq = Some(id))
+      store.upsert(topic, coded, "time", seq = Some(base + 1 + id))
     }
   }
 
@@ -575,11 +630,11 @@ object TopicStream {
     val coded = store.readMerged(topic, "vec_id").drop("bucket", "time").persist()
     val cents = bare(s"${topic}_cents").persist()
     val cb = bare(s"${topic}_cb").persist()
+    // results keep overwriting across serve-writer generations too
+    val base = seqBase(store, outTopic)
     queries.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-      val latest = b.toDF()
-        .groupBy(col("q_id"))
-        .agg(max(struct(col("ts"), col("embedding"))).as("_m"))
-        .select(col("q_id"), col("_m.ts").as("ts"), col("_m.embedding").as("q_emb"))
+      val latest = latestPerKey(b.toDF(), "q_id", "ts", "embedding")
+        .withColumnRenamed("embedding", "q_emb")
       val res = graft.operators.Similarity.ivfpqProbe(coded, cents, cb,
         latest.select(col("q_id"), col("q_emb")),
         nprobe, shortlist, k, excludeSelf = false)
@@ -587,7 +642,7 @@ object TopicStream {
         .select(concat(col("q_id"), lit("#"), col("rank")).as("ann_key"),
           col("q_id"), col("time"), col("vec_id"), col("cell"),
           col("adc"), col("cos_exact"), col("rank"))
-      store.upsert(outTopic, out, "time", seq = Some(id))
+      store.upsert(outTopic, out, "time", seq = Some(base + 1 + id))
     }
   }
 

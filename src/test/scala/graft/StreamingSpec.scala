@@ -904,6 +904,26 @@ class StreamingSpec extends SparkSpec {
       assert(TopicStream.lexSearch(store, "lex", Seq("interim")).count() == 0)
       assert(TopicStream.lexSearch(store, "lex", Seq("final"))
         .select("doc_id").as[Long].collect().toSeq == Seq(3L))
+      // the term filter reaches the postings SCAN (before the merge
+      // agg) — the load-bearing claim that a query reads ~term shard
+      // groups instead of merging the whole topic
+      val plan = TopicStream.lexSearch(store, "lex", Seq("vector", "scan"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("In(w, ") || plan.contains("In(w,"),
+        s"the w IN (...) filter must be pushed to the postings scan:\n$plan")
+      // between-writes consistency: postings from an IN-FLIGHT batch
+      // (committed before its registry update) are invisible — the
+      // doc serves its previous version instead of vanishing
+      val before = TopicStream.lexSearch(store, "lex", Seq("scan"))
+        .select("doc_id", "score").as[(Long, Long)].collect().toSet
+      val maxSeq = store.read("lex").agg(max(col("_seq"))).head.getLong(0)
+      val inflight = Seq(("scan#2", "scan", 2L, ts("2024-01-01 00:09:00"), 9L, 3L, maxSeq + 1))
+        .toDF("post_key", "w", "doc_id", "time", "tf", "dl", "doc_seq")
+      store.upsert("lex", inflight, "time", seq = Some(maxSeq + 1))
+      val mid = TopicStream.lexSearch(store, "lex", Seq("scan"))
+        .select("doc_id", "score").as[(Long, Long)].collect().toSet
+      assert(mid == before,
+        s"an in-flight batch must not change what readers see: $mid vs $before")
     } finally q.stop()
   }
 
@@ -972,7 +992,14 @@ class StreamingSpec extends SparkSpec {
     val growQ = TopicStream.annIndexStream(vecIn.toDF(), store, "annidx")
       .option("checkpointLocation", s"$root/_gckpt").start()
     try {
-      vecIn.addData(StreamVec(17L, ts("2026-01-01 00:01:00"), v17.toSeq))
+      // vec 17 is NEW; vec 3 is a RE-PUBLISH of a built vector with a
+      // different embedding (17's negation), in the very FIRST
+      // micro-batch — the build's seq must sit strictly below the
+      // stream's so the re-publish deterministically overwrites
+      val v3rev = v17.map(-_)
+      vecIn.addData(
+        StreamVec(17L, ts("2026-01-01 00:01:00"), v17.toSeq),
+        StreamVec(3L, ts("2026-01-01 00:01:00"), v3rev.toSeq))
       growQ.processAllAvailable()
       // the arrival encodes exactly as a built vector would: its
       // index row equals the batch kernel's for the same frames
@@ -989,6 +1016,17 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Int, Array[Int])].head()
       assert(viaStream._2 == viaKernel._2 && viaStream._3.toSeq == viaKernel._3.toSeq,
         s"arrival must encode like the build kernel: $viaStream vs $viaKernel")
+      // the batch-0 re-publish of vec 3 overwrote its build row: its
+      // index entry now carries the REVISED embedding's encoding
+      val rev3Kernel = graft.operators.Similarity.ivfpqEncode(
+        Seq((3L, v3rev)).toDF("vec_id", "embedding"),
+        bare("annidx_cents"), bare("annidx_cb"))
+        .select(col("cell"), col("cidx")).as[(Int, Array[Int])].head()
+      val re3 = grown.filter(col("vec_id") === 3L)
+        .select(col("cell"), col("cidx")).as[(Int, Array[Int])].collect()
+      assert(re3.length == 1 && re3.head._1 == rev3Kernel._1 &&
+        re3.head._2.toSeq == rev3Kernel._2.toSeq,
+        s"a first-batch re-publish must overwrite the build row: ${re3.toSeq}")
       // a NEW serve writer (fresh index snapshot) retrieves the arrival
       val annIn = MemoryStream[AnnQuery]
       val serveQ = TopicStream.annServeStream(annIn.toDF(), store, "annidx", "annres", k = 1)
