@@ -233,6 +233,50 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // WINNOWING fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    // MOSS algorithm — the position-aware local fingerprinting that
+    // code/plagiarism dedup uses where MinHash's global signature
+    // can't localize): per doc, the 3-gram hash sequence slides a
+    // w=4 window and each window contributes its MINIMUM hash
+    // (rightmost on ties — the paper's robust-winnowing rule), so
+    // any shared run of >= w+k-1 tokens is GUARANTEED to share a
+    // fingerprint (MinHash only matches probabilistically). Pairs =
+    // docs sharing >= 2 selected fingerprints. Scale shape: the
+    // window-min is pure per-row array compute at scan speed (no
+    // window function, no position explode), fingerprints are ~n/w
+    // hashes per doc, and the pair stage is the dd01/dd10 group-
+    // explode (sorted doc set per fingerprint, pairCombos) — never a
+    // corpus self-join; one exchange on the fingerprint domain + one
+    // on pairs. md5 grams keep both engines bit-identical.
+    "dd16_winnowing" -> ((s, d) => {
+      val w = 4
+      val hs = transform(shingles(tokens(col("text")), 3), g => md5(g))
+      val winMin = (lo: Column, hi: Column) =>
+        array_min(transform(sequence(lo, hi),
+          p => struct(element_at(col("hs"), p).as("h"), (-p).as("np"))))
+          .getField("h")
+      val fps = Tables.spread(docs(s, d))
+        .withColumn("hs", hs)
+        .withColumn("fp", array_distinct(
+          when(size(col("hs")) >= w,
+            transform(sequence(lit(1), size(col("hs")) - lit(w - 1)),
+              t => winMin(t, t + lit(w - 1))))
+            .otherwise(array(winMin(lit(1), size(col("hs")))))))
+        .select(col("doc_id"), explode(col("fp")).as("gh"))
+      val pairCombos = flatten(transform(col("ds"), (a, ai) =>
+        transform(slice(col("ds"), ai + lit(2), size(col("ds")) - ai - 1),
+          b => struct(a.as("a"), b.as("b")))))
+      fps.groupBy(col("gh"))
+        .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(pairCombos).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Cross-source duplicate OVERLAP matrix: how much of each source
     // pair is shared content (the "is CommonCrawl-v2 just v1 again?"
     // audit run before mixing corpora). Exact form: distinct
@@ -698,6 +742,26 @@ object Dedup {
   val oracle: Map[String, String] = baseOracle +
     // same components as dd06, different fixpoint — one ground truth
     ("dd09_cc_star" -> baseOracle("dd06_dup_clusters")) +
+    ("dd16_winnowing" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |shs AS (SELECT doc_id, $shingleSql AS sh FROM w),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS h FROM shs),
+         |g AS (SELECT doc_id, CAST(unnest(generate_series(1, len(h))) AS INT) AS pos,
+         |  unnest(h) AS gh FROM hs),
+         |ws AS (SELECT doc_id, unnest(CASE WHEN len(h) >= 4
+         |  THEN generate_series(1, len(h) - 3) ELSE [1] END) AS t, len(h) AS n FROM hs),
+         |wm AS (SELECT g.doc_id, w.t, g.gh, g.pos
+         | FROM g JOIN ws w ON w.doc_id = g.doc_id
+         |   AND g.pos BETWEEN w.t AND least(w.t + 3, w.n)),
+         |sel AS (SELECT doc_id, t, gh FROM (
+         |  SELECT doc_id, t, gh,
+         |   row_number() OVER (PARTITION BY doc_id, t ORDER BY gh, pos DESC) AS rn
+         |  FROM wm) WHERE rn = 1),
+         |fp AS (SELECT DISTINCT doc_id, gh FROM sel),
+         |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+         | FROM fp x JOIN fp y ON x.gh = y.gh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared
+         |FROM pairs WHERE n_shared >= 2 ORDER BY a, b""".stripMargin) +
     ("dd12_incremental" ->
       s"""WITH $candPreludeSql,
          |old_ch AS (SELECT DISTINCT md5(text) AS chash FROM documents WHERE doc_id % 5 != 0),
