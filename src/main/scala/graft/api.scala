@@ -116,6 +116,63 @@ object api {
         .drop("_gap")
     }
 
+    /** N-stage event funnel (the ts21 operator generalized): per
+      * `userCol`, resolve `stages` in order — stage i matches the
+      * FIRST `typeCol == stages(i)` row within `tolSeconds` of stage
+      * i-1's match (stage 0 anchors at its own first occurrence).
+      * Returns one row per user: t_1..t_n match times + `depth` (how
+      * far the user got). One pre-filter to the stage types, ONE
+      * shuffle on the user key; stage chaining is per-row array
+      * compute — no window, no per-stage re-scan, no self-join. */
+    def funnel(userCol: String, tsCol: String, typeCol: String,
+               stages: Seq[String], tolSeconds: Long = 43200L): DataFrame = {
+      require(stages.nonEmpty, "funnel needs at least one stage")
+      val e = df.filter(col(typeCol).isin(stages: _*))
+      val lists = stages.zipWithIndex.drop(1).map { case (st, i) =>
+        collect_list(when(col(typeCol) === st, col(tsCol))).as(s"_l$i")
+      }
+      val base = e.groupBy(col(userCol))
+        .agg(min(when(col(typeCol) === stages.head, col(tsCol))).as("t_1"),
+          lists: _*)
+      val chained = stages.indices.drop(1).foldLeft(base) { (acc, i) =>
+        acc.withColumn(s"t_${i + 1}", array_min(filter(col(s"_l$i"),
+          t => t >= col(s"t_$i") &&
+            t <= col(s"t_$i") + expr(s"INTERVAL $tolSeconds SECONDS"))))
+      }
+      // Build innermost-first so the OUTERMOST branch tests the
+      // deepest stage (chaining makes t_i non-null whenever t_{i+1}
+      // is, so the shallower test must not shadow the deeper one).
+      val depth = stages.indices.foldLeft(lit(0L)) { (els, i) =>
+        when(col(s"t_${i + 1}").isNotNull, (i + 1).toLong).otherwise(els)
+      }
+      chained
+        .select(col(userCol) +: stages.indices.map(i => col(s"t_${i + 1}")) :+
+          depth.as("depth"): _*)
+    }
+
+    /** Cohort retention matrix (the ts22 operator as a verb): users
+      * cohorted by first-seen `granularity` bucket of `tsCol`; one row
+      * per (cohort, offset) with n_active / n_cohort and integer-milli
+      * retention. One co-shuffled equi-join on the user key; the
+      * rollup is calendar-bounded and the cohort-size side broadcasts. */
+    def retentionMatrix(userCol: String, tsCol: String,
+                        granularity: String = "day"): DataFrame = {
+      val firstSeen = df.groupBy(col(userCol))
+        .agg(date_trunc(granularity, min(col(tsCol))).as("cohort"))
+      val activity = df
+        .select(col(userCol), date_trunc(granularity, col(tsCol)).as("_b"))
+        .distinct()
+      val cohortSize = firstSeen.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_cohort"))
+      firstSeen.join(activity, userCol)
+        .groupBy(col("cohort"), col("_b"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(cohortSize), "cohort")
+        .select(col("cohort"), col("_b").as("bucket"),
+          col("n_active"), col("n_cohort"),
+          expr("(n_active * 1000) DIV n_cohort").as("retention_milli"))
+    }
+
     /** Per-key z-score outliers over an integer-valued column (exact
       * moments commute -> deterministic at any parallelism; the ts15
       * operator generalized). Keeps rows with |z| >= `zMin`, adding a
@@ -218,6 +275,20 @@ object api {
     def nearDupPairs(idCol: String, textCol: String): DataFrame =
       graft.operators.Dedup.candidatePairsPublic(
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+    /** Winnowing-fingerprint duplicate pairs (the dd16 operator —
+      * Schleimer et al. 2003, MOSS): pairs of docs sharing >=
+      * `minShared` selected fingerprints, with the positional
+      * GUARANTEE MinHash lacks — any shared token run of length >=
+      * w+k-1 always produces a shared fingerprint. Fingerprint
+      * selection is per-row array compute at scan speed; the pair
+      * stage is a fingerprint-group explode, never a corpus
+      * self-join. */
+    def winnowPairs(idCol: String, textCol: String, k: Int = 3,
+                    w: Int = 4, minShared: Long = 2L): DataFrame =
+      graft.operators.Dedup.winnowPairs(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        k, w, minShared)
 
     /** Shingle-containment near-dup pairs (the dd07 operator):
       * catches superset duplicates (quotes, boilerplate wrappers)

@@ -248,34 +248,8 @@ object Dedup {
     // explode (sorted doc set per fingerprint, pairCombos) — never a
     // corpus self-join; one exchange on the fingerprint domain + one
     // on pairs. md5 grams keep both engines bit-identical.
-    "dd16_winnowing" -> ((s, d) => {
-      val w = 4
-      val hs = transform(shingles(tokens(col("text")), 3), g => md5(g))
-      val winMin = (lo: Column, hi: Column) =>
-        array_min(transform(sequence(lo, hi),
-          p => struct(element_at(col("hs"), p).as("h"), (-p).as("np"))))
-          .getField("h")
-      val fps = Tables.spread(docs(s, d))
-        .withColumn("hs", hs)
-        .withColumn("fp", array_distinct(
-          when(size(col("hs")) >= w,
-            transform(sequence(lit(1), size(col("hs")) - lit(w - 1)),
-              t => winMin(t, t + lit(w - 1))))
-            .otherwise(array(winMin(lit(1), size(col("hs")))))))
-        .select(col("doc_id"), explode(col("fp")).as("gh"))
-      val pairCombos = flatten(transform(col("ds"), (a, ai) =>
-        transform(slice(col("ds"), ai + lit(2), size(col("ds")) - ai - 1),
-          b => struct(a.as("a"), b.as("b")))))
-      fps.groupBy(col("gh"))
-        .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) >= 2)
-        .select(explode(pairCombos).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-        .orderBy(col("a"), col("b"))
-    }),
+    "dd16_winnowing" -> ((s, d) =>
+      winnowPairs(Tables.spread(docs(s, d))).orderBy(col("a"), col("b"))),
 
     // Cross-source duplicate OVERLAP matrix: how much of each source
     // pair is shared content (the "is CommonCrawl-v2 just v1 again?"
@@ -471,6 +445,53 @@ object Dedup {
       .withColumn("cont_b_milli", expr("(inter * 1000) DIV CAST(size(sh_b) AS BIGINT)"))
       .filter(greatest(col("cont_a_milli"), col("cont_b_milli")) >= minMilli)
       .select(col("a"), col("b"), col("cont_a_milli"), col("cont_b_milli"))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 §3, the
+    * MOSS algorithm) over any (doc_id, text) frame: each doc's k-gram
+    * md5 sequence slides a window of `w` hashes and every window
+    * contributes its MINIMUM hash (rightmost position on ties — the
+    * paper's robust-winnowing rule), giving the guarantee MinHash
+    * lacks: any shared token run of length >= w+k-1 selects at least
+    * one shared fingerprint in both docs. Returns distinct
+    * (doc_id, gh). Per-row array compute at scan speed — no window
+    * function, no position explode. */
+  def winnowFingerprints(docDf: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val hs = transform(shingles(tokens(col("text")), k), g => md5(g))
+    // Window min carries (hash, -position): array_min's struct order
+    // resolves hash ties to the RIGHTMOST position (max p = min -p),
+    // which is what makes the selection self-consistent across docs.
+    val winMin = (lo: Column, hi: Column) =>
+      array_min(transform(sequence(lo, hi),
+        p => struct(element_at(col("hs"), p).as("h"), (-p).as("np"))))
+        .getField("h")
+    docDf
+      .withColumn("hs", hs)
+      .withColumn("fp", array_distinct(
+        when(size(col("hs")) >= w,
+          transform(sequence(lit(1), size(col("hs")) - lit(w - 1)),
+            t => winMin(t, t + lit(w - 1))))
+          .otherwise(array(winMin(lit(1), size(col("hs")))))))
+      .select(col("doc_id"), explode(col("fp")).as("gh"))
+  }
+
+  /** Doc pairs sharing >= `minShared` winnowing fingerprints (dd16's
+    * kernel): fingerprint groups -> sorted doc set -> pair explode —
+    * the dd01/dd10 discipline, never a corpus self-join. */
+  def winnowPairs(docDf: DataFrame, k: Int = 3, w: Int = 4,
+                  minShared: Long = 2L): DataFrame = {
+    val pairCombos = flatten(transform(col("ds"), (a, ai) =>
+      transform(slice(col("ds"), ai + lit(2), size(col("ds")) - ai - 1),
+        b => struct(a.as("a"), b.as("b")))))
+    winnowFingerprints(docDf, k, w)
+      .groupBy(col("gh"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(pairCombos).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Integer left-fold sum (exact). */

@@ -131,6 +131,68 @@ object TimeSeries {
         .orderBy(col("event_id"))
     }),
 
+    // Event FUNNEL (ClickHouse windowFunnel's stricter cousin): per
+    // user, the signup -> view -> purchase sequence where each stage
+    // must land within 12h of the PREVIOUS stage's match (stage
+    // anchors chain: t2 = first view in [t1, t1+12h], t3 = first
+    // purchase in [t2, t2+12h]). Scale shape: one pre-filter to the
+    // stage types at the scan, ONE shuffle on user_id, then stage
+    // resolution is pure per-row array compute (array_min over
+    // filter) — no window function, no self-join, no re-scan per
+    // stage. Per-user state is bounded by that user's stage-type
+    // event count (the collect_list side); heavy users bound memory
+    // per group, not the shuffle. Timestamps chain exactly in both
+    // engines (microsecond integers), so depth is engine-exact.
+    "ts21_funnel" -> ((s, d) => {
+      val stages = Seq("signup", "view", "purchase")
+      val e = Tables.events(s, d).filter(col("event_type").isin(stages: _*))
+      val tol = expr("INTERVAL 12 HOURS")
+      e.groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+          collect_list(when(col("event_type") === "view", col("ts"))).as("vts"),
+          collect_list(when(col("event_type") === "purchase", col("ts"))).as("pts"))
+        .withColumn("t2", array_min(filter(col("vts"),
+          t => t >= col("t1") && t <= col("t1") + tol)))
+        .withColumn("t3", array_min(filter(col("pts"),
+          t => t >= col("t2") && t <= col("t2") + tol)))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          when(col("t3").isNotNull, 3L).otherwise(
+            when(col("t2").isNotNull, 2L).otherwise(
+              when(col("t1").isNotNull, 1L).otherwise(0L))).as("depth"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Cohort RETENTION matrix (the product-analytics staple next to
+    // ts21's funnel): users cohorted by first-seen DAY; each later
+    // active day reports how many of the cohort came back
+    // (n_active / n_cohort, integer milli). Scale shape: first-seen
+    // is a map-side-combinable min per user; activity is a partial
+    // distinct on (user, day); the two meet in ONE equi-join
+    // co-shuffled on user_id; the (cohort, day) rollup is
+    // cohort-days-sized (calendar-bounded, tiny), and the cohort-size
+    // table broadcasts. Nothing in the plan is ever
+    // corpus-proportional after the first shuffle.
+    "ts22_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val firstSeen = e.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+      val activity = e
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val cohortSize = firstSeen.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_cohort"))
+      firstSeen.join(activity, "user_id")
+        .groupBy(col("cohort"), col("day"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(cohortSize), "cohort")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort")).cast("long").as("day_offset"),
+          col("n_active"), col("n_cohort"),
+          expr("(n_active * 1000) DIV n_cohort").as("retention_milli"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // Sliding 1h range window per key.
     "ts04_sliding" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s")).rangeBetween(-3600, 0)
@@ -432,6 +494,45 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts21_funnel" ->
+      """WITH per_user AS (
+        | SELECT user_id,
+        |  list_min(list(ts) FILTER (event_type = 'signup')) AS t1,
+        |  list(ts) FILTER (event_type = 'view') AS vts,
+        |  list(ts) FILTER (event_type = 'purchase') AS pts
+        | FROM events
+        | WHERE event_type IN ('signup', 'view', 'purchase') GROUP BY 1
+        |), s2 AS (
+        | SELECT user_id, t1, pts,
+        |  list_min(list_filter(vts,
+        |    t -> t >= t1 AND t <= t1 + INTERVAL 12 HOUR)) AS t2
+        | FROM per_user
+        |), s3 AS (
+        | SELECT user_id, t1, t2,
+        |  list_min(list_filter(pts,
+        |    t -> t >= t2 AND t <= t2 + INTERVAL 12 HOUR)) AS t3
+        | FROM s2)
+        |SELECT user_id, t1, t2, t3,
+        | CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+        |FROM s3 ORDER BY user_id""".stripMargin,
+    "ts22_retention" ->
+      """WITH first_seen AS (
+        | SELECT user_id, date_trunc('day', min(ts)) AS cohort
+        | FROM events GROUP BY 1
+        |), activity AS (
+        | SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        |), cohort_size AS (
+        | SELECT cohort, count(*) AS n_cohort FROM first_seen GROUP BY 1
+        |), m AS (
+        | SELECT cohort, day, count(*) AS n_active
+        | FROM first_seen JOIN activity USING (user_id) GROUP BY 1, 2)
+        |SELECT strftime(m.cohort, '%Y-%m-%d') AS cohort_day,
+        | CAST(date_diff('day', m.cohort, m.day) AS BIGINT) AS day_offset,
+        | n_active, n_cohort,
+        | (n_active * 1000) // n_cohort AS retention_milli
+        |FROM m JOIN cohort_size USING (cohort)
+        |ORDER BY 1, 2""".stripMargin,
     "ts01_resample" ->
       """SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
         | avg(CAST(round(value*100) AS BIGINT)) AS avg_value_cents,

@@ -182,6 +182,89 @@ class ApiSpec extends SparkSpec {
     assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
   }
 
+  test("funnel verb matches ts21 on events") {
+    val viaApi = Tables.events(spark, sfDir)
+      .funnel("user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"), tolSeconds = 43200L)
+      .orderBy("user_id")
+    val viaOp = SparkEntry.queries("ts21_funnel")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+  }
+
+  test("funnel chains stages strictly forward within tolerance") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val rows = Seq(
+      // u1: A then B in-tol then C in-tol -> depth 3
+      (1L, t(0), "A"), (1L, t(10), "B"), (1L, t(15), "C"),
+      // u2: B BEFORE A only -> depth 1 (no forward B)
+      (2L, t(0), "B"), (2L, t(5), "A"),
+      // u3: B after tolerance -> depth 1
+      (3L, t(0), "A"), (3L, t(200), "B"),
+      // u4: anchor is FIRST A; B is in tolerance of the second A but
+      // not the first -> depth 1 (documented anchor semantic)
+      (4L, t(0), "A"), (4L, t(300), "A"), (4L, t(320), "B"),
+      // u5: C before B never counts even in-tol of A -> depth 2
+      (5L, t(0), "A"), (5L, t(5), "C"), (5L, t(20), "B"))
+    val df = spark.createDataFrame(rows).toDF("uid", "ts", "et")
+    val out = df.funnel("uid", "ts", "et", Seq("A", "B", "C"), tolSeconds = 100L)
+      .select("uid", "depth").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("retentionMatrix matches ts22 on events") {
+    val viaApi = Tables.events(spark, sfDir)
+      .retentionMatrix("user_id", "ts")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("bucket"), col("cohort")).cast("long").as("day_offset"),
+        col("n_active"), col("n_cohort"), col("retention_milli"))
+      .orderBy("cohort_day", "day_offset")
+    val viaOp = SparkEntry.queries("ts22_retention")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+  }
+
+  test("winnowPairs matches dd16") {
+    val viaApi = Tables(spark, sfDir, "documents")
+      .winnowPairs("doc_id", "text").orderBy("a", "b")
+    val viaOp = SparkEntry.queries("dd16_winnowing")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+  }
+
+  test("winnowing guarantees a shared fingerprint for any shared run of >= w+k-1 tokens") {
+    // Schleimer et al. 2003 Theorem (correctness of winnowing): with
+    // k-gram fingerprints and window w, any match of length >=
+    // w + k - 1 tokens is caught. Plant doc pairs that share exactly a
+    // (w+k-1)-token run embedded in otherwise-disjoint noise, at
+    // varying offsets (window phase differs per doc — the property
+    // must hold regardless of where in the doc the run sits).
+    val (k, w) = (3, 4)
+    val run = (1 to (w + k - 1)).map(i => s"shared$i").mkString(" ")
+    def noise(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docsRows = (0 until 6).flatMap { off =>
+      Seq((off * 2L, s"${noise(s"a$off", off + 1)} $run ${noise(s"b$off", 7)}"),
+        (off * 2L + 1, s"${noise(s"c$off", 9 - off)} $run ${noise(s"d$off", off + 2)}"))
+    }
+    val df = spark.createDataFrame(docsRows).toDF("doc_id", "text")
+    val fps = graft.operators.Dedup.winnowFingerprints(df, k, w)
+    val shared = fps.groupBy("gh")
+      .agg(collect_set(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(col("ds")).as("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    (0 until 6).foreach { off =>
+      assert(shared.contains(off * 2L) && shared.contains(off * 2L + 1),
+        s"offset $off: planted pair must share a fingerprint (guarantee violated)")
+    }
+    // And the pair verb surfaces them when the threshold allows
+    // single-fingerprint evidence.
+    val pairs = df.winnowPairs("doc_id", "text", k, w, minShared = 1L)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 6).foreach { off =>
+      assert(pairs.contains((off * 2L, off * 2L + 1)),
+        s"offset $off: planted pair missing from winnowPairs")
+    }
+  }
+
   test("packSequences conserves tokens and starts every group at pack 0") {
     val df = Tables(spark, sfDir, "documents")
       .withColumn("tok_cnt", size(split(col("text"), " ")))
