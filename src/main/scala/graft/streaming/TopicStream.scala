@@ -8,6 +8,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class TopicEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                       event_type: String, value: Double)
 
+/** Per-user funnel state: every stage-type event time (epoch micros)
+  * seen so far, per stage — the full candidate set, because a LATE
+  * earlier stage-0 event legally moves every later anchor (batch ts21
+  * is min-over-all; the stream must agree). */
+case class FunnelUserState(stageUs: Seq[Seq[Long]])
+
+/** A user's current funnel resolution: matched stage times (prefix,
+  * epoch micros) + how deep they got. */
+case class FunnelProgress(user_id: Long, matched_us: Seq[Long], depth: Int)
+
 /** Latest-value state per key — ella's subscriber "current value" view. */
 case class KeyLatest(user_id: Long, ts: java.sql.Timestamp, value: Double, n_seen: Long)
 
@@ -123,6 +133,64 @@ object TopicStream {
       .agg(count(lit(1)).as("n_events"), sum(col("value_c")).as("sum_value_cents"))
       .select(col("session_window.start").as("s_start"), col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("sum_value_cents"))
+
+  /** Streaming event FUNNEL — ts21's windowed stage chain as
+    * per-user live state (the product-analytics "where is this user
+    * in the signup flow RIGHT NOW" view). Each arriving stage-type
+    * event lands in its user's per-stage candidate set; the chain
+    * (t1 = first stage-0, t_i = first stage-i in [t_{i-1},
+    * t_{i-1}+tol]) re-resolves from that set, so the stream is
+    * EXACTLY batch-consistent: a late-arriving earlier signup moves
+    * the anchor and can lawfully REVOKE a previously-reported deeper
+    * match (the spec pins this against `api.funnel` on the union).
+    * State per user is its stage-type event times only — bounded by
+    * the same per-user cardinality as batch ts21's collect_list side,
+    * and shuffled once on user_id per micro-batch. Emits Update-mode
+    * rows only for users whose resolution changed. */
+  def funnelStream(events: Dataset[TopicEvent], stages: Seq[String],
+                   tolSeconds: Long = 43200L): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val stageIdx = stages.zipWithIndex.toMap
+    val tolUs = tolSeconds * 1000000L
+    def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    def resolve(st: FunnelUserState): Seq[Long] = {
+      val out = Seq.newBuilder[Long]
+      var anchor = -1L
+      var i = 0
+      var open = true
+      while (i < stages.size && open) {
+        val cand =
+          if (i == 0) st.stageUs(0).minOption
+          else st.stageUs(i).filter(t => t >= anchor && t <= anchor + tolUs).minOption
+        cand match {
+          case Some(t) => out += t; anchor = t; i += 1
+          case None => open = false
+        }
+      }
+      out.result()
+    }
+    events
+      .filter(e => stageIdx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelUserState, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        case (user: Long, rows: Iterator[TopicEvent], state: GroupState[FunnelUserState]) =>
+          val existed = state.exists
+          val prev = state.getOption
+            .getOrElse(FunnelUserState(Vector.fill(stages.size)(Vector.empty[Long])))
+          val before = resolve(prev)
+          val merged = rows.foldLeft(prev) { (st, e) =>
+            val i = stageIdx(e.event_type)
+            FunnelUserState(st.stageUs.updated(i, st.stageUs(i) :+ micros(e.ts)))
+          }
+          state.update(merged)
+          val after = resolve(merged)
+          if (existed && after == before) Iterator.empty
+          else Iterator.single(FunnelProgress(user, after, after.size))
+      }
+  }
 
   /** Streaming training-data prep — the px01 batch pipeline in
     * streaming form: language gate → token-band quality gate → exact

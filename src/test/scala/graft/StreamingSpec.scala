@@ -67,6 +67,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: live per-user stage resolution, late anchors upgrade AND revoke") {
+    import spark.implicits._
+    import graft.api._
+    implicit val sql = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val stages = Seq("signup", "view", "purchase")
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.funnelStream(input.toDS(), stages, tolSeconds = 100L)
+      .writeStream.format("memory").queryName("funnel").outputMode("update").start()
+    def rows() = spark.table("funnel").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Seq[Long]]("matched_us"), r.getAs[Int]("depth")))
+    val b1 = Seq(
+      // u1: view+purchase BEFORE any signup -> depth 0
+      TopicEvent(1, t(100), 1L, "view", 0), TopicEvent(2, t(110), 1L, "purchase", 0),
+      // u3: complete-looking 2-stage run anchored late
+      TopicEvent(3, t(1000), 3L, "signup", 0), TopicEvent(4, t(1010), 3L, "view", 0))
+    val b2 = Seq(
+      // u1's signup arrives LATE and slots BEFORE the view -> depth 3
+      TopicEvent(5, t(95), 1L, "signup", 0),
+      // u3's EARLIER signup arrives late: anchor moves to 0, the view
+      // at 1010 falls outside [0, 100] -> depth REVOKED to 1
+      TopicEvent(6, t(0), 3L, "signup", 0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      val r1 = rows().toSet
+      assert(r1 == Set((1L, Seq.empty[Long], 0), (3L, Seq(1000000000L, 1010000000L), 2)))
+      input.addData(b2: _*); q.processAllAvailable()
+      val delta = rows().toSet -- r1
+      assert(delta == Set(
+        (1L, Seq(95000000L, 100000000L, 110000000L), 3),
+        (3L, Seq(0L), 1)))
+      // a purchase that does not change u1's resolution emits NOTHING
+      val n = rows().length
+      input.addData(TopicEvent(7, t(120), 1L, "purchase", 0)); q.processAllAvailable()
+      assert(rows().length == n, "unchanged resolution must not re-emit")
+      // the stream's final resolutions equal batch api.funnel on the union
+      val all = (b1 ++ b2 :+ TopicEvent(7, t(120), 1L, "purchase", 0)).toDF()
+      val batch = all.funnel("user_id", "ts", "event_type", stages, tolSeconds = 100L)
+        .collect().map { r =>
+          val ms = Seq(r.getAs[java.sql.Timestamp]("t_1"),
+            r.getAs[java.sql.Timestamp]("t_2"), r.getAs[java.sql.Timestamp]("t_3"))
+            .takeWhile(_ != null).map(x => x.getTime * 1000L)
+          (r.getAs[Long]("user_id"), ms, r.getAs[Long]("depth").toInt)
+        }.toSet
+      val latest = rows().groupBy(_._1).map { case (_, rs) => rs.last }.toSet
+      assert(latest == batch, s"stream $latest != batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming upsert sink: merged view tracks latest per key across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
