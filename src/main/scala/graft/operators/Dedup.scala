@@ -456,24 +456,23 @@ object Dedup {
     * one shared fingerprint in both docs. Returns distinct
     * (doc_id, gh). Per-row array compute at scan speed — no window
     * function, no position explode. */
-  def winnowFingerprints(docDf: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    val hs = transform(shingles(tokens(col("text")), k), g => md5(g))
-    // Window min carries (hash, -position): array_min's struct order
-    // resolves hash ties to the RIGHTMOST position (max p = min -p),
-    // which is what makes the selection self-consistent across docs.
-    val winMin = (lo: Column, hi: Column) =>
-      array_min(transform(sequence(lo, hi),
-        p => struct(element_at(col("hs"), p).as("h"), (-p).as("np"))))
-        .getField("h")
+  def winnowFingerprints(docDf: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    // Native single-pass kernel ([[graft.plans.WinnowSelectExpr]]):
+    // md5 each gram ONCE, window minima from a monotonic deque (ties
+    // to the rightmost position — the paper's robust rule), distinct
+    // selected digests out. The composed HOF form is an O(n² w)
+    // trap: Catalyst inlines the gram-hash projection into every
+    // element_at of the window lambda (chained selects do not stop
+    // it), re-hashing the whole array per element in interpreted
+    // eval — measured ~100 s for sf0.001's documents vs sub-second
+    // here.
     docDf
-      .withColumn("hs", hs)
-      .withColumn("fp", array_distinct(
-        when(size(col("hs")) >= w,
-          transform(sequence(lit(1), size(col("hs")) - lit(w - 1)),
-            t => winMin(t, t + lit(w - 1))))
-          .otherwise(array(winMin(lit(1), size(col("hs")))))))
-      .select(col("doc_id"), explode(col("fp")).as("gh"))
-  }
+      .select(col("doc_id"), tokens(col("text")).as("words"))
+      .select(col("doc_id"), shingles(col("words"), k).as("sh"))
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.bridge.column(
+          graft.plans.WinnowSelectExpr(
+            org.apache.spark.sql.graft.bridge.expression(col("sh")), w))).as("gh"))
 
   /** Doc pairs sharing >= `minShared` winnowing fingerprints (dd16's
     * kernel): fingerprint groups -> sorted doc set -> pair explode —
