@@ -473,15 +473,21 @@ object api {
     def decontaminate(idCol: String, textCol: String, bench: DataFrame,
                       benchTextCol: String, n: Int = 5): DataFrame = {
       require(n >= 1, s"n-gram size must be >= 1, got $n")
-      def grams(c: Column): Column =
-        when(size(split(lower(c), " ")) >= n,
-          transform(sequence(lit(1), size(split(lower(c), " ")) - (n - 1)),
-            i => array_join(slice(split(lower(c), " "), i, lit(n)), " ")))
+      // gram lambdas read a MATERIALIZED token array (dd16 inlining
+      // hazard, SCALE.md r8: inlined, each gram would re-split the
+      // text — O(n²/n-gram) per doc)
+      def gramsOf(ws: Column): Column =
+        when(size(ws) >= n,
+          transform(sequence(lit(1), size(ws) - (n - 1)),
+            i => array_join(slice(ws, i, lit(n)), " ")))
           .otherwise(array().cast("array<string>"))
       val benchGrams = bench
-        .select(explode(grams(col(benchTextCol))).as("_gram")).distinct()
+        .select(split(lower(col(benchTextCol)), " ").as("_ws"))
+        .select(explode(gramsOf(col("_ws"))).as("_gram")).distinct()
         .withColumn("_hit", lit(1L))
-      val overlap = df.select(col(idCol), explode(grams(col(textCol))).as("_gram"))
+      val overlap = df
+        .select(col(idCol), split(lower(col(textCol)), " ").as("_ws"))
+        .select(col(idCol), explode(gramsOf(col("_ws"))).as("_gram"))
         .dropDuplicates(idCol, "_gram")
         .join(broadcast(benchGrams), Seq("_gram"), "left")
         .groupBy(col(idCol))
@@ -500,10 +506,13 @@ object api {
         .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_c"))
       val top = wc.groupBy(col(idCol))
         .agg(sum(col("_c")).as("_n"), max(col("_c")).as("_top"))
-      val bg = df.select(col(idCol),
-          when(size(words) >= 2,
-            transform(sequence(lit(1), size(words) - 1),
-              i => array_join(slice(words, i, lit(2)), " ")))
+      // token array materialized first: inlined, the bigram lambda
+      // would re-split the text per element (dd16 hazard, SCALE.md r8)
+      val bg = df.select(col(idCol), words.as("_ws"))
+        .select(col(idCol),
+          when(size(col("_ws")) >= 2,
+            transform(sequence(lit(1), size(col("_ws")) - 1),
+              i => array_join(slice(col("_ws"), i, lit(2)), " ")))
             .otherwise(array().cast("array<string>")).as("_bgs"))
         .select(col(idCol), size(col("_bgs")).cast("long").as("_nb"),
           size(array_distinct(col("_bgs"))).cast("long").as("_db"))
@@ -588,11 +597,16 @@ object api {
       * corpus never self-joins; ids must fit doc_id*1e6+pos in a
       * bigint (pos < 1e6 per doc). */
     def lineDedup(idCol: String, textCol: String, lineWords: Int = 10): DataFrame = {
-      val words = split(col(textCol), " ")
-      val lines = df.select(col(idCol),
-          transform(sequence(lit(0), floor((size(words) - 1) / lineWords).cast("int")),
-            c => array_join(slice(words, c * lineWords + 1, lit(lineWords)), " ")).as("_ls"))
-        .select(col(idCol), posexplode(col("_ls")))
+      // token array materialized first: inlined, the chunk lambda
+      // would re-split the text per line (dd16 hazard, SCALE.md r8)
+      val lines = df.select(col(idCol), split(col(textCol), " ").as("_ws"))
+        .select(col(idCol),
+          transform(sequence(lit(0), floor((size(col("_ws")) - 1) / lineWords).cast("int")),
+            c => array_join(slice(col("_ws"), c * lineWords + 1, lit(lineWords)), " ")).as("_ls"))
+        // non-leaf generator child: stops InferFiltersFromGenerate
+        // from pushing a filter that re-derives the chunk transform
+        // per row at the scan (see tx16; SPARK-36715 guard)
+        .select(col(idCol), posexplode(coalesce(col("_ls"), array())))
         .select(col(idCol), col("pos"), col("col").as("_line"),
           (col(idCol).cast("long") * 1000000L + col("pos")).as("_inst"))
       val keeper = lines.groupBy(col("_line")).agg(min(col("_inst")).as("_keep"))
@@ -690,11 +704,11 @@ object api {
                      width: Int = 32, stride: Int = 24): DataFrame = {
       require(stride >= 1 && width >= stride,
         s"need width >= stride >= 1, got width=$width stride=$stride")
-      val words = split(col(textCol), " ")
-      df.select(col(idCol),
+      df.select(col(idCol), split(col(textCol), " ").as("_ws"))
+        .select(col(idCol),
           posexplode(transform(
-            sequence(lit(0), floor((size(words) - 1) / stride).cast("int")),
-            i => array_join(slice(words, i * stride + 1, lit(width)), " "))))
+            sequence(lit(0), floor((size(col("_ws")) - 1) / stride).cast("int")),
+            i => array_join(slice(col("_ws"), i * stride + 1, lit(width)), " "))))
         .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
           col("col").as("chunk_text"))
     }

@@ -30,6 +30,15 @@ object Curation {
         i => array_join(slice(words, i, lit(5)), " ")))
       .otherwise(typedLit(Seq.empty[String]))
 
+  /** keep-cols + exploded 5-grams with the token array MATERIALIZED
+    * in its own projection first: inlined, grams5's lambda would
+    * re-split the text once per gram element — O(n²/5) per doc in
+    * interpreted HOF eval (the dd16 inlining hazard, SCALE.md r8;
+    * invisible at 50-word bench docs, 100x at 10k-word web docs). */
+  private def gramRows(df: DataFrame, keep: Seq[Column]): DataFrame =
+    df.select(keep :+ split(lower(col("text")), " ").as("_ws"): _*)
+      .select(keep :+ explode(grams5(col("_ws"))).as("gram"): _*)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-corpus duplicated-span analysis (RefinedWeb-style exact
     // substring dedup at word-5-gram granularity): a span is
@@ -40,8 +49,7 @@ object Curation {
     // window, no all-pairs; at 100 TB the gram df table is the only
     // wide intermediate and it shrinks with distinct-gram count.
     "tx09_dup_ngrams" -> ((s, d) => {
-      val g = docs(s, d)
-        .select(col("doc_id"), explode(grams5(split(lower(col("text")), " "))).as("gram"))
+      val g = gramRows(docs(s, d), Seq(col("doc_id")))
       val dfreq = g.groupBy(col("gram"))
         .agg(countDistinct(col("doc_id")).as("df"))
       g.join(dfreq, "gram")
@@ -69,10 +77,11 @@ object Curation {
           max(when(col("rn") === 1, col("word"))).as("top_word"),
           max(when(col("rn") === 1, col("cnt"))).as("top_cnt"))
       val bg = docs(s, d)
+        .select(col("doc_id"), words.as("_ws"))
         .select(col("doc_id"),
-          when(size(words) >= 2,
-            transform(sequence(lit(1), size(words) - 1),
-              i => array_join(slice(words, i, lit(2)), " ")))
+          when(size(col("_ws")) >= 2,
+            transform(sequence(lit(1), size(col("_ws")) - 1),
+              i => array_join(slice(col("_ws"), i, lit(2)), " ")))
             .otherwise(typedLit(Seq.empty[String])).as("bgs"))
         .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bigrams"),
           size(array_distinct(col("bgs"))).cast("long").as("n_dist_bigrams"))
@@ -96,9 +105,7 @@ object Curation {
     // is the only exchange. The standard n-gram-overlap decontam pass
     // (GPT-3 appendix / PaLM style).
     "tx11_decontam" -> ((s, d) => {
-      val g = docs(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(grams5(split(lower(col("text")), " "))).as("gram"))
+      val g = gramRows(docs(s, d), Seq(col("doc_id"), col("source")))
       val bench = g.filter(col("source") === "src0")
         .select(col("gram")).distinct()
         .withColumn("hit", lit(1L))
@@ -245,8 +252,7 @@ object Curation {
       val base = docs(s, d)
         .withColumn("split",
           when(h < "0d", lit("val")).when(h < "1a", lit("test")).otherwise(lit("train")))
-      val g = base.select(col("doc_id"), col("split"),
-        explode(grams5(split(lower(col("text")), " "))).as("gram"))
+      val g = gramRows(base, Seq(col("doc_id"), col("split")))
       val trainGrams = g.filter(col("split") === "train").select(col("gram")).distinct()
       val contam = g.filter(col("split") =!= "train")
         .join(trainGrams, Seq("gram"), "left_semi")
@@ -355,10 +361,19 @@ object Curation {
     // edit itself oracle-checkable, not just the counts.
     "tx16_line_dedup" -> ((s, d) => {
       val words = split(col("text"), " ")
-      val lines = docs(s, d).select(col("doc_id"),
-          transform(sequence(lit(0), floor((size(words) - 1) / 10).cast("int")),
-            c => array_join(slice(words, c * 10 + 1, lit(10)), " ")).as("ls"))
-        .select(col("doc_id"), posexplode(col("ls")))
+      val lines = docs(s, d)
+        .select(col("doc_id"), words.as("_ws"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), floor((size(col("_ws")) - 1) / 10).cast("int")),
+            c => array_join(slice(col("_ws"), c * 10 + 1, lit(10)), " ")).as("ls"))
+        // coalesce wrapper: a bare-attribute generator child lets
+        // InferFiltersFromGenerate add size(ls)>0 which pushdown
+        // substitutes into the scan filter — re-deriving the whole
+        // chunk transform (inline split and all) once per row. A
+        // non-leaf child suppresses the inference (SPARK-36715
+        // guard); ls is non-empty by construction so the filter was
+        // pure quadratic overhead. Same semantics: null ls -> empty.
+        .select(col("doc_id"), posexplode(coalesce(col("ls"), array())))
         .select(col("doc_id"), col("pos"), col("col").as("line"),
           // instance key: one bigint both engines can min() exactly
           (col("doc_id") * 1000000 + col("pos")).as("inst"))
@@ -490,10 +505,11 @@ object Curation {
       val stride = 24; val width = 32
       val words = split(lower(col("text")), " ")
       docs(s, d)
+        .select(col("doc_id"), words.as("_ws"))
         .select(col("doc_id"),
           posexplode(transform(
-            sequence(lit(0), floor((size(words) - 1) / stride).cast("int")),
-            i => array_join(slice(words, i * stride + 1, lit(width)), " "))))
+            sequence(lit(0), floor((size(col("_ws")) - 1) / stride).cast("int")),
+            i => array_join(slice(col("_ws"), i * stride + 1, lit(width)), " "))))
         .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
           size(split(col("col"), " ")).cast("int").as("chunk_words"),
           substring(md5(col("col")), 1, 8).as("chunk_fp8"))

@@ -251,10 +251,13 @@ object Pipeline {
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_words"), max(col("c")).as("top_cnt"))
-    val bg = base.select(col("doc_id"),
-        when(size(words) >= 2,
-          transform(sequence(lit(1), size(words) - 1),
-            i => array_join(slice(words, i, lit(2)), " ")))
+    // token array materialized first: inlined, the bigram lambda
+    // would re-split the text per element (dd16 hazard, SCALE.md r8)
+    val bg = base.select(col("doc_id"), words.as("_ws"))
+      .select(col("doc_id"),
+        when(size(col("_ws")) >= 2,
+          transform(sequence(lit(1), size(col("_ws")) - 1),
+            i => array_join(slice(col("_ws"), i, lit(2)), " ")))
           .otherwise(array().cast("array<string>")).as("bgs"))
       .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bg"),
         size(array_distinct(col("bgs"))).cast("long").as("n_dbg"))

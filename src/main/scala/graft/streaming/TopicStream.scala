@@ -289,12 +289,15 @@ object TopicStream {
   def lineDedupBatch(store: graft.sources.TopicStore, lineTopic: String,
                      outTopic: String)(batch: DataFrame, batchId: Long): Unit = {
     import graft.functions.BloomFunctions._
-    val words = split(col("text"), " ")
+    // token array materialized first: inlined, the chunk lambda
+    // would re-split the text per line (dd16 hazard, SCALE.md r8)
     val lines = batch
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("_ws"))
       .select(col("doc_id"), col("ts"),
-        transform(sequence(lit(0), floor((size(words) - 1) / 10).cast("int")),
-          c => array_join(slice(words, c * 10 + 1, lit(10)), " ")).as("ls"))
-      .select(col("doc_id"), col("ts"), posexplode(col("ls")))
+        transform(sequence(lit(0), floor((size(col("_ws")) - 1) / 10).cast("int")),
+          c => array_join(slice(col("_ws"), c * 10 + 1, lit(10)), " ")).as("ls"))
+      // non-leaf generator child: see tx16 (SPARK-36715 guard)
+      .select(col("doc_id"), col("ts"), posexplode(coalesce(col("ls"), array())))
       .select(col("doc_id"), col("ts"), col("pos"), col("col").as("line"),
         md5(col("col")).as("lhash"),
         (col("doc_id") * 1000000 + col("pos")).as("inst"))
@@ -367,12 +370,14 @@ object TopicStream {
       // both versions — pre-reduce to the latest version per doc
       // (max by ts, changesBatch's pattern) first
       val latest = latestPerKey(b.toDF(), "doc_id", "ts", "text")
-      val words = split(col("text"), " ")
+      // token array materialized first: inlined, the chunk lambda
+      // would re-split the text per chunk (dd16 hazard, SCALE.md r8)
       val chunks = latest
-        .select(col("doc_id"), col("ts").as("time"),
+        .select(col("doc_id"), col("ts").as("time"), split(col("text"), " ").as("_ws"))
+        .select(col("doc_id"), col("time"),
           posexplode(transform(
-            sequence(lit(0), floor((size(words) - 1) / stride).cast("int")),
-            i => array_join(slice(words, i * stride + 1, lit(width)), " "))))
+            sequence(lit(0), floor((size(col("_ws")) - 1) / stride).cast("int")),
+            i => array_join(slice(col("_ws"), i * stride + 1, lit(width)), " "))))
         .select(
           concat(col("doc_id"), lit("#"), col("pos")).as("chunk_key"),
           col("doc_id"), col("time"), col("pos").cast("int").as("chunk_idx"),
