@@ -262,8 +262,10 @@ object Pipeline {
       .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bg"),
         size(array_distinct(col("bgs"))).cast("long").as("n_dbg"))
     // benchmark gram set (tx11: src0 is the eval slice)
-    val g = base.select(col("doc_id"), col("source"),
-      explode(Curation.grams5(words)).as("gram"))
+    val g = base
+      .select(col("doc_id"), col("source"), words.as("_gws"))
+      .select(col("doc_id"), col("source"),
+        explode(Curation.grams5(col("_gws"))).as("gram"))
     val bench = g.filter(col("source") === "src0").select(col("gram")).distinct()
     val contam = g.filter(col("source") =!= "src0")
       .join(broadcast(bench), Seq("gram"), "left_semi")

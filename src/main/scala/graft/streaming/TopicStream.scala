@@ -801,8 +801,9 @@ object TopicStream {
                      watermarkDelay: String = "10 minutes"): DataFrame =
     docs
       .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), split(lower(col("text")), " ").as("_gws"))
       .select(col("doc_id"), col("ts"),
-        explode(graft.operators.Curation.grams5(split(lower(col("text")), " "))).as("gram"))
+        explode(graft.operators.Curation.grams5(col("_gws"))).as("gram"))
       .join(broadcast(bench.select(col("gram"))), Seq("gram"), "left_semi")
       .select(col("doc_id"), col("ts"))
       .dropDuplicatesWithinWatermark("doc_id")
@@ -834,8 +835,9 @@ object TopicStream {
                          watermarkDelay: String = "10 minutes"): DataFrame =
     docs
       .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), split(lower(col("text")), " ").as("_gws"))
       .select(col("doc_id"), col("ts"),
-        explode(graft.operators.Curation.grams5(split(lower(col("text")), " "))).as("gram"))
+        explode(graft.operators.Curation.grams5(col("_gws"))).as("gram"))
       .join(trainGrams.select(col("gram")).distinct(), Seq("gram"), "left_semi")
       .select(col("doc_id"), col("ts"))
       .dropDuplicatesWithinWatermark("doc_id")

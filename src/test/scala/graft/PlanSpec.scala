@@ -296,6 +296,24 @@ class PlanSpec extends SparkSpec {
       s"nothing in the serving query may shuffle-join:\n$p")
   }
 
+  test("chunk/gram lambdas never re-split the text per element (inlining guard)") {
+    // The dd16/tx16 hazard class (SCALE.md r8): an inline split(text)
+    // sliced inside a HOF lambda re-tokenizes the doc once per
+    // element — quadratic in doc length, invisible at 50-word bench
+    // docs. The fix materializes the token array in its own
+    // projection; this guard pins that the OPTIMIZED plans stayed
+    // fixed (both the lambda body and the InferFiltersFromGenerate
+    // pushdown that re-derives it in a scan filter).
+    val chunky = Seq("tx09_dup_ngrams", "tx10_repetition", "tx11_decontam",
+      "tx16_line_dedup", "tx21_chunk", "px03_funnel", "px05_split_leakage")
+    chunky.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("slice(split("),
+        s"$name: a lambda slices an INLINE split — the token array must " +
+          s"be materialized in its own projection first:\n$p")
+    }
+  }
+
   test("golden plan shapes: the shuffle/join topology of EVERY query is pinned") {
     // Counts of the plan nodes that cost money at 100 TB, per query.
     // A new Exchange, Window sort, or a broadcast silently flipping to
