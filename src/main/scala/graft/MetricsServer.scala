@@ -85,9 +85,18 @@ object MetricsServer {
   /** Start scraping on `port` (0 = ephemeral; read it back via
     * `handle.port`). Pass an existing [[Metrics.StreamMonitor]] to
     * share one progress ring with in-process readers; otherwise the
-    * server attaches (and on stop detaches) its own. */
+    * server attaches (and on stop detaches) its own.
+    *
+    * `adminSecret`: when set, also expose the token-handshake surface
+    * (≙ the reference's flight `do_handshake` riding next to its
+    * metrics server): `POST /token` with `Authorization: Bearer
+    * <adminSecret>` mints + registers a [[TokenAuth]] connection
+    * token (response body = the token; `X-Graft-Jti` header = its
+    * id); `DELETE /token/<jti>` (same gate) revokes it. Both are
+    * driver-local map operations — no Spark job. */
   def start(spark: SparkSession, port: Int = 9090,
-            monitor: Option[Metrics.StreamMonitor] = None): Handle = {
+            monitor: Option[Metrics.StreamMonitor] = None,
+            adminSecret: Option[String] = None): Handle = {
     val cum = new Cumulative
     // bind FIRST: a BindException must not leave a listener or stream
     // monitor permanently attached to the live session
@@ -103,6 +112,32 @@ object MetricsServer {
         try os.write(body) finally os.close()
       }
     })
+    adminSecret.foreach { secret =>
+      server.createContext("/token", new HttpHandler {
+        private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+          val b = body.getBytes(StandardCharsets.UTF_8)
+          x.sendResponseHeaders(code, if (b.length == 0) -1L else b.length.toLong)
+          val os = x.getResponseBody
+          try os.write(b) finally os.close()
+        }
+        override def handle(x: HttpExchange): Unit = {
+          val auth = Option(x.getRequestHeaders.getFirst("Authorization"))
+          if (!auth.contains(s"Bearer $secret"))
+            respond(x, 401, "admin bearer required")
+          else (x.getRequestMethod, x.getRequestURI.getPath) match {
+            case ("POST", "/token") =>
+              val (token, jti) = TokenAuth.mint()
+              x.getResponseHeaders.set("X-Graft-Jti", jti)
+              respond(x, 200, token)
+            case ("DELETE", p) if p.startsWith("/token/") =>
+              val jti = p.stripPrefix("/token/")
+              if (TokenAuth.revoke(jti)) respond(x, 200, "revoked")
+              else respond(x, 404, "no such connection id")
+            case _ => respond(x, 405, "POST /token or DELETE /token/<jti>")
+          }
+        }
+      })
+    }
     server.start()
     new Handle(server, spark, cum, mon, ownsMonitor = monitor.isEmpty)
   }

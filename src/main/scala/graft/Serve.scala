@@ -32,7 +32,8 @@ object Serve {
       .config("spark.connect.grpc.binding.port", port)
       .getOrCreate()
     val session = start(spark, root, port, sys.env.get("GRAFT_SERVE_TOKEN"),
-      metricsPort = sys.env.get("GRAFT_METRICS_PORT").map(_.toInt))
+      metricsPort = sys.env.get("GRAFT_METRICS_PORT").map(_.toInt),
+      mintSecret = sys.env.get("GRAFT_SERVE_MINT_SECRET"))
     println(s"graft serve: sc://localhost:$port (root=$root)")
     // SIGTERM (or any JVM exit): stop the endpoint and checkpoint the
     // catalog — the reference's ctrl-c -> rt.shutdown() path
@@ -65,7 +66,10 @@ object Serve {
     * [[shutdown]] stops it with the service. */
   def start(spark: SparkSession, root: String, port: Int,
             token: Option[String] = None,
-            metricsPort: Option[Int] = None): GraftSession = {
+            metricsPort: Option[Int] = None,
+            mintSecret: Option[String] = None): GraftSession = {
+    require(token.isEmpty || mintSecret.isEmpty,
+      "choose ONE auth mode: pre-shared `token` or minted-connection `mintSecret`")
     // the service reads the port from the context's SparkConf (via
     // SparkEnv), not the SQL runtime conf — set it where it looks
     token match {
@@ -75,6 +79,19 @@ object Serve {
           .set("spark.connect.authenticate.token", t)
       case None => org.apache.spark.SparkEnv.get.conf
         .remove("spark.connect.authenticate.token")
+    }
+    // minted-connection auth (the reference's full auth stack —
+    // handshake-issued HMAC tokens, revocable per connection id; see
+    // [[TokenAuth]]): the interceptor class installs on the Connect
+    // gRPC server; it pass-throughs while TokenAuth is uninstalled,
+    // so the conf can stay across serve restarts in one JVM.
+    mintSecret match {
+      case Some(s) =>
+        TokenAuth.install(s)
+        org.apache.spark.SparkEnv.get.conf
+          .set("spark.connect.grpc.interceptor.classes",
+            classOf[GraftAuthInterceptor].getName)
+      case None => TokenAuth.uninstall()
     }
     org.apache.spark.SparkEnv.get.conf.set("spark.connect.grpc.binding.port", port.toString)
     val gs = new GraftSession(spark, root)
@@ -88,7 +105,9 @@ object Serve {
     // a re-start must not leak the previous endpoint's port/listeners
     metrics.foreach(_.stop())
     metrics = metricsPort.map { mp =>
-      val h = MetricsServer.start(spark, mp)
+      // mint mode: the metrics endpoint doubles as the handshake
+      // surface (POST /token gated by the admin secret)
+      val h = MetricsServer.start(spark, mp, adminSecret = mintSecret)
       println(s"graft metrics: http://localhost:${h.port}/metrics")
       h
     }

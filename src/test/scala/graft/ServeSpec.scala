@@ -101,6 +101,84 @@ class ServeSpec extends SparkSpec {
     } finally Serve.shutdown(gs)
   }
 
+  test("minted-connection auth: handshake issues a token, revocation kills it") {
+    // the ISSUANCE half of the reference's auth stack (auth.rs
+    // ConnectionManager.handshake + Interceptor::call + flight.rs
+    // do_handshake): the server mints HMAC-signed connection tokens
+    // and admits a request only while the token's connection id stays
+    // registered — revocation is dropping the registration.
+    import org.sparkproject.connect.grpc.{ManagedChannelBuilder, Metadata, Status, StatusRuntimeException}
+    import org.sparkproject.connect.grpc.stub.MetadataUtils
+    import org.apache.spark.connect.proto
+    val root = Files.createTempDirectory("graft_serve_mint").toString
+    val port = freePort()
+    val mport = freePort()
+    val gs = Serve.start(spark, root, port, metricsPort = Some(mport),
+      mintSecret = Some("graft-admin-secret"))
+    def http(method: String, path: String, admin: Option[String]): (Int, String, Option[String]) = {
+      val c = new java.net.URL(s"http://localhost:$mport$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestMethod(method)
+      admin.foreach(a => c.setRequestProperty("Authorization", s"Bearer $a"))
+      val code = c.getResponseCode
+      val is = if (code >= 400) c.getErrorStream else c.getInputStream
+      val body = if (is == null) "" else {
+        val b = scala.io.Source.fromInputStream(is).mkString; is.close(); b
+      }
+      (code, body, Option(c.getHeaderField("X-Graft-Jti")))
+    }
+    try {
+      val channel = ManagedChannelBuilder.forAddress("localhost", port)
+        .usePlaintext().build()
+      try {
+        val stub = proto.SparkConnectServiceGrpc.newBlockingStub(channel)
+        val req = proto.ConfigRequest.newBuilder()
+          .setSessionId(java.util.UUID.randomUUID().toString)
+          .setUserContext(proto.UserContext.newBuilder().setUserId("probe"))
+          .setOperation(proto.ConfigRequest.Operation.newBuilder()
+            .setGet(proto.ConfigRequest.Get.newBuilder()
+              .addKeys("spark.sql.session.timeZone")))
+          .build()
+        def bearer(t: String) = {
+          val md = new Metadata()
+          md.put(Metadata.Key.of("Authorization", Metadata.ASCII_STRING_MARSHALLER),
+            s"Bearer $t")
+          stub.withInterceptors(MetadataUtils.newAttachHeadersInterceptor(md))
+        }
+        // handshake requires the admin gate
+        assert(http("POST", "/token", None)._1 == 401)
+        assert(http("POST", "/token", Some("wrong"))._1 == 401)
+        val (code, token, jti) = http("POST", "/token", Some("graft-admin-secret"))
+        assert(code == 200 && token.count(_ == '.') == 2 && jti.nonEmpty,
+          s"handshake must mint a signed token, got $code/$token")
+        // gRPC: no token / garbage / the ADMIN secret itself all fail —
+        // only a minted connection token is admitted
+        val denied = intercept[StatusRuntimeException] { stub.config(req) }
+        assert(denied.getStatus.getCode == Status.Code.UNAUTHENTICATED)
+        val garbage = intercept[StatusRuntimeException] { bearer("a.b.c").config(req) }
+        assert(garbage.getStatus.getCode == Status.Code.UNAUTHENTICATED)
+        val adminAsToken = intercept[StatusRuntimeException] {
+          bearer("graft-admin-secret").config(req) }
+        assert(adminAsToken.getStatus.getCode == Status.Code.UNAUTHENTICATED)
+        val resp = bearer(token).config(req)
+        assert(resp.getPairsCount == 1 && resp.getPairs(0).getValue == "UTC",
+          "a minted token completes the round-trip")
+        // a tampered payload with the real structure fails the HMAC
+        val Array(h, p, s) = token.split('.')
+        val tampered = intercept[StatusRuntimeException] {
+          bearer(s"$h.${p.reverse}.$s").config(req) }
+        assert(tampered.getStatus.getCode == Status.Code.UNAUTHENTICATED)
+        // revocation: the SAME token stops verifying immediately
+        assert(http("DELETE", s"/token/${jti.get}", Some("graft-admin-secret"))._1 == 200)
+        val revoked = intercept[StatusRuntimeException] { bearer(token).config(req) }
+        assert(revoked.getStatus.getCode == Status.Code.UNAUTHENTICATED,
+          "a revoked connection id must stop authenticating")
+        assert(http("DELETE", s"/token/${jti.get}", Some("graft-admin-secret"))._1 == 404,
+          "double-revoke reports no such connection")
+      } finally channel.shutdownNow()
+    } finally Serve.shutdown(gs)
+  }
+
   test("a remote Connect session publishes into a topic (INSERT over the wire)") {
     // the reference's remote write path (flight.rs:492
     // do_put_statement_update; pyella/examples/publisher.py): a
