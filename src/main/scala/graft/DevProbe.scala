@@ -26,7 +26,8 @@ object DevProbe {
         "q29_recursive","sp07_epoch_order","tx18_substring_spans","tx19_bpe_merge",
         "ss20_pca_power","q30_json_extract","tx20_bpe_apply",
         "tx21_chunk","tx22_tfidf_search","ss21_hybrid_rrf","sp08_anneal_schedule",
-        "ts20_asof_tolerance","ss22_ivfpq_batch","tx23_bm25","dd16_winnowing")
+        "ts20_asof_tolerance","ss22_ivfpq_batch","tx23_bm25","dd16_winnowing",
+        "ts21_funnel","ts22_retention")
         .foreach { n =>
           println(s"\n## $n\n")
           println("```")
@@ -62,7 +63,8 @@ object DevProbe {
         "tx19_bpe_merge", "ss20_pca_power", "q30_json_extract", "tx20_bpe_apply",
         "tx21_chunk", "tx22_tfidf_search", "ss21_hybrid_rrf",
         "sp08_anneal_schedule", "ts20_asof_tolerance",
-        "ss22_ivfpq_batch", "tx23_bm25", "dd16_winnowing")
+        "ss22_ivfpq_batch", "tx23_bm25", "dd16_winnowing",
+        "ts21_funnel", "ts22_retention")
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
       println("|---|---|---|---|---|---|")
       names.foreach { n =>
