@@ -152,22 +152,26 @@ object api {
 
     /** Cohort retention matrix (the ts22 operator as a verb): users
       * cohorted by first-seen `granularity` bucket of `tsCol`; one row
-      * per (cohort, offset) with n_active / n_cohort and integer-milli
-      * retention. One co-shuffled equi-join on the user key; the
-      * rollup is calendar-bounded and the cohort-size side broadcasts. */
+      * per (cohort, bucket) with n_active / n_cohort and integer-milli
+      * retention. ONE per-user aggregation carries both the cohort and
+      * the active-bucket set (calendar-bounded per user), so the
+      * corpus crosses the wire once; everything after is user- or
+      * calendar-sized, and cohort sizes come from the rollup's own
+      * offset-0 rows (one window over the tiny matrix). */
     def retentionMatrix(userCol: String, tsCol: String,
                         granularity: String = "day"): DataFrame = {
-      val firstSeen = df.groupBy(col(userCol))
-        .agg(date_trunc(granularity, min(col(tsCol))).as("cohort"))
-      val activity = df
-        .select(col(userCol), date_trunc(granularity, col(tsCol)).as("_b"))
-        .distinct()
-      val cohortSize = firstSeen.groupBy(col("cohort"))
-        .agg(count(lit(1)).as("n_cohort"))
-      firstSeen.join(activity, userCol)
+      val perUser = df.groupBy(col(userCol))
+        .agg(date_trunc(granularity, min(col(tsCol))).as("cohort"),
+          collect_set(date_trunc(granularity, col(tsCol))).as("_bs"))
+      // n_cohort = the rollup's own offset-0 row (every user is
+      // active in their first bucket), read with one window over the
+      // calendar-sized matrix — no second pass over `df`
+      val wc = Window.partitionBy(col("cohort"))
+      perUser.select(col("cohort"), explode(col("_bs")).as("_b"))
         .groupBy(col("cohort"), col("_b"))
         .agg(count(lit(1)).as("n_active"))
-        .join(broadcast(cohortSize), "cohort")
+        .withColumn("n_cohort",
+          max(when(col("_b") === col("cohort"), col("n_active"))).over(wc))
         .select(col("cohort"), col("_b").as("bucket"),
           col("n_active"), col("n_cohort"),
           expr("(n_active * 1000) DIV n_cohort").as("retention_milli"))

@@ -166,26 +166,30 @@ object TimeSeries {
     // Cohort RETENTION matrix (the product-analytics staple next to
     // ts21's funnel): users cohorted by first-seen DAY; each later
     // active day reports how many of the cohort came back
-    // (n_active / n_cohort, integer milli). Scale shape: first-seen
-    // is a map-side-combinable min per user; activity is a partial
-    // distinct on (user, day); the two meet in ONE equi-join
-    // co-shuffled on user_id; the (cohort, day) rollup is
-    // cohort-days-sized (calendar-bounded, tiny), and the cohort-size
-    // table broadcasts. Nothing in the plan is ever
-    // corpus-proportional after the first shuffle.
+    // (n_active / n_cohort, integer milli). Scale shape: ONE scan,
+    // ONE corpus exchange — a single per-user aggregation computes
+    // the cohort (min) AND the active day set (collect_set,
+    // calendar-bounded per user) as partial buffers; the day-set
+    // explode and (cohort, day) rollup are user-/calendar-sized; and
+    // cohort sizes need NO second pass, because a user's first-event
+    // day IS a member of their day set — n_cohort is the rollup's
+    // own offset-0 row, read with one window over the tiny matrix.
     "ts22_retention" -> ((s, d) => {
       val e = Tables.events(s, d)
-      val firstSeen = e.groupBy(col("user_id"))
-        .agg(date_trunc("day", min(col("ts"))).as("cohort"))
-      val activity = e
-        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-        .distinct()
-      val cohortSize = firstSeen.groupBy(col("cohort"))
-        .agg(count(lit(1)).as("n_cohort"))
-      firstSeen.join(activity, "user_id")
+      val perUser = e.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort"),
+          collect_set(date_trunc("day", col("ts"))).as("days"))
+      val rollup = perUser
+        .select(col("cohort"), explode(col("days")).as("day"))
         .groupBy(col("cohort"), col("day"))
         .agg(count(lit(1)).as("n_active"))
-        .join(broadcast(cohortSize), "cohort")
+      // window over the calendar-sized matrix, not a self-join: a
+      // second reference to `rollup` would re-run the whole chain
+      // (second scan + second corpus exchange)
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cohort"))
+      rollup
+        .withColumn("n_cohort",
+          max(when(col("day") === col("cohort"), col("n_active"))).over(wc))
         .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
           datediff(col("day"), col("cohort")).cast("long").as("day_offset"),
           col("n_active"), col("n_cohort"),
