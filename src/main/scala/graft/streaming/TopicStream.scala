@@ -192,6 +192,61 @@ object TopicStream {
       }
   }
 
+  /** Streaming cohort retention — ts22's arrival loop, state-topic
+    * style (the lexIndexStream discipline, not an in-memory agg):
+    * each micro-batch reduces to its distinct (user, day) ACTIVITY
+    * facts and upserts them keyed `user#day` with the generation
+    * `_seq` — replays rewrite identical rows, and a late-arriving
+    * EARLIER event simply adds an earlier activity fact. Cohort
+    * assignment (min first-seen day per user) happens at READ time
+    * in [[currentRetention]], so a cohort lawfully MOVES when an
+    * earlier fact arrives — the stream is exactly batch-consistent
+    * by construction, with no per-user resolution state at all.
+    * Per-batch cost: a batch-sized distinct + upsert; the state
+    * topic is the compacted (user, day) activity log. */
+  def retentionStream(events: DataFrame, store: graft.sources.TopicStore,
+                      topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    events.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      val seq = base + 1 + id
+      val acts = b.toDF()
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("ts"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(max(col("ts")).as("time"))
+        .select(
+          concat(col("user_id"), lit("#"), col("day").cast("date")).as("act_key"),
+          col("user_id"), col("day"), col("time"))
+      store.upsert(topic, acts, "time", seq = Some(seq))
+    }
+  }
+
+  /** The CURRENT retention matrix of a [[retentionStream]] topic —
+    * ts22's exact output over the accumulated activity facts. */
+  def currentRetention(store: graft.sources.TopicStore, topic: String): DataFrame =
+    retentionFromActivity(
+      store.readMerged(topic, "act_key").select(col("user_id"), col("day")))
+
+  /** ts22's tail over (user_id, day) activity rows: one per-user agg
+    * (cohort min + day set), calendar-sized rollup, cohort sizes from
+    * the rollup's own offset-0 rows via one window over the matrix. */
+  private def retentionFromActivity(acts: DataFrame): DataFrame = {
+    val perUser = acts.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort"), collect_set(col("day")).as("days"))
+    val rollup = perUser
+      .select(col("cohort"), explode(col("days")).as("day"))
+      .groupBy(col("cohort"), col("day"))
+      .agg(count(lit(1)).as("n_active"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cohort"))
+    rollup
+      .withColumn("n_cohort",
+        max(when(col("day") === col("cohort"), col("n_active"))).over(wc))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"),
+        col("n_active"), col("n_cohort"),
+        expr("(n_active * 1000) DIV n_cohort").as("retention_milli"))
+  }
+
   /** Streaming training-data prep — the px01 batch pipeline in
     * streaming form: language gate → token-band quality gate → exact
     * dedup within the watermark horizon (state bounded by the

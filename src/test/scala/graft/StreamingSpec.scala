@@ -116,6 +116,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retention: cohorts move under late arrivals, matrix equals batch ts22") {
+    import spark.implicits._
+    import graft.api._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sret").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.retentionStream(input.toDF(), store, "acts")
+      .option("checkpointLocation", s"$root/_chk").start()
+    def t(day: Int, hour: Int) = ts(f"2024-01-$day%02d $hour%02d:00:00")
+    val b1 = Seq(
+      TopicEvent(1, t(5, 9), 1L, "view", 0),   // u1 first seen day 5
+      TopicEvent(2, t(6, 9), 1L, "view", 0),
+      TopicEvent(3, t(5, 10), 2L, "view", 0))  // u2 day 5 only
+    val b2 = Seq(
+      // LATE: u1 was actually first active on day 2 — cohort MOVES
+      TopicEvent(4, t(2, 8), 1L, "view", 0),
+      TopicEvent(5, t(6, 11), 2L, "view", 0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      val m1 = TopicStream.currentRetention(store, "acts")
+        .select("cohort_day", "day_offset", "n_active", "n_cohort")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(m1 == Set(("2024-01-05", 0L, 2L, 2L), ("2024-01-05", 1L, 1L, 2L)))
+      input.addData(b2: _*); q.processAllAvailable()
+      val m2 = TopicStream.currentRetention(store, "acts")
+        .select("cohort_day", "day_offset", "n_active", "n_cohort")
+        .as[(String, Long, Long, Long)].collect().toSet
+      // u1's cohort moved to day 2 (offsets 0/3/4); u2 alone in day-5
+      assert(m2 == Set(
+        ("2024-01-02", 0L, 1L, 1L), ("2024-01-02", 3L, 1L, 1L), ("2024-01-02", 4L, 1L, 1L),
+        ("2024-01-05", 0L, 1L, 1L), ("2024-01-05", 1L, 1L, 1L)))
+      // and the stream state derives EXACTLY batch ts22 on the union
+      val batch = (b1 ++ b2).toDF()
+        .retentionMatrix("user_id", "ts")
+        .select(date_format(col("cohort"), "yyyy-MM-dd"),
+          datediff(col("bucket"), col("cohort")).cast("long"),
+          col("n_active"), col("n_cohort"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(m2 == batch, s"stream $m2 != batch $batch")
+      // replay idempotence: re-adding the same facts changes nothing
+      input.addData(b2: _*); q.processAllAvailable()
+      val m3 = TopicStream.currentRetention(store, "acts")
+        .select("cohort_day", "day_offset", "n_active", "n_cohort")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(m3 == m2, "replayed facts must not change the matrix")
+    } finally q.stop()
+  }
+
   test("streaming upsert sink: merged view tracks latest per key across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
