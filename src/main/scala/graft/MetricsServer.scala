@@ -194,6 +194,10 @@ object MetricsServer {
       _.watermarkLagMs.map(_.toDouble))
     gauge("graft_stream_overloaded", "1 if arrival rate exceeded drain rate")(
       p => Some(if (p.overloaded) 1.0 else 0.0))
+    // auth plane: live minted connections (0 when token auth is off)
+    sb ++= "# TYPE graft_auth_active_tokens gauge\n"
+    sb ++= "# HELP graft_auth_active_tokens registered minted connection tokens\n"
+    sb ++= s"graft_auth_active_tokens ${TokenAuth.activeTokens}\n"
     sb ++= "# EOF\n"
     sb.result()
   }

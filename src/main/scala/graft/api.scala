@@ -125,14 +125,24 @@ object api {
       * shuffle on the user key; stage chaining is per-row array
       * compute — no window, no per-stage re-scan, no self-join. */
     def funnel(userCol: String, tsCol: String, typeCol: String,
-               stages: Seq[String], tolSeconds: Long = 43200L): DataFrame = {
+               stages: Seq[String], tolSeconds: Long = 43200L): DataFrame =
+      funnelWhere(userCol, tsCol, stages.map(col(typeCol) === _), tolSeconds)
+
+    /** [[funnel]] with arbitrary per-stage PREDICATES (the ClickHouse
+      * `windowFunnel(...)(cond1, cond2, ...)` form): stage i matches
+      * the first row satisfying `stages(i)` within `tolSeconds` of
+      * stage i-1's match. Same plan: one pre-filter to rows matching
+      * ANY stage, one shuffle on the user key, per-row array
+      * chaining. */
+    def funnelWhere(userCol: String, tsCol: String,
+                    stages: Seq[Column], tolSeconds: Long = 43200L): DataFrame = {
       require(stages.nonEmpty, "funnel needs at least one stage")
-      val e = df.filter(col(typeCol).isin(stages: _*))
+      val e = df.filter(stages.reduce(_ || _))
       val lists = stages.zipWithIndex.drop(1).map { case (st, i) =>
-        collect_list(when(col(typeCol) === st, col(tsCol))).as(s"_l$i")
+        collect_list(when(st, col(tsCol))).as(s"_l$i")
       }
       val base = e.groupBy(col(userCol))
-        .agg(min(when(col(typeCol) === stages.head, col(tsCol))).as("t_1"),
+        .agg(min(when(stages.head, col(tsCol))).as("t_1"),
           lists: _*)
       val chained = stages.indices.drop(1).foldLeft(base) { (acc, i) =>
         acc.withColumn(s"t_${i + 1}", array_min(filter(col(s"_l$i"),

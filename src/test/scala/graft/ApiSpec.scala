@@ -212,6 +212,31 @@ class ApiSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("funnelWhere takes arbitrary stage predicates (windowFunnel form)") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val rows = Seq(
+      // u1: signup, then a SMALL purchase (fails the >= 50 stage), then a big one
+      (1L, t(0), "signup", 5.0), (1L, t(10), "purchase", 10.0), (1L, t(20), "purchase", 80.0),
+      // u2: signup, only small purchases -> depth 1
+      (2L, t(0), "signup", 5.0), (2L, t(30), "purchase", 49.0))
+    val df = spark.createDataFrame(rows).toDF("uid", "ts", "et", "value")
+    val out = df.funnelWhere("uid", "ts",
+        Seq(col("et") === "signup", col("et") === "purchase" && col("value") >= 50.0),
+        tolSeconds = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L))
+    // the typed form is exactly funnelWhere with equality predicates
+    val a = Tables.events(spark, sfDir)
+      .funnel("user_id", "ts", "event_type", Seq("signup", "view"), 3600L)
+      .orderBy("user_id").collect().toSeq
+    val b = Tables.events(spark, sfDir)
+      .funnelWhere("user_id", "ts",
+        Seq(col("event_type") === "signup", col("event_type") === "view"), 3600L)
+      .orderBy("user_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("retentionMatrix matches ts22 on events") {
     val viaApi = Tables.events(spark, sfDir)
       .retentionMatrix("user_id", "ts")

@@ -200,6 +200,16 @@ class MetricsSpec extends SparkSpec {
         s"stream gauge with escaped label missing:\n$body")
       assert(body.contains("""graft_stream_overloaded{query="scrape\"me"} 1"""),
         s"arrival 50 > drain 10 must gauge overloaded=1:\n$body")
+      // the auth plane rides the same scrape: live minted connections
+      assert(body.contains("graft_auth_active_tokens 0"),
+        s"auth gauge must read 0 while token auth is off:\n$body")
+      TokenAuth.install("metrics-spec-secret")
+      try {
+        val (_, j1) = TokenAuth.mint(); TokenAuth.mint()
+        assert(scrape(h.port)._1.contains("graft_auth_active_tokens 2"))
+        TokenAuth.revoke(j1)
+        assert(scrape(h.port)._1.contains("graft_auth_active_tokens 1"))
+      } finally TokenAuth.uninstall()
     } finally {
       h.stop()
       spark.streams.removeListener(mon)
