@@ -80,7 +80,11 @@ object TokenAuth {
         if (!java.security.MessageDigest.isEqual(expect.getBytes(UTF_8), s.getBytes(UTF_8)))
           Left("invalid token: bad signature")
         else {
-          val payload = new String(b64d.decode(p), UTF_8)
+          // a bad base64 payload must REJECT, not throw into the RPC
+          // (it cannot normally happen — the signature already
+          // verified — but a defense against signing-oracle misuse)
+          val payload = try new String(b64d.decode(p), UTF_8)
+            catch { case _: IllegalArgumentException => "" }
           """"jti"\s*:\s*"([0-9a-f]+)"""".r.findFirstMatchIn(payload).map(_.group(1)) match {
             case Some(jti) if registered.contains(jti) => Right(jti)
             case Some(_) => Left("no active connection found for connection id")

@@ -151,6 +151,8 @@ object TopicStream {
                    tolSeconds: Long = 43200L): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct (the per-stage state map keys on them): $stages")
     val stageIdx = stages.zipWithIndex.toMap
     val tolUs = tolSeconds * 1000000L
     def micros(ts: java.sql.Timestamp): Long =
