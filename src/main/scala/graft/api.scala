@@ -160,6 +160,35 @@ object api {
           depth.as("depth"): _*)
     }
 
+    /** The per-stage conversion report over [[funnel]]'s per-user
+      * frame: one row per stage with the users reaching it and
+      * integer-milli conversion from the previous stage and from
+      * stage 1. The report is ONE count-aggregation over the
+      * user-sized funnel frame folded to a single row, then unpivoted
+      * driver-free with `stack` — no second pass over the events. */
+    def funnelReport(userCol: String, tsCol: String, typeCol: String,
+                     stages: Seq[String], tolSeconds: Long = 43200L): DataFrame = {
+      val f = funnel(userCol, tsCol, typeCol, stages, tolSeconds)
+      val counts = f.agg(
+        count(col("t_1")).as("n_1"),
+        stages.indices.drop(1).map(i => count(col(s"t_${i + 1}")).as(s"n_${i + 1}")): _*)
+      val stackArgs = stages.zipWithIndex.map { case (st, i) =>
+        s"${i + 1}, '${st.replace("'", "''")}', n_${i + 1}"
+      }.mkString(", ")
+      val wOrd = Window.orderBy(col("stage"))
+      counts
+        .select(expr(s"stack(${stages.size}, $stackArgs) AS (stage, stage_name, n_users)"))
+        .withColumn("_prev", lag(col("n_users"), 1).over(wOrd))
+        .withColumn("_start", first(col("n_users")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("stage"), col("stage_name"), col("n_users"),
+          when(col("_prev").isNull, lit(1000L))
+            .when(col("_prev") === 0, lit(0L))
+            .otherwise(expr("(n_users * 1000) DIV _prev")).as("conv_prev_milli"),
+          when(col("_start") === 0, lit(0L))
+            .otherwise(expr("(n_users * 1000) DIV _start")).as("conv_start_milli"))
+    }
+
     /** Cohort retention matrix (the ts22 operator as a verb): users
       * cohorted by first-seen `granularity` bucket of `tsCol`; one row
       * per (cohort, bucket) with n_active / n_cohort and integer-milli

@@ -237,6 +237,26 @@ class ApiSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("funnelReport rolls the per-user funnel into stage conversions") {
+    val rep = Tables.events(spark, sfDir)
+      .funnelReport("user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"), tolSeconds = 43200L)
+      .orderBy("stage")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val perUser = SparkEntry.queries("ts21_funnel")(spark, sfDir).collect()
+    val n = Seq(
+      perUser.count(_.get(1) != null).toLong,
+      perUser.count(_.get(2) != null).toLong,
+      perUser.count(_.get(3) != null).toLong)
+    assert(rep.map(_._3).toSeq == n, s"stage counts must match ts21: $rep vs $n")
+    assert(rep(0)._4 == 1000L && rep(0)._5 == 1000L, "stage 1 converts at 1000 milli")
+    assert(rep(1)._4 == n(1) * 1000 / n(0) && rep(2)._4 == n(2) * 1000 / n(1))
+    assert(rep(2)._5 == n(2) * 1000 / n(0))
+    // the funnel is monotone: each stage keeps at most the prior stage
+    assert(n(0) >= n(1) && n(1) >= n(2))
+  }
+
   test("retentionMatrix matches ts22 on events") {
     val viaApi = Tables.events(spark, sfDir)
       .retentionMatrix("user_id", "ts")
