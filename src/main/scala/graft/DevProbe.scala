@@ -27,7 +27,7 @@ object DevProbe {
         "ss20_pca_power","q30_json_extract","tx20_bpe_apply",
         "tx21_chunk","tx22_tfidf_search","ss21_hybrid_rrf","sp08_anneal_schedule",
         "ts20_asof_tolerance","ss22_ivfpq_batch","tx23_bm25","dd16_winnowing",
-        "ts21_funnel","ts22_retention")
+        "ts21_funnel","ts22_retention","ts23_top_paths")
         .foreach { n =>
           println(s"\n## $n\n")
           println("```")
@@ -64,7 +64,7 @@ object DevProbe {
         "tx21_chunk", "tx22_tfidf_search", "ss21_hybrid_rrf",
         "sp08_anneal_schedule", "ts20_asof_tolerance",
         "ss22_ivfpq_batch", "tx23_bm25", "dd16_winnowing",
-        "ts21_funnel", "ts22_retention")
+        "ts21_funnel", "ts22_retention", "ts23_top_paths")
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
       println("|---|---|---|---|---|---|")
       names.foreach { n =>

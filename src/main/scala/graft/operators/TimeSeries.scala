@@ -197,6 +197,33 @@ object TimeSeries {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Top PATHS — the event-sequence report next to ts21's funnel
+    // (the ClickHouse sequence/path-analysis family): each user's
+    // FIRST 3 events (by ts, event_id) form a path string; paths
+    // rank by user count. Scale shape: the per-user "first 3" is a
+    // rank window whose literal limit Catalyst turns into a PARTIAL
+    // WindowGroupLimit BEFORE the shuffle (SPARK-37099 — the same
+    // pinned shape as q07/q16/sp02), so map-side state is 3 rows per
+    // user and the shuffle carries at most 3 rows per user; the path
+    // rollup is path-domain-sized and partial-agg'd, and the top-20
+    // is TakeOrderedAndProject — no global sort materialization.
+    // Ties rank by path string, so the report is deterministic.
+    "ts23_top_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(
+          struct(col("rn"), col("event_type")))).as("evs"))
+        .select(array_join(
+          transform(col("evs"), e => e.getField("event_type")), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    }),
+
     // Sliding 1h range window per key.
     "ts04_sliding" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s")).rangeBetween(-3600, 0)
@@ -498,6 +525,16 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts23_top_paths" ->
+      """WITH r AS (
+        | SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events),
+        |p AS (
+        | SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        | FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+        |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
     "ts21_funnel" ->
       """WITH per_user AS (
         | SELECT user_id,
