@@ -93,7 +93,14 @@ object MetricsServer {
     * <adminSecret>` mints + registers a [[TokenAuth]] connection
     * token (response body = the token; `X-Graft-Jti` header = its
     * id); `DELETE /token/<jti>` (same gate) revokes it. Both are
-    * driver-local map operations — no Spark job. */
+    * driver-local map operations — no Spark job.
+    *
+    * The handshake speaks plain HTTP: tokens transit in the clear, so
+    * this port must sit behind TLS termination or on a loopback /
+    * trusted network (the same deployment constraint as the
+    * reference's flight handshake). The admin-secret check itself is
+    * constant-time (`MessageDigest.isEqual`), so the gate does not
+    * leak the secret through timing even on an exposed port. */
   def start(spark: SparkSession, port: Int = 9090,
             monitor: Option[Metrics.StreamMonitor] = None,
             adminSecret: Option[String] = None): Handle = {
@@ -120,9 +127,15 @@ object MetricsServer {
           val os = x.getResponseBody
           try os.write(b) finally os.close()
         }
+        // constant-time: a straight String == would let an attacker
+        // probe the admin secret byte-by-byte through response timing
+        private def secretOk(auth: Option[String]): Boolean =
+          auth.exists(a => java.security.MessageDigest.isEqual(
+            a.getBytes(StandardCharsets.UTF_8),
+            s"Bearer $secret".getBytes(StandardCharsets.UTF_8)))
         override def handle(x: HttpExchange): Unit = {
           val auth = Option(x.getRequestHeaders.getFirst("Authorization"))
-          if (!auth.contains(s"Bearer $secret"))
+          if (!secretOk(auth))
             respond(x, 401, "admin bearer required")
           else (x.getRequestMethod, x.getRequestURI.getPath) match {
             case ("POST", "/token") =>

@@ -70,6 +70,12 @@ object Serve {
             mintSecret: Option[String] = None): GraftSession = {
     require(token.isEmpty || mintSecret.isEmpty,
       "choose ONE auth mode: pre-shared `token` or minted-connection `mintSecret`")
+    // mint mode without a handshake surface would reject every gRPC
+    // call UNAUTHENTICATED with no remote way to obtain a token — an
+    // unusable server unless the operator calls TokenAuth.mint()
+    // in-process, which is never what a deployment wants
+    require(mintSecret.isEmpty || metricsPort.nonEmpty,
+      "mintSecret needs metricsPort: the POST /token handshake endpoint rides on the metrics port")
     // the service reads the port from the context's SparkConf (via
     // SparkEnv), not the SQL runtime conf — set it where it looks
     token match {

@@ -350,7 +350,12 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
       def overCutoff(df: org.apache.spark.sql.DataFrame) = {
         val time = col(tsCol).cast("long") > asOfEpochS
         seqCutoff match {
-          case Some(sc) if df.columns.contains("_seq") => time || col("_seq") > sc
+          // null-guarded: rows with a null _seq (a topic that mixed
+          // append and upsert writes) carry no writer version — they
+          // are under any pin, and `null > sc` would otherwise make
+          // BOTH this predicate and its negation below drop them
+          case Some(sc) if df.columns.contains("_seq") =>
+            time || coalesce(col("_seq") > sc, lit(false))
           case _ => time
         }
       }

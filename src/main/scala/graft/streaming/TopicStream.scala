@@ -8,11 +8,81 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class TopicEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                       event_type: String, value: Double)
 
-/** Per-user funnel state: every stage-type event time (epoch micros)
-  * seen so far, per stage — the full candidate set, because a LATE
-  * earlier stage-0 event legally moves every later anchor (batch ts21
-  * is min-over-all; the stream must agree). */
+/** Per-user funnel state: the MINIMAL SUFFICIENT candidate set of
+  * stage-type event times (epoch micros), per stage — pruned on every
+  * update by [[FunnelState.prune]] so state stays bounded on an
+  * infinite stream while the resolution remains exactly batch ts21's
+  * min-over-all semantics for every event the watermark admits. */
 case class FunnelUserState(stageUs: Seq[Seq[Long]])
+
+/** The pure state kernel behind [[TopicStream.funnelStream]]: chain
+  * resolution plus the watermark-aware prune that keeps per-user state
+  * bounded. Kept side-effect-free so FunnelStateSpec can prove
+  * (property-style, randomized arrival orders) that pruned-state
+  * resolution equals full-history resolution. */
+object FunnelState {
+  /** ts21's chain: t1 = min stage-0 time, t_i = min stage-i time in
+    * [t_{i-1}, t_{i-1}+tol]. Returns the matched prefix. */
+  def resolve(stageUs: Seq[Seq[Long]], tolUs: Long): Seq[Long] = {
+    val out = Seq.newBuilder[Long]
+    var anchor = -1L
+    var i = 0
+    var open = true
+    while (i < stageUs.size && open) {
+      val cand =
+        if (i == 0) stageUs(0).minOption
+        else stageUs(i).filter(t => t >= anchor && t <= anchor + tolUs).minOption
+      cand match {
+        case Some(t) => out += t; anchor = t; i += 1
+        case None => open = false
+      }
+    }
+    out.result()
+  }
+
+  /** Prune to the minimal set whose resolution equals full history for
+    * every possible future, given that events below `watermarkUs` can
+    * no longer arrive. With m0 = current stage-0 min:
+    *  - stage 0 keeps only m0 (future arrivals only lower the min);
+    *  - stage i keeps candidates in [min(watermark, m0), m0 + i·tol]:
+    *    above the horizon a candidate can never be selected (every
+    *    future t1 ≤ m0, so t_i ≤ m0 + i·tol); below min(W, m0) it can
+    *    never satisfy t ≥ t1 (future t1 ≥ min(W, m0));
+    *  - with no stage-0 yet, every future t1 ≥ W, so only candidates
+    *    ≥ W stay selectable.
+    * State is therefore O(events inside watermark-lag + funnel
+    * horizon) per user, never O(stream history). */
+  def prune(stageUs: Seq[Seq[Long]], tolUs: Long, watermarkUs: Long): Seq[Seq[Long]] =
+    stageUs.head.minOption match {
+      case Some(m0) =>
+        val lo = math.min(watermarkUs, m0)
+        stageUs.zipWithIndex.map { case (cands, i) =>
+          if (i == 0) Vector(m0)
+          else cands.filter(t => t >= lo && t <= m0 + i.toLong * tolUs).distinct.sorted
+        }
+      case None =>
+        stageUs.map(_.filter(_ >= watermarkUs).distinct.sorted)
+    }
+
+  /** The event-time point after which this state's resolution can
+    * never change again: with a stage-0 anchor, m0 + (n-1)·tol (any
+    * later event exceeds every selectable window and cannot lower the
+    * min); with no anchor, the last candidate (once the watermark
+    * passes it, every held candidate is below any future t1). None
+    * when the state is empty. */
+  def freezeUs(stageUs: Seq[Seq[Long]], tolUs: Long): Option[Long] =
+    stageUs.head.minOption
+      .map(m0 => m0 + (stageUs.size - 1).toLong * tolUs)
+      .orElse(stageUs.flatten.maxOption)
+
+  /** The frozen tombstone: just the resolved chain (resolves to the
+    * same prefix, O(stages) longs per user — the latestPerKey-style
+    * honest "current value" footprint). */
+  def collapse(stageUs: Seq[Seq[Long]], tolUs: Long): Seq[Seq[Long]] = {
+    val res = resolve(stageUs, tolUs)
+    stageUs.indices.map(i => if (i < res.size) Vector(res(i)) else Vector.empty[Long])
+  }
+}
 
 /** A user's current funnel resolution: matched stage times (prefix,
   * epoch micros) + how deep they got. */
@@ -140,57 +210,78 @@ object TopicStream {
     * event lands in its user's per-stage candidate set; the chain
     * (t1 = first stage-0, t_i = first stage-i in [t_{i-1},
     * t_{i-1}+tol]) re-resolves from that set, so the stream is
-    * EXACTLY batch-consistent: a late-arriving earlier signup moves
-    * the anchor and can lawfully REVOKE a previously-reported deeper
-    * match (the spec pins this against `api.funnel` on the union).
-    * State per user is its stage-type event times only — bounded by
-    * the same per-user cardinality as batch ts21's collect_list side,
-    * and shuffled once on user_id per micro-batch. Emits Update-mode
-    * rows only for users whose resolution changed. */
+    * EXACTLY batch-consistent for every watermark-admitted event: a
+    * late-arriving earlier signup moves the anchor and can lawfully
+    * REVOKE a previously-reported deeper match (the spec pins this
+    * against `api.funnel` on the union).
+    *
+    * State is BOUNDED for an infinite stream (r9): every update runs
+    * [[FunnelState.prune]] — stage 0 keeps only its min, stage i only
+    * candidates inside [min(watermark, t1), t1 + i·tol] (the provably
+    * reachable set; FunnelStateSpec proves pruned == full-history
+    * resolution over randomized streams) — and an EventTimeTimeout
+    * fires once the watermark passes the state's freeze point (t1 +
+    * (n-1)·tol, after which no admissible event can change the
+    * resolution). On freeze: anchored users collapse to an O(stages)
+    * tombstone (kept so post-freeze events provably never re-emit —
+    * the latestPerKey "current value" footprint); users with stage-i
+    * events but no anchor are REMOVED outright (batch-consistent: a
+    * future stage-0 arrives above the watermark, above every held
+    * candidate, so those candidates could never chain). With
+    * `ttlSeconds` set, anchored tombstones are also evicted ttl after
+    * freeze — a re-entering user then starts a fresh funnel, the one
+    * documented divergence from all-history batch semantics.
+    * Shuffles once on user_id per micro-batch; emits Update-mode rows
+    * only for users whose resolution changed. */
   def funnelStream(events: Dataset[TopicEvent], stages: Seq[String],
-                   tolSeconds: Long = 43200L): Dataset[FunnelProgress] = {
+                   tolSeconds: Long = 43200L,
+                   watermarkDelay: String = "1 hour",
+                   ttlSeconds: Option[Long] = None): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size,
       s"funnel stages must be distinct (the per-stage state map keys on them): $stages")
     val stageIdx = stages.zipWithIndex.toMap
     val tolUs = tolSeconds * 1000000L
+    val ttlMs = ttlSeconds.map(_ * 1000L)
     def micros(ts: java.sql.Timestamp): Long =
       Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-    def resolve(st: FunnelUserState): Seq[Long] = {
-      val out = Seq.newBuilder[Long]
-      var anchor = -1L
-      var i = 0
-      var open = true
-      while (i < stages.size && open) {
-        val cand =
-          if (i == 0) st.stageUs(0).minOption
-          else st.stageUs(i).filter(t => t >= anchor && t <= anchor + tolUs).minOption
-        cand match {
-          case Some(t) => out += t; anchor = t; i += 1
-          case None => open = false
-        }
-      }
-      out.result()
-    }
     events
       .filter(e => stageIdx.contains(e.event_type))
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelUserState, FunnelProgress](
-        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout()) {
         case (user: Long, rows: Iterator[TopicEvent], state: GroupState[FunnelUserState]) =>
-          val existed = state.exists
-          val prev = state.getOption
-            .getOrElse(FunnelUserState(Vector.fill(stages.size)(Vector.empty[Long])))
-          val before = resolve(prev)
-          val merged = rows.foldLeft(prev) { (st, e) =>
-            val i = stageIdx(e.event_type)
-            FunnelUserState(st.stageUs.updated(i, st.stageUs(i) :+ micros(e.ts)))
+          if (state.hasTimedOut) {
+            // Watermark passed the freeze point: resolution can never
+            // change again. Anchored → O(stages) tombstone (or full
+            // eviction after the TTL); unanchored → remove (see doc).
+            val st = state.get.stageUs
+            if (st.head.isEmpty || ttlMs.isDefined) state.remove()
+            else state.update(FunnelUserState(FunnelState.collapse(st, tolUs)))
+            Iterator.empty
+          } else {
+            val wUs = state.getCurrentWatermarkMs() * 1000L
+            val existed = state.exists
+            val prev = state.getOption
+              .getOrElse(FunnelUserState(Vector.fill(stages.size)(Vector.empty[Long])))
+            val before = FunnelState.resolve(prev.stageUs, tolUs)
+            val merged = rows.foldLeft(prev.stageUs) { (st, e) =>
+              val i = stageIdx(e.event_type)
+              st.updated(i, st(i) :+ micros(e.ts))
+            }
+            val pruned = FunnelState.prune(merged, tolUs, wUs)
+            state.update(FunnelUserState(pruned))
+            FunnelState.freezeUs(pruned, tolUs).foreach { f =>
+              val fireMs = Math.floorDiv(f, 1000L) + 1L + ttlMs.getOrElse(0L)
+              if (fireMs > state.getCurrentWatermarkMs())
+                state.setTimeoutTimestamp(fireMs)
+            }
+            val after = FunnelState.resolve(pruned, tolUs)
+            if (existed && after == before) Iterator.empty
+            else Iterator.single(FunnelProgress(user, after, after.size))
           }
-          state.update(merged)
-          val after = resolve(merged)
-          if (existed && after == before) Iterator.empty
-          else Iterator.single(FunnelProgress(user, after, after.size))
       }
   }
 
@@ -505,16 +596,22 @@ object TopicStream {
     * `terms` non-empty pre-filters the RAW postings scan on `w`
     * BEFORE the merge agg (safe: every version of a post_key shares
     * its w — post_key = w#doc_id), which is what lets a query read
-    * ~term shard groups instead of merging the whole topic. */
+    * ~term shard groups instead of merging the whole topic.
+    *
+    * No per-call persist (r9): a long-lived serve session calling
+    * this per query would leak one cached frame per call (nothing
+    * here can own the unpersist — the result is returned lazily).
+    * The read cutoff is an eager scalar instead, and the registry
+    * merge executes once more inside the doc-version join — doc-id-
+    * level rows, the small side of the query. */
   def currentPostings(store: graft.sources.TopicStore, topic: String,
                       terms: Seq[String] = Seq.empty): DataFrame = {
     val reg = store.readMerged(s"${topic}_docs", "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cut = reg.agg(max(col("doc_seq")).as("_cut"))
+    val cut = reg.agg(max(col("doc_seq"))).head.get(0)
     val raw0 = store.read(topic)
     val raw = if (terms.isEmpty) raw0 else raw0.filter(col("w").isin(terms: _*))
     val merged = store.mergeLatest(
-      raw.crossJoin(broadcast(cut)).filter(col("_seq") <= col("_cut")).drop("_cut"),
+      if (cut == null) raw.limit(0) else raw.filter(col("_seq") <= lit(cut)),
       "post_key")
     val cur = reg.select(col("doc_id"), col("doc_seq").as("_cur"))
     merged.join(cur, "doc_id").filter(col("doc_seq") === col("_cur")).drop("_cur")
@@ -531,11 +628,13 @@ object TopicStream {
   def lexSearch(store: graft.sources.TopicStore, topic: String,
                 terms: Seq[String], k: Int = 10): DataFrame = {
     require(terms.nonEmpty, "lexSearch needs at least one query term")
-    // persisted: `posts` feeds both the idf agg and the score join —
-    // without the cache the term-pruned merge would execute twice
+    // NOT persisted (r9): `posts` feeds both the idf agg and the score
+    // join, so the term-pruned merge executes twice — but that subtree
+    // is the query-sized path (the w IN (...) pushdown reads ~term
+    // shard groups), while a per-call cache on a long-lived serve
+    // session leaks storage memory with no owner to unpersist it.
     val posts = currentPostings(store, topic, terms)
       .select(col("doc_id"), col("w"), col("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = store.readMerged(s"${topic}_docs", "doc_id")
       .agg(count(lit(1)).as("n_docs"))
     val idf = posts.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -703,6 +802,10 @@ object TopicStream {
     store.upsert(topic, t0(coded), "time", seq = Some(-1L))
     store.append(s"${topic}_cents", t0(cents))
     store.append(s"${topic}_cb", t0(cb))
+    // ivfpqIndex persists the centroid frame so the codebook/encode
+    // consumers share one training pass; all three topics are written
+    // now, so the build owns (and releases) that cache
+    cents.unpersist()
   }
 
   /** Grow an [[annIndexBuild]] index from arriving vectors —

@@ -71,7 +71,11 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     import graft.api._
     implicit val sql = spark.sqlContext
-    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // base offset keeps every event above Spark's initial watermark (0),
+    // so "late" is governed by watermarkDelay, not the epoch corner
+    val B = 100000L
+    def t(sec: Long) = new java.sql.Timestamp((B + sec) * 1000L)
+    def us(sec: Long) = (B + sec) * 1000000L
     val stages = Seq("signup", "view", "purchase")
     val input = MemoryStream[TopicEvent]
     val q = TopicStream.funnelStream(input.toDS(), stages, tolSeconds = 100L)
@@ -92,12 +96,12 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData(b1: _*); q.processAllAvailable()
       val r1 = rows().toSet
-      assert(r1 == Set((1L, Seq.empty[Long], 0), (3L, Seq(1000000000L, 1010000000L), 2)))
+      assert(r1 == Set((1L, Seq.empty[Long], 0), (3L, Seq(us(1000), us(1010)), 2)))
       input.addData(b2: _*); q.processAllAvailable()
       val delta = rows().toSet -- r1
       assert(delta == Set(
-        (1L, Seq(95000000L, 100000000L, 110000000L), 3),
-        (3L, Seq(0L), 1)))
+        (1L, Seq(us(95), us(100), us(110)), 3),
+        (3L, Seq(us(0)), 1)))
       // a purchase that does not change u1's resolution emits NOTHING
       val n = rows().length
       input.addData(TopicEvent(7, t(120), 1L, "purchase", 0)); q.processAllAvailable()
@@ -113,6 +117,40 @@ class StreamingSpec extends SparkSpec {
         }.toSet
       val latest = rows().groupBy(_._1).map { case (_, rs) => rs.last }.toSet
       assert(latest == batch, s"stream $latest != batch $batch")
+    } finally q.stop()
+  }
+
+  test("streaming funnel: freeze timeout collapses anchored users, evicts unanchored ones") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val B = 100000L
+    def t(sec: Long) = new java.sql.Timestamp((B + sec) * 1000L)
+    def us(sec: Long) = (B + sec) * 1000000L
+    val stages = Seq("signup", "view")
+    val input = MemoryStream[TopicEvent]
+    // tight watermark: 10 s delay, 100 s tolerance
+    val q = TopicStream.funnelStream(input.toDS(), stages, tolSeconds = 100L,
+        watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("funnel_frz").outputMode("update").start()
+    def rows() = spark.table("funnel_frz").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Seq[Long]]("matched_us"), r.getAs[Int]("depth")))
+    try {
+      // u1 anchors at 0; u2 has only a view (unanchored)
+      input.addData(TopicEvent(1, t(0), 1L, "signup", 0), TopicEvent(2, t(5), 2L, "view", 0))
+      q.processAllAvailable()
+      assert(rows().toSet == Set((1L, Seq(us(0)), 1), (2L, Seq.empty[Long], 0)))
+      // advance the watermark far past both freeze points (u1: 0+100 s,
+      // u2: its last candidate) — fires both event-time timeouts
+      input.addData(TopicEvent(3, t(1000), 9L, "signup", 0)); q.processAllAvailable()
+      input.addData(TopicEvent(4, t(2000), 9L, "view", 0)); q.processAllAvailable()
+      val n = rows().length
+      // u1 is frozen: an admissible later view can no longer chain ([0,100] lapsed) -> no emit
+      input.addData(TopicEvent(5, t(1995), 1L, "view", 0)); q.processAllAvailable()
+      assert(rows().length == n, "frozen anchored user must not re-emit")
+      // u2 was evicted: a fresh signup starts a NEW chain (batch-consistent:
+      // its old sub-watermark view could never have chained to this anchor)
+      input.addData(TopicEvent(6, t(1996), 2L, "signup", 0)); q.processAllAvailable()
+      assert(rows().toSet.contains((2L, Seq(us(1996)), 1)))
     } finally q.stop()
   }
 
