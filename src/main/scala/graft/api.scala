@@ -730,6 +730,18 @@ object api {
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
         .withColumnRenamed("doc_id", idCol)
 
+    /** ExactSubstr REWRITE (the tx24 operator as a verb — the removal
+      * step of Lee et al. 2022 that [[substringSpans]] feeds): each
+      * doc with its maximal duplicated spans excised. Returns (idCol,
+      * len, n_spans, kept_chars, kept_milli, rewrite_md5); the digest
+      * hash-checks the edit itself. Same cost as the span census —
+      * one gram-domain shuffle, candidate-restricted join back, and a
+      * per-row fold over the doc's own sorted intervals. */
+    def substringRewrite(idCol: String, textCol: String, k: Int = 20): DataFrame =
+      graft.operators.Curation.substringRewrite(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
+        .withColumnRenamed("doc_id", idCol)
+
     /** BPE merge candidates (the tx19 operator as a verb): the top-K
       * adjacent char pairs weighted by word frequency — iteration one
       * of byte-pair-encoding tokenizer training, counted over the
@@ -737,6 +749,70 @@ object api {
     def bpePairs(textCol: String, topK: Int = 20): DataFrame =
       graft.operators.Curation.bpePairs(
         df.select(col(textCol).as("text")), topK)
+
+    /** BPE TRAINING to `nMerges` merges — the loop tx19/tx20 prove one
+      * step of (Sennrich et al. 2016), closed with kmeansTrain's
+      * discipline: ONE corpus-sized word-frequency agg up front, then
+      * every iteration works the DISTINCT-WORD symbol table only —
+      * count adjacent symbol pairs weighted by word frequency (one
+      * vocab-domain exchange), pick the (count desc, pair) winner (a
+      * 2-string driver scalar, the only driver traffic), apply it as
+      * a greedy leftmost fold over each word's symbol array, and
+      * localCheckpoint so iteration N's plan never embeds N-1 folds.
+      * Corpus size enters ONLY via the word-freq agg; iteration cost
+      * is O(vocab x word length) whatever the corpus. Merge ranks are
+      * deterministic (exact integer counts, total pair order), so the
+      * merge list is prefix-stable: training N then N' > N merges
+      * agree on the first N. Stops early if every word collapses to
+      * one symbol. */
+    def bpeTrain(textCol: String, nMerges: Int): api.BpeModel = {
+      require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+      var wf = df
+        .select(explode(split(lower(col(textCol)), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+        .select(split(col("word"), "").as("syms"), col("wcnt"))
+        .localCheckpoint(true)
+      val merges = Seq.newBuilder[(String, String)]
+      var i = 0
+      var dry = false
+      while (i < nMerges && !dry) {
+        val top = wf
+          .select(col("wcnt"), explode(when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              j => struct(element_at(col("syms"), j).as("a"),
+                element_at(col("syms"), j + 1).as("b"))))
+            .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("wcnt")).as("pc"))
+          .orderBy(col("pc").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) dry = true
+        else {
+          val (a, b) = (top(0).getString(0), top(0).getString(1))
+          merges += ((a, b))
+          wf = wf
+            .select(api.bpeMergeSyms(col("syms"), a, b).as("syms"), col("wcnt"))
+            .localCheckpoint(true)
+          i += 1
+        }
+      }
+      api.BpeModel(merges.result())
+    }
+
+    /** Encode `textCol`'s words with a [[bpeTrain]] model: applies the
+      * merge list in rank order (the tokenizer-side replay — exactly
+      * the state the training loop reached). Adds `outCol` =
+      * array-of-symbol-arrays, one per word. Per-row compute; at scale
+      * encode the DISTINCT words and join back rather than folding
+      * over every occurrence. */
+    def bpeEncode(textCol: String, model: api.BpeModel,
+                  outCol: String = "syms"): DataFrame =
+      df.withColumn(outCol,
+        transform(split(lower(col(textCol)), " "),
+          w => model.merges.foldLeft(split(w, "")) {
+            case (c, (a, b)) => api.bpeMergeSyms(c, a, b)
+          }))
 
     /** RAG chunking (the tx21 operator as a verb, with the chunk TEXT
       * kept — the embedding pipeline's input): `width`-word windows on
@@ -897,7 +973,8 @@ object api {
       * distributed. Empty cells drop (their centroids stop moving
       * and stop being reported). */
     def kmeansTrain(idCol: String, vecCol: String, k: Int,
-                    maxIter: Int = 10, epsMilli: Long = 0L): api.KmeansModel = {
+                    maxIter: Int = 10, epsMilli: Long = 0L,
+                    init: Option[DataFrame] = None): api.KmeansModel = {
       require(k >= 1, s"k must be >= 1, got $k")
       require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
       val e = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
@@ -907,9 +984,14 @@ object api {
             floor(col("col").cast("double") * 100 + 0.5).cast("long").as("vq"))
           .groupBy(col("cell"), col("pos"))
           .agg((sum(col("vq")).cast("double") / (count(lit(1)) * 100)).as("c"))
-      var cen = recompute(
-        e.withColumn("cell", pmod(xxhash64(col("_id")), lit(k.toLong))))
-        .localCheckpoint(true)
+      // warm start: an explicit (cell, pos, c) centroid frame replaces
+      // the id-hash seed — resume-from-model retraining, and the form
+      // an SQL oracle can replay (ss23: label-seeded, hash-free)
+      var cen = init
+        .map(_.select(col("cell"), col("pos"), col("c")).localCheckpoint(true))
+        .getOrElse(recompute(
+          e.withColumn("cell", pmod(xxhash64(col("_id")), lit(k.toLong))))
+          .localCheckpoint(true))
       val shifts = scala.collection.mutable.ArrayBuffer[Long]()
       var it = 0
       var converged = false
@@ -955,4 +1037,24 @@ object api {
   final case class KmeansModel(centroids: DataFrame,
                                shiftsMilli: Seq[Long],
                                converged: Boolean)
+
+  /** Result of [[TextCurationOps.bpeTrain]]: the ordered merge list
+    * (rank = position). `symbols` renders each merge's output token. */
+  final case class BpeModel(merges: Seq[(String, String)]) {
+    def symbols: Seq[String] = merges.map { case (a, b) => a + b }
+  }
+
+  /** One BPE merge applied to a symbol array: greedy leftmost
+    * non-overlapping replacement of adjacent (a, b) with a+b — a left
+    * fold where a match consumes the accumulator's tail symbol, which
+    * is exactly the pointer-advance scan of the BPE paper (a merged
+    * token is never re-used as the LEFT side within the same pass,
+    * since a+b == a would need b empty). */
+  private[graft] def bpeMergeSyms(syms: Column, a: String, b: String): Column =
+    aggregate(syms,
+      typedLit(Seq.empty[String]),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
 }

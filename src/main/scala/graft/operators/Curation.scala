@@ -603,7 +603,19 @@ object Curation {
           col("bm25_micro"), col("bm25_within_tol"))
         .orderBy(col("bm25_micro").desc, col("doc_id"))
         .limit(20)
-    })
+    }),
+
+    // ExactSubstr REWRITE — the Lee et al. 2022 removal step tx18's
+    // span census feeds: every maximal corpus-duplicated char-20-gram
+    // span is EXCISED from its doc, and the rewrite ships as a digest
+    // so the oracle hash-checks the edit itself (tx16's discipline at
+    // span granularity). Plan = tx18's: one gram-domain shuffle (8-byte
+    // xxhash64 keys), candidate-restricted join back, per-doc island
+    // merge; the excision is a per-row fold over the doc's own sorted
+    // intervals against the materialized norm column. Only digests and
+    // counters ever leave the row — the rewritten text never shuffles.
+    "tx24_substring_rewrite" -> ((s, d) =>
+      substringRewrite(docs(s, d), 20).orderBy(col("doc_id")))
   )
 
   /** Shared rational ln: exact power-of-two range reduction + 4-term
@@ -643,14 +655,36 @@ object Curation {
     * (doc_id, len, n_spans, dup_chars, max_span, dup_milli). */
   private[graft] def substringSpans(docDf: DataFrame, k: Int): DataFrame = {
     val base = docDf.withColumn("norm", lower(col("text")))
-    // Grams leave the row as 8-byte xxhash64 keys, never as strings:
-    // the gram-domain agg + join back are the operator's entire wire
-    // cost, and k=20 chars -> 8 bytes is a 2.5x cut on both (measured
-    // 64x blowup: the string form hit a shuffle-memory knee). A 64-bit
-    // collision would mark one spurious window (P ~ n^2/2^65 — ~5e-4
-    // at 10^8 grams); the spans are a dedup HEURISTIC feeding a
-    // rewrite, so that trade is right — the DuckDB oracle keeps raw
-    // grams and agrees exactly at the checked SFs.
+    val spans = spanIntervals(base.select(col("doc_id"), col("norm")), k)
+      .withColumn("span_chars", col("e") - col("s") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_chars")).as("dup_chars"),
+        max(col("span_chars")).as("max_span"))
+    base.select(col("doc_id"), length(col("norm")).cast("long").as("len"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"),
+        coalesce(col("max_span"), lit(0L)).cast("long").as("max_span"))
+      .withColumn("dup_milli", expr("(dup_chars * 1000) DIV len"))
+  }
+
+  /** The maximal duplicated-span INTERVALS behind tx18 and tx24: one
+    * row per (doc_id, island) with 1-based inclusive char bounds
+    * [s, e]. `base` must carry (doc_id, norm).
+    *
+    * Grams leave the row as 8-byte xxhash64 keys, never as strings:
+    * the gram-domain agg + join back are the operator's entire wire
+    * cost, and k=20 chars -> 8 bytes is a 2.5x cut on both (measured
+    * 64x blowup: the string form hit a shuffle-memory knee). A 64-bit
+    * collision would mark one spurious window (P ~ n^2/2^65 — ~5e-4
+    * at 10^8 grams); the spans are a dedup HEURISTIC feeding a
+    * rewrite, so that trade is right — the DuckDB oracle keeps raw
+    * grams and agrees exactly at the checked SFs. The dup-gram join
+    * is candidate-restricted (only grams with n_occ >= 2 come back);
+    * the island merge is a per-doc lag + running sum — task input
+    * bounded by doc length, never the corpus. */
+  private[graft] def spanIntervals(base: DataFrame, k: Int): DataFrame = {
     val g = base
       .select(col("doc_id"),
         explode(when(length(col("norm")) >= k,
@@ -664,24 +698,58 @@ object Curation {
       .filter(col("n_occ") >= 2)
     val marked = g.join(dup, "h").select(col("doc_id"), col("pos"))
     val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = marked
+    marked
       .withColumn("prev", lag(col("pos"), 1).over(wl))
       // intervals [pos, pos+k-1] merge when they overlap or touch
       .withColumn("brk", when(col("prev").isNull || col("pos") > col("prev") + k, 1L)
         .otherwise(0L))
       .withColumn("island", sum(col("brk")).over(wl))
       .groupBy(col("doc_id"), col("island"))
-      .agg((max(col("pos")) - min(col("pos")) + k).as("span_chars"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k - 1).as("e"))
+  }
+
+  /** tx24's core: each doc REWRITTEN with its maximal duplicated
+    * spans excised — the removal step of Lee et al. 2022 that tx18's
+    * span census stops short of (tx16's oracle-checked-rewrite
+    * discipline at span granularity). Returns one row per doc with
+    * the kept-char accounting and the md5 of the rewritten text, so
+    * the EDIT itself is hash-checked, not just counted. Cost is
+    * tx18's exactly: one gram-domain shuffle, a candidate-restricted
+    * join back, per-doc island merge; the rewrite is a per-row fold
+    * over the doc's own O(n_spans) sorted intervals against the
+    * already-materialized `norm` column (never re-derived per
+    * element — the r8 long-doc-sweep rule), and only digests ride
+    * the output. */
+  private[graft] def substringRewrite(docDf: DataFrame, k: Int): DataFrame = {
+    val base = docDf.withColumn("norm", lower(col("text")))
+    val perDoc = spanIntervals(base.select(col("doc_id"), col("norm")), k)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"), sum(col("span_chars")).as("dup_chars"),
-        max(col("span_chars")).as("max_span"))
-    base.select(col("doc_id"), length(col("norm")).cast("long").as("len"))
-      .join(spans, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_chars"),
+        array_sort(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    base
+      .select(col("doc_id"), col("norm"), length(col("norm")).cast("long").as("len"))
+      .join(perDoc, Seq("doc_id"), "left")
+      // fold over the sorted disjoint intervals: carry (cur, acc) —
+      // append the kept gap before each span, skip the span, then the
+      // tail from the last span's end to the end of the doc
+      .withColumn("rewritten",
+        when(col("ivs").isNull, col("norm")).otherwise(
+          aggregate(col("ivs"),
+            struct(lit(1).as("cur"), lit("").as("acc")),
+            (st, iv) => struct(
+              (iv.getField("e") + 1).as("cur"),
+              concat(st.getField("acc"),
+                col("norm").substr(st.getField("cur"),
+                  iv.getField("s") - st.getField("cur"))).as("acc")),
+            st => concat(st.getField("acc"),
+              col("norm").substr(st.getField("cur"),
+                (col("len") + 1).cast("int") - st.getField("cur"))))))
       .select(col("doc_id"), col("len"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        coalesce(col("max_span"), lit(0L)).as("max_span"))
-      .withColumn("dup_milli", expr("(dup_chars * 1000) DIV len"))
+        (col("len") - coalesce(col("dup_chars"), lit(0L))).as("kept_chars"),
+        expr("((len - coalesce(dup_chars, 0)) * 1000) DIV len").as("kept_milli"),
+        md5(col("rewritten")).as("rewrite_md5"))
   }
 
   /** tx19's core, reusable on any frame with a `text` column: the
@@ -999,6 +1067,55 @@ object Curation {
         | CAST(coalesce(p.max_span, 0) AS BIGINT) AS max_span,
         | (CAST(coalesce(p.dup_chars, 0) AS BIGINT) * 1000) // length(n.norm) AS dup_milli
         |FROM n LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin,
+    "tx24_substring_rewrite" ->
+      """WITH n AS (SELECT doc_id, lower(text) AS norm FROM documents),
+        |g AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, length(norm) - 19),
+        |    i -> i)) AS pos,
+        |  unnest(list_transform(generate_series(1, length(norm) - 19),
+        |    i -> substr(norm, i, 20))) AS gram
+        | FROM n WHERE length(norm) >= 20),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |marked AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        |isl AS (
+        | SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER w IS NULL
+        |       OR pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+        | FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |grp AS (
+        | SELECT doc_id, pos,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM isl),
+        |iv AS (
+        | SELECT doc_id, island, min(pos) AS s, max(pos) + 19 AS e
+        | FROM grp GROUP BY 1, 2),
+        |per_doc AS (
+        | SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+        | FROM iv GROUP BY 1),
+        |segs AS (
+        | SELECT doc_id,
+        |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+        |  s - 1 AS ge
+        | FROM iv
+        | UNION ALL
+        | SELECT i.doc_id, max(i.e) + 1 AS gs, max(length(n.norm)) AS ge
+        | FROM iv i JOIN n USING (doc_id) GROUP BY i.doc_id),
+        |rw AS (
+        | SELECT s.doc_id,
+        |  string_agg(CASE WHEN s.gs <= s.ge
+        |    THEN substr(n.norm, s.gs, s.ge - s.gs + 1) ELSE '' END,
+        |    '' ORDER BY s.gs) AS rewritten
+        | FROM segs s JOIN n ON s.doc_id = n.doc_id GROUP BY 1)
+        |SELECT n.doc_id, CAST(length(n.norm) AS BIGINT) AS len,
+        | CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+        | CAST(length(n.norm) - coalesce(p.dup_chars, 0) AS BIGINT) AS kept_chars,
+        | ((length(n.norm) - coalesce(p.dup_chars, 0)) * 1000) // length(n.norm) AS kept_milli,
+        | md5(coalesce(r.rewritten, n.norm)) AS rewrite_md5
+        |FROM n LEFT JOIN per_doc p USING (doc_id) LEFT JOIN rw r USING (doc_id)
         |ORDER BY n.doc_id""".stripMargin,
     "tx19_bpe_merge" ->
       """WITH wf AS (

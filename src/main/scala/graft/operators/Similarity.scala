@@ -680,6 +680,35 @@ object Similarity {
             coalesce(expr("1000000 DIV (60 + lex_rank)"), lit(0L))).as("rrf_micro"))
         .orderBy(col("rrf_micro").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    // The k-means TRAINING LOOP, oracle-replayed — api.kmeansTrain's
+    // fixed-iteration form (the loop ss09's single iteration and
+    // ss14's per-subspace refinements stop short of checking as a
+    // LOOP): label-seeded centroids (hash-free, so DuckDB can replay
+    // the identical start), then exactly 3 Lloyd rounds through the
+    // REAL api.kmeansTrain machinery (epsMilli = -1 disables early
+    // convergence). Every round is broadcast-argmin assignment (zero
+    // fact-side shuffle) + exact quantized-long centroid recompute
+    // (one partial-agg'd k x dim exchange), localCheckpoint-truncated
+    // so round N's plan never embeds round N-1's crossJoins; the only
+    // driver traffic per round is the k x dim shift scalar. The
+    // oracle chains the same 3 rounds as CTEs — assignment ties break
+    // on (d2, cell) in both engines, and centroid doubles are
+    // exact-integer-sum quotients, so the replay is bit-exact. */
+    "ss23_kmeans_train" -> ((s, d) => {
+      val e = emb(s, d)
+      val init = e
+        .select(col("label").cast("long").as("cell"), posexplode(col("embedding")))
+        .select(col("cell"), col("pos"),
+          floor(col("col").cast("double") * 100 + 0.5).cast("long").as("vq"))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("vq")).cast("double") / (count(lit(1)) * 100)).as("c"))
+      val m = graft.api.VectorOpsSyntax(e).kmeansTrain("vec_id", "embedding",
+        k = 10, maxIter = 3, epsMilli = -1L, init = Some(init))
+      m.centroids
+        .select(col("cell"), (col("pos") + 1).cast("int").as("pos"), col("c"))
+        .orderBy(col("cell"), col("pos"))
     })
   )
 
@@ -1708,6 +1737,46 @@ object Similarity {
         | CAST(COALESCE(1000000 // (60 + v.vec_rank), 0)
         |    + COALESCE(1000000 // (60 + l.lex_rank), 0) AS BIGINT) AS rrf_micro
         |FROM vectop v FULL OUTER JOIN lextop l ON v.doc_id = l.doc_id
-        |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
+
+    "ss23_kmeans_train" -> kmeansTrainSql(iters = 3)
   )
+
+  /** The ss23 oracle, generated per iteration count: label-seeded
+    * centroids, then `iters` Lloyd rounds — assignment by row_number
+    * over (d2, cell) (the argmin tie-break Spark's array_min-on-struct
+    * applies), recompute as exact quantized-long sums over 1-based
+    * dims. Mirrors api.kmeansTrain's arithmetic term for term. */
+  private def kmeansTrainSql(iters: Int): String = {
+    def round(i: Int): String =
+      s"""d$i AS (
+        | SELECT e.vec_id, c.cell,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.cell) AS rn
+        | FROM embeddings e CROSS JOIN c${i - 1}v c),
+        |a$i AS (SELECT vec_id, cell FROM d$i WHERE rn = 1),
+        |x$i AS (
+        | SELECT a.cell, unnest(generate_series(1, len(e.embedding))) AS pos,
+        |  unnest(list_transform(e.embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM a$i a JOIN embeddings e USING (vec_id)),
+        |n$i AS (
+        | SELECT cell, pos, CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c
+        | FROM x$i GROUP BY 1, 2),
+        |c${i}v AS (SELECT cell, list(c ORDER BY pos) AS cvec FROM n$i GROUP BY 1)""".stripMargin
+    s"""WITH x0 AS (
+      | SELECT CAST(label AS BIGINT) AS cell,
+      |  unnest(generate_series(1, len(embedding))) AS pos,
+      |  unnest(list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+      | FROM embeddings),
+      |n0 AS (
+      | SELECT cell, pos, CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c
+      | FROM x0 GROUP BY 1, 2),
+      |c0v AS (SELECT cell, list(c ORDER BY pos) AS cvec FROM n0 GROUP BY 1),
+      |${(1 to iters).map(round).mkString(",\n")}
+      |SELECT cell, CAST(pos AS INT) AS pos, c FROM n$iters
+      |ORDER BY cell, pos""".stripMargin
+  }
 }

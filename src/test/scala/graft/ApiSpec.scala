@@ -637,6 +637,80 @@ class ApiSpec extends SparkSpec {
       s"expected ('aa', 6) first, got ${top.toSeq}")
   }
 
+  test("bpeTrain: hand-checked merges, dry stop, prefix-stable, re-derivable from scratch") {
+    import spark.implicits._
+    // classic Sennrich corpus: low x3, lowest x1.
+    // round 1: lo=4 ties ow=4 -> (l,o) by pair order; round 2: (lo,w)=4;
+    // round 3: singles tie -> (e,s); round 4: (es,t); round 5: (low,est);
+    // round 6: every word is one symbol -> dry stop at 5 merges.
+    val tiny = Seq("low low low", "lowest").toDF("text")
+    val m = tiny.bpeTrain("text", 6)
+    assert(m.merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"), ("low", "est")),
+      s"hand-checked merge sequence diverged: ${m.merges}")
+    assert(m.symbols.last == "lowest")
+    // encode replays training's final state: every word one symbol
+    val enc = tiny.bpeEncode("text", m, "syms")
+      .select(explode(col("syms")).as("w")).collect().map(_.getSeq[String](0))
+    assert(enc.forall(_.size == 1), s"fully-merged corpus must encode to 1 symbol/word: ${enc.toSeq}")
+
+    // real corpus: deterministic + prefix-stable (greedy ranks are a
+    // total order on exact integer counts)
+    val docs = Tables(spark, sfDir, "documents").limit(120)
+    val m2 = docs.bpeTrain("text", 2)
+    val m4 = docs.bpeTrain("text", 4)
+    assert(m4.merges.take(2) == m2.merges, "merge list must be prefix-stable")
+
+    // N sequential merges == re-derived from scratch: encode with the
+    // first 3 merges, recount adjacent pairs over the encoded corpus,
+    // and the winner must be exactly merge #4 of the longer training
+    val m3model = api.BpeModel(m4.merges.take(3))
+    val next = docs.bpeEncode("text", m3model, "syms")
+      .select(explode(col("syms")).as("ws"))
+      .select(explode(when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          j => struct(element_at(col("ws"), j).as("a"),
+            element_at(col("ws"), j + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("pc"))
+      .orderBy(col("pc").desc, col("a"), col("b"))
+      .limit(1).collect().map(r => (r.getString(0), r.getString(1))).head
+    assert(next == m4.merges(3),
+      s"re-derived round-4 winner $next != trained ${m4.merges(3)}")
+  }
+
+  test("substringRewrite verb matches tx24 and excises exactly the planted span") {
+    val docs = Tables(spark, sfDir, "documents")
+    val viaApi = docs.substringRewrite("doc_id", "text", 20).orderBy("doc_id")
+    val viaOp = SparkEntry.queries("tx24_substring_rewrite")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // kept accounting agrees with the tx18 span census
+    val spans = docs.substringSpans("doc_id", "text", 20)
+      .select(col("doc_id"), col("dup_chars"))
+    val bad = viaApi.join(spans, "doc_id")
+      .filter(col("kept_chars") =!= col("len") - col("dup_chars")).count()
+    assert(bad == 0, "kept_chars must equal len - dup_chars from the span census")
+    // planted: two docs share one 30-char run, PLUS its flanking
+    // spaces (both docs wrap it in spaces) — the coalesced island is
+    // the 32-char " run " region, and the rewrite must excise exactly
+    // that (the chars just outside the spaces differ between docs)
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over"           // 30 chars
+    val a = "alpha head segment 1 " + shared + " alpha tail segment 9"
+    val b = "beta opening words x " + shared + " beta closing words z"
+    val planted = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val rw = planted.substringRewrite("doc_id", "text", 20)
+      .orderBy("doc_id").collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(rw(0).getAs[String]("rewrite_md5") ==
+      md5hex("alpha head segment 1alpha tail segment 9"))
+    assert(rw(1).getAs[String]("rewrite_md5") ==
+      md5hex("beta opening words xbeta closing words z"))
+    assert(rw(0).getAs[Long]("kept_chars") == a.length - (shared.length + 2))
+  }
+
   test("principalDirection verb matches ss20 and finds a planted dominant axis") {
     val emb = Tables(spark, sfDir, "embeddings")
     val viaApi = emb.principalDirection("embedding", 64)
