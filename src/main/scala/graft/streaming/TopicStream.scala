@@ -147,25 +147,54 @@ object TopicStream {
         col("n"), col("sum_value_cents"))
 
   /** Stateful latest-value-per-key via flatMapGroupsWithState
-    * (ella's per-key current-value cache, updated as rows arrive). */
-  def latestPerKey(events: Dataset[TopicEvent]): Dataset[KeyLatest] = {
+    * (ella's per-key current-value cache, updated as rows arrive).
+    *
+    * State is one O(1) record per DISTINCT key — keeping it forever
+    * IS the "current value" semantics, so the default is NoTimeout.
+    * For a 100 TB key space where most keys go silent, `ttlSeconds`
+    * caps resident state without forking the code: when set, the
+    * input is watermarked (`watermarkDelay`) and a key silent past
+    * its latest event + ttl (by EVENT time, so replay-deterministic)
+    * is evicted; for keys inside the horizon the output is identical
+    * to the TTL-disabled form (spec-pinned). A re-appearing evicted
+    * key restarts its n_seen count — the one documented divergence. */
+  def latestPerKey(events: Dataset[TopicEvent],
+                   ttlSeconds: Option[Long] = None,
+                   watermarkDelay: String = "1 hour"): Dataset[KeyLatest] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val src = ttlSeconds.fold(events)(_ => events.withWatermark("ts", watermarkDelay))
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[KeyLatest, KeyLatest](
-        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update,
+        ttlSeconds.fold(GroupStateTimeout.NoTimeout())(_ => GroupStateTimeout.EventTimeTimeout())) {
         case (key: Long, rows: Iterator[TopicEvent], state: GroupState[KeyLatest]) =>
-          val prev = state.getOption
-          val newest = rows.foldLeft(prev) { (acc, e) =>
-            acc match {
-              case Some(cur) if !e.ts.after(cur.ts) => Some(cur.copy(n_seen = cur.n_seen + 1))
-              case Some(cur) => Some(KeyLatest(key, e.ts, e.value, cur.n_seen + 1))
-              case None => Some(KeyLatest(key, e.ts, e.value, 1L))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption
+            val newest = rows.foldLeft(prev) { (acc, e) =>
+              acc match {
+                case Some(cur) if !e.ts.after(cur.ts) => Some(cur.copy(n_seen = cur.n_seen + 1))
+                case Some(cur) => Some(KeyLatest(key, e.ts, e.value, cur.n_seen + 1))
+                case None => Some(KeyLatest(key, e.ts, e.value, 1L))
+              }
             }
+            newest.foreach { st =>
+              state.update(st)
+              ttlSeconds.foreach { ttl =>
+                armTtl(state, st.ts.getTime + ttl * 1000L)
+              }
+            }
+            newest.iterator
           }
-          newest.foreach(state.update)
-          newest.iterator
       }
   }
+
+  /** Arm an event-time TTL: fire at `fireMs` (clamped above the
+    * current watermark — setTimeoutTimestamp rejects a timestamp the
+    * watermark has already passed, and an already-lapsed horizon
+    * should fire on the very next trigger). */
+  private def armTtl(state: GroupState[_], fireMs: Long): Unit =
+    state.setTimeoutTimestamp(math.max(fireMs, state.getCurrentWatermarkMs() + 1L))
 
   /** Streaming OHLC downsampling — the ts10 batch operator in
     * streaming form: per (tumbling window, event_type) candle with
@@ -1128,33 +1157,51 @@ object TopicStream {
     * folded in (prequential — a spike can't dilute its own baseline),
     * flagged when the key has >= `minN` history and |z| >= `zMin`.
     * State is three longs per key; rows fold in event_id order for
-    * replay determinism. */
+    * replay determinism. O(1) per key, so NoTimeout by default; set
+    * `ttlSeconds` to evict keys silent past their last event + ttl
+    * (event-time, watermarked via `watermarkDelay`) — in-horizon keys
+    * score identically, an evicted key's baseline restarts cold. */
   def anomalyStream(events: Dataset[TopicEvent], zMin: Double,
-                    minN: Long = 30L): Dataset[AnomalousEvent] = {
+                    minN: Long = 30L,
+                    ttlSeconds: Option[Long] = None,
+                    watermarkDelay: String = "1 hour"): Dataset[AnomalousEvent] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val src = ttlSeconds.fold(events)(_ => events.withWatermark("ts", watermarkDelay))
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[KeyMoments, AnomalousEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append,
+        ttlSeconds.fold(GroupStateTimeout.NoTimeout())(_ => GroupStateTimeout.EventTimeTimeout())) {
         case (key: Long, rows: Iterator[TopicEvent], state: GroupState[KeyMoments]) =>
-          val st0 = state.getOption.getOrElse(KeyMoments(0L, 0L, 0L))
-          val (finalSt, out) = rows.toSeq.sortBy(_.event_id)
-            .foldLeft((st0, Vector.empty[AnomalousEvent])) { case ((st, acc), e) =>
-              val vc = math.round(e.value * 100)
-              val flagged =
-                if (st.n >= minN) {
-                  val mean = st.sum_c.toDouble / st.n
-                  val varc = (st.sumsq_c.toDouble - st.sum_c.toDouble * mean) / st.n
-                  if (varc > 0) {
-                    val z = (vc.toDouble - mean) / math.sqrt(varc)
-                    if (math.abs(z) >= zMin) Some(AnomalousEvent(e.event_id, key, vc, z)) else None
-                  } else None
-                } else None
-              (KeyMoments(st.n + 1, st.sum_c + vc, st.sumsq_c + vc * vc),
-                flagged.fold(acc)(acc :+ _))
-            }
-          state.update(finalSt)
-          out.iterator
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else anomalyFold(key, rows, state, zMin, minN, ttlSeconds)
       }
+  }
+
+  private def anomalyFold(key: Long, rowsIt: Iterator[TopicEvent],
+                          state: GroupState[KeyMoments], zMin: Double,
+                          minN: Long, ttlSeconds: Option[Long]): Iterator[AnomalousEvent] = {
+    val rows = rowsIt.toSeq
+    val st0 = state.getOption.getOrElse(KeyMoments(0L, 0L, 0L))
+    val (finalSt, out) = rows.sortBy(_.event_id)
+      .foldLeft((st0, Vector.empty[AnomalousEvent])) { case ((st, acc), e) =>
+        val vc = math.round(e.value * 100)
+        val flagged =
+          if (st.n >= minN) {
+            val mean = st.sum_c.toDouble / st.n
+            val varc = (st.sumsq_c.toDouble - st.sum_c.toDouble * mean) / st.n
+            if (varc > 0) {
+              val z = (vc.toDouble - mean) / math.sqrt(varc)
+              if (math.abs(z) >= zMin) Some(AnomalousEvent(e.event_id, key, vc, z)) else None
+            } else None
+          } else None
+        (KeyMoments(st.n + 1, st.sum_c + vc, st.sumsq_c + vc * vc),
+          flagged.fold(acc)(acc :+ _))
+      }
+    state.update(finalSt)
+    ttlSeconds.foreach { ttl =>
+      armTtl(state, rows.map(_.ts.getTime).max + ttl * 1000L)
+    }
+    out.iterator
   }
 
   /** Streaming EWMA smoother — ts19 in streaming form: each arriving
@@ -1165,26 +1212,41 @@ object TopicStream {
     * truncation IS the O(1)-state bound, which is why a dyadic
     * truncated EWMA streams where a true infinite-tail EWMA would
     * need unbounded replay determinism care. Rows fold in event_id
-    * order for replay determinism. */
-  def ewmaStream(events: Dataset[TopicEvent], depth: Int = 8): Dataset[SmoothedEvent] = {
+    * order for replay determinism. State is a <=`depth`-sample window
+    * per key (O(1)), so NoTimeout by default; set `ttlSeconds` to
+    * evict keys silent past their last event + ttl (event-time,
+    * watermarked via `watermarkDelay`) — in-horizon keys smooth
+    * identically, an evicted key's window restarts empty. */
+  def ewmaStream(events: Dataset[TopicEvent], depth: Int = 8,
+                 ttlSeconds: Option[Long] = None,
+                 watermarkDelay: String = "1 hour"): Dataset[SmoothedEvent] = {
     import events.sparkSession.implicits._
     require(depth >= 1 && depth <= 62, s"depth must be in [1,62], got $depth")
-    events.groupByKey(_.user_id)
+    val src = ttlSeconds.fold(events)(_ => events.withWatermark("ts", watermarkDelay))
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[EwmaState, SmoothedEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
-        case (key: Long, rows: Iterator[TopicEvent], state: GroupState[EwmaState]) =>
-          val st0 = state.getOption.getOrElse(EwmaState(Vector.empty))
-          val (finalSt, out) = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            .foldLeft((st0, Vector.empty[SmoothedEvent])) { case ((st, acc), e) =>
-              val vc = math.round(e.value * 100)
-              val window = (vc +: st.recent_c).take(depth) // newest first
-              val num = window.zipWithIndex.map { case (x, j) => x * (1L << (depth - 1 - j)) }.sum
-              val den = window.indices.map(j => 1L << (depth - 1 - j)).sum
-              (EwmaState(window),
-                acc :+ SmoothedEvent(e.event_id, key, vc, num * 1000 / den))
+        OutputMode.Append,
+        ttlSeconds.fold(GroupStateTimeout.NoTimeout())(_ => GroupStateTimeout.EventTimeTimeout())) {
+        case (key: Long, rowsIt: Iterator[TopicEvent], state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = rowsIt.toSeq
+            val st0 = state.getOption.getOrElse(EwmaState(Vector.empty))
+            val (finalSt, out) = rows.sortBy(e => (e.ts.getTime, e.event_id))
+              .foldLeft((st0, Vector.empty[SmoothedEvent])) { case ((st, acc), e) =>
+                val vc = math.round(e.value * 100)
+                val window = (vc +: st.recent_c).take(depth) // newest first
+                val num = window.zipWithIndex.map { case (x, j) => x * (1L << (depth - 1 - j)) }.sum
+                val den = window.indices.map(j => 1L << (depth - 1 - j)).sum
+                (EwmaState(window),
+                  acc :+ SmoothedEvent(e.event_id, key, vc, num * 1000 / den))
+              }
+            state.update(finalSt)
+            ttlSeconds.foreach { ttl =>
+              armTtl(state, rows.map(_.ts.getTime).max + ttl * 1000L)
             }
-          state.update(finalSt)
-          out.iterator
+            out.iterator
+          }
       }
   }
 

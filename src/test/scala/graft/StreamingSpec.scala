@@ -410,6 +410,87 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed-stream TTL: in-horizon keys match the TTL-disabled form; silent keys evict") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val B = 100000L
+    def t(sec: Long) = new java.sql.Timestamp((B + sec) * 1000L)
+    // same four batches through the TTL'd and TTL-disabled forms
+    val input = MemoryStream[TopicEvent]
+    val inputRef = MemoryStream[TopicEvent]
+    val q = TopicStream.latestPerKey(input.toDS(),
+        ttlSeconds = Some(100L), watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("lpk_ttl").outputMode("update").start()
+    val qRef = TopicStream.latestPerKey(inputRef.toDS())
+      .writeStream.format("memory").queryName("lpk_ref").outputMode("update").start()
+    def feed(evs: TopicEvent*): Unit = {
+      input.addData(evs: _*); q.processAllAvailable()
+      inputRef.addData(evs: _*); qRef.processAllAvailable()
+    }
+    try {
+      // key 2 goes silent after t(10); key 1 keeps arriving (re-arming
+      // its own TTL each time) and drags the watermark past key 2's
+      // t(10)+100s horizon
+      feed(TopicEvent(1, t(10), 2L, "m", 5.0), TopicEvent(2, t(20), 1L, "m", 1.0))
+      feed(TopicEvent(3, t(50), 1L, "m", 2.0))
+      feed(TopicEvent(4, t(5000), 1L, "m", 3.0))  // watermark -> ~t(4990) >> t(110)
+      feed(TopicEvent(5, t(5010), 1L, "m", 4.0))  // timeout fires for key 2
+      // key 1 never went silent: every update row matches the
+      // TTL-disabled stream exactly (the in-horizon pin)
+      def rows(tbl: String) = spark.table(tbl)
+        .select("user_id", "ts", "value", "n_seen")
+        .as[(Long, java.sql.Timestamp, Double, Long)].collect().toSeq.sorted
+      assert(rows("lpk_ttl") == rows("lpk_ref"),
+        "with every key in-horizon so far, TTL'd output must equal TTL-disabled")
+      // key 2 re-appears AFTER eviction: n_seen restarts at 1 on the
+      // TTL'd stream (state was dropped) but reads 2 on the reference
+      feed(TopicEvent(6, t(5020), 2L, "m", 6.0))
+      def nseen(tbl: String) = spark.table(tbl)
+        .filter(col("user_id") === 2L).orderBy(col("ts").desc)
+        .select("n_seen").as[Long].head()
+      assert(nseen("lpk_ttl") == 1L, "evicted key must restart its count")
+      assert(nseen("lpk_ref") == 2L, "TTL-disabled keeps all-history state")
+    } finally { q.stop(); qRef.stop() }
+  }
+
+  test("ewma/anomaly TTL: identical scoring in-horizon, cold restart after eviction") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val B = 100000L
+    def t(sec: Long) = new java.sql.Timestamp((B + sec) * 1000L)
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.ewmaStream(input.toDS(), depth = 8,
+        ttlSeconds = Some(100L), watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("ewma_ttl").outputMode("append").start()
+    try {
+      // key 2's window fills at t(0..10); key 1 advances the watermark
+      input.addData(
+        TopicEvent(1, t(0), 2L, "m", 1.00), TopicEvent(2, t(10), 2L, "m", 3.00),
+        TopicEvent(3, t(20), 1L, "m", 7.00))
+      q.processAllAvailable()
+      input.addData(TopicEvent(4, t(5000), 1L, "m", 7.00)); q.processAllAvailable()
+      input.addData(TopicEvent(5, t(5010), 1L, "m", 7.00)); q.processAllAvailable()
+      // in-horizon smoothing identical to the batch form (which the
+      // TTL-disabled stream is already pinned to equal)
+      import graft.api._
+      val inHorizon = Seq(
+        TopicEvent(1, t(0), 2L, "m", 1.00), TopicEvent(2, t(10), 2L, "m", 3.00))
+        .toDF().ewma("user_id", "ts", "value", 8, "event_id")
+        .select("event_id", "ewma_millicents").as[(Long, Long)].collect().toMap
+      val got = spark.table("ewma_ttl")
+        .filter(col("user_id") === 2L)
+        .select("event_id", "ewma_millicents").as[(Long, Long)].collect().toMap
+      assert(inHorizon.forall { case (k, v) => got.get(k).contains(v) },
+        s"in-horizon TTL'd smoothing must match batch: $got vs $inHorizon")
+      // key 2 re-appears after its horizon lapsed: the window restarted
+      // empty, so the smoothed value is the sample itself
+      input.addData(TopicEvent(6, t(5020), 2L, "m", 9.00)); q.processAllAvailable()
+      val cold = spark.table("ewma_ttl").filter(col("event_id") === 6L)
+        .select("ewma_millicents").as[Long].head()
+      assert(cold == 900L * 1000, s"evicted key must smooth from an empty window: $cold")
+    } finally q.stop()
+  }
+
   test("streaming prep pipeline gates language/quality and dedups within the watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
