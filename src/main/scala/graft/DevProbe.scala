@@ -77,6 +77,40 @@ object DevProbe {
           s"${m.shuffleAmplificationMilli} | ${m.shuffleSkewMilli} | " +
           s"${(m.diskBytesSpilled + m.memoryBytesSpilled) / (1024 * 1024)} |")
       }
+    } else if (args(0) == "--ss22fixed") {
+      // Fixed-batch ss22 blowup row (args: --ss22fixed <sfDir> <mult>):
+      // the bench query's batch is a 1/50 id slice, so the blowup
+      // harness grows it WITH the corpus (64x data = 64x batch x 64x
+      // cells). To evidence the serving claim (cost ∝ batch x nprobe x
+      // cell size, corpus only via cell size), this mode HOLDS the
+      // batch at its 1x membership: --scalegen re-keys ids as
+      // old*mult+rep, so vec_id % (50*mult) == 7*mult selects exactly
+      // the rep-0 replicas of the 1x batch (identical embeddings,
+      // constant count) at every scale. Index build is timed apart
+      // from the probe — the corpus-proportional encode belongs to
+      // build-once, the per-query claim is about the probe.
+      import org.apache.spark.sql.functions._
+      val d = args(1)
+      val mult = args.lift(2).map(_.toLong).getOrElse(1L)
+      val e = Tables.spread(Tables(spark, d, "embeddings"))
+      val t0 = System.nanoTime()
+      val (cents, cb, coded0) = operators.Similarity.ivfpqIndex(e)
+      // serving stores the coded index (cell-partitioned, RAM-resident
+      // codes); persist so the probe is timed against the index, not
+      // a lazy re-encode of the corpus
+      val coded = coded0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      coded.write.format("noop").mode("overwrite").save()
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val qs = e.filter(col("vec_id") % lit(50L * mult) === lit(7L * mult))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val nq = qs.count()
+      val t1 = System.nanoTime()
+      operators.Similarity.ivfpqProbe(coded, cents, cb, qs,
+          nprobe = 2, shortlist = 10, k = 3, excludeSelf = true)
+        .write.format("noop").mode("overwrite").save()
+      val tProbe = (System.nanoTime() - t1) / 1e9
+      println(f"ss22fixed mult=$mult batch=$nq build=$tBuild%.2f s probe=$tProbe%.2f s")
     } else if (args(0) == "--kmeans") {
       // Time the full kmeansTrain loop (args: --kmeans <sfDir>
       // [k] [maxIter]) — the multi-iteration verb has no queries()
