@@ -33,7 +33,8 @@ object Serve {
       .getOrCreate()
     val session = start(spark, root, port, sys.env.get("GRAFT_SERVE_TOKEN"),
       metricsPort = sys.env.get("GRAFT_METRICS_PORT").map(_.toInt),
-      mintSecret = sys.env.get("GRAFT_SERVE_MINT_SECRET"))
+      mintSecret = sys.env.get("GRAFT_SERVE_MINT_SECRET"),
+      otlpEndpoint = sys.env.get("GRAFT_OTLP_ENDPOINT"))
     println(s"graft serve: sc://localhost:$port (root=$root)")
     // SIGTERM (or any JVM exit): stop the endpoint and checkpoint the
     // catalog — the reference's ctrl-c -> rt.shutdown() path
@@ -63,11 +64,18 @@ object Serve {
     * endpoint on that port (the reference serves its gauges next to
     * its Flight endpoint the same way — ella-cli/src/serve.rs boots
     * `MetricsServer::start` alongside the server; metrics/server.rs:16).
-    * [[shutdown]] stops it with the service. */
+    * [[shutdown]] stops it with the service.
+    *
+    * `otlpEndpoint`: when set (or via `GRAFT_OTLP_ENDPOINT`), also
+    * export per-action and per-micro-batch spans as OTLP/HTTP JSON —
+    * the reference's collector deployment (`tracing/
+    * otel-collector.yaml`) points its traces receiver at exactly this
+    * wire; see [[Tracing]]. */
   def start(spark: SparkSession, root: String, port: Int,
             token: Option[String] = None,
             metricsPort: Option[Int] = None,
-            mintSecret: Option[String] = None): GraftSession = {
+            mintSecret: Option[String] = None,
+            otlpEndpoint: Option[String] = None): GraftSession = {
     require(token.isEmpty || mintSecret.isEmpty,
       "choose ONE auth mode: pre-shared `token` or minted-connection `mintSecret`")
     // mint mode without a handshake surface would reject every gRPC
@@ -117,11 +125,15 @@ object Serve {
       println(s"graft metrics: http://localhost:${h.port}/metrics")
       h
     }
+    tracing.foreach(_.stop())
+    tracing = otlpEndpoint.map(Tracing.start(spark, _))
     gs
   }
 
   // serve-lifetime scrape endpoint, if requested; stopped in shutdown()
   @volatile private var metrics: Option[MetricsServer.Handle] = None
+  // serve-lifetime OTLP span exporter, if requested; stopped in shutdown()
+  @volatile private var tracing: Option[Tracing.Handle] = None
 
   /** (Re-)publish the catalog's topics to remote clients. Connect
     * clients get ISOLATED SparkSessions over the same SparkContext;
@@ -148,6 +160,7 @@ object Serve {
   }
 
   def shutdown(session: GraftSession): Unit = {
+    tracing.foreach(_.stop()); tracing = None
     metrics.foreach(_.stop()); metrics = None
     org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
     session.shutdown()

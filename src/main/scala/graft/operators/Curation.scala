@@ -615,7 +615,59 @@ object Curation {
     // intervals against the materialized norm column. Only digests and
     // counters ever leave the row — the rewritten text never shuffles.
     "tx24_substring_rewrite" -> ((s, d) =>
-      substringRewrite(docs(s, d), 20).orderBy(col("doc_id")))
+      substringRewrite(docs(s, d), 20).orderBy(col("doc_id"))),
+
+    // BPE TRAINING LOOP, oracle-replayed — api.bpeTrain's 3-merge form
+    // driver-checked (the ss23 pattern applied to tokenizer training:
+    // tx19/tx20 check one merge + re-count; this checks the LOOP).
+    // Each round is tx20's exact machinery: a vocab-domain adjacent
+    // symbol-pair census, the deterministic (count desc, pair) winner
+    // as a broadcast 1-row frame, and a greedy-leftmost replace() that
+    // collapses the pair to a fresh marker char — chr(i) for merge i,
+    // so every symbol stays one char and round i+1's census is again
+    // substr(w, j, 2). replace with a fresh char is injective, so
+    // distinct words stay distinct and wcnt never re-groups. The ONE
+    // corpus-sized agg is the word-frequency census; all three rounds
+    // ride the distinct-word table (the Sennrich trainer shape).
+    // Output: merge rank, the merge rendered in nested-paren labels,
+    // and its pair count — both engines chain the same three CTEs.
+    "tx25_bpe_train" -> ((s, d) => {
+      val wf0 = docs(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("w0"))
+        .groupBy(col("w0")).agg(count(lit(1)).as("wcnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def top(df: DataFrame, wcol: String, i: Int): DataFrame = df
+        .select(col("wcnt"),
+          explode(when(length(col(wcol)) >= 2,
+            transform(sequence(lit(1), length(col(wcol)) - 1),
+              j => col(wcol).substr(j, lit(2))))
+            .otherwise(typedLit(Seq.empty[String]))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wcnt")).as("pc"))
+        .orderBy(col("pc").desc, col("pair")).limit(1)
+        .select(col("pair").as(s"m$i"), col("pc").as(s"pc$i"))
+      // each merged vocab persists: round i+1's census AND the next
+      // apply both read it, and without the cache boundary the three
+      // rounds' crossJoin trees re-nest multiplicatively (the in-query
+      // analog of kmeansTrain's per-round localCheckpoint)
+      val t1 = top(wf0, "w0", 1)
+      val wf1 = wf0.crossJoin(broadcast(t1))
+        .withColumn("w1", expr("replace(w0, m1, char(1))"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t2 = top(wf1, "w1", 2)
+      val wf2 = wf1.crossJoin(broadcast(t2))
+        .withColumn("w2", expr("replace(w1, m2, char(2))"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t3 = top(wf2, "w2", 3)
+      val all = t1.crossJoin(t2).crossJoin(t3)
+        .withColumn("l1", col("m1"))
+        .withColumn("l2", expr("replace(m2, char(1), '(' || l1 || ')')"))
+        .withColumn("l3", expr(
+          "replace(replace(m3, char(1), '(' || l1 || ')'), char(2), '(' || l2 || ')')"))
+      all.select(lit(1).as("rank"), col("l1").as("merge_label"), col("pc1").as("pair_count"))
+        .union(all.select(lit(2).as("rank"), col("l2"), col("pc2")))
+        .union(all.select(lit(3).as("rank"), col("l3"), col("pc3")))
+        .orderBy(col("rank"))
+    })
   )
 
   /** Shared rational ln: exact power-of-two range reduction + 4-term
@@ -1117,6 +1169,50 @@ object Curation {
         | md5(coalesce(r.rewritten, n.norm)) AS rewrite_md5
         |FROM n LEFT JOIN per_doc p USING (doc_id) LEFT JOIN rw r USING (doc_id)
         |ORDER BY n.doc_id""".stripMargin,
+    "tx25_bpe_train" ->
+      """WITH wf0 AS (
+        | SELECT word AS w0, count(*) AS wcnt
+        | FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        | GROUP BY 1),
+        |p1 AS (
+        | SELECT unnest(list_transform(generate_series(1, length(w0) - 1),
+        |   j -> substr(w0, j, 2))) AS pair, wcnt
+        | FROM wf0 WHERE length(w0) >= 2),
+        |t1 AS (
+        | SELECT pair AS m1, pc AS pc1 FROM (
+        |  SELECT pair, CAST(sum(wcnt) AS BIGINT) AS pc FROM p1 GROUP BY 1)
+        | ORDER BY pc DESC, pair LIMIT 1),
+        |wf1 AS (SELECT replace(w0, m1, chr(1)) AS w1, wcnt FROM wf0 CROSS JOIN t1),
+        |p2 AS (
+        | SELECT unnest(list_transform(generate_series(1, length(w1) - 1),
+        |   j -> substr(w1, j, 2))) AS pair, wcnt
+        | FROM wf1 WHERE length(w1) >= 2),
+        |t2 AS (
+        | SELECT pair AS m2, pc AS pc2 FROM (
+        |  SELECT pair, CAST(sum(wcnt) AS BIGINT) AS pc FROM p2 GROUP BY 1)
+        | ORDER BY pc DESC, pair LIMIT 1),
+        |wf2 AS (SELECT replace(w1, m2, chr(2)) AS w2, wcnt FROM wf1 CROSS JOIN t2),
+        |p3 AS (
+        | SELECT unnest(list_transform(generate_series(1, length(w2) - 1),
+        |   j -> substr(w2, j, 2))) AS pair, wcnt
+        | FROM wf2 WHERE length(w2) >= 2),
+        |t3 AS (
+        | SELECT pair AS m3, pc AS pc3 FROM (
+        |  SELECT pair, CAST(sum(wcnt) AS BIGINT) AS pc FROM p3 GROUP BY 1)
+        | ORDER BY pc DESC, pair LIMIT 1),
+        |lbl AS (
+        | SELECT m1 AS l1,
+        |  replace(m2, chr(1), '(' || m1 || ')') AS l2,
+        |  replace(replace(m3, chr(1), '(' || m1 || ')'),
+        |          chr(2), '(' || replace(m2, chr(1), '(' || m1 || ')') || ')') AS l3,
+        |  pc1, pc2, pc3
+        | FROM t1 CROSS JOIN t2 CROSS JOIN t3)
+        |SELECT CAST(1 AS INT) AS rank, l1 AS merge_label, pc1 AS pair_count FROM lbl
+        |UNION ALL
+        |SELECT CAST(2 AS INT), l2, pc2 FROM lbl
+        |UNION ALL
+        |SELECT CAST(3 AS INT), l3, pc3 FROM lbl
+        |ORDER BY rank""".stripMargin,
     "tx19_bpe_merge" ->
       """WITH wf AS (
         | SELECT word, count(*) AS wcnt
