@@ -730,16 +730,22 @@ object api {
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
         .withColumnRenamed("doc_id", idCol)
 
-    /** ExactSubstr REWRITE (the tx24 operator as a verb — the removal
-      * step of Lee et al. 2022 that [[substringSpans]] feeds): each
-      * doc with its maximal duplicated spans excised. Returns (idCol,
-      * len, n_spans, kept_chars, kept_milli, rewrite_md5); the digest
-      * hash-checks the edit itself. Same cost as the span census —
-      * one gram-domain shuffle, candidate-restricted join back, and a
-      * per-row fold over the doc's own sorted intervals. */
-    def substringRewrite(idCol: String, textCol: String, k: Int = 20): DataFrame =
+    /** ExactSubstr REWRITE (the tx24/tx26 operators as a verb — the
+      * removal step of Lee et al. 2022 that [[substringSpans]] feeds):
+      * each doc with its maximal duplicated spans excised. With
+      * `keepFirst` (the paper's "remove it from all but one"), the
+      * min-(doc, pos) occurrence of each duplicated gram survives, so
+      * the corpus keeps exactly one copy of every duplicated run;
+      * without it every occurrence excises (the conservative form).
+      * Returns (idCol, len, n_spans, kept_chars, kept_milli,
+      * rewrite_md5); the digest hash-checks the edit itself. Same
+      * cost as the span census — one gram-domain shuffle,
+      * candidate-restricted join back, and a per-row fold over the
+      * doc's own sorted intervals. */
+    def substringRewrite(idCol: String, textCol: String, k: Int = 20,
+                         keepFirst: Boolean = false): DataFrame =
       graft.operators.Curation.substringRewrite(
-        df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k, keepFirst)
         .withColumnRenamed("doc_id", idCol)
 
     /** BPE merge candidates (the tx19 operator as a verb): the top-K

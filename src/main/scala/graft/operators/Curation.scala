@@ -631,6 +631,16 @@ object Curation {
     // ride the distinct-word table (the Sennrich trainer shape).
     // Output: merge rank, the merge rendered in nested-paren labels,
     // and its pair count — both engines chain the same three CTEs.
+    // ExactSubstr KEEP-FIRST rewrite — the Lee et al. 2022 rule as
+    // actually stated ("remove it from all but one"): tx24 excises
+    // every duplicated span everywhere (the conservative form); this
+    // keeps the min-(doc, pos) instance of each duplicated gram so
+    // exactly one copy of every duplicated run survives the corpus.
+    // Same plan as tx24 — the keeper is a map-side-combinable min
+    // riding the existing gram-domain agg; nothing new shuffles.
+    "tx26_substring_keepfirst" -> ((s, d) =>
+      substringRewrite(docs(s, d), 20, keepFirst = true).orderBy(col("doc_id"))),
+
     "tx25_bpe_train" -> ((s, d) => {
       val wf0 = docs(s, d)
         .select(explode(split(lower(col("text")), " ")).as("w0"))
@@ -736,7 +746,8 @@ object Curation {
     * is candidate-restricted (only grams with n_occ >= 2 come back);
     * the island merge is a per-doc lag + running sum — task input
     * bounded by doc length, never the corpus. */
-  private[graft] def spanIntervals(base: DataFrame, k: Int): DataFrame = {
+  private[graft] def spanIntervals(base: DataFrame, k: Int,
+                                   keepFirst: Boolean = false): DataFrame = {
     val g = base
       .select(col("doc_id"),
         explode(when(length(col("norm")) >= k,
@@ -746,9 +757,27 @@ object Curation {
           .otherwise(typedLit(Seq.empty[(Int, Long)])
             .cast("array<struct<pos:int,h:bigint>>"))).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.h").as("h"))
-    val dup = g.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= 2)
-    val marked = g.join(dup, "h").select(col("doc_id"), col("pos"))
+    // keepFirst: the paper's actual removal rule — ONE occurrence of
+    // each duplicated gram survives (the min bigint-encoded (doc, pos)
+    // instance, tx16's keep-first discipline at gram granularity), so
+    // the corpus keeps exactly one copy of every duplicated run
+    // instead of losing it everywhere. The keeper rides the same dup
+    // agg as a map-side-combinable min — topology unchanged. The
+    // 2^32 encoding holds to 4 Gchar docs; both engines use it so the
+    // tie-break is engine-exact.
+    val inst = col("doc_id") * lit(4294967296L) + col("pos")
+    val marked =
+      if (!keepFirst) {
+        val dup = g.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+          .filter(col("n_occ") >= 2)
+        g.join(dup, "h").select(col("doc_id"), col("pos"))
+      } else {
+        val dup = g.groupBy(col("h"))
+          .agg(count(lit(1)).as("n_occ"), min(inst).as("keep_inst"))
+          .filter(col("n_occ") >= 2)
+        g.join(dup, "h").filter(inst =!= col("keep_inst"))
+          .select(col("doc_id"), col("pos"))
+      }
     val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     marked
       .withColumn("prev", lag(col("pos"), 1).over(wl))
@@ -772,9 +801,10 @@ object Curation {
     * already-materialized `norm` column (never re-derived per
     * element — the r8 long-doc-sweep rule), and only digests ride
     * the output. */
-  private[graft] def substringRewrite(docDf: DataFrame, k: Int): DataFrame = {
+  private[graft] def substringRewrite(docDf: DataFrame, k: Int,
+                                      keepFirst: Boolean = false): DataFrame = {
     val base = docDf.withColumn("norm", lower(col("text")))
-    val perDoc = spanIntervals(base.select(col("doc_id"), col("norm")), k)
+    val perDoc = spanIntervals(base.select(col("doc_id"), col("norm")), k, keepFirst)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).cast("long").as("dup_chars"),
@@ -1131,6 +1161,59 @@ object Curation {
         | FROM n WHERE length(norm) >= 20),
         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
         |marked AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        |isl AS (
+        | SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER w IS NULL
+        |       OR pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+        | FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |grp AS (
+        | SELECT doc_id, pos,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM isl),
+        |iv AS (
+        | SELECT doc_id, island, min(pos) AS s, max(pos) + 19 AS e
+        | FROM grp GROUP BY 1, 2),
+        |per_doc AS (
+        | SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+        | FROM iv GROUP BY 1),
+        |segs AS (
+        | SELECT doc_id,
+        |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+        |  s - 1 AS ge
+        | FROM iv
+        | UNION ALL
+        | SELECT i.doc_id, max(i.e) + 1 AS gs, max(length(n.norm)) AS ge
+        | FROM iv i JOIN n USING (doc_id) GROUP BY i.doc_id),
+        |rw AS (
+        | SELECT s.doc_id,
+        |  string_agg(CASE WHEN s.gs <= s.ge
+        |    THEN substr(n.norm, s.gs, s.ge - s.gs + 1) ELSE '' END,
+        |    '' ORDER BY s.gs) AS rewritten
+        | FROM segs s JOIN n ON s.doc_id = n.doc_id GROUP BY 1)
+        |SELECT n.doc_id, CAST(length(n.norm) AS BIGINT) AS len,
+        | CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+        | CAST(length(n.norm) - coalesce(p.dup_chars, 0) AS BIGINT) AS kept_chars,
+        | ((length(n.norm) - coalesce(p.dup_chars, 0)) * 1000) // length(n.norm) AS kept_milli,
+        | md5(coalesce(r.rewritten, n.norm)) AS rewrite_md5
+        |FROM n LEFT JOIN per_doc p USING (doc_id) LEFT JOIN rw r USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin,
+    "tx26_substring_keepfirst" ->
+      """WITH n AS (SELECT doc_id, lower(text) AS norm FROM documents),
+        |g AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, length(norm) - 19),
+        |    i -> i)) AS pos,
+        |  unnest(list_transform(generate_series(1, length(norm) - 19),
+        |    i -> substr(norm, i, 20))) AS gram
+        | FROM n WHERE length(norm) >= 20),
+        |dup AS (
+        | SELECT gram, min(doc_id * 4294967296 + pos) AS keep_inst
+        | FROM g GROUP BY gram HAVING count(*) >= 2),
+        |marked AS (
+        | SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+        | WHERE g.doc_id * 4294967296 + g.pos <> dup.keep_inst),
         |isl AS (
         | SELECT doc_id, pos,
         |  CASE WHEN lag(pos) OVER w IS NULL

@@ -168,9 +168,17 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
     * map-side-combinable `max(struct(_seq, ...))` aggregation (the
     * ts02 latest-by-key shape) — partials collapse each shard's
     * duplicates before the shuffle, so the exchange carries ~one row
-    * per key per partition, not the raw delta history. */
-  def readMerged(name: String, keyCol: String): DataFrame =
-    mergeLatest(read(name), keyCol)
+    * per key per partition, not the raw delta history.
+    *
+    * `mergeSchema`: set it when the topic's payload schema EVOLVED
+    * (columns added over its lifetime) — the union schema surfaces
+    * late-added columns as null on old versions, so last-write-wins
+    * resolves over every column ever written. Off by default for the
+    * same planning-cost reason as [[read]]. (`_seq`/`_tombstone` are
+    * schema-stable by construction and never need it.) */
+  def readMerged(name: String, keyCol: String,
+                 mergeSchema: Boolean = false): DataFrame =
+    mergeLatest(read(name, mergeSchema), keyCol)
 
   private[graft] def mergeLatest(df: DataFrame, keyCol: String): DataFrame = {
     val hasTomb = df.columns.contains("_tombstone")
@@ -209,7 +217,11 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
       // time), and swapDir salvages any file outside this set
       val known = listParquetRelative(fs, dir)
       if (known.isEmpty) return
+      // mergeSchema: evolved topics hold mixed-footer shards; the
+      // merge rewrite must carry the UNION schema or it would drop
+      // late-added columns from every winner (see compact)
       val src = spark.read.option("basePath", dir.toString)
+        .option("mergeSchema", "true")
         .parquet(known.map(r => new Path(dir, r).toString).toSeq: _*)
       val winners = mergeLatest(src, keyCol).drop("bucket")
         .withColumn("_seq", lit(0L))
@@ -370,7 +382,10 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
         val files = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
         val raw =
           if (files.isEmpty) None
-          else Some(spark.read.parquet(files.map(_.getPath.toString).toSeq: _*))
+          // mergeSchema: a restore rewrite of an evolved bucket must
+          // keep the union schema (same hazard as compact)
+          else Some(spark.read.option("mergeSchema", "true")
+            .parquet(files.map(_.getPath.toString).toSeq: _*))
         // content-gated: rewrite only when the bucket actually holds
         // over-cutoff rows — a second restore is a no-op
         raw.exists(df => df.filter(overCutoff(df)).head(1).nonEmpty) && {
@@ -606,7 +621,13 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
           if (targetShardBytes > 0)
             math.max(1L, (known.map(_.getLen).sum + targetShardBytes - 1) / targetShardBytes).toInt
           else 1
-        val raw = spark.read.parquet(knownPaths.map(_.toString).toSeq: _*)
+        // mergeSchema: an evolved bucket holds mixed-footer shards;
+        // without the union schema the rewrite would silently DROP
+        // whichever columns the sampled footer lacks — permanent loss
+        // from a maintenance pass. Cost is O(this bucket's footers),
+        // which the compaction read pays anyway.
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(knownPaths.map(_.toString).toSeq: _*)
         // Z-order: interleave the clusterBy columns' bits into one
         // Morton key, range-partition shards on it, sort within —
         // every clustered column gets tight footer [min,max] boxes

@@ -711,6 +711,44 @@ class ApiSpec extends SparkSpec {
     assert(rw(0).getAs[Long]("kept_chars") == a.length - (shared.length + 2))
   }
 
+  test("keep-first substring rewrite keeps exactly one copy of a duplicated run") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // cross-doc: the min-(doc, pos) instance keeps — doc 1 survives
+    // UNTOUCHED, doc 2 loses the shared " run " island (tx24 would
+    // excise it from BOTH)
+    val shared = "the quick brown fox jumps over"
+    val a = "alpha head segment 1 " + shared + " alpha tail segment 9"
+    val b = "beta opening words x " + shared + " beta closing words z"
+    val rw = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      .substringRewrite("doc_id", "text", 20, keepFirst = true)
+      .orderBy("doc_id").collect()
+    assert(rw(0).getAs[String]("rewrite_md5") == md5hex(a),
+      "the keeper doc must survive unchanged")
+    assert(rw(0).getAs[Long]("n_spans") == 0L)
+    assert(rw(1).getAs[String]("rewrite_md5") ==
+      md5hex("beta opening words xbeta closing words z"))
+    // within-doc: the run's SECOND copy excises, the first stays.
+    // Both copies are space-wrapped, so the duplicated island is
+    // ' ' + run + ' ' (27 chars) — the excision eats both spaces.
+    val run = "zzzz yyyy xxxx wwww vvvv!"                    // 25 chars
+    val c = "first marker " + run + " middle bit " + run + " ending part"
+    val rc = Seq((7L, c)).toDF("doc_id", "text")
+      .substringRewrite("doc_id", "text", 20, keepFirst = true)
+      .collect()(0)
+    assert(rc.getAs[String]("rewrite_md5") ==
+      md5hex("first marker " + run + " middle bit" + "ending part"),
+      "only the second in-doc copy (plus its flanking spaces) may excise")
+    assert(rc.getAs[Long]("kept_chars") == c.length - (run.length + 2))
+    // and agrees with the tx26 query path
+    val viaOp = SparkEntry.queries("tx26_substring_keepfirst")(spark, sfDir)
+    val viaApi = Tables(spark, sfDir, "documents")
+      .substringRewrite("doc_id", "text", 20, keepFirst = true).orderBy("doc_id")
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+  }
+
   test("principalDirection verb matches ss20 and finds a planted dominant axis") {
     val emb = Tables(spark, sfDir, "embeddings")
     val viaApi = emb.principalDirection("embedding", 64)

@@ -16,6 +16,49 @@ class StorageSpec extends SparkSpec {
       .toDF("id", "time", "key", "value")
   }
 
+  test("topic schema evolution: added columns survive reads, merges, and compaction") {
+    import spark.implicits._
+    val t0 = 1700000000L
+    def ts(i: Int) = new java.sql.Timestamp((t0 + i) * 1000L)
+    val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
+
+    // v1 publisher: (id, time, v); v2 publisher adds `w` mid-life
+    store.append("evo", Seq((1L, ts(1), "a"), (2L, ts(2), "b")).toDF("id", "time", "v"))
+    store.append("evo", Seq((3L, ts(3), "c", 30L)).toDF("id", "time", "v", "w"))
+    // union-schema read: old rows surface null for the new column
+    val r = store.read("evo", mergeSchema = true).orderBy("id")
+      .select("id", "v", "w").collect()
+    assert(r.map(x => (x.getLong(0), x.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(r(0).isNullAt(2) && r(1).isNullAt(2) && r(2).getLong(2) == 30L)
+
+    // COMPACTION of the mixed-schema bucket must rewrite with the
+    // UNION schema — without mergeSchema on the rewrite read, the
+    // sampled footer decides and `w` can silently vanish from the
+    // compacted shard (permanent loss from a maintenance pass)
+    store.compact("evo", maxFilesPerBucket = 1)
+    val rc = store.read("evo").orderBy("id")   // plain read: one shard now
+    assert(rc.columns.contains("w"), "compaction dropped an evolved column")
+    val rcr = rc.select("id", "v", "w").collect()
+    assert(rcr(0).isNullAt(2) && rcr(2).getLong(2) == 30L,
+      "compacted rows must keep evolved values and nulls")
+
+    // upsert topics evolve the same way: merge resolves over the
+    // union schema, and mergeCompact's winners keep the new column
+    store.upsert("evo_up", Seq((1L, ts(1), "k1", "x")).toDF("id", "time", "key", "v"), seq = Some(1L))
+    store.upsert("evo_up", Seq((2L, ts(2), "k1", "y", 7L), (3L, ts(3), "k2", "z", 9L))
+      .toDF("id", "time", "key", "v", "w"), seq = Some(2L))
+    val m = store.readMerged("evo_up", "key", mergeSchema = true)
+      .orderBy("key").select("key", "v", "w").collect()
+    assert(m.map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("k1", "y"), ("k2", "z")), "latest version must win across schemas")
+    assert(m(0).getLong(2) == 7L && m(1).getLong(2) == 9L)
+    store.mergeCompact("evo_up", "key")
+    val mc = store.readMerged("evo_up", "key").orderBy("key")
+    assert(mc.columns.contains("w"), "mergeCompact dropped an evolved column")
+    assert(mc.select("w").as[Long].collect().toSeq == Seq(7L, 9L))
+  }
+
   test("z-order compaction gives the second clustered column measurable pruning") {
     // Lexicographic clusterBy(x, y) sorts shards on x; every shard
     // then spans y's FULL range, so a probe on y alone can prune
