@@ -55,6 +55,18 @@ object Dedup {
   def candidatePairsPublic(docDf: DataFrame): DataFrame = candidatePairs(docDf)
   def signaturesPublic(docDf: DataFrame): DataFrame = signatures(docDf)
 
+  /** The LSH band derivation as a reusable kernel: one (doc_id, band,
+    * bkey) row per band of the doc's MinHash signature — the batch
+    * operators' exact banding, shared with the streaming near-dup
+    * gate ([[graft.streaming.TopicStream.neardupStream]]) so an
+    * arriving doc bands precisely as a batch-established one would
+    * (the ivfpqEncode kernel-sharing discipline). */
+  def bandsPublic(docDf: DataFrame): DataFrame =
+    signatures(docDf)
+      .select(col("doc_id"), posexplode(array((0 until NumPerms / BandWidth).map(b =>
+        bandKey(col("sig"), b * BandWidth, BandWidth)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+
   private def candidatePairs(docDf: DataFrame): DataFrame = {
     // persist(): both sides of the band self-join below consume `sig`;
     // without it the whole tokenize→shingle→MinHash pipeline (the

@@ -798,6 +798,76 @@ object TopicStream {
       dedupBatchBloom(store, fpTopic, outTopic)(b.toDF(), id)
     }
 
+  /** Streaming NEAR-dup gate — dd12's MinHash-band increment as a
+    * continuous pipeline (the dedup family's missing streaming third:
+    * [[dedupStreamBloom]] is the exact gate, [[lineDedupStream]] the
+    * line rewrite; this flags REWORDED near-duplicates): each arriving
+    * doc MinHash-bands through the batch operators' exact kernel
+    * (`Dedup.bandsPublic` — an arrival bands precisely as an
+    * established doc would, the ivfpqEncode kernel-sharing
+    * discipline), probes the corpus-wide band topic for bucket
+    * collisions, and upserts (doc_id, n_band_hits, is_neardup) to
+    * `outTopic` keyed doc_id. Its own bands then absorb into
+    * `bandTopic` tagged with the batch seq, and the probe reads only
+    * EARLIER generations — a replayed batch never sees its own write
+    * (rewrites the identical verdict) and a fresh-checkpoint relaunch
+    * sees every prior generation (seqBase). The band-topic scan is
+    * Bloom-pruned by the batch's band keys BEFORE any exchange
+    * (dd14's shape): per-batch cost is a pruned scan plus a
+    * batch-sized join — the corpus never re-bands, never self-joins.
+    * Establishment boundary = the topic: two near-dups arriving in
+    * ONE micro-batch both land unflagged (each sees only earlier
+    * batches), exactly dd12's old/fresh split. A band collision is
+    * the LSH CANDIDATE signal (any shared 2-row band of the 8-perm
+    * signature); feed flagged docs to a verify stage (dd04's shape)
+    * when the downstream needs adjudication — the gate's job is to
+    * price candidates at arrival rate. */
+  def neardupStream(docs: DataFrame, store: graft.sources.TopicStore,
+                    bandTopic: String, outTopic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, bandTopic, outTopic)
+    docs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      neardupBatch(store, bandTopic, outTopic, base + 1 + id)(b.toDF())
+    }
+  }
+
+  /** One [[neardupStream]] micro-batch (exposed for replay tests). */
+  private[graft] def neardupBatch(store: graft.sources.TopicStore,
+                                  bandTopic: String, outTopic: String,
+                                  seq: Long)(batch: DataFrame): Unit = {
+    import graft.functions.BloomFunctions._
+    val latest = latestPerKey(batch, "doc_id", "ts", "text")
+      .persist()
+    val bands = graft.operators.Dedup.bandsPublic(latest)
+      .withColumn("bk", concat(col("band"), lit("|"), col("bkey")))
+      .persist()
+    val n = bands.count() // bands-per-sig x batch docs — small by definition
+    if (n > 0) {
+      val bloom = bands.agg(bloomAgg(col("bk"), n + 64, (n + 64) * 16).as("bf"))
+      val known =
+        if (store.exists(bandTopic))
+          store.read(bandTopic)
+            .filter(col("src_seq") < seq) // replay never sees its own write
+            .select(col("bk"))
+            .filter(mightContain(col("bk"), bloom))
+            .distinct().withColumn("_known", lit(true))
+        else bands.select(col("bk")).limit(0).withColumn("_known", lit(true))
+      val times = latest.select(col("doc_id"), col("ts").as("time"))
+      val flags = bands.join(known, Seq("bk"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(when(coalesce(col("_known"), lit(false)), 1L).otherwise(0L))
+          .as("n_band_hits"))
+        .join(times, "doc_id")
+        .select(col("doc_id"), col("time"), col("n_band_hits"),
+          (col("n_band_hits") > 0).as("is_neardup"))
+      store.upsert(outTopic, flags, "time", seq = Some(seq))
+      store.append(bandTopic, bands.join(times, "doc_id")
+        .select(col("bk"), col("time"), lit(seq).as("src_seq")).distinct())
+    }
+    bands.unpersist()
+    latest.unpersist()
+  }
+
   /** Incremental PQ encode as a continuous stream — ss15's arrival
     * loop: each micro-batch of vectors encodes against the FROZEN
     * codebook (broadcast argmin — zero shuffle, cost scales with the

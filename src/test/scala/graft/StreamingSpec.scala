@@ -598,6 +598,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate: band collisions vs the established corpus, batch-kernel parity, replay") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_snd").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    val t1 = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls on the quiet grey town square today"
+    val t2 = "completely different words describing an unrelated topic " +
+      "entirely machine parts inventory list for warehouse five units"
+    val b1 = Seq((1L, ts("2024-01-01 00:01:00"), t1),
+                 (2L, ts("2024-01-01 00:02:00"), t2)).toDF("doc_id", "ts", "text")
+    TopicStream.neardupBatch(store, "bands", "ndflags", 1L)(b1)
+    // batch 2: an exact copy of doc 1 (every band collides), a
+    // reworded copy (the LSH candidate case), and a fresh doc
+    val b2 = Seq(
+      (3L, ts("2024-01-01 00:03:00"), t1),
+      (4L, ts("2024-01-01 00:04:00"), t1.replace("today", "tonight")),
+      (5L, ts("2024-01-01 00:05:00"), "another unrelated document about " +
+        "cooking pasta with tomato sauce and fresh basil leaves in summer"))
+      .toDF("doc_id", "ts", "text")
+    TopicStream.neardupBatch(store, "bands", "ndflags", 2L)(b2)
+    def flags() = store.readMerged("ndflags", "doc_id")
+      .select("doc_id", "n_band_hits", "is_neardup")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val f = flags()
+    // batch 1 seeded an empty topic: nothing to collide with
+    assert(f(1L) == (0L, false) && f(2L) == (0L, false), s"$f")
+    // the exact copy collides on EVERY band of the signature
+    assert(f(3L) == (4L, true), s"exact copy must hit all 4 bands: $f")
+    assert(!f(5L)._2, s"fresh doc must pass: $f")
+    // kernel parity: streamed hit counts == the batch operators' own
+    // band derivation joined against batch 1's established set
+    val est = graft.operators.Dedup.bandsPublic(b1)
+      .select("band", "bkey").distinct()
+    val exp = graft.operators.Dedup.bandsPublic(b2)
+      .join(est, Seq("band", "bkey")).groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    Seq(3L, 4L, 5L).foreach { d =>
+      assert(f(d)._1 == exp.getOrElse(d, 0L),
+        s"doc $d: streamed ${f(d)._1} != batch-kernel ${exp.getOrElse(d, 0L)}")
+    }
+    // replayed batch (same seq): never sees its own bands, rewrites
+    // the identical verdicts
+    TopicStream.neardupBatch(store, "bands", "ndflags", 2L)(b2)
+    assert(flags() == f, "a replayed batch must rewrite identical verdicts")
+  }
+
   test("incremental line dedup rewrites docs, absorbs lines, and replays as a no-op") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_sline").toString
