@@ -27,7 +27,9 @@ object DevProbe {
         "ss20_pca_power","q30_json_extract","tx20_bpe_apply",
         "tx21_chunk","tx22_tfidf_search","ss21_hybrid_rrf","sp08_anneal_schedule",
         "ts20_asof_tolerance","ss22_ivfpq_batch","tx23_bm25","dd16_winnowing",
-        "ts21_funnel","ts22_retention","ts23_top_paths")
+        "ts21_funnel","ts22_retention","ts23_top_paths",
+        "tx24_substring_rewrite","tx25_bpe_train","tx26_substring_keepfirst",
+        "ss23_kmeans_train")
         .foreach { n =>
           println(s"\n## $n\n")
           println("```")
@@ -64,7 +66,9 @@ object DevProbe {
         "tx21_chunk", "tx22_tfidf_search", "ss21_hybrid_rrf",
         "sp08_anneal_schedule", "ts20_asof_tolerance",
         "ss22_ivfpq_batch", "tx23_bm25", "dd16_winnowing",
-        "ts21_funnel", "ts22_retention", "ts23_top_paths")
+        "ts21_funnel", "ts22_retention", "ts23_top_paths",
+        "tx24_substring_rewrite", "tx25_bpe_train", "tx26_substring_keepfirst",
+        "ss23_kmeans_train")
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
       println("|---|---|---|---|---|---|")
       names.foreach { n =>

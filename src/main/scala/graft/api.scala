@@ -889,6 +889,33 @@ object api {
         .orderBy(col("cos_sim").desc, col(idCol))
         .limit(k)
 
+    /** Batch IVF-PQ ANN (the ss22 serving query as a verb — the scale
+      * path [[cosineTopK]]'s brute-force scan stops short of): builds
+      * the IVF-PQ index over this frame (label-seeded cells + PQ code
+      * indices, computed once — persist/store the index via
+      * `TopicStream.annIndexBuild` when queries outlive one call) and
+      * answers the whole `queries` batch in one plan: per-query
+      * `nprobe` probe cells + ADC LUTs broadcast, the probe join
+      * touches only probed cells' codes, exact cosine reranks each
+      * query's ADC top-`shortlist` to top-`k`. Cost ∝ batch × nprobe
+      * × cell size — the corpus enters via cell size only (measured:
+      * SCALE.md r9 fixed-batch row). Returns (q_id, idCol, cell, adc,
+      * cos_exact, rank). Needs a `label` column for cell seeding
+      * (kmeansTrain centroids make a hash-free replacement). */
+    def ivfpqTopK(idCol: String, vecCol: String, queries: DataFrame,
+                  queryIdCol: String, queryVecCol: String,
+                  k: Int = 10, nprobe: Int = 2, shortlist: Int = 50,
+                  excludeSelf: Boolean = false): DataFrame = {
+      val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        col("label"))
+      val (cents, cb, coded) = graft.operators.Similarity.ivfpqIndex(e)
+      val qs = queries.select(col(queryIdCol).as("q_id"),
+        col(queryVecCol).as("q_emb"))
+      graft.operators.Similarity
+        .ivfpqProbe(coded, cents, cb, qs, nprobe, shortlist, k, excludeSelf)
+        .withColumnRenamed("vec_id", idCol)
+    }
+
     /** SemDeDup prune list (the ss10 operator as a verb): assign each
       * vector to its nearest per-`labelCol` centroid cell, then flag
       * vectors with a smaller-id cluster-mate above `tau` cosine.

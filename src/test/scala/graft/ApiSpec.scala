@@ -868,6 +868,17 @@ class ApiSpec extends SparkSpec {
     assert(swapped == fused.select("doc_id", "rrf_micro").collect().toSeq)
   }
 
+  test("ivfpqTopK verb answers a query batch identically to the ss22 serving query") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val qs = e.filter(col("vec_id") % 50 === 7)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val viaApi = e.ivfpqTopK("vec_id", "embedding", qs, "q_id", "embedding",
+        k = 3, nprobe = 2, shortlist = 10, excludeSelf = true)
+      .orderBy("q_id", "rank")
+    val viaOp = SparkEntry.queries("ss22_ivfpq_batch")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+  }
+
   test("kmeansTrain converges to a stable fixpoint that batch recompute reproduces") {
     import spark.implicits._
     // three planted well-separated clusters in 8 dims, 20 points each
