@@ -497,6 +497,10 @@ class GraftSession(val spark: SparkSession, root: String) {
     // the topic's registered write batching (WriteConfig) shapes every
     // publish — same durable-per-topic-config path as compaction
     store.append(catalog.resolve(name), df, tsCol, catalog.writeConfig(name))
+    // schema-evolution tracking: the incoming frame's column set is
+    // recorded in the manifest (pure name math, no store IO); once a
+    // publish differs, table() reads the topic with the union schema
+    catalog.recordSchema(name, df.columns.toSeq)
     compactIfDue(name)
   }
 

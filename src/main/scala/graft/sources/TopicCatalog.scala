@@ -121,10 +121,19 @@ class TopicCatalog(spark: SparkSession, root: String,
                    defaultCatalog: String = "ella", defaultSchema: String = "public") {
 
   sealed trait Entry { def kind: String }
+  /** `cols`/`evolved`: the publish path records each topic's column
+    * set in the manifest (zero store IO — the INCOMING frame's
+    * columns are compared, never a file listing); the first publish
+    * under a different set flips `evolved`, and [[table]] then reads
+    * with the union schema automatically. Never-evolved topics keep
+    * the cheap single-footer read — the mergeSchema planning cost is
+    * paid exactly by the topics that need it. */
   case class Topic(path: String,
                    compaction: Option[CompactionPolicy] = None,
                    write: Option[WriteConfig] = None,
-                   retention: Option[RetentionPolicy] = None) extends Entry {
+                   retention: Option[RetentionPolicy] = None,
+                   cols: Seq[String] = Seq.empty,
+                   evolved: Boolean = false) extends Entry {
     val kind = "topic"
   }
   /** Session-scoped topic: lives only in this catalog instance, never
@@ -308,7 +317,37 @@ class TopicCatalog(spark: SparkSession, root: String,
 
   /** The registered compaction schedule, if any. */
   def compaction(ref: String): Option[CompactionPolicy] =
-    entries.get(resolve(ref)).collect { case Topic(_, Some(p), _, _) => p }
+    entries.get(resolve(ref)).collect { case t: Topic if t.compaction.isDefined => t.compaction.get }
+
+  /** Record a publish's column set against the topic (the write-path
+    * half of schema evolution — see [[Topic]]): the first publish
+    * seeds `cols`; a later publish with a DIFFERENT set unions it in
+    * and flips `evolved`, after which [[table]] reads the topic with
+    * the union schema. Pure manifest math over the incoming frame's
+    * column names — no file listing, no footer read; a no-op commit
+    * never happens (unchanged sets write nothing). Order-insensitive:
+    * column ORDER differences are not evolution, parquet is
+    * name-addressed. */
+  def recordSchema(ref: String, incoming: Seq[String]): Unit = {
+    val fqn = resolve(ref)
+    entries.get(fqn) match {
+      case Some(t: Topic) =>
+        if (t.cols.isEmpty) {
+          entries(fqn) = t.copy(cols = incoming)
+          commit("put", fqn, Some(entries(fqn)))
+        } else if (incoming.toSet != t.cols.toSet) {
+          entries(fqn) = t.copy(
+            cols = t.cols ++ incoming.filterNot(t.cols.contains),
+            evolved = true)
+          commit("put", fqn, Some(entries(fqn)))
+        }
+      case _ => () // temp topics / views: nothing durable to track
+    }
+  }
+
+  /** Whether the topic's schema has evolved across publishes. */
+  def evolved(ref: String): Boolean =
+    entries.get(resolve(ref)).collect { case t: Topic => t.evolved }.getOrElse(false)
 
   /** Attach (or replace) durable write-path batching on a topic —
     * the write_batch_size / rw_buffer_capacity half of the
@@ -328,7 +367,7 @@ class TopicCatalog(spark: SparkSession, root: String,
 
   /** The registered write-path batching config, if any. */
   def writeConfig(ref: String): Option[WriteConfig] =
-    entries.get(resolve(ref)).collect { case Topic(_, _, Some(w), _) => w }
+    entries.get(resolve(ref)).collect { case t: Topic if t.write.isDefined => t.write.get }
 
   /** Attach (or replace) a durable retention rule on a topic — the
     * data-lifecycle third of the per-topic config, next to
@@ -348,7 +387,7 @@ class TopicCatalog(spark: SparkSession, root: String,
 
   /** The registered retention rule, if any. */
   def retention(ref: String): Option[RetentionPolicy] =
-    entries.get(resolve(ref)).collect { case Topic(_, _, _, Some(r)) => r }
+    entries.get(resolve(ref)).collect { case t: Topic if t.retention.isDefined => t.retention.get }
 
   def createView(ref: String, sql: String): Unit = {
     entries(resolve(ref)) = View(sql, None)
@@ -377,7 +416,7 @@ class TopicCatalog(spark: SparkSession, root: String,
     val fqn = resolve(ref); val target = resolve(topicRef)
     if (!entries.contains(target)) reload()
     val path = entries.get(target) match {
-      case Some(Topic(p, _, _, _)) => p
+      case Some(t: Topic) => t.path
       case Some(e) => throw new IllegalArgumentException(
         s"snapshot tags must target a stored topic; $target is a ${e.kind}")
       case None => throw new NoSuchElementException(s"topic not found: $target")
@@ -415,7 +454,7 @@ class TopicCatalog(spark: SparkSession, root: String,
   /** The registered storage path of a topic entry, if `ref` is one. */
   def registeredPath(ref: String): Option[String] = {
     if (!entries.contains(resolve(ref))) reload()
-    entries.get(resolve(ref)).collect { case Topic(p, _, _, _) => p }
+    entries.get(resolve(ref)).collect { case t: Topic => t.path }
   }
 
   /** Live snapshot tags pinning `topicRef`: (tag fqn, data-time
@@ -454,7 +493,9 @@ class TopicCatalog(spark: SparkSession, root: String,
   def table(ref: String): DataFrame = {
     if (!entries.contains(resolve(ref))) reload()
     entries(resolve(ref)) match {
-      case Topic(path, _, _, _) => spark.read.parquet(path)
+      case t: Topic =>
+        (if (t.evolved) spark.read.option("mergeSchema", "true") else spark.read)
+          .parquet(t.path)
       case TempTopic(df) => df
       case View(sql, None) => spark.sql(sql)
       case View(_, Some(path)) => spark.read.parquet(path)
@@ -462,7 +503,7 @@ class TopicCatalog(spark: SparkSession, root: String,
         // resolve through the target topic's REGISTERED path (the
         // session's store root differs from the catalog root)
         val path = entries.get(topic) match {
-          case Some(Topic(p, _, _, _)) => p
+          case Some(t: Topic) => t.path
           case _ => throw new NoSuchElementException(
             s"snapshot tag $ref targets a missing topic: $topic")
         }
@@ -508,8 +549,10 @@ class TopicCatalog(spark: SparkSession, root: String,
   private lazy val mapper = new ObjectMapper()
 
   private def entryFields(o: ObjectNode, e: Entry): Unit = e match {
-    case Topic(p, pol, wcfg, ret) =>
+    case Topic(p, pol, wcfg, ret, cols, evolved) =>
       o.put("kind", "topic"); o.put("path", p)
+      if (cols.nonEmpty) { val ca = o.putArray("cols"); cols.foreach(ca.add) }
+      if (evolved) o.put("evolved", true)
       pol.foreach { c =>
         val cn = o.putObject("compaction")
         cn.put("everyAppends", c.everyAppends)
@@ -578,7 +621,11 @@ class TopicCatalog(spark: SparkSession, root: String,
             r.path("valueCol").asText(""), kc,
             r.path("tsCol").asText("time"))
         }
-        entries(name) = Topic(node.path("path").asText(), pol, wcfg, ret)
+        val tcols = Option(node.get("cols")).map { a =>
+          (0 until a.size()).map(a.get(_).asText())
+        }.getOrElse(Seq.empty)
+        entries(name) = Topic(node.path("path").asText(), pol, wcfg, ret,
+          tcols, node.path("evolved").asBoolean(false))
       case "view" =>
         val mp = Option(node.get("path")).map(_.asText())
         entries(name) = View(node.path("sql").asText(), mp)

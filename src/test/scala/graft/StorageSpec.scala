@@ -340,6 +340,33 @@ class StorageSpec extends SparkSpec {
     assert(b.catalog.contains("from_a"), "lookup miss must reload from disk")
   }
 
+  test("evolved topics read with the union schema automatically; the flag is durable") {
+    import spark.implicits._
+    val root = tmp()
+    val gs = new GraftSession(spark, root)
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    gs.publish("ev", Seq((1L, t0, "a")).toDF("id", "time", "v"))
+    assert(!gs.catalog.evolved("ev"))
+    // same column set again (different order): NOT evolution
+    gs.publish("ev", Seq(("b", 2L, t0)).toDF("v", "id", "time"))
+    assert(!gs.catalog.evolved("ev"), "column order must not flip the flag")
+    // a new column: evolution — table() now reads the union schema
+    // with zero caller opt-in, old rows surface null
+    gs.publish("ev", Seq((3L, t0, "c", 30L)).toDF("id", "time", "v", "w"))
+    assert(gs.catalog.evolved("ev"))
+    val r = gs.table("ev").orderBy("id").select("id", "v", "w").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(r(0).isNullAt(2) && r(1).isNullAt(2) && r(2).getLong(2) == 30L,
+      s"union schema with nulls on pre-evolution rows: ${r.toSeq}")
+    // durable: a fresh session over the same root still knows
+    val gs2 = new GraftSession(spark, root)
+    assert(gs2.catalog.evolved("ev"), "the evolved flag must survive reload")
+    assert(gs2.table("ev").columns.contains("w"))
+    // never-evolved topics keep the cheap single-footer read path
+    gs.publish("flat", Seq((1L, t0, 1.0)).toDF("id", "time", "x"))
+    assert(!gs.catalog.evolved("flat"))
+  }
+
   test("a declared-schema topic stays readable after its first publish") {
     // createTopic(schema) materializes an empty parquet for schema
     // inference; the first publish then adds bucket= dirs. Mixed
