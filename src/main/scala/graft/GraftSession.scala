@@ -116,12 +116,14 @@ class GraftSession(val spark: SparkSession, root: String) {
             cp.map(_.clusterBy.mkString(",")), cp.map(_.zorder),
             cp.map(_.minShardBytes), cp.map(_.targetShardBytes),
             wc.map(_.maxRowsPerFile), wc.map(_.coalesce), wc.map(_.triggerMs),
-            rp.map(_.maxAgeMinutes), rp.map(_.downsampleTo).filter(_.nonEmpty))
+            rp.map(_.maxAgeMinutes), rp.map(_.downsampleTo).filter(_.nonEmpty),
+            catalog.evolved(fqn))
         }.toDF("table_catalog", "table_schema", "table_name",
           "compaction_every_appends", "max_files_per_bucket", "cluster_by",
           "zorder", "min_shard_bytes", "target_shard_bytes",
           "write_max_rows_per_file", "write_coalesce", "write_trigger_ms",
-          "retention_max_age_minutes", "retention_downsample_to")
+          "retention_max_age_minutes", "retention_downsample_to",
+          "schema_evolved")
       case other => throw new IllegalArgumentException(
         s"unknown information_schema relation '$other' " +
           "(expected catalogs, schemata, tables, columns, or topic_policies)")

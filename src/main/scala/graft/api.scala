@@ -901,7 +901,12 @@ object api {
       * × cell size — the corpus enters via cell size only (measured:
       * SCALE.md r9 fixed-batch row). Returns (q_id, idCol, cell, adc,
       * cos_exact, rank). Needs a `label` column for cell seeding
-      * (kmeansTrain centroids make a hash-free replacement). */
+      * (kmeansTrain centroids make a hash-free replacement). The
+      * index's centroid frame stays cached for the returned plan's
+      * lifetime (one small k-row frame per call) — a serving loop
+      * that calls this repeatedly should hold the index in topics via
+      * annIndexBuild instead, which releases the cache after its
+      * writes. */
     def ivfpqTopK(idCol: String, vecCol: String, queries: DataFrame,
                   queryIdCol: String, queryVecCol: String,
                   k: Int = 10, nprobe: Int = 2, shortlist: Int = 50,

@@ -365,6 +365,11 @@ class StorageSpec extends SparkSpec {
     // never-evolved topics keep the cheap single-footer read path
     gs.publish("flat", Seq((1L, t0, 1.0)).toDF("id", "time", "x"))
     assert(!gs.catalog.evolved("flat"))
+    // ...and the flag is SQL-auditable next to the other policies
+    val pol = gs.query("""SELECT table_name, schema_evolved
+      |FROM information_schema_topic_policies ORDER BY table_name""".stripMargin)
+      .as[(String, Boolean)].collect().toMap
+    assert(pol("ev") && !pol("flat"), s"schema_evolved must audit via SQL: $pol")
   }
 
   test("a declared-schema topic stays readable after its first publish") {

@@ -62,9 +62,35 @@ def main():
     assert got == [(1, "a"), (2, "b")], got
     n = gs.query("SELECT count(*) AS n FROM pygw_smoke").collect()[0].getLong(0)
     assert n == 2, n
+
+    # the unified-workflow half: SUBSCRIBE to the same topic from
+    # Python (streaming replay + live tail), publish one more row on
+    # the live stream, and watch it arrive
+    sub = PyDF(gs.subscribe("pygw_smoke"), spark)
+    q = (
+        sub.writeStream.format("memory")
+        .queryName("pygw_tail")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("pygw_tail").count() == 2  # replay
+        late = spark.createDataFrame(
+            [(3, "2026-01-01 00:00:02", "c")], "id LONG, time STRING, v STRING"
+        ).selectExpr("id", "CAST(time AS TIMESTAMP) AS time", "v")
+        gs.publish("pygw_smoke", late._jdf, "time")
+        q.processAllAvailable()
+        got3 = sorted(
+            r.id for r in spark.table("pygw_tail").select("id").collect()
+        )
+        assert got3 == [1, 2, 3], got3  # live tail caught the publish
+    finally:
+        q.stop()
+
     gs.shutdown()
     spark.stop()
-    print(f"PASS: Python created/published/queried a graft topic at {root}")
+    print(f"PASS: Python published, queried, and SUBSCRIBED to a graft topic at {root}")
 
 
 if __name__ == "__main__":
