@@ -242,6 +242,11 @@ class TopicTable(fqn: String, store: TopicStore, catalog: TopicCatalog)
               byName.select(fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
           }
           store.append(fqn, aligned)
+          // seed/maintain the manifest's column record (schema
+          // evolution tracking): INSERT aligns to the table schema so
+          // it can never EVOLVE a topic, but a remote-first topic's
+          // column set should still be on record for later publishes
+          catalog.recordSchema(fqn, aligned.columns.toSeq)
           CompactionScheduler.afterAppend(store, catalog, fqn)
         }
       }
