@@ -216,6 +216,60 @@ object api {
           expr("(n_active * 1000) DIV n_cohort").as("retention_milli"))
     }
 
+    /** Event TRANSITION MATRIX (the ts24 operator as a verb): counts
+      * adjacent (from, to) pairs along each key's `tsCol`-ordered
+      * timeline (optional `tieCol` total-orders ties), with
+      * out-degree-normalized probability in integer milli. One corpus
+      * shuffle (the lead window on the key); the pair rollup
+      * partial-aggs into the |type|² domain and the normalization
+      * window runs over that tiny matrix. */
+    def transitionMatrix(userCol: String, tsCol: String, typeCol: String,
+                         tieCol: Option[String] = None): DataFrame = {
+      val ord = col(tsCol) +: tieCol.map(col).toSeq
+      val w = Window.partitionBy(col(userCol)).orderBy(ord: _*)
+      val m = df
+        .withColumn("_to", lead(col(typeCol), 1).over(w))
+        .filter(col("_to").isNotNull)
+        .groupBy(col(typeCol).as("from_type"), col("_to").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wf = Window.partitionBy(col("from_type"))
+      m.withColumn("n_from", sum(col("n")).over(wf))
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          expr("(n * 1000) DIV n_from").as("p_milli"))
+    }
+
+    /** A/B EXPERIMENT report (the ts26 operator as a verb): every key
+      * is assigned one of `nArms` arms by a salted md5 hash — no
+      * assignment table, no join; membership is a scan-speed
+      * projection that is stable under reruns and corpus growth.
+      * Exposure = the first `exposure` row per key; conversion = any
+      * `conversion` row at-or-after it. Returns one row per arm
+      * (n_users, n_conv, conv_milli, lift_vs_arm0_milli). One corpus
+      * shuffle on the key, then an `nArms`-row rollup. */
+    def abLift(userCol: String, tsCol: String, exposure: Column,
+               conversion: Column, salt: String = "ab",
+               nArms: Int = 2): DataFrame = {
+      require(nArms >= 2, "abLift needs at least two arms")
+      val arm = concat(lit("arm"),
+        pmod(conv(substring(md5(concat(col(userCol).cast("string"),
+          lit(":" + salt))), 1, 8), 16, 10).cast("long"), lit(nArms.toLong)))
+      val perUser = df.groupBy(col(userCol))
+        .agg(min(when(exposure, col(tsCol))).as("_fe"),
+          collect_list(when(conversion, col(tsCol))).as("_cts"))
+        .filter(col("_fe").isNotNull)
+        .select(col(userCol),
+          exists(col("_cts"), t => t >= col("_fe")).as("_conv"),
+          arm.as("arm"))
+      val w0 = Window.orderBy(col("arm"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("_conv"), 1L).otherwise(0L)).as("n_conv"))
+        .withColumn("conv_milli", expr("(n_conv * 1000) DIV n_users"))
+        .withColumn("lift_vs_arm0_milli",
+          col("conv_milli") - first(col("conv_milli")).over(w0))
+    }
+
     /** Per-key z-score outliers over an integer-valued column (exact
       * moments commute -> deterministic at any parallelism; the ts15
       * operator generalized). Keeps rows with |z| >= `zMin`, adding a

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -20,6 +20,27 @@ import org.apache.spark.sql.expressions.Window
 object TimeSeries {
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("epoch_s", col("ts").cast("long"))
+
+  /** Per-user funnel stage times (ts21's resolution, shared with
+    * ts25's timing report): one user_id shuffle aggregates stage-0's
+    * min and each later stage's candidate list; stage chaining is then
+    * pure per-row array compute (array_min over filter) — no window
+    * function, no self-join, no re-scan per stage. Timestamps chain as
+    * microsecond integers, so depth/timing are engine-exact. */
+  private def funnelTimes(s: SparkSession, d: String): DataFrame = {
+    val stages = Seq("signup", "view", "purchase")
+    val e = Tables.events(s, d).filter(col("event_type").isin(stages: _*))
+    val tol = expr("INTERVAL 12 HOURS")
+    e.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+        collect_list(when(col("event_type") === "view", col("ts"))).as("vts"),
+        collect_list(when(col("event_type") === "purchase", col("ts"))).as("pts"))
+      .withColumn("t2", array_min(filter(col("vts"),
+        t => t >= col("t1") && t <= col("t1") + tol)))
+      .withColumn("t3", array_min(filter(col("pts"),
+        t => t >= col("t2") && t <= col("t2") + tol)))
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling-window resample to 1h buckets.
@@ -144,18 +165,7 @@ object TimeSeries {
     // per group, not the shuffle. Timestamps chain exactly in both
     // engines (microsecond integers), so depth is engine-exact.
     "ts21_funnel" -> ((s, d) => {
-      val stages = Seq("signup", "view", "purchase")
-      val e = Tables.events(s, d).filter(col("event_type").isin(stages: _*))
-      val tol = expr("INTERVAL 12 HOURS")
-      e.groupBy(col("user_id"))
-        .agg(
-          min(when(col("event_type") === "signup", col("ts"))).as("t1"),
-          collect_list(when(col("event_type") === "view", col("ts"))).as("vts"),
-          collect_list(when(col("event_type") === "purchase", col("ts"))).as("pts"))
-        .withColumn("t2", array_min(filter(col("vts"),
-          t => t >= col("t1") && t <= col("t1") + tol)))
-        .withColumn("t3", array_min(filter(col("pts"),
-          t => t >= col("t2") && t <= col("t2") + tol)))
+      funnelTimes(s, d)
         .select(col("user_id"), col("t1"), col("t2"), col("t3"),
           when(col("t3").isNotNull, 3L).otherwise(
             when(col("t2").isNotNull, 2L).otherwise(
@@ -222,6 +232,89 @@ object TimeSeries {
         .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
         .orderBy(col("n_users").desc, col("path"))
         .limit(20)
+    }),
+
+    // Event TRANSITION MATRIX — the Markov-chain flow report behind
+    // every Sankey/"where do users go next" view (completes the
+    // path-analysis family with ts21/ts23): count (from, to) adjacent
+    // event pairs per user timeline, with out-degree-normalized
+    // transition probability in integer milli. Scale shape: the lead()
+    // window is ONE shuffle on user_id; the pair rollup partial-aggs
+    // into the |event_type|^2 domain (tiny at any corpus size), and
+    // the out-degree normalization is a window over that tiny matrix
+    // — the corpus is touched exactly once.
+    "ts24_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val m = Tables.events(s, d)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wf = Window.partitionBy(col("from_type"))
+      m.withColumn("n_from", sum(col("n")).over(wf))
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          expr("(n * 1000) DIV n_from").as("p_milli"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Funnel TIMING report — per-transition conversion rate plus
+    // time-to-convert stats (the "how long does signup→view take"
+    // report product teams read next to ts21's depth counts). Reuses
+    // funnelTimes' per-user resolution verbatim, so the timing report
+    // can never disagree with the funnel it describes. All stats are
+    // integer-exact (epoch-second diffs; mean as sum*1000 DIV n), and
+    // the rollup input is TWO rows per funnel user — the corpus
+    // shuffles once (inside funnelTimes) and the report agg is
+    // partial-combined into a 2-row frame.
+    "ts25_funnel_timing" -> ((s, d) => {
+      val f = funnelTimes(s, d)
+      val secs: Column => Column = c => c.cast("long")
+      f.select(explode(array(
+          struct(lit("signup>view").as("transition"),
+            col("t1").isNotNull.as("prev"),
+            (secs(col("t2")) - secs(col("t1"))).as("dt_s")),
+          struct(lit("view>purchase").as("transition"),
+            col("t2").isNotNull.as("prev"),
+            (secs(col("t3")) - secs(col("t2"))).as("dt_s")))).as("r"))
+        .select(col("r.transition").as("transition"),
+          col("r.prev").as("prev"), col("r.dt_s").as("dt_s"))
+        .filter(col("prev"))
+        .groupBy(col("transition"))
+        .agg(count(lit(1)).as("n_prev"), count(col("dt_s")).as("n_conv"),
+          min(col("dt_s")).as("min_s"), max(col("dt_s")).as("max_s"),
+          sum(col("dt_s")).as("sum_s"))
+        .select(col("transition"), col("n_prev"), col("n_conv"),
+          expr("(n_conv * 1000) DIV n_prev").as("conv_milli"),
+          col("min_s"), col("max_s"),
+          expr("CASE WHEN n_conv > 0 THEN (sum_s * 1000) DIV n_conv END")
+            .as("mean_milli_s"))
+        .orderBy(col("transition"))
+    }),
+
+    // A/B EXPERIMENT report — deterministic hash-assigned arms
+    // (sp01's md5 discipline: a user's arm is stable under reruns,
+    // corpus growth, and engine choice), exposure = first 'view',
+    // conversion = any purchase at-or-after exposure. Per arm: users,
+    // conversions, rate in integer milli. Scale shape: one user_id
+    // shuffle builds the per-user exposure/conversion row; the arm
+    // rollup partial-combines into two rows. The md5 assignment is
+    // the piece that matters at 100 TB: experiment membership needs
+    // no assignment table, no join — it's a scan-speed projection any
+    // engine reproduces bit-identically.
+    "ts26_ab_lift" -> ((s, d) => {
+      val perUser = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          collect_list(when(col("event_type") === "purchase", col("ts"))).as("pts"))
+        .filter(col("first_view").isNotNull)
+        .select(col("user_id"),
+          exists(col("pts"), t => t >= col("first_view")).as("converted"),
+          when(substring(md5(concat(col("user_id").cast("string"), lit(":ab"))), 1, 1) < "8",
+            "A").otherwise("B").as("arm"))
+      perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("converted"), 1L).otherwise(0L)).as("n_conv"))
+        .withColumn("conv_milli", expr("(n_conv * 1000) DIV n_users"))
+        .orderBy(col("arm"))
     }),
 
     // Sliding 1h range window per key.
@@ -535,6 +628,67 @@ object TimeSeries {
         | FROM r WHERE rn <= 3 GROUP BY user_id)
         |SELECT path, count(*) AS n_users FROM p GROUP BY 1
         |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+    "ts24_transitions" ->
+      """WITH p AS (
+        | SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        | FROM events),
+        |m AS (
+        | SELECT from_type, to_type, count(*) AS n
+        | FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM m GROUP BY 1)
+        |SELECT m.from_type, m.to_type, n, n_from, (n * 1000) // n_from AS p_milli
+        |FROM m JOIN f USING (from_type)
+        |ORDER BY 1, 2""".stripMargin,
+    "ts25_funnel_timing" ->
+      """WITH per_user AS (
+        | SELECT user_id,
+        |  list_min(list(ts) FILTER (event_type = 'signup')) AS t1,
+        |  list(ts) FILTER (event_type = 'view') AS vts,
+        |  list(ts) FILTER (event_type = 'purchase') AS pts
+        | FROM events
+        | WHERE event_type IN ('signup', 'view', 'purchase') GROUP BY 1
+        |), s2 AS (
+        | SELECT user_id, t1, pts,
+        |  list_min(list_filter(vts,
+        |    t -> t >= t1 AND t <= t1 + INTERVAL 12 HOUR)) AS t2
+        | FROM per_user
+        |), s3 AS (
+        | SELECT user_id, t1, t2,
+        |  list_min(list_filter(pts,
+        |    t -> t >= t2 AND t <= t2 + INTERVAL 12 HOUR)) AS t3
+        | FROM s2
+        |), r AS (
+        | SELECT 'signup>view' AS transition, t1 IS NOT NULL AS prev,
+        |  (epoch_us(t2) // 1000000) - (epoch_us(t1) // 1000000) AS dt_s FROM s3
+        | UNION ALL
+        | SELECT 'view>purchase' AS transition, t2 IS NOT NULL AS prev,
+        |  (epoch_us(t3) // 1000000) - (epoch_us(t2) // 1000000) AS dt_s FROM s3
+        |), g AS (
+        | SELECT transition, count(*) AS n_prev, count(dt_s) AS n_conv,
+        |  min(dt_s) AS min_s, max(dt_s) AS max_s, CAST(sum(dt_s) AS BIGINT) AS sum_s
+        | FROM r WHERE prev GROUP BY 1)
+        |SELECT transition, n_prev, n_conv,
+        | (n_conv * 1000) // n_prev AS conv_milli,
+        | min_s, max_s,
+        | CASE WHEN n_conv > 0 THEN (sum_s * 1000) // n_conv END AS mean_milli_s
+        |FROM g ORDER BY transition""".stripMargin,
+    "ts26_ab_lift" ->
+      """WITH per_user AS (
+        | SELECT user_id,
+        |  list_min(list(ts) FILTER (event_type = 'view')) AS first_view,
+        |  list(ts) FILTER (event_type = 'purchase') AS pts
+        | FROM events GROUP BY 1),
+        |exposed AS (
+        | SELECT user_id,
+        |  len(list_filter(pts, t -> t >= first_view)) > 0 AS converted,
+        |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1) < '8'
+        |   THEN 'A' ELSE 'B' END AS arm
+        | FROM per_user WHERE first_view IS NOT NULL)
+        |SELECT arm, count(*) AS n_users,
+        | CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
+        | (CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) * 1000) // count(*) AS conv_milli
+        |FROM exposed GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts21_funnel" ->
       """WITH per_user AS (
         | SELECT user_id,

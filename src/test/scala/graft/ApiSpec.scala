@@ -268,6 +268,54 @@ class ApiSpec extends SparkSpec {
     assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
   }
 
+  test("transitionMatrix verb matches ts24 on events") {
+    val viaApi = Tables.events(spark, sfDir)
+      .transitionMatrix("user_id", "ts", "event_type", tieCol = Some("event_id"))
+      .orderBy("from_type", "to_type")
+    val viaOp = SparkEntry.queries("ts24_transitions")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+  }
+
+  test("transitionMatrix counts adjacency on a handcrafted timeline") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // u1: A B A B ; u2: A A  -> from A: {B:2, A:1}, from B: {A:1}
+    val rows = Seq(
+      (1L, t(0), "A"), (1L, t(1), "B"), (1L, t(2), "A"), (1L, t(3), "B"),
+      (2L, t(0), "A"), (2L, t(1), "A"))
+    val df = spark.createDataFrame(rows).toDF("uid", "ts", "et")
+    val out = df.transitionMatrix("uid", "ts", "et")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      ("A", "B") -> ((2L, 3L, 666L)),
+      ("A", "A") -> ((1L, 3L, 333L)),
+      ("B", "A") -> ((1L, 1L, 1000L))))
+  }
+
+  test("abLift verb partitions exposed users and ties out to ts26 totals") {
+    val rep = Tables.events(spark, sfDir)
+      .abLift("user_id", "ts",
+        exposure = col("event_type") === "view",
+        conversion = col("event_type") === "purchase")
+      .orderBy("arm").collect()
+    assert(rep.map(_.getString(0)).toSeq == Seq("arm0", "arm1"))
+    val ts26 = SparkEntry.queries("ts26_ab_lift")(spark, sfDir).collect()
+    // arm labels hash differently (A/B top-nibble vs arm0/1 mod-2) but
+    // both partition the same exposed-user set with the same total
+    // conversions
+    assert(rep.map(_.getLong(1)).sum == ts26.map(_.getLong(1)).sum)
+    assert(rep.map(_.getLong(2)).sum == ts26.map(_.getLong(2)).sum)
+    // lift column is relative to arm0
+    assert(rep.head.getLong(4) == 0L)
+    assert(rep(1).getLong(4) == rep(1).getLong(3) - rep.head.getLong(3))
+    // four arms still partition the same user set
+    val four = Tables.events(spark, sfDir)
+      .abLift("user_id", "ts", col("event_type") === "view",
+        col("event_type") === "purchase", nArms = 4).collect()
+    assert(four.length == 4 && four.map(_.getLong(1)).sum == rep.map(_.getLong(1)).sum)
+  }
+
   test("winnowPairs matches dd16") {
     val viaApi = Tables(spark, sfDir, "documents")
       .winnowPairs("doc_id", "text").orderBy("a", "b")

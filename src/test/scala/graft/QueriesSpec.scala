@@ -159,6 +159,52 @@ class QueriesSpec extends SparkSpec {
     assert(total == Tables.events(spark, sfDir).count())
   }
 
+  test("ts24 transition counts tie out: n sums to n_from, and totals equal events minus active users") {
+    val df = SparkEntry.queries("ts24_transitions")(spark, sfDir).collect()
+    // per-from out-degree consistency
+    df.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sum == rows.head.getLong(3))
+    }
+    assert(df.forall(r => r.getLong(4) >= 0 && r.getLong(4) <= 1000))
+    // each user with k>=1 events contributes exactly k-1 transitions
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(df.map(_.getLong(2)).sum == expected)
+  }
+
+  test("ts25 funnel timing agrees with ts21's stage depths") {
+    val timing = SparkEntry.queries("ts25_funnel_timing")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(timing.keySet == Set("signup>view", "view>purchase"))
+    val depths = SparkEntry.queries("ts21_funnel")(spark, sfDir)
+      .groupBy().agg(
+        sum(when(col("depth") >= 1, 1L).otherwise(0L)),
+        sum(when(col("depth") >= 2, 1L).otherwise(0L)),
+        sum(when(col("depth") >= 3, 1L).otherwise(0L))).collect().head
+    val sv = timing("signup>view"); val vp = timing("view>purchase")
+    assert(sv.getLong(1) == depths.getLong(0), "n_prev(signup>view) == depth>=1")
+    assert(sv.getLong(2) == depths.getLong(1), "n_conv(signup>view) == depth>=2")
+    assert(vp.getLong(1) == depths.getLong(1), "n_prev(view>purchase) == depth>=2")
+    assert(vp.getLong(2) == depths.getLong(2), "n_conv(view>purchase) == depth>=3")
+    timing.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      if (r.getLong(2) > 0) assert(r.getLong(4) <= r.getLong(5), "min_s <= max_s")
+    }
+  }
+
+  test("ts26 arms partition the exposed users and rates are milli-bounded") {
+    val df = SparkEntry.queries("ts26_ab_lift")(spark, sfDir).collect()
+    assert(df.map(_.getString(0)).toSeq == Seq("A", "B"))
+    val exposed = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(df.map(_.getLong(1)).sum == exposed)
+    df.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000)
+    }
+  }
+
   test("ts07 gap-fill spine is dense per event_type") {
     val df = SparkEntry.queries("ts07_gap_fill")(spark, sfDir)
     val perType = df.groupBy("event_type").count().select("count").distinct().collect()
