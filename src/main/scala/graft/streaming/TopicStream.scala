@@ -88,6 +88,69 @@ object FunnelState {
   * epoch micros) + how deep they got. */
 case class FunnelProgress(user_id: Long, matched_us: Seq[Long], depth: Int)
 
+/** One point on a user's retained timeline (epoch micros, tiebreak
+  * event id, event type) — [[TransitionState]]'s unit. */
+case class TimelinePoint(us: Long, id: Long, tpe: String)
+
+/** Per-user retained timeline for the streaming transition matrix:
+  * sorted, truly-adjacent points — every pair of neighbors is a real
+  * timeline adjacency (nothing between them can still arrive). */
+case class TimelineState(points: Seq[TimelinePoint])
+
+/** A transition-count CHANGE from [[TopicStream.transitionDeltasStream]]:
+  * summing `delta` per (from_type, to_type) over any prefix of the
+  * stream yields EXACTLY the batch ts24 adjacency counts over the
+  * admitted events — late arrivals emit a retraction of the edge they
+  * split plus the two edges they create. `ts` is the newest admitted
+  * event time that contributed to the change (the change's as-of). */
+case class TransitionDelta(user_id: Long, from_type: String, to_type: String,
+                           delta: Long, ts: java.sql.Timestamp)
+
+/** The pure state kernel behind [[TopicStream.transitionDeltasStream]]
+  * (the FunnelState discipline: side-effect-free so TransitionStateSpec
+  * can prove delta-sum == batch adjacency counts over randomized
+  * arrival orders, plus the state bound).
+  *
+  * Invariant that makes deltas sound: retained points are sorted and
+  * TRULY adjacent. Arrivals are watermark-admitted (ts >= W), every
+  * dropped point is <= the retained boundary (< W), so no arrival can
+  * ever land between two retained neighbors' dropped past — inserting
+  * between neighbors p,s therefore retracts a previously-emitted
+  * (p→s) and emits (p→e), (e→s). */
+object TransitionState {
+  private def lt(a: TimelinePoint, b: TimelinePoint): Boolean =
+    a.us < b.us || (a.us == b.us && a.id < b.id)
+
+  /** Insert `e`, returning the new timeline + the adjacency deltas the
+    * insert causes. */
+  def insert(points: Vector[TimelinePoint], e: TimelinePoint)
+      : (Vector[TimelinePoint], Seq[(String, String, Long)]) = {
+    val i = points.indexWhere(p => !lt(p, e))
+    val pos = if (i < 0) points.size else i
+    val pred = if (pos > 0) Some(points(pos - 1)) else None
+    val succ = if (pos < points.size) Some(points(pos)) else None
+    val deltas = (pred, succ) match {
+      case (Some(p), Some(s)) =>
+        Seq((p.tpe, s.tpe, -1L), (p.tpe, e.tpe, 1L), (e.tpe, s.tpe, 1L))
+      case (Some(p), None) => Seq((p.tpe, e.tpe, 1L))
+      case (None, Some(s)) => Seq((e.tpe, s.tpe, 1L))
+      case (None, None) => Seq.empty
+    }
+    (points.patch(pos, Seq(e), 0), deltas)
+  }
+
+  /** Evict points that can never participate again: everything
+    * strictly before the newest sub-watermark point. That BOUNDARY
+    * point stays — a future arrival (>= W) may still take it as
+    * predecessor — so idle users settle at O(1) state (the
+    * latestPerKey "current value" footprint), active users at
+    * O(events inside the watermark lag). */
+  def pruneTimeline(points: Vector[TimelinePoint], watermarkUs: Long): Vector[TimelinePoint] = {
+    val idx = points.lastIndexWhere(_.us < watermarkUs)
+    if (idx <= 0) points else points.drop(idx)
+  }
+}
+
 /** Latest-value state per key — ella's subscriber "current value" view. */
 case class KeyLatest(user_id: Long, ts: java.sql.Timestamp, value: Double, n_seen: Long)
 
@@ -367,6 +430,106 @@ object TopicStream {
         datediff(col("day"), col("cohort")).cast("long").as("day_offset"),
         col("n_active"), col("n_cohort"),
         expr("(n_active * 1000) DIV n_cohort").as("retention_milli"))
+  }
+
+  /** Streaming event TRANSITION MATRIX — ts24 as a live changelog.
+    * Each user's watermark-bounded timeline lives in
+    * [[TransitionState]]; an arriving event (including a LATE one
+    * landing between two already-seen events) emits the adjacency
+    * deltas its insertion causes — retracting the edge it splits,
+    * adding the two it creates — so summing deltas per (from, to)
+    * over any stream prefix reproduces the batch ts24 counts over
+    * the admitted events EXACTLY (TransitionStateSpec proves this
+    * over randomized arrival orders; StreamingSpec pins it against
+    * `api.transitionMatrix` end-to-end).
+    *
+    * State is bounded by construction: [[TransitionState.pruneTimeline]]
+    * keeps only points the watermark still allows a new neighbor for —
+    * idle users settle at ONE retained point (the latestPerKey
+    * "current value" footprint), active users at O(arrivals inside
+    * the watermark lag). With `ttlSeconds`, users silent past their
+    * last point + ttl are evicted outright; a re-appearing user then
+    * misses the one boundary edge a batch recompute would count — the
+    * same documented divergence as latestPerKey's n_seen restart.
+    * Shuffles once on user_id per micro-batch. */
+  def transitionDeltasStream(events: Dataset[TopicEvent],
+                             watermarkDelay: String = "1 hour",
+                             ttlSeconds: Option[Long] = None): Dataset[TransitionDelta] = {
+    import events.sparkSession.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TimelineState, TransitionDelta](
+        OutputMode.Append,
+        ttlSeconds.fold(GroupStateTimeout.NoTimeout())(_ => GroupStateTimeout.EventTimeTimeout())) {
+        case (user: Long, rows: Iterator[TopicEvent], state: GroupState[TimelineState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wUs = state.getCurrentWatermarkMs() * 1000L
+            var pts = state.getOption.map(_.points.toVector).getOrElse(Vector.empty)
+            val acc = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+            val batch = rows.toVector.sortBy(e => (micros(e.ts), e.event_id))
+            batch.foreach { e =>
+              val (np, ds) = TransitionState.insert(pts,
+                TimelinePoint(micros(e.ts), e.event_id, e.event_type))
+              pts = np
+              ds.foreach { case (f, t, d) => acc((f, t)) = acc.getOrElse((f, t), 0L) + d }
+            }
+            pts = TransitionState.pruneTimeline(pts, wUs)
+            state.update(TimelineState(pts))
+            ttlSeconds.foreach { ttl =>
+              pts.lastOption.foreach { last =>
+                armTtl(state, Math.floorDiv(last.us, 1000L) + ttl * 1000L)
+              }
+            }
+            val asOf = batch.lastOption.map(_.ts)
+              .getOrElse(new java.sql.Timestamp(Math.floorDiv(wUs, 1000L)))
+            acc.iterator.filter(_._2 != 0L)
+              .map { case ((f, t), d) => TransitionDelta(user, f, t, d, asOf) }
+              .toVector.iterator
+          }
+      }
+  }
+
+  /** Fold [[transitionDeltasStream]] into a durable MATRIX topic:
+    * each micro-batch's deltas reduce to one row per (from, to),
+    * keyed `batchId#from#to` with seq = batchId — a replayed batch
+    * rewrites the identical rows (replay-idempotent), and the live
+    * matrix is the additive read [[currentTransitions]]. Per-batch
+    * cost: a batch-sized rollup + upsert; the topic grows with
+    * CHANGED edges per batch, never the corpus. */
+  def transitionsStream(deltas: Dataset[TransitionDelta],
+                        store: graft.sources.TopicStore, topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    deltas.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val seq = base + 1 + id
+        val rows = b.toDF()
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(sum(col("delta")).as("delta"), max(col("ts")).as("time"))
+          .filter(col("delta") =!= 0L)
+          .select(
+            concat(lit(id), lit("#"), col("from_type"), lit("#"), col("to_type")).as("tkey"),
+            col("from_type"), col("to_type"), col("delta"), col("time"))
+        if (!rows.isEmpty) store.upsert(topic, rows, "time", seq = Some(seq))
+      }
+  }
+
+  /** The CURRENT transition matrix of a [[transitionsStream]] topic —
+    * ts24's exact output shape (n, n_from, p_milli) over the summed
+    * delta history. The sum runs over the edge-domain-sized topic. */
+  def currentTransitions(store: graft.sources.TopicStore, topic: String): DataFrame = {
+    val m = store.readMerged(topic, "tkey")
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("delta")).as("n"))
+      .filter(col("n") > 0L)
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    m.withColumn("n_from", sum(col("n")).over(wf))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("(n * 1000) DIV n_from").as("p_milli"))
   }
 
   /** Streaming training-data prep — the px01 batch pipeline in

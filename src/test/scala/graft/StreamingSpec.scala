@@ -203,6 +203,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions: late arrivals retract split edges, matrix equals batch ts24") {
+    import spark.implicits._
+    import graft.api._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_strans").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TopicEvent]
+    val deltas = TopicStream.transitionDeltasStream(input.toDS(), watermarkDelay = "10 seconds")
+    val q = TopicStream.transitionsStream(deltas, store, "trans")
+      .option("checkpointLocation", s"$root/_chk").start()
+    val B = 100000L
+    def t(sec: Long) = new java.sql.Timestamp((B + sec) * 1000L)
+    val b1 = Seq(
+      TopicEvent(1, t(0), 1L, "A", 0), TopicEvent(2, t(10), 1L, "C", 0),
+      TopicEvent(3, t(0), 2L, "A", 0))
+    // LATE: u1's B at t=5 (>= watermark t=0) lands BETWEEN the already
+    // -counted A(0)->C(10) edge; u2 simply extends A(0)->B(20)
+    val b2 = Seq(TopicEvent(4, t(5), 1L, "B", 0), TopicEvent(5, t(20), 2L, "B", 0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      val m1 = TopicStream.currentTransitions(store, "trans")
+        .select("from_type", "to_type", "n").as[(String, String, Long)].collect().toSet
+      assert(m1 == Set(("A", "C", 1L)))
+      input.addData(b2: _*); q.processAllAvailable()
+      val m2 = TopicStream.currentTransitions(store, "trans")
+        .select("from_type", "to_type", "n").as[(String, String, Long)].collect().toSet
+      // the split edge is GONE (retracted), replaced by the two it became
+      assert(m2 == Set(("A", "B", 2L), ("B", "C", 1L)), s"got $m2")
+      // and the full matrix (n, n_from, p_milli) equals the batch verb
+      // on the union of admitted events
+      val batch = (b1 ++ b2).toDF()
+        .transitionMatrix("user_id", "ts", "event_type", tieCol = Some("event_id"))
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      val cur = TopicStream.currentTransitions(store, "trans")
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      assert(cur == batch, s"stream $cur != batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming upsert sink: merged view tracks latest per key across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
