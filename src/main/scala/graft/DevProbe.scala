@@ -68,10 +68,14 @@ object DevProbe {
         "ss22_ivfpq_batch", "tx23_bm25", "dd16_winnowing",
         "ts21_funnel", "ts22_retention", "ts23_top_paths",
         "tx24_substring_rewrite", "tx25_bpe_train", "tx26_substring_keepfirst",
-        "ss23_kmeans_train")
+        "ss23_kmeans_train",
+        "ts24_transitions", "ts25_funnel_timing", "ts26_ab_lift",
+        "ts27_rfm")
+      // optional third arg: comma-separated subset of the list above
+      val only = args.lift(2).map(_.split(",").toSet)
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
       println("|---|---|---|---|---|---|")
-      names.foreach { n =>
+      names.filter(n => only.forall(_.contains(n))).foreach { n =>
         spark.sharedState.cacheManager.clearCache()
         val (_, m) = Metrics.measure(spark) {
           SparkEntry.queries(n)(spark, d)

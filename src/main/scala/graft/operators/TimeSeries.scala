@@ -291,6 +291,47 @@ object TimeSeries {
         .orderBy(col("transition"))
     }),
 
+    // RFM SEGMENTATION — the classic recency/frequency/monetary user
+    // scoring (the product-analytics segmentation staple): per user,
+    // seconds since last event (vs the corpus's max-ts anchor), event
+    // count, and cent-quantized spend, each quartile-bucketed 1-4
+    // (1 = best) with the composite RFM code. Scale shape: one
+    // user_id shuffle builds the per-user frame; the three GLOBAL
+    // quartile rankings use the GroupPrefix closed-form NTILE
+    // (tx14/q23's machinery) — positions are computed
+    // partition-parallel over range partitions with tiny broadcast
+    // offsets, so a billion-user frame never funnels through the
+    // single-task global window Spark's ntile() would plan. Anchor is
+    // a 1-row broadcast; all arithmetic integer-exact.
+    "ts27_rfm" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val perUser = e.groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"),
+          count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      val anchor = e.agg(max(col("ts")).as("anchor_ts"))
+      val base = perUser.crossJoin(broadcast(anchor))
+        .select(col("user_id"), col("n_events"), col("value_cents"),
+          (col("anchor_ts").cast("long") - col("last_ts").cast("long")).as("recency_s"))
+      def quartile(df: DataFrame, ord: Seq[Column], name: String): DataFrame = {
+        val ranked = graft.functions.GroupPrefix.groupPrefixC(
+          df.withColumn("_g", lit(1)), "_g", ord)
+        val counts = ranked.groupBy(col("_g")).agg(count(lit(1)).as("n"))
+        ranked.join(broadcast(counts), "_g")
+          .withColumn("q_sz", expr("CAST(n DIV 4 AS INT)"))
+          .withColumn("q_rem", expr("CAST(n % 4 AS INT)"))
+          .withColumn(name, graft.functions.GroupPrefix.ntileExpr(4))
+          .drop("_g", "n", "q_sz", "q_rem", "rn")
+      }
+      val r = quartile(base, Seq(col("recency_s"), col("user_id")), "r_q")
+      val f = quartile(r, Seq(-col("n_events"), col("user_id")), "f_q")
+      val m = quartile(f, Seq(-col("value_cents"), col("user_id")), "m_q")
+      m.select(col("user_id"), col("recency_s"), col("n_events"),
+          col("value_cents"), col("r_q"), col("f_q"), col("m_q"),
+          (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm"))
+        .orderBy(col("user_id"))
+    }),
+
     // A/B EXPERIMENT report — deterministic hash-assigned arms
     // (sp01's md5 discipline: a user's arm is stable under reruns,
     // corpus growth, and engine choice), exposure = first 'view',
@@ -673,6 +714,25 @@ object TimeSeries {
         | min_s, max_s,
         | CASE WHEN n_conv > 0 THEN (sum_s * 1000) // n_conv END AS mean_milli_s
         |FROM g ORDER BY transition""".stripMargin,
+    "ts27_rfm" ->
+      """WITH per_user AS (
+        | SELECT user_id, max(ts) AS last_ts, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        | FROM events GROUP BY 1),
+        |a AS (SELECT max(ts) AS anchor_ts FROM events),
+        |b AS (
+        | SELECT user_id, n_events, value_cents,
+        |  (epoch_us(anchor_ts) // 1000000) - (epoch_us(last_ts) // 1000000) AS recency_s
+        | FROM per_user, a),
+        |r AS (
+        | SELECT *,
+        |  CAST(ntile(4) OVER (ORDER BY recency_s, user_id) AS INT) AS r_q,
+        |  CAST(ntile(4) OVER (ORDER BY -n_events, user_id) AS INT) AS f_q,
+        |  CAST(ntile(4) OVER (ORDER BY -value_cents, user_id) AS INT) AS m_q
+        | FROM b)
+        |SELECT user_id, recency_s, n_events, value_cents, r_q, f_q, m_q,
+        | r_q*100 + f_q*10 + m_q AS rfm
+        |FROM r ORDER BY user_id""".stripMargin,
     "ts26_ab_lift" ->
       """WITH per_user AS (
         | SELECT user_id,

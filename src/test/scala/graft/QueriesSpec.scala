@@ -205,6 +205,22 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ts27 RFM quartiles are balanced NTILE buckets and codes are bounded") {
+    val rows = SparkEntry.queries("ts27_rfm")(spark, sfDir).collect()
+    val n = rows.length
+    assert(n == Tables.events(spark, sfDir).select("user_id").distinct().count())
+    // every quartile column fills like NTILE(4): sizes n/4 or n/4+1
+    Seq(4, 5, 6).foreach { i =>
+      val sizes = rows.groupBy(_.getInt(i)).view.mapValues(_.length).toMap
+      assert(sizes.keySet == Set(1, 2, 3, 4))
+      assert(sizes.values.forall(s => s == n / 4 || s == n / 4 + 1), s"col $i sizes $sizes")
+    }
+    assert(rows.forall { r =>
+      val c = r.getInt(7); c >= 111 && c <= 444 &&
+        c == r.getInt(4) * 100 + r.getInt(5) * 10 + r.getInt(6)
+    })
+  }
+
   test("ts07 gap-fill spine is dense per event_type") {
     val df = SparkEntry.queries("ts07_gap_fill")(spark, sfDir)
     val perType = df.groupBy("event_type").count().select("count").distinct().collect()
