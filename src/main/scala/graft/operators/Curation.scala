@@ -758,14 +758,15 @@ object Curation {
             .cast("array<struct<pos:int,h:bigint>>"))).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.h").as("h"))
     // keepFirst: the paper's actual removal rule — ONE occurrence of
-    // each duplicated gram survives (the min bigint-encoded (doc, pos)
+    // each duplicated gram survives (the lexicographic-min (doc, pos)
     // instance, tx16's keep-first discipline at gram granularity), so
     // the corpus keeps exactly one copy of every duplicated run
     // instead of losing it everywhere. The keeper rides the same dup
-    // agg as a map-side-combinable min — topology unchanged. The
-    // 2^32 encoding holds to 4 Gchar docs; both engines use it so the
-    // tie-break is engine-exact.
-    val inst = col("doc_id") * lit(4294967296L) + col("pos")
+    // agg as a map-side-combinable min(struct) — topology unchanged,
+    // total over the FULL Long doc_id domain (a packed
+    // doc_id*2^32+pos bigint would overflow past doc_id 2^31 and
+    // misorder negative ids); both engines order rows the same way so
+    // the tie-break is engine-exact.
     val marked =
       if (!keepFirst) {
         val dup = g.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
@@ -773,9 +774,11 @@ object Curation {
         g.join(dup, "h").select(col("doc_id"), col("pos"))
       } else {
         val dup = g.groupBy(col("h"))
-          .agg(count(lit(1)).as("n_occ"), min(inst).as("keep_inst"))
+          .agg(count(lit(1)).as("n_occ"),
+            min(struct(col("doc_id"), col("pos"))).as("keep"))
           .filter(col("n_occ") >= 2)
-        g.join(dup, "h").filter(inst =!= col("keep_inst"))
+        g.join(dup, "h")
+          .filter(!(col("doc_id") === col("keep.doc_id") && col("pos") === col("keep.pos")))
           .select(col("doc_id"), col("pos"))
       }
     val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -1209,11 +1212,11 @@ object Curation {
         |    i -> substr(norm, i, 20))) AS gram
         | FROM n WHERE length(norm) >= 20),
         |dup AS (
-        | SELECT gram, min(doc_id * 4294967296 + pos) AS keep_inst
+        | SELECT gram, min(struct_pack(d := doc_id, p := pos)) AS keep_inst
         | FROM g GROUP BY gram HAVING count(*) >= 2),
         |marked AS (
         | SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
-        | WHERE g.doc_id * 4294967296 + g.pos <> dup.keep_inst),
+        | WHERE NOT (g.doc_id = dup.keep_inst.d AND g.pos = dup.keep_inst.p)),
         |isl AS (
         | SELECT doc_id, pos,
         |  CASE WHEN lag(pos) OVER w IS NULL

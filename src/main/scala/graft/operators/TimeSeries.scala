@@ -343,12 +343,17 @@ object TimeSeries {
     // no assignment table, no join — it's a scan-speed projection any
     // engine reproduces bit-identically.
     "ts26_ab_lift" -> ((s, d) => {
+      // conversion test: "any purchase at-or-after exposure" ⟺
+      // max(purchase ts) >= first_view — O(1) agg state per user (two
+      // scalars), never a per-user timestamp array (a 100k-purchase
+      // whale would otherwise build a 100k array in every partial
+      // buffer). coalesce covers the no-purchase null.
       val perUser = Tables.events(s, d).groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"),
-          collect_list(when(col("event_type") === "purchase", col("ts"))).as("pts"))
+          max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
         .filter(col("first_view").isNotNull)
         .select(col("user_id"),
-          exists(col("pts"), t => t >= col("first_view")).as("converted"),
+          coalesce(col("last_purchase") >= col("first_view"), lit(false)).as("converted"),
           when(substring(md5(concat(col("user_id").cast("string"), lit(":ab"))), 1, 1) < "8",
             "A").otherwise("B").as("arm"))
       perUser.groupBy(col("arm"))

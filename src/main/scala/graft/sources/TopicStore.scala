@@ -234,6 +234,33 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
     } finally wl.unlock()
   }
 
+  /** TRUNCATE — drop every row of a topic, all-or-nothing (the
+    * stream-generation reset [[graft.streaming.TopicStream.transitionsStream]]
+    * needs: an additive delta changelog relaunched from a FRESH
+    * checkpoint recomputes its history from the source, so the prior
+    * generation's rows must vanish atomically or they double-count).
+    * Crash-safe via rename-then-delete: the live dir moves to a
+    * `.trunc_` aside first, so no reader ever observes a
+    * partially-deleted topic — a crash leaves either the full topic
+    * (rename failed, nothing happened) or no topic plus aside garbage
+    * that [[recover]] sweeps. Resets the topic's seq-domain record:
+    * a truncated topic is a new topic. No-op if the topic is absent. */
+  def truncate(name: String): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(topicPath(name))
+    val wl = TopicStore.lockFor(topicPath(name)).writeLock(); wl.lock()
+    try {
+      if (!fs.exists(dir)) return
+      val aside = new Path(dir.getParent, s".trunc_${dir.getName}")
+      if (fs.exists(aside)) fs.delete(aside, true)
+      if (!fs.rename(dir, aside))
+        throw new java.io.IOException(
+          s"truncate($name): could not move $dir aside; topic left untouched")
+      fs.delete(aside, true)
+      TopicStore.seqSchemes.remove(topicPath(name))
+    } finally wl.unlock()
+  }
+
   /** CDC — what changed in an upsert topic between two instants: the
     * row-level diff of [[readMergedAsOf]](toEpochS) against
     * [[readMergedAsOf]](fromEpochS), classified per key as
@@ -442,6 +469,13 @@ class TopicStore(spark: SparkSession, root: String, val bucketMinutes: Int = 60)
       sweep(live,
         d => new Path(d.getParent, s".old_${d.getName}"),
         d => Seq(new Path(d.getParent, s".merge_${d.getName}")))
+      // truncate: a `.trunc_` aside is consumed data mid-delete — never
+      // restore it (live-missing + trunc-aside = the truncate SUCCEEDED
+      // up to its final delete); just finish the delete
+      val trunc = new Path(live.getParent, s".trunc_${live.getName}")
+      if (fs.exists(trunc)) {
+        fs.delete(trunc, true); actions += s"removed:${trunc.getName}"
+      }
       // bucket-level (compact): asides live inside the topic dir
       if (fs.exists(live)) {
         val names = fs.listStatus(live).map(_.getPath.getName)

@@ -366,9 +366,15 @@ object TopicStream {
             val pruned = FunnelState.prune(merged, tolUs, wUs)
             state.update(FunnelUserState(pruned))
             FunnelState.freezeUs(pruned, tolUs).foreach { f =>
+              // Re-arm UNCONDITIONALLY: Spark clears a key's timeout on
+              // every invocation that doesn't re-set it, so skipping the
+              // set when fireMs lags the watermark would silently drop a
+              // pending freeze for any anchored user that keeps receiving
+              // post-freeze events — it would never collapse (or, with a
+              // TTL, never be evicted). armTtl clamps an already-lapsed
+              // fire point to watermark+1 so it fires on the next trigger.
               val fireMs = Math.floorDiv(f, 1000L) + 1L + ttlMs.getOrElse(0L)
-              if (fireMs > state.getCurrentWatermarkMs())
-                state.setTimeoutTimestamp(fireMs)
+              armTtl(state, fireMs)
             }
             val after = FunnelState.resolve(pruned, tolUs)
             if (existed && after == before) Iterator.empty
@@ -499,13 +505,27 @@ object TopicStream {
     * rewrites the identical rows (replay-idempotent), and the live
     * matrix is the additive read [[currentTransitions]]. Per-batch
     * cost: a batch-sized rollup + upsert; the topic grows with
-    * CHANGED edges per batch, never the corpus. */
+    * CHANGED edges per batch, never the corpus.
+    *
+    * GENERATIONS: this topic is an ADDITIVE changelog owned by one
+    * stream lifetime — unlike the content-keyed state topics
+    * (retention, ann), where a relaunched stream converges by
+    * overwrite, a fresh-CHECKPOINT relaunch here re-reads the source
+    * and re-emits delta history, so the prior generation's rows would
+    * double-count (and its batch-0 keys collide). Batch id 0 is the
+    * unambiguous fresh-generation signal (a checkpoint RESUME replays
+    * only the in-flight batch, whose id is 0 only if batch 0 never
+    * committed — in which case any existing rows are stale
+    * generations too), so on batch 0 the topic is truncated before
+    * the write. A replayed batch 0 truncates its own rows and
+    * rewrites them identically — still idempotent. */
   def transitionsStream(deltas: Dataset[TransitionDelta],
                         store: graft.sources.TopicStore, topic: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val base = seqBase(store, topic)
     deltas.toDF().writeStream.outputMode("append")
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (id == 0L) store.truncate(topic)
         val seq = base + 1 + id
         val rows = b.toDF()
           .groupBy(col("from_type"), col("to_type"))

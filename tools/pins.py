@@ -30,9 +30,14 @@ def main():
         common = {q: t for q, t in qs.items() if q in pins}
         tot, ptot = sum(common.values()), sum(pins[q] for q in common)
         vfam = [qs[q] / pins[q] for q in common if q.startswith("v")]
+        # a file may share no queries with the pins (subset run of
+        # unpinned queries): skip the ratios rather than divide by zero
+        ratio = f"{tot/ptot:.2f}x" if ptot else "n/a (no pinned queries)"
+        sentinel = (f"{statistics.median(vfam):.2f}x" if vfam
+                    else "n/a (no pinned v-queries)")
         print(f"== {f}: {len(qs)} queries, total {sum(qs.values()):.1f} s; "
-              f"pinned subset {tot:.1f} vs sum-of-pins {ptot:.1f} = {tot/ptot:.2f}x; "
-              f"v-family sentinel median {statistics.median(vfam):.2f}x")
+              f"pinned subset {tot:.1f} vs sum-of-pins {ptot:.1f} = {ratio}; "
+              f"v-family sentinel median {sentinel}")
         over = sorted(((qs[q] / pins[q], q) for q in common
                        if qs[q] > 2 * pins[q]), reverse=True)
         for r, q in over:
