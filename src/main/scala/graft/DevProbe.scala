@@ -3,33 +3,42 @@ import org.apache.spark.sql.SparkSession
 /** Dev utility: time one query (args: name sfDir [explain]) or dump
   * plans for PLANS.md (args: --plans). */
 object DevProbe {
+  /** Decorrelated `events` blowup: each of the `mult` replicas re-keys
+    * user_id and event_id (`old*mult+rep`), keeping every user's event
+    * SEQUENCE (types, timestamps, values) intact — the realistic
+    * product-analytics growth model is MORE USERS over the same
+    * calendar window, not longer per-user histories, so per-user state
+    * (funnel chains, activity-day sets, RFM triples) stays constant
+    * while the user domain and every user_id shuffle grow `mult`x.
+    * Re-keying also decorrelates the md5-hash derivations (ts26's arm
+    * assignment, sampling buckets): replicas are new users, not copies
+    * that all land in one arm. */
+  private def blowEvents(spark: SparkSession, src: String, out: String,
+                         mult: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val rep = explode(sequence(lit(0), lit(mult - 1))).as("rep")
+    Tables.events(spark, src)
+      .select(col("*"), rep)
+      .select(
+        (col("event_id") * mult + col("rep")).as("event_id"),
+        col("ts"),
+        (col("user_id") * mult + col("rep")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions","16")
       .config("spark.sql.session.timeZone","UTC").config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args(0) == "--plans") {
+      // EVERY registered query, alphabetically — derived from the
+      // registry itself so PLANS.md can never trail a new query (the
+      // r9 dump hand-listed keys and missed the four newest).
       val d = "/root/testdata/sf0.001"
-      Seq("q01_agg","q02_filter_project","q03_join_agg","q04_broadcast_join","q05_sort_limit",
-        "ts02_latest_by_key","ts03_asof_join","dd02_minhash_lsh","ss01_brute_topk","ss05_ivf_probe",
-        "ss03_pairwise_label","dd05_embed_neardup","v13_tensor2d","sp01_stratified_sample","px01_prep_pipeline",
-        "ts12_asof_native","q24_range_join","ss06_ivf_multiprobe","dd03_simhash","ts13_interval_join",
-        "sp03_pack_sequences","px02_mixture_budget","tx07_pii_scrub","v15_matmul","ts14_interpolate","q25_string_agg",
-        "tx11_decontam","ss09_kmeans_iter","ss10_semdedup","sp04_temperature","q26_approx_sketch",
-        "dd06_dup_clusters","q27_lateral","dd09_cc_star","dd10_source_overlap","q28_ratio_report",
-        "ts18_snapshot","sp02_reservoir_per_source","tx12_vocab","v16_tensor3d","v17_tensor_dyn",
-        "sp06_shard","px05_split_leakage","tx14_quality_quartiles","dd13_theta_overlap",
-        "dd14_bloom_incremental","dd11_hll_overlap","ss13_pq_ann","tx15_heavy_hitters","mm04_binary_dedup",
-        "ss14_pq_train","ss15_pq_incremental","ss16_ivfpq","v18_masked_fill","v19_string_tensor","v20_time_tensor",
-        "ts19_ewma","tx16_line_dedup","tx17_quality_classifier","ss17_recall_report",
-        "dd15_keep_best","ss18_filtered_ann","ss19_semantic_decontam",
-        "q29_recursive","sp07_epoch_order","tx18_substring_spans","tx19_bpe_merge",
-        "ss20_pca_power","q30_json_extract","tx20_bpe_apply",
-        "tx21_chunk","tx22_tfidf_search","ss21_hybrid_rrf","sp08_anneal_schedule",
-        "ts20_asof_tolerance","ss22_ivfpq_batch","tx23_bm25","dd16_winnowing",
-        "ts21_funnel","ts22_retention","ts23_top_paths",
-        "tx24_substring_rewrite","tx25_bpe_train","tx26_substring_keepfirst",
-        "ss23_kmeans_train")
+      SparkEntry.queries.keys.toSeq.sorted
         .foreach { n =>
           println(s"\n## $n\n")
           println("```")
@@ -133,6 +142,35 @@ object DevProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"kmeansTrain k=$k iter=${m.shiftsMilli.size} " +
         f"converged=${m.converged} shifts=${m.shiftsMilli.mkString(",")} t=$secs%.2f s")
+    } else if (args(0) == "--kpp") {
+      // Compare kmeans++ vs hash-partition seeding (args: --kpp
+      // <sfDir> [k] [iters...]): per budget, both final shifts and the
+      // assignment SSE of the trained centroids — the evidence behind
+      // ApiSpec's seeding pin.
+      import org.apache.spark.sql.functions._
+      import graft.api._
+      val d = args(1)
+      val k = args.lift(2).map(_.toInt).getOrElse(10)
+      val e = Tables.spread(Tables(spark, d, "embeddings"))
+      def sse(cen: org.apache.spark.sql.DataFrame): Double = {
+        val cents = cen.groupBy(col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            st => st.getField("c")).as("cvec"))
+          .agg(array_sort(collect_list(struct(col("cell"), col("cvec")))).as("cents"))
+        e.crossJoin(broadcast(cents))
+          .select(array_min(transform(col("cents"),
+            cc => graft.functions.VectorFunctions.l2distSq(col("embedding"), cc.getField("cvec")))).as("d2"))
+          .agg(sum(col("d2"))).head.getDouble(0)
+      }
+      args.drop(3).map(_.toInt).foreach { iters =>
+        val pp = e.kmeansppSeed("vec_id", "embedding", k)
+        val mpp = e.kmeansTrain("vec_id", "embedding", k, maxIter = iters,
+          epsMilli = 0L, init = Some(pp))
+        val mh = e.kmeansTrain("vec_id", "embedding", k, maxIter = iters,
+          epsMilli = 0L)
+        println(s"iters=$iters pp   shifts=${mpp.shiftsMilli} sse=${sse(mpp.centroids)}")
+        println(s"iters=$iters hash shifts=${mh.shiftsMilli} sse=${sse(mh.centroids)}")
+      }
     } else if (args(0) == "--scalegen") {
       // Decorrelated corpus blowup for scaling-exponent measurements
       // (--scalegen <srcDir> <outDir> <mult>): each of the `mult`
@@ -177,10 +215,47 @@ object DevProbe {
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$src/events.parquet")
-        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      blowEvents(spark, src, out, mult)
       println(s"scalegen done: $out x$mult")
+    } else if (args(0) == "--scalegen-events") {
+      // Regenerate ONLY the events table of an existing blowup dir
+      // (args: --scalegen-events <srcDir> <outDir> <mult>) — the r8/r9
+      // dirs copied events 1:1; the product-analytics blowup rows
+      // (ts21/ts22/ts24/ts26/ts27, funnelStream) need it replicated.
+      blowEvents(spark, args(1), args(2), args(3).toInt)
+      println(s"scalegen-events done: ${args(2)} x${args(3)}")
+    } else if (args(0) == "--funnelprobe") {
+      // funnelStream throughput probe (args: --funnelprobe <sfDir>
+      // [chunks=8]): drains the dir's stage-typed events through the
+      // stateful stream in `chunks` chronological micro-batches (the
+      // arrival order a topic delivers, so the watermark admits
+      // everything) and reports drained events/s plus the emitted
+      // resolution count. MemoryStream feed: the corpus is collected
+      // once on the driver — probe-only plumbing; the measured side
+      // (state shuffle + per-user resolution) is the distributed path.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      val d = args(1)
+      val chunks = args.lift(2).map(_.toInt).getOrElse(8)
+      val stages = Seq("signup", "view", "purchase")
+      val evs = Tables.eventsDs(spark, d)
+        .filter(col("event_type").isin(stages: _*))
+        .orderBy(col("ts")).collect()
+      val input = MemoryStream[graft.streaming.TopicEvent]
+      val q = graft.streaming.TopicStream
+        .funnelStream(input.toDS(), stages, tolSeconds = 43200L,
+          watermarkDelay = "1 hour")
+        .writeStream.format("noop").outputMode("update").start()
+      val t0 = System.nanoTime()
+      evs.grouped((evs.length + chunks - 1) / chunks).foreach { b =>
+        input.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      println(f"funnelprobe events=${evs.length} chunks=$chunks " +
+        f"t=$secs%.2f s rate=${evs.length / secs}%.0f ev/s")
     } else {
       val df = SparkEntry.queries(args(0))(spark, args(1))
       if (args.length > 2) df.explain("formatted")

@@ -1103,6 +1103,25 @@ object api {
       api.KmeansModel(cen, shifts.toSeq, converged)
     }
 
+    /** kmeans++ seeding for [[kmeansTrain]]'s `init` hook —
+      * deterministic D²-weighted sampling (Arthur & Vassilvitskii's
+      * kmeans++, derandomized): each round picks ONE new seed with
+      * probability ∝ D² (squared distance to the nearest already
+      * -chosen seed) via the Efraimidis–Spirakis weighted-sampling
+      * key ln(u)/D² maximized over the corpus, where u ∈ (0,1) is an
+      * md5-derived per-(id, round) uniform — the sp01 hash-sampling
+      * discipline, so the "random" draw is reproducible across runs,
+      * partitionings, and engines. Each round is ONE map-side
+      * -combinable max(struct) aggregation against a broadcast-literal
+      * seed list (k·dim doubles on the driver — the model size, not
+      * data); k rounds = k corpus scans, the classic kmeans++ cost
+      * (k-means‖ would batch rounds; at this k the scans are the
+      * simpler honest form). Returns the (cell, pos, c) frame
+      * [[kmeansTrain]] accepts as `init`. */
+    def kmeansppSeed(idCol: String, vecCol: String, k: Int,
+                     salt: String = "kpp"): DataFrame =
+      api.kmeansppSeedOf(df, idCol, vecCol, k, salt)
+
     /** Assign each row to its nearest centroid cell from a
       * [[kmeansTrain]] model's (cell, pos, c) frame: the model folds
       * to one broadcast array row and assignment is the ss03/ss09
@@ -1119,6 +1138,45 @@ object api {
                        cc.getField("cell").as("cell")))).getField("cell"))
         .drop("cents")
     }
+  }
+
+  /** [[VectorOpsSyntax.kmeansppSeed]]'s body — lives on the object
+    * because the value-class syntax wrapper can't host the nested
+    * classes typedlit/toDF materialize. */
+  private[graft] def kmeansppSeedOf(df: DataFrame, idCol: String,
+                                    vecCol: String, k: Int,
+                                    salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val e = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    def u(round: Int): Column =
+      conv(substring(md5(concat(col("_id").cast("string"),
+        lit(s":$salt:$round"))), 1, 15), 16, 10).cast("double") /
+        lit(math.pow(16.0, 15))
+    val chosen = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
+    var r = 0
+    while (r < k) {
+      val key =
+        if (chosen.isEmpty) u(r) // uniform first seed
+        else {
+          val seeds = typedlit(chosen.toSeq)
+          val d2 = array_min(transform(seeds,
+            sv => VectorFunctions.l2distSq(col("_v"), sv)))
+          // ln(u)/D² is monotone in u^(1/D²); D²=0 rows (duplicates
+          // of a chosen seed) get -inf and can never win
+          when(d2 > 0.0, log(u(r)) / d2).otherwise(lit(Double.NegativeInfinity))
+        }
+      val best = e.select(key.as("_key"), col("_id"), col("_v"))
+        .agg(max(struct(col("_key"), col("_id"), col("_v"))).as("_m"))
+        .select(col("_m._v")).head.getSeq[Any](0)
+        .map(x => x.asInstanceOf[Number].doubleValue())
+      chosen += best
+      r += 1
+    }
+    import spark.implicits._
+    chosen.toSeq.zipWithIndex.flatMap { case (v, cell) =>
+      v.zipWithIndex.map { case (c, pos) => (cell, pos, c) }
+    }.toDF("cell", "pos", "c")
   }
 
   /** Result of [[VectorOpsSyntax.kmeansTrain]]: `centroids` = (cell,

@@ -519,6 +519,29 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // RESIDUAL IVF-PQ — ss22's batch probe with the one algorithmic
+    // step the serving index lacked vs FAISS IVFADC: PQ codebooks are
+    // TRAINED (2 Lloyd iterations) on (vector − cell centroid)
+    // residuals and codes assigned in residual space, so each
+    // codeword only has to explain what the coarse quantizer left
+    // unexplained — quantization error inside a cell drops and the
+    // ADC shortlist gets closer to the exact ranking (QueriesSpec
+    // pins recall@10 ≥ the raw-vector ss22 config on the same query
+    // batch). Topology is UNCHANGED from ss22: training exchanges
+    // only the NumSub×K×SubDim partial-agg per iteration, the index
+    // is built once (cell-partitioned codes at 100 TB), probes
+    // broadcast per-(query, probed-cell) LUTs and touch only probed
+    // cells' codes.
+    "ss24_ivfpq_residual" -> ((s, d) => {
+      val e = emb(s, d)
+      val (cents, rcb, coded) = ivfpqResidualIndex(e)
+      val qs = e.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      ivfpqResidualProbe(coded, cents, rcb, qs, nprobe = 2, shortlist = 10,
+          k = 3, excludeSelf = true)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ANN RECALL AUDIT — dd08's vector twin: measure recall@10 of TWO
     // LSH configs (ss02's single 8-plane table vs ss07's 4-table
     // any-match amplifier) against the exact cosine top-10 ground
@@ -888,6 +911,126 @@ object Similarity {
         col("cos_exact"), col("rank"))
   }
 
+  // ss24 residual PQ: codewords live in residual space (vector − cell
+  // centroid), whose spread is much tighter than raw space — the
+  // FAISS IVFADC design. Residuals are small, so their quantized-long
+  // arithmetic uses milli grain (raw centroids use centi).
+  private val ResGrain = 1000
+  private val ResCodes = 10L
+
+  /** [[cellStructsOf]] that also carries the centroid vector — the
+    * residual paths need (dist2, cell, cvec) so the argmin and the
+    * probe can subtract the winning centroid without a second cents
+    * lookup. The struct-min is decided by (dist2, cell) — already
+    * unique — before the trailing array field. */
+  private def cellFullStructsOf(v: Column): Column =
+    transform(col("cents"),
+      c => struct(l2distSq(v, c.getField("cvec")).as("dist2"),
+                  c.getField("c_label").as("cell"),
+                  c.getField("cvec").as("cvec")))
+
+  private def residual(v: Column, cv: Column): Column =
+    zip_with(v, cv, (x, c) => x.cast("double") - c)
+
+  /** Seed per-subspace codebooks for RESIDUAL vectors. Label
+    * centroids can't seed here — residuals of a cell's members
+    * average ~0, so every label-seeded codeword would collapse to the
+    * origin and Lloyd would degenerate to one survivor. Instead the
+    * seed groups residuals by the deterministic spread key
+    * `vec_id % ResCodes` (uncorrelated with residual direction, so
+    * the ResCodes seed means differ and attract distinct Voronoi
+    * cells), with exact milli-quantized-long means — engine-exact,
+    * same shape as [[pqSeed]]'s (code, svec) frame. */
+  private[graft] def resSeed(res: DataFrame): DataFrame = {
+    val ex = res.select((col("vec_id") % ResCodes).as("code"),
+        posexplode(col("embedding")))
+      .select(col("code"), col("pos"),
+        floor(col("col").cast("double") * ResGrain + 0.5).cast("long").as("vq"))
+    ex.groupBy(col("code"), col("pos"))
+      .agg((sum(col("vq")).cast("double") / (count(lit(1)) * ResGrain)).as("c"))
+      .groupBy(col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        st => st.getField("c")).as("rvec"))
+      .agg(array_sort(collect_list(struct(col("code"), col("rvec")))).as("rcents"))
+      .select(transform(subIdxCol, m =>
+        transform(col("rcents"), c =>
+          struct(c.getField("code").as("code"),
+                 subSlice(c.getField("rvec"), m).as("svec")))).as("cb"))
+  }
+
+  /** Build the RESIDUAL-encoded IVF-PQ index (FAISS IVFADC): the same
+    * coarse quantizer as [[ivfpqIndex]], but PQ codebooks are trained
+    * (2 Lloyd iterations, [[pqIterate]] on residual slices) and codes
+    * assigned on (vector − cell centroid) RESIDUALS, cutting
+    * quantization error inside each cell — residual spread is what's
+    * left AFTER the coarse quantizer explains the cell mean. Returns
+    * (cents, rcb, coded) with coded = (vec_id, cell, embedding,
+    * cidx); same topology as ivfpqIndex: training's only exchange is
+    * the NumSub×K×SubDim partial-agg per iteration, everything else
+    * is broadcast-side. */
+  private[graft] def ivfpqResidualIndex(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val cents = centroidArray(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = e.crossJoin(broadcast(cents))
+      .withColumn("best", array_min(cellFullStructsOf(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"),
+        residual(col("embedding"), col("best.cvec")).as("res"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val resAsEmb = res.select(col("vec_id"), col("res").as("embedding"))
+    // persist the trained codebook: unlike ivfpqIndex's cb (a cheap
+    // projection of the persisted cents), rcb's lineage is the whole
+    // 2-iteration training chain — without the persist it would
+    // re-train once for the encode and once per probe LUT
+    val rcb = pqIterate(resAsEmb,
+        pqIterate(resAsEmb, resSeed(resAsEmb), ResGrain), ResGrain)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coded = res.crossJoin(broadcast(rcb))
+      .withColumn("cidx", transform(subIdxCol, m =>
+        array_min(transform(element_at(col("cb"), m + 1), (cw, i) =>
+          struct(l2distSq(subSlice(col("res"), m), cw.getField("svec")).as("d2"),
+                 cw.getField("code").as("code"), i.as("idx")))).getField("idx")))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("cidx"))
+    (cents, rcb, coded)
+  }
+
+  /** Probe a residual IVF-PQ index: identical batch discipline to
+    * [[ivfpqProbe]] — per-query probe cells + broadcast LUTs, probe
+    * join touches only probed cells' codes — except the LUT is per
+    * (query, probed CELL): the query's residual against that cell's
+    * centroid scores against the residual codebook, matching how each
+    * candidate's codes were assigned (candidate residuals are
+    * relative to their own cell). nprobe LUTs per query instead of
+    * one — a few KB more broadcast, same join shape. */
+  private[graft] def ivfpqResidualProbe(coded: DataFrame, cents: DataFrame,
+                                        rcb: DataFrame, queries: DataFrame,
+                                        nprobe: Int, shortlist: Int, k: Int,
+                                        excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qlut = queries.crossJoin(broadcast(cents)).crossJoin(broadcast(rcb))
+      .select(col("q_id"), col("q_emb"), col("cb"),
+        explode(slice(array_sort(cellFullStructsOf(col("q_emb"))), 1, nprobe)).as("pc"))
+      .withColumn("q_res", residual(col("q_emb"), col("pc").getField("cvec")))
+      .select(col("q_id"), col("q_emb"), col("pc").getField("cell").as("q_cell"),
+        transform(subIdxCol, m =>
+          transform(element_at(col("cb"), m + 1), cw =>
+            l2distSq(subSlice(col("q_res"), m), cw.getField("svec")))).as("lut"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id"))
+    val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos_exact").desc, col("vec_id"))
+    val cand = coded.join(broadcast(qlut), col("cell") === col("q_cell"))
+    (if (excludeSelf) cand.filter(col("vec_id") =!= col("q_id")) else cand)
+      .withColumn("adc", aggregate(
+        zip_with(subIdxCol, col("cidx"), (m, ci) =>
+          element_at(element_at(col("lut"), m + 1), ci + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("short", row_number().over(wAdc))
+      .filter(col("short") <= shortlist)
+      .withColumn("cos_exact", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(wCos).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cell"), col("adc"),
+        col("cos_exact"), col("rank"))
+  }
+
   /** Seed per-subspace PQ codebooks from the label centroids: a
     * single-row frame with `cb` = array over subspace m of the
     * code-sorted array of struct(code, svec) — svec the m-th SubDim
@@ -908,7 +1051,8 @@ object Similarity {
     * NumSub*K*SubDim groups regardless of corpus size. Codewords that
     * attract no vectors drop out (both engines agree: empty groups
     * don't exist). */
-  private[graft] def pqIterate(e: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def pqIterate(e: DataFrame, cb: DataFrame,
+                               grain: Int = 100): DataFrame =
     e.crossJoin(broadcast(cb))
       .select(col("embedding"),
         transform(subIdxCol, m =>
@@ -921,9 +1065,9 @@ object Similarity {
       .select(col("m"), col("code"),
         posexplode(subSlice(col("embedding"), col("m"))))
       .select(col("m"), col("code"), col("pos"),
-        floor(col("col").cast("double") * 100 + 0.5).cast("long").as("vq"))
+        floor(col("col").cast("double") * grain + 0.5).cast("long").as("vq"))
       .groupBy(col("m"), col("code"), col("pos"))
-      .agg((sum(col("vq")).cast("double") / (count(lit(1)) * 100)).as("v"))
+      .agg((sum(col("vq")).cast("double") / (count(lit(1)) * grain)).as("v"))
       .groupBy(col("m"), col("code"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         st => st.getField("v")).as("svec"))
@@ -1627,6 +1771,129 @@ object Similarity {
         | FROM cand0 c0
         | JOIN enc en ON en.vec_id = c0.vec_id
         | JOIN sb0 sb ON sb.m = en.m AND sb.code = en.code),
+        |adc AS (
+        | SELECT q_id, vec_id, list_sum(list(qd2 ORDER BY m)) AS adc
+        | FROM qd GROUP BY 1, 2),
+        |short AS (
+        | SELECT q_id, vec_id, adc FROM (
+        |  SELECT a.q_id, a.vec_id, a.adc,
+        |   row_number() OVER (PARTITION BY a.q_id ORDER BY a.adc, a.vec_id) AS srn
+        |  FROM adc a)
+        | WHERE srn <= 10),
+        |rer AS (
+        | SELECT s.q_id, s.vec_id, c.cell, s.adc,
+        |  list_sum(list_transform(generate_series(1, len(c.embedding)),
+        |    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.q_emb[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(c.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_exact
+        | FROM short s JOIN cand0 c ON c.q_id = s.q_id AND c.vec_id = s.vec_id)
+        |SELECT q_id, vec_id, cell, adc, cos_exact, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_exact DESC, vec_id) AS INT) AS rank
+        | FROM rer)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "ss24_ivfpq_residual" ->
+      s"""WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |dist AS (
+        | SELECT e.vec_id, e.embedding, c.c_label, c.cvec,
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) AS dist2
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |cells AS (
+        | SELECT vec_id, embedding, c_label AS cell, cvec FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn FROM dist)
+        | WHERE rn = 1),
+        |res AS (
+        | SELECT vec_id, embedding, cell,
+        |  list_transform(generate_series(1, len(embedding)),
+        |    i -> CAST(embedding[i] AS DOUBLE) - cvec[i]) AS r
+        | FROM cells),
+        |exr AS (
+        | SELECT vec_id % $ResCodes AS code,
+        |  unnest(generate_series(1, len(r))) AS pos,
+        |  unnest(list_transform(r, x -> CAST(floor(x * $ResGrain + 0.5) AS BIGINT))) AS rq
+        | FROM res),
+        |rcen AS (
+        | SELECT code, pos, CAST(sum(rq) AS DOUBLE) / (count(*) * $ResGrain) AS c
+        | FROM exr GROUP BY 1, 2),
+        |rvecs AS (SELECT code, list(c ORDER BY pos) AS rvec FROM rcen GROUP BY 1),
+        |subs AS (SELECT unnest(generate_series(0, ${NumSub - 1})) AS m),
+        |js AS (SELECT unnest(generate_series(1, $SubDim)) AS j),
+        |sb0 AS (
+        | SELECT s.m, c.code,
+        |  list_transform(generate_series(1, $SubDim), j -> c.rvec[s.m*$SubDim + j]) AS svec
+        | FROM rvecs c CROSS JOIN subs s),
+        |dA AS (
+        | SELECT r.vec_id, sb.m, sb.code,
+        |  list_sum(list_transform(generate_series(1, $SubDim),
+        |    j -> (r.r[sb.m*$SubDim + j] - sb.svec[j]) * (r.r[sb.m*$SubDim + j] - sb.svec[j]))) AS d2
+        | FROM res r CROSS JOIN sb0 sb),
+        |aA AS (
+        | SELECT vec_id, m, code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM dA)
+        | WHERE rn = 1),
+        |nA AS (
+        | SELECT a.m, a.code, jj.j,
+        |  CAST(sum(CAST(floor(r.r[a.m*$SubDim + jj.j] * $ResGrain + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / (count(*) * $ResGrain) AS v
+        | FROM aA a JOIN res r USING (vec_id) CROSS JOIN js jj
+        | GROUP BY 1, 2, 3),
+        |sb1 AS (SELECT m, code, list(v ORDER BY j) AS svec FROM nA GROUP BY 1, 2),
+        |dB AS (
+        | SELECT r.vec_id, sb.m, sb.code,
+        |  list_sum(list_transform(generate_series(1, $SubDim),
+        |    j -> (r.r[sb.m*$SubDim + j] - sb.svec[j]) * (r.r[sb.m*$SubDim + j] - sb.svec[j]))) AS d2
+        | FROM res r CROSS JOIN sb1 sb),
+        |aB AS (
+        | SELECT vec_id, m, code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM dB)
+        | WHERE rn = 1),
+        |nB AS (
+        | SELECT a.m, a.code, jj.j,
+        |  CAST(sum(CAST(floor(r.r[a.m*$SubDim + jj.j] * $ResGrain + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / (count(*) * $ResGrain) AS v
+        | FROM aB a JOIN res r USING (vec_id) CROSS JOIN js jj
+        | GROUP BY 1, 2, 3),
+        |sb2 AS (SELECT m, code, list(v ORDER BY j) AS svec FROM nB GROUP BY 1, 2),
+        |enc AS (
+        | SELECT vec_id, m, code FROM (
+        |  SELECT d.vec_id, d.m, d.code,
+        |   row_number() OVER (PARTITION BY d.vec_id, d.m ORDER BY d.d2, d.code) AS rn
+        |  FROM (
+        |   SELECT r.vec_id, sb.m, sb.code,
+        |    list_sum(list_transform(generate_series(1, $SubDim),
+        |      j -> (r.r[sb.m*$SubDim + j] - sb.svec[j]) * (r.r[sb.m*$SubDim + j] - sb.svec[j]))) AS d2
+        |   FROM res r CROSS JOIN sb2 sb) d)
+        | WHERE rn = 1),
+        |probes AS (
+        | SELECT q_id, q_emb, q_cell, q_cvec FROM (
+        |  SELECT vec_id AS q_id, embedding AS q_emb, c_label AS q_cell, cvec AS q_cvec,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+        |  FROM dist WHERE vec_id % 50 = 7)
+        | WHERE rn <= 2),
+        |cand0 AS (
+        | SELECT p.q_id, p.q_emb,
+        |  list_transform(generate_series(1, len(p.q_emb)),
+        |    i -> CAST(p.q_emb[i] AS DOUBLE) - p.q_cvec[i]) AS q_r,
+        |  c.vec_id, c.cell, c.embedding
+        | FROM probes p JOIN cells c ON c.cell = p.q_cell
+        | WHERE c.vec_id <> p.q_id),
+        |qd AS (
+        | SELECT c0.q_id, en.vec_id, en.m,
+        |  list_sum(list_transform(generate_series(1, $SubDim),
+        |    j -> (c0.q_r[en.m*$SubDim + j] - sb.svec[j]) * (c0.q_r[en.m*$SubDim + j] - sb.svec[j]))) AS qd2
+        | FROM cand0 c0
+        | JOIN enc en ON en.vec_id = c0.vec_id
+        | JOIN sb2 sb ON sb.m = en.m AND sb.code = en.code),
         |adc AS (
         | SELECT q_id, vec_id, list_sum(list(qd2 ORDER BY m)) AS adc
         | FROM qd GROUP BY 1, 2),

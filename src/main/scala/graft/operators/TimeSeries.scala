@@ -42,6 +42,57 @@ object TimeSeries {
         t => t >= col("t2") && t <= col("t2") + tol)))
   }
 
+  /** ts23's whole pipeline over any (user_id, ts, event_id,
+    * event_type) frame — shared by the batch query and the
+    * streaming twin's read side ([[graft.streaming.TopicStream
+    * .currentTopPaths]]), so stream and batch can never disagree on
+    * path semantics. See ts23's scale notes (partial WindowGroupLimit
+    * before the shuffle, path-domain rollup, TakeOrdered top-k). */
+  private[graft] def topPathsOf(events: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(
+        struct(col("rn"), col("event_type")))).as("evs"))
+      .select(array_join(
+        transform(col("evs"), e => e.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
+
+  /** ts27's segmentation tail over a per-user (user_id, last_ts,
+    * n_events, value_cents) frame plus a 1-row anchor frame
+    * (anchor_ts) — shared by the batch query and the streaming twin's
+    * read side ([[graft.streaming.TopicStream.currentRfm]]). The
+    * three global quartile orders use the GroupPrefix closed-form
+    * NTILE (see ts27's scale notes: range-partition parallel, no
+    * one-task window). */
+  private[graft] def rfmSegment(perUser: DataFrame, anchor: DataFrame): DataFrame = {
+    val base = perUser.crossJoin(broadcast(anchor))
+      .select(col("user_id"), col("n_events"), col("value_cents"),
+        (col("anchor_ts").cast("long") - col("last_ts").cast("long")).as("recency_s"))
+    def quartile(df: DataFrame, ord: Seq[Column], name: String): DataFrame = {
+      val ranked = graft.functions.GroupPrefix.groupPrefixC(
+        df.withColumn("_g", lit(1)), "_g", ord)
+      val counts = ranked.groupBy(col("_g")).agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(counts), "_g")
+        .withColumn("q_sz", expr("CAST(n DIV 4 AS INT)"))
+        .withColumn("q_rem", expr("CAST(n % 4 AS INT)"))
+        .withColumn(name, graft.functions.GroupPrefix.ntileExpr(4))
+        .drop("_g", "n", "q_sz", "q_rem", "rn")
+    }
+    val r = quartile(base, Seq(col("recency_s"), col("user_id")), "r_q")
+    val f = quartile(r, Seq(-col("n_events"), col("user_id")), "f_q")
+    val m = quartile(f, Seq(-col("value_cents"), col("user_id")), "m_q")
+    m.select(col("user_id"), col("recency_s"), col("n_events"),
+      col("value_cents"), col("r_q"), col("f_q"), col("m_q"),
+      (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling-window resample to 1h buckets.
     "ts01_resample" -> ((s, d) => {
@@ -218,21 +269,7 @@ object TimeSeries {
     // rollup is path-domain-sized and partial-agg'd, and the top-20
     // is TakeOrderedAndProject — no global sort materialization.
     // Ties rank by path string, so the report is deterministic.
-    "ts23_top_paths" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .groupBy(col("user_id"))
-        .agg(array_sort(collect_list(
-          struct(col("rn"), col("event_type")))).as("evs"))
-        .select(array_join(
-          transform(col("evs"), e => e.getField("event_type")), ">").as("path"))
-        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
-        .orderBy(col("n_users").desc, col("path"))
-        .limit(20)
-    }),
+    "ts23_top_paths" -> ((s, d) => topPathsOf(Tables.events(s, d))),
 
     // Event TRANSITION MATRIX — the Markov-chain flow report behind
     // every Sankey/"where do users go next" view (completes the
@@ -310,26 +347,7 @@ object TimeSeries {
           count(lit(1)).as("n_events"),
           sum(round(col("value") * 100).cast("long")).as("value_cents"))
       val anchor = e.agg(max(col("ts")).as("anchor_ts"))
-      val base = perUser.crossJoin(broadcast(anchor))
-        .select(col("user_id"), col("n_events"), col("value_cents"),
-          (col("anchor_ts").cast("long") - col("last_ts").cast("long")).as("recency_s"))
-      def quartile(df: DataFrame, ord: Seq[Column], name: String): DataFrame = {
-        val ranked = graft.functions.GroupPrefix.groupPrefixC(
-          df.withColumn("_g", lit(1)), "_g", ord)
-        val counts = ranked.groupBy(col("_g")).agg(count(lit(1)).as("n"))
-        ranked.join(broadcast(counts), "_g")
-          .withColumn("q_sz", expr("CAST(n DIV 4 AS INT)"))
-          .withColumn("q_rem", expr("CAST(n % 4 AS INT)"))
-          .withColumn(name, graft.functions.GroupPrefix.ntileExpr(4))
-          .drop("_g", "n", "q_sz", "q_rem", "rn")
-      }
-      val r = quartile(base, Seq(col("recency_s"), col("user_id")), "r_q")
-      val f = quartile(r, Seq(-col("n_events"), col("user_id")), "f_q")
-      val m = quartile(f, Seq(-col("value_cents"), col("user_id")), "m_q")
-      m.select(col("user_id"), col("recency_s"), col("n_events"),
-          col("value_cents"), col("r_q"), col("f_q"), col("m_q"),
-          (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm"))
-        .orderBy(col("user_id"))
+      rfmSegment(perUser, anchor).orderBy(col("user_id"))
     }),
 
     // A/B EXPERIMENT report — deterministic hash-assigned arms

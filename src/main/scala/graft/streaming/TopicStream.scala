@@ -552,6 +552,97 @@ object TopicStream {
         expr("(n * 1000) DIV n_from").as("p_milli"))
   }
 
+  /** Streaming TOP PATHS — ts23's arrival loop, state-topic style:
+    * each micro-batch keeps, per user, ITS OWN first-3 candidate
+    * events (sound cover: any event in a user's global first-3 has at
+    * most 2 smaller events in its OWN batch, so it is in that batch's
+    * first-3 — the candidate topic provably contains the true
+    * first-3) and upserts them CONTENT-KEYED `user#ts_us#event_id`.
+    * Replays, late-arriving EARLIER events, and even fresh-checkpoint
+    * relaunches all just rewrite or add candidate facts — idempotent
+    * with no generation bookkeeping, no watermark, no per-user
+    * resolution state. The first-3 ranking and path rollup happen at
+    * READ time in [[currentTopPaths]] (ts23's exact tail), so the
+    * stream is batch-consistent by construction. Per-batch cost: a
+    * batch-sized window + upsert; the topic holds ≤3 candidates per
+    * (user, batch), compacted by key. */
+  def topPathsStream(events: Dataset[TopicEvent], store: graft.sources.TopicStore,
+                     topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    events.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val seq = base + 1 + id
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val cand = b.toDF()
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(
+            concat(col("user_id"), lit("#"), unix_micros(col("ts")),
+              lit("#"), col("event_id")).as("pkey"),
+            col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("event_type"), col("ts").as("time"))
+        if (!cand.isEmpty) store.upsert(topic, cand, "time", seq = Some(seq))
+      }
+  }
+
+  /** The CURRENT top-paths report of a [[topPathsStream]] topic —
+    * ts23's exact output over the accumulated candidate facts: rank
+    * the stored candidates to each user's true first-3, then reuse
+    * the batch path rollup verbatim. */
+  def currentTopPaths(store: graft.sources.TopicStore, topic: String,
+                      k: Int = 20): DataFrame =
+    graft.operators.TimeSeries.topPathsOf(
+      store.readMerged(topic, "pkey")
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("event_id"), col("event_type")), k)
+
+  /** Streaming RFM — ts27's arrival loop as an ADDITIVE changelog
+    * (the transitionsStream discipline, generations included): each
+    * micro-batch reduces to per-user partials — max(ts), count,
+    * cent-quantized spend sum, all associative — keyed `user#batchId`
+    * with seq = batchId, so a replayed batch rewrites identical rows.
+    * Batch 0 truncates the topic first (fresh-generation reset; see
+    * [[transitionsStream]]'s GENERATIONS note — additive history from
+    * a prior stream lifetime would double-count). Segmentation (the
+    * three global quartile orders) happens at READ time in
+    * [[currentRfm]] over the user-domain-sized fold, so quartile
+    * boundaries lawfully move as users accumulate history — exactly
+    * batch-consistent, no watermark, no per-user resolution state.
+    * Per-batch cost: a batch-sized agg + upsert; the topic grows with
+    * ACTIVE users per batch, never the corpus. */
+  def rfmStream(events: Dataset[TopicEvent], store: graft.sources.TopicStore,
+                topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    events.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (id == 0L) store.truncate(topic)
+        val seq = base + 1 + id
+        val part = b.toDF().groupBy(col("user_id"))
+          .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("value_cents"))
+          .select(concat(col("user_id"), lit("#"), lit(id)).as("rkey"),
+            col("user_id"), col("last_ts"), col("n_events"),
+            col("value_cents"), col("last_ts").as("time"))
+        if (!part.isEmpty) store.upsert(topic, part, "time", seq = Some(seq))
+      }
+  }
+
+  /** The CURRENT RFM segmentation of a [[rfmStream]] topic — ts27's
+    * exact output over the summed partial history: fold partials per
+    * user (max/sum/sum — associative, so batching can't skew them),
+    * anchor on the fold's own max last_ts (== the corpus max ts), and
+    * reuse the batch quartile tail verbatim. */
+  def currentRfm(store: graft.sources.TopicStore, topic: String): DataFrame = {
+    val perUser = store.readMerged(topic, "rkey")
+      .groupBy(col("user_id"))
+      .agg(max(col("last_ts")).as("last_ts"), sum(col("n_events")).as("n_events"),
+        sum(col("value_cents")).as("value_cents"))
+    val anchor = perUser.agg(max(col("last_ts")).as("anchor_ts"))
+    graft.operators.TimeSeries.rfmSegment(perUser, anchor)
+  }
+
   /** Streaming training-data prep — the px01 batch pipeline in
     * streaming form: language gate → token-band quality gate → exact
     * dedup within the watermark horizon (state bounded by the

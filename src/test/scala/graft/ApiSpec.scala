@@ -966,4 +966,44 @@ class ApiSpec extends SparkSpec {
     assert(cellsPerCluster.values.forall(_ == 1),
       s"each planted cluster must map to exactly one cell: $cellsPerCluster")
   }
+
+  test("kmeansppSeed: D²-weighted seeds start the loop at least as settled as hash partitions") {
+    import spark.implicits._
+    val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
+    val (k, iters) = (10, 8)
+    val pp = e.kmeansppSeed("vec_id", "embedding", k)
+    // shape: k cells x 64 dims, each seed an actual corpus vector
+    assert(pp.select("cell").distinct().count() == k)
+    assert(pp.count() == k * 64L)
+    // determinism: the md5-weighted draw is a function of the data only
+    assert(pp.orderBy("cell", "pos").collect().toSeq ==
+      e.kmeansppSeed("vec_id", "embedding", k).orderBy("cell", "pos").collect().toSeq)
+    val mpp = e.kmeansTrain("vec_id", "embedding", k, maxIter = iters,
+      epsMilli = 0L, init = Some(pp))
+    val mh = e.kmeansTrain("vec_id", "embedding", k, maxIter = iters,
+      epsMilli = 0L)
+    // the seeding pin, measured via DevProbe --kpp on this data: (a)
+    // the D² seed's final shift <= hash's at the same budget (here pp
+    // CONVERGES — 0 — while hash is still moving; at tiny budgets the
+    // raw-shift comparison is noise because pp seeds are actual corpus
+    // points, so the budget is set where the claim is structural), and
+    // (b) trained SSE is <= hash's at the same budget — the kmeans++
+    // O(log k)-competitiveness this seeding exists for, which held at
+    // EVERY probed budget (1/3/5/8 iters). Deterministic md5 draw +
+    // deterministic data => a stable regression pin.
+    assert(mpp.shiftsMilli.last <= mh.shiftsMilli.last,
+      s"kmeans++ must end at least as settled: pp=${mpp.shiftsMilli} hash=${mh.shiftsMilli}")
+    def sse(cen: org.apache.spark.sql.DataFrame): Double = {
+      val cents = cen.groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          st => st.getField("c")).as("cvec"))
+        .agg(array_sort(collect_list(struct(col("cell"), col("cvec")))).as("cents"))
+      e.crossJoin(broadcast(cents))
+        .select(array_min(transform(col("cents"),
+          cc => graft.functions.VectorFunctions.l2distSq(col("embedding"), cc.getField("cvec")))).as("d2"))
+        .agg(sum(col("d2"))).head.getDouble(0)
+    }
+    val (spp, sh) = (sse(mpp.centroids), sse(mh.centroids))
+    assert(spp <= sh, s"kmeans++ must not train to a worse SSE: pp=$spp hash=$sh")
+  }
 }

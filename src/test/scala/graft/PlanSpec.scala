@@ -314,6 +314,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("PLANS.md documents every registered query (regen: tools/run.sh graft.DevProbe --plans > PLANS.md)") {
+    // The r9 dump hand-listed query keys and silently trailed the four
+    // newest queries. --plans now derives its list from
+    // SparkEntry.queries itself, and this gate fails the build whenever
+    // the committed dump is missing any registered query's section.
+    val f = new java.io.File("/root/repo/PLANS.md")
+    assert(f.exists, "PLANS.md missing — regenerate with: " +
+      "tools/run.sh graft.DevProbe --plans > PLANS.md")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val sections = try src.getLines().collect {
+      case l if l.startsWith("## ") => l.stripPrefix("## ").trim
+    }.toSet finally src.close()
+    val missing = SparkEntry.queries.keys.toSeq.sorted.filterNot(sections)
+    assert(missing.isEmpty,
+      s"PLANS.md trails the query registry — missing ${missing.mkString(", ")}; " +
+        "regenerate with: tools/run.sh graft.DevProbe --plans > PLANS.md")
+  }
+
   test("golden plan shapes: the shuffle/join topology of EVERY query is pinned") {
     // Counts of the plan nodes that cost money at 100 TB, per query.
     // A new Exchange, Window sort, or a broadcast silently flipping to

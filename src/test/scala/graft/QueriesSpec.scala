@@ -347,4 +347,40 @@ class QueriesSpec extends SparkSpec {
       s"recall@3 collapsed toward chance — probe broken? $recallMilli milli " +
         s"(ann=$ann vs exact=$exact)")
   }
+
+  test("ss24 residual PQ recall@10 >= the raw-vector ss22 config on the same query batch") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
+    val qs = e.filter(col("vec_id") % 50 === 7)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // exact cosine top-10 per query (excluding self), the ss17 truth
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    // both sides probe the SAME cells (same coarse quantizer), take the
+    // SAME-size ADC top-10 (shortlist == k == 10, so rerank only
+    // reorders — the compared SETS are pure ADC shortlists): the only
+    // difference is codebook quality, raw-space seed vs residual-trained.
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+        .intersect(exact).size
+    val (cents, cb, coded) = Similarity.ivfpqIndex(e)
+    val raw = hits(Similarity.ivfpqProbe(coded, cents, cb, qs,
+      nprobe = 2, shortlist = 10, k = 10, excludeSelf = true))
+    val (rcents, rcb, rcoded) = Similarity.ivfpqResidualIndex(e)
+    val resid = hits(Similarity.ivfpqResidualProbe(rcoded, rcents, rcb, qs,
+      nprobe = 2, shortlist = 10, k = 10, excludeSelf = true))
+    // FAISS's IVFADC argument: residual codewords only explain what the
+    // coarse quantizer left, so per-cell quantization error shrinks and
+    // the ADC ordering tracks the exact one more closely. Deterministic
+    // data => a stable regression pin, not a flaky threshold.
+    assert(resid >= raw,
+      s"residual encoding must not lose recall: raw=$raw resid=$resid (of ${exact.size})")
+  }
 }

@@ -242,6 +242,86 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top paths: late earlier events rewrite a user's path, report equals batch ts23") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_spaths").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.topPathsStream(input.toDF().as[TopicEvent], store, "paths")
+      .option("checkpointLocation", s"$root/_chk").start()
+    val B = 100000L
+    def t(sec: Long) = new java.sql.Timestamp((B + sec) * 1000L)
+    def report() = TopicStream.currentTopPaths(store, "paths")
+      .as[(String, Long)].collect().toSet
+    // u1 emits 4 events in batch 1 (first-3 = A>B>C); u2 emits 2
+    val b1 = Seq(
+      TopicEvent(1, t(10), 1L, "A", 0), TopicEvent(2, t(20), 1L, "B", 0),
+      TopicEvent(3, t(30), 1L, "C", 0), TopicEvent(4, t(40), 1L, "D", 0),
+      TopicEvent(5, t(10), 2L, "A", 0), TopicEvent(6, t(20), 2L, "B", 0))
+    // LATE: u1's earlier Z at t=5 displaces C from the first-3
+    val b2 = Seq(TopicEvent(7, t(5), 1L, "Z", 0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      assert(report() == Set(("A>B>C", 1L), ("A>B", 1L)))
+      input.addData(b2: _*); q.processAllAvailable()
+      val r2 = report()
+      assert(r2 == Set(("Z>A>B", 1L), ("A>B", 1L)), s"got $r2")
+      // the report equals batch ts23's pipeline on the union
+      val batch = graft.operators.TimeSeries.topPathsOf((b1 ++ b2).toDF())
+        .as[(String, Long)].collect().toSet
+      assert(r2 == batch, s"stream $r2 != batch $batch")
+      // replay idempotence: candidate facts are content-keyed
+      input.addData(b2: _*); q.processAllAvailable()
+      assert(report() == r2, "replayed facts must not change the report")
+    } finally q.stop()
+  }
+
+  test("streaming RFM: quartiles move as history accumulates, segmentation equals batch ts27") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_srfm").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.rfmStream(input.toDF().as[TopicEvent], store, "rfm")
+      .option("checkpointLocation", s"$root/_chk").start()
+    val B = 100000L
+    def t(sec: Long) = new java.sql.Timestamp((B + sec) * 1000L)
+    def seg() = TopicStream.currentRfm(store, "rfm")
+      .select("user_id", "recency_s", "n_events", "value_cents", "rfm")
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    def batchOf(evs: Seq[TopicEvent]) = {
+      val e = evs.toDF()
+      val perUser = e.groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      val anchor = e.agg(max(col("ts")).as("anchor_ts"))
+      graft.operators.TimeSeries.rfmSegment(perUser, anchor)
+        .select("user_id", "recency_s", "n_events", "value_cents", "rfm")
+        .as[(Long, Long, Long, Long, Int)].collect().toSet
+    }
+    // 4 users so quartiles are distinct; spend and activity spread
+    val b1 = Seq(
+      TopicEvent(1, t(10), 1L, "buy", 10.0), TopicEvent(2, t(100), 1L, "buy", 5.0),
+      TopicEvent(3, t(20), 2L, "buy", 2.0),
+      TopicEvent(4, t(30), 3L, "view", 1.0),
+      TopicEvent(5, t(200), 4L, "view", 0.5))
+    // u2 comes back richer and MORE RECENT than everyone — every
+    // user's relative quartile can move
+    val b2 = Seq(
+      TopicEvent(6, t(500), 2L, "buy", 50.0), TopicEvent(7, t(510), 2L, "buy", 25.0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      assert(seg() == batchOf(b1), "after batch 1")
+      input.addData(b2: _*); q.processAllAvailable()
+      val s2 = seg()
+      assert(s2 == batchOf(b1 ++ b2), s"stream $s2 != batch ${batchOf(b1 ++ b2)}")
+      // partials summed across batches: u2 has 3 events, 7700 cents
+      val u2 = s2.find(_._1 == 2L).get
+      assert(u2._3 == 3L && u2._4 == 7700L, s"u2 partial fold wrong: $u2")
+    } finally q.stop()
+  }
+
   test("streaming upsert sink: merged view tracks latest per key across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
