@@ -40,6 +40,47 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(o => o.exists(n.startsWith)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // Golden-plan tripwire (PlanSpec's pin re-asserted HERE so a
+    // Spark/AQE change that silently reshapes a pinned topology fails
+    // the bench run loudly, not just the test suite): counters are
+    // compiled — never executed — at sf0.001, the scale the golden was
+    // generated at (join strategies are stats-based, so comparing at
+    // the bench SF would false-alarm). Drift lands in the errors
+    // object => exit 1 after the timings print.
+    val goldenFile = new java.io.File("/root/repo/src/test/resources/plan_golden.txt")
+    val goldenDir = "/root/testdata/sf0.001"
+    if (goldenFile.exists && new java.io.File(goldenDir).exists
+        && !sys.env.contains("SPARK_GRAFT_BENCH_NO_PLANCHECK")) {
+      val markers = Seq(
+        "exch" -> "Exchange hashpartitioning",
+        "range" -> "Exchange rangepartitioning",
+        "win" -> "Window [",
+        "smj" -> "SortMergeJoin",
+        "bhj" -> "BroadcastHashJoin",
+        "bnlj" -> "BroadcastNestedLoopJoin",
+        "cache" -> "InMemoryTableScan")
+      def count(hay: String, needle: String): Int =
+        hay.sliding(needle.length).count(_ == needle)
+      val golden = {
+        val src = scala.io.Source.fromFile(goldenFile, "UTF-8")
+        try src.getLines().map { l =>
+          val i = l.indexOf(' '); l.substring(0, i) -> l.substring(i + 1)
+        }.toMap finally src.close()
+      }
+      spark.sharedState.cacheManager.clearCache()
+      names.foreach { name =>
+        golden.get(name).foreach { pinned =>
+          val p = SparkEntry.queries(name)(spark, goldenDir)
+            .queryExecution.executedPlan.toString
+          val live = markers.map { case (k, m) => s"$k=${count(p, m)}" }.mkString(" ")
+          if (live != pinned)
+            errors.getOrElseUpdate(name,
+              s"planDrift: live[$live] != golden[$pinned]")
+        }
+      }
+      spark.sharedState.cacheManager.clearCache()
+    }
     val medians = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).flatMap { _ =>

@@ -534,11 +534,11 @@ object Similarity {
     // cells' codes.
     "ss24_ivfpq_residual" -> ((s, d) => {
       val e = emb(s, d)
-      val (cents, rcb, coded) = ivfpqResidualIndex(e)
+      val idx = ivfpqResidualIndex(e)
       val qs = e.filter(col("vec_id") % 50 === 7)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      ivfpqResidualProbe(coded, cents, rcb, qs, nprobe = 2, shortlist = 10,
-          k = 3, excludeSelf = true)
+      ivfpqResidualProbe(idx.coded, idx.cents, idx.rcb, qs, nprobe = 2,
+          shortlist = 10, k = 3, excludeSelf = true)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -968,7 +968,15 @@ object Similarity {
     * cidx); same topology as ivfpqIndex: training's only exchange is
     * the NumSub×K×SubDim partial-agg per iteration, everything else
     * is broadcast-side. */
-  private[graft] def ivfpqResidualIndex(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  /** The frames a residual index is made of, plus `release` — the
+    * build path ([[graft.streaming.TopicStream.annIndexBuild]]) runs
+    * in a long-lived session and must drop the training caches once
+    * the index topics are written; the query path just lets the
+    * bench's clearCache handle it. */
+  private[graft] final case class ResidualIndex(cents: DataFrame, rcb: DataFrame,
+                                                coded: DataFrame, release: () => Unit)
+
+  private[graft] def ivfpqResidualIndex(e: DataFrame): ResidualIndex = {
     val cents = centroidArray(e)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val res = e.crossJoin(broadcast(cents))
@@ -990,8 +998,27 @@ object Similarity {
           struct(l2distSq(subSlice(col("res"), m), cw.getField("svec")).as("d2"),
                  cw.getField("code").as("code"), i.as("idx")))).getField("idx")))
       .select(col("vec_id"), col("cell"), col("embedding"), col("cidx"))
-    (cents, rcb, coded)
+    ResidualIndex(cents, rcb, coded,
+      () => { cents.unpersist(); res.unpersist(); rcb.unpersist(); () })
   }
+
+  /** Residual-encode an ARRIVING vector frame against FROZEN (cents,
+    * rcb) frames — [[ivfpqEncode]]'s twin for residual indexes: adds
+    * `cell` and `cidx` (keeps every input column), broadcast argmin
+    * only, zero shuffle; the index-grow stream
+    * ([[graft.streaming.TopicStream.annIndexStream]]) shares this
+    * kernel so an appended vector encodes exactly as a built one. */
+  private[graft] def ivfpqResidualEncode(vecs: DataFrame, cents: DataFrame,
+                                         rcb: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents)).crossJoin(broadcast(rcb))
+      .withColumn("best", array_min(cellFullStructsOf(col("embedding"))))
+      .withColumn("cell", col("best.cell"))
+      .withColumn("_res", residual(col("embedding"), col("best.cvec")))
+      .withColumn("cidx", transform(subIdxCol, m =>
+        array_min(transform(element_at(col("cb"), m + 1), (cw, i) =>
+          struct(l2distSq(subSlice(col("_res"), m), cw.getField("svec")).as("d2"),
+                 cw.getField("code").as("code"), i.as("idx")))).getField("idx")))
+      .drop("cents", "cb", "best", "_res")
 
   /** Probe a residual IVF-PQ index: identical batch discipline to
     * [[ivfpqProbe]] — per-query probe cells + broadcast LUTs, probe

@@ -1163,22 +1163,44 @@ object TopicStream {
     * through [[pqEncodeStream]]-style encode against the SAME frozen
     * frames; retrain (and rebuild) when [[pqDriftMonitor]] trips. */
   def annIndexBuild(store: graft.sources.TopicStore, e: DataFrame,
-                    topic: String): Unit = {
-    val (cents, cb, coded) = graft.operators.Similarity.ivfpqIndex(e)
+                    topic: String, residual: Boolean = false): Unit = {
     def t0(df: DataFrame) = df.withColumn("time", lit(0L).cast("timestamp"))
     // the coded topic is an UPSERT topic keyed vec_id (seq -1 = the
     // build generation — strictly BELOW any stream batch's seq, so a
     // vector re-published in the very first micro-batch deterministically
     // overwrites its build row) and [[annIndexStream]] arrivals and
     // re-publishes overwrite cleanly; the frozen frames are plain
-    // appends (a rebuild replaces the whole index under a new topic)
-    store.upsert(topic, t0(coded), "time", seq = Some(-1L))
-    store.append(s"${topic}_cents", t0(cents))
-    store.append(s"${topic}_cb", t0(cb))
-    // ivfpqIndex persists the centroid frame so the codebook/encode
-    // consumers share one training pass; all three topics are written
-    // now, so the build owns (and releases) that cache
-    cents.unpersist()
+    // appends (a rebuild replaces the whole index under a new topic).
+    // The codebook row carries `enc` so the arrival/serve writers
+    // self-dispatch — a serve writer can never probe a residual index
+    // with raw LUTs (indexes built before `enc` existed default to raw).
+    if (residual) {
+      val idx = graft.operators.Similarity.ivfpqResidualIndex(e)
+      store.upsert(topic, t0(idx.coded), "time", seq = Some(-1L))
+      store.append(s"${topic}_cents", t0(idx.cents))
+      store.append(s"${topic}_cb", t0(idx.rcb.withColumn("enc", lit("residual"))))
+      idx.release() // the build owns (and drops) the training caches
+    } else {
+      val (cents, cb, coded) = graft.operators.Similarity.ivfpqIndex(e)
+      store.upsert(topic, t0(coded), "time", seq = Some(-1L))
+      store.append(s"${topic}_cents", t0(cents))
+      store.append(s"${topic}_cb", t0(cb.withColumn("enc", lit("raw"))))
+      // ivfpqIndex persists the centroid frame so the codebook/encode
+      // consumers share one training pass; all three topics are written
+      // now, so the build owns (and releases) that cache
+      cents.unpersist()
+    }
+  }
+
+  /** Read an index's codebook topic and its encoding marker: (cb
+    * without the marker, residual?). Indexes written before the `enc`
+    * column existed are raw by construction. */
+  private def annCodebook(store: graft.sources.TopicStore,
+                          topic: String): (DataFrame, Boolean) = {
+    val raw = store.read(s"${topic}_cb").drop("bucket", "time")
+    if (!raw.columns.contains("enc")) (raw, false)
+    else (raw.drop("enc"),
+      raw.select(col("enc")).head.getString(0) == "residual")
   }
 
   /** Grow an [[annIndexBuild]] index from arriving vectors —
@@ -1198,16 +1220,18 @@ object TopicStream {
   def annIndexStream(vecs: DataFrame, store: graft.sources.TopicStore,
                      topic: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    def bare(name: String) = store.read(name).drop("bucket", "time")
-    val cents = bare(s"${topic}_cents").persist()
-    val cb = bare(s"${topic}_cb").persist()
+    val cents = store.read(s"${topic}_cents").drop("bucket", "time").persist()
+    val (cb0, isResid) = annCodebook(store, topic)
+    val cb = cb0.persist()
     // offset batch seqs past the store's high water: a relaunch under
     // a fresh checkpoint (batch ids back at 0) must keep overwriting
     val base = seqBase(store, topic)
     vecs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
       val latest = latestPerKey(b.toDF(), "vec_id", "ts", "embedding")
         .withColumnRenamed("ts", "time")
-      val coded = graft.operators.Similarity.ivfpqEncode(latest, cents, cb)
+      val coded = (if (isResid)
+          graft.operators.Similarity.ivfpqResidualEncode(latest, cents, cb)
+        else graft.operators.Similarity.ivfpqEncode(latest, cents, cb))
         .select(col("vec_id"), col("time"), col("cell"), col("embedding"), col("cidx"))
       store.upsert(topic, coded, "time", seq = Some(base + 1 + id))
     }
@@ -1231,19 +1255,23 @@ object TopicStream {
                      topic: String, outTopic: String,
                      nprobe: Int = 2, shortlist: Int = 10, k: Int = 3)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    def bare(name: String) = store.read(name).drop("bucket", "time")
     // merged read: latest index entry per vector (build + arrivals)
     val coded = store.readMerged(topic, "vec_id").drop("bucket", "time").persist()
-    val cents = bare(s"${topic}_cents").persist()
-    val cb = bare(s"${topic}_cb").persist()
+    val cents = store.read(s"${topic}_cents").drop("bucket", "time").persist()
+    val (cb0, isResid) = annCodebook(store, topic)
+    val cb = cb0.persist()
     // results keep overwriting across serve-writer generations too
     val base = seqBase(store, outTopic)
     queries.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
       val latest = latestPerKey(b.toDF(), "q_id", "ts", "embedding")
         .withColumnRenamed("embedding", "q_emb")
-      val res = graft.operators.Similarity.ivfpqProbe(coded, cents, cb,
-        latest.select(col("q_id"), col("q_emb")),
-        nprobe, shortlist, k, excludeSelf = false)
+      val res = (if (isResid)
+          graft.operators.Similarity.ivfpqResidualProbe(coded, cents, cb,
+            latest.select(col("q_id"), col("q_emb")),
+            nprobe, shortlist, k, excludeSelf = false)
+        else graft.operators.Similarity.ivfpqProbe(coded, cents, cb,
+          latest.select(col("q_id"), col("q_emb")),
+          nprobe, shortlist, k, excludeSelf = false))
       val out = res.join(latest.select(col("q_id"), col("ts").as("time")), "q_id")
         .select(concat(col("q_id"), lit("#"), col("rank")).as("ann_key"),
           col("q_id"), col("time"), col("vec_id"), col("cell"),

@@ -373,9 +373,9 @@ class QueriesSpec extends SparkSpec {
     val (cents, cb, coded) = Similarity.ivfpqIndex(e)
     val raw = hits(Similarity.ivfpqProbe(coded, cents, cb, qs,
       nprobe = 2, shortlist = 10, k = 10, excludeSelf = true))
-    val (rcents, rcb, rcoded) = Similarity.ivfpqResidualIndex(e)
-    val resid = hits(Similarity.ivfpqResidualProbe(rcoded, rcents, rcb, qs,
-      nprobe = 2, shortlist = 10, k = 10, excludeSelf = true))
+    val ridx = Similarity.ivfpqResidualIndex(e)
+    val resid = hits(Similarity.ivfpqResidualProbe(ridx.coded, ridx.cents,
+      ridx.rcb, qs, nprobe = 2, shortlist = 10, k = 10, excludeSelf = true))
     // FAISS's IVFADC argument: residual codewords only explain what the
     // coarse quantizer left, so per-cell quantization error shrinks and
     // the ADC ordering tracks the exact one more closely. Deterministic

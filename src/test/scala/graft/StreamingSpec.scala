@@ -1309,6 +1309,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("residual ANN index: build/grow/serve self-dispatch on the enc marker, equal the ss24 kernels") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_annresid").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    val e = Tables(spark, sfDir, "embeddings")
+    TopicStream.annIndexBuild(store, e, "ridx", residual = true)
+    assert(store.read("ridx_cb").select("enc").head.getString(0) == "residual")
+    val vecs = e.filter(col("vec_id").isin(3L, 17L))
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val input = MemoryStream[AnnQuery]
+    // the serve writer reads the marker itself — no residual flag here
+    val q = TopicStream.annServeStream(input.toDF(), store, "ridx", "rres", k = 3)
+      .option("checkpointLocation", s"$root/_ckpt").start()
+    try {
+      input.addData(
+        AnnQuery(1001L, ts("2026-01-01 00:01:00"), vecs(3L)),
+        AnnQuery(1002L, ts("2026-01-01 00:01:00"), vecs(17L)))
+      q.processAllAvailable()
+      val res = store.readMerged("rres", "ann_key")
+      // a corpus-vector query retrieves itself at rank 1 (residual ADC
+      // of an exact match is the all-zero residual's code distance —
+      // small — and the exact-cosine rerank pins it first regardless)
+      val top = res.filter(col("q_id") === 1001L && col("rank") === 1)
+        .select("vec_id", "cos_exact").as[(Long, Double)].head()
+      assert(top._1 == 3L && top._2 > 0.999999, s"self-retrieval failed: $top")
+      // the serve loop equals the batch residual kernels on the same frames
+      def bare(n: String) = store.read(n).drop("bucket", "time")
+      val expected = graft.operators.Similarity.ivfpqResidualProbe(
+        store.readMerged("ridx", "vec_id").drop("bucket", "time"),
+        bare("ridx_cents"), bare("ridx_cb").drop("enc"),
+        Seq((1001L, vecs(3L)), (1002L, vecs(17L))).toDF("q_id", "q_emb"),
+        nprobe = 2, shortlist = 10, k = 3, excludeSelf = false)
+        .select("q_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+      val got = res.select("q_id", "rank", "vec_id")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got == expected, s"residual serve must equal the batch kernel:\n$got\n$expected")
+    } finally q.stop()
+    // an arrival encodes through the RESIDUAL kernel (marker dispatch in
+    // the grow writer): its stored cidx equals the batch encoder's
+    val arrival = e.filter(col("vec_id") === 42L)
+      .select(col("vec_id") + 100000L as "vec_id",
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:05:00")).as("ts"),
+        col("embedding"))
+    val in2 = MemoryStream[(Long, java.sql.Timestamp, Array[Float])]
+    val g = TopicStream.annIndexStream(
+        in2.toDF().toDF("vec_id", "ts", "embedding"), store, "ridx")
+      .option("checkpointLocation", s"$root/_ckpt2").start()
+    try {
+      in2.addData(arrival.as[(Long, java.sql.Timestamp, Array[Float])].collect().head)
+      g.processAllAvailable()
+      def bare(n: String) = store.read(n).drop("bucket", "time")
+      val stored = store.readMerged("ridx", "vec_id")
+        .filter(col("vec_id") === 100042L)
+        .select(concat_ws("-", col("cidx"))).as[String].head()
+      val batch = graft.operators.Similarity.ivfpqResidualEncode(
+          e.filter(col("vec_id") === 42L), bare("ridx_cents"), bare("ridx_cb").drop("enc"))
+        .select(concat_ws("-", col("cidx"))).as[String].head()
+      assert(stored == batch, s"arrival must residual-encode like the batch kernel: $stored != $batch")
+    } finally g.stop()
+  }
+
   test("annServeStream answers query batches from the frozen IVF-PQ index topics") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
