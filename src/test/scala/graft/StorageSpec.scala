@@ -676,6 +676,35 @@ class StorageSpec extends SparkSpec {
     assert(store.recover("kv").isEmpty)
   }
 
+  test("truncate drops a topic atomically, resets its seq domain, and recover finishes a crashed truncate") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new TopicStore(spark, root, bucketMinutes = 60)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
+    val t0 = new java.sql.Timestamp(1700000000L * 1000)
+    store.upsert("tr", Seq((1L, t0, "a")).toDF("key", "time", "v"), seq = Some(5L))
+    store.truncate("tr")
+    assert(!store.exists("tr") && !fs.exists(p(".trunc_tr")),
+      "truncate must remove the topic and leave no aside")
+    // seq-domain reset: a truncated topic is a NEW topic — a clock-seq
+    // writer must be admitted where the old explicit-seq domain would
+    // have thrown
+    store.upsert("tr", Seq((2L, t0, "b")).toDF("key", "time", "v"))
+    assert(store.readMerged("tr", "key").select("v").as[String].collect().toSeq == Seq("b"))
+    // crash window: live dir moved aside, final delete never ran — the
+    // truncate already SUCCEEDED semantically (no live topic), so
+    // recover must finish the delete, never resurrect consumed data
+    assert(fs.rename(p("tr"), p(".trunc_tr")))
+    val acts = store.recover("tr")
+    assert(acts.contains("removed:.trunc_tr"), s"got $acts")
+    assert(!store.exists("tr") && !fs.exists(p(".trunc_tr")))
+    // truncating an absent topic is a no-op
+    store.truncate("tr")
+    assert(store.recover("tr").isEmpty)
+  }
+
   test("readChanges classifies insert/update/delete and ignores lost late arrivals") {
     import spark.implicits._
     val store = new TopicStore(spark, tmp(), bucketMinutes = 60)
