@@ -128,6 +128,32 @@ object DevProbe {
         .write.format("noop").mode("overwrite").save()
       val tProbe = (System.nanoTime() - t1) / 1e9
       println(f"ss22fixed mult=$mult batch=$nq build=$tBuild%.2f s probe=$tProbe%.2f s")
+    } else if (args(0) == "--ss24fixed") {
+      // Fixed-batch ss24 blowup row — [[--ss22fixed]]'s decomposition
+      // for the RESIDUAL index (args: --ss24fixed <sfDir> <mult>):
+      // build (coarse centroids + 2-round residual Lloyd + corpus
+      // encode) timed apart from a CONSTANT-membership probe, so the
+      // serving claim (probe ∝ batch × nprobe × cell size; training
+      // and encode are build-once) is measured, not argued.
+      import org.apache.spark.sql.functions._
+      val d = args(1)
+      val mult = args.lift(2).map(_.toLong).getOrElse(1L)
+      val e = Tables.spread(Tables(spark, d, "embeddings"))
+      val t0 = System.nanoTime()
+      val idx = operators.Similarity.ivfpqResidualIndex(e)
+      val coded = idx.coded.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      coded.write.format("noop").mode("overwrite").save()
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val qs = e.filter(col("vec_id") % lit(50L * mult) === lit(7L * mult))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val nq = qs.count()
+      val t1 = System.nanoTime()
+      operators.Similarity.ivfpqResidualProbe(coded, idx.cents, idx.rcb, qs,
+          nprobe = 2, shortlist = 10, k = 3, excludeSelf = true)
+        .write.format("noop").mode("overwrite").save()
+      val tProbe = (System.nanoTime() - t1) / 1e9
+      println(f"ss24fixed mult=$mult batch=$nq build=$tBuild%.2f s probe=$tProbe%.2f s")
     } else if (args(0) == "--kmeans") {
       // Time the full kmeansTrain loop (args: --kmeans <sfDir>
       // [k] [maxIter]) — the multi-iteration verb has no queries()
