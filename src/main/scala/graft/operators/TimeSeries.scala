@@ -93,6 +93,22 @@ object TimeSeries {
       (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm"))
   }
 
+  /** ts26's report tail over a per-user (user_id, first_view,
+    * last_purchase) frame — shared by the batch query and the
+    * streaming twin's read side ([[graft.streaming.TopicStream
+    * .currentAbLift]]). Arm assignment is the deterministic md5 hash
+    * (sp01's discipline), conversion the O(1) two-scalar test. */
+  private[graft] def abLiftReport(perUser: DataFrame): DataFrame =
+    perUser.filter(col("first_view").isNotNull)
+      .select(col("user_id"),
+        coalesce(col("last_purchase") >= col("first_view"), lit(false)).as("converted"),
+        when(substring(md5(concat(col("user_id").cast("string"), lit(":ab"))), 1, 1) < "8",
+          "A").otherwise("B").as("arm"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_conv"))
+      .withColumn("conv_milli", expr("(n_conv * 1000) DIV n_users"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling-window resample to 1h buckets.
     "ts01_resample" -> ((s, d) => {
@@ -369,16 +385,7 @@ object TimeSeries {
       val perUser = Tables.events(s, d).groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"),
           max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
-        .filter(col("first_view").isNotNull)
-        .select(col("user_id"),
-          coalesce(col("last_purchase") >= col("first_view"), lit(false)).as("converted"),
-          when(substring(md5(concat(col("user_id").cast("string"), lit(":ab"))), 1, 1) < "8",
-            "A").otherwise("B").as("arm"))
-      perUser.groupBy(col("arm"))
-        .agg(count(lit(1)).as("n_users"),
-          sum(when(col("converted"), 1L).otherwise(0L)).as("n_conv"))
-        .withColumn("conv_milli", expr("(n_conv * 1000) DIV n_users"))
-        .orderBy(col("arm"))
+      abLiftReport(perUser).orderBy(col("arm"))
     }),
 
     // Sliding 1h range window per key.

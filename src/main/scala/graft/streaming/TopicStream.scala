@@ -643,6 +643,49 @@ object TopicStream {
     graft.operators.TimeSeries.rfmSegment(perUser, anchor)
   }
 
+  /** Streaming A/B LIFT — ts26's arrival loop, completing the
+    * product-analytics family's streaming twins (funnel, retention,
+    * paths, transitions, RFM, and now experiment lift): each
+    * micro-batch reduces to per-user partials — min(view ts),
+    * max(purchase ts), both associative — keyed `user#batchId` (the
+    * rfmStream/transitionsStream additive-changelog discipline;
+    * batch 0 truncates for fresh-generation safety). Arm assignment,
+    * the conversion test, and the per-arm rollup all happen at READ
+    * time in [[currentAbLift]] over the user-domain fold, so a late
+    * EARLIER view lawfully re-exposes a user and can flip their
+    * conversion — exactly batch-consistent, no watermark, no per-user
+    * resolution state. Per-batch cost: a batch-sized agg + upsert. */
+  def abLiftStream(events: Dataset[TopicEvent], store: graft.sources.TopicStore,
+                   topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    events.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (id == 0L) store.truncate(topic)
+        val seq = base + 1 + id
+        val part = b.toDF().groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+            max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"),
+            max(col("ts")).as("time"))
+          .select(concat(col("user_id"), lit("#"), lit(id)).as("akey"),
+            col("user_id"), col("first_view"), col("last_purchase"), col("time"))
+        if (!part.isEmpty) store.upsert(topic, part, "time", seq = Some(seq))
+      }
+  }
+
+  /** The CURRENT experiment report of an [[abLiftStream]] topic —
+    * ts26's exact output over the folded partials: min/max are
+    * associative, so batching can't skew exposure or conversion, and
+    * the report tail is batch ts26's verbatim ([[graft.operators
+    * .TimeSeries.abLiftReport]], the shared kernel). */
+  def currentAbLift(store: graft.sources.TopicStore, topic: String): DataFrame = {
+    val perUser = store.readMerged(topic, "akey")
+      .groupBy(col("user_id"))
+      .agg(min(col("first_view")).as("first_view"),
+        max(col("last_purchase")).as("last_purchase"))
+    graft.operators.TimeSeries.abLiftReport(perUser)
+  }
+
   /** Streaming training-data prep — the px01 batch pipeline in
     * streaming form: language gate → token-band quality gate → exact
     * dedup within the watermark horizon (state bounded by the

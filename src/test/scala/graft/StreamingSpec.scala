@@ -322,6 +322,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming A/B lift: a late earlier view re-exposes a user, report equals batch ts26") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sab").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.abLiftStream(input.toDF().as[TopicEvent], store, "ab")
+      .option("checkpointLocation", s"$root/_chk").start()
+    val B = 100000L
+    def t(sec: Long) = new java.sql.Timestamp((B + sec) * 1000L)
+    def report() = TopicStream.currentAbLift(store, "ab")
+      .select("arm", "n_users", "n_conv", "conv_milli")
+      .as[(String, Long, Long, Long)].collect().toSet
+    def batchOf(evs: Seq[TopicEvent]) = {
+      val perUser = evs.toDF().groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+      graft.operators.TimeSeries.abLiftReport(perUser)
+        .select("arm", "n_users", "n_conv", "conv_milli")
+        .as[(String, Long, Long, Long)].collect().toSet
+    }
+    // u1: purchase at t=50, no view yet (NOT exposed, not counted);
+    // u2: view then purchase (exposed, converted)
+    val b1 = Seq(
+      TopicEvent(1, t(50), 1L, "purchase", 5.0),
+      TopicEvent(2, t(10), 2L, "view", 0), TopicEvent(3, t(20), 2L, "purchase", 3.0))
+    // LATE: u1's view at t=40 arrives — u1 becomes exposed AND
+    // converted (purchase at 50 >= view at 40), entirely at read time
+    val b2 = Seq(TopicEvent(4, t(40), 1L, "view", 0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      assert(report() == batchOf(b1), "after batch 1")
+      val exposed1 = report().map(_._2).sum
+      assert(exposed1 == 1L, s"only u2 is exposed after batch 1: ${report()}")
+      input.addData(b2: _*); q.processAllAvailable()
+      val r2 = report()
+      assert(r2 == batchOf(b1 ++ b2), s"stream $r2 != batch ${batchOf(b1 ++ b2)}")
+      assert(r2.map(_._2).sum == 2L && r2.map(_._3).sum == 2L,
+        s"the late view must expose AND convert u1: $r2")
+    } finally q.stop()
+  }
+
   test("streaming upsert sink: merged view tracks latest per key across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
