@@ -93,6 +93,36 @@ object TimeSeries {
       (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm"))
   }
 
+  /** ts25's report tail over a per-user stage-times frame (columns
+    * t1..tN, one per stage, null below the matched depth) — shared
+    * by the batch query and the streaming twin's read side
+    * ([[graft.streaming.TopicStream.currentFunnelTiming]]). Per
+    * consecutive stage pair: conversion rate among users who REACHED
+    * the earlier stage plus integer-exact epoch-second timing stats
+    * (the two-row rollup; the corpus shuffles only inside the
+    * upstream per-user resolution). */
+  private[graft] def funnelTimingReport(f: DataFrame, stages: Seq[String]): DataFrame = {
+    val secs: Column => Column = c => c.cast("long")
+    val pairs = stages.indices.dropRight(1).map { i =>
+      struct(lit(s"${stages(i)}>${stages(i + 1)}").as("transition"),
+        col(s"t${i + 1}").isNotNull.as("prev"),
+        (secs(col(s"t${i + 2}")) - secs(col(s"t${i + 1}"))).as("dt_s"))
+    }
+    f.select(explode(array(pairs: _*)).as("r"))
+      .select(col("r.transition").as("transition"),
+        col("r.prev").as("prev"), col("r.dt_s").as("dt_s"))
+      .filter(col("prev"))
+      .groupBy(col("transition"))
+      .agg(count(lit(1)).as("n_prev"), count(col("dt_s")).as("n_conv"),
+        min(col("dt_s")).as("min_s"), max(col("dt_s")).as("max_s"),
+        sum(col("dt_s")).as("sum_s"))
+      .select(col("transition"), col("n_prev"), col("n_conv"),
+        expr("(n_conv * 1000) DIV n_prev").as("conv_milli"),
+        col("min_s"), col("max_s"),
+        expr("CASE WHEN n_conv > 0 THEN (sum_s * 1000) DIV n_conv END")
+          .as("mean_milli_s"))
+  }
+
   /** ts26's report tail over a per-user (user_id, first_view,
     * last_purchase) frame — shared by the batch query and the
     * streaming twin's read side ([[graft.streaming.TopicStream
@@ -319,30 +349,9 @@ object TimeSeries {
     // the rollup input is TWO rows per funnel user — the corpus
     // shuffles once (inside funnelTimes) and the report agg is
     // partial-combined into a 2-row frame.
-    "ts25_funnel_timing" -> ((s, d) => {
-      val f = funnelTimes(s, d)
-      val secs: Column => Column = c => c.cast("long")
-      f.select(explode(array(
-          struct(lit("signup>view").as("transition"),
-            col("t1").isNotNull.as("prev"),
-            (secs(col("t2")) - secs(col("t1"))).as("dt_s")),
-          struct(lit("view>purchase").as("transition"),
-            col("t2").isNotNull.as("prev"),
-            (secs(col("t3")) - secs(col("t2"))).as("dt_s")))).as("r"))
-        .select(col("r.transition").as("transition"),
-          col("r.prev").as("prev"), col("r.dt_s").as("dt_s"))
-        .filter(col("prev"))
-        .groupBy(col("transition"))
-        .agg(count(lit(1)).as("n_prev"), count(col("dt_s")).as("n_conv"),
-          min(col("dt_s")).as("min_s"), max(col("dt_s")).as("max_s"),
-          sum(col("dt_s")).as("sum_s"))
-        .select(col("transition"), col("n_prev"), col("n_conv"),
-          expr("(n_conv * 1000) DIV n_prev").as("conv_milli"),
-          col("min_s"), col("max_s"),
-          expr("CASE WHEN n_conv > 0 THEN (sum_s * 1000) DIV n_conv END")
-            .as("mean_milli_s"))
-        .orderBy(col("transition"))
-    }),
+    "ts25_funnel_timing" -> ((s, d) =>
+      funnelTimingReport(funnelTimes(s, d),
+        Seq("signup", "view", "purchase")).orderBy(col("transition"))),
 
     // RFM SEGMENTATION — the classic recency/frequency/monetary user
     // scoring (the product-analytics segmentation staple): per user,

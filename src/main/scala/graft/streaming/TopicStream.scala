@@ -643,6 +643,53 @@ object TopicStream {
     graft.operators.TimeSeries.rfmSegment(perUser, anchor)
   }
 
+  /** Streaming FUNNEL TIMING — ts25 as a live report, closing the
+    * last events-table report without a streaming form: the per-user
+    * resolution ALREADY lives in [[funnelStream]] (exactly
+    * batch-consistent under late arrivals, state bounded), so the
+    * timing twin just folds its Update-mode emissions into an upsert
+    * topic keyed by user — latest resolution wins, replays rewrite
+    * identical rows — and [[currentFunnelTiming]] derives the report
+    * at read time. No new state, no watermark beyond funnelStream's
+    * own: a late anchor that upgrades or REVOKES a user's depth
+    * flows through as that user's next resolution row and moves the
+    * timing stats exactly as a batch recompute would. */
+  def funnelTimingStream(events: Dataset[TopicEvent], stages: Seq[String],
+                         store: graft.sources.TopicStore, topic: String,
+                         tolSeconds: Long = 43200L,
+                         watermarkDelay: String = "1 hour")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    funnelStream(events, stages, tolSeconds, watermarkDelay).toDF()
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val rows = b.toDF()
+          .select(col("user_id"),
+            concat_ws(",", transform(col("matched_us"), _.cast("string"))).as("matched"),
+            col("depth"), lit(0L).cast("timestamp").as("time"))
+        if (!rows.isEmpty) store.upsert(topic, rows, "time", seq = Some(base + 1 + id))
+      }
+  }
+
+  /** The CURRENT funnel-timing report of a [[funnelTimingStream]]
+    * topic — ts25's exact output over each user's LATEST resolution:
+    * matched stage times unpack to the t1..tN frame and the batch
+    * report kernel ([[graft.operators.TimeSeries.funnelTimingReport]])
+    * runs verbatim. */
+  def currentFunnelTiming(store: graft.sources.TopicStore, topic: String,
+                          stages: Seq[String]): DataFrame = {
+    val merged = store.readMerged(topic, "user_id")
+      .select(col("user_id"), split(col("matched"), ",").as("ms"))
+    val withT = stages.indices.foldLeft(merged) { (df, i) =>
+      // a depth-d user has d entries (depth 0 = one empty string from
+      // the split): guard the ANSI cast — missing/empty => null t_i
+      val el = try_element_at(col("ms"), lit(i + 1))
+      df.withColumn(s"t${i + 1}",
+        timestamp_micros(when(el.isNotNull && el =!= "", el.cast("long"))))
+    }
+    graft.operators.TimeSeries.funnelTimingReport(withT, stages)
+  }
+
   /** Streaming A/B LIFT — ts26's arrival loop, completing the
     * product-analytics family's streaming twins (funnel, retention,
     * paths, transitions, RFM, and now experiment lift): each

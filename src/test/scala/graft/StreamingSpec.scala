@@ -322,6 +322,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel timing: late anchors move the timing stats, report equals batch ts25") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sftim").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val B = 100000L
+    def t(sec: Long) = new java.sql.Timestamp((B + sec) * 1000L)
+    val stages = Seq("signup", "view", "purchase")
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.funnelTimingStream(input.toDS(), stages, store, "ftim",
+        tolSeconds = 100L)
+      .option("checkpointLocation", s"$root/_chk").start()
+    def report() = TopicStream.currentFunnelTiming(store, "ftim", stages)
+      .select("transition", "n_prev", "n_conv", "conv_milli", "min_s", "max_s")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+    def batchOf(evs: Seq[TopicEvent]) = {
+      val e = evs.toDF().filter(col("event_type").isin(stages: _*))
+      val tol = expr("INTERVAL 100 SECONDS")
+      val f = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+          collect_list(when(col("event_type") === "view", col("ts"))).as("vts"),
+          collect_list(when(col("event_type") === "purchase", col("ts"))).as("pts"))
+        .withColumn("t2", array_min(filter(col("vts"),
+          x => x >= col("t1") && x <= col("t1") + tol)))
+        .withColumn("t3", array_min(filter(col("pts"),
+          x => x >= col("t2") && x <= col("t2") + tol)))
+      graft.operators.TimeSeries.funnelTimingReport(f, stages)
+        .select("transition", "n_prev", "n_conv", "conv_milli", "min_s", "max_s")
+        .as[(String, Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+    }
+    // u1 completes signup>view>purchase; u2 views and purchases with
+    // NO anchor (depth 0 — counted in neither transition's n_prev)
+    val b1 = Seq(
+      TopicEvent(1, t(0), 1L, "signup", 0), TopicEvent(2, t(30), 1L, "view", 0),
+      TopicEvent(3, t(90), 1L, "purchase", 0),
+      TopicEvent(4, t(10), 2L, "view", 0), TopicEvent(5, t(20), 2L, "purchase", 0))
+    // LATE: u2's signup at t=5 anchors them — view at 10 chains (dt 5),
+    // purchase at 20 chains (dt 10): both transitions gain a FASTER row
+    val b2 = Seq(TopicEvent(6, t(5), 2L, "signup", 0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      val r1 = report()
+      assert(r1 == batchOf(b1), s"after batch 1: $r1 != ${batchOf(b1)}")
+      assert(r1.forall(_._2 == 1L), s"only u1 is anchored in batch 1: $r1")
+      input.addData(b2: _*); q.processAllAvailable()
+      val r2 = report()
+      assert(r2 == batchOf(b1 ++ b2), s"stream $r2 != batch ${batchOf(b1 ++ b2)}")
+      // the late anchor moved min_s on both transitions (5 < 30, 10 < 60)
+      assert(r2.map(x => (x._1, x._5.get)).toMap ==
+        Map("signup>view" -> 5L, "view>purchase" -> 10L), s"got $r2")
+    } finally q.stop()
+  }
+
   test("streaming A/B lift: a late earlier view re-exposes a user, report equals batch ts26") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
