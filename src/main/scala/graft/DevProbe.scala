@@ -53,6 +53,7 @@ object DevProbe {
       // not claims. Output = markdown table (SCALE.md).
       val d = args.lift(1).getOrElse("/root/testdata/sf0.1")
       val names = Seq(
+        "tx05_char_ngrams",
         "q01_agg", "q04_broadcast_join", "q07_window_rank",
         "q23_window_dist", "ts03_asof_join", "ts12_asof_native",
         "dd01_exact", "dd02_minhash_lsh", "dd06_dup_clusters",
