@@ -80,7 +80,9 @@ object DevProbe {
         "tx24_substring_rewrite", "tx25_bpe_train", "tx26_substring_keepfirst",
         "ss23_kmeans_train",
         "ts24_transitions", "ts25_funnel_timing", "ts26_ab_lift",
-        "ts27_rfm")
+        "ts27_rfm",
+        "ts28_changepoint", "ts29_assoc", "ss25_mrl_prefix",
+        "ss26_cell_balance")
       // optional third arg: comma-separated subset of the list above
       val only = args.lift(2).map(_.split(",").toSet)
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")

@@ -542,6 +542,80 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // MATRYOSHKA PREFIX-DIM two-stage ANN (MRL, Kusupati et al. 2022
+    // — the "adaptive retrieval" serving trick modern embedding models
+    // ship with): the coarse pass ranks the corpus by cosine over the
+    // FIRST 16 of 64 dims only, the top-40 shortlist is then fetched
+    // and reranked by full-dim exact cosine. At 100 TB the prefix is a
+    // separate narrow column (or its own IVF index): the coarse scan
+    // reads P/D = 1/4 of the vector bytes, and the rerank touches full
+    // vectors for only shortlist x Q rows. Scale shape: the coarse
+    // per-query top-40 is a literal-limit rank window — Catalyst plans
+    // a PARTIAL WindowGroupLimit BEFORE the shuffle (SPARK-37099, the
+    // q07/ts23 pinned shape), so map-side state is 40 rows per query
+    // and only (q_id, vec_id, pre_cos) scalars ride the exchange,
+    // never vectors; the rerank fetch is a broadcast equi-join of the
+    // tiny shortlist back onto the corpus. Query batch is bounded
+    // (ss17's capped sample rule). Both cosines are the fused
+    // one-pass kernel — bit-identical to the oracle's list_sum form.
+    "ss25_mrl_prefix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val P = 16
+      val e = emb(s, d)
+      val qs = e.filter(col("vec_id") % 50 === 7 && col("vec_id") < 5000)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val coarse = e.select(col("vec_id"), slice(col("embedding"), 1, P).as("pre"))
+        .crossJoin(broadcast(qs.select(col("q_id"),
+          slice(col("q_emb"), 1, P).as("q_pre"))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("pre"), col("q_pre")).as("pre_cos"))
+      val wc = Window.partitionBy(col("q_id"))
+        .orderBy(col("pre_cos").desc, col("vec_id"))
+      val short = coarse.withColumn("prk", row_number().over(wc))
+        .filter(col("prk") <= 40)
+        .select(col("q_id"), col("vec_id"), col("pre_cos"))
+      val wr = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      e.join(broadcast(short), "vec_id")
+        .join(broadcast(qs), "q_id")
+        .select(col("q_id"), col("vec_id"), col("pre_cos"),
+          cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // IVF CELL-BALANCE audit — the index-maintenance report every
+    // IVF deployment watches (ss17's structural twin: that one audits
+    // recall, this audits the partition layout recall depends on): a
+    // skewed coarse quantizer makes hot cells absorb the corpus, so
+    // probe latency degrades to a corpus scan on exactly the popular
+    // queries. Per cell: member count, share of the corpus (milli),
+    // balance factor vs the uniform ideal (1000 = perfectly even),
+    // and the oversized flag (> 2x the uniform share — FAISS's own
+    // rebalance heuristic). Scale shape: assignment is the ss03/ss05
+    // zero-shuffle broadcast argmin; the rollup partial-aggs into a
+    // |cells|-row frame; corpus-wide totals are a 1-row broadcast.
+    "ss26_cell_balance" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = centroidArray(e)
+      val counts = e.crossJoin(broadcast(cents))
+        .withColumn("best", array_min(transform(col("cents"),
+          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                      c.getField("c_label").as("cell")))))
+        .groupBy(col("best.cell").as("cell"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_cells"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("cell"), col("n"), col("total"), col("n_cells"),
+          expr("(n * 1000) DIV total").as("share_milli"),
+          expr("(n * n_cells * 1000) DIV total").as("balance_milli"),
+          (col("n") * col("n_cells") > col("total") * 2).as("oversized"))
+        .orderBy(col("cell"))
+    }),
+
     // ANN RECALL AUDIT — dd08's vector twin: measure recall@10 of TWO
     // LSH configs (ss02's single 8-plane table vs ss07's 4-table
     // any-match amplifier) against the exact cosine top-10 ground
@@ -1941,6 +2015,64 @@ object Similarity {
         | SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_exact DESC, vec_id) AS INT) AS rank
         | FROM rer)
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "ss25_mrl_prefix" ->
+      """WITH q AS (
+        | SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        | WHERE vec_id % 50 = 7 AND vec_id < 5000),
+        |sc AS (
+        | SELECT q.q_id, e.vec_id,
+        |  list_sum(list_transform(generate_series(1, 16),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(e.embedding[1:16], v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(q.q_emb[1:16], v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS pre_cos
+        | FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |sh AS (
+        | SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY pre_cos DESC, vec_id) AS prk
+        |  FROM sc)
+        | WHERE prk <= 40),
+        |rr AS (
+        | SELECT s.q_id, s.vec_id, s.pre_cos,
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
+        | FROM sh s JOIN embeddings e ON s.vec_id = e.vec_id
+        |           JOIN q ON s.q_id = q.q_id)
+        |SELECT q_id, vec_id, pre_cos, cos_sim, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+        | FROM rr)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "ss26_cell_balance" ->
+      """WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |assigned AS (
+        | SELECT e.vec_id, c.c_label,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |counts AS (
+        | SELECT c_label AS cell, CAST(count(*) AS BIGINT) AS n
+        | FROM assigned WHERE rn = 1 GROUP BY 1),
+        |t AS (
+        | SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_cells
+        | FROM counts)
+        |SELECT cell, n, total, n_cells,
+        | (n * 1000) // total AS share_milli,
+        | (n * n_cells * 1000) // total AS balance_milli,
+        | n * n_cells > total * 2 AS oversized
+        |FROM counts, t ORDER BY cell""".stripMargin,
 
     "ss03_pairwise_label" ->
       """WITH ex AS (

@@ -397,6 +397,105 @@ object TimeSeries {
       abLiftReport(perUser).orderBy(col("arm"))
     }),
 
+    // CUSUM CHANGEPOINT detection — the level-shift locator every
+    // monitoring stack runs over its metric streams (Page 1954; the
+    // TSDB anomaly family next to ts15's z-score): per event_type
+    // series ordered by (ts, event_id), the mean-centered cumulative
+    // sum peaks exactly where the series' level shifts, so the report
+    // emits each series' maximum-|CUSUM| point (its position, time,
+    // event id, signed deviation) plus the before/after mean split at
+    // that point. ENGINE-EXACT: values quantize to cents; the centered
+    // prefix is scaled by n (dev = n*prefix_i - i*S — pure BIGINT, no
+    // division until the output milli columns), so both engines rank
+    // identical integers; ties resolve by earliest (ts, event_id).
+    // Long-domain bound: |dev| <= n * sum|cents|, guarded in-plan by
+    // assert_true(n * sum|cents| < 9e18) on the per-series totals —
+    // beyond ~10^8-point series at cent grain the same plan runs with
+    // one DECIMAL(38,0) cast on the dev expression; the guard fails
+    // loudly instead of wrapping silently. Scale shape: the per-series
+    // running sum is the GroupPrefix two-phase form (ts27/tx14's
+    // machinery — range-partition parallel, task input bounded by
+    // partition size, NEVER a one-task-per-series window: event_type
+    // has ~5 values, the definitional skew trap); the argmax is a
+    // map-side-combinable max(struct) into a |series|-row frame; the
+    // corpus crosses the wire exactly once (the range exchange).
+    "ts28_changepoint" -> ((s, d) => {
+      val v = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("vc"))
+      val totals = v.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_c"),
+          sum(abs(col("vc"))).as("abs_c"))
+        .filter(assert_true(
+          col("n").cast("double") * col("abs_c").cast("double") < 9.0e18,
+          lit("ts28: n * sum|cents| exceeds the long domain — rerun at " +
+            "coarser value grain or widen dev to DECIMAL(38,0)")).isNull)
+        .select(col("event_type"), col("n"), col("sum_c"))
+      val pre = graft.functions.GroupPrefix.groupPrefix(
+          v, "event_type", Seq("ts", "event_id"), value = Some("vc"))
+        .withColumn("prefix", col("cum0") + col("vc"))
+      pre.join(broadcast(totals), "event_type")
+        .withColumn("dev", col("prefix") * col("n") - col("rn") * col("sum_c"))
+        .groupBy(col("event_type"))
+        .agg(max(struct(abs(col("dev")).as("a"),
+          (-unix_micros(col("ts"))).as("nts"), (-col("event_id")).as("nid"),
+          col("dev"), col("rn"), col("prefix"), col("n").as("nn"),
+          col("sum_c").as("sc"))).as("m"))
+        .select(col("event_type"), col("m.nn").as("n"), col("m.sc").as("sum_c"),
+          col("m.rn").as("cp_rn"),
+          timestamp_micros(-col("m.nts")).as("cp_ts"),
+          (-col("m.nid")).as("cp_event_id"), col("m.dev").as("dev"),
+          expr("(m.prefix * 1000) DIV m.rn").as("mean_before_milli"),
+          expr("CASE WHEN m.rn < m.nn THEN ((m.sc - m.prefix) * 1000) DIV (m.nn - m.rn) END")
+            .as("mean_after_milli"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ASSOCIATION RULES over per-user event baskets — the market-
+    // basket staple (support / confidence / lift for every event-type
+    // pair), the co-occurrence report next to ts24's sequential
+    // transition matrix: "users who X also Y", direction-free. Scale
+    // shape: ONE user_id shuffle builds the distinct-type basket per
+    // user (collect_set bounded by |event_type|); the basket frame
+    // persists (the ss05 discipline — at 100 TB it is the
+    // materialized intermediate) and feeds all three consumers, so
+    // the corpus crosses the wire exactly once: pairs explode per
+    // basket (<= |types|^2/2 rows per user) and partial-agg into the
+    // tiny pair domain, per-type user counts come from the basket
+    // explode (user-domain, not a second corpus distinct), the user
+    // total is a 1-row broadcast. All metrics integer milli; the
+    // lift nests its divisions ((n_ab*n_users) DIV n_a, then *1000
+    // DIV n_b) so every intermediate stays under 2^63 even at 10^9
+    // users — both engines floor identically on the all-positive
+    // operands.
+    "ts29_assoc" -> ((s, d) => {
+      val baskets = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nUsers = baskets.agg(count(lit(1)).as("n_users"))
+      val singles = baskets.select(explode(col("types")).as("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_single"))
+      val pairCombos = flatten(transform(col("types"), (a, ai) =>
+        transform(slice(col("types"), ai + lit(2), size(col("types")) - ai - 1),
+          b => struct(a.as("a"), b.as("b")))))
+      baskets.select(explode(pairCombos).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(singles.select(col("event_type").as("a"),
+          col("n_single").as("n_a"))), "a")
+        .join(broadcast(singles.select(col("event_type").as("b"),
+          col("n_single").as("n_b"))), "b")
+        .crossJoin(broadcast(nUsers))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          col("n_users"),
+          expr("(n_ab * 1000) DIV n_users").as("support_milli"),
+          expr("(n_ab * 1000) DIV n_a").as("conf_ab_milli"),
+          expr("(n_ab * 1000) DIV n_b").as("conf_ba_milli"),
+          expr("(((n_ab * n_users) DIV n_a) * 1000) DIV n_b").as("lift_milli"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Sliding 1h range window per key.
     "ts04_sliding" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s")).rangeBetween(-3600, 0)
@@ -788,6 +887,52 @@ object TimeSeries {
         | CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
         | (CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) * 1000) // count(*) AS conv_milli
         |FROM exposed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts28_changepoint" ->
+      """WITH v AS (
+        | SELECT event_type, ts, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS vc
+        | FROM events),
+        |t AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(vc) AS BIGINT) AS sum_c
+        | FROM v GROUP BY 1),
+        |p AS (
+        | SELECT event_type, ts, event_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(sum(vc) OVER w AS BIGINT) AS prefix
+        | FROM v
+        | WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (
+        | SELECT p.event_type, p.ts, p.event_id, p.rn, p.prefix, t.n, t.sum_c,
+        |  p.prefix * t.n - p.rn * t.sum_c AS dev
+        | FROM p JOIN t USING (event_type)),
+        |r AS (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY event_type ORDER BY abs(dev) DESC, ts, event_id) AS rk
+        | FROM d)
+        |SELECT event_type, n, sum_c, rn AS cp_rn, ts AS cp_ts,
+        | event_id AS cp_event_id, dev,
+        | (prefix * 1000) // rn AS mean_before_milli,
+        | CASE WHEN rn < n THEN ((sum_c - prefix) * 1000) // (n - rn) END
+        |  AS mean_after_milli
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "ts29_assoc" ->
+      """WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_single FROM b GROUP BY 1),
+        |p AS (
+        | SELECT x.event_type AS a, y.event_type AS b, CAST(count(*) AS BIGINT) AS n_ab
+        | FROM b x JOIN b y ON x.user_id = y.user_id AND x.event_type < y.event_type
+        | GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.n_ab, sa.n_single AS n_a, sb.n_single AS n_b, n.n_users,
+        | (p.n_ab * 1000) // n.n_users AS support_milli,
+        | (p.n_ab * 1000) // sa.n_single AS conf_ab_milli,
+        | (p.n_ab * 1000) // sb.n_single AS conf_ba_milli,
+        | (((p.n_ab * n.n_users) // sa.n_single) * 1000) // sb.n_single AS lift_milli
+        |FROM p JOIN s sa ON p.a = sa.event_type
+        |       JOIN s sb ON p.b = sb.event_type, n
+        |ORDER BY p.a, p.b""".stripMargin,
     "ts21_funnel" ->
       """WITH per_user AS (
         | SELECT user_id,

@@ -383,4 +383,90 @@ class QueriesSpec extends SparkSpec {
     assert(resid >= raw,
       s"residual encoding must not lose recall: raw=$raw resid=$resid (of ${exact.size})")
   }
+
+  test("ss25 MRL prefix shortlist holds its measured recall@10 vs exact full-dim truth") {
+    import spark.implicits._
+    val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
+    val qs = e.filter(col("vec_id") % 50 === 7 && col("vec_id") < 5000)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = SparkEntry.queries("ss25_mrl_prefix")(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val hits = got.intersect(exact).size
+    // Deterministic data => a stable regression pin (the ss24 rule).
+    // 42/100 with a 16-of-64-dim coarse pass and a 40-deep shortlist on
+    // UNSTRUCTURED synthetic embeddings (a real MRL model concentrates
+    // variance in the prefix, so production recall sits far higher) —
+    // vs ~8 expected for a random 40-shortlist: the prefix pass carries
+    // real signal, and the pin catches any shortlist/rerank regression.
+    assert(exact.size == 100 && hits >= 42,
+      s"MRL prefix recall dropped: $hits of ${exact.size}")
+    assert(got.size == 100, s"10 per query expected, got ${got.size}")
+  }
+
+  test("ts28 changepoint equals the naive one-task window form at sf0.001") {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val ws = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = v.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_c"))
+    val naive = v
+      .withColumn("rn", row_number().over(wo).cast("long"))
+      .withColumn("prefix", sum(col("vc")).over(ws))
+      .join(t, "event_type")
+      .withColumn("dev", col("prefix") * col("n") - col("rn") * col("sum_c"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("dev")).desc, col("ts"), col("event_id"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n"), col("sum_c"), col("rn").as("cp_rn"),
+        col("ts").as("cp_ts"), col("event_id").as("cp_event_id"), col("dev"))
+      .orderBy(col("event_type"))
+    val got = SparkEntry.queries("ts28_changepoint")(spark, sfDir)
+      .select("event_type", "n", "sum_c", "cp_rn", "cp_ts", "cp_event_id", "dev")
+    assert(got.collect().toSeq == naive.collect().toSeq,
+      "GroupPrefix CUSUM must equal the naive per-series window resolution")
+  }
+
+  test("ts29 association metrics are internally consistent") {
+    val rows = SparkEntry.queries("ts29_assoc")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+      val nab = r.getAs[Long]("n_ab"); val na = r.getAs[Long]("n_a")
+      val nb = r.getAs[Long]("n_b"); val nu = r.getAs[Long]("n_users")
+      assert(a < b, s"pairs must be ordered: $a >= $b")
+      assert(nab <= math.min(na, nb), "co-occurrence can't exceed a single support")
+      assert(nab >= na + nb - nu, "inclusion-exclusion lower bound violated")
+      assert(r.getAs[Long]("support_milli") <= r.getAs[Long]("conf_ab_milli"),
+        "support <= confidence (n_a <= n_users)")
+      val lift = r.getAs[Long]("lift_milli").toDouble
+      val ref = nab.toDouble * nu / (na.toDouble * nb) * 1000
+      assert(math.abs(lift - ref) <= 1000.0 / nb + 1,
+        s"nested-DIV lift drifted from the rational value: $lift vs $ref")
+    }
+  }
+
+  test("ss26 cell balance shares and flags are consistent and cover the corpus") {
+    val rows = SparkEntry.queries("ss26_cell_balance")(spark, sfDir).collect()
+    val total = rows.head.getAs[Long]("total")
+    assert(rows.map(_.getAs[Long]("n")).sum == total, "cells must partition the corpus")
+    assert(total == Tables(spark, sfDir, "embeddings").count())
+    val nCells = rows.head.getAs[Long]("n_cells")
+    assert(rows.size.toLong == nCells)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Boolean]("oversized") == (n * nCells > total * 2))
+      assert(r.getAs[Long]("balance_milli") == n * nCells * 1000 / total)
+    }
+  }
 }
