@@ -123,6 +123,49 @@ object TimeSeries {
           .as("mean_milli_s"))
   }
 
+  /** ts29's whole pipeline over raw (user_id, event_type) rows —
+    * shared by the batch query and the streaming twin's read side
+    * ([[graft.streaming.TopicStream.currentAssoc]]), so stream and
+    * batch cannot disagree on basket semantics. ONE user_id shuffle
+    * builds each user's distinct-type basket; every basket then emits
+    * its items in a SINGLE explode — a user-count marker, one single
+    * per type, one pair per type combination — so one tiny
+    * (item-domain-sized) rollup carries n_users, every n_a and every
+    * n_ab at once and the corpus is aggregated exactly once. The
+    * rollup is lazily localCheckpoint'ed (GroupPrefix's one-shot
+    * discipline: ContextCleaner releases it on GC — safe in a
+    * long-lived serve session, unlike an unowned persist) because
+    * three sub-frames of it join below. */
+  private[graft] def assocReport(facts: DataFrame): DataFrame = {
+    val nullS = lit(null).cast("string")
+    val pairCombos = flatten(transform(col("types"), (a, ai) =>
+      transform(slice(col("types"), ai + lit(2), size(col("types")) - ai - 1),
+        b => struct(a.as("a"), b.as("b")))))
+    val counted = facts.groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("event_type"))).as("types"))
+      .select(explode(concat(
+        array(struct(nullS.as("a"), nullS.as("b"))),
+        transform(col("types"), t => struct(t.as("a"), nullS.as("b"))),
+        pairCombos)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val users = counted.filter(col("a").isNull)
+      .select(col("cnt").as("n_users"))
+    val singles = counted.filter(col("a").isNotNull && col("b").isNull)
+    counted.filter(col("b").isNotNull)
+      .select(col("a"), col("b"), col("cnt").as("n_ab"))
+      .join(broadcast(singles.select(col("a"), col("cnt").as("n_a"))), "a")
+      .join(broadcast(singles.select(col("a").as("b"), col("cnt").as("n_b"))), "b")
+      .crossJoin(broadcast(users))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_users"),
+        expr("(n_ab * 1000) DIV n_users").as("support_milli"),
+        expr("(n_ab * 1000) DIV n_a").as("conf_ab_milli"),
+        expr("(n_ab * 1000) DIV n_b").as("conf_ba_milli"),
+        expr("(((n_ab * n_users) DIV n_a) * 1000) DIV n_b").as("lift_milli"))
+  }
+
   /** ts26's report tail over a per-user (user_id, first_view,
     * last_purchase) frame — shared by the batch query and the
     * streaming twin's read side ([[graft.streaming.TopicStream
@@ -455,46 +498,19 @@ object TimeSeries {
     // basket staple (support / confidence / lift for every event-type
     // pair), the co-occurrence report next to ts24's sequential
     // transition matrix: "users who X also Y", direction-free. Scale
-    // shape: ONE user_id shuffle builds the distinct-type basket per
-    // user (collect_set bounded by |event_type|); the basket frame
-    // persists (the ss05 discipline — at 100 TB it is the
-    // materialized intermediate) and feeds all three consumers, so
-    // the corpus crosses the wire exactly once: pairs explode per
-    // basket (<= |types|^2/2 rows per user) and partial-agg into the
-    // tiny pair domain, per-type user counts come from the basket
-    // explode (user-domain, not a second corpus distinct), the user
-    // total is a 1-row broadcast. All metrics integer milli; the
-    // lift nests its divisions ((n_ab*n_users) DIV n_a, then *1000
-    // DIV n_b) so every intermediate stays under 2^63 even at 10^9
-    // users — both engines floor identically on the all-positive
+    // shape (see [[assocReport]]): ONE user_id shuffle builds the
+    // distinct-type basket per user (collect_set bounded by
+    // |event_type|); every basket emits user-marker + singles + pairs
+    // in a single explode so ONE tiny rollup carries n_users, n_a and
+    // n_ab together — the corpus is aggregated exactly once and the
+    // report tail joins item-domain-sized frames. All metrics integer
+    // milli; lift nests its divisions ((n_ab*n_users) DIV n_a, then
+    // *1000 DIV n_b) so every intermediate stays under 2^63 even at
+    // 10^9 users — both engines floor identically on the all-positive
     // operands.
-    "ts29_assoc" -> ((s, d) => {
-      val baskets = Tables.events(s, d).groupBy(col("user_id"))
-        .agg(array_sort(collect_set(col("event_type"))).as("types"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nUsers = baskets.agg(count(lit(1)).as("n_users"))
-      val singles = baskets.select(explode(col("types")).as("event_type"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_single"))
-      val pairCombos = flatten(transform(col("types"), (a, ai) =>
-        transform(slice(col("types"), ai + lit(2), size(col("types")) - ai - 1),
-          b => struct(a.as("a"), b.as("b")))))
-      baskets.select(explode(pairCombos).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n_ab"))
-        .join(broadcast(singles.select(col("event_type").as("a"),
-          col("n_single").as("n_a"))), "a")
-        .join(broadcast(singles.select(col("event_type").as("b"),
-          col("n_single").as("n_b"))), "b")
-        .crossJoin(broadcast(nUsers))
-        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
-          col("n_users"),
-          expr("(n_ab * 1000) DIV n_users").as("support_milli"),
-          expr("(n_ab * 1000) DIV n_a").as("conf_ab_milli"),
-          expr("(n_ab * 1000) DIV n_b").as("conf_ba_milli"),
-          expr("(((n_ab * n_users) DIV n_a) * 1000) DIV n_b").as("lift_milli"))
-        .orderBy(col("a"), col("b"))
-    }),
+    "ts29_assoc" -> ((s, d) =>
+      assocReport(Tables.events(s, d).select(col("user_id"), col("event_type")))
+        .orderBy(col("a"), col("b"))),
 
     // Sliding 1h range window per key.
     "ts04_sliding" -> ((s, d) => {

@@ -733,6 +733,44 @@ object TopicStream {
     graft.operators.TimeSeries.abLiftReport(perUser)
   }
 
+  /** Streaming ASSOCIATION RULES — ts29's arrival loop, state-topic
+    * style (the retentionStream discipline, no generations needed):
+    * each micro-batch reduces to its distinct (user, event_type)
+    * BASKET facts and upserts them content-keyed `user#type` —
+    * replays, late arrivals, and fresh-checkpoint relaunches just
+    * rewrite/add facts, so there is no generation bookkeeping and no
+    * per-user resolution state at all. The report (baskets → one
+    * marker/singles/pairs explode → tiny rollup) happens at READ time
+    * in [[currentAssoc]] via the shared batch kernel, so
+    * support/confidence/lift lawfully move as baskets accumulate —
+    * exactly batch-consistent by construction. Per-batch cost: a
+    * batch-sized distinct + upsert; the topic is the compacted
+    * (user, type) basket log, bounded by users × |event_type|. */
+  def assocStream(events: Dataset[TopicEvent], store: graft.sources.TopicStore,
+                  topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    events.toDF().writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val facts = b.toDF()
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(max(col("ts")).as("time"))
+          .select(
+            concat(col("user_id"), lit("#"), col("event_type")).as("fact_key"),
+            col("user_id"), col("event_type"), col("time"))
+        if (!facts.isEmpty)
+          store.upsert(topic, facts, "time", seq = Some(base + 1 + id))
+      }
+  }
+
+  /** The CURRENT association-rules report of an [[assocStream]] topic
+    * — ts29's exact output over the accumulated basket facts via the
+    * shared kernel ([[graft.operators.TimeSeries.assocReport]]). */
+  def currentAssoc(store: graft.sources.TopicStore, topic: String): DataFrame =
+    graft.operators.TimeSeries.assocReport(
+      store.readMerged(topic, "fact_key")
+        .select(col("user_id"), col("event_type")))
+
   /** Streaming training-data prep — the px01 batch pipeline in
     * streaming form: language gate → token-band quality gate → exact
     * dedup within the watermark horizon (state bounded by the

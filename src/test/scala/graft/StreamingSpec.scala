@@ -417,6 +417,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming association rules: baskets accumulate across batches, report equals batch ts29") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sassoc").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.assocStream(input.toDF().as[TopicEvent], store, "assoc")
+      .option("checkpointLocation", s"$root/_chk").start()
+    val B = 100000L
+    def t(sec: Long) = new java.sql.Timestamp((B + sec) * 1000L)
+    def report() = TopicStream.currentAssoc(store, "assoc")
+      .select("a", "b", "n_ab", "n_a", "n_b", "n_users", "lift_milli")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    def batchOf(evs: Seq[TopicEvent]) =
+      graft.operators.TimeSeries.assocReport(
+          evs.toDF().select(col("user_id"), col("event_type")))
+        .select("a", "b", "n_ab", "n_a", "n_b", "n_users", "lift_milli")
+        .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    // u1: {view}; u2: {view, purchase} — one pair after batch 1
+    val b1 = Seq(
+      TopicEvent(1, t(10), 1L, "view", 0),
+      TopicEvent(2, t(20), 2L, "view", 0), TopicEvent(3, t(30), 2L, "purchase", 1.0),
+      TopicEvent(4, t(35), 2L, "purchase", 2.0)) // duplicate type: same basket
+    // batch 2: u1 buys — the (purchase, view) pair forms ACROSS batches
+    val b2 = Seq(TopicEvent(5, t(40), 1L, "purchase", 3.0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      val r1 = report()
+      assert(r1 == batchOf(b1), s"after batch 1: $r1 != ${batchOf(b1)}")
+      assert(r1.exists(r => r._1 == "purchase" && r._2 == "view" && r._3 == 1L),
+        s"u2's pair expected after batch 1: $r1")
+      input.addData(b2: _*); q.processAllAvailable()
+      val r2 = report()
+      assert(r2 == batchOf(b1 ++ b2), s"stream $r2 != batch ${batchOf(b1 ++ b2)}")
+      // the cross-batch basket upgrade: both users now hold the pair
+      assert(r2.exists(r => r._1 == "purchase" && r._2 == "view" &&
+        r._3 == 2L && r._6 == 2L), s"cross-batch pair must count u1 too: $r2")
+    } finally q.stop()
+  }
+
   test("streaming upsert sink: merged view tracks latest per key across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
