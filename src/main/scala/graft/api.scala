@@ -253,12 +253,17 @@ object api {
       val arm = concat(lit("arm"),
         pmod(conv(substring(md5(concat(col(userCol).cast("string"),
           lit(":" + salt))), 1, 8), 16, 10).cast("long"), lit(nArms.toLong)))
+      // "any conversion at-or-after exposure" ⟺ max(conversion ts) >=
+      // first exposure — O(1) agg state per key (two scalars), never a
+      // per-key timestamp array (ts26's r10 whale fix, applied here
+      // too: a 100k-conversion key would otherwise build a 100k array
+      // in every partial buffer).
       val perUser = df.groupBy(col(userCol))
         .agg(min(when(exposure, col(tsCol))).as("_fe"),
-          collect_list(when(conversion, col(tsCol))).as("_cts"))
+          max(when(conversion, col(tsCol))).as("_lc"))
         .filter(col("_fe").isNotNull)
         .select(col(userCol),
-          exists(col("_cts"), t => t >= col("_fe")).as("_conv"),
+          coalesce(col("_lc") >= col("_fe"), lit(false)).as("_conv"),
           arm.as("arm"))
       val w0 = Window.orderBy(col("arm"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -269,6 +274,36 @@ object api {
         .withColumn("lift_vs_arm0_milli",
           col("conv_milli") - first(col("conv_milli")).over(w0))
     }
+
+    /** CUSUM changepoint per key (the ts28 operator as a verb): the
+      * mean-centered cumulative sum of `valueCol` (quantized by
+      * `scale` into exact integer units) peaks where the series'
+      * level shifts; one row per key reports the max-|CUSUM| point
+      * (position, time, tie id, signed n-scaled deviation) and the
+      * before/after mean split in milli-units. (tsCol, tieCol) must
+      * totally order each key's rows; tsCol must be a timestamp.
+      * Scale shape: GroupPrefix two-phase running sums (safe for
+      * low-cardinality keys where a plain window is the one-task
+      * trap), map-side-combinable argmax; the long-domain bound is
+      * guarded in-plan and fails loudly. */
+    def changepoint(keyCol: String, tsCol: String, tieCol: String,
+                    valueCol: String, scale: Int = 100): DataFrame =
+      graft.operators.TimeSeries.cusumChangepoint(
+        df.select(col(keyCol), col(tsCol), col(tieCol),
+          round(col(valueCol) * scale).cast("long").as("vc")),
+        keyCol, tsCol, tieCol)
+
+    /** Association rules over per-key item baskets (the ts29 operator
+      * as a verb — market-basket support/confidence/lift): for every
+      * item pair (a < b), n_ab/n_a/n_b/n_users plus
+      * support/conf(a→b)/conf(b→a)/lift in integer milli. One shuffle
+      * on `userCol` builds the distinct-item baskets; everything
+      * after is item-domain-sized (see ts29's single-explode shape).
+      * Pair count grows |items|²/2 per basket — meant for bounded
+      * item domains (event types, categories, tags), not free text. */
+    def assocRules(userCol: String, itemCol: String): DataFrame =
+      graft.operators.TimeSeries.assocReport(
+        df.select(col(userCol).as("user_id"), col(itemCol).as("event_type")))
 
     /** Per-key z-score outliers over an integer-valued column (exact
       * moments commute -> deterministic at any parallelism; the ts15
@@ -973,6 +1008,44 @@ object api {
       graft.operators.Similarity
         .ivfpqProbe(coded, cents, cb, qs, nprobe, shortlist, k, excludeSelf)
         .withColumnRenamed("vec_id", idCol)
+    }
+
+    /** Matryoshka two-stage ANN (the ss25 operator as a verb): coarse
+      * cosine over the first `prefixDims` dims shortlists
+      * `shortlist` candidates per query (partial WindowGroupLimit —
+      * only scalars ride the exchange), exact full-dim cosine reranks
+      * to top-`k`. At 100 TB store the prefix as its own narrow
+      * column: the coarse scan then reads prefixDims/dim of the
+      * vector bytes and full vectors are fetched only for the
+      * shortlist. Returns (q_id, idCol, pre_cos, cos_sim, rank). */
+    def mrlTopK(idCol: String, vecCol: String, queries: DataFrame,
+                queryIdCol: String, queryVecCol: String,
+                prefixDims: Int = 16, shortlist: Int = 40, k: Int = 10,
+                excludeSelf: Boolean = false): DataFrame =
+      graft.operators.Similarity.mrlPrefixTopK(
+        df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+        queries.select(col(queryIdCol).as("q_id"),
+          col(queryVecCol).as("q_emb")),
+        prefixDims, shortlist, k, excludeSelf)
+        .withColumnRenamed("vec_id", idCol)
+
+    /** Partition/cell balance audit over any assigned frame (the ss26
+      * operator as a verb): per distinct `cellCol` value — member
+      * count, corpus share (milli), balance factor vs the uniform
+      * ideal (1000 = even), and the oversized flag (> 2x uniform).
+      * One partial-agg'd rollup into the cell domain + a 1-row
+      * broadcast; use it on IVF cell assignments, shard columns, or
+      * any partitioning whose skew would hurt downstream reads. */
+    def cellBalance(cellCol: String): DataFrame = {
+      val counts = df.groupBy(col(cellCol).as("cell"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_cells"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("cell"), col("n"), col("total"), col("n_cells"),
+          expr("(n * 1000) DIV total").as("share_milli"),
+          expr("(n * n_cells * 1000) DIV total").as("balance_milli"),
+          (col("n") * col("n_cells") > col("total") * 2).as("oversized"))
     }
 
     /** SemDeDup prune list (the ss10 operator as a verb): assign each

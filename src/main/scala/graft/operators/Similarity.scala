@@ -559,30 +559,11 @@ object Similarity {
     // (ss17's capped sample rule). Both cosines are the fused
     // one-pass kernel — bit-identical to the oracle's list_sum form.
     "ss25_mrl_prefix" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val P = 16
       val e = emb(s, d)
       val qs = e.filter(col("vec_id") % 50 === 7 && col("vec_id") < 5000)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val coarse = e.select(col("vec_id"), slice(col("embedding"), 1, P).as("pre"))
-        .crossJoin(broadcast(qs.select(col("q_id"),
-          slice(col("q_emb"), 1, P).as("q_pre"))))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cosine(col("pre"), col("q_pre")).as("pre_cos"))
-      val wc = Window.partitionBy(col("q_id"))
-        .orderBy(col("pre_cos").desc, col("vec_id"))
-      val short = coarse.withColumn("prk", row_number().over(wc))
-        .filter(col("prk") <= 40)
-        .select(col("q_id"), col("vec_id"), col("pre_cos"))
-      val wr = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-      e.join(broadcast(short), "vec_id")
-        .join(broadcast(qs), "q_id")
-        .select(col("q_id"), col("vec_id"), col("pre_cos"),
-          cosine(col("embedding"), col("q_emb")).as("cos_sim"))
-        .withColumn("rank", row_number().over(wr))
-        .filter(col("rank") <= 10)
+      mrlPrefixTopK(e, qs, prefixDims = 16, shortlist = 40, k = 10,
+          excludeSelf = true)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -884,6 +865,42 @@ object Similarity {
     * (order-free), then divided once — so both engines see
     * bit-identical centroid constants with no round() hazards.
     */
+  /** ss25's whole pipeline over any (vec_id, embedding) corpus and
+    * (q_id, q_emb) query batch — the Matryoshka two-stage retrieval
+    * kernel shared by the batch query and [[graft.api]]'s `mrlTopK`
+    * verb. Coarse pass: cosine over the first `prefixDims` dims only
+    * (at 100 TB a separate narrow prefix column — P/D of the vector
+    * bytes); per-query top-`shortlist` behind a partial
+    * WindowGroupLimit (only scalars ride the exchange); rerank fetch:
+    * broadcast the shortlist onto the corpus, exact full-dim cosine,
+    * top-`k`. */
+  private[graft] def mrlPrefixTopK(e: DataFrame, qs: DataFrame,
+                                   prefixDims: Int, shortlist: Int, k: Int,
+                                   excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coarse0 = e
+      .select(col("vec_id"), slice(col("embedding"), 1, prefixDims).as("pre"))
+      .crossJoin(broadcast(qs.select(col("q_id"),
+        slice(col("q_emb"), 1, prefixDims).as("q_pre"))))
+    val coarse = (if (excludeSelf) coarse0.filter(col("vec_id") =!= col("q_id"))
+                  else coarse0)
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("pre"), col("q_pre")).as("pre_cos"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("pre_cos").desc, col("vec_id"))
+    val short = coarse.withColumn("prk", row_number().over(wc))
+      .filter(col("prk") <= shortlist)
+      .select(col("q_id"), col("vec_id"), col("pre_cos"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    e.join(broadcast(short), "vec_id")
+      .join(broadcast(qs), "q_id")
+      .select(col("q_id"), col("vec_id"), col("pre_cos"),
+        cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+  }
+
   private def centroidArray(e: DataFrame): DataFrame = {
     val ex = e.select(col("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos"),

@@ -123,6 +123,47 @@ object TimeSeries {
           .as("mean_milli_s"))
   }
 
+  /** ts28's whole pipeline over any (key, ts, tie, vc) frame — the
+    * CUSUM changepoint kernel shared by the batch query and
+    * [[graft.api]]'s `changepoint` verb. `vc` must be an exact long
+    * (cent-quantized); `tsCol` a timestamp; (tsCol, tieCol) a total
+    * order per key. Emits one row per key: n, sum_c, the max-|CUSUM|
+    * point (cp_rn, cp_ts, cp_<tie>, signed dev = n·prefix − rn·S) and
+    * the before/after mean split in milli. Long-domain bound |dev| ≤
+    * n·Σ|vc| is guarded in-plan (assert_true — fails loudly, never
+    * wraps; beyond ~10^8-point series at cent grain, widen dev to
+    * DECIMAL(38,0)). Scale: GroupPrefix two-phase running sums (never
+    * a one-task-per-key window), map-side-combinable max(struct)
+    * argmax, corpus over the wire exactly once. */
+  private[graft] def cusumChangepoint(v: DataFrame, keyCol: String,
+                                      tsCol: String, tieCol: String): DataFrame = {
+    val totals = v.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_c"),
+        sum(abs(col("vc"))).as("abs_c"))
+      .filter(assert_true(
+        col("n").cast("double") * col("abs_c").cast("double") < 9.0e18,
+        lit("cusumChangepoint: n * sum|vc| exceeds the long domain — " +
+          "rerun at coarser value grain or widen dev to DECIMAL(38,0)")).isNull)
+      .select(col(keyCol), col("n"), col("sum_c"))
+    val pre = graft.functions.GroupPrefix.groupPrefix(
+        v, keyCol, Seq(tsCol, tieCol), value = Some("vc"))
+      .withColumn("prefix", col("cum0") + col("vc"))
+    pre.join(broadcast(totals), keyCol)
+      .withColumn("dev", col("prefix") * col("n") - col("rn") * col("sum_c"))
+      .groupBy(col(keyCol))
+      .agg(max(struct(abs(col("dev")).as("a"),
+        (-unix_micros(col(tsCol))).as("nts"), (-col(tieCol)).as("nid"),
+        col("dev"), col("rn"), col("prefix"), col("n").as("nn"),
+        col("sum_c").as("sc"))).as("m"))
+      .select(col(keyCol), col("m.nn").as("n"), col("m.sc").as("sum_c"),
+        col("m.rn").as("cp_rn"),
+        timestamp_micros(-col("m.nts")).as("cp_ts"),
+        (-col("m.nid")).as(s"cp_$tieCol"), col("m.dev").as("dev"),
+        expr("(m.prefix * 1000) DIV m.rn").as("mean_before_milli"),
+        expr("CASE WHEN m.rn < m.nn THEN ((m.sc - m.prefix) * 1000) DIV (m.nn - m.rn) END")
+          .as("mean_after_milli"))
+  }
+
   /** ts29's whole pipeline over raw (user_id, event_type) rows —
     * shared by the batch query and the streaming twin's read side
     * ([[graft.streaming.TopicStream.currentAssoc]]), so stream and
@@ -462,37 +503,13 @@ object TimeSeries {
     // has ~5 values, the definitional skew trap); the argmax is a
     // map-side-combinable max(struct) into a |series|-row frame; the
     // corpus crosses the wire exactly once (the range exchange).
-    "ts28_changepoint" -> ((s, d) => {
-      val v = Tables.events(s, d)
-        .select(col("event_type"), col("ts"), col("event_id"),
-          round(col("value") * 100).cast("long").as("vc"))
-      val totals = v.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_c"),
-          sum(abs(col("vc"))).as("abs_c"))
-        .filter(assert_true(
-          col("n").cast("double") * col("abs_c").cast("double") < 9.0e18,
-          lit("ts28: n * sum|cents| exceeds the long domain — rerun at " +
-            "coarser value grain or widen dev to DECIMAL(38,0)")).isNull)
-        .select(col("event_type"), col("n"), col("sum_c"))
-      val pre = graft.functions.GroupPrefix.groupPrefix(
-          v, "event_type", Seq("ts", "event_id"), value = Some("vc"))
-        .withColumn("prefix", col("cum0") + col("vc"))
-      pre.join(broadcast(totals), "event_type")
-        .withColumn("dev", col("prefix") * col("n") - col("rn") * col("sum_c"))
-        .groupBy(col("event_type"))
-        .agg(max(struct(abs(col("dev")).as("a"),
-          (-unix_micros(col("ts"))).as("nts"), (-col("event_id")).as("nid"),
-          col("dev"), col("rn"), col("prefix"), col("n").as("nn"),
-          col("sum_c").as("sc"))).as("m"))
-        .select(col("event_type"), col("m.nn").as("n"), col("m.sc").as("sum_c"),
-          col("m.rn").as("cp_rn"),
-          timestamp_micros(-col("m.nts")).as("cp_ts"),
-          (-col("m.nid")).as("cp_event_id"), col("m.dev").as("dev"),
-          expr("(m.prefix * 1000) DIV m.rn").as("mean_before_milli"),
-          expr("CASE WHEN m.rn < m.nn THEN ((m.sc - m.prefix) * 1000) DIV (m.nn - m.rn) END")
-            .as("mean_after_milli"))
-        .orderBy(col("event_type"))
-    }),
+    "ts28_changepoint" -> ((s, d) =>
+      cusumChangepoint(
+        Tables.events(s, d)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("vc")),
+        "event_type", "ts", "event_id")
+        .orderBy(col("event_type"))),
 
     // ASSOCIATION RULES over per-user event baskets — the market-
     // basket staple (support / confidence / lift for every event-type

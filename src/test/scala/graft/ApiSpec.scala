@@ -1006,4 +1006,70 @@ class ApiSpec extends SparkSpec {
     val (spp, sh) = (sse(mpp.centroids), sse(mh.centroids))
     assert(spp <= sh, s"kmeans++ must not train to a worse SSE: pp=$spp hash=$sh")
   }
+
+  test("changepoint verb matches ts28 and locates a planted level shift") {
+    val viaApi = Tables.events(spark, sfDir)
+      .changepoint("event_type", "ts", "event_id", "value", scale = 100)
+      .orderBy("event_type")
+      .withColumnRenamed("cp_event_id", "cp_tie")
+    val viaOp = SparkEntry.queries("ts28_changepoint")(spark, sfDir)
+      .withColumnRenamed("cp_event_id", "cp_tie")
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted shift: level 1.00 for rows 1..50, 9.00 for rows 51..100 —
+    // |CUSUM| peaks exactly at the boundary (rn=50), dev negative
+    // (first half below the mean), means split 100 vs 900 milli-cents
+    import spark.implicits._
+    val planted = (1 to 100).map(i =>
+      (1L, new java.sql.Timestamp(i * 60000L), i.toLong,
+        if (i <= 50) 1.0 else 9.0))
+      .toDF("k", "t", "tie", "v")
+    val cp = planted.changepoint("k", "t", "tie", "v").collect()(0)
+    assert(cp.getAs[Long]("cp_rn") == 50L, s"shift boundary expected: $cp")
+    assert(cp.getAs[Long]("dev") < 0L)
+    assert(cp.getAs[Long]("mean_before_milli") == 100000L &&
+      cp.getAs[Long]("mean_after_milli") == 900000L, s"mean split: $cp")
+  }
+
+  test("assocRules verb matches ts29 and computes a hand-checked lift") {
+    val viaApi = Tables.events(spark, sfDir)
+      .assocRules("user_id", "event_type").orderBy("a", "b")
+    val viaOp = SparkEntry.queries("ts29_assoc")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // 4 users: {x,y} {x,y} {x} {y} — n_xy=2, n_x=3, n_y=3, N=4:
+    // support 500, conf 666 both ways, lift = ((2*4) DIV 3)*1000 DIV 3 = 666
+    import spark.implicits._
+    val baskets = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (4L, "y")).toDF("u", "item")
+    val r = baskets.assocRules("u", "item").collect()(0)
+    assert(r.getAs[String]("a") == "x" && r.getAs[String]("b") == "y")
+    assert(r.getAs[Long]("n_ab") == 2L && r.getAs[Long]("n_users") == 4L)
+    assert(r.getAs[Long]("support_milli") == 500L &&
+      r.getAs[Long]("conf_ab_milli") == 666L &&
+      r.getAs[Long]("lift_milli") == 666L, s"hand-checked metrics: $r")
+  }
+
+  test("mrlTopK verb answers a query batch identically to the ss25 query") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val qs = e.filter(col("vec_id") % 50 === 7 && col("vec_id") < 5000)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val viaApi = e.mrlTopK("vec_id", "embedding", qs, "q_id", "embedding",
+        prefixDims = 16, shortlist = 40, k = 10, excludeSelf = true)
+      .orderBy("q_id", "rank")
+    val viaOp = SparkEntry.queries("ss25_mrl_prefix")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+  }
+
+  test("cellBalance verb matches ss26's report shape on a skewed assignment") {
+    import spark.implicits._
+    // 9 + 2 + 1 members over 3 cells: cell 0 holds >2x the uniform
+    // share (the flag is STRICT — exactly-2x is the boundary, not over)
+    val assigned = ((1 to 9).map(i => (i.toLong, 0)) ++
+      Seq((10L, 1), (11L, 1), (12L, 2))).toDF("id", "cell")
+    val r = assigned.cellBalance("cell").orderBy("cell").collect()
+    assert(r.map(_.getAs[Long]("n")).toSeq == Seq(9L, 2L, 1L))
+    assert(r(0).getAs[Boolean]("oversized") && !r(1).getAs[Boolean]("oversized"))
+    assert(r(0).getAs[Long]("balance_milli") == 2250L &&
+      r(1).getAs[Long]("balance_milli") == 500L)
+    assert(r.map(_.getAs[Long]("share_milli")).sum >= 998L)
+  }
 }
