@@ -146,6 +146,7 @@ class GraftSession(val spark: SparkSession, root: String) {
   def execute(sql: String): Unit = {
     val InsertRe = """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s+((?:SELECT|VALUES|WITH|TABLE).+)""".r
     val ViewRe = """(?is)\s*CREATE\s+(MATERIALIZED\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+)""".r
+    val RefreshRe = """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*""".r
     val DropRe = """(?is)\s*DROP\s+(?:TABLE|VIEW)\s+([\w.]+)\s*""".r
     val CreateCatRe = """(?is)\s*CREATE\s+CATALOG\s+(IF\s+NOT\s+EXISTS\s+)?([\w]+)\s*""".r
     val CreateSchemaRe = """(?is)\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*""".r
@@ -169,6 +170,9 @@ class GraftSession(val spark: SparkSession, root: String) {
         registerTempViews()
         if (mat != null) catalog.materializeView(name, body.trim)
         else catalog.createView(name, body.trim)
+      case RefreshRe(name) =>
+        registerTempViews()
+        catalog.refreshMaterializedView(name)
       case CreateCatRe(ine, name) => catalog.createCatalog(name, ifNotExists = ine != null)
       case CreateSchemaRe(ine, name) => catalog.createSchema(name, ifNotExists = ine != null)
       case DropCatRe(ie, name, casc) =>
@@ -197,6 +201,17 @@ class GraftSession(val spark: SparkSession, root: String) {
   /** Switch default catalog/schema context (ella.rs:118-137). */
   def useCatalog(c: String): Unit = catalog.useCatalog(c)
   def useSchema(s: String): Unit = catalog.useSchema(s)
+
+  /** Re-materialize a stale MATERIALIZED VIEW in place — re-plans its
+    * registered SQL over the topics' current state and swaps the
+    * parquet materialization atomically (crash-safe two-rename; see
+    * [[graft.sources.TopicCatalog.refreshMaterializedView]]). Also
+    * reachable as `REFRESH MATERIALIZED VIEW name` through
+    * [[execute]]. */
+  def refreshMaterializedView(name: String): Unit = {
+    registerTempViews()
+    catalog.refreshMaterializedView(name)
+  }
 
   /** Datastore maintenance pass — the counterpart of the reference's
     * background shard maintenance (ella-engine/src/table/topic/shard/

@@ -403,6 +403,64 @@ class TopicCatalog(spark: SparkSession, root: String,
     commit("put", resolve(ref), Some(entries(resolve(ref))))
   }
 
+  /** REFRESH MATERIALIZED VIEW — the maintenance verb
+    * [[materializeView]] stops short of (without it a stale
+    * materialization can only be dropped and recreated): re-plans the
+    * registered SQL against the CURRENT catalog state, so base-topic
+    * appends since the last refresh flow through, and atomically
+    * replaces the parquet materialization via the compactor's
+    * two-rename discipline — the rewrite lands in a `.refresh_` temp
+    * dir, the live dir moves to an `.old_` aside, the temp swaps in,
+    * the aside drops. A crash at ANY instant leaves one complete copy
+    * on disk, and refresh HEALS an interrupted predecessor before
+    * starting (live missing + aside present = the crash hit between
+    * the two renames, so the aside — the only complete copy — is
+    * restored; stale temps clear). Readers of the manifest path see
+    * either the old or the new materialization, never a torn one.
+    * Caller must have the view's base relations resolvable
+    * (GraftSession registers topic temp views first, the
+    * materializeView contract). */
+  def refreshMaterializedView(ref: String): Unit = {
+    val fqn = resolve(ref)
+    if (!entries.contains(fqn)) reload()
+    val (sql, path) = entries.get(fqn) match {
+      case Some(View(s, Some(p))) => (s, p)
+      case Some(View(_, None)) => throw new IllegalArgumentException(
+        s"$fqn is a plain view — it re-plans on every scan and needs no refresh")
+      case Some(e) => throw new IllegalArgumentException(
+        s"REFRESH MATERIALIZED VIEW targets a materialized view; $fqn is a ${e.kind}")
+      case None => throw new NoSuchElementException(s"view not found: $fqn")
+    }
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val aside = new org.apache.hadoop.fs.Path(live.getParent, s".old_${live.getName}")
+    val tmp = new org.apache.hadoop.fs.Path(live.getParent, s".refresh_${live.getName}")
+    // heal a crashed predecessor: between-renames crash leaves the
+    // aside as the only complete copy; its dead rewrite temp clears
+    if (!fs.exists(live) && fs.exists(aside))
+      require(fs.rename(aside, live), s"refresh recovery: could not restore $aside")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.sql(sql).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(aside)) fs.delete(aside, true)
+    require(fs.rename(live, aside),
+      s"refresh swap: could not move $live aside; materialization left untouched")
+    val movedIn =
+      try fs.rename(tmp, live)
+      catch { case e: java.io.IOException =>
+        val restored = fs.rename(aside, live)
+        throw new java.io.IOException(
+          s"refresh swap: could not move $tmp into place; original " +
+            (if (restored) "restored" else s"preserved at $aside"), e)
+      }
+    if (!movedIn) {
+      val restored = fs.rename(aside, live)
+      throw new java.io.IOException(
+        s"refresh swap: could not move $tmp into place; original " +
+          (if (restored) "restored" else s"preserved at $aside"))
+    }
+    fs.delete(aside, true)
+  }
+
   /** Pin `topicRef`'s state as of `asOfEpochS` under the tag name
     * `ref`. The target must be a registered (non-temp) topic; tags of
     * tags or views are rejected — the pin must ground in stored

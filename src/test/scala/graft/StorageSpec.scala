@@ -1029,6 +1029,36 @@ class StorageSpec extends SparkSpec {
     assert(!gs.catalog.contains("meter_by_key"))
   }
 
+  test("REFRESH MATERIALIZED VIEW re-materializes appends atomically and heals a crashed swap") {
+    val gs = new GraftSession(spark, tmp())
+    gs.publish("meter_r", sampleEvents(30))
+    gs.execute("CREATE MATERIALIZED VIEW mr AS SELECT key, count(*) AS n FROM meter_r GROUP BY key")
+    def counts() = gs.table("mr").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts() == Map("k0" -> 10L, "k1" -> 10L, "k2" -> 10L))
+    // appends do NOT flow into the stale materialization ...
+    gs.publish("meter_r", sampleEvents(6, startS = 1700100000L))
+    assert(counts() == Map("k0" -> 10L, "k1" -> 10L, "k2" -> 10L), "MV must be stale before refresh")
+    // ... until the refresh re-plans and swaps
+    gs.execute("REFRESH MATERIALIZED VIEW mr")
+    assert(counts() == Map("k0" -> 12L, "k1" -> 12L, "k2" -> 12L), "refresh must absorb the appends")
+    // crash window: between the two renames — live dir missing, aside
+    // is the only complete copy, a dead rewrite temp lies around
+    val path = new java.io.File(
+      gs.catalog.table("mr").inputFiles.head.stripPrefix("file:")).getParentFile
+    val aside = new java.io.File(path.getParent, s".old_${path.getName}")
+    val tmp2 = new java.io.File(path.getParent, s".refresh_${path.getName}")
+    assert(path.renameTo(aside))
+    tmp2.mkdirs()
+    gs.publish("meter_r", sampleEvents(3, startS = 1700200000L))
+    gs.refreshMaterializedView("mr")
+    assert(counts() == Map("k0" -> 13L, "k1" -> 13L, "k2" -> 13L),
+      "refresh must heal the interrupted swap and still absorb new appends")
+    assert(!aside.exists && !tmp2.exists, "no swap debris may remain")
+    // plain views re-plan per scan — refresh must refuse them
+    gs.execute("CREATE VIEW mr_plain AS SELECT count(*) AS n FROM meter_r")
+    intercept[IllegalArgumentException] { gs.refreshMaterializedView("mr_plain") }
+  }
+
   test("view SQL with quotes/newlines survives a manifest reload byte-for-byte") {
     val root = tmp()
     val cat = new TopicCatalog(spark, root)
