@@ -183,6 +183,15 @@ case class SmoothedEvent(event_id: Long, user_id: Long, cents: Long,
 /** An event flagged as anomalous against its key's PRIOR baseline. */
 case class AnomalousEvent(event_id: Long, user_id: Long, value_c: Long, z: Double)
 
+/** Per-key tabular-CUSUM accumulators (cents): the one-sided upper and
+  * lower sums of Page's test. */
+case class CusumState(s_plus_c: Long, s_minus_c: Long)
+
+/** A CUSUM alarm: the event whose arrival pushed its key's one-sided
+  * sum past the decision threshold (`side` = "up" | "down"). */
+case class CusumAlarm(event_id: Long, user_id: Long, value_c: Long,
+                      side: String, s_c: Long)
+
 /** Structured Streaming transforms — the Spark counterpart of ella's
   * pub/sub topic surface (ella-engine/src/table/topic/channel.rs,
   * ella-server flight pub/sub, README "Unified Workflow").
@@ -1702,6 +1711,62 @@ object TopicStream {
       armTtl(state, rows.map(_.ts.getTime).max + ttl * 1000L)
     }
     out.iterator
+  }
+
+  /** Streaming CUSUM control chart — Page's test per key, the ONLINE
+    * half of the changepoint pair (batch ts28 locates a shift
+    * retrospectively at the max-|CUSUM| point; this raises the alarm
+    * LIVE as the shift happens — the form monitoring stacks deploy,
+    * with an explicit in-control target rather than a data-derived
+    * mean): per arriving event, the one-sided sums update as
+    * S⁺ = max(0, S⁺ + (x − target − slack)) and
+    * S⁻ = max(0, S⁻ + (target − slack − x)); crossing `threshold`
+    * emits an alarm for that event and RESTARTS both sums (the
+    * standard post-alarm reset). All arithmetic in exact integer
+    * cents — target/slack/threshold are cent parameters — so replays
+    * are bit-deterministic. State per key is TWO LONGS (O(1)); rows
+    * fold in (ts, event_id) order within a batch; like ewmaStream,
+    * cross-batch semantics are prequential (a late event updates the
+    * chart at arrival — an online monitor's contract). `ttlSeconds`
+    * evicts silent keys (event-time, watermarked); an evicted key's
+    * chart restarts at zero. */
+  def cusumStream(events: Dataset[TopicEvent], targetCents: Long,
+                  slackCents: Long, thresholdCents: Long,
+                  ttlSeconds: Option[Long] = None,
+                  watermarkDelay: String = "1 hour"): Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    require(slackCents >= 0 && thresholdCents > 0,
+      "cusumStream: slack must be >= 0 and threshold > 0")
+    val src = ttlSeconds.fold(events)(_ => events.withWatermark("ts", watermarkDelay))
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append,
+        ttlSeconds.fold(GroupStateTimeout.NoTimeout())(_ => GroupStateTimeout.EventTimeTimeout())) {
+        case (key: Long, rowsIt: Iterator[TopicEvent], state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = rowsIt.toSeq
+            val st0 = state.getOption.getOrElse(CusumState(0L, 0L))
+            val (finalSt, out) = rows.sortBy(e => (e.ts.getTime, e.event_id))
+              .foldLeft((st0, Vector.empty[CusumAlarm])) { case ((st, acc), e) =>
+                val vc = math.round(e.value * 100)
+                val up = math.max(0L, st.s_plus_c + (vc - targetCents - slackCents))
+                val dn = math.max(0L, st.s_minus_c + (targetCents - slackCents - vc))
+                if (up > thresholdCents)
+                  (CusumState(0L, 0L),
+                    acc :+ CusumAlarm(e.event_id, key, vc, "up", up))
+                else if (dn > thresholdCents)
+                  (CusumState(0L, 0L),
+                    acc :+ CusumAlarm(e.event_id, key, vc, "down", dn))
+                else (CusumState(up, dn), acc)
+              }
+            state.update(finalSt)
+            ttlSeconds.foreach { ttl =>
+              armTtl(state, rows.map(_.ts.getTime).max + ttl * 1000L)
+            }
+            out.iterator
+          }
+      }
   }
 
   /** Streaming EWMA smoother — ts19 in streaming form: each arriving

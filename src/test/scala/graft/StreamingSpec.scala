@@ -664,6 +664,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM: a planted level shift alarms at the hand-computed event, split-invariant") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // target 1.00, slack 0.50, threshold 10.00 (cents: 100/50/1000).
+    // 5 in-control samples (vc=100: both sums stay 0), then a shift to
+    // 9.00 (vc=900): up += 750 per event => alarm at the SECOND shifted
+    // event with s = 1500; the reset restarts the chart, so the alarm
+    // repeats every 2 shifted events: event_ids 7, 9, 11.
+    val all = (1 to 11).map(i =>
+      TopicEvent(i, ts(f"2024-01-01 00:${i}%02d:00"), 1L,
+        "m", if (i <= 5) 1.0 else 9.0))
+    def run(name: String, batches: Seq[Seq[TopicEvent]]): Seq[(Long, String, Long)] = {
+      val input = MemoryStream[TopicEvent]
+      val q = TopicStream.cusumStream(input.toDS(), 100L, 50L, 1000L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).select("event_id", "side", "s_c")
+          .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+      } finally q.stop()
+    }
+    val oneShot = run("cusum_1", Seq(all))
+    assert(oneShot == Seq((7L, "up", 1500L), (9L, "up", 1500L), (11L, "up", 1500L)),
+      s"hand-computed alarm schedule: $oneShot")
+    // split mid-chart: the accumulators must carry across micro-batches
+    val split = run("cusum_2", Seq(all.take(6), all.drop(6)))
+    assert(split == oneShot, s"micro-batch split must not move alarms: $split")
+    // downward shifts alarm on the other side
+    val down = (1 to 8).map(i =>
+      TopicEvent(i, ts(f"2024-01-01 01:${i}%02d:00"), 2L,
+        "m", if (i <= 5) 9.0 else 1.0))
+    val dn = {
+      val input = MemoryStream[TopicEvent]
+      val q = TopicStream.cusumStream(input.toDS(), 900L, 50L, 1000L)
+        .writeStream.format("memory").queryName("cusum_3").outputMode("append").start()
+      try {
+        input.addData(down: _*); q.processAllAvailable()
+        spark.table("cusum_3").select("event_id", "side")
+          .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      } finally q.stop()
+    }
+    assert(dn == Seq((7L, "down")), s"downward alarm expected: $dn")
+  }
+
   test("keyed-stream TTL: in-horizon keys match the TTL-disabled form; silent keys evict") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
