@@ -344,6 +344,20 @@ object api {
         .drop("_h")
         .join(df, Seq(idCol))
 
+    /** Fuzzy entity matching (the dd17 operator as a verb — the
+      * record-linkage string-similarity join): name pairs within
+      * `maxDist` edit distance, candidates blocked on shared distinct
+      * character 3-grams (>= `minSharedGrams` — the count-filter
+      * blocker, complete for edit distance k while (max_len − 2) − 3k
+      * >= minSharedGrams, a lossy recall knob beyond). Dedupe to the
+      * DISTINCT name domain first — grams explode per name, the block
+      * join is gram-keyed, Levenshtein runs on candidates only, never
+      * an all-pairs product. Returns (a, b, lev, shared_grams). */
+    def fuzzyPairs(nameCol: String, maxDist: Int = 2,
+                   minSharedGrams: Long = 2L): DataFrame =
+      graft.operators.Dedup.fuzzyPairs(
+        df.select(col(nameCol).as("name")).distinct(), maxDist, minSharedGrams)
+
     /** Incremental exact dedup against a FINGERPRINT frame (the dd12
       * flow as a verb): flags rows whose content hash already exists
       * in `fingerprints` (a 1-column `chash` frame — typically a

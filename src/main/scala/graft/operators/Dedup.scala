@@ -88,11 +88,60 @@ object Dedup {
       .distinct()
   }
 
+  /** Generic q-gram-blocked edit-distance matcher over a distinct-name
+    * frame (one `name` string column) — the ENTITY-RESOLUTION string
+    * similarity join (the dedup family's third similarity measure
+    * next to set-Jaccard shingles and embedding cosine): candidates
+    * are name pairs sharing >= `minSharedGrams` distinct character
+    * 3-grams (the classic count-filter blocker — COMPLETE for edit
+    * distance k while (max_len − 2) − 3k >= minSharedGrams, a lossy
+    * recall knob beyond it, exactly dd02's LSH contract), verified by
+    * exact Levenshtein <= `maxDist` (integer, identical in both
+    * engines). Scale shape: grams explode over the NAME DOMAIN (never
+    * the row count — dedupe to distinct names first), the block join
+    * is gram-keyed (never all-pairs), the verify runs on candidates
+    * only. */
+  private[graft] def fuzzyPairs(names: DataFrame, maxDist: Int,
+                                minSharedGrams: Long): DataFrame = {
+    val g = names.select(col("name"), explode(array_distinct(expr(
+      "transform(sequence(1, greatest(length(name) - 2, 1)), i -> substring(name, i, 3))")))
+      .as("gram"))
+    g.as("x").join(g.as("y"),
+        col("x.gram") === col("y.gram") && col("x.name") < col("y.name"))
+      .groupBy(col("x.name").as("a"), col("y.name").as("b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minSharedGrams)
+      .withColumn("lev", levenshtein(col("a"), col("b")))
+      .filter(col("lev") <= maxDist)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash + LSH banding: docs sharing any band bucket are candidate
     // near-dups; n_sig_match/NumPerms estimates Jaccard.
     "dd02_minhash_lsh" -> ((s, d) => {
       candidatePairs(docs(s, d)).orderBy(col("a"), col("b"))
+    }),
+
+    // FUZZY ENTITY MATCHING over the part-name registry (the record-
+    // linkage / fuzzy-join staple — typo-distance duplicates that
+    // neither shingle-Jaccard nor embedding cosine expresses): the
+    // distinct-name domain q-gram-blocks and Levenshtein-verifies
+    // (see [[fuzzyPairs]]); each matched pair carries both names'
+    // row counts and canonical (min) keys so the merge step downstream
+    // has its survivors. One row-domain agg (distinct names), a gram-
+    // keyed block join on the NAME domain, exact integer verify on
+    // candidates only — never an all-pairs product.
+    "dd17_fuzzy_match" -> ((s, d) => {
+      val n = Tables(s, d, "part").groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_rows"), min(col("p_partkey")).as("min_key"))
+      fuzzyPairs(n.select(col("name")), maxDist = 3, minSharedGrams = 2L)
+        .join(n.select(col("name").as("a"), col("n_rows").as("rows_a"),
+          col("min_key").as("key_a")), "a")
+        .join(n.select(col("name").as("b"), col("n_rows").as("rows_b"),
+          col("min_key").as("key_b")), "b")
+        .select(col("a"), col("b"), col("lev"), col("shared_grams"),
+          col("rows_a"), col("rows_b"), col("key_a"), col("key_b"))
+        .orderBy(col("a"), col("b"))
     }),
 
     // SimHash (16-bit, md5-nibble bit votes) + high-byte blocking +
@@ -774,6 +823,28 @@ object Dedup {
   val oracle: Map[String, String] = baseOracle +
     // same components as dd06, different fixpoint — one ground truth
     ("dd09_cc_star" -> baseOracle("dd06_dup_clusters")) +
+    ("dd17_fuzzy_match" ->
+      """WITH n AS (
+        | SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(p_partkey) AS BIGINT) AS min_key
+        | FROM part GROUP BY 1),
+        |g AS (
+        | SELECT name, unnest(list_distinct(list_transform(
+        |   generate_series(1, greatest(len(name) - 2, 1)),
+        |   i -> substr(name, CAST(i AS INT), 3)))) AS gram
+        | FROM n),
+        |cand AS (
+        | SELECT x.name AS a, y.name AS b, CAST(count(*) AS BIGINT) AS shared_grams
+        | FROM g x JOIN g y ON x.gram = y.gram AND x.name < y.name
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |v AS (
+        | SELECT a, b, CAST(levenshtein(a, b) AS INT) AS lev, shared_grams
+        | FROM cand WHERE levenshtein(a, b) <= 3)
+        |SELECT v.a, v.b, v.lev, v.shared_grams,
+        | na.n_rows AS rows_a, nb.n_rows AS rows_b,
+        | na.min_key AS key_a, nb.min_key AS key_b
+        |FROM v JOIN n na ON v.a = na.name JOIN n nb ON v.b = nb.name
+        |ORDER BY v.a, v.b""".stripMargin) +
     ("dd16_winnowing" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          |shs AS (SELECT doc_id, $shingleSql AS sh FROM w),

@@ -1007,6 +1007,25 @@ class ApiSpec extends SparkSpec {
     assert(spp <= sh, s"kmeans++ must not train to a worse SSE: pp=$spp hash=$sh")
   }
 
+  test("fuzzyPairs verb matches dd17's pair set and catches planted typos") {
+    import spark.implicits._
+    val viaApi = Tables(spark, sfDir, "part")
+      .fuzzyPairs("p_name", maxDist = 3, minSharedGrams = 2L)
+      .select("a", "b", "lev", "shared_grams").orderBy("a", "b")
+    val viaOp = SparkEntry.queries("dd17_fuzzy_match")(spark, sfDir)
+      .select("a", "b", "lev", "shared_grams")
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted registry: one typo pair (lev 1, long shared runs), one
+    // unrelated name that must NOT match anything
+    val reg = Seq("acme widget corp", "acme wdget corp", "zzz unrelated")
+      .toDF("n")
+    val pairs = reg.fuzzyPairs("n", maxDist = 2).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[String]("a") == "acme wdget corp" &&
+      pairs(0).getAs[String]("b") == "acme widget corp" &&
+      pairs(0).getAs[Int]("lev") == 1, s"typo pair expected: ${pairs.toSeq}")
+  }
+
   test("changepoint verb matches ts28 and locates a planted level shift") {
     val viaApi = Tables.events(spark, sfDir)
       .changepoint("event_type", "ts", "event_id", "value", scale = 100)
