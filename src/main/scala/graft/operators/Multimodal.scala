@@ -63,6 +63,49 @@ object Multimodal {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MAGIC-BYTE FORMAT SNIFFING + declared-vs-actual audit — the
+    // media-ingest QA pass that needs NO codec, so unlike the decode
+    // stubs this sniffer is the real production logic: the payload's
+    // leading bytes are matched against the public magic numbers
+    // (JPEG FF D8 FF, PNG 89 50 4E 47 0D 0A 1A 0A, RIFF 52 49 46 46)
+    // and compared to the DECLARED format, reporting per
+    // (declared, sniffed) file counts + bytes — the "0.3% of files
+    // lie about their extension, 1% are headerless garbage" table
+    // every crawl-ingest runs before decoding anything. Payloads are
+    // synthesized with REAL magic prefixes (md5-selected; one class
+    // deliberately headerless => sniffs 'unknown'); the sniff reads
+    // ONLY the first 8 bytes of each payload (binary substring at
+    // scan speed — the terabytes of media never leave the scan), and
+    // the rollup partial-aggs into the format² domain.
+    "mm05_format_sniff" -> ((s, d) => {
+      val nibOf: String => org.apache.spark.sql.Column = salt =>
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))),
+          1, 1), 16, 10).cast("int")
+      val media = Tables.spread(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          concat(
+            when(nibOf(":fmt") % 4 === 0, unhex(lit("FFD8FF")))
+              .when(nibOf(":fmt") % 4 === 1, unhex(lit("89504E470D0A1A0A")))
+              .when(nibOf(":fmt") % 4 === 2, unhex(lit("52494646")))
+              .otherwise(unhex(lit(""))),
+            encode(col("text"), "UTF-8")).as("payload"),
+          when(nibOf(":decl") % 3 === 0, "jpeg")
+            .when(nibOf(":decl") % 3 === 1, "png")
+            .otherwise("riff").as("declared"))
+      val head = upper(hex(substring(col("payload"), 1, 8)))
+      media
+        .select(col("declared"),
+          when(head.startsWith("FFD8FF"), "jpeg")
+            .when(head.startsWith("89504E470D0A1A0A"), "png")
+            .when(head.startsWith("52494646"), "riff")
+            .otherwise("unknown").as("sniffed"),
+          length(col("payload")).cast("long").as("nb"))
+        .groupBy(col("declared"), col("sniffed"))
+        .agg(count(lit(1)).as("n_files"), sum(col("nb")).as("total_bytes"))
+        .withColumn("ok", col("declared") === col("sniffed"))
+        .orderBy(col("declared"), col("sniffed"))
+    }),
+
     // Binary payload column + batched per-partition decode.
     "mm01_binary_meta" -> ((s, d) => {
       import s.implicits._
@@ -142,6 +185,30 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm05_format_sniff" ->
+      """WITH m AS (
+        | SELECT doc_id, text,
+        |  (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':fmt'), 1, 1)) - 1) % 4 AS f,
+        |  (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':decl'), 1, 1)) - 1) % 3 AS dc
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id,
+        |  from_hex(CASE f WHEN 0 THEN 'FFD8FF' WHEN 1 THEN '89504E470D0A1A0A'
+        |                  WHEN 2 THEN '52494646' ELSE '' END) || encode(text) AS payload,
+        |  CASE dc WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'riff' END AS declared
+        | FROM m),
+        |sn AS (
+        | SELECT declared,
+        |  CASE WHEN substr(upper(hex(payload)), 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |       WHEN substr(upper(hex(payload)), 1, 16) = '89504E470D0A1A0A' THEN 'png'
+        |       WHEN substr(upper(hex(payload)), 1, 8) = '52494646' THEN 'riff'
+        |       ELSE 'unknown' END AS sniffed,
+        |  CAST(octet_length(payload) AS BIGINT) AS nb
+        | FROM p)
+        |SELECT declared, sniffed, CAST(count(*) AS BIGINT) AS n_files,
+        | CAST(sum(nb) AS BIGINT) AS total_bytes,
+        | declared = sniffed AS ok
+        |FROM sn GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The stub's md5-derived metadata is reproducible in SQL: DuckDB
     // md5 over the same UTF-8 bytes yields the same digest.
     "mm01_binary_meta" ->

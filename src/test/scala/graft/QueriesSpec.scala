@@ -456,6 +456,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("mm05 sniff covers every payload and 'unknown' is exactly the headerless class") {
+    val rows = SparkEntry.queries("mm05_format_sniff")(spark, sfDir).collect()
+    val docs = Tables(spark, sfDir, "documents")
+    assert(rows.map(_.getAs[Long]("n_files")).sum == docs.count(),
+      "every payload must be classified exactly once")
+    val expectedUnknown = docs.filter(
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":fmt"))),
+        1, 1), 16, 10).cast("int") % 4 === 3).count()
+    assert(rows.filter(_.getAs[String]("sniffed") == "unknown")
+      .map(_.getAs[Long]("n_files")).sum == expectedUnknown,
+      "unknown must be exactly the headerless payloads — magic bytes never misread")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok") ==
+        (r.getAs[String]("declared") == r.getAs[String]("sniffed")))
+    }
+  }
+
   test("ss26 cell balance shares and flags are consistent and cover the corpus") {
     val rows = SparkEntry.queries("ss26_cell_balance")(spark, sfDir).collect()
     val total = rows.head.getAs[Long]("total")
