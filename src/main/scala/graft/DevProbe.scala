@@ -82,7 +82,8 @@ object DevProbe {
         "ts24_transitions", "ts25_funnel_timing", "ts26_ab_lift",
         "ts27_rfm",
         "ts28_changepoint", "ts29_assoc", "ss25_mrl_prefix",
-        "ss26_cell_balance", "dd17_fuzzy_match", "mm05_format_sniff")
+        "ss26_cell_balance", "dd17_fuzzy_match", "mm05_format_sniff",
+        "ts30_attribution", "ss27_range_search")
       // optional third arg: comma-separated subset of the list above
       val only = args.lift(2).map(_.split(",").toSet)
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")

@@ -208,6 +208,45 @@ object Similarity {
         .limit(10)
     }),
 
+    // RANGE SEARCH — the vector-DB query form top-k stops short of
+    // (FAISS range_search / Milvus "radius" queries): ALL neighbors
+    // with cosine >= tau for each query in the batch, not a fixed k —
+    // the form dedup thresholds, compliance lookups ("everything this
+    // similar"), and recall-oriented retrieval use, where the caller
+    // wants the (variable-size) epsilon-ball, with its size reported
+    // per query. Composes the ss06 machinery: each query probes its 2
+    // nearest cells, candidates are cell-mates only (at 100 TB the
+    // probe reads nprobe cell partitions, never the corpus), exact
+    // cosine filters >= tau, and the per-query ball size rides along
+    // via a candidate-bounded window count. Queries whose ball is
+    // empty simply emit nothing — the honest range semantics.
+    "ss27_range_search" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      // persist(): cents broadcasts into BOTH crossJoins (ss06's rule)
+      val cents = centroidArray(e)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cellStructs = transform(col("cents"),
+        c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                    c.getField("c_label").as("cell")))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("best", array_min(cellStructs))
+        .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+      val qs = e.filter(col("vec_id") % 50 === 7 && col("vec_id") < 5000)
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          slice(array_sort(cellStructs), 1, 2).as("probes"))
+        .select(col("q_id"), col("q_emb"), explode(col("probes.cell")).as("q_cell"))
+      val matches = assigned.join(broadcast(qs), col("cell") === col("q_cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("cell"),
+          cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.25)
+      matches
+        .withColumn("n_range", count(lit(1)).over(Window.partitionBy(col("q_id"))))
+        .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+    }),
+
     // SEMANTIC decontamination — tx11's embedding-space twin (the
     // FineWeb/LLM-decontam check n-grams miss: a benchmark item
     // paraphrased into training data shares no 5-gram but sits close
@@ -1404,6 +1443,39 @@ object Similarity {
         |     * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
         |FROM cells e JOIN qp ON e.cell = qp.q_cell CROSS JOIN q
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "ss27_range_search" ->
+      """WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |assigned AS (
+        | SELECT e.vec_id, e.embedding, c.c_label,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |cells AS (SELECT vec_id, embedding, c_label AS cell FROM assigned WHERE rn = 1),
+        |qp AS (SELECT vec_id AS q_id, c_label AS q_cell FROM assigned
+        |       WHERE vec_id % 50 = 7 AND vec_id < 5000 AND rn <= 2),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |      WHERE vec_id % 50 = 7 AND vec_id < 5000),
+        |m AS (
+        | SELECT qp.q_id, e.vec_id, e.cell,
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
+        | FROM cells e JOIN qp ON e.cell = qp.q_cell JOIN q ON q.q_id = qp.q_id
+        | WHERE e.vec_id <> qp.q_id)
+        |SELECT q_id, vec_id, cell, cos_sim,
+        | CAST(count(*) OVER (PARTITION BY q_id) AS BIGINT) AS n_range
+        |FROM m WHERE cos_sim >= 0.25
+        |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin,
     "ss19_semantic_decontam" ->
       """WITH p AS (
         | SELECT h, list_transform(generate_series(0, 63),

@@ -529,6 +529,45 @@ object TimeSeries {
       assocReport(Tables.events(s, d).select(col("user_id"), col("event_type")))
         .orderBy(col("a"), col("b"))),
 
+    // MARKETING ATTRIBUTION report — last-touch AND first-touch in one
+    // pass (the conversion-credit staple next to ts21's funnel: "which
+    // channel gets credit for this purchase"): each purchase credits
+    // (a) the most recent preceding touch (view/click) within a 7-day
+    // attribution window — stale or absent => 'none' — and (b) the
+    // user's EARLIEST preceding touch (first-touch is unwindowed by
+    // convention: the introducer keeps credit however old). Output is
+    // the (last_touch, first_touch) matrix with conversion counts,
+    // cent-exact revenue, and milli share of all conversions. Scale
+    // shape: ONE user_id shuffle (the ordered timeline window carries
+    // two running IGNORE-NULLS values — O(1) state per row), the
+    // rollup partial-aggs into the (touch+1)² domain, the total is a
+    // 1-row broadcast; timestamps compare in exact microseconds.
+    "ts30_attribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isTouch = col("event_type").isin("view", "click")
+      val winUs = 7L * 86400L * 1000000L
+      val conv = Tables.events(s, d)
+        .withColumn("lt_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("lt_us", last(when(isTouch, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+        .withColumn("ft_type", first(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          when(col("lt_us").isNotNull &&
+            unix_micros(col("ts")) - col("lt_us") <= winUs, col("lt_type"))
+            .otherwise(lit("none")).as("last_touch"),
+          coalesce(col("ft_type"), lit("none")).as("first_touch"),
+          round(col("value") * 100).cast("long").as("vc"))
+      val total = conv.agg(count(lit(1)).as("n_total"))
+      conv.groupBy(col("last_touch"), col("first_touch"))
+        .agg(count(lit(1)).as("n_conv"), sum(col("vc")).as("value_cents"))
+        .crossJoin(broadcast(total))
+        .select(col("last_touch"), col("first_touch"), col("n_conv"),
+          col("value_cents"), col("n_total"),
+          expr("(n_conv * 1000) DIV n_total").as("share_milli"))
+        .orderBy(col("last_touch"), col("first_touch"))
+    }),
+
     // Sliding 1h range window per key.
     "ts04_sliding" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s")).rangeBetween(-3600, 0)
@@ -920,6 +959,30 @@ object TimeSeries {
         | CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
         | (CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) * 1000) // count(*) AS conv_milli
         |FROM exposed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts30_attribution" ->
+      """WITH tl AS (
+        | SELECT *,
+        |  last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+        |   OVER w AS lt_type,
+        |  last_value(CASE WHEN event_type IN ('view', 'click') THEN epoch_us(ts) END IGNORE NULLS)
+        |   OVER w AS lt_us,
+        |  first_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+        |   OVER w AS ft_type
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |conv AS (
+        | SELECT
+        |  CASE WHEN lt_us IS NOT NULL AND epoch_us(ts) - lt_us <= 604800000000
+        |       THEN lt_type ELSE 'none' END AS last_touch,
+        |  coalesce(ft_type, 'none') AS first_touch,
+        |  CAST(round(value * 100) AS BIGINT) AS vc
+        | FROM tl WHERE event_type = 'purchase'),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM conv)
+        |SELECT last_touch, first_touch, CAST(count(*) AS BIGINT) AS n_conv,
+        | CAST(sum(vc) AS BIGINT) AS value_cents, n_total,
+        | (CAST(count(*) AS BIGINT) * 1000) // n_total AS share_milli
+        |FROM conv, t GROUP BY 1, 2, n_total ORDER BY 1, 2""".stripMargin,
     "ts28_changepoint" ->
       """WITH v AS (
         | SELECT event_type, ts, event_id,

@@ -456,6 +456,58 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ts30 attribution credits a hand-built timeline correctly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // replay the operator's exact logic over a planted timeline via a
+    // temp events frame: swap the table loader by running the same
+    // column pipeline inline
+    def attribution(events: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isTouch = col("event_type").isin("view", "click")
+      events
+        .withColumn("lt_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("lt_us", last(when(isTouch, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+        .withColumn("ft_type", first(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          when(col("lt_us").isNotNull &&
+            unix_micros(col("ts")) - col("lt_us") <= 7L * 86400L * 1000000L, col("lt_type"))
+            .otherwise(lit("none")).as("last_touch"),
+          coalesce(col("ft_type"), lit("none")).as("first_touch"))
+    }
+    def t(day: Int) = new java.sql.Timestamp(86400000L * day)
+    val planted = Seq(
+      (1L, t(1), 10L, "click"),   // u10: introducer
+      (2L, t(2), 10L, "view"),    // u10: latest touch
+      (3L, t(3), 10L, "purchase"),// within 7d of view => last=view, first=click
+      (4L, t(20), 10L, "purchase"),// 17d stale => last=none, first=click stays
+      (5L, t(5), 11L, "purchase") // u11: never touched => none/none
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = attribution(planted).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got == Map(
+      3L -> ("view", "click"),
+      4L -> ("none", "click"),
+      5L -> ("none", "none")), s"hand-built credit: $got")
+    // and the registered query's shares sum to ~1000
+    val rows = SparkEntry.queries("ts30_attribution")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_conv")).sum == rows.head.getAs[Long]("n_total"))
+  }
+
+  test("ss27 range search: every hit clears tau and ball sizes count exactly") {
+    val rows = SparkEntry.queries("ss27_range_search")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the range ball should be non-empty at sf0.001")
+    rows.foreach(r => assert(r.getAs[Double]("cos_sim") >= 0.25))
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("n_range")).toSet == Set(rs.size.toLong),
+        s"ball size must equal the row count for q=$q")
+      assert(!rs.exists(_.getAs[Long]("vec_id") == q), "self must be excluded")
+    }
+  }
+
   test("mm05 sniff covers every payload and 'unknown' is exactly the headerless class") {
     val rows = SparkEntry.queries("mm05_format_sniff")(spark, sfDir).collect()
     val docs = Tables(spark, sfDir, "documents")
