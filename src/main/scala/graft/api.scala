@@ -275,6 +275,22 @@ object api {
           col("conv_milli") - first(col("conv_milli")).over(w0))
     }
 
+    /** Marketing attribution (the ts30 operator as a verb): each
+      * `isConversion` row credits the most recent preceding `isTouch`
+      * row's `touchLabel` within `windowSeconds` (stale/absent ⇒
+      * 'none') AND the key's earliest touch (first-touch unwindowed).
+      * Returns the (last_touch, first_touch) credit matrix with
+      * conversion counts, exact `valueCents` revenue, and milli
+      * shares. One shuffle on `userCol` (two running IGNORE-NULLS
+      * window values, O(1) per row); rollup in the (labels+1)²
+      * domain. */
+    def attribution(userCol: String, tsCol: String, tieCol: String,
+                    touchLabel: Column, isTouch: Column,
+                    isConversion: Column, valueCents: Column,
+                    windowSeconds: Long = 7L * 86400L): DataFrame =
+      graft.operators.TimeSeries.attributionReport(df, userCol, tsCol,
+        tieCol, touchLabel, isTouch, isConversion, valueCents, windowSeconds)
+
     /** CUSUM changepoint per key (the ts28 operator as a verb): the
       * mean-centered cumulative sum of `valueCol` (quantized by
       * `scale` into exact integer units) peaks where the series'

@@ -164,6 +164,43 @@ object TimeSeries {
           .as("mean_after_milli"))
   }
 
+  /** ts30's whole pipeline over any event frame — the attribution
+    * kernel shared by the batch query and [[graft.api]]'s
+    * `attribution` verb: each conversion credits the most recent
+    * preceding touch within `windowSeconds` (stale/absent ⇒ 'none')
+    * and the earliest preceding touch (first-touch unwindowed by
+    * convention). One shuffle on `userCol`; the ordered timeline
+    * window carries two running IGNORE-NULLS values (O(1) per row);
+    * the rollup partial-aggs into the (labels+1)² matrix; the total
+    * is a 1-row broadcast. Microsecond-exact window math. */
+  private[graft] def attributionReport(events: DataFrame, userCol: String,
+                                       tsCol: String, tieCol: String,
+                                       touchLabel: Column, isTouch: Column,
+                                       isConversion: Column, valueCents: Column,
+                                       windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val winUs = windowSeconds * 1000000L
+    val conv = events
+      .withColumn("lt_type", last(when(isTouch, touchLabel), ignoreNulls = true).over(w))
+      .withColumn("lt_us", last(when(isTouch, unix_micros(col(tsCol))), ignoreNulls = true).over(w))
+      .withColumn("ft_type", first(when(isTouch, touchLabel), ignoreNulls = true).over(w))
+      .filter(isConversion)
+      .select(
+        when(col("lt_us").isNotNull &&
+          unix_micros(col(tsCol)) - col("lt_us") <= winUs, col("lt_type"))
+          .otherwise(lit("none")).as("last_touch"),
+        coalesce(col("ft_type"), lit("none")).as("first_touch"),
+        valueCents.as("vc"))
+    val total = conv.agg(count(lit(1)).as("n_total"))
+    conv.groupBy(col("last_touch"), col("first_touch"))
+      .agg(count(lit(1)).as("n_conv"), sum(col("vc")).as("value_cents"))
+      .crossJoin(broadcast(total))
+      .select(col("last_touch"), col("first_touch"), col("n_conv"),
+        col("value_cents"), col("n_total"),
+        expr("(n_conv * 1000) DIV n_total").as("share_milli"))
+  }
+
   /** ts29's whole pipeline over raw (user_id, event_type) rows —
     * shared by the batch query and the streaming twin's read side
     * ([[graft.streaming.TopicStream.currentAssoc]]), so stream and
@@ -542,31 +579,14 @@ object TimeSeries {
     // two running IGNORE-NULLS values — O(1) state per row), the
     // rollup partial-aggs into the (touch+1)² domain, the total is a
     // 1-row broadcast; timestamps compare in exact microseconds.
-    "ts30_attribution" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val isTouch = col("event_type").isin("view", "click")
-      val winUs = 7L * 86400L * 1000000L
-      val conv = Tables.events(s, d)
-        .withColumn("lt_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
-        .withColumn("lt_us", last(when(isTouch, unix_micros(col("ts"))), ignoreNulls = true).over(w))
-        .withColumn("ft_type", first(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
-        .filter(col("event_type") === "purchase")
-        .select(
-          when(col("lt_us").isNotNull &&
-            unix_micros(col("ts")) - col("lt_us") <= winUs, col("lt_type"))
-            .otherwise(lit("none")).as("last_touch"),
-          coalesce(col("ft_type"), lit("none")).as("first_touch"),
-          round(col("value") * 100).cast("long").as("vc"))
-      val total = conv.agg(count(lit(1)).as("n_total"))
-      conv.groupBy(col("last_touch"), col("first_touch"))
-        .agg(count(lit(1)).as("n_conv"), sum(col("vc")).as("value_cents"))
-        .crossJoin(broadcast(total))
-        .select(col("last_touch"), col("first_touch"), col("n_conv"),
-          col("value_cents"), col("n_total"),
-          expr("(n_conv * 1000) DIV n_total").as("share_milli"))
-        .orderBy(col("last_touch"), col("first_touch"))
-    }),
+    "ts30_attribution" -> ((s, d) =>
+      attributionReport(Tables.events(s, d), "user_id", "ts", "event_id",
+        touchLabel = col("event_type"),
+        isTouch = col("event_type").isin("view", "click"),
+        isConversion = col("event_type") === "purchase",
+        valueCents = round(col("value") * 100).cast("long"),
+        windowSeconds = 7L * 86400L)
+        .orderBy(col("last_touch"), col("first_touch"))),
 
     // Sliding 1h range window per key.
     "ts04_sliding" -> ((s, d) => {

@@ -183,6 +183,15 @@ case class SmoothedEvent(event_id: Long, user_id: Long, cents: Long,
 /** An event flagged as anomalous against its key's PRIOR baseline. */
 case class AnomalousEvent(event_id: Long, user_id: Long, value_c: Long, z: Double)
 
+/** Per-key attribution state: first touch ever, latest touch + its
+  * event-time microseconds (three scalars — O(1) per user). */
+case class AttState(ft: Option[String], lt: Option[String], lt_us: Long)
+
+/** A conversion's attribution credit as assigned at arrival time. */
+case class AttributionCredit(event_id: Long, user_id: Long,
+                             last_touch: String, first_touch: String,
+                             value_c: Long)
+
 /** Per-key tabular-CUSUM accumulators (cents): the one-sided upper and
   * lower sums of Page's test. */
 case class CusumState(s_plus_c: Long, s_minus_c: Long)
@@ -1711,6 +1720,63 @@ object TopicStream {
       armTtl(state, rows.map(_.ts.getTime).max + ttl * 1000L)
     }
     out.iterator
+  }
+
+  /** Streaming ATTRIBUTION — ts30's arrival loop as an online credit
+    * assigner (the real-time form attribution systems deploy: credit
+    * is assigned the moment the conversion arrives, from the touches
+    * seen so far): per-user state is THREE SCALARS (first touch ever,
+    * latest touch + its event-time), a touch updates them, a
+    * conversion emits its (last_touch-within-window, first_touch)
+    * credit row. Batch-consistent whenever arrivals are per-user
+    * event-time ordered (rows sort by (ts, event_id) within a batch;
+    * the spec pins ordered-feed == batch-kernel equality across a
+    * micro-batch split); a LATE touch influences only later
+    * conversions — the online contract, same as ewma/cusumStream.
+    * Touch set and conversion predicate mirror ts30 (view/click →
+    * purchase); `ttlSeconds` evicts silent users. */
+  def attributionStream(events: Dataset[TopicEvent],
+                        windowSeconds: Long = 7L * 86400L,
+                        ttlSeconds: Option[Long] = None,
+                        watermarkDelay: String = "1 hour"): Dataset[AttributionCredit] = {
+    import events.sparkSession.implicits._
+    val winUs = windowSeconds * 1000000L
+    val src = ttlSeconds.fold(events)(_ => events.withWatermark("ts", watermarkDelay))
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttState, AttributionCredit](
+        OutputMode.Append,
+        ttlSeconds.fold(GroupStateTimeout.NoTimeout())(_ => GroupStateTimeout.EventTimeTimeout())) {
+        case (key: Long, rowsIt: Iterator[TopicEvent], state: GroupState[AttState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = rowsIt.toSeq
+            // the repo's exact µs convention (see FunnelState call sites)
+            def us(ts: java.sql.Timestamp): Long =
+              Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+            val st0 = state.getOption.getOrElse(AttState(None, None, Long.MinValue))
+            val (finalSt, out) = rows.sortBy(e => (us(e.ts), e.event_id))
+              .foldLeft((st0, Vector.empty[AttributionCredit])) { case ((st, acc), e) =>
+                e.event_type match {
+                  case "view" | "click" =>
+                    (AttState(st.ft.orElse(Some(e.event_type)),
+                      Some(e.event_type), us(e.ts)), acc)
+                  case "purchase" =>
+                    val lastTouch = st.lt match {
+                      case Some(t) if us(e.ts) - st.lt_us <= winUs => t
+                      case _ => "none"
+                    }
+                    (st, acc :+ AttributionCredit(e.event_id, key, lastTouch,
+                      st.ft.getOrElse("none"), math.round(e.value * 100)))
+                  case _ => (st, acc)
+                }
+              }
+            state.update(finalSt)
+            ttlSeconds.foreach { ttl =>
+              armTtl(state, rows.map(_.ts.getTime).max + ttl * 1000L)
+            }
+            out.iterator
+          }
+      }
   }
 
   /** Streaming CUSUM control chart — Page's test per key, the ONLINE

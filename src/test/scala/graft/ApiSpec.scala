@@ -1026,6 +1026,18 @@ class ApiSpec extends SparkSpec {
       pairs(0).getAs[Int]("lev") == 1, s"typo pair expected: ${pairs.toSeq}")
   }
 
+  test("attribution verb matches ts30") {
+    val viaApi = Tables.events(spark, sfDir)
+      .attribution("user_id", "ts", "event_id",
+        touchLabel = col("event_type"),
+        isTouch = col("event_type").isin("view", "click"),
+        isConversion = col("event_type") === "purchase",
+        valueCents = round(col("value") * 100).cast("long"))
+      .orderBy("last_touch", "first_touch")
+    val viaOp = SparkEntry.queries("ts30_attribution")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+  }
+
   test("changepoint verb matches ts28 and locates a planted level shift") {
     val viaApi = Tables.events(spark, sfDir)
       .changepoint("event_type", "ts", "event_id", "value", scale = 100)

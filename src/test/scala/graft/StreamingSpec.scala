@@ -664,6 +664,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution assigns the batch credits on an ordered feed across a split") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def t(day: Int) = new java.sql.Timestamp(86400000L * day)
+    // the ts30 spec's planted timeline: u10 click(d1) view(d2)
+    // purchase(d3: view/click) purchase(d20: none/click — stale);
+    // u11 purchase(d5: none/none)
+    val b1 = Seq(
+      TopicEvent(1, t(1), 10L, "click", 0),
+      TopicEvent(2, t(2), 10L, "view", 0),
+      TopicEvent(3, t(3), 10L, "purchase", 2.0))
+    val b2 = Seq(
+      TopicEvent(4, t(20), 10L, "purchase", 3.0),
+      TopicEvent(5, t(5), 11L, "purchase", 4.0))
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.attributionStream(input.toDS())
+      .writeStream.format("memory").queryName("att_s").outputMode("append").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("att_s")
+        .select("event_id", "last_touch", "first_touch", "value_c")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(got == Set(
+        (3L, "view", "click", 200L),
+        (4L, "none", "click", 300L),
+        (5L, "none", "none", 400L)),
+        s"online credits must match the batch kernel on an ordered feed: $got")
+    } finally q.stop()
+  }
+
   test("streaming CUSUM: a planted level shift alarms at the hand-computed event, split-invariant") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
