@@ -94,28 +94,44 @@ object TextOps {
 
     // Character-bigram profile: the n-gram language-model heuristic —
     // per doc: distinct bigram count + modal bigram (ties break
-    // lexicographically). Explode + count + rank: all integer/string.
+    // lexicographically). PER-ROW since r11: a doc's bigram profile
+    // needs nothing from any other doc, so the r9 explode + (doc, bg)
+    // agg + per-doc rank window — two corpus-sized bigram exchanges —
+    // was pure overhead AND the plan class the I/O-contention axis
+    // kept distorting (the tx05 bench watch: 2.0-2.5x readings in
+    // otherwise-quiet windows). Now: sort the doc's own bigram array
+    // and fold its runs — the FIRST longest run in ascending order is
+    // exactly the (count desc, bigram asc) winner — at scan speed with
+    // ZERO exchanges before the output sort; identical output, same
+    // oracle. Docs shorter than 2 chars drop (parity with the old
+    // explode and DuckDB's unnest of an empty list).
     "tx05_char_ngrams" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      // Guard for docs shorter than 2 chars: Spark's sequence(1, 0)
-      // yields a DESCENDING [1, 0] (spurious bigrams) while DuckDB's
-      // generate_series(1, 0) is empty — so emit no bigrams explicitly
-      // on both engines (explode of an empty array drops the row, just
-      // like unnest of an empty list).
-      val bg = Tables.spread(docs(s, d))
+      val acc0 = struct(lit("").as("b"), lit(0L).as("bc"),
+        lit("").as("c"), lit(0L).as("cc"))
+      val top = aggregate(array_sort(col("bgs")), acc0,
+        (a, x) => when(x === a.getField("c"),
+          struct(a.getField("b").as("b"), a.getField("bc").as("bc"),
+            a.getField("c").as("c"), (a.getField("cc") + 1L).as("cc")))
+          .otherwise(struct(
+            when(a.getField("cc") > a.getField("bc"), a.getField("c"))
+              .otherwise(a.getField("b")).as("b"),
+            when(a.getField("cc") > a.getField("bc"), a.getField("cc"))
+              .otherwise(a.getField("bc")).as("bc"),
+            x.as("c"), lit(1L).as("cc"))),
+        a => struct(
+          when(a.getField("cc") > a.getField("bc"), a.getField("c"))
+            .otherwise(a.getField("b")).as("bg"),
+          when(a.getField("cc") > a.getField("bc"), a.getField("cc"))
+            .otherwise(a.getField("bc")).as("cnt")))
+      Tables.spread(docs(s, d))
         .withColumn("norm", lower(col("text")))
+        .filter(length(col("norm")) >= 2)
+        .withColumn("bgs", transform(sequence(lit(1), length(col("norm")) - 1),
+          i => col("norm").substr(i, lit(2))))
+        .withColumn("_top", top)
         .select(col("doc_id"),
-          explode(when(length(col("norm")) >= 2,
-            transform(sequence(lit(1), length(col("norm")) - 1),
-              i => col("norm").substr(i, lit(2))))
-            .otherwise(typedLit(Seq.empty[String]))).as("bg"))
-      val counts = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("bg"))
-      counts.withColumn("rn", row_number().over(w))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_distinct_bigrams"),
-          max(when(col("rn") === 1, col("bg"))).as("top_bigram"),
-          max(when(col("rn") === 1, col("cnt"))).as("top_count"))
+          size(array_distinct(col("bgs"))).cast("long").as("n_distinct_bigrams"),
+          col("_top.bg").as("top_bigram"), col("_top.cnt").as("top_count"))
         .orderBy(col("doc_id"))
     }),
 
