@@ -370,9 +370,11 @@ object api {
       * join is gram-keyed, Levenshtein runs on candidates only, never
       * an all-pairs product. Returns (a, b, lev, shared_grams). */
     def fuzzyPairs(nameCol: String, maxDist: Int = 2,
-                   minSharedGrams: Long = 2L): DataFrame =
+                   minSharedGrams: Long = 2L,
+                   maxGramDf: Long = Long.MaxValue): DataFrame =
       graft.operators.Dedup.fuzzyPairs(
-        df.select(col(nameCol).as("name")).distinct(), maxDist, minSharedGrams)
+        df.select(col(nameCol).as("name")).distinct(), maxDist,
+        minSharedGrams, maxGramDf)
 
     /** Incremental exact dedup against a FINGERPRINT frame (the dd12
       * flow as a verb): flags rows whose content hash already exists

@@ -102,10 +102,25 @@ object Dedup {
     * is gram-keyed (never all-pairs), the verify runs on candidates
     * only. */
   private[graft] def fuzzyPairs(names: DataFrame, maxDist: Int,
-                                minSharedGrams: Long): DataFrame = {
-    val g = names.select(col("name"), explode(array_distinct(expr(
+                                minSharedGrams: Long,
+                                maxGramDf: Long = Long.MaxValue): DataFrame = {
+    val g0 = names.select(col("name"), explode(array_distinct(expr(
       "transform(sequence(1, greatest(length(name) - 2, 1)), i -> substring(name, i, 3))")))
       .as("gram"))
+    // STOP-GRAM cap — the blocker's skew guard: a gram shared by k
+    // names contributes k²/2 candidate pairs, so one ubiquitous gram
+    // ("the", "ion") makes the block join quadratic in exactly the
+    // hot-key way salting exists for. Real ER blockers DROP
+    // high-frequency grams (they carry no discriminative signal);
+    // `maxGramDf` bounds per-gram group size — candidates lost are
+    // only those pairs ALL of whose shared grams are stop-grams, the
+    // dd02-style recall knob. Default = uncapped (the tested
+    // registries are tiny); SET IT at scale.
+    val g = if (maxGramDf == Long.MaxValue) g0 else {
+      val keep = g0.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+        .filter(col("gdf") <= maxGramDf).select(col("gram"))
+      g0.join(keep, "gram")
+    }
     g.as("x").join(g.as("y"),
         col("x.gram") === col("y.gram") && col("x.name") < col("y.name"))
       .groupBy(col("x.name").as("a"), col("y.name").as("b"))

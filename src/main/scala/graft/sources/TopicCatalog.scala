@@ -420,7 +420,18 @@ class TopicCatalog(spark: SparkSession, root: String,
     * Caller must have the view's base relations resolvable
     * (GraftSession registers topic temp views first, the
     * materializeView contract). */
-  def refreshMaterializedView(ref: String): Unit = {
+  def refreshMaterializedView(ref: String): Unit =
+    // one refresher per materialization path per JVM (the TopicStore
+    // write-lock scope): two concurrent refreshes would both move the
+    // live dir aside and the loser's rename-restore would clobber the
+    // winner's swap-in. Readers need no lock — they see either the old
+    // or the new dir (rename is the atom), same as compaction.
+    TopicCatalog.refreshLocks
+      .computeIfAbsent(resolve(ref), _ => new Object).synchronized {
+        refreshMaterializedViewLocked(ref)
+      }
+
+  private def refreshMaterializedViewLocked(ref: String): Unit = {
     val fqn = resolve(ref)
     if (!entries.contains(fqn)) reload()
     val (sql, path) = entries.get(fqn) match {
@@ -771,4 +782,9 @@ object TopicCatalog {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[sources] def lockFor(root: String): Object =
     catalogLocks.computeIfAbsent(root, _ => new Object())
+
+  /** One refresher per materialized-view fqn per JVM (see
+    * [[TopicCatalog.refreshMaterializedView]]). */
+  private[sources] val refreshLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

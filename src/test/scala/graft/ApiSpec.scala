@@ -1026,6 +1026,23 @@ class ApiSpec extends SparkSpec {
       pairs(0).getAs[Int]("lev") == 1, s"typo pair expected: ${pairs.toSeq}")
   }
 
+  test("fuzzyPairs stop-gram cap drops only pairs whose shared grams are all stop-grams") {
+    import spark.implicits._
+    // five names share the ' corp' suffix => its grams are stop-grams
+    // (df 5); 'aa corp'/'ab corp' are lev-1 but share ONLY suffix
+    // grams, while the acme typo pair also shares discriminative ones
+    val reg = Seq("acme widget corp", "acme wdget corp",
+      "aa corp", "ab corp", "zzz corp").toDF("n")
+    def pairs(cap: Long) = reg.fuzzyPairs("n", maxDist = 2, maxGramDf = cap)
+      .select("a", "b").as[(String, String)].collect().toSet
+    val uncapped = pairs(Long.MaxValue)
+    assert(uncapped == Set(("aa corp", "ab corp"),
+      ("acme wdget corp", "acme widget corp")), s"uncapped: $uncapped")
+    val capped = pairs(4L)
+    assert(capped == Set(("acme wdget corp", "acme widget corp")),
+      s"capping df>4 grams must lose exactly the suffix-only pair: $capped")
+  }
+
   test("attribution verb matches ts30") {
     val viaApi = Tables.events(spark, sfDir)
       .attribution("user_id", "ts", "event_id",
