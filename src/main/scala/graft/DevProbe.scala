@@ -83,7 +83,7 @@ object DevProbe {
         "ts27_rfm",
         "ts28_changepoint", "ts29_assoc", "ss25_mrl_prefix",
         "ss26_cell_balance", "dd17_fuzzy_match", "mm05_format_sniff",
-        "ts30_attribution", "ss27_range_search")
+        "ts30_attribution", "ss27_range_search", "tx27_quality_train")
       // optional third arg: comma-separated subset of the list above
       val only = args.lift(2).map(_.split(",").toSet)
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")

@@ -360,6 +360,63 @@ object api {
         .drop("_h")
         .join(df, Seq(idCol))
 
+    /** Full-batch integer PERCEPTRON training (the tx27 loop as a
+      * verb — the third in-engine training family next to kmeansTrain
+      * and bpeTrain): `featureCols` must be exact integer columns
+      * (include a constant bias column), `yCol` ∈ {+1, −1}. Each
+      * iteration is ONE partial-agg'd scan of the (localCheckpoint'ed)
+      * feature frame producing the misclassified-sum gradient — a
+      * bounded driver-side model read, the kmeansTrain discipline —
+      * and the NORMALIZED batch update w += (Σ y·x)·1000 DIV n_mis
+      * (milli-grain weights; sign-symmetric integer division) is an
+      * order-free integer computation, so training is bit-reproducible
+      * at any parallelism. The normalization is what makes batch
+      * training provable: averaging bounds the per-round step by the
+      * feature radius, so the online perceptron mistake bound applies
+      * per round — the raw summed update's step grows with the
+      * misclassified count and measurably oscillates. Converges to
+      * zero errors on separable data; stops early there unless
+      * `stopAtZero = false` (fixed-iteration replay mode). */
+    def perceptronTrain(featureCols: Seq[String], yCol: String,
+                        iters: Int = 20,
+                        stopAtZero: Boolean = true): PerceptronModel = {
+      val n = featureCols.size
+      val f = df.select((featureCols.map(c => col(c).cast("long")) :+
+        col(yCol).cast("long").as("_y")): _*).localCheckpoint(false)
+      val w = Array.fill(n)(0L)
+      val errs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var it = 0
+      while (it < iters && !(stopAtZero && errs.lastOption.contains(0L))) {
+        val margin = featureCols.zipWithIndex
+          .map { case (c, i) => col(c).cast("long") * w(i) }
+          .reduce(_ + _)
+        val g = f.filter(col("_y") * margin <= 0)
+          .agg(count(lit(1)).as("_n"),
+            featureCols.zipWithIndex.map { case (c, i) =>
+              sum(col("_y") * col(c).cast("long")).as(s"_d$i") }: _*)
+          .collect()(0)
+        errs += g.getLong(0)
+        val k = g.getLong(0)
+        for (i <- 0 until n) {
+          val d = if (g.isNullAt(i + 1)) 0L else g.getLong(i + 1)
+          if (k > 0L)
+            w(i) += (if (d >= 0) d * 1000L / k else -(-d * 1000L / k))
+        }
+        it += 1
+      }
+      PerceptronModel(w.toSeq, errs.toSeq)
+    }
+
+    /** Score rows with a [[PerceptronModel]]: adds `margin` (the
+      * integer w·x) and the boolean `pred` (margin > 0). Scan-speed
+      * projection — the tx17 deployment shape with learned weights. */
+    def perceptronScore(featureCols: Seq[String],
+                        model: PerceptronModel): DataFrame = {
+      val margin = featureCols.zip(model.weights)
+        .map { case (c, wi) => col(c).cast("long") * wi }.reduce(_ + _)
+      df.withColumn("margin", margin).withColumn("pred", col("margin") > 0)
+    }
+
     /** Fuzzy entity matching (the dd17 operator as a verb — the
       * record-linkage string-similarity join): name pairs within
       * `maxDist` edit distance, candidates blocked on shared distinct
@@ -1292,6 +1349,13 @@ object api {
   final case class KmeansModel(centroids: DataFrame,
                                shiftsMilli: Seq[Long],
                                converged: Boolean)
+
+  /** Result of [[DedupOps.perceptronTrain]]: final integer
+    * weights (one per feature column, in order) and the
+    * pre-update misclassification count of every iteration run. */
+  final case class PerceptronModel(weights: Seq[Long], errs: Seq[Long]) {
+    def converged: Boolean = errs.lastOption.contains(0L)
+  }
 
   /** Result of [[TextCurationOps.bpeTrain]]: the ordered merge list
     * (rank = position). `symbols` renders each merge's output token. */

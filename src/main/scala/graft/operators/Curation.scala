@@ -407,6 +407,52 @@ object Curation {
     // from a model topic and the plan is unchanged). Integer
     // weights/features keep both engines bit-identical — no sigmoid;
     // thresholding the logit is order-equivalent.
+    // QUALITY-CLASSIFIER TRAINING — the in-engine model-training verb
+    // the frozen tx17 gate stops short of (production quality
+    // classifiers are RETRAINED per corpus; this closes the loop the
+    // way ss23/tx25 closed k-means and BPE): the NORMALIZED batch
+    // perceptron (Duda–Hart) over tx17's integer features
+    // (stop/distinct milli + the two band indicators + bias), teacher
+    // = tx17's own keep gate — linear in exactly these features, so
+    // the data is separable and the AVERAGED update inherits the
+    // online mistake bound (the raw summed update |Σy·x|² grows
+    // quadratically in the misclassified count and measurably
+    // oscillates — the normalization is what makes batch training
+    // provable, not a tuning choice). ENGINE-EXACT: weights live at
+    // MILLI grain, each update is sign-symmetric integer division
+    // (sign(d)·((|d|·1000) DIV k) — positive operands, so Spark's
+    // trunc and DuckDB's floor agree), margins are pure long sums —
+    // DuckDB replays the 3 fixed rounds bit-for-bit. Scale shape: the
+    // feature frame materializes once (localCheckpoint, the
+    // kmeansTrain discipline); each round is ONE partial-agg'd scan
+    // producing a 6-long gradient row (the sanctioned bounded model
+    // read); weights broadcast back as literals — plans never nest.
+    "tx27_quality_train" -> ((s, d) => {
+      val sess = s
+      import sess.implicits._
+      val f = qualityFeatureFrame(docs(s, d)).localCheckpoint(false)
+      var w = Array(0L, 0L, 0L, 0L, 0L)
+      val rows = (1 to 3).map { t =>
+        val margin = col("f1") * w(0) + col("f2") * w(1) + col("f3") * w(2) +
+          col("f4") * w(3) + col("f5") * w(4)
+        val g = f.filter(col("y") * margin <= 0)
+          .agg(count(lit(1)).as("n"),
+            sum(col("y") * col("f1")).as("d1"), sum(col("y") * col("f2")).as("d2"),
+            sum(col("y") * col("f3")).as("d3"), sum(col("y") * col("f4")).as("d4"),
+            sum(col("y") * col("f5")).as("d5"))
+          .collect()(0)
+        val nMis = g.getLong(0)
+        for (i <- 0 until 5) {
+          val d = if (g.isNullAt(i + 1)) 0L else g.getLong(i + 1)
+          if (nMis > 0L)
+            w(i) += (if (d >= 0) d * 1000L / nMis else -(-d * 1000L / nMis))
+        }
+        (t.toLong, nMis, w(0), w(1), w(2), w(3), w(4))
+      }
+      rows.toDF("iter", "n_mis", "w_stop", "w_distinct", "w_awl",
+        "w_len", "w_bias").orderBy(col("iter"))
+    }),
+
     "tx17_quality_classifier" -> ((s, d) =>
       qualityScored(docs(s, d))
         .withColumn("label", expr(QualityWeights.labelSql))
@@ -877,6 +923,20 @@ object Curation {
       .withColumn("score", expr(QualityWeights.scoreSql))
   }
 
+  /** tx27's training features over any documents frame: tx17's
+    * integer features (stop/distinct milli) + the two band INDICATORS
+    * (linearized, so tx17's teacher gate is exactly linear in them) +
+    * a bias column, with the teacher label y ∈ {+1, −1}. Shared by
+    * the registered query and ApiSpec's verb-replay pin. */
+  private[graft] def qualityFeatureFrame(docDf: DataFrame): DataFrame =
+    qualityScored(docDf)
+      .select(
+        col("stop_milli").as("f1"), col("distinct_milli").as("f2"),
+        when(col("awl_milli").between(3000, 8000), 1000L).otherwise(0L).as("f3"),
+        when(col("n_words").between(50, 300), 1000L).otherwise(0L).as("f4"),
+        lit(1000L).as("f5"),
+        when(col("score") >= QualityWeights.thMid, 1L).otherwise(-1L).as("y"))
+
   /** tx17's frozen linear model — single source of truth for BOTH
     * engines (the oracle interpolates the same constants). */
   private[graft] object QualityWeights {
@@ -1031,6 +1091,58 @@ object Curation {
         | ${QualityWeights.labelSql} AS label,
         | score >= ${QualityWeights.thMid} AS keep
         |FROM qsc ORDER BY doc_id""".stripMargin,
+    "tx27_quality_train" -> {
+      def upd(d: String, k: String): String =
+        s"(CASE WHEN $k = 0 THEN CAST(0 AS BIGINT) " +
+        s"WHEN $d >= 0 THEN CAST(($d * 1000) // $k AS BIGINT) " +
+        s"ELSE CAST(-((-$d * 1000) // $k) AS BIGINT) END)"
+      s"""WITH ${QualityWeights.scoredCteSql},
+        |f AS (
+        | SELECT stop_milli AS f1, distinct_milli AS f2,
+        |  CAST(CASE WHEN awl_milli BETWEEN 3000 AND 8000 THEN 1000 ELSE 0 END AS BIGINT) AS f3,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 300 THEN 1000 ELSE 0 END AS BIGINT) AS f4,
+        |  CAST(1000 AS BIGINT) AS f5,
+        |  CAST(CASE WHEN score >= ${QualityWeights.thMid} THEN 1 ELSE -1 END AS BIGINT) AS y
+        | FROM qsc),
+        |g1 AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_mis,
+        |  CAST(coalesce(sum(y*f1), 0) AS BIGINT) AS d1, CAST(coalesce(sum(y*f2), 0) AS BIGINT) AS d2,
+        |  CAST(coalesce(sum(y*f3), 0) AS BIGINT) AS d3, CAST(coalesce(sum(y*f4), 0) AS BIGINT) AS d4,
+        |  CAST(coalesce(sum(y*f5), 0) AS BIGINT) AS d5
+        | FROM f WHERE y * 0 <= 0),
+        |w1 AS (SELECT n_mis,
+        |  ${upd("d1", "n_mis")} AS w1, ${upd("d2", "n_mis")} AS w2, ${upd("d3", "n_mis")} AS w3,
+        |  ${upd("d4", "n_mis")} AS w4, ${upd("d5", "n_mis")} AS w5 FROM g1),
+        |g2 AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_mis,
+        |  CAST(coalesce(sum(y*f1), 0) AS BIGINT) AS d1, CAST(coalesce(sum(y*f2), 0) AS BIGINT) AS d2,
+        |  CAST(coalesce(sum(y*f3), 0) AS BIGINT) AS d3, CAST(coalesce(sum(y*f4), 0) AS BIGINT) AS d4,
+        |  CAST(coalesce(sum(y*f5), 0) AS BIGINT) AS d5
+        | FROM f, w1
+        | WHERE y * (f1*w1.w1 + f2*w1.w2 + f3*w1.w3 + f4*w1.w4 + f5*w1.w5) <= 0),
+        |w2 AS (SELECT g2.n_mis,
+        |  w1.w1 + ${upd("g2.d1", "g2.n_mis")} AS w1, w1.w2 + ${upd("g2.d2", "g2.n_mis")} AS w2,
+        |  w1.w3 + ${upd("g2.d3", "g2.n_mis")} AS w3, w1.w4 + ${upd("g2.d4", "g2.n_mis")} AS w4,
+        |  w1.w5 + ${upd("g2.d5", "g2.n_mis")} AS w5 FROM w1, g2),
+        |g3 AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_mis,
+        |  CAST(coalesce(sum(y*f1), 0) AS BIGINT) AS d1, CAST(coalesce(sum(y*f2), 0) AS BIGINT) AS d2,
+        |  CAST(coalesce(sum(y*f3), 0) AS BIGINT) AS d3, CAST(coalesce(sum(y*f4), 0) AS BIGINT) AS d4,
+        |  CAST(coalesce(sum(y*f5), 0) AS BIGINT) AS d5
+        | FROM f, w2
+        | WHERE y * (f1*w2.w1 + f2*w2.w2 + f3*w2.w3 + f4*w2.w4 + f5*w2.w5) <= 0),
+        |w3 AS (SELECT g3.n_mis,
+        |  w2.w1 + ${upd("g3.d1", "g3.n_mis")} AS w1, w2.w2 + ${upd("g3.d2", "g3.n_mis")} AS w2,
+        |  w2.w3 + ${upd("g3.d3", "g3.n_mis")} AS w3, w2.w4 + ${upd("g3.d4", "g3.n_mis")} AS w4,
+        |  w2.w5 + ${upd("g3.d5", "g3.n_mis")} AS w5 FROM w2, g3)
+        |SELECT CAST(1 AS BIGINT) AS iter, n_mis, w1 AS w_stop, w2 AS w_distinct,
+        |  w3 AS w_awl, w4 AS w_len, w5 AS w_bias FROM w1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), n_mis, w1, w2, w3, w4, w5 FROM w2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), n_mis, w1, w2, w3, w4, w5 FROM w3
+        |ORDER BY iter""".stripMargin
+    },
     "tx13_normalize" ->
       """WITH c AS (
         | SELECT doc_id,

@@ -1026,6 +1026,36 @@ class ApiSpec extends SparkSpec {
       pairs(0).getAs[Int]("lev") == 1, s"typo pair expected: ${pairs.toSeq}")
   }
 
+  test("perceptronTrain converges to zero errors on separable data and replays tx27") {
+    import spark.implicits._
+    // teacher y = sign(2*x1 - x2 + b) with bias FEATURE 50 and margin
+    // >= 40: the batch mistake bound is (R/γ)², so the fixture needs a
+    // healthy margin-to-radius ratio (γ≈16, R≈87 here → ~30 rounds);
+    // a thin-margin set provably takes ~500k rounds and looks like
+    // oscillation
+    val pts = (0 until 120).map { i =>
+      val (x1, x2) = ((i * 37) % 101 - 50, (i * 53) % 103 - 51)
+      val m = 2L * x1 - x2 + 50
+      (x1.toLong, x2.toLong, 50L, if (m > 0) 1L else -1L)
+    }.filter { case (x1, x2, _, _) => math.abs(2L * x1 - x2 + 50) >= 40 }
+    val df = pts.toDF("x1", "x2", "b", "y")
+    val m = df.perceptronTrain(Seq("x1", "x2", "b"), "y", iters = 200)
+    assert(m.converged, s"separable data must converge: errs=${m.errs}")
+    // the learned gate reproduces the teacher on the training set
+    val scored = df.perceptronScore(Seq("x1", "x2", "b"), m)
+    assert(scored.filter((col("pred") === (col("y") === 1L)) === false).count() == 0)
+    // fixed-iteration replay mode reproduces the registered query
+    val feats = graft.operators.Curation.qualityFeatureFrame(
+      Tables(spark, sfDir, "documents"))
+    val m3 = feats.perceptronTrain(Seq("f1", "f2", "f3", "f4", "f5"), "y",
+      iters = 3, stopAtZero = false)
+    val viaOp = SparkEntry.queries("tx27_quality_train")(spark, sfDir)
+      .orderBy("iter").collect()
+    assert(viaOp.last.toSeq.drop(2) == m3.weights, "verb weights == query weights")
+    assert(viaOp.map(_.getAs[Long]("n_mis")).toSeq == m3.errs,
+      "verb error curve == query error curve")
+  }
+
   test("fuzzyPairs stop-gram cap drops only pairs whose shared grams are all stop-grams") {
     import spark.implicits._
     // five names share the ' corp' suffix => its grams are stop-grams
