@@ -216,6 +216,25 @@ object api {
           expr("(n_active * 1000) DIV n_cohort").as("retention_milli"))
     }
 
+    /** DAU/WAU STICKINESS (the ts31 operator as a verb): per week,
+      * active days, summed DAU, WAU, and avg-DAU/WAU in integer milli.
+      * One corpus shuffle (the distinct to (key, day) activity facts);
+      * everything after is activity- or calendar-sized. */
+    def stickiness(userCol: String, tsCol: String): DataFrame =
+      graft.operators.TimeSeries.stickinessFromActivity(
+        df.select(col(userCol).as("user_id"),
+          date_trunc("day", col(tsCol)).as("day")).distinct())
+
+    /** Cohort LTV matrix (the ts32 operator as a verb): cumulative
+      * `valueCents` revenue (rows where `isRevenue`) per first-seen
+      * cohort by age-in-days, with per-user LTV in integer
+      * milli-cents. Co-shuffled cohort join on the key; the cumulative
+      * window runs over the calendar-sized (cohort x age) matrix. */
+    def ltvMatrix(userCol: String, tsCol: String, isRevenue: Column,
+                  valueCents: Column): DataFrame =
+      graft.operators.TimeSeries.ltvMatrixOf(
+        df, userCol, tsCol, isRevenue, valueCents)
+
     /** Event TRANSITION MATRIX (the ts24 operator as a verb): counts
       * adjacent (from, to) pairs along each key's `tsCol`-ordered
       * timeline (optional `tieCol` total-orders ties), with
@@ -558,6 +577,16 @@ object api {
           col("keeper_id"), (col("doc_id") === col("keeper_id")).as("keep"),
           col("n_members"))
     }
+
+    /** SOFT dedup weights (the dd18 operator as a verb): every doc
+      * keeps a row, weighted 1000 DIV cluster_size in integer milli —
+      * down-weight the training loss instead of dropping copies, so
+      * corpus statistics survive while the memorization pressure of
+      * N clones does not. Unique docs read exactly 1000. */
+    def softDedupWeights(idCol: String, textCol: String): DataFrame =
+      graft.operators.Dedup.softWeights(
+          df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+        .withColumnRenamed("doc_id", idCol)
 
     /** Duplicate clusters via large-star/small-star contraction (the
       * dd09 fixpoint): same result as [[dupClusters]], O(log^2 n)
@@ -1066,6 +1095,22 @@ object api {
         .select(col(idCol), VectorFunctions.cosine(col(vecCol), col("_q")).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col(idCol))
         .limit(k)
+
+    /** Blocked k-NN GRAPH (the ss28 operator as a verb): every
+      * vector's top-`k` cosine neighbors among its IVF cell-mates
+      * (`labelCol`-seeded cells — kmeansTrain assignments make a
+      * label-free replacement), the all-to-all building block under
+      * SemDeDup clustering, label propagation, and graph-based index
+      * bootstrap. Candidates are cell-mates only (corpus-linear,
+      * never all-pairs); the per-vector top-k is a partial
+      * WindowGroupLimit. Returns (idCol, cell, rank, nbr_id,
+      * cos_sim). */
+    def knnGraph(idCol: String, vecCol: String, labelCol: String,
+                 k: Int = 3): DataFrame =
+      graft.operators.Similarity.knnGraphOf(
+          df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+            col(labelCol).as("label")), k)
+        .withColumnRenamed("vec_id", idCol)
 
     /** Batch IVF-PQ ANN (the ss22 serving query as a verb — the scale
       * path [[cosineTopK]]'s brute-force scan stops short of): builds

@@ -263,6 +263,21 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // SOFT dedup — keep every copy but DOWN-WEIGHT its training loss
+    // by 1/cluster_size (the SoftDeDup alternative to dropping: hard
+    // removal loses the distributional signal that a doc was popular;
+    // weighting preserves corpus statistics while killing the
+    // memorization pressure N identical copies exert). Clusters come
+    // from dd06's LSH pair-graph components; weight_milli = 1000 DIV
+    // n_members, so unique docs read exactly 1000 and an N-clone
+    // cluster's members sum back to ~one doc's worth of loss. Scale
+    // shape: the CC fixpoint runs over edge-touched nodes only (see
+    // connectedComponents), the size rollup and join are keyed on
+    // cluster_id (the corpus shuffles once there; AQE broadcasts the
+    // cluster-domain sizes).
+    "dd18_soft_dedup" -> ((s, d) =>
+      softWeights(docs(s, d)).orderBy(col("doc_id"))),
+
     // Connected components again, but via alternating LARGE-STAR /
     // SMALL-STAR (Kiveris et al., "Connected Components in MapReduce
     // and Beyond") — the adversarial-chain-proof variant: min-label
@@ -627,6 +642,22 @@ object Dedup {
       .select(nodes("node"), coalesce(col("label"), nodes("node")).as("label"))
   }
 
+  /** dd18's whole pipeline over any (doc_id, text) frame — the
+    * SoftDeDup weight kernel shared by the batch query and
+    * [[graft.api]]'s `softDedupWeights` verb: LSH pair-graph
+    * components (dd06's machinery), cluster sizes, and the per-doc
+    * loss weight 1000 DIV n_members (unique docs read exactly 1000). */
+  private[graft] def softWeights(docDf: DataFrame): DataFrame = {
+    val pairs = candidatePairs(docDf).select(col("a"), col("b"))
+    val nodes = docDf.select(col("doc_id").as("node"))
+    val comp = connectedComponents(nodes, pairs)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+    comp.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        expr("1000 DIV n_members").as("weight_milli"))
+  }
+
   /** Cross-source shingle-overlap matrix (the dd10 operator body,
     * reusable over any (source, text) frame): per source pair, the
     * count of shared distinct shingles + Jaccard/containment milli.
@@ -978,6 +1009,24 @@ object Dedup {
          | SELECT e.a AS node, w.label FROM walk w JOIN edges e ON e.b = w.node)
          |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
          |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+    "dd18_soft_dedup" ->
+      s"""WITH RECURSIVE $candPreludeSql,
+         |cand AS (
+         | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         | FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a, b FROM cand UNION ALL SELECT b AS a, a AS b FROM cand),
+         |walk(node, label) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT e.a AS node, w.label FROM walk w JOIN edges e ON e.b = w.node),
+         |clusters AS (
+         | SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         | FROM walk GROUP BY node),
+         |sizes AS (
+         | SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         | FROM clusters GROUP BY 1)
+         |SELECT doc_id, cluster_id, n_members, 1000 // n_members AS weight_milli
+         |FROM clusters JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin,
     "dd15_keep_best" ->
       s"""WITH RECURSIVE $candPreludeSql,
          |cand AS (

@@ -127,6 +127,23 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // k-NN GRAPH construction — every vector's top-3 cosine neighbors
+    // (the all-to-all building block under SemDeDup clustering, graph-
+    // based label propagation, and HNSW-style index bootstrap): the
+    // blocked form — candidates are IVF CELL-MATES only, never the
+    // corpus (the standard blocked/LSH knn-graph construction: cell
+    // sizes are bounded — audited by ss26 — so the within-cell pair
+    // count is corpus-linear, not quadratic). Scale shape: one
+    // centroid pass + per-row broadcast-argmin assignment (ss05's
+    // zero-shuffle fold, persisted once because BOTH join sides read
+    // it), ONE cell equi-join (cell-partitioned at 100 TB — each cell
+    // joins only itself), and the per-vector top-3 is a literal-limit
+    // rank window Catalyst plans as a partial WindowGroupLimit before
+    // the vec_id shuffle (the ts23/ss08 pinned shape: ≤3 rows per
+    // vector cross the wire, not the candidate set).
+    "ss28_knn_graph" -> ((s, d) =>
+      knnGraphOf(emb(s, d)).orderBy(col("vec_id"), col("rank"))),
+
     // Brute-force cosine top-k vs the query vector (broadcast).
     "ss01_brute_topk" -> ((s, d) => {
       val e = emb(s, d)
@@ -952,6 +969,37 @@ object Similarity {
     cen.agg(array_sort(collect_list(struct(col("c_label"), col("cvec")))).as("cents"))
   }
 
+  /** ss28's whole pipeline over any (vec_id, embedding, label) frame —
+    * the blocked k-NN GRAPH kernel shared by the batch query and
+    * [[graft.api]]'s `knnGraph` verb: every vector's top-`k` cosine
+    * neighbors among its IVF CELL-MATES only (label-seeded cells;
+    * cell sizes bounded — the ss26 audit — so the within-cell pair
+    * count is corpus-linear, never all-pairs). One centroid pass +
+    * per-row broadcast-argmin assignment (persisted once: both join
+    * sides read it), ONE cell equi-join, and the per-vector top-k is
+    * a literal-limit rank window Catalyst plans as a partial
+    * WindowGroupLimit before the vec_id shuffle (≤k rows per vector
+    * cross the wire). */
+  private[graft] def knnGraphOf(e: DataFrame, k: Int = 3): DataFrame = {
+    val cents = centroidArray(e)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("best", array_min(cellStructsOf(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nbrs = assigned.select(col("cell"),
+      col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    assigned.join(nbrs, "cell")
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("cell"), col("nbr_id"),
+        cosine(col("embedding"), col("nbr_emb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("cell"), col("rank"), col("nbr_id"), col("cos_sim"))
+  }
+
   private def subIdxCol: Column = sequence(lit(0), lit(NumSub - 1))
   private def subSlice(v: Column, m: Column): Column =
     slice(v, m * lit(SubDim) + lit(1), lit(SubDim))
@@ -1417,6 +1465,34 @@ object Similarity {
         | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY nn_cos DESC, old_id) AS rnk
         | FROM pairs) WHERE rnk = 1
         |ORDER BY vec_id""".stripMargin,
+    "ss28_knn_graph" ->
+      """WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |assigned AS (
+        | SELECT e.vec_id, e.embedding, c.c_label,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |cells AS (SELECT vec_id, embedding, c_label AS cell FROM assigned WHERE rn = 1),
+        |pairs AS (
+        | SELECT a.vec_id, a.cell, b.vec_id AS nbr_id,
+        |  list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
+        | FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+        |SELECT vec_id, cell, CAST(rank AS INT) AS rank, nbr_id, cos_sim FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rank
+        | FROM pairs) WHERE rank <= 3
+        |ORDER BY vec_id, rank""".stripMargin,
     "ss06_ivf_multiprobe" ->
       s"""WITH ex AS (
         | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,

@@ -135,6 +135,44 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // LEXICAL DIVERSITY — per-doc type-token ratio + hapax-legomenon
+    // ratio (the vocabulary-richness quality signal next to tx02's
+    // surface stats and tx10's repetition: templated/spun text reads
+    // LOW ttr, keyboard-mash and OCR noise read HIGH hapax — both are
+    // standard curation gates). PER-ROW like tx05: a doc's diversity
+    // needs nothing from other docs, so the distinct/hapax counts fold
+    // over the doc's own sorted token array (run-length fold: each
+    // run = one distinct type, runs of length 1 = hapaxes) at scan
+    // speed — ZERO exchanges before the output sort, never an
+    // explode + (doc, word) agg. Integer milli throughout (n_words,
+    // n_distinct >= 1 always: split of "" is [""]).
+    "tx28_lexical_diversity" -> ((s, d) => {
+      val acc0 = struct(lit(null).cast("string").as("p"), lit(0L).as("rl"),
+        lit(0L).as("nd"), lit(0L).as("nh"))
+      val closeRun = (a: org.apache.spark.sql.Column) =>
+        when(a.getField("rl") === 1L, 1L).otherwise(0L)
+      val folded = aggregate(array_sort(col("toks")), acc0,
+        (a, x) => when(a.getField("p").isNull,
+            struct(x.as("p"), lit(1L).as("rl"), lit(0L).as("nd"), lit(0L).as("nh")))
+          .when(x === a.getField("p"),
+            struct(a.getField("p").as("p"), (a.getField("rl") + 1L).as("rl"),
+              a.getField("nd").as("nd"), a.getField("nh").as("nh")))
+          .otherwise(struct(x.as("p"), lit(1L).as("rl"),
+            (a.getField("nd") + 1L).as("nd"),
+            (a.getField("nh") + closeRun(a)).as("nh"))),
+        a => struct((a.getField("nd") + 1L).as("nd"),
+          (a.getField("nh") + closeRun(a)).as("nh")))
+      Tables.spread(docs(s, d))
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("f", folded)
+        .select(col("doc_id"), col("n_words"),
+          col("f.nd").as("n_distinct"), col("f.nh").as("n_hapax"),
+          expr("(f.nd * 1000) DIV n_words").as("ttr_milli"),
+          expr("(f.nh * 1000) DIV f.nd").as("hapax_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Distinctive-term extraction per source — tf-idf shape with a
     // LOG-FREE idf: score = tf * n_sources * 1000 / df via integer
     // division, so both engines produce identical longs (ln() is
@@ -297,6 +335,16 @@ object TextOps {
         | max(CASE WHEN rn = 1 THEN bg END) AS top_bigram,
         | CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_count
         |FROM ranked GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "tx28_lexical_diversity" ->
+      """WITH w AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        | CAST(count(*) AS BIGINT) AS n_distinct,
+        | CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+        | (CAST(count(*) AS BIGINT) * 1000) // CAST(sum(c) AS BIGINT) AS ttr_milli,
+        | (CAST(count(*) FILTER (c = 1) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS hapax_milli
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx06_rare_terms" ->
       """WITH toks AS (
         | SELECT source, unnest(string_split(lower(text), ' ')) AS tok

@@ -123,6 +123,66 @@ object TimeSeries {
           .as("mean_milli_s"))
   }
 
+  /** ts31's report tail over a distinct (user_id, day) ACTIVITY frame
+    * — shared by the batch query and the streaming twin's read side
+    * ([[graft.streaming.TopicStream.currentStickiness]], which reads
+    * the same state topic retentionStream maintains), so stream and
+    * batch can never disagree. Weekly DAU/WAU stickiness (the
+    * engagement staple next to ts22's retention): per week
+    * (Monday-start `date_trunc('week')` in both engines) the
+    * active-day count, summed DAU, WAU, and avg-DAU/WAU in integer
+    * milli (sum_dau*1000 DIV (n_days*wau) — one flooring division,
+    * engine-exact). The input frame is already user-day-sized (the
+    * corpus collapsed ONCE upstream); everything here is
+    * calendar-domain: the dau rollup, the weekly rollup, and the
+    * user-week distinct are each at most user-day-sized, and the
+    * final join is calendar-sized (AQE broadcasts it). */
+  private[graft] def stickinessFromActivity(acts: DataFrame): DataFrame = {
+    val wk: Column => Column =
+      d => date_format(date_trunc("week", d), "yyyy-MM-dd")
+    val dau = acts.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val weekly = dau.groupBy(wk(col("day")).as("week"))
+      .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+    val wau = acts.select(col("user_id"), wk(col("day")).as("week")).distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("wau"))
+    weekly.join(wau, "week")
+      .select(col("week"), col("n_days"), col("sum_dau"), col("wau"),
+        expr("(sum_dau * 1000) DIV (n_days * wau)").as("stickiness_milli"))
+  }
+
+  /** ts32's whole pipeline over any event frame — the cohort-LTV
+    * kernel shared by the batch query and [[graft.api]]'s `ltvMatrix`
+    * verb: users cohort by first-seen day, revenue rows (isRevenue,
+    * cent-exact valueCents) roll up per (cohort, age_day) and
+    * accumulate along age — the lifetime-value curve per cohort, with
+    * per-user LTV in integer milli-cents. Scale shape: the cohort agg
+    * and the revenue join are both user_id-keyed (co-shuffled — ts22's
+    * exact discipline: the corpus crosses the wire once per side, the
+    * revenue side pre-filtered at the scan); the cumulative window
+    * runs over the (cohort x age) MATRIX, calendar-sized at any
+    * corpus scale, and cohort sizes broadcast. */
+  private[graft] def ltvMatrixOf(events: DataFrame, userCol: String,
+                                 tsCol: String, isRevenue: Column,
+                                 valueCents: Column): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(date_trunc("day", min(col(tsCol))).as("cohort"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+    val rev = events.filter(isRevenue)
+      .select(col(userCol), date_trunc("day", col(tsCol)).as("day"),
+        valueCents.as("vc"))
+    val mat = rev.join(first, userCol)
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("age_day"))
+      .agg(sum(col("vc")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mat.withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sizes), "cohort")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("age_day"), col("rev_cents"), col("cum_cents"), col("n_cohort"),
+        expr("(cum_cents * 1000) DIV n_cohort").as("ltv_milli_cents"))
+  }
+
   /** ts28's whole pipeline over any (key, ts, tie, vc) frame — the
     * CUSUM changepoint kernel shared by the batch query and
     * [[graft.api]]'s `changepoint` verb. `vc` must be an exact long
@@ -588,6 +648,35 @@ object TimeSeries {
         windowSeconds = 7L * 86400L)
         .orderBy(col("last_touch"), col("first_touch"))),
 
+    // DAU/WAU STICKINESS — the engagement ratio every product
+    // dashboard headlines (avg daily actives / weekly actives, ~"how
+    // many of the week's users show up on a given day"), the report
+    // next to ts22's retention matrix. Scale shape: ONE corpus shuffle
+    // (the distinct to (user, day) activity facts — the same frame
+    // retentionStream's state topic stores, so the streaming twin is
+    // a free read); everything after is user-day- or calendar-sized
+    // (see [[stickinessFromActivity]]). Integer milli throughout.
+    "ts31_stickiness" -> ((s, d) => {
+      val acts = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      stickinessFromActivity(acts).orderBy(col("week"))
+    }),
+
+    // Cohort LTV (lifetime value) — cumulative revenue per first-seen
+    // cohort by age-in-days, the monetization curve next to ts22's
+    // retention counts ("how much has the Jan-1 cohort spent by day
+    // 30, per user"). Revenue = purchase events, cent-exact; per-user
+    // LTV in integer milli-cents. Scale shape in [[ltvMatrixOf]]:
+    // user_id-co-shuffled cohort join (ts22's discipline), cumulative
+    // window over the calendar-sized (cohort x age) matrix only,
+    // cohort sizes broadcast.
+    "ts32_ltv" -> ((s, d) =>
+      ltvMatrixOf(Tables.events(s, d), "user_id", "ts",
+        isRevenue = col("event_type") === "purchase",
+        valueCents = round(col("value") * 100).cast("long"))
+        .orderBy(col("cohort_day"), col("age_day"))),
+
     // Sliding 1h range window per key.
     "ts04_sliding" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s")).rangeBetween(-3600, 0)
@@ -1003,6 +1092,41 @@ object TimeSeries {
         | CAST(sum(vc) AS BIGINT) AS value_cents, n_total,
         | (CAST(count(*) AS BIGINT) * 1000) // n_total AS share_milli
         |FROM conv, t GROUP BY 1, 2, n_total ORDER BY 1, 2""".stripMargin,
+    "ts31_stickiness" ->
+      """WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY 1),
+        |w AS (SELECT strftime(date_trunc('week', day), '%Y-%m-%d') AS week,
+        |       CAST(sum(dau) AS BIGINT) AS sum_dau,
+        |       CAST(count(*) AS BIGINT) AS n_days
+        |      FROM dau GROUP BY 1),
+        |wau AS (SELECT strftime(date_trunc('week', day), '%Y-%m-%d') AS week,
+        |        CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |       FROM act GROUP BY 1)
+        |SELECT w.week, n_days, sum_dau, wau,
+        | (sum_dau * 1000) // (n_days * wau) AS stickiness_milli
+        |FROM w JOIN wau USING (week) ORDER BY week""".stripMargin,
+    "ts32_ltv" ->
+      """WITH first_seen AS (
+        | SELECT user_id, date_trunc('day', min(ts)) AS cohort
+        | FROM events GROUP BY 1),
+        |sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+        |          FROM first_seen GROUP BY 1),
+        |purch AS (
+        | SELECT user_id, date_trunc('day', ts) AS day,
+        |  CAST(round(value * 100) AS BIGINT) AS vc
+        | FROM events WHERE event_type = 'purchase'),
+        |mat AS (
+        | SELECT f.cohort, CAST(date_diff('day', f.cohort, p.day) AS BIGINT) AS age_day,
+        |  CAST(sum(p.vc) AS BIGINT) AS rev_cents
+        | FROM purch p JOIN first_seen f USING (user_id) GROUP BY 1, 2),
+        |c AS (
+        | SELECT *, CAST(sum(rev_cents) OVER (
+        |   PARTITION BY cohort ORDER BY age_day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        | FROM mat)
+        |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day, age_day, rev_cents,
+        | cum_cents, n_cohort, (cum_cents * 1000) // n_cohort AS ltv_milli_cents
+        |FROM c JOIN sizes USING (cohort) ORDER BY 1, 2""".stripMargin,
     "ts28_changepoint" ->
       """WITH v AS (
         | SELECT event_type, ts, event_id,

@@ -436,6 +436,17 @@ object TopicStream {
     retentionFromActivity(
       store.readMerged(topic, "act_key").select(col("user_id"), col("day")))
 
+  /** The CURRENT weekly DAU/WAU stickiness of a [[retentionStream]]
+    * topic — ts31's exact output over the SAME accumulated (user,
+    * day) activity facts (one stream writer powers both reports; the
+    * tail is the shared batch kernel, so stream and batch can never
+    * disagree). Replays and late-arriving earlier events just rewrite
+    * or add facts — the report re-derives at read time with zero
+    * resolution state. */
+  def currentStickiness(store: graft.sources.TopicStore, topic: String): DataFrame =
+    graft.operators.TimeSeries.stickinessFromActivity(
+      store.readMerged(topic, "act_key").select(col("user_id"), col("day")))
+
   /** ts22's tail over (user_id, day) activity rows: one per-user agg
     * (cohort min + day set), calendar-sized rollup, cohort sizes from
     * the rollup's own offset-0 rows via one window over the matrix. */

@@ -1150,4 +1150,88 @@ class ApiSpec extends SparkSpec {
       r(1).getAs[Long]("balance_milli") == 500L)
     assert(r.map(_.getAs[Long]("share_milli")).sum >= 998L)
   }
+
+  test("stickiness verb matches ts31 and computes a hand-checked week") {
+    import spark.implicits._
+    val viaApi = Tables.events(spark, sfDir).stickiness("user_id", "ts").orderBy("week")
+    val viaOp = SparkEntry.queries("ts31_stickiness")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // hand frame: week of Mon 2024-01-01; u1 active Mon+Tue, u2 Mon
+    // (two events same day collapse) -> n_days=2, sum_dau=3, wau=2,
+    // stickiness = 3000 / (2*2) = 750
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      (1L, t("2024-01-01 09:00:00")), (1L, t("2024-01-02 09:00:00")),
+      (2L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 23:00:00")))
+      .toDF("user_id", "ts")
+    val r = e.stickiness("user_id", "ts").collect()
+    assert(r.length == 1)
+    assert((r(0).getAs[String]("week"), r(0).getAs[Long]("n_days"),
+      r(0).getAs[Long]("sum_dau"), r(0).getAs[Long]("wau"),
+      r(0).getAs[Long]("stickiness_milli")) == (("2024-01-01", 2L, 3L, 2L, 750L)))
+  }
+
+  test("ltvMatrix verb matches ts32 and accumulates a hand-built cohort") {
+    import spark.implicits._
+    val viaApi = Tables.events(spark, sfDir)
+      .ltvMatrix("user_id", "ts",
+        isRevenue = col("event_type") === "purchase",
+        valueCents = round(col("value") * 100).cast("long"))
+      .orderBy("cohort_day", "age_day")
+    val viaOp = SparkEntry.queries("ts32_ltv")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // u1+u2 cohort Jan-1 (u2 via a free signup); u1 buys 100c on day 0
+    // and 50c on day 2 -> cum 100, 150; per-user milli 50000, 75000
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      (1L, t("2024-01-01 09:00:00"), "purchase", 1.00),
+      (2L, t("2024-01-01 09:30:00"), "signup", 0.0),
+      (1L, t("2024-01-03 09:00:00"), "purchase", 0.50))
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = e.ltvMatrix("user_id", "ts", col("event_type") === "purchase",
+        round(col("value") * 100).cast("long"))
+      .orderBy("age_day").collect()
+      .map(x => (x.getAs[String]("cohort_day"), x.getAs[Long]("age_day"),
+        x.getAs[Long]("cum_cents"), x.getAs[Long]("ltv_milli_cents")))
+    assert(r.toSeq == Seq(("2024-01-01", 0L, 100L, 50000L),
+      ("2024-01-01", 2L, 150L, 75000L)))
+  }
+
+  test("knnGraph verb matches ss28 and links planted mutual neighbors") {
+    import spark.implicits._
+    val viaApi = Tables.spread(Tables(spark, sfDir, "embeddings"))
+      .knnGraph("vec_id", "embedding", "label")
+      .orderBy("vec_id", "rank")
+    val viaOp = SparkEntry.queries("ss28_knn_graph")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted: 1 and 2 nearly parallel, 3 orthogonal-ish, same label
+    // cell; 4 alone in its own cell (no rows)
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (4L, Array(-10.0f, -10.0f, -10.0f, -10.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val g = vs.knnGraph("vec_id", "embedding", "label", k = 1).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("nbr_id")).toMap
+    assert(g(1L) == 2L && g(2L) == 1L, "parallel vectors must be mutual 1-NNs")
+    assert(!g.contains(4L), "a singleton cell has no neighbors")
+  }
+
+  test("softDedupWeights verb matches dd18 and halves a planted clone pair") {
+    val viaApi = Tables.spread(Tables(spark, sfDir, "documents"))
+      .softDedupWeights("doc_id", "text").orderBy("doc_id")
+    val viaOp = SparkEntry.queries("dd18_soft_dedup")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "totally different words that share nothing with the clones at all"))
+      .toDF("doc_id", "text")
+    val w = docs.softDedupWeights("doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("weight_milli")).toMap
+    assert(w(1L) == 500L && w(2L) == 500L, "a clone pair is weighted 1/2 each")
+    assert(w(3L) == 1000L, "a unique doc keeps full weight")
+  }
 }

@@ -525,6 +525,93 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ts31 stickiness bounds and frame arithmetic hold") {
+    val rows = SparkEntry.queries("ts31_stickiness")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nDays = r.getAs[Long]("n_days"); val sumDau = r.getAs[Long]("sum_dau")
+      val wau = r.getAs[Long]("wau"); val st = r.getAs[Long]("stickiness_milli")
+      assert(nDays >= 1 && nDays <= 7, "a week has 1..7 active days")
+      assert(wau <= sumDau, "every weekly-active user is active on >= 1 day")
+      assert(sumDau <= nDays * wau, "a day's DAU can't exceed the week's WAU")
+      assert(st == sumDau * 1000 / (nDays * wau) && st > 0 && st <= 1000)
+    }
+  }
+
+  test("ts32 LTV curves accumulate exactly and tie out to total purchase revenue") {
+    val rows = SparkEntry.queries("ts32_ltv")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("cohort_day"), r.getAs[Long]("age_day"),
+        r.getAs[Long]("rev_cents"), r.getAs[Long]("cum_cents"),
+        r.getAs[Long]("n_cohort"), r.getAs[Long]("ltv_milli_cents")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      var c = 0L
+      rs.sortBy(_._2).foreach { t =>
+        c += t._3
+        assert(t._4 == c, "cum_cents must be the running sum in age order")
+        assert(t._6 == t._4 * 1000 / t._5)
+      }
+    }
+    val total = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("long"))).collect().head.getLong(0)
+    assert(rows.map(_._3).sum == total, "matrix revenue must cover every purchase")
+  }
+
+  test("ss28 knn graph: contiguous ranks, descending cosine, min(3, cell-1) degree") {
+    val rows = SparkEntry.queries("ss28_knn_graph")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Int]("rank"), r.getAs[Long]("nbr_id"), r.getAs[Double]("cos_sim")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (v, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length), s"ranks of $v not contiguous")
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sortBy(-_).toSeq,
+        s"cosines of $v not descending")
+      assert(!sorted.exists(_._4 == v), "a vector is not its own neighbor")
+    }
+    // every member of a cell with >= 2 members appears, with degree
+    // min(3, cell_size - 1) — the graph covers exactly what it can
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val m = rs.map(_._1).distinct.length
+      val expected = math.min(3, m - 1)
+      rs.groupBy(_._1).foreach { case (v, vs) =>
+        assert(vs.length == expected, s"vec $v degree ${vs.length} != $expected in cell of $m")
+      }
+    }
+  }
+
+  test("tx28 lexical diversity ties out to tx03's token counts") {
+    val div = SparkEntry.queries("tx28_lexical_diversity")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_distinct"), r.getAs[Long]("n_hapax")))).toMap
+    val tok = SparkEntry.queries("tx03_tokens")(spark, sfDir).collect()
+    assert(tok.nonEmpty && tok.length == div.size)
+    tok.foreach { r =>
+      val (w, dct, h) = div(r.getAs[Long]("doc_id"))
+      assert(w == r.getAs[Int]("n_ws_tokens").toLong,
+        "run-length fold word count must equal tx03's size(split)")
+      assert(dct == r.getAs[Int]("n_unique_tokens").toLong,
+        "run count must equal tx03's distinct count")
+      assert(h <= dct && dct <= w)
+    }
+  }
+
+  test("dd18 soft weights partition clusters exactly like dd06 and floor to 1000/size") {
+    val w = SparkEntry.queries("dd18_soft_dedup")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("n_members"), r.getAs[Long]("weight_milli")))
+    val dd06 = SparkEntry.queries("dd06_dup_clusters")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(w.length == dd06.size, "every doc keeps a weighted row")
+    val sizes = w.groupBy(_._2).map { case (c, rs) => (c, rs.length.toLong) }
+    w.foreach { case (doc, cl, n, wm) =>
+      assert(dd06(doc) == cl, "dd18 must reuse dd06's components")
+      assert(n == sizes(cl))
+      assert(wm == 1000L / n)
+    }
+  }
+
   test("ss26 cell balance shares and flags are consistent and cover the corpus") {
     val rows = SparkEntry.queries("ss26_cell_balance")(spark, sfDir).collect()
     val total = rows.head.getAs[Long]("total")

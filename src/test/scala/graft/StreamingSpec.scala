@@ -200,6 +200,13 @@ class StreamingSpec extends SparkSpec {
         .select("cohort_day", "day_offset", "n_active", "n_cohort")
         .as[(String, Long, Long, Long)].collect().toSet
       assert(m3 == m2, "replayed facts must not change the matrix")
+      // the SAME activity topic powers the stickiness report: the
+      // stream read must equal the batch ts31 kernel over the union
+      val ss = TopicStream.currentStickiness(store, "acts")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val sb = (b1 ++ b2).toDF().stickiness("user_id", "ts")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(ss == sb && ss.nonEmpty, s"stickiness stream $ss != batch $sb")
     } finally q.stop()
   }
 
