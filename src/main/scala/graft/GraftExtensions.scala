@@ -29,7 +29,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[graft.plans.SimHashSigExpr].getName, "graft_simhash"),
-      (args: Seq[Expression]) => graft.plans.SimHashSigExpr(args(0))))
+      (args: Seq[Expression]) => graft.plans.SimHashSigExpr(args(0))),
+    (FunctionIdentifier("graft_simhash_bands"),
+      new ExpressionInfo(classOf[graft.plans.SimHashBandsExpr].getName, "graft_simhash_bands"),
+      (args: Seq[Expression]) => graft.plans.SimHashBandsExpr(args(0))))
 
   /** Register graft functions + planner strategies on an
     * already-built session. */

@@ -23,6 +23,14 @@ object TextFunctions {
     org.apache.spark.sql.graft.bridge.column(
       graft.plans.SimHashSigExpr(org.apache.spark.sql.graft.bridge.expression(text)))
 
+  /** 64-bit SimHash of a document as its four 16-bit pigeonhole bands
+    * (array<int>, band 0 = low bits) — the production-scale form with
+    * the complete hamming<=3 recall guarantee
+    * ([[graft.plans.SimHashBandsExpr]]). */
+  def simhashBands(text: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.SimHashBandsExpr(org.apache.spark.sql.graft.bridge.expression(text)))
+
   /** Word k-shingles joined by single spaces; documents shorter than k
     * words degenerate to one whole-document shingle (keeps the result
     * total, so no emptiness filter — and no filter means Catalyst never

@@ -185,6 +185,39 @@ object Dedup {
         .orderBy(col("a"), col("b"))
     }),
 
+    // 64-bit SimHash with 4x16 PIGEONHOLE bands — the production form
+    // dd03's own scale note names (Manku et al. 2007, the Google
+    // near-dup design): a pair within hamming distance 3 differs in at
+    // most 3 of the 4 bands, so it MUST share at least one exact band
+    // key — banded candidates are COMPLETE for hamming<=3, the recall
+    // guarantee dd03's lossy high-byte blocking lacks, while each band
+    // keeps a 65536-value key domain (dd03's single 16-bit signature
+    // saturates past ~10^6 docs). Signature is the native single-pass
+    // kernel (plans/SimHashBandsExpr — bands as array<int>, never a
+    // signed 64-bit value, so no sign-bit hazard in either engine);
+    // candidates come from ONE posexplode into 4 (band_idx, band_val)
+    // rows per doc + a band-keyed equi-join (the dd02 LSH shape, never
+    // all-pairs); exact 64-bit hamming verifies candidates only.
+    "dd19_simhash64_bands" -> ((s, d) => {
+      val sh = Tables.spread(docs(s, d))
+        .select(col("doc_id"), simhashBands(col("text")).as("bands"))
+      val ex = sh.select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("bi", "bv")))
+      val a = ex.select(col("bi"), col("bv"), col("doc_id").as("a"), col("bands").as("ba"))
+      val b = ex.select(col("bi"), col("bv"), col("doc_id").as("b"), col("bands").as("bb"))
+      a.join(b, Seq("bi", "bv")).filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared_bands"),
+          first(col("ba")).as("ba"), first(col("bb")).as("bb"))
+        .withColumn("hamming",
+          aggregate(zip_with(col("ba"), col("bb"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+            lit(0L), (acc, v) => acc + v).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select(col("a"), col("b"), col("shared_bands"), col("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Exact n-gram Jaccard verification of the MinHash-LSH candidate
     // pairs (the classic two-stage dedup: cheap candidates, exact
     // verify). Only bucket-mates are ever compared — the verify cost is
@@ -1079,6 +1112,42 @@ object Dedup {
          |FROM blocked x JOIN blocked y ON x.block = y.block AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin
+    },
+    "dd19_simhash64_bands" -> {
+      // 64-bit vote re-derivation from md5 hex: char j+1 (1-based,
+      // big-endian) holds global bits 63-4j..60-4j, so bit b lives in
+      // nibble j = 15 - b/4 at shift b%4; band t = bits 16t..16t+15.
+      val nibs = (0 until 16).map(j =>
+        s"(instr('0123456789abcdef', substr(h16, ${j + 1}, 1)) - 1) AS nib$j")
+        .mkString(",\n         | ")
+      val sums = (0 until 64).map { bit =>
+        val j = 15 - bit / 4; val sh = bit % 4
+        s"sum((((nib$j >> $sh) & 1) * 2) - 1) AS s$bit"
+      }.mkString(",\n         | ")
+      val bandExprs = (0 until 4).map { t =>
+        val bits = (0 until 16)
+          .map(k => s"(CASE WHEN s${16 * t + k} > 0 THEN ${1 << k} ELSE 0 END)")
+          .mkString(" + ")
+        s"CAST($bits AS INT) AS b$t"
+      }.mkString(",\n         | ")
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h16 FROM toks),
+         |nib AS (SELECT doc_id, $nibs FROM h),
+         |votes AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
+         |bands AS (SELECT doc_id, $bandExprs FROM votes),
+         |pairs AS (
+         | SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST((CASE WHEN x.b0 = y.b0 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN x.b1 = y.b1 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN x.b2 = y.b2 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN x.b3 = y.b3 THEN 1 ELSE 0 END) AS BIGINT) AS shared_bands,
+         |  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+         |       bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS INT) AS hamming
+         | FROM bands x JOIN bands y ON x.doc_id < y.doc_id
+         |  AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3))
+         |SELECT a, b, shared_bands, hamming FROM pairs
+         |WHERE hamming <= 3 ORDER BY a, b""".stripMargin
     },
     "dd08_estimate_audit" -> {
       val minhashes = (0 until NumPerms).map { p =>

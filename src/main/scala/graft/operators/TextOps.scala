@@ -173,6 +173,31 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // READABILITY scores — Flesch reading ease + Flesch-Kincaid grade
+    // with an integer syllable heuristic (vowel-group runs [aeiouy]+,
+    // the standard cheap estimator), sentences = [.!?]+ runs floored
+    // at 1: the grade-level quality gate next to tx02's surface stats
+    // (curation pipelines band corpora by readability for curriculum
+    // mixing). ENGINE-EXACT: the classic coefficients scale to milli
+    // integers (0.39 -> 390 etc.); each division has positive
+    // operands so both engines floor identically, and the final
+    // subtractions are exact. Per-row regexp counts at scan speed —
+    // zero exchanges before the output sort.
+    "tx29_readability" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("n_words", size(tokens(col("text"))).cast("long"))
+        .withColumn("n_sentences",
+          greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")).cast("long")))
+        .withColumn("n_syllables",
+          regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+          expr("(390 * n_words) DIV n_sentences + (11800 * n_syllables) DIV n_words - 15590")
+            .as("fk_grade_milli"),
+          expr("206835 - (1015 * n_words) DIV n_sentences - (84600 * n_syllables) DIV n_words")
+            .as("ease_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Distinctive-term extraction per source — tf-idf shape with a
     // LOG-FREE idf: score = tf * n_sources * 1000 / df via integer
     // division, so both engines produce identical longs (ln() is
@@ -345,6 +370,18 @@ object TextOps {
         | (CAST(count(*) AS BIGINT) * 1000) // CAST(sum(c) AS BIGINT) AS ttr_milli,
         | (CAST(count(*) FILTER (c = 1) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS hapax_milli
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tx29_readability" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  greatest(CAST(1 AS BIGINT),
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        | FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        | (390 * n_words) // n_sentences + (11800 * n_syllables) // n_words - 15590 AS fk_grade_milli,
+        | 206835 - (1015 * n_words) // n_sentences - (84600 * n_syllables) // n_words AS ease_milli
+        |FROM m ORDER BY doc_id""".stripMargin,
     "tx06_rare_terms" ->
       """WITH toks AS (
         | SELECT source, unnest(string_split(lower(text), ' ')) AS tok

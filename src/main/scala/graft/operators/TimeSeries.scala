@@ -164,13 +164,23 @@ object TimeSeries {
   private[graft] def ltvMatrixOf(events: DataFrame, userCol: String,
                                  tsCol: String, isRevenue: Column,
                                  valueCents: Column): DataFrame = {
-    val first = events.groupBy(col(userCol))
+    val first = events.groupBy(col(userCol).as("user_id"))
       .agg(date_trunc("day", min(col(tsCol))).as("cohort"))
-    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
     val rev = events.filter(isRevenue)
-      .select(col(userCol), date_trunc("day", col(tsCol)).as("day"),
-        valueCents.as("vc"))
-    val mat = rev.join(first, userCol)
+      .select(col(userCol).as("user_id"),
+        date_trunc("day", col(tsCol)).as("day"), valueCents.as("vc"))
+    ltvFromFacts(first, rev)
+  }
+
+  /** ts32's report tail over a per-user first-seen frame (user_id,
+    * cohort) and a revenue-facts frame (user_id, day, vc) — shared by
+    * the batch kernel above and the streaming twin's read side
+    * ([[graft.streaming.TopicStream.currentLtv]], which derives both
+    * frames from state topics), so stream and batch can never
+    * disagree. */
+  private[graft] def ltvFromFacts(first: DataFrame, rev: DataFrame): DataFrame = {
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+    val mat = rev.join(first, "user_id")
       .groupBy(col("cohort"),
         datediff(col("day"), col("cohort")).cast("long").as("age_day"))
       .agg(sum(col("vc")).as("rev_cents"))
@@ -677,6 +687,49 @@ object TimeSeries {
         valueCents = round(col("value") * 100).cast("long"))
         .orderBy(col("cohort_day"), col("age_day"))),
 
+    // ACTIVITY INEQUALITY report — Gini coefficient + top-decile share
+    // of per-user event counts, per event_type (the "power user
+    // concentration" audit behind engagement dashboards and abuse
+    // review: gini 0 = uniform usage, ->1 = a few whales are the
+    // metric). ENGINE-EXACT: with counts ranked ascending (ties by
+    // user_id — S1 is tie-order invariant since tied values are
+    // equal), gini = (2*Σrank·x − (n+1)·Σx) / (n·Σx), all longs, one
+    // flooring division per output; the long-domain bound
+    // 2000·n·Σx < 2^63 is guarded in-plan by assert_true on the
+    // per-type totals (the ts28 discipline — fails loudly, never
+    // wraps; beyond it, widen s1 to DECIMAL(38,0)). Scale shape: one
+    // corpus shuffle (the per-(type, user) agg); the GLOBAL
+    // ascending rank per type is GroupPrefix's two-phase range-
+    // partition form (ts27/ts28's machinery — event_type has ~5
+    // values, the definitional one-task window skew trap); the final
+    // agg partial-combines into a |event_type|-row frame.
+    "ts33_gini" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_ev"))
+      val ranked = graft.functions.GroupPrefix.groupPrefixC(
+        perUser, "event_type", Seq(col("n_ev"), col("user_id")))
+      val totals = perUser.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+      ranked.join(broadcast(totals), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n_users")).as("n_users"),
+          sum(col("n_ev")).as("total_events"),
+          sum(col("rn") * col("n_ev")).as("s1"),
+          sum(when(col("rn") * 10 > col("n_users") * 9, col("n_ev"))
+            .otherwise(lit(0L))).as("top_decile_events"))
+        .filter(assert_true(
+          col("n_users").cast("double") * col("total_events").cast("double")
+            * 2000.0 < 9.0e18,
+          lit("ts33_gini: 2000*n*total exceeds the long domain — " +
+            "widen s1 to DECIMAL(38,0)")).isNull)
+        .select(col("event_type"), col("n_users"), col("total_events"),
+          expr("((2 * s1 - (n_users + 1) * total_events) * 1000) DIV (n_users * total_events)")
+            .as("gini_milli"),
+          expr("(top_decile_events * 1000) DIV total_events").as("top_decile_milli"))
+        .orderBy(col("event_type"))
+    }),
+
     // Sliding 1h range window per key.
     "ts04_sliding" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s")).rangeBetween(-3600, 0)
@@ -1127,6 +1180,23 @@ object TimeSeries {
         |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day, age_day, rev_cents,
         | cum_cents, n_cohort, (cum_cents * 1000) // n_cohort AS ltv_milli_cents
         |FROM c JOIN sizes USING (cohort) ORDER BY 1, 2""".stripMargin,
+    "ts33_gini" ->
+      """WITH pu AS (
+        | SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_ev
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT *, CAST(row_number() OVER (
+        |   PARTITION BY event_type ORDER BY n_ev, user_id) AS BIGINT) AS rn
+        | FROM pu),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+        |      FROM pu GROUP BY 1)
+        |SELECT r.event_type, t.n_users,
+        | CAST(sum(n_ev) AS BIGINT) AS total_events,
+        | ((2 * CAST(sum(rn * n_ev) AS BIGINT) - (t.n_users + 1) * CAST(sum(n_ev) AS BIGINT)) * 1000)
+        |   // (t.n_users * CAST(sum(n_ev) AS BIGINT)) AS gini_milli,
+        | (CAST(sum(CASE WHEN rn * 10 > t.n_users * 9 THEN n_ev ELSE 0 END) AS BIGINT) * 1000)
+        |   // CAST(sum(n_ev) AS BIGINT) AS top_decile_milli
+        |FROM r JOIN t USING (event_type) GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "ts28_changepoint" ->
       """WITH v AS (
         | SELECT event_type, ts, event_id,

@@ -447,6 +447,52 @@ object TopicStream {
     graft.operators.TimeSeries.stickinessFromActivity(
       store.readMerged(topic, "act_key").select(col("user_id"), col("day")))
 
+  /** Streaming cohort LTV, write side — ts32's arrival loop in the
+    * topPathsStream CONTENT-KEY discipline (no generations, no
+    * watermark, no resolution state): each micro-batch upserts its
+    * revenue events as facts keyed `user#ts_us#event_id`, so replays,
+    * late arrivals, and fresh-checkpoint relaunches just rewrite or
+    * add identical rows — revenue is ADDITIVE, which is exactly why
+    * the topic stores event-grain facts (an overwrite-by-(user, day)
+    * key would drop same-day revenue across batches; an additive
+    * per-batch delta would need transitionsStream's generation
+    * bookkeeping). The topic is the compacted revenue ledger, bounded
+    * by revenue-event count; cohorts come from the retentionStream
+    * activity topic at READ time in [[currentLtv]]. */
+  def ltvStream(events: DataFrame, store: graft.sources.TopicStore,
+                topic: String,
+                isRevenue: org.apache.spark.sql.Column = col("event_type") === "purchase",
+                valueCents: org.apache.spark.sql.Column = round(col("value") * 100).cast("long"))
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    events.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      val seq = base + 1 + id
+      val facts = b.toDF().filter(isRevenue)
+        .select(
+          concat(col("user_id"), lit("#"), unix_micros(col("ts")),
+            lit("#"), col("event_id")).as("rkey"),
+          col("user_id"), date_trunc("day", col("ts")).as("day"),
+          valueCents.as("vc"), col("ts").as("time"))
+      if (!facts.isEmpty) store.upsert(topic, facts, "time", seq = Some(seq))
+    }
+  }
+
+  /** The CURRENT cohort-LTV matrix of an [[ltvStream]] revenue topic
+    * + a [[retentionStream]] activity topic — ts32's exact output:
+    * cohorts = min activity day per user (a late earlier event
+    * lawfully MOVES a user's cohort, exactly like currentRetention),
+    * revenue summed from the event-grain ledger, tail shared with
+    * batch ts32 verbatim ([[graft.operators.TimeSeries.ltvFromFacts]])
+    * so stream and batch can never disagree. */
+  def currentLtv(store: graft.sources.TopicStore, actTopic: String,
+                 revTopic: String): DataFrame = {
+    val first = store.readMerged(actTopic, "act_key")
+      .groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val rev = store.readMerged(revTopic, "rkey")
+      .select(col("user_id"), col("day"), col("vc"))
+    graft.operators.TimeSeries.ltvFromFacts(first, rev)
+  }
+
   /** ts22's tail over (user_id, day) activity rows: one per-user agg
     * (cohort min + day set), calendar-sized rollup, cohort sizes from
     * the rollup's own offset-0 rows via one window over the matrix. */

@@ -612,6 +612,73 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ts33 gini equals a first-principles recompute per event_type") {
+    val rows = SparkEntry.queries("ts33_gini")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("total_events"),
+          r.getAs[Long]("gini_milli"), r.getAs[Long]("top_decile_milli")))).toMap
+    assert(rows.nonEmpty)
+    val pu = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("n_ev"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id"), r.getAs[Long]("n_ev")))
+    assert(pu.map(_._1).toSet == rows.keySet)
+    pu.groupBy(_._1).foreach { case (et, us) =>
+      // one-task reference ranking vs the GroupPrefix two-phase form
+      val sorted = us.sortBy(u => (u._3, u._2)).map(_._3)
+      val n = sorted.length.toLong
+      val s = sorted.sum
+      val s1 = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val decile = sorted.zipWithIndex
+        .collect { case (x, i) if (i + 1) * 10 > n * 9 => x }.sum
+      val (nU, tot, gini, top) = rows(et)
+      assert(nU == n && tot == s)
+      assert(gini == (2 * s1 - (n + 1) * s) * 1000 / (n * s), s"gini drift for $et")
+      assert(top == decile * 1000 / s, s"decile drift for $et")
+      assert(gini >= 0 && gini < 1000)
+    }
+  }
+
+  test("tx29 readability formulas recompute from the counted fields") {
+    val rows = SparkEntry.queries("tx29_readability")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("n_words"); val s = r.getAs[Long]("n_sentences")
+      val y = r.getAs[Long]("n_syllables")
+      assert(w >= 1 && s >= 1)
+      assert(r.getAs[Long]("fk_grade_milli") == 390 * w / s + 11800 * y / w - 15590)
+      assert(r.getAs[Long]("ease_milli") == 206835 - 1015 * w / s - 84600 * y / w)
+    }
+  }
+
+  test("dd19 banded candidates are COMPLETE for hamming<=3 (pigeonhole vs brute force)") {
+    import graft.functions.TextFunctions
+    val got = SparkEntry.queries("dd19_simhash64_bands")(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("a"), r.getAs[Long]("b")),
+        (r.getAs[Long]("shared_bands"), r.getAs[Int]("hamming")))).toMap
+    // brute force: every doc pair's exact 64-bit hamming from the
+    // same kernel signatures — banding must lose NOTHING at <=3
+    val sigs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), TextFunctions.simhashBands(col("text")).as("bands"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getSeq[Int](1).toArray))
+    val brute = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      (da, ba) = sigs(i); (db, bb) = sigs(j)
+      hamming = (0 until 4).map(t => Integer.bitCount(ba(t) ^ bb(t))).sum
+      if hamming <= 3
+      (a, b) = if (da < db) (da, db) else (db, da)
+    } yield (a, b) -> ((ba.zip(bb).count { case (x, y) => x == y }.toLong, hamming))).toMap
+    assert(brute.nonEmpty, "the corpus should contain near-identical signatures")
+    assert(got == brute,
+      s"banded != brute: missing ${(brute.keySet -- got.keySet).take(5)}, " +
+        s"extra ${(got.keySet -- brute.keySet).take(5)}")
+    got.values.foreach { case (shared, hamming) =>
+      assert(shared >= 1, "pigeonhole: <=3 bit errors leave >=1 exact band")
+      assert(shared >= 4 - hamming)
+    }
+  }
+
   test("ss26 cell balance shares and flags are consistent and cover the corpus") {
     val rows = SparkEntry.queries("ss26_cell_balance")(spark, sfDir).collect()
     val total = rows.head.getAs[Long]("total")

@@ -210,6 +210,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LTV: event-grain revenue ledger + moving cohorts equal batch ts32") {
+    import spark.implicits._
+    import graft.api._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sltv").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TopicEvent]
+    val qa = TopicStream.retentionStream(input.toDF(), store, "acts")
+      .option("checkpointLocation", s"$root/_chka").start()
+    val qr = TopicStream.ltvStream(input.toDF(), store, "rev")
+      .option("checkpointLocation", s"$root/_chkr").start()
+    def t(day: Int, hour: Int) = ts(f"2024-01-$day%02d $hour%02d:00:00")
+    val b1 = Seq(
+      TopicEvent(1, t(5, 9), 1L, "purchase", 1.00),
+      // same-day second purchase: the event-grain ledger must ADD it
+      // (an overwrite-by-(user, day) key would silently drop it)
+      TopicEvent(2, t(5, 10), 1L, "purchase", 0.25),
+      TopicEvent(3, t(6, 9), 2L, "view", 0))
+    val b2 = Seq(
+      TopicEvent(4, t(2, 8), 1L, "view", 0), // LATE earlier: u1's cohort MOVES
+      TopicEvent(5, t(7, 9), 2L, "purchase", 0.50))
+    def read() = TopicStream.currentLtv(store, "acts", "rev")
+      .select("cohort_day", "age_day", "rev_cents", "cum_cents", "n_cohort", "ltv_milli_cents")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    def drain(evs: Seq[TopicEvent]): Unit = {
+      input.addData(evs: _*); qa.processAllAvailable(); qr.processAllAvailable()
+    }
+    try {
+      drain(b1)
+      assert(read() == Set(("2024-01-05", 0L, 125L, 125L, 1L, 125000L)))
+      drain(b2)
+      val m2 = read()
+      val batch = (b1 ++ b2).toDF()
+        .ltvMatrix("user_id", "ts", col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(m2 == batch && m2.nonEmpty, s"stream $m2 != batch $batch")
+      // the moved cohort re-ages the day-5 purchases to offset 3
+      assert(m2.contains(("2024-01-02", 3L, 125L, 125L, 1L, 125000L)))
+      // replay idempotence: re-adding the same facts changes nothing
+      drain(b2)
+      assert(read() == m2, "replayed revenue facts must not double-count")
+    } finally { qa.stop(); qr.stop() }
+  }
+
   test("streaming transitions: late arrivals retract split edges, matrix equals batch ts24") {
     import spark.implicits._
     import graft.api._
