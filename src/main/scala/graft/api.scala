@@ -1096,6 +1096,21 @@ object api {
         .orderBy(col("cos_sim").desc, col(idCol))
         .limit(k)
 
+    /** MMR-diversified top-k (the ss29 operator as a verb — the
+      * "diverse retrieval" rerank vector DBs ship): per query, the
+      * exact-cosine top-`shortlist` reranks to `k` greedy MMR picks
+      * at λ=1/2 (integer-milli scores, deterministic ties). Returns
+      * (q_id, vec_id, rel_milli, mmr_milli, pick). The corpus is
+      * scanned once against the broadcast query batch; every greedy
+      * step runs over shortlist-sized frames only. */
+    def mmrTopK(idCol: String, vecCol: String, queries: DataFrame,
+                queryIdCol: String, queryVecCol: String,
+                shortlist: Int = 8, k: Int = 4): DataFrame =
+      graft.operators.Similarity.mmrDiversify(
+        df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+        queries.select(col(queryIdCol).as("q_id"), col(queryVecCol).as("q_emb")),
+        shortlist, k)
+
     /** Blocked k-NN GRAPH (the ss28 operator as a verb): every
       * vector's top-`k` cosine neighbors among its IVF cell-mates
       * (`labelCol`-seeded cells — kmeansTrain assignments make a

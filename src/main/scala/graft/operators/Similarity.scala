@@ -144,6 +144,31 @@ object Similarity {
     "ss28_knn_graph" -> ((s, d) =>
       knnGraphOf(emb(s, d)).orderBy(col("vec_id"), col("rank"))),
 
+    // MMR-DIVERSIFIED top-k (Carbonell & Goldstein 1998 — the
+    // "diverse retrieval" rerank every vector DB ships: near-duplicate
+    // hits crowd out coverage, so after relevance ranks a shortlist,
+    // picks greedily maximize relevance MINUS similarity to what's
+    // already picked): per batch query, the exact-cosine top-8
+    // shortlist reranks to 4 picks; with λ=1/2 the argmax of
+    // λ·rel − (1−λ)·max_sim is the argmax of (rel − penalty), so the
+    // MMR score stays a pure INTEGER (milli-floored cosines — both
+    // engines floor identical doubles) and the greedy loop is
+    // engine-exact with (score desc, vec_id) ties. The 4 steps UNROLL
+    // into plan stages (selection is inherently sequential — but over
+    // SHORTLIST-sized frames only: the corpus appears exactly once,
+    // in the shortlist scan against the broadcast batch with its
+    // per-query top-8 as a partial WindowGroupLimit, the ss08/ss25
+    // pinned shape; the pairwise-sim table is |batch|·8·8 and every
+    // step join is bounded by it). DuckDB replays the identical
+    // unrolled steps.
+    "ss29_mmr" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      mmrDiversify(e, q, shortlist = 8, k = 4)
+        .orderBy(col("q_id"), col("pick"))
+    }),
+
     // Brute-force cosine top-k vs the query vector (broadcast).
     "ss01_brute_topk" -> ((s, d) => {
       val e = emb(s, d)
@@ -1000,6 +1025,71 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("rank"), col("nbr_id"), col("cos_sim"))
   }
 
+  /** ss29's whole pipeline over any (vec_id, embedding) corpus and a
+    * (q_id, q_emb) query batch — the MMR rerank kernel shared by the
+    * batch query and [[graft.api]]'s `mmrTopK` verb. Exact-cosine
+    * top-`shortlist` per query, then `k` greedy MMR picks at λ=1/2:
+    * argmax of λ·rel − (1−λ)·max_sim ≡ argmax of (rel − penalty), so
+    * the score stays pure integer milli (both engines floor identical
+    * doubles) and ties break (score desc, vec_id). The k steps unroll
+    * into plan stages over SHORTLIST-sized frames; the corpus appears
+    * once — in the shortlist scan against the broadcast batch, its
+    * per-query top-N a partial WindowGroupLimit (ss08/ss25's shape). */
+  private[graft] def mmrDiversify(corpus: DataFrame, queries: DataFrame,
+                                  shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    // lazy localCheckpoint, not persist: the shortlist feeds psim and
+    // every greedy step; checkpoint blocks release on driver GC
+    // (GroupPrefix's lifecycle discipline), and each step below
+    // truncates to a materialized leaf so the unrolled plan never
+    // nests (the dd06/kmeansTrain loop rule — without it the 4-step
+    // union embeds ~200 shortlist-domain exchanges of pure task
+    // overhead). Construction therefore EXECUTES the greedy steps
+    // eagerly (tx27's documented timing caveat applies to probes that
+    // time only the post-construction action).
+    val short = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rn", row_number().over(wCos)).filter(col("rn") <= shortlist)
+      .select(col("q_id"), col("vec_id"),
+        floor(col("cos") * 1000).cast("long").as("rel_milli"), col("embedding"))
+      .localCheckpoint(false)
+    val psim = short.select(col("q_id"), col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(short.select(col("q_id"), col("vec_id").as("b"), col("embedding").as("eb")), "q_id")
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        floor(cosine(col("ea"), col("eb")) * 1000).cast("long").as("sim_milli"))
+    val wPick = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    var sel = short
+      .withColumn("score", col("rel_milli"))
+      .withColumn("prn", row_number().over(wPick)).filter(col("prn") === 1)
+      .select(col("q_id"), col("vec_id"), col("rel_milli"),
+        col("score").as("mmr_milli"), lit(1).as("pick"))
+      .localCheckpoint(true)
+    var picks = Seq(sel)
+    (2 to k).foreach { p =>
+      val penalty = psim
+        .join(sel.select(col("q_id"), col("vec_id").as("b")), Seq("q_id", "b"))
+        .groupBy(col("q_id"), col("a"))
+        .agg(max(col("sim_milli")).as("penalty"))
+        .withColumnRenamed("a", "vec_id")
+      val next = short.select(col("q_id"), col("vec_id"), col("rel_milli"))
+        .join(sel.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .join(penalty, Seq("q_id", "vec_id"))
+        .withColumn("score", col("rel_milli") - col("penalty"))
+        .withColumn("prn", row_number().over(wPick)).filter(col("prn") === 1)
+        .select(col("q_id"), col("vec_id"), col("rel_milli"),
+          col("score").as("mmr_milli"), lit(p).as("pick"))
+        .localCheckpoint(true)
+      picks = picks :+ next
+      sel = sel.unionByName(next)
+    }
+    picks.reduce(_ unionByName _)
+  }
+
   private def subIdxCol: Column = sequence(lit(0), lit(NumSub - 1))
   private def subSlice(v: Column, m: Column): Column =
     slice(v, m * lit(SubDim) + lit(1), lit(SubDim))
@@ -1493,6 +1583,45 @@ object Similarity {
         | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rank
         | FROM pairs) WHERE rank <= 3
         |ORDER BY vec_id, rank""".stripMargin,
+    "ss29_mmr" -> {
+      val cosE = (x: String, y: String) =>
+        s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))) / (${norm(x)} * ${norm(y)})"
+      val steps = (2 to 4).map { k =>
+        val prev = (1 until k).map(i => s"SELECT q_id, vec_id FROM sel$i").mkString(" UNION ALL ")
+        s"""prev$k AS ($prev),
+           |sel$k AS (
+           | SELECT q_id, vec_id, rel_milli, score AS mmr_milli, $k AS pick FROM (
+           |  SELECT g.*, row_number() OVER (PARTITION BY g.q_id ORDER BY g.score DESC, g.vec_id) AS prn
+           |  FROM (
+           |   SELECT c.q_id, c.vec_id, c.rel_milli, c.rel_milli - max(p.sim_milli) AS score
+           |   FROM short c
+           |   JOIN psim p ON p.q_id = c.q_id AND p.a = c.vec_id
+           |   JOIN prev$k s ON s.q_id = p.q_id AND s.vec_id = p.b
+           |   WHERE NOT EXISTS (SELECT 1 FROM prev$k s2 WHERE s2.q_id = c.q_id AND s2.vec_id = c.vec_id)
+           |   GROUP BY c.q_id, c.vec_id, c.rel_milli) g) WHERE prn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 7),
+         |cand AS (
+         | SELECT q.q_id, e.vec_id, e.embedding,
+         |  $dotQ / (${norm("e.embedding")} * ${norm("q.q_emb")}) AS cos
+         | FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM cand),
+         |short AS (SELECT q_id, vec_id, embedding,
+         |          CAST(floor(cos * 1000) AS BIGINT) AS rel_milli FROM r WHERE rn <= 8),
+         |psim AS (
+         | SELECT a.q_id, a.vec_id AS a, b.vec_id AS b,
+         |  CAST(floor((${cosE("a.embedding", "b.embedding")}) * 1000) AS BIGINT) AS sim_milli
+         | FROM short a JOIN short b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+         |sel1 AS (
+         | SELECT q_id, vec_id, rel_milli, rel_milli AS mmr_milli, 1 AS pick FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel_milli DESC, vec_id) AS prn FROM short)
+         | WHERE prn = 1),
+         |$steps
+         |SELECT q_id, vec_id, rel_milli, mmr_milli, CAST(pick AS INT) AS pick
+         |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+         |      UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4)
+         |ORDER BY q_id, pick""".stripMargin
+    },
     "ss06_ivf_multiprobe" ->
       s"""WITH ex AS (
         | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,

@@ -1151,6 +1151,31 @@ class ApiSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("share_milli")).sum >= 998L)
   }
 
+  test("mmrTopK verb matches ss29 and prefers the diverse hit over the clone") {
+    import spark.implicits._
+    val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
+    val q = e.filter(col("vec_id") % 50 === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val viaApi = e.mmrTopK("vec_id", "embedding", q, "qid", "qemb")
+      .orderBy("q_id", "pick")
+    val viaOp = SparkEntry.queries("ss29_mmr")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted: 1 and 2 are near-clones closest to the query, 3 is a
+    // diverse direction with decent relevance — plain relevance ranks
+    // (1, 2); MMR's second pick must skip the clone and take 3
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.02f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.03f, 0.0f, 0.0f)),
+      (3L, Array(0.5f, 0.86f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val query = Seq((100L, Array(1.0f, 0.3f, 0.0f, 0.0f))).toDF("qid", "qemb")
+    val picks = corpus.mmrTopK("vec_id", "embedding", query, "qid", "qemb",
+        shortlist = 3, k = 2)
+      .orderBy("pick").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(picks.head == 1L || picks.head == 2L, "pick 1 is a clone (max relevance)")
+    assert(picks(1) == 3L, s"pick 2 must be the diverse vector, got $picks")
+  }
+
   test("stickiness verb matches ts31 and computes a hand-checked week") {
     import spark.implicits._
     val viaApi = Tables.events(spark, sfDir).stickiness("user_id", "ts").orderBy("week")

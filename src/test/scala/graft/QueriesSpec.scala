@@ -679,6 +679,27 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ss29 MMR: pick 1 is max-relevance, scores never increase, picks are distinct") {
+    val rows = SparkEntry.queries("ss29_mmr")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("pick"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("rel_milli"), r.getAs[Long]("mmr_milli")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byPick = rs.sortBy(_._2)
+      assert(byPick.map(_._2).toSeq == (1 to 4), s"picks of $q not 1..4")
+      assert(byPick.map(_._3).distinct.length == 4, s"repeated pick for $q")
+      assert(byPick.head._4 == byPick.head._5, "pick 1 score IS its relevance")
+      assert(byPick.head._4 == rs.map(_._4).max, "pick 1 must be max-relevance")
+      // greedy MMR scores are non-increasing FROM PICK 2 ON: each
+      // later step maximizes over a smaller candidate set whose
+      // penalties only grew (1→2 can lawfully rise when every
+      // pairwise cosine is negative, so it is not asserted)
+      byPick.drop(1).sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(0)._5 >= w(1)._5, s"MMR score increased for $q: ${w(0)} -> ${w(1)}")
+      }
+    }
+  }
+
   test("ss26 cell balance shares and flags are consistent and cover the corpus") {
     val rows = SparkEntry.queries("ss26_cell_balance")(spark, sfDir).collect()
     val total = rows.head.getAs[Long]("total")
