@@ -286,6 +286,37 @@ object DevProbe {
       q.stop()
       println(f"funnelprobe events=${evs.length} chunks=$chunks " +
         f"t=$secs%.2f s rate=${evs.length / secs}%.0f ev/s")
+    } else if (args(0) == "--knnk") {
+      // ss28 with the coarse quantizer SCALED to the corpus (args:
+      // --knnk <dir> <cells>): the registered query seeds cells from
+      // the fixed label column, so under a 64x blowup each cell holds
+      // 64x more members and the within-cell pair count grows 64^2 —
+      // a fixed-k artifact, not the operator's shape (IVF practice
+      // scales k ~ sqrt(n); api.knnGraph takes any cell assignment,
+      // e.g. kmeansTrain's). This probe feeds a hash-derived label
+      // with `cells` values so cell SIZE stays at its 1x value while
+      // the corpus grows — the honest scaling row (the ss22fixed
+      // decomposition discipline).
+      import org.apache.spark.sql.functions._
+      import graft.api._
+      val e = graft.Tables.spread(graft.Tables(spark, args(1), "embeddings"))
+        .withColumn("kcell", pmod(xxhash64(col("vec_id")), lit(args(2).toLong)).cast("int"))
+      val t0 = System.nanoTime()
+      e.knnGraph("vec_id", "embedding", "kcell")
+        .write.format("noop").mode("overwrite").save()
+      println("KNNK=done in " + (System.nanoTime() - t0) / 1e9 + "s")
+    } else if (args(0) == "--full") {
+      // Construction-INCLUSIVE timing (args: --full <query> <dir>):
+      // queries whose kernels run actions during plan construction
+      // (the dd06/dd18 CC fixpoint counts, ss29's checkpointed greedy
+      // steps, tx27's training rounds) execute most of their cost
+      // before the generic branch below starts its timer — this mode
+      // times construction + the noop write, matching what Bench's
+      // timer sees.
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(args(1))(spark, args(2))
+      df.write.format("noop").mode("overwrite").save()
+      println("FULL=done in " + (System.nanoTime() - t0) / 1e9 + "s")
     } else {
       val df = SparkEntry.queries(args(0))(spark, args(1))
       if (args.length > 2) df.explain("formatted")

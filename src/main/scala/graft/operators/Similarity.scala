@@ -163,7 +163,9 @@ object Similarity {
     // unrolled steps.
     "ss29_mmr" -> ((s, d) => {
       val e = emb(s, d)
-      val q = e.filter(col("vec_id") % 50 === 7)
+      // batch capped by the id bound (ss17/ss25's rule): a serving
+      // batch is bounded by construction; only the corpus grows
+      val q = e.filter(col("vec_id") % 50 === 7 && col("vec_id") < 5000)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       mmrDiversify(e, q, shortlist = 8, k = 4)
         .orderBy(col("q_id"), col("pick"))
@@ -1600,7 +1602,8 @@ object Similarity {
            |   WHERE NOT EXISTS (SELECT 1 FROM prev$k s2 WHERE s2.q_id = c.q_id AND s2.vec_id = c.vec_id)
            |   GROUP BY c.q_id, c.vec_id, c.rel_milli) g) WHERE prn = 1)""".stripMargin
       }.mkString(",\n")
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 7),
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id % 50 = 7 AND vec_id < 5000),
          |cand AS (
          | SELECT q.q_id, e.vec_id, e.embedding,
          |  $dotQ / (${norm("e.embedding")} * ${norm("q.q_emb")}) AS cos
