@@ -235,6 +235,16 @@ object api {
       graft.operators.TimeSeries.ltvMatrixOf(
         df, userCol, tsCol, isRevenue, valueCents)
 
+    /** Conversion-lag SURVIVAL curve (the ts34 operator as a verb):
+      * first `isStart` row per key, first `isConvert` row at-or-after
+      * it, whole-day lag buckets with cumulative conversion and
+      * survival in integer milli — the time-to-convert distribution
+      * behind funnel timing summaries. */
+    def conversionLag(userCol: String, tsCol: String, isStart: Column,
+                      isConvert: Column): DataFrame =
+      graft.operators.TimeSeries.conversionLagOf(
+        df, userCol, tsCol, isStart, isConvert)
+
     /** Event TRANSITION MATRIX (the ts24 operator as a verb): counts
       * adjacent (from, to) pairs along each key's `tsCol`-ordered
       * timeline (optional `tieCol` total-orders ties), with

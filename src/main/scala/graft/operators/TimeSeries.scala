@@ -193,6 +193,41 @@ object TimeSeries {
         expr("(cum_cents * 1000) DIV n_cohort").as("ltv_milli_cents"))
   }
 
+  /** ts34's whole pipeline over any event frame — the conversion-lag
+    * survival kernel shared by the batch query and [[graft.api]]'s
+    * `conversionLag` verb: first `isStart` row per key, first
+    * `isConvert` row at-or-after it, whole-day lag buckets with
+    * cumulative conversion and survival in integer milli. Two
+    * co-shuffled key aggs with O(1) state each (ts26's whale rule —
+    * never a per-key timestamp array), both scan-filtered; the
+    * day-lag rollup partial-aggs into the calendar-sized domain and
+    * the global cumulative window runs single-task over that tiny
+    * frame; n_starts is a 1-row broadcast. */
+  private[graft] def conversionLagOf(events: DataFrame, userCol: String,
+                                     tsCol: String, isStart: Column,
+                                     isConvert: Column): DataFrame = {
+    val start = events.filter(isStart)
+      .groupBy(col(userCol).as("user_id")).agg(min(col(tsCol)).as("t_start"))
+    val conv = events.filter(isConvert)
+      .select(col(userCol).as("user_id"), col(tsCol).as("t"))
+      .join(start, "user_id")
+      .filter(col("t") >= col("t_start"))
+      .groupBy(col("user_id"), col("t_start")).agg(min(col("t")).as("t_conv"))
+    val n = start.agg(count(lit(1)).as("n_signups"))
+    val lagBuckets = conv
+      .groupBy(((col("t_conv").cast("long") - col("t_start").cast("long"))
+        / lit(86400L)).cast("long").as("lag_days"))
+      .agg(count(lit(1)).as("n_conv"))
+    val w = Window.orderBy(col("lag_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lagBuckets
+      .withColumn("cum_conv", sum(col("n_conv")).over(w))
+      .crossJoin(broadcast(n))
+      .select(col("lag_days"), col("n_conv"), col("cum_conv"), col("n_signups"),
+        expr("(cum_conv * 1000) DIV n_signups").as("converted_milli"),
+        expr("((n_signups - cum_conv) * 1000) DIV n_signups").as("survival_milli"))
+  }
+
   /** ts28's whole pipeline over any (key, ts, tie, vc) frame — the
     * CUSUM changepoint kernel shared by the batch query and
     * [[graft.api]]'s `changepoint` verb. `vc` must be an exact long
@@ -687,6 +722,27 @@ object TimeSeries {
         valueCents = round(col("value") * 100).cast("long"))
         .orderBy(col("cohort_day"), col("age_day"))),
 
+    // CONVERSION-LAG SURVIVAL curve — the time-to-convert
+    // DISTRIBUTION (Kaplan-Meier-lite) behind ts25's summary stats:
+    // per whole-day lag bucket, how many signup users first purchased
+    // at that lag, cumulative conversion, and survival (fraction of
+    // signups still unconverted past that lag) in integer milli. The
+    // convention is observational: lag = first purchase AT-OR-AFTER
+    // the user's first signup; users who never purchase define the
+    // survival floor but emit no bucket row. Scale shape: two
+    // co-shuffled user_id aggs with O(1) state each (ts26's whale
+    // rule — never a per-user timestamp array), both sides
+    // scan-filtered to their event type; the day-lag rollup
+    // partial-aggs into the calendar-sized lag domain; the global
+    // cumulative window runs over that tiny frame (single task over
+    // a calendar-bounded input — the honest shape for a global
+    // running sum of a tiny domain); n_signups is a 1-row broadcast.
+    "ts34_conversion_lag" -> ((s, d) =>
+      conversionLagOf(Tables.events(s, d), "user_id", "ts",
+        isStart = col("event_type") === "signup",
+        isConvert = col("event_type") === "purchase")
+        .orderBy(col("lag_days"))),
+
     // ACTIVITY INEQUALITY report — Gini coefficient + top-decile share
     // of per-user event counts, per event_type (the "power user
     // concentration" audit behind engagement dashboards and abuse
@@ -1180,6 +1236,28 @@ object TimeSeries {
         |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day, age_day, rev_cents,
         | cum_cents, n_cohort, (cum_cents * 1000) // n_cohort AS ltv_milli_cents
         |FROM c JOIN sizes USING (cohort) ORDER BY 1, 2""".stripMargin,
+    "ts34_conversion_lag" ->
+      """WITH signup AS (
+        | SELECT user_id, min(ts) AS t_signup FROM events
+        | WHERE event_type = 'signup' GROUP BY 1),
+        |conv AS (
+        | SELECT e.user_id, s.t_signup, min(e.ts) AS t_conv
+        | FROM events e JOIN signup s USING (user_id)
+        | WHERE e.event_type = 'purchase' AND e.ts >= s.t_signup
+        | GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_signups FROM signup),
+        |lb AS (
+        | SELECT CAST((epoch_us(t_conv) // 1000000 - epoch_us(t_signup) // 1000000)
+        |        // 86400 AS BIGINT) AS lag_days,
+        |  CAST(count(*) AS BIGINT) AS n_conv
+        | FROM conv GROUP BY 1),
+        |c AS (SELECT *, CAST(sum(n_conv) OVER (
+        |  ORDER BY lag_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS cum_conv FROM lb)
+        |SELECT lag_days, n_conv, cum_conv, n_signups,
+        | (cum_conv * 1000) // n_signups AS converted_milli,
+        | ((n_signups - cum_conv) * 1000) // n_signups AS survival_milli
+        |FROM c, n ORDER BY lag_days""".stripMargin,
     "ts33_gini" ->
       """WITH pu AS (
         | SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_ev

@@ -1176,6 +1176,32 @@ class ApiSpec extends SparkSpec {
     assert(picks(1) == 3L, s"pick 2 must be the diverse vector, got $picks")
   }
 
+  test("conversionLag verb matches ts34 and buckets a hand-built pair of users") {
+    import spark.implicits._
+    val viaApi = Tables.events(spark, sfDir)
+      .conversionLag("user_id", "ts",
+        isStart = col("event_type") === "signup",
+        isConvert = col("event_type") === "purchase")
+      .orderBy("lag_days")
+    val viaOp = SparkEntry.queries("ts34_conversion_lag")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 converts 36h after signup (lag_days 1), u2 never converts
+    // (its only purchase PRECEDES signup — must not count), u3 same-day
+    val e = Seq(
+      (1L, t("2024-01-01 06:00:00"), "signup"), (1L, t("2024-01-02 18:00:00"), "purchase"),
+      (2L, t("2024-01-05 12:00:00"), "purchase"), (2L, t("2024-01-06 12:00:00"), "signup"),
+      (3L, t("2024-01-03 08:00:00"), "signup"), (3L, t("2024-01-03 09:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val r = e.conversionLag("user_id", "ts",
+        col("event_type") === "signup", col("event_type") === "purchase")
+      .orderBy("lag_days").collect()
+      .map(x => (x.getAs[Long]("lag_days"), x.getAs[Long]("n_conv"),
+        x.getAs[Long]("cum_conv"), x.getAs[Long]("n_signups"),
+        x.getAs[Long]("survival_milli")))
+    assert(r.toSeq == Seq((0L, 1L, 1L, 3L, 666L), (1L, 1L, 2L, 3L, 333L)))
+  }
+
   test("stickiness verb matches ts31 and computes a hand-checked week") {
     import spark.implicits._
     val viaApi = Tables.events(spark, sfDir).stickiness("user_id", "ts").orderBy("week")

@@ -700,6 +700,33 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ts34 survival curve accumulates exactly and ties out to an independent count") {
+    val rows = SparkEntry.queries("ts34_conversion_lag")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("lag_days"), r.getAs[Long]("n_conv"),
+        r.getAs[Long]("cum_conv"), r.getAs[Long]("n_signups"),
+        r.getAs[Long]("converted_milli"), r.getAs[Long]("survival_milli")))
+    assert(rows.nonEmpty)
+    var c = 0L
+    rows.sortBy(_._1).foreach { r =>
+      c += r._2
+      assert(r._3 == c, "cum_conv must be the running sum in lag order")
+      assert(r._5 == r._3 * 1000 / r._4)
+      assert(r._6 == (r._4 - r._3) * 1000 / r._4)
+      // two floors of complementary fractions lose at most one milli
+      assert(r._5 + r._6 == 1000 || r._5 + r._6 == 999)
+    }
+    // independent recompute: signup users with any purchase at-or-after
+    // their first signup
+    val e = Tables.events(spark, sfDir)
+    val first = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val converted = e.filter(col("event_type") === "purchase")
+      .join(first, "user_id").filter(col("ts") >= col("t0"))
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._2).sum == converted, "every converted user lands in one bucket")
+    assert(rows.head._4 == first.count(), "n_signups covers all signup users")
+  }
+
   test("ss26 cell balance shares and flags are consistent and cover the corpus") {
     val rows = SparkEntry.queries("ss26_cell_balance")(spark, sfDir).collect()
     val total = rows.head.getAs[Long]("total")
