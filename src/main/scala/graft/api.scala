@@ -235,6 +235,19 @@ object api {
       graft.operators.TimeSeries.ltvMatrixOf(
         df, userCol, tsCol, isRevenue, valueCents)
 
+    /** Inequality report (the ts33 operator as a verb): per `groupCol`
+      * the Gini coefficient of `valueCol` across `memberCol` holders
+      * plus the top-decile share, integer milli — the concentration
+      * audit for any per-entity metric (events, revenue, tokens).
+      * Global ranks are partition-parallel (GroupPrefix); the
+      * long-domain bound is guarded in-plan. */
+    def giniReport(groupCol: String, memberCol: String,
+                   valueCol: String): DataFrame =
+      graft.operators.TimeSeries.giniOf(
+          df.select(col(groupCol).as("group"), col(memberCol).as("member"),
+            col(valueCol).cast("long").as("x")))
+        .withColumnRenamed("group", groupCol)
+
     /** Conversion-lag SURVIVAL curve (the ts34 operator as a verb):
       * first `isStart` row per key, first `isConvert` row at-or-after
       * it, whole-day lag buckets with cumulative conversion and

@@ -193,6 +193,37 @@ object TimeSeries {
         expr("(cum_cents * 1000) DIV n_cohort").as("ltv_milli_cents"))
   }
 
+  /** ts33's whole pipeline over any (group, member, x) frame of
+    * non-negative long values — the inequality kernel shared by the
+    * batch query and [[graft.api]]'s `giniReport` verb: per group the
+    * Gini coefficient of x across members plus the top-decile share,
+    * integer milli. Ranking is GroupPrefix's two-phase range-partition
+    * form (never a one-task-per-group window; ties by member are
+    * S1-invariant since tied values are equal); the 2000·n·Σx < 2^63
+    * long bound is guarded in-plan (the ts28 discipline). */
+  private[graft] def giniOf(perMember: DataFrame): DataFrame = {
+    val ranked = graft.functions.GroupPrefix.groupPrefixC(
+      perMember, "group", Seq(col("x"), col("member")))
+    val totals = perMember.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_users"))
+    ranked.join(broadcast(totals), "group")
+      .groupBy(col("group"))
+      .agg(max(col("n_users")).as("n_users"),
+        sum(col("x")).as("total_events"),
+        sum(col("rn") * col("x")).as("s1"),
+        sum(when(col("rn") * 10 > col("n_users") * 9, col("x"))
+          .otherwise(lit(0L))).as("top_decile_events"))
+      .filter(assert_true(
+        col("n_users").cast("double") * col("total_events").cast("double")
+          * 2000.0 < 9.0e18,
+        lit("giniOf: 2000*n*total exceeds the long domain — " +
+          "widen s1 to DECIMAL(38,0)")).isNull)
+      .select(col("group"), col("n_users"), col("total_events"),
+        expr("((2 * s1 - (n_users + 1) * total_events) * 1000) DIV (n_users * total_events)")
+          .as("gini_milli"),
+        expr("(top_decile_events * 1000) DIV total_events").as("top_decile_milli"))
+  }
+
   /** ts34's whole pipeline over any event frame — the conversion-lag
     * survival kernel shared by the batch query and [[graft.api]]'s
     * `conversionLag` verb: first `isStart` row per key, first
@@ -759,32 +790,12 @@ object TimeSeries {
     // partition form (ts27/ts28's machinery — event_type has ~5
     // values, the definitional one-task window skew trap); the final
     // agg partial-combines into a |event_type|-row frame.
-    "ts33_gini" -> ((s, d) => {
-      val perUser = Tables.events(s, d)
-        .groupBy(col("event_type"), col("user_id"))
-        .agg(count(lit(1)).as("n_ev"))
-      val ranked = graft.functions.GroupPrefix.groupPrefixC(
-        perUser, "event_type", Seq(col("n_ev"), col("user_id")))
-      val totals = perUser.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_users"))
-      ranked.join(broadcast(totals), "event_type")
-        .groupBy(col("event_type"))
-        .agg(max(col("n_users")).as("n_users"),
-          sum(col("n_ev")).as("total_events"),
-          sum(col("rn") * col("n_ev")).as("s1"),
-          sum(when(col("rn") * 10 > col("n_users") * 9, col("n_ev"))
-            .otherwise(lit(0L))).as("top_decile_events"))
-        .filter(assert_true(
-          col("n_users").cast("double") * col("total_events").cast("double")
-            * 2000.0 < 9.0e18,
-          lit("ts33_gini: 2000*n*total exceeds the long domain — " +
-            "widen s1 to DECIMAL(38,0)")).isNull)
-        .select(col("event_type"), col("n_users"), col("total_events"),
-          expr("((2 * s1 - (n_users + 1) * total_events) * 1000) DIV (n_users * total_events)")
-            .as("gini_milli"),
-          expr("(top_decile_events * 1000) DIV total_events").as("top_decile_milli"))
-        .orderBy(col("event_type"))
-    }),
+    "ts33_gini" -> ((s, d) =>
+      giniOf(Tables.events(s, d)
+          .groupBy(col("event_type").as("group"), col("user_id").as("member"))
+          .agg(count(lit(1)).as("x")))
+        .withColumnRenamed("group", "event_type")
+        .orderBy(col("event_type"))),
 
     // Sliding 1h range window per key.
     "ts04_sliding" -> ((s, d) => {

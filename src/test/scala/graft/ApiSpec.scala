@@ -1176,6 +1176,26 @@ class ApiSpec extends SparkSpec {
     assert(picks(1) == 3L, s"pick 2 must be the diverse vector, got $picks")
   }
 
+  test("giniReport verb matches ts33 and scores hand-built distributions") {
+    import spark.implicits._
+    val viaApi = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("n_ev"))
+      .giniReport("event_type", "user_id", "n_ev")
+      .orderBy("event_type")
+    val viaOp = SparkEntry.queries("ts33_gini")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // uniform distribution -> gini 0; one whale holding ~everything
+    // -> gini near its n-bounded maximum (n-1)/n
+    val uni = Seq(("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 5L), ("a", 4L, 5L))
+      .toDF("g", "m", "x").giniReport("g", "m", "x").collect()
+    assert(uni.head.getAs[Long]("gini_milli") == 0L)
+    val whale = (1L to 9L).map(i => ("a", i, 1L)) :+ (("a", 10L, 991L))
+    val w = whale.toDF("g", "m", "x").giniReport("g", "m", "x").collect()
+    assert(w.head.getAs[Long]("gini_milli") >= 850L,
+      s"whale distribution must read near-max gini, got ${w.head}")
+    assert(w.head.getAs[Long]("top_decile_milli") == 991L)
+  }
+
   test("conversionLag verb matches ts34 and buckets a hand-built pair of users") {
     import spark.implicits._
     val viaApi = Tables.events(spark, sfDir)
