@@ -236,11 +236,22 @@ object TimeSeries {
     * frame; n_starts is a 1-row broadcast. */
   private[graft] def conversionLagOf(events: DataFrame, userCol: String,
                                      tsCol: String, isStart: Column,
-                                     isConvert: Column): DataFrame = {
-    val start = events.filter(isStart)
-      .groupBy(col(userCol).as("user_id")).agg(min(col(tsCol)).as("t_start"))
-    val conv = events.filter(isConvert)
-      .select(col(userCol).as("user_id"), col(tsCol).as("t"))
+                                     isConvert: Column): DataFrame =
+    conversionLagFacts(
+      events.filter(isStart).select(col(userCol).as("user_id"), col(tsCol).as("t")),
+      events.filter(isConvert).select(col(userCol).as("user_id"), col(tsCol).as("t")))
+
+  /** ts34's tail over event-grain start facts and convert facts
+    * (user_id, t) — shared by the batch kernel above and the
+    * streaming twin's read side ([[graft.streaming.TopicStream
+    * .currentConversionLag]]): the first start per user derives HERE
+    * (at read time — so a late EARLIER start fact lawfully moves a
+    * user's anchor and re-buckets their conversion), then the
+    * first convert at-or-after it. */
+  private[graft] def conversionLagFacts(starts: DataFrame,
+                                        convs: DataFrame): DataFrame = {
+    val start = starts.groupBy(col("user_id")).agg(min(col("t")).as("t_start"))
+    val conv = convs
       .join(start, "user_id")
       .filter(col("t") >= col("t_start"))
       .groupBy(col("user_id"), col("t_start")).agg(min(col("t")).as("t_conv"))

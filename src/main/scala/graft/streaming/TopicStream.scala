@@ -447,6 +447,79 @@ object TopicStream {
     graft.operators.TimeSeries.stickinessFromActivity(
       store.readMerged(topic, "act_key").select(col("user_id"), col("day")))
 
+  /** Streaming ACTIVITY-INEQUALITY report, write side — ts33's
+    * arrival loop in the rfmStream ADDITIVE-PARTIAL discipline: each
+    * micro-batch upserts per-(type, user) event-count partials keyed
+    * `type#user#batchId` (counts are associative, so summing partials
+    * at read time reproduces batch counts exactly; replays rewrite
+    * identical rows; batch 0 truncates the topic — the
+    * fresh-generation reset). Topic bounded by (types × users ×
+    * batches), compacted by key. */
+  def giniStream(events: DataFrame, store: graft.sources.TopicStore,
+                 topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    events.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      if (id == 0L) store.truncate(topic)
+      val seq = base + 1 + id
+      val part = b.toDF().groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_ev"), max(col("ts")).as("time"))
+        .select(concat(col("event_type"), lit("#"), col("user_id"),
+          lit("#"), lit(id)).as("gkey"),
+          col("event_type"), col("user_id"), col("n_ev"), col("time"))
+      if (!part.isEmpty) store.upsert(topic, part, "time", seq = Some(seq))
+    }
+  }
+
+  /** The CURRENT inequality report of a [[giniStream]] topic — ts33's
+    * exact output over the summed partial history, tail shared with
+    * the batch kernel verbatim ([[graft.operators.TimeSeries.giniOf]])
+    * so stream and batch can never disagree. */
+  def currentGini(store: graft.sources.TopicStore, topic: String): DataFrame =
+    graft.operators.TimeSeries.giniOf(
+        store.readMerged(topic, "gkey")
+          .groupBy(col("event_type").as("group"), col("user_id").as("member"))
+          .agg(sum(col("n_ev")).as("x")))
+      .withColumnRenamed("group", "event_type")
+
+  /** Streaming CONVERSION-LAG survival, write side — ts34's start
+    * facts in the topPathsStream CONTENT-KEY discipline: each signup
+    * lands event-grain keyed `user#ts_us#event_id`, and the per-user
+    * FIRST start derives at READ time — so a late EARLIER signup
+    * lawfully moves a user's anchor and re-buckets their conversion
+    * (pinned in spec). Purchases come from the SAME event-grain
+    * revenue ledger [[ltvStream]] maintains (its facts carry the
+    * exact purchase time), so one ledger powers LTV and
+    * conversion-lag together. */
+  def conversionStartStream(events: DataFrame, store: graft.sources.TopicStore,
+                            topic: String,
+                            isStart: org.apache.spark.sql.Column =
+                              col("event_type") === "signup")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    events.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      val seq = base + 1 + id
+      val facts = b.toDF().filter(isStart)
+        .select(
+          concat(col("user_id"), lit("#"), unix_micros(col("ts")),
+            lit("#"), col("event_id")).as("skey"),
+          col("user_id"), col("ts").as("t_start"), col("ts").as("time"))
+      if (!facts.isEmpty) store.upsert(topic, facts, "time", seq = Some(seq))
+    }
+  }
+
+  /** The CURRENT conversion-lag survival curve of a
+    * [[conversionStartStream]] start topic + an [[ltvStream]] revenue
+    * topic — ts34's exact output, tail shared with batch verbatim
+    * ([[graft.operators.TimeSeries.conversionLagFacts]]). */
+  def currentConversionLag(store: graft.sources.TopicStore, startTopic: String,
+                           revTopic: String): DataFrame =
+    graft.operators.TimeSeries.conversionLagFacts(
+      store.readMerged(startTopic, "skey")
+        .select(col("user_id"), col("t_start").as("t")),
+      store.readMerged(revTopic, "rkey")
+        .select(col("user_id"), col("time").as("t")))
+
   /** Streaming cohort LTV, write side — ts32's arrival loop in the
     * topPathsStream CONTENT-KEY discipline (no generations, no
     * watermark, no resolution state): each micro-batch upserts its

@@ -255,6 +255,90 @@ class StreamingSpec extends SparkSpec {
     } finally { qa.stop(); qr.stop() }
   }
 
+  test("streaming gini: additive count partials fold to batch ts33 across batches") {
+    import spark.implicits._
+    import graft.api._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sgini").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.giniStream(input.toDF(), store, "gini")
+      .option("checkpointLocation", s"$root/_chk").start()
+    def t(day: Int, hour: Int) = ts(f"2024-01-$day%02d $hour%02d:00:00")
+    // u1's 'view' count splits across batches: 2 + 3 must fold to 5
+    val b1 = Seq(
+      TopicEvent(1, t(1, 9), 1L, "view", 0), TopicEvent(2, t(1, 10), 1L, "view", 0),
+      TopicEvent(3, t(1, 11), 2L, "view", 0))
+    val b2 = Seq(
+      TopicEvent(4, t(2, 9), 1L, "view", 0), TopicEvent(5, t(2, 10), 1L, "view", 0),
+      TopicEvent(6, t(2, 11), 1L, "view", 0), TopicEvent(7, t(2, 12), 2L, "click", 0))
+    def read() = TopicStream.currentGini(store, "gini")
+      .select("event_type", "n_users", "total_events", "gini_milli", "top_decile_milli")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val stream = read()
+      val batch = (b1 ++ b2).toDF()
+        .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("n"))
+        .giniReport("event_type", "user_id", "n")
+        .select("event_type", "n_users", "total_events", "gini_milli", "top_decile_milli")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(stream == batch && stream.nonEmpty, s"stream $stream != batch $batch")
+      // the cross-batch fold: view counts are (u1=5, u2=1), gini of
+      // (1,5) = (2*(1*1+2*5) - 3*6) / (2*6) = 4/12 -> 333 milli
+      assert(stream.contains(("view", 2L, 6L, 333L, 833L)))
+      // the additive-changelog contract (rfmStream/transitionsStream's):
+      // a CHECKPOINT replay re-runs the same batch id -> same gkey ->
+      // upsert overwrite, idempotent BY KEY; re-DELIVERED events under
+      // at-least-once get a new batch id and lawfully count again.
+      // Reading twice must at least be stable:
+      assert(read() == stream)
+    } finally q.stop()
+  }
+
+  test("streaming conversion lag: a late earlier signup re-buckets, curve equals batch ts34") {
+    import spark.implicits._
+    import graft.api._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sconv").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TopicEvent]
+    val qs = TopicStream.conversionStartStream(input.toDF(), store, "starts")
+      .option("checkpointLocation", s"$root/_chks").start()
+    val qr = TopicStream.ltvStream(input.toDF(), store, "rev")
+      .option("checkpointLocation", s"$root/_chkr").start()
+    def t(day: Int, hour: Int) = ts(f"2024-01-$day%02d $hour%02d:00:00")
+    val b1 = Seq(
+      TopicEvent(1, t(5, 9), 1L, "signup", 0),
+      TopicEvent(2, t(6, 9), 1L, "purchase", 1.0))
+    val b2 = Seq(
+      // LATE earlier signup: u1's anchor moves day 5 -> day 2, so the
+      // SAME purchase re-buckets from lag 1 to lag 4
+      TopicEvent(3, t(2, 9), 1L, "signup", 0))
+    def read() = TopicStream.currentConversionLag(store, "starts", "rev")
+      .select("lag_days", "n_conv", "cum_conv", "n_signups", "survival_milli")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    def drain(evs: Seq[TopicEvent]): Unit = {
+      input.addData(evs: _*); qs.processAllAvailable(); qr.processAllAvailable()
+    }
+    try {
+      drain(b1)
+      assert(read() == Set((1L, 1L, 1L, 1L, 0L)))
+      drain(b2)
+      val m2 = read()
+      assert(m2 == Set((4L, 1L, 1L, 1L, 0L)), s"anchor move must re-bucket: $m2")
+      val batch = (b1 ++ b2).toDF()
+        .conversionLag("user_id", "ts",
+          col("event_type") === "signup", col("event_type") === "purchase")
+        .select("lag_days", "n_conv", "cum_conv", "n_signups", "survival_milli")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(m2 == batch, s"stream $m2 != batch $batch")
+      drain(b2)
+      assert(read() == m2, "replayed facts must not change the curve")
+    } finally { qs.stop(); qr.stop() }
+  }
+
   test("streaming transitions: late arrivals retract split edges, matrix equals batch ts24") {
     import spark.implicits._
     import graft.api._
