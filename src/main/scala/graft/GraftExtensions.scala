@@ -32,7 +32,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => graft.plans.SimHashSigExpr(args(0))),
     (FunctionIdentifier("graft_simhash_bands"),
       new ExpressionInfo(classOf[graft.plans.SimHashBandsExpr].getName, "graft_simhash_bands"),
-      (args: Seq[Expression]) => graft.plans.SimHashBandsExpr(args(0))))
+      (args: Seq[Expression]) => graft.plans.SimHashBandsExpr(args(0))),
+    (FunctionIdentifier("graft_simhash_wide"),
+      new ExpressionInfo(classOf[graft.plans.SimHashWideExpr].getName, "graft_simhash_wide"),
+      (args: Seq[Expression]) => graft.plans.SimHashWideExpr(args(0))))
 
   /** Register graft functions + planner strategies on an
     * already-built session. */

@@ -31,6 +31,13 @@ object TextFunctions {
     org.apache.spark.sql.graft.bridge.column(
       graft.plans.SimHashBandsExpr(org.apache.spark.sql.graft.bridge.expression(text)))
 
+  /** 128-bit SimHash as four 32-bit pigeonhole bands (array<long>,
+    * values < 2^32) — the WIDE form whose band keys do not saturate
+    * until ~10^9 docs ([[graft.plans.SimHashWideExpr]]). */
+  def simhashWide(text: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.SimHashWideExpr(org.apache.spark.sql.graft.bridge.expression(text)))
+
   /** Word k-shingles joined by single spaces; documents shorter than k
     * words degenerate to one whole-document shingle (keeps the result
     * total, so no emptiness filter — and no filter means Catalyst never

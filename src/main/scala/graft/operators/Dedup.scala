@@ -198,6 +198,37 @@ object Dedup {
     // candidates come from ONE posexplode into 4 (band_idx, band_val)
     // rows per doc + a band-keyed equi-join (the dd02 LSH shape, never
     // all-pairs); exact 64-bit hamming verifies candidates only.
+    // dd19's WIDE form — the saturation fix its own scale row calls
+    // for (SCALE.md r12: dd19's 65536-value band keys saturate near
+    // 10^6 docs, knee measured at 5.7x): 128-bit SimHash with 4x32
+    // bands keys a 2^32 domain per band, pushing saturation past
+    // ~10^9 docs with the SAME pigeonhole completeness (hamming<=3
+    // differs in <=3 of 4 bands => one exact band shared). Identical
+    // plan topology to dd19 — only the signature kernel and the band
+    // key width change; bands ride as longs (< 2^32) so neither
+    // engine touches an int32 sign bit. Hamming<=3 over 128 bits is a
+    // far stricter near-identity than over 64, so pairs here are the
+    // highest-precision tier of the simhash family.
+    "dd20_simhash128_bands" -> ((s, d) => {
+      val sh = Tables.spread(docs(s, d))
+        .select(col("doc_id"), simhashWide(col("text")).as("bands"))
+      val ex = sh.select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("bi", "bv")))
+      val a = ex.select(col("bi"), col("bv"), col("doc_id").as("a"), col("bands").as("ba"))
+      val b = ex.select(col("bi"), col("bv"), col("doc_id").as("b"), col("bands").as("bb"))
+      a.join(b, Seq("bi", "bv")).filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared_bands"),
+          first(col("ba")).as("ba"), first(col("bb")).as("bb"))
+        .withColumn("hamming",
+          aggregate(zip_with(col("ba"), col("bb"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+            lit(0L), (acc, v) => acc + v).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select(col("a"), col("b"), col("shared_bands"), col("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "dd19_simhash64_bands" -> ((s, d) => {
       val sh = Tables.spread(docs(s, d))
         .select(col("doc_id"), simhashBands(col("text")).as("bands"))
@@ -1112,6 +1143,43 @@ object Dedup {
          |FROM blocked x JOIN blocked y ON x.block = y.block AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin
+    },
+    "dd20_simhash128_bands" -> {
+      // 128-bit vote re-derivation from md5 hex: chars 1..16 hold
+      // global bits 127..64 (the hi half), chars 17..32 bits 63..0;
+      // bit g lives in 0-based nibble (127-g)/4 for g>=64 and
+      // 16+(63-g)/4 below, at shift g%4; band t = bits 32t..32t+31.
+      val nibs = (0 until 32).map(j =>
+        s"(instr('0123456789abcdef', substr(h32, ${j + 1}, 1)) - 1) AS nib$j")
+        .mkString(",\n         | ")
+      val sums = (0 until 128).map { g =>
+        val j = if (g >= 64) (127 - g) / 4 else 16 + (63 - g) / 4
+        s"sum((((nib$j >> ${g % 4}) & 1) * 2) - 1) AS s$g"
+      }.mkString(",\n         | ")
+      val bandExprs = (0 until 4).map { t =>
+        val bits = (0 until 32)
+          .map(k => s"(CASE WHEN s${32 * t + k} > 0 THEN ${1L << k} ELSE 0 END)")
+          .mkString(" + ")
+        s"CAST($bits AS BIGINT) AS b$t"
+      }.mkString(",\n         | ")
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS h32 FROM toks),
+         |nib AS (SELECT doc_id, $nibs FROM h),
+         |votes AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id),
+         |bands AS (SELECT doc_id, $bandExprs FROM votes),
+         |pairs AS (
+         | SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST((CASE WHEN x.b0 = y.b0 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN x.b1 = y.b1 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN x.b2 = y.b2 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN x.b3 = y.b3 THEN 1 ELSE 0 END) AS BIGINT) AS shared_bands,
+         |  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+         |       bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS INT) AS hamming
+         | FROM bands x JOIN bands y ON x.doc_id < y.doc_id
+         |  AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3))
+         |SELECT a, b, shared_bands, hamming FROM pairs
+         |WHERE hamming <= 3 ORDER BY a, b""".stripMargin
     },
     "dd19_simhash64_bands" -> {
       // 64-bit vote re-derivation from md5 hex: char j+1 (1-based,

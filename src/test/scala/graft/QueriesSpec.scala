@@ -727,6 +727,35 @@ class QueriesSpec extends SparkSpec {
     assert(rows.head._4 == first.count(), "n_signups covers all signup users")
   }
 
+  test("dd20 wide bands stay COMPLETE for hamming<=3 and refine dd19's pair set") {
+    import graft.functions.TextFunctions
+    val got = SparkEntry.queries("dd20_simhash128_bands")(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("a"), r.getAs[Long]("b")),
+        (r.getAs[Long]("shared_bands"), r.getAs[Int]("hamming")))).toMap
+    val sigs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), TextFunctions.simhashWide(col("text")).as("bands"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getSeq[Long](1).toArray))
+    val brute = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      (da, ba) = sigs(i); (db, bb) = sigs(j)
+      hamming = (0 until 4).map(t => java.lang.Long.bitCount(ba(t) ^ bb(t))).sum
+      if hamming <= 3
+      (a, b) = if (da < db) (da, db) else (db, da)
+    } yield (a, b) -> ((ba.zip(bb).count { case (x, y) => x == y }.toLong, hamming))).toMap
+    assert(brute.nonEmpty && got == brute,
+      s"wide banding must lose nothing at <=3: missing ${(brute.keySet -- got.keySet).take(5)}")
+    // 128-bit hamming<=3 is a strictly stricter near-identity than
+    // 64-bit: every wide pair must also be a dd19 pair
+    val dd19 = SparkEntry.queries("dd19_simhash64_bands")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    got.keySet.foreach(p => assert(dd19.contains(p),
+      s"wide pair $p missing from the 64-bit tier"))
+    got.values.foreach { case (shared, hamming) => assert(shared >= 4 - hamming) }
+    sigs.foreach(_._2.foreach(b => assert(b >= 0L && b < (1L << 32),
+      "bands must stay below 2^32 — no sign-bit hazard")))
+  }
+
   test("ss26 cell balance shares and flags are consistent and cover the corpus") {
     val rows = SparkEntry.queries("ss26_cell_balance")(spark, sfDir).collect()
     val total = rows.head.getAs[Long]("total")
