@@ -928,6 +928,17 @@ object api {
           16, 10).cast("long"), lit(nShards.toLong)).cast("int"))
     }
 
+    /** Token-BALANCED shard manifest (the sp09 operator as a verb):
+      * [[shardAssign]] balances doc COUNTS; this balances WORK —
+      * global rank by `tokCol` descending, snake round-robin
+      * assignment, per-shard sums within ~one max-item of ideal on
+      * any distribution. Returns the per-row manifest with `shard`;
+      * the rank is partition-parallel (GroupPrefix). */
+    def balancedShards(idCol: String, tokCol: String, nShards: Int): DataFrame = {
+      require(nShards > 0, s"nShards must be positive: $nShards")
+      graft.operators.Pipeline.balancedShardsOf(df, idCol, tokCol, nShards)
+    }
+
     /** Epoch ordering manifests (the sp07 operator as a verb): for
       * each epoch in [0, epochs), every row gets a DIFFERENT
       * deterministic pseudo-random position within one of `nShards`

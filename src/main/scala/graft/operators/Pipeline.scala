@@ -161,6 +161,35 @@ object Pipeline {
     // map-side-combinable agg). At 100 TB the real writer is
     // `.repartitionByRange`/partitionBy("shard") on this column; the
     // census here is the balance audit that ships with it.
+    // Token-BALANCED shards — the equal-WORK sharding sp06's hash
+    // sharding stops short of (hash balances doc COUNTS; training
+    // loaders want byte/token-balanced shards so no worker drags the
+    // epoch): docs rank globally by token count descending, then the
+    // SNAKE (boustrophedon) round-robin assigns rank i to shard
+    // i%N on even passes and N-1-(i%N) on odd passes — the classic
+    // deterministic balancer whose per-shard sums stay within ~one
+    // max-item of ideal on sorted input, no greedy state, no driver
+    // loop. Scale shape: the global rank is GroupPrefix's two-phase
+    // range-partition form (never a one-task window), assignment is
+    // per-row arithmetic on the rank, and the report rolls up into N
+    // rows with the total as a 1-row broadcast. Output is the
+    // N-row balance report (balance_milli: 1000 = perfectly even);
+    // the per-doc manifest is the same frame before the rollup
+    // (api.balancedShards returns it).
+    "sp09_balanced_shards" -> ((s, d) => {
+      val n = 8
+      val t = docs(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val assigned = balancedShardsOf(t, "doc_id", "n_tok", n)
+      val tot = t.agg(sum(col("n_tok")).as("total"))
+      assigned.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("sum_tokens"),
+          expr(s"(sum_tokens * ${n}000) DIV total").as("balance_milli"))
+        .orderBy(col("shard"))
+    }),
+
     "sp06_shard" -> ((s, d) => {
       docs(s, d)
         .withColumn("shard", expr(
@@ -308,7 +337,40 @@ object Pipeline {
       .orderBy(col("stage"))
   }
 
+  /** sp09's assignment over any (id, tokens) frame — the snake
+    * balanced-shard kernel shared by the batch query and
+    * [[graft.api]]'s `balancedShards` verb: global rank by (tokens
+    * desc, id) via GroupPrefix (partition-parallel, never a one-task
+    * window), shard = boustrophedon round-robin on the rank. Returns
+    * the per-row manifest (id, tokens, shard). */
+  private[graft] def balancedShardsOf(t: DataFrame, idCol: String,
+                                      tokCol: String, nShards: Int): DataFrame = {
+    val ranked = graft.functions.GroupPrefix.groupPrefixC(
+      t.withColumn("_g", lit(1)), "_g", Seq(-col(tokCol), col(idCol)))
+    ranked
+      .withColumn("shard", expr(
+        s"CAST(CASE WHEN ((rn - 1) DIV $nShards) % 2 = 0 THEN (rn - 1) % $nShards " +
+          s"ELSE ${nShards - 1} - (rn - 1) % $nShards END AS INT)"))
+      .drop("_g", "rn")
+  }
+
   val oracle: Map[String, String] = Map(
+    "sp09_balanced_shards" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rank
+        |      FROM t),
+        |a AS (
+        | SELECT doc_id, n_tok,
+        |  CAST(CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
+        |       ELSE 7 - (rank - 1) % 8 END AS INT) AS shard
+        | FROM r),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM t)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        | (CAST(sum(n_tok) AS BIGINT) * 8000) // total AS balance_milli
+        |FROM a, tot GROUP BY shard, total ORDER BY shard""".stripMargin,
     "sp01_stratified_sample" ->
       """SELECT doc_id, source, n_chars
         |FROM documents

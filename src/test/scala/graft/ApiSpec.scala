@@ -1176,6 +1176,28 @@ class ApiSpec extends SparkSpec {
     assert(picks(1) == 3L, s"pick 2 must be the diverse vector, got $picks")
   }
 
+  test("balancedShards verb: snake sums within one max-item of ideal, beats hash sharding") {
+    import spark.implicits._
+    val t = Tables.spread(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val n = 8
+    val sums = t.balancedShards("doc_id", "n_tok", n)
+      .groupBy("shard").agg(sum(col("n_tok")).as("s"))
+      .collect().map(r => r.getAs[Int]("shard") -> r.getAs[Long]("s")).toMap
+    assert(sums.keySet == (0 until n).toSet, "every shard is used")
+    val maxTok = t.agg(max(col("n_tok"))).collect().head.getLong(0)
+    assert(sums.values.max - sums.values.min <= 2 * maxTok,
+      s"snake spread ${sums.values.max - sums.values.min} exceeds 2x max item $maxTok")
+    // the whole point: work spread beats count-balanced hash sharding
+    val hashSums = t.shardAssign("doc_id", n)
+      .groupBy("shard").agg(sum(col("n_tok")).as("s"))
+      .collect().map(_.getAs[Long]("s"))
+    assert(sums.values.max - sums.values.min <= hashSums.max - hashSums.min,
+      "token-balanced must not be worse than hash sharding on token spread")
+    // manifest partitions the corpus exactly
+    assert(t.balancedShards("doc_id", "n_tok", n).count() == t.count())
+  }
+
   test("giniReport verb matches ts33 and scores hand-built distributions") {
     import spark.implicits._
     val viaApi = Tables.events(spark, sfDir)
