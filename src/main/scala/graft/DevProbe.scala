@@ -287,22 +287,21 @@ object DevProbe {
       println(f"funnelprobe events=${evs.length} chunks=$chunks " +
         f"t=$secs%.2f s rate=${evs.length / secs}%.0f ev/s")
     } else if (args(0) == "--knnk") {
-      // ss28 with the coarse quantizer SCALED to the corpus (args:
-      // --knnk <dir> <cells>): the registered query seeds cells from
-      // the fixed label column, so under a 64x blowup each cell holds
-      // 64x more members and the within-cell pair count grows 64^2 —
-      // a fixed-k artifact, not the operator's shape (IVF practice
-      // scales k ~ sqrt(n); api.knnGraph takes any cell assignment,
-      // e.g. kmeansTrain's). This probe feeds a hash-derived label
-      // with `cells` values so cell SIZE stays at its 1x value while
-      // the corpus grows — the honest scaling row (the ss22fixed
-      // decomposition discipline).
+      // knn-graph core with an EXPLICIT cell count (args: --knnk <dir>
+      // <cells>). The registered ss28 now derives cells ∝ corpus
+      // in-plan (hashCells: n/64 cells, constant cell size — the r10
+      // verdict's fix for the 64²-pair growth its fixed-label form
+      // measured), so this probe is the knob-isolation twin: drive
+      // the same knnGraphByCell core at an arbitrary cell count to
+      // measure the pair-join term alone (e.g. hold cells at the 1x
+      // value under a blowup to reproduce the quadratic artifact, or
+      // scale them to confirm linearity).
       import org.apache.spark.sql.functions._
       import graft.api._
       val e = graft.Tables.spread(graft.Tables(spark, args(1), "embeddings"))
         .withColumn("kcell", pmod(xxhash64(col("vec_id")), lit(args(2).toLong)).cast("int"))
       val t0 = System.nanoTime()
-      e.knnGraph("vec_id", "embedding", "kcell")
+      e.knnGraphByCell("vec_id", "embedding", "kcell")
         .write.format("noop").mode("overwrite").save()
       println("KNNK=done in " + (System.nanoTime() - t0) / 1e9 + "s")
     } else if (args(0) == "--full") {

@@ -539,6 +539,27 @@ object api {
       graft.operators.Dedup.candidatePairsPublic(
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+    /** SimHash near-dup pairs (a < b, hamming<=3) at a signature
+      * `width` selected FROM THE CORPUS SIZE by default — the one
+      * entry point to the dd03/dd19/dd20 tier ladder, so a user
+      * cannot pick a saturating tier silently. width=0 (default)
+      * counts the frame once (pay-once, like an index build) and
+      * applies [[graft.operators.Dedup.simhashWidthFor]]: < 10^6
+      * docs → 64-bit 4×16 bands (2^16-value band keys stay sparse);
+      * < 10^9 → 128-bit 4×32 bands (the measured dd19 saturation
+      * knee's fix); ≥ 10^9 refuses loudly (no 4-band tier fits —
+      * widen the banding or shard). Explicit width ∈ {16, 64, 128}
+      * overrides (16 = dd03's single-signature pedagogical tier,
+      * never auto-selected). Banded widths carry the pigeonhole
+      * hamming<=3 completeness guarantee; wider = stricter
+      * near-identity AND bigger key domain. Returns (a, b,
+      * hamming). */
+    def simhashPairs(idCol: String, textCol: String, width: Int = 0): DataFrame = {
+      val w = if (width != 0) width else graft.operators.Dedup.simhashWidthFor(df.count())
+      graft.operators.Dedup.simhashPairsOf(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")), w)
+    }
+
     /** Winnowing-fingerprint duplicate pairs (the dd16 operator —
       * Schleimer et al. 2003, MOSS): pairs of docs sharing >=
       * `minShared` selected fingerprints, with the positional
@@ -1136,14 +1157,22 @@ object api {
       * at λ=1/2 (integer-milli scores, deterministic ties). Returns
       * (q_id, vec_id, rel_milli, mmr_milli, pick). The corpus is
       * scanned once against the broadcast query batch; every greedy
-      * step runs over shortlist-sized frames only. */
+      * step runs over shortlist-sized frames only.
+      *
+      * `excludeSelf` (default true) drops candidates whose `idCol`
+      * EQUALS the query's `queryIdCol` — correct when queries are
+      * drawn FROM the corpus (the ss29 form). Pass false when the
+      * query batch uses an EXTERNAL id space: with excludeSelf on, a
+      * query id that coincidentally equals an unrelated corpus id
+      * would silently drop that vector from the shortlist. */
     def mmrTopK(idCol: String, vecCol: String, queries: DataFrame,
                 queryIdCol: String, queryVecCol: String,
-                shortlist: Int = 8, k: Int = 4): DataFrame =
+                shortlist: Int = 8, k: Int = 4,
+                excludeSelf: Boolean = true): DataFrame =
       graft.operators.Similarity.mmrDiversify(
         df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
         queries.select(col(queryIdCol).as("q_id"), col(queryVecCol).as("q_emb")),
-        shortlist, k)
+        shortlist, k, excludeSelf)
 
     /** Blocked k-NN GRAPH (the ss28 operator as a verb): every
       * vector's top-`k` cosine neighbors among its IVF cell-mates
@@ -1159,6 +1188,33 @@ object api {
       graft.operators.Similarity.knnGraphOf(
           df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
             col(labelCol).as("label")), k)
+        .withColumnRenamed("vec_id", idCol)
+
+    /** Blocked k-NN graph over a PRE-ASSIGNED cell column — the
+      * [[knnGraph]] core without the centroid pass: candidates are
+      * `cellCol`-mates only (one cell equi-join, per-vector top-`k`
+      * as a partial WindowGroupLimit). The caller owns the blocking:
+      * kmeansAssign cells, LSH buckets, or the registered ss28 form
+      * (corpus-scaled hash cells — cell count ∝ n so cell SIZE and
+      * the per-cell pair count stay constant as the corpus grows; a
+      * FIXED cell domain grows pairs quadratically). Returns (idCol,
+      * cell, rank, nbr_id, cos_sim). */
+    def knnGraphByCell(idCol: String, vecCol: String, cellCol: String,
+                       k: Int = 3): DataFrame =
+      graft.operators.Similarity.knnGraphBlocked(
+          df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+            col(cellCol).as("cell")), k)
+        .withColumnRenamed("vec_id", idCol)
+
+    /** Corpus-scaled hash cells for [[knnGraphByCell]] (the ss28
+      * blocking): adds `cell` = md5(id) mod (count/targetCellSize),
+      * the count a 1-row broadcast — cell size stays ~targetCellSize
+      * at every corpus scale. */
+    def hashCells(idCol: String, vecCol: String,
+                  targetCellSize: Int = 64): DataFrame =
+      graft.operators.Similarity.hashCells(
+          df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+          targetCellSize)
         .withColumnRenamed("vec_id", idCol)
 
     /** Batch IVF-PQ ANN (the ss22 serving query as a verb — the scale

@@ -101,6 +101,77 @@ object Dedup {
     * the row count — dedupe to distinct names first), the block join
     * is gram-keyed (never all-pairs), the verify runs on candidates
     * only. */
+  /** ONE width-parameterized banded-SimHash kernel behind dd19 (64-bit,
+    * 4×16 bands) and dd20 (128-bit, 4×32 bands) — identical plan
+    * topology, only the signature expression and band-key width
+    * differ: signature at scan speed, ONE posexplode into 4
+    * (band_idx, band_val) rows per doc, a band-keyed equi-join (the
+    * dd02 LSH shape, never all-pairs), exact hamming over candidates
+    * only. Pigeonhole completeness at every width: a hamming<=3 pair
+    * differs in at most 3 of the 4 bands, so it shares at least one
+    * exact band key. Width choice is a SATURATION contract, enforced
+    * by [[simhashWidthFor]]: 64-bit band keys (2^16 values/band)
+    * saturate near 10^6 docs (knee measured at 5.7x on the 64x
+    * blowup), 128-bit (2^32/band) holds past ~10^9. */
+  private[graft] def bandedSimhashPairs(docDf: DataFrame, width: Int): DataFrame = {
+    val sig = width match {
+      case 64  => simhashBands(col("text"))
+      case 128 => simhashWide(col("text"))
+      case w   => throw new IllegalArgumentException(s"banded simhash width $w (need 64|128)")
+    }
+    val sh = docDf.select(col("doc_id"), sig.as("bands"))
+    val ex = sh.select(col("doc_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("bi", "bv")))
+    val a = ex.select(col("bi"), col("bv"), col("doc_id").as("a"), col("bands").as("ba"))
+    val b = ex.select(col("bi"), col("bv"), col("doc_id").as("b"), col("bands").as("bb"))
+    a.join(b, Seq("bi", "bv")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared_bands"),
+        first(col("ba")).as("ba"), first(col("bb")).as("bb"))
+      .withColumn("hamming",
+        aggregate(zip_with(col("ba"), col("bb"),
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, v) => acc + v).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("a"), col("b"), col("shared_bands"), col("hamming"))
+  }
+
+  /** The simhash width a corpus of `n` docs needs to keep its band
+    * keys from saturating — the rule [[graft.api]]'s `simhashPairs`
+    * applies so a user cannot pick the saturating tier silently:
+    * below 10^6 docs the 64-bit form's 2^16-value band keys stay
+    * sparse (mean occupancy < ~15); past that they saturate (the
+    * measured 5.7x knee at 3.2M docs) and the 128-bit form's
+    * 2^32-value keys take over, good to ~10^9 docs. Past 10^9 no
+    * 4-band tier fits — that corpus needs more/wider bands (8×32 for
+    * hamming<=7, or sharded corpora), so the auto rule refuses
+    * rather than silently saturate. The 16-bit tier (dd03) is never
+    * auto-selected: its single 2^16 signature domain is pedagogical
+    * below ~10^5 docs only. */
+  private[graft] def simhashWidthFor(n: Long): Int =
+    if (n < 1000000L) 64
+    else if (n < 1000000000L) 128
+    else throw new IllegalArgumentException(
+      s"simhash auto-width: $n docs exceeds the 4-band 128-bit tier (~10^9); " +
+        "widen the banding (8 bands) or shard the corpus")
+
+  /** Width-parameterized SimHash near-dup pairs over a (doc_id, text)
+    * frame — the unified kernel behind dd03 (16), dd19 (64) and dd20
+    * (128), normalized to the common (a, b, hamming) schema. */
+  private[graft] def simhashPairsOf(docDf: DataFrame, width: Int): DataFrame = width match {
+    case 16 =>
+      val simhash = docDf.select(col("doc_id"), simhashSig(col("text")).as("simhash"))
+        .withColumn("block", shiftright(col("simhash"), 8))
+      val a = simhash.select(col("doc_id").as("a"), col("simhash").as("sh_a"), col("block"))
+      val b = simhash.select(col("doc_id").as("b"), col("simhash").as("sh_b"), col("block"))
+      a.join(b, "block").filter(col("a") < col("b"))
+        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select(col("a"), col("b"), col("hamming"))
+    case _ =>
+      bandedSimhashPairs(docDf, width).select(col("a"), col("b"), col("hamming"))
+  }
+
   private[graft] def fuzzyPairs(names: DataFrame, maxDist: Int,
                                 minSharedGrams: Long,
                                 maxGramDf: Long = Long.MaxValue): DataFrame = {
@@ -209,45 +280,13 @@ object Dedup {
     // engine touches an int32 sign bit. Hamming<=3 over 128 bits is a
     // far stricter near-identity than over 64, so pairs here are the
     // highest-precision tier of the simhash family.
-    "dd20_simhash128_bands" -> ((s, d) => {
-      val sh = Tables.spread(docs(s, d))
-        .select(col("doc_id"), simhashWide(col("text")).as("bands"))
-      val ex = sh.select(col("doc_id"), col("bands"),
-        posexplode(col("bands")).as(Seq("bi", "bv")))
-      val a = ex.select(col("bi"), col("bv"), col("doc_id").as("a"), col("bands").as("ba"))
-      val b = ex.select(col("bi"), col("bv"), col("doc_id").as("b"), col("bands").as("bb"))
-      a.join(b, Seq("bi", "bv")).filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("shared_bands"),
-          first(col("ba")).as("ba"), first(col("bb")).as("bb"))
-        .withColumn("hamming",
-          aggregate(zip_with(col("ba"), col("bb"),
-            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-            lit(0L), (acc, v) => acc + v).cast("int"))
-        .filter(col("hamming") <= 3)
-        .select(col("a"), col("b"), col("shared_bands"), col("hamming"))
-        .orderBy(col("a"), col("b"))
-    }),
+    "dd20_simhash128_bands" -> ((s, d) =>
+      bandedSimhashPairs(Tables.spread(docs(s, d)), width = 128)
+        .orderBy(col("a"), col("b"))),
 
-    "dd19_simhash64_bands" -> ((s, d) => {
-      val sh = Tables.spread(docs(s, d))
-        .select(col("doc_id"), simhashBands(col("text")).as("bands"))
-      val ex = sh.select(col("doc_id"), col("bands"),
-        posexplode(col("bands")).as(Seq("bi", "bv")))
-      val a = ex.select(col("bi"), col("bv"), col("doc_id").as("a"), col("bands").as("ba"))
-      val b = ex.select(col("bi"), col("bv"), col("doc_id").as("b"), col("bands").as("bb"))
-      a.join(b, Seq("bi", "bv")).filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("shared_bands"),
-          first(col("ba")).as("ba"), first(col("bb")).as("bb"))
-        .withColumn("hamming",
-          aggregate(zip_with(col("ba"), col("bb"),
-            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-            lit(0L), (acc, v) => acc + v).cast("int"))
-        .filter(col("hamming") <= 3)
-        .select(col("a"), col("b"), col("shared_bands"), col("hamming"))
-        .orderBy(col("a"), col("b"))
-    }),
+    "dd19_simhash64_bands" -> ((s, d) =>
+      bandedSimhashPairs(Tables.spread(docs(s, d)), width = 64)
+        .orderBy(col("a"), col("b"))),
 
     // Exact n-gram Jaccard verification of the MinHash-LSH candidate
     // pairs (the classic two-stage dedup: cheap candidates, exact

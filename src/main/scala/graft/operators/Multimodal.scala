@@ -7,60 +7,246 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media as opaque `binary` payloads plus
   * typed metadata, processed in distributed batches.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked DETERMINISTIC STUB (dimensions derived from the
-  * payload digest); everything around it — binary column synthesis,
-  * schema, per-partition batch iteration, partition-parallel execution
-  * — is real Spark plumbing, the exact shape a Pandas-UDF/`mapInPandas`
-  * batch decoder takes at 100 TB (payload column pruned unless needed,
-  * decode fanned out per partition, no driver-side collection).
+  * The decode is REAL header/container parsing — pure byte arithmetic
+  * over the public formats, no codec library: PNG chunk walk + IHDR
+  * dimensions (RFC 2083 §3), JPEG marker-segment walk + SOF0/SOF2
+  * frame header (ITU T.81 §B.2), GIF89a block walk with Graphic
+  * Control Extension delays and local color tables (GIF89a spec §§20,
+  * 23). Payloads are synthesized executor-side as REAL byte streams of
+  * those formats (correct signatures, chunk CRCs, segment lengths;
+  * dims/frame counts md5-derived so the DuckDB oracle recomputes the
+  * expected metadata from the generation formula while the Spark side
+  * must PARSE it back out of the bytes). Only pixel-level work (a true
+  * perceptual hash, frame raster decode) is out of scope here — that
+  * is the one genuinely codec-bound step; its honest stand-in is the
+  * content digest of the PARSED body bytes. The plumbing — binary
+  * columns, per-partition batch iteration, 1→N frame expansion
+  * executor-side, corrupt-payload null-routing — is the exact shape a
+  * `mapInPandas` batch decoder takes at 100 TB.
   */
 object Multimodal {
   /** Input row for the batch decoder. */
   case class MediaIn(doc_id: Long, payload: Array[Byte])
-  /** Decoded metadata row. */
+  /** Decoded metadata row: everything parsed from the payload bytes.
+    * `body8` = first 8 hex of md5 over the container's embedded body
+    * (PNG IDAT data / JPEG COM content) — a content fingerprint of
+    * the parsed-out payload, NOT a perceptual hash (that needs a
+    * pixel decode). */
   case class MediaMeta(doc_id: Long, n_bytes: Int, format: String,
-                       width: Int, height: Int, phash8: String)
+                       width: Int, height: Int, body8: String)
 
   private def md5hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
 
   private def nib(c: Char): Int = "0123456789abcdef".indexOf(c)
 
-  /** STUB decode: a real deployment would parse image headers /
-    * decode frames here (e.g. via a JNI codec or mapInPandas+PIL).
-    * Deterministic fake: dims + format derived from the md5 digest.
-    */
-  private[operators] def decodeStub(in: MediaIn): MediaMeta = {
-    val h = md5hex(in.payload)
-    MediaMeta(
-      doc_id = in.doc_id,
-      n_bytes = in.payload.length,
-      format = if (nib(h(0)) % 2 == 0) "png" else "jpeg",
-      width = 64 + 16 * nib(h(1)),
-      height = 64 + 16 * nib(h(2)),
-      phash8 = h.substring(0, 8))
+  private def be32(v: Int): Array[Byte] =
+    Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be16(v: Int): Array[Byte] = Array[Byte]((v >>> 8).toByte, v.toByte)
+  private def le16(v: Int): Array[Byte] = Array[Byte](v.toByte, (v >>> 8).toByte)
+  private def bytes(vs: Int*): Array[Byte] = vs.map(_.toByte).toArray
+
+  /** PNG chunk: length + type + data + CRC32(type||data) — the real
+    * chunk framing, so any standard PNG walker (including ours below)
+    * traverses these payloads. */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
   }
 
-  /** One sampled "frame" of a media payload. */
-  case class MediaFrame(doc_id: Long, frame_idx: Int, frame_ts_ms: Int,
-                        fhash8: String, brightness: Int)
+  private val PngSig = bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
 
-  /** STUB frame sampler: a real deployment would demux the container
-    * and decode every k-th frame here. Deterministic fake: frame count
-    * and per-frame features derived from the payload digest. The 1→N
-    * row expansion inside mapPartitions is the real shape of a frame
-    * sampler at 100 TB — expansion happens executor-side per batch,
-    * never on the driver, and downstream operators see ordinary rows.
-    */
-  private[operators] def sampleFramesStub(in: MediaIn): Iterator[MediaFrame] = {
-    val h = md5hex(in.payload)
-    val n = 2 + nib(h(3)) % 4
-    Iterator.range(0, n).map { i =>
-      val fh = md5hex((h + ":" + i).getBytes("UTF-8"))
-      MediaFrame(in.doc_id, i, i * 40, fh.substring(0, 8), nib(fh(0)) * 16 + nib(fh(1)))
+  /** Synthesize a REAL media byte stream for a document: format and
+    * dimensions md5-derived (the oracle's closed formula), the text
+    * bytes embedded as the container body. PNG = sig + IHDR(w,h,
+    * 8-bit RGB) + IDAT(body) + IEND, chunk CRCs real (the IDAT bytes
+    * are not valid zlib — a valid-header/corrupt-body file, which is
+    * exactly what header-level ingest QA must survive). JPEG = SOI +
+    * APP0(JFIF) + COM(body) + SOF0(h,w,3 components) + EOI — the
+    * parser must WALK the variable-length segments to find SOF. */
+  private[graft] def mkMedia(text: String): Array[Byte] = {
+    val body = text.getBytes("UTF-8")
+    val h = md5hex(body)
+    val w = 64 + 16 * nib(h(1))
+    val ht = 64 + 16 * nib(h(2))
+    if (nib(h(0)) % 2 == 0) {
+      PngSig ++
+        pngChunk("IHDR", be32(w) ++ be32(ht) ++ bytes(8, 2, 0, 0, 0)) ++
+        pngChunk("IDAT", body) ++
+        pngChunk("IEND", Array.emptyByteArray)
+    } else {
+      require(body.length <= 65533, s"COM segment overflow: ${body.length}")
+      bytes(0xFF, 0xD8) ++                                   // SOI
+        bytes(0xFF, 0xE0) ++ be16(16) ++                     // APP0 JFIF
+        "JFIF".getBytes("US-ASCII") ++ bytes(0, 1, 1, 0) ++
+        be16(1) ++ be16(1) ++ bytes(0, 0) ++
+        bytes(0xFF, 0xFE) ++ be16(2 + body.length) ++ body ++ // COM
+        bytes(0xFF, 0xC0) ++ be16(17) ++ bytes(8) ++          // SOF0
+        be16(ht) ++ be16(w) ++
+        bytes(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) ++
+        bytes(0xFF, 0xD9)                                     // EOI
     }
   }
+
+  /** REAL batch decode: sniff the signature, then parse the format's
+    * own structure — PNG: walk length-prefixed chunks, read width/
+    * height from IHDR, digest IDAT's data span; JPEG: walk marker
+    * segments (skipping APPn and COM by their declared lengths), read
+    * height/width from the SOF0-3 frame header, digest the COM body.
+    * Returns None for anything unparseable (corrupt media routes out
+    * of the batch instead of failing the task). */
+  private[graft] def decodeMedia(in: MediaIn): Option[MediaMeta] = try {
+    val p = in.payload
+    def u8(i: Int): Int = p(i) & 0xff
+    def be16At(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32At(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def dig8(off: Int, len: Int): String =
+      md5hex(java.util.Arrays.copyOfRange(p, off, off + len)).substring(0, 8)
+    if (p.length >= 8 && PngSig.indices.forall(i => p(i) == PngSig(i))) {
+      var pos = 8
+      var w, ht = -1
+      var body8 = ""
+      var done = false
+      while (!done && pos + 8 <= p.length) {
+        val len = be32At(pos)
+        val typ = new String(p, pos + 4, 4, "US-ASCII")
+        if (len < 0 || pos + 12 + len > p.length) done = true
+        else {
+          if (typ == "IHDR" && len >= 8) { w = be32At(pos + 8); ht = be32At(pos + 12) }
+          else if (typ == "IDAT" && body8.isEmpty) body8 = dig8(pos + 8, len)
+          else if (typ == "IEND") done = true
+          pos += 12 + len
+        }
+      }
+      if (w < 0) None
+      else Some(MediaMeta(in.doc_id, p.length, "png", w, ht, body8))
+    } else if (p.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var pos = 2
+      var w, ht = -1
+      var body8 = ""
+      var done = false
+      while (!done && pos + 4 <= p.length) {
+        if (u8(pos) != 0xFF) done = true
+        else u8(pos + 1) match {
+          case 0xD9 => done = true                          // EOI
+          case m if m >= 0xD0 && m <= 0xD7 => pos += 2      // RSTn
+          case 0x01 | 0xFF => pos += 2                      // TEM / fill
+          case m =>
+            val len = be16At(pos + 2)
+            if (len < 2 || pos + 2 + len > p.length) done = true
+            else {
+              if ((m >= 0xC0 && m <= 0xC3) && len >= 7) {   // SOF0-3
+                ht = be16At(pos + 5); w = be16At(pos + 7)
+              } else if (m == 0xFE && body8.isEmpty && len > 2)
+                body8 = dig8(pos + 4, len - 2)              // COM
+              pos += 2 + len
+            }
+        }
+      }
+      if (w < 0) None
+      else Some(MediaMeta(in.doc_id, p.length, "jpeg", w, ht, body8))
+    } else None
+  } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  /** One sampled frame of a media payload — every field parsed from
+    * the container bytes: dims from the image descriptor, timestamp
+    * from the accumulated GCE delays, brightness from the frame's
+    * local color table (mean of the first palette entry's RGB —
+    * palette bytes are raw RGB, no LZW decode needed). */
+  case class MediaFrame(doc_id: Long, frame_idx: Int, frame_ts_ms: Int,
+                        frame_w: Int, frame_h: Int, brightness: Int)
+
+  /** Synthesize a REAL GIF89a: logical screen descriptor, then per
+    * frame a Graphic Control Extension (delay 4 cs = 40 ms), an image
+    * descriptor with md5-derived dims, a 2-entry local color table
+    * whose first entry is the md5-derived RGB, and a length-prefixed
+    * data sub-block chain; trailer 0x3B. Frame count 2-5, md5-derived
+    * (the oracle's closed formula). */
+  private[graft] def mkGif(text: String): Array[Byte] = {
+    val h = md5hex(text.getBytes("UTF-8"))
+    val n = 2 + nib(h(3)) % 4
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    buf ++= "GIF89a".getBytes("US-ASCII")
+    buf ++= le16(256); buf ++= le16(256); buf ++= bytes(0x00, 0, 0)
+    (0 until n).foreach { i =>
+      val fh = md5hex((h + ":" + i).getBytes("UTF-8"))
+      val fw = 8 * (1 + nib(fh(2)))
+      val fht = 8 * (1 + nib(fh(3)))
+      val r = nib(fh(0)) * 16 + nib(fh(1))
+      val g = nib(fh(4)) * 16 + nib(fh(5))
+      val b = nib(fh(6)) * 16 + nib(fh(7))
+      buf ++= bytes(0x21, 0xF9, 4, 0); buf ++= le16(4); buf ++= bytes(0, 0)
+      buf ++= bytes(0x2C); buf ++= le16(0); buf ++= le16(0)
+      buf ++= le16(fw); buf ++= le16(fht); buf ++= bytes(0x80)
+      buf ++= bytes(r, g, b, 0xFF, 0xFF, 0xFF)
+      buf ++= bytes(2)                                    // LZW min code size
+      val db = fh.substring(0, 8).getBytes("US-ASCII")
+      buf ++= bytes(db.length); buf ++= db; buf ++= bytes(0)
+    }
+    buf += 0x3B.toByte
+    buf.toArray
+  }
+
+  /** REAL frame sampler: walks the GIF block structure — skips the
+    * global color table if flagged, reads each GCE's delay, each
+    * image descriptor's dims, each local color table's first RGB
+    * entry, and skips data sub-blocks by their length prefixes. The
+    * 1→N row expansion inside mapPartitions is the shape of a frame
+    * sampler at 100 TB — expansion happens executor-side per batch,
+    * never on the driver. Unparseable payloads yield no frames. */
+  private[graft] def sampleFrames(in: MediaIn): Iterator[MediaFrame] = try {
+    val p = in.payload
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16At(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val sig = new String(p, 0, math.min(6, p.length), "US-ASCII")
+    if (p.length < 13 || (sig != "GIF89a" && sig != "GIF87a")) Iterator.empty
+    else {
+      var pos = 6
+      val packed = u8(pos + 4)
+      pos += 7
+      if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1))
+      val frames = scala.collection.mutable.ArrayBuffer.empty[MediaFrame]
+      var idx = 0
+      var tMs = 0
+      var pendingDelayMs = 0
+      var done = false
+      def skipSubBlocks(): Unit = {
+        while (u8(pos) != 0) pos += 1 + u8(pos)
+        pos += 1
+      }
+      while (!done && pos < p.length) {
+        u8(pos) match {
+          case 0x3B => done = true
+          case 0x21 =>
+            val label = u8(pos + 1)
+            pos += 2
+            if (label == 0xF9 && u8(pos) == 4) pendingDelayMs = le16At(pos + 2) * 10
+            skipSubBlocks()
+          case 0x2C =>
+            val fw = le16At(pos + 5)
+            val fht = le16At(pos + 7)
+            val pk = u8(pos + 9)
+            pos += 10
+            var bright = 0
+            if ((pk & 0x80) != 0) {
+              bright = (u8(pos) + u8(pos + 1) + u8(pos + 2)) / 3
+              pos += 3 * (1 << ((pk & 7) + 1))
+            }
+            pos += 1
+            skipSubBlocks()
+            frames += MediaFrame(in.doc_id, idx, tMs, fw, fht, bright)
+            tMs += pendingDelayMs
+            pendingDelayMs = 0
+            idx += 1
+          case _ => done = true
+        }
+      }
+      frames.iterator
+    }
+  } catch { case _: ArrayIndexOutOfBoundsException => Iterator.empty }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MAGIC-BYTE FORMAT SNIFFING + declared-vs-actual audit — the
@@ -106,28 +292,34 @@ object Multimodal {
         .orderBy(col("declared"), col("sniffed"))
     }),
 
-    // Binary payload column + batched per-partition decode.
+    // Binary payload column + batched per-partition REAL header
+    // decode: payloads are synthesized as genuine PNG/JPEG byte
+    // streams (executor-side, body = the document text), and the
+    // decoder PARSES format, dimensions, and the body digest back out
+    // of the bytes — PNG chunk walk + IHDR, JPEG segment walk + SOF.
     "mm01_binary_meta" -> ((s, d) => {
       import s.implicits._
       val media = Tables(s, d, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .as[MediaIn]
-      // Undecodable (null) payloads route out: decode emits nothing
-      // for them instead of failing the task — a corrupt media file
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => MediaIn(id, mkMedia(text)) }
+      // Undecodable payloads route out: decode emits nothing for
+      // them instead of failing the task — a corrupt media file
       // must never take down the batch.
-      media.mapPartitions(_.withFilter(_.payload != null).map(decodeStub))
+      media.mapPartitions(_.withFilter(_.payload != null).flatMap(m => decodeMedia(m)))
         .toDF()
         .orderBy(col("doc_id"))
     }),
 
-    // Frame sampling: binary payload → N frame rows with per-frame
-    // features, expanded per partition batch (video pipeline shape).
+    // Frame sampling: binary GIF payload → N frame rows, every field
+    // parsed from the container bytes (image descriptor dims, GCE
+    // delays, local-palette brightness), expanded per partition batch
+    // (the video-pipeline 1→N shape).
     "mm02_frame_sample" -> ((s, d) => {
       import s.implicits._
       val media = Tables(s, d, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .as[MediaIn]
-      media.mapPartitions(_.withFilter(_.payload != null).flatMap(sampleFramesStub))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => MediaIn(id, mkGif(text)) }
+      media.mapPartitions(_.withFilter(_.payload != null).flatMap(sampleFrames))
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
@@ -144,11 +336,11 @@ object Multimodal {
       import s.implicits._
       val docs = Tables.spread(Tables(s, d, "documents"))
         .select(col("doc_id"), col("source"), col("n_chars"),
-          size(split(col("text"), " ")).as("tok_cnt"),
-          encode(col("text"), "UTF-8").as("payload"))
-      val meta = docs.select(col("doc_id"), col("payload")).as[MediaIn]
-        .mapPartitions(_.withFilter(_.payload != null).map(decodeStub)).toDF()
-        .select(col("doc_id"), col("format"), col("width"), col("height"), col("phash8"))
+          size(split(col("text"), " ")).as("tok_cnt"), col("text"))
+      val meta = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => MediaIn(id, mkMedia(text)) }
+        .mapPartitions(_.withFilter(_.payload != null).flatMap(m => decodeMedia(m))).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"), col("body8"))
       val emb = Tables(s, d, "embeddings")
         .select(col("vec_id").as("doc_id"),
           size(col("embedding")).as("emb_dim"),
@@ -156,7 +348,7 @@ object Multimodal {
             transform(col("embedding"),
               x => floor(x.cast("double") * 100 + 0.5).cast("long")),
             lit(0L), (acc, x) => acc + x).as("emb_qsum"))
-      docs.drop("payload")
+      docs.drop("text")
         .join(emb, "doc_id")
         .join(meta, "doc_id")
         .orderBy(col("doc_id"))
@@ -209,18 +401,30 @@ object Multimodal {
         | CAST(sum(nb) AS BIGINT) AS total_bytes,
         | declared = sniffed AS ok
         |FROM sn GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // The stub's md5-derived metadata is reproducible in SQL: DuckDB
-    // md5 over the same UTF-8 bytes yields the same digest.
+    // The synthesized containers' metadata has a closed formula over
+    // md5(text): format/dims are md5-nibble-derived, the byte length
+    // is the format's fixed framing overhead (PNG: 8 sig + 25 IHDR +
+    // 12 IDAT framing + 12 IEND = 57; JPEG: 2 SOI + 18 APP0 + 4 COM
+    // framing + 19 SOF0 + 2 EOI = 45) plus the embedded body, and
+    // body8 is the digest of that body (= the text bytes). The Spark
+    // side must PARSE all of it back out of the payload bytes; this
+    // oracle recomputes what the parse must find.
     "mm01_binary_meta" ->
-      """WITH h AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      """WITH h AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS tlen,
         |  md5(text) AS hx FROM documents)
-        |SELECT doc_id, n_bytes,
+        |SELECT doc_id,
+        | CAST(CASE WHEN (instr('0123456789abcdef', substr(hx,1,1)) - 1) % 2 = 0
+        |      THEN 57 ELSE 45 END + tlen AS INT) AS n_bytes,
         | CASE WHEN (instr('0123456789abcdef', substr(hx,1,1)) - 1) % 2 = 0
         |      THEN 'png' ELSE 'jpeg' END AS format,
         | CAST(64 + 16 * (instr('0123456789abcdef', substr(hx,2,1)) - 1) AS INT) AS width,
         | CAST(64 + 16 * (instr('0123456789abcdef', substr(hx,3,1)) - 1) AS INT) AS height,
-        | substr(hx, 1, 8) AS phash8
+        | substr(hx, 1, 8) AS body8
         |FROM h ORDER BY doc_id""".stripMargin,
+    // GIF frames: count and per-frame dims/palette are md5-derived in
+    // synthesis; the Spark side walks the real GIF blocks (GCE delay
+    // 4 cs = 40 ms per frame → ts 40·i; brightness = mean RGB of the
+    // first local-palette entry).
     "mm02_frame_sample" ->
       """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
         |f AS (
@@ -229,9 +433,14 @@ object Multimodal {
         | FROM h),
         |ff AS (SELECT doc_id, fi, md5(hx || ':' || CAST(fi AS VARCHAR)) AS fh FROM f)
         |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(fi * 40 AS INT) AS frame_ts_ms,
-        | substr(fh, 1, 8) AS fhash8,
-        | CAST((instr('0123456789abcdef', substr(fh,1,1)) - 1) * 16
-        |    + (instr('0123456789abcdef', substr(fh,2,1)) - 1) AS INT) AS brightness
+        | CAST(8 * (1 + instr('0123456789abcdef', substr(fh,3,1)) - 1) AS INT) AS frame_w,
+        | CAST(8 * (1 + instr('0123456789abcdef', substr(fh,4,1)) - 1) AS INT) AS frame_h,
+        | CAST(((instr('0123456789abcdef', substr(fh,1,1)) - 1) * 16
+        |     + (instr('0123456789abcdef', substr(fh,2,1)) - 1)
+        |     + (instr('0123456789abcdef', substr(fh,5,1)) - 1) * 16
+        |     + (instr('0123456789abcdef', substr(fh,6,1)) - 1)
+        |     + (instr('0123456789abcdef', substr(fh,7,1)) - 1) * 16
+        |     + (instr('0123456789abcdef', substr(fh,8,1)) - 1)) // 3 AS INT) AS brightness
         |FROM ff ORDER BY doc_id, frame_idx""".stripMargin,
     "mm03_sample_assembly" ->
       """WITH meta AS (
@@ -242,7 +451,7 @@ object Multimodal {
         |       THEN 'png' ELSE 'jpeg' END AS format,
         |  CAST(64 + 16 * (instr('0123456789abcdef', substr(hx,2,1)) - 1) AS INT) AS width,
         |  CAST(64 + 16 * (instr('0123456789abcdef', substr(hx,3,1)) - 1) AS INT) AS height,
-        |  substr(hx, 1, 8) AS phash8
+        |  substr(hx, 1, 8) AS body8
         | FROM meta),
         |e AS (
         | SELECT vec_id AS doc_id, CAST(len(embedding) AS INT) AS emb_dim,
@@ -254,7 +463,7 @@ object Multimodal {
         |  CAST(len(string_split(text, ' ')) AS INT) AS tok_cnt
         | FROM documents)
         |SELECT t.doc_id, t.source, t.n_chars, t.tok_cnt,
-        | e.emb_dim, e.emb_qsum, m.format, m.width, m.height, m.phash8
+        | e.emb_dim, e.emb_qsum, m.format, m.width, m.height, m.body8
         |FROM t JOIN e USING (doc_id) JOIN m USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 

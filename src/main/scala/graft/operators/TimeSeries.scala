@@ -188,6 +188,16 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mat.withColumn("cum_cents", sum(col("rev_cents")).over(w))
       .join(broadcast(sizes), "cohort")
+      // Spark's DIV truncates toward zero, DuckDB's // floors — they
+      // agree only on non-negative operands, so negative cumulative
+      // revenue (refund streams via caller-supplied valueCents) and
+      // the 1000x long-domain headroom are guarded IN-PLAN (ts28/ts33
+      // discipline: fail loudly, never drift or wrap silently)
+      .filter(assert_true(
+        col("cum_cents") >= 0 && col("cum_cents") < 9000000000000000L,
+        lit("ltvFromFacts: cumulative revenue must be in [0, 9e15) cents — " +
+          "negative refund balances floor differently across engines; " +
+          "net them per (user, day) or offset the series")).isNull)
       .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
         col("age_day"), col("rev_cents"), col("cum_cents"), col("n_cohort"),
         expr("(cum_cents * 1000) DIV n_cohort").as("ltv_milli_cents"))

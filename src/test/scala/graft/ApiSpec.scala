@@ -1154,7 +1154,10 @@ class ApiSpec extends SparkSpec {
   test("mmrTopK verb matches ss29 and prefers the diverse hit over the clone") {
     import spark.implicits._
     val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
-    val q = e.filter(col("vec_id") % 50 === 7)
+    // mirror ss29's batch EXACTLY, including its < 5000 id cap — the
+    // equality below would spuriously fail if the fixture grew past
+    // vec_id 5000 while this filter lacked the bound
+    val q = e.filter(col("vec_id") % 50 === 7 && col("vec_id") < 5000)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
     val viaApi = e.mmrTopK("vec_id", "embedding", q, "qid", "qemb")
       .orderBy("q_id", "pick")
@@ -1292,11 +1295,27 @@ class ApiSpec extends SparkSpec {
 
   test("knnGraph verb matches ss28 and links planted mutual neighbors") {
     import spark.implicits._
+    // the registered ss28 = hashCells (corpus-scaled cell count) +
+    // the knnGraphByCell core
     val viaApi = Tables.spread(Tables(spark, sfDir, "embeddings"))
-      .knnGraph("vec_id", "embedding", "label")
+      .hashCells("vec_id", "embedding", targetCellSize = 64)
+      .knnGraphByCell("vec_id", "embedding", "cell")
       .orderBy("vec_id", "rank")
     val viaOp = SparkEntry.queries("ss28_knn_graph")(spark, sfDir)
     assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // hashCells scales the cell COUNT with the corpus, not cell size:
+    // n/targetCellSize cells, every cell index in [0, n_cells)
+    val cellsDf = Tables.spread(Tables(spark, sfDir, "embeddings"))
+      .hashCells("vec_id", "embedding", targetCellSize = 64)
+    val n = cellsDf.count()
+    val expCells = math.max(1L, n / 64)
+    val stats = cellsDf.groupBy("cell").count()
+      .agg(org.apache.spark.sql.functions.max("cell").as("maxc"),
+        org.apache.spark.sql.functions.max("count").as("maxn")).head
+    assert(stats.getAs[Int]("maxc") < expCells)
+    // md5 spreads ids near-uniformly: no cell more than 3x the target
+    assert(stats.getAs[Long]("maxn") <= 3 * 64,
+      s"hash cell overweight: ${stats.getAs[Long]("maxn")}")
     // planted: 1 and 2 nearly parallel, 3 orthogonal-ish, same label
     // cell; 4 alone in its own cell (no rows)
     val vs = Seq(
@@ -1309,6 +1328,30 @@ class ApiSpec extends SparkSpec {
       .map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("nbr_id")).toMap
     assert(g(1L) == 2L && g(2L) == 1L, "parallel vectors must be mutual 1-NNs")
     assert(!g.contains(4L), "a singleton cell has no neighbors")
+  }
+
+  test("simhashPairs auto-selects the non-saturating width from the corpus count") {
+    import graft.operators.Dedup
+    // the saturation contract itself — the documented thresholds
+    assert(Dedup.simhashWidthFor(999999L) == 64)
+    assert(Dedup.simhashWidthFor(1000000L) == 128)
+    assert(Dedup.simhashWidthFor(999999999L) == 128)
+    assertThrows[IllegalArgumentException](Dedup.simhashWidthFor(1000000000L))
+    val docsDf = Tables.spread(Tables(spark, sfDir, "documents"))
+    // auto on a sub-10^6 corpus = the 64-bit banded tier = dd19
+    val auto = docsDf.simhashPairs("doc_id", "text").orderBy("a", "b")
+      .collect().toSeq
+    val dd19 = SparkEntry.queries("dd19_simhash64_bands")(spark, sfDir)
+      .select(col("a"), col("b"), col("hamming")).collect().toSeq
+    assert(auto == dd19, "auto width must be dd19's 64-bit tier below 10^6 docs")
+    // explicit overrides run the requested tier (128 = dd20's pairs)
+    val w128 = docsDf.simhashPairs("doc_id", "text", width = 128)
+      .orderBy("a", "b").collect().toSeq
+    val dd20 = SparkEntry.queries("dd20_simhash128_bands")(spark, sfDir)
+      .select(col("a"), col("b"), col("hamming")).collect().toSeq
+    assert(w128 == dd20)
+    assertThrows[IllegalArgumentException](
+      docsDf.simhashPairs("doc_id", "text", width = 32).collect())
   }
 
   test("softDedupWeights verb matches dd18 and halves a planted clone pair") {

@@ -302,6 +302,36 @@ class QueriesSpec extends SparkSpec {
     assert(df.filter(!col("format").isin("png", "jpeg")).count() == 0)
   }
 
+  test("media header parsers decode genuine ImageIO-encoded files and route corrupt bytes out") {
+    // the independence proof: these bytes come from the JDK's own
+    // PNG/JPEG/GIF encoders, not from our synthesizers — the parsers
+    // must handle real codec output (different chunk layouts, APPn
+    // segments, global color tables) purely from the public formats
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import graft.operators.Multimodal
+    def enc(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF8040)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no ImageIO writer for $fmt")
+      bos.toByteArray
+    }
+    val png = Multimodal.decodeMedia(Multimodal.MediaIn(1L, enc("png", 123, 45)))
+    assert(png.exists(m => m.format == "png" && m.width == 123 && m.height == 45),
+      s"PNG parse of ImageIO output: $png")
+    val jpg = Multimodal.decodeMedia(Multimodal.MediaIn(2L, enc("jpg", 31, 77)))
+    assert(jpg.exists(m => m.format == "jpeg" && m.width == 31 && m.height == 77),
+      s"JPEG parse of ImageIO output: $jpg")
+    val gif = Multimodal.sampleFrames(Multimodal.MediaIn(3L, enc("gif", 19, 7))).toSeq
+    assert(gif.map(f => (f.frame_idx, f.frame_w, f.frame_h)) == Seq((0, 19, 7)),
+      s"GIF walk of ImageIO output: $gif")
+    // corrupt or truncated bytes route out of the batch, never throw
+    assert(Multimodal.decodeMedia(Multimodal.MediaIn(4L, Array[Byte](0x42, 0x4D, 1, 2, 3))).isEmpty)
+    assert(Multimodal.decodeMedia(Multimodal.MediaIn(5L, enc("png", 9, 9).take(20))).isEmpty)
+    assert(Multimodal.sampleFrames(Multimodal.MediaIn(6L, enc("gif", 9, 9).take(15))).isEmpty)
+  }
+
   test("tx23's shared rational ln is within 2e-5 of libm ln over its whole domain") {
     import spark.implicits._
     // dense sweep of the documented domain [1, 2^40): uniform in log
