@@ -286,6 +286,84 @@ object DevProbe {
       q.stop()
       println(f"funnelprobe events=${evs.length} chunks=$chunks " +
         f"t=$secs%.2f s rate=${evs.length / secs}%.0f ev/s")
+    } else if (args(0) == "--stateprobe") {
+      // Bounded-state probe for the keyed state-TOPIC streams (args:
+      // --stateprobe <retention|assoc|ltv> <sfDir> [chunks=8]) — the
+      // --funnelprobe discipline extended to the rest of the keyed
+      // family, so their bounded-state claims are measured, not
+      // argued: drains the dir's events chronologically through the
+      // stream's foreachBatch loop in `chunks` micro-batches, then
+      // reports (a) drain throughput, (b) each state topic's compacted
+      // row count, on-disk bytes, and the DOMAIN bound the design
+      // claims (retention: users x active-days; assoc: users x
+      // |event_type|; ltv: revenue events) — these streams keep NO
+      // in-memory resolution state, the topic IS the entire state —
+      // and (c) the read-side report time over the accumulated state.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      val cls = args(1)
+      val d = args(2)
+      val chunks = args.lift(3).map(_.toInt).getOrElse(8)
+      val evs = Tables.eventsDs(spark, d).orderBy(col("ts")).collect()
+      val root = java.nio.file.Files.createTempDirectory("graft_stateprobe").toString
+      val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+      val input = MemoryStream[graft.streaming.TopicEvent]
+      val writers = cls match {
+        case "retention" => Seq(
+          graft.streaming.TopicStream.retentionStream(input.toDF(), store, "acts"))
+        case "assoc" => Seq(
+          graft.streaming.TopicStream.assocStream(input.toDS(), store, "assoc"))
+        case "ltv" => Seq(
+          graft.streaming.TopicStream.retentionStream(input.toDF(), store, "acts"),
+          graft.streaming.TopicStream.ltvStream(input.toDF(), store, "rev"))
+        case other => sys.error(s"unknown stateprobe class $other")
+      }
+      val qs = writers.zipWithIndex.map { case (w, i) =>
+        w.option("checkpointLocation", s"$root/_chk$i").start()
+      }
+      val t0 = System.nanoTime()
+      evs.grouped((evs.length + chunks - 1) / chunks).foreach { b =>
+        input.addData(b.toIndexedSeq); qs.foreach(_.processAllAvailable())
+      }
+      val drainS = (System.nanoTime() - t0) / 1e9
+      qs.foreach(_.stop())
+      println(f"stateprobe class=$cls events=${evs.length} chunks=$chunks " +
+        f"drain=$drainS%.2f s rate=${evs.length / drainS}%.0f ev/s")
+      val users = evs.map(_.user_id).distinct.length.toLong
+      val bound = cls match {
+        case "retention" =>
+          val days = evs.map(e => e.ts.getTime / 86400000L).distinct.length
+          ("users x active-days", users * days)
+        case "assoc" =>
+          val types = evs.map(_.event_type).distinct.length
+          ("users x |event_type|", users * types)
+        case "ltv" =>
+          ("revenue events", evs.count(_.event_type == "purchase").toLong)
+      }
+      def du(p: java.io.File): Long =
+        if (p.isFile) p.length
+        else Option(p.listFiles).map(_.map(du).sum).getOrElse(0L)
+      val topics = cls match {
+        case "retention" => Seq("acts" -> "act_key")
+        case "assoc"     => Seq("assoc" -> "fact_key")
+        case "ltv"       => Seq("acts" -> "act_key", "rev" -> "rkey")
+      }
+      topics.foreach { case (t, k) =>
+        val rows = store.readMerged(t, k).count()
+        val mb = du(new java.io.File(s"$root/$t")) / (1024.0 * 1024.0)
+        println(f"  state topic=$t rows=$rows disk=$mb%.1f MB " +
+          f"(domain bound ${bound._1} = ${bound._2})")
+      }
+      val t1 = System.nanoTime()
+      val report = cls match {
+        case "retention" => graft.streaming.TopicStream.currentRetention(store, "acts")
+        case "assoc"     => graft.streaming.TopicStream.currentAssoc(store, "assoc")
+        case "ltv"       => graft.streaming.TopicStream.currentLtv(store, "acts", "rev")
+      }
+      report.write.format("noop").mode("overwrite").save()
+      println(f"  read-side report=${(System.nanoTime() - t1) / 1e9}%.2f s")
     } else if (args(0) == "--knnk") {
       // knn-graph core with an EXPLICIT cell count (args: --knnk <dir>
       // <cells>). The registered ss28 now derives cells ∝ corpus

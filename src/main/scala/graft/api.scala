@@ -1217,6 +1217,25 @@ object api {
           targetCellSize)
         .withColumnRenamed("vec_id", idCol)
 
+    /** TWO-LEVEL coarse quantizer (the ss30 operator as a verb — the
+      * hierarchical IVF assignment that makes k ~ √n cell counts
+      * affordable): top-level centroids train on a 1-in-`sampleMod`
+      * md5 sample (pay-once, sampled — never a full-corpus k×n×d
+      * term), each top cell refines into `subK` cell-local
+      * sub-centroids from the same sample, and the corpus assigns in
+      * two broadcast-argmin stages (k1 + k2 comparisons per vector,
+      * not k1·k2; zero corpus shuffles). Returns (idCol, cell1,
+      * cell2); cell2 = -1 marks a top cell no sample member won
+      * (unrefined, loud). (cell1, cell2) pairs make a trained
+      * [[knnGraphByCell]] cell source at √n × √n granularity. */
+    def hierCells(idCol: String, vecCol: String, labelCol: String,
+                  subK: Int = 4, sampleMod: Int = 4): DataFrame =
+      graft.operators.Similarity.hierAssignOf(
+          df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+            col(labelCol).as("label")),
+          subK, sampleMod)
+        .withColumnRenamed("vec_id", idCol)
+
     /** Batch IVF-PQ ANN (the ss22 serving query as a verb — the scale
       * path [[cosineTopK]]'s brute-force scan stops short of): builds
       * the IVF-PQ index over this frame (label-seeded cells + PQ code

@@ -151,6 +151,25 @@ object Similarity {
       knnGraphBlocked(hashCells(emb(s, d), targetCellSize = 64), k = 3)
         .orderBy(col("vec_id"), col("rank"))),
 
+    // TWO-LEVEL COARSE QUANTIZER (hierarchical IVF assignment — the
+    // structure FAISS's IVF-on-IVF / coarse-then-residual quantizers
+    // use so billion-scale cell counts stay assignable): top-level
+    // centroids train on a 1-in-4 md5 SAMPLE (training is pay-once
+    // and sampled, never a full-corpus k×n×d term), each top cell
+    // refines into 4 hash-split sub-centroids computed cell-LOCALLY
+    // from the same sample, and the corpus assigns in two broadcast-
+    // argmin stages — k1 + k2 comparisons per vector instead of
+    // k1·k2 (with k1 = k2 = √k this is the √k trick that makes
+    // k ~ √n cell counts affordable; at 100 TB stage 2's equi-join
+    // reads only the vector's own cell's sub-centroids). Zero corpus
+    // shuffles; empty sub-cells report cell2 = -1 rather than
+    // dropping rows. This is ALSO ss28's principled trained-cell
+    // source: (cell1, cell2) at √n × √n cells keeps knn-graph cell
+    // sizes constant with trained (not hash) locality.
+    "ss30_ivf_hier" -> ((s, d) =>
+      hierAssignOf(emb(s, d), subK = 4, sampleMod = 4)
+        .orderBy(col("vec_id"))),
+
     // MMR-DIVERSIFIED top-k (Carbonell & Goldstein 1998 — the
     // "diverse retrieval" rerank every vector DB ships: near-duplicate
     // hits crowd out coverage, so after relevance ranks a shortlist,
@@ -1003,6 +1022,52 @@ object Similarity {
     cen.agg(array_sort(collect_list(struct(col("c_label"), col("cvec")))).as("cents"))
   }
 
+  /** TWO-LEVEL coarse quantizer (the hierarchical IVF assignment the
+    * ss28 scale analysis calls for at 100 TB): top-level centroids
+    * are trained on a SAMPLE (md5-derived 1-in-`sampleMod`, sp01's
+    * hash discipline — training cost is sampled, pay-once), each top
+    * cell is refined by `subK` sub-centroids (means of the sample's
+    * hash-split members, cell-LOCAL — one sample-sized agg), and the
+    * full corpus assigns in two broadcast-argmin stages: k1
+    * comparisons against the top array, then k2 against only its OWN
+    * cell's sub-centroids (a broadcast equi-join on cell1 — k1·k2
+    * tiny rows). Per-vector assignment cost is k1 + k2, not k1·k2 —
+    * the flat-quantizer k×n×d term that dominated the one-level IVF
+    * build becomes √k + √k per vector with k1 = k2 = √k. Zero corpus
+    * shuffles end to end. A top cell whose sub-centroid set is empty
+    * (no sample member won it) reports cell2 = -1 — unrefined, loud
+    * in the output rather than silently dropped. Returns (vec_id,
+    * cell1, cell2). */
+  private[graft] def hierAssignOf(e: DataFrame, subK: Int,
+                                  sampleMod: Int): DataFrame = {
+    def nibAt(p: Int): Column =
+      conv(substring(md5(col("vec_id").cast("string")), p, 1), 16, 10).cast("int")
+    val sample = e.filter(nibAt(6) % sampleMod === 0)
+    val topCents = centroidArray(sample)
+    def assign1(df: DataFrame): DataFrame = df.crossJoin(broadcast(topCents))
+      .withColumn("best", array_min(cellStructsOf(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell1"))
+    val sampleAssigned = assign1(sample)
+      .withColumn("sub", (nibAt(7) % subK).cast("int"))
+    val svecs = sampleAssigned
+      .select(col("cell1"), col("sub"), posexplode(col("embedding")))
+      .select(col("cell1"), col("sub"), col("pos"),
+        floor(col("col").cast("double") * 100 + 0.5).cast("long").as("vq"))
+      .groupBy(col("cell1"), col("sub"), col("pos"))
+      .agg((sum(col("vq")).cast("double") / (count(lit(1)) * 100)).as("c"))
+      .groupBy(col("cell1"), col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        st => st.getField("c")).as("svec"))
+      .groupBy(col("cell1"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("svec")))).as("subs"))
+    assign1(e).join(broadcast(svecs), Seq("cell1"), "left")
+      .withColumn("b2", array_min(transform(col("subs"),
+        sc => struct(l2distSq(col("embedding"), sc.getField("svec")).as("d2"),
+                     sc.getField("sub").as("sub")))))
+      .select(col("vec_id"), col("cell1"),
+        coalesce(col("b2.sub"), lit(-1)).cast("int").as("cell2"))
+  }
+
   /** Corpus-scaled hash blocking for [[knnGraphBlocked]]: cell =
     * md5(vec_id) mod (n / targetCellSize), the cell count derived
     * IN-PLAN from a 1-row count broadcast — cell SIZE stays constant
@@ -1620,6 +1685,55 @@ object Similarity {
         | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rank
         | FROM pairs) WHERE rank <= 3
         |ORDER BY vec_id, rank""".stripMargin,
+    "ss30_ivf_hier" ->
+      """WITH s AS (
+        | SELECT vec_id, embedding, label FROM embeddings
+        | WHERE (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 6, 1)) - 1) % 4 = 0),
+        |ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM s),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |a1 AS (
+        | SELECT e.vec_id, e.embedding, c.c_label,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |c1 AS (SELECT vec_id, embedding, c_label AS cell1 FROM a1 WHERE rn = 1),
+        |sa AS (
+        | SELECT s.vec_id, s.embedding, c.c_label,
+        |  row_number() OVER (PARTITION BY s.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(s.embedding)),
+        |     i -> (CAST(s.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(s.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
+        | FROM s CROSS JOIN cvecs c),
+        |sa1 AS (
+        | SELECT vec_id, embedding, c_label AS cell1,
+        |  CAST((instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 7, 1)) - 1) % 4 AS INT) AS sub
+        | FROM sa WHERE rn = 1),
+        |sx AS (
+        | SELECT cell1, sub, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM sa1),
+        |scen AS (
+        | SELECT cell1, sub, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM sx GROUP BY 1, 2, 3),
+        |svecs AS (
+        | SELECT cell1, sub, list(c ORDER BY pos) AS svec FROM scen GROUP BY 1, 2),
+        |a2 AS (
+        | SELECT c1.vec_id, c1.cell1, sv.sub,
+        |  row_number() OVER (PARTITION BY c1.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(c1.embedding)),
+        |     i -> (CAST(c1.embedding[i] AS DOUBLE) - sv.svec[i]) * (CAST(c1.embedding[i] AS DOUBLE) - sv.svec[i]))), sv.sub) AS rn
+        | FROM c1 LEFT JOIN svecs sv ON c1.cell1 = sv.cell1)
+        |SELECT vec_id, cell1, CAST(COALESCE(sub, -1) AS INT) AS cell2
+        |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "ss29_mmr" -> {
       val cosE = (x: String, y: String) =>
         s"list_sum(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))) / (${norm(x)} * ${norm(y)})"

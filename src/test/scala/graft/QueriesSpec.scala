@@ -611,6 +611,36 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ss30 hierarchical assignment: stage-2 is the true argmin over the own cell's sub-centroids") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
+    val assigned = SparkEntry.queries("ss30_ivf_hier")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell1"), r.getAs[Int]("cell2")))
+    // recompute the sample, its top assignment, and the sub-centroids
+    // NAIVELY on the driver, then check each vector's cell2 minimizes
+    // l2 among its own cell1's sub-centroids (ties to lowest sub)
+    def nib(s: String, p: Int): Int = "0123456789abcdef".indexOf(s(p - 1))
+    def md5(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val top = assigned.map(a => a._1 -> a._2).toMap
+    val sampleIds = vecs.keySet.filter(id => nib(md5(id.toString), 6) % 4 == 0)
+    val subOf = sampleIds.map(id => id -> nib(md5(id.toString), 7) % 4).toMap
+    val subCents = sampleIds.groupBy(id => (top(id), subOf(id))).map { case (k, ids) =>
+      val q = ids.toSeq.map(vecs(_).map(x => math.floor(x.toDouble * 100 + 0.5).toLong))
+      k -> q.transpose.map(col => col.sum.toDouble / (col.length * 100)).toArray
+    }
+    def l2(v: Array[Float], c: Array[Double]): Double =
+      v.zip(c).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    assigned.foreach { case (id, c1, c2) =>
+      val cands = subCents.collect { case ((`c1`, s), cv) => (l2(vecs(id), cv), s) }
+      if (cands.isEmpty) assert(c2 == -1, s"vec $id: empty sub set must report -1")
+      else assert(c2 == cands.min._2, s"vec $id: cell2 $c2 != argmin ${cands.min._2}")
+    }
+  }
+
   test("tx28 lexical diversity ties out to tx03's token counts") {
     val div = SparkEntry.queries("tx28_lexical_diversity")(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
