@@ -301,7 +301,8 @@ object Multimodal {
       import s.implicits._
       val media = Tables(s, d, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) => MediaIn(id, mkMedia(text)) }
+        .map { case (id, text) =>
+          MediaIn(id, if (text == null) null else mkMedia(text)) }
       // Undecodable payloads route out: decode emits nothing for
       // them instead of failing the task — a corrupt media file
       // must never take down the batch.
@@ -318,7 +319,8 @@ object Multimodal {
       import s.implicits._
       val media = Tables(s, d, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) => MediaIn(id, mkGif(text)) }
+        .map { case (id, text) =>
+          MediaIn(id, if (text == null) null else mkGif(text)) }
       media.mapPartitions(_.withFilter(_.payload != null).flatMap(sampleFrames))
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
@@ -338,7 +340,8 @@ object Multimodal {
         .select(col("doc_id"), col("source"), col("n_chars"),
           size(split(col("text"), " ")).as("tok_cnt"), col("text"))
       val meta = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) => MediaIn(id, mkMedia(text)) }
+        .map { case (id, text) =>
+          MediaIn(id, if (text == null) null else mkMedia(text)) }
         .mapPartitions(_.withFilter(_.payload != null).flatMap(m => decodeMedia(m))).toDF()
         .select(col("doc_id"), col("format"), col("width"), col("height"), col("body8"))
       val emb = Tables(s, d, "embeddings")

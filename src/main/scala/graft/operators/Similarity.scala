@@ -1011,15 +1011,24 @@ object Similarity {
   }
 
   private def centroidArray(e: DataFrame): DataFrame = {
-    val ex = e.select(col("label"), posexplode(col("embedding")))
-      .select(col("label"), col("pos"),
-        floor(col("col").cast("double") * 100 + 0.5).cast("long").as("vq"))
-    val cen = ex.groupBy(col("label").as("c_label"), col("pos"))
-      .agg((sum(col("vq")).cast("double") / (count(lit(1)) * 100)).as("c"))
-      .groupBy(col("c_label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        st => st.getField("c")).as("cvec"))
-    cen.agg(array_sort(collect_list(struct(col("c_label"), col("cvec")))).as("cents"))
+    // r11: dense-buffer centroids via the typed VectorSumAgg (ss04's
+    // aggregator) — ONE map-side-combined buffer per (label x
+    // partition) on the wire instead of dim x rows exploded rows (the
+    // old posexplode form shuffled n*64 rows through two exchanges;
+    // at dim=1024 the cut is 1024x). Arithmetic is BIT-IDENTICAL to
+    // the exploded form every oracle replays: the aggregator
+    // quantizes each element to centi-unit longs (floor(x*100+0.5))
+    // before an order-free integer sum, and the centroid is the same
+    // single IEEE double division sum/(n*100).
+    val vecsum = org.apache.spark.sql.functions.udaf(graft.functions.VectorSumAgg)
+    // count(embedding), not count(*): a null embedding contributes
+    // nothing to the sum (aggregator guard), so it must not inflate
+    // the divisor either — the exploded form never saw such rows
+    e.groupBy(col("label").as("c_label"))
+      .agg(vecsum(col("embedding")).as("vsum"), count(col("embedding")).as("n"))
+      .select(col("c_label"),
+        transform(col("vsum"), x => x.cast("double") / (col("n") * 100)).as("cvec"))
+      .agg(array_sort(collect_list(struct(col("c_label"), col("cvec")))).as("cents"))
   }
 
   /** TWO-LEVEL coarse quantizer (the hierarchical IVF assignment the

@@ -201,18 +201,25 @@ object TextOps {
     // Distinctive-term extraction per source — tf-idf shape with a
     // LOG-FREE idf: score = tf * n_sources * 1000 / df via integer
     // division, so both engines produce identical longs (ln() is
-    // libm-dependent and hash-unsafe, SURVEY.md §5). Two shuffles
-    // (tf agg + df agg), top-k window bounded at k=3 per source.
+    // libm-dependent and hash-unsafe, SURVEY.md §5). r11 structural
+    // tightening (the tx05-precedent pass, applied proactively to the
+    // bench watchlist): the corpus explodes ONCE — n_src counts
+    // sources on the raw documents scan (the old form re-ran the
+    // whole token explode just to count distinct sources), and df is
+    // a count window over the tf frame instead of a separate agg
+    // whose join reshuffled tf a second time. Token-domain work after
+    // the tf agg: one tok exchange + one source window.
     "tx06_rare_terms" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val toks = Tables.spread(docs(s, d))
+      val src = docs(s, d)
+      val toks = Tables.spread(src)
         .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
         .filter(length(col("tok")) > 2)
       val tf = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val nsrc = toks.agg(countDistinct(col("source")).as("n_src"))
+      val nsrc = src.agg(countDistinct(col("source")).as("n_src"))
+      val wDf = Window.partitionBy(col("tok"))
       val w = Window.partitionBy(col("source")).orderBy(col("score_milli").desc, col("tok"))
-      tf.join(dfreq, "tok")
+      tf.withColumn("df", count(lit(1)).over(wDf))
         .crossJoin(broadcast(nsrc))
         .withColumn("score_milli",
           floor((col("tf") * col("n_src") * 1000) / col("df")).cast("long"))
@@ -388,12 +395,12 @@ object TextOps {
         | FROM documents),
         |ft AS (SELECT source, tok FROM toks WHERE length(tok) > 2),
         |tf AS (SELECT source, tok, count(*) AS tf FROM ft GROUP BY 1, 2),
-        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-        |nsrc AS (SELECT count(DISTINCT source) AS n_src FROM ft),
+        |tfd AS (SELECT source, tok, tf, count(*) OVER (PARTITION BY tok) AS df FROM tf),
+        |nsrc AS (SELECT count(DISTINCT source) AS n_src FROM documents),
         |scored AS (
-        | SELECT tf.source, tf.tok,
-        |  CAST(floor((tf.tf * nsrc.n_src * 1000) / dfreq.df) AS BIGINT) AS score_milli
-        | FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN nsrc),
+        | SELECT tfd.source, tfd.tok,
+        |  CAST(floor((tfd.tf * nsrc.n_src * 1000) / tfd.df) AS BIGINT) AS score_milli
+        | FROM tfd CROSS JOIN nsrc),
         |ranked AS (
         | SELECT *, CAST(row_number() OVER
         |   (PARTITION BY source ORDER BY score_milli DESC, tok) AS INT) AS rn

@@ -1374,6 +1374,35 @@ class ApiSpec extends SparkSpec {
       "refinement must actually split cells")
   }
 
+  test("hierCells composes with knnGraphByCell as a trained blocked-knn cell source") {
+    import org.apache.spark.sql.functions._
+    // the ss30 -> ss28-core wiring: (cell1, cell2) composite cells
+    // block the knn graph with TRAINED locality. NOT registered as a
+    // query on purpose: the label-seeded top level is fixed-count, so
+    // at a 64x blowup this exact composition would re-grow cell sizes
+    // 64x — the knee ss28's hashCells re-registration removed. The
+    // scale-honest trained form trains k1 ~ sqrt(n) top centroids
+    // (kmeansTrain); this test pins the WIRING on the fixed corpus.
+    val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
+    val cells = e.hierCells("vec_id", "embedding", "label")
+      .select(col("vec_id"),
+        (col("cell1") * 16 + col("cell2") + 1).cast("int").as("hcell"))
+    val g = e.join(cells, "vec_id")
+      .knnGraphByCell("vec_id", "embedding", "hcell", k = 2)
+    val rows = g.collect()
+    assert(rows.nonEmpty)
+    // neighbors stay within the composite cell, ranks contiguous
+    val byV = rows.groupBy(_.getAs[Long]("vec_id"))
+    byV.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      assert(rs.map(_.getAs[Int]("cell")).distinct.length == 1)
+    }
+    // the trained blocking is finer than the top level alone: more
+    // distinct cells than labels
+    assert(rows.map(_.getAs[Int]("cell")).distinct.length >
+      e.select(col("label")).distinct.count())
+  }
+
   test("softDedupWeights verb matches dd18 and halves a planted clone pair") {
     val viaApi = Tables.spread(Tables(spark, sfDir, "documents"))
       .softDedupWeights("doc_id", "text").orderBy("doc_id")

@@ -169,6 +169,36 @@ class MetricsSpec extends SparkSpec {
       s"ring must keep only the newest maxBatches entries, got $ids")
   }
 
+  test("provisioned dashboard queries only metric names the scrape actually serves") {
+    // observability/grafana/dashboards/graft.json is the ready-to-
+    // mount dashboard; a renamed counter would silently blank its
+    // panels, so pin every graft_* token in its PromQL against a real
+    // scrape body (counters appear as *_total under OpenMetrics)
+    val dash = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/observability/grafana/dashboards/graft.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val wanted = "graft_[a-z0-9_]+".r.findAllIn(dash).toSet
+    assert(wanted.nonEmpty, "dashboard must reference graft_* metrics")
+    val mon = new Metrics.StreamMonitor
+    spark.streams.addListener(mon)
+    val h = MetricsServer.start(spark, port = 0, monitor = Some(mon))
+    try {
+      Tables(spark, sfDir, "documents").count()
+      mon.record(Metrics.BatchProgress(
+        "dash", 1L, 1L, 1.0, 1.0, 1L, "2026-01-01T00:00:00.000Z", None))
+      val conn = new java.net.URL(s"http://localhost:${h.port}/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = try new String(conn.getInputStream.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8) finally conn.disconnect()
+      val missing = wanted.filterNot(body.contains)
+      assert(missing.isEmpty,
+        s"dashboard references metrics the scrape never serves: $missing")
+    } finally {
+      h.stop()
+      spark.streams.removeListener(mon)
+    }
+  }
+
   test("OpenMetrics endpoint serves query + stream gauges and releases its port on stop") {
     def scrape(port: Int): (String, String) = {
       val conn = new java.net.URL(s"http://localhost:$port/metrics")

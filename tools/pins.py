@@ -21,8 +21,23 @@ def load_pins(path="BASELINE.md"):
         pins[q] = float(s)  # later tables override: downward re-pins
     return pins
 
+def registered(path="src/test/resources/plan_golden.txt"):
+    """Every registered query, from the golden plan pins (PlanSpec
+    regenerates that file from the registry, so it cannot trail)."""
+    try:
+        return [l.split(" ", 1)[0] for l in open(path) if l.strip()]
+    except OSError:
+        return []
+
 def main():
     pins = load_pins()
+    # self-check: every REGISTERED query must carry a pin, even before
+    # any bench file covers it (the r10 verdict's ledger-hygiene rule)
+    unpinned = [q for q in registered() if q not in pins]
+    if unpinned:
+        print("== SELF-CHECK: registered queries with NO pin in BASELINE.md:")
+        for q in unpinned:
+            print(f"  {q}")
     benches = []
     for f in sys.argv[1:]:
         benches.append(json.load(open(f))["queries"])
