@@ -158,6 +158,32 @@ object DevProbe {
         .write.format("noop").mode("overwrite").save()
       val tProbe = (System.nanoTime() - t1) / 1e9
       println(f"ss24fixed mult=$mult batch=$nq build=$tBuild%.2f s probe=$tProbe%.2f s")
+    } else if (args(0) == "--ss12fixed") {
+      // Fixed-batch ss12 blowup row — the --ss22fixed decomposition
+      // for the INCREMENTAL index (args: --ss12fixed <sfDir> <mult>):
+      // index build (coarse centroids + sub-quantizer training +
+      // index-side refinement assignment) timed apart from a
+      // CONSTANT-membership probe (--scalegen re-keys ids old*mult+rep,
+      // so vec_id % (5*mult) == 0 is exactly the rep-0 replicas of the
+      // 1x fresh slice), evidencing the claim: build is pay-once and
+      // index-proportional, the arrival cost scales with the batch.
+      import org.apache.spark.sql.functions._
+      val d = args(1)
+      val mult = args.lift(2).map(_.toLong).getOrElse(1L)
+      val e = Tables.spread(Tables(spark, d, "embeddings"))
+      val t0 = System.nanoTime()
+      val idx = operators.Similarity.incAnnIndex(e.filter(col("vec_id") % 5 =!= 0))
+      val oldCells = idx.oldCells.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      oldCells.write.format("noop").mode("overwrite").save()
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val fresh = e.filter(col("vec_id") % lit(5L * mult) === 0)
+      val nq = fresh.count()
+      val t1 = System.nanoTime()
+      operators.Similarity.incAnnProbe(idx.copy(oldCells = oldCells), fresh)
+        .write.format("noop").mode("overwrite").save()
+      val tProbe = (System.nanoTime() - t1) / 1e9
+      println(f"ss12fixed mult=$mult batch=$nq build=$tBuild%.2f s probe=$tProbe%.2f s")
     } else if (args(0) == "--kmeans") {
       // Time the full kmeansTrain loop (args: --kmeans <sfDir>
       // [k] [maxIter]) — the multi-iteration verb has no queries()

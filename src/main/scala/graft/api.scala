@@ -1217,6 +1217,24 @@ object api {
           targetCellSize)
         .withColumnRenamed("vec_id", idCol)
 
+    /** Graph LABEL PROPAGATION (the ss31 operator as a verb — Zhu &
+      * Ghahramani 2002 in its iteration-bounded form) over THIS
+      * directed edge frame (`idCol` → `nbrCol`, e.g. a knnGraph /
+      * knnGraphByCell output): each round labels currently-unlabeled
+      * nodes by the majority label of their already-labeled
+      * out-neighbors (votes desc, smallest label ties), newly labeled
+      * nodes vote in later rounds. Returns (vec_id, label, round);
+      * round 0 = seed. Per round one edge join + one anti-join + one
+      * map-side majority agg, all id-keyed; rounds are a bounded plan
+      * unroll. */
+    def labelPropagate(idCol: String, nbrCol: String, seeds: DataFrame,
+                       seedIdCol: String, seedLabelCol: String,
+                       rounds: Int = 2): DataFrame =
+      graft.operators.Similarity.labelPropagate(
+        df.select(col(idCol).as("vec_id"), col(nbrCol).as("nbr_id")),
+        seeds.select(col(seedIdCol).as("vec_id"), col(seedLabelCol).as("label")),
+        rounds)
+
     /** TWO-LEVEL coarse quantizer (the ss30 operator as a verb — the
       * hierarchical IVF assignment that makes k ~ √n cell counts
       * affordable): top-level centroids train on a 1-in-`sampleMod`

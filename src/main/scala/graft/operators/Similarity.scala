@@ -101,29 +101,17 @@ object Similarity {
     // per-new-vector argmax (keyed by new vec_id — high cardinality)
     // crosses the wire. Daily cost scales with the increment; no
     // centroid recompute, exactly how IVF indexes absorb appends.
+    // r11 re-blocking (ss10/ss28's measured fixed-cell knee — this
+    // query read 201 s at the 64x blowup because 10 label cells put
+    // 64x members in each and the probe join grew 64²): the index
+    // now refines each cell into n_old/640 SUB-quantizer regions
+    // (see [[incAnnIndex]]/[[incAnnProbe]] — build vs probe split so
+    // DevProbe --ss12fixed can time them apart). Inert below 640
+    // index vectors, so correctness-scale output is unchanged.
     "ss12_incremental_ann" -> ((s, d) => {
       val e = emb(s, d)
-      val old = e.filter(col("vec_id") % 5 =!= 0)
-      val fresh = e.filter(col("vec_id") % 5 === 0)
-      val cents = centroidArray(old)
-      def assign(df: DataFrame) = df.crossJoin(broadcast(cents))
-        .withColumn("best", array_min(transform(col("cents"),
-          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
-                      c.getField("c_label").as("cell")))))
-        .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
-      val oldCells = assign(old)
-        .select(col("cell"), col("vec_id").as("old_id"), col("embedding").as("old_emb"))
-      val freshAssigned = assign(fresh)
-        .select(col("cell"), col("vec_id"), col("embedding").as("new_emb"))
-      // Unhinted: the increment is usually the small side, but "a
-      // day's arrivals" is corpus-shaped, not bounded — AQE broadcasts
-      // it when it is actually small and shuffles on cell otherwise.
-      oldCells.join(freshAssigned, "cell")
-        .withColumn("nn_cos", cosine(col("new_emb"), col("old_emb")))
-        .groupBy(col("vec_id"), col("cell"))
-        .agg(max(struct(col("nn_cos"), (-col("old_id")).as("neg_id"))).as("m"))
-        .select(col("vec_id"), col("cell"),
-          (-col("m.neg_id")).as("nn_vec_id"), col("m.nn_cos").as("nn_cos"))
+      val idx = incAnnIndex(e.filter(col("vec_id") % 5 =!= 0))
+      incAnnProbe(idx, e.filter(col("vec_id") % 5 === 0))
         .orderBy(col("vec_id"))
     }),
 
@@ -150,6 +138,35 @@ object Similarity {
     "ss28_knn_graph" -> ((s, d) =>
       knnGraphBlocked(hashCells(emb(s, d), targetCellSize = 64), k = 3)
         .orderBy(col("vec_id"), col("rank"))),
+
+    // GRAPH LABEL PROPAGATION over the blocked k-NN graph (the
+    // semi-supervised labeling ss28's graph exists to support:
+    // quality/topic labels cover a sliver of a crawl, embedding
+    // neighbors vote the rest — Zhu & Ghahramani 2002's label
+    // propagation in its iteration-bounded form): 10% of vectors are
+    // SEEDS (vec_id % 10 — stands in for the human-labeled slice),
+    // two propagation rounds label the unlabeled by neighbor majority
+    // (votes desc, smallest label ties — integer-exact), newly
+    // labeled nodes vote in round 2; the output audits recovery
+    // against the held-out true label (the measurable-accuracy form).
+    // Scale shape: the graph is ss28's corpus-linear blocked build;
+    // each round is one edge-sized join + a vec_id-keyed majority agg
+    // (map-side combinable) + an anti-join against the labeled set —
+    // everything keyed on high-cardinality ids, nothing ever
+    // all-pairs; rounds are FIXED (2), so the plan is a bounded
+    // unroll, not a driver loop.
+    "ss31_label_prop" -> ((s, d) => {
+      val e = emb(s, d)
+      val g = knnGraphBlocked(hashCells(e, targetCellSize = 64), k = 3)
+        .select(col("vec_id"), col("nbr_id"))
+      val seeds = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("label"))
+      labelPropagate(g, seeds, rounds = 2)
+        .join(e.select(col("vec_id"), col("label").as("true_label")), "vec_id")
+        .withColumn("correct", col("label") === col("true_label"))
+        .select(col("vec_id"), col("label"), col("round"), col("correct"))
+        .orderBy(col("vec_id"))
+    }),
 
     // TWO-LEVEL COARSE QUANTIZER (hierarchical IVF assignment — the
     // structure FAISS's IVF-on-IVF / coarse-then-residual quantizers
@@ -949,17 +966,37 @@ object Similarity {
     * vectors with a smaller-id cluster-mate above `tau` cosine.
     * Returns (vec_id, cell, n_close_smaller, max_cos) — the prune
     * list; anti-join it against the corpus to keep the survivors. */
+  /** SemDeDup pruning stats per vector: pairs are compared within
+    * (semantic cell × corpus-scaled hash sub-block). r11 re-blocking
+    * — the ss28 fix applied to its semantic sibling after MEASURING
+    * the same knee (the fixed 10 label cells put 64x members per
+    * cell under a 64x blowup → 64² pair growth, 132 s at 64x): the
+    * centroid argmin keeps SemDeDup's semantic locality at the top,
+    * and an md5 sub-block with n/(targetCellSize·|cells|)… strictly:
+    * sub = md5(id) mod (n/640) caps the pair-join block size at a
+    * constant, so the join is corpus-linear at every scale. The
+    * standard blocked-near-dup recall trade applies (a near-dup pair
+    * in the same semantic cell but different sub-blocks is missed —
+    * the dd02 LSH-banding property); multi-table sub-blocking (ss07's
+    * amplifier) recovers recall at proportional cost. */
   private[graft] def semdedupPrune(e: DataFrame, tau: Double): DataFrame = {
     val cents = centroidArray(e)
-    val assigned = e.crossJoin(broadcast(cents))
+    val n1 = e.agg(count(lit(1)).as("n_corpus"))
+    val assigned = e.crossJoin(broadcast(cents)).crossJoin(broadcast(n1))
       .withColumn("best", array_min(transform(col("cents"),
         c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
                     c.getField("c_label").as("cell")))))
-      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"),
+        pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 5), 16, 10)
+            .cast("long"),
+          greatest(lit(1L), floor(col("n_corpus") / 640).cast("long")))
+          .cast("int").as("sub"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vec_id"), col("embedding").as("b_emb"))
-    a.join(b, "cell")
+    val a = assigned.select(col("cell"), col("sub"),
+      col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = assigned.select(col("cell"), col("sub"),
+      col("vec_id").as("vec_id"), col("embedding").as("b_emb"))
+    a.join(b, Seq("cell", "sub"))
       .filter(col("a_id") < col("vec_id"))
       .withColumn("cos_sim", cosine(col("a_emb"), col("b_emb")))
       .filter(col("cos_sim") > tau)
@@ -1075,6 +1112,71 @@ object Similarity {
                      sc.getField("sub").as("sub")))))
       .select(col("vec_id"), col("cell1"),
         coalesce(col("b2.sub"), lit(-1)).cast("int").as("cell2"))
+  }
+
+  /** ss12's incremental-ANN index over the OLD corpus: label-seeded
+    * coarse centroids, then each cell refined into n_old/640
+    * sub-quantizer regions — sub-centroids are the means of md5
+    * splits of the cell's own members (ONE dense-buffer VectorSumAgg
+    * pass over the index — the pay-once build cost a serving
+    * deployment stores via annIndexBuild), and every index vector is
+    * assigned by ARGMIN over its cell's sub-centroids (semantic
+    * Voronoi refinement, not random blocking: near vectors
+    * co-assign). Probe blocks therefore stay constant-sized at every
+    * index scale. Inert below 640 vectors (GREATEST(1, ·) — one sub
+    * per cell = the unrefined plan). */
+  private[graft] case class IncAnnIndex(cents: DataFrame, svecs: DataFrame,
+                                        oldCells: DataFrame)
+
+  private[graft] def incAnnIndex(old: DataFrame): IncAnnIndex = {
+    val cents = centroidArray(old)
+    val n1 = old.agg(count(lit(1)).as("n_old"))
+    val oldA = assignCells(old, cents).localCheckpoint(false)
+    val vecsum = org.apache.spark.sql.functions.udaf(graft.functions.VectorSumAgg)
+    val svecs = oldA.crossJoin(broadcast(n1))
+      .withColumn("hsub",
+        pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 5), 16, 10)
+            .cast("long"),
+          greatest(lit(1L), floor(col("n_old") / 640).cast("long"))).cast("int"))
+      .groupBy(col("cell"), col("hsub"))
+      .agg(vecsum(col("embedding")).as("vsum"), count(col("embedding")).as("n"))
+      .select(col("cell"), col("hsub"),
+        transform(col("vsum"), x => x.cast("double") / (col("n") * 100)).as("svec"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("hsub"), col("svec")))).as("subs"))
+    val oldCells = refineSub(oldA, svecs)
+      .select(col("cell"), col("sub"), col("vec_id").as("old_id"),
+        col("embedding").as("old_emb"))
+    IncAnnIndex(cents, svecs, oldCells)
+  }
+
+  private def assignCells(df: DataFrame, cents: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .withColumn("best", array_min(transform(col("cents"),
+        c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                    c.getField("c_label").as("cell")))))
+      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+
+  private def refineSub(df: DataFrame, svecs: DataFrame): DataFrame =
+    df.join(broadcast(svecs), "cell")
+      .withColumn("b2", array_min(transform(col("subs"),
+        sc => struct(l2distSq(col("embedding"), sc.getField("svec")).as("d2"),
+                     sc.getField("hsub").as("sub")))))
+      .select(col("vec_id"), col("embedding"), col("cell"), col("b2.sub").as("sub"))
+
+  /** ss12's probe: arrivals pay ~(|cells| + m) argmin comparisons
+    * each, then join ONLY their (cell, sub) block — cost scales with
+    * the increment, never the index. Unhinted join: a day's arrivals
+    * are corpus-shaped, not bounded — AQE broadcasts when small. */
+  private[graft] def incAnnProbe(idx: IncAnnIndex, fresh: DataFrame): DataFrame = {
+    val freshAssigned = refineSub(assignCells(fresh, idx.cents), idx.svecs)
+      .select(col("cell"), col("sub"), col("vec_id"), col("embedding").as("new_emb"))
+    idx.oldCells.join(freshAssigned, Seq("cell", "sub"))
+      .withColumn("nn_cos", cosine(col("new_emb"), col("old_emb")))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max(struct(col("nn_cos"), (-col("old_id")).as("neg_id"))).as("m"))
+      .select(col("vec_id"), col("cell"),
+        (-col("m.neg_id")).as("nn_vec_id"), col("m.nn_cos").as("nn_cos"))
   }
 
   /** Corpus-scaled hash blocking for [[knnGraphBlocked]]: cell =
@@ -1207,6 +1309,66 @@ object Similarity {
     }
     picks.reduce(_ unionByName _)
   }
+
+  /** Iteration-bounded label propagation over a directed edge frame
+    * (vec_id, nbr_id) from a seed label set — ss31's kernel, shared
+    * with [[graft.api]]'s `labelPropagate` verb. Each round labels
+    * currently-UNLABELED nodes by the majority label of their
+    * already-labeled out-neighbors (votes desc, smallest label on
+    * ties — integer-exact in both engines); newly labeled nodes vote
+    * in later rounds. Per round: one edge-sized equi-join, one
+    * anti-join against the labeled set, one map-side-combinable
+    * majority agg — all keyed on high-cardinality node ids. Rounds
+    * are a fixed plan unroll (bounded depth), not a driver loop.
+    * Returns (vec_id, label, round) — round 0 = seed. */
+  private[graft] def labelPropagate(edges: DataFrame, seeds: DataFrame,
+                                    rounds: Int): DataFrame = {
+    // lazy localCheckpoints (blocks release on GC — GroupPrefix's
+    // lifecycle discipline): the edge frame feeds 2 joins per round
+    // and each round's label set feeds 3 consumers in the next, so
+    // without truncation the unrolled plan re-derives the knn graph
+    // once per consumer (the dd06 loop rule)
+    val es = edges.localCheckpoint(false)
+    var labels = seeds.select(col("vec_id"), col("label"), lit(0).as("round"))
+      .localCheckpoint(false)
+    (1 to rounds).foreach { r =>
+      val newly = es
+        .join(labels.select(col("vec_id").as("nbr_id"), col("label")), "nbr_id")
+        .join(labels.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .groupBy(col("vec_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("votes"), (-col("label")).as("neg_label"))).as("m"))
+        .select(col("vec_id"), (-col("m.neg_label")).as("label"), lit(r).as("round"))
+      labels = labels.unionByName(newly).localCheckpoint(false)
+    }
+    labels
+  }
+
+  /** The ss28 graph as a shared oracle CTE body (`ranked` = every
+    * within-cell pair with its per-vector rank): reused verbatim by
+    * ss28's own oracle and ss31's propagation oracle, so the two can
+    * never disagree about the graph. */
+  private def Ss28GraphCte: String =
+    """n AS (SELECT count(*) AS n_corpus FROM embeddings),
+      |cells AS (
+      | SELECT vec_id, embedding,
+      |  CAST(((instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 65536
+      |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 4096
+      |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 256
+      |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1) * 16
+      |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 5, 1)) - 1))
+      |    % GREATEST(1, n_corpus // 64) AS INT) AS cell
+      | FROM embeddings CROSS JOIN n),
+      |pairs AS (
+      | SELECT a.vec_id, a.cell, b.vec_id AS nbr_id,
+      |  list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+      |      * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
+      | FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |ranked AS (
+      | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rank
+      | FROM pairs)""".stripMargin
 
   private def subIdxCol: Column = sequence(lit(0), lit(NumSub - 1))
   private def subSlice(v: Column, m: Column): Column =
@@ -1663,37 +1825,86 @@ object Similarity {
         |cells AS (SELECT vec_id, embedding, c_label AS cell FROM assigned WHERE rn = 1),
         |old_c AS (SELECT * FROM cells WHERE vec_id % 5 != 0),
         |fr AS (SELECT * FROM cells WHERE vec_id % 5 = 0),
-        |pairs AS (
-        | SELECT f.vec_id, f.cell, o.vec_id AS old_id,
-        |  list_sum(list_transform(generate_series(1, len(f.embedding)), i -> CAST(f.embedding[i] AS DOUBLE) * CAST(o.embedding[i] AS DOUBLE)))
-        |   / (sqrt(list_sum(list_transform(f.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-        |      * sqrt(list_sum(list_transform(o.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS nn_cos
-        | FROM fr f JOIN old_c o ON f.cell = o.cell)
-        |SELECT vec_id, cell, old_id AS nn_vec_id, nn_cos FROM (
-        | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY nn_cos DESC, old_id) AS rnk
-        | FROM pairs) WHERE rnk = 1
-        |ORDER BY vec_id""".stripMargin,
-    "ss28_knn_graph" ->
-      """WITH n AS (SELECT count(*) AS n_corpus FROM embeddings),
-        |cells AS (
-        | SELECT vec_id, embedding,
+        |no AS (SELECT count(*) AS n_old FROM old_c),
+        |hs AS (
+        | SELECT vec_id, embedding, cell,
         |  CAST(((instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 65536
         |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 4096
         |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 256
         |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1) * 16
         |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 5, 1)) - 1))
-        |    % GREATEST(1, n_corpus // 64) AS INT) AS cell
-        | FROM embeddings CROSS JOIN n),
+        |    % GREATEST(1, (SELECT n_old FROM no) // 640) AS INT) AS hsub
+        | FROM old_c),
+        |sx AS (
+        | SELECT cell, hsub, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM hs),
+        |scen AS (
+        | SELECT cell, hsub, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM sx GROUP BY 1, 2, 3),
+        |svecs AS (SELECT cell, hsub, list(c ORDER BY pos) AS svec FROM scen GROUP BY 1, 2),
+        |old_r AS (
+        | SELECT vec_id, embedding, cell, hsub AS sub FROM (
+        |  SELECT o.vec_id, o.embedding, o.cell, sv.hsub,
+        |   row_number() OVER (PARTITION BY o.vec_id ORDER BY
+        |    list_sum(list_transform(generate_series(1, len(o.embedding)),
+        |      i -> (CAST(o.embedding[i] AS DOUBLE) - sv.svec[i]) * (CAST(o.embedding[i] AS DOUBLE) - sv.svec[i]))), sv.hsub) AS rn2
+        |  FROM old_c o JOIN svecs sv ON o.cell = sv.cell) WHERE rn2 = 1),
+        |fr_r AS (
+        | SELECT vec_id, embedding, cell, hsub AS sub FROM (
+        |  SELECT f.vec_id, f.embedding, f.cell, sv.hsub,
+        |   row_number() OVER (PARTITION BY f.vec_id ORDER BY
+        |    list_sum(list_transform(generate_series(1, len(f.embedding)),
+        |      i -> (CAST(f.embedding[i] AS DOUBLE) - sv.svec[i]) * (CAST(f.embedding[i] AS DOUBLE) - sv.svec[i]))), sv.hsub) AS rn2
+        |  FROM fr f JOIN svecs sv ON f.cell = sv.cell) WHERE rn2 = 1),
         |pairs AS (
-        | SELECT a.vec_id, a.cell, b.vec_id AS nbr_id,
-        |  list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |   / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-        |      * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
-        | FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-        |SELECT vec_id, cell, CAST(rank AS INT) AS rank, nbr_id, cos_sim FROM (
-        | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rank
-        | FROM pairs) WHERE rank <= 3
+        | SELECT f.vec_id, f.cell, o.vec_id AS old_id,
+        |  list_sum(list_transform(generate_series(1, len(f.embedding)), i -> CAST(f.embedding[i] AS DOUBLE) * CAST(o.embedding[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(f.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(o.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS nn_cos
+        | FROM fr_r f JOIN old_r o ON f.cell = o.cell AND f.sub = o.sub)
+        |SELECT vec_id, cell, old_id AS nn_vec_id, nn_cos FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY nn_cos DESC, old_id) AS rnk
+        | FROM pairs) WHERE rnk = 1
+        |ORDER BY vec_id""".stripMargin,
+    "ss28_knn_graph" ->
+      s"""WITH $Ss28GraphCte
+        |SELECT vec_id, cell, CAST(rank AS INT) AS rank, nbr_id, cos_sim FROM ranked
+        |WHERE rank <= 3
         |ORDER BY vec_id, rank""".stripMargin,
+    // seeds = the 10% with vec_id % 10 = 0; two propagation rounds,
+    // each labeling the unlabeled by neighbor majority (votes desc,
+    // label asc ties); audit joins the true label back.
+    "ss31_label_prop" ->
+      s"""WITH $Ss28GraphCte,
+        |knn AS (SELECT vec_id, nbr_id FROM ranked WHERE rank <= 3),
+        |seeds AS (
+        | SELECT vec_id, label, 0 AS round FROM embeddings WHERE vec_id % 10 = 0),
+        |r1v AS (
+        | SELECT k.vec_id, s.label, count(*) AS votes
+        | FROM knn k JOIN seeds s ON k.nbr_id = s.vec_id
+        | WHERE k.vec_id NOT IN (SELECT vec_id FROM seeds)
+        | GROUP BY 1, 2),
+        |r1 AS (
+        | SELECT vec_id, label, 1 AS round FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, label) AS rn
+        |  FROM r1v) WHERE rn = 1),
+        |l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM r1),
+        |r2v AS (
+        | SELECT k.vec_id, s.label, count(*) AS votes
+        | FROM knn k JOIN l1 s ON k.nbr_id = s.vec_id
+        | WHERE k.vec_id NOT IN (SELECT vec_id FROM l1)
+        | GROUP BY 1, 2),
+        |r2 AS (
+        | SELECT vec_id, label, 2 AS round FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, label) AS rn
+        |  FROM r2v) WHERE rn = 1),
+        |l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM r2)
+        |SELECT l.vec_id, l.label, CAST(l.round AS INT) AS round,
+        | l.label = e.label AS correct
+        |FROM l2 l JOIN embeddings e USING (vec_id)
+        |ORDER BY l.vec_id""".stripMargin,
     "ss30_ivf_hier" ->
       """WITH s AS (
         | SELECT vec_id, embedding, label FROM embeddings
@@ -1963,14 +2174,23 @@ object Similarity {
         |   list_sum(list_transform(generate_series(1, len(e.embedding)),
         |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
         | FROM embeddings e CROSS JOIN cvecs c),
-        |cells AS (SELECT vec_id, embedding, c_label AS cell FROM assigned WHERE rn = 1),
+        |nn AS (SELECT count(*) AS n_corpus FROM embeddings),
+        |cells AS (
+        | SELECT vec_id, embedding, c_label AS cell,
+        |  CAST(((instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 65536
+        |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 4096
+        |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 256
+        |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 5, 1)) - 1))
+        |    % GREATEST(1, (SELECT n_corpus FROM nn) // 640) AS INT) AS sub
+        | FROM assigned WHERE rn = 1),
         |pairs AS (
         | SELECT b.vec_id, b.cell,
         |  list_sum(list_transform(generate_series(1, len(a.embedding)),
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
         |   / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
         |      * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
-        | FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        | FROM cells a JOIN cells b ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id)
         |SELECT vec_id, cell, count(*) AS n_close_smaller, max(cos_sim) AS max_cos
         |FROM pairs WHERE cos_sim > 0.3
         |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,

@@ -1374,6 +1374,39 @@ class ApiSpec extends SparkSpec {
       "refinement must actually split cells")
   }
 
+  test("labelPropagate verb matches ss31 and follows majority/tie/round rules on a planted graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // verb == registered query over the real corpus graph
+    val e = Tables.spread(Tables(spark, sfDir, "embeddings"))
+    val g = e.hashCells("vec_id", "embedding", targetCellSize = 64)
+      .knnGraphByCell("vec_id", "embedding", "cell")
+      .select(col("vec_id"), col("nbr_id"))
+    val seeds = e.filter(col("vec_id") % 10 === 0).select(col("vec_id"), col("label"))
+    val viaApi = g.labelPropagate("vec_id", "nbr_id", seeds, "vec_id", "label")
+      .join(e.select(col("vec_id"), col("label").as("true_label")), "vec_id")
+      .withColumn("correct", col("label") === col("true_label"))
+      .select(col("vec_id"), col("label"), col("round"), col("correct"))
+      .orderBy("vec_id")
+    val viaOp = SparkEntry.queries("ss31_label_prop")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted: 10 is a seed labeled 7; chain 10 <- 20 <- 30 reaches
+    // label 7 in rounds 1 and 2; 40 sees labels 7 and 9 once each —
+    // the tie must go to the SMALLER label; 50 has no labeled
+    // neighbor and stays unlabeled
+    val edges = Seq((20L, 10L), (30L, 20L), (40L, 10L), (40L, 11L), (50L, 60L))
+      .toDF("vec_id", "nbr_id")
+    val sd = Seq((10L, 7), (11L, 9)).toDF("vec_id", "label")
+    val out = edges.labelPropagate("vec_id", "nbr_id", sd, "vec_id", "label")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("label"), r.getAs[Int]("round")))).toMap
+    assert(out(10L) == ((7, 0)) && out(11L) == ((9, 0)), "seeds keep round 0")
+    assert(out(20L) == ((7, 1)), "direct neighbor labels in round 1")
+    assert(out(30L) == ((7, 2)), "chain end labels in round 2 via the new round-1 label")
+    assert(out(40L) == ((7, 1)), "a 7-vs-9 tie goes to the smaller label")
+    assert(!out.contains(50L), "a node with no labeled neighbor stays unlabeled")
+  }
+
   test("hierCells composes with knnGraphByCell as a trained blocked-knn cell source") {
     import org.apache.spark.sql.functions._
     // the ss30 -> ss28-core wiring: (cell1, cell2) composite cells

@@ -641,6 +641,33 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ss31 label propagation: seeds exact, rounds causal, labels from the graph only") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("ss31_label_prop")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Int]("round"), r.getAs[Boolean]("correct")))
+    val seeds = rows.filter(_._3 == 0)
+    assert(seeds.nonEmpty && rows.exists(_._3 > 0), "propagation must label non-seeds")
+    assert(seeds.forall(r => r._1 % 10 == 0 && r._4), "every seed keeps its own (correct) label")
+    assert(rows.map(_._1).distinct.length == rows.length, "one label per vector")
+    // causality: a round-r label must come from a neighbor labeled < r
+    val g = SparkEntry.queries("ss28_knn_graph")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nbr_id"))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val byRound = rows.groupBy(_._3)
+    val labelOf = rows.map(r => r._1 -> r._2).toMap
+    val roundOf = rows.map(r => r._1 -> r._3).toMap
+    byRound.filter(_._1 > 0).foreach { case (r, rs) =>
+      rs.foreach { case (v, lab, _, _) =>
+        val prior = g.getOrElse(v, Set.empty)
+          .filter(n => roundOf.get(n).exists(_ < r))
+        assert(prior.nonEmpty, s"vec $v labeled in round $r with no earlier-labeled neighbor")
+        assert(prior.map(labelOf).contains(lab),
+          s"vec $v's label $lab is not among its earlier-labeled neighbors")
+      }
+    }
+  }
+
   test("tx28 lexical diversity ties out to tx03's token counts") {
     val div = SparkEntry.queries("tx28_lexical_diversity")(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
