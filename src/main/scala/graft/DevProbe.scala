@@ -158,6 +158,43 @@ object DevProbe {
         .write.format("noop").mode("overwrite").save()
       val tProbe = (System.nanoTime() - t1) / 1e9
       println(f"ss24fixed mult=$mult batch=$nq build=$tBuild%.2f s probe=$tProbe%.2f s")
+    } else if (args(0) == "--transprobe") {
+      // Bounded-state probe for the mapGroupsWithState streams (args:
+      // --transprobe <sfDir> [chunks=8] [ttlSeconds]): unlike the
+      // state-TOPIC streams (--stateprobe), transitionDeltasStream
+      // holds REAL in-memory state-store rows (per-user pruned
+      // timelines), so the measurement reads Spark's own
+      // StreamingQueryProgress stateOperators gauges — state rows +
+      // bytes after draining the corpus chronologically — plus drain
+      // throughput. The bounded-state claim (idle users settle at ONE
+      // retained point under the watermark prune) becomes a measured
+      // number: rows ≈ user domain, NOT event count.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      val d = args(1)
+      val chunks = args.lift(2).map(_.toInt).getOrElse(8)
+      val ttl = args.lift(3).map(_.toLong)
+      val evs = Tables.eventsDs(spark, d).orderBy(col("ts")).collect()
+      val input = MemoryStream[graft.streaming.TopicEvent]
+      val q = graft.streaming.TopicStream
+        .transitionDeltasStream(input.toDS(), watermarkDelay = "1 hour",
+          ttlSeconds = ttl)
+        .writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      evs.grouped((evs.length + chunks - 1) / chunks).foreach { b =>
+        input.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val prog = q.lastProgress
+      val st = prog.stateOperators.headOption
+      q.stop()
+      val users = evs.map(_.user_id).distinct.length
+      println(f"transprobe events=${evs.length} users=$users chunks=$chunks " +
+        f"ttl=${ttl.getOrElse(-1L)} drain=$secs%.2f s rate=${evs.length / secs}%.0f ev/s " +
+        s"stateRows=${st.map(_.numRowsTotal).getOrElse(-1L)} " +
+        s"stateMB=${st.map(_.memoryUsedBytes / (1024.0 * 1024.0)).getOrElse(-1.0)}")
     } else if (args(0) == "--ss12fixed") {
       // Fixed-batch ss12 blowup row — the --ss22fixed decomposition
       // for the INCREMENTAL index (args: --ss12fixed <sfDir> <mult>):

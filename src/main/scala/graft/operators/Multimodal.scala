@@ -151,6 +151,78 @@ object Multimodal {
     } else None
   } catch { case _: ArrayIndexOutOfBoundsException => None }
 
+  /** Decoded audio metadata — every field parsed from the RIFF/WAVE
+    * bytes (fmt chunk: LE u16 channels + bits, LE u32 sample rate;
+    * data chunk size → exact integer duration). */
+  case class AudioMeta(doc_id: Long, n_bytes: Int, channels: Int,
+                       sample_rate: Int, bits: Int, data_bytes: Int,
+                       duration_ms: Int)
+
+  private def le32(v: Int): Array[Byte] =
+    Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+
+  /** Synthesize a REAL RIFF/WAVE byte stream: RIFF header, canonical
+    * 16-byte PCM fmt chunk (channels/sample-rate/bits md5-derived, so
+    * the oracle recomputes them from the formula), and a data chunk
+    * whose content is the text bytes (word-aligned with a pad byte
+    * per the RIFF rule when odd). The parser must WALK the chunks —
+    * an inserted LIST/INFO chunk before fmt forces real traversal. */
+  private[graft] def mkWav(text: String): Array[Byte] = {
+    val body = text.getBytes("UTF-8")
+    val h = md5hex(body)
+    val channels = 1 + nib(h(4)) % 2                      // 1..2
+    val rate = Seq(8000, 16000, 22050, 44100)(nib(h(5)) % 4)
+    val bits = if (nib(h(6)) % 2 == 0) 8 else 16
+    val byteRate = rate * channels * (bits / 8)
+    val info = ("INFO" + h.substring(0, 8)).getBytes("US-ASCII")
+    val pad = if (body.length % 2 == 1) bytes(0) else Array.emptyByteArray
+    val chunks =
+      "WAVE".getBytes("US-ASCII") ++
+        "LIST".getBytes("US-ASCII") ++ le32(info.length) ++ info ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        le16(1) ++ le16(channels) ++ le32(rate) ++ le32(byteRate) ++
+        le16(channels * (bits / 8)) ++ le16(bits) ++
+        "data".getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    "RIFF".getBytes("US-ASCII") ++ le32(chunks.length) ++ chunks
+  }
+
+  /** REAL WAVE decode: verify RIFF/WAVE, walk LE length-prefixed
+    * chunks (skipping unknown ones by their declared size + RIFF odd
+    * padding), read channels/rate/bits from `fmt `, the payload size
+    * from `data`, and derive the exact integer duration
+    * data·1000 / byte_rate. Unparseable payloads route out. */
+  private[graft] def decodeWav(in: MediaIn): Option[AudioMeta] = try {
+    val p = in.payload
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16At(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32At(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var pos = 12
+      var channels, rate, bits = -1
+      var dataBytes = -1
+      while (pos + 8 <= p.length && (channels < 0 || dataBytes < 0)) {
+        val id = tag(pos)
+        val len = le32At(pos + 4)
+        if (len < 0 || pos + 8 + len > p.length) return None
+        if (id == "fmt " && len >= 16) {
+          channels = le16At(pos + 10)
+          rate = le32At(pos + 12)
+          bits = le16At(pos + 22)
+        } else if (id == "data") dataBytes = len
+        pos += 8 + len + (len % 2)                        // RIFF word alignment
+      }
+      if (channels <= 0 || rate <= 0 || bits <= 0 || dataBytes < 0) None
+      else {
+        val byteRate = rate.toLong * channels * (bits / 8)
+        Some(AudioMeta(in.doc_id, p.length, channels, rate, bits, dataBytes,
+          (dataBytes.toLong * 1000 / byteRate).toInt))
+      }
+    }
+  } catch { case _: ArrayIndexOutOfBoundsException => None }
+
   /** One sampled frame of a media payload — every field parsed from
     * the container bytes: dims from the image descriptor, timestamp
     * from the accumulated GCE delays, brightness from the frame's
@@ -326,6 +398,24 @@ object Multimodal {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // AUDIO metadata via batched REAL RIFF/WAVE decode — the audio
+    // modality's mm01: payloads synthesize as genuine WAVE byte
+    // streams (canonical PCM fmt chunk, md5-derived channels/rate/
+    // bits, the text as the data payload, a LIST chunk before fmt so
+    // the parser must genuinely walk), and the decoder parses the
+    // chunk structure back out — channels/rate/bits from `fmt `, the
+    // data size, and the exact integer duration data·1000/byte_rate.
+    "mm06_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          MediaIn(id, if (text == null) null else mkWav(text)) }
+      media.mapPartitions(_.withFilter(_.payload != null).flatMap(m => decodeWav(m)))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal training-sample assembly: one manifest row per
     // sample joining ALL modalities — text stats, the embedding
     // (dim + order-free quantized checksum), and the decoded media
@@ -469,6 +559,29 @@ object Multimodal {
         | e.emb_dim, e.emb_qsum, m.format, m.width, m.height, m.body8
         |FROM t JOIN e USING (doc_id) JOIN m USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    // WAVE framing is fixed-size except the text-bytes data chunk:
+    // total = 8 RIFF + 4 WAVE + 20 LIST + 24 fmt + 8 data-header +
+    // body + odd-pad = 64 + len + (len % 2); channels/rate/bits come
+    // from md5 nibbles 5/6/7; duration floors data*1000/byte_rate
+    // (both engines: non-negative integer division).
+    "mm06_audio_meta" ->
+      """WITH h AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS tlen,
+        |  md5(text) AS hx FROM documents),
+        |m AS (
+        | SELECT doc_id, tlen,
+        |  CAST(1 + (instr('0123456789abcdef', substr(hx,5,1)) - 1) % 2 AS INT) AS channels,
+        |  CAST(CASE (instr('0123456789abcdef', substr(hx,6,1)) - 1) % 4
+        |   WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN (instr('0123456789abcdef', substr(hx,7,1)) - 1) % 2 = 0
+        |   THEN 8 ELSE 16 END AS INT) AS bits
+        | FROM h)
+        |SELECT doc_id,
+        | CAST(64 + tlen + (tlen % 2) AS INT) AS n_bytes,
+        | channels, sample_rate, bits,
+        | tlen AS data_bytes,
+        | CAST((CAST(tlen AS BIGINT) * 1000) // (sample_rate * channels * (bits // 8)) AS INT) AS duration_ms
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // payload = encode(text, UTF-8), so DuckDB's md5(text) (UTF-8
     // bytes) and octet_length give the identical digest and sizes.

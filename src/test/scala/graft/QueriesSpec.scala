@@ -326,10 +326,24 @@ class QueriesSpec extends SparkSpec {
     val gif = Multimodal.sampleFrames(Multimodal.MediaIn(3L, enc("gif", 19, 7))).toSeq
     assert(gif.map(f => (f.frame_idx, f.frame_w, f.frame_h)) == Seq((0, 19, 7)),
       s"GIF walk of ImageIO output: $gif")
+    // WAV: the JDK's own javax.sound WAVE encoder (again not our
+    // synthesizer) — 0.25 s of 16-bit stereo at 16 kHz
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val afmt = new AudioFormat(16000f, 16, 2, true, false)
+    val pcm = new Array[Byte](16000)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), afmt, pcm.length / afmt.getFrameSize)
+    val wbos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, wbos)
+    val wav = Multimodal.decodeWav(Multimodal.MediaIn(7L, wbos.toByteArray))
+    assert(wav.exists(a => a.channels == 2 && a.sample_rate == 16000 &&
+      a.bits == 16 && a.data_bytes == 16000 && a.duration_ms == 250),
+      s"WAVE parse of javax.sound output: $wav")
     // corrupt or truncated bytes route out of the batch, never throw
     assert(Multimodal.decodeMedia(Multimodal.MediaIn(4L, Array[Byte](0x42, 0x4D, 1, 2, 3))).isEmpty)
     assert(Multimodal.decodeMedia(Multimodal.MediaIn(5L, enc("png", 9, 9).take(20))).isEmpty)
     assert(Multimodal.sampleFrames(Multimodal.MediaIn(6L, enc("gif", 9, 9).take(15))).isEmpty)
+    assert(Multimodal.decodeWav(Multimodal.MediaIn(8L, wbos.toByteArray.take(30))).isEmpty)
   }
 
   test("tx23's shared rational ln is within 2e-5 of libm ln over its whole domain") {
