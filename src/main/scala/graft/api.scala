@@ -1328,8 +1328,12 @@ object api {
       * vector to its nearest per-`labelCol` centroid cell, then flag
       * vectors with a smaller-id cluster-mate above `tau` cosine.
       * Returns (idCol, cell, n_close_smaller, max_cos); anti-join it
-      * against this frame to keep the survivors. The quadratic is
-      * bounded per cluster — raise the cluster count at scale. */
+      * against this frame to keep the survivors. Pairs compare within
+      * (cell × corpus-scaled md5 sub-block, n/640 subs — inert below
+      * 640 vectors), so the pair join stays corpus-LINEAR at every
+      * scale; a same-cell near-dup pair split across sub-blocks is
+      * missed (the standard blocked-near-dup recall trade — run
+      * multiple sub-block tables ss07-style to amplify recall). */
     def semdedupPrune(idCol: String, vecCol: String, labelCol: String,
                       tau: Double): DataFrame =
       graft.operators.Similarity.semdedupPrune(
