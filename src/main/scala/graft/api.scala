@@ -248,6 +248,25 @@ object api {
             col(valueCol).cast("long").as("x")))
         .withColumnRenamed("group", groupCol)
 
+    /** Exact per-key distribution QUANTILES from a mergeable integer
+      * histogram (the ts35 operator as a verb): `valueCentsCol`
+      * quantizes the facts, ONE map-side-combined histogram shuffle
+      * (value-DOMAIN-sized, never corpus rows), then each q (milli)
+      * reports the smallest value whose cumulative count reaches
+      * ceil(q·n/1000) — integers end to end. The histogram is
+      * additive, so `TopicStream.histStream`/`currentQuantiles`
+      * maintain the same report live. Returns (keyCol, q_milli,
+      * cents, n). */
+    def histQuantiles(keyCol: String, valueCentsCol: String,
+                      qsMilli: Seq[Int] = Seq(250, 500, 750, 900, 990)): DataFrame =
+      graft.operators.TimeSeries.histQuantilesOf(
+          df.select(col(keyCol).as("key"), col(valueCentsCol).cast("long").as("cents"))
+            .groupBy(col("key"), col("cents"))
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("cnt")),
+          qsMilli)
+        .withColumnRenamed("key", keyCol)
+
     /** Conversion-lag SURVIVAL curve (the ts34 operator as a verb):
       * first `isStart` row per key, first `isConvert` row at-or-after
       * it, whole-day lag buckets with cumulative conversion and

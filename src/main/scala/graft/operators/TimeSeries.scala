@@ -150,6 +150,29 @@ object TimeSeries {
         expr("(sum_dau * 1000) DIV (n_days * wau)").as("stickiness_milli"))
   }
 
+  /** ts35's tail over a PRE-COUNTED integer histogram (key, cents,
+    * cnt) — shared verbatim by the batch query and the streaming
+    * read side ([[graft.streaming.TopicStream.currentQuantiles]]),
+    * and exposed as [[graft.api]]'s `histQuantiles` verb. For each
+    * q (milli) per key: the smallest cents whose cumulative count
+    * reaches ceil(q·n/1000), tested as cum·1000 ≥ q·n — integers
+    * only. The windows run over the HISTOGRAM (value-domain-sized at
+    * any corpus scale), never the facts. */
+  private[graft] def histQuantilesOf(hist: DataFrame,
+                                     qsMilli: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("cents"))
+    val wn = Window.partitionBy(col("key"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wn))
+    qsMilli.map { q =>
+      cum.filter(col("cum") * 1000 >= col("n") * q)
+        .groupBy(col("key"))
+        .agg(min(col("cents")).as("cents"), max(col("n")).as("n"))
+        .select(col("key"), lit(q).as("q_milli"), col("cents"), col("n"))
+    }.reduce(_ unionByName _)
+  }
+
   /** ts32's whole pipeline over any event frame — the cohort-LTV
     * kernel shared by the batch query and [[graft.api]]'s `ltvMatrix`
     * verb: users cohort by first-seen day, revenue rows (isRevenue,
@@ -818,6 +841,32 @@ object TimeSeries {
         .withColumnRenamed("group", "event_type")
         .orderBy(col("event_type"))),
 
+    // EXACT DISTRIBUTION QUANTILES from a mergeable integer HISTOGRAM
+    // (the percentile report q20 computes exactly per-group, in its
+    // SCALE-AND-STREAM form — the TSDB "p99 latency per series"
+    // staple): values quantize to cents, the histogram (key ×
+    // distinct-cents counts) is ONE map-side-combinable shuffle of a
+    // DOMAIN-bounded frame (cents domain, never corpus rows), and
+    // each requested quantile is the smallest cents whose cumulative
+    // count covers ceil(q·n/1000) — pure integers end to end
+    // (cum·1000 ≥ q·n avoids even the ceil), so both engines agree
+    // bit-for-bit. The histogram is ADDITIVE (counts merge by sum) —
+    // histStream maintains it live as state-topic partials and
+    // currentQuantiles reads THIS kernel over the summed history, so
+    // stream and batch can never disagree. All post-histogram windows
+    // run over the value DOMAIN (≤ ~10^4 distinct cents per key at
+    // any corpus size) — the plan's only corpus-sized stage is the
+    // histogram agg itself.
+    "ts35_quantiles" -> ((s, d) => {
+      val hist = ev(s, d)
+        .select(col("event_type").as("key"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("key"), col("cents")).agg(count(lit(1)).as("cnt"))
+      histQuantilesOf(hist, Seq(250, 500, 750, 900, 990))
+        .select(col("key").as("event_type"), col("q_milli"), col("cents"), col("n"))
+        .orderBy(col("event_type"), col("q_milli"))
+    }),
+
     // Sliding 1h range window per key.
     "ts04_sliding" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s")).rangeBetween(-3600, 0)
@@ -1268,6 +1317,23 @@ object TimeSeries {
         |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day, age_day, rev_cents,
         | cum_cents, n_cohort, (cum_cents * 1000) // n_cohort AS ltv_milli_cents
         |FROM c JOIN sizes USING (cohort) ORDER BY 1, 2""".stripMargin,
+    "ts35_quantiles" ->
+      """WITH f AS (
+        | SELECT event_type AS key, CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |h AS (SELECT key, cents, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY 1, 2),
+        |c AS (
+        | SELECT key, cents,
+        |  CAST(sum(cnt) OVER (PARTITION BY key ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY key) AS BIGINT) AS n
+        | FROM h),
+        |qq AS (SELECT CAST(unnest([250, 500, 750, 900, 990]) AS INT) AS q_milli)
+        |SELECT key AS event_type, q_milli,
+        | min(cents) AS cents, max(n) AS n
+        |FROM c CROSS JOIN qq
+        |WHERE cum * 1000 >= n * q_milli
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ts34_conversion_lag" ->
       """WITH signup AS (
         | SELECT user_id, min(ts) AS t_signup FROM events

@@ -482,6 +482,48 @@ object TopicStream {
           .agg(sum(col("n_ev")).as("x")))
       .withColumnRenamed("group", "event_type")
 
+  /** Streaming VALUE-DISTRIBUTION histogram, write side — ts35's
+    * arrival loop in the giniStream ADDITIVE-PARTIAL discipline:
+    * each micro-batch upserts per-(key, cents) count partials keyed
+    * `key#cents#batchId` (counts are associative — summing partials
+    * at read time reproduces the batch histogram exactly; replays
+    * rewrite identical rows; batch 0 truncates — the fresh-generation
+    * reset). Topic bounded by key × cents-domain × batches, compacted
+    * by key. This is the mergeable-quantile-sketch shape: the state
+    * is the histogram, a few KB per key at any corpus size. */
+  def histStream(events: DataFrame, store: graft.sources.TopicStore,
+                 topic: String,
+                 keyCol: org.apache.spark.sql.Column = col("event_type"),
+                 valueCents: org.apache.spark.sql.Column = round(col("value") * 100).cast("long"))
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    events.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      if (id == 0L) store.truncate(topic)
+      val seq = base + 1 + id
+      val part = b.toDF()
+        .select(keyCol.as("key"), valueCents.as("cents"), col("ts"))
+        .groupBy(col("key"), col("cents"))
+        .agg(count(lit(1)).as("cnt"), max(col("ts")).as("time"))
+        .select(concat(col("key"), lit("#"), col("cents"),
+          lit("#"), lit(id)).as("hkey"),
+          col("key"), col("cents"), col("cnt"), col("time"))
+      if (!part.isEmpty) store.upsert(topic, part, "time", seq = Some(seq))
+    }
+  }
+
+  /** The CURRENT per-key quantile report of a [[histStream]] topic —
+    * ts35's exact output over the summed partial history, tail shared
+    * with the batch kernel verbatim
+    * ([[graft.operators.TimeSeries.histQuantilesOf]]) so stream and
+    * batch can never disagree. */
+  def currentQuantiles(store: graft.sources.TopicStore, topic: String,
+                       qsMilli: Seq[Int] = Seq(250, 500, 750, 900, 990)): DataFrame =
+    graft.operators.TimeSeries.histQuantilesOf(
+      store.readMerged(topic, "hkey")
+        .groupBy(col("key"), col("cents"))
+        .agg(sum(col("cnt")).as("cnt")),
+      qsMilli)
+
   /** Streaming CONVERSION-LAG survival, write side — ts34's start
     * facts in the topPathsStream CONTENT-KEY discipline: each signup
     * lands event-grain keyed `user#ts_us#event_id`, and the per-user

@@ -255,6 +255,45 @@ class StreamingSpec extends SparkSpec {
     } finally { qa.stop(); qr.stop() }
   }
 
+  test("streaming quantiles: additive histogram partials fold to batch ts35 across batches") {
+    import spark.implicits._
+    import graft.api._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_shist").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.histStream(input.toDF(), store, "hist")
+      .option("checkpointLocation", s"$root/_chk").start()
+    def t(day: Int, hour: Int) = ts(f"2024-01-$day%02d $hour%02d:00:00")
+    // the 1.50 bucket's count splits across batches: 1 + 2 fold to 3
+    val b1 = Seq(
+      TopicEvent(1, t(1, 9), 1L, "view", 1.50), TopicEvent(2, t(1, 10), 2L, "view", 2.50),
+      TopicEvent(3, t(1, 11), 3L, "view", 9.00))
+    val b2 = Seq(
+      TopicEvent(4, t(2, 9), 1L, "view", 1.50), TopicEvent(5, t(2, 10), 4L, "view", 1.50),
+      TopicEvent(6, t(2, 11), 5L, "click", 4.00))
+    def read() = TopicStream.currentQuantiles(store, "hist")
+      .select("key", "q_milli", "cents", "n")
+      .as[(String, Int, Long, Long)].collect().toSet
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val stream = read()
+      val batch = (b1 ++ b2).toDF()
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .histQuantiles("event_type", "cents")
+        .select(col("event_type").as("key"), col("q_milli"), col("cents"), col("n"))
+        .as[(String, Int, Long, Long)].collect().toSet
+      assert(stream == batch && stream.nonEmpty, s"stream $stream != batch $batch")
+      // hand-check: view cents sorted = (150,150,150,250,900), n=5 —
+      // p50 needs cum≥2.5 → 150; p75 needs cum≥3.75 → 250; p99 → 900
+      assert(stream.contains(("view", 500, 150L, 5L)))
+      assert(stream.contains(("view", 750, 250L, 5L)))
+      assert(stream.contains(("view", 990, 900L, 5L)))
+      assert(stream.contains(("click", 500, 400L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming gini: additive count partials fold to batch ts33 across batches") {
     import spark.implicits._
     import graft.api._
