@@ -991,7 +991,11 @@ object Similarity {
             .cast("long"),
           greatest(lit(1L), floor(col("n_corpus") / 640).cast("long")))
           .cast("int").as("sub"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy localCheckpoint, not persist: both join sides read the
+      // assignment, and checkpoint blocks release on driver GC — the
+      // knnGraphOf leak-fix discipline (a long-lived session calling
+      // the api verb repeatedly must not accumulate cached blocks)
+      .localCheckpoint(false)
     val a = assigned.select(col("cell"), col("sub"),
       col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = assigned.select(col("cell"), col("sub"),
