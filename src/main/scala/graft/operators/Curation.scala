@@ -576,9 +576,14 @@ object Curation {
       val terms = Seq("vector", "join", "scan")
       val base = docs(s, d)
       val n = base.agg(count(lit(1)).as("n_docs"))
+      // filter the token ARRAY before exploding (a post-explode
+      // filter cannot push through the generator, so it would
+      // materialize every token as a row first — only query-term
+      // hits should ever generate)
       val tf = base
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-        .filter(col("w").isin(terms: _*))
+        .select(col("doc_id"),
+          explode(filter(split(lower(col("text")), " "),
+            w => w.isin(terms: _*))).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(n))
@@ -615,8 +620,10 @@ object Curation {
         .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
         .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
       val st = wd.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-      val tf = wd.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
-        .filter(col("w").isin(terms: _*))
+      // array-filter BEFORE the generator (the tx22 rule): only
+      // query-term hits ever become rows
+      val tf = wd.select(col("doc_id"), col("dl"),
+          explode(filter(col("ws"), w => w.isin(terms: _*))).as("w"))
         .groupBy(col("doc_id"), col("dl"), col("w")).agg(count(lit(1)).as("tf"))
       val x = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
       val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))

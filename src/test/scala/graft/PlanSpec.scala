@@ -203,11 +203,17 @@ class PlanSpec extends SparkSpec {
       s"the increment join must stay broadcast-size after pruning:\n$p")
   }
 
-  test("ss10 semdedup self-join reads the cell assignment from cache on both sides") {
+  test("ss10 semdedup self-join shares ONE materialization of the cell assignment") {
+    // r11: the assignment is a lazy localCheckpoint (blocks release
+    // on GC — the knnGraphOf leak-fix discipline), so both join sides
+    // must read the SAME checkpointed RDD rather than recompute the
+    // centroid pipeline twice
     val p = plan("ss10_semdedup")
-    val hits = "InMemoryTableScan".r.findAllIn(p).size
-    assert(hits >= 2,
-      s"assignment feeds both sides of the cluster self-join; must persist (saw $hits):\n$p")
+    val rddScans = "Scan ExistingRDD".r.findAllIn(p).size
+    val cacheScans = "InMemoryTableScan".r.findAllIn(p).size
+    assert(rddScans >= 2 || cacheScans >= 2,
+      s"assignment feeds both sides of the cluster self-join; must be " +
+        s"checkpoint- or cache-shared (rdd=$rddScans cache=$cacheScans):\n$p")
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
       s"cluster-mate pairing must be an equi-join on cell:\n$p")
   }
