@@ -223,6 +223,110 @@ object Multimodal {
     }
   } catch { case _: ArrayIndexOutOfBoundsException => None }
 
+  /** Decoded video-container metadata — every field parsed from the
+    * ISO-BMFF (MP4) box structure: major brand from `ftyp`, movie
+    * timescale + duration ticks from `mvhd` (v0), presentation
+    * width/height from `tkhd`'s 16.16 fixed-point fields, track count
+    * from the `trak` children, body digest from `mdat`. Exact integer
+    * duration = ticks·1000 / timescale. */
+  case class VideoMeta(doc_id: Long, n_bytes: Int, brand: String,
+                       timescale: Int, duration_ms: Int, width: Int,
+                       height: Int, n_tracks: Int, body8: String)
+
+  /** Identity transform matrix per ISO/IEC 14496-12 §6.2.2 — the fixed
+    * 36-byte unity matrix both mvhd and tkhd carry. */
+  private val UnityMatrix: Array[Byte] =
+    be32(0x00010000) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000)
+
+  /** Synthesize a REAL ISO-BMFF (MP4) byte stream per ISO/IEC 14496-12:
+    * `ftyp` (isom brand), a `free` box the walker must skip, `moov`
+    * containing a version-0 `mvhd` (md5-derived timescale + duration
+    * ticks), a `udta` box (again: must be skipped by size), and one
+    * `trak`→`tkhd` with md5-derived 16.16 fixed-point dimensions; the
+    * text bytes land in `mdat`. Fixed framing = 280 bytes (20 ftyp +
+    * 20 free + 232 moov + 8 mdat header), the oracle's closed size
+    * formula. */
+  private[graft] def mkMp4(text: String): Array[Byte] = {
+    val body = text.getBytes("UTF-8")
+    val h = md5hex(body)
+    val timescale = Seq(600, 1000, 90000, 48000)(nib(h(8)) % 4)
+    val durTicks = timescale * (1 + nib(h(9))) + 60 * nib(h(10))
+    val w = 16 * (20 + nib(h(11)))
+    val ht = 16 * (12 + nib(h(12)))
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0x200) ++ "mp41".getBytes("US-ASCII"))
+    val free = box("free", h.substring(0, 12).getBytes("US-ASCII"))
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++                      // v0 + create/modify
+        be32(timescale) ++ be32(durTicks) ++
+        be32(0x00010000) ++ be16(0x0100) ++                 // rate 1.0, volume 1.0
+        new Array[Byte](10) ++ UnityMatrix ++
+        new Array[Byte](24) ++ be32(2))                     // pre_defined, next track id
+    val tkhd = box("tkhd",
+      be32(7) ++ be32(0) ++ be32(0) ++                      // v0, flags=enabled|in_movie|in_preview
+        be32(1) ++ be32(0) ++ be32(durTicks) ++             // track id, reserved, duration
+        new Array[Byte](8) ++ be16(0) ++ be16(0) ++         // reserved, layer, alt group
+        be16(0) ++ be16(0) ++ UnityMatrix ++                // volume (video: 0), reserved
+        be32(w << 16) ++ be32(ht << 16))                    // 16.16 fixed-point dims
+    val moov = box("moov",
+      mvhd ++ box("udta", h.substring(12, 20).getBytes("US-ASCII")) ++ box("trak", tkhd))
+    ftyp ++ free ++ moov ++ box("mdat", body)
+  }
+
+  /** REAL ISO-BMFF decode: walk the length-prefixed box tree (every
+    * box = BE u32 size + 4CC type; containers recurse, unknown boxes
+    * skip by size), read the brand from `ftyp`, timescale/duration
+    * from a version-0 `mvhd`, 16.16 dimensions from `tkhd`, count
+    * `trak` children, digest the `mdat` body. Extended (size==1,
+    * 64-bit) and malformed boxes route the payload out rather than
+    * fail the task. */
+  private[graft] def decodeMp4(in: MediaIn): Option[VideoMeta] = try {
+    val p = in.payload
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32At(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
+    def dig8(off: Int, len: Int): String =
+      md5hex(java.util.Arrays.copyOfRange(p, off, off + len)).substring(0, 8)
+    var brand: String = null
+    var timescale, w, ht = -1
+    var durTicks = -1L
+    var nTracks = 0
+    var body8 = ""
+    def walk(start: Int, end: Int, depth: Int): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val size = be32At(pos)
+        if (size < 8 || pos + size > end) return false
+        val typ = tag(pos + 4)
+        typ match {
+          case "ftyp" if size >= 16 => brand = tag(pos + 8)
+          case "moov" | "trak" if depth < 4 =>
+            if (typ == "trak") nTracks += 1
+            if (!walk(pos + 8, pos + size.toInt, depth + 1)) return false
+          case "mvhd" if size >= 32 && u8(pos + 8) == 0 =>  // version 0 layout
+            timescale = be32At(pos + 20).toInt
+            durTicks = be32At(pos + 24)
+          case "tkhd" if size >= 92 && u8(pos + 8) == 0 =>
+            w = (be32At(pos + 84) >>> 16).toInt             // 16.16 → integer px
+            ht = (be32At(pos + 88) >>> 16).toInt
+          case "mdat" if body8.isEmpty => body8 = dig8(pos + 8, (size - 8).toInt)
+          case _ => ()                                      // skip by size (free/udta/…)
+        }
+        pos += size.toInt
+      }
+      pos == end
+    }
+    if (p.length < 8 || !walk(0, p.length, 0)) None
+    else if (brand == null || timescale <= 0 || durTicks < 0 || w < 0 || ht < 0) None
+    else Some(VideoMeta(in.doc_id, p.length, brand, timescale,
+      (durTicks * 1000 / timescale).toInt, w, ht, nTracks, body8))
+  } catch { case _: ArrayIndexOutOfBoundsException => None }
+
   /** One sampled frame of a media payload — every field parsed from
     * the container bytes: dims from the image descriptor, timestamp
     * from the accumulated GCE delays, brightness from the frame's
@@ -416,6 +520,26 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // VIDEO metadata via batched REAL ISO-BMFF decode — the video
+    // modality's mm01: payloads synthesize as genuine MP4 box trees
+    // (ftyp/free/moov{mvhd,udta,trak{tkhd}}/mdat per ISO/IEC 14496-12,
+    // md5-derived timescale/duration/dims, the text as the mdat body)
+    // and the decoder walks the box tree back out — brand, movie
+    // timescale + exact integer duration, 16.16 track dimensions,
+    // track count, body digest. With mm01 (image), mm02 (animation
+    // frames), and mm06 (audio) this closes the container-level
+    // decode story across all four media classes.
+    "mm07_video_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          MediaIn(id, if (text == null) null else mkMp4(text)) }
+      media.mapPartitions(_.withFilter(_.payload != null).flatMap(m => decodeMp4(m)))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal training-sample assembly: one manifest row per
     // sample joining ALL modalities — text stats, the embedding
     // (dim + order-free quantized checksum), and the decoded media
@@ -581,6 +705,37 @@ object Multimodal {
         | channels, sample_rate, bits,
         | tlen AS data_bytes,
         | CAST((CAST(tlen AS BIGINT) * 1000) // (sample_rate * channels * (bits // 8)) AS INT) AS duration_ms
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // MP4 framing is fixed-size except the text-bytes mdat body:
+    // total = 20 ftyp + 20 free + 232 moov (108 mvhd + 16 udta +
+    // 100 trak) + 8 mdat header + body = 280 + len. timescale /
+    // duration ticks / dims come from md5 nibbles 9-13 (1-based);
+    // duration floors ticks*1000/timescale (non-negative integer
+    // division in both engines). The Spark side must PARSE all of it
+    // back out of the box tree; this oracle recomputes what the
+    // parse must find.
+    "mm07_video_meta" ->
+      """WITH h AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS tlen,
+        |  md5(text) AS hx FROM documents),
+        |m AS (
+        | SELECT doc_id, tlen, substr(hx, 1, 8) AS body8,
+        |  CAST(CASE (instr('0123456789abcdef', substr(hx,9,1)) - 1) % 4
+        |   WHEN 0 THEN 600 WHEN 1 THEN 1000 WHEN 2 THEN 90000 ELSE 48000 END AS INT) AS timescale,
+        |  (instr('0123456789abcdef', substr(hx,10,1)) - 1) AS n9,
+        |  (instr('0123456789abcdef', substr(hx,11,1)) - 1) AS n10,
+        |  (instr('0123456789abcdef', substr(hx,12,1)) - 1) AS n11,
+        |  (instr('0123456789abcdef', substr(hx,13,1)) - 1) AS n12
+        | FROM h)
+        |SELECT doc_id,
+        | CAST(280 + tlen AS INT) AS n_bytes,
+        | 'isom' AS brand,
+        | timescale,
+        | CAST((CAST(timescale * (1 + n9) + 60 * n10 AS BIGINT) * 1000) // timescale AS INT) AS duration_ms,
+        | CAST(16 * (20 + n11) AS INT) AS width,
+        | CAST(16 * (12 + n12) AS INT) AS height,
+        | CAST(1 AS INT) AS n_tracks,
+        | body8
         |FROM m ORDER BY doc_id""".stripMargin,
 
     // payload = encode(text, UTF-8), so DuckDB's md5(text) (UTF-8

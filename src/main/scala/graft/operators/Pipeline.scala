@@ -244,6 +244,87 @@ object Pipeline {
     // with the corpus and each window partition stays ~file-sized).
     // Rerun-stable, epoch-distinct, source-mixed — exactly what an
     // LLM data loader needs from its epoch manifests; the real writer
+    // DATASET CARD (per-source): the distribution summary a corpus
+    // release publishes next to the data — doc/token counts, each
+    // source's token share of the corpus, EXACT p50/p90 length
+    // quantiles (ts35's mergeable-histogram kernel over the n_chars
+    // domain — never a percentile over corpus rows), language
+    // diversity (count + dominant language + its share). Complements
+    // px04 (which reports quality GATES); this reports distribution
+    // SHAPE. Scale shape: two corpus-scan partial-aggs (the (source,
+    // n_chars) histogram and the (source, lang) mix — both
+    // domain-bounded outputs); every window/join after runs on those
+    // domain-sized frames; the corpus token total is a 1-row
+    // broadcast. All shares are integer milli (flooring DIV).
+    "px06_dataset_card" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d).select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("tok_cnt"))
+      val agg = base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("n_tokens"))
+      val tot = agg.agg(sum(col("n_tokens")).as("tot_tokens"))
+      val hist = base.groupBy(col("source").as("key"), col("n_chars").as("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val quant = TimeSeries.histQuantilesOf(hist, Seq(500, 900))
+        .groupBy(col("key").as("source"))
+        .agg(max(when(col("q_milli") === 500, col("cents"))).as("p50_chars"),
+          max(when(col("q_milli") === 900, col("cents"))).as("p90_chars"))
+      val langs = base.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("lc"))
+      // rank within the (source x lang) DOMAIN frame — never corpus rows
+      val lrank = Window.partitionBy(col("source")).orderBy(col("lc").desc, col("lang"))
+      val langTop = langs
+        .withColumn("rk", row_number().over(lrank))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_langs"),
+          max(when(col("rk") === 1, col("lang"))).as("top_lang"),
+          max(when(col("rk") === 1, col("lc"))).as("top_lang_docs"))
+      agg.join(quant, "source").join(langTop, "source").crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("(n_tokens * 1000) DIV tot_tokens").as("tok_share_milli"),
+          col("p50_chars"), col("p90_chars"),
+          col("n_langs"), col("top_lang"),
+          expr("(top_lang_docs * 1000) DIV n_docs").as("top_lang_milli"))
+        .orderBy(col("source"))
+    }),
+
+    // CURRICULUM ORDERING (Bengio et al. 2009's pacing schedule as a
+    // data op): samples are banded by difficulty (token count — the
+    // standard length proxy), and training phase p draws from the
+    // progressively widening pool band ≤ p, shuffled deterministically
+    // per phase (md5(doc_id:phase) — each phase reshuffles its pool,
+    // reruns reproduce byte-identically). Output = (phase, pos,
+    // doc_id, band): the trainer consumes phases in order, positions
+    // within phase. Scale shape: banding is pure scan compute; the
+    // phase pool is a broadcast cross join against a 4-row phase
+    // table; the within-phase global order is GroupPrefix's two-phase
+    // range-partition rank — partition-parallel, never one task per
+    // phase (4 phases would be the definitional window-skew trap).
+    "sp10_curriculum" -> ((s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("tok_cnt"))
+        .withColumn("band", least(expr("tok_cnt DIV 32"), lit(3)).cast("int"))
+      val phases = s.range(0, 4).select(col("id").cast("int").as("phase"))
+      val pool = base.crossJoin(broadcast(phases))
+        .filter(col("band") <= col("phase"))
+        .withColumn("h", md5(concat(col("doc_id").cast("string"),
+          lit(":cur"), col("phase").cast("string"))))
+      graft.functions.GroupPrefix.groupPrefix(pool, "phase", Seq("h", "doc_id"))
+        .select(col("phase"), col("rn").cast("long").as("pos"),
+          col("doc_id"), col("band"))
+        .orderBy(col("phase"), col("pos"))
+    }),
+
+    // Epoch ordering — the training-loader manifest sp06 stops short
+    // of: every epoch re-shuffles the corpus into a DIFFERENT
+    // deterministic pseudo-random order (md5 keyed by epoch), sharded
+    // so no global sort ever happens. Per (epoch, shard): position =
+    // hash-order rank WITHIN the shard — the window partitions by
+    // (epoch, shard), so task input is bounded by shard size, never
+    // the corpus (GroupPrefix discipline; at 100 TB shard count grows
+    // with the corpus and each window partition stays ~file-sized).
+    // Rerun-stable, epoch-distinct, source-mixed — exactly what an
+    // LLM data loader needs from its epoch manifests; the real writer
     // partitionBy(epoch, shard)s this frame and trainers read shards
     // sequentially.
     "sp07_epoch_order" -> ((s, d) => {
@@ -546,6 +627,51 @@ object Pipeline {
         | CAST(max(budget) AS BIGINT) AS budget_tokens
         |FROM c WHERE cum - tok_cnt < budget
         |GROUP BY source ORDER BY source""".stripMargin,
+    "px06_dataset_card" ->
+      """WITH b AS (
+        | SELECT source, lang, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt
+        | FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok_cnt) AS BIGINT) AS n_tokens FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM a),
+        |h AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT source, n_chars,
+        |  CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n FROM h),
+        |q AS (
+        | SELECT source,
+        |  min(CASE WHEN cum * 1000 >= n * 500 THEN n_chars END) AS p50_chars,
+        |  min(CASE WHEN cum * 1000 >= n * 900 THEN n_chars END) AS p90_chars
+        | FROM c GROUP BY 1),
+        |lg AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS lc FROM b GROUP BY 1, 2),
+        |lr AS (SELECT source, lang, lc,
+        |  row_number() OVER (PARTITION BY source ORDER BY lc DESC, lang) AS rk FROM lg),
+        |lt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+        |  max(CASE WHEN rk = 1 THEN lang END) AS top_lang,
+        |  max(CASE WHEN rk = 1 THEN lc END) AS top_lang_docs
+        | FROM lr GROUP BY 1)
+        |SELECT a.source, a.n_docs, a.n_tokens,
+        | (a.n_tokens * 1000) // tot_tokens AS tok_share_milli,
+        | q.p50_chars, q.p90_chars, lt.n_langs, lt.top_lang,
+        | (lt.top_lang_docs * 1000) // a.n_docs AS top_lang_milli
+        |FROM a JOIN q USING (source) JOIN lt USING (source), tot
+        |ORDER BY a.source""".stripMargin,
+    "sp10_curriculum" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS tok_cnt
+        | FROM documents),
+        |b AS (SELECT doc_id, CAST(least(tok_cnt // 32, 3) AS INT) AS band FROM t),
+        |p AS (SELECT CAST(unnest([0, 1, 2, 3]) AS INT) AS phase),
+        |pool AS (
+        | SELECT phase, doc_id, band,
+        |  md5(CAST(doc_id AS VARCHAR) || ':cur' || CAST(phase AS VARCHAR)) AS h
+        | FROM b CROSS JOIN p WHERE band <= phase)
+        |SELECT phase,
+        | CAST(row_number() OVER (PARTITION BY phase ORDER BY h, doc_id) AS BIGINT) AS pos,
+        | doc_id, band
+        |FROM pool ORDER BY phase, pos""".stripMargin,
     "sp07_epoch_order" ->
       """WITH e AS (
         | SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),

@@ -139,6 +139,42 @@ object Similarity {
       knnGraphBlocked(hashCells(emb(s, d), targetCellSize = 64), k = 3)
         .orderBy(col("vec_id"), col("rank"))),
 
+    // OOD / OUTLIER AUDIT over the embedding corpus — the embedding-
+    // space data-cleaning screen (flag vectors far from their own
+    // cluster's centroid: mislabeled samples, encoder failures,
+    // genuinely out-of-distribution arrivals). Each vector assigns to
+    // its nearest per-label centroid (the ss05 broadcast-argmin fold),
+    // its squared distance quantizes to an integer grid
+    // (floor(d²·10⁴) — both engines floor the identical double), and
+    // the per-cell p95 comes EXACTLY from the ts35 mergeable-histogram
+    // kernel over that quantized domain; flagged = strictly beyond
+    // the cell's p95. Scale shape: one corpus scan for the argmin
+    // (centroids broadcast), the histogram partial-aggs into the
+    // (cell × quantized-distance) DOMAIN (bounded at any corpus
+    // size), the p95 frame broadcasts back onto the assignment —
+    // zero corpus-keyed shuffles end to end; the assignment is a lazy
+    // localCheckpoint because both the histogram and the flag pass
+    // read it (blocks release on GC — the knnGraphOf discipline).
+    "ss32_ood_audit" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = centroidArray(e)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("best", array_min(transform(col("cents"),
+          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                      c.getField("c_label").as("cell")))))
+        .select(col("vec_id"), col("best.cell").as("cell"),
+          floor(col("best.dist2") * 10000).cast("long").as("qd"))
+        .localCheckpoint(false)
+      val hist = assigned.groupBy(col("cell").as("key"), col("qd").as("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val p95 = TimeSeries.histQuantilesOf(hist, Seq(950))
+        .select(col("key").as("cell"), col("cents").as("p95_qd"))
+      assigned.join(broadcast(p95), "cell")
+        .filter(col("qd") > col("p95_qd"))
+        .select(col("vec_id"), col("cell"), col("qd"), col("p95_qd"))
+        .orderBy(col("cell"), col("qd").desc, col("vec_id"))
+    }),
+
     // GRAPH LABEL PROPAGATION over the blocked k-NN graph (the
     // semi-supervised labeling ss28's graph exists to support:
     // quality/topic labels cover a sliver of a crawl, embedding
@@ -1877,6 +1913,40 @@ object Similarity {
         |SELECT vec_id, cell, CAST(rank AS INT) AS rank, nbr_id, cos_sim FROM ranked
         |WHERE rank <= 3
         |ORDER BY vec_id, rank""".stripMargin,
+    "ss32_ood_audit" ->
+      """WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |assigned AS (
+        | SELECT e.vec_id, c.c_label,
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) AS d2,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |cells AS (
+        | SELECT vec_id, c_label AS cell, CAST(floor(d2 * 10000) AS BIGINT) AS qd
+        | FROM assigned WHERE rn = 1),
+        |h AS (SELECT cell, qd, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+        |cm AS (SELECT cell, qd,
+        |  CAST(sum(cnt) OVER (PARTITION BY cell ORDER BY qd
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY cell) AS BIGINT) AS n FROM h),
+        |p AS (
+        | SELECT cell, min(CASE WHEN cum * 1000 >= n * 950 THEN qd END) AS p95_qd
+        | FROM cm GROUP BY 1)
+        |SELECT v.vec_id, v.cell, v.qd, p.p95_qd
+        |FROM cells v JOIN p USING (cell)
+        |WHERE v.qd > p.p95_qd
+        |ORDER BY v.cell, v.qd DESC, v.vec_id""".stripMargin,
     // seeds = the 10% with vec_id % 10 = 0; two propagation rounds,
     // each labeling the unlabeled by neighbor majority (votes desc,
     // label asc ties); audit joins the true label back.

@@ -867,6 +867,50 @@ object TimeSeries {
         .orderBy(col("event_type"), col("q_milli"))
     }),
 
+    // LAG-k AUTOCORRELATION of the daily event-count series (the
+    // periodicity screen behind seasonality/anomaly dashboards — "is
+    // traffic self-similar at 1/2/3-day lags"). ENGINE-EXACT via the
+    // mean-free integer identity: with y_t = n·x_t − S (an exact
+    // integer), r_k = Σ y_t·y_{t+k} / Σ y_t², so numerator A_k =
+    // n²·P_k − n·S·Q_k + cnt_k·S² and denominator D = n²·Σx² − n·S²
+    // are pure longs (P/Q = pairwise product/sum rollups) and the one
+    // division truncates toward zero in BOTH engines (Spark DIV and
+    // DuckDB integer // agree on negatives — anti-correlated lags
+    // are legitimate). Long-domain bounds are guarded in-plan (the ts33
+    // discipline: fails loudly, never wraps). Scale shape: ONE corpus
+    // scan partial-aggs into the day domain; the lag pairing,
+    // scalar moments, and division all run on that calendar-bounded
+    // frame (|days|×3 rows — broadcast joins, zero corpus shuffles).
+    "ts36_autocorr" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(expr("epoch_s DIV 86400").as("dn"))
+        .agg(count(lit(1)).as("x"))
+      val g = daily.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val lags = s.range(1, 4).select(col("id").cast("int").as("lag_k"))
+      daily.crossJoin(broadcast(lags)).as("a")
+        .join(broadcast(daily).as("b"), col("b.dn") === col("a.dn") + col("lag_k"))
+        .groupBy(col("lag_k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a.x") * col("b.x")).as("pk"),
+          sum(col("a.x") + col("b.x")).as("qk"))
+        .crossJoin(broadcast(g))
+        .withColumn("num",
+          col("n") * col("n") * col("pk") - col("n") * col("sx") * col("qk") +
+            col("n_pairs") * col("sx") * col("sx"))
+        .withColumn("den", col("n") * col("n") * col("sxx") - col("n") * col("sx") * col("sx"))
+        .filter(assert_true(
+          col("den") > 0 && col("den") <= lit(Long.MaxValue / 1000) &&
+            abs(col("num")) <= lit(Long.MaxValue / 1000),
+          lit("ts36_autocorr: zero-variance series or 1000*moment exceeds the " +
+            "long domain — widen to DECIMAL(38,0) beyond ~3e15")).isNull)
+        .select(col("lag_k"), col("n_pairs"),
+          expr("(1000 * num) DIV den").as("autocorr_milli"))
+        .orderBy(col("lag_k"))
+    }),
+
     // Sliding 1h range window per key.
     "ts04_sliding" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s")).rangeBetween(-3600, 0)
@@ -1334,6 +1378,24 @@ object TimeSeries {
         |FROM c CROSS JOIN qq
         |WHERE cum * 1000 >= n * q_milli
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts36_autocorr" ->
+      """WITH daily AS (
+        | SELECT (epoch_us(ts) // 1000000) // 86400 AS dn,
+        |  CAST(count(*) AS BIGINT) AS x
+        | FROM events GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx FROM daily),
+        |l AS (SELECT CAST(unnest([1, 2, 3]) AS INT) AS lag_k),
+        |p AS (
+        | SELECT l.lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(a.x * b.x) AS BIGINT) AS pk,
+        |  CAST(sum(a.x + b.x) AS BIGINT) AS qk
+        | FROM daily a CROSS JOIN l JOIN daily b ON b.dn = a.dn + l.lag_k
+        | GROUP BY 1)
+        |SELECT lag_k, n_pairs,
+        | CAST((1000 * (n*n*pk - n*sx*qk + n_pairs*sx*sx))
+        |   // (n*n*sxx - n*sx*sx) AS BIGINT) AS autocorr_milli
+        |FROM p, g ORDER BY lag_k""".stripMargin,
     "ts34_conversion_lag" ->
       """WITH signup AS (
         | SELECT user_id, min(ts) AS t_signup FROM events

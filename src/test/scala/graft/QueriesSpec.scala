@@ -295,6 +295,80 @@ class QueriesSpec extends SparkSpec {
     assert(df.filter(col("len_delta") < 0).count() == 0)
   }
 
+  test("ts36 autocorrelation matches an exact BigInt recomputation of the definition") {
+    // recompute r_k = sum((x_t - S/n)(x_{t+k} - S/n)) / sum((x_t - S/n)^2)
+    // as exact rationals (BigInt, scaled by n^2) from the same daily
+    // series, then truncate to milli — must equal the query bit-for-bit
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("CAST(ts AS LONG) DIV 86400").as("dn"))
+      .groupBy("dn").agg(count(lit(1)).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = BigInt(daily.size)
+    val s = BigInt(daily.values.sum)
+    val sxx = daily.values.map(x => BigInt(x) * x).sum
+    val den = n * n * sxx - n * s * s
+    val expected = (1 to 3).map { k =>
+      val pairs = daily.toSeq.flatMap { case (dn, x) =>
+        daily.get(dn + k).map(x2 => (BigInt(x), BigInt(x2)))
+      }
+      val num = pairs.map { case (a, b) => (n * a - s) * (n * b - s) }.sum
+      (k, pairs.size.toLong, (BigInt(1000) * num / den).toLong)
+    }
+    val got = SparkEntry.queries("ts36_autocorr")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("sp10 phase pools nest and positions are per-phase permutations") {
+    val df = SparkEntry.queries("sp10_curriculum")(spark, sfDir).cache()
+    try {
+      // pool(p) ⊆ pool(p+1): the curriculum only ever widens
+      (0 to 2).foreach { p =>
+        val missing = df.filter(col("phase") === p).select(col("doc_id"))
+          .except(df.filter(col("phase") === p + 1).select(col("doc_id"))).count()
+        assert(missing == 0, s"phase $p has docs missing from phase ${p + 1}")
+      }
+      // within each phase, pos is exactly 1..|pool| (a permutation)
+      val bad = df.groupBy(col("phase"))
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+          countDistinct(col("pos")).as("nd"))
+        .filter(col("mx") =!= col("n") || col("nd") =!= col("n")).count()
+      assert(bad == 0, "pos is not a 1..n permutation within some phase")
+      // final phase covers the whole corpus
+      assert(df.filter(col("phase") === 3).count() ==
+        Tables(spark, sfDir, "documents").count())
+    } finally df.unpersist()
+  }
+
+  test("px06 dataset card shares and quantiles are internally consistent") {
+    val rows = SparkEntry.queries("px06_dataset_card")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // token shares sum to 1000 minus at most one flooring unit per source
+    val share = rows.map(_.getAs[Long]("tok_share_milli")).sum
+    assert(share <= 1000 && share > 1000 - rows.length,
+      s"tok_share_milli sums to $share over ${rows.length} sources")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p50_chars") <= r.getAs[Long]("p90_chars"))
+      assert(r.getAs[Long]("top_lang_milli") <= 1000 &&
+        r.getAs[Long]("top_lang_milli") * r.getAs[Long]("n_langs") >= 1000 - r.getAs[Long]("n_langs"),
+        "dominant-language share below the uniform floor")
+    }
+  }
+
+  test("ss32 flags strictly-beyond-p95 vectors and never more than 5% per cell") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val flagged = SparkEntry.queries("ss32_ood_audit")(spark, sfDir).cache()
+    try {
+      assert(flagged.filter(col("qd") <= col("p95_qd")).count() == 0)
+      // by the p95 definition (cum*1000 >= n*950 at the boundary),
+      // strictly-beyond leaves at most 5% of each cell flagged
+      val perCell = flagged.groupBy(col("cell")).agg(count(lit(1)).as("nf"))
+      val total = e.count()
+      assert(perCell.agg(sum(col("nf"))).head.getLong(0) <= total / 20 + perCell.count(),
+        "flagged more than ~5% of the corpus")
+    } finally flagged.unpersist()
+  }
+
   test("mm01 metadata is deterministic and complete") {
     val df = SparkEntry.queries("mm01_binary_meta")(spark, sfDir)
     assert(df.count() == Tables(spark, sfDir, "documents").count())
@@ -339,6 +413,34 @@ class QueriesSpec extends SparkSpec {
     assert(wav.exists(a => a.channels == 2 && a.sample_rate == 16000 &&
       a.bits == 16 && a.data_bytes == 16000 && a.duration_ms == 250),
       s"WAVE parse of javax.sound output: $wav")
+    // MP4: no JDK encoder exists, so the independence fixture is
+    // hand-laid per ISO/IEC 14496-12 with a DIFFERENT layout than the
+    // synthesizer: mdat before moov, a `skip` box the walker must
+    // jump, TWO traks (the second with no tkhd), version-0 boxes
+    val b32 = (v: Long) => Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def bx(typ: String, payload: Array[Byte]): Array[Byte] =
+      b32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val mat = b32(0x10000L) ++ b32(0) ++ b32(0) ++ b32(0) ++ b32(0x10000L) ++
+      b32(0) ++ b32(0) ++ b32(0) ++ b32(0x40000000L)
+    val mvhd = bx("mvhd", b32(0) ++ b32(0) ++ b32(0) ++ b32(90000) ++ b32(123000) ++
+      b32(0x10000L) ++ Array[Byte](1, 0) ++ new Array[Byte](10) ++ mat ++
+      new Array[Byte](24) ++ b32(3))
+    val tkhd = bx("tkhd", b32(7) ++ b32(0) ++ b32(0) ++ b32(1) ++ b32(0) ++ b32(123000) ++
+      new Array[Byte](16) ++ mat ++ b32(1920L << 16) ++ b32(1080L << 16))
+    val fixture = bx("ftyp", "mp42".getBytes ++ b32(1) ++ "isom".getBytes) ++
+      bx("mdat", "hello-mdat".getBytes) ++
+      bx("skip", new Array[Byte](5)) ++
+      bx("moov", mvhd ++ bx("trak", tkhd) ++ bx("trak", bx("free", new Array[Byte](3))))
+    val mp4 = Multimodal.decodeMp4(Multimodal.MediaIn(9L, fixture))
+    assert(mp4.exists(v => v.brand == "mp42" && v.timescale == 90000 &&
+      v.duration_ms == 123000L * 1000 / 90000 && v.width == 1920 && v.height == 1080 &&
+      v.n_tracks == 2 && v.n_bytes == fixture.length),
+      s"MP4 walk of hand-laid ISO-BMFF fixture: $mp4")
+    // extended (64-bit, size==1) boxes and truncations route out
+    assert(Multimodal.decodeMp4(Multimodal.MediaIn(10L,
+      b32(1) ++ "mdat".getBytes ++ new Array[Byte](16))).isEmpty)
+    assert(Multimodal.decodeMp4(Multimodal.MediaIn(11L, fixture.take(40))).isEmpty)
+    assert(Multimodal.decodeMp4(Multimodal.MediaIn(12L, "notmp4!!".getBytes)).isEmpty)
     // corrupt or truncated bytes route out of the batch, never throw
     assert(Multimodal.decodeMedia(Multimodal.MediaIn(4L, Array[Byte](0x42, 0x4D, 1, 2, 3))).isEmpty)
     assert(Multimodal.decodeMedia(Multimodal.MediaIn(5L, enc("png", 9, 9).take(20))).isEmpty)
