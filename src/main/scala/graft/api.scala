@@ -267,6 +267,22 @@ object api {
           qsMilli)
         .withColumnRenamed("key", keyCol)
 
+    /** Lag-k AUTOCORRELATION of the daily count series (the ts36
+      * operator as a verb): rows bucket into whole days of `tsCol`,
+      * the per-day counts autocorrelate at lags 1..`maxLag` —
+      * engine-exact longs via the mean-free identity, anti-correlated
+      * (negative) lags legitimate, long-domain bounds guarded
+      * in-plan. Returns (lag_k, n_pairs, autocorr_milli); everything
+      * after the one corpus scan runs on the calendar-sized day
+      * domain. */
+    def autocorrReport(tsCol: String, maxLag: Int = 3): DataFrame = {
+      require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+      graft.operators.TimeSeries.autocorrOf(
+        df.groupBy(expr(s"CAST($tsCol AS LONG) DIV 86400").as("dn"))
+          .agg(count(lit(1)).as("x")),
+        maxLag)
+    }
+
     /** Conversion-lag SURVIVAL curve (the ts34 operator as a verb):
       * first `isStart` row per key, first `isConvert` row at-or-after
       * it, whole-day lag buckets with cumulative conversion and
@@ -716,6 +732,20 @@ object api {
           rnName = "_rn", cumName = "pack_offset")
         .withColumn("pack_id", expr(s"pack_offset DIV $packTokens"))
         .drop("_rn", "_h")
+    }
+
+    /** Curriculum pacing manifest (the sp10 operator as a verb —
+      * Bengio-style ordering): `difficultyCol` bands into `nPhases`
+      * buckets of `bandWidth`, phase p draws the widening pool
+      * band ≤ p in a deterministic per-phase reshuffle. Returns
+      * (phase, pos, idCol, band); within-phase ranks are GroupPrefix's
+      * partition-parallel form, never one task per phase. */
+    def curriculum(idCol: String, difficultyCol: String,
+                   bandWidth: Int, nPhases: Int = 4): DataFrame = {
+      require(bandWidth > 0 && nPhases > 0,
+        s"bandWidth/nPhases must be positive, got $bandWidth/$nPhases")
+      graft.operators.Pipeline.curriculumOf(
+        df, idCol, difficultyCol, bandWidth, nPhases)
     }
 
     /** Token-budget mixture (the px02 operator as a verb): keep rows
@@ -1253,6 +1283,25 @@ object api {
         df.select(col(idCol).as("vec_id"), col(nbrCol).as("nbr_id")),
         seeds.select(col(seedIdCol).as("vec_id"), col(seedLabelCol).as("label")),
         rounds)
+
+    /** OOD / outlier audit (the ss32 operator as a verb — the
+      * embedding-space cleaning screen): each vector assigns to its
+      * nearest per-`labelCol` centroid, the squared distance
+      * quantizes to an integer grid, and rows strictly beyond their
+      * cell's exact `qMilli`-quantile distance are returned as
+      * (idCol, cell, qd, p95_qd). Zero corpus-keyed shuffles — argmin
+      * broadcast fold + domain-bounded histogram + broadcast-back
+      * quantiles. */
+    def oodAudit(idCol: String, vecCol: String, labelCol: String,
+                 qMilli: Int = 950): DataFrame = {
+      require(qMilli > 0 && qMilli < 1000,
+        s"qMilli must be in (0, 1000), got $qMilli")
+      graft.operators.Similarity.oodAuditOf(
+          df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+            col(labelCol).as("label")),
+          qMilli)
+        .withColumnRenamed("vec_id", idCol)
+    }
 
     /** TWO-LEVEL coarse quantizer (the ss30 operator as a verb — the
       * hierarchical IVF assignment that makes k ~ √n cell counts

@@ -27,6 +27,32 @@ object Pipeline {
     graft.functions.GroupPrefix.groupPrefix(
       df, "source", Seq("h", "doc_id"), Some("tok_cnt"))
 
+  /** Curriculum pacing manifest — the sp10 kernel shared with
+    * [[graft.api]]'s `curriculum` verb. Bands `difficultyCol` into
+    * `nPhases` buckets of width `bandWidth` (capped at the top band);
+    * phase p draws the widening pool band ≤ p, reshuffled
+    * deterministically per phase (md5(id:cur<phase>)). Requires
+    * `idCol` castable to string. Returns (phase, pos, <idCol>, band).
+    * Scale shape: banding is scan compute, the pool is a broadcast
+    * cross join against an nPhases-row table, within-phase order is
+    * GroupPrefix's partition-parallel rank. */
+  private[graft] def curriculumOf(df: DataFrame, idCol: String,
+                                  difficultyCol: String, bandWidth: Int,
+                                  nPhases: Int): DataFrame = {
+    val s = df.sparkSession
+    val banded = df
+      .withColumn("band",
+        least(expr(s"$difficultyCol DIV $bandWidth"), lit(nPhases - 1)).cast("int"))
+    val phases = s.range(0, nPhases).select(col("id").cast("int").as("phase"))
+    val pool = banded.crossJoin(broadcast(phases))
+      .filter(col("band") <= col("phase"))
+      .withColumn("h", md5(concat(col(idCol).cast("string"),
+        lit(":cur"), col("phase").cast("string"))))
+    graft.functions.GroupPrefix.groupPrefix(pool, "phase", Seq("h", idCol))
+      .select(col("phase"), col("rn").cast("long").as("pos"),
+        col(idCol), col("band"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Stratified sampling with per-stratum rates (corpus mixing:
     // upweight one source, downsample the rest). A pure filter on a
@@ -299,21 +325,13 @@ object Pipeline {
     // table; the within-phase global order is GroupPrefix's two-phase
     // range-partition rank — partition-parallel, never one task per
     // phase (4 phases would be the definitional window-skew trap).
-    "sp10_curriculum" -> ((s, d) => {
-      val base = docs(s, d)
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).as("tok_cnt"))
-        .withColumn("band", least(expr("tok_cnt DIV 32"), lit(3)).cast("int"))
-      val phases = s.range(0, 4).select(col("id").cast("int").as("phase"))
-      val pool = base.crossJoin(broadcast(phases))
-        .filter(col("band") <= col("phase"))
-        .withColumn("h", md5(concat(col("doc_id").cast("string"),
-          lit(":cur"), col("phase").cast("string"))))
-      graft.functions.GroupPrefix.groupPrefix(pool, "phase", Seq("h", "doc_id"))
-        .select(col("phase"), col("rn").cast("long").as("pos"),
-          col("doc_id"), col("band"))
-        .orderBy(col("phase"), col("pos"))
-    }),
+    "sp10_curriculum" -> ((s, d) =>
+      curriculumOf(
+          docs(s, d).select(col("doc_id"),
+            size(split(col("text"), " ")).as("tok_cnt")),
+          idCol = "doc_id", difficultyCol = "tok_cnt",
+          bandWidth = 32, nPhases = 4)
+        .orderBy(col("phase"), col("pos"))),
 
     // Epoch ordering — the training-loader manifest sp06 stops short
     // of: every epoch re-shuffles the corpus into a DIFFERENT

@@ -155,25 +155,9 @@ object Similarity {
     // zero corpus-keyed shuffles end to end; the assignment is a lazy
     // localCheckpoint because both the histogram and the flag pass
     // read it (blocks release on GC — the knnGraphOf discipline).
-    "ss32_ood_audit" -> ((s, d) => {
-      val e = emb(s, d)
-      val cents = centroidArray(e)
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("best", array_min(transform(col("cents"),
-          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
-                      c.getField("c_label").as("cell")))))
-        .select(col("vec_id"), col("best.cell").as("cell"),
-          floor(col("best.dist2") * 10000).cast("long").as("qd"))
-        .localCheckpoint(false)
-      val hist = assigned.groupBy(col("cell").as("key"), col("qd").as("cents"))
-        .agg(count(lit(1)).as("cnt"))
-      val p95 = TimeSeries.histQuantilesOf(hist, Seq(950))
-        .select(col("key").as("cell"), col("cents").as("p95_qd"))
-      assigned.join(broadcast(p95), "cell")
-        .filter(col("qd") > col("p95_qd"))
-        .select(col("vec_id"), col("cell"), col("qd"), col("p95_qd"))
-        .orderBy(col("cell"), col("qd").desc, col("vec_id"))
-    }),
+    "ss32_ood_audit" -> ((s, d) =>
+      oodAuditOf(emb(s, d), qMilli = 950)
+        .orderBy(col("cell"), col("qd").desc, col("vec_id"))),
 
     // GRAPH LABEL PROPAGATION over the blocked k-NN graph (the
     // semi-supervised labeling ss28's graph exists to support:
@@ -1086,6 +1070,70 @@ object Similarity {
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
   }
+
+  /** OOD / outlier audit — the ss32 kernel shared with
+    * [[graft.api]]'s `oodAudit` verb. `e` must carry (vec_id,
+    * embedding, label). Assigns each vector to its nearest per-label
+    * centroid, quantizes the squared distance to floor(d²·10⁴), takes
+    * the per-cell q-quantile EXACTLY from the mergeable-histogram
+    * kernel over that integer domain, and returns the strictly-beyond
+    * rows (vec_id, cell, qd, p95_qd). Zero corpus-keyed shuffles: the
+    * argmin is a broadcast fold, the histogram partial-aggs into the
+    * (cell × grid) domain, the quantile frame broadcasts back; the
+    * assignment is a lazy localCheckpoint (two readers, blocks
+    * release on GC). */
+  private[graft] def oodAuditOf(e: DataFrame, qMilli: Int): DataFrame = {
+    val cents = centroidArray(e)
+    // lazy localCheckpoint: the histogram AND the flag pass read the
+    // assignment — one corpus argmin scan, blocks release on GC
+    val assigned = assignQd(e, cents).localCheckpoint(false)
+    assigned.join(broadcast(oodThresholds(assigned, qMilli)), "cell")
+      .filter(col("qd") > col("p95_qd"))
+      .select(col("vec_id"), col("cell"), col("qd"), col("p95_qd"))
+  }
+
+  /** OOD index build (pay-once): per-label centroids + the per-cell
+    * exact `qMilli`-quantile of the quantized squared distance over
+    * the REFERENCE corpus. Returns (centroid 1-row frame, (cell,
+    * p95_qd) threshold frame) — both tiny, both broadcastable; the
+    * streaming gate freezes these and scores arrivals against them
+    * (the pqEncodeStream frozen-codebook shape). */
+  private[graft] def oodIndex(e: DataFrame, qMilli: Int): (DataFrame, DataFrame) = {
+    val cents = centroidArray(e)
+    (cents, oodThresholds(assignQd(e, cents), qMilli))
+  }
+
+  /** Exact per-cell quantile thresholds over an assigned (cell, qd)
+    * frame — the ts35 histogram kernel on the quantized-distance
+    * domain. */
+  private def oodThresholds(assigned: DataFrame, qMilli: Int): DataFrame =
+    TimeSeries.histQuantilesOf(
+        assigned.groupBy(col("cell").as("key"), col("qd").as("cents"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq(qMilli))
+      .select(col("key").as("cell"), col("cents").as("p95_qd"))
+
+  /** Nearest-centroid cell + quantized squared distance per vector —
+    * the shared assignment half of [[oodAuditOf]]/[[oodScore]]. */
+  private def assignQd(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("best", array_min(transform(col("cents"),
+        c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                    c.getField("c_label").as("cell")))))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        floor(col("best.dist2") * 10000).cast("long").as("qd"))
+
+  /** Score vectors against a FROZEN OOD index (the probe half): each
+    * vector's nearest frozen centroid, quantized distance, the cell's
+    * frozen threshold, and the gate flag qd > p95_qd. Per-arrival
+    * cost is |cells| comparisons — corpus-free, the streaming gate's
+    * per-batch shape. */
+  private[graft] def oodScore(vecs: DataFrame, cents: DataFrame,
+                              p95: DataFrame): DataFrame =
+    assignQd(vecs, cents)
+      .join(broadcast(p95), "cell")
+      .select(col("vec_id"), col("cell"), col("qd"), col("p95_qd"),
+        (col("qd") > col("p95_qd")).as("is_ood"))
 
   private def centroidArray(e: DataFrame): DataFrame = {
     // r11: dense-buffer centroids via the typed VectorSumAgg (ss04's

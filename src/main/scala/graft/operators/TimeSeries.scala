@@ -158,6 +158,45 @@ object TimeSeries {
     * reaches ceil(q·n/1000), tested as cum·1000 ≥ q·n — integers
     * only. The windows run over the HISTOGRAM (value-domain-sized at
     * any corpus scale), never the facts. */
+  /** Lag-k autocorrelation of an integer series — the ts36 kernel
+    * shared with [[graft.api]]'s `autocorrReport` verb. `counts` must
+    * carry (dn: long — the equally-spaced index, x: long — the
+    * value). ENGINE-EXACT via the mean-free integer identity
+    * y_t = n·x_t − S: numerator A_k = n²·P_k − n·S·Q_k + cnt_k·S² and
+    * denominator D = n²·Σx² − n·S² are pure longs, and the single
+    * division truncates toward zero identically in both engines
+    * (negative numerators — anti-correlation — verified). Long-domain
+    * bounds guarded in-plan (the ts33 assert_true discipline). Every
+    * stage after the caller's series agg runs on the series-index
+    * domain (|dn|×maxLag rows, broadcast joins — zero corpus-keyed
+    * shuffles). */
+  private[graft] def autocorrOf(counts: DataFrame, maxLag: Int): DataFrame = {
+    val s = counts.sparkSession
+    val g = counts.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val lags = s.range(1, maxLag + 1).select(col("id").cast("int").as("lag_k"))
+    counts.crossJoin(broadcast(lags)).as("a")
+      .join(broadcast(counts).as("b"), col("b.dn") === col("a.dn") + col("lag_k"))
+      .groupBy(col("lag_k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a.x") * col("b.x")).as("pk"),
+        sum(col("a.x") + col("b.x")).as("qk"))
+      .crossJoin(broadcast(g))
+      .withColumn("num",
+        col("n") * col("n") * col("pk") - col("n") * col("sx") * col("qk") +
+          col("n_pairs") * col("sx") * col("sx"))
+      .withColumn("den", col("n") * col("n") * col("sxx") - col("n") * col("sx") * col("sx"))
+      .filter(assert_true(
+        col("den") > 0 && col("den") <= lit(Long.MaxValue / 1000) &&
+          abs(col("num")) <= lit(Long.MaxValue / 1000),
+        lit("autocorrOf: zero-variance series or 1000*moment exceeds the " +
+          "long domain — widen to DECIMAL(38,0) beyond ~3e15")).isNull)
+      .select(col("lag_k"), col("n_pairs"),
+        expr("(1000 * num) DIV den").as("autocorr_milli"))
+  }
+
   private[graft] def histQuantilesOf(hist: DataFrame,
                                      qsMilli: Seq[Int]): DataFrame = {
     val w = Window.partitionBy(col("key")).orderBy(col("cents"))
@@ -867,7 +906,8 @@ object TimeSeries {
         .orderBy(col("event_type"), col("q_milli"))
     }),
 
-    // LAG-k AUTOCORRELATION of the daily event-count series (the
+    // LAG-k AUTOCORRELATION of the daily event-count series — see
+    // [[autocorrOf]] (kernel shared with api.autocorrReport). (the
     // periodicity screen behind seasonality/anomaly dashboards — "is
     // traffic self-similar at 1/2/3-day lags"). ENGINE-EXACT via the
     // mean-free integer identity: with y_t = n·x_t − S (an exact
@@ -881,35 +921,12 @@ object TimeSeries {
     // scan partial-aggs into the day domain; the lag pairing,
     // scalar moments, and division all run on that calendar-bounded
     // frame (|days|×3 rows — broadcast joins, zero corpus shuffles).
-    "ts36_autocorr" -> ((s, d) => {
-      val daily = ev(s, d)
-        .groupBy(expr("epoch_s DIV 86400").as("dn"))
-        .agg(count(lit(1)).as("x"))
-      val g = daily.agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
-      val lags = s.range(1, 4).select(col("id").cast("int").as("lag_k"))
-      daily.crossJoin(broadcast(lags)).as("a")
-        .join(broadcast(daily).as("b"), col("b.dn") === col("a.dn") + col("lag_k"))
-        .groupBy(col("lag_k"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("a.x") * col("b.x")).as("pk"),
-          sum(col("a.x") + col("b.x")).as("qk"))
-        .crossJoin(broadcast(g))
-        .withColumn("num",
-          col("n") * col("n") * col("pk") - col("n") * col("sx") * col("qk") +
-            col("n_pairs") * col("sx") * col("sx"))
-        .withColumn("den", col("n") * col("n") * col("sxx") - col("n") * col("sx") * col("sx"))
-        .filter(assert_true(
-          col("den") > 0 && col("den") <= lit(Long.MaxValue / 1000) &&
-            abs(col("num")) <= lit(Long.MaxValue / 1000),
-          lit("ts36_autocorr: zero-variance series or 1000*moment exceeds the " +
-            "long domain — widen to DECIMAL(38,0) beyond ~3e15")).isNull)
-        .select(col("lag_k"), col("n_pairs"),
-          expr("(1000 * num) DIV den").as("autocorr_milli"))
-        .orderBy(col("lag_k"))
-    }),
+    "ts36_autocorr" -> ((s, d) =>
+      autocorrOf(
+          ev(s, d).groupBy(expr("epoch_s DIV 86400").as("dn"))
+            .agg(count(lit(1)).as("x")),
+          maxLag = 3)
+        .orderBy(col("lag_k"))),
 
     // Sliding 1h range window per key.
     "ts04_sliding" -> ((s, d) => {

@@ -1609,6 +1609,35 @@ object TopicStream {
     }
   }
 
+  /** Streaming OOD gate — ss32's live twin in [[pqEncodeStream]]'s
+    * frozen-index shape: arrivals score against a FROZEN OOD index
+    * (per-label centroids + per-cell EXACT p95 distance thresholds
+    * built once on the reference corpus —
+    * [[graft.operators.Similarity.oodIndex]]), and every arrival
+    * lands in `topic` with its cell, quantized distance, the cell's
+    * threshold, and the `is_ood` routing flag — the arrival-time
+    * data-cleaning gate in front of an embedding topic (downstream
+    * consumers filter `!is_ood`; the flagged slice routes to review).
+    * Per-batch cost: |cells| comparisons per vector + one broadcast
+    * threshold join — corpus-free, so drain throughput is constant
+    * whatever the reference corpus size. Expects (vec_id, embedding,
+    * ts) arrivals. */
+  def oodGateStream(vecs: DataFrame, store: graft.sources.TopicStore,
+                    cents: DataFrame, thresholds: DataFrame, topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fc = cents.persist()
+    val ft = thresholds.persist()
+    vecs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      val batch = b.toDF()
+      store.append(topic,
+        graft.operators.Similarity
+          .oodScore(batch.select(col("vec_id"), col("embedding")), fc, ft)
+          .join(batch.select(col("vec_id"), col("ts").as("time")), "vec_id")
+          .select(col("vec_id"), col("time"), col("cell"), col("qd"),
+            col("p95_qd"), col("is_ood")))
+    }
+  }
+
   /** Codebook-drift monitor — the operational loop [[pqEncodeStream]]
     * leaves open: its (time, recon_d2) output stream, windowed,
     * against the FROZEN baseline error measured at train time (mean

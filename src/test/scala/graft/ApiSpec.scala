@@ -1201,6 +1201,65 @@ class ApiSpec extends SparkSpec {
     assert(t.balancedShards("doc_id", "n_tok", n).count() == t.count())
   }
 
+  test("autocorrReport verb matches ts36 and scores a planted alternating series exactly") {
+    val viaApi = Tables.events(spark, sfDir)
+      .autocorrReport("ts", maxLag = 3).orderBy("lag_k")
+    val viaOp = SparkEntry.queries("ts36_autocorr")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted series: day i carries 1 event if i is even, 5 if odd,
+    // n = 10 days. With mean 3 and y = n·x − S = ±20, lag-1 pairs all
+    // anti-correlate (r1 = −(n−1)/n → −900 milli truncated) and lag-2
+    // pairs all agree (r2 = (n−2)/n → 800 milli)
+    import spark.implicits._
+    val ts = (0 until 10).flatMap { day =>
+      val k = if (day % 2 == 0) 1 else 5
+      (0 until k).map(j => new java.sql.Timestamp((day * 86400L + j) * 1000L))
+    }
+    val r = ts.toDF("ts").autocorrReport("ts", maxLag = 2)
+      .orderBy("lag_k")
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1, 9L, -900L), (2, 8L, 800L)), s"got $r")
+  }
+
+  test("curriculum verb matches sp10 and widens pools over a planted band spread") {
+    val viaApi = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("tok_cnt"))
+      .curriculum("doc_id", "tok_cnt", bandWidth = 32, nPhases = 4)
+      .orderBy("phase", "pos")
+    val viaOp = SparkEntry.queries("sp10_curriculum")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted difficulties 0/10/20/30 at bandWidth 10: phase p holds
+    // exactly p+1 docs, and the band caps at nPhases-1
+    import spark.implicits._
+    val tiny = Seq((1L, 0), (2L, 10), (3L, 20), (4L, 39))
+      .toDF("doc_id", "difficulty")
+      .curriculum("doc_id", "difficulty", bandWidth = 10, nPhases = 3)
+    val sizes = tiny.groupBy("phase").count().orderBy("phase")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(sizes == Seq((0, 1L), (1, 2L), (2, 4L)), s"got $sizes")
+    assert(tiny.agg(max(col("band"))).head.getInt(0) == 2, "band must cap at nPhases-1")
+  }
+
+  test("oodAudit verb matches ss32 and flags a planted far outlier") {
+    val viaApi = Tables(spark, sfDir, "embeddings")
+      .oodAudit("vec_id", "embedding", "label", qMilli = 950)
+      .withColumnRenamed("vec_id", "v").orderBy(col("cell"), col("qd").desc, col("v"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val viaOp = SparkEntry.queries("ss32_ood_audit")(spark, sfDir)
+      .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(viaApi == viaOp)
+    // planted: 40 identical vectors + one far outlier in one label —
+    // the identical base all sits exactly AT the p95 distance (never
+    // strictly beyond), so the outlier must be flagged, and nothing else
+    import spark.implicits._
+    val base = (0 until 40).map(i => (i.toLong, Array(1.0f, 1.0f), 0))
+    val out = Seq((99L, Array(9.0f, 9.0f), 0))
+    val flagged = (base ++ out).toDF("vec_id", "embedding", "label")
+      .oodAudit("vec_id", "embedding", "label")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(flagged == Seq(99L), s"got $flagged")
+  }
+
   test("giniReport verb matches ts33 and scores hand-built distributions") {
     import spark.implicits._
     val viaApi = Tables.events(spark, sfDir)

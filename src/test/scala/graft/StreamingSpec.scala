@@ -1358,6 +1358,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OOD gate routes arrivals against frozen thresholds and matches the batch scorer") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_oodgate").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 60)
+    // reference corpus: one tight cluster per label — every member
+    // sits exactly AT its cell's p95, so only genuinely-far arrivals
+    // can be strictly beyond
+    val ref = ((0 until 40).map(i => (i.toLong, Array(1f, 1f), 0)) ++
+        (0 until 40).map(i => (100L + i, Array(-1f, -1f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val (cents, thr) = graft.operators.Similarity.oodIndex(ref, qMilli = 950)
+    val input = MemoryStream[StreamVec]
+    val q = TopicStream.oodGateStream(input.toDF(), store, cents, thr, "ood")
+      .option("checkpointLocation", s"$root/_ckpt").start()
+    try {
+      input.addData(
+        StreamVec(1000, ts("2024-01-01 00:01:00"), Seq(1f, 1f)),    // in-distribution, cell 0
+        StreamVec(1001, ts("2024-01-01 00:01:00"), Seq(9f, 9f)))    // far outlier, nearest cell 0
+      q.processAllAvailable()
+      input.addData(
+        StreamVec(1002, ts("2024-01-01 00:02:00"), Seq(-1f, -1f)))  // in-distribution, cell 1
+      q.processAllAvailable()
+      val got = store.read("ood")
+        .select("vec_id", "cell", "is_ood")
+        .as[(Long, Int, Boolean)].collect().toSet
+      assert(got == Set((1000L, 0, false), (1001L, 0, true), (1002L, 1, false)),
+        s"gate must flag exactly the planted outlier: $got")
+      // the stream's verdicts must equal the batch scorer's on the same arrivals
+      val batch = Seq((1000L, Array(1f, 1f)), (1001L, Array(9f, 9f)),
+          (1002L, Array(-1f, -1f))).toDF("vec_id", "embedding")
+      val want = graft.operators.Similarity.oodScore(batch, cents, thr)
+        .select("vec_id", "cell", "is_ood").as[(Long, Int, Boolean)].collect().toSet
+      assert(got == want, s"stream and batch scorer disagree: $got vs $want")
+    } finally q.stop()
+  }
+
   test("PQ drift monitor flags windows whose reconstruction error exceeds the baseline") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
