@@ -127,6 +127,42 @@ object Curation {
     // is 10^7-10^9 rows at 100 TB), and only the 64 surviving rows
     // flow through the rank/cumsum window. `total` folds from the
     // same persisted agg — the corpus is scanned once.
+    // TOKENIZER BUDGET curve — "how many vocabulary types cover
+    // 50/90/95/99% of the corpus token mass" (the vocab-size-planning
+    // report behind every tokenizer build; tx12 shows the top of the
+    // Zipf curve, this reports where the mass cutoffs land): words
+    // rank by (count desc, word) GLOBALLY via GroupPrefix's two-phase
+    // range-partition form (the vocab is one global group — a plain
+    // unpartitioned window would funnel the whole type domain through
+    // one task), the running token mass rides GroupPrefix's prefix
+    // sum, and each q reports the smallest rank whose cumulative mass
+    // reaches q·total (cum·1000 ≥ q·total — integers; cum is
+    // monotone in rank, so min(rank) and min(cum) pick the same row).
+    // Scale shape: ONE corpus shuffle (the word rollup, map-side
+    // combined into the type domain); everything after runs on the
+    // type-domain frame; total is a 1-row broadcast.
+    "tx30_vocab_coverage" -> ((s, d) => {
+      import s.implicits._
+      val wc = docs(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .withColumn("g", lit(0))
+      val total = wc.agg(sum(col("cnt")).as("total"))
+      val ranked = graft.functions.GroupPrefix.groupPrefixC(
+          wc, "g", Seq(col("cnt").desc, col("word")), Some("cnt"))
+        .select(col("rn").cast("long").as("rn"),
+          (col("cum0") + col("cnt")).as("cum"))
+      val qs = Seq(500, 900, 950, 990).toDF("q_milli")
+        .select(col("q_milli").cast("int").as("q_milli"))
+      ranked.crossJoin(broadcast(total)).crossJoin(broadcast(qs))
+        .filter(col("cum") * 1000 >= col("q_milli") * col("total"))
+        .groupBy(col("q_milli"))
+        .agg(min(col("rn")).as("vocab_size"), min(col("cum")).as("cum_tokens"),
+          max(col("total")).as("total_tokens"))
+        .withColumn("coverage_milli", expr("(cum_tokens * 1000) DIV total_tokens"))
+        .orderBy(col("q_milli"))
+    }),
+
     "tx12_vocab" -> ((s, d) => {
       val wc = docs(s, d)
         .select(explode(split(lower(col("text")), " ")).as("word"))
@@ -1046,6 +1082,24 @@ object Curation {
         | sum(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
         |FROM cand LEFT JOIN bench ON cand.gram = bench.gram
         |GROUP BY cand.doc_id ORDER BY cand.doc_id""".stripMargin,
+    "tx30_vocab_coverage" ->
+      """WITH w AS (
+        | SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM wc),
+        |r AS (
+        | SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rn,
+        |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        | FROM wc),
+        |q AS (SELECT CAST(unnest([500, 900, 950, 990]) AS INT) AS q_milli)
+        |SELECT q_milli,
+        | min(rn) AS vocab_size, min(cum) AS cum_tokens,
+        | max(total) AS total_tokens,
+        | (min(cum) * 1000) // max(total) AS coverage_milli
+        |FROM r CROSS JOIN tot CROSS JOIN q
+        |WHERE cum * 1000 >= q_milli * total
+        |GROUP BY 1 ORDER BY q_milli""".stripMargin,
     "tx12_vocab" ->
       """WITH wc AS (
         | SELECT word, count(*) AS cnt

@@ -134,6 +134,37 @@ object Pipeline {
         .orderBy(col("source"), col("pack_id"))
     }),
 
+    // PACKING-EFFICIENCY audit — the QA report over sp03's packs (a
+    // trainer's effective batch utilization IS this number: underfull
+    // packs waste step compute, straddling docs overflow the budget):
+    // per source, pack count, mean fill vs the 2000-token budget
+    // (integer milli), overflow/underfull pack counts and the extremes.
+    // Identical pack construction to sp03 (same hash, same prefix, the
+    // oracle replays the same CTE), then ONE rollup into the
+    // |source|-row report — the pack frame never leaves the cluster.
+    "sp11_pack_audit" -> ((s, d) => {
+      val base = docs(s, d)
+        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":sp03"))))
+        .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+        .select(col("source"), col("h"), col("doc_id"), col("tok_cnt"))
+      sourcePrefix(base)
+        .withColumn("pack_id", expr("CAST(cum0 DIV 2000 AS INT)"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(sum(col("tok_cnt")).as("pack_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_packs"),
+          sum(col("pack_tokens")).as("total_tokens"),
+          sum(when(col("pack_tokens") > 2000, 1L).otherwise(0L)).as("n_overflow"),
+          sum(when(col("pack_tokens") < 2000, 1L).otherwise(0L)).as("n_underfull"),
+          max(col("pack_tokens")).as("max_pack_tokens"),
+          min(col("pack_tokens")).as("min_pack_tokens"))
+        .withColumn("fill_milli", expr("(total_tokens * 1000) DIV (n_packs * 2000)"))
+        .select(col("source"), col("n_packs"), col("total_tokens"),
+          col("fill_milli"), col("n_overflow"), col("n_underfull"),
+          col("max_pack_tokens"), col("min_pack_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Token-budget mixture: hit a target corpus composition (src0
     // upweighted 5x) under a global token budget. Each source gets
     // budget = weight*TOTAL/sum(weights) (integer division, exact);
@@ -645,6 +676,29 @@ object Pipeline {
         | CAST(max(budget) AS BIGINT) AS budget_tokens
         |FROM c WHERE cum - tok_cnt < budget
         |GROUP BY source ORDER BY source""".stripMargin,
+    "sp11_pack_audit" ->
+      """WITH t AS (
+        | SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR) || ':sp03') AS h,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt
+        | FROM documents),
+        |c AS (
+        | SELECT source, tok_cnt,
+        |  sum(tok_cnt) OVER (PARTITION BY source ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM t),
+        |p AS (
+        | SELECT source, CAST((cum - tok_cnt) // 2000 AS INT) AS pack_id,
+        |  CAST(sum(tok_cnt) AS BIGINT) AS pack_tokens
+        | FROM c GROUP BY 1, 2)
+        |SELECT source,
+        | CAST(count(*) AS BIGINT) AS n_packs,
+        | CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+        | (CAST(sum(pack_tokens) AS BIGINT) * 1000) // (count(*) * 2000) AS fill_milli,
+        | CAST(sum(CASE WHEN pack_tokens > 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+        | CAST(sum(CASE WHEN pack_tokens < 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_underfull,
+        | max(pack_tokens) AS max_pack_tokens,
+        | min(pack_tokens) AS min_pack_tokens
+        |FROM p GROUP BY 1 ORDER BY source""".stripMargin,
     "px06_dataset_card" ->
       """WITH b AS (
         | SELECT source, lang, n_chars,

@@ -369,6 +369,41 @@ class QueriesSpec extends SparkSpec {
     } finally flagged.unpersist()
   }
 
+  test("tx30 coverage curve matches a driver recomputation of the Zipf mass cutoffs") {
+    val words = Tables(spark, sfDir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val ranked = words.sortBy { case (w, c) => (-c, w) }
+    val total = ranked.map(_._2).sum
+    val expected = Seq(500, 900, 950, 990).map { q =>
+      var cum = 0L
+      var rn = 0L
+      val it = ranked.iterator
+      while (cum * 1000 < q * total && it.hasNext) { cum += it.next()._2; rn += 1 }
+      (q, rn, cum, total, cum * 1000 / total)
+    }
+    val got = SparkEntry.queries("tx30_vocab_coverage")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("sp11 pack audit ties out to sp03's packs exactly") {
+    val packs = SparkEntry.queries("sp03_pack_sequences")(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("pack_tokens")).as("tot"),
+        max(col("pack_tokens")).as("mx"), min(col("pack_tokens")).as("mn"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    SparkEntry.queries("sp11_pack_audit")(spark, sfDir).collect().foreach { r =>
+      val (n, tot, mx, mn) = packs(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_packs") == n && r.getAs[Long]("total_tokens") == tot &&
+        r.getAs[Long]("max_pack_tokens") == mx && r.getAs[Long]("min_pack_tokens") == mn,
+        s"audit disagrees with sp03 for ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("n_overflow") + r.getAs[Long]("n_underfull") <= n)
+      assert(r.getAs[Long]("fill_milli") * n * 2000 <= tot * 1000)
+    }
+  }
+
   test("mm01 metadata is deterministic and complete") {
     val df = SparkEntry.queries("mm01_binary_meta")(spark, sfDir)
     assert(df.count() == Tables(spark, sfDir, "documents").count())
