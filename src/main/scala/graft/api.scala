@@ -1284,6 +1284,20 @@ object api {
         seeds.select(col(seedIdCol).as("vec_id"), col(seedLabelCol).as("label")),
         rounds)
 
+    /** Iteration-bounded integer PageRank (the ss33 operator as a
+      * verb) over a directed edge frame: ranks in micro units
+      * (r₀ = 1,000,000; r' = 150,000 + 850·(Σ r DIV outdeg) DIV 1000
+      * — flooring integer ops, engine-exact), `rounds` unrolled plan
+      * stages, edge-linear per round. Returns (idCol, rank_micro) for
+      * every edge SOURCE (a knn graph gives every node out-edges). */
+    def pagerank(idCol: String, nbrCol: String, rounds: Int = 2): DataFrame = {
+      require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+      graft.operators.Similarity.pagerankOf(
+          df.select(col(idCol).as("vec_id"), col(nbrCol).as("nbr_id")),
+          rounds)
+        .withColumnRenamed("vec_id", idCol)
+    }
+
     /** OOD / outlier audit (the ss32 operator as a verb — the
       * embedding-space cleaning screen): each vector assigns to its
       * nearest per-`labelCol` centroid, the squared distance

@@ -159,6 +159,29 @@ object Similarity {
       oodAuditOf(emb(s, d), qMilli = 950)
         .orderBy(col("cell"), col("qd").desc, col("vec_id"))),
 
+    // PAGERANK over the blocked k-NN graph (Page et al. 1999 in its
+    // iteration-bounded integer form — the hub/centrality score for
+    // embedding neighborhoods: high-rank vectors are the corpus's
+    // semantic hubs, the representative-sample / dedup-keeper signal
+    // next to ss31's labels): ranks live in integer MICRO units
+    // (start 1,000,000; update 150,000 + 850·inflow DIV 1000 with
+    // inflow = Σ r_src DIV outdeg_src — every step a flooring integer
+    // op both engines compute identically), TWO rounds unrolled into
+    // plan stages; top-50 hubs reported. Scale shape: the graph is
+    // ss28's corpus-linear blocked build; each round is one edge-sized
+    // id-keyed join + one map-side-combinable inflow agg + a
+    // node-sized left join — edge-linear per round, rounds a FIXED
+    // unroll (never a driver loop); the oracle shares ss28's graph
+    // CTE verbatim so the two cannot disagree about the graph.
+    "ss33_pagerank" -> ((s, d) => {
+      val e = emb(s, d)
+      val g = knnGraphBlocked(hashCells(e, targetCellSize = 64), k = 3)
+        .select(col("vec_id"), col("nbr_id"))
+      pagerankOf(g, rounds = 2)
+        .orderBy(col("rank_micro").desc, col("vec_id"))
+        .limit(50)
+    }),
+
     // GRAPH LABEL PROPAGATION over the blocked k-NN graph (the
     // semi-supervised labeling ss28's graph exists to support:
     // quality/topic labels cover a sliver of a crawl, embedding
@@ -1433,6 +1456,38 @@ object Similarity {
     labels
   }
 
+  /** Iteration-bounded integer PageRank — the ss33 kernel shared with
+    * [[graft.api]]'s `pagerank` verb. `edges` = directed (vec_id →
+    * nbr_id). Ranks in integer MICRO units: r₀ = 1,000,000; each
+    * round r' = 150,000 + 850·(Σ r_src DIV outdeg_src) DIV 1000 —
+    * flooring integer ops both engines compute identically (damping
+    * 0.15/0.85 in the standard parameterization). Nodes = edge
+    * sources (a knn graph gives every node out-edges); no-inflow
+    * nodes hold the 150,000 base. Per round: one edge-sized id-keyed
+    * join + one map-side-combinable inflow agg + a node-sized left
+    * join — edge-linear, lineage truncated per round (the dd06 loop
+    * rule). */
+  private[graft] def pagerankOf(edges: DataFrame, rounds: Int): DataFrame = {
+    val out = edges.groupBy(col("vec_id")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(false)
+    val ed = edges.join(out, "vec_id")
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"), col("outdeg"))
+      .localCheckpoint(false)
+    val nodes = out.select(col("vec_id"))
+    var ranks = nodes.select(col("vec_id"), lit(1000000L).as("r"))
+    (1 to rounds).foreach { _ =>
+      val contrib = ed.join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("r DIV outdeg")).as("inflow"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          expr("150000 + 850 * coalesce(inflow, 0L) DIV 1000").as("r"))
+        .localCheckpoint(false)
+    }
+    ranks.select(col("vec_id"), col("r").as("rank_micro"))
+  }
+
   /** The ss28 graph as a shared oracle CTE body (`ranked` = every
     * within-cell pair with its per-vector rank): reused verbatim by
     * ss28's own oracle and ss31's propagation oracle, so the two can
@@ -1961,6 +2016,32 @@ object Similarity {
         |SELECT vec_id, cell, CAST(rank AS INT) AS rank, nbr_id, cos_sim FROM ranked
         |WHERE rank <= 3
         |ORDER BY vec_id, rank""".stripMargin,
+    // two unrolled integer-pagerank rounds over the SAME graph CTE
+    // (all operands positive, so DuckDB's // floors like Spark's DIV)
+    "ss33_pagerank" ->
+      s"""WITH $Ss28GraphCte,
+        |knn AS (SELECT vec_id AS src, nbr_id AS dst FROM ranked WHERE rank <= 3),
+        |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM knn GROUP BY 1),
+        |nodes AS (SELECT src AS vec_id FROM outd),
+        |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (
+        | SELECT k.dst, CAST(sum(r.r // o.outdeg) AS BIGINT) AS inflow
+        | FROM knn k JOIN outd o ON k.src = o.src JOIN r0 r ON r.vec_id = k.src
+        | GROUP BY 1),
+        |r1 AS (
+        | SELECT n.vec_id,
+        |  CAST(150000 + (850 * COALESCE(c1.inflow, 0)) // 1000 AS BIGINT) AS r
+        | FROM nodes n LEFT JOIN c1 ON c1.dst = n.vec_id),
+        |c2 AS (
+        | SELECT k.dst, CAST(sum(r.r // o.outdeg) AS BIGINT) AS inflow
+        | FROM knn k JOIN outd o ON k.src = o.src JOIN r1 r ON r.vec_id = k.src
+        | GROUP BY 1),
+        |r2 AS (
+        | SELECT n.vec_id,
+        |  CAST(150000 + (850 * COALESCE(c2.inflow, 0)) // 1000 AS BIGINT) AS r
+        | FROM nodes n LEFT JOIN c2 ON c2.dst = n.vec_id)
+        |SELECT vec_id, r AS rank_micro FROM r2
+        |ORDER BY rank_micro DESC, vec_id LIMIT 50""".stripMargin,
     "ss32_ood_audit" ->
       """WITH ex AS (
         | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,

@@ -1240,6 +1240,23 @@ class ApiSpec extends SparkSpec {
     assert(tiny.agg(max(col("band"))).head.getInt(0) == 2, "band must cap at nPhases-1")
   }
 
+  test("pagerank verb follows the integer recurrence exactly on a planted graph") {
+    import spark.implicits._
+    // edges 1→2, 3→2, 2→1 (outdeg 1 each). Hand-unrolled micro-ranks:
+    // round 1: r(2) = 150000 + 850·2,000,000/1000 = 1,850,000;
+    //          r(1) = 1,000,000; r(3) = 150,000 (no inflow)
+    // round 2: r(1) = 150000 + 850·1,850,000/1000 = 1,722,500;
+    //          r(2) = 150000 + 850·1,150,000/1000 = 1,127,500; r(3) = 150,000
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 1L)).toDF("a", "b")
+    val got = edges.pagerank("a", "b", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1722500L, 2L -> 1127500L, 3L -> 150000L), s"got $got")
+    // one round must match the first unrolled step
+    val one = edges.pagerank("a", "b", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 1000000L, 2L -> 1850000L, 3L -> 150000L), s"got $one")
+  }
+
   test("oodAudit verb matches ss32 and flags a planted far outlier") {
     val viaApi = Tables(spark, sfDir, "embeddings")
       .oodAudit("vec_id", "embedding", "label", qMilli = 950)
