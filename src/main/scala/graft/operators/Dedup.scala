@@ -202,6 +202,40 @@ object Dedup {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DUP-CLUSTER SIZE CENSUS — the planning report behind every
+    // dedup run ("are my duplicates a long tail of pairs or a few
+    // mega-clusters?" decides keep-best strategy, salting needs, and
+    // the storage win): per exact-dup cluster size, the cluster
+    // count, rows covered, redundant copies (size − 1 per cluster),
+    // and each size class's share of total redundancy in integer
+    // milli. Runs over the part-name REGISTRY (dd17's record-linkage
+    // domain — the corpus whose exact-dup clusters are real; the
+    // synthetic documents table is dup-free by construction, which
+    // dd01/px04 already report). Scale shape: one partial-agg'd
+    // digest shuffle → a size-DOMAIN histogram (bounded by the
+    // largest cluster, never corpus rows) → one 1-row redundancy
+    // total broadcast back onto it.
+    "dd21_cluster_census" -> ((s, d) => {
+      val sizes = Tables(s, d, "part")
+        .groupBy(md5(col("p_name")).as("h"))
+        .agg(count(lit(1)).as("sz"))
+      val hist = sizes.groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("sz") * col("n_clusters"))
+        .withColumn("n_redundant", (col("sz") - 1) * col("n_clusters"))
+      val tot = hist.agg(
+        sum(col("n_redundant")).as("total_redundant"),
+        sum(col("n_docs")).as("total_docs"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          col("n_docs"), col("n_redundant"),
+          when(col("total_redundant") > 0,
+            expr("(n_redundant * 1000) DIV total_redundant"))
+            .otherwise(lit(0L)).as("redundancy_share_milli"),
+          expr("(n_docs * 1000) DIV total_docs").as("corpus_share_milli"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // MinHash + LSH banding: docs sharing any band bucket are candidate
     // near-dups; n_sig_match/NumPerms estimates Jaccard.
     "dd02_minhash_lsh" -> ((s, d) => {
@@ -972,6 +1006,23 @@ object Dedup {
   val oracle: Map[String, String] = baseOracle +
     // same components as dd06, different fixpoint — one ground truth
     ("dd09_cc_star" -> baseOracle("dd06_dup_clusters")) +
+    ("dd21_cluster_census" ->
+      """WITH s AS (
+        | SELECT md5(p_name) AS h, CAST(count(*) AS BIGINT) AS sz
+        | FROM part GROUP BY 1),
+        |hist AS (
+        | SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+        |  CAST((sz - 1) * count(*) AS BIGINT) AS n_redundant
+        | FROM s GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(sum(n_redundant) AS BIGINT) AS total_redundant,
+        |  CAST(sum(n_docs) AS BIGINT) AS total_docs FROM hist)
+        |SELECT cluster_size, n_clusters, n_docs, n_redundant,
+        | CASE WHEN total_redundant > 0
+        |      THEN (n_redundant * 1000) // total_redundant ELSE 0 END AS redundancy_share_milli,
+        | (n_docs * 1000) // total_docs AS corpus_share_milli
+        |FROM hist CROSS JOIN tot ORDER BY cluster_size""".stripMargin) +
     ("dd17_fuzzy_match" ->
       """WITH n AS (
         | SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows,

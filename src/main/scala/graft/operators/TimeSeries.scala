@@ -928,6 +928,34 @@ object TimeSeries {
           maxLag = 3)
         .orderBy(col("lag_k"))),
 
+    // TRAFFIC CALENDAR PROFILE — the day-of-week × hour activity
+    // heatmap behind ops dashboards (capacity planning, anomaly
+    // baselines, release-window picks), with each weekday's peak hour
+    // flagged. ENGINE-EXACT calendar arithmetic from epoch seconds
+    // (dow = (days + 4) mod 7 with 0 = Sunday — 1970-01-01 was a
+    // Thursday; hour = seconds-of-day DIV 3600) — never the engines'
+    // dayofweek() functions, whose numbering conventions differ.
+    // Scale shape: ONE corpus scan partial-aggs into the fixed 7×24
+    // domain; shares and peak flags run over that 168-row frame (the
+    // peak window partitions by dow — 7 partitions of ≤24 rows, a
+    // domain frame, never corpus rows).
+    "ts37_dow_profile" -> ((s, d) => {
+      val m = ev(s, d)
+        .groupBy(expr("CAST(((epoch_s DIV 86400) + 4) % 7 AS INT)").as("dow"),
+          expr("CAST((epoch_s % 86400) DIV 3600 AS INT)").as("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy(col("dow"))
+      m.withColumn("dow_total", sum(col("n_events")).over(w))
+        .withColumn("dow_share_milli", expr("(n_events * 1000) DIV dow_total"))
+        .withColumn("is_peak",
+          col("n_events") === max(col("n_events")).over(w) &&
+            col("hour") === min(when(col("n_events") === max(col("n_events")).over(w),
+              col("hour"))).over(w))
+        .select(col("dow"), col("hour"), col("n_events"),
+          col("dow_share_milli"), col("is_peak"))
+        .orderBy(col("dow"), col("hour"))
+    }),
+
     // Sliding 1h range window per key.
     "ts04_sliding" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s")).rangeBetween(-3600, 0)
@@ -1395,6 +1423,22 @@ object TimeSeries {
         |FROM c CROSS JOIN qq
         |WHERE cum * 1000 >= n * q_milli
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts37_dow_profile" ->
+      """WITH b AS (
+        | SELECT CAST((((epoch_us(ts) // 1000000) // 86400 + 4) % 7) AS INT) AS dow,
+        |  CAST(((epoch_us(ts) // 1000000) % 86400) // 3600 AS INT) AS hour
+        | FROM events),
+        |m AS (SELECT dow, hour, CAST(count(*) AS BIGINT) AS n_events
+        | FROM b GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(sum(n_events) OVER (PARTITION BY dow) AS BIGINT) AS dow_total,
+        |  CAST(max(n_events) OVER (PARTITION BY dow) AS BIGINT) AS dow_max
+        | FROM m),
+        |p AS (SELECT *, min(CASE WHEN n_events = dow_max THEN hour END)
+        |   OVER (PARTITION BY dow) AS peak_hour FROM t)
+        |SELECT dow, hour, n_events,
+        | (n_events * 1000) // dow_total AS dow_share_milli,
+        | (n_events = dow_max AND hour = peak_hour) AS is_peak
+        |FROM p ORDER BY dow, hour""".stripMargin,
     "ts36_autocorr" ->
       """WITH daily AS (
         | SELECT (epoch_us(ts) // 1000000) // 86400 AS dn,

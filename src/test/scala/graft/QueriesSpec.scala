@@ -404,6 +404,41 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ts37 profile has one peak per weekday and shares that sum to the flooring bound") {
+    val df = SparkEntry.queries("ts37_dow_profile")(spark, sfDir).cache()
+    try {
+      val peaks = df.filter(col("is_peak")).groupBy(col("dow")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      df.select("dow").distinct().collect().map(_.getInt(0)).foreach { dw =>
+        assert(peaks.get(dw).contains(1L), s"dow $dw must flag exactly one peak hour")
+      }
+      // per dow, shares sum to 1000 minus at most one flooring unit per hour
+      val bad = df.groupBy(col("dow"))
+        .agg(sum(col("dow_share_milli")).as("s"), count(lit(1)).as("k"))
+        .filter(col("s") > 1000 || col("s") <= lit(1000) - col("k")).count()
+      assert(bad == 0)
+      // events tie out to the raw count
+      assert(df.agg(sum(col("n_events"))).head.getLong(0) ==
+        Tables.events(spark, sfDir).count())
+    } finally df.unpersist()
+  }
+
+  test("dd21 census ties out to a direct group-size census of the registry") {
+    val direct = Tables(spark, sfDir, "part").groupBy(col("p_name")).count()
+      .groupBy(col("count").as("sz")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("dd21_cluster_census")(spark, sfDir).collect()
+    assert(rows.map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters")).toMap == direct)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("n_redundant") ==
+        (r.getAs[Long]("cluster_size") - 1) * r.getAs[Long]("n_clusters"))
+    }
+    val redShare = rows.map(_.getAs[Long]("redundancy_share_milli")).sum
+    assert(redShare <= 1000 && redShare > 1000 - rows.length)
+  }
+
   test("mm01 metadata is deterministic and complete") {
     val df = SparkEntry.queries("mm01_binary_meta")(spark, sfDir)
     assert(df.count() == Tables(spark, sfDir, "documents").count())
