@@ -165,6 +165,37 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // SOURCE-INTERLEAVED loader order — the "stream the mixture, not
+    // the sources" manifest (a loader that reads sources sequentially
+    // trains on domain-sorted data; the interleave gives every
+    // training window the corpus mixture): each source's docs rank in
+    // deterministic hash order (GroupPrefix — partition-parallel,
+    // never one task per source), sources index 0..S−1 by name, and
+    // the global position is (rank−1)·S + src_idx — a perfect
+    // round-robin regardless of source sizes (an exhausted source's
+    // slots are simply absent, by convention). Rerun-stable,
+    // engine-exact, and the position column is what the real writer
+    // sorts shards by. Scale shape: one GroupPrefix rank pass; the
+    // source index/count frames are |S|-row broadcasts; no global
+    // sort ever materializes (pos is computed, not ranked).
+    "sp12_interleave_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d)
+        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":sp12"))))
+        .select(col("source"), col("h"), col("doc_id"))
+      val srcs = base.select(col("source")).distinct()
+        .withColumn("src_idx",
+          row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+      val nsrc = srcs.agg(count(lit(1)).as("n_src"))
+      graft.functions.GroupPrefix.groupPrefix(base, "source", Seq("h", "doc_id"))
+        .join(broadcast(srcs), "source")
+        .crossJoin(broadcast(nsrc))
+        .select(
+          ((col("rn").cast("long") - 1) * col("n_src") + col("src_idx")).as("pos"),
+          col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+        .orderBy(col("pos"))
+    }),
+
     // Token-budget mixture: hit a target corpus composition (src0
     // upweighted 5x) under a global token budget. Each source gets
     // budget = weight*TOTAL/sum(weights) (integer division, exact);
@@ -676,6 +707,24 @@ object Pipeline {
         | CAST(max(budget) AS BIGINT) AS budget_tokens
         |FROM c WHERE cum - tok_cnt < budget
         |GROUP BY source ORDER BY source""".stripMargin,
+    "sp12_interleave_mix" ->
+      """WITH b AS (
+        | SELECT source, doc_id,
+        |  md5(CAST(doc_id AS VARCHAR) || ':sp12') AS h
+        | FROM documents),
+        |srcs AS (
+        | SELECT source,
+        |  CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1 AS src_idx
+        | FROM (SELECT DISTINCT source FROM documents)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM srcs),
+        |r AS (
+        | SELECT source, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn
+        | FROM b)
+        |SELECT (r.rn - 1) * n.n_src + s.src_idx AS pos,
+        | r.doc_id, r.source, r.rn
+        |FROM r JOIN srcs s USING (source), n
+        |ORDER BY pos""".stripMargin,
     "sp11_pack_audit" ->
       """WITH t AS (
         | SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR) || ':sp03') AS h,

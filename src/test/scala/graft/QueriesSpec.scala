@@ -439,6 +439,21 @@ class QueriesSpec extends SparkSpec {
     assert(redShare <= 1000 && redShare > 1000 - rows.length)
   }
 
+  test("sp12 interleave is a bijection whose every S-window holds at most one doc per source") {
+    val df = SparkEntry.queries("sp12_interleave_mix")(spark, sfDir).cache()
+    try {
+      val n = Tables(spark, sfDir, "documents").count()
+      assert(df.count() == n && df.select("pos").distinct().count() == n,
+        "pos must be unique and cover every doc")
+      // within any aligned window of S consecutive slots, sources never repeat:
+      // pos DIV S groups a round — each round has at most one doc per source
+      val nSrc = df.select("source").distinct().count()
+      val bad = df.groupBy(expr(s"pos DIV $nSrc").as("round_"), col("source"))
+        .count().filter(col("count") > 1).count()
+      assert(bad == 0, "a round-robin round repeated a source")
+    } finally df.unpersist()
+  }
+
   test("mm01 metadata is deterministic and complete") {
     val df = SparkEntry.queries("mm01_binary_meta")(spark, sfDir)
     assert(df.count() == Tables(spark, sfDir, "documents").count())
