@@ -928,6 +928,31 @@ object TimeSeries {
           maxLag = 3)
         .orderBy(col("lag_k"))),
 
+    // WEEK-OVER-WEEK GROWTH per event type — the trend column on
+    // every product dashboard ("purchases +12% WoW"): per (type,
+    // epoch-week) counts, each week joined to its predecessor, growth
+    // = (n − n_prev)·1000 DIV n_prev in integer milli (negative
+    // growth legitimate — truncating division verified identical in
+    // both engines). Weeks index as epoch_s DIV 604800 (epoch weeks,
+    // Thursday-start — a fixed integer convention both engines
+    // compute identically; calendar alignment is ts31's
+    // date_trunc('week') territory). Scale shape: ONE corpus scan
+    // partial-aggs into the (type × week) domain; the predecessor
+    // join and growth arithmetic run on that calendar-sized frame.
+    "ts38_week_over_week" -> ((s, d) => {
+      val wk = ev(s, d)
+        .groupBy(col("event_type"), expr("epoch_s DIV 604800").as("wk"))
+        .agg(count(lit(1)).as("n_events"))
+      wk.as("c")
+        .join(wk.as("p"),
+          col("p.event_type") === col("c.event_type") &&
+            col("p.wk") === col("c.wk") - 1)
+        .select(col("c.event_type").as("event_type"), col("c.wk").as("wk"),
+          col("c.n_events").as("n_events"), col("p.n_events").as("n_prev"),
+          expr("((c.n_events - p.n_events) * 1000) DIV p.n_events").as("growth_milli"))
+        .orderBy(col("event_type"), col("wk"))
+    }),
+
     // TRAFFIC CALENDAR PROFILE — the day-of-week × hour activity
     // heatmap behind ops dashboards (capacity planning, anomaly
     // baselines, release-window picks), with each weekday's peak hour
@@ -1423,6 +1448,15 @@ object TimeSeries {
         |FROM c CROSS JOIN qq
         |WHERE cum * 1000 >= n * q_milli
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ts38_week_over_week" ->
+      """WITH w AS (
+        | SELECT event_type, (epoch_us(ts) // 1000000) // 604800 AS wk,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        | FROM events GROUP BY 1, 2)
+        |SELECT c.event_type, c.wk, c.n_events, p.n_events AS n_prev,
+        | CAST(((c.n_events - p.n_events) * 1000) // p.n_events AS BIGINT) AS growth_milli
+        |FROM w c JOIN w p ON p.event_type = c.event_type AND p.wk = c.wk - 1
+        |ORDER BY c.event_type, c.wk""".stripMargin,
     "ts37_dow_profile" ->
       """WITH b AS (
         | SELECT CAST((((epoch_us(ts) // 1000000) // 86400 + 4) % 7) AS INT) AS dow,

@@ -454,6 +454,24 @@ class QueriesSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("ts38 growth recomputes from the week counts it reports") {
+    val rows = SparkEntry.queries("ts38_week_over_week")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, p, g) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_prev"),
+        r.getAs[Long]("growth_milli"))
+      assert(g == (n - p) * 1000 / p, s"growth mismatch in $r")
+    }
+    // consecutive rows per type chain: this week's n is next row's n_prev
+    rows.groupBy(_.getAs[String]("event_type")).values.foreach { rs =>
+      rs.sortBy(_.getAs[Long]("wk")).toSeq.sliding(2).foreach {
+        case Seq(a, b) if b.getAs[Long]("wk") == a.getAs[Long]("wk") + 1 =>
+          assert(b.getAs[Long]("n_prev") == a.getAs[Long]("n_events"))
+        case _ => ()
+      }
+    }
+  }
+
   test("mm01 metadata is deterministic and complete") {
     val df = SparkEntry.queries("mm01_binary_meta")(spark, sfDir)
     assert(df.count() == Tables(spark, sfDir, "documents").count())
