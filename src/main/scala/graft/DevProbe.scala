@@ -83,7 +83,11 @@ object DevProbe {
         "ts27_rfm",
         "ts28_changepoint", "ts29_assoc", "ss25_mrl_prefix",
         "ss26_cell_balance", "dd17_fuzzy_match", "mm05_format_sniff",
-        "ts30_attribution", "ss27_range_search", "tx27_quality_train")
+        "ts30_attribution", "ss27_range_search", "tx27_quality_train",
+        "mm07_video_meta", "ts36_autocorr", "ts37_dow_profile",
+        "ts38_week_over_week", "sp10_curriculum", "sp11_pack_audit",
+        "sp12_interleave_mix", "px06_dataset_card", "ss32_ood_audit",
+        "ss33_pagerank", "tx30_vocab_coverage", "dd21_cluster_census")
       // optional third arg: comma-separated subset of the list above
       val only = args.lift(2).map(_.split(",").toSet)
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")

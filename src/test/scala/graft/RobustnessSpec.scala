@@ -28,6 +28,46 @@ class RobustnessSpec extends SparkSpec {
         Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}") }
     }
 
+  test("media decoders survive fuzzed bytes (never throw) and always parse their own synthesis") {
+    import graft.operators.Multimodal
+    // deterministic fuzz: 500 corrupt payloads per class — random
+    // bytes, truncations of valid payloads, valid magic + garbage.
+    // Decoders must route out (None/empty), never throw.
+    val rnd = new scala.util.Random(42)
+    val texts = (0 until 50).map(i => s"doc $i " + rnd.alphanumeric.take(rnd.nextInt(80)).mkString)
+    val valid = texts.flatMap(t => Seq(
+      Multimodal.mkMedia(t), Multimodal.mkGif(t), Multimodal.mkWav(t), Multimodal.mkMp4(t)))
+    val fuzz: Seq[Array[Byte]] =
+      (0 until 100).map(_ => Array.fill(rnd.nextInt(200))(rnd.nextInt.toByte)) ++
+      valid.map(p => p.take(rnd.nextInt(p.length))) ++
+      valid.map { p =>
+        val c = p.clone
+        (0 until 1 + rnd.nextInt(8)).foreach(_ => c(rnd.nextInt(c.length)) = rnd.nextInt.toByte)
+        c
+      }
+    fuzz.zipWithIndex.foreach { case (p, i) =>
+      val in = Multimodal.MediaIn(i.toLong, p)
+      Multimodal.decodeMedia(in)       // Option — must not throw
+      Multimodal.decodeWav(in)
+      Multimodal.decodeMp4(in)
+      Multimodal.sampleFrames(in).toList
+    }
+    // every clean synthesized payload must parse back to its formula
+    texts.foreach { t =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def nib(c: Char) = "0123456789abcdef".indexOf(c)
+      val img = Multimodal.decodeMedia(Multimodal.MediaIn(1L, Multimodal.mkMedia(t)))
+      assert(img.exists(m => m.width == 64 + 16 * nib(h(1)) && m.height == 64 + 16 * nib(h(2))))
+      val mp4 = Multimodal.decodeMp4(Multimodal.MediaIn(1L, Multimodal.mkMp4(t)))
+      assert(mp4.exists(v => v.width == 16 * (20 + nib(h(11))) && v.n_tracks == 1))
+      val wav = Multimodal.decodeWav(Multimodal.MediaIn(1L, Multimodal.mkWav(t)))
+      assert(wav.exists(_.data_bytes == t.getBytes("UTF-8").length))
+      val gif = Multimodal.sampleFrames(Multimodal.MediaIn(1L, Multimodal.mkGif(t))).size
+      assert(gif == 2 + nib(h(3)) % 4)
+    }
+  }
+
   test("all queries complete on empty tables (schema preserved, zero rows)") {
     val dir = Files.createTempDirectory("graft_sf_empty").toString
     // events.ts is TIMESTAMP(NANOS) — readable only as raw int64
