@@ -322,16 +322,6 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
-    // Epoch ordering — the training-loader manifest sp06 stops short
-    // of: every epoch re-shuffles the corpus into a DIFFERENT
-    // deterministic pseudo-random order (md5 keyed by epoch), sharded
-    // so no global sort ever happens. Per (epoch, shard): position =
-    // hash-order rank WITHIN the shard — the window partitions by
-    // (epoch, shard), so task input is bounded by shard size, never
-    // the corpus (GroupPrefix discipline; at 100 TB shard count grows
-    // with the corpus and each window partition stays ~file-sized).
-    // Rerun-stable, epoch-distinct, source-mixed — exactly what an
-    // LLM data loader needs from its epoch manifests; the real writer
     // DATASET CARD (per-source): the distribution summary a corpus
     // release publishes next to the data — doc/token counts, each
     // source's token share of the corpus, EXACT p50/p90 length
@@ -339,15 +329,18 @@ object Pipeline {
     // domain — never a percentile over corpus rows), language
     // diversity (count + dominant language + its share). Complements
     // px04 (which reports quality GATES); this reports distribution
-    // SHAPE. Scale shape: two corpus-scan partial-aggs (the (source,
-    // n_chars) histogram and the (source, lang) mix — both
-    // domain-bounded outputs); every window/join after runs on those
-    // domain-sized frames; the corpus token total is a 1-row
-    // broadcast. All shares are integer milli (flooring DIV).
+    // SHAPE. Scale shape: the tokenized scan materializes ONCE (lazy
+    // localCheckpoint — the totals agg, the (source, n_chars)
+    // histogram, and the (source, lang) mix all read it; blocks
+    // release on GC), each rollup partial-aggs into its bounded
+    // domain, every window/join after runs on those domain-sized
+    // frames, and the corpus token total is a 1-row broadcast. All
+    // shares are integer milli (flooring DIV).
     "px06_dataset_card" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val base = docs(s, d).select(col("source"), col("lang"), col("n_chars"),
-        size(split(col("text"), " ")).cast("long").as("tok_cnt"))
+          size(split(col("text"), " ")).cast("long").as("tok_cnt"))
+        .localCheckpoint(false)
       val agg = base.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("n_tokens"))
       val tot = agg.agg(sum(col("n_tokens")).as("tot_tokens"))

@@ -1468,9 +1468,13 @@ object Similarity {
     * join — edge-linear, lineage truncated per round (the dd06 loop
     * rule). */
   private[graft] def pagerankOf(edges: DataFrame, rounds: Int): DataFrame = {
-    val out = edges.groupBy(col("vec_id")).agg(count(lit(1)).as("outdeg"))
+    // checkpoint the INPUT once: `out` and `ed` both read it, and for
+    // ss33 the edges plan is the whole blocked-knn graph build — the
+    // query's dominant cost must not execute twice
+    val es = edges.localCheckpoint(false)
+    val out = es.groupBy(col("vec_id")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(false)
-    val ed = edges.join(out, "vec_id")
+    val ed = es.join(out, "vec_id")
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"), col("outdeg"))
       .localCheckpoint(false)
     val nodes = out.select(col("vec_id"))

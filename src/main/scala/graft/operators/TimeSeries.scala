@@ -165,13 +165,29 @@ object TimeSeries {
     * y_t = n·x_t − S: numerator A_k = n²·P_k − n·S·Q_k + cnt_k·S² and
     * denominator D = n²·Σx² − n·S² are pure longs, and the single
     * division truncates toward zero identically in both engines
-    * (negative numerators — anti-correlation — verified). Long-domain
-    * bounds guarded in-plan (the ts33 assert_true discipline). Every
-    * stage after the caller's series agg runs on the series-index
-    * domain (|dn|×maxLag rows, broadcast joins — zero corpus-keyed
-    * shuffles). */
-  private[graft] def autocorrOf(counts: DataFrame, maxLag: Int): DataFrame = {
-    val s = counts.sparkSession
+    * (negative numerators — anti-correlation — verified). Missing
+    * indices DENSIFY to x=0 (the equally-spaced contract is enforced
+    * here, not assumed of the caller — a groupBy-built day series
+    * omits zero days, which would erase the periodicity signal they
+    * carry). Overflow is loud end to end: ANSI mode (Spark 4
+    * default, verified in-session) throws on long wrap inside the
+    * moment arithmetic itself, and the in-plan assert_true guards
+    * the ×1000 headroom of the final division (the ts33 discipline).
+    * Every stage after the caller's series agg runs on the
+    * series-index domain (|dn|×maxLag rows, broadcast joins — zero
+    * corpus-keyed shuffles). */
+  private[graft] def autocorrOf(counts0: DataFrame, maxLag: Int): DataFrame = {
+    val s = counts0.sparkSession
+    // DENSIFY the index first: a groupBy-built series omits zero
+    // days entirely, which would exclude the troughs from the
+    // mean/variance and erase the periodicity signal zero days carry
+    // (weekday-only traffic would lose every Sat→Sun pair). The range
+    // frame is index-domain-sized — generate, left-join, zero-fill.
+    val counts = counts0
+      .agg(min(col("dn")).as("lo"), max(col("dn")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("dn"))
+      .join(counts0, Seq("dn"), "left")
+      .select(col("dn"), coalesce(col("x"), lit(0L)).as("x"))
     val g = counts.agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"),
@@ -1474,10 +1490,15 @@ object TimeSeries {
         | (n_events = dow_max AND hour = peak_hour) AS is_peak
         |FROM p ORDER BY dow, hour""".stripMargin,
     "ts36_autocorr" ->
-      """WITH daily AS (
+      """WITH daily0 AS (
         | SELECT (epoch_us(ts) // 1000000) // 86400 AS dn,
         |  CAST(count(*) AS BIGINT) AS x
         | FROM events GROUP BY 1),
+        |rng AS (SELECT unnest(generate_series(
+        |  (SELECT min(dn) FROM daily0), (SELECT max(dn) FROM daily0))) AS dn),
+        |daily AS (
+        | SELECT r.dn, CAST(COALESCE(d.x, 0) AS BIGINT) AS x
+        | FROM rng r LEFT JOIN daily0 d USING (dn)),
         |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
         |  CAST(sum(x * x) AS BIGINT) AS sxx FROM daily),
         |l AS (SELECT CAST(unnest([1, 2, 3]) AS INT) AS lag_k),

@@ -1628,11 +1628,14 @@ object TopicStream {
     val fc = cents.persist()
     val ft = thresholds.persist()
     vecs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
-      val batch = b.toDF()
+      // latest-per-id first: a replayed/re-ingested vec_id appearing k
+      // times in one micro-batch would otherwise fan the score⋈time
+      // join out k² — one verdict per id per batch, newest embedding wins
+      val latest = latestPerKey(b.toDF(), "vec_id", "ts", "embedding")
       store.append(topic,
         graft.operators.Similarity
-          .oodScore(batch.select(col("vec_id"), col("embedding")), fc, ft)
-          .join(batch.select(col("vec_id"), col("ts").as("time")), "vec_id")
+          .oodScore(latest.select(col("vec_id"), col("embedding")), fc, ft)
+          .join(latest.select(col("vec_id"), col("ts").as("time")), "vec_id")
           .select(col("vec_id"), col("time"), col("cell"), col("qd"),
             col("p95_qd"), col("is_ood")))
     }

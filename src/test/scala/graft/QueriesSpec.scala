@@ -299,10 +299,13 @@ class QueriesSpec extends SparkSpec {
     // recompute r_k = sum((x_t - S/n)(x_{t+k} - S/n)) / sum((x_t - S/n)^2)
     // as exact rationals (BigInt, scaled by n^2) from the same daily
     // series, then truncate to milli — must equal the query bit-for-bit
-    val daily = Tables.events(spark, sfDir)
+    val observed = Tables.events(spark, sfDir)
       .select(expr("CAST(ts AS LONG) DIV 86400").as("dn"))
       .groupBy("dn").agg(count(lit(1)).as("x"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // densify: the kernel zero-fills missing days (the equally-spaced contract)
+    val daily = (observed.keys.min to observed.keys.max)
+      .map(dn => dn -> observed.getOrElse(dn, 0L)).toMap
     val n = BigInt(daily.size)
     val s = BigInt(daily.values.sum)
     val sxx = daily.values.map(x => BigInt(x) * x).sum

@@ -1379,9 +1379,17 @@ class StreamingSpec extends SparkSpec {
         StreamVec(1001, ts("2024-01-01 00:01:00"), Seq(9f, 9f)))    // far outlier, nearest cell 0
       q.processAllAvailable()
       input.addData(
-        StreamVec(1002, ts("2024-01-01 00:02:00"), Seq(-1f, -1f)))  // in-distribution, cell 1
+        StreamVec(1002, ts("2024-01-01 00:02:00"), Seq(-1f, -1f)),  // in-distribution, cell 1
+        // the same id twice IN ONE BATCH (replay/re-ingest): exactly one
+        // verdict may land — the newest embedding wins, no k² fan-out
+        StreamVec(1003, ts("2024-01-01 00:02:00"), Seq(9f, 9f)),
+        StreamVec(1003, ts("2024-01-01 00:02:30"), Seq(1f, 1f)))
       q.processAllAvailable()
-      val got = store.read("ood")
+      assert(store.read("ood").filter(col("vec_id") === 1003L).count() == 1,
+        "duplicate in-batch ids must collapse to one latest-wins verdict")
+      assert(store.read("ood").filter(col("vec_id") === 1003L && col("is_ood")).count() == 0,
+        "the newer in-distribution embedding must win for 1003")
+      val got = store.read("ood").filter(col("vec_id") =!= 1003L)
         .select("vec_id", "cell", "is_ood")
         .as[(Long, Int, Boolean)].collect().toSet
       assert(got == Set((1000L, 0, false), (1001L, 0, true), (1002L, 1, false)),
