@@ -213,6 +213,22 @@ object TimeSeries {
         expr("(1000 * num) DIV den").as("autocorr_milli"))
   }
 
+  /** Week-over-week growth kernel shared by ts38 and the live twin
+    * ([[graft.streaming.TopicStream.wowStream]]/`currentWow`): takes
+    * the (event_type, wk, n_events) week-count frame — ADDITIVE, so
+    * the stream maintains it as summed count partials and reads this
+    * kernel over the history; stream and batch can never disagree.
+    * Growth = (n − n_prev)·1000 DIV n_prev (negative legitimate,
+    * truncation identical in both engines). */
+  private[graft] def wowOf(weekCounts: DataFrame): DataFrame =
+    weekCounts.as("c")
+      .join(weekCounts.as("p"),
+        col("p.event_type") === col("c.event_type") &&
+          col("p.wk") === col("c.wk") - 1)
+      .select(col("c.event_type").as("event_type"), col("c.wk").as("wk"),
+        col("c.n_events").as("n_events"), col("p.n_events").as("n_prev"),
+        expr("((c.n_events - p.n_events) * 1000) DIV p.n_events").as("growth_milli"))
+
   private[graft] def histQuantilesOf(hist: DataFrame,
                                      qsMilli: Seq[Int]): DataFrame = {
     val w = Window.partitionBy(col("key")).orderBy(col("cents"))
@@ -955,19 +971,11 @@ object TimeSeries {
     // date_trunc('week') territory). Scale shape: ONE corpus scan
     // partial-aggs into the (type × week) domain; the predecessor
     // join and growth arithmetic run on that calendar-sized frame.
-    "ts38_week_over_week" -> ((s, d) => {
-      val wk = ev(s, d)
-        .groupBy(col("event_type"), expr("epoch_s DIV 604800").as("wk"))
-        .agg(count(lit(1)).as("n_events"))
-      wk.as("c")
-        .join(wk.as("p"),
-          col("p.event_type") === col("c.event_type") &&
-            col("p.wk") === col("c.wk") - 1)
-        .select(col("c.event_type").as("event_type"), col("c.wk").as("wk"),
-          col("c.n_events").as("n_events"), col("p.n_events").as("n_prev"),
-          expr("((c.n_events - p.n_events) * 1000) DIV p.n_events").as("growth_milli"))
-        .orderBy(col("event_type"), col("wk"))
-    }),
+    "ts38_week_over_week" -> ((s, d) =>
+      wowOf(ev(s, d)
+          .groupBy(col("event_type"), expr("epoch_s DIV 604800").as("wk"))
+          .agg(count(lit(1)).as("n_events")))
+        .orderBy(col("event_type"), col("wk"))),
 
     // TRAFFIC CALENDAR PROFILE — the day-of-week × hour activity
     // heatmap behind ops dashboards (capacity planning, anomaly

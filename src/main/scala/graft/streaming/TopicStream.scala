@@ -524,6 +524,41 @@ object TopicStream {
         .agg(sum(col("cnt")).as("cnt")),
       qsMilli)
 
+  /** Streaming WEEK-OVER-WEEK counts, write side — ts38's live twin
+    * in [[histStream]]'s additive-partials discipline: each
+    * micro-batch upserts its per-(type, epoch-week) count partial
+    * keyed `type#wk#batch` (counts merge by SUM, so the topic is
+    * bounded by type × week-domain × batches and replays rewrite
+    * identical partials), and [[currentWow]] reads the SAME
+    * [[graft.operators.TimeSeries.wowOf]] kernel over the summed
+    * history — stream and batch can never disagree. */
+  def wowStream(events: DataFrame, store: graft.sources.TopicStore,
+                topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    events.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      if (id == 0L) store.truncate(topic)
+      val seq = base + 1 + id
+      val part = b.toDF()
+        .groupBy(col("event_type"), expr("CAST(ts AS LONG) DIV 604800").as("wk"))
+        .agg(count(lit(1)).as("cnt"), max(col("ts")).as("time"))
+        .select(concat(col("event_type"), lit("#"), col("wk"),
+          lit("#"), lit(id)).as("hkey"),
+          col("event_type"), col("wk"), col("cnt"), col("time"))
+      if (!part.isEmpty) store.upsert(topic, part, "time", seq = Some(seq))
+    }
+  }
+
+  /** The CURRENT week-over-week report of a [[wowStream]] topic —
+    * ts38's exact output over the summed partial history, tail shared
+    * with the batch kernel verbatim. */
+  def currentWow(store: graft.sources.TopicStore, topic: String): DataFrame =
+    graft.operators.TimeSeries.wowOf(
+        store.readMerged(topic, "hkey")
+          .groupBy(col("event_type"), col("wk"))
+          .agg(sum(col("cnt")).as("n_events")))
+      .orderBy(col("event_type"), col("wk"))
+
   /** Streaming CONVERSION-LAG survival, write side — ts34's start
     * facts in the topPathsStream CONTENT-KEY discipline: each signup
     * lands event-grain keyed `user#ts_us#event_id`, and the per-user

@@ -294,6 +294,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming WoW: additive week-count partials fold to the batch kernel across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_swow").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.wowStream(input.toDF(), store, "wow")
+      .option("checkpointLocation", s"$root/_chk").start()
+    // three consecutive epoch-weeks; week 2's count SPLITS across the
+    // two micro-batches (2 + 1 fold to 3)
+    def t(day: Int) = ts(f"2024-01-$day%02d 12:00:00")
+    val b1 = Seq(
+      TopicEvent(1, t(1), 1L, "view", 1.0), TopicEvent(2, t(2), 2L, "view", 1.0),
+      TopicEvent(3, t(8), 3L, "view", 1.0), TopicEvent(4, t(9), 4L, "view", 1.0))
+    val b2 = Seq(
+      TopicEvent(5, t(10), 5L, "view", 1.0),
+      TopicEvent(6, t(15), 6L, "view", 1.0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val stream = TopicStream.currentWow(store, "wow")
+        .select("event_type", "wk", "n_events", "n_prev", "growth_milli")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val batch = graft.operators.TimeSeries.wowOf((b1 ++ b2).toDF()
+          .groupBy(col("event_type"), expr("CAST(ts AS LONG) DIV 604800").as("wk"))
+          .agg(count(lit(1)).as("n_events")))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(stream == batch && stream.nonEmpty, s"stream $stream != batch $batch")
+      // hand-check: weeks hold 2/3/1 views → growth 500 then -666
+      val g = stream.toSeq.sortBy(_._2).map(r => (r._3, r._4, r._5))
+      assert(g == Seq((3L, 2L, 500L), (1L, 3L, -666L)), s"got $g")
+    } finally q.stop()
+  }
+
   test("streaming gini: additive count partials fold to batch ts33 across batches") {
     import spark.implicits._
     import graft.api._
