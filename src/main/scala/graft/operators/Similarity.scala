@@ -159,6 +159,63 @@ object Similarity {
       oodAuditOf(emb(s, d), qMilli = 950)
         .orderBy(col("cell"), col("qd").desc, col("vec_id"))),
 
+    // IVF NPROBE TUNING CURVE — ss17's IVF-side twin (that one audits
+    // LSH table counts, this audits the recall-vs-cost knob every IVF
+    // deployment tunes): recall@10 and candidate volume at nprobe ∈
+    // {1, 2, 4} against the exact top-10 truth, per query. Each
+    // vector's cells sort by distance (array_sort over (dist2, cell)
+    // structs — the broadcast-argmin fold's total order), a candidate
+    // matches at probe depth p iff its OWN cell ranks ≤ p in the
+    // QUERY's probe order; a true top-10 member in the candidate set
+    // is always in the candidate top-10 (cosine order is global), so
+    // hits = conditional counts over the truth frame — no per-config
+    // rerank join. Scale shape: ss17's bounded-audit discipline (the
+    // query sample is id-capped, the Q×N audit frame persists once —
+    // at 100 TB each config's candidates come from the cell-partitioned
+    // index instead; the audit frame is the honest form for measuring
+    // recall, which needs the full truth anyway).
+    "ss34_nprobe_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val cents = centroidArray(e)
+      val withCell = e.crossJoin(broadcast(cents))
+        .withColumn("scells", array_sort(cellStructsOf(col("embedding"))))
+        .select(col("vec_id"), col("embedding"),
+          col("scells").getItem(0).getField("cell").as("cell"),
+          transform(slice(col("scells"), 1, 4), c => c.getField("cell")).as("p4"))
+      val qs = withCell.filter(col("vec_id") % 50 === 7 && col("vec_id") < 5000)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("p4").as("qp4"))
+      val all = withCell.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("cos_sim"),
+          (col("cell") === col("qp4").getItem(0)).as("m1"),
+          array_contains(slice(col("qp4"), 1, 2), col("cell")).as("m2"),
+          array_contains(col("qp4"), col("cell")).as("m4"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      val truth = all.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      val cands = all.groupBy(col("q_id")).agg(
+        sum(when(col("m1"), 1L).otherwise(0L)).as("n_cand1"),
+        sum(when(col("m2"), 1L).otherwise(0L)).as("n_cand2"),
+        sum(when(col("m4"), 1L).otherwise(0L)).as("n_cand4"))
+      truth.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("m1"), 1L).otherwise(0L)).as("n_hit1"),
+          sum(when(col("m2"), 1L).otherwise(0L)).as("n_hit2"),
+          sum(when(col("m4"), 1L).otherwise(0L)).as("n_hit4"))
+        .join(cands, "q_id")
+        .select(col("q_id"), col("n_true"),
+          col("n_hit1"), col("n_cand1"),
+          expr("(n_hit1 * 1000) DIV n_true").as("recall1_milli"),
+          col("n_hit2"), col("n_cand2"),
+          expr("(n_hit2 * 1000) DIV n_true").as("recall2_milli"),
+          col("n_hit4"), col("n_cand4"),
+          expr("(n_hit4 * 1000) DIV n_true").as("recall4_milli"))
+        .orderBy(col("q_id"))
+    }),
+
     // PAGERANK over the blocked k-NN graph (Page et al. 1999 in its
     // iteration-bounded integer form — the hub/centrality score for
     // embedding neighborhoods: high-rank vectors are the corpus's
@@ -2020,6 +2077,60 @@ object Similarity {
         |SELECT vec_id, cell, CAST(rank AS INT) AS rank, nbr_id, cos_sim FROM ranked
         |WHERE rank <= 3
         |ORDER BY vec_id, rank""".stripMargin,
+    // the candidate's own argmin cell joined against the QUERY's
+    // distance-ranked cell list: match at depth p iff that rank ≤ p
+    "ss34_nprobe_curve" ->
+      """WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |dist AS (
+        | SELECT e.vec_id, c.c_label,
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) AS d2
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |rk AS (SELECT vec_id, c_label,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn FROM dist),
+        |c1 AS (SELECT vec_id, c_label AS cell FROM rk WHERE rn = 1),
+        |qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |       WHERE vec_id % 50 = 7 AND vec_id < 5000),
+        |allj AS (
+        | SELECT q.q_id, e.vec_id,
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim,
+        |  qr.rn AS qrn
+        | FROM embeddings e
+        | JOIN c1 ON c1.vec_id = e.vec_id
+        | CROSS JOIN qs q
+        | JOIN rk qr ON qr.vec_id = q.q_id AND qr.c_label = c1.cell
+        | WHERE e.vec_id <> q.q_id),
+        |t10 AS (
+        | SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |   ORDER BY cos_sim DESC, vec_id) AS trk FROM allj) WHERE trk <= 10),
+        |h AS (
+        | SELECT q_id, CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN qrn <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
+        |  CAST(sum(CASE WHEN qrn <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit2,
+        |  CAST(sum(CASE WHEN qrn <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit4
+        | FROM t10 GROUP BY 1),
+        |cd AS (
+        | SELECT q_id,
+        |  CAST(sum(CASE WHEN qrn <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cand1,
+        |  CAST(sum(CASE WHEN qrn <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cand2,
+        |  CAST(sum(CASE WHEN qrn <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_cand4
+        | FROM allj GROUP BY 1)
+        |SELECT h.q_id, h.n_true,
+        | h.n_hit1, cd.n_cand1, (h.n_hit1 * 1000) // h.n_true AS recall1_milli,
+        | h.n_hit2, cd.n_cand2, (h.n_hit2 * 1000) // h.n_true AS recall2_milli,
+        | h.n_hit4, cd.n_cand4, (h.n_hit4 * 1000) // h.n_true AS recall4_milli
+        |FROM h JOIN cd USING (q_id) ORDER BY q_id""".stripMargin,
     // two unrolled integer-pagerank rounds over the SAME graph CTE
     // (all operands positive, so DuckDB's // floors like Spark's DIV)
     "ss33_pagerank" ->

@@ -475,6 +475,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ss34 nprobe curve is monotone in probe depth and bounded by the truth") {
+    val rows = SparkEntry.queries("ss34_nprobe_curve")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hits = Seq("n_hit1", "n_hit2", "n_hit4").map(r.getAs[Long])
+      val cands = Seq("n_cand1", "n_cand2", "n_cand4").map(r.getAs[Long])
+      val recalls = Seq("recall1_milli", "recall2_milli", "recall4_milli").map(r.getAs[Long])
+      // probing more cells can only add candidates and hits
+      assert(hits == hits.sorted && cands == cands.sorted && recalls == recalls.sorted,
+        s"curve must be monotone in nprobe: $r")
+      assert(hits.last <= r.getAs[Long]("n_true") && r.getAs[Long]("n_true") <= 10)
+      assert(recalls.last <= 1000)
+      // every hit needs a candidate to come from
+      hits.zip(cands).foreach { case (h, c) => assert(h <= c) }
+    }
+  }
+
   test("mm01 metadata is deterministic and complete") {
     val df = SparkEntry.queries("mm01_binary_meta")(spark, sfDir)
     assert(df.count() == Tables(spark, sfDir, "documents").count())
