@@ -395,6 +395,36 @@ object Curation {
     // the same: the distinct-line table is the only wide intermediate
     // and the corpus never self-joins. The rewrite digest makes the
     // edit itself oracle-checkable, not just the counts.
+    // BOILERPLATE DETECTION — the corpus-level twin of tx16's line
+    // dedup (C4's other line rule: a line appearing across MANY
+    // DOCUMENTS is template chrome — nav bars, footers, cookie
+    // banners — and gets dropped from every doc, not deduped to one
+    // copy): per 10-word line (tx16's exact chunker), the distinct-
+    // document frequency; boilerplate = df ≥ max(3, 1% of the corpus).
+    // Output is the boilerplate REGISTRY (line, df, instances, df
+    // milli) a scrubbing pass broadcasts back against the corpus.
+    // Scale shape: one line-keyed shuffle (the df agg partial-combines;
+    // countDistinct's expand doubles the rollup rows, still
+    // line-domain); the doc total is a 1-row broadcast; the registry
+    // output is tiny by definition (lines crossing the df threshold).
+    "tx31_boilerplate" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val lines = docs(s, d)
+        .select(col("doc_id"), words.as("_ws"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), floor((size(col("_ws")) - 1) / 10).cast("int")),
+            c => array_join(slice(col("_ws"), c * 10 + 1, lit(10)), " ")).as("ls"))
+        .select(col("doc_id"), explode(coalesce(col("ls"), array())).as("line"))
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      lines.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("n_inst"))
+        .crossJoin(broadcast(n))
+        .filter(col("df") >= greatest(lit(3L), expr("(n_docs + 99) DIV 100")))
+        .select(col("line"), col("df"), col("n_inst"),
+          expr("(df * 1000) DIV n_docs").as("df_milli"))
+        .orderBy(col("df").desc, col("line"))
+    }),
+
     "tx16_line_dedup" -> ((s, d) => {
       val words = split(col("text"), " ")
       val lines = docs(s, d)
@@ -1129,6 +1159,19 @@ object Curation {
         |SELECT term, cnt, n,
         | TRUE AS in_sketch, TRUE AS count_within_bound
         |FROM ex, tot WHERE cnt * 65 > n ORDER BY term""".stripMargin,
+    "tx31_boilerplate" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |l AS (
+        | SELECT doc_id,
+        |  array_to_string(list_slice(words, i * 10 + 1, i * 10 + 10), ' ') AS line
+        | FROM w, unnest(generate_series(0, (len(words) - 1) // 10)) AS t(i)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |g AS (SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  CAST(count(*) AS BIGINT) AS n_inst FROM l GROUP BY 1)
+        |SELECT line, df, n_inst, (df * 1000) // n_docs AS df_milli
+        |FROM g, n WHERE df >= GREATEST(3, (n_docs + 99) // 100)
+        |ORDER BY df DESC, line""".stripMargin,
     "tx16_line_dedup" ->
       """WITH w AS (
         | SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -492,6 +492,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("tx31 boilerplate registry ties out to tx16's line universe") {
+    import graft.operators.Curation
+    val rows = SparkEntry.queries("tx31_boilerplate")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    val thr = math.max(3L, (nDocs + 99) / 100)
+    // recompute each flagged line's df directly from the corpus chunker
+    val lines = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), floor((size(col("ws")) - 1) / 10).cast("int")),
+          c => array_join(slice(col("ws"), c * 10 + 1, lit(10)), " "))).as("line"))
+      .groupBy("line").agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (line, df) = (r.getAs[String]("line"), r.getAs[Long]("df"))
+      assert(df >= thr && lines(line) == df, s"df mismatch for flagged line: $r")
+      assert(r.getAs[Long]("n_inst") >= df)
+      assert(r.getAs[Long]("df_milli") == df * 1000 / nDocs)
+    }
+    // completeness: nothing above threshold is missing from the registry
+    assert(lines.count(_._2 >= thr) == rows.length)
+  }
+
   test("mm01 metadata is deterministic and complete") {
     val df = SparkEntry.queries("mm01_binary_meta")(spark, sfDir)
     assert(df.count() == Tables(spark, sfDir, "documents").count())
