@@ -314,6 +314,39 @@ object DevProbe {
       }
       blowEvents(spark, src, out, mult)
       println(s"scalegen done: $out x$mult")
+    } else if (args(0) == "--scalegen-part") {
+      // Scaled NAME REGISTRY for the dd17/fuzzyPairs saturation
+      // measurement (args: --scalegen-part <srcDir> <outDir> <mult>).
+      // Unlike documents (where --scalegen suffixes every word so
+      // near-dup density stays constant), a fuzzy-match registry must
+      // grow the REALISTIC way: new names drawn from the SAME
+      // vocabulary (TPC-H p_name = 5 words from a 92-word list; real
+      // registries grow sublinearly in vocabulary by Heaps' law) — the
+      // char-gram key domain stays alphabet-bounded while the name
+      // count grows, which is exactly the block-saturation regime the
+      // fuzzyGramWidthFor contract exists for. Suffix-style
+      // decorrelation would grow the vocab 64x and dodge the knee by
+      // construction. Replicas keep rep 0 verbatim and synthesize
+      // rep>0 names as 5 hash-picked words from the 1x vocabulary
+      // (hash(partkey, rep, position) — deterministic, decorrelated).
+      import org.apache.spark.sql.functions._
+      val (src, out, mult) = (args(1), args(2), args(3).toInt)
+      val part = spark.read.parquet(s"$src/part.parquet")
+      val vocab = part.select(explode(split(col("p_name"), " ")).as("w"))
+        .distinct().orderBy(col("w")).collect().map(_.getString(0))
+      val vlit = array(vocab.map(lit): _*)
+      val rep = explode(sequence(lit(0), lit(mult - 1))).as("rep")
+      part.select(col("*"), rep)
+        .select(
+          (col("p_partkey") * mult + col("rep")).as("p_partkey"),
+          when(col("rep") === 0, col("p_name"))
+            .otherwise(array_join(transform(sequence(lit(0), lit(4)), i =>
+              element_at(vlit, pmod(hash(col("p_partkey"), col("rep"), i),
+                lit(vocab.length)) + 1)), " ")).as("p_name"),
+          col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
+      println(s"scalegen-part done: $out x$mult (vocab ${vocab.length})")
     } else if (args(0) == "--scalegen-events") {
       // Regenerate ONLY the events table of an existing blowup dir
       // (args: --scalegen-events <srcDir> <outDir> <mult>) — the r8/r9
@@ -431,6 +464,64 @@ object DevProbe {
       }
       report.write.format("noop").mode("overwrite").save()
       println(f"  read-side report=${(System.nanoTime() - t1) / 1e9}%.2f s")
+    } else if (args(0) == "--fuzzyq") {
+      // Fuzzy-match blocker at an EXPLICIT gram width (args: --fuzzyq
+      // <dir> <q> [maxGramDf]) — the --knnk-style knob-isolation twin
+      // for the fuzzyGramWidthFor contract: drive dd17's exact plan
+      // (distinct part names → q-gram block join → Levenshtein verify)
+      // at any width over a --scalegen-part registry, to measure the
+      // 3-gram knee and the wider-gram fix separately from the rule
+      // that picks them. Reports time, candidate-pair volume (the
+      // blocker's output BEFORE the lev filter — the quantity that
+      // saturates), and matched pairs.
+      import org.apache.spark.sql.functions._
+      val d = args(1)
+      val q = args(2).toInt
+      val cap = args.lift(3).map(_.toLong).getOrElse(Long.MaxValue)
+      val names = spark.read.parquet(s"$d/part.parquet")
+        .select(col("p_name").as("name")).distinct()
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.fuzzyPairs(
+        names, maxDist = 3, minSharedGrams = 2L, maxGramDf = cap, q = q)
+        .agg(count(lit(1)), sum(lit(1))).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // candidate volume = the blocked pair count before the lev
+      // filter (re-derived with the same blocker, lev filter off via
+      // maxDist = Int.MaxValue — one extra run, probe-only)
+      val cand = graft.operators.Dedup.fuzzyPairs(
+        names, maxDist = Int.MaxValue, minSharedGrams = 2L,
+        maxGramDf = cap, q = q).count()
+      println(f"FUZZYQ q=$q names=${names.count()} matched=${pairs.getLong(0)} " +
+        f"candidates=$cand t=$secs%.2f s")
+    } else if (args(0) == "--dd05probe") {
+      // dd05 blowup DECOMPOSITION (args: --dd05probe <dir>): the 64x
+      // curve reads 11.4x and the design claim is "that growth is
+      // candidate VOLUME (output-linear by construction — the adaptive
+      // band width pins bucket occupancy at ~64, so candidates per row
+      // stay constant) — not a per-candidate cost knee". This probe
+      // measures the two terms separately at one scale: (a) the
+      // banding + block join alone (candidate count — the volume
+      // term), (b) the full query (verify included), and reports
+      // candidates-per-row and per-candidate verify time so the
+      // 1x/4x/16x/64x table can show both flat while total time grows
+      // with output size.
+      import org.apache.spark.sql.functions._
+      val d = args(1)
+      val t0 = System.nanoTime()
+      val e = graft.Tables.spread(graft.Tables(spark, d, "embeddings"))
+      val n = graft.sources.Stats.parquetRowCount(spark, s"$d/embeddings.parquet")
+        .getOrElse(e.count())
+      val bits = math.min(24, math.max(8,
+        math.ceil(math.log(math.max(1L, n / 64).toDouble) / math.log(2.0)).toInt))
+      val cand = graft.operators.Dedup.dd05Candidates(e, bits)
+      val c = cand.count()
+      val tCand = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.SparkEntry.queries("dd05_embed_neardup")(spark, d)
+        .write.format("noop").mode("overwrite").save()
+      val tFull = (System.nanoTime() - t1) / 1e9
+      println(f"DD05 n=$n bits=$bits candidates=$c candPerRow=${c.toDouble / n}%.2f " +
+        f"tCand=$tCand%.2f s tFull=$tFull%.2f s perCandUs=${tFull * 1e6 / c}%.2f")
     } else if (args(0) == "--knnk") {
       // knn-graph core with an EXPLICIT cell count (args: --knnk <dir>
       // <cells>). The registered ss28 now derives cells ∝ corpus

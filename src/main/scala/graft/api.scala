@@ -497,18 +497,34 @@ object api {
     /** Fuzzy entity matching (the dd17 operator as a verb — the
       * record-linkage string-similarity join): name pairs within
       * `maxDist` edit distance, candidates blocked on shared distinct
-      * character 3-grams (>= `minSharedGrams` — the count-filter
-      * blocker, complete for edit distance k while (max_len − 2) − 3k
-      * >= minSharedGrams, a lossy recall knob beyond). Dedupe to the
+      * character q-grams (>= `minSharedGrams` — the count-filter
+      * blocker, complete for edit distance k while (max_len − q + 1)
+      * − k·q >= minSharedGrams, a lossy recall knob beyond). The gram
+      * width is selected FROM THE REGISTRY SIZE by default — the
+      * simhashPairs saturation contract applied to the blocker, so a
+      * user cannot pick a saturating width silently: gramWidth=0
+      * (default) counts the distinct-name domain once (pay-once, like
+      * an index build) and applies
+      * [[graft.operators.Dedup.fuzzyGramWidthFor]] — < 10^5 names →
+      * 3-grams; < 10^7 → 4-grams (the measured knee fix: 3-gram
+      * blocks over an alphabet-bounded key domain go quadratic past
+      * ~10^5 names); < 10^9 → 5-grams; beyond refuses loudly.
+      * Explicit gramWidth ∈ {3,4,5} overrides. Dedupe to the
       * DISTINCT name domain first — grams explode per name, the block
       * join is gram-keyed, Levenshtein runs on candidates only, never
       * an all-pairs product. Returns (a, b, lev, shared_grams). */
     def fuzzyPairs(nameCol: String, maxDist: Int = 2,
                    minSharedGrams: Long = 2L,
-                   maxGramDf: Long = Long.MaxValue): DataFrame =
-      graft.operators.Dedup.fuzzyPairs(
-        df.select(col(nameCol).as("name")).distinct(), maxDist,
-        minSharedGrams, maxGramDf)
+                   maxGramDf: Long = Long.MaxValue,
+                   gramWidth: Int = 0): DataFrame = {
+      require(gramWidth == 0 || (gramWidth >= 3 && gramWidth <= 5),
+        s"gramWidth must be 0 (auto) or in 3..5, got $gramWidth")
+      val names = df.select(col(nameCol).as("name")).distinct()
+      val q = if (gramWidth != 0) gramWidth
+              else graft.operators.Dedup.fuzzyGramWidthFor(names.count())
+      graft.operators.Dedup.fuzzyPairs(names, maxDist,
+        minSharedGrams, maxGramDf, q)
+    }
 
     /** Incremental exact dedup against a FINGERPRINT frame (the dd12
       * flow as a verb): flags rows whose content hash already exists
@@ -680,12 +696,33 @@ object api {
         .select(col("node").as(idCol), col("label").as("cluster_id"))
     }
 
-    /** Cross-source shingle-overlap matrix (the dd10 operator): per
-      * source pair, shared distinct shingles + Jaccard/containment
-      * milli — the corpus-overlap audit run before mixing sources. */
-    def sourceOverlap(sourceCol: String, textCol: String): DataFrame =
-      graft.operators.Dedup.sourceOverlap(
-        df.select(col(sourceCol).as("source"), col(textCol).as("text")))
+    /** Cross-source shingle-overlap matrix (the dd10/dd13 operators):
+      * per source pair, shared distinct shingles + Jaccard/containment
+      * milli — the corpus-overlap audit run before mixing sources.
+      * The FORM is selected from the corpus size by default (the
+      * simhashPairs routing contract, so the exact matrix's
+      * corpus-sized distinct-shingle rollup cannot be picked
+      * silently at scale): mode="auto" counts the frame once
+      * (pay-once) and applies
+      * [[graft.operators.Dedup.sourceOverlapModeFor]] — < 10^6 docs →
+      * the exact matrix (dd10; true counts, 64x curve 3.1x); >= 10^6
+      * → theta sketches (dd13's production path; one shingle scan
+      * into S few-KB buffers, ~1x at any corpus size, estimates at
+      * lgK=14 RSE ~0.8% and exact below 2^14 distinct shingles per
+      * source). Explicit mode="exact"/"sketch" overrides; both return
+      * the same schema. */
+    def sourceOverlap(sourceCol: String, textCol: String,
+                      mode: String = "auto"): DataFrame = {
+      val renamed = df.select(col(sourceCol).as("source"), col(textCol).as("text"))
+      val m = mode match {
+        case "auto" => graft.operators.Dedup.sourceOverlapModeFor(df.count())
+        case "exact" | "sketch" => mode
+        case other => throw new IllegalArgumentException(
+          s"sourceOverlap mode must be auto|exact|sketch, got $other")
+      }
+      if (m == "exact") graft.operators.Dedup.sourceOverlap(renamed)
+      else graft.operators.Dedup.sourceOverlapSketch(renamed)
+    }
   }
 
   implicit class SamplingOps(private val df: DataFrame) extends AnyVal {
@@ -1289,7 +1326,10 @@ object api {
       * (r₀ = 1,000,000; r' = 150,000 + 850·(Σ r DIV outdeg) DIV 1000
       * — flooring integer ops, engine-exact), `rounds` unrolled plan
       * stages, edge-linear per round. Returns (idCol, rank_micro) for
-      * every edge SOURCE (a knn graph gives every node out-edges). */
+      * every node that appears in the edge list (source OR
+      * destination): sink-only nodes hold rank rows and accumulate
+      * inflow but emit nothing — dangling mass is not redistributed,
+      * the documented simplification of the iteration-bounded form. */
     def pagerank(idCol: String, nbrCol: String, rounds: Int = 2): DataFrame = {
       require(rounds >= 1, s"rounds must be >= 1, got $rounds")
       graft.operators.Similarity.pagerankOf(

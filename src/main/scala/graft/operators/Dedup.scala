@@ -172,11 +172,40 @@ object Dedup {
       bandedSimhashPairs(docDf, width).select(col("a"), col("b"), col("hamming"))
   }
 
+  /** The q-gram width a registry of `n` distinct names needs to keep
+    * its gram blocks from saturating — the dd19/simhashWidthFor rule
+    * applied to the fuzzy-match blocker, so [[graft.api]]'s
+    * `fuzzyPairs` cannot pick a saturating width silently. The gram
+    * KEY DOMAIN is alphabet-bounded (natural-language 3-grams top out
+    * around 10^4-10^5 live keys; a w-word product vocabulary around
+    * |vocab|·len within words + |vocab|²·(q−1) across boundaries), so
+    * a gram shared by k names contributes k²/2 candidates and the
+    * block join grows quadratically once n passes the domain size —
+    * measured on the fixed-92-word part registry: 3-grams knee
+    * superlinearly past ~10^5 names while 4-grams stay flat (the
+    * boundary-spanning grams key on word PAIRS, squaring the domain).
+    * Each +1 of width multiplies the live key domain by ~|alphabet|
+    * and costs d more shared grams of completeness headroom: the
+    * count-filter blocker stays COMPLETE for edit distance d while
+    * (max_len − q + 1) − d·q >= minSharedGrams, so wider grams need
+    * longer names (q=5 with d=3 needs ~22+ chars — registry names,
+    * not dictionary words). Past 10^9 names the rule refuses: no
+    * single-gram blocker fits — shard the registry or block on a
+    * composite key. */
+  private[graft] def fuzzyGramWidthFor(n: Long): Int =
+    if (n < 100000L) 3
+    else if (n < 10000000L) 4
+    else if (n < 1000000000L) 5
+    else throw new IllegalArgumentException(
+      s"fuzzy-match auto-width: $n names exceeds the q=5 gram-block tier (~10^9); " +
+        "shard the registry or block on a composite key")
+
   private[graft] def fuzzyPairs(names: DataFrame, maxDist: Int,
                                 minSharedGrams: Long,
-                                maxGramDf: Long = Long.MaxValue): DataFrame = {
+                                maxGramDf: Long = Long.MaxValue,
+                                q: Int = 3): DataFrame = {
     val g0 = names.select(col("name"), explode(array_distinct(expr(
-      "transform(sequence(1, greatest(length(name) - 2, 1)), i -> substring(name, i, 3))")))
+      s"transform(sequence(1, greatest(length(name) - ${q - 1}, 1)), i -> substring(name, i, $q))")))
       .as("gram"))
     // STOP-GRAM cap — the blocker's skew guard: a gram shared by k
     // names contributes k²/2 candidate pairs, so one ubiquitous gram
@@ -626,25 +655,7 @@ object Dedup {
         .getOrElse(e.count())
       val bits = math.min(24, math.max(8,
         math.ceil(math.log(math.max(1L, n / 64).toDouble) / math.log(2.0)).toInt))
-      val planes = Similarity.planesN(4 * bits)
-      val bandCols = (0 until 4).map { band =>
-        (0 until bits).map { j =>
-          when(dotConst(col("embedding"), planes(band * bits + j)) > 0.0,
-            lit(1 << j)).otherwise(lit(0))
-        }.reduce(_ + _).cast("int").as(s"bk$band")
-      }
-      // persist: tiny (vec_id, band, bkey) table; both sides of the
-      // self-join reuse it so the 32 hyperplane dots run once per row.
-      val bands = e.select(col("vec_id") +: bandCols: _*)
-        .select(col("vec_id"), posexplode(array((0 until 4).map(b => col(s"bk$b")): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val x = bands.select(col("vec_id").as("a"), col("band"), col("bkey"))
-      val y = bands.select(col("vec_id").as("b"), col("band"), col("bkey"))
-      // Unhinted: the pair table is O(corpus) — see dd04's note.
-      val cand =
-        x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
-          .select(col("a"), col("b")).distinct()
+      val cand = dd05Candidates(e, bits)
       e.select(col("vec_id").as("a"), col("embedding").as("ea"))
         .join(cand, "a")
         .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
@@ -654,6 +665,35 @@ object Dedup {
         .orderBy(col("a"), col("b"))
     })
   )
+
+  /** dd05's CANDIDATE stage as a shared kernel (the query and the
+    * `--dd05probe` decomposition read the same plan, the ivfpqEncode
+    * sharing discipline): 4 hyperplane-signature bands of `bits` bits
+    * each, banded equi-join, distinct (a < b) pairs. The caller picks
+    * `bits` from the corpus size (occupancy pins at ~64, so
+    * candidates per row are constant by construction — the volume
+    * grows with the corpus, the per-row and per-candidate costs must
+    * not). */
+  private[graft] def dd05Candidates(e: DataFrame, bits: Int): DataFrame = {
+    val planes = Similarity.planesN(4 * bits)
+    val bandCols = (0 until 4).map { band =>
+      (0 until bits).map { j =>
+        when(dotConst(col("embedding"), planes(band * bits + j)) > 0.0,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _).cast("int").as(s"bk$band")
+    }
+    // persist: tiny (vec_id, band, bkey) table; both sides of the
+    // self-join reuse it so the 32 hyperplane dots run once per row.
+    val bands = e.select(col("vec_id") +: bandCols: _*)
+      .select(col("vec_id"), posexplode(array((0 until 4).map(b => col(s"bk$b")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val x = bands.select(col("vec_id").as("a"), col("band"), col("bkey"))
+    val y = bands.select(col("vec_id").as("b"), col("band"), col("bkey"))
+    // Unhinted: the pair table is O(corpus) — see dd04's note.
+    x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
 
   /** Directional shingle-containment pairs over LSH candidates (the
     * dd07 operator, reusable over any (doc_id, text) frame): keeps
@@ -911,6 +951,53 @@ object Dedup {
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         col("n_shared"), col("jaccard_milli"), col("cont_a_milli"))
   }
+
+  /** Sketch-only PRODUCTION form of [[sourceOverlap]] — the same
+    * (source_a, source_b, n_a, n_b, n_shared, jaccard_milli,
+    * cont_a_milli) schema with theta-sketch ESTIMATES (lgK=14, RSE
+    * ~0.8%; exact below the 2^14 retention threshold) in place of the
+    * exact distinct-shingle counts. The scale win is structural, not
+    * approximation-for-its-own-sake: theta sketches are
+    * duplicate-insensitive, so the shingle stream feeds the per-source
+    * agg DIRECTLY — no corpus-sized distinct() and no per-shingle
+    * collect_set rollup (the two stages that make the exact form's
+    * 64x curve read 3.1x). One shingle scan partial-merges into S
+    * few-KB sketch buffers; everything downstream is an S²/2 pair
+    * frame of intersections. */
+  def sourceOverlapSketch(docDf: DataFrame): DataFrame = {
+    val sk = Tables.spread(docDf)
+      .select(col("source"), tokens(col("text")).as("words"))
+      .select(col("source"), explode(shingles(col("words"), 3)).as("shingle"))
+      .select(col("source"), md5(col("shingle")).as("h"))
+      .groupBy(col("source"))
+      .agg(theta_sketch_agg(col("h"), 14).as("sk"))
+    val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        theta_sketch_estimate(col("sk_a")).cast("long").as("n_a"),
+        theta_sketch_estimate(col("sk_b")).cast("long").as("n_b"),
+        theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b")))
+          .cast("long").as("n_shared"))
+      .withColumn("jaccard_milli", expr("(n_shared * 1000) DIV (n_a + n_b - n_shared)"))
+      .withColumn("cont_a_milli", expr("(n_shared * 1000) DIV n_a"))
+  }
+
+  /** The overlap form a corpus of `n` docs should use — the
+    * simhashWidthFor routing rule applied to source overlap, so
+    * [[graft.api]]'s `sourceOverlap` cannot ride the exact form into
+    * its corpus-sized cost silently: the exact matrix's distinct
+    * (source, shingle) set and per-shingle source-list rollup are
+    * corpus-sized BY DEFINITION (its 64x blowup reads 3.1x — the
+    * worst surviving exact-form curve, SCALE.md), while the sketch
+    * form's wire cost is S sketch buffers at any corpus size
+    * (dd11/dd13 measure ~1x). Below 10^6 docs the exact audit is
+    * affordable and strictly better (counts, not estimates); above,
+    * the 0.8%-RSE estimate is the engineering answer. Explicit
+    * mode="exact" overrides — loudly paying the corpus-sized cost is
+    * allowed, picking it by accident is not. */
+  private[graft] def sourceOverlapModeFor(n: Long): String =
+    if (n < 1000000L) "exact" else "sketch"
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
     * contraction (Kiveris et al. 2014). Same contract as

@@ -1519,10 +1519,16 @@ object Similarity {
     * round r' = 150,000 + 850·(Σ r_src DIV outdeg_src) DIV 1000 —
     * flooring integer ops both engines compute identically (damping
     * 0.15/0.85 in the standard parameterization). Nodes = edge
-    * sources (a knn graph gives every node out-edges); no-inflow
-    * nodes hold the 150,000 base. Per round: one edge-sized id-keyed
-    * join + one map-side-combinable inflow agg + a node-sized left
-    * join — edge-linear, lineage truncated per round (the dd06 loop
+    * sources ∪ destinations: SINK-only nodes (no out-edges — absent
+    * from a knn graph, legitimate in arbitrary edge lists the public
+    * verb accepts) hold rank rows and accumulate inflow but emit
+    * nothing; their rank mass is NOT redistributed (the standard
+    * no-dangling-redistribution simplification, documented — on an
+    * out-edge-complete graph like ss33's the union is a no-op and
+    * the result is unchanged). No-inflow nodes hold the 150,000
+    * base. Per round: one edge-sized id-keyed join + one
+    * map-side-combinable inflow agg + a node-sized left join —
+    * edge-linear, lineage truncated per round (the dd06 loop
     * rule). */
   private[graft] def pagerankOf(edges: DataFrame, rounds: Int): DataFrame = {
     // checkpoint the INPUT once: `out` and `ed` both read it, and for
@@ -1534,7 +1540,13 @@ object Similarity {
     val ed = es.join(out, "vec_id")
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"), col("outdeg"))
       .localCheckpoint(false)
+    // node set = sources ∪ destinations, so sink-only nodes get rank
+    // rows instead of silently discarding the inflow computed to them
+    // every round (checkpointed: it anchors rounds+1 left joins)
     val nodes = out.select(col("vec_id"))
+      .union(es.select(col("nbr_id").as("vec_id")))
+      .distinct()
+      .localCheckpoint(false)
     var ranks = nodes.select(col("vec_id"), lit(1000000L).as("r"))
     (1 to rounds).foreach { _ =>
       val contrib = ed.join(ranks.withColumnRenamed("vec_id", "src"), "src")

@@ -243,7 +243,13 @@ object TextOps {
           transform(sequence(lit(1), length(col("norm")) - 1),
             i => col("norm").substr(i, lit(2))))
           .otherwise(typedLit(Seq.empty[String]))).as("bg"))
+      // checkpoint the bigram-DOMAIN counts (≤ |charset|² rows — tiny):
+      // they feed both the total and the frequency table, and without
+      // truncation each subtree re-runs the corpus explode+agg — the
+      // plan read THREE corpus scans where two suffice (the autocorrOf
+      // DAG rule; the doc-side scan is inherently separate)
       val corpus = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
       val total = corpus.agg(sum(col("cnt")).as("tot"))
       val freq = corpus.crossJoin(broadcast(total))
         .select(col("bg"), expr("(cnt * 1000000) DIV tot").as("freq_ppm"))

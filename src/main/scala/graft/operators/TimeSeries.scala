@@ -178,38 +178,70 @@ object TimeSeries {
     * corpus-keyed shuffles). */
   private[graft] def autocorrOf(counts0: DataFrame, maxLag: Int): DataFrame = {
     val s = counts0.sparkSession
-    // DENSIFY the index first: a groupBy-built series omits zero
-    // days entirely, which would exclude the troughs from the
+    // checkpoint the CALLER'S series first: its plan holds the one
+    // corpus scan, and it feeds both the densify min/max agg and the
+    // densify left-join below — without truncation the corpus
+    // aggregation re-executes once per subtree (the dd06 loop rule
+    // applied to a DAG instead of a loop). The frame is day-domain-
+    // sized, so the checkpoint is tiny.
+    val c0 = counts0.localCheckpoint(false)
+    // DENSIFY the index: a groupBy-built series omits zero days
+    // entirely, which would exclude the troughs from the
     // mean/variance and erase the periodicity signal zero days carry
     // (weekday-only traffic would lose every Sat→Sun pair). The range
     // frame is index-domain-sized — generate, left-join, zero-fill.
-    val counts = counts0
+    // Checkpointed too: it feeds the moments agg, both lag-join
+    // sides, and the width probe below.
+    val counts = c0
       .agg(min(col("dn")).as("lo"), max(col("dn")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("dn"))
-      .join(counts0, Seq("dn"), "left")
+      .join(c0, Seq("dn"), "left")
       .select(col("dn"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint(false)
+    // WIDTH PROBE (bounded 1-row read over the checkpointed
+    // day-domain frame — the api.kmeansTrain discipline): every
+    // intermediate moment is bounded by 4·n³·maxx², so the long path
+    // is provably overflow-free — including the final ×1000 — iff
+    // 4000·n³·maxx² fits in a long (BigInt arithmetic, no wrap in the
+    // test itself). Beyond, the moments WIDEN to DECIMAL(38,0): the
+    // identity is the same exact-integer arithmetic, Spark's decimal
+    // ops stay ANSI-loud on real 38-digit overflow (~n³·maxx² past
+    // 10^38), and IntegralDivide truncates toward zero for decimals
+    // exactly as for longs, so the two paths agree wherever both are
+    // defined. At 100 TB daily-count scale (x ~ 10^12, n ~ 10^4 days:
+    // n³·maxx² ~ 10^36) the wide path is the live one.
+    val probe = counts.agg(count(lit(1)), max(abs(col("x")))).head()
+    val n0 = probe.getLong(0)
+    val maxx = if (probe.isNullAt(1)) BigInt(0) else BigInt(probe.getLong(1))
+    val wide =
+      BigInt(4000) * BigInt(n0).pow(3) * maxx.pow(2) > BigInt(Long.MaxValue)
+    val moment: Column => Column =
+      if (wide) _.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      else identity
     val g = counts.agg(
-      count(lit(1)).as("n"),
-      sum(col("x")).as("sx"),
-      sum(col("x") * col("x")).as("sxx"))
+      moment(count(lit(1))).as("n"),
+      sum(moment(col("x"))).as("sx"),
+      sum(moment(col("x")) * moment(col("x"))).as("sxx"))
     val lags = s.range(1, maxLag + 1).select(col("id").cast("int").as("lag_k"))
     counts.crossJoin(broadcast(lags)).as("a")
       .join(broadcast(counts).as("b"), col("b.dn") === col("a.dn") + col("lag_k"))
       .groupBy(col("lag_k"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("a.x") * col("b.x")).as("pk"),
-        sum(col("a.x") + col("b.x")).as("qk"))
+      .agg(moment(count(lit(1))).as("n_pairs"),
+        sum(moment(col("a.x")) * moment(col("b.x"))).as("pk"),
+        sum(moment(col("a.x")) + moment(col("b.x"))).as("qk"))
       .crossJoin(broadcast(g))
       .withColumn("num",
         col("n") * col("n") * col("pk") - col("n") * col("sx") * col("qk") +
           col("n_pairs") * col("sx") * col("sx"))
       .withColumn("den", col("n") * col("n") * col("sxx") - col("n") * col("sx") * col("sx"))
       .filter(assert_true(
-        col("den") > 0 && col("den") <= lit(Long.MaxValue / 1000) &&
-          abs(col("num")) <= lit(Long.MaxValue / 1000),
-        lit("autocorrOf: zero-variance series or 1000*moment exceeds the " +
-          "long domain — widen to DECIMAL(38,0) beyond ~3e15")).isNull)
-      .select(col("lag_k"), col("n_pairs"),
+        col("den") > 0 && (lit(wide) ||
+          (col("den") <= lit(Long.MaxValue / 1000) &&
+            abs(col("num")) <= lit(Long.MaxValue / 1000))),
+        lit("autocorrOf: zero-variance series, or 1000*moment exceeds the " +
+          "long domain on the long path — the width probe should have " +
+          "widened to DECIMAL(38,0)")).isNull)
+      .select(col("lag_k"), col("n_pairs").cast("long").as("n_pairs"),
         expr("(1000 * num) DIV den").as("autocorr_milli"))
   }
 

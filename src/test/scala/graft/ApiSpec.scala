@@ -1528,4 +1528,111 @@ class ApiSpec extends SparkSpec {
     assert(w(1L) == 500L && w(2L) == 500L, "a clone pair is weighted 1/2 each")
     assert(w(3L) == 1000L, "a unique doc keeps full weight")
   }
+
+  test("fuzzyPairs auto-selects the non-saturating gram width from the registry size") {
+    import graft.operators.Dedup
+    // the dd19/simhashWidthFor contract applied to the q-gram blocker:
+    // thresholds pinned so the rule cannot drift silently
+    assert(Dedup.fuzzyGramWidthFor(99999L) == 3)
+    assert(Dedup.fuzzyGramWidthFor(100000L) == 4)
+    assert(Dedup.fuzzyGramWidthFor(9999999L) == 4)
+    assert(Dedup.fuzzyGramWidthFor(10000000L) == 5)
+    assert(Dedup.fuzzyGramWidthFor(999999999L) == 5)
+    assertThrows[IllegalArgumentException](Dedup.fuzzyGramWidthFor(1000000000L))
+    // auto == explicit q=3 on a sub-10^5 registry (the part names)
+    val reg = Tables(spark, sfDir, "part")
+    val auto = reg.fuzzyPairs("p_name", maxDist = 3).orderBy("a", "b")
+    val q3 = reg.fuzzyPairs("p_name", maxDist = 3, gramWidth = 3).orderBy("a", "b")
+    assert(auto.collect().toSeq == q3.collect().toSeq)
+    // the wider tiers keep the completeness contract on registry-length
+    // names: the planted lev-1 typo pair (16 chars — shares
+    // 16−4+1−2·4 = 5 >= 2 grams at q=4, 16−5+1−2·5 = 2 >= 2 at q=5)
+    // survives at every auto-selectable width
+    import spark.implicits._
+    val tiny = Seq("acme widget corp", "acme wdget corp", "zzz unrelated").toDF("n")
+    Seq(3, 4, 5).foreach { q =>
+      val p = tiny.fuzzyPairs("n", maxDist = 2, gramWidth = q)
+        .select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(p == Set(("acme wdget corp", "acme widget corp")),
+        s"q=$q must block exactly the typo pair: $p")
+    }
+    // out-of-range explicit widths refuse
+    assertThrows[IllegalArgumentException](tiny.fuzzyPairs("n", gramWidth = 2))
+    assertThrows[IllegalArgumentException](tiny.fuzzyPairs("n", gramWidth = 6))
+  }
+
+  test("sourceOverlap auto-routes exact below 10^6 docs and sketch above; forms agree") {
+    import graft.operators.Dedup
+    // routing thresholds pinned (the simhashWidthFor discipline)
+    assert(Dedup.sourceOverlapModeFor(999999L) == "exact")
+    assert(Dedup.sourceOverlapModeFor(1000000L) == "sketch")
+    val docsDf = Tables(spark, sfDir, "documents")
+    // auto == exact on the (sub-10^6) test corpus — the existing dd10
+    // equality test pins this too; here the override forms are checked
+    val exact = docsDf.sourceOverlap("source", "text", mode = "exact")
+      .orderBy("source_a", "source_b").collect()
+    val sketch = docsDf.sourceOverlap("source", "text", mode = "sketch")
+      .orderBy("source_a", "source_b")
+    // same schema (the routing contract: callers never re-shape)
+    assert(sketch.columns.toSeq == Seq("source_a", "source_b", "n_a", "n_b",
+      "n_shared", "jaccard_milli", "cont_a_milli"))
+    // estimates track exact counts within the lgK=14 tolerance band
+    // (theta sketches are EXACT below 2^14 retained hashes, so small
+    // sources match to the row; the 5% band also covers larger ones)
+    val sk = sketch.collect()
+    assert(sk.length == exact.length, "every source pair appears in both forms")
+    exact.zip(sk).foreach { case (e, s) =>
+      assert(e.getString(0) == s.getString(0) && e.getString(1) == s.getString(1))
+      Seq(2, 3, 4).foreach { i =>
+        val (ev, sv) = (e.getLong(i), s.getLong(i))
+        assert(math.abs(ev - sv) <= math.max(32L, (ev * 0.05).toLong),
+          s"pair ${e.getString(0)}/${e.getString(1)} col $i: exact $ev vs sketch $sv")
+      }
+    }
+    assertThrows[IllegalArgumentException](
+      docsDf.sourceOverlap("source", "text", mode = "bogus"))
+  }
+
+  test("autocorrOf widens to DECIMAL(38,0) past the long bound and agrees with the long path") {
+    import spark.implicits._
+    // r_k is scale-invariant (x → c·x scales num and den by c²
+    // exactly), so the SAME series scaled past the long-path bound
+    // must return IDENTICAL milli values — the wide path's answer is
+    // pinned by the long path's, no tolerance. Base: alternating 1/5
+    // over 10 days → (1, 9, −900), (2, 8, 800) (the ts36 fixture).
+    val base = Seq.tabulate(10)(d => (d.toLong, if (d % 2 == 0) 1L else 5L))
+    def run(c: Long) = graft.operators.TimeSeries.autocorrOf(
+        base.map { case (d, x) => (d, x * c) }.toDF("dn", "x"), maxLag = 2)
+      .orderBy("lag_k")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = Seq((1, 9L, -900L), (2, 8L, 800L))
+    assert(run(1L) == expected, "long path baseline")
+    // c = 10^8: maxx = 5e8, 4000·n³·maxx² ≈ 10^24 >> 2^63 — the width
+    // probe must pick the decimal path (the long path would ANSI-throw
+    // inside sum(x·x): (5e8)² · 10 alone exceeds 2^63)
+    assert(run(100000000L) == expected, "wide path must agree (scale-invariance)")
+    // independent BigInt recomputation of the wide-path case
+    val xs = base.map(_._2 * BigInt(100000000L))
+    val n = BigInt(xs.length); val s = xs.sum
+    val lag1 = xs.init.zip(xs.tail)
+    val num1 = n * n * lag1.map(p => p._1 * p._2).sum -
+      n * s * lag1.map(p => p._1 + p._2).sum + BigInt(lag1.length) * s * s
+    val den = n * n * xs.map(x => x * x).sum - n * s * s
+    assert((BigInt(1000) * num1 / den).toLong == -900L,
+      "BigInt recomputation confirms the pinned value")
+  }
+
+  test("pagerank gives sink-only nodes rank rows that accumulate inflow") {
+    import spark.implicits._
+    // 1→2, 2→3: node 3 has NO out-edges (absent from the old
+    // sources-only node set — its inflow was computed then discarded).
+    // Hand-unrolled: round 1: r(2) = 150000 + 850·10^6/1000 = 10^6,
+    // r(3) = 10^6 (inflow from 2's initial rank), r(1) = 150000.
+    // Round 2: r(2) = 150000 + 850·150000/1000 = 277500,
+    // r(3) = 150000 + 850·10^6/1000 = 10^6, r(1) = 150000.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = edges.pagerank("a", "b", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 150000L, 2L -> 277500L, 3L -> 1000000L), s"got $got")
+  }
 }
