@@ -520,8 +520,33 @@ object api {
       require(gramWidth == 0 || (gramWidth >= 3 && gramWidth <= 5),
         s"gramWidth must be 0 (auto) or in 3..5, got $gramWidth")
       val names = df.select(col(nameCol).as("name")).distinct()
+        .localCheckpoint(false)
+      val n = names.count()
       val q = if (gramWidth != 0) gramWidth
-              else graft.operators.Dedup.fuzzyGramWidthFor(names.count())
+              else graft.operators.Dedup.fuzzyGramWidthFor(n)
+      // SATURATION GUARD (the loud-refusal half of the width
+      // contract): the width ladder assumes a registry whose gram
+      // domain GROWS with it (natural language — Heaps' law); a
+      // vocabulary-starved registry (few distinct words recombined,
+      // e.g. generated part names) saturates EVERY width — measured:
+      // 58k names from a 16-word vocabulary carry a 3.7-7.9e9
+      // candidate volume at q=3..5 against a gram domain that tops
+      // out at 582 keys. One gram-domain-sized agg bounds the block
+      // join's exact output before running it; past 64 candidates per
+      // name (floor 10^6 — tiny registries may be harmlessly dense)
+      // the blocker would be quadratic, so refuse with the numbers.
+      // Setting maxGramDf is the explicit opt-out: it bounds the join
+      // by construction and accepts the documented stop-gram recall
+      // loss, so the guard does not re-estimate the capped plan.
+      if (maxGramDf == Long.MaxValue) {
+        val cand = graft.operators.Dedup.fuzzyCandidateBound(names, q)
+        val bound = math.max(1000000L, 64L * n)
+        if (cand > bound) throw new IllegalArgumentException(
+          s"fuzzyPairs: the q=$q gram blocker saturates on this registry — " +
+            s"$cand candidate pairs for $n names (> $bound = max(10^6, 64/name)). " +
+            "No gram width fixes a vocabulary-starved key domain; set maxGramDf " +
+            "to accept stop-gram recall loss, pre-block on a domain key, or shard")
+      }
       graft.operators.Dedup.fuzzyPairs(names, maxDist,
         minSharedGrams, maxGramDf, q)
     }

@@ -38,6 +38,15 @@ object TextFunctions {
     org.apache.spark.sql.graft.bridge.column(
       graft.plans.SimHashWideExpr(org.apache.spark.sql.graft.bridge.expression(text)))
 
+  /** Distinct character bigrams of a document with occurrence counts
+    * (array<struct<bg, c>>, Σc = len−1) — native single-pass kernel
+    * ([[graft.plans.BigramCountsExpr]], the tx08 census): zero
+    * allocation per position where the composed transform+explode
+    * form allocates one 2-char string per character. */
+  def bigramCounts(text: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.BigramCountsExpr(org.apache.spark.sql.graft.bridge.expression(text)))
+
   /** Word k-shingles joined by single spaces; documents shorter than k
     * words degenerate to one whole-document shingle (keeps the result
     * total, so no emptiness filter — and no filter means Catalyst never

@@ -200,13 +200,35 @@ object Dedup {
       s"fuzzy-match auto-width: $n names exceeds the q=5 gram-block tier (~10^9); " +
         "shard the registry or block on a composite key")
 
+  /** The distinct (name, q-gram) frame — the blocker's key table,
+    * shared by [[fuzzyPairs]] and [[fuzzyCandidateBound]] so the
+    * guard estimates exactly the join the kernel would run. */
+  private[graft] def nameGrams(names: DataFrame, q: Int): DataFrame =
+    names.select(col("name"), explode(array_distinct(expr(
+      s"transform(sequence(1, greatest(length(name) - ${q - 1}, 1)), i -> substring(name, i, $q))")))
+      .as("gram"))
+
+  /** EXACT upper bound on the blocker's candidate-pair volume at gram
+    * width `q`: Σ_g df_g·(df_g−1)/2 over the gram-df histogram — the
+    * block join's output size before the shared-gram rollup, computed
+    * from ONE gram-domain-sized agg (pay-once, like the width
+    * count). This is the quantity that saturates: measured on the
+    * 16-word part-name vocabulary, 58k names read 7.9e9 at q=3 and
+    * still 3.7e9 at q=5 (gram domain tops out at 582 keys — NO width
+    * in the ladder escapes a vocabulary-starved registry, so the
+    * [[graft.api]] verb refuses superlinear blocks loudly instead of
+    * silently running them; see `fuzzyPairs`' guard there). */
+  private[graft] def fuzzyCandidateBound(names: DataFrame, q: Int): Long =
+    nameGrams(names, q)
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)))
+      .head().getLong(0)
+
   private[graft] def fuzzyPairs(names: DataFrame, maxDist: Int,
                                 minSharedGrams: Long,
                                 maxGramDf: Long = Long.MaxValue,
                                 q: Int = 3): DataFrame = {
-    val g0 = names.select(col("name"), explode(array_distinct(expr(
-      s"transform(sequence(1, greatest(length(name) - ${q - 1}, 1)), i -> substring(name, i, $q))")))
-      .as("gram"))
+    val g0 = nameGrams(names, q)
     // STOP-GRAM cap — the blocker's skew guard: a gram shared by k
     // names contributes k²/2 candidate pairs, so one ubiquitous gram
     // ("the", "ion") makes the block join quadratic in exactly the

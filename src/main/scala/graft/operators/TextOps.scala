@@ -237,25 +237,32 @@ object TextOps {
     // hash-unsafe, SURVEY.md §5). Low score = atypical text. Two
     // aggs + one broadcast join of the tiny bigram vocabulary.
     "tx08_bigram_lm" -> ((s, d) => {
-      val bg = Tables.spread(docs(s, d))
-        .withColumn("norm", lower(col("text")))
-        .select(col("doc_id"), explode(when(length(col("norm")) >= 2,
-          transform(sequence(lit(1), length(col("norm")) - 1),
-            i => col("norm").substr(i, lit(2))))
-          .otherwise(typedLit(Seq.empty[String]))).as("bg"))
+      // per-doc DISTINCT-bigram census from the native single-pass
+      // kernel (plans/BigramCountsExpr — Σc = len−1 exactly, so every
+      // derived total equals the raw-explode form's): the explode and
+      // the frequency join below carry ~0.3 rows per character instead
+      // of 1, and the census pass allocates nothing per position where
+      // the composed transform allocated one 2-char string per char
+      // (measured 4.9x at the 64x blowup vs the token family's
+      // 1.0-1.4x; native form 1.5x)
+      val db = Tables.spread(docs(s, d))
+        .select(col("doc_id"),
+          explode(bigramCounts(lower(col("text")))).as("e"))
+        .select(col("doc_id"), col("e.bg").as("bg"), col("e.c").as("c"))
       // checkpoint the bigram-DOMAIN counts (≤ |charset|² rows — tiny):
       // they feed both the total and the frequency table, and without
-      // truncation each subtree re-runs the corpus explode+agg — the
+      // truncation each subtree re-runs the corpus census+agg — the
       // plan read THREE corpus scans where two suffice (the autocorrOf
-      // DAG rule; the doc-side scan is inherently separate)
-      val corpus = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      // DAG rule; the doc-side scoring scan is inherently separate)
+      val corpus = db.groupBy(col("bg")).agg(sum(col("c")).as("cnt"))
         .localCheckpoint(false)
       val total = corpus.agg(sum(col("cnt")).as("tot"))
       val freq = corpus.crossJoin(broadcast(total))
         .select(col("bg"), expr("(cnt * 1000000) DIV tot").as("freq_ppm"))
-      bg.join(broadcast(freq), "bg")
+      db.join(broadcast(freq), "bg")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("freq_ppm")).as("sum_ppm"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          sum(col("freq_ppm") * col("c")).as("sum_ppm"))
         .select(col("doc_id"), col("n_bigrams"),
           expr("sum_ppm DIV n_bigrams").as("lm_score_ppm"))
         .orderBy(col("doc_id"))

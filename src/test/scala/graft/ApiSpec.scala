@@ -1561,6 +1561,69 @@ class ApiSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](tiny.fuzzyPairs("n", gramWidth = 6))
   }
 
+  test("bigramCounts native kernel equals the composed transform+explode census") {
+    import graft.functions.TextFunctions.bigramCounts
+    // corpus-wide bigram totals: native census vs the raw per-position
+    // explode (the pre-r15 tx08 form) must agree bigram-for-bigram
+    val docsDf = Tables(spark, sfDir, "documents")
+      .withColumn("norm", lower(col("text")))
+    val native = docsDf
+      .select(explode(bigramCounts(col("norm"))).as("e"))
+      .groupBy(col("e.bg").as("bg")).agg(sum(col("e.c")).as("cnt"))
+      .orderBy("bg").collect().toSeq
+    val composed = docsDf
+      .select(explode(when(length(col("norm")) >= 2,
+        transform(sequence(lit(1), length(col("norm")) - 1),
+          i => col("norm").substr(i, lit(2))))
+        .otherwise(typedLit(Seq.empty[String]))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .orderBy("bg").collect().toSeq
+    assert(native == composed)
+    // per-doc conservation: Σc = len − 1 for every doc
+    val bad = docsDf
+      .select(col("doc_id"), length(col("norm")).as("len"),
+        aggregate(bigramCounts(col("norm")), lit(0L), (a, e) => a + e.getField("c")).as("sc"))
+      .filter(col("sc") =!= col("len") - 1)
+    assert(bad.isEmpty, s"Σc must equal len−1: ${bad.take(3).toSeq}")
+    // code-point semantics: BMP greek and an astral-plane symbol
+    import spark.implicits._
+    val uni = Seq("ααβ", "𝄞a𝄞").toDF("norm")
+      .select(col("norm"), bigramCounts(col("norm")).as("b")).collect()
+    assert(uni(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getString(0), r.getLong(1)))
+      == Seq(("αα", 1L), ("αβ", 1L)))
+    assert(uni(1).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getString(0), r.getLong(1)))
+      == Seq(("𝄞a", 1L), ("a𝄞", 1L)))
+  }
+
+  test("fuzzyPairs refuses a vocabulary-starved registry loudly; maxGramDf is the opt-out") {
+    import spark.implicits._
+    // all 4^5 = 1024 recombinations of a FOUR-word vocabulary: the
+    // gram domain is ~dozens of keys while every name shares words
+    // with most others — the measured dd17 saturation class (58k
+    // 16-word-vocab names read 3.7-7.9e9 candidates at EVERY width).
+    // Here the exact bound is ~1.6e6 candidates for 1024 names
+    // (> max(10^6, 64·n)), so the guard must throw, at auto AND at
+    // every explicit width.
+    val vocab = Vector("aaa", "bbb", "ccc", "ddd")
+    val reg = Seq.tabulate(1024) { i =>
+      (0 until 5).map(p => vocab((i >> (2 * p)) & 3)).mkString(" ")
+    }.toDF("n")
+    val e = intercept[IllegalArgumentException](reg.fuzzyPairs("n"))
+    assert(e.getMessage.contains("saturates"), e.getMessage)
+    assertThrows[IllegalArgumentException](reg.fuzzyPairs("n", gramWidth = 5))
+    // the explicit opt-out bounds the join by construction and runs
+    val capped = reg.fuzzyPairs("n", maxGramDf = 32L)
+    assert(capped.columns.contains("lev"))
+    capped.count() // executes without the guard firing
+    // a natural registry of the same size sails through: 1024 distinct
+    // random-hex names share almost no grams (candidates ≈ 0)
+    val natural = Seq.tabulate(1024)(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString)
+      .toDF("n")
+    assert(natural.fuzzyPairs("n").columns.contains("lev"))
+  }
+
   test("sourceOverlap auto-routes exact below 10^6 docs and sketch above; forms agree") {
     import graft.operators.Dedup
     // routing thresholds pinned (the simhashWidthFor discipline)
