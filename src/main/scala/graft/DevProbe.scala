@@ -493,6 +493,19 @@ object DevProbe {
         maxGramDf = cap, q = q).count()
       println(f"FUZZYQ q=$q names=${names.count()} matched=${pairs.getLong(0)} " +
         f"candidates=$cand t=$secs%.2f s")
+    } else if (args(0) == "--overlapprobe") {
+      // sourceOverlap route evidence (args: --overlapprobe <dir>
+      // <exact|sketch>): time the two forms the api verb routes
+      // between, on the same corpus — the measured basis for
+      // sourceOverlapModeFor's 10^6 threshold.
+      val docDf = graft.Tables(spark, args(1), "documents")
+        .select(org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("text"))
+      val t0 = System.nanoTime()
+      val df = if (args(2) == "exact") graft.operators.Dedup.sourceOverlap(docDf)
+               else graft.operators.Dedup.sourceOverlapSketch(docDf)
+      df.write.format("noop").mode("overwrite").save()
+      println(f"OVERLAP form=${args(2)} t=${(System.nanoTime() - t0) / 1e9}%.2f s")
     } else if (args(0) == "--dd05probe") {
       // dd05 blowup DECOMPOSITION (args: --dd05probe <dir>): the 64x
       // curve reads 11.4x and the design claim is "that growth is
