@@ -827,6 +827,52 @@ object api {
 
   implicit class TextCurationOps(private val df: DataFrame) extends AnyVal {
 
+    /** CCNet quality tiers (the tx32 operator as a verb — Wenzek et
+      * al. 2020's head/middle/tail split): docs tier by GLOBAL
+      * terciles of the corpus bigram-LM score, reported per
+      * (`sourceCol`, tier) with doc/token counts, mean score, and the
+      * tier's token share of its source. Value-based histogram
+      * cutoffs (engine-exact, deterministic under ties), never a
+      * global ntile. Docs shorter than 2 characters carry no bigrams
+      * and drop, as in the operator. */
+    def pplTiers(idCol: String, textCol: String, sourceCol: String): DataFrame =
+      graft.operators.TextOps.pplTiersOf(
+          df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+            col(sourceCol).as("source")))
+        .withColumnRenamed("source", sourceCol)
+
+    /** Data-constrained epoch schedule (the sp13 operator as a verb —
+      * Muennighoff et al. 2023): per `groupCol`, the token target is
+      * its `weight` share of `budgetTokens`, the epoch count is
+      * target/size capped at `maxEpochsMilli` (integer milli-epochs),
+      * and every row carries the schedule-wide `shortfall_milli` the
+      * caps strand. `weight` is any per-row expression constant
+      * within a group (e.g. `when(col("source") === "src0", 5L)
+      * .otherwise(1L)`); one corpus scan, |S|-row arithmetic after. */
+    def epochBudget(groupCol: String, tokCol: String, budgetTokens: Long,
+                    maxEpochsMilli: Long = 4000L,
+                    weight: Column = lit(1L)): DataFrame = {
+      require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+      require(maxEpochsMilli > 0, s"maxEpochsMilli must be positive, got $maxEpochsMilli")
+      val tok = df.groupBy(col(groupCol))
+        .agg(sum(col(tokCol).cast("long")).as("n_tokens"),
+          max(weight.cast("long")).as("weight"))
+        .localCheckpoint(false)
+      val tot = tok.agg(sum(col("weight")).as("sumw"))
+      val t = tok.crossJoin(broadcast(tot))
+        .withColumn("target_tokens", expr(s"($budgetTokens * weight) DIV sumw"))
+        .withColumn("epochs_milli",
+          least(lit(maxEpochsMilli), expr("(target_tokens * 1000) DIV n_tokens")))
+        .withColumn("alloc_tokens", expr("(n_tokens * epochs_milli) DIV 1000"))
+      val short = t.agg(sum(col("alloc_tokens")).as("alloc_tot"))
+      t.crossJoin(broadcast(short))
+        .select(col(groupCol), col("n_tokens"), col("weight"),
+          col("target_tokens"), col("epochs_milli"), col("alloc_tokens"),
+          (col("epochs_milli") === maxEpochsMilli).as("capped"),
+          expr(s"(($budgetTokens - alloc_tot) * 1000) DIV $budgetTokens")
+            .as("shortfall_milli"))
+    }
+
     /** Temperature-weighted mixture sampling (the sp04 operator as a
       * verb, alpha = 0.5): per-group doc budgets proportional to
       * sqrt(token share), rows kept in deterministic hash order up to

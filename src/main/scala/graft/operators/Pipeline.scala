@@ -221,6 +221,43 @@ object Pipeline {
 
     "px03_funnel" -> ((s, d) => funnel(s, d)),
 
+    // DATA-CONSTRAINED EPOCH SCHEDULE (Muennighoff et al. 2023 — "how
+    // many times may each source repeat?", the allocation every
+    // token-budgeted training run fixes before mixing): each source's
+    // token TARGET is its weight share of a 2x-total budget (src0
+    // carries px02's 5x premium weight), its epoch count is
+    // target/size CAPPED at 4 epochs (past ~4, repeated data stops
+    // buying loss — the paper's knee), and the shortfall row reports
+    // how much budget the caps strand (unfillable without over-
+    // repeating the premium source). All integer milli-epochs —
+    // engine-exact. Scale shape: ONE corpus scan partial-aggs into
+    // the |S|-row source rollup (checkpointed — two consumers);
+    // everything downstream is |S|-row arithmetic with 1-row
+    // broadcasts. Long headroom: target·1000 ≈ 10^18 at 10^14 tokens
+    // — inside the long domain at any realistic budget.
+    "sp13_epoch_budget" -> ((s, d) => {
+      val tok = docs(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("weight",
+          when(col("source") === "src0", lit(5L)).otherwise(lit(1L)))
+        .localCheckpoint(false)
+      val tot = tok.agg(sum(col("n_tokens")).as("tot"), sum(col("weight")).as("sumw"))
+      val t = tok.crossJoin(broadcast(tot))
+        .withColumn("target_tokens", expr("(2 * tot * weight) DIV sumw"))
+        .withColumn("epochs_milli",
+          least(lit(4000L), expr("(target_tokens * 1000) DIV n_tokens")))
+        .withColumn("alloc_tokens", expr("(n_tokens * epochs_milli) DIV 1000"))
+      val short = t.agg(sum(col("alloc_tokens")).as("alloc_tot"),
+        max(col("tot") * 2).as("budget"))
+      t.crossJoin(broadcast(short))
+        .select(col("source"), col("n_tokens"), col("weight"),
+          col("target_tokens"), col("epochs_milli"), col("alloc_tokens"),
+          (col("epochs_milli") === 4000L).as("capped"),
+          expr("((budget - alloc_tot) * 1000) DIV budget").as("shortfall_milli"))
+        .orderBy(col("source"))
+    }),
+
     // Deterministic train/val/test split — the held-out-set assignment
     // every training run needs: a doc's split is a pure function of
     // its id hash (first byte bands: ~5% val, ~5% test, rest train),
@@ -684,6 +721,29 @@ object Pipeline {
         | (n_rep_ok * 1000) // n_docs AS rep_ok_milli,
         | (n_short * 1000) // n_docs AS short_milli
         |FROM agg ORDER BY source""".stripMargin,
+    "sp13_epoch_budget" ->
+      """WITH tok AS (
+        | SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN source = 'src0' THEN 5 ELSE 1 END AS BIGINT) AS weight
+        | FROM documents GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+        |  CAST(sum(weight) AS BIGINT) AS sumw FROM tok),
+        |t AS (
+        | SELECT source, n_tokens, weight,
+        |  CAST((2 * tot * weight) // sumw AS BIGINT) AS target_tokens,
+        |  CAST(least(4000, ((2 * tot * weight) // sumw) * 1000 // n_tokens) AS BIGINT)
+        |    AS epochs_milli,
+        |  CAST(tot AS BIGINT) AS tot
+        | FROM tok, tot),
+        |t2 AS (
+        | SELECT *, CAST((n_tokens * epochs_milli) // 1000 AS BIGINT) AS alloc_tokens
+        | FROM t),
+        |sh AS (SELECT CAST(sum(alloc_tokens) AS BIGINT) AS alloc_tot FROM t2)
+        |SELECT source, n_tokens, weight, target_tokens, epochs_milli, alloc_tokens,
+        | epochs_milli = 4000 AS capped,
+        | CAST(((2 * tot - alloc_tot) * 1000) // (2 * tot) AS BIGINT) AS shortfall_milli
+        |FROM t2, sh ORDER BY source""".stripMargin,
     "px02_mixture_budget" ->
       """WITH t AS (
         | SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR) || ':px02') AS h,

@@ -23,6 +23,82 @@ object TextOps {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
 
+  /** The tx08 kernel over any (doc_id, text) frame, shared with
+    * tx32's tier report: per-doc CCNet-style character-bigram LM
+    * score (mean corpus-frequency of the doc's bigrams in ppm,
+    * integer-exact). Per-doc DISTINCT-bigram census from the native
+    * single-pass kernel (plans/BigramCountsExpr — Σc = len−1 exactly,
+    * so every derived total equals the raw-explode form's): the
+    * explode and the frequency join carry ~0.3 rows per character
+    * instead of 1, and the census pass allocates nothing per position
+    * where the composed transform allocated one 2-char string per
+    * char (measured 4.9x at the 64x blowup vs the token family's
+    * 1.0-1.4x; native form 1.5x). The bigram-DOMAIN counts frame is
+    * checkpointed (≤ |charset|² rows — tiny): it feeds both the total
+    * and the frequency table, and without truncation each subtree
+    * re-runs the corpus census+agg — the pre-r15 plan read THREE
+    * corpus scans where two suffice (the autocorrOf DAG rule; the
+    * doc-side scoring scan is inherently separate). Docs shorter than
+    * 2 chars have no bigrams and drop, as in the oracle. */
+  private[graft] def bigramLmScores(docDf: DataFrame): DataFrame = {
+    val db = Tables.spread(docDf)
+      .select(col("doc_id"),
+        explode(bigramCounts(lower(col("text")))).as("e"))
+      .select(col("doc_id"), col("e.bg").as("bg"), col("e.c").as("c"))
+    val corpus = db.groupBy(col("bg")).agg(sum(col("c")).as("cnt"))
+      .localCheckpoint(false)
+    val total = corpus.agg(sum(col("cnt")).as("tot"))
+    val freq = corpus.crossJoin(broadcast(total))
+      .select(col("bg"), expr("(cnt * 1000000) DIV tot").as("freq_ppm"))
+    db.join(broadcast(freq), "bg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("freq_ppm") * col("c")).as("sum_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_ppm DIV n_bigrams").as("lm_score_ppm"))
+  }
+
+  /** The tx32 kernel over any (doc_id, text, source) frame, shared
+    * with [[graft.api]]'s `pplTiers` verb: CCNet-style head/middle/
+    * tail tiers by GLOBAL terciles of the bigram-LM score, reported
+    * per (source, tier). Tercile CUTOFFS come from an integer score
+    * histogram (the ts35 cum-count kernel — engine-exact,
+    * deterministic under ties), never a global ntile (which would
+    * single-partition-sort the corpus). Scale shape: the tx08
+    * kernel's two corpus scans; the per-doc score frame is
+    * checkpointed (doc-domain, two consumers: histogram + tier
+    * join); the doc-keyed source join co-shuffles corpus rows once
+    * per side; cutoffs and source totals broadcast. */
+  private[graft] def pplTiersOf(docDf: DataFrame): DataFrame = {
+    val scored = bigramLmScores(docDf)
+      .select(col("doc_id"), col("lm_score_ppm"))
+      .localCheckpoint(false)
+    val cuts = TimeSeries.histQuantilesOf(
+        scored.select(lit("all").as("key"), col("lm_score_ppm").as("cents"))
+          .groupBy(col("key"), col("cents")).agg(count(lit(1)).as("cnt")),
+        Seq(333, 667))
+      .groupBy(col("key"))
+      .agg(min(when(col("q_milli") === 333, col("cents"))).as("c333"),
+        min(when(col("q_milli") === 667, col("cents"))).as("c667"))
+      .drop("key")
+    val meta = docDf.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val srctot = meta.groupBy(col("source")).agg(sum(col("n_tok")).as("st"))
+    scored.join(meta, "doc_id")
+      .crossJoin(broadcast(cuts))
+      .withColumn("tier",
+        when(col("lm_score_ppm") <= col("c333"), lit("tail"))
+          .when(col("lm_score_ppm") <= col("c667"), lit("middle"))
+          .otherwise(lit("head")))
+      .groupBy(col("source"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("lm_score_ppm")).as("sum_score"))
+      .join(broadcast(srctot), "source")
+      .select(col("source"), col("tier"), col("n_docs"), col("n_tokens"),
+        expr("sum_score DIV n_docs").as("mean_score_ppm"),
+        expr("(n_tokens * 1000) DIV st").as("tok_share_milli"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language ID: stopword-lexicon hit counts, max score wins with
     // alphabetical tiebreak (implemented as ordered >= cascade).
@@ -236,37 +312,27 @@ object TextOps {
     // monotone stand-in for mean log-prob; ln() is libm-dependent and
     // hash-unsafe, SURVEY.md §5). Low score = atypical text. Two
     // aggs + one broadcast join of the tiny bigram vocabulary.
-    "tx08_bigram_lm" -> ((s, d) => {
-      // per-doc DISTINCT-bigram census from the native single-pass
-      // kernel (plans/BigramCountsExpr — Σc = len−1 exactly, so every
-      // derived total equals the raw-explode form's): the explode and
-      // the frequency join below carry ~0.3 rows per character instead
-      // of 1, and the census pass allocates nothing per position where
-      // the composed transform allocated one 2-char string per char
-      // (measured 4.9x at the 64x blowup vs the token family's
-      // 1.0-1.4x; native form 1.5x)
-      val db = Tables.spread(docs(s, d))
-        .select(col("doc_id"),
-          explode(bigramCounts(lower(col("text")))).as("e"))
-        .select(col("doc_id"), col("e.bg").as("bg"), col("e.c").as("c"))
-      // checkpoint the bigram-DOMAIN counts (≤ |charset|² rows — tiny):
-      // they feed both the total and the frequency table, and without
-      // truncation each subtree re-runs the corpus census+agg — the
-      // plan read THREE corpus scans where two suffice (the autocorrOf
-      // DAG rule; the doc-side scoring scan is inherently separate)
-      val corpus = db.groupBy(col("bg")).agg(sum(col("c")).as("cnt"))
-        .localCheckpoint(false)
-      val total = corpus.agg(sum(col("cnt")).as("tot"))
-      val freq = corpus.crossJoin(broadcast(total))
-        .select(col("bg"), expr("(cnt * 1000000) DIV tot").as("freq_ppm"))
-      db.join(broadcast(freq), "bg")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_bigrams"),
-          sum(col("freq_ppm") * col("c")).as("sum_ppm"))
-        .select(col("doc_id"), col("n_bigrams"),
-          expr("sum_ppm DIV n_bigrams").as("lm_score_ppm"))
-        .orderBy(col("doc_id"))
-    }),
+    "tx08_bigram_lm" -> ((s, d) =>
+      bigramLmScores(docs(s, d)).orderBy(col("doc_id"))),
+
+    // CCNET QUALITY TIERS (Wenzek et al. 2020 — the head/middle/tail
+    // split CCNet cuts its corpus into by LM perplexity, the tier
+    // label every web-scale pipeline stamps before mixing): docs tier
+    // by GLOBAL terciles of the tx08 bigram-LM score (head = most
+    // corpus-typical third), reported per (source, tier) with doc/
+    // token counts, mean score, and the tier's token share of its
+    // source. Tercile CUTOFFS come from an integer score histogram
+    // (the ts35 cum-count kernel — smallest score whose cumulative
+    // count reaches ceil(q·n/1000), engine-exact integers), NEVER a
+    // global ntile: value-based cutoffs are deterministic under ties
+    // and the quantile window runs over the score DOMAIN (ppm-bounded
+    // at any corpus size) where ntile would single-partition-sort the
+    // corpus. Scale shape: the tx08 kernel's two corpus scans; the
+    // per-doc score frame is checkpointed (doc-domain, 2 consumers:
+    // histogram + tier join); the doc-keyed source join co-shuffles
+    // corpus rows once per side; cutoffs and source totals broadcast.
+    "tx32_ppl_tiers" -> ((s, d) =>
+      pplTiersOf(docs(s, d)).orderBy(col("source"), col("tier"))),
 
     // PII / pattern scrub: count + redact emails, long digit runs and
     // a dictionary of sensitive terms, emitting the scrubbed-text
@@ -435,6 +501,40 @@ object TextOps {
         | CAST(sum(f.freq_ppm) // count(*) AS BIGINT) AS lm_score_ppm
         |FROM bg b JOIN freq f USING (bg)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "tx32_ppl_tiers" ->
+      """WITH bg AS (
+        | SELECT doc_id, unnest(list_transform(generate_series(1, len(lower(text)) - 1),
+        |   i -> substr(lower(text), i, 2))) AS bg
+        | FROM documents WHERE len(text) >= 2),
+        |corpus AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM corpus),
+        |freq AS (SELECT bg, (cnt * 1000000) // tot AS freq_ppm FROM corpus, tot),
+        |scored AS (
+        | SELECT b.doc_id, CAST(sum(f.freq_ppm) // count(*) AS BIGINT) AS s
+        | FROM bg b JOIN freq f USING (bg) GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+        |hist AS (SELECT s, count(*) AS c FROM scored GROUP BY 1),
+        |cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM hist),
+        |cuts AS (
+        | SELECT min(CASE WHEN cum * 1000 >= n * 333 THEN s END) AS c333,
+        |        min(CASE WHEN cum * 1000 >= n * 667 THEN s END) AS c667
+        | FROM cum, n),
+        |meta AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |srctot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS st FROM meta GROUP BY 1),
+        |tiered AS (
+        | SELECT m.source, m.n_tok, sc.s,
+        |  CASE WHEN sc.s <= c333 THEN 'tail'
+        |       WHEN sc.s <= c667 THEN 'middle' ELSE 'head' END AS tier
+        | FROM scored sc JOIN meta m USING (doc_id), cuts)
+        |SELECT t.source, t.tier, count(*) AS n_docs,
+        | CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
+        | CAST(sum(t.s) // count(*) AS BIGINT) AS mean_score_ppm,
+        | CAST(sum(t.n_tok) * 1000 // max(st.st) AS BIGINT) AS tok_share_milli
+        |FROM tiered t JOIN srctot st USING (source)
+        |GROUP BY 1, 2 ORDER BY source, tier""".stripMargin,
     "tx07_pii_scrub" ->
       """WITH s AS (
         | SELECT doc_id, text,

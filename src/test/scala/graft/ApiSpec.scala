@@ -1561,6 +1561,58 @@ class ApiSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](tiny.fuzzyPairs("n", gramWidth = 6))
   }
 
+  test("pplTiers verb matches tx32 and terciles a planted score spread") {
+    val viaApi = Tables(spark, sfDir, "documents")
+      .pplTiers("doc_id", "text", "source")
+      .orderBy("source", "tier")
+    val viaOp = SparkEntry.queries("tx32_ppl_tiers")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted: three score classes — 'aa..' docs score highest (their
+    // one bigram dominates the corpus), 'abab' middle, repeated-rare
+    // lowest. Class sizes 3/3/4 are chosen FOR the ceil cum-count
+    // rule: c333 needs cum·1000 ≥ 333·10 → the 4-doc tail class
+    // (4000 ≥ 3330); c667 needs cum ≥ 6.67 → tail+middle (7000 ≥
+    // 6670); equal thirds would strand head empty (2000 < 2001·k
+    // — the 667 boundary always overshoots exact thirds).
+    import spark.implicits._
+    val docs = (
+      (1 to 3).map(i => (i.toLong, "s1", "aaaaaaaaaaaaaaaaaaaa")) ++
+      (4 to 6).map(i => (i.toLong, "s1", "abababababababababab")) ++
+      (7 to 10).map(i => (i.toLong, "s2", "qwrtypsdfghjklzxcvbn"))
+    ).toDF("doc_id", "source", "text")
+    val tiers = docs.pplTiers("doc_id", "text", "source")
+      .select("source", "tier", "n_docs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(tiers == Set(("s1", "head", 3L), ("s1", "middle", 3L), ("s2", "tail", 4L)),
+      s"got $tiers")
+  }
+
+  test("epochBudget verb matches sp13 and caps a planted premium source") {
+    val docsDf = Tables(spark, sfDir, "documents")
+    val tot = docsDf.agg(sum(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0)
+    val viaApi = docsDf
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .epochBudget("source", "n_tok", budgetTokens = 2 * tot,
+        weight = when(col("source") === "src0", lit(5L)).otherwise(lit(1L)))
+      .orderBy("source")
+    val viaOp = SparkEntry.queries("sp13_epoch_budget")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted: sources of 100 and 1000 tokens, budget 2200, cap 4.
+    // sumw=2 ⇒ target 1100 each; small caps at 4.000 epochs (alloc
+    // 400), big gets 1.100 (alloc 1100); shortfall = 700*1000 DIV
+    // 2200 = 318 milli.
+    import spark.implicits._
+    val tiny = Seq(("small", 100L), ("big", 1000L)).toDF("src", "n_tok")
+    val got = tiny.epochBudget("src", "n_tok", budgetTokens = 2200L)
+      .orderBy("src")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6), r.getLong(7))).toSeq
+    assert(got == Seq(
+      ("big", 1100L, 1100L, 1100L, false, 318L),
+      ("small", 1100L, 4000L, 400L, true, 318L)), s"got $got")
+  }
+
   test("bigramCounts native kernel equals the composed transform+explode census") {
     import graft.functions.TextFunctions.bigramCounts
     // corpus-wide bigram totals: native census vs the raw per-position
