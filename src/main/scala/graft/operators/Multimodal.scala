@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   * those formats (correct signatures, chunk CRCs, segment lengths;
   * dims/frame counts md5-derived so the DuckDB oracle recomputes the
   * expected metadata from the generation formula while the Spark side
-  * must PARSE it back out of the bytes). Only pixel-level work (a true
-  * perceptual hash, frame raster decode) is out of scope here — that
-  * is the one genuinely codec-bound step; its honest stand-in is the
-  * content digest of the PARSED body bytes. The plumbing — binary
-  * columns, per-partition batch iteration, 1→N frame expansion
+  * must PARSE it back out of the bytes). Pixel-level work went real
+  * in r15 for the one format whose codec is pure JDK: mm08
+  * synthesizes genuine zlib-compressed grayscale PNGs and the decoder
+  * inflates + unfilters the raster for a true average-hash
+  * ([[mkPngPixels]]/[[pngRaster]]/[[decodePixelHash]], cross-validated
+  * pixel-for-pixel against javax.imageio). JPEG/MP4 raster decode
+  * stays codec-bound (no codec libs in scope); their honest stand-in
+  * remains the content digest of the PARSED body bytes. The plumbing —
+  * binary columns, per-partition batch iteration, 1→N frame expansion
   * executor-side, corrupt-payload null-routing — is the exact shape a
   * `mapInPandas` batch decoder takes at 100 TB.
   */
@@ -150,6 +154,180 @@ object Multimodal {
       else Some(MediaMeta(in.doc_id, p.length, "jpeg", w, ht, body8))
     } else None
   } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  /** Decoded PIXEL-level metadata (mm08) — every field derived from a
+    * real raster decode: zlib-inflated IDAT, per-row PNG unfiltering,
+    * 8×8 integer average-hash. */
+  case class PixelMeta(doc_id: Long, width: Int, height: Int,
+                       n_px: Int, mean_px: Int, ahash: String)
+
+  /** Paeth predictor (PNG spec §6.6) — exact integer form. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Synthesize a PIXEL-REAL grayscale PNG: dims and the pixel
+    * formula md5-derived (w, ht = 16 + nib; pixel(x,y) = (a·x + b·y
+    * + c) mod 256 — the oracle's closed form), scanlines filtered
+    * with type y mod 5 (every PNG filter — None/Sub/Up/Average/Paeth
+    * — exercised in every image), the filtered stream DEFLATED into
+    * a genuine zlib IDAT (java.util.zip.Deflater), chunk CRCs real.
+    * Unlike mm01's valid-header/opaque-body payloads, the body here
+    * is a decodable raster: the decoder must inflate and unfilter to
+    * recover what the oracle computes from the formula — the
+    * pixel-level step mm01 documented as out of scope, now real for
+    * the one format whose codec is pure JDK. */
+  private[graft] def mkPngPixels(text: String): Array[Byte] = {
+    val body = text.getBytes("UTF-8")
+    val h = md5hex(body)
+    val w = 16 + nib(h(1)); val ht = 16 + nib(h(2))
+    val a = 1 + nib(h(3)); val b = 1 + nib(h(4))
+    val c = 16 * nib(h(5)) + nib(h(6))
+    def raw(y: Int, x: Int): Int = (a * x + b * y + c) % 256
+    val filtered = new Array[Byte](ht * (w + 1))
+    var pos = 0
+    var y = 0
+    while (y < ht) {
+      val ft = y % 5
+      filtered(pos) = ft.toByte; pos += 1
+      var x = 0
+      while (x < w) {
+        val cur = raw(y, x)
+        val left = if (x > 0) raw(y, x - 1) else 0
+        val up = if (y > 0) raw(y - 1, x) else 0
+        val ul = if (x > 0 && y > 0) raw(y - 1, x - 1) else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => (cur - left) & 0xff
+          case 2 => (cur - up) & 0xff
+          case 3 => (cur - (left + up) / 2) & 0xff
+          case _ => (cur - paeth(left, up, ul)) & 0xff
+        }
+        filtered(pos) = v.toByte; pos += 1
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val bout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) bout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    PngSig ++
+      pngChunk("IHDR", be32(w) ++ be32(ht) ++ bytes(8, 0, 0, 0, 0)) ++
+      pngChunk("IDAT", bout.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** REAL raster decode of an 8-bit grayscale PNG: chunk walk (ALL
+    * IDAT chunks concatenate, per spec), zlib inflate, per-row
+    * unfilter (all five filter types, bpp = 1). Returns (w, ht, raw
+    * raster row-major) — None for anything unparseable, non-grayscale
+    * or with a short/corrupt pixel stream (corrupt media routes out
+    * of the batch, the decodeMedia contract). */
+  private[graft] def pngRaster(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32At(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (p.length < 8 || !PngSig.indices.forall(i => p(i) == PngSig(i))) return None
+    var pos = 8
+    var w, ht = -1
+    var ok = true
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && pos + 8 <= p.length) {
+      val len = be32At(pos)
+      val typ = new String(p, pos + 4, 4, "US-ASCII")
+      if (len < 0 || pos + 12 + len > p.length) done = true
+      else {
+        if (typ == "IHDR" && len >= 13) {
+          w = be32At(pos + 8); ht = be32At(pos + 12)
+          // depth 8, grayscale (color 0), no interlace — the raster
+          // layout this decoder implements; anything else routes out
+          if (u8(pos + 16) != 8 || u8(pos + 17) != 0 || u8(pos + 20) != 0) ok = false
+        } else if (typ == "IDAT") idat.write(p, pos + 8, len)
+        else if (typ == "IEND") done = true
+        pos += 12 + len
+      }
+    }
+    if (!ok || w <= 0 || ht <= 0) return None
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val filtered = new Array[Byte](ht * (w + 1))
+    var got = 0
+    while (!inf.finished() && got < filtered.length) {
+      val n = inf.inflate(filtered, got, filtered.length - got)
+      if (n == 0 && inf.needsInput()) return None // truncated stream
+      got += n
+    }
+    inf.end()
+    if (got < filtered.length) return None
+    val out = new Array[Byte](ht * w)
+    var y = 0
+    while (y < ht) {
+      val ft = filtered(y * (w + 1)) & 0xff
+      var x = 0
+      while (x < w) {
+        val v = filtered(y * (w + 1) + 1 + x) & 0xff
+        val left = if (x > 0) out(y * w + x - 1) & 0xff else 0
+        val up = if (y > 0) out((y - 1) * w + x) & 0xff else 0
+        val ul = if (x > 0 && y > 0) out((y - 1) * w + x - 1) & 0xff else 0
+        val rec = ft match {
+          case 0 => v
+          case 1 => (v + left) & 0xff
+          case 2 => (v + up) & 0xff
+          case 3 => (v + (left + up) / 2) & 0xff
+          case 4 => (v + paeth(left, up, ul)) & 0xff
+          case _ => return None
+        }
+        out(y * w + x) = rec.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, ht, out))
+  } catch { case _: Exception => None }
+
+  /** mm08's batch kernel: raster decode + 8×8 integer AVERAGE-HASH
+    * (the classic near-dup perceptual fingerprint): cell (iy, ix)
+    * holds the floor-mean of its pixel block (pixel (x, y) maps to
+    * ix = x·8 DIV w), the hash bit is cell ≥ floor-mean of the 64
+    * cells, hex-packed row-major MSB-first. Every step is integer
+    * floor arithmetic — the DuckDB oracle recomputes the identical
+    * hash from the generation formula while this side recovers the
+    * raster from real zlib. */
+  private[graft] def decodePixelHash(in: MediaIn): Option[PixelMeta] =
+    pngRaster(in.payload).map { case (w, ht, px) =>
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var tot = 0L
+      var y = 0
+      while (y < ht) {
+        var x = 0
+        while (x < w) {
+          val v = (px(y * w + x) & 0xff).toLong
+          val cell = (y * 8 / ht) * 8 + (x * 8 / w)
+          sums(cell) += v; cnts(cell) += 1; tot += v
+          x += 1
+        }
+        y += 1
+      }
+      val cells = Array.tabulate(64)(k => sums(k) / math.max(1L, cnts(k)))
+      val mean = cells.sum / 64
+      var hi = 0L; var lo = 0L
+      var k = 0
+      while (k < 64) {
+        if (cells(k) >= mean) {
+          if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+        }
+        k += 1
+      }
+      PixelMeta(in.doc_id, w, ht, w * ht, (tot / (w.toLong * ht)).toInt,
+        f"$hi%08x$lo%08x")
+    }
 
   /** Decoded audio metadata — every field parsed from the RIFF/WAVE
     * bytes (fmt chunk: LE u16 channels + bits, LE u32 sample rate;
@@ -487,6 +665,28 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // PIXEL-level decode + perceptual hash — the step mm01 documented
+    // as "genuinely codec-bound, out of scope" made REAL for the one
+    // format whose codec is pure JDK: payloads synthesize as
+    // pixel-real grayscale PNGs (genuine zlib IDAT via Deflater,
+    // every PNG filter type exercised per image), the decoder
+    // inflates + unfilters the raster and computes the 8×8 integer
+    // average-hash (the classic near-dup image fingerprint). The
+    // oracle recomputes the identical hash from the generation
+    // formula; this side must recover it from the compressed bytes.
+    // Scale shape: pure per-row synth+decode at scan speed (the
+    // mm01/mm06 zero-exchange class), batched per partition.
+    "mm08_pixel_hash" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          MediaIn(id, if (text == null) null else mkPngPixels(text)) }
+      media.mapPartitions(_.withFilter(_.payload != null).flatMap(decodePixelHash))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame sampling: binary GIF payload → N frame rows, every field
     // parsed from the container bytes (image descriptor dims, GCE
     // delays, local-palette brightness), expanded per partition batch
@@ -638,6 +838,53 @@ object Multimodal {
         | CAST(64 + 16 * (instr('0123456789abcdef', substr(hx,3,1)) - 1) AS INT) AS height,
         | substr(hx, 1, 8) AS body8
         |FROM h ORDER BY doc_id""".stripMargin,
+    // mm08: the oracle recomputes the raster from the closed pixel
+    // formula (pixel(x,y) = (a·x + b·y + c) mod 256 over md5-derived
+    // w/ht/a/b/c) and derives the SAME 8×8 floor-mean average-hash —
+    // while the Spark side must inflate the real zlib IDAT and
+    // unfilter five filter types to recover those pixels. Static
+    // 0..30 series + x<w filter stands in for lateral generate_series
+    // (dims cap at 31); the hash packs row-major MSB-first as two
+    // 32-bit hex halves (printf lowercase zero-padded on both
+    // engines).
+    "mm08_pixel_hash" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |par AS (
+        | SELECT doc_id,
+        |  16 + (instr('0123456789abcdef', substr(hx,2,1)) - 1) AS w,
+        |  16 + (instr('0123456789abcdef', substr(hx,3,1)) - 1) AS ht,
+        |  1 + (instr('0123456789abcdef', substr(hx,4,1)) - 1) AS a,
+        |  1 + (instr('0123456789abcdef', substr(hx,5,1)) - 1) AS b,
+        |  16 * (instr('0123456789abcdef', substr(hx,6,1)) - 1)
+        |     + (instr('0123456789abcdef', substr(hx,7,1)) - 1) AS c
+        | FROM h),
+        |xs AS (SELECT unnest(generate_series(0, 30)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 30)) AS y),
+        |px AS (
+        | SELECT doc_id, w, ht, x, y, (a*x + b*y + c) % 256 AS v,
+        |  (y*8)//ht AS iy, (x*8)//w AS ix
+        | FROM par, xs, ys WHERE x < w AND y < ht),
+        |cells AS (
+        | SELECT doc_id, iy, ix, sum(v)//count(*) AS cv
+        | FROM px GROUP BY 1, 2, 3),
+        |cm AS (SELECT doc_id, sum(cv)//64 AS m FROM cells GROUP BY 1),
+        |bits AS (
+        | SELECT c.doc_id, c.iy*8 + c.ix AS k,
+        |  CASE WHEN c.cv >= cm.m THEN 1 ELSE 0 END AS bit
+        | FROM cells c JOIN cm USING (doc_id)),
+        |hsh AS (
+        | SELECT doc_id,
+        |  CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END) AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END) AS BIGINT) AS lo
+        | FROM bits GROUP BY 1),
+        |mp AS (
+        | SELECT doc_id, CAST(count(*) AS INT) AS n_px,
+        |  CAST(sum(v)//count(*) AS INT) AS mean_px
+        | FROM px GROUP BY 1)
+        |SELECT p.doc_id, CAST(p.w AS INT) AS width, CAST(p.ht AS INT) AS height,
+        | mp.n_px, mp.mean_px, printf('%08x%08x', hsh.hi, hsh.lo) AS ahash
+        |FROM par p JOIN mp USING (doc_id) JOIN hsh USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // GIF frames: count and per-frame dims/palette are md5-derived in
     // synthesis; the Spark side walks the real GIF blocks (GCE delay
     // 4 cs = 40 ms per frame → ts 40·i; brightness = mean RGB of the

@@ -51,6 +51,17 @@ class RobustnessSpec extends SparkSpec {
       Multimodal.decodeWav(in)
       Multimodal.decodeMp4(in)
       Multimodal.sampleFrames(in).toList
+      Multimodal.decodePixelHash(in)   // zlib + unfilter path included
+    }
+    // the pixel decoder's fuzz class: valid pixel-PNGs with bytes
+    // flipped INSIDE the zlib stream (Inflater errors route to None)
+    texts.map(Multimodal.mkPngPixels).foreach { p =>
+      val c = p.clone
+      (0 until 4).foreach(_ => c(40 + rnd.nextInt(c.length - 52)) = rnd.nextInt.toByte)
+      Multimodal.decodePixelHash(Multimodal.MediaIn(0L, c)) // must not throw
+      assert(Multimodal.decodePixelHash(
+        Multimodal.MediaIn(0L, p.take(p.length / 2))).isEmpty,
+        "truncated pixel stream must route out")
     }
     // every clean synthesized payload must parse back to its formula
     texts.foreach { t =>
@@ -66,6 +77,41 @@ class RobustnessSpec extends SparkSpec {
       val gif = Multimodal.sampleFrames(Multimodal.MediaIn(1L, Multimodal.mkGif(t))).size
       assert(gif == 2 + nib(h(3)) % 4)
     }
+  }
+
+  test("mm08 raster decode matches javax.imageio pixel-for-pixel (independent PNG decoder)") {
+    import graft.operators.Multimodal
+    // our inflate+unfilter pipeline cross-validated against the JDK's
+    // OWN PNG decoder on the same bytes — a fully independent oracle
+    // for the raster (the DuckDB oracle checks the closed formula;
+    // this checks the DECODER against a second implementation,
+    // including all five filter types every image exercises)
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 25).map(i => s"pix $i " + rnd.alphanumeric.take(rnd.nextInt(60)).mkString)
+    texts.foreach { t =>
+      val png = Multimodal.mkPngPixels(t)
+      val (w, ht, raster) = Multimodal.pngRaster(png)
+        .getOrElse(fail(s"own synthesis must decode: $t"))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null, "ImageIO must accept the synthesized PNG")
+      assert(img.getWidth == w && img.getHeight == ht)
+      for (y <- 0 until ht; x <- 0 until w) {
+        val ours = raster(y * w + x) & 0xff
+        val theirs = img.getRaster.getSample(x, y, 0)
+        assert(ours == theirs, s"pixel ($x,$y) of '$t': ours $ours vs imageio $theirs")
+      }
+    }
+    // and the closed pixel formula reproduces the raster (the oracle's
+    // premise, pinned here directly)
+    val t0 = texts.head
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(t0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def nib(c: Char) = "0123456789abcdef".indexOf(c)
+    val (w, ht, raster) = Multimodal.pngRaster(Multimodal.mkPngPixels(t0)).get
+    val (a, b, c) = (1 + nib(h(3)), 1 + nib(h(4)), 16 * nib(h(5)) + nib(h(6)))
+    assert(w == 16 + nib(h(1)) && ht == 16 + nib(h(2)))
+    for (y <- 0 until ht; x <- 0 until w)
+      assert((raster(y * w + x) & 0xff) == (a * x + b * y + c) % 256)
   }
 
   test("all queries complete on empty tables (schema preserved, zero rows)") {
