@@ -87,7 +87,8 @@ object DevProbe {
         "mm07_video_meta", "ts36_autocorr", "ts37_dow_profile",
         "ts38_week_over_week", "sp10_curriculum", "sp11_pack_audit",
         "sp12_interleave_mix", "px06_dataset_card", "ss32_ood_audit",
-        "ss33_pagerank", "tx30_vocab_coverage", "dd21_cluster_census")
+        "ss33_pagerank", "tx30_vocab_coverage", "dd21_cluster_census",
+        "tx32_ppl_tiers", "sp13_epoch_budget", "mm08_pixel_hash")
       // optional third arg: comma-separated subset of the list above
       val only = args.lift(2).map(_.split(",").toSet)
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
