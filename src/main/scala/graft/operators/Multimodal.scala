@@ -687,6 +687,67 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // IMAGE NEAR-DUP CLASS PAIRS over the decoded perceptual hashes —
+    // the multimodal twin of dd19's banded SimHash (image dedup is
+    // the multimodal pipeline's first real batch job). Docs first
+    // collapse to DISTINCT-hash classes (exact-dup images share a
+    // class; class size carries the duplicate mass — the dd01/dd21
+    // form), then each class's mm08 average-hash (recovered from the
+    // REAL compressed raster, never the formula) splits into four
+    // 16-bit pigeonhole bands; classes sharing any exact band key are
+    // candidates (hamming<=3 pairs differ in at most 3 bands, so at
+    // least one band matches — COMPLETE, the dd19 guarantee),
+    // verified by exact hamming over the full 64 bits. Why classes,
+    // not docs: a duplicate-dense corpus has QUADRATIC doc-level
+    // near-dup pairs by definition (the first form of this query
+    // measured exactly that artifact at 64x — identical-hash clusters
+    // of k docs contribute k² pairs); the class domain is
+    // APPEARANCE-bounded, so the band join's cost tracks distinct
+    // imagery, not corpus size. Scale shape: per-row decode at scan
+    // speed, one hash-keyed partial-agg'd collapse, a band-keyed
+    // equi-join over classes (never all-pairs), exact verify on
+    // candidates only. The dd19 saturation contract carries: 2^16
+    // band keys need the wider-band treatment past ~10^6 DISTINCT
+    // appearances.
+    "mm09_image_neardup" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          MediaIn(id, if (text == null) null else mkPngPixels(text)) }
+      val classes = media
+        .mapPartitions(_.withFilter(_.payload != null).flatMap(decodePixelHash))
+        .toDF()
+        .select(col("doc_id"),
+          conv(substring(col("ahash"), 1, 8), 16, 10).cast("long").as("hi"),
+          conv(substring(col("ahash"), 9, 8), 16, 10).cast("long").as("lo"))
+        .groupBy(col("hi"), col("lo"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+      val ex = classes.select(col("rep"), col("n_docs"), col("hi"), col("lo"),
+        posexplode(array(
+          shiftright(col("hi"), 16).bitwiseAND(lit(65535L)),
+          col("hi").bitwiseAND(lit(65535L)),
+          shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+          col("lo").bitwiseAND(lit(65535L)))).as(Seq("band", "bkey")))
+      val x = ex.select(col("band"), col("bkey"), col("rep").as("a"),
+        col("n_docs").as("n_a"), col("hi").as("hi_a"), col("lo").as("lo_a"))
+      val y = ex.select(col("band"), col("bkey"), col("rep").as("b"),
+        col("n_docs").as("n_b"), col("hi").as("hi_b"), col("lo").as("lo_b"))
+      x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared_bands"),
+          first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+          first(col("hi_a")).as("ha"), first(col("lo_a")).as("la"),
+          first(col("hi_b")).as("hb"), first(col("lo_b")).as("lb"))
+        .withColumn("hamming",
+          (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+            bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select(col("a"), col("b"), col("n_a"), col("n_b"),
+          col("shared_bands"), col("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Frame sampling: binary GIF payload → N frame rows, every field
     // parsed from the container bytes (image descriptor dims, GCE
     // delays, local-palette brightness), expanded per partition batch
@@ -885,6 +946,62 @@ object Multimodal {
         | mp.n_px, mp.mean_px, printf('%08x%08x', hsh.hi, hsh.lo) AS ahash
         |FROM par p JOIN mp USING (doc_id) JOIN hsh USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // mm09: the oracle reuses mm08's closed-formula hash CTE,
+    // collapses to distinct-hash classes, bands them identically
+    // (contiguous 16-bit halves of hi/lo), equi-joins band keys and
+    // verifies exact hamming via xor + bit_count — the Spark side
+    // must arrive at the same class pairs from hashes it recovered
+    // out of real zlib rasters.
+    "mm09_image_neardup" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |par AS (
+        | SELECT doc_id,
+        |  16 + (instr('0123456789abcdef', substr(hx,2,1)) - 1) AS w,
+        |  16 + (instr('0123456789abcdef', substr(hx,3,1)) - 1) AS ht,
+        |  1 + (instr('0123456789abcdef', substr(hx,4,1)) - 1) AS a,
+        |  1 + (instr('0123456789abcdef', substr(hx,5,1)) - 1) AS b,
+        |  16 * (instr('0123456789abcdef', substr(hx,6,1)) - 1)
+        |     + (instr('0123456789abcdef', substr(hx,7,1)) - 1) AS c
+        | FROM h),
+        |xs AS (SELECT unnest(generate_series(0, 30)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 30)) AS y),
+        |px AS (
+        | SELECT doc_id, w, ht, x, y, (a*x + b*y + c) % 256 AS v,
+        |  (y*8)//ht AS iy, (x*8)//w AS ix
+        | FROM par, xs, ys WHERE x < w AND y < ht),
+        |cells AS (
+        | SELECT doc_id, iy, ix, sum(v)//count(*) AS cv
+        | FROM px GROUP BY 1, 2, 3),
+        |cm AS (SELECT doc_id, sum(cv)//64 AS m FROM cells GROUP BY 1),
+        |bits AS (
+        | SELECT c.doc_id, c.iy*8 + c.ix AS k,
+        |  CASE WHEN c.cv >= cm.m THEN 1 ELSE 0 END AS bit
+        | FROM cells c JOIN cm USING (doc_id)),
+        |hsh AS (
+        | SELECT doc_id,
+        |  CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END) AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END) AS BIGINT) AS lo
+        | FROM bits GROUP BY 1),
+        |cls AS (
+        | SELECT hi, lo, CAST(min(doc_id) AS BIGINT) AS rep,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        | FROM hsh GROUP BY 1, 2),
+        |bands AS (
+        | SELECT rep, n_docs, hi, lo, k AS band,
+        |  CASE k WHEN 0 THEN (hi >> 16) & 65535 WHEN 1 THEN hi & 65535
+        |         WHEN 2 THEN (lo >> 16) & 65535 ELSE lo & 65535 END AS bkey
+        | FROM cls, (SELECT unnest(generate_series(0, 3)) AS k) t),
+        |cand AS (
+        | SELECT x.rep AS a, y.rep AS b,
+        |  CAST(count(*) AS BIGINT) AS shared_bands
+        | FROM bands x JOIN bands y
+        |   ON x.band = y.band AND x.bkey = y.bkey AND x.rep < y.rep
+        | GROUP BY 1, 2)
+        |SELECT c.a, c.b, ca.n_docs AS n_a, cb.n_docs AS n_b, c.shared_bands,
+        | CAST(bit_count(xor(ca.hi, cb.hi)) + bit_count(xor(ca.lo, cb.lo)) AS INT) AS hamming
+        |FROM cand c JOIN cls ca ON ca.rep = c.a JOIN cls cb ON cb.rep = c.b
+        |WHERE bit_count(xor(ca.hi, cb.hi)) + bit_count(xor(ca.lo, cb.lo)) <= 3
+        |ORDER BY a, b""".stripMargin,
     // GIF frames: count and per-frame dims/palette are md5-derived in
     // synthesis; the Spark side walks the real GIF blocks (GCE delay
     // 4 cs = 40 ms per frame → ts 40·i; brightness = mean RGB of the

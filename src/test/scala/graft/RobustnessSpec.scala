@@ -79,6 +79,45 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("mm09 banding is COMPLETE and sound: pair set equals brute-force hamming<=3") {
+    import graft.operators.Multimodal
+    // decode every corpus image's hash, brute-force all pairs, and
+    // require the banded query to return EXACTLY the hamming<=3 set —
+    // completeness is the pigeonhole guarantee (<=3 flipped bits
+    // leave one of four 16-bit bands intact), soundness is the exact
+    // verify. Brute force is test-only (n² on 200 docs).
+    val texts = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val hashes = texts.map { case (id, t) =>
+      val m = Multimodal.decodePixelHash(
+        Multimodal.MediaIn(id, Multimodal.mkPngPixels(t))).get
+      val hi = java.lang.Long.parseLong(m.ahash.substring(0, 8), 16)
+      val lo = java.lang.Long.parseLong(m.ahash.substring(8, 16), 16)
+      (id, (hi << 32) | lo)
+    }
+    // collapse to distinct-hash classes keyed by min doc (the query's
+    // rep), then brute-force hamming over the CLASS domain
+    val classes = hashes.groupBy(_._2).map { case (h, xs) =>
+      (xs.map(_._1).min, h, xs.length.toLong) }.toSeq
+    val brute = (for {
+      (a, ha, _) <- classes; (b, hb, _) <- classes if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val got = SparkEntry.queries("mm09_image_neardup")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == brute,
+      s"banded minus brute: ${(got.keySet -- brute).take(5)}; missed: ${(brute -- got.keySet).take(5)}")
+    assert(brute.nonEmpty, "fixture sanity: the corpus must contain near-dup hash classes")
+    // class sizes carried correctly (the duplicate-mass contract)
+    val sizeOf = classes.map(c => c._1 -> c._3).toMap
+    got.foreach { case ((a, b), (na, nb)) =>
+      assert(na == sizeOf(a) && nb == sizeOf(b), s"class sizes of ($a,$b)")
+    }
+    assert(classes.exists(_._3 > 1L),
+      "fixture sanity: at least one exact-dup image class")
+  }
+
   test("mm08 raster decode matches javax.imageio pixel-for-pixel (independent PNG decoder)") {
     import graft.operators.Multimodal
     // our inflate+unfilter pipeline cross-validated against the JDK's
