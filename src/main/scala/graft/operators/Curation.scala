@@ -345,6 +345,73 @@ object Curation {
         .orderBy(col("source"), col("quartile"))
     }),
 
+    // GOPHER-STYLE RULE GATE with funnel attribution (Rae et al. 2021
+    // Table A1 — the named rule battery every curation pipeline
+    // publishes as its filter-ablation table; tx02 scores docs, this
+    // gates the corpus and ATTRIBUTES the kills): an ordered battery
+    // of five document rules — word-count bounds, mean-word-length
+    // bounds, minimum stopword evidence, top-word dominance, and
+    // type-token diversity — reporting per rule both the SEQUENTIAL
+    // kill (docs failing here that survived every earlier rule — the
+    // number the funnel loses at this stage) and the MARGINAL kill
+    // (docs failing the rule regardless of order — the ablation
+    // number), plus the survivor row. Every metric is integer milli
+    // (the tx02 discipline); dominance is a per-row run-length fold
+    // over the doc's own sorted tokens (the tx05/tx28 zero-exchange
+    // pattern — never an explode + per-doc rank). Scale shape: ONE
+    // corpus scan folds per-doc flags at scan speed, a single
+    // map-side-combinable agg collapses to one row, and the rule
+    // table is a 6-row stack of that row — zero corpus-sized
+    // exchanges, output fixed at the rule domain.
+    "tx33_gopher_gate" -> ((s, d) => {
+      val acc0 = struct(lit("").as("p"), lit(0L).as("rl"), lit(0L).as("mx"))
+      val domFold = aggregate(array_sort(col("toks")), acc0,
+        (a, x) => when(x === a.getField("p"),
+            struct(a.getField("p").as("p"), (a.getField("rl") + 1L).as("rl"),
+              greatest(a.getField("mx"), a.getField("rl") + 1L).as("mx")))
+          .otherwise(struct(x.as("p"), lit(1L).as("rl"),
+            greatest(a.getField("mx"), lit(1L)).as("mx"))),
+        a => a.getField("mx"))
+      val flags = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"),
+          length(col("text")).cast("long").as("lc"))
+        .withColumn("nw", size(col("toks")).cast("long"))
+        .withColumn("awl", expr("((lc - nw + 1) * 1000) DIV nw"))
+        .withColumn("nstop", size(filter(col("toks"),
+          x => x.isin("the", "a", "of", "and", "to", "in", "is", "it"))).cast("long"))
+        .withColumn("mxc", domFold)
+        .withColumn("dom", expr("(mxc * 1000) DIV nw"))
+        .withColumn("ttr", expr("(CAST(size(array_distinct(toks)) AS BIGINT) * 1000) DIV nw"))
+        .select(col("doc_id"),
+          (col("nw") < 30 || col("nw") > 90).as("f1"),
+          (col("awl") < 4300 || col("awl") > 4700).as("f2"),
+          (col("nstop") < 2).as("f3"),
+          (col("dom") > 120).as("f4"),
+          (col("ttr") < 380).as("f5"))
+      flags.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("f1"), 1L).otherwise(0L)).as("s1"),
+          sum(when(!col("f1") && col("f2"), 1L).otherwise(0L)).as("s2"),
+          sum(when(!col("f1") && !col("f2") && col("f3"), 1L).otherwise(0L)).as("s3"),
+          sum(when(!col("f1") && !col("f2") && !col("f3") && col("f4"), 1L).otherwise(0L)).as("s4"),
+          sum(when(!col("f1") && !col("f2") && !col("f3") && !col("f4") && col("f5"), 1L).otherwise(0L)).as("s5"),
+          sum(when(col("f2"), 1L).otherwise(0L)).as("m2"),
+          sum(when(col("f3"), 1L).otherwise(0L)).as("m3"),
+          sum(when(col("f4"), 1L).otherwise(0L)).as("m4"),
+          sum(when(col("f5"), 1L).otherwise(0L)).as("m5"))
+        .selectExpr("""stack(6,
+            1, 'word_count',    n0,                          s1, s1,
+            2, 'mean_word_len', n0 - s1,                     s2, m2,
+            3, 'stopwords',     n0 - s1 - s2,                s3, m3,
+            4, 'dominance',     n0 - s1 - s2 - s3,           s4, m4,
+            5, 'diversity',     n0 - s1 - s2 - s3 - s4,      s5, m5,
+            6, 'survivors',     n0 - s1 - s2 - s3 - s4 - s5, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+          ) AS (rule_ord, rule, n_checked, n_fail, n_fail_marginal)""")
+        .withColumn("fail_milli",
+          expr("CASE WHEN n_checked > 0 THEN (n_fail * 1000) DIV n_checked ELSE 0 END"))
+        .orderBy(col("rule_ord"))
+    }),
+
     // Heavy hitters via the native Misra-Gries aggregate
     // (functions/MisraGriesAgg.scala) — tx12's vocab question at the
     // scale where even the distinct-term shuffle is the cost: the MG
@@ -1311,6 +1378,56 @@ object Curation {
         |FROM w LEFT JOIN contam c ON w.doc_id = c.doc_id
         |WHERE w.split <> 'train'
         |GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    // tx33: the oracle recomputes the five per-doc rules (dominance
+    // via a plain explode + per-doc max — oracle-side only) and the
+    // same sequential/marginal rollup, emitting the rule table as a
+    // UNION ALL over the one-row aggregate.
+    "tx33_gopher_gate" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(length(text) AS BIGINT) AS lc,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+        | FROM documents),
+        |dom AS (
+        | SELECT doc_id, CAST(max(c) AS BIGINT) AS mxc FROM (
+        |   SELECT doc_id, w, count(*) AS c
+        |   FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2)
+        | GROUP BY 1),
+        |f AS (
+        | SELECT t.doc_id,
+        |  (t.nw < 30 OR t.nw > 90) AS f1,
+        |  (((t.lc - t.nw + 1) * 1000) // t.nw < 4300
+        |    OR ((t.lc - t.nw + 1) * 1000) // t.nw > 4700) AS f2,
+        |  (len(list_filter(t.toks,
+        |     x -> x IN ('the','a','of','and','to','in','is','it'))) < 2) AS f3,
+        |  ((d.mxc * 1000) // t.nw > 120) AS f4,
+        |  ((CAST(len(list_distinct(t.toks)) AS BIGINT) * 1000) // t.nw < 380) AS f5
+        | FROM t JOIN dom d USING (doc_id)),
+        |g AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |  CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+        |  CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+        |  CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS s5,
+        |  CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+        |  CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+        |  CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS m4,
+        |  CAST(sum(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS m5
+        | FROM f),
+        |r AS (
+        | SELECT CAST(1 AS INT) AS rule_ord, 'word_count' AS rule,
+        |   n0 AS n_checked, s1 AS n_fail, s1 AS n_fail_marginal FROM g
+        | UNION ALL SELECT 2, 'mean_word_len', n0 - s1, s2, m2 FROM g
+        | UNION ALL SELECT 3, 'stopwords', n0 - s1 - s2, s3, m3 FROM g
+        | UNION ALL SELECT 4, 'dominance', n0 - s1 - s2 - s3, s4, m4 FROM g
+        | UNION ALL SELECT 5, 'diversity', n0 - s1 - s2 - s3 - s4, s5, m5 FROM g
+        | UNION ALL SELECT 6, 'survivors', n0 - s1 - s2 - s3 - s4 - s5,
+        |   CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM g)
+        |SELECT rule_ord, rule, n_checked, n_fail, n_fail_marginal,
+        | CASE WHEN n_checked > 0 THEN (n_fail * 1000) // n_checked
+        |      ELSE 0 END AS fail_milli
+        |FROM r ORDER BY rule_ord""".stripMargin,
     "tx14_quality_quartiles" ->
       """WITH bg AS (
         | SELECT doc_id, source,

@@ -329,6 +329,44 @@ object Multimodal {
         f"$hi%08x$lo%08x")
     }
 
+  /** Decoded PIXEL STATISTICS (mm10) — the image-QA signal battery
+    * (near-black / blown-out / flat / low-detail screens), every field
+    * from the same real raster decode as mm08. */
+  case class PixelStats(doc_id: Long, width: Int, height: Int,
+                        min_px: Int, max_px: Int, contrast: Int,
+                        mean_px: Int, var_milli: Long, grad_milli: Long)
+
+  /** mm10's batch kernel: raster decode + exact integer image QA
+    * stats — min/max/contrast, floor-mean, population variance in
+    * milli ((n·Σv² − S²)·1000 DIV n² — all longs: n ≤ 961 so
+    * n·Σv²·1000 ≤ ~6·10¹³), and the mean absolute HORIZONTAL
+    * GRADIENT in milli (Σ|v(x+1,y) − v(x,y)|·1000 DIV (ht·(w−1)) —
+    * the classic flat-vs-detailed sharpness proxy; w ≥ 16 so the
+    * denominator never vanishes). The DuckDB oracle recomputes every
+    * figure from the closed pixel formula; this side recovers the
+    * raster from real zlib. */
+  private[graft] def decodePixelStats(in: MediaIn): Option[PixelStats] =
+    pngRaster(in.payload).map { case (w, ht, px) =>
+      var mn = 255; var mx = 0; var s = 0L; var s2 = 0L; var g = 0L
+      var y = 0
+      while (y < ht) {
+        var x = 0
+        while (x < w) {
+          val v = px(y * w + x) & 0xff
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          s += v; s2 += v.toLong * v
+          if (x > 0) g += math.abs(v - (px(y * w + x - 1) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w * ht).toLong
+      PixelStats(in.doc_id, w, ht, mn, mx, mx - mn, (s / n).toInt,
+        (n * s2 - s * s) * 1000 / (n * n),
+        g * 1000 / (ht.toLong * (w - 1)))
+    }
+
   /** Decoded audio metadata — every field parsed from the RIFF/WAVE
     * bytes (fmt chunk: LE u16 channels + bits, LE u32 sample rate;
     * data chunk size → exact integer duration). */
@@ -687,6 +725,28 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // IMAGE QA STATISTICS from the decoded raster — the pixel-level
+    // quality gate a multimodal ingest runs right after mm08's decode
+    // (drop near-black frames, blown-out scans, flat single-color
+    // screens, low-detail placeholders): min/max/contrast, floor
+    // mean, exact integer population variance (milli), and the mean
+    // absolute horizontal gradient (milli — the flat-vs-detailed
+    // sharpness proxy). Every figure is integer arithmetic over REAL
+    // decoded pixels (zlib inflate + five-filter unfilter, the mm08
+    // path); the oracle recomputes all of them from the closed pixel
+    // formula. Scale shape: pure per-row decode+fold at scan speed —
+    // the mm01/mm06/mm08 zero-exchange class.
+    "mm10_pixel_stats" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          MediaIn(id, if (text == null) null else mkPngPixels(text)) }
+      media.mapPartitions(_.withFilter(_.payload != null).flatMap(decodePixelStats))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // IMAGE NEAR-DUP CLASS PAIRS over the decoded perceptual hashes —
     // the multimodal twin of dd19's banded SimHash (image dedup is
     // the multimodal pipeline's first real batch job). Docs first
@@ -946,6 +1006,45 @@ object Multimodal {
         | mp.n_px, mp.mean_px, printf('%08x%08x', hsh.hi, hsh.lo) AS ahash
         |FROM par p JOIN mp USING (doc_id) JOIN hsh USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // mm10: the oracle recomputes min/max/mean/variance/gradient from
+    // the closed pixel formula (mm08's px CTE); the horizontal
+    // gradient pairs each pixel with its left neighbor via an
+    // (doc_id, y, x+1) self-join. All figures integer — variance as
+    // (n·Σv² − S²)·1000 // n², gradient as Σ|Δ|·1000 // (ht·(w−1)).
+    "mm10_pixel_stats" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |par AS (
+        | SELECT doc_id,
+        |  16 + (instr('0123456789abcdef', substr(hx,2,1)) - 1) AS w,
+        |  16 + (instr('0123456789abcdef', substr(hx,3,1)) - 1) AS ht,
+        |  1 + (instr('0123456789abcdef', substr(hx,4,1)) - 1) AS a,
+        |  1 + (instr('0123456789abcdef', substr(hx,5,1)) - 1) AS b,
+        |  16 * (instr('0123456789abcdef', substr(hx,6,1)) - 1)
+        |     + (instr('0123456789abcdef', substr(hx,7,1)) - 1) AS c
+        | FROM h),
+        |xs AS (SELECT unnest(generate_series(0, 30)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 30)) AS y),
+        |px AS (
+        | SELECT doc_id, w, ht, x, y, (a*x + b*y + c) % 256 AS v
+        | FROM par, xs, ys WHERE x < w AND y < ht),
+        |st AS (
+        | SELECT doc_id, min(v) AS mn, max(v) AS mx,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+        |  CAST(sum(v*v) AS BIGINT) AS s2
+        | FROM px GROUP BY 1),
+        |grad AS (
+        | SELECT p1.doc_id, CAST(sum(abs(p2.v - p1.v)) AS BIGINT) AS g
+        | FROM px p1 JOIN px p2
+        |   ON p2.doc_id = p1.doc_id AND p2.y = p1.y AND p2.x = p1.x + 1
+        | GROUP BY 1)
+        |SELECT s.doc_id, CAST(p.w AS INT) AS width, CAST(p.ht AS INT) AS height,
+        | CAST(s.mn AS INT) AS min_px, CAST(s.mx AS INT) AS max_px,
+        | CAST(s.mx - s.mn AS INT) AS contrast,
+        | CAST(s.s // s.n AS INT) AS mean_px,
+        | CAST(((s.n * s.s2 - s.s * s.s) * 1000) // (s.n * s.n) AS BIGINT) AS var_milli,
+        | CAST((g.g * 1000) // (p.ht * (p.w - 1)) AS BIGINT) AS grad_milli
+        |FROM st s JOIN par p USING (doc_id) JOIN grad g USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
     // mm09: the oracle reuses mm08's closed-formula hash CTE,
     // collapses to distinct-hash classes, bands them identically
     // (contiguous 16-bit halves of hi/lo), equi-joins band keys and

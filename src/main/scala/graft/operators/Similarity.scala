@@ -159,6 +159,62 @@ object Similarity {
       oodAuditOf(emb(s, d), qMilli = 950)
         .orderBy(col("cell"), col("qd").desc, col("vec_id"))),
 
+    // EMBEDDING DRIFT MONITOR — the distribution-shift report every
+    // embedding pipeline runs between a reference snapshot and the
+    // current batch (retrain-the-index / retrain-the-quantizer
+    // trigger, ss16's pqDriftMonitor generalized from codebook fit to
+    // the raw distribution; the TFX/Evidently drift-detection staple):
+    // vectors split deterministically into reference (even vec_id)
+    // and current (odd) halves — the interleaved-snapshot split — and
+    // land in 16 SIGN-PATTERN CELLS (sign bits of dims 1-4, the ss07
+    // hyperplane-bucket form with axis planes). Per cell: both halves'
+    // populations, occupancy shares in integer milli, the absolute
+    // share SHIFT (population drift), and the L1 displacement of the
+    // per-cell mean in centi-units (centroid drift — means as
+    // qsum DIV n over floor(x·100 + 0.5) quantized coordinates, the
+    // mm03 quantization; truncating division identical in both
+    // engines on negative sums). Cells with an empty half report NULL
+    // displacement (honest: no mean to compare). Scale shape: ONE
+    // corpus scan partial-aggs into the fixed 16-cell domain (8
+    // conditional integer sums ride the same agg); totals are a 1-row
+    // broadcast over the 16-row frame — zero corpus-keyed shuffles.
+    "ss35_embed_drift" -> ((s, d) => {
+      val cell = (1 to 4).map(i =>
+        when(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") >= 0.0,
+          lit(1 << (i - 1))).otherwise(lit(0))).reduce(_ + _).cast("int")
+      val base = emb(s, d)
+        .withColumn("cell", cell)
+        .withColumn("is_new", col("vec_id") % 2 === 1)
+      val qCols = (1 to 4).map(i => expr(
+        s"CAST(floor(CAST(element_at(embedding, $i) AS DOUBLE) * 100 + 0.5) AS BIGINT)")
+        .as(s"q$i"))
+      val quant = base.select(Seq(col("cell"), col("is_new")) ++ qCols: _*)
+      val aggs =
+        Seq(sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_old"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new")) ++
+        (1 to 4).flatMap(i => Seq(
+          sum(when(!col("is_new"), col(s"q$i")).otherwise(0L)).as(s"qo$i"),
+          sum(when(col("is_new"), col(s"q$i")).otherwise(0L)).as(s"qn$i")))
+      val cells = quant.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint(false)
+      val tot = cells.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("share_old_milli", expr("(n_old * 1000) DIV t_old"))
+        .withColumn("share_new_milli", expr("(n_new * 1000) DIV t_new"))
+        .withColumn("shift_milli", abs(col("share_new_milli") - col("share_old_milli")))
+        .withColumn("disp_centi", expr(
+          """CASE WHEN n_old > 0 AND n_new > 0 THEN
+            |  abs(qn1 DIV n_new - qo1 DIV n_old) + abs(qn2 DIV n_new - qo2 DIV n_old)
+            |  + abs(qn3 DIV n_new - qo3 DIV n_old) + abs(qn4 DIV n_new - qo4 DIV n_old)
+            |ELSE NULL END""".stripMargin))
+        .withColumn("drifted",
+          col("shift_milli") > 20 || coalesce(col("disp_centi"), lit(0L)) > 50)
+        .select(col("cell"), col("n_old"), col("n_new"),
+          col("share_old_milli"), col("share_new_milli"),
+          col("shift_milli"), col("disp_centi"), col("drifted"))
+        .orderBy(col("cell"))
+    }),
+
     // IVF NPROBE TUNING CURVE — ss17's IVF-side twin (that one audits
     // LSH table counts, this audits the recall-vs-cost knob every IVF
     // deployment tunes): recall@10 and candidate volume at nprobe ∈
@@ -2169,6 +2225,53 @@ object Similarity {
         | FROM nodes n LEFT JOIN c2 ON c2.dst = n.vec_id)
         |SELECT vec_id, r AS rank_micro FROM r2
         |ORDER BY rank_micro DESC, vec_id LIMIT 50""".stripMargin,
+    // ss35: sign-pattern cells, quantized per-cell means and the
+    // share/displacement arithmetic recomputed over the same parquet
+    // floats; empty-half cells yield NULL displacement in both
+    // engines.
+    "ss35_embed_drift" ->
+      """WITH b AS (
+        | SELECT vec_id, (vec_id % 2 = 1) AS is_new,
+        |  CAST((CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0.0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0.0 THEN 2 ELSE 0 END)
+        |   + (CASE WHEN CAST(embedding[3] AS DOUBLE) >= 0.0 THEN 4 ELSE 0 END)
+        |   + (CASE WHEN CAST(embedding[4] AS DOUBLE) >= 0.0 THEN 8 ELSE 0 END) AS INT) AS cell,
+        |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 100 + 0.5) AS BIGINT) AS q1,
+        |  CAST(floor(CAST(embedding[2] AS DOUBLE) * 100 + 0.5) AS BIGINT) AS q2,
+        |  CAST(floor(CAST(embedding[3] AS DOUBLE) * 100 + 0.5) AS BIGINT) AS q3,
+        |  CAST(floor(CAST(embedding[4] AS DOUBLE) * 100 + 0.5) AS BIGINT) AS q4
+        | FROM embeddings),
+        |cells AS (
+        | SELECT cell,
+        |  CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN NOT is_new THEN q1 ELSE 0 END) AS BIGINT) AS qo1,
+        |  CAST(sum(CASE WHEN is_new THEN q1 ELSE 0 END) AS BIGINT) AS qn1,
+        |  CAST(sum(CASE WHEN NOT is_new THEN q2 ELSE 0 END) AS BIGINT) AS qo2,
+        |  CAST(sum(CASE WHEN is_new THEN q2 ELSE 0 END) AS BIGINT) AS qn2,
+        |  CAST(sum(CASE WHEN NOT is_new THEN q3 ELSE 0 END) AS BIGINT) AS qo3,
+        |  CAST(sum(CASE WHEN is_new THEN q3 ELSE 0 END) AS BIGINT) AS qn3,
+        |  CAST(sum(CASE WHEN NOT is_new THEN q4 ELSE 0 END) AS BIGINT) AS qo4,
+        |  CAST(sum(CASE WHEN is_new THEN q4 ELSE 0 END) AS BIGINT) AS qn4
+        | FROM b GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+        |  CAST(sum(n_new) AS BIGINT) AS t_new FROM cells),
+        |rep AS (
+        | SELECT cell, n_old, n_new,
+        |  (n_old * 1000) // t_old AS share_old_milli,
+        |  (n_new * 1000) // t_new AS share_new_milli,
+        |  CASE WHEN n_old > 0 AND n_new > 0 THEN
+        |    abs(qn1 // n_new - qo1 // n_old) + abs(qn2 // n_new - qo2 // n_old)
+        |    + abs(qn3 // n_new - qo3 // n_old) + abs(qn4 // n_new - qo4 // n_old)
+        |  ELSE NULL END AS disp_centi
+        | FROM cells, tot)
+        |SELECT cell, n_old, n_new, share_old_milli, share_new_milli,
+        | abs(share_new_milli - share_old_milli) AS shift_milli,
+        | disp_centi,
+        | (abs(share_new_milli - share_old_milli) > 20
+        |  OR COALESCE(disp_centi, 0) > 50) AS drifted
+        |FROM rep ORDER BY cell""".stripMargin,
     "ss32_ood_audit" ->
       """WITH ex AS (
         | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,

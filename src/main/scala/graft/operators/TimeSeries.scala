@@ -1009,6 +1009,50 @@ object TimeSeries {
           .agg(count(lit(1)).as("n_events")))
         .orderBy(col("event_type"), col("wk"))),
 
+    // THEIL–SEN ROBUST TREND per event-type daily series (Theil 1950 /
+    // Sen 1968 — the median-of-pairwise-slopes estimator behind
+    // "is this metric trending" monitors: unlike the OLS slope it
+    // shrugs off the outlier days ts15 flags, with a 29% breakdown
+    // point). ENGINE-EXACT: every pair (day i < day j) contributes
+    // slope = (x_j − x_i)·1000 DIV (d_j − d_i) in integer milli
+    // (truncating division — identical on negative numerators in both
+    // engines, the ts36/ts38 discipline), and the reported trend is
+    // the LOWER MEDIAN: the value at 1-based position (n_pairs+1) DIV 2
+    // of the sorted slope multiset — a deterministic VALUE even when
+    // row_number breaks slope ties arbitrarily. Scale shape: ONE
+    // corpus scan partial-aggs into the (type × day) domain
+    // (calendar-bounded at any corpus size — checkpointed, three
+    // consumers: both pair sides + the per-type day census); the pair
+    // self-join, median window, and classification all run on that
+    // |days|²-per-type frame (≤ ~10^5 rows at a decade of days),
+    // never corpus rows.
+    "ts39_theil_sen" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("event_type"), expr("epoch_s DIV 86400").as("dn"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint(false)
+      val pairs = daily.select(col("event_type"), col("dn").as("d1"), col("x").as("x1"))
+        .join(daily.select(col("event_type"), col("dn").as("d2"), col("x").as("x2")),
+          Seq("event_type"))
+        .filter(col("d2") > col("d1"))
+        .select(col("event_type"), expr("((x2 - x1) * 1000) DIV (d2 - d1)").as("slope_milli"))
+      val w = Window.partitionBy(col("event_type"))
+      val med = pairs
+        .withColumn("rn", row_number().over(w.orderBy(col("slope_milli"))))
+        .withColumn("n_pairs", count(lit(1)).over(w))
+        .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
+        .select(col("event_type"), col("n_pairs"), col("slope_milli"))
+      val census = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("n_events"))
+      census.join(med, "event_type")
+        .select(col("event_type"), col("n_days"), col("n_events"),
+          col("n_pairs"), col("slope_milli"),
+          when(col("slope_milli") > 0, lit("up"))
+            .when(col("slope_milli") < 0, lit("down"))
+            .otherwise(lit("flat")).as("trend"))
+        .orderBy(col("event_type"))
+    }),
+
     // TRAFFIC CALENDAR PROFILE — the day-of-week × hour activity
     // heatmap behind ops dashboards (capacity planning, anomaly
     // baselines, release-window picks), with each weekday's peak hour
@@ -1513,6 +1557,38 @@ object TimeSeries {
         | CAST(((c.n_events - p.n_events) * 1000) // p.n_events AS BIGINT) AS growth_milli
         |FROM w c JOIN w p ON p.event_type = c.event_type AND p.wk = c.wk - 1
         |ORDER BY c.event_type, c.wk""".stripMargin,
+    // ts39: the lower-median slope value is deterministic under ties
+    // (we select the VALUE at the sorted position, not the row), so
+    // row_number's arbitrary tie order is immaterial; DuckDB's
+    // integer // truncates toward zero like Spark DIV on the signed
+    // slope numerators.
+    "ts39_theil_sen" ->
+      """WITH daily AS (
+        | SELECT event_type, (epoch_us(ts) // 1000000) // 86400 AS dn,
+        |  CAST(count(*) AS BIGINT) AS x
+        | FROM events GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT a.event_type,
+        |  CAST(((b.x - a.x) * 1000) // (b.dn - a.dn) AS BIGINT) AS slope_milli
+        | FROM daily a JOIN daily b
+        |   ON b.event_type = a.event_type AND b.dn > a.dn),
+        |ranked AS (
+        | SELECT event_type, slope_milli,
+        |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY slope_milli) AS BIGINT) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+        | FROM pairs),
+        |med AS (
+        | SELECT event_type, n_pairs, slope_milli FROM ranked
+        | WHERE rn = (n_pairs + 1) // 2),
+        |census AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(x) AS BIGINT) AS n_events
+        | FROM daily GROUP BY 1)
+        |SELECT c.event_type, c.n_days, c.n_events, m.n_pairs, m.slope_milli,
+        | CASE WHEN m.slope_milli > 0 THEN 'up'
+        |      WHEN m.slope_milli < 0 THEN 'down' ELSE 'flat' END AS trend
+        |FROM census c JOIN med m USING (event_type)
+        |ORDER BY c.event_type""".stripMargin,
     "ts37_dow_profile" ->
       """WITH b AS (
         | SELECT CAST((((epoch_us(ts) // 1000000) // 86400 + 4) % 7) AS INT) AS dow,

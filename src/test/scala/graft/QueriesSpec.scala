@@ -1106,6 +1106,110 @@ class QueriesSpec extends SparkSpec {
       "bands must stay below 2^32 — no sign-bit hazard")))
   }
 
+  test("ts39 Theil-Sen equals a first-principles recompute per event_type") {
+    // brute-force the estimator in the driver: daily counts, all
+    // pairwise slopes in integer milli (truncating division), the
+    // LOWER MEDIAN as the value at 1-based position (n+1) DIV 2
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("long").as("es"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 86400))
+    val byType = events.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.groupBy(_._2).map { case (d, ys) => (d, ys.length.toLong) }.toSeq.sortBy(_._1)
+    }
+    val got = SparkEntry.queries("ts39_theil_sen")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, daily) =>
+      val slopes = (for {
+        (Seq((d1, x1), (d2, x2))) <- daily.combinations(2)
+      } yield (x2 - x1) * 1000 / (d2 - d1)).toSeq.sorted
+      val median = slopes((slopes.size + 1) / 2 - 1)
+      val r = got(t)
+      assert(r.getAs[Long]("n_days") == daily.size.toLong, s"$t n_days")
+      assert(r.getAs[Long]("n_pairs") == slopes.size.toLong, s"$t n_pairs")
+      assert(r.getAs[Long]("slope_milli") == median,
+        s"$t slope: got ${r.getAs[Long]("slope_milli")} vs brute $median")
+      val trend = if (median > 0) "up" else if (median < 0) "down" else "flat"
+      assert(r.getAs[String]("trend") == trend)
+    }
+  }
+
+  test("tx33 gopher gate: funnel conserves docs and marginals recompute from the rules") {
+    val rows = SparkEntry.queries("tx33_gopher_gate")(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("rule_ord"))
+    assert(rows.map(_.getAs[String]("rule")).toSeq ==
+      Seq("word_count", "mean_word_len", "stopwords", "dominance", "diversity", "survivors"))
+    // the funnel chain: each stage checks exactly the previous
+    // stage's survivors, and the survivor row closes the telescope
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_checked") ==
+        a.getAs[Long]("n_checked") - a.getAs[Long]("n_fail"),
+        s"chain broken at ${b.getAs[String]("rule")}")
+    }
+    assert(rows.last.getAs[Long]("n_fail") == 0L)
+    // first-principles recompute of every per-doc rule in the driver
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    val flags = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val nw = toks.length.toLong
+        val lc = r.getString(1).length.toLong
+        val awl = (lc - nw + 1) * 1000 / nw
+        val dom = toks.groupBy(identity).values.map(_.length).max.toLong * 1000 / nw
+        val ttr = toks.distinct.length.toLong * 1000 / nw
+        (nw < 30 || nw > 90, awl < 4300 || awl > 4700,
+          toks.count(stop) < 2, dom > 120, ttr < 380)
+      }
+    val marginal = Seq(flags.count(_._1), flags.count(_._2), flags.count(_._3),
+      flags.count(_._4), flags.count(_._5)).map(_.toLong)
+    assert(rows.take(5).map(_.getAs[Long]("n_fail_marginal")).toSeq == marginal)
+    val seq1 = flags.count(_._1).toLong
+    val seq2 = flags.count(f => !f._1 && f._2).toLong
+    val seq3 = flags.count(f => !f._1 && !f._2 && f._3).toLong
+    assert(rows(0).getAs[Long]("n_fail") == seq1)
+    assert(rows(1).getAs[Long]("n_fail") == seq2)
+    assert(rows(2).getAs[Long]("n_fail") == seq3)
+    val survivors = flags.count(f => !f._1 && !f._2 && !f._3 && !f._4 && !f._5).toLong
+    assert(rows.last.getAs[Long]("n_checked") == survivors)
+    assert(survivors > 0 && survivors < flags.length,
+      "fixture sanity: the battery must gate a non-trivial fraction")
+  }
+
+  test("ss35 embed drift equals a first-principles recompute over the parquet floats") {
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def q(x: Float): Long = math.floor(x.toDouble * 100 + 0.5).toLong
+    val byCell = vecs.groupBy { case (_, e) =>
+      (0 until 4).map(i => if (e(i).toDouble >= 0.0) 1 << i else 0).sum }
+    val tOld = vecs.count(_._1 % 2 == 0).toLong
+    val tNew = vecs.length - tOld
+    val got = SparkEntry.queries("ss35_embed_drift")(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("cell") -> r).toMap
+    assert(got.keySet == byCell.keySet.map(identity))
+    byCell.foreach { case (cell, xs) =>
+      val (olds, news) = xs.partition(_._1 % 2 == 0)
+      val r = got(cell)
+      assert(r.getAs[Long]("n_old") == olds.length.toLong)
+      assert(r.getAs[Long]("n_new") == news.length.toLong)
+      assert(r.getAs[Long]("share_old_milli") == olds.length.toLong * 1000 / tOld)
+      assert(r.getAs[Long]("share_new_milli") == news.length.toLong * 1000 / tNew)
+      if (olds.nonEmpty && news.nonEmpty) {
+        val disp = (0 until 4).map { i =>
+          val mo = olds.map(v => q(v._2(i))).sum / olds.length
+          val mn = news.map(v => q(v._2(i))).sum / news.length
+          math.abs(mn - mo)
+        }.sum
+        assert(r.getAs[Long]("disp_centi") == disp, s"cell $cell displacement")
+      } else assert(r.isNullAt(r.fieldIndex("disp_centi")))
+      val shift = r.getAs[Long]("shift_milli")
+      assert(shift == math.abs(r.getAs[Long]("share_new_milli") - r.getAs[Long]("share_old_milli")))
+      val di = r.fieldIndex("disp_centi")
+      assert(r.getAs[Boolean]("drifted") ==
+        (shift > 20 || (!r.isNullAt(di) && r.getLong(di) > 50)))
+    }
+  }
+
   test("ss26 cell balance shares and flags are consistent and cover the corpus") {
     val rows = SparkEntry.queries("ss26_cell_balance")(spark, sfDir).collect()
     val total = rows.head.getAs[Long]("total")

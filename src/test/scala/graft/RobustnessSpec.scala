@@ -153,6 +153,39 @@ class RobustnessSpec extends SparkSpec {
       assert((raster(y * w + x) & 0xff) == (a * x + b * y + c) % 256)
   }
 
+  test("mm10 pixel stats match a javax.imageio recompute (independent decoder + independent fold)") {
+    import graft.operators.Multimodal
+    // every figure recomputed from the JDK's own PNG decode of the
+    // same bytes — validates the decode AND the integer stat folds
+    // (variance/gradient formulas) against a second implementation
+    val rnd = new scala.util.Random(11)
+    val texts = (0 until 25).map(i => s"stat $i " + rnd.alphanumeric.take(rnd.nextInt(60)).mkString)
+    texts.foreach { t =>
+      val png = Multimodal.mkPngPixels(t)
+      val got = Multimodal.decodePixelStats(Multimodal.MediaIn(3L, png))
+        .getOrElse(fail(s"own synthesis must decode: $t"))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val (w, ht) = (img.getWidth, img.getHeight)
+      assert(got.width == w && got.height == ht)
+      val px = for (y <- 0 until ht; x <- 0 until w)
+        yield img.getRaster.getSample(x, y, 0)
+      val n = (w * ht).toLong
+      val s = px.map(_.toLong).sum
+      val s2 = px.map(v => v.toLong * v).sum
+      val g = (for (y <- 0 until ht; x <- 1 until w) yield
+        math.abs(img.getRaster.getSample(x, y, 0) - img.getRaster.getSample(x - 1, y, 0)).toLong).sum
+      assert(got.min_px == px.min && got.max_px == px.max)
+      assert(got.contrast == px.max - px.min)
+      assert(got.mean_px == (s / n).toInt)
+      assert(got.var_milli == (n * s2 - s * s) * 1000 / (n * n), s"variance of '$t'")
+      assert(got.grad_milli == g * 1000 / (ht.toLong * (w - 1)), s"gradient of '$t'")
+    }
+    // corrupt payloads route out, never throw (the decodeMedia contract)
+    val clean = Multimodal.mkPngPixels(texts.head)
+    assert(Multimodal.decodePixelStats(
+      Multimodal.MediaIn(3L, clean.take(clean.length / 2))).isEmpty)
+  }
+
   test("all queries complete on empty tables (schema preserved, zero rows)") {
     val dir = Files.createTempDirectory("graft_sf_empty").toString
     // events.ts is TIMESTAMP(NANOS) — readable only as raw int64
