@@ -283,6 +283,21 @@ object api {
         maxLag)
     }
 
+    /** Theil–Sen ROBUST TREND per series key (the ts39 operator as a
+      * verb): `keyCol`'s daily counts from `tsCol` (epoch-day
+      * buckets), the lower-median of all pairwise integer-milli
+      * slopes, with day/event/pair counts and an up/down/flat
+      * classification. Outlier days (the ones ts15 flags) barely move
+      * it — the robust alternative to an OLS slope. One corpus scan
+      * into the calendar-bounded (key × day) domain; everything
+      * downstream runs on that frame. */
+    def theilSen(keyCol: String, tsCol: String): DataFrame =
+      graft.operators.TimeSeries.theilSenOf(
+          df.groupBy(col(keyCol).as("event_type"),
+              expr(s"CAST($tsCol AS LONG) DIV 86400").as("dn"))
+            .agg(count(lit(1)).as("x")))
+        .withColumnRenamed("event_type", keyCol)
+
     /** Conversion-lag SURVIVAL curve (the ts34 operator as a verb):
       * first `isStart` row per key, first `isConvert` row at-or-after
       * it, whole-day lag buckets with cumulative conversion and
@@ -840,6 +855,18 @@ object api {
           df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
             col(sourceCol).as("source")))
         .withColumnRenamed("source", sourceCol)
+
+    /** Gopher-style RULE GATE with funnel attribution (the tx33
+      * operator as a verb — Rae et al. 2021's filter-ablation table):
+      * the ordered five-rule document battery (word-count bounds,
+      * mean-word-length bounds, stopword evidence, top-word
+      * dominance, type-token diversity) reporting each rule's
+      * sequential kill (the funnel stage loss) AND marginal kill (the
+      * ablation number), plus the survivor row. One corpus scan, one
+      * map-side-combinable aggregate, a 6-row output. */
+    def gopherGate(idCol: String, textCol: String): DataFrame =
+      graft.operators.Curation.gopherGateOf(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
     /** Data-constrained epoch schedule (the sp13 operator as a verb —
       * Muennighoff et al. 2023): per `groupCol`, the token target is
@@ -1427,6 +1454,21 @@ object api {
           qMilli)
         .withColumnRenamed("vec_id", idCol)
     }
+
+    /** EMBEDDING DRIFT MONITOR (the ss35 operator as a verb — the
+      * distribution-shift report between a reference snapshot and the
+      * current batch; the retrain-the-index trigger): `isNew` tags
+      * the current half (any Boolean expression — a batch id, an
+      * ingest-date cutoff), vectors land in 16 sign-pattern cells
+      * (sign bits of `vecCol`'s dims 1-4), and each cell reports both
+      * halves' populations, occupancy-share shift in integer milli,
+      * and the L1 displacement of the quantized per-cell mean in
+      * centi-units (NULL when a half is empty). One corpus scan into
+      * the fixed cell domain — zero corpus-keyed shuffles. */
+    def embedDrift(idCol: String, vecCol: String, isNew: Column): DataFrame =
+      graft.operators.Similarity.embedDriftOf(
+        df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+          isNew.as("is_new")))
 
     /** TWO-LEVEL coarse quantizer (the ss30 operator as a verb — the
       * hierarchical IVF assignment that makes k ~ √n cell counts

@@ -39,6 +39,62 @@ object Curation {
     df.select(keep :+ split(lower(col("text")), " ").as("_ws"): _*)
       .select(keep :+ explode(grams5(col("_ws"))).as("gram"): _*)
 
+  /** tx33's kernel over any (doc_id, text) frame — shared with
+    * [[graft.api]]'s `gopherGate` verb. One corpus scan folds the
+    * five per-doc rule flags at scan speed (dominance is a run-length
+    * fold over the doc's own sorted tokens — the tx05/tx28 pattern),
+    * one map-side-combinable aggregate collapses to a single row, and
+    * the rule table is a 6-row stack of that row: sequential kills
+    * (the funnel) and marginal kills (the ablation) in one pass. */
+  private[graft] def gopherGateOf(docDf: DataFrame): DataFrame = {
+    val acc0 = struct(lit("").as("p"), lit(0L).as("rl"), lit(0L).as("mx"))
+    val domFold = aggregate(array_sort(col("toks")), acc0,
+      (a, x) => when(x === a.getField("p"),
+          struct(a.getField("p").as("p"), (a.getField("rl") + 1L).as("rl"),
+            greatest(a.getField("mx"), a.getField("rl") + 1L).as("mx")))
+        .otherwise(struct(x.as("p"), lit(1L).as("rl"),
+          greatest(a.getField("mx"), lit(1L)).as("mx"))),
+      a => a.getField("mx"))
+    val flags = docDf
+      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+        length(col("text")).cast("long").as("lc"))
+      .withColumn("nw", size(col("toks")).cast("long"))
+      .withColumn("awl", expr("((lc - nw + 1) * 1000) DIV nw"))
+      .withColumn("nstop", size(filter(col("toks"),
+        x => x.isin("the", "a", "of", "and", "to", "in", "is", "it"))).cast("long"))
+      .withColumn("mxc", domFold)
+      .withColumn("dom", expr("(mxc * 1000) DIV nw"))
+      .withColumn("ttr", expr("(CAST(size(array_distinct(toks)) AS BIGINT) * 1000) DIV nw"))
+      .select(col("doc_id"),
+        (col("nw") < 30 || col("nw") > 90).as("f1"),
+        (col("awl") < 4300 || col("awl") > 4700).as("f2"),
+        (col("nstop") < 2).as("f3"),
+        (col("dom") > 120).as("f4"),
+        (col("ttr") < 380).as("f5"))
+    flags.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("f1"), 1L).otherwise(0L)).as("s1"),
+        sum(when(!col("f1") && col("f2"), 1L).otherwise(0L)).as("s2"),
+        sum(when(!col("f1") && !col("f2") && col("f3"), 1L).otherwise(0L)).as("s3"),
+        sum(when(!col("f1") && !col("f2") && !col("f3") && col("f4"), 1L).otherwise(0L)).as("s4"),
+        sum(when(!col("f1") && !col("f2") && !col("f3") && !col("f4") && col("f5"), 1L).otherwise(0L)).as("s5"),
+        sum(when(col("f2"), 1L).otherwise(0L)).as("m2"),
+        sum(when(col("f3"), 1L).otherwise(0L)).as("m3"),
+        sum(when(col("f4"), 1L).otherwise(0L)).as("m4"),
+        sum(when(col("f5"), 1L).otherwise(0L)).as("m5"))
+      .selectExpr("""stack(6,
+          1, 'word_count',    n0,                          s1, s1,
+          2, 'mean_word_len', n0 - s1,                     s2, m2,
+          3, 'stopwords',     n0 - s1 - s2,                s3, m3,
+          4, 'dominance',     n0 - s1 - s2 - s3,           s4, m4,
+          5, 'diversity',     n0 - s1 - s2 - s3 - s4,      s5, m5,
+          6, 'survivors',     n0 - s1 - s2 - s3 - s4 - s5, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        ) AS (rule_ord, rule, n_checked, n_fail, n_fail_marginal)""")
+      .withColumn("fail_milli",
+        expr("CASE WHEN n_checked > 0 THEN (n_fail * 1000) DIV n_checked ELSE 0 END"))
+      .orderBy(col("rule_ord"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-corpus duplicated-span analysis (RefinedWeb-style exact
     // substring dedup at word-5-gram granularity): a span is
@@ -363,54 +419,7 @@ object Curation {
     // map-side-combinable agg collapses to one row, and the rule
     // table is a 6-row stack of that row — zero corpus-sized
     // exchanges, output fixed at the rule domain.
-    "tx33_gopher_gate" -> ((s, d) => {
-      val acc0 = struct(lit("").as("p"), lit(0L).as("rl"), lit(0L).as("mx"))
-      val domFold = aggregate(array_sort(col("toks")), acc0,
-        (a, x) => when(x === a.getField("p"),
-            struct(a.getField("p").as("p"), (a.getField("rl") + 1L).as("rl"),
-              greatest(a.getField("mx"), a.getField("rl") + 1L).as("mx")))
-          .otherwise(struct(x.as("p"), lit(1L).as("rl"),
-            greatest(a.getField("mx"), lit(1L)).as("mx"))),
-        a => a.getField("mx"))
-      val flags = docs(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"),
-          length(col("text")).cast("long").as("lc"))
-        .withColumn("nw", size(col("toks")).cast("long"))
-        .withColumn("awl", expr("((lc - nw + 1) * 1000) DIV nw"))
-        .withColumn("nstop", size(filter(col("toks"),
-          x => x.isin("the", "a", "of", "and", "to", "in", "is", "it"))).cast("long"))
-        .withColumn("mxc", domFold)
-        .withColumn("dom", expr("(mxc * 1000) DIV nw"))
-        .withColumn("ttr", expr("(CAST(size(array_distinct(toks)) AS BIGINT) * 1000) DIV nw"))
-        .select(col("doc_id"),
-          (col("nw") < 30 || col("nw") > 90).as("f1"),
-          (col("awl") < 4300 || col("awl") > 4700).as("f2"),
-          (col("nstop") < 2).as("f3"),
-          (col("dom") > 120).as("f4"),
-          (col("ttr") < 380).as("f5"))
-      flags.agg(
-          count(lit(1)).as("n0"),
-          sum(when(col("f1"), 1L).otherwise(0L)).as("s1"),
-          sum(when(!col("f1") && col("f2"), 1L).otherwise(0L)).as("s2"),
-          sum(when(!col("f1") && !col("f2") && col("f3"), 1L).otherwise(0L)).as("s3"),
-          sum(when(!col("f1") && !col("f2") && !col("f3") && col("f4"), 1L).otherwise(0L)).as("s4"),
-          sum(when(!col("f1") && !col("f2") && !col("f3") && !col("f4") && col("f5"), 1L).otherwise(0L)).as("s5"),
-          sum(when(col("f2"), 1L).otherwise(0L)).as("m2"),
-          sum(when(col("f3"), 1L).otherwise(0L)).as("m3"),
-          sum(when(col("f4"), 1L).otherwise(0L)).as("m4"),
-          sum(when(col("f5"), 1L).otherwise(0L)).as("m5"))
-        .selectExpr("""stack(6,
-            1, 'word_count',    n0,                          s1, s1,
-            2, 'mean_word_len', n0 - s1,                     s2, m2,
-            3, 'stopwords',     n0 - s1 - s2,                s3, m3,
-            4, 'dominance',     n0 - s1 - s2 - s3,           s4, m4,
-            5, 'diversity',     n0 - s1 - s2 - s3 - s4,      s5, m5,
-            6, 'survivors',     n0 - s1 - s2 - s3 - s4 - s5, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-          ) AS (rule_ord, rule, n_checked, n_fail, n_fail_marginal)""")
-        .withColumn("fail_milli",
-          expr("CASE WHEN n_checked > 0 THEN (n_fail * 1000) DIV n_checked ELSE 0 END"))
-        .orderBy(col("rule_ord"))
-    }),
+    "tx33_gopher_gate" -> ((s, d) => gopherGateOf(docs(s, d))),
 
     // Heavy hitters via the native Misra-Gries aggregate
     // (functions/MisraGriesAgg.scala) — tx12's vocab question at the

@@ -178,42 +178,9 @@ object Similarity {
     // corpus scan partial-aggs into the fixed 16-cell domain (8
     // conditional integer sums ride the same agg); totals are a 1-row
     // broadcast over the 16-row frame — zero corpus-keyed shuffles.
-    "ss35_embed_drift" -> ((s, d) => {
-      val cell = (1 to 4).map(i =>
-        when(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") >= 0.0,
-          lit(1 << (i - 1))).otherwise(lit(0))).reduce(_ + _).cast("int")
-      val base = emb(s, d)
-        .withColumn("cell", cell)
-        .withColumn("is_new", col("vec_id") % 2 === 1)
-      val qCols = (1 to 4).map(i => expr(
-        s"CAST(floor(CAST(element_at(embedding, $i) AS DOUBLE) * 100 + 0.5) AS BIGINT)")
-        .as(s"q$i"))
-      val quant = base.select(Seq(col("cell"), col("is_new")) ++ qCols: _*)
-      val aggs =
-        Seq(sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_old"),
-          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new")) ++
-        (1 to 4).flatMap(i => Seq(
-          sum(when(!col("is_new"), col(s"q$i")).otherwise(0L)).as(s"qo$i"),
-          sum(when(col("is_new"), col(s"q$i")).otherwise(0L)).as(s"qn$i")))
-      val cells = quant.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
-        .localCheckpoint(false)
-      val tot = cells.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
-      cells.crossJoin(broadcast(tot))
-        .withColumn("share_old_milli", expr("(n_old * 1000) DIV t_old"))
-        .withColumn("share_new_milli", expr("(n_new * 1000) DIV t_new"))
-        .withColumn("shift_milli", abs(col("share_new_milli") - col("share_old_milli")))
-        .withColumn("disp_centi", expr(
-          """CASE WHEN n_old > 0 AND n_new > 0 THEN
-            |  abs(qn1 DIV n_new - qo1 DIV n_old) + abs(qn2 DIV n_new - qo2 DIV n_old)
-            |  + abs(qn3 DIV n_new - qo3 DIV n_old) + abs(qn4 DIV n_new - qo4 DIV n_old)
-            |ELSE NULL END""".stripMargin))
-        .withColumn("drifted",
-          col("shift_milli") > 20 || coalesce(col("disp_centi"), lit(0L)) > 50)
-        .select(col("cell"), col("n_old"), col("n_new"),
-          col("share_old_milli"), col("share_new_milli"),
-          col("shift_milli"), col("disp_centi"), col("drifted"))
-        .orderBy(col("cell"))
-    }),
+    "ss35_embed_drift" -> ((s, d) =>
+      embedDriftOf(emb(s, d).withColumn("is_new", col("vec_id") % 2 === 1))
+        .orderBy(col("cell"))),
 
     // IVF NPROBE TUNING CURVE — ss17's IVF-side twin (that one audits
     // LSH table counts, this audits the recall-vs-cost knob every IVF
@@ -1218,6 +1185,48 @@ object Similarity {
     * (cell × grid) domain, the quantile frame broadcasts back; the
     * assignment is a lazy localCheckpoint (two readers, blocks
     * release on GC). */
+  /** ss35's kernel over any (vec_id, embedding, is_new) frame —
+    * shared with [[graft.api]]'s `embedDrift` verb. ONE corpus scan
+    * partial-aggs into the fixed 16-cell sign-pattern domain (sign
+    * bits of dims 1-4; 8 conditional quantized-coordinate sums ride
+    * the same agg); the 16-row cell frame is checkpointed (two
+    * consumers: its own totals agg + the report) and totals broadcast
+    * back — zero corpus-keyed shuffles. Cells with an empty half
+    * report NULL displacement. */
+  private[graft] def embedDriftOf(base0: DataFrame): DataFrame = {
+    val cell = (1 to 4).map(i =>
+      when(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") >= 0.0,
+        lit(1 << (i - 1))).otherwise(lit(0))).reduce(_ + _).cast("int")
+    val qCols = (1 to 4).map(i => expr(
+      s"CAST(floor(CAST(element_at(embedding, $i) AS DOUBLE) * 100 + 0.5) AS BIGINT)")
+      .as(s"q$i"))
+    val quant = base0.withColumn("cell", cell)
+      .select(Seq(col("cell"), col("is_new")) ++ qCols: _*)
+    val aggs =
+      Seq(sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new")) ++
+      (1 to 4).flatMap(i => Seq(
+        sum(when(!col("is_new"), col(s"q$i")).otherwise(0L)).as(s"qo$i"),
+        sum(when(col("is_new"), col(s"q$i")).otherwise(0L)).as(s"qn$i")))
+    val cells = quant.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(false)
+    val tot = cells.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("share_old_milli", expr("(n_old * 1000) DIV t_old"))
+      .withColumn("share_new_milli", expr("(n_new * 1000) DIV t_new"))
+      .withColumn("shift_milli", abs(col("share_new_milli") - col("share_old_milli")))
+      .withColumn("disp_centi", expr(
+        """CASE WHEN n_old > 0 AND n_new > 0 THEN
+          |  abs(qn1 DIV n_new - qo1 DIV n_old) + abs(qn2 DIV n_new - qo2 DIV n_old)
+          |  + abs(qn3 DIV n_new - qo3 DIV n_old) + abs(qn4 DIV n_new - qo4 DIV n_old)
+          |ELSE NULL END""".stripMargin))
+      .withColumn("drifted",
+        col("shift_milli") > 20 || coalesce(col("disp_centi"), lit(0L)) > 50)
+      .select(col("cell"), col("n_old"), col("n_new"),
+        col("share_old_milli"), col("share_new_milli"),
+        col("shift_milli"), col("disp_centi"), col("drifted"))
+  }
+
   private[graft] def oodAuditOf(e: DataFrame, qMilli: Int): DataFrame = {
     val cents = centroidArray(e)
     // lazy localCheckpoint: the histogram AND the flag pass read the

@@ -261,6 +261,38 @@ object TimeSeries {
         col("c.n_events").as("n_events"), col("p.n_events").as("n_prev"),
         expr("((c.n_events - p.n_events) * 1000) DIV p.n_events").as("growth_milli"))
 
+  /** ts39's kernel over any (event_type, dn, x) series frame — shared
+    * with [[graft.api]]'s `theilSen` verb. The input is already the
+    * (key × position) DOMAIN frame (a daily/bucketed rollup — never
+    * corpus rows), checkpointed here because three subtrees read it
+    * (both pair sides + the census; the autocorrOf DAG rule). The
+    * pair self-join is |domain|² per key; the LOWER-MEDIAN slope is
+    * the value at 1-based position (n_pairs+1) DIV 2 of the sorted
+    * integer-milli slope multiset — deterministic under ties (the
+    * VALUE at a sorted position, not a row pick). */
+  private[graft] def theilSenOf(daily0: DataFrame): DataFrame = {
+    val daily = daily0.localCheckpoint(false)
+    val pairs = daily.select(col("event_type"), col("dn").as("d1"), col("x").as("x1"))
+      .join(daily.select(col("event_type"), col("dn").as("d2"), col("x").as("x2")),
+        Seq("event_type"))
+      .filter(col("d2") > col("d1"))
+      .select(col("event_type"), expr("((x2 - x1) * 1000) DIV (d2 - d1)").as("slope_milli"))
+    val w = Window.partitionBy(col("event_type"))
+    val med = pairs
+      .withColumn("rn", row_number().over(w.orderBy(col("slope_milli"))))
+      .withColumn("n_pairs", count(lit(1)).over(w))
+      .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("event_type"), col("n_pairs"), col("slope_milli"))
+    val census = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("n_events"))
+    census.join(med, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("n_pairs"), col("slope_milli"),
+        when(col("slope_milli") > 0, lit("up"))
+          .when(col("slope_milli") < 0, lit("down"))
+          .otherwise(lit("flat")).as("trend"))
+  }
+
   private[graft] def histQuantilesOf(hist: DataFrame,
                                      qsMilli: Seq[Int]): DataFrame = {
     val w = Window.partitionBy(col("key")).orderBy(col("cents"))
@@ -1026,32 +1058,11 @@ object TimeSeries {
     // self-join, median window, and classification all run on that
     // |days|²-per-type frame (≤ ~10^5 rows at a decade of days),
     // never corpus rows.
-    "ts39_theil_sen" -> ((s, d) => {
-      val daily = ev(s, d)
-        .groupBy(col("event_type"), expr("epoch_s DIV 86400").as("dn"))
-        .agg(count(lit(1)).as("x"))
-        .localCheckpoint(false)
-      val pairs = daily.select(col("event_type"), col("dn").as("d1"), col("x").as("x1"))
-        .join(daily.select(col("event_type"), col("dn").as("d2"), col("x").as("x2")),
-          Seq("event_type"))
-        .filter(col("d2") > col("d1"))
-        .select(col("event_type"), expr("((x2 - x1) * 1000) DIV (d2 - d1)").as("slope_milli"))
-      val w = Window.partitionBy(col("event_type"))
-      val med = pairs
-        .withColumn("rn", row_number().over(w.orderBy(col("slope_milli"))))
-        .withColumn("n_pairs", count(lit(1)).over(w))
-        .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
-        .select(col("event_type"), col("n_pairs"), col("slope_milli"))
-      val census = daily.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("n_events"))
-      census.join(med, "event_type")
-        .select(col("event_type"), col("n_days"), col("n_events"),
-          col("n_pairs"), col("slope_milli"),
-          when(col("slope_milli") > 0, lit("up"))
-            .when(col("slope_milli") < 0, lit("down"))
-            .otherwise(lit("flat")).as("trend"))
-        .orderBy(col("event_type"))
-    }),
+    "ts39_theil_sen" -> ((s, d) =>
+      theilSenOf(ev(s, d)
+          .groupBy(col("event_type"), expr("epoch_s DIV 86400").as("dn"))
+          .agg(count(lit(1)).as("x")))
+        .orderBy(col("event_type"))),
 
     // TRAFFIC CALENDAR PROFILE — the day-of-week × hour activity
     // heatmap behind ops dashboards (capacity planning, anomaly

@@ -1737,6 +1737,88 @@ class ApiSpec extends SparkSpec {
       "BigInt recomputation confirms the pinned value")
   }
 
+  test("theilSen verb matches ts39 and recovers planted slopes exactly") {
+    val viaApi = Tables.events(spark, sfDir)
+      .theilSen("event_type", "ts")
+      .orderBy("event_type")
+    val viaOp = SparkEntry.queries("ts39_theil_sen")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted: 'up' grows one event/day (every pairwise slope exactly
+    // 1000 milli); 'flat' holds at two events/day (every slope 0)
+    import spark.implicits._
+    val rows =
+      (for (day <- 0 to 2; i <- 0 to day) yield ("up", day * 86400L, i)) ++
+        (for (day <- 0 to 2; i <- 0 to 1) yield ("flat", day * 86400L, i))
+    val got = rows.toDF("k", "es", "i")
+      .theilSen("k", "es")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("slope_milli"), r.getAs[String]("trend"))).toMap
+    assert(got("up") == ((3L, 3L, 1000L, "up")), s"got ${got("up")}")
+    assert(got("flat") == ((3L, 3L, 0L, "flat")), s"got ${got("flat")}")
+  }
+
+  test("gopherGate verb matches tx33 and attributes a planted battery") {
+    val viaApi = Tables(spark, sfDir, "documents")
+      .gopherGate("doc_id", "text")
+    val viaOp = SparkEntry.queries("tx33_gopher_gate")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted: d1 too short (also fails wordlen/stopword/dominance
+    // marginally), d2 repeats 'the' 40x (passes word count, dies at
+    // mean word length; dominance + diversity marginal), d3 engineered
+    // to survive every rule (40 distinct words, mean length 4500
+    // milli, two stopwords)
+    import spark.implicits._
+    val d3 = ("the a" +
+      (1 to 24).map(i => f" v$i%04d").mkString +   // 24 words of length 5
+      (1 to 14).map(i => f" w$i%03d").mkString)    // 14 words of length 4
+    val docs = Seq((1L, "a b"), (2L, Seq.fill(40)("the").mkString(" ")), (3L, d3))
+      .toDF("doc_id", "text")
+    val got = docs.gopherGate("doc_id", "text")
+      .collect().map(r => (r.getAs[Int]("rule_ord"), r.getAs[String]("rule"),
+        r.getAs[Long]("n_checked"), r.getAs[Long]("n_fail"),
+        r.getAs[Long]("n_fail_marginal"))).toSeq
+    assert(got == Seq(
+      (1, "word_count", 3L, 1L, 1L),
+      (2, "mean_word_len", 2L, 1L, 2L),
+      (3, "stopwords", 1L, 0L, 1L),
+      (4, "dominance", 1L, 0L, 2L),
+      (5, "diversity", 1L, 0L, 1L),
+      (6, "survivors", 1L, 0L, 0L)), s"got $got")
+  }
+
+  test("embedDrift verb matches ss35 and measures a planted displacement") {
+    val viaApi = Tables(spark, sfDir, "embeddings")
+      .embedDrift("vec_id", "embedding", col("vec_id") % 2 === 1)
+      .orderBy("cell")
+    val viaOp = SparkEntry.queries("ss35_embed_drift")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted: cell 15 holds two reference vectors at q=100 per dim
+    // and one current vector whose dim 1 moved to q=200 (L1
+    // displacement exactly 100 centi); cell 0 has no current half
+    // (NULL displacement, share shift 333)
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1f, 1f, 1f, 1f), false),
+      (2L, Seq(1f, 1f, 1f, 1f), false),
+      (1L, Seq(2f, 1f, 1f, 1f), true),
+      (4L, Seq(-1f, -1f, -1f, -1f), false)
+    ).toDF("id", "emb", "tag")
+    val got = vecs.embedDrift("id", "emb", col("tag"))
+      .collect().map(r => r.getAs[Int]("cell") -> r).toMap
+    val c15 = got(15)
+    assert(c15.getAs[Long]("n_old") == 2L && c15.getAs[Long]("n_new") == 1L)
+    assert(c15.getAs[Long]("share_old_milli") == 666L)
+    assert(c15.getAs[Long]("share_new_milli") == 1000L)
+    assert(c15.getAs[Long]("shift_milli") == 334L)
+    assert(c15.getAs[Long]("disp_centi") == 100L)
+    assert(c15.getAs[Boolean]("drifted"))
+    val c0 = got(0)
+    assert(c0.getAs[Long]("n_old") == 1L && c0.getAs[Long]("n_new") == 0L)
+    assert(c0.isNullAt(c0.fieldIndex("disp_centi")))
+    assert(c0.getAs[Long]("shift_milli") == 333L && c0.getAs[Boolean]("drifted"))
+  }
+
   test("pagerank gives sink-only nodes rank rows that accumulate inflow") {
     import spark.implicits._
     // 1→2, 2→3: node 3 has NO out-edges (absent from the old
