@@ -88,7 +88,9 @@ object DevProbe {
         "ts38_week_over_week", "sp10_curriculum", "sp11_pack_audit",
         "sp12_interleave_mix", "px06_dataset_card", "ss32_ood_audit",
         "ss33_pagerank", "tx30_vocab_coverage", "dd21_cluster_census",
-        "tx32_ppl_tiers", "sp13_epoch_budget", "mm08_pixel_hash")
+        "tx32_ppl_tiers", "sp13_epoch_budget", "mm08_pixel_hash",
+        "mm09_image_neardup", "mm10_pixel_stats", "ts39_theil_sen",
+        "tx33_gopher_gate", "ss35_embed_drift")
       // optional third arg: comma-separated subset of the list above
       val only = args.lift(2).map(_.split(",").toSet)
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
