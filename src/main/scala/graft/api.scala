@@ -452,6 +452,18 @@ object api {
         .drop("_h")
         .join(df, Seq(idCol))
 
+    /** Content-defined chunk dedup (the dd22 operator as a verb —
+      * rsync/FastCDC rolling boundaries, the storage-dedup granularity
+      * robust to insertions): per row of `idCol`/`textCol`, chunk
+      * count, corpus-duplicated chunk count, duplicated chars, and
+      * the dup fraction in milli. Boundary rule and digests are pure
+      * per-row compute; one chunk-digest-domain shuffle + a keyed
+      * join back. */
+    def cdcDedup(idCol: String, textCol: String): DataFrame =
+      graft.operators.Dedup.cdcDedupOf(
+          df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+        .withColumnRenamed("doc_id", idCol)
+
     /** Full-batch integer PERCEPTRON training (the tx27 loop as a
       * verb — the third in-engine training family next to kmeansTrain
       * and bpeTrain): `featureCols` must be exact integer columns

@@ -252,7 +252,78 @@ object Dedup {
       .filter(col("lev") <= maxDist)
   }
 
+  /** dd22's kernel over any (doc_id, text) frame — shared with
+    * [[graft.api]]'s `cdcChunks` verb: CONTENT-DEFINED CHUNKING
+    * (the rsync/FastCDC boundary rule — the dedup granularity backup
+    * systems and blob stores use, robust to insertions where
+    * fixed-size blocks shift every later boundary). A cut lands
+    * after position p whenever the 8-char window ending at p hashes
+    * to a 1-in-16 value (md5's second hex char = '0' — bit-identical
+    * in both engines), giving ~16-char expected chunks; the doc tail
+    * always closes the last chunk; docs shorter than the window are
+    * one whole-doc chunk. Everything is per-row array compute at
+    * scan speed; the exploded rows carry (digest, length) ONLY — the
+    * text never rides the explode (the tx18 discipline). */
+  private[graft] def cdcChunkRows(docDf: DataFrame): DataFrame = {
+    val cuts = when(col("len") >= 8,
+      filter(sequence(lit(8), col("len")),
+        p => substring(md5(col("t").substr(p - 7, lit(8))), 2, 1) === "0"))
+      .otherwise(typedLit(Seq.empty[Int]))
+    docDf.select(col("doc_id"), col("text").as("t"),
+        length(col("text")).cast("int").as("len"))
+      .filter(col("len") > 0)
+      .withColumn("cuts", cuts)
+      .withColumn("ends",
+        when(size(col("cuts")) > 0 && element_at(col("cuts"), -1) === col("len"),
+          col("cuts"))
+          .otherwise(concat(col("cuts"), array(col("len")))))
+      .withColumn("ch", explode(transform(col("ends"), (e, j) =>
+        struct(
+          md5(col("t").substr(
+            when(j === 0, lit(0)).otherwise(element_at(col("ends"), j)) + 1,
+            e - when(j === 0, lit(0)).otherwise(element_at(col("ends"), j))))
+            .as("digest"),
+          (e - when(j === 0, lit(0)).otherwise(element_at(col("ends"), j)))
+            .cast("long").as("clen")))))
+      .select(col("doc_id"), col("len").cast("long").as("len"),
+        col("ch.digest").as("digest"), col("ch.clen").as("clen"))
+  }
+
+  /** dd22's report: per doc, how much of it is corpus-duplicated at
+    * CDC-chunk granularity. One digest-domain partial-agg'd shuffle
+    * (chunk df counts distinct docs), a digest-keyed join back, one
+    * per-doc rollup — never all-pairs, text never shuffles. */
+  private[graft] def cdcDedupOf(docDf: DataFrame): DataFrame = {
+    val rows = cdcChunkRows(docDf)
+    val df = rows.groupBy(col("digest"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    rows.join(df, "digest")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("len")).as("len"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("n_docs") >= 2, col("clen")).otherwise(0L)).as("dup_chars"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("dup_chars"), expr("(dup_chars * 1000) DIV len").as("dup_milli"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CONTENT-DEFINED CHUNK DEDUP — the storage-dedup family member
+    // next to the text-similarity measures (shingle Jaccard dd02,
+    // edit distance dd17, embedding cosine dd05): rsync/FastCDC-style
+    // rolling boundaries make chunk identity survive insertions
+    // (fixed-size blocks shift every later boundary; tx16/tx18 need
+    // line/gram structure — CDC needs nothing but bytes), so shared
+    // chunk digests across docs measure the byte-level redundancy a
+    // blob store would reclaim. Per doc: chunk count, corpus-
+    // duplicated chunk count, duplicated chars, dup fraction in
+    // milli. Scale shape: boundary rule + chunk digests fold per-row
+    // at scan speed; ONE digest-domain partial-agg'd shuffle, a
+    // digest-keyed join back, one per-doc rollup (the tx09 shape at
+    // chunk granularity).
+    "dd22_cdc_chunks" -> ((s, d) =>
+      cdcDedupOf(docs(s, d)).orderBy(col("doc_id"))),
+
     // DUP-CLUSTER SIZE CENSUS — the planning report behind every
     // dedup run ("are my duplicates a long tail of pairs or a few
     // mega-clusters?" decides keep-best strategy, salting needs, and
@@ -1115,6 +1186,46 @@ object Dedup {
   val oracle: Map[String, String] = baseOracle +
     // same components as dd06, different fixpoint — one ground truth
     ("dd09_cc_star" -> baseOracle("dd06_dup_clusters")) +
+    // dd22: the oracle recomputes the CDC boundary rule (md5 of each
+    // 8-char window, second hex char '0'), rebuilds every chunk from
+    // the cut list, and replays the digest-df join — engine-exact
+    // because boundaries, digests and lengths are all string/integer
+    // ops both engines share.
+    ("dd22_cdc_chunks" ->
+      """WITH t AS (
+        | SELECT doc_id, text AS t, CAST(length(text) AS INT) AS ln
+        | FROM documents WHERE length(text) > 0),
+        |c AS (
+        | SELECT doc_id, t, ln,
+        |  CASE WHEN ln >= 8 THEN list_filter(generate_series(8, ln),
+        |    p -> substr(md5(substr(t, p - 7, 8)), 2, 1) = '0')
+        |   ELSE CAST([] AS INTEGER[]) END AS cuts
+        | FROM t),
+        |e AS (
+        | SELECT doc_id, t, ln,
+        |  CASE WHEN len(cuts) > 0 AND cuts[-1] = ln THEN cuts
+        |       ELSE list_append(cuts, ln) END AS ends
+        | FROM c),
+        |ch AS (
+        | SELECT doc_id, ln,
+        |  unnest(list_transform(generate_series(1, len(ends)), j ->
+        |    struct_pack(
+        |      digest := md5(substr(t,
+        |        (CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END) + 1,
+        |        ends[j] - (CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END))),
+        |      clen := CAST(ends[j] -
+        |        (CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END) AS BIGINT)))) AS u
+        | FROM e),
+        |r AS (SELECT doc_id, ln, u.digest AS digest, u.clen AS clen FROM ch),
+        |df AS (
+        | SELECT digest, count(DISTINCT doc_id) AS n_docs FROM r GROUP BY 1)
+        |SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        | CAST(sum(CASE WHEN df.n_docs >= 2 THEN r.clen ELSE 0 END) AS BIGINT) AS dup_chars,
+        | CAST((sum(CASE WHEN df.n_docs >= 2 THEN r.clen ELSE 0 END) * 1000)
+        |   // max(r.ln) AS BIGINT) AS dup_milli
+        |FROM r JOIN df USING (digest)
+        |GROUP BY 1 ORDER BY r.doc_id""".stripMargin) +
     ("dd21_cluster_census" ->
       """WITH s AS (
         | SELECT md5(p_name) AS h, CAST(count(*) AS BIGINT) AS sz

@@ -439,6 +439,91 @@ object Multimodal {
     }
   } catch { case _: ArrayIndexOutOfBoundsException => None }
 
+  /** Decoded WAVEFORM statistics (mm11) — the audio-QA signal battery
+    * (silence / clipping / DC-offset screens), every field computed
+    * from real PCM samples parsed out of the RIFF/WAVE bytes. */
+  case class AudioStats(doc_id: Long, n_samples: Int, sample_rate: Int,
+                        duration_ms: Int, peak: Int, mean_sq: Long,
+                        zero_cross: Int, clip_milli: Long)
+
+  /** Synthesize a SAMPLE-REAL 8-bit mono PCM WAVE: sample count, rate
+    * and the waveform formula md5-derived (n = 200 + 16·nib(1) +
+    * nib(2); sample(i) = (a·i + b) mod 256 unsigned with a = 1 +
+    * nib(3), b = 16·nib(4) + nib(5) — a sawtooth whose period 256/a
+    * gives real zero crossings against the 128 midline), laid out as
+    * a genuine RIFF/WAVE (LIST chunk before fmt forces a real chunk
+    * walk, the mkWav discipline). The oracle recomputes every stat
+    * from the closed formula; the decoder must recover the samples
+    * from the container bytes. */
+  private[graft] def mkWavPcm(text: String): Array[Byte] = {
+    val h = md5hex(text.getBytes("UTF-8"))
+    val n = 200 + 16 * nib(h(1)) + nib(h(2))
+    val a = 1 + nib(h(3))
+    val b = 16 * nib(h(4)) + nib(h(5))
+    val rate = Seq(8000, 16000, 22050, 44100)(nib(h(6)) % 4)
+    val body = Array.tabulate(n)(i => ((a * i + b) % 256).toByte)
+    val info = ("INFO" + h.substring(0, 8)).getBytes("US-ASCII")
+    val pad = if (body.length % 2 == 1) bytes(0) else Array.emptyByteArray
+    val chunks =
+      "WAVE".getBytes("US-ASCII") ++
+        "LIST".getBytes("US-ASCII") ++ le32(info.length) ++ info ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        le16(1) ++ le16(1) ++ le32(rate) ++ le32(rate) ++
+        le16(1) ++ le16(8) ++
+        "data".getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    "RIFF".getBytes("US-ASCII") ++ le32(chunks.length) ++ chunks
+  }
+
+  /** mm11's batch kernel: RIFF chunk walk (reusing the mm06 layout
+    * rules — LE sizes, odd-byte padding, unknown chunks skipped) +
+    * per-sample integer stats over the signed signal s = v − 128:
+    * peak |s|, mean square Σs² DIV n (the log-free power figure — RMS
+    * is its IEEE sqrt when a reader wants it), midline crossings
+    * (adjacent strict sign changes), and the near-full-scale fraction
+    * |s| ≥ 120 in milli — the silence (peak ~ 0), DC-offset
+    * (mean_sq ≫ 0 with zero_cross = 0) and clipping gates. Only 8-bit
+    * mono routes through (anything else — or a short stream — routes
+    * out, the decodeMedia contract). */
+  private[graft] def decodeAudioStats(in: MediaIn): Option[AudioStats] = try {
+    val p = in.payload
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16At(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32At(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var channels, rate, bits = -1
+    var dataOff, dataBytes = -1
+    while (pos + 8 <= p.length && (channels < 0 || dataOff < 0)) {
+      val id = tag(pos)
+      val len = le32At(pos + 4)
+      if (len < 0 || pos + 8 + len > p.length) return None
+      if (id == "fmt " && len >= 16) {
+        channels = le16At(pos + 10)
+        rate = le32At(pos + 12)
+        bits = le16At(pos + 22)
+      } else if (id == "data") { dataOff = pos + 8; dataBytes = len }
+      pos += 8 + len + (len % 2)
+    }
+    if (channels != 1 || bits != 8 || rate <= 0 || dataBytes <= 0) return None
+    var peak = 0; var sq = 0L; var zc = 0; var clip = 0
+    var prev = 0; var i = 0
+    while (i < dataBytes) {
+      val s = u8(dataOff + i) - 128
+      val as = math.abs(s)
+      if (as > peak) peak = as
+      sq += s.toLong * s
+      if (as >= 120) clip += 1
+      if (i > 0 && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0))) zc += 1
+      prev = s
+      i += 1
+    }
+    Some(AudioStats(in.doc_id, dataBytes, rate,
+      (dataBytes.toLong * 1000 / rate).toInt, peak, sq / dataBytes, zc,
+      clip.toLong * 1000 / dataBytes))
+  } catch { case _: ArrayIndexOutOfBoundsException => None }
+
   /** Decoded video-container metadata — every field parsed from the
     * ISO-BMFF (MP4) box structure: major brand from `ftyp`, movie
     * timescale + duration ticks from `mvhd` (v0), presentation
@@ -841,6 +926,29 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // WAVEFORM QA STATISTICS from real PCM samples — the audio twin
+    // of mm10's pixel gate (mm06 reads the container's METADATA; this
+    // decodes the SIGNAL): payloads synthesize as genuine 8-bit mono
+    // RIFF/WAVE streams whose sawtooth waveform is md5-derived (the
+    // mkPngPixels closed-formula discipline), and the decoder walks
+    // the chunks, recovers every sample, and folds the silence/
+    // clipping/DC-offset battery — peak amplitude, integer mean
+    // square (the log-free power figure), midline zero crossings,
+    // near-full-scale fraction in milli. The oracle recomputes all of
+    // it from the generation formula. Scale shape: pure per-row
+    // synth+decode+fold at scan speed — the mm01/mm06/mm08/mm10
+    // zero-exchange class.
+    "mm11_audio_stats" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          MediaIn(id, if (text == null) null else mkWavPcm(text)) }
+      media.mapPartitions(_.withFilter(_.payload != null).flatMap(decodeAudioStats))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // VIDEO metadata via batched REAL ISO-BMFF decode — the video
     // modality's mm01: payloads synthesize as genuine MP4 box trees
     // (ftyp/free/moov{mvhd,udta,trak{tkhd}}/mdat per ISO/IEC 14496-12,
@@ -1170,6 +1278,46 @@ object Multimodal {
         | CAST((CAST(tlen AS BIGINT) * 1000) // (sample_rate * channels * (bits // 8)) AS INT) AS duration_ms
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // mm11: the oracle recomputes every waveform stat from the closed
+    // sawtooth formula ((a·i + b) mod 256 − 128 over md5-derived
+    // n/a/b/rate); zero crossings via a lag window over the per-doc
+    // sample series. Static 0..455 series + i<n filter (n caps at
+    // 200 + 16·15 + 15 = 455).
+    "mm11_audio_stats" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |par AS (
+        | SELECT doc_id,
+        |  200 + 16 * (instr('0123456789abcdef', substr(hx,2,1)) - 1)
+        |      + (instr('0123456789abcdef', substr(hx,3,1)) - 1) AS n,
+        |  1 + (instr('0123456789abcdef', substr(hx,4,1)) - 1) AS a,
+        |  16 * (instr('0123456789abcdef', substr(hx,5,1)) - 1)
+        |     + (instr('0123456789abcdef', substr(hx,6,1)) - 1) AS b,
+        |  CASE (instr('0123456789abcdef', substr(hx,7,1)) - 1) % 4
+        |   WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+        |   ELSE 44100 END AS rate
+        | FROM h),
+        |iser AS (SELECT unnest(generate_series(0, 455)) AS i),
+        |smp AS (
+        | SELECT doc_id, rate, i, ((a*i + b) % 256) - 128 AS s
+        | FROM par, iser WHERE i < n),
+        |zc AS (
+        | SELECT doc_id, CAST(sum(CASE WHEN (prev < 0 AND s >= 0)
+        |    OR (prev >= 0 AND s < 0) THEN 1 ELSE 0 END) AS INT) AS zero_cross
+        | FROM (SELECT doc_id, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM smp)
+        | WHERE prev IS NOT NULL GROUP BY 1),
+        |st AS (
+        | SELECT doc_id, CAST(count(*) AS INT) AS n_samples,
+        |  CAST(max(abs(s)) AS INT) AS peak,
+        |  CAST(sum(s*s) // count(*) AS BIGINT) AS mean_sq,
+        |  CAST(sum(CASE WHEN abs(s) >= 120 THEN 1 ELSE 0 END) * 1000
+        |    // count(*) AS BIGINT) AS clip_milli
+        | FROM smp GROUP BY 1)
+        |SELECT p.doc_id, st.n_samples, CAST(p.rate AS INT) AS sample_rate,
+        | CAST((st.n_samples * 1000) // p.rate AS INT) AS duration_ms,
+        | st.peak, st.mean_sq, zc.zero_cross, st.clip_milli
+        |FROM par p JOIN st USING (doc_id) JOIN zc USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
     // MP4 framing is fixed-size except the text-bytes mdat body:
     // total = 20 ftyp + 20 free + 232 moov (108 mvhd + 16 udta +
     // 100 trak) + 8 mdat header + body = 280 + len. timescale /

@@ -1193,7 +1193,12 @@ object Similarity {
     * consumers: its own totals agg + the report) and totals broadcast
     * back — zero corpus-keyed shuffles. Cells with an empty half
     * report NULL displacement. */
-  private[graft] def embedDriftOf(base0: DataFrame): DataFrame = {
+  /** ss35 stage 1: per-(cell) ADDITIVE partial sums over any
+    * (vec_id, embedding, is_new) frame — both halves' populations and
+    * quantized coordinate sums (dims 1-4). Additive by construction
+    * (every column a sum), so a streaming twin can store per-batch
+    * partials and re-sum (the wowStream/histStream discipline). */
+  private[graft] def driftCellAgg(base0: DataFrame): DataFrame = {
     val cell = (1 to 4).map(i =>
       when(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") >= 0.0,
         lit(1 << (i - 1))).otherwise(lit(0))).reduce(_ + _).cast("int")
@@ -1208,8 +1213,14 @@ object Similarity {
       (1 to 4).flatMap(i => Seq(
         sum(when(!col("is_new"), col(s"q$i")).otherwise(0L)).as(s"qo$i"),
         sum(when(col("is_new"), col(s"q$i")).otherwise(0L)).as(s"qn$i")))
-    val cells = quant.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(false)
+    quant.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** ss35 stage 2: the report tail over a summed cell frame (16 rows:
+    * cell, n_old, n_new, qo1..qn4) — shared verbatim by the batch
+    * kernel and [[graft.streaming.TopicStream]]'s `currentDrift`. */
+  private[graft] def driftReportOf(cells0: DataFrame): DataFrame = {
+    val cells = cells0.localCheckpoint(false)
     val tot = cells.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
     cells.crossJoin(broadcast(tot))
       .withColumn("share_old_milli", expr("(n_old * 1000) DIV t_old"))
@@ -1226,6 +1237,13 @@ object Similarity {
         col("share_old_milli"), col("share_new_milli"),
         col("shift_milli"), col("disp_centi"), col("drifted"))
   }
+
+  /** ss35's kernel over any (vec_id, embedding, is_new) frame —
+    * shared with [[graft.api]]'s `embedDrift` verb: one corpus scan
+    * into the fixed 16-cell domain, report tail over the 16-row
+    * frame. See [[driftCellAgg]] / [[driftReportOf]]. */
+  private[graft] def embedDriftOf(base0: DataFrame): DataFrame =
+    driftReportOf(driftCellAgg(base0))
 
   private[graft] def oodAuditOf(e: DataFrame, qMilli: Int): DataFrame = {
     val cents = centroidArray(e)

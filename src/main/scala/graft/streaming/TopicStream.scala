@@ -559,6 +559,44 @@ object TopicStream {
           .agg(sum(col("cnt")).as("n_events")))
       .orderBy(col("event_type"), col("wk"))
 
+  /** Streaming EMBEDDING-DRIFT monitor, write side (ss35's live twin
+    * — drift detection is inherently a streaming job: the reference
+    * half is yesterday's snapshot, the current half arrives in
+    * micro-batches): each batch's vectors collapse to per-cell
+    * ADDITIVE partials (both halves' populations + quantized
+    * coordinate sums — [[graft.operators.Similarity.driftCellAgg]],
+    * the same aggregation the batch kernel runs) keyed `cell#batch`,
+    * so the topic stays bounded by 16 cells × batches and replays
+    * idempotently. Expects (vec_id, embedding, is_new) rows. */
+  def driftStream(vectors: DataFrame, store: graft.sources.TopicStore,
+                  topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    vectors.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      if (id == 0L) store.truncate(topic)
+      val seq = base + 1 + id
+      val part = graft.operators.Similarity.driftCellAgg(b.toDF())
+        .select(concat(col("cell"), lit("#"), lit(id)).as("hkey"),
+          col("*"), current_timestamp().as("time"))
+      if (!part.isEmpty) store.upsert(topic, part, "time", seq = Some(seq))
+    }
+  }
+
+  /** The CURRENT drift report of a [[driftStream]] topic — ss35's
+    * exact output over the summed partial history, tail shared with
+    * the batch kernel verbatim
+    * ([[graft.operators.Similarity.driftReportOf]]): stream and batch
+    * can never disagree. */
+  def currentDrift(store: graft.sources.TopicStore, topic: String): DataFrame = {
+    val sums = Seq("n_old", "n_new") ++
+      (1 to 4).flatMap(i => Seq(s"qo$i", s"qn$i"))
+    val merged = store.readMerged(topic, "hkey")
+      .groupBy(col("cell"))
+      .agg(sum(col(sums.head)).as(sums.head),
+        sums.tail.map(c => sum(col(c)).as(c)): _*)
+    graft.operators.Similarity.driftReportOf(merged).orderBy(col("cell"))
+  }
+
   /** Streaming CONVERSION-LAG survival, write side — ts34's start
     * facts in the topPathsStream CONTENT-KEY discipline: each signup
     * lands event-grain keyed `user#ts_us#event_id`, and the per-user

@@ -1819,6 +1819,27 @@ class ApiSpec extends SparkSpec {
     assert(c0.getAs[Long]("shift_milli") == 333L && c0.getAs[Boolean]("drifted"))
   }
 
+  test("cdcDedup verb matches dd22 and a planted shared chunk survives an insertion") {
+    val viaApi = Tables(spark, sfDir, "documents")
+      .cdcDedup("doc_id", "text")
+      .orderBy("doc_id")
+    val viaOp = SparkEntry.queries("dd22_cdc_chunks")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted: d2 = d1 with a PREFIX insertion. Fixed-size blocks
+    // would shift every boundary; CDC boundaries re-synchronize after
+    // the edit, so the two docs share at least one chunk digest —
+    // the whole point of content-defined chunking
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest before nightfall tonight"
+    val docs = Seq((1L, base), (2L, "INSERTED PREFIX " + base)).toDF("id", "t")
+    val got = docs.cdcDedup("id", "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L)._1 > 1 && got(2L)._1 > 1, s"multi-chunk docs expected: $got")
+    assert(got(1L)._2 > 0 && got(2L)._2 > 0,
+      s"the shifted twin must still share chunks with the original: $got")
+  }
+
   test("pagerank gives sink-only nodes rank rows that accumulate inflow") {
     import spark.implicits._
     // 1→2, 2→3: node 3 has NO out-edges (absent from the old

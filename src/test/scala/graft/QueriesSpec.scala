@@ -1210,6 +1210,42 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("dd22 CDC chunks equal a first-principles recompute (boundaries, digests, df join)") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // replay the boundary rule: cut after position p (1-based) when
+    // md5 of the window [p-7, p] has '0' as its second hex char
+    val chunksOf = (t: String) => {
+      val cuts = (8 to t.length).filter(p => md5hex(t.substring(p - 8, p))(1) == '0')
+      val ends = if (cuts.nonEmpty && cuts.last == t.length) cuts else cuts :+ t.length
+      ends.foldLeft((0, Seq.empty[String])) { case ((prev, acc), e) =>
+        (e, acc :+ t.substring(prev, e))
+      }._2
+    }
+    val perDoc = texts.map { case (id, t) => (id, chunksOf(t)) }
+    val df = perDoc.flatMap { case (id, cs) => cs.map(c => (md5hex(c), id)) }
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).distinct.size }
+    val got = SparkEntry.queries("dd22_cdc_chunks")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == perDoc.map(_._1).toSet)
+    perDoc.foreach { case (id, cs) =>
+      val dup = cs.filter(c => df(md5hex(c)) >= 2)
+      val dupChars = dup.map(_.length.toLong).sum
+      val t = texts.find(_._1 == id).get._2
+      assert(got(id) == ((cs.size.toLong, dup.size.toLong, dupChars,
+        dupChars * 1000 / t.length)), s"doc $id: got ${got(id)}")
+      // chunks reassemble the doc exactly (the CDC partition property)
+      assert(cs.mkString == t, s"doc $id chunks must tile the text")
+    }
+    assert(perDoc.exists(_._2.size > 1), "fixture sanity: multi-chunk docs exist")
+    assert(perDoc.flatMap(_._2).exists(c => df(md5hex(c)) >= 2),
+      "fixture sanity: cross-doc duplicate chunks exist")
+  }
+
   test("ss26 cell balance shares and flags are consistent and cover the corpus") {
     val rows = SparkEntry.queries("ss26_cell_balance")(spark, sfDir).collect()
     val total = rows.head.getAs[Long]("total")

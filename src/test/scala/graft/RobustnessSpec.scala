@@ -186,6 +186,43 @@ class RobustnessSpec extends SparkSpec {
       Multimodal.MediaIn(3L, clean.take(clean.length / 2))).isEmpty)
   }
 
+  test("mm11 waveform stats recompute from the closed sawtooth formula; corrupt audio routes out") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(13)
+    val texts = (0 until 25).map(i => s"pcm $i " + rnd.alphanumeric.take(rnd.nextInt(60)).mkString)
+    texts.foreach { t =>
+      val wav = Multimodal.mkWavPcm(t)
+      val got = Multimodal.decodeAudioStats(Multimodal.MediaIn(5L, wav))
+        .getOrElse(fail(s"own synthesis must decode: $t"))
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def nib(c: Char) = "0123456789abcdef".indexOf(c)
+      val n = 200 + 16 * nib(h(1)) + nib(h(2))
+      val (a, b) = (1 + nib(h(3)), 16 * nib(h(4)) + nib(h(5)))
+      val rate = Seq(8000, 16000, 22050, 44100)(nib(h(6)) % 4)
+      val s = (0 until n).map(i => (a * i + b) % 256 - 128)
+      assert(got.n_samples == n && got.sample_rate == rate)
+      assert(got.duration_ms == (n.toLong * 1000 / rate).toInt)
+      assert(got.peak == s.map(math.abs).max)
+      assert(got.mean_sq == s.map(v => v.toLong * v).sum / n)
+      assert(got.zero_cross == s.sliding(2).count(p =>
+        (p(0) < 0 && p(1) >= 0) || (p(0) >= 0 && p(1) < 0)))
+      assert(got.clip_milli == s.count(v => math.abs(v) >= 120).toLong * 1000 / n)
+    }
+    // a sawtooth with a > 1 must actually cross the midline (fixture
+    // sanity: the stat battery is exercised, not vacuous)
+    assert(texts.exists(t => Multimodal.decodeAudioStats(
+      Multimodal.MediaIn(5L, Multimodal.mkWavPcm(t))).get.zero_cross > 0))
+    // corrupt payloads route out: truncated stream, non-8-bit fmt
+    val clean = Multimodal.mkWavPcm(texts.head)
+    assert(Multimodal.decodeAudioStats(
+      Multimodal.MediaIn(5L, clean.take(clean.length / 2))).isEmpty)
+    assert(Multimodal.decodeAudioStats(
+      Multimodal.MediaIn(5L, Multimodal.mkWav(texts.head))).isEmpty ||
+      Multimodal.decodeWav(Multimodal.MediaIn(5L, Multimodal.mkWav(texts.head))).exists(_.bits == 8),
+      "mm11 must refuse payloads whose fmt it does not decode (16-bit / stereo)")
+  }
+
   test("all queries complete on empty tables (schema preserved, zero rows)") {
     val dir = Files.createTempDirectory("graft_sf_empty").toString
     // events.ts is TIMESTAMP(NANOS) — readable only as raw int64

@@ -328,6 +328,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift: additive cell partials fold to the ss35 batch kernel across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sdrift").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[StreamVec]
+    val tag = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("is_new", col("vec_id") % 2 === 1)
+    val q = TopicStream.driftStream(tag(input.toDF()), store, "drift")
+      .option("checkpointLocation", s"$root/_chk").start()
+    val t0 = ts("2024-01-01 00:00:00")
+    // cell 15's reference mass SPLITS across the two micro-batches
+    // (vec 0 then vec 2) — the additivity this twin exists for
+    val b1 = Seq(
+      StreamVec(0L, t0, Seq(1f, 1f, 1f, 1f)),
+      StreamVec(1L, t0, Seq(2f, 1f, 1f, 1f)),
+      StreamVec(4L, t0, Seq(-1f, -1f, -1f, -1f)))
+    val b2 = Seq(StreamVec(2L, t0, Seq(1f, 1f, 1f, 1f)))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val stream = TopicStream.currentDrift(store, "drift")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6), r.getBoolean(7))).toSet
+      val batch = graft.operators.Similarity.embedDriftOf(
+          tag((b1 ++ b2).toDF().select(col("vec_id"), col("embedding"))))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6), r.getBoolean(7))).toSet
+      assert(stream == batch && stream.nonEmpty, s"stream $stream != batch $batch")
+      // hand-check: cell 15 holds 2 reference vectors at q=100/dim and
+      // one current at q1=200 — displacement exactly 100 centi; cell 0
+      // has no current half (NULL disp, shift 333)
+      assert(stream.contains((15, 2L, 1L, 666L, 1000L, 334L, 100L, true)))
+      assert(stream.contains((0, 1L, 0L, 333L, 0L, 333L, -1L, true)))
+    } finally q.stop()
+  }
+
   test("streaming gini: additive count partials fold to batch ts33 across batches") {
     import spark.implicits._
     import graft.api._
