@@ -47,6 +47,15 @@ object TextFunctions {
     org.apache.spark.sql.graft.bridge.column(
       graft.plans.BigramCountsExpr(org.apache.spark.sql.graft.bridge.expression(text)))
 
+  /** Content-defined chunk CUT POSITIONS (array<int>, 1-based) — the
+    * dd22 boundary rule as a native single-pass rolling hash
+    * ([[graft.plans.CdcCutsExpr]]): one multiply/subtract/mod per
+    * position, zero allocation, where the composed form md5'd an
+    * 8-char substring per character. */
+  def cdcCuts(text: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.CdcCutsExpr(org.apache.spark.sql.graft.bridge.expression(text)))
+
   /** Word k-shingles joined by single spaces; documents shorter than k
     * words degenerate to one whole-document shingle (keeps the result
     * total, so no emptiness filter — and no filter means Catalyst never

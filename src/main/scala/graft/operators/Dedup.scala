@@ -253,26 +253,27 @@ object Dedup {
   }
 
   /** dd22's kernel over any (doc_id, text) frame — shared with
-    * [[graft.api]]'s `cdcChunks` verb: CONTENT-DEFINED CHUNKING
+    * [[graft.api]]'s `cdcDedup` verb: CONTENT-DEFINED CHUNKING
     * (the rsync/FastCDC boundary rule — the dedup granularity backup
     * systems and blob stores use, robust to insertions where
     * fixed-size blocks shift every later boundary). A cut lands
-    * after position p whenever the 8-char window ending at p hashes
-    * to a 1-in-16 value (md5's second hex char = '0' — bit-identical
-    * in both engines), giving ~16-char expected chunks; the doc tail
+    * after position p whenever the windowed polynomial hash of the 8
+    * code points ending at p reads ≡ 0 mod 16 (H = Σ cp·31^k mod
+    * 1,000,003 — pure integer arithmetic the DuckDB oracle recomputes
+    * window-by-window), giving ~16-char expected chunks; the doc tail
     * always closes the last chunk; docs shorter than the window are
-    * one whole-doc chunk. Everything is per-row array compute at
-    * scan speed; the exploded rows carry (digest, length) ONLY — the
-    * text never rides the explode (the tx18 discipline). */
+    * one whole-doc chunk. The cut positions come from the native
+    * single-pass rolling kernel ([[graft.plans.CdcCutsExpr]] — the
+    * first form md5'd an 8-char substring PER CHARACTER, the
+    * BigramCountsExpr hazard class, and measured 4.9x on the 64x
+    * endpoints harness); everything else is per-row array compute at
+    * scan speed, and the exploded rows carry (digest, length) ONLY —
+    * the text never rides the explode (the tx18 discipline). */
   private[graft] def cdcChunkRows(docDf: DataFrame): DataFrame = {
-    val cuts = when(col("len") >= 8,
-      filter(sequence(lit(8), col("len")),
-        p => substring(md5(col("t").substr(p - 7, lit(8))), 2, 1) === "0"))
-      .otherwise(typedLit(Seq.empty[Int]))
     docDf.select(col("doc_id"), col("text").as("t"),
         length(col("text")).cast("int").as("len"))
       .filter(col("len") > 0)
-      .withColumn("cuts", cuts)
+      .withColumn("cuts", graft.functions.TextFunctions.cdcCuts(col("t")))
       .withColumn("ends",
         when(size(col("cuts")) > 0 && element_at(col("cuts"), -1) === col("len"),
           col("cuts"))
@@ -1186,11 +1187,14 @@ object Dedup {
   val oracle: Map[String, String] = baseOracle +
     // same components as dd06, different fixpoint — one ground truth
     ("dd09_cc_star" -> baseOracle("dd06_dup_clusters")) +
-    // dd22: the oracle recomputes the CDC boundary rule (md5 of each
-    // 8-char window, second hex char '0'), rebuilds every chunk from
-    // the cut list, and replays the digest-df join — engine-exact
-    // because boundaries, digests and lengths are all string/integer
-    // ops both engines share.
+    // dd22: the oracle recomputes the CDC boundary rule window-by-
+    // window (the polynomial Σ ord·31^k mod 1,000,003 over each
+    // 8-char window, cut when ≡ 0 mod 16 — the 31-power constants
+    // are 31^7..31^0 mod the prime), rebuilds every chunk from the
+    // cut list, and replays the digest-df join — engine-exact because
+    // boundaries, digests and lengths are all integer/string ops both
+    // engines share; the Spark side rolls the same hash incrementally
+    // in the native CdcCutsExpr kernel.
     ("dd22_cdc_chunks" ->
       """WITH t AS (
         | SELECT doc_id, text AS t, CAST(length(text) AS INT) AS ln
@@ -1198,7 +1202,14 @@ object Dedup {
         |c AS (
         | SELECT doc_id, t, ln,
         |  CASE WHEN ln >= 8 THEN list_filter(generate_series(8, ln),
-        |    p -> substr(md5(substr(t, p - 7, 8)), 2, 1) = '0')
+        |    p -> (ord(substr(t, p - 7, 1)) * 531575
+        |        + ord(substr(t, p - 6, 1)) * 501020
+        |        + ord(substr(t, p - 5, 1)) * 629067
+        |        + ord(substr(t, p - 4, 1)) * 923521
+        |        + ord(substr(t, p - 3, 1)) * 29791
+        |        + ord(substr(t, p - 2, 1)) * 961
+        |        + ord(substr(t, p - 1, 1)) * 31
+        |        + ord(substr(t, p, 1))) % 1000003 % 16 = 0)
         |   ELSE CAST([] AS INTEGER[]) END AS cuts
         | FROM t),
         |e AS (

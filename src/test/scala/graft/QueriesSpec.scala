@@ -1217,9 +1217,14 @@ class QueriesSpec extends SparkSpec {
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     // replay the boundary rule: cut after position p (1-based) when
-    // md5 of the window [p-7, p] has '0' as its second hex char
+    // the window [p-7, p]'s polynomial hash Σ cp·31^k mod 1,000,003
+    // reads 0 mod 16 (recomputed DIRECTLY per window — the query's
+    // native kernel rolls it incrementally; agreeing here proves the
+    // rolling update)
+    val winHash = (t: String, p: Int) =>
+      (p - 8 until p).foldLeft(0L)((h, i) => (h * 31 + t.charAt(i)) % 1000003L)
     val chunksOf = (t: String) => {
-      val cuts = (8 to t.length).filter(p => md5hex(t.substring(p - 8, p))(1) == '0')
+      val cuts = (8 to t.length).filter(p => winHash(t, p) % 16 == 0)
       val ends = if (cuts.nonEmpty && cuts.last == t.length) cuts else cuts :+ t.length
       ends.foldLeft((0, Seq.empty[String])) { case ((prev, acc), e) =>
         (e, acc :+ t.substring(prev, e))
