@@ -91,7 +91,7 @@ object DevProbe {
         "tx32_ppl_tiers", "sp13_epoch_budget", "mm08_pixel_hash",
         "mm09_image_neardup", "mm10_pixel_stats", "ts39_theil_sen",
         "tx33_gopher_gate", "ss35_embed_drift", "dd22_cdc_chunks",
-        "mm11_audio_stats")
+        "mm11_audio_stats", "ss36_mrl_curve")
       // optional third arg: comma-separated subset of the list above
       val only = args.lift(2).map(_.split(",").toSet)
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
@@ -106,6 +106,47 @@ object DevProbe {
           s"${m.shuffleAmplificationMilli} | ${m.shuffleSkewMilli} | " +
           s"${(m.diskBytesSpilled + m.memoryBytesSpilled) / (1024 * 1024)} |")
       }
+    } else if (args(0) == "--mrlfixed") {
+      // Fixed-batch ss36 blowup row (args: --mrlfixed <sfDir> <mult>):
+      // the registered query's batch is a 1/50 id slice, so the
+      // blowup harness grows it 2.5x alongside the 64x corpus
+      // (ids < 5000 re-key to 64 replicas of old ids < 78) and the
+      // Q x N audit frame grows ~160x. This mode HOLDS the batch at
+      // its 1x membership (vec_id % (50*mult) == 7*mult — the rep-0
+      // replicas, identical embeddings) so the endpoints read the
+      // per-query audit cost, which is corpus-LINEAR by design.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val d = args(1)
+      val mult = args.lift(2).map(_.toLong).getOrElse(1L)
+      val e = Tables.spread(Tables(spark, d, "embeddings"))
+      val qs = e.filter(col("vec_id") % lit(50L * mult) === lit(7L * mult)
+          && col("vec_id") < lit(5000L * mult))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      println(s"nq=${qs.count()}")
+      val cosine = graft.functions.VectorFunctions.cosine _
+      val t0 = System.nanoTime()
+      val all = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("cos_sim"),
+          cosine(slice(col("embedding"), 1, 8), slice(col("q_emb"), 1, 8)).as("c8"),
+          cosine(slice(col("embedding"), 1, 16), slice(col("q_emb"), 1, 16)).as("c16"),
+          cosine(slice(col("embedding"), 1, 32), slice(col("q_emb"), 1, 32)).as("c32"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def rk(c: String) = row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col(c).desc, col("vec_id")))
+      all.withColumn("r8", rk("c8")).withColumn("r16", rk("c16"))
+        .withColumn("r32", rk("c32")).withColumn("trk", rk("cos_sim"))
+        .filter(col("trk") <= 10)
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("r8") <= 40, 1L).otherwise(0L)).as("n_hit8"),
+          sum(when(col("r16") <= 40, 1L).otherwise(0L)).as("n_hit16"),
+          sum(when(col("r32") <= 40, 1L).otherwise(0L)).as("n_hit32"))
+        .write.format("noop").mode("overwrite").save()
+      println(s"AUDIT=done in ${(System.nanoTime() - t0) / 1e9}s")
+      all.unpersist()
     } else if (args(0) == "--ss22fixed") {
       // Fixed-batch ss22 blowup row (args: --ss22fixed <sfDir> <mult>):
       // the bench query's batch is a 1/50 id slice, so the blowup

@@ -46,7 +46,11 @@ object Curation {
     * one map-side-combinable aggregate collapses to a single row, and
     * the rule table is a 6-row stack of that row: sequential kills
     * (the funnel) and marginal kills (the ablation) in one pass. */
-  private[graft] def gopherGateOf(docDf: DataFrame): DataFrame = {
+  /** tx33 stage 1+2: the per-doc rule flags and their one-row ADDITIVE
+    * aggregate (11 sums — every column a sum of indicators, so a
+    * streaming twin stores per-batch rows and re-sums; the
+    * driftCellAgg discipline). */
+  private[graft] def gopherAgg(docDf: DataFrame): DataFrame = {
     val acc0 = struct(lit("").as("p"), lit(0L).as("rl"), lit(0L).as("mx"))
     val domFold = aggregate(array_sort(col("toks")), acc0,
       (a, x) => when(x === a.getField("p"),
@@ -82,6 +86,13 @@ object Curation {
         sum(when(col("f3"), 1L).otherwise(0L)).as("m3"),
         sum(when(col("f4"), 1L).otherwise(0L)).as("m4"),
         sum(when(col("f5"), 1L).otherwise(0L)).as("m5"))
+  }
+
+  /** tx33 stage 3: the 6-row rule table over a (summed) one-row
+    * aggregate — shared verbatim by the batch kernel and
+    * [[graft.streaming.TopicStream]]'s `currentGate`. */
+  private[graft] def gopherStack(aggRow: DataFrame): DataFrame = {
+    aggRow
       .selectExpr("""stack(6,
           1, 'word_count',    n0,                          s1, s1,
           2, 'mean_word_len', n0 - s1,                     s2, m2,
@@ -94,6 +105,13 @@ object Curation {
         expr("CASE WHEN n_checked > 0 THEN (n_fail * 1000) DIV n_checked ELSE 0 END"))
       .orderBy(col("rule_ord"))
   }
+
+  /** tx33's kernel over any (doc_id, text) frame — shared with
+    * [[graft.api]]'s `gopherGate` verb: one corpus scan folds the
+    * five per-doc rule flags at scan speed, one map-side-combinable
+    * aggregate, a 6-row stack. See [[gopherAgg]] / [[gopherStack]]. */
+  private[graft] def gopherGateOf(docDf: DataFrame): DataFrame =
+    gopherStack(gopherAgg(docDf))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cross-corpus duplicated-span analysis (RefinedWeb-style exact

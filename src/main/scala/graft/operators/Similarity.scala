@@ -816,6 +816,55 @@ object Similarity {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // MRL PREFIX-LENGTH TUNING CURVE — the third member of the
+    // recall-vs-cost audit triad (ss17 tunes LSH table counts, ss34
+    // tunes IVF probe depth; this tunes the Matryoshka truncation
+    // every MRL deployment picks — Kusupati et al. 2022): recall@10
+    // of a fixed-40 shortlist built from prefix cosines at 8/16/32
+    // dims against the exact full-64 top-10 truth, per query. Compute
+    // cost is proportional to the prefix width (milli column), so the
+    // report reads as "recall bought per dimension". Scale shape:
+    // ss17/ss34's bounded-audit discipline — the id-capped query
+    // batch broadcasts, the Q×N audit frame persists ONCE and carries
+    // all three prefix cosines + the exact cosine; every rank window
+    // runs per-query over that frame (one q_id exchange, four sorts).
+    // At 100 TB the production shortlist comes from the
+    // cell-partitioned index (ss25 serves it); the audit frame is the
+    // honest form for measuring recall, which needs the full truth.
+    "ss36_mrl_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val qs = e.filter(col("vec_id") % 50 === 7 && col("vec_id") < 5000)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val all = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("cos_sim"),
+          cosine(slice(col("embedding"), 1, 8), slice(col("q_emb"), 1, 8)).as("c8"),
+          cosine(slice(col("embedding"), 1, 16), slice(col("q_emb"), 1, 16)).as("c16"),
+          cosine(slice(col("embedding"), 1, 32), slice(col("q_emb"), 1, 32)).as("c32"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def rk(c: String) = row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col(c).desc, col("vec_id")))
+      val ranked = all
+        .withColumn("r8", rk("c8")).withColumn("r16", rk("c16"))
+        .withColumn("r32", rk("c32")).withColumn("trk", rk("cos_sim"))
+      ranked.filter(col("trk") <= 10)
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("r8") <= 40, 1L).otherwise(0L)).as("n_hit8"),
+          sum(when(col("r16") <= 40, 1L).otherwise(0L)).as("n_hit16"),
+          sum(when(col("r32") <= 40, 1L).otherwise(0L)).as("n_hit32"))
+        .select(col("q_id"), col("n_true"),
+          col("n_hit8"), expr("(n_hit8 * 1000) DIV n_true").as("recall8_milli"),
+          lit(125L).as("cost8_milli"),
+          col("n_hit16"), expr("(n_hit16 * 1000) DIV n_true").as("recall16_milli"),
+          lit(250L).as("cost16_milli"),
+          col("n_hit32"), expr("(n_hit32 * 1000) DIV n_true").as("recall32_milli"),
+          lit(500L).as("cost32_milli"))
+        .orderBy(col("q_id"))
+    }),
+
     // IVF CELL-BALANCE audit — the index-maintenance report every
     // IVF deployment watches (ss17's structural twin: that one audits
     // recall, this audits the partition layout recall depends on): a
@@ -2174,6 +2223,52 @@ object Similarity {
         |ORDER BY vec_id, rank""".stripMargin,
     // the candidate's own argmin cell joined against the QUERY's
     // distance-ranked cell list: match at depth p iff that rank ≤ p
+    // ss36: the oracle recomputes the audit frame with list slices
+    // for the prefix cosines (embedding[1:P]) and replays the four
+    // rank windows — doubles from the same parquet floats, ranks
+    // tie-broken by vec_id (the ss17/ss34 bit-agreement precedent).
+    "ss36_mrl_curve" ->
+      """WITH qs AS (
+        | SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        | WHERE vec_id % 50 = 7 AND vec_id < 5000),
+        |allj AS (
+        | SELECT q.q_id, e.vec_id,
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(q.q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim,
+        |  list_sum(list_transform(generate_series(1, 8),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(e.embedding[1:8], v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(q.q_emb[1:8], v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS c8,
+        |  list_sum(list_transform(generate_series(1, 16),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(e.embedding[1:16], v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(q.q_emb[1:16], v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS c16,
+        |  list_sum(list_transform(generate_series(1, 32),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(e.embedding[1:32], v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(q.q_emb[1:32], v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS c32
+        | FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        | SELECT *,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY c8 DESC, vec_id) AS r8,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY c16 DESC, vec_id) AS r16,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY c32 DESC, vec_id) AS r32,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS trk
+        | FROM allj)
+        |SELECT q_id, CAST(count(*) AS BIGINT) AS n_true,
+        | CAST(sum(CASE WHEN r8 <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit8,
+        | CAST((sum(CASE WHEN r8 <= 40 THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS recall8_milli,
+        | CAST(125 AS BIGINT) AS cost8_milli,
+        | CAST(sum(CASE WHEN r16 <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit16,
+        | CAST((sum(CASE WHEN r16 <= 40 THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS recall16_milli,
+        | CAST(250 AS BIGINT) AS cost16_milli,
+        | CAST(sum(CASE WHEN r32 <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit32,
+        | CAST((sum(CASE WHEN r32 <= 40 THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS recall32_milli,
+        | CAST(500 AS BIGINT) AS cost32_milli
+        |FROM ranked WHERE trk <= 10
+        |GROUP BY 1 ORDER BY q_id""".stripMargin,
     "ss34_nprobe_curve" ->
       """WITH ex AS (
         | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,

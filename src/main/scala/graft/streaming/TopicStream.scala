@@ -597,6 +597,72 @@ object TopicStream {
     graft.operators.Similarity.driftReportOf(merged).orderBy(col("cell"))
   }
 
+  /** Streaming TREND monitor, write side (ts39's live twin — "is
+    * this metric trending" is a standing dashboard question, and the
+    * Theil–Sen input is just the daily count rollup, which is
+    * additive): per batch one (type, day, batch) count partial keyed
+    * `type#dn#batch` — the wowStream discipline; topic bounded by
+    * type × calendar × batches, replay-idempotent. */
+  def trendStream(events: DataFrame, store: graft.sources.TopicStore,
+                  topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    events.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      if (id == 0L) store.truncate(topic)
+      val seq = base + 1 + id
+      val part = b.toDF()
+        .groupBy(col("event_type"), expr("CAST(ts AS LONG) DIV 86400").as("dn"))
+        .agg(count(lit(1)).as("cnt"), max(col("ts")).as("time"))
+        .select(concat(col("event_type"), lit("#"), col("dn"),
+          lit("#"), lit(id)).as("hkey"),
+          col("event_type"), col("dn"), col("cnt"), col("time"))
+      if (!part.isEmpty) store.upsert(topic, part, "time", seq = Some(seq))
+    }
+  }
+
+  /** The CURRENT Theil–Sen trend report of a [[trendStream]] topic —
+    * ts39's exact output over the summed daily history, tail shared
+    * with the batch kernel verbatim
+    * ([[graft.operators.TimeSeries.theilSenOf]]). */
+  def currentTrend(store: graft.sources.TopicStore, topic: String): DataFrame =
+    graft.operators.TimeSeries.theilSenOf(
+        store.readMerged(topic, "hkey")
+          .groupBy(col("event_type"), col("dn"))
+          .agg(sum(col("cnt")).as("x")))
+      .orderBy(col("event_type"))
+
+  /** Streaming GOPHER GATE, write side (tx33's live twin — the
+    * curation funnel as arrivals flow in, so a drifting upstream
+    * crawler shows up as a rule's kill rate moving): every column of
+    * the gate aggregate is a sum of per-doc indicators, so each batch
+    * stores ONE additive partial row keyed `g#batch` (bounded by the
+    * batch count; replay-idempotent). Expects (doc_id, text) rows. */
+  def gateStream(docs: DataFrame, store: graft.sources.TopicStore,
+                 topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    docs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      if (id == 0L) store.truncate(topic)
+      val seq = base + 1 + id
+      val part = graft.operators.Curation.gopherAgg(b.toDF())
+        .select(concat(lit("g#"), lit(id)).as("hkey"), col("*"),
+          current_timestamp().as("time"))
+      if (!part.isEmpty) store.upsert(topic, part, "time", seq = Some(seq))
+    }
+  }
+
+  /** The CURRENT gate report of a [[gateStream]] topic — tx33's
+    * exact output over the summed partial history, the 6-row stack
+    * shared with the batch kernel verbatim
+    * ([[graft.operators.Curation.gopherStack]]). */
+  def currentGate(store: graft.sources.TopicStore, topic: String): DataFrame = {
+    val cols = Seq("n0", "s1", "s2", "s3", "s4", "s5", "m2", "m3", "m4", "m5")
+    graft.operators.Curation.gopherStack(
+      store.readMerged(topic, "hkey")
+        .agg(sum(col(cols.head)).as(cols.head),
+          cols.tail.map(c => sum(col(c)).as(c)): _*))
+  }
+
   /** Streaming CONVERSION-LAG survival, write side — ts34's start
     * facts in the topPathsStream CONTENT-KEY discipline: each signup
     * lands event-grain keyed `user#ts_us#event_id`, and the per-user

@@ -1210,6 +1210,40 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ss36 MRL curve: hits bound by truth and shortlist, recalls recompute, brute-force prefix check") {
+    val rows = SparkEntry.queries("ss36_mrl_curve")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTrue = r.getAs[Long]("n_true")
+      assert(nTrue > 0 && nTrue <= 10)
+      Seq(8, 16, 32).foreach { p =>
+        val h = r.getAs[Long](s"n_hit$p")
+        assert(h >= 0 && h <= nTrue, s"hits$p must bound by truth")
+        assert(r.getAs[Long](s"recall${p}_milli") == h * 1000 / nTrue)
+        assert(r.getAs[Long](s"cost${p}_milli") == p.toLong * 1000 / 64)
+      }
+    }
+    // brute-force one query's prefix-8 shortlist membership in the driver
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float], p: Int): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < p) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val (qid, qemb) = vecs.find(v => v._1 % 50 == 7 && v._1 < 5000).get
+    val others = vecs.filter(_._1 != qid)
+    val truth = others.map(v => (v._1, cos(qemb, v._2, 64)))
+      .sortBy(v => (-v._2, v._1)).take(10).map(_._1).toSet
+    val short8 = others.map(v => (v._1, cos(qemb, v._2, 8)))
+      .sortBy(v => (-v._2, v._1)).take(40).map(_._1).toSet
+    val expect8 = truth.count(short8)
+    val got = rows.find(_.getAs[Long]("q_id") == qid).get
+    assert(got.getAs[Long]("n_hit8") == expect8.toLong,
+      s"q $qid: n_hit8 ${got.getAs[Long]("n_hit8")} vs brute $expect8")
+  }
+
   test("dd22 CDC chunks equal a first-principles recompute (boundaries, digests, df join)") {
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -328,6 +328,77 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming trend: additive daily partials fold to the ts39 Theil-Sen kernel across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_strend").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.trendStream(input.toDF(), store, "trend")
+      .option("checkpointLocation", s"$root/_chk").start()
+    def t(day: Int) = ts(f"2024-01-$day%02d 12:00:00")
+    // 'view' grows 1/2/3 across three days; day 2's count SPLITS
+    // across the micro-batches (1 + 1 fold to 2)
+    val b1 = Seq(
+      TopicEvent(1, t(1), 1L, "view", 1.0),
+      TopicEvent(2, t(2), 2L, "view", 1.0),
+      TopicEvent(3, t(3), 3L, "view", 1.0), TopicEvent(4, t(3), 4L, "view", 1.0))
+    val b2 = Seq(
+      TopicEvent(5, t(2), 5L, "view", 1.0), TopicEvent(6, t(3), 6L, "view", 1.0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val stream = TopicStream.currentTrend(store, "trend")
+        .as[(String, Long, Long, Long, Long, String)].collect().toSeq
+      val batch = graft.operators.TimeSeries.theilSenOf((b1 ++ b2).toDF()
+          .groupBy(col("event_type"), expr("CAST(ts AS LONG) DIV 86400").as("dn"))
+          .agg(count(lit(1)).as("x")))
+        .as[(String, Long, Long, Long, Long, String)].collect().toSeq
+      assert(stream == batch && stream.nonEmpty, s"stream $stream != batch $batch")
+      // hand-check: daily counts 1/2/3 — every pairwise slope is
+      // exactly 1000 milli, trend 'up'
+      assert(stream == Seq(("view", 3L, 6L, 3L, 1000L, "up")), s"got $stream")
+    } finally q.stop()
+  }
+
+  test("streaming gate: additive rule partials fold to the tx33 funnel across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sgate").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TestEvents.StreamDoc]
+    val q = TopicStream.gateStream(input.toDF(), store, "gate")
+      .option("checkpointLocation", s"$root/_chk").start()
+    val t0 = ts("2024-01-01 00:00:00")
+    // the ApiSpec battery split across two micro-batches: d1 dies at
+    // word_count, d2 at mean_word_len, d3 survives
+    val d3 = ("the a" +
+      (1 to 24).map(i => f" v$i%04d").mkString +
+      (1 to 14).map(i => f" w$i%03d").mkString)
+    val b1 = Seq(TestEvents.StreamDoc(1L, t0, "a b", "en"),
+      TestEvents.StreamDoc(2L, t0, Seq.fill(40)("the").mkString(" "), "en"))
+    val b2 = Seq(TestEvents.StreamDoc(3L, t0, d3, "en"))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val stream = TopicStream.currentGate(store, "gate")
+        .select("rule_ord", "rule", "n_checked", "n_fail", "n_fail_marginal")
+        .as[(Int, String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      val batch = graft.operators.Curation.gopherGateOf(
+          (b1 ++ b2).map(x => (x.doc_id, x.text)).toDF("doc_id", "text"))
+        .select("rule_ord", "rule", "n_checked", "n_fail", "n_fail_marginal")
+        .as[(Int, String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(stream == batch && stream.nonEmpty, s"stream $stream != batch $batch")
+      assert(stream == Seq(
+        (1, "word_count", 3L, 1L, 1L),
+        (2, "mean_word_len", 2L, 1L, 2L),
+        (3, "stopwords", 1L, 0L, 1L),
+        (4, "dominance", 1L, 0L, 2L),
+        (5, "diversity", 1L, 0L, 1L),
+        (6, "survivors", 1L, 0L, 0L)), s"got $stream")
+    } finally q.stop()
+  }
+
   test("streaming drift: additive cell partials fold to the ss35 batch kernel across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
