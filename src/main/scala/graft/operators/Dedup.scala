@@ -325,6 +325,49 @@ object Dedup {
     "dd22_cdc_chunks" -> ((s, d) =>
       cdcDedupOf(docs(s, d)).orderBy(col("doc_id"))),
 
+    // LSH BANDING S-CURVE CALIBRATION — the dedup-side member of the
+    // tuning-curve family (ss17 tunes LSH tables, ss34 tunes nprobe,
+    // ss36 tunes MRL width; this tunes dd02's (bands × rows) split of
+    // the 8 MinHash perms — the knob that sets the Jaccard threshold
+    // the banding targets): for each config (8×1, 4×2, 2×4), the
+    // analytic threshold (1/b)^(1/r) in milli, the MEASURED candidate
+    // volume on the actual corpus, how many candidates the full
+    // signature estimates as true near-dups (≥ 4/8 agreeing perms ≈
+    // Jaccard ≥ 0.5), and the resulting precision milli — the table
+    // that picks a banding before a dedup run commits to it (wide
+    // bands = high threshold + few candidates; single-perm bands =
+    // low threshold + candidate flood). Scale shape: the signature
+    // frame computes ONCE (persisted — the dominant cost) and each
+    // config is dd02's exact band-keyed equi-join (never all-pairs)
+    // collapsing to a single row.
+    "dd23_band_curve" -> ((s, d) => {
+      val sig = signatures(docs(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
+      def cfg(bands: Int, rows: Int, thrMilli: Long): DataFrame = {
+        val bf = sig.select(col("doc_id"), col("sig"),
+          posexplode(array((0 until bands).map(i =>
+            bandKey(col("sig"), i * rows, rows)): _*)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+        val x = bf.select(col("doc_id").as("a"), col("sig").as("sig_a"),
+          col("band"), col("bkey"))
+        val y = bf.select(col("doc_id").as("b"), col("sig").as("sig_b"),
+          col("band"), col("bkey"))
+        x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
+          .select(col("a"), col("b"),
+            foldSumInt(zip_with(col("sig_a"), col("sig_b"),
+              (p, q) => when(p === q, 1L).otherwise(0L))).as("m"))
+          .distinct()
+          .agg(count(lit(1)).as("n_candidates"),
+            coalesce(sum(when(col("m") >= 4, 1L).otherwise(0L)), lit(0L)).as("n_est_dup"))
+          .select(lit(bands).as("bands"), lit(rows).as("band_rows"),
+            lit(thrMilli).as("threshold_milli"),
+            col("n_candidates"), col("n_est_dup"),
+            expr("CASE WHEN n_candidates > 0 THEN (n_est_dup * 1000) DIV n_candidates" +
+              " ELSE 0 END").as("precision_milli"))
+      }
+      cfg(8, 1, 125L).unionByName(cfg(4, 2, 500L)).unionByName(cfg(2, 4, 840L))
+        .orderBy(col("band_rows"))
+    }),
+
     // DUP-CLUSTER SIZE CENSUS — the planning report behind every
     // dedup run ("are my duplicates a long tail of pairs or a few
     // mega-clusters?" decides keep-best strategy, salting needs, and
@@ -1184,9 +1227,44 @@ object Dedup {
        |  unnest([$bandkeys]) AS bkey FROM sigs)""".stripMargin
   }
 
+  /** dd23 oracle: each config re-bands the SAME sigs CTE with its own
+    * md5('|'-joined slice) key list and replays the candidate join +
+    * agreement census. */
+  private lazy val bandCurveSql: String = {
+    def bandsList(bands: Int, rows: Int): String =
+      (0 until bands).map(i => "md5(" +
+        (0 until rows).map(j => s"sig[${i * rows + j + 1}]").mkString(" || '|' || ") +
+        ")").mkString(", ")
+    def cfgSql(bands: Int, rows: Int, thr: Int): String =
+      s"""SELECT CAST($bands AS INT) AS bands, CAST($rows AS INT) AS band_rows,
+         | CAST($thr AS BIGINT) AS threshold_milli,
+         | CAST(count(*) AS BIGINT) AS n_candidates,
+         | CAST(coalesce(sum(CASE WHEN m >= 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_est_dup,
+         | CAST(CASE WHEN count(*) > 0
+         |   THEN (sum(CASE WHEN m >= 4 THEN 1 ELSE 0 END) * 1000) // count(*)
+         |   ELSE 0 END AS BIGINT) AS precision_milli
+         |FROM (
+         | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(len(list_filter(generate_series(1, $NumPerms), i -> x.sig[i] = y.sig[i])) AS BIGINT) AS m
+         | FROM (SELECT doc_id, sig, unnest(generate_series(0, ${bands - 1})) AS band,
+         |        unnest([${bandsList(bands, rows)}]) AS bkey FROM sigs) x
+         | JOIN (SELECT doc_id, sig, unnest(generate_series(0, ${bands - 1})) AS band,
+         |        unnest([${bandsList(bands, rows)}]) AS bkey FROM sigs) y
+         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+    s"""WITH $candPreludeSql
+       |SELECT * FROM (
+       |${cfgSql(8, 1, 125)}
+       |UNION ALL
+       |${cfgSql(4, 2, 500)}
+       |UNION ALL
+       |${cfgSql(2, 4, 840)})
+       |ORDER BY band_rows""".stripMargin
+  }
+
   val oracle: Map[String, String] = baseOracle +
     // same components as dd06, different fixpoint — one ground truth
     ("dd09_cc_star" -> baseOracle("dd06_dup_clusters")) +
+    ("dd23_band_curve" -> bandCurveSql) +
     // dd22: the oracle recomputes the CDC boundary rule window-by-
     // window (the polynomial Σ ord·31^k mod 1,000,003 over each
     // 8-char window, cut when ≡ 0 mod 16 — the 31-power constants

@@ -121,6 +121,40 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // LANGUAGE CONFUSION MATRIX — the declared-vs-detected audit
+    // (mm05's text twin: that one catches files lying about their
+    // format, this catches docs lying about their language — the
+    // "0.3% of the crawl is mislabeled" table every multilingual
+    // pipeline publishes before routing docs to per-language
+    // pipelines): tx01's lexicon scorer predicts each doc's language,
+    // the rollup reports per (declared, predicted) cell the doc
+    // count, the row share of the declared language in milli, and
+    // the diagonal flag. Scale shape: scoring is per-row at scan
+    // speed (five lexicon folds), ONE partial-agg'd shuffle into the
+    // |langs|² domain, per-language totals broadcast back.
+    "tx34_lang_confusion" -> ((s, d) => {
+      val base = docs(s, d).withColumn("toks", tokens(col("text")))
+      val scored = langLex.foldLeft(base) { case (df, (lang, lex)) =>
+        df.withColumn(s"s_$lang", lexiconHits(col("toks"), lex))
+      }
+      val pred = scored.withColumn("predicted",
+        when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+             col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+                col("s_en") >= col("s_zh"), "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+      val m = pred.groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = m.groupBy(col("lang")).agg(sum(col("n_docs")).as("lt"))
+      m.join(broadcast(tot), "lang")
+        .select(col("lang"), col("predicted"), col("n_docs"),
+          expr("(n_docs * 1000) DIV lt").as("share_milli"),
+          (col("lang") === col("predicted")).as("is_diag"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
     // Quality scoring: integer milli-ratios (exact) of stopword rate,
     // word length, punctuation, plus a composite score.
     "tx02_quality" -> ((s, d) => {
@@ -374,6 +408,32 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // tx34: tx01's scorer CTE + the (declared, predicted) rollup with
+    // per-declared-language totals.
+    "tx34_lang_confusion" -> {
+      val scores = langLex.keys.toSeq.sorted.map(l =>
+        s" CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${lexSql(l)}, t))) AS INT) AS s_$l").mkString(",\n        |")
+      s"""WITH scored AS (
+        | SELECT doc_id, lang,
+        |$scores
+        | FROM documents),
+        |pred AS (
+        | SELECT lang,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted
+        | FROM scored),
+        |m AS (
+        | SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+        | FROM pred GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lt FROM m GROUP BY 1)
+        |SELECT m.lang, m.predicted, m.n_docs,
+        | (m.n_docs * 1000) // t.lt AS share_milli,
+        | (m.lang = m.predicted) AS is_diag
+        |FROM m JOIN tot t USING (lang)
+        |ORDER BY m.lang, m.predicted""".stripMargin
+    },
     "tx01_langid" -> {
       val scores = langLex.keys.toSeq.sorted.map(l =>
         s" CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${lexSql(l)}, t))) AS INT) AS s_$l").mkString(",\n        |")

@@ -1002,6 +1002,29 @@ object TimeSeries {
         .orderBy(col("event_type"), col("q_milli"))
     }),
 
+    // DAILY PERCENTILE BANDS per series — the p50/p90/p99-over-time
+    // SLO dashboard (ts35 answers "what is p99 overall", this answers
+    // "how do the bands MOVE day by day" — the latency-band chart
+    // every ops dashboard renders): per (event_type, day), the exact
+    // value percentiles from the ts35 mergeable-histogram kernel
+    // (engine-exact cum-count rule over cent-quantized values; keys
+    // pack as type#day and unpack in the output). Scale shape: ONE
+    // corpus scan partial-aggs into the (type × day × distinct-cents)
+    // DOMAIN (value-bounded at any corpus size); the quantile windows
+    // run over that domain frame only.
+    "ts40_slo_bands" -> ((s, d) => {
+      val hist = ev(s, d)
+        .select(concat(col("event_type"), lit("#"),
+            expr("epoch_s DIV 86400")).as("key"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("key"), col("cents")).agg(count(lit(1)).as("cnt"))
+      histQuantilesOf(hist, Seq(500, 900, 990))
+        .select(split(col("key"), "#").getItem(0).as("event_type"),
+          split(col("key"), "#").getItem(1).cast("long").as("dn"),
+          col("q_milli"), col("cents"), col("n"))
+        .orderBy(col("event_type"), col("dn"), col("q_milli"))
+    }),
+
     // LAG-k AUTOCORRELATION of the daily event-count series — see
     // [[autocorrOf]] (kernel shared with api.autocorrReport). (the
     // periodicity screen behind seasonality/anomaly dashboards — "is
@@ -1542,6 +1565,27 @@ object TimeSeries {
         |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day, age_day, rev_cents,
         | cum_cents, n_cohort, (cum_cents * 1000) // n_cohort AS ltv_milli_cents
         |FROM c JOIN sizes USING (cohort) ORDER BY 1, 2""".stripMargin,
+    // ts40: ts35's cum-count rule partitioned by (type, day); the
+    // packed key unpacks to the same two columns the Spark side emits.
+    "ts40_slo_bands" ->
+      """WITH f AS (
+        | SELECT event_type, (epoch_us(ts) // 1000000) // 86400 AS dn,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |h AS (SELECT event_type, dn, cents, CAST(count(*) AS BIGINT) AS cnt
+        | FROM f GROUP BY 1, 2, 3),
+        |c AS (
+        | SELECT event_type, dn, cents,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type, dn ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type, dn) AS BIGINT) AS n
+        | FROM h),
+        |qq AS (SELECT CAST(unnest([500, 900, 990]) AS INT) AS q_milli)
+        |SELECT event_type, CAST(dn AS BIGINT) AS dn, q_milli,
+        | min(cents) AS cents, max(n) AS n
+        |FROM c CROSS JOIN qq
+        |WHERE cum * 1000 >= n * q_milli
+        |GROUP BY 1, 2, 3 ORDER BY event_type, dn, q_milli""".stripMargin,
     "ts35_quantiles" ->
       """WITH f AS (
         | SELECT event_type AS key, CAST(round(value * 100) AS BIGINT) AS cents

@@ -1285,6 +1285,80 @@ class QueriesSpec extends SparkSpec {
       "fixture sanity: cross-doc duplicate chunks exist")
   }
 
+  test("dd23 band curve: candidate sets nest across configs and match a brute-force re-band") {
+    val rows = SparkEntry.queries("dd23_band_curve")(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("band_rows") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_est_dup"))).toMap
+    assert(rows.keySet == Set(1, 2, 4))
+    // containment: a pair sharing a 4-wide band shares both its 2-wide
+    // halves, and a pair sharing a 2-wide band shares both its perms —
+    // so candidates(2,4) <= candidates(4,2) <= candidates(8,1)
+    assert(rows(4)._1 <= rows(2)._1 && rows(2)._1 <= rows(1)._1, s"$rows")
+    rows.values.foreach { case (c, e) => assert(e <= c) }
+    // brute-force re-band from the signatures in the driver
+    val sigs = graft.operators.Dedup.signaturesPublic(
+        Tables(spark, sfDir, "documents"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    def cands(bands: Int, rws: Int): Set[(Long, Long)] = {
+      val keyed = sigs.flatMap { case (id, sig) =>
+        (0 until bands).map(i => ((i, sig.slice(i * rws, i * rws + rws).mkString("|")), id)) }
+      keyed.groupBy(_._1).values.flatMap { xs =>
+        val ids = xs.map(_._2).distinct.sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    }
+    Seq((8, 1), (4, 2), (2, 4)).foreach { case (b, r) =>
+      val brute = cands(b, r)
+      assert(rows(r)._1 == brute.size.toLong, s"($b,$r): got ${rows(r)._1} vs brute ${brute.size}")
+      val est = brute.count { case (x, y) =>
+        val sx = sigs.find(_._1 == x).get._2; val sy = sigs.find(_._1 == y).get._2
+        sx.zip(sy).count(p => p._1 == p._2) >= 4 }
+      assert(rows(r)._2 == est.toLong, s"($b,$r) est-dup")
+    }
+    assert(rows(1)._1 > 0, "fixture sanity: the single-perm config must find candidates")
+  }
+
+  test("tx34 confusion matrix ties out to tx01 row by row") {
+    val conf = SparkEntry.queries("tx34_lang_confusion")(spark, sfDir).collect()
+    val tx01 = SparkEntry.queries("tx01_langid")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("predicted")))
+    val expect = tx01.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    assert(conf.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap == expect)
+    // per-language shares account for the whole row (flooring leaves < |cells| milli)
+    conf.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      val tot = expect.filter(_._1._1 == lang).values.sum
+      assert(cells.map(_.getAs[Long]("n_docs")).sum == tot)
+      val shareSum = cells.map(_.getAs[Long]("share_milli")).sum
+      assert(shareSum > 1000 - cells.length && shareSum <= 1000, s"$lang shares $shareSum")
+      cells.foreach(c => assert(c.getAs[Boolean]("is_diag") == (c.getString(0) == c.getString(1))))
+    }
+    assert(conf.exists(r => !r.getAs[Boolean]("is_diag")),
+      "fixture sanity: the lexicon scorer must actually confuse something")
+  }
+
+  test("ts40 SLO bands: sandwiched percentiles and a first-principles recompute per group") {
+    val rows = SparkEntry.queries("ts40_slo_bands")(spark, sfDir).collect()
+    val byGroup = rows.groupBy(r => (r.getString(0), r.getLong(1)))
+    byGroup.foreach { case (_, qs) =>
+      val m = qs.map(r => r.getAs[Int]("q_milli") -> r.getAs[Long]("cents")).toMap
+      assert(m.keySet == Set(500, 900, 990))
+      assert(m(500) <= m(900) && m(900) <= m(990))
+    }
+    // recompute every group's p50/p90/p99 by the cum-count rule
+    val vals = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("long"), round(col("value") * 100).cast("long"))
+      .collect().map(r => ((r.getString(0), r.getLong(1) / 86400), r.getLong(2)))
+    vals.groupBy(_._1).foreach { case (key, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length
+      def q(qm: Int): Long = sorted(((n.toLong * qm + 999) / 1000 - 1).toInt)
+      val got = byGroup(key).map(r => r.getAs[Int]("q_milli") -> r.getAs[Long]("cents")).toMap
+      Seq(500, 900, 990).foreach(qm =>
+        assert(got(qm) == q(qm), s"$key q$qm: got ${got(qm)} vs ${q(qm)}"))
+    }
+    assert(byGroup.nonEmpty)
+  }
+
   test("ss26 cell balance shares and flags are consistent and cover the corpus") {
     val rows = SparkEntry.queries("ss26_cell_balance")(spark, sfDir).collect()
     val total = rows.head.getAs[Long]("total")
