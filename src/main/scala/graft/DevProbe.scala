@@ -91,7 +91,8 @@ object DevProbe {
         "tx32_ppl_tiers", "sp13_epoch_budget", "mm08_pixel_hash",
         "mm09_image_neardup", "mm10_pixel_stats", "ts39_theil_sen",
         "tx33_gopher_gate", "ss35_embed_drift", "dd22_cdc_chunks",
-        "mm11_audio_stats", "ss36_mrl_curve")
+        "mm11_audio_stats", "ss36_mrl_curve", "dd23_band_curve",
+        "tx34_lang_confusion", "ts40_slo_bands")
       // optional third arg: comma-separated subset of the list above
       val only = args.lift(2).map(_.split(",").toSet)
       println("| query | input rows | shuffle rows written | amplification ‰ | max-task shuffle share ‰ | spill MB |")
