@@ -117,7 +117,6 @@ object DevProbe {
       // replicas, identical embeddings) so the endpoints read the
       // per-query audit cost, which is corpus-LINEAR by design.
       import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
       val d = args(1)
       val mult = args.lift(2).map(_.toLong).getOrElse(1L)
       val e = Tables.spread(Tables(spark, d, "embeddings"))
@@ -125,29 +124,12 @@ object DevProbe {
           && col("vec_id") < lit(5000L * mult))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       println(s"nq=${qs.count()}")
-      val cosine = graft.functions.VectorFunctions.cosine _
       val t0 = System.nanoTime()
-      val all = e.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cosine(col("embedding"), col("q_emb")).as("cos_sim"),
-          cosine(slice(col("embedding"), 1, 8), slice(col("q_emb"), 1, 8)).as("c8"),
-          cosine(slice(col("embedding"), 1, 16), slice(col("q_emb"), 1, 16)).as("c16"),
-          cosine(slice(col("embedding"), 1, 32), slice(col("q_emb"), 1, 32)).as("c32"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def rk(c: String) = row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col(c).desc, col("vec_id")))
-      all.withColumn("r8", rk("c8")).withColumn("r16", rk("c16"))
-        .withColumn("r32", rk("c32")).withColumn("trk", rk("cos_sim"))
-        .filter(col("trk") <= 10)
-        .groupBy(col("q_id"))
-        .agg(count(lit(1)).as("n_true"),
-          sum(when(col("r8") <= 40, 1L).otherwise(0L)).as("n_hit8"),
-          sum(when(col("r16") <= 40, 1L).otherwise(0L)).as("n_hit16"),
-          sum(when(col("r32") <= 40, 1L).otherwise(0L)).as("n_hit32"))
+      // the SAME kernel the registered query runs (mrlAuditOf) — the
+      // probe can never silently measure a different pipeline
+      operators.Similarity.mrlAuditOf(e, qs)
         .write.format("noop").mode("overwrite").save()
       println(s"AUDIT=done in ${(System.nanoTime() - t0) / 1e9}s")
-      all.unpersist()
     } else if (args(0) == "--ss22fixed") {
       // Fixed-batch ss22 blowup row (args: --ss22fixed <sfDir> <mult>):
       // the bench query's batch is a 1/50 id slice, so the blowup

@@ -39,13 +39,6 @@ object Curation {
     df.select(keep :+ split(lower(col("text")), " ").as("_ws"): _*)
       .select(keep :+ explode(grams5(col("_ws"))).as("gram"): _*)
 
-  /** tx33's kernel over any (doc_id, text) frame — shared with
-    * [[graft.api]]'s `gopherGate` verb. One corpus scan folds the
-    * five per-doc rule flags at scan speed (dominance is a run-length
-    * fold over the doc's own sorted tokens — the tx05/tx28 pattern),
-    * one map-side-combinable aggregate collapses to a single row, and
-    * the rule table is a 6-row stack of that row: sequential kills
-    * (the funnel) and marginal kills (the ablation) in one pass. */
   /** tx33 stage 1+2: the per-doc rule flags and their one-row ADDITIVE
     * aggregate (11 sums — every column a sum of indicators, so a
     * streaming twin stores per-batch rows and re-sums; the

@@ -402,42 +402,47 @@ object Multimodal {
     "RIFF".getBytes("US-ASCII") ++ le32(chunks.length) ++ chunks
   }
 
-  /** REAL WAVE decode: verify RIFF/WAVE, walk LE length-prefixed
-    * chunks (skipping unknown ones by their declared size + RIFF odd
-    * padding), read channels/rate/bits from `fmt `, the payload size
-    * from `data`, and derive the exact integer duration
-    * data·1000 / byte_rate. Unparseable payloads route out. */
-  private[graft] def decodeWav(in: MediaIn): Option[AudioMeta] = try {
-    val p = in.payload
+  /** The shared RIFF/WAVE chunk walk (mm06 + mm11): verify the
+    * RIFF/WAVE header, walk LE length-prefixed chunks (skipping
+    * unknown ones by declared size + the RIFF odd-byte pad), return
+    * (channels, rate, bits, dataOff, dataBytes) — None for anything
+    * unparseable, truncated, or missing fmt/data. One walk serves
+    * both decoders so they can never disagree on which payloads
+    * route out. */
+  private def wavLayout(p: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = try {
     def u8(i: Int): Int = p(i) & 0xff
     def le16At(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def le32At(i: Int): Int =
       u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
     def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
-    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") None
-    else {
-      var pos = 12
-      var channels, rate, bits = -1
-      var dataBytes = -1
-      while (pos + 8 <= p.length && (channels < 0 || dataBytes < 0)) {
-        val id = tag(pos)
-        val len = le32At(pos + 4)
-        if (len < 0 || pos + 8 + len > p.length) return None
-        if (id == "fmt " && len >= 16) {
-          channels = le16At(pos + 10)
-          rate = le32At(pos + 12)
-          bits = le16At(pos + 22)
-        } else if (id == "data") dataBytes = len
-        pos += 8 + len + (len % 2)                        // RIFF word alignment
-      }
-      if (channels <= 0 || rate <= 0 || bits <= 0 || dataBytes < 0) None
-      else {
-        val byteRate = rate.toLong * channels * (bits / 8)
-        Some(AudioMeta(in.doc_id, p.length, channels, rate, bits, dataBytes,
-          (dataBytes.toLong * 1000 / byteRate).toInt))
-      }
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var channels, rate, bits = -1
+    var dataOff, dataBytes = -1
+    while (pos + 8 <= p.length && (channels < 0 || dataOff < 0)) {
+      val id = tag(pos)
+      val len = le32At(pos + 4)
+      if (len < 0 || pos + 8 + len > p.length) return None
+      if (id == "fmt " && len >= 16) {
+        channels = le16At(pos + 10)
+        rate = le32At(pos + 12)
+        bits = le16At(pos + 22)
+      } else if (id == "data") { dataOff = pos + 8; dataBytes = len }
+      pos += 8 + len + (len % 2)                          // RIFF word alignment
     }
+    if (channels <= 0 || rate <= 0 || bits <= 0 || dataBytes < 0) None
+    else Some((channels, rate, bits, dataOff, dataBytes))
   } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  /** REAL WAVE decode: the shared chunk walk ([[wavLayout]]) + the
+    * exact integer duration data·1000 / byte_rate. Unparseable
+    * payloads route out. */
+  private[graft] def decodeWav(in: MediaIn): Option[AudioMeta] =
+    wavLayout(in.payload).map { case (channels, rate, bits, _, dataBytes) =>
+      val byteRate = rate.toLong * channels * (bits / 8)
+      AudioMeta(in.doc_id, in.payload.length, channels, rate, bits, dataBytes,
+        (dataBytes.toLong * 1000 / byteRate).toInt)
+    }
 
   /** Decoded WAVEFORM statistics (mm11) — the audio-QA signal battery
     * (silence / clipping / DC-offset screens), every field computed
@@ -484,45 +489,28 @@ object Multimodal {
     * (mean_sq ≫ 0 with zero_cross = 0) and clipping gates. Only 8-bit
     * mono routes through (anything else — or a short stream — routes
     * out, the decodeMedia contract). */
-  private[graft] def decodeAudioStats(in: MediaIn): Option[AudioStats] = try {
-    val p = in.payload
-    def u8(i: Int): Int = p(i) & 0xff
-    def le16At(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-    def le32At(i: Int): Int =
-      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
-    def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
-    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var pos = 12
-    var channels, rate, bits = -1
-    var dataOff, dataBytes = -1
-    while (pos + 8 <= p.length && (channels < 0 || dataOff < 0)) {
-      val id = tag(pos)
-      val len = le32At(pos + 4)
-      if (len < 0 || pos + 8 + len > p.length) return None
-      if (id == "fmt " && len >= 16) {
-        channels = le16At(pos + 10)
-        rate = le32At(pos + 12)
-        bits = le16At(pos + 22)
-      } else if (id == "data") { dataOff = pos + 8; dataBytes = len }
-      pos += 8 + len + (len % 2)
+  private[graft] def decodeAudioStats(in: MediaIn): Option[AudioStats] =
+    wavLayout(in.payload).flatMap { case (channels, rate, bits, dataOff, dataBytes) =>
+      if (channels != 1 || bits != 8 || dataBytes <= 0) None
+      else {
+        val p = in.payload
+        var peak = 0; var sq = 0L; var zc = 0; var clip = 0
+        var prev = 0; var i = 0
+        while (i < dataBytes) {
+          val s = (p(dataOff + i) & 0xff) - 128
+          val as = math.abs(s)
+          if (as > peak) peak = as
+          sq += s.toLong * s
+          if (as >= 120) clip += 1
+          if (i > 0 && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0))) zc += 1
+          prev = s
+          i += 1
+        }
+        Some(AudioStats(in.doc_id, dataBytes, rate,
+          (dataBytes.toLong * 1000 / rate).toInt, peak, sq / dataBytes, zc,
+          clip.toLong * 1000 / dataBytes))
+      }
     }
-    if (channels != 1 || bits != 8 || rate <= 0 || dataBytes <= 0) return None
-    var peak = 0; var sq = 0L; var zc = 0; var clip = 0
-    var prev = 0; var i = 0
-    while (i < dataBytes) {
-      val s = u8(dataOff + i) - 128
-      val as = math.abs(s)
-      if (as > peak) peak = as
-      sq += s.toLong * s
-      if (as >= 120) clip += 1
-      if (i > 0 && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0))) zc += 1
-      prev = s
-      i += 1
-    }
-    Some(AudioStats(in.doc_id, dataBytes, rate,
-      (dataBytes.toLong * 1000 / rate).toInt, peak, sq / dataBytes, zc,
-      clip.toLong * 1000 / dataBytes))
-  } catch { case _: ArrayIndexOutOfBoundsException => None }
 
   /** Decoded video-container metadata — every field parsed from the
     * ISO-BMFF (MP4) box structure: major brand from `ftyp`, movie

@@ -832,29 +832,10 @@ object Similarity {
     // cell-partitioned index (ss25 serves it); the audit frame is the
     // honest form for measuring recall, which needs the full truth.
     "ss36_mrl_curve" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val e = emb(s, d)
       val qs = e.filter(col("vec_id") % 50 === 7 && col("vec_id") < 5000)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val all = e.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cosine(col("embedding"), col("q_emb")).as("cos_sim"),
-          cosine(slice(col("embedding"), 1, 8), slice(col("q_emb"), 1, 8)).as("c8"),
-          cosine(slice(col("embedding"), 1, 16), slice(col("q_emb"), 1, 16)).as("c16"),
-          cosine(slice(col("embedding"), 1, 32), slice(col("q_emb"), 1, 32)).as("c32"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def rk(c: String) = row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col(c).desc, col("vec_id")))
-      val ranked = all
-        .withColumn("r8", rk("c8")).withColumn("r16", rk("c16"))
-        .withColumn("r32", rk("c32")).withColumn("trk", rk("cos_sim"))
-      ranked.filter(col("trk") <= 10)
-        .groupBy(col("q_id"))
-        .agg(count(lit(1)).as("n_true"),
-          sum(when(col("r8") <= 40, 1L).otherwise(0L)).as("n_hit8"),
-          sum(when(col("r16") <= 40, 1L).otherwise(0L)).as("n_hit16"),
-          sum(when(col("r32") <= 40, 1L).otherwise(0L)).as("n_hit32"))
+      mrlAuditOf(e, qs)
         .select(col("q_id"), col("n_true"),
           col("n_hit8"), expr("(n_hit8 * 1000) DIV n_true").as("recall8_milli"),
           lit(125L).as("cost8_milli"),
@@ -1234,14 +1215,35 @@ object Similarity {
     * (cell × grid) domain, the quantile frame broadcasts back; the
     * assignment is a lazy localCheckpoint (two readers, blocks
     * release on GC). */
-  /** ss35's kernel over any (vec_id, embedding, is_new) frame —
-    * shared with [[graft.api]]'s `embedDrift` verb. ONE corpus scan
-    * partial-aggs into the fixed 16-cell sign-pattern domain (sign
-    * bits of dims 1-4; 8 conditional quantized-coordinate sums ride
-    * the same agg); the 16-row cell frame is checkpointed (two
-    * consumers: its own totals agg + the report) and totals broadcast
-    * back — zero corpus-keyed shuffles. Cells with an empty half
-    * report NULL displacement. */
+  /** ss36's audit kernel over an embedding frame and a (q_id, q_emb)
+    * query batch — shared with DevProbe's `--mrlfixed` fixed-batch
+    * probe so the two can never measure different pipelines: ONE
+    * persisted Q×N audit frame carrying the exact cosine plus the
+    * 8/16/32-dim prefix cosines, four per-query rank windows, and the
+    * per-query hit counts of a fixed-40 prefix shortlist against the
+    * exact top-10 truth. */
+  private[graft] def mrlAuditOf(e: DataFrame, qs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos_sim"),
+        cosine(slice(col("embedding"), 1, 8), slice(col("q_emb"), 1, 8)).as("c8"),
+        cosine(slice(col("embedding"), 1, 16), slice(col("q_emb"), 1, 16)).as("c16"),
+        cosine(slice(col("embedding"), 1, 32), slice(col("q_emb"), 1, 32)).as("c32"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rk(c: String) = row_number().over(
+      Window.partitionBy(col("q_id")).orderBy(col(c).desc, col("vec_id")))
+    all.withColumn("r8", rk("c8")).withColumn("r16", rk("c16"))
+      .withColumn("r32", rk("c32")).withColumn("trk", rk("cos_sim"))
+      .filter(col("trk") <= 10)
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("r8") <= 40, 1L).otherwise(0L)).as("n_hit8"),
+        sum(when(col("r16") <= 40, 1L).otherwise(0L)).as("n_hit16"),
+        sum(when(col("r32") <= 40, 1L).otherwise(0L)).as("n_hit32"))
+  }
+
   /** ss35 stage 1: per-(cell) ADDITIVE partial sums over any
     * (vec_id, embedding, is_new) frame — both halves' populations and
     * quantized coordinate sums (dims 1-4). Additive by construction

@@ -294,17 +294,22 @@ object TimeSeries {
   }
 
   private[graft] def histQuantilesOf(hist: DataFrame,
-                                     qsMilli: Seq[Int]): DataFrame = {
-    val w = Window.partitionBy(col("key")).orderBy(col("cents"))
-    val wn = Window.partitionBy(col("key"))
+                                     qsMilli: Seq[Int],
+                                     keys: Seq[String] = Seq("key")): DataFrame = {
+    // multi-column keys (ts40's (event_type, day)) partition directly —
+    // never packed into one delimited string, which would corrupt keys
+    // containing the delimiter
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("cents"))
+    val wn = Window.partitionBy(kc: _*)
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("n", sum(col("cnt")).over(wn))
     qsMilli.map { q =>
       cum.filter(col("cum") * 1000 >= col("n") * q)
-        .groupBy(col("key"))
+        .groupBy(kc: _*)
         .agg(min(col("cents")).as("cents"), max(col("n")).as("n"))
-        .select(col("key"), lit(q).as("q_milli"), col("cents"), col("n"))
+        .select(kc ++ Seq(lit(q).as("q_milli"), col("cents"), col("n")): _*)
     }.reduce(_ unionByName _)
   }
 
@@ -1007,21 +1012,19 @@ object TimeSeries {
     // "how do the bands MOVE day by day" — the latency-band chart
     // every ops dashboard renders): per (event_type, day), the exact
     // value percentiles from the ts35 mergeable-histogram kernel
-    // (engine-exact cum-count rule over cent-quantized values; keys
-    // pack as type#day and unpack in the output). Scale shape: ONE
+    // (engine-exact cum-count rule over cent-quantized values; the
+    // kernel partitions by the two key columns directly — never a
+    // delimiter-packed string). Scale shape: ONE
     // corpus scan partial-aggs into the (type × day × distinct-cents)
     // DOMAIN (value-bounded at any corpus size); the quantile windows
     // run over that domain frame only.
     "ts40_slo_bands" -> ((s, d) => {
       val hist = ev(s, d)
-        .select(concat(col("event_type"), lit("#"),
-            expr("epoch_s DIV 86400")).as("key"),
+        .select(col("event_type"), expr("epoch_s DIV 86400").as("dn"),
           round(col("value") * 100).cast("long").as("cents"))
-        .groupBy(col("key"), col("cents")).agg(count(lit(1)).as("cnt"))
-      histQuantilesOf(hist, Seq(500, 900, 990))
-        .select(split(col("key"), "#").getItem(0).as("event_type"),
-          split(col("key"), "#").getItem(1).cast("long").as("dn"),
-          col("q_milli"), col("cents"), col("n"))
+        .groupBy(col("event_type"), col("dn"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      histQuantilesOf(hist, Seq(500, 900, 990), keys = Seq("event_type", "dn"))
         .orderBy(col("event_type"), col("dn"), col("q_milli"))
     }),
 
@@ -1565,8 +1568,8 @@ object TimeSeries {
         |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day, age_day, rev_cents,
         | cum_cents, n_cohort, (cum_cents * 1000) // n_cohort AS ltv_milli_cents
         |FROM c JOIN sizes USING (cohort) ORDER BY 1, 2""".stripMargin,
-    // ts40: ts35's cum-count rule partitioned by (type, day); the
-    // packed key unpacks to the same two columns the Spark side emits.
+    // ts40: ts35's cum-count rule partitioned by (type, day) — both
+    // sides key on the two columns directly.
     "ts40_slo_bands" ->
       """WITH f AS (
         | SELECT event_type, (epoch_us(ts) // 1000000) // 86400 AS dn,
