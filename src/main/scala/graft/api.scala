@@ -267,6 +267,24 @@ object api {
           qsMilli)
         .withColumnRenamed("key", keyCol)
 
+    /** Daily PERCENTILE BANDS per series (the ts40 operator as a
+      * verb — the p50/p90/p99-over-time SLO chart): rows bucket into
+      * whole days of `tsCol`, values quantize via `valueCentsCol`,
+      * and the exact per-(key, day) percentiles come from the
+      * multi-key histogram kernel (never a delimiter-packed key).
+      * Returns (keyCol, dn, q_milli, cents, n). */
+    def sloBands(keyCol: String, tsCol: String, valueCentsCol: String,
+                 qsMilli: Seq[Int] = Seq(500, 900, 990)): DataFrame =
+      graft.operators.TimeSeries.histQuantilesOf(
+          df.select(col(keyCol).as("key"),
+              expr(s"CAST($tsCol AS LONG) DIV 86400").as("dn"),
+              col(valueCentsCol).cast("long").as("cents"))
+            .groupBy(col("key"), col("dn"), col("cents"))
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("cnt")),
+          qsMilli, keys = Seq("key", "dn"))
+        .withColumnRenamed("key", keyCol)
+
     /** Lag-k AUTOCORRELATION of the daily count series (the ts36
       * operator as a verb): rows bucket into whole days of `tsCol`,
       * the per-day counts autocorrelate at lags 1..`maxLag` —

@@ -1840,6 +1840,22 @@ class ApiSpec extends SparkSpec {
       s"the shifted twin must still share chunks with the original: $got")
   }
 
+  test("sloBands verb matches ts40 and recovers planted per-day percentiles") {
+    val viaApi = Tables.events(spark, sfDir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .sloBands("event_type", "ts", "cents")
+      .orderBy("event_type", "dn", "q_milli")
+    val viaOp = SparkEntry.queries("ts40_slo_bands")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted: one key, one day, values 1..10 cents — by the ceil
+    // cum-count rule p50 = 5, p90 = 9, p99 = 10
+    import spark.implicits._
+    val rows = (1 to 10).map(i => ("k", 86400L, i.toLong)).toDF("k", "es", "c")
+    val got = rows.sloBands("k", "es", "c")
+      .collect().map(r => r.getAs[Int]("q_milli") -> r.getAs[Long]("cents")).toMap
+    assert(got == Map(500 -> 5L, 900 -> 9L, 990 -> 10L), s"got $got")
+  }
+
   test("pagerank gives sink-only nodes rank rows that accumulate inflow") {
     import spark.implicits._
     // 1→2, 2→3: node 3 has NO out-edges (absent from the old
