@@ -581,6 +581,41 @@ object Dedup {
     "dd18_soft_dedup" -> ((s, d) =>
       softWeights(docs(s, d)).orderBy(col("doc_id"))),
 
+    // EFFECTIVE-TOKEN BUDGET per source — the dedup-discounted
+    // accounting a mixture planner should weight by (the cross-family
+    // composition of dd18's SoftDeDup weights and sp13/px02's token
+    // budgeting: raw token counts overstate a near-dup-heavy source's
+    // real information mass — "how much UNIQUE data do I actually
+    // have per source" is the number data-constrained scaling
+    // decisions need): each doc's tokens count at its cluster weight
+    // (1000 DIV cluster size — unique docs at full weight), rolled up
+    // per source with the dup-doc census, the effective/raw ratio,
+    // and each source's share of the corpus's total effective mass
+    // (shares from effective TOKENS, not milli-tokens — keeps the
+    // arithmetic inside the long domain at 10^14 raw tokens). Scale
+    // shape: dd18's pair-graph fixpoint (the dominant cost, measured
+    // 1.7x at --full 64x) + one doc-keyed co-shuffled join + an
+    // |S|-row rollup with a 1-row broadcast.
+    "sp14_effective_tokens" -> ((s, d) => {
+      val w = softWeights(docs(s, d)).select(col("doc_id"), col("weight_milli"))
+      val toks = docs(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      val src = toks.join(w, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("weight_milli") < 1000, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(col("tok")).as("raw_tokens"),
+          sum(col("tok") * col("weight_milli")).as("eff_milli"))
+        .withColumn("effective_tokens", expr("eff_milli DIV 1000"))
+      val tot = src.agg(sum(col("effective_tokens")).as("te"))
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          col("raw_tokens"), col("effective_tokens"),
+          expr("eff_milli DIV raw_tokens").as("unique_ratio_milli"),
+          expr("(effective_tokens * 1000) DIV te").as("eff_share_milli"))
+        .orderBy(col("source"))
+    }),
+
     // Connected components again, but via alternating LARGE-STAR /
     // SMALL-STAR (Kiveris et al., "Connected Components in MapReduce
     // and Beyond") — the adversarial-chain-proof variant: min-label
@@ -1490,6 +1525,44 @@ object Dedup {
          | FROM clusters GROUP BY 1)
          |SELECT doc_id, cluster_id, n_members, 1000 // n_members AS weight_milli
          |FROM clusters JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    // sp14: dd18's component/weight CTEs + the token join and source
+    // rollup; shares from effective TOKENS (both engines divide the
+    // same integers).
+    "sp14_effective_tokens" ->
+      s"""WITH RECURSIVE $candPreludeSql,
+         |cand AS (
+         | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         | FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a, b FROM cand UNION ALL SELECT b AS a, a AS b FROM cand),
+         |walk(node, label) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT e.a AS node, w.label FROM walk w JOIN edges e ON e.b = w.node),
+         |clusters AS (
+         | SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         | FROM walk GROUP BY node),
+         |sizes AS (
+         | SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         | FROM clusters GROUP BY 1),
+         |wts AS (
+         | SELECT doc_id, 1000 // n_members AS weight_milli
+         | FROM clusters JOIN sizes USING (cluster_id)),
+         |t AS (
+         | SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         | FROM documents),
+         |src AS (
+         | SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN w.weight_milli < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(t.tok) AS BIGINT) AS raw_tokens,
+         |  CAST(sum(t.tok * w.weight_milli) AS BIGINT) AS eff_milli
+         | FROM t JOIN wts w USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(eff_milli // 1000) AS BIGINT) AS te FROM src)
+         |SELECT source, n_docs, n_dup_docs, raw_tokens,
+         | eff_milli // 1000 AS effective_tokens,
+         | eff_milli // raw_tokens AS unique_ratio_milli,
+         | ((eff_milli // 1000) * 1000) // te AS eff_share_milli
+         |FROM src, tot ORDER BY source""".stripMargin,
     "dd15_keep_best" ->
       s"""WITH RECURSIVE $candPreludeSql,
          |cand AS (

@@ -1359,6 +1359,34 @@ class QueriesSpec extends SparkSpec {
     assert(byGroup.nonEmpty)
   }
 
+  test("sp14 effective tokens tie out to dd18 weights doc by doc") {
+    val w = SparkEntry.queries("dd18_soft_dedup")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("weight_milli")).toMap
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._2).map { case (s, xs) =>
+      val effMilli = xs.map(x => x._3 * w(x._1)).sum
+      s -> (xs.length.toLong, xs.count(x => w(x._1) < 1000).toLong,
+        xs.map(_._3).sum, effMilli / 1000, effMilli)
+    }
+    val totEff = bySrc.values.map(_._4).sum
+    val got = SparkEntry.queries("sp14_effective_tokens")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, (n, nd, raw, eff, effMilli)) =>
+      val r = got(s)
+      assert(r.getAs[Long]("n_docs") == n && r.getAs[Long]("n_dup_docs") == nd)
+      assert(r.getAs[Long]("raw_tokens") == raw)
+      assert(r.getAs[Long]("effective_tokens") == eff, s"$s effective")
+      assert(r.getAs[Long]("effective_tokens") <= r.getAs[Long]("raw_tokens"))
+      assert(r.getAs[Long]("unique_ratio_milli") == effMilli / raw)
+      assert(r.getAs[Long]("eff_share_milli") == eff * 1000 / totEff)
+    }
+    assert(bySrc.values.exists(_._2 > 0) || w.values.forall(_ == 1000L),
+      "fixture: either dup docs exist or the corpus is fully unique")
+  }
+
   test("ss26 cell balance shares and flags are consistent and cover the corpus") {
     val rows = SparkEntry.queries("ss26_cell_balance")(spark, sfDir).collect()
     val total = rows.head.getAs[Long]("total")
