@@ -130,6 +130,47 @@ object DevProbe {
       operators.Similarity.mrlAuditOf(e, qs)
         .write.format("noop").mode("overwrite").save()
       println(s"AUDIT=done in ${(System.nanoTime() - t0) / 1e9}s")
+    } else if (args(0) == "--mrlsampled") {
+      // Sampled-truth ss36 blowup row (args: --mrlsampled <sfDir>
+      // <mult>): same fixed 1x batch as --mrlfixed, but the truth
+      // corpus routes through mrlSampleOneInFor — the form a 100 TB
+      // deployment actually runs. The audit frame is Q(fixed) ×
+      // ~25k(sampled) at every scale; the only corpus-linear term
+      // left is the one-pass sample filter scan.
+      import org.apache.spark.sql.functions._
+      val d = args(1)
+      val mult = args.lift(2).map(_.toLong).getOrElse(1L)
+      val e = Tables.spread(Tables(spark, d, "embeddings"))
+      val qs = e.filter(col("vec_id") % lit(50L * mult) === lit(7L * mult)
+          && col("vec_id") < lit(5000L * mult))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val n = e.count()
+      val s1 = operators.Similarity.mrlSampleOneInFor(n)
+      println(s"nq=${qs.count()} n=$n sampleOneIn=$s1")
+      val t0 = System.nanoTime()
+      operators.Similarity.mrlAuditOf(e, qs, s1)
+        .write.format("noop").mode("overwrite").save()
+      println(s"AUDIT=done in ${(System.nanoTime() - t0) / 1e9}s")
+    } else if (args(0) == "--mrlagree") {
+      // Sampled-vs-exact ss36 agreement probe (args: --mrlagree
+      // <sfDir> [sampleOneIn]): mean recall milli per prefix width,
+      // exact vs sampled — the numbers ApiSpec pins.
+      import org.apache.spark.sql.functions._
+      val d = args(1)
+      val s1 = args.lift(2).map(_.toInt).getOrElse(4)
+      val e = Tables.spread(Tables(spark, d, "embeddings"))
+      val qs = e.filter(col("vec_id") % 50 === 7 && col("vec_id") < 5000)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      def means(sample: Int): (Long, Long, Long, Long) = {
+        val r = operators.Similarity.mrlCurveReport(
+            operators.Similarity.mrlAuditOf(e, qs, sample))
+          .agg(count(lit(1)), avg(col("recall8_milli")),
+            avg(col("recall16_milli")), avg(col("recall32_milli"))).head
+        (r.getLong(0), r.getDouble(1).round, r.getDouble(2).round,
+          r.getDouble(3).round)
+      }
+      println(s"exact=${means(1)}")
+      println(s"sampled($s1)=${means(s1)}")
     } else if (args(0) == "--ss22fixed") {
       // Fixed-batch ss22 blowup row (args: --ss22fixed <sfDir> <mult>):
       // the bench query's batch is a 1/50 id slice, so the blowup

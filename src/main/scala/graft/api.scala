@@ -1570,6 +1570,33 @@ object api {
         prefixDims, shortlist, k, excludeSelf)
         .withColumnRenamed("vec_id", idCol)
 
+    /** MRL prefix-width recall/cost curve (the ss36 audit as a verb):
+      * recall@10 of a fixed-40 shortlist at 8/16/32 prefix dims
+      * against the exact full-width top-10 truth, per query.
+      * `sampleOneIn` steers the truth corpus — the dd08 calibration
+      * discipline ([[graft.operators.Similarity.mrlSampleOneInFor]]):
+      *  - 0 (default, auto): ≤ 100k vectors audit against the FULL
+      *    corpus; beyond, against a deterministic ~25k-vector
+      *    registry sample (hash of the id — reruns audit the same
+      *    subset), so the audit frame stays Q × ~25k FLAT at every
+      *    corpus scale;
+      *  - 1: the exact Q×N audit, explicitly — loudly paying a
+      *    corpus-linear cost per query is allowed, picking it by
+      *    accident is not;
+      *  - m > 1: audit against the 1-in-m sample. */
+    def mrlCurve(idCol: String, vecCol: String, queries: DataFrame,
+                 queryIdCol: String, queryVecCol: String,
+                 sampleOneIn: Int = 0): DataFrame = {
+      require(sampleOneIn >= 0, s"sampleOneIn must be >= 0, got $sampleOneIn")
+      val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      val s1 = if (sampleOneIn > 0) sampleOneIn
+        else graft.operators.Similarity.mrlSampleOneInFor(e.count())
+      graft.operators.Similarity.mrlCurveReport(
+        graft.operators.Similarity.mrlAuditOf(e,
+          queries.select(col(queryIdCol).as("q_id"),
+            col(queryVecCol).as("q_emb")), s1))
+    }
+
     /** Partition/cell balance audit over any assigned frame (the ss26
       * operator as a verb): per distinct `cellCol` value — member
       * count, corpus share (milli), balance factor vs the uniform

@@ -53,7 +53,8 @@ object Curation {
           greatest(a.getField("mx"), lit(1L)).as("mx"))),
       a => a.getField("mx"))
     val flags = docDf
-      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+      .select(col("doc_id"), col("text").isNull.as("tnull"),
+        split(col("text"), " ").as("toks"),
         length(col("text")).cast("long").as("lc"))
       .withColumn("nw", size(col("toks")).cast("long"))
       .withColumn("awl", expr("((lc - nw + 1) * 1000) DIV nw"))
@@ -63,7 +64,10 @@ object Curation {
       .withColumn("dom", expr("(mxc * 1000) DIV nw"))
       .withColumn("ttr", expr("(CAST(size(array_distinct(toks)) AS BIGINT) * 1000) DIV nw"))
       .select(col("doc_id"),
-        (col("nw") < 30 || col("nw") > 90).as("f1"),
+        // null text fails the word-count rule (rule 1) outright —
+        // otherwise every flag evaluates NULL and a text-less doc
+        // would silently 'pass' the whole gate into the survivors row
+        (col("tnull") || col("nw") < 30 || col("nw") > 90).as("f1"),
         (col("awl") < 4300 || col("awl") > 4700).as("f2"),
         (col("nstop") < 2).as("f3"),
         (col("dom") > 120).as("f4"),
@@ -1404,7 +1408,7 @@ object Curation {
     // UNION ALL over the one-row aggregate.
     "tx33_gopher_gate" ->
       """WITH t AS (
-        | SELECT doc_id, string_split(text, ' ') AS toks,
+        | SELECT doc_id, text IS NULL AS tnull, string_split(text, ' ') AS toks,
         |  CAST(length(text) AS BIGINT) AS lc,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
         | FROM documents),
@@ -1415,14 +1419,14 @@ object Curation {
         | GROUP BY 1),
         |f AS (
         | SELECT t.doc_id,
-        |  (t.nw < 30 OR t.nw > 90) AS f1,
+        |  (t.tnull OR t.nw < 30 OR t.nw > 90) AS f1,
         |  (((t.lc - t.nw + 1) * 1000) // t.nw < 4300
         |    OR ((t.lc - t.nw + 1) * 1000) // t.nw > 4700) AS f2,
         |  (len(list_filter(t.toks,
         |     x -> x IN ('the','a','of','and','to','in','is','it'))) < 2) AS f3,
         |  ((d.mxc * 1000) // t.nw > 120) AS f4,
         |  ((CAST(len(list_distinct(t.toks)) AS BIGINT) * 1000) // t.nw < 380) AS f5
-        | FROM t JOIN dom d USING (doc_id)),
+        | FROM t LEFT JOIN dom d USING (doc_id)),
         |g AS (
         | SELECT CAST(count(*) AS BIGINT) AS n0,
         |  CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,

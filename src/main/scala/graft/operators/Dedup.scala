@@ -337,34 +337,52 @@ object Dedup {
     // that picks a banding before a dedup run commits to it (wide
     // bands = high threshold + few candidates; single-perm bands =
     // low threshold + candidate flood). Scale shape: the signature
-    // frame computes ONCE (persisted — the dominant cost) and each
-    // config is dd02's exact band-keyed equi-join (never all-pairs)
-    // collapsing to a single row.
+    // frame computes ONCE (persisted — the dominant cost), ALL THREE
+    // configs' band keys emit in a SINGLE config-tagged explode, and
+    // ONE (cfg, band, key)-keyed equi-join (never all-pairs) carries
+    // every config's candidate fan — collapsing per config in the
+    // same aggregation, so the signature frame is scanned twice (the
+    // self-join's two sides), not six times.
     "dd23_band_curve" -> ((s, d) => {
       val sig = signatures(docs(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
-      def cfg(bands: Int, rows: Int, thrMilli: Long): DataFrame = {
-        val bf = sig.select(col("doc_id"), col("sig"),
-          posexplode(array((0 until bands).map(i =>
-            bandKey(col("sig"), i * rows, rows)): _*)))
-          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-        val x = bf.select(col("doc_id").as("a"), col("sig").as("sig_a"),
-          col("band"), col("bkey"))
-        val y = bf.select(col("doc_id").as("b"), col("sig").as("sig_b"),
-          col("band"), col("bkey"))
-        x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
-          .select(col("a"), col("b"),
-            foldSumInt(zip_with(col("sig_a"), col("sig_b"),
-              (p, q) => when(p === q, 1L).otherwise(0L))).as("m"))
-          .distinct()
-          .agg(count(lit(1)).as("n_candidates"),
-            coalesce(sum(when(col("m") >= 4, 1L).otherwise(0L)), lit(0L)).as("n_est_dup"))
-          .select(lit(bands).as("bands"), lit(rows).as("band_rows"),
-            lit(thrMilli).as("threshold_milli"),
-            col("n_candidates"), col("n_est_dup"),
-            expr("CASE WHEN n_candidates > 0 THEN (n_est_dup * 1000) DIV n_candidates" +
-              " ELSE 0 END").as("precision_milli"))
+      val configs = Seq((0, 8, 1, 125L), (1, 4, 2, 500L), (2, 2, 4, 840L))
+      val keyStructs = configs.flatMap { case (cfgId, bands, rows, _) =>
+        (0 until bands).map(i => struct(lit(cfgId).as("cfg"),
+          lit(i).as("band"), bandKey(col("sig"), i * rows, rows).as("bkey")))
       }
-      cfg(8, 1, 125L).unionByName(cfg(4, 2, 500L)).unionByName(cfg(2, 4, 840L))
+      val bf = sig.select(col("doc_id"), col("sig"),
+          explode(array(keyStructs: _*)).as("k"))
+        .select(col("doc_id"), col("sig"), col("k.cfg").as("cfg"),
+          col("k.band").as("band"), col("k.bkey").as("bkey"))
+      val x = bf.select(col("doc_id").as("a"), col("sig").as("sig_a"),
+        col("cfg"), col("band"), col("bkey"))
+      val y = bf.select(col("doc_id").as("b"), col("sig").as("sig_b"),
+        col("cfg"), col("band"), col("bkey"))
+      val perCfg = x.join(y, Seq("cfg", "band", "bkey"))
+        .filter(col("a") < col("b"))
+        .select(col("cfg"), col("a"), col("b"),
+          foldSumInt(zip_with(col("sig_a"), col("sig_b"),
+            (p, q) => when(p === q, 1L).otherwise(0L))).as("m"))
+        .distinct()
+        .groupBy(col("cfg"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("m") >= 4, 1L).otherwise(0L)).as("n_est_dup"))
+      // 3-row config spine LEFT-joins the per-config rollup so a
+      // config with zero candidates still reports a 0 row (the
+      // empty-corpus totality contract)
+      val spine = s.sql(
+        """SELECT cfg, CAST(bands AS INT) AS bands,
+          |  CAST(band_rows AS INT) AS band_rows,
+          |  CAST(threshold_milli AS BIGINT) AS threshold_milli
+          |FROM VALUES (0, 8, 1, 125), (1, 4, 2, 500), (2, 2, 4, 840)
+          |  AS t(cfg, bands, band_rows, threshold_milli)""".stripMargin)
+      spine.join(broadcast(perCfg), Seq("cfg"), "left")
+        .select(col("bands"), col("band_rows"), col("threshold_milli"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_est_dup"), lit(0L)).as("n_est_dup"))
+        .withColumn("precision_milli",
+          expr("CASE WHEN n_candidates > 0 THEN (n_est_dup * 1000) DIV n_candidates" +
+            " ELSE 0 END"))
         .orderBy(col("band_rows"))
     }),
 
@@ -1211,18 +1229,27 @@ object Dedup {
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct()
       val mins2 = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = oriented.join(mins2, "u")
+      val smallRaw = oriented.join(mins2, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins2.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
+      // fold the small-star DISTINCT and the symmetric-difference
+      // convergence check into ONE grouped pass: tag new edges vs the
+      // previous set, group by (u, v), and checkpoint the tagged
+      // frame — a single shuffle action per round materializes both
+      // the next edge set AND the diff markers. The convergence read
+      // and next round's input are then filters over the CACHED
+      // checkpoint blocks (no recompute, no second shuffle), cutting
+      // the loop's driver-coordinated shuffle jobs from two to one —
+      // the scheduler-contention exposure a loud bench window showed.
+      val merged = smallRaw.select(col("u"), col("v"), lit(1).as("t"))
+        .union(edges.select(col("u"), col("v"), lit(2).as("t")))
+        .groupBy(col("u"), col("v"))
+        .agg(max(when(col("t") === 1, 1).otherwise(0)).as("in_new"),
+          max(when(col("t") === 2, 1).otherwise(0)).as("in_old"))
         .localCheckpoint(true)
-      // fixpoint = edge set unchanged — ONE symmetric-difference
-      // action per round (a row appearing in only one of the two
-      // distinct edge sets has count 1); no row data on the driver
-      converged = small.union(edges)
-        .groupBy(col("u"), col("v")).count()
-        .filter(col("count") === 1).isEmpty
-      edges = small
+      converged = merged.filter(col("in_new") =!= col("in_old")).isEmpty
+      edges = merged.filter(col("in_new") === 1).select(col("u"), col("v"))
       iter += 1
     }
     // at the fixpoint every edge is (member -> component root)

@@ -828,22 +828,17 @@ object Similarity {
     // batch broadcasts, the Q×N audit frame persists ONCE and carries
     // all three prefix cosines + the exact cosine; every rank window
     // runs per-query over that frame (one q_id exchange, four sorts).
-    // At 100 TB the production shortlist comes from the
-    // cell-partitioned index (ss25 serves it); the audit frame is the
-    // honest form for measuring recall, which needs the full truth.
+    // At 100 TB this registered exact form doesn't run — the
+    // api.mrlCurve verb auto-routes to a registry-SAMPLED truth
+    // corpus past 100k vectors ([[mrlSampleOneInFor]]), keeping the
+    // audit frame flat; the exact Q×N form stays available behind an
+    // explicit sampleOneIn=1 (and is what the oracle pins here, at
+    // oracle scale).
     "ss36_mrl_curve" -> ((s, d) => {
       val e = emb(s, d)
       val qs = e.filter(col("vec_id") % 50 === 7 && col("vec_id") < 5000)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      mrlAuditOf(e, qs)
-        .select(col("q_id"), col("n_true"),
-          col("n_hit8"), expr("(n_hit8 * 1000) DIV n_true").as("recall8_milli"),
-          lit(125L).as("cost8_milli"),
-          col("n_hit16"), expr("(n_hit16 * 1000) DIV n_true").as("recall16_milli"),
-          lit(250L).as("cost16_milli"),
-          col("n_hit32"), expr("(n_hit32 * 1000) DIV n_true").as("recall32_milli"),
-          lit(500L).as("cost32_milli"))
-        .orderBy(col("q_id"))
+      mrlCurveReport(mrlAuditOf(e, qs)).orderBy(col("q_id"))
     }),
 
     // IVF CELL-BALANCE audit — the index-maintenance report every
@@ -1222,9 +1217,34 @@ object Similarity {
     * 8/16/32-dim prefix cosines, four per-query rank windows, and the
     * per-query hit counts of a fixed-40 prefix shortlist against the
     * exact top-10 truth. */
-  private[graft] def mrlAuditOf(e: DataFrame, qs: DataFrame): DataFrame = {
+  /** ss36 sampled-truth steer (the dd08 / sourceOverlapModeFor /
+    * simhashWidthFor discipline, fourth application): the exact Q×N
+    * recall audit is corpus-linear PER QUERY by definition — the
+    * honest calibration tool at test scale, unrunnable at 100 TB.
+    * Above 100k vectors the audit corpus becomes a deterministic
+    * REGISTRY SAMPLE of ~25k vectors (hash of vec_id, so reruns audit
+    * the same subset): recall@k against the sampled exact truth
+    * estimates full-truth recall (the standard audit-on-a-sample),
+    * and the audit frame stays Q × ~25k — FLAT — at every corpus
+    * scale. Explicit sampleOneIn=1 overrides — loudly paying the Q×N
+    * cost is allowed, picking it by accident is not. */
+  private[graft] def mrlSampleOneInFor(n: Long): Int =
+    if (n <= 100000L) 1 else math.max(2, (n / 25000L).toInt)
+
+  private[graft] def mrlAuditOf(e: DataFrame, qs: DataFrame,
+                                sampleOneIn: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val all = e.crossJoin(broadcast(qs))
+    val corpus = if (sampleOneIn <= 1) e
+      else e.filter(pmod(xxhash64(col("vec_id")), lit(sampleOneIn.toLong)) === 0L)
+    // The sampled audit keeps the serving path's OWN shortlist width
+    // (40): it measures the shortlist's recall at effective corpus
+    // N/sampleOneIn — an UPPER estimate of the full-corpus number
+    // (fewer competitors for the same 40 slots). That bias direction
+    // is fixed and ApiSpec pins the exact sampled-vs-exact pair at
+    // sf0.01, so drift in either form trips a spec, and a width that
+    // looks weak under the sampled audit is weak a fortiori on the
+    // full corpus.
+    val all = corpus.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosine(col("embedding"), col("q_emb")).as("cos_sim"),
@@ -1243,6 +1263,19 @@ object Similarity {
         sum(when(col("r16") <= 40, 1L).otherwise(0L)).as("n_hit16"),
         sum(when(col("r32") <= 40, 1L).otherwise(0L)).as("n_hit32"))
   }
+
+  /** ss36's report tail over an [[mrlAuditOf]] frame — recall milli
+    * per prefix width plus the width-proportional cost column; shared
+    * verbatim by the registered query and [[graft.api]]'s `mrlCurve`
+    * verb so the exact and sampled forms can never diverge in shape. */
+  private[graft] def mrlCurveReport(audit: DataFrame): DataFrame =
+    audit.select(col("q_id"), col("n_true"),
+      col("n_hit8"), expr("(n_hit8 * 1000) DIV n_true").as("recall8_milli"),
+      lit(125L).as("cost8_milli"),
+      col("n_hit16"), expr("(n_hit16 * 1000) DIV n_true").as("recall16_milli"),
+      lit(250L).as("cost16_milli"),
+      col("n_hit32"), expr("(n_hit32 * 1000) DIV n_true").as("recall32_milli"),
+      lit(500L).as("cost32_milli"))
 
   /** ss35 stage 1: per-(cell) ADDITIVE partial sums over any
     * (vec_id, embedding, is_new) frame — both halves' populations and
@@ -1273,9 +1306,14 @@ object Similarity {
   private[graft] def driftReportOf(cells0: DataFrame): DataFrame = {
     val cells = cells0.localCheckpoint(false)
     val tot = cells.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    // t_old/t_new guards (the gopherStack fail_milli discipline): a
+    // globally empty half must read as zero shares, not NULL-divide
+    // into a NULL drifted flag
     cells.crossJoin(broadcast(tot))
-      .withColumn("share_old_milli", expr("(n_old * 1000) DIV t_old"))
-      .withColumn("share_new_milli", expr("(n_new * 1000) DIV t_new"))
+      .withColumn("share_old_milli",
+        expr("CASE WHEN t_old > 0 THEN (n_old * 1000) DIV t_old ELSE 0 END"))
+      .withColumn("share_new_milli",
+        expr("CASE WHEN t_new > 0 THEN (n_new * 1000) DIV t_new ELSE 0 END"))
       .withColumn("shift_milli", abs(col("share_new_milli") - col("share_old_milli")))
       .withColumn("disp_centi", expr(
         """CASE WHEN n_old > 0 AND n_new > 0 THEN
@@ -2383,8 +2421,8 @@ object Similarity {
         |  CAST(sum(n_new) AS BIGINT) AS t_new FROM cells),
         |rep AS (
         | SELECT cell, n_old, n_new,
-        |  (n_old * 1000) // t_old AS share_old_milli,
-        |  (n_new * 1000) // t_new AS share_new_milli,
+        |  CASE WHEN t_old > 0 THEN (n_old * 1000) // t_old ELSE 0 END AS share_old_milli,
+        |  CASE WHEN t_new > 0 THEN (n_new * 1000) // t_new ELSE 0 END AS share_new_milli,
         |  CASE WHEN n_old > 0 AND n_new > 0 THEN
         |    abs(qn1 // n_new - qo1 // n_old) + abs(qn2 // n_new - qo2 // n_old)
         |    + abs(qn3 // n_new - qo3 // n_old) + abs(qn4 // n_new - qo4 // n_old)

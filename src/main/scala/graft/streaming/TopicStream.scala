@@ -450,7 +450,7 @@ object TopicStream {
   /** Streaming ACTIVITY-INEQUALITY report, write side — ts33's
     * arrival loop in the rfmStream ADDITIVE-PARTIAL discipline: each
     * micro-batch upserts per-(type, user) event-count partials keyed
-    * `type#user#batchId` (counts are associative, so summing partials
+    * struct `(type, user, batchId)` (counts are associative, so summing partials
     * at read time reproduces batch counts exactly; replays rewrite
     * identical rows; batch 0 truncates the topic — the
     * fresh-generation reset). Topic bounded by (types × users ×
@@ -464,8 +464,10 @@ object TopicStream {
       val seq = base + 1 + id
       val part = b.toDF().groupBy(col("event_type"), col("user_id"))
         .agg(count(lit(1)).as("n_ev"), max(col("ts")).as("time"))
-        .select(concat(col("event_type"), lit("#"), col("user_id"),
-          lit("#"), lit(id)).as("gkey"),
+        // struct key: event_type AND user_id are both freeform, so a
+        // '#'-delimited pack can collide distinct (type, user) pairs
+        // (("a#b","c") vs ("a","b#c")) under readMerged's dedup
+        .select(struct(col("event_type"), col("user_id"), lit(id).as("batch")).as("gkey"),
           col("event_type"), col("user_id"), col("n_ev"), col("time"))
       if (!part.isEmpty) store.upsert(topic, part, "time", seq = Some(seq))
     }
@@ -485,7 +487,7 @@ object TopicStream {
   /** Streaming VALUE-DISTRIBUTION histogram, write side — ts35's
     * arrival loop in the giniStream ADDITIVE-PARTIAL discipline:
     * each micro-batch upserts per-(key, cents) count partials keyed
-    * `key#cents#batchId` (counts are associative — summing partials
+    * struct `(key, cents, batchId)` (counts are associative — summing partials
     * at read time reproduces the batch histogram exactly; replays
     * rewrite identical rows; batch 0 truncates — the fresh-generation
     * reset). Topic bounded by key × cents-domain × batches, compacted
@@ -504,8 +506,11 @@ object TopicStream {
         .select(keyCol.as("key"), valueCents.as("cents"), col("ts"))
         .groupBy(col("key"), col("cents"))
         .agg(count(lit(1)).as("cnt"), max(col("ts")).as("time"))
-        .select(concat(col("key"), lit("#"), col("cents"),
-          lit("#"), lit(id)).as("hkey"),
+        // struct key, not a '#'-delimited string: a user key value
+        // containing the delimiter must not collide distinct
+        // (key, cents, batch) partials under readMerged's
+        // latest-per-hkey dedup
+        .select(struct(col("key"), col("cents"), lit(id).as("batch")).as("hkey"),
           col("key"), col("cents"), col("cnt"), col("time"))
       if (!part.isEmpty) store.upsert(topic, part, "time", seq = Some(seq))
     }
@@ -527,7 +532,7 @@ object TopicStream {
   /** Streaming WEEK-OVER-WEEK counts, write side — ts38's live twin
     * in [[histStream]]'s additive-partials discipline: each
     * micro-batch upserts its per-(type, epoch-week) count partial
-    * keyed `type#wk#batch` (counts merge by SUM, so the topic is
+    * keyed struct `(type, wk, batch)` (counts merge by SUM, so the topic is
     * bounded by type × week-domain × batches and replays rewrite
     * identical partials), and [[currentWow]] reads the SAME
     * [[graft.operators.TimeSeries.wowOf]] kernel over the summed
@@ -542,8 +547,9 @@ object TopicStream {
       val part = b.toDF()
         .groupBy(col("event_type"), expr("CAST(ts AS LONG) DIV 604800").as("wk"))
         .agg(count(lit(1)).as("cnt"), max(col("ts")).as("time"))
-        .select(concat(col("event_type"), lit("#"), col("wk"),
-          lit("#"), lit(id)).as("hkey"),
+        // struct key (see histStream): '#' in event_type must not
+        // collide distinct (type, week, batch) partials
+        .select(struct(col("event_type"), col("wk"), lit(id).as("batch")).as("hkey"),
           col("event_type"), col("wk"), col("cnt"), col("time"))
       if (!part.isEmpty) store.upsert(topic, part, "time", seq = Some(seq))
     }
@@ -601,7 +607,7 @@ object TopicStream {
     * this metric trending" is a standing dashboard question, and the
     * Theil–Sen input is just the daily count rollup, which is
     * additive): per batch one (type, day, batch) count partial keyed
-    * `type#dn#batch` — the wowStream discipline; topic bounded by
+    * struct `(type, dn, batch)` — the wowStream discipline; topic bounded by
     * type × calendar × batches, replay-idempotent. */
   def trendStream(events: DataFrame, store: graft.sources.TopicStore,
                   topic: String)
@@ -613,8 +619,9 @@ object TopicStream {
       val part = b.toDF()
         .groupBy(col("event_type"), expr("CAST(ts AS LONG) DIV 86400").as("dn"))
         .agg(count(lit(1)).as("cnt"), max(col("ts")).as("time"))
-        .select(concat(col("event_type"), lit("#"), col("dn"),
-          lit("#"), lit(id)).as("hkey"),
+        // struct key (see histStream): '#' in event_type must not
+        // collide distinct (type, day, batch) partials
+        .select(struct(col("event_type"), col("dn"), lit(id).as("batch")).as("hkey"),
           col("event_type"), col("dn"), col("cnt"), col("time"))
       if (!part.isEmpty) store.upsert(topic, part, "time", seq = Some(seq))
     }
@@ -830,7 +837,7 @@ object TopicStream {
 
   /** Fold [[transitionDeltasStream]] into a durable MATRIX topic:
     * each micro-batch's deltas reduce to one row per (from, to),
-    * keyed `batchId#from#to` with seq = batchId — a replayed batch
+    * keyed struct `(batchId, from, to)` with seq = batchId — a replayed batch
     * rewrites the identical rows (replay-idempotent), and the live
     * matrix is the additive read [[currentTransitions]]. Per-batch
     * cost: a batch-sized rollup + upsert; the topic grows with
@@ -861,7 +868,9 @@ object TopicStream {
           .agg(sum(col("delta")).as("delta"), max(col("ts")).as("time"))
           .filter(col("delta") =!= 0L)
           .select(
-            concat(lit(id), lit("#"), col("from_type"), lit("#"), col("to_type")).as("tkey"),
+            // struct key: from_type and to_type are both freeform —
+            // see giniStream's gkey comment
+            struct(lit(id).as("batch"), col("from_type"), col("to_type")).as("tkey"),
             col("from_type"), col("to_type"), col("delta"), col("time"))
         if (!rows.isEmpty) store.upsert(topic, rows, "time", seq = Some(seq))
       }
@@ -1065,7 +1074,7 @@ object TopicStream {
   /** Streaming ASSOCIATION RULES — ts29's arrival loop, state-topic
     * style (the retentionStream discipline, no generations needed):
     * each micro-batch reduces to its distinct (user, event_type)
-    * BASKET facts and upserts them content-keyed `user#type` —
+    * BASKET facts and upserts them content-keyed struct `(user, type)` —
     * replays, late arrivals, and fresh-checkpoint relaunches just
     * rewrite/add facts, so there is no generation bookkeeping and no
     * per-user resolution state at all. The report (baskets → one
@@ -1085,7 +1094,9 @@ object TopicStream {
           .groupBy(col("user_id"), col("event_type"))
           .agg(max(col("ts")).as("time"))
           .select(
-            concat(col("user_id"), lit("#"), col("event_type")).as("fact_key"),
+            // struct key: user_id and event_type are both freeform —
+            // see giniStream's gkey comment
+            struct(col("user_id"), col("event_type")).as("fact_key"),
             col("user_id"), col("event_type"), col("time"))
         if (!facts.isEmpty)
           store.upsert(topic, facts, "time", seq = Some(base + 1 + id))

@@ -1787,6 +1787,24 @@ class ApiSpec extends SparkSpec {
       (6, "survivors", 1L, 0L, 0L)), s"got $got")
   }
 
+  test("gopherGate: a null-text doc fails rule 1, never reaching the survivors row") {
+    // the funnel must stay conservative under null text: the doc is
+    // counted in n_checked, killed at word_count, and contributes to
+    // NO marginal (its other flags are unevaluable, not failures)
+    import spark.implicits._
+    val d3 = ("the a" +
+      (1 to 24).map(i => f" v$i%04d").mkString +
+      (1 to 14).map(i => f" w$i%03d").mkString)
+    val docs = Seq((1L, null: String), (3L, d3)).toDF("doc_id", "text")
+    val got = docs.gopherGate("doc_id", "text")
+      .collect().map(r => (r.getAs[Int]("rule_ord"),
+        r.getAs[Long]("n_checked"), r.getAs[Long]("n_fail"),
+        r.getAs[Long]("n_fail_marginal"))).toSeq
+    assert(got == Seq(
+      (1, 2L, 1L, 1L), (2, 1L, 0L, 0L), (3, 1L, 0L, 0L),
+      (4, 1L, 0L, 0L), (5, 1L, 0L, 0L), (6, 1L, 0L, 0L)), s"got $got")
+  }
+
   test("embedDrift verb matches ss35 and measures a planted displacement") {
     val viaApi = Tables(spark, sfDir, "embeddings")
       .embedDrift("vec_id", "embedding", col("vec_id") % 2 === 1)
@@ -1817,6 +1835,76 @@ class ApiSpec extends SparkSpec {
     assert(c0.getAs[Long]("n_old") == 1L && c0.getAs[Long]("n_new") == 0L)
     assert(c0.isNullAt(c0.fieldIndex("disp_centi")))
     assert(c0.getAs[Long]("shift_milli") == 333L && c0.getAs[Boolean]("drifted"))
+  }
+
+  test("mrlCurve verb: auto routes small corpora to the exact audit; steer thresholds pinned") {
+    import graft.operators.Similarity
+    // the sourceOverlapModeFor contract applied to the MRL recall
+    // audit: <= 100k vectors -> exact Q x N truth; beyond -> a
+    // deterministic ~25k-vector registry sample, flat at every scale
+    assert(Similarity.mrlSampleOneInFor(100000L) == 1)
+    assert(Similarity.mrlSampleOneInFor(100001L) == 4)
+    assert(Similarity.mrlSampleOneInFor(200000L) == 8)
+    assert(Similarity.mrlSampleOneInFor(1600000L) == 64)
+    assert(Similarity.mrlSampleOneInFor(1000000000L) == 40000)
+    val e = Tables(spark, sfDir, "embeddings")
+    val qs = e.filter(col("vec_id") % 50 === 7 && col("vec_id") < 5000)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    // the sf0.01 corpus is under the threshold, so auto == exact ==
+    // the registered ss36 rows
+    val auto = e.mrlCurve("vec_id", "embedding", qs, "qid", "qemb")
+      .orderBy("q_id")
+    val viaOp = SparkEntry.queries("ss36_mrl_curve")(spark, sfDir)
+    assert(auto.collect().toSeq == viaOp.collect().toSeq)
+  }
+
+  test("mrlCurve sampled-vs-exact agreement is pinned at sf0.01 (drift tripwire)") {
+    // The 1-in-4 registry-sampled audit measures the 40-shortlist's
+    // recall at effective corpus N/4 — an UPPER estimate of the exact
+    // full-corpus number (fewer competitors for the same 40 slots);
+    // the bias direction is structural. Pinning BOTH measured curves
+    // exactly means drift in either form (kernel, sampling hash,
+    // shortlist width) trips this spec. Pinned at sf0.01 (not the
+    // suite's sf0.001) — the scale the driver's oracle runs at.
+    val e = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val qs = e.filter(col("vec_id") % 50 === 7 && col("vec_id") < 5000)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    def meanCurve(sampleOneIn: Int): (Long, Long, Long, Long) = {
+      val r = e.mrlCurve("vec_id", "embedding", qs, "qid", "qemb", sampleOneIn)
+        .agg(count(lit(1)), avg(col("recall8_milli")),
+          avg(col("recall16_milli")), avg(col("recall32_milli"))).head
+      (r.getLong(0), r.getDouble(1).round, r.getDouble(2).round,
+        r.getDouble(3).round)
+    }
+    val exact = meanCurve(1)
+    val sampled = meanCurve(4)
+    assert(exact == ((10L, 270L, 360L, 680L)), s"exact drifted: $exact")
+    assert(sampled == ((10L, 520L, 630L, 820L)), s"sampled drifted: $sampled")
+    // the structural relationships the estimator relies on: monotone
+    // recall in prefix width on both forms, and the sampled estimate
+    // dominating the exact per width
+    assert(exact._2 <= exact._3 && exact._3 <= exact._4)
+    assert(sampled._2 <= sampled._3 && sampled._3 <= sampled._4)
+    assert(sampled._2 >= exact._2 && sampled._3 >= exact._3 &&
+      sampled._4 >= exact._4)
+  }
+
+  test("embedDrift: a globally empty half reads as zero shares, not NULL flags") {
+    // an isNew predicate that matches nothing must not NULL-divide:
+    // shares of the empty half read 0 and drifted stays boolean
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1f, 1f, 1f, 1f), false),
+      (2L, Seq(1f, 1f, 1f, 1f), false)
+    ).toDF("id", "emb", "tag")
+    val got = vecs.embedDrift("id", "emb", col("tag")).collect()
+    assert(got.length == 1)
+    val c15 = got(0)
+    assert(c15.getAs[Long]("share_old_milli") == 1000L)
+    assert(!c15.isNullAt(c15.fieldIndex("share_new_milli")))
+    assert(c15.getAs[Long]("share_new_milli") == 0L)
+    assert(!c15.isNullAt(c15.fieldIndex("drifted")))
+    assert(c15.getAs[Boolean]("drifted"))
   }
 
   test("cdcDedup verb matches dd22 and a planted shared chunk survives an insertion") {
