@@ -171,6 +171,26 @@ object DevProbe {
       }
       println(s"exact=${means(1)}")
       println(s"sampled($s1)=${means(s1)}")
+    } else if (args(0) == "--mm09entropy") {
+      // mm09 appearance-entropy probe (args: --mm09entropy <sfDir>):
+      // distinct aHash classes vs docs, pair volume at radius 3 —
+      // the numbers behind the saturation contract's threshold.
+      import org.apache.spark.sql.functions._
+      val d = args(1)
+      val hashed = operators.Multimodal.pixelHashFrame(spark, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = hashed.count()
+      val classes = hashed.groupBy(col("hi"), col("lo"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nClasses = classes.count()
+      val radius = args.lift(2).map(_.toInt)
+        .getOrElse(operators.Multimodal.imageRadiusFor(nClasses, nDocs))
+      val t0 = System.nanoTime()
+      val pairs = operators.Multimodal.imageNeardupPairs(classes, radius).count()
+      println(s"docs=$nDocs classes=$nClasses " +
+        s"ratioMilli=${nClasses * 1000 / math.max(1, nDocs)} radius=$radius " +
+        s"pairs=$pairs pairTime=${(System.nanoTime() - t0) / 1e9}s")
     } else if (args(0) == "--ss22fixed") {
       // Fixed-batch ss22 blowup row (args: --ss22fixed <sfDir> <mult>):
       // the bench query's batch is a 1/50 id slice, so the blowup

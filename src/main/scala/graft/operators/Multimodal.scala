@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Multimodal column handling: media as opaque `binary` payloads plus
   * typed metadata, processed in distributed batches.
@@ -713,6 +714,77 @@ object Multimodal {
     }
   } catch { case _: ArrayIndexOutOfBoundsException => Iterator.empty }
 
+  /** mm08/mm09 shared decode stage: synthesize + raster-decode each
+    * doc's PNG and split the 64-bit aHash into (hi, lo) longs —
+    * per-row scan-speed work, zero exchanges. */
+  private[graft] def pixelHashFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables(s, d, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        MediaIn(id, if (text == null) null else mkPngPixels(text)) }
+    media.mapPartitions(_.withFilter(_.payload != null).flatMap(decodePixelHash))
+      .toDF()
+      .select(col("doc_id"),
+        conv(substring(col("ahash"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("ahash"), 9, 8), 16, 10).cast("long").as("lo"))
+  }
+
+  /** mm09 saturation steer (the dd19 simhashWidthFor / dd17
+    * fuzzyGramWidthFor pattern, third application): when the corpus's
+    * APPEARANCE ENTROPY collapses — few distinct aHash classes for
+    * many docs — the hash space densifies and the class-pair output
+    * term explodes (the measured 191x-candidates-at-64x regime on the
+    * synthetic corpus). Ratio = distinct classes per 1000 docs
+    * (measured: sf0.01 942‰, sf0.1 833‰, the 64x blowup 261‰):
+    *  - ≥ 300‰: healthy entropy, full hamming radius 3;
+    *  - ≥ 20‰: saturating — tighten to radius 1 (the banding stays
+    *    pigeonhole-complete; the output term shrinks to the
+    *    near-identical tier, which is what a saturated corpus's
+    *    near-dup pass can still say something useful about);
+    *  - < 20‰: refuse loudly — at ~50+ docs per class, exact-hash
+    *    classes ARE the duplication structure; consume mm08's classes
+    *    via dd06's connected components instead of pairing them. */
+  private[graft] def imageRadiusFor(nClasses: Long, nDocs: Long): Int = {
+    val ratioMilli = if (nDocs <= 0) 1000L else nClasses * 1000L / nDocs
+    if (ratioMilli >= 300L) 3
+    else if (ratioMilli >= 20L) 1
+    else throw new IllegalArgumentException(
+      s"imageNeardup: appearance entropy collapsed ($nClasses aHash classes / " +
+        s"$nDocs docs = $ratioMilli permil) — the class-pair output term would " +
+        "densify quadratically. The exact-hash classes already carry the " +
+        "duplication structure: consume mm08_pixel_hash classes via dd06's " +
+        "connected components (cluster by (hi, lo)) instead of near-dup pairing.")
+  }
+
+  /** mm09 pair stage over a (rep, n_docs, hi, lo) aHash class frame:
+    * 4×16-bit banded candidate join (pigeonhole-complete for hamming
+    * ≤ 3) + exact hamming verify at `radius`. */
+  private[graft] def imageNeardupPairs(classes: DataFrame, radius: Int): DataFrame = {
+    val ex = classes.select(col("rep"), col("n_docs"), col("hi"), col("lo"),
+      posexplode(array(
+        shiftright(col("hi"), 16).bitwiseAND(lit(65535L)),
+        col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+        col("lo").bitwiseAND(lit(65535L)))).as(Seq("band", "bkey")))
+    val x = ex.select(col("band"), col("bkey"), col("rep").as("a"),
+      col("n_docs").as("n_a"), col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val y = ex.select(col("band"), col("bkey"), col("rep").as("b"),
+      col("n_docs").as("n_b"), col("hi").as("hi_b"), col("lo").as("lo_b"))
+    x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared_bands"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        first(col("hi_a")).as("ha"), first(col("lo_a")).as("la"),
+        first(col("hi_b")).as("hb"), first(col("lo_b")).as("lb"))
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
+      .filter(col("hamming") <= radius)
+      .select(col("a"), col("b"), col("n_a"), col("n_b"),
+        col("shared_bands"), col("hamming"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MAGIC-BYTE FORMAT SNIFFING + declared-vs-actual audit — the
     // media-ingest QA pass that needs NO codec, so unlike the decode
@@ -843,42 +915,17 @@ object Multimodal {
     // band keys need the wider-band treatment past ~10^6 DISTINCT
     // appearances.
     "mm09_image_neardup" -> ((s, d) => {
-      import s.implicits._
-      val media = Tables(s, d, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          MediaIn(id, if (text == null) null else mkPngPixels(text)) }
-      val classes = media
-        .mapPartitions(_.withFilter(_.payload != null).flatMap(decodePixelHash))
-        .toDF()
-        .select(col("doc_id"),
-          conv(substring(col("ahash"), 1, 8), 16, 10).cast("long").as("hi"),
-          conv(substring(col("ahash"), 9, 8), 16, 10).cast("long").as("lo"))
+      val classes = pixelHashFrame(s, d)
         .groupBy(col("hi"), col("lo"))
         .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
-      val ex = classes.select(col("rep"), col("n_docs"), col("hi"), col("lo"),
-        posexplode(array(
-          shiftright(col("hi"), 16).bitwiseAND(lit(65535L)),
-          col("hi").bitwiseAND(lit(65535L)),
-          shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
-          col("lo").bitwiseAND(lit(65535L)))).as(Seq("band", "bkey")))
-      val x = ex.select(col("band"), col("bkey"), col("rep").as("a"),
-        col("n_docs").as("n_a"), col("hi").as("hi_a"), col("lo").as("lo_a"))
-      val y = ex.select(col("band"), col("bkey"), col("rep").as("b"),
-        col("n_docs").as("n_b"), col("hi").as("hi_b"), col("lo").as("lo_b"))
-      x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("shared_bands"),
-          first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
-          first(col("hi_a")).as("ha"), first(col("lo_a")).as("la"),
-          first(col("hi_b")).as("hb"), first(col("lo_b")).as("lb"))
-        .withColumn("hamming",
-          (bit_count(col("ha").bitwiseXOR(col("hb"))) +
-            bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
-        .filter(col("hamming") <= 3)
-        .select(col("a"), col("b"), col("n_a"), col("n_b"),
-          col("shared_bands"), col("hamming"))
-        .orderBy(col("a"), col("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pay-once saturation probe (the dd19/dd17 runtime-steer
+      // discipline): one |classes|-row scan decides the radius —
+      // see [[imageRadiusFor]]
+      val stats = classes.agg(count(lit(1)).as("nc"),
+        coalesce(sum(col("n_docs")), lit(0L)).as("nd")).head
+      val radius = imageRadiusFor(stats.getLong(0), stats.getLong(1))
+      imageNeardupPairs(classes, radius).orderBy(col("a"), col("b"))
     }),
 
     // Frame sampling: binary GIF payload → N frame rows, every field

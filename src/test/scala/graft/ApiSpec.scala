@@ -1837,6 +1837,24 @@ class ApiSpec extends SparkSpec {
     assert(c0.getAs[Long]("shift_milli") == 333L && c0.getAs[Boolean]("drifted"))
   }
 
+  test("mm09 saturation contract: radius tightens as appearance entropy collapses, refuses at floor") {
+    import graft.operators.Multimodal
+    // the dd19/fuzzyGramWidthFor contract applied to the aHash class
+    // space — thresholds pinned so the rule cannot drift silently
+    // (measured ratios: sf0.01 942 permil, sf0.1 833, 64x blowup 261)
+    assert(Multimodal.imageRadiusFor(300L, 1000L) == 3)
+    assert(Multimodal.imageRadiusFor(299L, 1000L) == 1)
+    assert(Multimodal.imageRadiusFor(20L, 1000L) == 1)
+    assertThrows[IllegalArgumentException](
+      Multimodal.imageRadiusFor(19L, 1000L))
+    // empty corpus reads as healthy (no docs to densify)
+    assert(Multimodal.imageRadiusFor(0L, 0L) == 3)
+    // the sf0.001 suite corpus is healthy: registered mm09 runs at
+    // the full radius and every emitted pair respects it
+    val rows = SparkEntry.queries("mm09_image_neardup")(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
   test("mrlCurve verb: auto routes small corpora to the exact audit; steer thresholds pinned") {
     import graft.operators.Similarity
     // the sourceOverlapModeFor contract applied to the MRL recall

@@ -210,6 +210,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retention: OUT-OF-ORDER replay after restart (batchId regression) leaves the merged read unchanged") {
+    // The recovery contract every content-keyed state topic leans on,
+    // proven here beyond the packer: a writer restart with a FRESH
+    // checkpoint regresses batchId to 0 and may re-deliver old
+    // batches in any order. seqBase re-anchors the new generation's
+    // _seq above the old one's, and content keys make the re-written
+    // rows identical — so last-write-wins resolves to the same facts
+    // and the merged read cannot move.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sooo").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    def t(day: Int, hour: Int) = ts(f"2024-01-$day%02d $hour%02d:00:00")
+    val b1 = Seq(
+      TopicEvent(1, t(5, 9), 1L, "view", 0),
+      TopicEvent(2, t(6, 9), 1L, "view", 0),
+      TopicEvent(3, t(5, 10), 2L, "view", 0))
+    val b2 = Seq(
+      TopicEvent(4, t(2, 8), 1L, "view", 0),
+      TopicEvent(5, t(6, 11), 2L, "view", 0))
+    def matrix() = TopicStream.currentRetention(store, "acts")
+      .select("cohort_day", "day_offset", "n_active", "n_cohort")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // first writer generation: b1 as batch 0, b2 as batch 1
+    val inA = MemoryStream[TopicEvent]
+    val qA = TopicStream.retentionStream(inA.toDF(), store, "acts")
+      .option("checkpointLocation", s"$root/_chkA").start()
+    val before = try {
+      inA.addData(b1: _*); qA.processAllAvailable()
+      inA.addData(b2: _*); qA.processAllAvailable()
+      matrix()
+    } finally qA.stop()
+    assert(before.nonEmpty)
+    val seqHigh = store.read("acts").agg(max(col("_seq"))).head.getLong(0)
+    // second generation, FRESH checkpoint: batchId regresses to 0 and
+    // the old batches replay REVERSED — b2 arrives first
+    val inB = MemoryStream[TopicEvent]
+    val qB = TopicStream.retentionStream(inB.toDF(), store, "acts")
+      .option("checkpointLocation", s"$root/_chkB").start()
+    try {
+      inB.addData(b2: _*); qB.processAllAvailable()
+      inB.addData(b1: _*); qB.processAllAvailable()
+      assert(matrix() == before,
+        "out-of-order replay must not move the merged read")
+      // the new generation really did write (seqs advanced past the
+      // old generation's) — the stability above is last-write-wins
+      // over identical content, not a skipped write
+      val seqHigh2 = store.read("acts").agg(max(col("_seq"))).head.getLong(0)
+      assert(seqHigh2 > seqHigh, "generation B must re-anchor _seq above A")
+      // and the stickiness read off the same topic is equally stable
+      val ss = TopicStream.currentStickiness(store, "acts")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val sb = {
+        import graft.api._
+        (b1 ++ b2).toDF().stickiness("user_id", "ts")
+          .as[(String, Long, Long, Long, Long)].collect().toSet
+      }
+      assert(ss == sb && ss.nonEmpty)
+    } finally qB.stop()
+  }
+
   test("streaming LTV: event-grain revenue ledger + moving cohorts equal batch ts32") {
     import spark.implicits._
     import graft.api._
