@@ -898,6 +898,22 @@ object api {
       graft.operators.Curation.gopherGateOf(
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+    /** Capped-temperature mixture weights (the sp15 operator as a
+      * verb): per `sourceCol`, sqrt-temperature shares of the `tokCol`
+      * token mass, clamped to [floorMilli, capMilli] with the clamp's
+      * residual redistributed over the unclamped sources in ONE
+      * documented round (no source starves, no source dominates — the
+      * weight table a production mix ships). Returns (source, n_toks,
+      * raw_milli, clamped_milli, clamped, final_milli); conservation
+      * |Σ final − 1000| ≤ |S| is spec-pinned. Everything after the
+      * corpus rollup runs on the |S|-row frame. */
+    def mixtureCaps(sourceCol: String, tokCol: String,
+                    capMilli: Long = 150L, floorMilli: Long = 25L): DataFrame =
+      graft.operators.Curation.mixtureCapsOf(
+        df.groupBy(col(sourceCol).as("source"))
+          .agg(sum(col(tokCol).cast("long")).as("n_toks")),
+        capMilli, floorMilli)
+
     /** Data-constrained epoch schedule (the sp13 operator as a verb —
       * Muennighoff et al. 2023): per `groupCol`, the token target is
       * its `weight` share of `budgetTokens`, the epoch count is

@@ -107,6 +107,43 @@ object Curation {
     * [[graft.api]]'s `gopherGate` verb: one corpus scan folds the
     * five per-doc rule flags at scan speed, one map-side-combinable
     * aggregate, a 6-row stack. See [[gopherAgg]] / [[gopherStack]]. */
+  /** sp15's kernel over a (source, n_toks) rollup — shared with
+    * [[graft.api]]'s `mixtureCaps` verb: sqrt-temperature weights
+    * (sp04's floor(sqrt(n·10⁶)) integer discipline), clamped to
+    * [floorMilli, capMilli], then ONE residual-redistribution round —
+    * the clamp's leftover mass (1000 − Σ clamped, which includes the
+    * DIV-truncation crumbs) spreads over the UNclamped sources
+    * proportionally to their raw weight. One round is the documented
+    * contract (the redistribution can push a source past the cap only
+    * if the residual exceeds the free mass — the degenerate
+    * all-sources-clamped case, where the clamp bounds themselves are
+    * the spec); ApiSpec pins conservation |Σ final − 1000| ≤ |S|.
+    * Scale shape: everything after the corpus rollup runs on the
+    * |S|-row frame with two 1-row broadcasts. */
+  private[graft] def mixtureCapsOf(srcToks: DataFrame, capMilli: Long,
+                                   floorMilli: Long): DataFrame = {
+    require(floorMilli >= 0 && capMilli > floorMilli,
+      s"mixtureCaps: need 0 <= floor < cap, got floor=$floorMilli cap=$capMilli")
+    val srcW = srcToks
+      .withColumn("wgt",
+        floor(sqrt(col("n_toks").cast("double") * 1000000d)).cast("long"))
+    val tot = srcW.agg(sum(col("wgt")).as("tot_w"))
+    val raw = srcW.crossJoin(broadcast(tot))
+      .withColumn("raw_milli", expr("(wgt * 1000) DIV tot_w"))
+      .withColumn("clamped_milli",
+        expr(s"least(CAST($capMilli AS BIGINT), " +
+          s"greatest(CAST($floorMilli AS BIGINT), raw_milli))"))
+      .withColumn("clamped", col("clamped_milli") =!= col("raw_milli"))
+    val res = raw.agg((lit(1000L) - sum(col("clamped_milli"))).as("residual"),
+      sum(when(!col("clamped"), col("raw_milli")).otherwise(0L)).as("free_mass"))
+    raw.crossJoin(broadcast(res))
+      .withColumn("final_milli", when(col("clamped"), col("clamped_milli"))
+        .otherwise(col("clamped_milli") +
+          expr("(residual * raw_milli) DIV greatest(1, free_mass)")))
+      .select(col("source"), col("n_toks"), col("raw_milli"),
+        col("clamped_milli"), col("clamped"), col("final_milli"))
+  }
+
   private[graft] def gopherGateOf(docDf: DataFrame): DataFrame =
     gopherStack(gopherAgg(docDf))
 
@@ -234,6 +271,37 @@ object Curation {
         .orderBy(col("q_milli"))
     }),
 
+    // ZIPF RANK-BAND PROFILE of the corpus vocabulary — the corpus-
+    // health fingerprint next to tx12's head-coverage table (Gopher /
+    // CCNet both publish it: a natural-language corpus's frequency
+    // mass decays ~1/rank, so each DOUBLING band of ranks holds
+    // roughly constant mass; a scraped corpus whose tail bands go
+    // flat is template spam, one whose head band swallows everything
+    // is boilerplate). Per band floor(log2(rank)): word count, mass,
+    // rank bounds, and the band's corpus-mass share in milli. Scale
+    // shape: one token agg into the |V| domain (map-side combinable),
+    // the GLOBAL rank via GroupPrefix's two-phase range partition
+    // (the one-task ntile trap designed out — |V| at web scale is
+    // ~10⁸ raw words), then a log|V|-row band agg + 1-row broadcast.
+    "tx35_zipf_profile" -> ((s, d) => {
+      val wc = docs(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .withColumn("_g", lit(0))
+      val ranked = graft.functions.GroupPrefix.groupPrefixC(
+        wc, "_g", Seq(col("cnt").desc, col("word")), rnName = "rank")
+      val banded = ranked
+        .withColumn("band", floor(log2(col("rank"))).cast("int"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("band_mass"),
+          min(col("rank")).as("rank_lo"), max(col("rank")).as("rank_hi"))
+      val tot = banded.agg(sum(col("band_mass")).as("total"))
+      banded.crossJoin(broadcast(tot))
+        .select(col("band"), col("rank_lo"), col("rank_hi"), col("n_words"),
+          col("band_mass"), expr("(band_mass * 1000) DIV total").as("mass_milli"))
+        .orderBy(col("band"))
+    }),
+
     "tx12_vocab" -> ((s, d) => {
       val wc = docs(s, d)
         .select(explode(split(lower(col("text")), " ")).as("word"))
@@ -296,6 +364,25 @@ object Curation {
     // merge task sees <= 200 x partitions rows, never a whole
     // source). Rank-vs-column alone would need GroupPrefix; the
     // a-priori literal bound is what buys the cheaper shape.
+    // CAPPED-TEMPERATURE MIXTURE — the weight table every production
+    // mix actually ships (Llama/Gopher style): sp04's sqrt-temperature
+    // shares, then per-source floor/cap clamps (no source starves, no
+    // source dominates) with the clamp's residual mass redistributed
+    // over the unclamped sources in one documented round. See
+    // [[mixtureCapsOf]] (kernel shared with api.mixtureCaps; the
+    // planted-skew battery in ApiSpec exercises the binding clamps —
+    // the test corpus's post-sqrt shares are near-uniform, so here the
+    // clamps pass through and the oracle pins the redistribution of
+    // the DIV-truncation residue).
+    "sp15_mixture_caps" -> ((s, d) =>
+      mixtureCapsOf(
+          docs(s, d)
+            .select(col("source"),
+              size(split(col("text"), " ")).cast("long").as("tok_cnt"))
+            .groupBy(col("source")).agg(sum(col("tok_cnt")).as("n_toks")),
+          capMilli = 150L, floorMilli = 25L)
+        .orderBy(col("source"))),
+
     "sp04_temperature" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val toks = size(split(col("text"), " ")).cast("long")
@@ -1221,6 +1308,28 @@ object Curation {
         |FROM r CROSS JOIN tot CROSS JOIN q
         |WHERE cum * 1000 >= q_milli * total
         |GROUP BY 1 ORDER BY q_milli""".stripMargin,
+    // tx35: floor(log2(rank)) is exact in both engines — log2 of a
+    // power of two is an exact IEEE double, and for non-powers the
+    // true value sits far from an integer at any realistic |V|.
+    "tx35_zipf_profile" ->
+      """WITH wc AS (
+        | SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        | FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        | GROUP BY 1),
+        |r AS (SELECT word, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank
+        | FROM wc),
+        |b AS (
+        | SELECT CAST(floor(log2(rank)) AS INT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(cnt) AS BIGINT) AS band_mass,
+        |  CAST(min(rank) AS BIGINT) AS rank_lo,
+        |  CAST(max(rank) AS BIGINT) AS rank_hi
+        | FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(band_mass) AS BIGINT) AS total FROM b)
+        |SELECT band, rank_lo, rank_hi, n_words, band_mass,
+        | CAST((band_mass * 1000) // t.total AS BIGINT) AS mass_milli
+        |FROM b, t ORDER BY band""".stripMargin,
     "tx12_vocab" ->
       """WITH wc AS (
         | SELECT word, count(*) AS cnt
@@ -1359,6 +1468,32 @@ object Curation {
         | md5(array_to_string(nt, ' ')) AS norm_md5,
         | array_to_string(list_slice(nt, 1, 5), ' ') AS head5
         |FROM st ORDER BY doc_id""".stripMargin,
+    // sp15: clamp + one-round residual redistribution recomputed over
+    // the same integer weights; floor(sqrt(x·10⁶)) agrees (sp04's
+    // established FP-safe form).
+    "sp15_mixture_caps" ->
+      """WITH base AS (
+        | SELECT source, CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_toks
+        | FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_toks,
+        |  CAST(floor(sqrt(CAST(n_toks AS DOUBLE) * 1000000)) AS BIGINT) AS wgt FROM base),
+        |tot AS (SELECT CAST(sum(wgt) AS BIGINT) AS tot_w FROM w),
+        |raw AS (
+        | SELECT source, n_toks, (wgt * 1000) // tot.tot_w AS raw_milli,
+        |  least(CAST(150 AS BIGINT), greatest(CAST(25 AS BIGINT),
+        |    (wgt * 1000) // tot.tot_w)) AS clamped_milli
+        | FROM w, tot),
+        |raw2 AS (SELECT *, clamped_milli <> raw_milli AS clamped FROM raw),
+        |res AS (
+        | SELECT 1000 - CAST(sum(clamped_milli) AS BIGINT) AS residual,
+        |  CAST(sum(CASE WHEN NOT clamped THEN raw_milli ELSE 0 END) AS BIGINT) AS free_mass
+        | FROM raw2)
+        |SELECT source, n_toks, CAST(raw_milli AS BIGINT) AS raw_milli,
+        | CAST(clamped_milli AS BIGINT) AS clamped_milli, clamped,
+        | CAST(CASE WHEN clamped THEN clamped_milli
+        |      ELSE clamped_milli + (res.residual * raw_milli) // greatest(1, res.free_mass)
+        |      END AS BIGINT) AS final_milli
+        |FROM raw2, res ORDER BY source""".stripMargin,
     "sp04_temperature" ->
       """WITH base AS (
         | SELECT doc_id, source,

@@ -426,6 +426,33 @@ object Dedup {
       candidatePairs(docs(s, d)).orderBy(col("a"), col("b"))
     }),
 
+    // SOURCE-PAIR NEAR-DUP MATRIX — dd10's sourceOverlap measures
+    // EXACT shared content between sources; this is its near-dup
+    // sibling ("which crawls re-host each other's pages, lightly
+    // edited?" — the question that decides which source to drop
+    // wholesale before doc-level dedup even runs): dd02's banded
+    // candidate pairs rolled up to the (source, source) domain, with
+    // the signature-estimated true-dup count (≥ 4/8 agreeing perms ≈
+    // J ≥ 0.5) and its rate in milli. Scale shape: the pair set is
+    // dd02's corpus-linear banded join; the two doc→source joins are
+    // doc-keyed co-shuffles ON THE CANDIDATE SET (not the corpus),
+    // and the output collapses to the S²-bounded pair domain.
+    "dd24_source_neardup" -> ((s, d) => {
+      val pairs = candidatePairs(docs(s, d))
+      val srcs = docs(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(srcs.select(col("doc_id").as("a"), col("source").as("src_a")), "a")
+        .join(srcs.select(col("doc_id").as("b"), col("source").as("src_b")), "b")
+        .select(least(col("src_a"), col("src_b")).as("source_1"),
+          greatest(col("src_a"), col("src_b")).as("source_2"),
+          col("n_sig_match"))
+        .groupBy(col("source_1"), col("source_2"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("n_sig_match") >= 4, 1L).otherwise(0L)).as("n_est_dup"))
+        .withColumn("est_dup_milli", expr("(n_est_dup * 1000) DIV n_candidates"))
+        .orderBy(col("source_1"), col("source_2"))
+    }),
+
     // FUZZY ENTITY MATCHING over the part-name registry (the record-
     // linkage / fuzzy-join staple — typo-distance duplicates that
     // neither shingle-Jaccard nor embedding cosine expresses): the
@@ -1522,6 +1549,22 @@ object Dedup {
          | CAST(len(list_filter(generate_series(1, $NumPerms), i -> x.sig[i] = y.sig[i])) AS BIGINT) AS n_sig_match
          |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin,
+    // dd24: dd02's candidate set rolled up to the source-pair domain.
+    "dd24_source_neardup" ->
+      s"""WITH $candPreludeSql,
+         |cand AS (
+         | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(len(list_filter(generate_series(1, $NumPerms), i -> x.sig[i] = y.sig[i])) AS BIGINT) AS m
+         | FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |s AS (SELECT doc_id, source FROM documents),
+         |p AS (
+         | SELECT least(sa.source, sb.source) AS source_1,
+         |  greatest(sa.source, sb.source) AS source_2, m
+         | FROM cand JOIN s sa ON sa.doc_id = cand.a JOIN s sb ON sb.doc_id = cand.b)
+         |SELECT source_1, source_2, CAST(count(*) AS BIGINT) AS n_candidates,
+         | CAST(sum(CASE WHEN m >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_est_dup,
+         | CAST((sum(CASE WHEN m >= 4 THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS est_dup_milli
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dd06_dup_clusters" ->
       s"""WITH RECURSIVE $candPreludeSql,
          |cand AS (

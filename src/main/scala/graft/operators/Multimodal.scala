@@ -625,6 +625,34 @@ object Multimodal {
   case class MediaFrame(doc_id: Long, frame_idx: Int, frame_ts_ms: Int,
                         frame_w: Int, frame_h: Int, brightness: Int)
 
+  case class SceneCuts(doc_id: Long, n_frames: Int, n_cuts: Int,
+                       max_delta: Int, sum_abs_delta: Long)
+
+  /** mm12's batch kernel: per-doc SCENE-CUT detection from the real
+    * GIF frame walk ([[sampleFrames]]) — consecutive-frame brightness
+    * deltas, a cut at |delta| ≥ 64 (a quarter of the 0-255 range, the
+    * classic cheap cut threshold). The fold runs INSIDE the partition
+    * iterator — one doc's frames decode together, so the per-doc
+    * sequence never needs a window shuffle and the operator stays in
+    * the mm10/mm11 zero-exchange class. Unparseable payloads yield
+    * no row (the mm05 routing discipline). */
+  private[graft] def decodeSceneCuts(in: MediaIn): Option[SceneCuts] = {
+    val fs = sampleFrames(in).toArray
+    if (fs.isEmpty) None
+    else {
+      val bs = fs.sortBy(_.frame_idx).map(_.brightness)
+      var i = 1; var cuts = 0; var mx = 0; var sm = 0L
+      while (i < bs.length) {
+        val d = math.abs(bs(i) - bs(i - 1))
+        if (d >= 64) cuts += 1
+        if (d > mx) mx = d
+        sm += d
+        i += 1
+      }
+      Some(SceneCuts(in.doc_id, bs.length, cuts, mx, sm))
+    }
+  }
+
   /** Synthesize a REAL GIF89a: logical screen descriptor, then per
     * frame a Graphic Control Extension (delay 4 cs = 40 ms), an image
     * descriptor with md5-derived dims, a 2-entry local color table
@@ -926,6 +954,25 @@ object Multimodal {
         coalesce(sum(col("n_docs")), lit(0L)).as("nd")).head
       val radius = imageRadiusFor(stats.getLong(0), stats.getLong(1))
       imageNeardupPairs(classes, radius).orderBy(col("a"), col("b"))
+    }),
+
+    // SCENE-CUT detection over the real frame decode — the video-side
+    // sample segmenter (training pipelines cut video at scene
+    // boundaries before captioning; a cut list is also the cheap
+    // "static slideshow vs real footage" QA signal next to mm07's
+    // container stats): per doc the frame count, cuts at |brightness
+    // delta| ≥ 64, the max delta, and the total motion mass. See
+    // [[decodeSceneCuts]] — per-row decode+fold at scan speed, the
+    // mm10/mm11 zero-exchange class (the per-doc frame sequence folds
+    // inside the decoder, never a window shuffle).
+    "mm12_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          MediaIn(id, if (text == null) null else mkGif(text)) }
+      media.mapPartitions(_.withFilter(_.payload != null).flatMap(decodeSceneCuts))
+        .toDF().orderBy(col("doc_id"))
     }),
 
     // Frame sampling: binary GIF payload → N frame rows, every field
@@ -1265,6 +1312,31 @@ object Multimodal {
         |     + (instr('0123456789abcdef', substr(fh,7,1)) - 1) * 16
         |     + (instr('0123456789abcdef', substr(fh,8,1)) - 1)) // 3 AS INT) AS brightness
         |FROM ff ORDER BY doc_id, frame_idx""".stripMargin,
+    // mm12: the oracle recomputes the brightness sequence from mm02's
+    // generation formula and pays the per-doc lag window the Spark
+    // side folds inside the decoder.
+    "mm12_scene_cuts" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |f AS (
+        | SELECT doc_id, hx,
+        |  unnest(generate_series(0, 1 + (instr('0123456789abcdef', substr(hx,4,1)) - 1) % 4)) AS fi
+        | FROM h),
+        |ff AS (SELECT doc_id, fi, md5(hx || ':' || CAST(fi AS VARCHAR)) AS fh FROM f),
+        |br AS (SELECT doc_id, fi,
+        |  ((instr('0123456789abcdef', substr(fh,1,1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(fh,2,1)) - 1)
+        |   + (instr('0123456789abcdef', substr(fh,5,1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(fh,6,1)) - 1)
+        |   + (instr('0123456789abcdef', substr(fh,7,1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(fh,8,1)) - 1)) // 3 AS b
+        | FROM ff),
+        |d AS (SELECT doc_id, fi, b,
+        |  lag(b) OVER (PARTITION BY doc_id ORDER BY fi) AS pb FROM br)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+        | CAST(count(*) FILTER (pb IS NOT NULL AND abs(b - pb) >= 64) AS INT) AS n_cuts,
+        | CAST(coalesce(max(abs(b - pb)), 0) AS INT) AS max_delta,
+        | CAST(coalesce(sum(abs(b - pb)), 0) AS BIGINT) AS sum_abs_delta
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm03_sample_assembly" ->
       """WITH meta AS (
         | SELECT doc_id, md5(text) AS hx FROM documents),

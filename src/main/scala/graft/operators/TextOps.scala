@@ -283,6 +283,39 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // SIMPSON REPEAT-CONCENTRATION per doc (Simpson 1949 — Σ p_w² as
+    // an integer ppm; the inverse is the "effective vocabulary size"):
+    // the whole-distribution repetition ablation next to tx10's
+    // modal-word fraction (a doc spreading its repeats across many
+    // words hides from the modal rule but not from Σp²) and tx28's
+    // distinct-count TTR (which is blind to HOW the mass distributes).
+    // ENGINE-EXACT: Σ cnt_w² · 10⁶ DIV n_words² — pure integer (long
+    // bound: docs to ~10⁶ tokens give Σcnt² ≤ 10¹² and ×10⁶ stays
+    // under 2⁶³). Scale shape: the tx05/tx28 zero-exchange pattern —
+    // a per-row run-length fold over the doc's own sorted tokens
+    // accumulates Σ run² at scan speed; never an explode + per-doc
+    // agg shuffle.
+    "tx36_simpson" -> ((s, d) => {
+      val acc0 = struct(lit(null).cast("string").as("p"), lit(0L).as("rl"),
+        lit(0L).as("ss"))
+      val folded = aggregate(array_sort(col("toks")), acc0,
+        (a, x) => when(a.getField("p").isNull,
+            struct(x.as("p"), lit(1L).as("rl"), lit(0L).as("ss")))
+          .when(x === a.getField("p"),
+            struct(a.getField("p").as("p"), (a.getField("rl") + 1L).as("rl"),
+              a.getField("ss").as("ss")))
+          .otherwise(struct(x.as("p"), lit(1L).as("rl"),
+            (a.getField("ss") + a.getField("rl") * a.getField("rl")).as("ss"))),
+        a => a.getField("ss") + a.getField("rl") * a.getField("rl"))
+      Tables.spread(docs(s, d))
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("sum_sq", folded)
+        .select(col("doc_id"), col("n_words"), col("sum_sq"),
+          expr("(sum_sq * 1000000) DIV (n_words * n_words)").as("simpson_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // READABILITY scores — Flesch reading ease + Flesch-Kincaid grade
     // with an integer syllable heuristic (vowel-group runs [aeiouy]+,
     // the standard cheap estimator), sentences = [.!?]+ runs floored
@@ -515,6 +548,17 @@ object TextOps {
         | CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
         | (CAST(count(*) AS BIGINT) * 1000) // CAST(sum(c) AS BIGINT) AS ttr_milli,
         | (CAST(count(*) FILTER (c = 1) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS hapax_milli
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // tx36: the oracle pays the explode + per-doc agg the Spark side
+    // designs out — Σ cnt² recomputed from the grouped counts.
+    "tx36_simpson" ->
+      """WITH w AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        | CAST(sum(c * c) AS BIGINT) AS sum_sq,
+        | CAST((CAST(sum(c * c) AS BIGINT) * 1000000)
+        |   // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS BIGINT) AS simpson_ppm
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx29_readability" ->
       """WITH m AS (

@@ -261,6 +261,41 @@ object TimeSeries {
         col("c.n_events").as("n_events"), col("p.n_events").as("n_prev"),
         expr("((c.n_events - p.n_events) * 1000) DIV p.n_events").as("growth_milli"))
 
+  /** ts41's kernel over any (event_type, dn, n) daily-count frame —
+    * shared by the batch query and
+    * [[graft.streaming.TopicStream]]'s `currentBursts` (which reads
+    * the SAME trendStream topic ts39's monitor maintains — one
+    * state-topic writer powers trend AND burst): densify onto the
+    * (type × day-spine) domain so gap days count as 0 in the
+    * baseline (the ts07 discipline — a quiet week must not hide a
+    * burst), then per type a trailing-7-day window sum; burst ratio
+    * = today vs the baseline's daily mean in integer milli
+    * (n·7000 DIV prev7), flagged at ≥ 2x with an absolute floor of
+    * 5 events (2-vs-0 noise is not a burst). Rows without a full
+    * 7-day history emit nothing — a ratio against a partial
+    * baseline would alarm on day 2 of every new event type. Scale
+    * shape: ONE corpus scan partial-aggs into the (type × day)
+    * domain; the spine cross, window, and arithmetic all run on
+    * that calendar-bounded frame — zero corpus-sized shuffles. */
+  private[graft] def burstsOf(dayCounts: DataFrame): DataFrame = {
+    val bounds = dayCounts.agg(min(col("dn")).as("mn"), max(col("dn")).as("mx"))
+    val spine = bounds.select(explode(expr("sequence(mn, mx)")).as("dn"))
+    val types = dayCounts.select(col("event_type")).distinct()
+    val dense = types.crossJoin(spine)
+      .join(dayCounts, Seq("event_type", "dn"), "left")
+      .select(col("event_type"), col("dn"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("dn"))
+      .rowsBetween(-7, -1)
+    dense
+      .withColumn("prev7", sum(col("n")).over(w))
+      .withColumn("n_prev_days", count(lit(1)).over(w))
+      .filter(col("n_prev_days") === 7)
+      .withColumn("burst_milli", expr("(n * 7000) DIV greatest(1, prev7)"))
+      .withColumn("burst", col("burst_milli") >= 2000 && col("n") >= 5)
+      .select(col("event_type"), col("dn"), col("n"), col("prev7"),
+        col("burst_milli"), col("burst"))
+  }
+
   /** ts39's kernel over any (event_type, dn, x) series frame — shared
     * with [[graft.api]]'s `theilSen` verb. The input is already the
     * (key × position) DOMAIN frame (a daily/bucketed rollup — never
@@ -1028,6 +1063,18 @@ object TimeSeries {
         .orderBy(col("event_type"), col("dn"), col("q_milli"))
     }),
 
+    // BURST DETECTION per event-type daily series — the rate-spike
+    // monitor next to ts28's mean-shift changepoint (a changepoint is
+    // a sustained level move; a burst is TODAY vs the trailing week —
+    // the alert that fires while the spike is happening). See
+    // [[burstsOf]] (kernel shared with the trendStream topic's
+    // currentBursts read).
+    "ts41_burst" -> ((s, d) =>
+      burstsOf(ev(s, d)
+          .groupBy(col("event_type"), expr("epoch_s DIV 86400").as("dn"))
+          .agg(count(lit(1)).as("n")))
+        .orderBy(col("event_type"), col("dn"))),
+
     // LAG-k AUTOCORRELATION of the daily event-count series — see
     // [[autocorrOf]] (kernel shared with api.autocorrReport). (the
     // periodicity screen behind seasonality/anomaly dashboards — "is
@@ -1615,6 +1662,33 @@ object TimeSeries {
         | CAST(((c.n_events - p.n_events) * 1000) // p.n_events AS BIGINT) AS growth_milli
         |FROM w c JOIN w p ON p.event_type = c.event_type AND p.wk = c.wk - 1
         |ORDER BY c.event_type, c.wk""".stripMargin,
+    // ts41: the oracle re-densifies the (type × day) domain with the
+    // same generate_series spine and recomputes the trailing window;
+    // integer division on non-negative counts agrees in both engines.
+    "ts41_burst" ->
+      """WITH dc AS (
+        | SELECT event_type, (epoch_us(ts) // 1000000) // 86400 AS dn,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |spine AS (SELECT unnest(generate_series(
+        |  (SELECT min(dn) FROM dc), (SELECT max(dn) FROM dc))) AS dn),
+        |types AS (SELECT DISTINCT event_type FROM dc),
+        |dense AS (
+        | SELECT t.event_type, s.dn, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+        | FROM types t CROSS JOIN spine s
+        | LEFT JOIN dc d ON d.event_type = t.event_type AND d.dn = s.dn),
+        |w AS (
+        | SELECT event_type, dn, n,
+        |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY dn
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev7,
+        |  count(*) OVER (PARTITION BY event_type ORDER BY dn
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS npd
+        | FROM dense)
+        |SELECT event_type, dn, n, prev7,
+        | CAST((n * 7000) // greatest(1, prev7) AS BIGINT) AS burst_milli,
+        | ((n * 7000) // greatest(1, prev7) >= 2000 AND n >= 5) AS burst
+        |FROM w WHERE npd = 7
+        |ORDER BY event_type, dn""".stripMargin,
     // ts39: the lower-median slope value is deterministic under ties
     // (we select the VALUE at the sorted position, not the row), so
     // row_number's arbitrary tie order is immaterial; DuckDB's

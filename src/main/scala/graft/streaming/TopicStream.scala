@@ -638,6 +638,19 @@ object TopicStream {
           .agg(sum(col("cnt")).as("x")))
       .orderBy(col("event_type"))
 
+  /** The CURRENT burst report of a [[trendStream]] topic — ts41's
+    * exact output over the summed daily history, tail shared with
+    * the batch kernel verbatim
+    * ([[graft.operators.TimeSeries.burstsOf]]): ONE state-topic
+    * writer powers the trend AND burst monitors — the same (type,
+    * day, batch) count partials, two read-time tails. */
+  def currentBursts(store: graft.sources.TopicStore, topic: String): DataFrame =
+    graft.operators.TimeSeries.burstsOf(
+        store.readMerged(topic, "hkey")
+          .groupBy(col("event_type"), col("dn"))
+          .agg(sum(col("cnt")).as("n")))
+      .orderBy(col("event_type"), col("dn"))
+
   /** Streaming GOPHER GATE, write side (tx33's live twin — the
     * curation funnel as arrivals flow in, so a drifting upstream
     * crawler shows up as a rule's kill rate moving): every column of

@@ -1837,6 +1837,36 @@ class ApiSpec extends SparkSpec {
     assert(c0.getAs[Long]("shift_milli") == 333L && c0.getAs[Boolean]("drifted"))
   }
 
+  test("mixtureCaps verb matches sp15 and clamps a planted skew conservatively") {
+    import spark.implicits._
+    val viaApi = Tables(spark, sfDir, "documents")
+      .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+      .mixtureCaps("source", "tok_cnt")
+      .orderBy("source")
+    val viaOp = SparkEntry.queries("sp15_mixture_caps")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted skew: one giant source (raw 727 milli), three tiny —
+    // the cap binds, the 430-milli residual spreads over the 270-milli
+    // free mass proportionally (each tiny source: 90 + 143)
+    val mix = Seq(("A", 6400L), ("B", 100L), ("C", 100L), ("D", 100L))
+      .toDF("source", "toks")
+      .mixtureCaps("source", "toks", capMilli = 300L, floorMilli = 25L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("raw_milli"), r.getAs[Long]("final_milli"),
+          r.getAs[Boolean]("clamped")))).toMap
+    assert(mix("A") == ((727L, 300L, true)), s"got ${mix("A")}")
+    Seq("B", "C", "D").foreach(s =>
+      assert(mix(s) == ((90L, 233L, false)), s"$s: ${mix(s)}"))
+    val tot = mix.values.map(_._2).sum
+    assert(math.abs(tot - 1000L) <= 4, s"conservation: $tot")
+    // degenerate all-clamped: no free mass to absorb the residual —
+    // the clamp bounds themselves are the contract
+    val all = Seq(("A", 6400L), ("B", 100L)).toDF("source", "toks")
+      .mixtureCaps("source", "toks", capMilli = 300L, floorMilli = 200L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("final_milli")).toMap
+    assert(all("A") == 300L && all("B") == 200L, s"got $all")
+  }
+
   test("mm09 saturation contract: radius tightens as appearance entropy collapses, refuses at floor") {
     import graft.operators.Multimodal
     // the dd19/fuzzyGramWidthFor contract applied to the aHash class

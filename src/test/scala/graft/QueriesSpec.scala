@@ -1400,4 +1400,87 @@ class QueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("balance_milli") == n * nCells * 1000 / total)
     }
   }
+
+  test("tx36 simpson: the per-row run-length fold equals an exploded brute-force recompute") {
+    val rows = SparkEntry.queries("tx36_simpson")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val ss = toks.groupBy(identity).values.map(g => g.length.toLong * g.length).sum
+      val nw = toks.length.toLong
+      assert(rows(id) == ((nw, ss, ss * 1000000L / (nw * nw))), s"doc $id: ${rows(id)}")
+    }
+  }
+
+  test("tx35 zipf profile: bands tile ranks as doubling intervals and conserve vocab + mass") {
+    val rows = SparkEntry.queries("tx35_zipf_profile")(spark, sfDir).collect()
+    val wc = Tables(spark, sfDir, "documents").select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1))
+      .groupBy(identity).map(_._2.length)
+    val v = wc.size.toLong; val mass = wc.map(_.toLong).sum
+    assert(rows.map(_.getAs[Long]("n_words")).sum == v)
+    assert(rows.map(_.getAs[Long]("band_mass")).sum == mass)
+    rows.foreach { r =>
+      val band = r.getAs[Int]("band")
+      assert(r.getAs[Long]("rank_lo") == (1L << band), s"band $band lo")
+      assert(r.getAs[Long]("rank_hi") == math.min((1L << (band + 1)) - 1, v), s"band $band hi")
+    }
+    val milli = rows.map(_.getAs[Long]("mass_milli")).sum
+    assert(milli >= 1000 - rows.length && milli <= 1000, s"mass share sum $milli")
+  }
+
+  test("ts41 burst: flags recompute in-row; the spine makes gap days count as zero baseline") {
+    val rows = SparkEntry.queries("ts41_burst")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, prev7) = (r.getAs[Long]("n"), r.getAs[Long]("prev7"))
+      val milli = r.getAs[Long]("burst_milli")
+      assert(milli == n * 7000 / math.max(1, prev7))
+      assert(r.getAs[Boolean]("burst") == (milli >= 2000 && n >= 5))
+    }
+    // planted: a sparse quiet stretch (gap days MUST read as zero in
+    // the baseline, not vanish), then a day-9 spike
+    import spark.implicits._
+    val counts = Seq((0L, 3L), (1L, 3L), (2L, 3L), (4L, 3L), (6L, 3L), (9L, 30L))
+      .toDF("dn", "n").withColumn("event_type", lit("e"))
+    val got = graft.operators.TimeSeries.burstsOf(counts).orderBy("dn").collect()
+      .map(r => (r.getAs[Long]("dn"), r.getAs[Long]("n"),
+        r.getAs[Long]("prev7"), r.getAs[Boolean]("burst"))).toSeq
+    assert(got == Seq((7L, 0L, 15L, false), (8L, 0L, 12L, false),
+      (9L, 30L, 9L, true)), s"got $got")
+  }
+
+  test("dd24 source near-dup matrix ties out to dd02's candidate set exactly") {
+    val m = SparkEntry.queries("dd24_source_neardup")(spark, sfDir).collect()
+    val pairs = SparkEntry.queries("dd02_minhash_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_sig_match")))
+    val srcs = Tables(spark, sfDir, "documents").select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = pairs.groupBy { case (a, b, _) =>
+        val (x, y) = (srcs(a), srcs(b)); if (x <= y) (x, y) else (y, x) }
+      .map { case (k, xs) => k -> ((xs.length.toLong, xs.count(_._3 >= 4).toLong)) }
+    assert(m.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_est_dup")))).toMap == expect)
+    assert(m.map(_.getAs[Long]("n_candidates")).sum == pairs.length.toLong)
+    m.foreach(r => assert(r.getString(0) <= r.getString(1), "canonical source order"))
+  }
+
+  test("mm12 scene cuts recompute exactly from mm02's decoded frame brightness") {
+    val cuts = SparkEntry.queries("mm12_scene_cuts")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Int]("n_frames"), r.getAs[Int]("n_cuts"),
+        r.getAs[Int]("max_delta"), r.getAs[Long]("sum_abs_delta")))).toMap
+    val frames = SparkEntry.queries("mm02_frame_sample")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("frame_idx"), r.getAs[Int]("brightness")))
+    val expect = frames.groupBy(_._1).map { case (id, fs) =>
+      val bs = fs.sortBy(_._2).map(_._3)
+      val ds = bs.sliding(2).map(p => math.abs(p(1) - p(0))).toSeq
+      id -> ((bs.length, ds.count(_ >= 64), if (ds.isEmpty) 0 else ds.max,
+        ds.map(_.toLong).sum))
+    }
+    assert(cuts == expect && cuts.nonEmpty)
+  }
 }

@@ -422,6 +422,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bursts: ONE trend topic powers the ts41 burst read, equal to batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sburst").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.trendStream(input.toDF(), store, "trend")
+      .option("checkpointLocation", s"$root/_chk").start()
+    def t(day: Int) = ts(f"2024-01-$day%02d 12:00:00")
+    // one event/day for nine days, then a 20-event spike on day 10 —
+    // the spike SPLITS across the micro-batches (12 + 8 fold to 20)
+    val b1 = (1 to 9).map(d => TopicEvent(d.toLong, t(d), d.toLong, "view", 1.0)) ++
+      (1 to 12).map(i => TopicEvent(100L + i, t(10), i.toLong, "view", 1.0))
+    val b2 = (1 to 8).map(i => TopicEvent(200L + i, t(10), i.toLong, "view", 1.0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val stream = TopicStream.currentBursts(store, "trend")
+        .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+      val batch = graft.operators.TimeSeries.burstsOf((b1 ++ b2).toDF()
+          .groupBy(col("event_type"), expr("CAST(ts AS LONG) DIV 86400").as("dn"))
+          .agg(count(lit(1)).as("n")))
+        .orderBy(col("event_type"), col("dn"))
+        .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+      assert(stream == batch && stream.nonEmpty, s"stream $stream != batch $batch")
+      // hand-check: only days 8-10 carry a full 7-day baseline; the
+      // spike day reads 20 vs a 7-event week = 20000 milli, burst
+      assert(stream.map(r => (r._3, r._5, r._6)) ==
+        Seq((1L, 1000L, false), (1L, 1000L, false), (20L, 20000L, true)),
+        s"got $stream")
+    } finally q.stop()
+  }
+
   test("streaming gate: additive rule partials fold to the tx33 funnel across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
