@@ -316,6 +316,18 @@ object api {
             .agg(count(lit(1)).as("x")))
         .withColumnRenamed("event_type", keyCol)
 
+    /** Dominant-cycle scan (the ts42 operator as a verb): per `keyCol`
+      * score every candidate period 2..10 by the between-phase share
+      * of the daily-count variance (exact-integer ANOVA fold over the
+      * densified day spine) and flag the best period — the cadence
+      * screen ts17/ts37's fixed calendar can't run. */
+    def cycleScan(keyCol: String, tsCol: String): DataFrame =
+      graft.operators.TimeSeries.cycleScanOf(
+          df.groupBy(col(keyCol).as("event_type"),
+              expr(s"CAST($tsCol AS LONG) DIV 86400").as("dn"))
+            .agg(count(lit(1)).as("n")))
+        .withColumnRenamed("event_type", keyCol)
+
     /** Conversion-lag SURVIVAL curve (the ts34 operator as a verb):
       * first `isStart` row per key, first `isConvert` row at-or-after
       * it, whole-day lag buckets with cumulative conversion and

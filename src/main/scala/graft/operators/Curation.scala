@@ -639,6 +639,46 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // SOURCE-PAIR BOILERPLATE OVERLAP — dd24's EXACT-line sibling
+    // (dd24 asks "which sources re-host near-duplicate documents";
+    // this asks "which sources share verbatim template lines" — nav
+    // bars, cookie banners, license footers: the cross-source
+    // boilerplate provenance matrix tx31 scores per doc and tx16
+    // drops per line, rolled up to WHO shares WITH WHOM): per
+    // canonical source pair the distinct-line counts, the shared
+    // distinct-line count, and the line-set Jaccard in milli. Scale
+    // shape: lines collapse to the distinct (source, line) domain
+    // FIRST (the corpus-sized explode ends at that distinct — it is
+    // checkpointed, three consumers), the self-join is line-hash
+    // equi-keyed with ≤|S|²/2 pairs per line, and the output is the
+    // S²-bounded pair domain with two broadcast total joins.
+    "tx38_boiler_overlap" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val lines = docs(s, d)
+        .select(col("source"), words.as("_ws"))
+        .select(col("source"),
+          transform(sequence(lit(0), floor((size(col("_ws")) - 1) / 10).cast("int")),
+            c => array_join(slice(col("_ws"), c * 10 + 1, lit(10)), " ")).as("ls"))
+        .select(col("source"), explode(coalesce(col("ls"), array())).as("line"))
+        .distinct()
+        .localCheckpoint(false)
+      val tot = lines.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val shared = lines.select(col("line"), col("source").as("source_1"))
+        .join(lines.select(col("line"), col("source").as("source_2")), "line")
+        .filter(col("source_1") < col("source_2"))
+        .groupBy(col("source_1"), col("source_2"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(tot.select(col("source").as("source_1"), col("n").as("n1"))),
+          "source_1")
+        .join(broadcast(tot.select(col("source").as("source_2"), col("n").as("n2"))),
+          "source_2")
+        .select(col("source_1"), col("source_2"), col("n1"), col("n2"),
+          col("n_shared"),
+          expr("(n_shared * 1000) DIV (n1 + n2 - n_shared)").as("jaccard_milli"))
+        .orderBy(col("source_1"), col("source_2"))
+    }),
+
     // Model-based quality GATE (the fasttext/logreg classifier step of
     // CCNet/LLaMA-style curation, downstream of tx02's raw features):
     // a frozen linear model scores each doc over exact integer
@@ -1389,6 +1429,26 @@ object Curation {
         | CAST(((count(*) - sum(CASE WHEN kept THEN 0 ELSE 1 END)) * 1000) // count(*) AS BIGINT) AS kept_milli,
         | substr(md5(coalesce(string_agg(line, '|' ORDER BY pos) FILTER (WHERE kept), '')), 1, 8) AS kept_fp8
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // tx38: tx16's 10-word line chunks, distinct per source, exact
+    // line-set Jaccard per canonical source pair.
+    "tx38_boiler_overlap" ->
+      """WITH w AS (
+        | SELECT source, string_split(text, ' ') AS words FROM documents),
+        |lines0 AS (
+        | SELECT DISTINCT source,
+        |  array_to_string(list_slice(words, i * 10 + 1, i * 10 + 10), ' ') AS line
+        | FROM w, unnest(generate_series(0, (len(words) - 1) // 10)) AS t(i)),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM lines0 GROUP BY 1),
+        |sh AS (
+        | SELECT a.source AS source_1, b.source AS source_2,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        | FROM lines0 a JOIN lines0 b ON a.line = b.line AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT source_1, source_2, t1.n AS n1, t2.n AS n2, n_shared,
+        | (n_shared * 1000) // (t1.n + t2.n - n_shared) AS jaccard_milli
+        |FROM sh JOIN tot t1 ON t1.source = sh.source_1
+        |JOIN tot t2 ON t2.source = sh.source_2
+        |ORDER BY source_1, source_2""".stripMargin,
     "tx17_quality_classifier" ->
       s"""WITH ${QualityWeights.scoredCteSql}
         |SELECT doc_id, source, n_words, stop_milli, distinct_milli, awl_milli, score,

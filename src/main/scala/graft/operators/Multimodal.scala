@@ -513,6 +513,46 @@ object Multimodal {
       }
     }
 
+  /** Per-doc silence/clipping segmentation of the decoded PCM —
+    * mm13's row shape. */
+  case class AudioSilence(doc_id: Long, n_samples: Int, n_silent: Int,
+                          n_clipped: Int, max_silent_run: Int,
+                          lead_silent: Int, trail_silent: Int,
+                          silent_milli: Long)
+
+  /** SILENCE / CLIPPING SEGMENTATION over the real WAV PCM walk —
+    * the audio-QA triage next to mm11's waveform stats (mm11 says
+    * HOW LOUD; this says WHERE the signal lives): silent = |s| < 8,
+    * clipped = |s| ≥ 120, plus the longest silent run and the
+    * leading/trailing silence — the "dead air vs truncated upload vs
+    * hot mic" row an audio-curation pass keys its keep/trim/drop
+    * decision on. Run-length state folds INSIDE the decoder loop
+    * (one pass over the samples, like decodeAudioStats — never a
+    * per-doc window shuffle). */
+  private[graft] def decodeSilence(in: MediaIn): Option[AudioSilence] =
+    wavLayout(in.payload).flatMap { case (channels, rate, bits, dataOff, dataBytes) =>
+      if (channels != 1 || bits != 8 || dataBytes <= 0) None
+      else {
+        val p = in.payload
+        var silent = 0; var clip = 0
+        var run = 0; var maxRun = 0
+        var lead = -1; var lastLoud = -1
+        var i = 0
+        while (i < dataBytes) {
+          val s = (p(dataOff + i) & 0xff) - 128
+          val as = math.abs(s)
+          if (as >= 120) clip += 1
+          if (as < 8) { silent += 1; run += 1; if (run > maxRun) maxRun = run }
+          else { run = 0; if (lead < 0) lead = i; lastLoud = i }
+          i += 1
+        }
+        Some(AudioSilence(in.doc_id, dataBytes, silent, clip, maxRun,
+          if (lead < 0) dataBytes else lead,
+          if (lastLoud < 0) dataBytes else dataBytes - 1 - lastLoud,
+          silent.toLong * 1000 / dataBytes))
+      }
+    }
+
   /** Decoded video-container metadata — every field parsed from the
     * ISO-BMFF (MP4) box structure: major brand from `ftyp`, movie
     * timescale + duration ticks from `mvhd` (v0), presentation
@@ -1031,6 +1071,22 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // AUDIO SILENCE / CLIPPING SEGMENTATION — see [[decodeSilence]].
+    // Same zero-exchange decode class as mm11: the run-length and
+    // edge state folds inside the partition iterator, one pass per
+    // payload, then only the 8-column QA row crosses to the output
+    // sort.
+    "mm13_audio_silence" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          MediaIn(id, if (text == null) null else mkWavPcm(text)) }
+      media.mapPartitions(_.withFilter(_.payload != null).flatMap(decodeSilence))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // VIDEO metadata via batched REAL ISO-BMFF decode — the video
     // modality's mm01: payloads synthesize as genuine MP4 box trees
     // (ftyp/free/moov{mvhd,udta,trak{tkhd}}/mdat per ISO/IEC 14496-12,
@@ -1425,6 +1481,48 @@ object Multimodal {
         | st.peak, st.mean_sq, zc.zero_cross, st.clip_milli
         |FROM par p JOIN st USING (doc_id) JOIN zc USING (doc_id)
         |ORDER BY p.doc_id""".stripMargin,
+    // mm13: same synthetic PCM recurrence as mm11; the silent-run
+    // maximum is gaps-and-islands (i − row_number over silent rows),
+    // lead/trail from min/max non-silent index with the all-silent
+    // degenerate coalescing to n.
+    "mm13_audio_silence" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |par AS (
+        | SELECT doc_id,
+        |  200 + 16 * (instr('0123456789abcdef', substr(hx,2,1)) - 1)
+        |      + (instr('0123456789abcdef', substr(hx,3,1)) - 1) AS n,
+        |  1 + (instr('0123456789abcdef', substr(hx,4,1)) - 1) AS a,
+        |  16 * (instr('0123456789abcdef', substr(hx,5,1)) - 1)
+        |     + (instr('0123456789abcdef', substr(hx,6,1)) - 1) AS b
+        | FROM h),
+        |iser AS (SELECT unnest(generate_series(0, 455)) AS i),
+        |smp AS (
+        | SELECT doc_id, i, ((a*i + b) % 256) - 128 AS s
+        | FROM par, iser WHERE i < n),
+        |fl AS (SELECT doc_id, i, s, (abs(s) < 8) AS silent FROM smp),
+        |runs AS (
+        | SELECT doc_id,
+        |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        | FROM fl WHERE silent),
+        |mr AS (
+        | SELECT doc_id, CAST(max(c) AS INT) AS max_silent_run
+        | FROM (SELECT doc_id, grp, count(*) AS c FROM runs GROUP BY 1, 2)
+        | GROUP BY 1),
+        |agg AS (
+        | SELECT doc_id, CAST(count(*) AS INT) AS n_samples,
+        |  CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS INT) AS n_silent,
+        |  CAST(sum(CASE WHEN abs(s) >= 120 THEN 1 ELSE 0 END) AS INT) AS n_clipped,
+        |  CAST(coalesce(min(CASE WHEN NOT silent THEN i END), count(*)) AS INT)
+        |   AS lead_silent,
+        |  CAST(coalesce(count(*) - 1 - max(CASE WHEN NOT silent THEN i END),
+        |   count(*)) AS INT) AS trail_silent
+        | FROM fl GROUP BY 1)
+        |SELECT a.doc_id, n_samples, n_silent, n_clipped,
+        | CAST(coalesce(m.max_silent_run, 0) AS INT) AS max_silent_run,
+        | lead_silent, trail_silent,
+        | CAST((n_silent * 1000) // n_samples AS BIGINT) AS silent_milli
+        |FROM agg a LEFT JOIN mr m USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
     // MP4 framing is fixed-size except the text-bytes mdat body:
     // total = 20 ftyp + 20 free + 232 moov (108 mvhd + 16 udta +
     // 100 trak) + 8 mdat header + body = 280 + len. timescale /

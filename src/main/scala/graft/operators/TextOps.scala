@@ -316,6 +316,54 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // STOPWORD / FUNCTION-WORD PROFILE per source — the stylometric
+    // source fingerprint (Mosteller & Wallace 1964's function-word
+    // method, the authorship classic): content words vary by topic
+    // but function-word RATES are stable per register, so a source
+    // whose profile deviates hard from the corpus is machine
+    // boilerplate, template spam, or a different genre than it
+    // claims. Per (source, function-word): the count, the source's
+    // rate ppm, the corpus rate ppm, and the deviation — the table a
+    // curation run reads before trusting a crawl's self-description
+    // (tx34 audits the LANGUAGE label; this audits the REGISTER).
+    // ENGINE-EXACT integer ppm. Scale shape: the 25 lexicon counts
+    // are per-row array folds at scan speed (no explode — the corpus
+    // never hits the wire as tokens), ONE map-side-combinable shuffle
+    // collapses to the |S|-row frame (checkpointed: the word stack,
+    // the corpus total, and the per-word rollup all read it), and
+    // everything downstream runs on the S×25 domain with two
+    // broadcast joins.
+    "tx37_stopword_profile" -> ((s, d) => {
+      val ws = langLex.values.flatten.toSeq.distinct.sorted
+      val base = docs(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+      val counted = ws.zipWithIndex.foldLeft(base) { case (df, (w, i)) =>
+        df.withColumn(s"_c$i",
+          size(filter(col("toks"), t => t === lit(w))).cast("long"))
+      }
+      val agged = counted.groupBy(col("source"))
+        .agg(sum(col("n_toks")).as("src_toks"),
+          ws.indices.map(i => sum(col(s"_c$i")).as(s"_s$i")): _*)
+        .localCheckpoint(false)
+      val tot = agged.agg(sum(col("src_toks")).as("all_toks"))
+      val stacked = agged
+        .select(col("source"), col("src_toks"),
+          posexplode(array(ws.indices.map(i => col(s"_s$i")): _*)))
+        .select(col("source"), col("src_toks"),
+          element_at(array(ws.map(lit): _*), col("pos") + 1).as("word"),
+          col("col").as("cnt"))
+      val wtot = stacked.groupBy(col("word")).agg(sum(col("cnt")).as("wt"))
+      stacked.join(broadcast(wtot), "word")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("word"), col("cnt"),
+          expr("(cnt * 1000000) DIV src_toks").as("share_ppm"),
+          expr("(wt * 1000000) DIV all_toks").as("corpus_ppm"),
+          expr("(cnt * 1000000) DIV src_toks - (wt * 1000000) DIV all_toks")
+            .as("dev_ppm"))
+        .orderBy(col("source"), col("word"))
+    }),
+
     // READABILITY scores — Flesch reading ease + Flesch-Kincaid grade
     // with an integer syllable heuristic (vowel-group runs [aeiouy]+,
     // the standard cheap estimator), sentences = [.!?]+ runs floored
@@ -560,6 +608,31 @@ object TextOps {
         | CAST((CAST(sum(c * c) AS BIGINT) * 1000000)
         |   // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS BIGINT) AS simpson_ppm
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // tx37: same 25-word lexicon, same `//` floor on positive
+    // operands as the Spark DIV chain.
+    "tx37_stopword_profile" -> {
+      val wordList = langLex.values.flatten.toSeq.distinct.sorted
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH src AS (
+        | SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |tot AS (
+        | SELECT source, CAST(sum(len(toks)) AS BIGINT) AS src_toks
+        | FROM src GROUP BY 1),
+        |words AS (SELECT unnest([$wordList]) AS word),
+        |cnt AS (
+        | SELECT s.source, w.word,
+        |  CAST(coalesce(sum(len(list_filter(s.toks, t -> t = w.word))), 0) AS BIGINT) AS cnt
+        | FROM src s CROSS JOIN words w GROUP BY 1, 2),
+        |alltot AS (SELECT CAST(sum(src_toks) AS BIGINT) AS all_toks FROM tot),
+        |wtot AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS wt FROM cnt GROUP BY 1)
+        |SELECT c.source, c.word, c.cnt,
+        | (c.cnt * 1000000) // t.src_toks AS share_ppm,
+        | (w.wt * 1000000) // a.all_toks AS corpus_ppm,
+        | (c.cnt * 1000000) // t.src_toks - (w.wt * 1000000) // a.all_toks AS dev_ppm
+        |FROM cnt c JOIN tot t USING (source) JOIN wtot w USING (word)
+        |CROSS JOIN alltot a
+        |ORDER BY source, word""".stripMargin
+    },
     "tx29_readability" ->
       """WITH m AS (
         | SELECT doc_id,

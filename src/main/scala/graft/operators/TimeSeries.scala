@@ -296,6 +296,60 @@ object TimeSeries {
         col("burst_milli"), col("burst"))
   }
 
+  /** ts42's kernel over any (event_type, dn, n) day-count frame.
+    * DOMINANT-CYCLE SCAN: fold the DENSIFIED daily series by every
+    * candidate period 2..10 (gap days count as ZERO — the ts07
+    * discipline; a weekly cycle must survive quiet days, and a
+    * 3-day crawl cadence must not hide behind them) and score each
+    * period by the between-phase share of total variance — the
+    * one-way-ANOVA R² in its exact-rational form: strength =
+    * (D·Σ_ph s_ph²/n_ph − S²) / (D·Σn² − S²), carried as
+    * q_ph = s_ph² DIV n_ph exact longs so both engines agree
+    * bit-for-bit. ts17/ts37 PROFILE the fixed calendar week; this
+    * SEARCHES the period space — the screen that catches a 3-day
+    * ingest cadence or a 10-day billing cycle the calendar ops are
+    * blind to. Long bound: per-type window total S to ~3·10⁹ events
+    * (S² is the widest term) — beyond that pre-aggregate days into
+    * weeks before calling (the ts36 width-probe discipline, noted
+    * loudly here rather than silently overflowing; ANSI mode
+    * throws). The final milli ratio divides by total DIV 1000
+    * (never between·1000 — that would re-tighten the bound to
+    * 3·10⁶). Scale shape: ONE corpus scan partial-aggs into the
+    * (type × day) domain; the spine densify, the 9-period broadcast
+    * fan, and the ≤54-phase-rows-per-type aggs all run on that
+    * calendar-bounded frame (checkpointed — the stats and phase
+    * subtrees both read it). */
+  private[graft] def cycleScanOf(dayCounts: DataFrame): DataFrame = {
+    val bounds = dayCounts.agg(min(col("dn")).as("mn"), max(col("dn")).as("mx"))
+    val spine = bounds.select(explode(expr("sequence(mn, mx)")).as("dn"))
+    val types = dayCounts.select(col("event_type")).distinct()
+    val dense = types.crossJoin(spine)
+      .join(dayCounts, Seq("event_type", "dn"), "left")
+      .select(col("event_type"), col("dn"), coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint(false)
+    val stats = dense.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ssq"))
+    val periods = spine.sparkSession.range(2, 11).select(col("id").as("period"))
+    val phased = dense.crossJoin(broadcast(periods))
+      .groupBy(col("event_type"), col("period"), expr("dn % period").as("phase"))
+      .agg(count(lit(1)).as("n_ph"), sum(col("n")).as("s_ph"))
+      .withColumn("q_ph", expr("(s_ph * s_ph) DIV n_ph"))
+      .groupBy(col("event_type"), col("period"))
+      .agg(sum(col("q_ph")).as("sum_q"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("strength_milli").desc, col("period"))
+    phased.join(broadcast(stats), "event_type")
+      .withColumn("between_ss", expr("n_days * sum_q - s * s"))
+      .withColumn("total_ss", expr("n_days * ssq - s * s"))
+      .withColumn("strength_milli",
+        expr("between_ss DIV greatest(1, total_ss DIV 1000)"))
+      .withColumn("is_best", row_number().over(w) === 1)
+      .select(col("event_type"), col("period"), col("n_days"),
+        col("between_ss"), col("total_ss"), col("strength_milli"),
+        col("is_best"))
+  }
+
   /** ts39's kernel over any (event_type, dn, x) series frame — shared
     * with [[graft.api]]'s `theilSen` verb. The input is already the
     * (key × position) DOMAIN frame (a daily/bucketed rollup — never
@@ -1075,6 +1129,16 @@ object TimeSeries {
           .agg(count(lit(1)).as("n")))
         .orderBy(col("event_type"), col("dn"))),
 
+    // DOMINANT-CYCLE SCAN over the daily event-count series — see
+    // [[cycleScanOf]]. Searches periods 2..10 where ts17/ts37 profile
+    // only the fixed calendar week and ts36 reports raw lag
+    // correlation without a variance-share score.
+    "ts42_cycle_scan" -> ((s, d) =>
+      cycleScanOf(ev(s, d)
+          .groupBy(col("event_type"), expr("epoch_s DIV 86400").as("dn"))
+          .agg(count(lit(1)).as("n")))
+        .orderBy(col("event_type"), col("period"))),
+
     // LAG-k AUTOCORRELATION of the daily event-count series — see
     // [[autocorrOf]] (kernel shared with api.autocorrReport). (the
     // periodicity screen behind seasonality/anomaly dashboards — "is
@@ -1694,6 +1758,44 @@ object TimeSeries {
     // row_number's arbitrary tie order is immaterial; DuckDB's
     // integer // truncates toward zero like Spark DIV on the signed
     // slope numerators.
+    // ts42: exact-rational ANOVA fold — q_ph = s_ph² // n_ph longs;
+    // DuckDB // truncates toward zero exactly like Spark DIV.
+    "ts42_cycle_scan" ->
+      """WITH dc AS (
+        | SELECT event_type, (epoch_us(ts) // 1000000) // 86400 AS dn,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |spine AS (SELECT unnest(generate_series(
+        |  (SELECT min(dn) FROM dc), (SELECT max(dn) FROM dc))) AS dn),
+        |types AS (SELECT DISTINCT event_type FROM dc),
+        |dense AS (
+        | SELECT t.event_type, s.dn, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+        | FROM types t CROSS JOIN spine s
+        | LEFT JOIN dc d ON d.event_type = t.event_type AND d.dn = s.dn),
+        |stats AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ssq
+        | FROM dense GROUP BY 1),
+        |periods AS (SELECT unnest(generate_series(2, 10)) AS period),
+        |ph AS (
+        | SELECT event_type, period, dn % period AS phase,
+        |  CAST(count(*) AS BIGINT) AS n_ph, CAST(sum(n) AS BIGINT) AS s_ph
+        | FROM dense CROSS JOIN periods GROUP BY 1, 2, 3),
+        |sq AS (
+        | SELECT event_type, period,
+        |  CAST(sum((s_ph * s_ph) // n_ph) AS BIGINT) AS sum_q
+        | FROM ph GROUP BY 1, 2),
+        |sc AS (
+        | SELECT q.event_type, CAST(q.period AS BIGINT) AS period, t.n_days,
+        |  t.n_days * q.sum_q - t.s * t.s AS between_ss,
+        |  t.n_days * t.ssq - t.s * t.s AS total_ss
+        | FROM sq q JOIN stats t USING (event_type))
+        |SELECT event_type, period, n_days, between_ss, total_ss,
+        | between_ss // greatest(1, total_ss // 1000) AS strength_milli,
+        | row_number() OVER (PARTITION BY event_type
+        |   ORDER BY between_ss // greatest(1, total_ss // 1000) DESC, period) = 1
+        |  AS is_best
+        |FROM sc ORDER BY event_type, period""".stripMargin,
     "ts39_theil_sen" ->
       """WITH daily AS (
         | SELECT event_type, (epoch_us(ts) // 1000000) // 86400 AS dn,

@@ -651,6 +651,18 @@ object TopicStream {
           .agg(sum(col("cnt")).as("n")))
       .orderBy(col("event_type"), col("dn"))
 
+  /** ts42's live read over the SAME trendStream topic — the third
+    * read tail off the one (type, day, batch) partial ledger (trend:
+    * is it rising; burst: did today spike; cycle: what cadence does
+    * it beat at). Tail = `TimeSeries.cycleScanOf` verbatim on the
+    * merged day counts. */
+  def currentCycles(store: graft.sources.TopicStore, topic: String): DataFrame =
+    graft.operators.TimeSeries.cycleScanOf(
+        store.readMerged(topic, "hkey")
+          .groupBy(col("event_type"), col("dn"))
+          .agg(sum(col("cnt")).as("n")))
+      .orderBy(col("event_type"), col("period"))
+
   /** Streaming GOPHER GATE, write side (tx33's live twin — the
     * curation funnel as arrivals flow in, so a drifting upstream
     * crawler shows up as a rule's kill rate moving): every column of

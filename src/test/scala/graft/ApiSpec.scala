@@ -1737,6 +1737,23 @@ class ApiSpec extends SparkSpec {
       "BigInt recomputation confirms the pinned value")
   }
 
+  test("cycleScan verb matches ts42 and finds a planted weekly cadence") {
+    val viaApi = Tables.events(spark, sfDir)
+      .cycleScan("event_type", "ts")
+      .orderBy("event_type", "period")
+    val viaOp = SparkEntry.queries("ts42_cycle_scan")(spark, sfDir)
+    assert(viaApi.collect().toSeq == viaOp.collect().toSeq)
+    // planted: a pure weekly cadence — one busy day (10 events) then
+    // six quiet days, over 4 weeks; period 7 must win the scan
+    import spark.implicits._
+    val rows = for (week <- 0 to 3; i <- 0 until 10)
+      yield ("w", (week * 7) * 86400L, i)
+    val got = rows.toDF("k", "es", "i")
+      .cycleScan("k", "es")
+      .collect().map(r => (r.getAs[Long]("period"), r.getAs[Boolean]("is_best")))
+    assert(got.filter(_._2).map(_._1).toSeq == Seq(7L), s"got ${got.toSeq}")
+  }
+
   test("theilSen verb matches ts39 and recovers planted slopes exactly") {
     val viaApi = Tables.events(spark, sfDir)
       .theilSen("event_type", "ts")

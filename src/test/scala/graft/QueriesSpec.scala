@@ -1483,4 +1483,86 @@ class QueriesSpec extends SparkSpec {
     }
     assert(cuts == expect && cuts.nonEmpty)
   }
+
+  test("tx37 stopword profile equals a brute-force per-source recount; domain is S x 25") {
+    val rows = SparkEntry.queries("tx37_stopword_profile")(spark, sfDir).collect()
+    val lex = graft.operators.TextOps.langLex.values.flatten.toSeq.distinct.sorted
+    val docs = Tables(spark, sfDir, "documents").select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val srcToks = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._2.length.toLong).sum }
+    val cnt = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> lex.map(w => w -> xs.map(_._2.count(_ == w).toLong).sum).toMap }
+    val allToks = srcToks.values.sum
+    val wTot = lex.map(w => w -> cnt.values.map(_(w)).sum).toMap
+    assert(rows.length == srcToks.size * lex.size, "S x 25 domain")
+    rows.foreach { r =>
+      val (s, w) = (r.getString(0), r.getString(1))
+      val c = cnt(s)(w)
+      assert(r.getAs[Long]("cnt") == c, s"($s,$w)")
+      val share = c * 1000000L / srcToks(s)
+      val corpus = wTot(w) * 1000000L / allToks
+      assert(r.getAs[Long]("share_ppm") == share)
+      assert(r.getAs[Long]("corpus_ppm") == corpus)
+      assert(r.getAs[Long]("dev_ppm") == share - corpus)
+    }
+  }
+
+  test("tx38 boiler overlap equals brute-force distinct-line-set intersections per source pair") {
+    val rows = SparkEntry.queries("tx38_boiler_overlap")(spark, sfDir).collect()
+    val lineSets = Tables(spark, sfDir, "documents").select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+      .groupBy(_._1).map { case (s, xs) =>
+        s -> xs.flatMap(_._2.grouped(10).map(_.mkString(" "))).toSet }
+    val expect = (for {
+      (s1, l1) <- lineSets; (s2, l2) <- lineSets if s1 < s2
+      shared = (l1 & l2).size.toLong if shared > 0
+    } yield (s1, s2) -> ((l1.size.toLong, l2.size.toLong, shared))).toMap
+    assert(rows.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("n_shared"))))
+      .toMap == expect)
+    rows.foreach { r =>
+      val (n1, n2, sh) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+        r.getAs[Long]("n_shared"))
+      assert(r.getAs[Long]("jaccard_milli") == sh * 1000 / (n1 + n2 - sh))
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("ts42 cycle scan: scores recompute in-row; a planted period-3 series reads best at 3") {
+    val rows = SparkEntry.queries("ts42_cycle_scan")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("period")).sorted.toSeq == (2L to 10L), "period domain")
+      rs.foreach { r =>
+        val (b, t) = (r.getAs[Long]("between_ss"), r.getAs[Long]("total_ss"))
+        assert(b <= t, "quantized between can only undercount")
+        assert(r.getAs[Long]("strength_milli") == b / math.max(1, t / 1000))
+      }
+      val best = rs.filter(_.getAs[Boolean]("is_best"))
+      assert(best.length == 1)
+      val top = rs.map(r => (r.getAs[Long]("strength_milli"), r.getAs[Long]("period")))
+        .sortBy { case (s, p) => (-s, p) }.head._2
+      assert(best.head.getAs[Long]("period") == top)
+    }
+    // planted: spikes at days 0/3/6, zero days ABSENT from the input —
+    // the spine must densify them to D=7 days [5,0,0,5,0,0,5]
+    // (S=15, sum n^2=75, total = 7*75-225 = 300). Period 3 captures
+    // all variance; so do 6 (sub-fold) and the degenerate p>=7
+    // singleton-phase folds — the smaller-period tiebreak resolves
+    // them all to 3. An off-period fold (p=2) reads near zero.
+    import spark.implicits._
+    val counts = Seq((0L, 5L), (3L, 5L), (6L, 5L))
+      .toDF("dn", "n").withColumn("event_type", lit("e"))
+    val got = graft.operators.TimeSeries.cycleScanOf(counts)
+      .orderBy("period").collect()
+      .map(r => (r.getAs[Long]("period"), r.getAs[Long]("between_ss"),
+        r.getAs[Long]("total_ss"), r.getAs[Boolean]("is_best")))
+    assert(got.forall(_._3 == 300L))
+    assert(got.filter(g => Seq(3L, 6L, 7L, 8L, 9L, 10L).contains(g._1))
+      .forall(g => g._2 == 300L), "perfect + singleton folds capture all variance")
+    assert(got.find(_._1 == 2L).get._2 == 6L, "off-period fold captures almost none")
+    assert(got.filter(_._4).map(_._1).toSeq == Seq(3L), "smallest perfect period wins")
+  }
 }

@@ -223,6 +223,42 @@ class RobustnessSpec extends SparkSpec {
       "mm11 must refuse payloads whose fmt it does not decode (16-bit / stereo)")
   }
 
+  test("mm13 silence segmentation recomputes run-by-run from the sawtooth; edges and corrupt audio route right") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(29)
+    val texts = (0 until 25).map(i => s"sil $i " + rnd.alphanumeric.take(rnd.nextInt(60)).mkString)
+    texts.foreach { t =>
+      val got = Multimodal.decodeSilence(Multimodal.MediaIn(7L, Multimodal.mkWavPcm(t)))
+        .getOrElse(fail(s"own synthesis must decode: $t"))
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def nib(c: Char) = "0123456789abcdef".indexOf(c)
+      val n = 200 + 16 * nib(h(1)) + nib(h(2))
+      val (a, b) = (1 + nib(h(3)), 16 * nib(h(4)) + nib(h(5)))
+      val s = (0 until n).map(i => (a * i + b) % 256 - 128)
+      val silent = s.map(v => math.abs(v) < 8)
+      assert(got.n_samples == n)
+      assert(got.n_silent == silent.count(identity))
+      assert(got.n_clipped == s.count(v => math.abs(v) >= 120))
+      val runs = silent.foldLeft(List.empty[Int]) {
+        case (acc, true) => if (acc.isEmpty) List(1) else (acc.head + 1) :: acc.tail
+        case (acc, false) => 0 :: acc
+      }
+      assert(got.max_silent_run == (if (runs.isEmpty) 0 else runs.max))
+      assert(got.lead_silent == silent.takeWhile(identity).length)
+      assert(got.trail_silent == silent.reverse.takeWhile(identity).length)
+      assert(got.silent_milli == silent.count(identity).toLong * 1000 / n)
+    }
+    // fixture sanity: at least one corpus-shaped payload actually has
+    // a silent run (the battery is exercised, not vacuous)
+    assert(texts.exists(t => Multimodal.decodeSilence(
+      Multimodal.MediaIn(7L, Multimodal.mkWavPcm(t))).get.max_silent_run > 0))
+    // corrupt payloads route out, like mm11
+    val clean = Multimodal.mkWavPcm(texts.head)
+    assert(Multimodal.decodeSilence(
+      Multimodal.MediaIn(7L, clean.take(clean.length / 2))).isEmpty)
+  }
+
   test("all queries complete on empty tables (schema preserved, zero rows)") {
     val dir = Files.createTempDirectory("graft_sf_empty").toString
     // events.ts is TIMESTAMP(NANOS) — readable only as raw int64

@@ -455,6 +455,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cycles: the trend topic's third read tail equals batch and hears the cadence") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scycle").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TopicEvent]
+    val q = TopicStream.trendStream(input.toDF(), store, "trend")
+      .option("checkpointLocation", s"$root/_chk").start()
+    def t(day: Int) = ts(f"2024-01-$day%02d 12:00:00")
+    // a 6-event burst every third day (days 1/4/7/10/13), quiet
+    // between; the LAST burst day splits across the micro-batches
+    val b1 = (for (d <- Seq(1, 4, 7, 10); i <- 1 to 6)
+      yield TopicEvent((d * 10 + i).toLong, t(d), i.toLong, "view", 1.0)) ++
+      (1 to 2).map(i => TopicEvent(300L + i, t(13), i.toLong, "view", 1.0))
+    val b2 = (3 to 6).map(i => TopicEvent(400L + i, t(13), i.toLong, "view", 1.0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val stream = TopicStream.currentCycles(store, "trend")
+        .as[(String, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+      val batch = graft.operators.TimeSeries.cycleScanOf((b1 ++ b2).toDF()
+          .groupBy(col("event_type"), expr("CAST(ts AS LONG) DIV 86400").as("dn"))
+          .agg(count(lit(1)).as("n")))
+        .orderBy(col("event_type"), col("period"))
+        .as[(String, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+      assert(stream == batch && stream.nonEmpty, s"stream $stream != batch $batch")
+      // the period-3 cadence must win the scan (perfect fold: every
+      // phase-0 day carries 6 events, the other phases are silent)
+      assert(stream.filter(_._7).map(_._2) == Seq(3L), s"got $stream")
+      val p3 = stream.find(_._2 == 3L).get
+      assert(p3._4 == p3._5, "period 3 captures all variance")
+    } finally q.stop()
+  }
+
   test("streaming gate: additive rule partials fold to the tx33 funnel across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
