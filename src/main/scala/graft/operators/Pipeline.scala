@@ -165,6 +165,49 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // PACK-EFFICIENCY CURVE over candidate context lengths — the
+    // packer's member of the tuning-curve family (dd23 tunes LSH
+    // banding, ss34 nprobe, ss36 MRL width; this tunes THE training
+    // hyperparameter every run fixes first, the sequence length):
+    // per L ∈ {512, 1k, 2k, 4k} the sp11 boundary-pack audit — pack
+    // count, fill ratio, overflow/underfull packs, the jumbo docs
+    // that must split or truncate at that L — the table that shows
+    // fill climbing and jumbo waste falling as L grows, priced
+    // before a run commits its context window. Scale shape: the dd23
+    // fused-fan discipline — ONE GroupPrefix prefix pass (the only
+    // corpus shuffle), then a 4-row broadcast fan whose pack rollup
+    // partial-aggs map-side; the curve is a 4-row frame.
+    "sp16_pack_curve" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d)
+        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":sp03"))))
+        .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+        .select(col("source"), col("h"), col("doc_id"), col("tok_cnt"))
+      val cfg = Seq(512L, 1024L, 2048L, 4096L).toDF("seq_len")
+      sourcePrefix(base)
+        .crossJoin(broadcast(cfg))
+        .groupBy(col("seq_len"), col("source"),
+          expr("cum0 DIV seq_len").as("pack_id"))
+        .agg(sum(col("tok_cnt")).as("pack_tokens"),
+          sum(when(col("tok_cnt") > col("seq_len"), 1L).otherwise(0L))
+            .as("n_jumbo"))
+        .groupBy(col("seq_len"))
+        .agg(count(lit(1)).as("n_packs"),
+          sum(col("pack_tokens")).as("total_tokens"),
+          sum(when(col("pack_tokens") > col("seq_len"), 1L).otherwise(0L))
+            .as("n_overflow"),
+          sum(when(col("pack_tokens") < col("seq_len"), 1L).otherwise(0L))
+            .as("n_underfull"),
+          max(col("pack_tokens")).as("max_pack_tokens"),
+          sum(col("n_jumbo")).as("n_jumbo_docs"))
+        .withColumn("fill_milli",
+          expr("(total_tokens * 1000) DIV (n_packs * seq_len)"))
+        .select(col("seq_len"), col("n_packs"), col("total_tokens"),
+          col("fill_milli"), col("n_overflow"), col("n_underfull"),
+          col("max_pack_tokens"), col("n_jumbo_docs"))
+        .orderBy(col("seq_len"))
+    }),
+
     // SOURCE-INTERLEAVED loader order — the "stream the mixture, not
     // the sources" manifest (a loader that reads sources sequentially
     // trains on domain-sorted data; the interleave gives every
@@ -801,6 +844,37 @@ object Pipeline {
         | max(pack_tokens) AS max_pack_tokens,
         | min(pack_tokens) AS min_pack_tokens
         |FROM p GROUP BY 1 ORDER BY source""".stripMargin,
+    // sp16: sp11's pack CTEs fanned over the 4-length config list;
+    // pack_id = exclusive prefix DIV L, same boundary convention.
+    "sp16_pack_curve" ->
+      """WITH t AS (
+        | SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR) || ':sp03') AS h,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt
+        | FROM documents),
+        |c AS (
+        | SELECT source, tok_cnt,
+        |  sum(tok_cnt) OVER (PARTITION BY source ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM t),
+        |cfg AS (SELECT unnest([512, 1024, 2048, 4096]) AS seq_len),
+        |p AS (
+        | SELECT cfg.seq_len, source, (cum - tok_cnt) // cfg.seq_len AS pack_id,
+        |  CAST(sum(tok_cnt) AS BIGINT) AS pack_tokens,
+        |  CAST(sum(CASE WHEN tok_cnt > cfg.seq_len THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_jumbo
+        | FROM c CROSS JOIN cfg GROUP BY 1, 2, 3)
+        |SELECT CAST(seq_len AS BIGINT) AS seq_len,
+        | CAST(count(*) AS BIGINT) AS n_packs,
+        | CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+        | (CAST(sum(pack_tokens) AS BIGINT) * 1000) // (count(*) * seq_len)
+        |  AS fill_milli,
+        | CAST(sum(CASE WHEN pack_tokens > seq_len THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_overflow,
+        | CAST(sum(CASE WHEN pack_tokens < seq_len THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_underfull,
+        | max(pack_tokens) AS max_pack_tokens,
+        | CAST(sum(n_jumbo) AS BIGINT) AS n_jumbo_docs
+        |FROM p GROUP BY seq_len ORDER BY seq_len""".stripMargin,
     "px06_dataset_card" ->
       """WITH b AS (
         | SELECT source, lang, n_chars,

@@ -1484,6 +1484,37 @@ class QueriesSpec extends SparkSpec {
     assert(cuts == expect && cuts.nonEmpty)
   }
 
+  test("sp16 pack curve equals a brute-force re-pack at every candidate length") {
+    val rows = SparkEntry.queries("sp16_pack_curve")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("seq_len") -> r).toMap
+    assert(rows.keySet == Set(512L, 1024L, 2048L, 4096L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val docs = Tables(spark, sfDir, "documents")
+      .select("source", "doc_id", "text").collect()
+      .map { r =>
+        val h = md.digest(s"${r.getLong(1)}:sp03".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (r.getString(0), h, r.getLong(1), r.getString(2).split(" ", -1).length.toLong)
+      }
+    for (l <- Seq(512L, 1024L, 2048L, 4096L)) {
+      val packs = docs.groupBy(_._1).values.flatMap { xs =>
+        val sorted = xs.sortBy(x => (x._2, x._3))
+        val cum0 = sorted.scanLeft(0L)(_ + _._4).init
+        sorted.zip(cum0).groupBy { case (x, c) => (x._1, c / l) }
+          .values.map(_.map(_._1._4))
+      }.toSeq
+      val r = rows(l)
+      assert(r.getAs[Long]("n_packs") == packs.size.toLong, s"L=$l packs")
+      assert(r.getAs[Long]("total_tokens") == packs.flatten.sum)
+      assert(r.getAs[Long]("fill_milli") ==
+        packs.flatten.sum * 1000 / (packs.size * l))
+      assert(r.getAs[Long]("n_overflow") == packs.count(_.sum > l).toLong)
+      assert(r.getAs[Long]("n_underfull") == packs.count(_.sum < l).toLong)
+      assert(r.getAs[Long]("max_pack_tokens") == packs.map(_.sum).max)
+      assert(r.getAs[Long]("n_jumbo_docs") == docs.count(_._4 > l).toLong)
+    }
+  }
+
   test("tx37 stopword profile equals a brute-force per-source recount; domain is S x 25") {
     val rows = SparkEntry.queries("tx37_stopword_profile")(spark, sfDir).collect()
     val lex = graft.operators.TextOps.langLex.values.flatten.toSeq.distinct.sorted
