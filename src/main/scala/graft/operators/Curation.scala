@@ -468,27 +468,16 @@ object Curation {
     // machinery) — two-phase partition-parallel, never a one-task-
     // per-source sort of the scored corpus.
     "tx14_quality_quartiles" -> ((s, d) => {
-      // The bigram explosion feeds BOTH the corpus-frequency agg and
-      // the per-doc scoring join; recompute beats materializing it
-      // (measured: persisting the exploded table is ~same-to-worse at
-      // sf0.1, and at scale a 50x-wider cached intermediate is the
-      // wrong trade vs re-running codegen'd explode over the scan).
-      val bg = Tables.spread(docs(s, d))
-        .withColumn("norm", lower(col("text")))
-        .select(col("doc_id"), col("source"),
-          explode(when(length(col("norm")) >= 2,
-            transform(sequence(lit(1), length(col("norm")) - 1),
-              i => col("norm").substr(i, lit(2))))
-            .otherwise(typedLit(Seq.empty[String]))).as("bg"))
-      val corpus = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-      val total = corpus.agg(sum(col("cnt")).as("tot"))
-      val freq = corpus.crossJoin(broadcast(total))
-        .select(col("bg"), expr("(cnt * 1000000) DIV tot").as("freq_ppm"))
-      val scored = bg.join(broadcast(freq), "bg")
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("freq_ppm")).as("sum_ppm"))
-        .select(col("doc_id"), col("source"),
-          expr("sum_ppm DIV n_bigrams").as("lm_score_ppm"))
+      // Scoring rides the SHARED native-census kernel
+      // (TextOps.bigramLmScores — plans/BigramCountsExpr, ~0.3 rows
+      // per character on the wire instead of 1): the raw double
+      // explode this kernel used pre-r17 paid the corpus twice at
+      // full character width, the measured hazard tx08/tx32 already
+      // designed out. The source join is a doc-keyed co-shuffle (the
+      // tx32 pattern).
+      val scored = graft.operators.TextOps.bigramLmScores(docs(s, d))
+        .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("lm_score_ppm"))
       val ranked = graft.functions.GroupPrefix.groupPrefixC(
         scored, "source", Seq(col("lm_score_ppm"), col("doc_id")))
       val counts = ranked.groupBy(col("source")).agg(count(lit(1)).as("n"))
