@@ -608,6 +608,42 @@ object Similarity {
     "ss10_semdedup" -> ((s, d) =>
       semdedupPrune(emb(s, d), 0.3).orderBy(col("vec_id"))),
 
+    // SEMDEDUP AGGRESSIVENESS CURVE — the tuning-curve member for
+    // semantic dedup (dd23 tunes LSH banding, ss34 nprobe, ss36 MRL
+    // width, sp16 context length; this tunes ss10's cosine
+    // threshold — the knob the SemDeDup paper sweeps, trading
+    // corpus size against redundancy): per τ ∈ {0.3, 0.5, 0.7, 0.9}
+    // the dropped-vector count (keep-smallest convention), survivor
+    // count, drop share milli, and close-pair volume. Scale shape:
+    // the (cell × sub)-bucketed pair pass computes ONCE (the dd23
+    // fused-fan discipline) and the 4-τ fan is a broadcast filter
+    // whose rollup partial-aggs map-side; empty thresholds are
+    // restored by a 4-row left join so the curve domain is total.
+    "ss37_semdedup_curve" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val n1 = e.agg(count(lit(1)).as("n_corpus"))
+      val taus = Seq(300L, 500L, 700L, 900L).toDF("tau_milli")
+      val dropped = semdedupPairs(e)
+        .crossJoin(broadcast(taus))
+        .filter(col("cos_sim") > col("tau_milli").cast("double") / 1000.0)
+        .groupBy(col("tau_milli"), col("vec_id"))
+        .agg(count(lit(1)).as("nc"))
+        .groupBy(col("tau_milli"))
+        .agg(count(lit(1)).as("n_dropped"), sum(col("nc")).as("n_close_pairs"))
+      // the rollup is ≤4 rows but stats-opaque post-agg — hint it,
+      // else the 4-row restore join plans as a sort-merge
+      taus.join(broadcast(dropped), Seq("tau_milli"), "left")
+        .crossJoin(broadcast(n1))
+        .select(col("tau_milli"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_corpus") - coalesce(col("n_dropped"), lit(0L)))
+            .as("n_survivors"),
+          expr("(coalesce(n_dropped, 0) * 1000) DIV n_corpus").as("drop_milli"),
+          coalesce(col("n_close_pairs"), lit(0L)).as("n_close_pairs"))
+        .orderBy(col("tau_milli"))
+    }),
+
     // Quantized ANN — the memory-compressed scale path (v07's int8
     // quantization feeding search): candidates score with an EXACT
     // integer dot product over per-vector int8 codes (4x less memory
@@ -1127,7 +1163,7 @@ object Similarity {
     * in the same semantic cell but different sub-blocks is missed —
     * the dd02 LSH-banding property); multi-table sub-blocking (ss07's
     * amplifier) recovers recall at proportional cost. */
-  private[graft] def semdedupPrune(e: DataFrame, tau: Double): DataFrame = {
+  private[graft] def semdedupPairs(e: DataFrame): DataFrame = {
     val cents = centroidArray(e)
     val n1 = e.agg(count(lit(1)).as("n_corpus"))
     val assigned = e.crossJoin(broadcast(cents)).crossJoin(broadcast(n1))
@@ -1151,10 +1187,14 @@ object Similarity {
     a.join(b, Seq("cell", "sub"))
       .filter(col("a_id") < col("vec_id"))
       .withColumn("cos_sim", cosine(col("a_emb"), col("b_emb")))
+      .select(col("vec_id"), col("cell"), col("cos_sim"))
+  }
+
+  private[graft] def semdedupPrune(e: DataFrame, tau: Double): DataFrame =
+    semdedupPairs(e)
       .filter(col("cos_sim") > tau)
       .groupBy(col("vec_id"), col("cell"))
       .agg(count(lit(1)).as("n_close_smaller"), max(col("cos_sim")).as("max_cos"))
-  }
 
   /** Per-label centroids folded into a single-row DataFrame: column
     * `cents` = label-sorted array of struct(c_label, cvec). Centroid
@@ -2789,6 +2829,60 @@ object Similarity {
         |SELECT vec_id, cell, count(*) AS n_close_smaller, max(cos_sim) AS max_cos
         |FROM pairs WHERE cos_sim > 0.3
         |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+
+    // ss37: ss10's pair CTEs fanned over the threshold list; the
+    // τ/1000.0 division yields the identical double in both engines.
+    "ss37_semdedup_curve" ->
+      """WITH ex AS (
+        | SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  unnest(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))) AS vq
+        | FROM embeddings),
+        |cen AS (
+        | SELECT label AS c_label, pos,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 100) AS c FROM ex GROUP BY 1, 2),
+        |cvecs AS (
+        | SELECT c_label, list(c ORDER BY pos) AS cvec FROM cen GROUP BY 1),
+        |assigned AS (
+        | SELECT e.vec_id, e.embedding, c.c_label,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), c.c_label) AS rn
+        | FROM embeddings e CROSS JOIN cvecs c),
+        |nn AS (SELECT count(*) AS n_corpus FROM embeddings),
+        |cells AS (
+        | SELECT vec_id, embedding, c_label AS cell,
+        |  CAST(((instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 65536
+        |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 4096
+        |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 256
+        |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 5, 1)) - 1))
+        |    % GREATEST(1, (SELECT n_corpus FROM nn) // 640) AS INT) AS sub
+        | FROM assigned WHERE rn = 1),
+        |pairs AS (
+        | SELECT b.vec_id,
+        |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos_sim
+        | FROM cells a JOIN cells b ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id),
+        |taus AS (SELECT unnest([300, 500, 700, 900]) AS tau_milli),
+        |drop0 AS (
+        | SELECT t.tau_milli, p.vec_id, count(*) AS nc
+        | FROM pairs p CROSS JOIN taus t
+        | WHERE p.cos_sim > t.tau_milli / 1000.0
+        | GROUP BY 1, 2),
+        |roll AS (
+        | SELECT tau_milli, CAST(count(*) AS BIGINT) AS n_dropped,
+        |  CAST(sum(nc) AS BIGINT) AS n_close_pairs
+        | FROM drop0 GROUP BY 1)
+        |SELECT CAST(t.tau_milli AS BIGINT) AS tau_milli,
+        | coalesce(r.n_dropped, 0) AS n_dropped,
+        | (SELECT n_corpus FROM nn) - coalesce(r.n_dropped, 0) AS n_survivors,
+        | (coalesce(r.n_dropped, 0) * 1000) // (SELECT n_corpus FROM nn) AS drop_milli,
+        | coalesce(r.n_close_pairs, 0) AS n_close_pairs
+        |FROM taus t LEFT JOIN roll r USING (tau_milli)
+        |ORDER BY tau_milli""".stripMargin,
 
     "ss11_quantized_ann" ->
       s"""WITH m AS (

@@ -389,6 +389,39 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // CODE-vs-PROSE DETECTOR — the routing gate every mixed-corpus
+    // pipeline runs before text curation (code must not die to prose
+    // rules: Gopher's word-length and stopword gates kill source
+    // files wholesale, so StarCoder/RedPajama-style pipelines fork
+    // code OFF first): per doc the code-shaped signal counts —
+    // bracket/operator symbols, camelCase and snake_case
+    // identifiers — folded to an integer-milli score (symbol rate
+    // per char doubled + identifier rate per word, DIV 3) and the
+    // route flag at ≥ 40 milli. ENGINE-EXACT: regexp_count chains
+    // (the tx29 discipline), pure integer arithmetic. Scale shape:
+    // per-row regex folds at scan speed — zero exchanges before the
+    // output sort (the tx07/tx29 class).
+    "tx39_code_detect" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("n_words", size(tokens(col("text"))).cast("long"))
+        .withColumn("n_sym",
+          regexp_count(col("text"), lit("[{}()\\[\\];=+*<>|&]")).cast("long"))
+        .withColumn("n_camel",
+          regexp_count(col("text"), lit("[a-z][A-Z]")).cast("long"))
+        .withColumn("n_snake",
+          regexp_count(col("text"), lit("_")).cast("long"))
+        .withColumn("sym_milli", expr("(n_sym * 1000) DIV n_chars"))
+        .withColumn("ident_milli",
+          expr("((n_camel + n_snake) * 1000) DIV n_words"))
+        .withColumn("code_milli", expr("(sym_milli * 2 + ident_milli) DIV 3"))
+        .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_sym"),
+          col("n_camel"), col("n_snake"), col("sym_milli"),
+          col("ident_milli"), col("code_milli"),
+          (col("code_milli") >= 40L).as("is_code"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Distinctive-term extraction per source — tf-idf shape with a
     // LOG-FREE idf: score = tf * n_sources * 1000 / df via integer
     // division, so both engines produce identical longs (ln() is
@@ -608,6 +641,27 @@ object TextOps {
         | CAST((CAST(sum(c * c) AS BIGINT) * 1000000)
         |   // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS BIGINT) AS simpson_ppm
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // tx39: same regexp_count chains; both engines count
+    // non-overlapping matches left-to-right.
+    "tx39_code_detect" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[{}()\[\];=+*<>|&]')) AS BIGINT) AS n_sym,
+        |  CAST(len(regexp_extract_all(text, '[a-z][A-Z]')) AS BIGINT) AS n_camel,
+        |  CAST(len(regexp_extract_all(text, '_')) AS BIGINT) AS n_snake
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, n_chars, n_words, n_sym, n_camel, n_snake,
+        |  (n_sym * 1000) // n_chars AS sym_milli,
+        |  ((n_camel + n_snake) * 1000) // n_words AS ident_milli
+        | FROM m)
+        |SELECT doc_id, n_chars, n_words, n_sym, n_camel, n_snake,
+        | sym_milli, ident_milli,
+        | (sym_milli * 2 + ident_milli) // 3 AS code_milli,
+        | (sym_milli * 2 + ident_milli) // 3 >= 40 AS is_code
+        |FROM s ORDER BY doc_id""".stripMargin,
     // tx37: same 25-word lexicon, same `//` floor on positive
     // operands as the Spark DIV chain.
     "tx37_stopword_profile" -> {

@@ -1484,6 +1484,60 @@ class QueriesSpec extends SparkSpec {
     assert(cuts == expect && cuts.nonEmpty)
   }
 
+  test("tx39 code detector recomputes per-doc from raw regex counts; planted code routes as code") {
+    val rows = SparkEntry.queries("tx39_code_detect")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val r = rows(id)
+      val sym = "[{}()\\[\\];=+*<>|&]".r.findAllIn(text).length.toLong
+      val camel = "[a-z][A-Z]".r.findAllIn(text).length.toLong
+      val snake = text.count(_ == '_').toLong
+      val (nc, nw) = (text.length.toLong, text.split(" ", -1).length.toLong)
+      assert(r.getAs[Long]("n_sym") == sym, s"doc $id sym")
+      assert(r.getAs[Long]("n_camel") == camel)
+      assert(r.getAs[Long]("n_snake") == snake)
+      val (sm, im) = (sym * 1000 / nc, (camel + snake) * 1000 / nw)
+      assert(r.getAs[Long]("code_milli") == (sm * 2 + im) / 3)
+      assert(r.getAs[Boolean]("is_code") == ((sm * 2 + im) / 3 >= 40))
+    }
+    // planted routing check through the same expressions, via a temp
+    // view run of the kernel over literal docs
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "def tokenize(raw_text): return [t.strip() for t in raw_text.split()] if raw_text else []", "en", "src0", 0L),
+      (2L, "the quiet morning light settled over the harbor and the boats swayed gently", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx39").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("tx39_code_detect")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("is_code")).toMap
+    assert(got == Map(1L -> true, 2L -> false), s"got $got")
+  }
+
+  test("ss37 semdedup curve ties to ss10 at tau=0.3 and tightens monotonically") {
+    val rows = SparkEntry.queries("ss37_semdedup_curve")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("tau_milli")).toSeq == Seq(300L, 500L, 700L, 900L))
+    val n = Tables(spark, sfDir, "embeddings").count()
+    val ss10 = SparkEntry.queries("ss10_semdedup")(spark, sfDir).collect()
+    val at300 = rows.head
+    assert(at300.getAs[Long]("n_dropped") == ss10.length.toLong,
+      "the loosest threshold IS ss10's dropped set")
+    assert(at300.getAs[Long]("n_close_pairs") ==
+      ss10.map(_.getAs[Long]("n_close_smaller")).sum)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("n_dropped")
+      assert(r.getAs[Long]("n_survivors") == n - d)
+      assert(r.getAs[Long]("drop_milli") == d * 1000 / n)
+    }
+    val drops = rows.map(_.getAs[Long]("n_dropped")).toSeq
+    assert(drops == drops.sorted.reverse, "raising tau can only drop fewer")
+    val pairs = rows.map(_.getAs[Long]("n_close_pairs")).toSeq
+    assert(pairs == pairs.sorted.reverse)
+  }
+
   test("sp16 pack curve equals a brute-force re-pack at every candidate length") {
     val rows = SparkEntry.queries("sp16_pack_curve")(spark, sfDir).collect()
       .map(r => r.getAs[Long]("seq_len") -> r).toMap
