@@ -910,6 +910,28 @@ object api {
       graft.operators.Curation.gopherGateOf(
         df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+    /** Code-vs-prose routing gate (the tx39 operator as a verb):
+      * bracket/operator symbol and camelCase/snake_case identifier
+      * rates folded to an integer-milli score with the route flag at
+      * ≥ 40 — run FIRST on a mixed corpus so source files fork off
+      * before prose rules (word length, stopword rate) kill them.
+      * Pure per-row regex folds at scan speed. */
+    def codeDetect(idCol: String, textCol: String): DataFrame =
+      graft.operators.TextOps.codeDetectOf(
+          df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+        .withColumnRenamed("doc_id", idCol)
+
+    /** Function-word register fingerprint per source (the tx37
+      * operator as a verb — Mosteller & Wallace 1964): per (source,
+      * lexicon word) the count, source rate ppm, corpus rate ppm,
+      * and deviation — the register audit that catches template spam
+      * and mislabeled genres. One corpus shuffle into the |S| domain;
+      * everything downstream runs on S×25 rows. */
+    def stopwordProfile(sourceCol: String, textCol: String): DataFrame =
+      graft.operators.TextOps.stopwordProfileOf(
+          df.select(col(sourceCol).as("source"), col(textCol).as("text")))
+        .withColumnRenamed("source", sourceCol)
+
     /** Capped-temperature mixture weights (the sp15 operator as a
       * verb): per `sourceCol`, sqrt-temperature shares of the `tokCol`
       * token mass, clamped to [floorMilli, capMilli] with the clamp's
@@ -1660,6 +1682,16 @@ object api {
         df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
           col(labelCol).as("label")), tau)
         .withColumnRenamed("vec_id", idCol)
+
+    /** Semantic-dedup aggressiveness curve (the ss37 operator as a
+      * verb): per cosine threshold τ ∈ {0.3, 0.5, 0.7, 0.9} the
+      * dropped/survivor counts and drop share off ONE bucketed pair
+      * pass — price the SemDeDup knob before a prune commits. */
+    def semdedupCurve(idCol: String, vecCol: String,
+                      labelCol: String): DataFrame =
+      graft.operators.Similarity.semdedupCurveOf(
+        df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+          col(labelCol).as("label")))
 
     /** Train per-subspace PQ codebooks on this frame (the ss13/ss14
       * machinery as a verb): seed = per-`labelCol` centroid subspace

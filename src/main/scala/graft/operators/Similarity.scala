@@ -619,30 +619,7 @@ object Similarity {
     // fused-fan discipline) and the 4-τ fan is a broadcast filter
     // whose rollup partial-aggs map-side; empty thresholds are
     // restored by a 4-row left join so the curve domain is total.
-    "ss37_semdedup_curve" -> ((s, d) => {
-      import s.implicits._
-      val e = emb(s, d)
-      val n1 = e.agg(count(lit(1)).as("n_corpus"))
-      val taus = Seq(300L, 500L, 700L, 900L).toDF("tau_milli")
-      val dropped = semdedupPairs(e)
-        .crossJoin(broadcast(taus))
-        .filter(col("cos_sim") > col("tau_milli").cast("double") / 1000.0)
-        .groupBy(col("tau_milli"), col("vec_id"))
-        .agg(count(lit(1)).as("nc"))
-        .groupBy(col("tau_milli"))
-        .agg(count(lit(1)).as("n_dropped"), sum(col("nc")).as("n_close_pairs"))
-      // the rollup is ≤4 rows but stats-opaque post-agg — hint it,
-      // else the 4-row restore join plans as a sort-merge
-      taus.join(broadcast(dropped), Seq("tau_milli"), "left")
-        .crossJoin(broadcast(n1))
-        .select(col("tau_milli"),
-          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-          (col("n_corpus") - coalesce(col("n_dropped"), lit(0L)))
-            .as("n_survivors"),
-          expr("(coalesce(n_dropped, 0) * 1000) DIV n_corpus").as("drop_milli"),
-          coalesce(col("n_close_pairs"), lit(0L)).as("n_close_pairs"))
-        .orderBy(col("tau_milli"))
-    }),
+    "ss37_semdedup_curve" -> ((s, d) => semdedupCurveOf(emb(s, d))),
 
     // Quantized ANN — the memory-compressed scale path (v07's int8
     // quantization feeding search): candidates score with an EXACT
@@ -1195,6 +1172,33 @@ object Similarity {
       .filter(col("cos_sim") > tau)
       .groupBy(col("vec_id"), col("cell"))
       .agg(count(lit(1)).as("n_close_smaller"), max(col("cos_sim")).as("max_cos"))
+
+  /** ss37's kernel over any (vec_id, embedding, label) corpus —
+    * shared with [[graft.api]]'s `semdedupCurve` verb. See the
+    * registration comment for the fused-fan shape. */
+  private[graft] def semdedupCurveOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val n1 = e.agg(count(lit(1)).as("n_corpus"))
+    val taus = Seq(300L, 500L, 700L, 900L).toDF("tau_milli")
+    val dropped = semdedupPairs(e)
+      .crossJoin(broadcast(taus))
+      .filter(col("cos_sim") > col("tau_milli").cast("double") / 1000.0)
+      .groupBy(col("tau_milli"), col("vec_id"))
+      .agg(count(lit(1)).as("nc"))
+      .groupBy(col("tau_milli"))
+      .agg(count(lit(1)).as("n_dropped"), sum(col("nc")).as("n_close_pairs"))
+    // the rollup is ≤4 rows but stats-opaque post-agg — hint it,
+    // else the 4-row restore join plans as a sort-merge
+    taus.join(broadcast(dropped), Seq("tau_milli"), "left")
+      .crossJoin(broadcast(n1))
+      .select(col("tau_milli"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_corpus") - coalesce(col("n_dropped"), lit(0L)))
+          .as("n_survivors"),
+        expr("(coalesce(n_dropped, 0) * 1000) DIV n_corpus").as("drop_milli"),
+        coalesce(col("n_close_pairs"), lit(0L)).as("n_close_pairs"))
+      .orderBy(col("tau_milli"))
+  }
 
   /** Per-label centroids folded into a single-row DataFrame: column
     * `cents` = label-sorted array of struct(c_label, cvec). Centroid

@@ -99,6 +99,63 @@ object TextOps {
         expr("(n_tokens * 1000) DIV st").as("tok_share_milli"))
   }
 
+  /** tx39's kernel over any (doc_id, text) frame — shared with
+    * [[graft.api]]'s `codeDetect` verb. See the registration comment
+    * for the routing-gate rationale; per-row regex folds only. */
+  private[graft] def codeDetectOf(docDf: DataFrame): DataFrame =
+    docDf
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_words", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_sym",
+        regexp_count(col("text"), lit("[{}()\\[\\];=+*<>|&]")).cast("long"))
+      .withColumn("n_camel",
+        regexp_count(col("text"), lit("[a-z][A-Z]")).cast("long"))
+      .withColumn("n_snake",
+        regexp_count(col("text"), lit("_")).cast("long"))
+      .withColumn("sym_milli", expr("(n_sym * 1000) DIV n_chars"))
+      .withColumn("ident_milli",
+        expr("((n_camel + n_snake) * 1000) DIV n_words"))
+      .withColumn("code_milli", expr("(sym_milli * 2 + ident_milli) DIV 3"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_sym"),
+        col("n_camel"), col("n_snake"), col("sym_milli"),
+        col("ident_milli"), col("code_milli"),
+        (col("code_milli") >= 40L).as("is_code"))
+      .orderBy(col("doc_id"))
+
+  /** tx37's kernel over any (source, text) frame — shared with
+    * [[graft.api]]'s `stopwordProfile` verb. See the registration
+    * comment for the stylometric rationale and scale shape. */
+  private[graft] def stopwordProfileOf(docDf: DataFrame): DataFrame = {
+    val ws = langLex.values.flatten.toSeq.distinct.sorted
+    val base = docDf
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+    val counted = ws.zipWithIndex.foldLeft(base) { case (df, (w, i)) =>
+      df.withColumn(s"_c$i",
+        size(filter(col("toks"), t => t === lit(w))).cast("long"))
+    }
+    val agged = counted.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("src_toks"),
+        ws.indices.map(i => sum(col(s"_c$i")).as(s"_s$i")): _*)
+      .localCheckpoint(false)
+    val tot = agged.agg(sum(col("src_toks")).as("all_toks"))
+    val stacked = agged
+      .select(col("source"), col("src_toks"),
+        posexplode(array(ws.indices.map(i => col(s"_s$i")): _*)))
+      .select(col("source"), col("src_toks"),
+        element_at(array(ws.map(lit): _*), col("pos") + 1).as("word"),
+        col("col").as("cnt"))
+    val wtot = stacked.groupBy(col("word")).agg(sum(col("cnt")).as("wt"))
+    stacked.join(broadcast(wtot), "word")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("word"), col("cnt"),
+        expr("(cnt * 1000000) DIV src_toks").as("share_ppm"),
+        expr("(wt * 1000000) DIV all_toks").as("corpus_ppm"),
+        expr("(cnt * 1000000) DIV src_toks - (wt * 1000000) DIV all_toks")
+          .as("dev_ppm"))
+      .orderBy(col("source"), col("word"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language ID: stopword-lexicon hit counts, max score wins with
     // alphabetical tiebreak (implemented as ordered >= cascade).
@@ -333,36 +390,7 @@ object TextOps {
     // the corpus total, and the per-word rollup all read it), and
     // everything downstream runs on the S×25 domain with two
     // broadcast joins.
-    "tx37_stopword_profile" -> ((s, d) => {
-      val ws = langLex.values.flatten.toSeq.distinct.sorted
-      val base = docs(s, d)
-        .withColumn("toks", tokens(col("text")))
-        .withColumn("n_toks", size(col("toks")).cast("long"))
-      val counted = ws.zipWithIndex.foldLeft(base) { case (df, (w, i)) =>
-        df.withColumn(s"_c$i",
-          size(filter(col("toks"), t => t === lit(w))).cast("long"))
-      }
-      val agged = counted.groupBy(col("source"))
-        .agg(sum(col("n_toks")).as("src_toks"),
-          ws.indices.map(i => sum(col(s"_c$i")).as(s"_s$i")): _*)
-        .localCheckpoint(false)
-      val tot = agged.agg(sum(col("src_toks")).as("all_toks"))
-      val stacked = agged
-        .select(col("source"), col("src_toks"),
-          posexplode(array(ws.indices.map(i => col(s"_s$i")): _*)))
-        .select(col("source"), col("src_toks"),
-          element_at(array(ws.map(lit): _*), col("pos") + 1).as("word"),
-          col("col").as("cnt"))
-      val wtot = stacked.groupBy(col("word")).agg(sum(col("cnt")).as("wt"))
-      stacked.join(broadcast(wtot), "word")
-        .crossJoin(broadcast(tot))
-        .select(col("source"), col("word"), col("cnt"),
-          expr("(cnt * 1000000) DIV src_toks").as("share_ppm"),
-          expr("(wt * 1000000) DIV all_toks").as("corpus_ppm"),
-          expr("(cnt * 1000000) DIV src_toks - (wt * 1000000) DIV all_toks")
-            .as("dev_ppm"))
-        .orderBy(col("source"), col("word"))
-    }),
+    "tx37_stopword_profile" -> ((s, d) => stopwordProfileOf(docs(s, d))),
 
     // READABILITY scores — Flesch reading ease + Flesch-Kincaid grade
     // with an integer syllable heuristic (vowel-group runs [aeiouy]+,
@@ -401,26 +429,7 @@ object TextOps {
     // (the tx29 discipline), pure integer arithmetic. Scale shape:
     // per-row regex folds at scan speed — zero exchanges before the
     // output sort (the tx07/tx29 class).
-    "tx39_code_detect" -> ((s, d) => {
-      docs(s, d)
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .withColumn("n_words", size(tokens(col("text"))).cast("long"))
-        .withColumn("n_sym",
-          regexp_count(col("text"), lit("[{}()\\[\\];=+*<>|&]")).cast("long"))
-        .withColumn("n_camel",
-          regexp_count(col("text"), lit("[a-z][A-Z]")).cast("long"))
-        .withColumn("n_snake",
-          regexp_count(col("text"), lit("_")).cast("long"))
-        .withColumn("sym_milli", expr("(n_sym * 1000) DIV n_chars"))
-        .withColumn("ident_milli",
-          expr("((n_camel + n_snake) * 1000) DIV n_words"))
-        .withColumn("code_milli", expr("(sym_milli * 2 + ident_milli) DIV 3"))
-        .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_sym"),
-          col("n_camel"), col("n_snake"), col("sym_milli"),
-          col("ident_milli"), col("code_milli"),
-          (col("code_milli") >= 40L).as("is_code"))
-        .orderBy(col("doc_id"))
-    }),
+    "tx39_code_detect" -> ((s, d) => codeDetectOf(docs(s, d))),
 
     // Distinctive-term extraction per source — tf-idf shape with a
     // LOG-FREE idf: score = tf * n_sources * 1000 / df via integer

@@ -1775,6 +1775,21 @@ class ApiSpec extends SparkSpec {
     assert(got("flat") == ((3L, 3L, 0L, "flat")), s"got ${got("flat")}")
   }
 
+  test("codeDetect / stopwordProfile / semdedupCurve verbs match their operators") {
+    val viaCode = Tables(spark, sfDir, "documents")
+      .codeDetect("doc_id", "text")
+    assert(viaCode.collect().toSeq ==
+      SparkEntry.queries("tx39_code_detect")(spark, sfDir).collect().toSeq)
+    val viaProf = Tables(spark, sfDir, "documents")
+      .stopwordProfile("source", "text")
+    assert(viaProf.collect().toSeq ==
+      SparkEntry.queries("tx37_stopword_profile")(spark, sfDir).collect().toSeq)
+    val viaCurve = Tables(spark, sfDir, "embeddings")
+      .semdedupCurve("vec_id", "embedding", "label")
+    assert(viaCurve.collect().toSeq ==
+      SparkEntry.queries("ss37_semdedup_curve")(spark, sfDir).collect().toSeq)
+  }
+
   test("gopherGate verb matches tx33 and attributes a planted battery") {
     val viaApi = Tables(spark, sfDir, "documents")
       .gopherGate("doc_id", "text")
