@@ -695,6 +695,45 @@ object TopicStream {
           cols.tail.map(c => sum(col(c)).as(c)): _*))
   }
 
+  /** Streaming CODE-ROUTE census, write side (tx39's live twin — the
+    * mixed-corpus fork ratio as arrivals flow: a source flipping from
+    * prose to config dumps shows up as its code share moving before
+    * any prose gate starts killing the wrong docs): the per-doc gate
+    * is pure scan compute, so each batch stores ONE additive partial
+    * per (lang, is_code) keyed by the struct (lang, is_code, batch) —
+    * bounded by langs × 2 × batches, replay-idempotent, collision-
+    * proof under readMerged (struct key, not a delimited pack).
+    * Expects (doc_id, text, lang) rows. */
+  def routeStream(docs: DataFrame, store: graft.sources.TopicStore,
+                  topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = seqBase(store, topic)
+    docs.writeStream.foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      if (id == 0L) store.truncate(topic)
+      val seq = base + 1 + id
+      val bd = b.toDF()
+      val part = graft.operators.TextOps.codeDetectOf(
+          bd.select(col("doc_id"), col("text")))
+        .join(bd.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("is_code"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(struct(col("lang"), col("is_code"), lit(id).as("batch")).as("hkey"),
+          col("lang"), col("is_code"), col("n_docs"),
+          current_timestamp().as("time"))
+      if (!part.isEmpty) store.upsert(topic, part, "time", seq = Some(seq))
+    }
+  }
+
+  /** tx39's live read: per-lang doc count, code count, and code share
+    * milli off the merged additive partials. */
+  def currentRoutes(store: graft.sources.TopicStore, topic: String): DataFrame =
+    store.readMerged(topic, "hkey")
+      .groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(when(col("is_code"), col("n_docs")).otherwise(0L)).as("n_code"))
+      .withColumn("code_milli", expr("(n_code * 1000) DIV n_docs"))
+      .orderBy(col("lang"))
+
   /** Streaming CONVERSION-LAG survival, write side — ts34's start
     * facts in the topPathsStream CONTENT-KEY discipline: each signup
     * lands event-grain keyed `user#ts_us#event_id`, and the per-user

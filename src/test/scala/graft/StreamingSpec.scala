@@ -489,6 +489,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming routes: additive code-gate partials fold to the tx39 census across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sroute").toString
+    val store = new graft.sources.TopicStore(spark, root, bucketMinutes = 24 * 60)
+    val input = MemoryStream[TestEvents.StreamDoc]
+    val q = TopicStream.routeStream(input.toDF(), store, "route")
+      .option("checkpointLocation", s"$root/_chk").start()
+    val t0 = ts("2024-01-01 00:00:00")
+    // one lang's docs SPLIT across the micro-batches: a code doc and
+    // a prose doc in batch 1, a second prose doc in batch 2
+    val code = "def pack_batches(raw_rows): return [r.strip() for r in raw_rows if r] + []"
+    val prose = "the quiet morning light settled over the harbor and the boats swayed"
+    val b1 = Seq(TestEvents.StreamDoc(1L, t0, code, "en"),
+      TestEvents.StreamDoc(2L, t0, prose, "en"))
+    val b2 = Seq(TestEvents.StreamDoc(3L, t0, prose + " again", "en"))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val stream = TopicStream.currentRoutes(store, "route")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      val all = (b1 ++ b2).toDF()
+      val batch = graft.operators.TextOps.codeDetectOf(
+          all.select(col("doc_id"), col("text")))
+        .join(all.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(lit(1L)).as("n_docs"),
+          sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"))
+        .withColumn("code_milli", expr("(n_code * 1000) DIV n_docs"))
+        .orderBy(col("lang"))
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(stream == batch && stream.nonEmpty, s"stream $stream != batch $batch")
+      assert(stream == Seq(("en", 3L, 1L, 333L)), s"got $stream")
+    } finally q.stop()
+  }
+
   test("streaming gate: additive rule partials fold to the tx33 funnel across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
