@@ -1195,7 +1195,8 @@ object Similarity {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         (col("n_corpus") - coalesce(col("n_dropped"), lit(0L)))
           .as("n_survivors"),
-        expr("(coalesce(n_dropped, 0) * 1000) DIV n_corpus").as("drop_milli"),
+        expr("(coalesce(n_dropped, 0) * 1000) DIV greatest(1, n_corpus)")
+          .as("drop_milli"),
         coalesce(col("n_close_pairs"), lit(0L)).as("n_close_pairs"))
       .orderBy(col("tau_milli"))
   }
@@ -2883,7 +2884,7 @@ object Similarity {
         |SELECT CAST(t.tau_milli AS BIGINT) AS tau_milli,
         | coalesce(r.n_dropped, 0) AS n_dropped,
         | (SELECT n_corpus FROM nn) - coalesce(r.n_dropped, 0) AS n_survivors,
-        | (coalesce(r.n_dropped, 0) * 1000) // (SELECT n_corpus FROM nn) AS drop_milli,
+        | (coalesce(r.n_dropped, 0) * 1000) // greatest(1, (SELECT n_corpus FROM nn)) AS drop_milli,
         | coalesce(r.n_close_pairs, 0) AS n_close_pairs
         |FROM taus t LEFT JOIN roll r USING (tau_milli)
         |ORDER BY tau_milli""".stripMargin,
