@@ -720,8 +720,7 @@ object api {
       * downstream to dedup the corpus. */
     def dupClusters(idCol: String, textCol: String): DataFrame = {
       val renamed = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      val pairs = graft.operators.Dedup.candidatePairsPublic(renamed)
-        .select(col("a"), col("b"))
+      val pairs = graft.operators.Dedup.candidateEdgesPublic(renamed)
       graft.operators.Dedup
         .connectedComponents(renamed.select(col("doc_id").as("node")), pairs)
         .select(col("node").as(idCol), col("label").as("cluster_id"))
@@ -737,8 +736,7 @@ object api {
     def dedupKeepBest(idCol: String, textCol: String): DataFrame = {
       val renamed = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
         lit("").as("source"))
-      val pairs = graft.operators.Dedup.candidatePairsPublic(renamed)
-        .select(col("a"), col("b"))
+      val pairs = graft.operators.Dedup.candidateEdgesPublic(renamed)
       val clusters = graft.operators.Dedup
         .connectedComponents(renamed.select(col("doc_id").as("node")), pairs)
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
@@ -771,8 +769,7 @@ object api {
       * arbitrarily deep (boilerplate wrappers-of-wrappers). */
     def dupClustersStar(idCol: String, textCol: String): DataFrame = {
       val renamed = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      val pairs = graft.operators.Dedup.candidatePairsPublic(renamed)
-        .select(col("a"), col("b"))
+      val pairs = graft.operators.Dedup.candidateEdgesPublic(renamed)
       graft.operators.Dedup
         .connectedComponentsStar(renamed.select(col("doc_id").as("node")), pairs)
         .select(col("node").as(idCol), col("label").as("cluster_id"))

@@ -53,6 +53,7 @@ object Dedup {
   /** Distinct LSH candidate pairs (a < b) with signature agreement. */
   /** Dev/bench access to the candidate generator. */
   def candidatePairsPublic(docDf: DataFrame): DataFrame = candidatePairs(docDf)
+  def candidateEdgesPublic(docDf: DataFrame): DataFrame = candidateEdges(docDf)
   def signaturesPublic(docDf: DataFrame): DataFrame = signatures(docDf)
 
   /** The LSH band derivation as a reusable kernel: one (doc_id, band,
@@ -86,6 +87,30 @@ object Dedup {
         foldSumInt(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1L).otherwise(0L))).as("n_sig_match"))
       .distinct()
+  }
+
+  /** [[candidatePairs]] projected to the bare (a, b) edge set — for
+    * the CC / verify-join consumers (dd04/dd06/dd07/dd09/dd15/dd18/
+    * sp14 and the api verbs) that never read `n_sig_match`. Same
+    * candidates by construction (n_sig_match is a function of (a, b),
+    * so the 2-col distinct yields exactly the 3-col distinct's edge
+    * set), but the band self-join exchanges only (doc_id, band, bkey)
+    * scalars: the two 8-string signature arrays that candidatePairs
+    * ships through BOTH exchange sides — the widest columns in the
+    * dedup family's hottest shuffle — never leave the map side, the
+    * per-candidate zip_with agreement fold is never evaluated, and
+    * the distinct dedups 2 longs instead of 2 longs + a long (guide
+    * §2.3: project before the exchange). */
+  private def candidateEdges(docDf: DataFrame): DataFrame = {
+    val sig = signatures(docDf).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until NumPerms / BandWidth).map(b =>
+        bandKey(col("sig"), b * BandWidth, BandWidth)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val a = bands.select(col("doc_id").as("a"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
   }
 
   /** Generic q-gram-blocked edit-distance matcher over a distinct-name
@@ -545,7 +570,7 @@ object Dedup {
       // doc ids, so they shuffle partition-parallel; AQE still
       // promotes to broadcast whenever the materialized side is
       // actually small.
-      val cand = candidatePairs(docs(s, d)).select(col("a"), col("b"))
+      val cand = candidateEdges(docs(s, d))
       val sets = Tables.spread(docs(s, d))
         .select(col("doc_id"), tokens(col("text")).as("words"))
         .select(col("doc_id"), array_distinct(shingles(col("words"), 3)).as("sh"))
@@ -604,7 +629,7 @@ object Dedup {
     // small at any scale (large-star/small-star is the documented
     // upgrade path for adversarial chains).
     "dd06_dup_clusters" -> ((s, d) => {
-      val pairs = candidatePairs(docs(s, d)).select(col("a"), col("b"))
+      val pairs = candidateEdges(docs(s, d))
       val nodes = docs(s, d).select(col("doc_id").as("node"))
       connectedComponents(nodes, pairs)
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
@@ -672,7 +697,7 @@ object Dedup {
     // set only (never the corpus); same oracle as dd06 — the
     // components are the same, only the fixpoint differs.
     "dd09_cc_star" -> ((s, d) => {
-      val pairs = candidatePairs(docs(s, d)).select(col("a"), col("b"))
+      val pairs = candidateEdges(docs(s, d))
       val nodes = docs(s, d).select(col("doc_id").as("node"))
       connectedComponentsStar(nodes, pairs)
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
@@ -690,7 +715,7 @@ object Dedup {
     // max(struct(score, -doc_id)) — no window over the corpus, one
     // hash shuffle on cluster_id after the CC fixpoint.
     "dd15_keep_best" -> ((s, d) => {
-      val pairs = candidatePairs(docs(s, d)).select(col("a"), col("b"))
+      val pairs = candidateEdges(docs(s, d))
       val nodes = docs(s, d).select(col("doc_id").as("node"))
       val clusters = connectedComponents(nodes, pairs)
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
@@ -918,7 +943,7 @@ object Dedup {
     * the other. */
   def containmentPairs(docDf: DataFrame, minMilli: Long): DataFrame = {
     // Candidate table unhinted for the same O(corpus) reason as dd04.
-    val cand = candidatePairs(docDf).select(col("a"), col("b"))
+    val cand = candidateEdges(docDf)
     val sets = Tables.spread(docDf)
       .select(col("doc_id"), tokens(col("text")).as("words"))
       .select(col("doc_id"), array_distinct(shingles(col("words"), 3)).as("sh"))
@@ -1020,13 +1045,18 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a").as("node")).agg(min(col("nl")).as("nbr_label"))
+      // carry the OLD label through the checkpoint so convergence is a
+      // filter+count over the materialized blocks — the previous form
+      // re-JOINED next against labels per round (a whole extra
+      // shuffle + action each iteration), the same per-round driver-
+      // job excess the dd09 star loop shed in its one-shuffle rework
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          col("label").as("old"))
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("node"), col("label").as("old")), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("node"), col("label"))
       iter += 1
     }
     // isolated nodes (the vast majority of a dedup corpus) label
@@ -1042,7 +1072,7 @@ object Dedup {
     * components (dd06's machinery), cluster sizes, and the per-doc
     * loss weight 1000 DIV n_members (unique docs read exactly 1000). */
   private[graft] def softWeights(docDf: DataFrame): DataFrame = {
-    val pairs = candidatePairs(docDf).select(col("a"), col("b"))
+    val pairs = candidateEdges(docDf)
     val nodes = docDf.select(col("doc_id").as("node"))
     val comp = connectedComponents(nodes, pairs)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
