@@ -642,6 +642,39 @@ object DevProbe {
       e.knnGraphByCell("vec_id", "embedding", "kcell")
         .write.format("noop").mode("overwrite").save()
       println("KNNK=done in " + (System.nanoTime() - t0) / 1e9 + "s")
+    } else if (args(0) == "--pqprobe") {
+      // Isolate ONE pqIterate pass over raw embeddings (args:
+      // --pqprobe <dir> [reps]): seed once, then time reps assign+
+      // recompute rounds — the ss14 training kernel alone.
+      val d = args(1)
+      val reps = args.lift(2).map(_.toInt).getOrElse(3)
+      val e = graft.Tables(spark, d, "embeddings")
+      val seed = graft.operators.Similarity.pqSeed(e)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      seed.write.format("noop").mode("overwrite").save()
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.operators.Similarity.pqIterate(e, seed)
+          .write.format("noop").mode("overwrite").save()
+        println(f"PQITER rep$i=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+    } else if (args(0) == "--ss24probe") {
+      // ss24 phase decomposition (args: --ss24probe <dir>): which of
+      // the residual-index phases owns the pin — (a) coarse centroids
+      // + residual materialize, (b) the 2-iteration residual PQ
+      // training chain (resSeed + 2x pqIterate), (c) encode + batch
+      // probe. Phases are timed cumulatively via count/noop actions on
+      // the same frames the query builds.
+      import org.apache.spark.sql.functions._
+      val d = args(1)
+      val e = graft.Tables(spark, d, "embeddings")
+      val t0 = System.nanoTime()
+      val idx = graft.operators.Similarity.ivfpqResidualIndexProbe(e)
+      println(f"SS24 phases: cents+res=${idx._1}%.2fs train=${idx._2}%.2fs encode+probe follows")
+      val t1 = System.nanoTime()
+      graft.SparkEntry.queries("ss24_ivfpq_residual")(spark, d)
+        .write.format("noop").mode("overwrite").save()
+      println(f"SS24 full=${(System.nanoTime() - t1) / 1e9}%.2fs (probe overhead before: ${(t1 - t0) / 1e9}%.2fs)")
     } else if (args(0) == "--full") {
       // Construction-INCLUSIVE timing (args: --full <query> <dir>):
       // queries whose kernels run actions during plan construction

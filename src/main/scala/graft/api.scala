@@ -12,6 +12,10 @@ import org.apache.spark.sql.expressions.Window
   * wherever the op allows).
   */
 object api {
+  /** Hoisted udaf handle: `udaf(...)` materializes an encoder via an
+    * anonymous class, which the AnyVal syntax classes cannot nest. */
+  private lazy val vecSumUdaf =
+    org.apache.spark.sql.functions.udaf(graft.functions.VectorSumAgg)
 
   implicit class TimeSeriesOps(private val df: DataFrame) extends AnyVal {
 
@@ -1772,12 +1776,18 @@ object api {
       require(k >= 1, s"k must be >= 1, got $k")
       require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
       val e = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      // dense-buffer recompute (centroidArray's r11 rework applied to
+      // the training loop): the exploded form shuffled dim rows per
+      // vector per round; VectorSumAgg folds each vector into one
+      // dim-long buffer per (cell x partition) — same floor(x*100+0.5)
+      // quantized-long sum, same count divisor, bit-identical means —
+      // and the k x dim (cell, pos, c) rows explode AFTER the agg.
       def recompute(assigned: DataFrame): DataFrame =
-        assigned.select(col("cell"), posexplode(col("_v")))
+        assigned.groupBy(col("cell"))
+          .agg(api.vecSumUdaf(col("_v")).as("vsum"), count(col("_v")).as("n"))
+          .select(col("cell"), col("n"), posexplode(col("vsum")))
           .select(col("cell"), col("pos"),
-            floor(col("col").cast("double") * 100 + 0.5).cast("long").as("vq"))
-          .groupBy(col("cell"), col("pos"))
-          .agg((sum(col("vq")).cast("double") / (count(lit(1)) * 100)).as("c"))
+            (col("col").cast("double") / (col("n") * 100)).as("c"))
       // warm start: an explicit (cell, pos, c) centroid frame replaces
       // the id-hash seed — resume-from-model retraining, and the form
       // an SQL oracle can replay (ss23: label-seeded, hash-free)

@@ -66,3 +66,50 @@ object VectorSumAgg extends Aggregator[Array[Float], Array[Long], Array[Long]] {
   override def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
+
+/** [[VectorSumAgg]] over double vectors at a caller-chosen quantization
+  * grain — the PQ-training twin (pqIterate/resSeed sum SUBSPACE slices:
+  * raw-embedding training quantizes at centi (100), residual training
+  * at milli (1000) because residual spread is an order tighter).
+  * Identical contract: element-wise floor(x*scale+0.5) longs, order-free
+  * integer sum, null vectors contribute nothing. */
+final class VectorSumAggScaled(scale: Double)
+    extends Aggregator[Array[Double], Array[Long], Array[Long]] {
+
+  @inline private def quant(x: Double): Long =
+    math.floor(x * scale + 0.5).toLong
+
+  override def zero: Array[Long] = Array.empty
+
+  override def reduce(buf: Array[Long], v: Array[Double]): Array[Long] = {
+    if (v == null) buf
+    else if (buf.isEmpty) {
+      val out = new Array[Long](v.length)
+      var i = 0
+      while (i < v.length) { out(i) = quant(v(i)); i += 1 }
+      out
+    } else {
+      var i = 0
+      while (i < buf.length && i < v.length) { buf(i) += quant(v(i)); i += 1 }
+      buf
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      var i = 0
+      while (i < a.length && i < b.length) { a(i) += b(i); i += 1 }
+      a
+    }
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

@@ -582,13 +582,17 @@ object Similarity {
           c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
                       c.getField("c_label").as("cell")))))
         .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+      // dense-buffer recompute (the centroidArray/kmeansTrain rework):
+      // one dim-long VectorSumAgg buffer per cell on the wire instead
+      // of dim exploded rows per vector; identical floor(x*100+0.5)
+      // integer sums and count divisor, k x dim rows explode post-agg
+      val vecsum = org.apache.spark.sql.functions.udaf(graft.functions.VectorSumAgg)
       val newCents = assigned
-        .select(col("cell"), posexplode(col("embedding")))
-        .select(col("cell"), col("pos"),
-          floor(col("col").cast("double") * 100 + 0.5).cast("long").as("vq"))
-        .groupBy(col("cell"), col("pos"))
-        .agg(count(lit(1)).as("n"),
-          (sum(col("vq")).cast("double") / (count(lit(1)) * 100)).as("new_c"))
+        .groupBy(col("cell"))
+        .agg(vecsum(col("embedding")).as("vsum"), count(col("embedding")).as("nv"))
+        .select(col("cell"), col("nv"), posexplode(col("vsum")))
+        .select(col("cell"), col("pos"), col("nv").as("n"),
+          (col("col").cast("double") / (col("nv") * 100)).as("new_c"))
       val old = cents.select(explode(col("cents")).as("c"))
         .select(col("c.c_label").as("cell"), posexplode(col("c.cvec")))
         .select(col("cell"), col("pos"), col("col").as("old_c"))
@@ -1063,12 +1067,16 @@ object Similarity {
     // exact-integer-sum quotients, so the replay is bit-exact. */
     "ss23_kmeans_train" -> ((s, d) => {
       val e = emb(s, d)
+      // dense-buffer label seed (the centroidArray rework): one
+      // VectorSumAgg buffer per label on the wire, (cell, pos, c)
+      // rows exploded AFTER the agg — bit-identical means
+      val vecsum = org.apache.spark.sql.functions.udaf(graft.functions.VectorSumAgg)
       val init = e
-        .select(col("label").cast("long").as("cell"), posexplode(col("embedding")))
+        .groupBy(col("label").cast("long").as("cell"))
+        .agg(vecsum(col("embedding")).as("vsum"), count(col("embedding")).as("n"))
+        .select(col("cell"), col("n"), posexplode(col("vsum")))
         .select(col("cell"), col("pos"),
-          floor(col("col").cast("double") * 100 + 0.5).cast("long").as("vq"))
-        .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("vq")).cast("double") / (count(lit(1)) * 100)).as("c"))
+          (col("col").cast("double") / (col("n") * 100)).as("c"))
       val m = graft.api.VectorOpsSyntax(e).kmeansTrain("vec_id", "embedding",
         k = 10, maxIter = 3, epsMilli = -1L, init = Some(init))
       m.centroids
@@ -1480,15 +1488,16 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("best.cell").as("cell1"))
     val sampleAssigned = assign1(sample)
       .withColumn("sub", (nibAt(7) % subK).cast("int"))
+    // dense-buffer sub-centroid means (the centroidArray rework): one
+    // VectorSumAgg buffer per (cell1, sub) instead of dim exploded
+    // rows per sample vector; same quantized-long sums and divisor,
+    // and the svec array is the buffer itself — no per-pos rollup
+    val vecsum = org.apache.spark.sql.functions.udaf(graft.functions.VectorSumAgg)
     val svecs = sampleAssigned
-      .select(col("cell1"), col("sub"), posexplode(col("embedding")))
-      .select(col("cell1"), col("sub"), col("pos"),
-        floor(col("col").cast("double") * 100 + 0.5).cast("long").as("vq"))
-      .groupBy(col("cell1"), col("sub"), col("pos"))
-      .agg((sum(col("vq")).cast("double") / (count(lit(1)) * 100)).as("c"))
       .groupBy(col("cell1"), col("sub"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        st => st.getField("c")).as("svec"))
+      .agg(vecsum(col("embedding")).as("vsum"), count(col("embedding")).as("n"))
+      .select(col("cell1"), col("sub"),
+        transform(col("vsum"), x => x.cast("double") / (col("n") * 100)).as("svec"))
       .groupBy(col("cell1"))
       .agg(array_sort(collect_list(struct(col("sub"), col("svec")))).as("subs"))
     assign1(e).join(broadcast(svecs), Seq("cell1"), "left")
@@ -1923,15 +1932,18 @@ object Similarity {
     * cells), with exact milli-quantized-long means — engine-exact,
     * same shape as [[pqSeed]]'s (code, svec) frame. */
   private[graft] def resSeed(res: DataFrame): DataFrame = {
-    val ex = res.select((col("vec_id") % ResCodes).as("code"),
-        posexplode(col("embedding")))
-      .select(col("code"), col("pos"),
-        floor(col("col").cast("double") * ResGrain + 0.5).cast("long").as("vq"))
-    ex.groupBy(col("code"), col("pos"))
-      .agg((sum(col("vq")).cast("double") / (count(lit(1)) * ResGrain)).as("c"))
+    // Dense-buffer seed means (same rework as pqIterate): one
+    // dim-long buffer per seed code on the wire instead of dim
+    // exploded rows per vector; floor(x*ResGrain+0.5) integer sums and
+    // the same count divisor keep the means bit-identical.
+    val vsum = org.apache.spark.sql.functions.udaf(
+      new graft.functions.VectorSumAggScaled(ResGrain))
+    res.select((col("vec_id") % ResCodes).as("code"),
+        col("embedding").cast("array<double>").as("v"))
       .groupBy(col("code"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        st => st.getField("c")).as("rvec"))
+      .agg(vsum(col("v")).as("vs"), count(col("v")).as("n"))
+      .select(col("code"),
+        transform(col("vs"), x => x.cast("double") / (col("n") * ResGrain)).as("rvec"))
       .agg(array_sort(collect_list(struct(col("code"), col("rvec")))).as("rcents"))
       .select(transform(subIdxCol, m =>
         transform(col("rcents"), c =>
@@ -1957,6 +1969,31 @@ object Similarity {
   private[graft] final case class ResidualIndex(cents: DataFrame, rcb: DataFrame,
                                                 coded: DataFrame, release: () => Unit)
 
+  /** Dev-probe twin of [[ivfpqResidualIndex]]: forces each training
+    * phase with an action and returns (cents+res seconds, rcb train
+    * seconds). Measurement only — never on a query path. */
+  private[graft] def ivfpqResidualIndexProbe(e: DataFrame): (Double, Double) = {
+    val t0 = System.nanoTime()
+    val cents = centroidArray(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = e.crossJoin(broadcast(cents))
+      .withColumn("best", array_min(cellFullStructsOf(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"),
+        residual(col("embedding"), col("best.cvec")).as("res"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.write.format("noop").mode("overwrite").save()
+    val tRes = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val resAsEmb = res.select(col("vec_id"), col("res").as("embedding"))
+    val rcb = pqIterateDense(resAsEmb,
+        pqIterateDense(resAsEmb, resSeed(resAsEmb), ResGrain), ResGrain)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rcb.write.format("noop").mode("overwrite").save()
+    val tTrain = (System.nanoTime() - t1) / 1e9
+    cents.unpersist(); res.unpersist(); rcb.unpersist()
+    (tRes, tTrain)
+  }
+
   private[graft] def ivfpqResidualIndex(e: DataFrame): ResidualIndex = {
     val cents = centroidArray(e)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1970,8 +2007,8 @@ object Similarity {
     // projection of the persisted cents), rcb's lineage is the whole
     // 2-iteration training chain — without the persist it would
     // re-train once for the encode and once per probe LUT
-    val rcb = pqIterate(resAsEmb,
-        pqIterate(resAsEmb, resSeed(resAsEmb), ResGrain), ResGrain)
+    val rcb = pqIterateDense(resAsEmb,
+        pqIterateDense(resAsEmb, resSeed(resAsEmb), ResGrain), ResGrain)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val coded = res.crossJoin(broadcast(rcb))
       .withColumn("cidx", transform(subIdxCol, m =>
@@ -2059,6 +2096,16 @@ object Similarity {
     * NumSub*K*SubDim groups regardless of corpus size. Codewords that
     * attract no vectors drop out (both engines agree: empty groups
     * don't exist). */
+  // NOTE (r13 optimization pass): a dense-buffer rework of this
+  // recompute (fold each assigned slice via a scaled typed aggregator,
+  // one SubDim buffer per (m, code)) was built and MEASURED
+  // equal-to-slightly-worse warm (~2.3 s/pass both forms at sf0.1)
+  // with a cold-JVM codegen penalty — at SubDim=8 the explode factor
+  // the aggregator removes is too small to beat the codegen'd
+  // scalar hash-agg over FLOAT inputs. Kept exploded here;
+  // [[pqIterateDense]] is the measured winner for the residual path
+  // (double-typed inputs skip the per-element cast) and resSeed
+  // (full-dim explode, 64x) won outright from the same rework.
   private[graft] def pqIterate(e: DataFrame, cb: DataFrame,
                                grain: Int = 100): DataFrame =
     e.crossJoin(broadcast(cb))
@@ -2083,6 +2130,37 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("code"), col("svec")))).as("cbm"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("cbm")))),
         st => st.getField("cbm")).as("cb"))
+
+  /** [[pqIterate]]'s dense-buffer twin for DOUBLE-typed vectors (the
+    * residual training path): same assign step, but each assigned
+    * slice folds through the scaled typed aggregator into one
+    * SubDim-long buffer per (m, code) — the explode shrinks
+    * NumSub x SubDim -> NumSub rows per vector. Arithmetic is
+    * BIT-IDENTICAL to pqIterate (floor(x*grain+0.5) longs, order-free
+    * integer sum, same count divisor, same IEEE division). */
+  private[graft] def pqIterateDense(e: DataFrame, cb: DataFrame,
+                                    grain: Int): DataFrame = {
+    val vsum = org.apache.spark.sql.functions.udaf(
+      new graft.functions.VectorSumAggScaled(grain))
+    e.crossJoin(broadcast(cb))
+      .select(col("embedding"),
+        transform(subIdxCol, m =>
+          array_min(transform(element_at(col("cb"), m + 1), cw =>
+            struct(l2distSq(subSlice(col("embedding"), m), cw.getField("svec")).as("d2"),
+                   cw.getField("code").as("code"))))
+            .getField("code")).as("codes"))
+      .select(col("embedding"), posexplode(col("codes")))
+      .select(col("pos").as("m"), col("col").as("code"),
+        subSlice(col("embedding"), col("pos")).as("sl"))
+      .groupBy(col("m"), col("code"))
+      .agg(vsum(col("sl")).as("vs"), count(col("sl")).as("n"))
+      .select(col("m"), col("code"),
+        transform(col("vs"), x => x.cast("double") / (col("n") * grain)).as("svec"))
+      .groupBy(col("m"))
+      .agg(array_sort(collect_list(struct(col("code"), col("svec")))).as("cbm"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("cbm")))),
+        st => st.getField("cbm")).as("cb"))
+  }
 
   /** Encode rows against a FROZEN broadcast codebook: adds `codes`
     * (the '-'-joined per-subspace codeword labels) and `recon_d2`

@@ -901,7 +901,10 @@ object TimeSeries {
         .agg(max(col("ts")).as("last_ts"),
           count(lit(1)).as("n_events"),
           sum(round(col("value") * 100).cast("long")).as("value_cents"))
-      val anchor = e.agg(max(col("ts")).as("anchor_ts"))
+      // anchor = corpus max(ts) == max over users of last_ts: deriving
+      // it from perUser shares the user_id exchange (AQE ReusedExchange)
+      // instead of paying a SECOND full events scan for one scalar
+      val anchor = perUser.agg(max(col("last_ts")).as("anchor_ts"))
       rfmSegment(perUser, anchor).orderBy(col("user_id"))
     }),
 
