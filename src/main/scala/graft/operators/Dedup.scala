@@ -41,13 +41,16 @@ object Dedup {
     // shingle lambda = O(words^2) per doc in interpreted HOF eval);
     // spread() widens under-parallelized scans so the CPU-heavy hashing
     // uses all cores; it is a no-op at cluster scale (Tables.spread).
+    // r13: MinHashWordsExpr fuses the k=3 shingling INTO the native
+    // hash kernel — the per-doc shingle string array the interpreted
+    // transform used to materialize existed only to be hashed
+    // (byte-exact: same windows, same concat_ws join, same minima).
     Tables.spread(df)
       .select(col("doc_id"), tokens(col("text")).as("words"))
-      .select(col("doc_id"), shingles(col("words"), 3).as("sh"))
       .select(col("doc_id"),
         org.apache.spark.sql.graft.bridge.column(
-          graft.plans.MinHashSigExpr(
-            org.apache.spark.sql.graft.bridge.expression(col("sh")))).as("sig"))
+          graft.plans.MinHashWordsExpr(
+            org.apache.spark.sql.graft.bridge.expression(col("words")), 3)).as("sig"))
   }
 
   /** Distinct LSH candidate pairs (a < b) with signature agreement. */

@@ -46,11 +46,11 @@ case class MinHashSigExpr(child: Expression) extends UnaryExpression with Codege
       val bytes = shingles.getUTF8String(i).getBytes
       md.reset()
       val d0 = md.digest(bytes)
-      updateMins(mins, 0, d0)
+      MinHashSigExpr.updateMins(mins, 0, d0)
       md.reset()
       md.update('x'.toByte)
       val d1 = md.digest(bytes)
-      updateMins(mins, 4, d1)
+      MinHashSigExpr.updateMins(mins, 4, d1)
       i += 1
     }
     val out = new Array[Any](8)
@@ -62,8 +62,19 @@ case class MinHashSigExpr(child: Expression) extends UnaryExpression with Codege
     new GenericArrayData(out)
   }
 
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+object MinHashSigExpr {
+  private[plans] val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   /** Fold the 4 big-endian uint32 slices of a digest into mins[base..base+3]. */
-  private def updateMins(mins: Array[Long], base: Int, d: Array[Byte]): Unit = {
+  private[plans] def updateMins(mins: Array[Long], base: Int, d: Array[Byte]): Unit = {
     var j = 0
     while (j < 4) {
       val v = ((d(4 * j) & 0xFFL) << 24) | ((d(4 * j + 1) & 0xFFL) << 16) |
@@ -72,15 +83,89 @@ case class MinHashSigExpr(child: Expression) extends UnaryExpression with Codege
       j += 1
     }
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
-    copy(child = newChild)
-
-  override def prettyName: String = "graft_minhash_sig"
 }
 
-object MinHashSigExpr {
-  private val digest = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+/** [[MinHashSigExpr]] fused with the word-k-shingling that feeds it
+  * (r13): takes the TOKEN array and hashes each k-gram window
+  * directly from the word bytes — the composed form first
+  * materializes a per-doc shingle STRING ARRAY through an interpreted
+  * transform (sequence + k element_at + concat_ws per shingle) that
+  * exists only to be hashed and thrown away. Byte-exact with
+  * `shingles(words, k)` + MinHashSigExpr: each window's bytes are the
+  * words joined by single 0x20 separators with concat_ws's null-skip
+  * semantics, and documents shorter than k words hash the single
+  * whole-document join, so the minima (and the formatted hex) are
+  * identical. One reused byte buffer per row, zero intermediate
+  * arrays.
+  */
+case class MinHashWordsExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_words expects array<string>, got $t")
   }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val mins = Array.fill(8)(0xFFFFFFFFL)
+    val md = MinHashSigExpr.digest.get()
+    // word bytes fetched once per row (null words skip, concat_ws-style)
+    val wb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      wb(i) = if (words.isNullAt(i)) null else words.getUTF8String(i).getBytes
+      i += 1
+    }
+    var buf = new Array[Byte](64)
+    def windowHash(from: Int, until: Int): Unit = {
+      // join non-null words[from until) with single spaces into buf
+      var len = 0
+      var first = true
+      var j = from
+      while (j < until) {
+        val b = wb(j)
+        if (b != null) {
+          val need = len + b.length + (if (first) 0 else 1)
+          if (need > buf.length) {
+            val nb = new Array[Byte](math.max(need, buf.length * 2))
+            System.arraycopy(buf, 0, nb, 0, len)
+            buf = nb
+          }
+          if (!first) { buf(len) = ' '.toByte; len += 1 }
+          System.arraycopy(b, 0, buf, len, b.length); len += b.length
+          first = false
+        }
+        j += 1
+      }
+      md.reset()
+      md.update(buf, 0, len)
+      MinHashSigExpr.updateMins(mins, 0, md.digest())
+      md.reset()
+      md.update('x'.toByte)
+      md.update(buf, 0, len)
+      MinHashSigExpr.updateMins(mins, 4, md.digest())
+    }
+    if (n >= k) {
+      var w = 0
+      while (w <= n - k) { windowHash(w, w + k); w += 1 }
+    } else {
+      windowHash(0, n)
+    }
+    val out = new Array[Any](8)
+    var p = 0
+    while (p < 8) {
+      out(p) = UTF8String.fromString(f"${mins(p)}%08x")
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashWordsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_words"
 }

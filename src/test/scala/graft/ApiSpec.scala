@@ -1647,6 +1647,32 @@ class ApiSpec extends SparkSpec {
       == Seq(("𝄞a", 1L), ("a𝄞", 1L)))
   }
 
+  test("fused minhash-over-words kernel equals the composed shingles+minhash form") {
+    import graft.functions.TextFunctions.{tokens, shingles}
+    def sig(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.bridge.column(
+        graft.plans.MinHashSigExpr(org.apache.spark.sql.graft.bridge.expression(c)))
+    def sigW(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.bridge.column(
+        graft.plans.MinHashWordsExpr(org.apache.spark.sql.graft.bridge.expression(c), 3))
+    // real corpus: every doc's fused signature must equal the
+    // composed (shingle-array materializing) one, value for value
+    val docsDf = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("words"))
+    val bad = docsDf
+      .select(col("doc_id"), sig(shingles(col("words"), 3)).as("a"), sigW(col("words")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(bad.isEmpty, s"fused != composed: ${bad.take(3).toSeq}")
+    // degenerate shapes: sub-k docs (whole-doc shingle), single word,
+    // empty string (split('') = [""])
+    import spark.implicits._
+    val edge = Seq("one two", "solo", "", "a b c d").toDF("text")
+      .select(tokens(col("text")).as("words"))
+      .select(sig(shingles(col("words"), 3)).as("a"), sigW(col("words")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(edge.isEmpty, "fused kernel must match on degenerate docs")
+  }
+
   test("fuzzyPairs refuses a vocabulary-starved registry loudly; maxGramDf is the opt-out") {
     import spark.implicits._
     // all 4^5 = 1024 recombinations of a FOUR-word vocabulary: the
