@@ -54,7 +54,16 @@ object VectorFunctions {
         org.apache.spark.sql.graft.bridge.expression(a),
         org.apache.spark.sql.graft.bridge.expression(b)))
 
-  /** Squared L2 distance between a float vector and a double-array column. */
+  /** Squared L2 distance — fused one-pass native kernel
+    * ([[graft.plans.L2DistSqExpr]]; either side float or double
+    * vectors), bit-identical to the composed
+    * `foldSum(zip_with(a, c, (x, y) => (x-y)^2))` double-widened
+    * index-order fold it replaces (r13: the argmin inner loop of the
+    * IVF/PQ/k-means family — the composed HOF fold was interpreted
+    * per (vector, centroid) pair inside the argmin lambdas). */
   def l2distSq(a: Column, c: Column): Column =
-    foldSum(zip_with(a, c, (x, y) => (x.cast(D) - y) * (x.cast(D) - y)))
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.L2DistSqExpr(
+        org.apache.spark.sql.graft.bridge.expression(a),
+        org.apache.spark.sql.graft.bridge.expression(c)))
 }

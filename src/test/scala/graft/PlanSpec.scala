@@ -402,6 +402,39 @@ class PlanSpec extends SparkSpec {
     assert(fused.sameElements(unfused), "one-pass fold must be bit-identical to three passes")
   }
 
+  test("native graft_l2distsq kernel is codegen'd and bitwise-equal to the composed fold") {
+    GraftExtensions.register(spark)
+    import graft.functions.VectorFunctions
+    val e = Tables(spark, sfDir, "embeddings")
+    val q = e.orderBy(col("vec_id")).limit(1)
+      .select(transform(col("embedding"), x => x.cast("double")).as("q_emb"))
+    val fusedDf = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorFunctions.l2distSq(col("embedding"), col("q_emb")).as("d2"))
+    val p = fusedDf.queryExecution.executedPlan.toString
+    assert(p.contains("graft_l2distsq"), s"fused kernel should appear in the plan:\n$p")
+    val fused = fusedDf.orderBy(col("vec_id")).collect().map(_.getDouble(1))
+    // the composed form this kernel replaced: double-widened
+    // index-order left fold over zip_with
+    val composed = e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("embedding"), col("q_emb"),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v).as("d2"))
+      .orderBy(col("vec_id")).collect().map(_.getDouble(1))
+    assert(fused.sameElements(composed), "native loop must be bit-identical to the HOF fold")
+    // double-double operand shape (the residual paths)
+    val dd = e.limit(64)
+      .select(transform(col("embedding"), x => x.cast("double")).as("a"))
+      .crossJoin(broadcast(q))
+    val f2 = dd.select(VectorFunctions.l2distSq(col("a"), col("q_emb")).as("d2"))
+      .collect().map(_.getDouble(0))
+    val c2 = dd.select(aggregate(zip_with(col("a"), col("q_emb"),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v).as("d2"))
+      .collect().map(_.getDouble(0))
+    assert(f2.sameElements(c2), "double-double shape must match the HOF fold")
+  }
+
   test("native graft_dot expression participates in codegen") {
     GraftExtensions.register(spark)
     val df = spark.sql(
