@@ -225,6 +225,32 @@ object DevProbe {
         .write.format("noop").mode("overwrite").save()
       val tProbe = (System.nanoTime() - t1) / 1e9
       println(f"ss22fixed mult=$mult batch=$nq build=$tBuild%.2f s probe=$tProbe%.2f s")
+    } else if (args(0) == "--wcprobe") {
+      // Word-count expression A/B (args: --wcprobe <sfDir> [rounds]):
+      // times sum(size(split(text,' '))) vs sum(graft_wordcount(text))
+      // over the documents scan, ALTERNATING in one JVM so scheduler
+      // drift hits both forms equally. Median per form printed.
+      import org.apache.spark.sql.functions._
+      val d = args(1)
+      val rounds = args.lift(2).map(_.toInt).getOrElse(5)
+      val docs = Tables(spark, d, "documents")
+      def time(c: org.apache.spark.sql.Column): Double = {
+        val t0 = System.nanoTime()
+        docs.select(c.as("n")).agg(sum(col("n"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val split = scala.collection.mutable.ArrayBuffer[Double]()
+      val native = scala.collection.mutable.ArrayBuffer[Double]()
+      // warm both codegen paths once, untimed
+      time(size(org.apache.spark.sql.functions.split(col("text"), " ")))
+      time(graft.functions.TextFunctions.wordCount(col("text")))
+      (1 to rounds).foreach { _ =>
+        split += time(size(org.apache.spark.sql.functions.split(col("text"), " ")))
+        native += time(graft.functions.TextFunctions.wordCount(col("text")))
+      }
+      def med(xs: Seq[Double]) = xs.sorted.apply((xs.size - 1) / 2)
+      println(f"wcprobe rounds=$rounds split_med=${med(split.toSeq)}%.3f native_med=${med(native.toSeq)}%.3f " +
+        s"split=${split.map(x => f"$x%.3f").mkString(",")} native=${native.map(x => f"$x%.3f").mkString(",")}")
     } else if (args(0) == "--ss24fixed") {
       // Fixed-batch ss24 blowup row — [[--ss22fixed]]'s decomposition
       // for the RESIDUAL index (args: --ss24fixed <sfDir> <mult>):

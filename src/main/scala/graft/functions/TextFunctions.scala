@@ -15,6 +15,14 @@ object TextFunctions {
   /** Whitespace tokens (testdata is single-space separated ASCII). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** `size(split(text, " "))` as a zero-allocation byte scan — exact
+    * for any string because split keeps empty tokens, so the count is
+    * (number of 0x20 bytes) + 1 ([[graft.plans.WordCountExpr]]). Use
+    * wherever the token array exists ONLY to be counted. */
+  def wordCount(text: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.WordCountExpr(org.apache.spark.sql.graft.bridge.expression(text)))
+
   /** 16-bit SimHash of a document — native single-pass kernel
     * ([[graft.plans.SimHashSigExpr]]): per-token md5 bit votes with
     * zero explode/shuffle, bit-identical to the composed vote

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions.wordCount
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators over `documents` — the quality-filter /
@@ -378,14 +379,14 @@ object Curation {
       mixtureCapsOf(
           docs(s, d)
             .select(col("source"),
-              size(split(col("text"), " ")).cast("long").as("tok_cnt"))
+              wordCount(col("text")).cast("long").as("tok_cnt"))
             .groupBy(col("source")).agg(sum(col("tok_cnt")).as("n_toks")),
           capMilli = 150L, floorMilli = 25L)
         .orderBy(col("source"))),
 
     "sp04_temperature" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val toks = size(split(col("text"), " ")).cast("long")
+      val toks = wordCount(col("text")).cast("long")
       val base = docs(s, d).select(col("doc_id"), col("source"), toks.as("tok_cnt"))
       val srcW = base.groupBy(col("source"))
         .agg(sum(col("tok_cnt")).as("n_toks"))
@@ -830,7 +831,7 @@ object Curation {
             sequence(lit(0), floor((size(col("_ws")) - 1) / stride).cast("int")),
             i => array_join(slice(col("_ws"), i * stride + 1, lit(width)), " "))))
         .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
-          size(split(col("col"), " ")).cast("int").as("chunk_words"),
+          wordCount(col("col")).cast("int").as("chunk_words"),
           substring(md5(col("col")), 1, 8).as("chunk_fp8"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
@@ -889,9 +890,13 @@ object Curation {
     // one scalar agg — corpus size enters via the scan only.
     "tx23_bm25" -> ((s, d) => {
       val terms = Seq("vector", "join", "scan")
+      // dl via the byte-scan wordCount (lowercasing never adds or
+      // removes a space, so size(split(lower(text))) == wordCount):
+      // the st aggregate below then prunes `ws` entirely — its scan
+      // never pays the regex split it was only counting.
       val wd = docs(s, d)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-        .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"),
+          wordCount(col("text")).cast("long").as("dl"))
       val st = wd.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       // array-filter BEFORE the generator (the tx22 rule): only
       // query-term hits ever become rows

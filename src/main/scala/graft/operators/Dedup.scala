@@ -672,7 +672,7 @@ object Dedup {
     "sp14_effective_tokens" -> ((s, d) => {
       val w = softWeights(docs(s, d)).select(col("doc_id"), col("weight_milli"))
       val toks = docs(s, d).select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("tok"))
+        wordCount(col("text")).cast("long").as("tok"))
       val src = toks.join(w, "doc_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),

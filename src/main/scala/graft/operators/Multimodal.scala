@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.TextFunctions.wordCount
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -1119,7 +1120,7 @@ object Multimodal {
       import s.implicits._
       val docs = Tables.spread(Tables(s, d, "documents"))
         .select(col("doc_id"), col("source"), col("n_chars"),
-          size(split(col("text"), " ")).as("tok_cnt"), col("text"))
+          wordCount(col("text")).as("tok_cnt"), col("text"))
       val meta = docs.select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           MediaIn(id, if (text == null) null else mkMedia(text)) }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.functions.TextFunctions.wordCount
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators over `documents` — the sampling /
@@ -95,7 +96,7 @@ object Pipeline {
     // hash-partitioned agg, so the chain is two shuffles total
     // (dedup groupBy + final stats groupBy) at any scale.
     "px01_prep_pipeline" -> ((s, d) => {
-      val toks = size(split(col("text"), " "))
+      val toks = wordCount(col("text"))
       val gated = docs(s, d)
         .filter(col("lang") === "en")
         .withColumn("tok_cnt", toks)
@@ -125,7 +126,7 @@ object Pipeline {
     "sp03_pack_sequences" -> ((s, d) => {
       val base = docs(s, d)
         .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":sp03"))))
-        .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+        .withColumn("tok_cnt", wordCount(col("text")).cast("long"))
         .select(col("source"), col("h"), col("doc_id"), col("tok_cnt"))
       sourcePrefix(base)
         .withColumn("pack_id", expr("CAST(cum0 DIV 2000 AS INT)"))
@@ -145,7 +146,7 @@ object Pipeline {
     "sp11_pack_audit" -> ((s, d) => {
       val base = docs(s, d)
         .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":sp03"))))
-        .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+        .withColumn("tok_cnt", wordCount(col("text")).cast("long"))
         .select(col("source"), col("h"), col("doc_id"), col("tok_cnt"))
       sourcePrefix(base)
         .withColumn("pack_id", expr("CAST(cum0 DIV 2000 AS INT)"))
@@ -181,7 +182,7 @@ object Pipeline {
       import s.implicits._
       val base = docs(s, d)
         .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":sp03"))))
-        .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+        .withColumn("tok_cnt", wordCount(col("text")).cast("long"))
         .select(col("source"), col("h"), col("doc_id"), col("tok_cnt"))
       val cfg = Seq(512L, 1024L, 2048L, 4096L).toDF("seq_len")
       sourcePrefix(base)
@@ -250,7 +251,7 @@ object Pipeline {
     "px02_mixture_budget" -> ((s, d) => {
       val base = docs(s, d)
         .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":px02"))))
-        .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+        .withColumn("tok_cnt", wordCount(col("text")).cast("long"))
         .select(col("source"), col("h"), col("doc_id"), col("tok_cnt"))
       sourcePrefix(base)
         .withColumn("wgt", when(col("source") === "src0", lit(5L)).otherwise(lit(1L)))
@@ -281,7 +282,7 @@ object Pipeline {
     "sp13_epoch_budget" -> ((s, d) => {
       val tok = docs(s, d)
         .groupBy(col("source"))
-        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .agg(sum(wordCount(col("text")).cast("long")).as("n_tokens"))
         .withColumn("weight",
           when(col("source") === "src0", lit(5L)).otherwise(lit(1L)))
         .localCheckpoint(false)
@@ -313,7 +314,7 @@ object Pipeline {
       docs(s, d)
         .withColumn("split",
           when(h < "0d", lit("val")).when(h < "1a", lit("test")).otherwise(lit("train")))
-        .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+        .withColumn("tok_cnt", wordCount(col("text")).cast("long"))
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("n_tokens"))
         .orderBy(col("source"), col("split"))
@@ -347,7 +348,7 @@ object Pipeline {
     "sp09_balanced_shards" -> ((s, d) => {
       val n = 8
       val t = docs(s, d)
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .select(col("doc_id"), wordCount(col("text")).cast("long").as("n_tok"))
       val assigned = balancedShardsOf(t, "doc_id", "n_tok", n)
       val tot = t.agg(sum(col("n_tok")).as("total"))
       assigned.groupBy(col("shard"))
@@ -362,7 +363,7 @@ object Pipeline {
       docs(s, d)
         .withColumn("shard", expr(
           "CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING) || ':sp06'), 1, 1)) - 1) % 8 AS INT)"))
-        .withColumn("tok_cnt", size(split(col("text"), " ")).cast("long"))
+        .withColumn("tok_cnt", wordCount(col("text")).cast("long"))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("n_tokens"),
           countDistinct(col("source")).as("n_sources"))
@@ -419,7 +420,7 @@ object Pipeline {
     "px06_dataset_card" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val base = docs(s, d).select(col("source"), col("lang"), col("n_chars"),
-          size(split(col("text"), " ")).cast("long").as("tok_cnt"))
+          wordCount(col("text")).cast("long").as("tok_cnt"))
         .localCheckpoint(false)
       val agg = base.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("n_tokens"))
@@ -463,7 +464,7 @@ object Pipeline {
     "sp10_curriculum" -> ((s, d) =>
       curriculumOf(
           docs(s, d).select(col("doc_id"),
-            size(split(col("text"), " ")).as("tok_cnt")),
+            wordCount(col("text")).as("tok_cnt")),
           idCol = "doc_id", difficultyCol = "tok_cnt",
           bandWidth = 32, nPhases = 4)
         .orderBy(col("phase"), col("pos"))),

@@ -82,7 +82,7 @@ object TextOps {
         min(when(col("q_milli") === 667, col("cents"))).as("c667"))
       .drop("key")
     val meta = docDf.select(col("doc_id"), col("source"),
-      size(split(col("text"), " ")).cast("long").as("n_tok"))
+      wordCount(col("text")).cast("long").as("n_tok"))
     val srctot = meta.groupBy(col("source")).agg(sum(col("n_tok")).as("st"))
     scored.join(meta, "doc_id")
       .crossJoin(broadcast(cuts))

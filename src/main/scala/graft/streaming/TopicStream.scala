@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.functions.TextFunctions.wordCount
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -1187,7 +1188,7 @@ object TopicStream {
     docs
       .withWatermark("ts", watermarkDelay)
       .filter(col("lang") === "en")
-      .withColumn("tok_cnt", size(split(col("text"), " ")))
+      .withColumn("tok_cnt", wordCount(col("text")))
       .filter(col("tok_cnt") >= minTokens && col("tok_cnt") <= maxTokens)
       .withColumn("chash", md5(col("text")))
       .dropDuplicatesWithinWatermark("chash")

@@ -1673,6 +1673,27 @@ class ApiSpec extends SparkSpec {
     assert(edge.isEmpty, "fused kernel must match on degenerate docs")
   }
 
+  test("wordCount byte-scan kernel equals size(split(text, ' ')) everywhere") {
+    import graft.functions.TextFunctions.wordCount
+    // real corpus: the kernel must equal the array form value for value
+    val bad = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("a"), wordCount(col("text")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(bad.isEmpty, s"wordCount != size(split): ${bad.take(3).toSeq}")
+    // degenerate shapes: empty string ([""] = 1), leading/trailing/
+    // adjacent separators (split keeps empty tokens), single word, a
+    // null (both forms null), and multi-byte UTF-8 around the spaces
+    // (0x20 never appears inside a multi-byte sequence)
+    import spark.implicits._
+    val edge = Seq("", " ", "a ", " a", "a  b", "solo", null,
+        "αα β𝄞 γ", "tab\tand\nnewline stay glued")
+      .toDF("text")
+      .select(size(split(col("text"), " ")).as("a"), wordCount(col("text")).as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(edge.isEmpty, "wordCount must match on degenerate strings")
+  }
+
   test("fuzzyPairs refuses a vocabulary-starved registry loudly; maxGramDf is the opt-out") {
     import spark.implicits._
     // all 4^5 = 1024 recombinations of a FOUR-word vocabulary: the
