@@ -64,6 +64,16 @@ object TextFunctions {
     org.apache.spark.sql.graft.bridge.column(
       graft.plans.CdcCutsExpr(org.apache.spark.sql.graft.bridge.expression(text)))
 
+  /** xxhash64 of every word k-gram window, hashed straight from the
+    * word bytes ([[graft.plans.WordGramHashesExpr]]) — value-exact
+    * with `transform(grams5(words), g => xxhash64(g))` but the gram
+    * string never exists. Docs shorter than k words yield an empty
+    * array (the grams5 guard). */
+  def gramHashes(words: Column, k: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.WordGramHashesExpr(
+        org.apache.spark.sql.graft.bridge.expression(words), k))
+
   /** Word k-shingles joined by single spaces; documents shorter than k
     * words degenerate to one whole-document shingle (keeps the result
     * total, so no emptiness filter — and no filter means Catalyst never

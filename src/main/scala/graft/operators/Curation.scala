@@ -40,6 +40,20 @@ object Curation {
     df.select(keep :+ split(lower(col("text")), " ").as("_ws"): _*)
       .select(keep :+ explode(grams5(col("_ws"))).as("gram"): _*)
 
+  /** [[gramRows]] with grams as 8-byte xxhash64 keys (`gh`) hashed
+    * straight from the word bytes — for the consumers whose gram is
+    * ONLY a group-by/join key (tx09/tx11/px05): the gram-domain
+    * exchanges carry longs instead of ~30-byte strings and the
+    * per-window gram string is never allocated. Same trade as
+    * [[spanIntervals]] (r12): a 64-bit collision spuriously merges
+    * two grams with P ~ n²/2^65 — these are dedup/decontam HEURISTIC
+    * censuses, and the raw-gram DuckDB oracle agrees exactly at the
+    * checked SFs. */
+  private def gramHashRows(df: DataFrame, keep: Seq[Column]): DataFrame =
+    df.select(keep :+ split(lower(col("text")), " ").as("_ws"): _*)
+      .select(keep :+ explode(
+        graft.functions.TextFunctions.gramHashes(col("_ws"), 5)).as("gh"): _*)
+
   /** tx33 stage 1+2: the per-doc rule flags and their one-row ADDITIVE
     * aggregate (11 sums — every column a sum of indicators, so a
     * streaming twin stores per-batch rows and re-sums; the
@@ -158,10 +172,10 @@ object Curation {
     // window, no all-pairs; at 100 TB the gram df table is the only
     // wide intermediate and it shrinks with distinct-gram count.
     "tx09_dup_ngrams" -> ((s, d) => {
-      val g = gramRows(docs(s, d), Seq(col("doc_id")))
-      val dfreq = g.groupBy(col("gram"))
+      val g = gramHashRows(docs(s, d), Seq(col("doc_id")))
+      val dfreq = g.groupBy(col("gh"))
         .agg(countDistinct(col("doc_id")).as("df"))
-      g.join(dfreq, "gram")
+      g.join(dfreq, "gh")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
@@ -214,13 +228,13 @@ object Curation {
     // is the only exchange. The standard n-gram-overlap decontam pass
     // (GPT-3 appendix / PaLM style).
     "tx11_decontam" -> ((s, d) => {
-      val g = gramRows(docs(s, d), Seq(col("doc_id"), col("source")))
+      val g = gramHashRows(docs(s, d), Seq(col("doc_id"), col("source")))
       val bench = g.filter(col("source") === "src0")
-        .select(col("gram")).distinct()
+        .select(col("gh")).distinct()
         .withColumn("hit", lit(1L))
       g.filter(col("source") =!= "src0")
-        .dropDuplicates("doc_id", "gram")
-        .join(broadcast(bench), Seq("gram"), "left")
+        .dropDuplicates("doc_id", "gh")
+        .join(broadcast(bench), Seq("gh"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
@@ -447,10 +461,10 @@ object Curation {
       val base = docs(s, d)
         .withColumn("split",
           when(h < "0d", lit("val")).when(h < "1a", lit("test")).otherwise(lit("train")))
-      val g = gramRows(base, Seq(col("doc_id"), col("split")))
-      val trainGrams = g.filter(col("split") === "train").select(col("gram")).distinct()
+      val g = gramHashRows(base, Seq(col("doc_id"), col("split")))
+      val trainGrams = g.filter(col("split") === "train").select(col("gh")).distinct()
       val contam = g.filter(col("split") =!= "train")
-        .join(trainGrams, Seq("gram"), "left_semi")
+        .join(trainGrams, Seq("gh"), "left_semi")
         .select(col("doc_id")).distinct().withColumn("hit", lit(1L))
       base.filter(col("split") =!= "train")
         .join(contam, Seq("doc_id"), "left")

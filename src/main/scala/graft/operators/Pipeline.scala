@@ -525,14 +525,15 @@ object Pipeline {
           .otherwise(array().cast("array<string>")).as("bgs"))
       .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bg"),
         size(array_distinct(col("bgs"))).cast("long").as("n_dbg"))
-    // benchmark gram set (tx11: src0 is the eval slice)
+    // benchmark gram set (tx11: src0 is the eval slice) — grams as
+    // 8-byte xxhash64 keys, the gramHashRows/spanIntervals discipline
     val g = base
       .select(col("doc_id"), col("source"), words.as("_gws"))
       .select(col("doc_id"), col("source"),
-        explode(Curation.grams5(col("_gws"))).as("gram"))
-    val bench = g.filter(col("source") === "src0").select(col("gram")).distinct()
+        explode(graft.functions.TextFunctions.gramHashes(col("_gws"), 5)).as("gh"))
+    val bench = g.filter(col("source") === "src0").select(col("gh")).distinct()
     val contam = g.filter(col("source") =!= "src0")
-      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .join(broadcast(bench), Seq("gh"), "left_semi")
       .select(col("doc_id")).distinct().withColumn("contam", lit(true))
     // normalized digest (tx13 normalize, digest only)
     val cleaned = regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")

@@ -1694,6 +1694,28 @@ class ApiSpec extends SparkSpec {
     assert(edge.isEmpty, "wordCount must match on degenerate strings")
   }
 
+  test("gramHashes kernel equals xxhash64 over the composed grams5 strings") {
+    import graft.functions.TextFunctions.gramHashes
+    def composed(ws: org.apache.spark.sql.Column) =
+      transform(graft.operators.Curation.grams5(ws), g => xxhash64(g))
+    val bad = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("_ws"))
+      .select(col("doc_id"), composed(col("_ws")).as("a"),
+        gramHashes(col("_ws"), 5).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(bad.isEmpty, s"gramHashes != composed: ${bad.take(3).toSeq}")
+    // degenerate shapes: sub-5-word docs (empty array, the grams5
+    // guard), exactly 5 words, empty string, adjacent separators
+    // (empty tokens participate in windows exactly as split emits them)
+    import spark.implicits._
+    val edge = Seq("one two three four", "a b c d e", "", "a  b c d e f")
+      .toDF("text")
+      .select(split(lower(col("text")), " ").as("_ws"))
+      .select(composed(col("_ws")).as("a"), gramHashes(col("_ws"), 5).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(edge.isEmpty, "gramHashes must match on degenerate docs")
+  }
+
   test("fuzzyPairs refuses a vocabulary-starved registry loudly; maxGramDf is the opt-out") {
     import spark.implicits._
     // all 4^5 = 1024 recombinations of a FOUR-word vocabulary: the
