@@ -74,6 +74,16 @@ object TextFunctions {
       graft.plans.WordGramHashesExpr(
         org.apache.spark.sql.graft.bridge.expression(words), k))
 
+  /** Per-row frequencies of a fixed term list over the whitespace
+    * tokens of `text` (array<int> aligned with `terms`) in one byte
+    * pass ([[graft.plans.TermCountsExpr]]) — the tf scan of tx22/tx23
+    * without the split/filter/explode/agg machinery. Pass the
+    * already-lowered text to match `split(lower(text), " ")`. */
+  def termCounts(text: Column, terms: Seq[String]): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.TermCountsExpr(
+        org.apache.spark.sql.graft.bridge.expression(text), terms))
+
   /** Word k-shingles joined by single spaces; documents shorter than k
     * words degenerate to one whole-document shingle (keeps the result
     * total, so no emptiness filter — and no filter means Catalyst never

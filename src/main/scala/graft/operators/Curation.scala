@@ -864,15 +864,23 @@ object Curation {
       val terms = Seq("vector", "join", "scan")
       val base = docs(s, d)
       val n = base.agg(count(lit(1)).as("n_docs"))
-      // filter the token ARRAY before exploding (a post-explode
-      // filter cannot push through the generator, so it would
-      // materialize every token as a row first — only query-term
-      // hits should ever generate)
+      // per-doc term counts computed IN the row (native one-pass
+      // TermCountsExpr): no split array, no interpreted filter over
+      // every token — tf rows come off a |terms|-array generator and
+      // the (doc, term) hash-agg exchange disappears. (A fully
+      // generator-free form — per-doc score as a |terms|-length fold
+      // against a broadcast stats row — was built and MEASURED 1.2x
+      // WORSE: the per-row interpreted HOF folds over struct arrays
+      // cost more than the tiny tf frame they replace. Kept the
+      // generator.)
       val tf = base
         .select(col("doc_id"),
-          explode(filter(split(lower(col("text")), " "),
-            w => w.isin(terms: _*))).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+          posexplode(graft.functions.TextFunctions.termCounts(
+            lower(col("text")), terms)))
+        .filter(col("col") > 0)
+        .select(col("doc_id"),
+          element_at(typedLit(terms), col("pos") + 1).as("w"),
+          col("col").cast("long").as("tf"))
       val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(n))
         .select(col("w"), expr("(1000000 * n_docs) DIV df").as("idf_sc"))
@@ -905,18 +913,26 @@ object Curation {
     "tx23_bm25" -> ((s, d) => {
       val terms = Seq("vector", "join", "scan")
       // dl via the byte-scan wordCount (lowercasing never adds or
-      // removes a space, so size(split(lower(text))) == wordCount):
-      // the st aggregate below then prunes `ws` entirely — its scan
-      // never pays the regex split it was only counting.
+      // removes a space, so size(split(lower(text))) == wordCount);
+      // term counts via the native one-pass TermCountsExpr (the tx22
+      // rework): the stats scan pays only the byte counters and the
+      // tf frame comes off a |terms|-array generator with NO
+      // (doc, term) agg exchange. (The fully generator-free form —
+      // per-doc BM25 as an in-row fold against a broadcast stats row
+      // — was built and MEASURED 2.5x WORSE: two interpreted HOF
+      // filter+aggregate folds over struct arrays per CORPUS row cost
+      // far more than the tiny tf frame they replace. Kept the
+      // generator; lesson recorded in OPTIMIZATION_r13.md.)
       val wd = docs(s, d)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"),
-          wordCount(col("text")).cast("long").as("dl"))
+        .select(col("doc_id"), wordCount(col("text")).cast("long").as("dl"),
+          graft.functions.TextFunctions.termCounts(
+            lower(col("text")), terms).as("tc"))
       val st = wd.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-      // array-filter BEFORE the generator (the tx22 rule): only
-      // query-term hits ever become rows
-      val tf = wd.select(col("doc_id"), col("dl"),
-          explode(filter(col("ws"), w => w.isin(terms: _*))).as("w"))
-        .groupBy(col("doc_id"), col("dl"), col("w")).agg(count(lit(1)).as("tf"))
+      val tf = wd.select(col("doc_id"), col("dl"), posexplode(col("tc")))
+        .filter(col("col") > 0)
+        .select(col("doc_id"), col("dl"),
+          element_at(typedLit(terms), col("pos") + 1).as("w"),
+          col("col").cast("long").as("tf"))
       val x = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
       val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(st))

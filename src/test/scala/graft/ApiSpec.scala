@@ -1716,6 +1716,30 @@ class ApiSpec extends SparkSpec {
     assert(edge.isEmpty, "gramHashes must match on degenerate docs")
   }
 
+  test("termCounts kernel equals the composed split+filter term frequencies") {
+    import graft.functions.TextFunctions.termCounts
+    val terms = Seq("vector", "join", "scan")
+    def composed(text: org.apache.spark.sql.Column) =
+      transform(typedLit(terms), t =>
+        size(filter(split(lower(text), " "), w => w === t)))
+    val bad = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), composed(col("text")).as("a"),
+        termCounts(lower(col("text")), terms).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(bad.isEmpty, s"termCounts != composed: ${bad.take(3).toSeq}")
+    // degenerate shapes: empty string, adjacent separators (empty
+    // tokens never match), term as prefix/suffix of a longer token
+    // (must NOT count), repeated terms, term at both ends
+    import spark.implicits._
+    val edge = Seq("", " ", "vectorizer scanner joint", "vector vector scan",
+        "scan", " join ", "a vector  join b")
+      .toDF("text")
+      .select(composed(col("text")).as("a"),
+        termCounts(lower(col("text")), terms).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(edge.isEmpty, "termCounts must match on degenerate strings")
+  }
+
   test("fuzzyPairs refuses a vocabulary-starved registry loudly; maxGramDf is the opt-out") {
     import spark.implicits._
     // all 4^5 = 1024 recombinations of a FOUR-word vocabulary: the
