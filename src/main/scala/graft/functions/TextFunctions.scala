@@ -84,6 +84,25 @@ object TextFunctions {
       graft.plans.TermCountsExpr(
         org.apache.spark.sql.graft.bridge.expression(text), terms))
 
+  /** Hit counts of the whitespace tokens against N fixed lexicons in
+    * one byte pass (array<int> aligned with `lexicons`,
+    * [[graft.plans.LexiconCountsExpr]]) — value-exact with
+    * `lexiconHits(tokens(text), lex)` per lexicon, no split array, no
+    * per-token interpreted filter. */
+  def lexiconCounts(text: Column, lexicons: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.LexiconCountsExpr(
+        org.apache.spark.sql.graft.bridge.expression(text), lexicons))
+
+  /** struct(n_words, n_stop, n_uniq) of the whitespace tokens in one
+    * byte pass ([[graft.plans.TokenStatsExpr]]) — value-exact with
+    * size(toks) / lexiconHits(toks, lex) / size(array_distinct(toks))
+    * over toks = split(text, " "). */
+  def tokenStats(text: Column, lexicon: Seq[String]): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.TokenStatsExpr(
+        org.apache.spark.sql.graft.bridge.expression(text), lexicon))
+
   /** Word k-shingles joined by single spaces; documents shorter than k
     * words degenerate to one whole-document shingle (keeps the result
     * total, so no emptiness filter — and no filter means Catalyst never

@@ -1224,13 +1224,16 @@ object Curation {
     * frame — shared with dd15's keep-best canonical selection so both
     * operators score identically. Zero-shuffle per-row expressions. */
   private[graft] def qualityScored(docDf: DataFrame): DataFrame = {
-    import graft.functions.TextFunctions.lexiconHits
+    // all three token stats in ONE native byte pass (no split array,
+    // no interpreted per-token lexicon filter, no array_distinct) —
+    // value-exact with the composed forms, spec-pinned
     docDf
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("_ts",
+        graft.functions.TextFunctions.tokenStats(col("text"), TextOps.langLex("en")))
       .select(col("doc_id"), col("source"),
-        size(col("toks")).as("n_words"),
-        lexiconHits(col("toks"), TextOps.langLex("en")).as("n_stop"),
-        size(array_distinct(col("toks"))).as("n_uniq"),
+        col("_ts").getField("n_words").as("n_words"),
+        col("_ts").getField("n_stop").as("n_stop"),
+        col("_ts").getField("n_uniq").as("n_uniq"),
         length(col("text")).as("len_chars"))
       .withColumn("stop_milli", expr("(CAST(n_stop AS BIGINT) * 1000) DIV n_words"))
       .withColumn("distinct_milli", expr("(CAST(n_uniq AS BIGINT) * 1000) DIV n_words"))

@@ -160,9 +160,14 @@ object TextOps {
     // Language ID: stopword-lexicon hit counts, max score wins with
     // alphabetical tiebreak (implemented as ordered >= cascade).
     "tx01_langid" -> ((s, d) => {
-      val base = docs(s, d).withColumn("toks", tokens(col("text")))
-      val scored = langLex.foldLeft(base) { case (df, (lang, lex)) =>
-        df.withColumn(s"s_$lang", lexiconHits(col("toks"), lex))
+      // all five lexicon scores in ONE native byte pass (no split
+      // array, no per-token interpreted filter per lexicon) — value-
+      // exact with lexiconHits(tokens(text), lex), spec-pinned
+      val langs = langLex.keys.toSeq.sorted
+      val base = docs(s, d).withColumn("_lc",
+        lexiconCounts(col("text"), langs.map(langLex)))
+      val scored = langs.zipWithIndex.foldLeft(base) { case (df, (lang, i)) =>
+        df.withColumn(s"s_$lang", element_at(col("_lc"), i + 1))
       }
       scored.withColumn("predicted",
           when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
@@ -190,9 +195,12 @@ object TextOps {
     // speed (five lexicon folds), ONE partial-agg'd shuffle into the
     // |langs|² domain, per-language totals broadcast back.
     "tx34_lang_confusion" -> ((s, d) => {
-      val base = docs(s, d).withColumn("toks", tokens(col("text")))
-      val scored = langLex.foldLeft(base) { case (df, (lang, lex)) =>
-        df.withColumn(s"s_$lang", lexiconHits(col("toks"), lex))
+      // tx01's one-pass native scorer (see there)
+      val langs = langLex.keys.toSeq.sorted
+      val base = docs(s, d).withColumn("_lc",
+        lexiconCounts(col("text"), langs.map(langLex)))
+      val scored = langs.zipWithIndex.foldLeft(base) { case (df, (lang, i)) =>
+        df.withColumn(s"s_$lang", element_at(col("_lc"), i + 1))
       }
       val pred = scored.withColumn("predicted",
         when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
@@ -216,10 +224,10 @@ object TextOps {
     // word length, punctuation, plus a composite score.
     "tx02_quality" -> ((s, d) => {
       docs(s, d)
-        .withColumn("toks", tokens(col("text")))
         .withColumn("len_chars", length(col("text")))
-        .withColumn("n_words", size(col("toks")))
-        .withColumn("n_stop", lexiconHits(col("toks"), langLex("en")))
+        .withColumn("n_words", wordCount(col("text")))
+        .withColumn("n_stop",
+          element_at(lexiconCounts(col("text"), Seq(langLex("en"))), 1))
         .withColumn("n_punct", charClassCount(col("text"), "[.!?,;:]"))
         .withColumn("awl_milli", expr("(CAST(len_chars - n_words + 1 AS BIGINT) * 1000) DIV n_words"))
         .withColumn("stop_milli", expr("(CAST(n_stop AS BIGINT) * 1000) DIV n_words"))

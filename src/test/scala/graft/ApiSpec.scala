@@ -1740,6 +1740,39 @@ class ApiSpec extends SparkSpec {
     assert(edge.isEmpty, "termCounts must match on degenerate strings")
   }
 
+  test("lexiconCounts and tokenStats kernels equal their composed token-array forms") {
+    import graft.functions.TextFunctions.{lexiconCounts, tokenStats, lexiconHits, tokens}
+    val langs = graft.operators.TextOps.langLex.keys.toSeq.sorted
+    val lexes = langs.map(graft.operators.TextOps.langLex)
+    val en = graft.operators.TextOps.langLex("en")
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val withToks = df.withColumn("_tk", tokens(col("text")))
+      val badLex = withToks
+        .select(
+          array(lexes.map(lex => lexiconHits(col("_tk"), lex)): _*).as("a"),
+          lexiconCounts(col("text"), lexes).as("b"))
+        .filter(col("a") =!= col("b"))
+      assert(badLex.isEmpty, s"lexiconCounts != composed: ${badLex.take(3).toSeq}")
+      val badTs = withToks
+        .select(
+          struct(size(col("_tk")).as("n_words"),
+            lexiconHits(col("_tk"), en).as("n_stop"),
+            size(array_distinct(col("_tk"))).as("n_uniq")).as("a"),
+          tokenStats(col("text"), en).as("b"))
+        .filter(col("a") =!= col("b"))
+      assert(badTs.isEmpty, s"tokenStats != composed: ${badTs.take(3).toSeq}")
+    }
+    check(Tables(spark, sfDir, "documents"))
+    // degenerate shapes: empty string (one empty token, distinct keeps
+    // it), adjacent separators, stopword as prefix of a longer token,
+    // repeated words, a doc of ONLY stopwords, >32 distinct words (the
+    // hash table growth path)
+    import spark.implicits._
+    check(Seq("", " ", "theory of the and", "the the the a a of",
+        "the a of and to", (1 to 100).map(i => s"w$i").mkString(" "))
+      .toDF("text"))
+  }
+
   test("fuzzyPairs refuses a vocabulary-starved registry loudly; maxGramDf is the opt-out") {
     import spark.implicits._
     // all 4^5 = 1024 recombinations of a FOUR-word vocabulary: the
