@@ -94,13 +94,14 @@ object TextFunctions {
       graft.plans.LexiconCountsExpr(
         org.apache.spark.sql.graft.bridge.expression(text), lexicons))
 
-  /** struct(n_words, n_stop, n_uniq) of the whitespace tokens in one
-    * byte pass ([[graft.plans.TokenStatsExpr]]) — value-exact with
-    * size(toks) / lexiconHits(toks, lex) / size(array_distinct(toks))
-    * over toks = split(text, " "). */
-  def tokenStats(text: Column, lexicon: Seq[String]): Column =
+  /** struct(n_words, n_stop, n_uniq, top_cnt, top_word, n_bigrams,
+    * n_uniq_bigrams) of the whitespace tokens in one byte pass
+    * ([[graft.plans.TokenProfileExpr]]) — value-exact with the
+    * composed split/filter/array_distinct/modal-window/bigram-join
+    * forms across qualityScored, gopherAgg, tx10 and px03. */
+  def tokenProfile(text: Column, lexicon: Seq[String]): Column =
     org.apache.spark.sql.graft.bridge.column(
-      graft.plans.TokenStatsExpr(
+      graft.plans.TokenProfileExpr(
         org.apache.spark.sql.graft.bridge.expression(text), lexicon))
 
   /** Word k-shingles joined by single spaces; documents shorter than k

@@ -59,25 +59,25 @@ object Curation {
     * streaming twin stores per-batch rows and re-sums; the
     * driftCellAgg discipline). */
   private[graft] def gopherAgg(docDf: DataFrame): DataFrame = {
-    val acc0 = struct(lit("").as("p"), lit(0L).as("rl"), lit(0L).as("mx"))
-    val domFold = aggregate(array_sort(col("toks")), acc0,
-      (a, x) => when(x === a.getField("p"),
-          struct(a.getField("p").as("p"), (a.getField("rl") + 1L).as("rl"),
-            greatest(a.getField("mx"), a.getField("rl") + 1L).as("mx")))
-        .otherwise(struct(x.as("p"), lit(1L).as("rl"),
-          greatest(a.getField("mx"), lit(1L)).as("mx"))),
-      a => a.getField("mx"))
+    // the whole per-doc rule input (token total, stopword hits, modal
+    // multiplicity, distinct count) in ONE native byte pass
+    // (TokenProfileExpr) — the composed form paid the split array, an
+    // interpreted per-token filter, a per-row array_sort + interpreted
+    // run-length fold (the old domFold), and an array_distinct. Null
+    // text: the kernel struct is null, so every derived stat is null
+    // exactly as the split-based columns were, and rule 1's tnull arm
+    // still catches the doc.
     val flags = docDf
       .select(col("doc_id"), col("text").isNull.as("tnull"),
-        split(col("text"), " ").as("toks"),
+        graft.functions.TextFunctions.tokenProfile(col("text"),
+          Seq("the", "a", "of", "and", "to", "in", "is", "it")).as("_tp"),
         length(col("text")).cast("long").as("lc"))
-      .withColumn("nw", size(col("toks")).cast("long"))
+      .withColumn("nw", col("_tp").getField("n_words").cast("long"))
       .withColumn("awl", expr("((lc - nw + 1) * 1000) DIV nw"))
-      .withColumn("nstop", size(filter(col("toks"),
-        x => x.isin("the", "a", "of", "and", "to", "in", "is", "it"))).cast("long"))
-      .withColumn("mxc", domFold)
+      .withColumn("nstop", col("_tp").getField("n_stop").cast("long"))
+      .withColumn("mxc", col("_tp").getField("top_cnt").cast("long"))
       .withColumn("dom", expr("(mxc * 1000) DIV nw"))
-      .withColumn("ttr", expr("(CAST(size(array_distinct(toks)) AS BIGINT) * 1000) DIV nw"))
+      .withColumn("ttr", expr("(CAST(_tp.n_uniq AS BIGINT) * 1000) DIV nw"))
       .select(col("doc_id"),
         // null text fails the word-count rule (rule 1) outright —
         // otherwise every flag evaluates NULL and a text-less doc
@@ -189,26 +189,23 @@ object Curation {
     // hash shuffle on doc_id at scale (the window reuses the agg's
     // partitioning), fully parallel per doc.
     "tx10_repetition" -> ((s, d) => {
-      val words = split(lower(col("text")), " ")
-      val base = docs(s, d).select(col("doc_id"), words.as("words"))
-        .select(col("doc_id"), col("words"), explode(col("words")).as("word"))
-      val wc = base.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("word"))
-      val top = wc.withColumn("rn", row_number().over(w))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("cnt")).as("n_words"),
-          max(when(col("rn") === 1, col("word"))).as("top_word"),
-          max(when(col("rn") === 1, col("cnt"))).as("top_cnt"))
-      val bg = docs(s, d)
-        .select(col("doc_id"), words.as("_ws"))
+      // the whole per-doc profile (token total, modal word with the
+      // (cnt desc, word asc) tie-break, bigram census) in ONE native
+      // byte pass (TokenProfileExpr) — replaces the corpus-words
+      // explode + (doc, word) agg + per-doc window + the interpreted
+      // bigram transform + two array_distinct passes. The isNotNull
+      // filter keeps the old inner-join semantics (a null-text doc
+      // produced no word rows and dropped out).
+      val tp = graft.functions.TextFunctions.tokenProfile(
+        lower(col("text")), Seq.empty)
+      docs(s, d).select(col("doc_id"), tp.as("_tp"))
+        .filter(col("_tp").isNotNull)
         .select(col("doc_id"),
-          when(size(col("_ws")) >= 2,
-            transform(sequence(lit(1), size(col("_ws")) - 1),
-              i => array_join(slice(col("_ws"), i, lit(2)), " ")))
-            .otherwise(typedLit(Seq.empty[String])).as("bgs"))
-        .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bigrams"),
-          size(array_distinct(col("bgs"))).cast("long").as("n_dist_bigrams"))
-      top.join(bg, "doc_id")
+          col("_tp").getField("n_words").cast("long").as("n_words"),
+          col("_tp").getField("top_word").as("top_word"),
+          col("_tp").getField("top_cnt").cast("long").as("top_cnt"),
+          col("_tp").getField("n_bigrams").cast("long").as("n_bigrams"),
+          col("_tp").getField("n_uniq_bigrams").cast("long").as("n_dist_bigrams"))
         .withColumn("top_word_milli", expr("(top_cnt * 1000) DIV n_words"))
         .withColumn("dup_bigram_milli",
           expr("CASE WHEN n_bigrams = 0 THEN 0 ELSE ((n_bigrams - n_dist_bigrams) * 1000) DIV n_bigrams END"))
@@ -1229,7 +1226,7 @@ object Curation {
     // value-exact with the composed forms, spec-pinned
     docDf
       .withColumn("_ts",
-        graft.functions.TextFunctions.tokenStats(col("text"), TextOps.langLex("en")))
+        graft.functions.TextFunctions.tokenProfile(col("text"), TextOps.langLex("en")))
       .select(col("doc_id"), col("source"),
         col("_ts").getField("n_words").as("n_words"),
         col("_ts").getField("n_stop").as("n_stop"),

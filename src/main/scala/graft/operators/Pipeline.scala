@@ -510,21 +510,22 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val base = docs(s, d)
     val words = split(lower(col("text")), " ")
-    // repetition stats (tx10 shape: modal word + distinct bigrams)
-    val wc = base.select(col("doc_id"), explode(words).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_words"), max(col("c")).as("top_cnt"))
-    // token array materialized first: inlined, the bigram lambda
-    // would re-split the text per element (dd16 hazard, SCALE.md r8)
-    val bg = base.select(col("doc_id"), words.as("_ws"))
+    // repetition stats (tx10 shape: modal word + distinct bigrams) —
+    // one native byte pass (TokenProfileExpr, see tx10) instead of the
+    // corpus-words explode + two-level agg + the interpreted bigram
+    // transform + array_distinct
+    val prof = base.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenProfile(
+        lower(col("text")), Seq.empty).as("_tp"))
+    // null-text docs: the old explode dropped them from wc (no word
+    // rows) while the old bigram branch kept them at 0 — replicated
+    val wc = prof.filter(col("_tp").isNotNull)
       .select(col("doc_id"),
-        when(size(col("_ws")) >= 2,
-          transform(sequence(lit(1), size(col("_ws")) - 1),
-            i => array_join(slice(col("_ws"), i, lit(2)), " ")))
-          .otherwise(array().cast("array<string>")).as("bgs"))
-      .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bg"),
-        size(array_distinct(col("bgs"))).cast("long").as("n_dbg"))
+        col("_tp").getField("n_words").cast("long").as("n_words"),
+        col("_tp").getField("top_cnt").cast("long").as("top_cnt"))
+    val bg = prof.select(col("doc_id"),
+      coalesce(col("_tp").getField("n_bigrams").cast("long"), lit(0L)).as("n_bg"),
+      coalesce(col("_tp").getField("n_uniq_bigrams").cast("long"), lit(0L)).as("n_dbg"))
     // benchmark gram set (tx11: src0 is the eval slice) — grams as
     // 8-byte xxhash64 keys, the gramHashRows/spanIntervals discipline
     val g = base

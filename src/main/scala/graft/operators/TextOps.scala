@@ -127,12 +127,15 @@ object TextOps {
     * comment for the stylometric rationale and scale shape. */
   private[graft] def stopwordProfileOf(docDf: DataFrame): DataFrame = {
     val ws = langLex.values.flatten.toSeq.distinct.sorted
+    // all 25 stopword counts in ONE native byte pass (TermCountsExpr)
+    // — the composed form ran one interpreted ArrayFilter over every
+    // token PER WORD (25 passes per row) over a split array that
+    // existed only to be scanned
     val base = docDf
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("_cs", termCounts(col("text"), ws))
+      .withColumn("n_toks", wordCount(col("text")).cast("long"))
     val counted = ws.zipWithIndex.foldLeft(base) { case (df, (w, i)) =>
-      df.withColumn(s"_c$i",
-        size(filter(col("toks"), t => t === lit(w))).cast("long"))
+      df.withColumn(s"_c$i", element_at(col("_cs"), i + 1).cast("long"))
     }
     val agged = counted.groupBy(col("source"))
       .agg(sum(col("n_toks")).as("src_toks"),

@@ -90,87 +90,144 @@ case class LexiconCountsExpr(child: Expression, lexicons: Seq[Seq[String]])
   override def prettyName: String = "graft_lexicon_counts"
 }
 
-/** The quality scorer's three token statistics in ONE byte pass —
-  * struct(n_words, n_stop, n_uniq), value-exact with
-  * `size(toks)` / `lexiconHits(toks, lex)` /
-  * `size(array_distinct(toks))` over `toks = split(text, " ")`:
-  * n_words counts every token (empties included, = 0x20 count + 1),
-  * n_stop counts tokens byte-equal to a lexicon word, n_uniq counts
-  * byte-distinct tokens (the empty token is a token and counts once
-  * when present, exactly as array_distinct keeps one "").
-  * Distinctness via an open-addressing table of (hash, start, len)
-  * slices over the row's own bytes — exact byte-compare on collision,
-  * no string allocation. CodegenFallback: per-row call overhead is
-  * noise next to the split array + two interpreted passes + the
-  * array_distinct it replaces.
-  */
-case class TokenStatsExpr(child: Expression, lexicon: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+/** An open-addressing multiset of byte slices over one row's bytes —
+  * (start, len, count) triples, exact byte-compare on collision, no
+  * string allocation. Backs [[TokenProfileExpr]]'s distinct/modal
+  * counting for both tokens and adjacent-token bigram spans. */
+private[plans] final class SliceCounter(bytes: Array[Byte]) {
+  private var cap = 64
+  private var starts = Array.fill(cap)(-1)
+  private var lens = new Array[Int](cap)
+  private var counts = new Array[Int](cap)
+  private var filled = 0
+  var nUniq = 0
 
-  require(lexicon.nonEmpty, "graft_token_stats needs a non-empty lexicon")
+  private def hashSlice(start: Int, len: Int): Int = {
+    var h = 1
+    var j = 0
+    while (j < len) { h = h * 31 + bytes(start + j); j += 1 }
+    h
+  }
+
+  private def grow(): Unit = {
+    val os = starts; val ol = lens; val oc = counts
+    cap *= 2
+    starts = Array.fill(cap)(-1)
+    lens = new Array[Int](cap)
+    counts = new Array[Int](cap)
+    filled = 0
+    val u = nUniq // reinsertion must not re-count distincts
+    var i = 0
+    while (i < os.length) {
+      if (os(i) >= 0) addN(os(i), ol(i), oc(i))
+      i += 1
+    }
+    nUniq = u
+  }
+
+  /** Add `n` occurrences of the slice; returns its NEW total count. */
+  def addN(start: Int, len: Int, n: Int): Int = {
+    var idx = (hashSlice(start, len) & 0x7FFFFFFF) % cap
+    while (true) {
+      if (starts(idx) < 0) {
+        starts(idx) = start; lens(idx) = len; counts(idx) = n
+        filled += 1; nUniq += 1
+        if (filled * 2 > cap) grow()
+        return n
+      } else if (lens(idx) == len && {
+        var j = 0
+        val s0 = starts(idx)
+        while (j < len && bytes(s0 + j) == bytes(start + j)) j += 1
+        j == len
+      }) {
+        counts(idx) += n
+        return counts(idx)
+      } else {
+        idx += 1; if (idx == cap) idx = 0
+      }
+    }
+    0 // unreachable
+  }
+
+  def add(start: Int, len: Int): Int = addN(start, len, 1)
+
+  /** (start, len) of the modal slice, smallest in unsigned-byte
+    * lexicographic order among ties — row_number over
+    * (count desc, word asc) rank-1 semantics. */
+  def modal(): (Int, Int, Int) = {
+    var bestC = -1; var bestS = -1; var bestL = 0
+    var i = 0
+    while (i < cap) {
+      if (starts(i) >= 0) {
+        val c = counts(i)
+        if (c > bestC || (c == bestC && sliceLt(starts(i), lens(i), bestS, bestL))) {
+          bestC = c; bestS = starts(i); bestL = lens(i)
+        }
+      }
+      i += 1
+    }
+    (bestS, bestL, bestC)
+  }
+
+  private def sliceLt(aS: Int, aL: Int, bS: Int, bL: Int): Boolean = {
+    val n = math.min(aL, bL)
+    var j = 0
+    while (j < n) {
+      val x = bytes(aS + j) & 0xFF
+      val y = bytes(bS + j) & 0xFF
+      if (x != y) return x < y
+      j += 1
+    }
+    aL < bL
+  }
+}
+
+/** The per-document token profile in ONE byte pass —
+  * struct(n_words, n_stop, n_uniq, top_cnt, top_word, n_bigrams,
+  * n_uniq_bigrams) — value-exact with the composed token-array forms
+  * it replaces across qualityScored / gopherAgg / tx10 / px03:
+  * - n_words = size(split(text, " ")) (empties included);
+  * - n_stop = tokens byte-equal to a lexicon word;
+  * - n_uniq = size(array_distinct(toks)) (one "" kept when present);
+  * - top_cnt/top_word = the modal token's multiplicity and, among
+  *   ties, the binary-smallest token — row_number over
+  *   (cnt desc, word asc) rank-1, and gopherAgg's sorted-run fold;
+  * - n_bigrams/n_uniq_bigrams = size / size(array_distinct) of the
+  *   adjacent-pair join: "w_i w_{i+1}" is EXACTLY the text slice from
+  *   token i's start to token i+1's end (split on single 0x20), so
+  *   bigram distinctness is slice distinctness over the same bytes.
+  * Counting via open-addressing slice tables — exact byte-compare,
+  * no string allocation. CodegenFallback: per-row call overhead is
+  * noise next to the split arrays + per-row interpreted sort/fold/
+  * explode machinery it replaces.
+  */
+case class TokenProfileExpr(child: Expression, lexicon: Seq[String])
+    extends UnaryExpression with CodegenFallback {
 
   private lazy val lexBytes: Array[Array[Byte]] =
     lexicon.map(_.getBytes("UTF-8")).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"graft_token_stats expects string, got $t")
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_token_profile expects string, got $t")
   }
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_words", IntegerType, nullable = false),
     StructField("n_stop", IntegerType, nullable = false),
-    StructField("n_uniq", IntegerType, nullable = false)))
+    StructField("n_uniq", IntegerType, nullable = false),
+    StructField("top_cnt", IntegerType, nullable = false),
+    StructField("top_word", StringType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("n_uniq_bigrams", IntegerType, nullable = false)))
 
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
     var nWords = 0
     var nStop = 0
-    var nUniq = 0
-    // open addressing over (start, len) slices; -1 = empty slot
-    var cap = 64
-    var starts = Array.fill(cap)(-1)
-    var lens = new Array[Int](cap)
-    var filled = 0
-    def hashSlice(start: Int, len: Int): Int = {
-      var h = 1
-      var j = 0
-      while (j < len) { h = h * 31 + bytes(start + j); j += 1 }
-      h
-    }
-    def grow(): Unit = {
-      val os = starts; val ol = lens
-      cap *= 2
-      starts = Array.fill(cap)(-1)
-      lens = new Array[Int](cap)
-      filled = 0 // reinsertion re-counts occupancy
-      var i = 0
-      while (i < os.length) {
-        if (os(i) >= 0) insert(os(i), ol(i), countNew = false)
-        i += 1
-      }
-    }
-    def insert(start: Int, len: Int, countNew: Boolean): Unit = {
-      var idx = (hashSlice(start, len) & 0x7FFFFFFF) % cap
-      var done = false
-      while (!done) {
-        if (starts(idx) < 0) {
-          starts(idx) = start; lens(idx) = len; filled += 1
-          if (countNew) nUniq += 1
-          done = true
-        } else if (lens(idx) == len && {
-          var j = 0
-          val s0 = starts(idx)
-          while (j < len && bytes(s0 + j) == bytes(start + j)) j += 1
-          j == len
-        }) {
-          done = true // already present
-        } else {
-          idx += 1; if (idx == cap) idx = 0
-        }
-      }
-      if (filled * 2 > cap) grow()
-    }
+    val toks = new SliceCounter(bytes)
+    val bgs = new SliceCounter(bytes)
+    var prevStart = -1
     TokenScan.forEachToken(bytes) { (start, len) =>
       nWords += 1
       if (len > 0) {
@@ -182,13 +239,19 @@ case class TokenStatsExpr(child: Expression, lexicon: Seq[String])
         }
         if (hit) nStop += 1
       }
-      insert(start, len, countNew = true)
+      toks.add(start, len)
+      if (prevStart >= 0) bgs.add(prevStart, start + len - prevStart)
+      prevStart = start
     }
-    InternalRow(nWords, nStop, nUniq)
+    val (tS, tL, tC) = toks.modal()
+    val nBg = if (nWords >= 2) nWords - 1 else 0
+    InternalRow(nWords, nStop, toks.nUniq, tC,
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, tS, tS + tL)),
+      nBg, bgs.nUniq)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): TokenStatsExpr =
+  override protected def withNewChildInternal(newChild: Expression): TokenProfileExpr =
     copy(child = newChild)
 
-  override def prettyName: String = "graft_token_stats"
+  override def prettyName: String = "graft_token_profile"
 }

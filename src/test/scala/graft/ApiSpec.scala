@@ -1740,8 +1740,8 @@ class ApiSpec extends SparkSpec {
     assert(edge.isEmpty, "termCounts must match on degenerate strings")
   }
 
-  test("lexiconCounts and tokenStats kernels equal their composed token-array forms") {
-    import graft.functions.TextFunctions.{lexiconCounts, tokenStats, lexiconHits, tokens}
+  test("lexiconCounts and tokenProfile kernels equal their composed token-array forms") {
+    import graft.functions.TextFunctions.{lexiconCounts, tokenProfile, lexiconHits, tokens}
     val langs = graft.operators.TextOps.langLex.keys.toSeq.sorted
     val lexes = langs.map(graft.operators.TextOps.langLex)
     val en = graft.operators.TextOps.langLex("en")
@@ -1753,23 +1753,53 @@ class ApiSpec extends SparkSpec {
           lexiconCounts(col("text"), lexes).as("b"))
         .filter(col("a") =!= col("b"))
       assert(badLex.isEmpty, s"lexiconCounts != composed: ${badLex.take(3).toSeq}")
-      val badTs = withToks
+      // composed modal: per-token counts via a sorted run-length fold
+      // (tx33's old domFold); composed modal WORD via array_sort over
+      // (cnt desc equivalently -cnt asc, word asc) of per-token structs
+      val sortedToks = array_sort(col("_tk"))
+      val acc0 = struct(lit("").as("p"), lit(0L).as("rl"), lit(0L).as("mx"))
+      val domFold = aggregate(sortedToks, acc0,
+        (a, x) => when(x === a.getField("p"),
+            struct(a.getField("p").as("p"), (a.getField("rl") + 1L).as("rl"),
+              greatest(a.getField("mx"), a.getField("rl") + 1L).as("mx")))
+          .otherwise(struct(x.as("p"), lit(1L).as("rl"),
+            greatest(a.getField("mx"), lit(1L)).as("mx"))),
+        a => a.getField("mx"))
+      val bgs = when(size(col("_tk")) >= 2,
+        transform(sequence(lit(1), size(col("_tk")) - 1),
+          i => array_join(slice(col("_tk"), i, lit(2)), " ")))
+        .otherwise(typedLit(Seq.empty[String]))
+      // modal word: among per-distinct-token counts, max count then
+      // smallest word — expressed as the first element of array_sort
+      // over struct(-cnt, word)
+      val modalWord = {
+        val counted = transform(array_distinct(col("_tk")), t =>
+          struct((-size(filter(col("_tk"), x => x === t))).as("negc"), t.as("w")))
+        element_at(array_sort(counted), 1).getField("w")
+      }
+      val badTp = withToks
         .select(
           struct(size(col("_tk")).as("n_words"),
             lexiconHits(col("_tk"), en).as("n_stop"),
-            size(array_distinct(col("_tk"))).as("n_uniq")).as("a"),
-          tokenStats(col("text"), en).as("b"))
+            size(array_distinct(col("_tk"))).as("n_uniq"),
+            domFold.cast("int").as("top_cnt"),
+            modalWord.as("top_word"),
+            when(size(col("_tk")) >= 2, size(col("_tk")) - 1).otherwise(0).as("n_bigrams"),
+            size(array_distinct(bgs)).as("n_uniq_bigrams")).as("a"),
+          tokenProfile(col("text"), en).as("b"))
         .filter(col("a") =!= col("b"))
-      assert(badTs.isEmpty, s"tokenStats != composed: ${badTs.take(3).toSeq}")
+      assert(badTp.isEmpty, s"tokenProfile != composed: ${badTp.take(3).toSeq}")
     }
     check(Tables(spark, sfDir, "documents"))
     // degenerate shapes: empty string (one empty token, distinct keeps
     // it), adjacent separators, stopword as prefix of a longer token,
-    // repeated words, a doc of ONLY stopwords, >32 distinct words (the
-    // hash table growth path)
+    // repeated words, a doc of ONLY stopwords, modal ties (both words
+    // twice — binary-smallest must win), >32 distinct words (the hash
+    // table growth path)
     import spark.implicits._
     check(Seq("", " ", "theory of the and", "the the the a a of",
-        "the a of and to", (1 to 100).map(i => s"w$i").mkString(" "))
+        "the a of and to", "b a b a", "z y z y x",
+        (1 to 100).map(i => s"w$i").mkString(" "))
       .toDF("text"))
   }
 
