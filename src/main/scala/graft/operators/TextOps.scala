@@ -325,29 +325,18 @@ object TextOps {
     // explode + (doc, word) agg. Integer milli throughout (n_words,
     // n_distinct >= 1 always: split of "" is [""]).
     "tx28_lexical_diversity" -> ((s, d) => {
-      val acc0 = struct(lit(null).cast("string").as("p"), lit(0L).as("rl"),
-        lit(0L).as("nd"), lit(0L).as("nh"))
-      val closeRun = (a: org.apache.spark.sql.Column) =>
-        when(a.getField("rl") === 1L, 1L).otherwise(0L)
-      val folded = aggregate(array_sort(col("toks")), acc0,
-        (a, x) => when(a.getField("p").isNull,
-            struct(x.as("p"), lit(1L).as("rl"), lit(0L).as("nd"), lit(0L).as("nh")))
-          .when(x === a.getField("p"),
-            struct(a.getField("p").as("p"), (a.getField("rl") + 1L).as("rl"),
-              a.getField("nd").as("nd"), a.getField("nh").as("nh")))
-          .otherwise(struct(x.as("p"), lit(1L).as("rl"),
-            (a.getField("nd") + 1L).as("nd"),
-            (a.getField("nh") + closeRun(a)).as("nh"))),
-        a => struct((a.getField("nd") + 1L).as("nd"),
-          (a.getField("nh") + closeRun(a)).as("nh")))
+      // distinct + hapax counts off the one-pass native token profile
+      // (TokenProfileExpr) — replaces the per-row array_sort + the
+      // interpreted run-length fold; value-exact (nd = #distinct,
+      // nh = #runs of length 1 over sorted tokens = #count-1 tokens)
       Tables.spread(docs(s, d))
-        .withColumn("toks", tokens(col("text")))
-        .withColumn("n_words", size(col("toks")).cast("long"))
-        .withColumn("f", folded)
+        .withColumn("_tp", tokenProfile(col("text"), Seq.empty))
+        .withColumn("n_words", col("_tp").getField("n_words").cast("long"))
         .select(col("doc_id"), col("n_words"),
-          col("f.nd").as("n_distinct"), col("f.nh").as("n_hapax"),
-          expr("(f.nd * 1000) DIV n_words").as("ttr_milli"),
-          expr("(f.nh * 1000) DIV f.nd").as("hapax_milli"))
+          col("_tp").getField("n_uniq").cast("long").as("n_distinct"),
+          col("_tp").getField("n_hapax").cast("long").as("n_hapax"),
+          expr("(CAST(_tp.n_uniq AS BIGINT) * 1000) DIV n_words").as("ttr_milli"),
+          expr("(CAST(_tp.n_hapax AS BIGINT) * 1000) DIV _tp.n_uniq").as("hapax_milli"))
         .orderBy(col("doc_id"))
     }),
 
@@ -364,21 +353,13 @@ object TextOps {
     // accumulates Σ run² at scan speed; never an explode + per-doc
     // agg shuffle.
     "tx36_simpson" -> ((s, d) => {
-      val acc0 = struct(lit(null).cast("string").as("p"), lit(0L).as("rl"),
-        lit(0L).as("ss"))
-      val folded = aggregate(array_sort(col("toks")), acc0,
-        (a, x) => when(a.getField("p").isNull,
-            struct(x.as("p"), lit(1L).as("rl"), lit(0L).as("ss")))
-          .when(x === a.getField("p"),
-            struct(a.getField("p").as("p"), (a.getField("rl") + 1L).as("rl"),
-              a.getField("ss").as("ss")))
-          .otherwise(struct(x.as("p"), lit(1L).as("rl"),
-            (a.getField("ss") + a.getField("rl") * a.getField("rl")).as("ss"))),
-        a => a.getField("ss") + a.getField("rl") * a.getField("rl"))
+      // Σ cnt² off the one-pass native token profile (TokenProfileExpr)
+      // — replaces the per-row array_sort + interpreted run-length
+      // fold; value-exact (Σ run² over sorted tokens = Σ count²)
       Tables.spread(docs(s, d))
-        .withColumn("toks", tokens(col("text")))
-        .withColumn("n_words", size(col("toks")).cast("long"))
-        .withColumn("sum_sq", folded)
+        .withColumn("_tp", tokenProfile(col("text"), Seq.empty))
+        .withColumn("n_words", col("_tp").getField("n_words").cast("long"))
+        .withColumn("sum_sq", col("_tp").getField("sum_sq"))
         .select(col("doc_id"), col("n_words"), col("sum_sq"),
           expr("(sum_sq * 1000000) DIV (n_words * n_words)").as("simpson_ppm"))
         .orderBy(col("doc_id"))

@@ -151,22 +151,27 @@ private[plans] final class SliceCounter(bytes: Array[Byte]) {
 
   def add(start: Int, len: Int): Int = addN(start, len, 1)
 
-  /** (start, len) of the modal slice, smallest in unsigned-byte
+  /** (start, len) of the modal slice (smallest in unsigned-byte
     * lexicographic order among ties — row_number over
-    * (count desc, word asc) rank-1 semantics. */
-  def modal(): (Int, Int, Int) = {
+    * (count desc, word asc) rank-1 semantics), plus the hapax count
+    * (slices with count 1) and Σ count² — one sweep over the table. */
+  def profile(): (Int, Int, Int, Int, Long) = {
     var bestC = -1; var bestS = -1; var bestL = 0
+    var nHapax = 0
+    var sumSq = 0L
     var i = 0
     while (i < cap) {
       if (starts(i) >= 0) {
         val c = counts(i)
+        if (c == 1) nHapax += 1
+        sumSq += c.toLong * c.toLong
         if (c > bestC || (c == bestC && sliceLt(starts(i), lens(i), bestS, bestL))) {
           bestC = c; bestS = starts(i); bestL = lens(i)
         }
       }
       i += 1
     }
-    (bestS, bestL, bestC)
+    (bestS, bestL, bestC, nHapax, sumSq)
   }
 
   private def sliceLt(aS: Int, aL: Int, bS: Int, bL: Int): Boolean = {
@@ -195,7 +200,10 @@ private[plans] final class SliceCounter(bytes: Array[Byte]) {
   * - n_bigrams/n_uniq_bigrams = size / size(array_distinct) of the
   *   adjacent-pair join: "w_i w_{i+1}" is EXACTLY the text slice from
   *   token i's start to token i+1's end (split on single 0x20), so
-  *   bigram distinctness is slice distinctness over the same bytes.
+  *   bigram distinctness is slice distinctness over the same bytes;
+  * - n_hapax = tokens occurring exactly once (tx28's run-length-1
+  *   census), sum_sq = Σ count² over distinct tokens (tx36's Simpson
+  *   numerator) — both read off the same count table.
   * Counting via open-addressing slice tables — exact byte-compare,
   * no string allocation. CodegenFallback: per-row call overhead is
   * noise next to the split arrays + per-row interpreted sort/fold/
@@ -219,7 +227,9 @@ case class TokenProfileExpr(child: Expression, lexicon: Seq[String])
     StructField("top_cnt", IntegerType, nullable = false),
     StructField("top_word", StringType, nullable = false),
     StructField("n_bigrams", IntegerType, nullable = false),
-    StructField("n_uniq_bigrams", IntegerType, nullable = false)))
+    StructField("n_uniq_bigrams", IntegerType, nullable = false),
+    StructField("n_hapax", IntegerType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
 
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
@@ -243,11 +253,11 @@ case class TokenProfileExpr(child: Expression, lexicon: Seq[String])
       if (prevStart >= 0) bgs.add(prevStart, start + len - prevStart)
       prevStart = start
     }
-    val (tS, tL, tC) = toks.modal()
+    val (tS, tL, tC, nHapax, sumSq) = toks.profile()
     val nBg = if (nWords >= 2) nWords - 1 else 0
     InternalRow(nWords, nStop, toks.nUniq, tC,
       UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, tS, tS + tL)),
-      nBg, bgs.nUniq)
+      nBg, bgs.nUniq, nHapax, sumSq)
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenProfileExpr =

@@ -1785,7 +1785,12 @@ class ApiSpec extends SparkSpec {
             domFold.cast("int").as("top_cnt"),
             modalWord.as("top_word"),
             when(size(col("_tk")) >= 2, size(col("_tk")) - 1).otherwise(0).as("n_bigrams"),
-            size(array_distinct(bgs)).as("n_uniq_bigrams")).as("a"),
+            size(array_distinct(bgs)).as("n_uniq_bigrams"),
+            size(filter(array_distinct(col("_tk")), t =>
+              size(filter(col("_tk"), x => x === t)) === 1)).as("n_hapax"),
+            aggregate(array_distinct(col("_tk")), lit(0L), (acc, t) =>
+              acc + size(filter(col("_tk"), x => x === t)).cast("long") *
+                size(filter(col("_tk"), x => x === t)).cast("long")).as("sum_sq")).as("a"),
           tokenProfile(col("text"), en).as("b"))
         .filter(col("a") =!= col("b"))
       assert(badTp.isEmpty, s"tokenProfile != composed: ${badTp.take(3).toSeq}")
