@@ -66,4 +66,36 @@ object VectorFunctions {
       graft.plans.L2DistSqExpr(
         org.apache.spark.sql.graft.bridge.expression(a),
         org.apache.spark.sql.graft.bridge.expression(c)))
+
+  /** PQ sub-space argmin (one native call replacing the interpreted
+    * transform+array_min+subSlice nest — [[graft.plans.PqArgminExpr]]):
+    * the 0-based winner position per subspace. */
+  def pqArgminIdx(emb: Column, cb: Column, subDim: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.PqArgminExpr(
+        org.apache.spark.sql.graft.bridge.expression(emb),
+        org.apache.spark.sql.graft.bridge.expression(cb), subDim, 0))
+
+  /** [[pqArgminIdx]] returning the winning CODE label per subspace. */
+  def pqArgminCode(emb: Column, cb: Column, subDim: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.PqArgminExpr(
+        org.apache.spark.sql.graft.bridge.expression(emb),
+        org.apache.spark.sql.graft.bridge.expression(cb), subDim, 1))
+
+  /** [[pqArgminIdx]] returning struct(code, idx, d2) per subspace. */
+  def pqArgminFull(emb: Column, cb: Column, subDim: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.PqArgminExpr(
+        org.apache.spark.sql.graft.bridge.expression(emb),
+        org.apache.spark.sql.graft.bridge.expression(cb), subDim, 2))
+
+  /** ADC gather-sum: sum over m of lut[m][cidx[m]] in m order, the
+    * exact IEEE fold of the composed zip_with+aggregate
+    * ([[graft.plans.AdcSumExpr]]). */
+  def adcSum(lut: Column, cidx: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.AdcSumExpr(
+        org.apache.spark.sql.graft.bridge.expression(lut),
+        org.apache.spark.sql.graft.bridge.expression(cidx)))
 }

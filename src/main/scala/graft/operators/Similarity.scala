@@ -1857,10 +1857,7 @@ object Similarity {
                                  cb: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents)).crossJoin(broadcast(cb))
       .withColumn("cell", array_min(cellStructsOf(col("embedding"))).getField("cell"))
-      .withColumn("cidx", transform(subIdxCol, m =>
-        array_min(transform(element_at(col("cb"), m + 1), (cw, i) =>
-          struct(l2distSq(subSlice(col("embedding"), m), cw.getField("svec")).as("d2"),
-                 cw.getField("code").as("code"), i.as("idx")))).getField("idx")))
+      .withColumn("cidx", pqArgminIdx(col("embedding"), col("cb"), SubDim))
       .drop("cents", "cb")
 
   /** Probe an IVF-PQ index with a query frame (q_id, q_emb): each
@@ -1888,10 +1885,7 @@ object Similarity {
     val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos_exact").desc, col("vec_id"))
     val cand = coded.join(broadcast(qlut), col("cell") === col("q_cell"))
     (if (excludeSelf) cand.filter(col("vec_id") =!= col("q_id")) else cand)
-      .withColumn("adc", aggregate(
-        zip_with(subIdxCol, col("cidx"), (m, ci) =>
-          element_at(element_at(col("lut"), m + 1), ci + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adc", adcSum(col("lut"), col("cidx")))
       .withColumn("short", row_number().over(wAdc))
       .filter(col("short") <= shortlist)
       .withColumn("cos_exact", cosine(col("embedding"), col("q_emb")))
@@ -2011,10 +2005,7 @@ object Similarity {
         pqIterateDense(resAsEmb, resSeed(resAsEmb), ResGrain), ResGrain)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val coded = res.crossJoin(broadcast(rcb))
-      .withColumn("cidx", transform(subIdxCol, m =>
-        array_min(transform(element_at(col("cb"), m + 1), (cw, i) =>
-          struct(l2distSq(subSlice(col("res"), m), cw.getField("svec")).as("d2"),
-                 cw.getField("code").as("code"), i.as("idx")))).getField("idx")))
+      .withColumn("cidx", pqArgminIdx(col("res"), col("cb"), SubDim))
       .select(col("vec_id"), col("cell"), col("embedding"), col("cidx"))
     ResidualIndex(cents, rcb, coded,
       () => { cents.unpersist(); res.unpersist(); rcb.unpersist(); () })
@@ -2032,10 +2023,7 @@ object Similarity {
       .withColumn("best", array_min(cellFullStructsOf(col("embedding"))))
       .withColumn("cell", col("best.cell"))
       .withColumn("_res", residual(col("embedding"), col("best.cvec")))
-      .withColumn("cidx", transform(subIdxCol, m =>
-        array_min(transform(element_at(col("cb"), m + 1), (cw, i) =>
-          struct(l2distSq(subSlice(col("_res"), m), cw.getField("svec")).as("d2"),
-                 cw.getField("code").as("code"), i.as("idx")))).getField("idx")))
+      .withColumn("cidx", pqArgminIdx(col("_res"), col("cb"), SubDim))
       .drop("cents", "cb", "best", "_res")
 
   /** Probe a residual IVF-PQ index: identical batch discipline to
@@ -2063,10 +2051,7 @@ object Similarity {
     val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos_exact").desc, col("vec_id"))
     val cand = coded.join(broadcast(qlut), col("cell") === col("q_cell"))
     (if (excludeSelf) cand.filter(col("vec_id") =!= col("q_id")) else cand)
-      .withColumn("adc", aggregate(
-        zip_with(subIdxCol, col("cidx"), (m, ci) =>
-          element_at(element_at(col("lut"), m + 1), ci + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adc", adcSum(col("lut"), col("cidx")))
       .withColumn("short", row_number().over(wAdc))
       .filter(col("short") <= shortlist)
       .withColumn("cos_exact", cosine(col("embedding"), col("q_emb")))
@@ -2110,11 +2095,7 @@ object Similarity {
                                grain: Int = 100): DataFrame =
     e.crossJoin(broadcast(cb))
       .select(col("embedding"),
-        transform(subIdxCol, m =>
-          array_min(transform(element_at(col("cb"), m + 1), cw =>
-            struct(l2distSq(subSlice(col("embedding"), m), cw.getField("svec")).as("d2"),
-                   cw.getField("code").as("code"))))
-            .getField("code")).as("codes"))
+        pqArgminCode(col("embedding"), col("cb"), SubDim).as("codes"))
       .select(col("embedding"), posexplode(col("codes")))
       .select(col("pos").as("m"), col("col").as("code"), col("embedding"))
       .select(col("m"), col("code"),
@@ -2144,11 +2125,7 @@ object Similarity {
       new graft.functions.VectorSumAggScaled(grain))
     e.crossJoin(broadcast(cb))
       .select(col("embedding"),
-        transform(subIdxCol, m =>
-          array_min(transform(element_at(col("cb"), m + 1), cw =>
-            struct(l2distSq(subSlice(col("embedding"), m), cw.getField("svec")).as("d2"),
-                   cw.getField("code").as("code"))))
-            .getField("code")).as("codes"))
+        pqArgminCode(col("embedding"), col("cb"), SubDim).as("codes"))
       .select(col("embedding"), posexplode(col("codes")))
       .select(col("pos").as("m"), col("col").as("code"),
         subSlice(col("embedding"), col("pos")).as("sl"))
@@ -2169,10 +2146,7 @@ object Similarity {
     * shuffle. */
   private[graft] def pqEncode(df: DataFrame, cb: DataFrame): DataFrame =
     df.crossJoin(broadcast(cb))
-      .withColumn("subbest", transform(subIdxCol, m =>
-        array_min(transform(element_at(col("cb"), m + 1), cw =>
-          struct(l2distSq(subSlice(col("embedding"), m), cw.getField("svec")).as("d2"),
-                 cw.getField("code").as("code"))))))
+      .withColumn("subbest", pqArgminFull(col("embedding"), col("cb"), SubDim))
       .withColumn("codes", concat_ws("-",
         transform(col("subbest"), b => b.getField("code").cast("string"))))
       .withColumn("recon_d2", aggregate(
@@ -2193,17 +2167,11 @@ object Similarity {
         transform(element_at(col("cb"), m + 1), cw =>
           l2distSq(subSlice(col("q_emb"), m), cw.getField("svec")))))
     e.crossJoin(broadcast(qlut))
-      .withColumn("subbest", transform(subIdxCol, m =>
-        array_min(transform(element_at(col("cb"), m + 1), (cw, i) =>
-          struct(l2distSq(subSlice(col("embedding"), m), cw.getField("svec")).as("d2"),
-                 cw.getField("code").as("code"),
-                 i.as("idx"))))))
+      .withColumn("subbest", pqArgminFull(col("embedding"), col("cb"), SubDim))
       .withColumn("codes", concat_ws("-",
         transform(col("subbest"), b => b.getField("code").cast("string"))))
-      .withColumn("adc", aggregate(
-        zip_with(subIdxCol, col("subbest"), (m, b) =>
-          element_at(element_at(col("lut"), m + 1), b.getField("idx") + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adc", adcSum(col("lut"),
+        transform(col("subbest"), b => b.getField("idx"))))
       .orderBy(col("adc").asc, col("vec_id")).limit(20)
       .withColumn("cos_exact", cosine(col("embedding"), col("q_emb")))
       .select(col("vec_id"), col("codes"), col("adc"), col("cos_exact"))

@@ -435,6 +435,62 @@ class PlanSpec extends SparkSpec {
     assert(f2.sameElements(c2), "double-double shape must match the HOF fold")
   }
 
+  test("native graft_pq_argmin and graft_adc_sum equal the composed HOF nests") {
+    GraftExtensions.register(spark)
+    import graft.functions.VectorFunctions
+    val e = Tables(spark, sfDir, "embeddings")
+    // a real codebook shape: 16 codewords per subspace, svec doubles,
+    // deliberately UNSORTED codes (17 - vec_id) so tie-break-by-code
+    // is exercised against non-positional order
+    val cb = e.orderBy(col("vec_id")).limit(16)
+      .select((lit(17) - col("vec_id").cast("int")).as("code"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      .agg(collect_list(struct(col("code"), col("cvec"))).as("cl"))
+      .select(transform(sequence(lit(0), lit(7)), m =>
+        transform(col("cl"), c => struct(c.getField("code").as("code"),
+          slice(c.getField("cvec"), m * lit(8) + 1, lit(8)).as("svec")))).as("cb"))
+    val base = e.crossJoin(broadcast(cb))
+    def subSlice(v: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column) =
+      slice(v, m * lit(8) + lit(1), lit(8))
+    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val subIdx = sequence(lit(0), lit(7))
+    val composed = base.select(col("vec_id"),
+        transform(subIdx, m =>
+          array_min(transform(element_at(col("cb"), m + 1), (cw, i) =>
+            struct(l2(subSlice(col("embedding"), m), cw.getField("svec")).as("d2"),
+              cw.getField("code").as("code"), i.as("idx"))))).as("mins"))
+      .select(col("vec_id"),
+        transform(col("mins"), b => b.getField("idx")).as("idxs"),
+        transform(col("mins"), b => b.getField("code")).as("codes"),
+        transform(col("mins"), b => b.getField("d2")).as("d2s"))
+    val fused = base.select(col("vec_id"),
+      VectorFunctions.pqArgminIdx(col("embedding"), col("cb"), 8).as("idxs"),
+      VectorFunctions.pqArgminCode(col("embedding"), col("cb"), 8).as("codes"),
+      VectorFunctions.pqArgminFull(col("embedding"), col("cb"), 8).as("full"))
+    val joined = fused.alias("f").join(composed.alias("c"), "vec_id")
+    val bad = joined.filter(
+      col("f.idxs") =!= col("c.idxs") || col("f.codes") =!= col("c.codes") ||
+      transform(col("f.full"), b => b.getField("idx")) =!= col("c.idxs") ||
+      transform(col("f.full"), b => b.getField("code")) =!= col("c.codes") ||
+      transform(col("f.full"), b => b.getField("d2")) =!= col("c.d2s"))
+    assert(bad.isEmpty, s"pq_argmin != composed: ${bad.take(3).toSeq}")
+    // adc: fused gather-sum vs the zip_with+aggregate fold, same LUT
+    val withLut = base.select(col("vec_id"),
+      VectorFunctions.pqArgminIdx(col("embedding"), col("cb"), 8).as("cidx"),
+      transform(subIdx, m =>
+        transform(element_at(col("cb"), m + 1), cw =>
+          l2(subSlice(col("embedding"), m), cw.getField("svec")))).as("lut"))
+    val badAdc = withLut.select(col("vec_id"),
+        VectorFunctions.adcSum(col("lut"), col("cidx")).as("a"),
+        aggregate(zip_with(subIdx, col("cidx"), (m, ci) =>
+          element_at(element_at(col("lut"), m + 1), ci + 1)),
+          lit(0.0), (acc, x) => acc + x).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(badAdc.isEmpty, s"adc_sum != composed: ${badAdc.take(3).toSeq}")
+  }
+
   test("native graft_dot expression participates in codegen") {
     GraftExtensions.register(spark)
     val df = spark.sql(
