@@ -104,6 +104,27 @@ object TextFunctions {
       graft.plans.TokenProfileExpr(
         org.apache.spark.sql.graft.bridge.expression(text), lexicon))
 
+  /** 16-byte md5 digests of every word k-gram window, hashed straight
+    * from the text bytes ([[graft.plans.WordGramMd5Expr]]) — a
+    * BIJECTION of `md5(explode(shingles(tokens(text), k)))` (same md5,
+    * binary instead of hex; same whole-document degenerate gram), so
+    * distinct/group-by/count structure downstream is value-identical
+    * while the words array, the interpreted shingle transform and the
+    * per-window gram/hex strings never exist. */
+  def gramMd5(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.WordGramMd5Expr(org.apache.spark.sql.graft.bridge.expression(text), k))
+
+  /** xxhash64 of every word k-gram window hashed straight from the
+    * text bytes, INCLUDING the whole-document degenerate gram
+    * ([[graft.plans.WordGramXxhTextExpr]]) — value-exact with
+    * `transform(shingles(tokens(text), k), xxhash64)`; set sizes on
+    * the longs equal the string-set sizes up to the documented
+    * P ~ n²/2^65 collision trade. */
+  def gramXxh(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.WordGramXxhTextExpr(org.apache.spark.sql.graft.bridge.expression(text), k))
+
   /** Word k-shingles joined by single spaces; documents shorter than k
     * words degenerate to one whole-document shingle (keeps the result
     * total, so no emptiness filter — and no filter means Catalyst never

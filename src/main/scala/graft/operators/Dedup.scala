@@ -574,9 +574,12 @@ object Dedup {
       // promotes to broadcast whenever the materialized side is
       // actually small.
       val cand = candidateEdges(docs(s, d))
+      // r13: shingle SETS as xxhash64 longs off the fused text-slice
+      // kernel — the verify's set ops only ever COUNT (intersect/size),
+      // so 8-byte longs replace ~30-byte gram strings in the arrays
+      // that ride two doc-keyed joins (the WordGramHashesExpr trade).
       val sets = Tables.spread(docs(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("words"))
-        .select(col("doc_id"), array_distinct(shingles(col("words"), 3)).as("sh"))
+        .select(col("doc_id"), array_distinct(gramXxh(col("text"), 3)).as("sh"))
       sets.select(col("doc_id").as("a"), col("sh").as("sh_a"))
         .join(cand, "a")
         .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
@@ -606,9 +609,12 @@ object Dedup {
     "dd08_estimate_audit" -> ((s, d) => {
       // Candidate table unhinted for the same O(corpus) reason as dd04.
       val cand = candidatePairs(docs(s, d))
+      // r13: shingle SETS as xxhash64 longs off the fused text-slice
+      // kernel — the verify's set ops only ever COUNT (intersect/size),
+      // so 8-byte longs replace ~30-byte gram strings in the arrays
+      // that ride two doc-keyed joins (the WordGramHashesExpr trade).
       val sets = Tables.spread(docs(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("words"))
-        .select(col("doc_id"), array_distinct(shingles(col("words"), 3)).as("sh"))
+        .select(col("doc_id"), array_distinct(gramXxh(col("text"), 3)).as("sh"))
       sets.select(col("doc_id").as("a"), col("sh").as("sh_a"))
         .join(cand, "a")
         .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
@@ -948,8 +954,7 @@ object Dedup {
     // Candidate table unhinted for the same O(corpus) reason as dd04.
     val cand = candidateEdges(docDf)
     val sets = Tables.spread(docDf)
-      .select(col("doc_id"), tokens(col("text")).as("words"))
-      .select(col("doc_id"), array_distinct(shingles(col("words"), 3)).as("sh"))
+      .select(col("doc_id"), array_distinct(gramXxh(col("text"), 3)).as("sh"))
     sets.select(col("doc_id").as("a"), col("sh").as("sh_a"))
       .join(cand, "a")
       .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
@@ -1119,10 +1124,13 @@ object Dedup {
     * retention thresholds), floored at 32 for near-disjoint pairs.
     */
   private def gatedSketchOverlap(docDf: DataFrame, theta: Boolean): DataFrame = {
+    // r13: the shingle stage is the fused text-slice kernel — 16-byte
+    // binary digests (a bijection of the md5 hex strings, so every
+    // count below is value-identical) with no words array, no
+    // interpreted shingle transform, no per-window gram/hex string;
+    // the distinct and the two group-bys carry half the key bytes.
     val e = Tables.spread(docDf)
-      .select(col("source"), tokens(col("text")).as("words"))
-      .select(col("source"), explode(shingles(col("words"), 3)).as("shingle"))
-      .select(col("source"), md5(col("shingle")).as("h"))
+      .select(col("source"), explode(gramMd5(col("text"), 3)).as("h"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = e.groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -1177,9 +1185,7 @@ object Dedup {
     // measured 18.4 s direct vs ~9 s through the deduped set on the
     // 64x blowup corpus (the shape gatedSketchOverlap landed with).
     val byH = Tables.spread(docDf)
-      .select(col("source"), tokens(col("text")).as("words"))
-      .select(col("source"), explode(shingles(col("words"), 3)).as("shingle"))
-      .select(col("source"), md5(col("shingle")).as("h"))
+      .select(col("source"), explode(gramMd5(col("text"), 3)).as("h"))
       .distinct()
       .groupBy(col("h"))
       .agg(array_sort(collect_set(col("source"))).as("srcs"))
@@ -1216,9 +1222,7 @@ object Dedup {
     * frame of intersections. */
   def sourceOverlapSketch(docDf: DataFrame): DataFrame = {
     val sk = Tables.spread(docDf)
-      .select(col("source"), tokens(col("text")).as("words"))
-      .select(col("source"), explode(shingles(col("words"), 3)).as("shingle"))
-      .select(col("source"), md5(col("shingle")).as("h"))
+      .select(col("source"), explode(gramMd5(col("text"), 3)).as("h"))
       .groupBy(col("source"))
       .agg(theta_sketch_agg(col("h"), 14).as("sk"))
     val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))

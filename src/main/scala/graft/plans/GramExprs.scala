@@ -1,0 +1,164 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+
+/** Shared word-boundary scan for the text-slice gram kernels.
+  *
+  * `split(text, " ")` cuts on every single 0x20 byte (empty tokens
+  * kept; 0x20 never occurs inside a multi-byte UTF-8 sequence), and
+  * `shingles` re-joins each k-window with single spaces — so every
+  * word k-gram IS the exact byte slice of the original text from the
+  * start of word `w` to the end of word `w+k-1`, including interior
+  * spaces (the TokenProfileExpr bigram observation generalized to any
+  * k). The composed `explode(shingles(tokens(text), k))` therefore
+  * materializes one words array + one gram STRING per window only to
+  * hash it; these kernels hash the slices in place.
+  *
+  * Degenerate docs replicate `shingles` exactly: fewer than k words
+  * yields ONE whole-document gram — and that gram is the whole text
+  * (concat_ws(" ", split(text, " ")) == text). A NULL document follows
+  * the composed form's value, not null-propagation: split(null) is
+  * null, shingles(null) takes its otherwise-branch, and
+  * concat_ws(" ", nullArray) is "" — i.e. one gram of the empty
+  * string, which is byte-identical to what the empty document
+  * produces, so both kernels map null to the empty-text result.
+  */
+private[plans] object GramSlices {
+  /** Word start offsets within `bytes` (0x20-separated, empties kept). */
+  def wordStarts(bytes: Array[Byte]): Array[Int] = {
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) nWords += 1; i += 1 }
+    val starts = new Array[Int](nWords + 1) // sentinel: starts(n) = len + 1
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(nWords) = bytes.length + 1
+    starts
+  }
+}
+
+/** 16-byte md5 digest of every word k-gram window of a document,
+  * hashed straight off the text bytes — the dd10/dd11/dd13 shingle
+  * stage without the words array, the interpreted `shingles`
+  * transform, or the per-window gram/hex strings. Returns
+  * array<binary>; the digests are a BIJECTION of the composed
+  * `md5(shingle)` hex strings (same md5, binary instead of hex), so
+  * every count, distinct and group-by downstream is value-identical
+  * and the exchanges carry 16 bytes instead of 32-char strings.
+  * CodegenFallback: one interpreted call per row is noise next to the
+  * per-window work it removes (the WinnowSelectExpr precedent).
+  */
+case class WordGramMd5Expr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"gram width must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_gram_md5 expects string, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    // null doc == empty doc in the composed form (see GramSlices doc)
+    val bytes =
+      if (v == null) Array.emptyByteArray
+      else v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val md = WordGramMd5Expr.digest.get()
+    val starts = GramSlices.wordStarts(bytes)
+    val nWords = starts.length - 1
+    if (nWords < k) {
+      md.reset()
+      return new GenericArrayData(Array[Any](md.digest(bytes)))
+    }
+    val out = new Array[Any](nWords - k + 1)
+    var w = 0
+    while (w <= nWords - k) {
+      val s = starts(w)
+      val e = starts(w + k) - 2 // end of word w+k-1 (exclusive bound - separator)
+      md.reset()
+      md.update(bytes, s, e - s + 1)
+      out(w) = md.digest()
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramMd5Expr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_gram_md5"
+}
+
+object WordGramMd5Expr {
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+}
+
+/** xxhash64 (seed 42, the built-in's) of every word k-gram window of a
+  * document, hashed straight off the text bytes, WITH the `shingles`
+  * whole-document degenerate gram — the dd04/dd07/dd08 shingle-set
+  * stage without the words array, the interpreted transform, or the
+  * per-window gram strings. Value-exact with
+  * `transform(shingles(tokens(text), k), g => xxhash64(g))`; set
+  * operations on the longs (distinct/intersect sizes) equal the
+  * string-set counts up to 64-bit collisions (P ~ n²/2^65 — the
+  * documented WordGramHashesExpr/tx18 trade; the raw-gram DuckDB
+  * oracle pins agreement at the checked SFs).
+  */
+case class WordGramXxhTextExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"gram width must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_gram_xxh expects string, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val bytes =
+      if (v == null) Array.emptyByteArray
+      else v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val starts = GramSlices.wordStarts(bytes)
+    val nWords = starts.length - 1
+    if (nWords < k)
+      return new GenericArrayData(
+        Array(XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)))
+    val out = new Array[Long](nWords - k + 1)
+    var w = 0
+    while (w <= nWords - k) {
+      val s = starts(w)
+      val e = starts(w + k) - 2
+      out(w) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + s, e - s + 1, 42L)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramXxhTextExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_gram_xxh"
+}

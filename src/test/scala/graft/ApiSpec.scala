@@ -1716,6 +1716,46 @@ class ApiSpec extends SparkSpec {
     assert(edge.isEmpty, "gramHashes must match on degenerate docs")
   }
 
+  test("gramMd5 text-slice kernel equals unhex(md5) over the composed shingles") {
+    import graft.functions.TextFunctions.{gramMd5, shingles, tokens}
+    def composed(text: org.apache.spark.sql.Column) =
+      transform(shingles(tokens(text), 3), s => unhex(md5(s)))
+    val bad = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), composed(col("text")).as("a"), gramMd5(col("text"), 3).as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(bad.isEmpty, s"gramMd5 != composed: ${bad.take(3).toSeq}")
+    // degenerate shapes: sub-k docs (whole-document gram), exactly k,
+    // empty string, adjacent/leading/trailing separators (empty tokens
+    // join exactly as concat_ws emits them — the gram IS the text
+    // slice), null (composed yields one md5("") gram via concat_ws of
+    // a null array — the kernel maps null to the empty-text result),
+    // and multi-byte UTF-8 around the spaces
+    import spark.implicits._
+    val edge = Seq("one two", "a b c", "", " ", "a  b c ", " a b c", null,
+        "αα β𝄞 γ δ", "solo")
+      .toDF("text")
+      .select(composed(col("text")).as("a"), gramMd5(col("text"), 3).as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(edge.isEmpty, "gramMd5 must match on degenerate docs")
+  }
+
+  test("gramXxh text-slice kernel equals xxhash64 over the composed shingles") {
+    import graft.functions.TextFunctions.{gramXxh, shingles, tokens}
+    def composed(text: org.apache.spark.sql.Column) =
+      transform(shingles(tokens(text), 3), s => xxhash64(s))
+    val bad = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), composed(col("text")).as("a"), gramXxh(col("text"), 3).as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(bad.isEmpty, s"gramXxh != composed: ${bad.take(3).toSeq}")
+    import spark.implicits._
+    val edge = Seq("one two", "a b c", "", " ", "a  b c ", " a b c", null,
+        "αα β𝄞 γ δ", "solo")
+      .toDF("text")
+      .select(composed(col("text")).as("a"), gramXxh(col("text"), 3).as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(edge.isEmpty, "gramXxh must match on degenerate docs")
+  }
+
   test("termCounts kernel equals the composed split+filter term frequencies") {
     import graft.functions.TextFunctions.termCounts
     val terms = Seq("vector", "join", "scan")
