@@ -1649,15 +1649,6 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val wCos = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    // lazy localCheckpoint, not persist: the shortlist feeds psim and
-    // every greedy step; checkpoint blocks release on driver GC
-    // (GroupPrefix's lifecycle discipline), and each step below
-    // truncates to a materialized leaf so the unrolled plan never
-    // nests (the dd06/kmeansTrain loop rule — without it the 4-step
-    // union embeds ~200 shortlist-domain exchanges of pure task
-    // overhead). Construction therefore EXECUTES the greedy steps
-    // eagerly (tx27's documented timing caveat applies to probes that
-    // time only the post-construction action).
     // self-exclusion assumes queries share the corpus id space (the
     // ss29 form); external-id batches pass excludeSelf = false so a
     // coincidental id collision cannot drop an unrelated vector
@@ -1669,39 +1660,25 @@ object Similarity {
       .withColumn("rn", row_number().over(wCos)).filter(col("rn") <= shortlist)
       .select(col("q_id"), col("vec_id"),
         floor(col("cos") * 1000).cast("long").as("rel_milli"), col("embedding"))
-      .localCheckpoint(false)
-    val psim = short.select(col("q_id"), col("vec_id").as("a"), col("embedding").as("ea"))
-      .join(short.select(col("q_id"), col("vec_id").as("b"), col("embedding").as("eb")), "q_id")
-      .filter(col("a") =!= col("b"))
-      .select(col("q_id"), col("a"), col("b"),
-        floor(cosine(col("ea"), col("eb")) * 1000).cast("long").as("sim_milli"))
-    val wPick = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    var sel = short
-      .withColumn("score", col("rel_milli"))
-      .withColumn("prn", row_number().over(wPick)).filter(col("prn") === 1)
-      .select(col("q_id"), col("vec_id"), col("rel_milli"),
-        col("score").as("mmr_milli"), lit(1).as("pick"))
-      .localCheckpoint(true)
-    var picks = Seq(sel)
-    (2 to k).foreach { p =>
-      val penalty = psim
-        .join(sel.select(col("q_id"), col("vec_id").as("b")), Seq("q_id", "b"))
-        .groupBy(col("q_id"), col("a"))
-        .agg(max(col("sim_milli")).as("penalty"))
-        .withColumnRenamed("a", "vec_id")
-      val next = short.select(col("q_id"), col("vec_id"), col("rel_milli"))
-        .join(sel.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
-        .join(penalty, Seq("q_id", "vec_id"))
-        .withColumn("score", col("rel_milli") - col("penalty"))
-        .withColumn("prn", row_number().over(wPick)).filter(col("prn") === 1)
-        .select(col("q_id"), col("vec_id"), col("rel_milli"),
-          col("score").as("mmr_milli"), lit(p).as("pick"))
-        .localCheckpoint(true)
-      picks = picks :+ next
-      sel = sel.unionByName(next)
-    }
-    picks.reduce(_ unionByName _)
+    // r13: the greedy loop runs IN-ROW ([[graft.plans.MmrPicksExpr]]).
+    // Selection is per-query over a construction-bounded shortlist, so
+    // the former unrolled form — a shortlist² pairwise-cosine join,
+    // then per pick an anti-join + penalty join/agg + rank window +
+    // EAGER localCheckpoint (the nesting guard) — was ~5 driver-
+    // synchronized job chains over |Q|·shortlist-row frames. Collect
+    // the query's candidates (the group-by rides the shortlist
+    // window's q_id partitioning — no new exchange) and pick greedily
+    // in one call, score math and tie-breaks replicated exactly (the
+    // kernel's scaladoc states the equivalences; ApiSpec pins
+    // kernel == composed including the null algebra).
+    val cands = short.groupBy(col("q_id"))
+      .agg(collect_list(struct(col("vec_id"), col("rel_milli"), col("embedding"))).as("cands"))
+    cands.select(col("q_id"),
+        explode(org.apache.spark.sql.graft.bridge.column(graft.plans.MmrPicksExpr(
+          org.apache.spark.sql.graft.bridge.expression(col("cands")), k))).as("p"))
+      .select(col("q_id"), col("p.vec_id").as("vec_id"),
+        col("p.rel_milli").as("rel_milli"), col("p.mmr_milli").as("mmr_milli"),
+        col("p.pick").as("pick"))
   }
 
   /** Iteration-bounded label propagation over a directed edge frame

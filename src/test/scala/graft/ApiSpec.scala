@@ -1179,6 +1179,27 @@ class ApiSpec extends SparkSpec {
     assert(picks(1) == 3L, s"pick 2 must be the diverse vector, got $picks")
   }
 
+  test("mmr greedy kernel: ties break to the smaller id and short batches stop early") {
+    import spark.implicits._
+    // two EQUAL vectors tie on relevance: pick 1 must take the smaller
+    // id (the rank window's vec_id tie-break); with only 2 candidates
+    // and k = 4 the picks stop at 2 (the composed form's inner penalty
+    // join yielded no rows once every candidate was selected)
+    val corpus = Seq(
+      (7L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val query = Seq((100L, Array(1.0f, 0.0f))).toDF("qid", "qemb")
+    val picks = corpus.mmrTopK("vec_id", "embedding", query, "qid", "qemb",
+        shortlist = 8, k = 4)
+      .orderBy("pick").collect()
+    assert(picks.length == 2, "picks must stop at the candidate count")
+    assert(picks(0).getAs[Long]("vec_id") == 3L, "tie breaks to the smaller id")
+    assert(picks(1).getAs[Long]("vec_id") == 7L)
+    // identical vectors: sim = 1000 milli, so pick 2's mmr = rel - 1000
+    assert(picks(1).getAs[Long]("mmr_milli") == picks(1).getAs[Long]("rel_milli") - 1000L)
+  }
+
   test("balancedShards verb: snake sums within one max-item of ideal, beats hash sharding") {
     import spark.implicits._
     val t = Tables.spread(Tables(spark, sfDir, "documents"))
