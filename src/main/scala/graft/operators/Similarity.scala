@@ -1021,10 +1021,17 @@ object Similarity {
       val dtab = Tables.spread(Tables(s, d, "documents"))
       val e = emb(s, d)
       val n = dtab.agg(count(lit(1)).as("n_docs"))
+      // r13: per-doc term counts computed IN the row (TermCountsExpr,
+      // the tx22 form): no split of every token, no per-token filter,
+      // and the (doc, term) hash-agg exchange disappears
       val tf = dtab
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-        .filter(col("w").isin(terms: _*))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.termCounts(
+            lower(col("text")), terms)))
+        .filter(col("col") > 0)
+        .select(col("doc_id"),
+          element_at(typedLit(terms), col("pos") + 1).as("w"),
+          col("col").cast("long").as("tf"))
       val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(n))
         .select(col("w"), expr("(1000000 * n_docs) DIV df").as("idf_sc"))
