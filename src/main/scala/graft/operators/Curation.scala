@@ -793,13 +793,13 @@ object Curation {
         .select(explode(split(lower(col("text")), " ")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // r13: native bigram census (the tx25 rework) — Σ wcnt·c over
+      // distinct bigrams equals the per-position sum exactly
       val top1 = wf
         .select(col("wcnt"),
-          explode(when(length(col("word")) >= 2,
-            transform(sequence(lit(1), length(col("word")) - 1),
-              i => col("word").substr(i, lit(2))))
-            .otherwise(typedLit(Seq.empty[String]))).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("wcnt")).as("pc"))
+          explode(graft.functions.TextFunctions.bigramCounts(col("word"))).as("p"))
+        .groupBy(col("p.bg").as("pair"))
+        .agg(sum(col("wcnt") * col("p.c")).as("pc"))
         .orderBy(col("pc").desc, col("pair")).limit(1)
         .select(col("pair").as("merged"))
       val applied = wf.crossJoin(broadcast(top1))
@@ -1004,13 +1004,18 @@ object Curation {
         .select(explode(split(lower(col("text")), " ")).as("w0"))
         .groupBy(col("w0")).agg(count(lit(1)).as("wcnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // r13: the per-word pair census rides the native bigram kernel
+      // (tx08's BigramCountsExpr): distinct bigrams with counts in one
+      // pass, so the explode carries ~0.3 rows/char instead of one row
+      // per position and the interpreted substr transform disappears.
+      // Σ wcnt·c over distinct bigrams == Σ wcnt over positions, the
+      // exact same census (sub-2-char words yield an empty array, the
+      // old otherwise-branch).
       def top(df: DataFrame, wcol: String, i: Int): DataFrame = df
         .select(col("wcnt"),
-          explode(when(length(col(wcol)) >= 2,
-            transform(sequence(lit(1), length(col(wcol)) - 1),
-              j => col(wcol).substr(j, lit(2))))
-            .otherwise(typedLit(Seq.empty[String]))).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("wcnt")).as("pc"))
+          explode(graft.functions.TextFunctions.bigramCounts(col(wcol))).as("p"))
+        .groupBy(col("p.bg").as("pair"))
+        .agg(sum(col("wcnt") * col("p.c")).as("pc"))
         .orderBy(col("pc").desc, col("pair")).limit(1)
         .select(col("pair").as(s"m$i"), col("pc").as(s"pc$i"))
       // each merged vocab persists: round i+1's census AND the next
@@ -1203,13 +1208,13 @@ object Curation {
     val wf = docDf
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    // r13: native bigram census (the tx25 rework) — Σ wcnt·c over
+    // distinct bigrams equals the per-position sum exactly
     val pairs = wf
       .select(col("wcnt"),
-        explode(when(length(col("word")) >= 2,
-          transform(sequence(lit(1), length(col("word")) - 1),
-            i => col("word").substr(i, lit(2))))
-          .otherwise(typedLit(Seq.empty[String]))).as("pair"))
-      .groupBy(col("pair")).agg(sum(col("wcnt")).as("pair_count"))
+        explode(graft.functions.TextFunctions.bigramCounts(col("word"))).as("p"))
+      .groupBy(col("p.bg").as("pair"))
+      .agg(sum(col("wcnt") * col("p.c")).as("pair_count"))
     val rw = Window.orderBy(col("pair_count").desc, col("pair"))
     pairs.orderBy(col("pair_count").desc, col("pair")).limit(topK)
       .withColumn("rank", row_number().over(rw))
