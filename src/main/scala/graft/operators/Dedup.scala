@@ -975,22 +975,24 @@ object Dedup {
     * (doc_id, gh). Per-row array compute at scan speed — no window
     * function, no position explode. */
   def winnowFingerprints(docDf: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
-    // Native single-pass kernel ([[graft.plans.WinnowSelectExpr]]):
-    // md5 each gram ONCE, window minima from a monotonic deque (ties
-    // to the rightmost position — the paper's robust rule), distinct
-    // selected digests out. The composed HOF form is an O(n² w)
-    // trap: Catalyst inlines the gram-hash projection into every
-    // element_at of the window lambda (chained selects do not stop
-    // it), re-hashing the whole array per element in interpreted
-    // eval — measured ~100 s for sf0.001's documents vs sub-second
-    // here.
+    // Native single-pass kernel ([[graft.plans.WinnowTextExpr]], the
+    // r13 text-slice form of WinnowSelectExpr): grams are hashed
+    // straight off the text bytes (no words array, no interpreted
+    // shingle transform, no per-window gram string), window minima
+    // from a monotonic deque (ties to the rightmost position — the
+    // paper's robust rule), distinct selected digests out as 16-byte
+    // binaries (a bijection of the old hex strings — the fingerprints
+    // never leave winnowPairs, so the group-by/count structure is
+    // value-identical and the gh exchange carries half the bytes).
+    // The composed HOF form was an O(n² w) trap: Catalyst inlined the
+    // gram-hash projection into every element_at of the window lambda,
+    // re-hashing the whole array per element in interpreted eval —
+    // measured ~100 s for sf0.001's documents vs sub-second here.
     docDf
-      .select(col("doc_id"), tokens(col("text")).as("words"))
-      .select(col("doc_id"), shingles(col("words"), k).as("sh"))
       .select(col("doc_id"),
         explode(org.apache.spark.sql.graft.bridge.column(
-          graft.plans.WinnowSelectExpr(
-            org.apache.spark.sql.graft.bridge.expression(col("sh")), w))).as("gh"))
+          graft.plans.WinnowTextExpr(
+            org.apache.spark.sql.graft.bridge.expression(col("text")), k, w))).as("gh"))
 
   /** Doc pairs sharing >= `minShared` winnowing fingerprints (dd16's
     * kernel): fingerprint groups -> sorted doc set -> pair explode —

@@ -110,6 +110,105 @@ object WordGramMd5Expr {
   private val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
+  private[plans] def sharedDigest: MessageDigest = digest.get()
+}
+
+/** Robust-winnowing fingerprint selection straight off the text bytes
+  * — [[WinnowSelectExpr]]'s deque select fused with the text-slice
+  * gram walk (the dd16 kernel, r13 form). Each word k-gram window's
+  * md5 is computed from its text slice (byte-identical to md5 of the
+  * composed gram string), a `w`-hash window selects its minimum
+  * digest with ties to the RIGHTMOST position (Schleimer 2003 §3),
+  * and the result is the DISTINCT selected digests as 16-byte
+  * BINARIES — a bijection of the old hex strings (the fingerprints
+  * never leave the operator: winnowPairs group-by/count structure is
+  * value-identical, and the gh exchanges carry half the bytes).
+  * Windows shorter than `w` clip to one whole-array window; documents
+  * shorter than `k` words degenerate to one whole-document gram; null
+  * documents follow the composed form's empty-text value (see
+  * [[GramSlices]]).
+  */
+case class WinnowTextExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"gram width must be >= 1, got $k")
+  require(w >= 1, s"winnow window must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_winnow_text expects string, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val bytes =
+      if (v == null) Array.emptyByteArray
+      else v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val md = WordGramMd5Expr.sharedDigest
+    val starts = GramSlices.wordStarts(bytes)
+    val nWords = starts.length - 1
+    val dg: Array[Array[Byte]] =
+      if (nWords < k) {
+        md.reset()
+        Array(md.digest(bytes))
+      } else {
+        val out = new Array[Array[Byte]](nWords - k + 1)
+        var g = 0
+        while (g <= nWords - k) {
+          val s = starts(g)
+          val e = starts(g + k) - 2
+          md.reset()
+          md.update(bytes, s, e - s + 1)
+          out(g) = md.digest()
+          g += 1
+        }
+        out
+      }
+    val n = dg.length
+    // dg(a) < dg(b), unsigned byte-wise == lowercase-hex lexicographic
+    def less(a: Int, b: Int): Boolean = {
+      val x = dg(a); val y = dg(b)
+      var j = 0
+      while (j < 16) {
+        val xv = x(j) & 0xFF; val yv = y(j) & 0xFF
+        if (xv != yv) return xv < yv
+        j += 1
+      }
+      false
+    }
+    val winW = math.min(w, n)
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    val seen = new java.util.LinkedHashSet[(Long, Long)]()
+    val sel = new scala.collection.mutable.ArrayBuffer[Array[Byte]](8)
+    def key(d: Array[Byte]): (Long, Long) = {
+      var hi = 0L; var lo = 0L
+      var j = 0
+      while (j < 8) { hi = (hi << 8) | (d(j) & 0xFFL); lo = (lo << 8) | (d(j + 8) & 0xFFL); j += 1 }
+      (hi, lo)
+    }
+    var i = 0
+    while (i < n) {
+      while (tail > head && !less(dq(tail - 1), i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (i >= winW - 1) {
+        while (dq(head) <= i - winW) head += 1
+        val d = dg(dq(head))
+        if (seen.add(key(d))) sel += d
+      }
+      i += 1
+    }
+    new GenericArrayData(sel.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowTextExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_winnow_text"
 }
 
 /** xxhash64 (seed 42, the built-in's) of every word k-gram window of a

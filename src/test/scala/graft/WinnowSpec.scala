@@ -32,10 +32,13 @@ class WinnowSpec extends SparkSpec {
     if (tokens.length >= 3) tokens.sliding(3).map(_.mkString(" ")).toSeq
     else Seq(tokens.mkString(" "))
 
+  // gh is a 16-byte binary digest since r13 (a bijection of the hex
+  // form); hex it here so the naive reference stays readable
   private def kernel(texts: Seq[(Long, String)], w: Int): Map[Long, Set[String]] =
     graft.operators.Dedup
       .winnowFingerprints(spark.createDataFrame(texts).toDF("doc_id", "text"), 3, w)
-      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).map(b => f"$b%02x").mkString))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
 
   test("kernel equals the naive reference on randomized token streams") {
