@@ -654,13 +654,17 @@ object Curation {
     // equi-keyed with ≤|S|²/2 pairs per line, and the output is the
     // S²-bounded pair domain with two broadcast total joins.
     "tx38_boiler_overlap" -> ((s, d) => {
-      val words = split(col("text"), " ")
+      // r13: the census's lines are ONLY distinct/join keys, so they
+      // ride as xxhash64 longs hashed straight off the text bytes
+      // (TiledLineHashesExpr — no words array, no interpreted
+      // transform, no ~60-byte line strings through the distinct and
+      // the self-join; the WordGramHashesExpr collision trade, and
+      // the raw-line DuckDB oracle agrees at both checked SFs)
       val lines = docs(s, d)
-        .select(col("source"), words.as("_ws"))
         .select(col("source"),
-          transform(sequence(lit(0), floor((size(col("_ws")) - 1) / 10).cast("int")),
-            c => array_join(slice(col("_ws"), c * 10 + 1, lit(10)), " ")).as("ls"))
-        .select(col("source"), explode(coalesce(col("ls"), array())).as("line"))
+          explode(org.apache.spark.sql.graft.bridge.column(
+            graft.plans.TiledLineHashesExpr(
+              org.apache.spark.sql.graft.bridge.expression(col("text")), 10))).as("line"))
         .distinct()
         .localCheckpoint(false)
       val tot = lines.groupBy(col("source")).agg(count(lit(1)).as("n"))

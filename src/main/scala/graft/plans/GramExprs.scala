@@ -113,6 +113,58 @@ object WordGramMd5Expr {
   private[plans] def sharedDigest: MessageDigest = digest.get()
 }
 
+/** xxhash64 (seed 42) of every TILED `width`-word line of a document,
+  * hashed straight off the text bytes — the tx16/tx31/tx38 line
+  * chunker (`transform(sequence(0, (n−1) div width), c ->
+  * array_join(slice(ws, c·width+1, width), " "))`) fused with the
+  * hash for consumers whose lines are ONLY distinct/join keys (tx38's
+  * source-overlap census). Each tile is the exact text byte slice
+  * from its first word's start to its last word's end (single-0x20
+  * separators, the [[GramSlices]] observation), so no words array, no
+  * interpreted transform, no line string. Value-exact with
+  * `transform(lines, xxhash64)`; a NULL document yields an EMPTY
+  * array (the composed form's sequence(0, null) → null → coalesce →
+  * zero rows after explode), while an empty document yields one empty
+  * line, exactly as size([""]) = 1 does.
+  */
+case class TiledLineHashesExpr(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(width >= 1, s"line width must be >= 1, got $width")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_line_hashes expects string, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new GenericArrayData(Array.empty[Long])
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val starts = GramSlices.wordStarts(bytes)
+    val nWords = starts.length - 1
+    val nLines = (nWords - 1) / width + 1
+    val out = new Array[Long](nLines)
+    var c = 0
+    while (c < nLines) {
+      val s = starts(c * width)
+      val lastWord = math.min(c * width + width - 1, nWords - 1)
+      val e = starts(lastWord + 1) - 2
+      out(c) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + s, e - s + 1, 42L)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TiledLineHashesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_line_hashes"
+}
+
 /** Robust-winnowing fingerprint selection straight off the text bytes
   * — [[WinnowSelectExpr]]'s deque select fused with the text-slice
   * gram walk (the dd16 kernel, r13 form). Each word k-gram window's

@@ -1777,6 +1777,35 @@ class ApiSpec extends SparkSpec {
     assert(edge.isEmpty, "gramXxh must match on degenerate docs")
   }
 
+  test("tiled line-hash kernel equals xxhash64 over the composed 10-word lines") {
+    def kernel(text: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.bridge.column(
+        graft.plans.TiledLineHashesExpr(
+          org.apache.spark.sql.graft.bridge.expression(text), 10))
+    def composed(text: org.apache.spark.sql.Column) = {
+      val ws = split(text, " ")
+      coalesce(transform(
+        sequence(lit(0), floor((size(ws) - 1) / 10).cast("int")),
+        c => xxhash64(array_join(slice(ws, c * lit(10) + 1, lit(10)), " "))),
+        typedLit(Seq.empty[Long]))
+    }
+    val bad = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), composed(col("text")).as("a"), kernel(col("text")).as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(bad.isEmpty, s"lineHashes != composed: ${bad.take(3).toSeq}")
+    // degenerate shapes: null (composed sequence(0, null) -> null ->
+    // coalesce empty; kernel empty), empty string (one empty line),
+    // exactly 10 words, 11 words (short tail tile), adjacent
+    // separators (empty tokens tile exactly as split emits them)
+    import spark.implicits._
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val edge = Seq(null, "", " ", "solo", ten, ten + " tail", "a  b " + ten)
+      .toDF("text")
+      .select(composed(col("text")).as("a"), kernel(col("text")).as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(edge.isEmpty, "lineHashes must match on degenerate docs")
+  }
+
   test("termCounts kernel equals the composed split+filter term frequencies") {
     import graft.functions.TextFunctions.termCounts
     val terms = Seq("vector", "join", "scan")
