@@ -64,6 +64,16 @@ object TextFunctions {
     org.apache.spark.sql.graft.bridge.column(
       graft.plans.CdcCutsExpr(org.apache.spark.sql.graft.bridge.expression(text)))
 
+  /** The whole CDC chunking — boundary rule + per-chunk md5 — in one
+    * byte pass (array<struct<digest: binary, clen: long>>,
+    * [[graft.plans.CdcChunksExpr]]): digests are a bijection of the
+    * composed `md5(substr(..))` hex strings (binary16 instead of
+    * 32-char hex), so chunk-domain group-bys/joins are value-identical
+    * while the exchanges carry half the key bytes. */
+  def cdcChunks(text: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.CdcChunksExpr(org.apache.spark.sql.graft.bridge.expression(text)))
+
   /** xxhash64 of every word k-gram window, hashed straight from the
     * word bytes ([[graft.plans.WordGramHashesExpr]]) — value-exact
     * with `transform(grams5(words), g => xxhash64(g))` but the gram

@@ -193,13 +193,16 @@ object Curation {
       // (cnt desc, word asc) tie-break, bigram census) in ONE native
       // byte pass (TokenProfileExpr) — replaces the corpus-words
       // explode + (doc, word) agg + per-doc window + the interpreted
-      // bigram transform + two array_distinct passes. The isNotNull
-      // filter keeps the old inner-join semantics (a null-text doc
-      // produced no word rows and dropped out).
+      // bigram transform + two array_distinct passes. The text
+      // isNotNull filter keeps the old inner-join semantics (a
+      // null-text doc produced no word rows and dropped out) — it
+      // replaced a filter on the DERIVED struct, which the optimizer
+      // pushed below the exchange and re-evaluated the kernel for
+      // (profile(text) is null iff text is null: nullIntolerant).
       val tp = graft.functions.TextFunctions.tokenProfile(
         lower(col("text")), Seq.empty)
-      docs(s, d).select(col("doc_id"), tp.as("_tp"))
-        .filter(col("_tp").isNotNull)
+      docs(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), tp.as("_tp"))
         .select(col("doc_id"),
           col("_tp").getField("n_words").cast("long").as("n_words"),
           col("_tp").getField("top_word").as("top_word"),
@@ -929,7 +932,16 @@ object Curation {
           graft.functions.TextFunctions.termCounts(
             lower(col("text")), terms).as("tc"))
       val st = wd.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-      val tf = wd.select(col("doc_id"), col("dl"), posexplode(col("tc")))
+      // posexplode_OUTER: tc is never null and always |terms| long, so
+      // outer ≡ inner here — but the inner form lets
+      // InferFiltersFromGenerate add `size(tc) > 0 AND isnotnull(tc)`
+      // below the generate, where predicate pushdown substitutes the
+      // alias and the term-counts kernel runs a second time per
+      // corpus row in BOTH tf scan branches (a vacuous filter: size
+      // is constantly 3). Outer generates skip that inference; the
+      // col > 0 filter drops the (null, null) row a null tc would
+      // emit, so the output is bit-identical either way.
+      val tf = wd.select(col("doc_id"), col("dl"), posexplode_outer(col("tc")))
         .filter(col("col") > 0)
         .select(col("doc_id"), col("dl"),
           element_at(typedLit(terms), col("pos") + 1).as("w"),

@@ -290,31 +290,28 @@ object Dedup {
     * 1,000,003 — pure integer arithmetic the DuckDB oracle recomputes
     * window-by-window), giving ~16-char expected chunks; the doc tail
     * always closes the last chunk; docs shorter than the window are
-    * one whole-doc chunk. The cut positions come from the native
-    * single-pass rolling kernel ([[graft.plans.CdcCutsExpr]] — the
+    * one whole-doc chunk. Boundary rule AND per-chunk digests come
+    * from ONE native byte pass ([[graft.plans.CdcChunksExpr]] — the
     * first form md5'd an 8-char substring PER CHARACTER, the
-    * BigramCountsExpr hazard class, and measured 4.9x on the 64x
-    * endpoints harness); everything else is per-row array compute at
-    * scan speed, and the exploded rows carry (digest, length) ONLY —
-    * the text never rides the explode (the tx18 discipline). */
+    * BigramCountsExpr hazard class, measured 4.9x on the 64x
+    * endpoints harness; the r13 form rolled the cuts natively but
+    * still ran one interpreted transform lambda + substr + md5-hex
+    * per CHUNK). Digests ride the explode and the chunk-domain
+    * exchanges as 16-byte binaries (a bijection of the md5 hex
+    * strings — every count/distinct/join downstream is
+    * value-identical), and the text never rides the explode (the
+    * tx18 discipline). explode_OUTER so InferFiltersFromGenerate
+    * does not re-derive the chunk kernel in a vacuous size() filter
+    * below the generate (chs is never null, and for len > 0 never
+    * empty, so outer ≡ inner here). */
   private[graft] def cdcChunkRows(docDf: DataFrame): DataFrame = {
-    docDf.select(col("doc_id"), col("text").as("t"),
-        length(col("text")).cast("int").as("len"))
+    docDf.select(col("doc_id"),
+        length(col("text")).cast("int").as("len"),
+        graft.functions.TextFunctions.cdcChunks(col("text")).as("chs"))
       .filter(col("len") > 0)
-      .withColumn("cuts", graft.functions.TextFunctions.cdcCuts(col("t")))
-      .withColumn("ends",
-        when(size(col("cuts")) > 0 && element_at(col("cuts"), -1) === col("len"),
-          col("cuts"))
-          .otherwise(concat(col("cuts"), array(col("len")))))
-      .withColumn("ch", explode(transform(col("ends"), (e, j) =>
-        struct(
-          md5(col("t").substr(
-            when(j === 0, lit(0)).otherwise(element_at(col("ends"), j)) + 1,
-            e - when(j === 0, lit(0)).otherwise(element_at(col("ends"), j))))
-            .as("digest"),
-          (e - when(j === 0, lit(0)).otherwise(element_at(col("ends"), j)))
-            .cast("long").as("clen")))))
       .select(col("doc_id"), col("len").cast("long").as("len"),
+        explode_outer(col("chs")).as("ch"))
+      .select(col("doc_id"), col("len"),
         col("ch.digest").as("digest"), col("ch.clen").as("clen"))
   }
 

@@ -31,6 +31,17 @@ import org.apache.spark.storage.StorageLevel
   * `mapInPandas` batch decoder takes at 100 TB.
   */
 object Multimodal {
+  /** Thread-local reused zlib handles for the PNG synth/decode stubs:
+    * `reset()` per row gives byte-identical streams (same level, same
+    * input) while the native allocation happens once per executor
+    * thread, not once per document. */
+  private[operators] val sharedDeflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater = new java.util.zip.Deflater()
+  }
+  private[operators] val sharedInflater = new ThreadLocal[java.util.zip.Inflater] {
+    override def initialValue(): java.util.zip.Inflater = new java.util.zip.Inflater()
+  }
+
   /** Input row for the batch decoder. */
   case class MediaIn(doc_id: Long, payload: Array[Byte])
   /** Decoded metadata row: everything parsed from the payload bytes.
@@ -212,12 +223,17 @@ object Multimodal {
       }
       y += 1
     }
-    val defl = new java.util.zip.Deflater()
+    // thread-local REUSED deflater (reset() per row): same level, same
+    // input => byte-identical IDAT, but the native zlib handle is
+    // allocated once per executor thread instead of once per ROW —
+    // the decode stage's dominant allocation (mm08/mm09/mm10/mm12
+    // synthesize one PNG per doc)
+    val defl = Multimodal.sharedDeflater.get()
+    defl.reset()
     defl.setInput(filtered); defl.finish()
     val bout = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](4096)
     while (!defl.finished()) bout.write(buf, 0, defl.deflate(buf))
-    defl.end()
     PngSig ++
       pngChunk("IHDR", be32(w) ++ be32(ht) ++ bytes(8, 0, 0, 0, 0)) ++
       pngChunk("IDAT", bout.toByteArray) ++
@@ -256,7 +272,10 @@ object Multimodal {
       }
     }
     if (!ok || w <= 0 || ht <= 0) return None
-    val inf = new java.util.zip.Inflater()
+    // thread-local REUSED inflater (reset() per row) — see the
+    // sharedDeflater note in mkPngPixels
+    val inf = Multimodal.sharedInflater.get()
+    inf.reset()
     inf.setInput(idat.toByteArray)
     val filtered = new Array[Byte](ht * (w + 1))
     var got = 0
@@ -265,7 +284,6 @@ object Multimodal {
       if (n == 0 && inf.needsInput()) return None // truncated stream
       got += n
     }
-    inf.end()
     if (got < filtered.length) return None
     val out = new Array[Byte](ht * w)
     var y = 0

@@ -518,8 +518,14 @@ object Pipeline {
       graft.functions.TextFunctions.tokenProfile(
         lower(col("text")), Seq.empty).as("_tp"))
     // null-text docs: the old explode dropped them from wc (no word
-    // rows) while the old bigram branch kept them at 0 — replicated
-    val wc = prof.filter(col("_tp").isNotNull)
+    // rows) while the old bigram branch kept them at 0 — replicated.
+    // Filter on TEXT, not the derived struct: profile(text) is null
+    // iff text is null (nullIntolerant), and a derived-struct filter
+    // gets pushed below the exchange where it re-evaluates the kernel.
+    val wc = base.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenProfile(
+          lower(col("text")), Seq.empty).as("_tp"))
       .select(col("doc_id"),
         col("_tp").getField("n_words").cast("long").as("n_words"),
         col("_tp").getField("top_cnt").cast("long").as("top_cnt"))

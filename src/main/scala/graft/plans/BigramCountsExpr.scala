@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -29,12 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the two code points packed into a Long — zero allocation per
   * position; strings materialize once per DISTINCT bigram (~0.3/char
   * on natural text), and the downstream explode + broadcast join
-  * carry distinct-bigram rows, not raw positions. CodegenFallback:
-  * one interpreted call per row is noise next to the per-position
-  * allocations it removes (the WinnowSelectExpr precedent).
+  * carry distinct-bigram rows, not raw positions. Codegen emits one
+  * call into [[kernel]] per row (reference-object pattern) so the
+  * enclosing operator keeps its whole-stage span.
   */
 case class BigramCountsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -47,8 +47,13 @@ case class BigramCountsExpr(child: Expression)
       StructField("c", LongType, nullable = false))),
     containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  def kernel(in: UTF8String): GenericArrayData = {
+    val s = in.toString
     // code-point view only when needed: the fast path covers all-BMP
     // text (the common case; no surrogate pairs => char == code point)
     val cps: Array[Int] =
@@ -79,6 +84,11 @@ case class BigramCountsExpr(child: Expression)
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigramCounts", this, classOf[BigramCountsExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.kernel($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BigramCountsExpr =

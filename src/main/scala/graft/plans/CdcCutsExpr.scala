@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -27,12 +27,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * BigramCountsExpr hazard class; measured 4.9x on the 64x endpoints
   * harness). Here the hash rolls incrementally — one multiply, one
   * subtract, one mod per position over a primitive ring buffer, zero
-  * allocation; the output array holds ~len/16 ints. CodegenFallback:
-  * one interpreted call per row is noise next to the per-position
-  * allocations it removes (the WinnowSelectExpr precedent).
+  * allocation; the output array holds ~len/16 ints. Codegen emits
+  * one call into [[kernel]] per row (reference-object pattern) so the
+  * enclosing operator keeps its whole-stage span.
   */
 case class CdcCutsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val W = 8
   private val B = 31L
@@ -50,9 +50,13 @@ case class CdcCutsExpr(child: Expression)
   }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  def kernel(in: UTF8String): GenericArrayData = {
+    val s = in.toString
     val cps: Array[Int] =
       if (s.length == s.codePointCount(0, s.length)) null
       else s.codePoints().toArray
@@ -70,6 +74,11 @@ case class CdcCutsExpr(child: Expression)
       i += 1
     }
     new GenericArrayData(cuts.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdcCuts", this, classOf[CdcCutsExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.kernel($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CdcCutsExpr =

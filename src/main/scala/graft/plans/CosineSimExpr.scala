@@ -36,6 +36,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

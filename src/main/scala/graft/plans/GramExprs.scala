@@ -5,7 +5,9 @@ import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.Platform
@@ -32,6 +34,20 @@ import org.apache.spark.unsafe.Platform
   * produces, so both kernels map null to the empty-text result.
   */
 private[plans] object GramSlices {
+  /** Shared doGenCode for the null-tolerant gram kernels (null doc ==
+    * empty doc, `nullable=false`): evaluate the child, hand the value
+    * (or null) to the expression's own `kernel`, never-null result.
+    * The reference-object call keeps the enclosing operator inside
+    * whole-stage codegen -- `CodegenFallback` would evict it. */
+  def refCallGenCode(ctx: CodegenContext, ev: ExprCode, child: Expression,
+                     expr: AnyRef, className: String): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("gramKernel", expr, className)
+    val call = s"final org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = " +
+      s"$ref.kernel(${c.isNull} ? null : ${c.value});"
+    ev.copy(code = c.code + code"$call", isNull = FalseLiteral)
+  }
+
   /** Word start offsets within `bytes` (0x20-separated, empties kept). */
   def wordStarts(bytes: Array[Byte]): Array[Int] = {
     var nWords = 1
@@ -58,11 +74,11 @@ private[plans] object GramSlices {
   * `md5(shingle)` hex strings (same md5, binary instead of hex), so
   * every count, distinct and group-by downstream is value-identical
   * and the exchanges carry 16 bytes instead of 32-char strings.
-  * CodegenFallback: one interpreted call per row is noise next to the
-  * per-window work it removes (the WinnowSelectExpr precedent).
+  * Codegen emits one call into `kernel` per row (reference-object
+  * pattern) so the enclosing operator keeps its whole-stage span.
   */
 case class WordGramMd5Expr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1, s"gram width must be >= 1, got $k")
 
@@ -74,8 +90,10 @@ case class WordGramMd5Expr(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
   override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
+  override def eval(input: InternalRow): Any =
+    kernel(child.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def kernel(v: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     // null doc == empty doc in the composed form (see GramSlices doc)
     val bytes =
       if (v == null) Array.emptyByteArray
@@ -99,6 +117,9 @@ case class WordGramMd5Expr(child: Expression, k: Int)
     }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    GramSlices.refCallGenCode(ctx, ev, child, this, classOf[WordGramMd5Expr].getName)
 
   override protected def withNewChildInternal(newChild: Expression): WordGramMd5Expr =
     copy(child = newChild)
@@ -128,7 +149,7 @@ object WordGramMd5Expr {
   * line, exactly as size([""]) = 1 does.
   */
 case class TiledLineHashesExpr(child: Expression, width: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(width >= 1, s"line width must be >= 1, got $width")
 
@@ -140,8 +161,10 @@ case class TiledLineHashesExpr(child: Expression, width: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
+  override def eval(input: InternalRow): Any =
+    kernel(child.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def kernel(v: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     if (v == null) return new GenericArrayData(Array.empty[Long])
     val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
     val starts = GramSlices.wordStarts(bytes)
@@ -158,6 +181,9 @@ case class TiledLineHashesExpr(child: Expression, width: Int)
     }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    GramSlices.refCallGenCode(ctx, ev, child, this, classOf[TiledLineHashesExpr].getName)
 
   override protected def withNewChildInternal(newChild: Expression): TiledLineHashesExpr =
     copy(child = newChild)
@@ -181,7 +207,7 @@ case class TiledLineHashesExpr(child: Expression, width: Int)
   * [[GramSlices]]).
   */
 case class WinnowTextExpr(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1, s"gram width must be >= 1, got $k")
   require(w >= 1, s"winnow window must be >= 1, got $w")
@@ -194,8 +220,10 @@ case class WinnowTextExpr(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
   override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
+  override def eval(input: InternalRow): Any =
+    kernel(child.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def kernel(v: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val bytes =
       if (v == null) Array.emptyByteArray
       else v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
@@ -257,6 +285,9 @@ case class WinnowTextExpr(child: Expression, k: Int, w: Int)
     new GenericArrayData(sel.toArray[Any])
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    GramSlices.refCallGenCode(ctx, ev, child, this, classOf[WinnowTextExpr].getName)
+
   override protected def withNewChildInternal(newChild: Expression): WinnowTextExpr =
     copy(child = newChild)
 
@@ -275,7 +306,7 @@ case class WinnowTextExpr(child: Expression, k: Int, w: Int)
   * oracle pins agreement at the checked SFs).
   */
 case class WordGramXxhTextExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1, s"gram width must be >= 1, got $k")
 
@@ -287,8 +318,10 @@ case class WordGramXxhTextExpr(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
+  override def eval(input: InternalRow): Any =
+    kernel(child.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def kernel(v: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val bytes =
       if (v == null) Array.emptyByteArray
       else v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
@@ -307,6 +340,9 @@ case class WordGramXxhTextExpr(child: Expression, k: Int)
     }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    GramSlices.refCallGenCode(ctx, ev, child, this, classOf[WordGramXxhTextExpr].getName)
 
   override protected def withNewChildInternal(newChild: Expression): WordGramXxhTextExpr =
     copy(child = newChild)

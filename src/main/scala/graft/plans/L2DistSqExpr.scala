@@ -42,6 +42,7 @@ case class L2DistSqExpr(left: Expression, right: Expression)
       s"graft_l2distsq expects array<float|double> args, got ${left.dataType} / ${right.dataType}")
 
   override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
 
   private def isFloat(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) => true

@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -42,12 +42,14 @@ private[plans] object TokenScan {
   * LEXICON (five passes for langid) over a split array that exists
   * only to be scanned. Value-exact with
   * `lexiconHits(split(text, " "), lex)` per lexicon: a token counts
-  * once per lexicon containing it, byte equality. CodegenFallback:
-  * one interpreted call per row is noise next to the per-token
-  * interpreted lambda evals it removes (the CdcCutsExpr precedent).
+  * once per lexicon containing it, byte equality. Codegen emits one
+  * call into [[kernel]] per row (the expression itself rides along as
+  * a reference object), so the enclosing scan/filter/project pipeline
+  * keeps its whole-stage span — `CodegenFallback` would evict the
+  * whole operator from codegen, not just this expression.
   */
 case class LexiconCountsExpr(child: Expression, lexicons: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(lexicons.nonEmpty && lexicons.forall(_.nonEmpty),
     "graft_lexicon_counts needs at least one non-empty lexicon")
@@ -61,9 +63,13 @@ case class LexiconCountsExpr(child: Expression, lexicons: Seq[Seq[String]])
   }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  def kernel(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
     val counts = new Array[Int](lexBytes.length)
     TokenScan.forEachToken(bytes) { (start, len) =>
       if (len > 0) {
@@ -82,6 +88,11 @@ case class LexiconCountsExpr(child: Expression, lexicons: Seq[Seq[String]])
       }
     }
     new GenericArrayData(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lexCounts", this, classOf[LexiconCountsExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.kernel($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): LexiconCountsExpr =
@@ -205,12 +216,14 @@ private[plans] final class SliceCounter(bytes: Array[Byte]) {
   *   census), sum_sq = Σ count² over distinct tokens (tx36's Simpson
   *   numerator) — both read off the same count table.
   * Counting via open-addressing slice tables — exact byte-compare,
-  * no string allocation. CodegenFallback: per-row call overhead is
-  * noise next to the split arrays + per-row interpreted sort/fold/
-  * explode machinery it replaces.
+  * no string allocation. Codegen emits one call into [[kernel]] per
+  * row (reference-object pattern) so the enclosing operator keeps its
+  * whole-stage codegen span; `nullIntolerant` lets the optimizer
+  * rewrite pushed `isnotnull(profile(x))` filters to `isnotnull(x)`
+  * instead of evaluating the kernel a second time below the exchange.
   */
 case class TokenProfileExpr(child: Expression, lexicon: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private lazy val lexBytes: Array[Array[Byte]] =
     lexicon.map(_.getBytes("UTF-8")).toArray
@@ -230,9 +243,13 @@ case class TokenProfileExpr(child: Expression, lexicon: Seq[String])
     StructField("n_uniq_bigrams", IntegerType, nullable = false),
     StructField("n_hapax", IntegerType, nullable = false),
     StructField("sum_sq", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  def kernel(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
     var nWords = 0
     var nStop = 0
     val toks = new SliceCounter(bytes)
@@ -258,6 +275,11 @@ case class TokenProfileExpr(child: Expression, lexicon: Seq[String])
     InternalRow(nWords, nStop, toks.nUniq, tC,
       UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, tS, tS + tL)),
       nBg, bgs.nUniq, nHapax, sumSq)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokProfile", this, classOf[TokenProfileExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.kernel($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenProfileExpr =

@@ -3,7 +3,7 @@ package graft.plans
 import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,10 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark's md5 allocates a fresh MessageDigest per call. Here: one
   * pass per row, a thread-local reused digest, zero intermediate
   * arrays. (Same motivation as ella's native sketch kernels.)
-  * CodegenFallback: one interpreted call per ROW is noise next to the
-  * per-shingle hashing it replaces.
+  * Codegen emits one call into [[kernel]] per row (reference-object
+  * pattern) so the enclosing operator keeps its whole-stage span.
   */
-case class MinHashSigExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class MinHashSigExpr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -35,9 +35,12 @@ case class MinHashSigExpr(child: Expression) extends UnaryExpression with Codege
   }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val shingles = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(shingles: ArrayData): ArrayData = {
     val n = shingles.numElements()
     val mins = Array.fill(8)(0xFFFFFFFFL)
     val md = MinHashSigExpr.digest.get()
@@ -60,6 +63,11 @@ case class MinHashSigExpr(child: Expression) extends UnaryExpression with Codege
       p += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSigExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.kernel($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
@@ -99,7 +107,7 @@ object MinHashSigExpr {
   * arrays.
   */
 case class MinHashWordsExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -107,9 +115,12 @@ case class MinHashWordsExpr(child: Expression, k: Int)
   }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(words: ArrayData): ArrayData = {
     val n = words.numElements()
     val mins = Array.fill(8)(0xFFFFFFFFL)
     val md = MinHashSigExpr.digest.get()
@@ -162,6 +173,11 @@ case class MinHashWordsExpr(child: Expression, k: Int)
       p += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashWords", this, classOf[MinHashWordsExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.kernel($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashWordsExpr =

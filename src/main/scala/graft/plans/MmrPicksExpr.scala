@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
@@ -42,7 +42,7 @@ import org.apache.spark.sql.types._
   * mmr_milli, pick>> in pick order.
   */
 case class MmrPicksExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1, s"mmr k must be >= 1, got $k")
 
@@ -77,8 +77,12 @@ case class MmrPicksExpr(child: Expression, k: Int)
   @transient private lazy val idOrdering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(idType).asInstanceOf[Ordering[Any]]
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val tpe = idType
@@ -160,6 +164,11 @@ case class MmrPicksExpr(child: Expression, k: Int)
       p += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mmrPicks", this, classOf[MmrPicksExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.kernel($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MmrPicksExpr =

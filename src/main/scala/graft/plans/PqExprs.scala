@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -25,13 +25,14 @@ import org.apache.spark.sql.types._
   * code label, position, and the winning distance). Distances are the
   * IDENTICAL double-widened index-order fold of [[L2DistSqExpr]] on
   * the slice the composed form took (short final slices fold the
-  * overlap, as slice+min-length did). CodegenFallback: one
-  * interpreted call per row is noise next to the NumSub × K
-  * interpreted evals it replaces.
+  * overlap, as slice+min-length did). Codegen emits one call into
+  * [[kernel]] per row (reference-object pattern) so the encode
+  * projection keeps its whole-stage codegen span — `CodegenFallback`
+  * would evict the whole operator from codegen.
   */
 case class PqArgminExpr(left: Expression, right: Expression, subDim: Int,
                         mode: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   require(mode >= 0 && mode <= 2, s"graft_pq_argmin mode must be 0..2, got $mode")
 
@@ -74,9 +75,12 @@ case class PqArgminExpr(left: Expression, right: Expression, subDim: Int,
       StructField("d2", DoubleType, nullable = false))), containsNull = false)
   }
 
-  override def nullSafeEval(e: Any, c: Any): Any = {
-    val emb = e.asInstanceOf[ArrayData]
-    val cb = c.asInstanceOf[ArrayData]
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(e: Any, c: Any): Any =
+    kernel(e.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  def kernel(emb: ArrayData, cb: ArrayData): ArrayData = {
     val numSub = cb.numElements()
     val embLen = emb.numElements()
     val ef = embFloat
@@ -123,6 +127,11 @@ case class PqArgminExpr(left: Expression, right: Expression, subDim: Int,
     new GenericArrayData(out)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqArgmin", this, classOf[PqArgminExpr].getName)
+    nullSafeCodeGen(ctx, ev, (e, c) => s"${ev.value} = $ref.kernel($e, $c);")
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqArgminExpr =
     copy(left = newLeft, right = newRight)
@@ -138,7 +147,7 @@ case class PqArgminExpr(left: Expression, right: Expression, subDim: Int,
   * probe join's output, the hottest row count in the ss family).
   */
 case class AdcSumExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(IntegerType, _)) =>
@@ -148,6 +157,7 @@ case class AdcSumExpr(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(l: Any, c: Any): Any = {
     val lut = l.asInstanceOf[ArrayData]
@@ -161,6 +171,23 @@ case class AdcSumExpr(left: Expression, right: Expression)
     }
     acc
   }
+
+  // the gather-sum is simple enough to inline: same min-bound loop,
+  // same m-order IEEE fold as nullSafeEval, zero per-row call overhead
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, c) => {
+      val n = ctx.freshName("adcN")
+      val m = ctx.freshName("adcM")
+      val acc = ctx.freshName("adcAcc")
+      s"""
+         |int $n = java.lang.Math.min($l.numElements(), $c.numElements());
+         |double $acc = 0.0;
+         |for (int $m = 0; $m < $n; $m++) {
+         |  $acc += $l.getArray($m).getDouble($c.getInt($m));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AdcSumExpr =

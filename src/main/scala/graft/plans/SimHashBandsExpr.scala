@@ -3,7 +3,7 @@ package graft.plans
 import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 
@@ -31,10 +31,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
   * Why native: same as SimHashSigExpr — the composed form would
   * explode every token into a 64-column vote aggregation (a full
   * O(tokens) shuffle per corpus for a per-doc value); this computes
-  * the bands at scan speed. CodegenFallback: one interpreted call per
-  * ROW is noise next to the per-token hashing it replaces.
+  * the bands at scan speed. Codegen emits one call into [[kernel]]
+  * per row (reference-object pattern) so the enclosing operator keeps
+  * its whole-stage span.
   */
-case class SimHashBandsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHashBandsExpr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -42,8 +43,11 @@ case class SimHashBandsExpr(child: Expression) extends UnaryExpression with Code
   }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any = kernel(input)
+
+  def kernel(input: Any): GenericArrayData = {
     val toks = input.toString.split(" ", -1)
     val votes = new Array[Int](64)
     val md = SimHashBandsExpr.digest.get()
@@ -75,6 +79,11 @@ case class SimHashBandsExpr(child: Expression) extends UnaryExpression with Code
       t += 1
     }
     new GenericArrayData(bands)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashBands", this, classOf[SimHashBandsExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.kernel($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashBandsExpr =

@@ -3,7 +3,7 @@ package graft.plans
 import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 
 /** Single-pass 16-bit SimHash over a document's text.
@@ -21,10 +21,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
   * intermediate rows; at 100 TB the signature stage disappears from
   * the shuffle plan entirely and only the (tiny) block-bucketed
   * candidate join remains. (Same motivation as ella's native sketch
-  * kernels.) CodegenFallback: one interpreted call per ROW is noise
-  * next to the per-token hashing it replaces.
+  * kernels.) Codegen emits one call into [[kernel]] per row
+  * (reference-object pattern) so the enclosing operator keeps its
+  * whole-stage span.
   */
-case class SimHashSigExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHashSigExpr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -32,8 +33,11 @@ case class SimHashSigExpr(child: Expression) extends UnaryExpression with Codege
   }
 
   override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any = kernel(input)
+
+  def kernel(input: Any): Int = {
     // -1 limit: keep trailing empty tokens, matching Spark's
     // split(text, " ") and DuckDB's string_split exactly
     val toks = input.toString.split(" ", -1)
@@ -59,6 +63,11 @@ case class SimHashSigExpr(child: Expression) extends UnaryExpression with Codege
       bit += 1
     }
     sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashSig", this, classOf[SimHashSigExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.kernel($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSigExpr =

@@ -3,7 +3,7 @@ package graft.plans
 import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -26,7 +26,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * is set iff the vote sum of global bit 32*band+k is positive. The
   * DuckDB oracle re-derives all 128 vote sums from md5 hex.
   */
-case class SimHashWideExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHashWideExpr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -34,8 +34,11 @@ case class SimHashWideExpr(child: Expression) extends UnaryExpression with Codeg
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any = kernel(input)
+
+  def kernel(input: Any): GenericArrayData = {
     val toks = input.toString.split(" ", -1)
     val votes = new Array[Int](128)
     val md = SimHashWideExpr.digest.get()
@@ -73,6 +76,11 @@ case class SimHashWideExpr(child: Expression) extends UnaryExpression with Codeg
       t += 1
     }
     new GenericArrayData(bands)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashWide", this, classOf[SimHashWideExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.kernel($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashWideExpr =

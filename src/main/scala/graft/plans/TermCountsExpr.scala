@@ -39,6 +39,7 @@ case class TermCountsExpr(child: Expression, terms: Seq[String])
   }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes

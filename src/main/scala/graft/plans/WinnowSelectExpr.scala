@@ -3,7 +3,7 @@ package graft.plans
 import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,11 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * per row, a thread-local reused digest, zero intermediate arrays.
   * Windows shorter than `w` (docs with < w grams) degenerate to one
   * whole-array window, matching the oracle's `least(t+w-1, n)` clip.
-  * CodegenFallback: one interpreted call per ROW is noise next to the
-  * per-gram hashing it replaces (the MinHashSigExpr precedent).
+  * Codegen emits one call into [[kernel]] per row (reference-object
+  * pattern) so the enclosing operator keeps its whole-stage span.
   */
 case class WinnowSelectExpr(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(w >= 1, s"winnow window must be >= 1, got $w")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -41,9 +41,12 @@ case class WinnowSelectExpr(child: Expression, w: Int)
   }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val sh = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(sh: ArrayData): ArrayData = {
     val n = sh.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val md = WinnowSelectExpr.digest.get()
@@ -87,6 +90,11 @@ case class WinnowSelectExpr(child: Expression, w: Int)
     i = 0
     while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowSel", this, classOf[WinnowSelectExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.kernel($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowSelectExpr =

@@ -29,6 +29,7 @@ case class WordCountExpr(child: Expression)
   }
 
   override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]

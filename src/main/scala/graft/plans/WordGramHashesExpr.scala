@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.Platform
@@ -23,11 +23,12 @@ import org.apache.spark.unsafe.Platform
   * Value-exact with `transform(grams5(words), g => xxhash64(g))`:
   * same windows (docs shorter than k words yield an EMPTY array —
   * grams5's guard), same joined bytes, same XXH64 seed 42 as the
-  * built-in. CodegenFallback: one interpreted call per row is noise
-  * next to the per-window string allocation it removes.
+  * built-in. Codegen emits one call into [[kernel]] per row
+  * (reference-object pattern) so the enclosing operator keeps its
+  * whole-stage span.
   */
 case class WordGramHashesExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1, s"gram width must be >= 1, got $k")
 
@@ -37,9 +38,12 @@ case class WordGramHashesExpr(child: Expression, k: Int)
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(words: ArrayData): ArrayData = {
     val n = words.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Long])
     val wb = new Array[Array[Byte]](n)
@@ -75,6 +79,11 @@ case class WordGramHashesExpr(child: Expression, k: Int)
       w += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramHashes", this, classOf[WordGramHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.kernel($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordGramHashesExpr =

@@ -2259,6 +2259,52 @@ class ApiSpec extends SparkSpec {
       s"the shifted twin must still share chunks with the original: $got")
   }
 
+  test("fused CDC chunk kernel == composed cuts+transform md5 over corpus + degenerate docs") {
+    // CdcChunksExpr must be a BIJECTION of the r13 composed form:
+    // hex(kernel digest) == md5(substr(t, prev+1, e-prev)) and clen ==
+    // e - prev, chunk for chunk, over the real corpus AND the window
+    // edge cases (shorter than the 8-cp window, exactly the window,
+    // cut-at-the-last-position, multi-byte UTF-8).
+    import spark.implicits._
+    val corpus = Tables(spark, sfDir, "documents")
+      .select(col("doc_id").cast("string").as("id"), col("text").as("t"))
+    val edge = Seq(
+      ("e1", "short"),                       // < window: one whole-doc chunk
+      ("e2", "exactly8"),                    // == window
+      ("e3", "a b c d e f g h i j k l m n"), // plain multi-chunk ASCII
+      ("e4", "héllo wörld ünïcode ßtrings echo foxtrot golf hotel india"),
+      ("e5", "é世界😀 mixed width code points here")
+    ).toDF("id", "t")
+    Seq(corpus, edge).foreach { df =>
+      val fused = df
+        .select(col("id"), explode_outer(
+          graft.functions.TextFunctions.cdcChunks(col("t"))).as("ch"))
+        .filter(col("ch").isNotNull)
+        .select(col("id"), lower(hex(col("ch.digest"))).as("digest"),
+          col("ch.clen").as("clen"))
+      val composed = df
+        .filter(length(col("t")) > 0)
+        .withColumn("len", length(col("t")).cast("int"))
+        .withColumn("cuts", graft.functions.TextFunctions.cdcCuts(col("t")))
+        .withColumn("ends",
+          when(size(col("cuts")) > 0 && element_at(col("cuts"), -1) === col("len"),
+            col("cuts"))
+            .otherwise(concat(col("cuts"), array(col("len")))))
+        .withColumn("ch", explode(transform(col("ends"), (e, j) =>
+          struct(
+            md5(col("t").substr(
+              when(j === 0, lit(0)).otherwise(element_at(col("ends"), j)) + 1,
+              e - when(j === 0, lit(0)).otherwise(element_at(col("ends"), j))))
+              .as("digest"),
+            (e - when(j === 0, lit(0)).otherwise(element_at(col("ends"), j)))
+              .cast("long").as("clen")))))
+        .select(col("id"), col("ch.digest").as("digest"), col("ch.clen").as("clen"))
+      val a = fused.orderBy("id", "digest", "clen").collect().toSeq
+      val b = composed.orderBy("id", "digest", "clen").collect().toSeq
+      assert(a == b, s"fused CDC chunks diverge from the composed form")
+    }
+  }
+
   test("sloBands verb matches ts40 and recovers planted per-day percentiles") {
     val viaApi = Tables.events(spark, sfDir)
       .withColumn("cents", round(col("value") * 100).cast("long"))
