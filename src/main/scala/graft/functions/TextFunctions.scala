@@ -165,6 +165,12 @@ object TextFunctions {
     array_min(transform(shingleCol, sh => md5(concat(lit(s"$p:"), sh))))
 
   /** LSH band key for rows r..r+width-1 of a minhash signature array. */
+  /** BINARY 16-byte key (unhex of the md5 hex — a bijection, so every
+    * join/distinct/group-by on it is value-identical) rather than the
+    * 32-char hex string: the band self-join is the dedup family's
+    * hottest exchange and the key is its widest column (guide §2.3
+    * "narrower types"). String consumers (the streaming gate's stored
+    * `bk`) re-derive the hex via lower(hex(.)). */
   def bandKey(sig: Column, start: Int, width: Int): Column =
-    md5(concat_ws("|", (start until start + width).map(i => element_at(sig, lit(i + 1))): _*))
+    unhex(md5(concat_ws("|", (start until start + width).map(i => element_at(sig, lit(i + 1))): _*)))
 }

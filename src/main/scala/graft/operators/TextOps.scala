@@ -41,10 +41,18 @@ object TextOps {
     * doc-side scoring scan is inherently separate). Docs shorter than
     * 2 chars have no bigrams and drop, as in the oracle. */
   private[graft] def bigramLmScores(docDf: DataFrame): DataFrame = {
+    // lazy localCheckpoint: `db` feeds BOTH the corpus census (via an
+    // exchange) and the broadcast-join PROBE side (no exchange), so
+    // AQE exchange reuse cannot dedupe them — without the barrier the
+    // bigram kernel + explode run TWICE per corpus (the tx22/tx23
+    // persist lesson inverted: there the second consumer sat behind a
+    // reusable exchange, here it does not). Lazy checkpoint blocks
+    // release on GC (the GroupPrefix lifecycle).
     val db = Tables.spread(docDf)
       .select(col("doc_id"),
         explode(bigramCounts(lower(col("text")))).as("e"))
       .select(col("doc_id"), col("e.bg").as("bg"), col("e.c").as("c"))
+      .localCheckpoint(false)
     val corpus = db.groupBy(col("bg")).agg(sum(col("c")).as("cnt"))
       .localCheckpoint(false)
     val total = corpus.agg(sum(col("cnt")).as("tot"))

@@ -1646,7 +1646,11 @@ object TopicStream {
     val latest = latestPerKey(batch, "doc_id", "ts", "text")
       .persist()
     val bands = graft.operators.Dedup.bandsPublic(latest)
-      .withColumn("bk", concat(col("band"), lit("|"), col("bkey")))
+      // bkey is the binary16 md5 (TextFunctions.bandKey); lower(hex)
+      // re-derives the hex form so stored `bk` strings stay
+      // byte-identical across the key-width change (replayed topics
+      // written before it keep matching)
+      .withColumn("bk", concat(col("band"), lit("|"), lower(hex(col("bkey")))))
       .persist()
     val n = bands.count() // bands-per-sig x batch docs — small by definition
     if (n > 0) {
