@@ -41,18 +41,19 @@ object TextOps {
     * doc-side scoring scan is inherently separate). Docs shorter than
     * 2 chars have no bigrams and drop, as in the oracle. */
   private[graft] def bigramLmScores(docDf: DataFrame): DataFrame = {
-    // lazy localCheckpoint: `db` feeds BOTH the corpus census (via an
-    // exchange) and the broadcast-join PROBE side (no exchange), so
-    // AQE exchange reuse cannot dedupe them — without the barrier the
-    // bigram kernel + explode run TWICE per corpus (the tx22/tx23
-    // persist lesson inverted: there the second consumer sat behind a
-    // reusable exchange, here it does not). Lazy checkpoint blocks
-    // release on GC (the GroupPrefix lifecycle).
+    // `db` feeds BOTH the corpus census (via an exchange) and the
+    // broadcast-join PROBE side (no exchange), so the bigram kernel +
+    // explode run twice per corpus. A lazy localCheckpoint of this
+    // frame was BUILT AND REVERTED (r14): it won at sf0.1 (tx14 0.55x
+    // at matched sentinel) but measured ~3x WORSE at the 64x blowup
+    // (tx14 19.4 -> 7.0 s, tx32 18.4 -> 5.8 s without it) —
+    // materializing a token-scale frame to block storage costs more
+    // at scale than re-running the zero-allocation census kernel,
+    // and the scale endpoint is the number that matters at 100 TB.
     val db = Tables.spread(docDf)
       .select(col("doc_id"),
         explode(bigramCounts(lower(col("text")))).as("e"))
       .select(col("doc_id"), col("e.bg").as("bg"), col("e.c").as("c"))
-      .localCheckpoint(false)
     val corpus = db.groupBy(col("bg")).agg(sum(col("c")).as("cnt"))
       .localCheckpoint(false)
     val total = corpus.agg(sum(col("cnt")).as("tot"))
