@@ -684,6 +684,39 @@ object DevProbe {
           .write.format("noop").mode("overwrite").save()
         println(f"PQITER rep$i=${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
+    } else if (args(0) == "--argminprobe") {
+      // Cell-argmin expression A/B (args: --argminprobe <sfDir> [rounds]):
+      // times the composed array_min(transform(cents, struct(l2, label)))
+      // vs graft_cell_argmin over the embeddings x broadcast(centroidArray)
+      // cross join, ALTERNATING in one JVM. Median per form printed.
+      import org.apache.spark.sql.functions._
+      val d = args(1)
+      val rounds = args.lift(2).map(_.toInt).getOrElse(5)
+      val e = Tables(spark, d, "embeddings")
+      val cents = graft.operators.Similarity.centroidArrayPublic(e)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cents.count()
+      val base = e.crossJoin(broadcast(cents))
+      import graft.functions.VectorFunctions.{l2distSq, cellArgmin}
+      val composedCol = array_min(transform(col("cents"),
+        c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
+                    c.getField("c_label").as("cell"))))
+      val fusedCol = cellArgmin(col("embedding"), col("cents"), "cvec", "c_label")
+      def time(c: org.apache.spark.sql.Column): Double = {
+        val t0 = System.nanoTime()
+        base.select(col("vec_id"), c.getField("cell").as("cell"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      time(composedCol); time(fusedCol) // warm untimed
+      val comp = scala.collection.mutable.ArrayBuffer[Double]()
+      val fus = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to rounds).foreach { _ =>
+        comp += time(composedCol)
+        fus += time(fusedCol)
+      }
+      def med(xs: Seq[Double]) = xs.sorted.apply((xs.size - 1) / 2)
+      println(f"argminprobe rounds=$rounds composed_med=${med(comp.toSeq)}%.3f fused_med=${med(fus.toSeq)}%.3f")
     } else if (args(0) == "--ss24probe") {
       // ss24 phase decomposition (args: --ss24probe <dir>): which of
       // the residual-index phases owns the pin — (a) coarse centroids

@@ -67,6 +67,20 @@ object VectorFunctions {
         org.apache.spark.sql.graft.bridge.expression(a),
         org.apache.spark.sql.graft.bridge.expression(c)))
 
+  /** Broadcast-centroid argmin (one native call replacing the
+    * interpreted `array_min(transform(cents, struct(l2distSq, label)))`
+    * nest — [[graft.plans.CellArgminExpr]]): struct(distName,
+    * labelName) of the nearest centroid, value-exact with the
+    * composed form including its struct-ordering null algebra. */
+  def cellArgmin(emb: Column, cents: Column,
+                 vecField: String, labelField: String,
+                 distName: String = "dist2", labelName: String = "cell"): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.CellArgminExpr(
+        org.apache.spark.sql.graft.bridge.expression(emb),
+        org.apache.spark.sql.graft.bridge.expression(cents),
+        vecField, labelField, distName, labelName))
+
   /** PQ sub-space argmin (one native call replacing the interpreted
     * transform+array_min+subSlice nest — [[graft.plans.PqArgminExpr]]):
     * the 0-based winner position per subspace. */

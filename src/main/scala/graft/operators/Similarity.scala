@@ -76,9 +76,8 @@ object Similarity {
       // instead of OOMing on big corpora; at 100 TB the assignment
       // would instead be a materialized cell-partitioned table.
       val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("best", array_min(transform(col("cents"),
-          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
-                      c.getField("c_label").as("cell")))))
+        .withColumn("best", graft.functions.VectorFunctions.cellArgmin(
+          col("embedding"), col("cents"), "cvec", "c_label"))
         .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = assigned.filter(col("vec_id") === QueryId)
@@ -578,9 +577,8 @@ object Similarity {
       val cents = centroidArray(e)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("best", array_min(transform(col("cents"),
-          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
-                      c.getField("c_label").as("cell")))))
+        .withColumn("best", graft.functions.VectorFunctions.cellArgmin(
+          col("embedding"), col("cents"), "cvec", "c_label"))
         .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
       // dense-buffer recompute (the centroidArray/kmeansTrain rework):
       // one dim-long VectorSumAgg buffer per cell on the wire instead
@@ -733,9 +731,8 @@ object Similarity {
       val e = emb(s, d)
       val cents = centroidArray(e)
       val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cell", array_min(transform(col("cents"),
-          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
-                      c.getField("c_label").as("cell")))).getField("cell"))
+        .withColumn("cell", graft.functions.VectorFunctions.cellArgmin(
+          col("embedding"), col("cents"), "cvec", "c_label").getField("cell"))
         .select(col("vec_id"), col("embedding"), col("cell"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = assigned.filter(col("vec_id") === QueryId)
@@ -873,9 +870,8 @@ object Similarity {
       val e = emb(s, d)
       val cents = centroidArray(e)
       val counts = e.crossJoin(broadcast(cents))
-        .withColumn("best", array_min(transform(col("cents"),
-          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
-                      c.getField("c_label").as("cell")))))
+        .withColumn("best", graft.functions.VectorFunctions.cellArgmin(
+          col("embedding"), col("cents"), "cvec", "c_label"))
         .groupBy(col("best.cell").as("cell"))
         .agg(count(lit(1)).as("n"))
       val totals = counts.agg(sum(col("n")).as("total"),
@@ -968,9 +964,9 @@ object Similarity {
       val e = emb(s, d)
       val cents = centroidArray(e)
       e.crossJoin(broadcast(cents))
-        .withColumn("best", array_min(transform(col("cents"),
-          c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
-                      c.getField("c_label").as("nearest_label")))))
+        .withColumn("best", graft.functions.VectorFunctions.cellArgmin(
+          col("embedding"), col("cents"), "cvec", "c_label",
+          labelName = "nearest_label"))
         .select(col("vec_id"), col("label"),
           col("best.nearest_label").as("nearest_label"), col("best.dist2").as("dist2"))
         .orderBy(col("vec_id"))
@@ -1159,9 +1155,8 @@ object Similarity {
     val cents = centroidArray(e)
     val n1 = e.agg(count(lit(1)).as("n_corpus"))
     val assigned = e.crossJoin(broadcast(cents)).crossJoin(broadcast(n1))
-      .withColumn("best", array_min(transform(col("cents"),
-        c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
-                    c.getField("c_label").as("cell")))))
+      .withColumn("best", graft.functions.VectorFunctions.cellArgmin(
+        col("embedding"), col("cents"), "cvec", "c_label"))
       .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"),
         pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 5), 16, 10)
             .cast("long"),
@@ -1429,9 +1424,8 @@ object Similarity {
     * the shared assignment half of [[oodAuditOf]]/[[oodScore]]. */
   private def assignQd(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
-      .withColumn("best", array_min(transform(col("cents"),
-        c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
-                    c.getField("c_label").as("cell")))))
+      .withColumn("best", graft.functions.VectorFunctions.cellArgmin(
+        col("embedding"), col("cents"), "cvec", "c_label"))
       .select(col("vec_id"), col("best.cell").as("cell"),
         floor(col("best.dist2") * 10000).cast("long").as("qd"))
 
@@ -1447,6 +1441,7 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("qd"), col("p95_qd"),
         (col("qd") > col("p95_qd")).as("is_ood"))
 
+  private[graft] def centroidArrayPublic(e: DataFrame): DataFrame = centroidArray(e)
   private def centroidArray(e: DataFrame): DataFrame = {
     // r11: dense-buffer centroids via the typed VectorSumAgg (ss04's
     // aggregator) — ONE map-side-combined buffer per (label x
@@ -1491,7 +1486,8 @@ object Similarity {
     val sample = e.filter(nibAt(6) % sampleMod === 0)
     val topCents = centroidArray(sample)
     def assign1(df: DataFrame): DataFrame = df.crossJoin(broadcast(topCents))
-      .withColumn("best", array_min(cellStructsOf(col("embedding"))))
+      .withColumn("best", graft.functions.VectorFunctions.cellArgmin(
+      col("embedding"), col("cents"), "cvec", "c_label"))
       .select(col("vec_id"), col("embedding"), col("best.cell").as("cell1"))
     val sampleAssigned = assign1(sample)
       .withColumn("sub", (nibAt(7) % subK).cast("int"))
@@ -1508,9 +1504,8 @@ object Similarity {
       .groupBy(col("cell1"))
       .agg(array_sort(collect_list(struct(col("sub"), col("svec")))).as("subs"))
     assign1(e).join(broadcast(svecs), Seq("cell1"), "left")
-      .withColumn("b2", array_min(transform(col("subs"),
-        sc => struct(l2distSq(col("embedding"), sc.getField("svec")).as("d2"),
-                     sc.getField("sub").as("sub")))))
+      .withColumn("b2", graft.functions.VectorFunctions.cellArgmin(
+        col("embedding"), col("subs"), "svec", "sub", "d2", "sub"))
       .select(col("vec_id"), col("cell1"),
         coalesce(col("b2.sub"), lit(-1)).cast("int").as("cell2"))
   }
@@ -1553,16 +1548,14 @@ object Similarity {
 
   private def assignCells(df: DataFrame, cents: DataFrame): DataFrame =
     df.crossJoin(broadcast(cents))
-      .withColumn("best", array_min(transform(col("cents"),
-        c => struct(l2distSq(col("embedding"), c.getField("cvec")).as("dist2"),
-                    c.getField("c_label").as("cell")))))
+      .withColumn("best", graft.functions.VectorFunctions.cellArgmin(
+        col("embedding"), col("cents"), "cvec", "c_label"))
       .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
 
   private def refineSub(df: DataFrame, svecs: DataFrame): DataFrame =
     df.join(broadcast(svecs), "cell")
-      .withColumn("b2", array_min(transform(col("subs"),
-        sc => struct(l2distSq(col("embedding"), sc.getField("svec")).as("d2"),
-                     sc.getField("hsub").as("sub")))))
+      .withColumn("b2", graft.functions.VectorFunctions.cellArgmin(
+        col("embedding"), col("subs"), "svec", "hsub", "d2", "sub"))
       .select(col("vec_id"), col("embedding"), col("cell"), col("b2.sub").as("sub"))
 
   /** ss12's probe: arrivals pay ~(|cells| + m) argmin comparisons
@@ -1634,7 +1627,8 @@ object Similarity {
   private[graft] def knnGraphOf(e: DataFrame, k: Int = 3): DataFrame = {
     val cents = centroidArray(e)
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("best", array_min(cellStructsOf(col("embedding"))))
+      .withColumn("best", graft.functions.VectorFunctions.cellArgmin(
+      col("embedding"), col("cents"), "cvec", "c_label"))
       .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
       .localCheckpoint(false)
     knnGraphBlocked(assigned, k)
@@ -1840,7 +1834,8 @@ object Similarity {
   private[graft] def ivfpqEncode(vecs: DataFrame, cents: DataFrame,
                                  cb: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents)).crossJoin(broadcast(cb))
-      .withColumn("cell", array_min(cellStructsOf(col("embedding"))).getField("cell"))
+      .withColumn("cell", graft.functions.VectorFunctions.cellArgmin(
+      col("embedding"), col("cents"), "cvec", "c_label").getField("cell"))
       .withColumn("cidx", pqArgminIdx(col("embedding"), col("cb"), SubDim))
       .drop("cents", "cb")
 

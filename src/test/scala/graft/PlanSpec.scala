@@ -435,6 +435,61 @@ class PlanSpec extends SparkSpec {
     assert(f2.sameElements(c2), "double-double shape must match the HOF fold")
   }
 
+  test("native graft_cell_argmin equals the composed array_min(transform) nest") {
+    GraftExtensions.register(spark)
+    import graft.functions.VectorFunctions
+    val e = Tables(spark, sfDir, "embeddings")
+    // a real centroid frame shape (the centroidArray contract): one
+    // row holding array<struct<c_label, cvec double>>, labels
+    // deliberately unsorted so the tie-break is positional-order-free
+    val cents = e.orderBy(col("vec_id")).limit(10)
+      .select((lit(11) - col("vec_id").cast("int")).as("c_label"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      .agg(collect_list(struct(col("c_label"), col("cvec"))).as("cents"))
+    val base = e.crossJoin(broadcast(cents))
+    val fusedDf = base.select(col("vec_id"),
+      VectorFunctions.cellArgmin(col("embedding"), col("cents"), "cvec", "c_label").as("best"))
+    val p = fusedDf.queryExecution.executedPlan.toString
+    assert(p.contains("graft_cell_argmin"), s"fused kernel should appear in the plan:\n$p")
+    val fused = fusedDf
+      .select(col("vec_id"), col("best.dist2"), col("best.cell"))
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val composed = base.select(col("vec_id"),
+        array_min(transform(col("cents"),
+          c => struct(aggregate(zip_with(col("embedding"), c.getField("cvec"),
+              (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+              lit(0.0), (acc, v) => acc + v).as("dist2"),
+            c.getField("c_label").as("cell")))).as("best"))
+      .select(col("vec_id"), col("best.dist2"), col("best.cell"))
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(fused.sameElements(composed),
+      "fused cell argmin must be bit-identical to the composed struct array_min")
+    // tie exercise: two centroids with IDENTICAL vectors — the
+    // composed struct ordering picks the SMALLER label; so must the
+    // kernel. And a null embedding keeps the row with a (null,
+    // smallest-label) struct, exactly as the composed ordering does.
+    import spark.implicits._
+    val twin = e.orderBy(col("vec_id")).limit(1)
+      .select(transform(col("embedding"), x => x.cast("double")).as("cv"))
+      .select(array(
+        struct(lit(7).as("c_label"), col("cv").as("cvec")),
+        struct(lit(3).as("c_label"), col("cv").as("cvec"))).as("cents"))
+    val probe = Seq((1L, true), (2L, false)).toDF("id", "has")
+      .crossJoin(broadcast(e.orderBy(col("vec_id")).limit(1).select(col("embedding").as("emb0"))))
+      .select(col("id"), when(col("has"), col("emb0")).otherwise(lit(null)).as("embedding"))
+      .crossJoin(broadcast(twin))
+    val got = probe.select(col("id"),
+        VectorFunctions.cellArgmin(col("embedding"), col("cents"), "cvec", "c_label").as("b"))
+      .select(col("id"), col("b.dist2"), col("b.cell"))
+      .orderBy(col("id")).collect()
+    assert(got(0).getInt(2) == 3 && got(0).getDouble(1) == 0.0,
+      s"tie must break to the smaller label: ${got(0)}")
+    assert(got(1).isNullAt(1) && got(1).getInt(2) == 3,
+      s"null embedding must keep the row with (null d2, smallest label): ${got(1)}")
+  }
+
   test("native graft_pq_argmin and graft_adc_sum equal the composed HOF nests") {
     GraftExtensions.register(spark)
     import graft.functions.VectorFunctions
