@@ -172,6 +172,16 @@ object Curation {
     // window, no all-pairs; at 100 TB the gram df table is the only
     // wide intermediate and it shrinks with distinct-gram count.
     "tx09_dup_ngrams" -> ((s, d) => {
+      // A one-exchange rework (repartition(gh) + per-(gh, doc)
+      // collapse + zero-exchange co-partitioned df join) was BUILT,
+      // oracle-verified, and MEASURED WORSE at both scales (r14:
+      // 1x 0.85 -> 1.37 s, 64x 7.5 -> 11.6 s at matched windows):
+      // this shape's countDistinct partial-aggregates the (gh, doc)
+      // pairs MAP-SIDE before its exchange, and AQE broadcasts the
+      // gh-domain dfreq into the join-back — so the raw position rows
+      // never cross the wire here, while an explicit repartition
+      // ships them uncollapsed. Reverted; the 8.8x 64x growth is the
+      // decorrelated gram DOMAIN growing 64x, not a plan defect.
       val g = gramHashRows(docs(s, d), Seq(col("doc_id")))
       val dfreq = g.groupBy(col("gh"))
         .agg(countDistinct(col("doc_id")).as("df"))
